@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * All operators are narrow projections built from codegen'd built-in
+  * expressions — no UDFs, no shuffles — so they stream through a 100 TB
+  * corpus at scan speed. Each has a DuckDB-expressible twin registered in
+  * [[graft.SparkEntry.oracleSql]].
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text (empty text → [""], matching
+    * DuckDB `string_split_regex`).
+    */
+  def tokensCol(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Token statistics per document: char count, token count, distinct
+    * token count, type-token ratio.
+    */
+  def tokens(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", tokensCol(col("text")))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        (size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")).cast("double")).as("type_token_ratio")
+      )
+
+  /** Stopword list used by quality scoring and language ID. Kept small and
+    * alphabetic so the DuckDB oracle can embed the same literal list.
+    */
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+  /** Quality heuristics: length, punctuation ratio, whitespace ratio,
+    * stopword ratio, and a blended score. Single-pass, codegen-friendly.
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val nChars = length(col("text")).cast("double")
+    val punct  = (length(col("text")) -
+      length(regexp_replace(col("text"), "\\p{Punct}", ""))).cast("double")
+    val spaces = (length(col("text")) -
+      length(regexp_replace(col("text"), "\\s", ""))).cast("double")
+    val stopHits = size(expr(
+      s"filter(toks, x -> x in (${EnglishStopwords.map("'" + _ + "'").mkString(",")}))"
+    )).cast("double")
+    val nToks = size(col("toks")).cast("double")
+    docs
+      .withColumn("toks", tokensCol(col("text")))
+      .select(
+        col("doc_id"),
+        nChars.cast("long").as("n_chars_m"),
+        (punct / nChars).as("punct_ratio"),
+        (spaces / nChars).as("space_ratio"),
+        (stopHits / nToks).as("stopword_ratio"),
+        // Blend: long-enough docs with some stopwords and low punctuation
+        // score higher. Same arithmetic in the oracle.
+        (least(nChars / lit(500.0), lit(1.0)) * lit(0.5)
+          + least(stopHits / nToks * lit(5.0), lit(1.0)) * lit(0.3)
+          + (lit(1.0) - least(punct / nChars * lit(10.0), lit(1.0))) * lit(0.2)
+        ).as("quality_score")
+      )
+  }
+
+  /** Tiny per-language stopword sets for the language-ID heuristic.
+    * Order matters: ties resolve to the earlier entry.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "to"),
+    "de" -> Seq("der", "und", "die", "das", "ist"),
+    "es" -> Seq("el", "los", "que", "es", "una"),
+    "fr" -> Seq("le", "les", "des", "est", "une"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2")
+  )
+
+  private def markerHits(lang: String): Column = {
+    val lits = LangMarkers.toMap.apply(lang).map("'" + _ + "'").mkString(",")
+    size(expr(s"filter(toks, x -> x in ($lits))")).cast("long")
+  }
+
+  /** Language ID by marker-token voting with a fixed tiebreak order
+    * (en > de > es > fr > zh, then "und" when no marker hits at all).
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val hits = LangMarkers.map { case (l, _) => l -> markerHits(l) }
+    val best = hits.tail.foldLeft(hits.head._2)((acc, h) => greatest(acc, h._2))
+    val predicted = hits
+      .foldRight(lit("und"): Column) { case ((l, h), els) =>
+        when(h === best && best > 0, lit(l)).otherwise(els)
+      }
+    docs
+      .withColumn("toks", tokensCol(col("text")))
+      .select(
+        (col("doc_id") +: hits.map { case (l, h) => h.as(s"hits_$l") }) :+
+          predicted.as("predicted_lang"): _*
+      )
+  }
+
+  /** Document fingerprint: md5 of lowercase, whitespace-collapsed text —
+    * a deterministic canonical-form hash (the scalable stand-in for the
+    * reference-era rolling hash; identical in DuckDB's `md5`).
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp")
+    )
+}

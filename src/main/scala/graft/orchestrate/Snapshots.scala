@@ -1,0 +1,63 @@
+package graft.orchestrate
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot discovery over a `data/{customer}/{timestamp}/` layout.
+  *
+  * Mirrors the reference watcher semantics (scripts/orchestrator.py:216-287):
+  * a snapshot is a numeric-named timestamp directory under a customer
+  * directory, and it is *complete* only when both `nodes/` and
+  * `relationships/` exist and are non-empty. Already-processed snapshots
+  * are skipped by key (customer, timestamp).
+  */
+object Snapshots {
+
+  case class Snapshot(customerId: String, timestamp: Long, path: String,
+                      complete: Boolean)
+
+  private def nonEmptyDir(p: Path): Boolean =
+    Files.isDirectory(p) && Files.list(p).iterator().asScala.hasNext
+
+  /** One filesystem scan (driver-side, like the reference — this is a
+    * control-plane listing of O(customers × snapshots) dirs, not data).
+    */
+  def scan(base: Path): Seq[Snapshot] = {
+    if (!Files.isDirectory(base)) return Seq.empty
+    (for {
+      customerDir <- Files.list(base).iterator().asScala
+      if Files.isDirectory(customerDir)
+      tsDir <- Files.list(customerDir).iterator().asScala
+      if Files.isDirectory(tsDir)
+      ts <- tsDir.getFileName.toString.toLongOption
+    } yield {
+      val complete = nonEmptyDir(tsDir.resolve("nodes")) &&
+        nonEmptyDir(tsDir.resolve("relationships"))
+      Snapshot(customerDir.getFileName.toString, ts, tsDir.toString, complete)
+    }).toSeq.sortBy(s => (s.customerId, s.timestamp))
+  }
+
+  /** New, complete snapshots not yet processed. */
+  def newSnapshots(scanned: Seq[Snapshot],
+                   processed: Set[(String, Long)]): Seq[Snapshot] =
+    scanned.filter(s => s.complete && !processed.contains((s.customerId, s.timestamp)))
+
+  /** DataFrame form of latest-snapshot-per-customer selection: a partial
+    * (map-side combinable) max aggregation — the scalable twin of the
+    * reference's `max(customer_timestamps)` loop
+    * (scripts/orchestrator.py:358-380).
+    */
+  def latestPerCustomer(snapshots: DataFrame): DataFrame =
+    snapshots
+      .groupBy(col("customer_id"))
+      .agg(max(col("snapshot_ts")).as("latest_ts"),
+        count(lit(1)).as("n_snapshots"))
+
+  def toDF(spark: SparkSession, snaps: Seq[Snapshot]): DataFrame = {
+    import spark.implicits._
+    snaps.toDF()
+  }
+}
