@@ -86,11 +86,12 @@ object Similarity {
     * at least one (band, bucket) with the query, re-ranked by exact cosine.
     * Candidate generation is a shuffle equi-join — no cross product.
     */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
-    val corpusB = signBuckets(corpus, "vec_id", "embedding")
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+              bands: Int = Bands, bitsPerBand: Int = BitsPerBand): DataFrame = {
+    val corpusB = signBuckets(corpus, "vec_id", "embedding", bands, bitsPerBand)
     val queryB = signBuckets(
       queries.select(col("query_id").as("vec_id"), col("q_emb").as("embedding")),
-      "vec_id", "embedding")
+      "vec_id", "embedding", bands, bitsPerBand)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("band"), col("bucket"))
     val cands = corpusB

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all suites (one JVM-wide session). */
+object SparkTestSession {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.session
+
+  /** Physical-plan scale guard: bucketed ops must never degenerate into
+    * all-pairs products.
+    */
+  def assertNoCrossProduct(df: org.apache.spark.sql.DataFrame, clue: String): Unit = {
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"$clue: CartesianProduct in plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"$clue: BroadcastNestedLoopJoin in plan")
+  }
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private def docs = Seq(
+    (0L, base),
+    (1L, base),                                  // exact dup of 0
+    (2L, base + " tomorrow"),                    // near dup of 0/1
+    (3L, "completely different words about spark catalyst tungsten shuffles"),
+    (4L, "ab")                                   // < 3 tokens: no shingles
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest doc_id and counts copies") {
+    val out = Dedup.exact(docs).orderBy("doc_id").collect()
+    assert(out.length == 4)
+    val first = out.head
+    assert(first.getAs[Long]("doc_id") == 0L)
+    assert(first.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("ngramJaccard finds exact and near duplicates, skips unrelated") {
+    val pairs = Dedup.ngramJaccard(docs, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 1L)), "exact pair missed")
+    assert(keys.contains((0L, 2L)) && keys.contains((1L, 2L)), "near pair missed")
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc matched")
+    assert(pairs.find(p => (p._1, p._2) == (0L, 1L)).get._3 == 1.0)
+  }
+
+  test("minHashLsh finds near-dup pairs as a superset of exact dups, no cross product") {
+    val df = Dedup.minHashLsh(docs, tau = 0.5)
+    assertNoCrossProduct(df, "minHashLsh")
+    val keys = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys.contains((0L, 1L)), "exact dup pair must always collide")
+  }
+
+  test("simHash flags identical docs at hamming 0, no cross product") {
+    val df = Dedup.simHash(docs, maxHamming = 3)
+    assertNoCrossProduct(df, "simHash")
+    val rows = df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(rows.get((0L, 1L)).contains(0L), "identical docs must have hamming 0")
+  }
+
+  test("embeddingNearDup catches planted duplicate vectors, no cross product") {
+    val vec = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val near = vec.clone(); near(0) = near(0) + 0.001f
+    val other = Array.tabulate(16)(i => math.cos(3 * i + 2).toFloat)
+    val emb = Seq((0L, vec.toSeq), (1L, vec.toSeq), (2L, near.toSeq), (3L, other.toSeq))
+      .toDF("vec_id", "embedding")
+    val df = Dedup.embeddingNearDup(emb, tau = 0.95)
+    assertNoCrossProduct(df, "embeddingNearDup")
+    val keys = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys.contains((0L, 1L)), "identical vectors missed")
+    assert(keys.contains((0L, 2L)), "0.001-perturbed vector missed")
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L), "unrelated vector matched")
+  }
+}

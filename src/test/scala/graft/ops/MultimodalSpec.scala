@@ -1,0 +1,38 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "hello multimodal world"),
+    (2L, "short"),
+    (3L, "")
+  ).toDF("doc_id", "text")
+
+  test("asMedia wraps text as binary payloads with mime metadata") {
+    val m = Multimodal.asMedia(docs).orderBy("media_id").collect()
+    assert(m.map(_.getString(1)).forall(_ == "text/plain"))
+    assert(new String(m(0).getAs[Array[Byte]]("payload"), "UTF-8") ==
+      "hello multimodal world")
+  }
+
+  test("extractFeatures runs batched per partition and is deterministic") {
+    implicit val s = spark
+    val feats = Multimodal.extractFeatures(Multimodal.asMedia(docs).repartition(2))
+      .collect().sortBy(_.media_id)
+    assert(feats.length == 3)
+    assert(feats(0).n_bytes == "hello multimodal world".length)
+    assert(feats(0).width >= 64 && feats(0).height >= 64 && feats(0).n_frames == 1)
+    // checksum equals column-expression md5 of the same payload
+    val metaSums = Multimodal.payloadMeta(docs).orderBy("media_id")
+      .collect().map(_.getAs[String]("checksum"))
+    assert(feats.map(_.checksum).toSeq == metaSums.toSeq)
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(Multimodal.asMedia(docs).repartition(3))
+      .collect().sortBy(_.media_id)
+    assert(again.map(f => (f.width, f.height, f.checksum)).toSeq ==
+      feats.map(f => (f.width, f.height, f.checksum)).toSeq)
+  }
+}

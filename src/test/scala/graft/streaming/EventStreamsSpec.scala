@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+class EventStreamsSpec extends SparkSpec {
+
+  test("streaming hourly rollup aggregates windows incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String, Double, Long)]
+    val rollup = EventStreams.hourlyRollup(
+      mem.toDF.toDF("ts", "event_type", "value", "user_id"))
+    val q = rollup.writeStream
+      .format("memory").queryName("hourly_test")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      def ts(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+      mem.addData(
+        (ts(10, 5), "click", 1.0, 1L),
+        (ts(10, 45), "click", 2.0, 2L),
+        (ts(11, 5), "click", 4.0, 1L),
+        (ts(10, 30), "view", 8.0, 3L))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_test")
+        .orderBy("hour_ts", "event_type").collect()
+      assert(rows.length == 3)
+      val clicks10 = rows(0)
+      assert(clicks10.getAs[Long]("n_events") == 2L)
+      assert(clicks10.getAs[Double]("sum_value") == 3.0)
+      assert(clicks10.getAs[Long]("n_users_approx") == 2L)
+      // late-but-within-watermark data folds into the existing window
+      mem.addData((ts(10, 50), "click", 10.0, 9L))
+      q.processAllAvailable()
+      val updated = spark.table("hourly_test")
+        .orderBy("hour_ts", "event_type").collect()
+      assert(updated(0).getAs[Long]("n_events") == 3L)
+      assert(updated(0).getAs[Double]("sum_value") == 13.0)
+    } finally q.stop()
+  }
+
+  test("session rollup groups by gap-separated session windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, Long)]
+    val sessions = EventStreams.sessionRollup(
+      mem.toDF.toDF("ts", "user_id"), gap = "30 minutes")
+    val q = sessions.writeStream
+      .format("memory").queryName("session_test")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      def ts(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+      mem.addData((ts(9, 0), 1L), (ts(9, 10), 1L), (ts(12, 0), 1L))
+      q.processAllAvailable()
+      val rows = spark.table("session_test").orderBy("session_start").collect()
+      assert(rows.length == 2, "gap > 30min must split sessions")
+      assert(rows(0).getAs[Long]("n_events") == 2L)
+      assert(rows(1).getAs[Long]("n_events") == 1L)
+    } finally q.stop()
+  }
+}
