@@ -1,0 +1,257 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+
+/** Native Catalyst expressions for the hot inner loops of the dedup/ANN
+  * operators. The composable higher-order-function versions (`transform` /
+  * `aggregate` lambdas) are interpreted per element per row; these run one
+  * tight JVM loop per row and allocate only the output array. Registered
+  * as SQL functions by [[graft.plans.GraftExtensions]]
+  * (`spark.sql.extensions=graft.plans.GraftExtensions`).
+  *
+  * All parameters are compile-time constants baked into the expression,
+  * so results are reproducible across runs, executors, and cluster sizes.
+  */
+object VectorFunctions {
+
+  /** Affine minhash permutation parameters (a, b) over prime p = 2^31-1.
+    * Must stay in sync with [[graft.ops.Dedup.minHashParams]].
+    */
+  val MinHashPrime: Long = 2147483647L
+  def params(k: Int): Array[(Long, Long)] =
+    Array.tabulate(k)(i => (2L * i + 1, (i.toLong * 104729 + 12345) % MinHashPrime))
+}
+
+/** `graft_minhash(shingles, k)`: k-permutation minhash signature of a
+  * string array — single pass over shingles, k running minimums.
+  * Hash = murmur3(bytes, seed 42), matching the built-in `hash()`.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val ab = VectorFunctions.params(numHashes)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h = math.abs(Murmur3_x86_32.hashUnsafeBytes(
+        s.getBaseObject, s.getBaseOffset, s.numBytes, 42).toLong)
+      var k = 0
+      while (k < numHashes) {
+        val v = (ab(k)._1 * h + ab(k)._2) % VectorFunctions.MinHashPrime
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_shingles(text, n)`: distinct word n-gram shingles, one pass.
+  *
+  * Tokenization is `trim(text).split("\\s+")` — Java regex semantics,
+  * identical to the built-in `split(trim(text), '\\s+')` and DuckDB's
+  * `string_split_regex(trim(text), '\s+')` — then n-grams joined with a
+  * single space, first-occurrence-distinct. Replaces a
+  * transform/sequence/element_at lambda pipeline in which projection
+  * collapse re-evaluated the tokenizing split for every element_at call
+  * (~50x the work per document).
+  */
+case class WordShingles(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.trim.split("\\s+")
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) {
+      out(k) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_simhash(tokens)`: 64-bit simhash over murmur3 token hashes —
+  * bit i of the result is set when more tokens have bit i set than clear.
+  * Single pass, 64 counters; tokens should be pre-deduplicated upstream
+  * when set semantics are wanted.
+  */
+case class SimHash64(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h32 = Murmur3_x86_32.hashUnsafeBytes(
+        s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
+      // widen to 64 bits deterministically: two seeds
+      val h = (h32.toLong << 32) | (Murmur3_x86_32.hashUnsafeBytes(
+        s.getBaseObject, s.getBaseOffset, s.numBytes, 977).toLong & 0xffffffffL)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_signbuckets(embedding, bands, bitsPerBand)`: sign-random-
+  * projection LSH band buckets. The Rademacher plane matrix is derived
+  * once per expression instance from a fixed seed (never per row — the
+  * HOF formulation recomputed bands*bits*dims hashes per row).
+  */
+case class SignBuckets(child: Expression, bands: Int, bitsPerBand: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  private val planes = bands * bitsPerBand
+
+  @transient private lazy val elementIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  // signs(p)(j) lazily grown to the widest row seen; values depend only on
+  // (p, j) so late growth is consistent across partitions
+  @transient private lazy val signCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Double]]()
+
+  private def signRow(p: Int, dims: Int): Array[Double] = {
+    val cached = signCache.get(p)
+    if (cached != null && cached.length >= dims) cached
+    else {
+      val row = Array.tabulate(math.max(dims, 64)) { j =>
+        // xxhash-free deterministic Rademacher: splitmix64 of (p, j)
+        var z = p.toLong * 131 + j + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        if (((z >>> 7) & 1L) == 1L) 1.0 else -1.0
+      }
+      signCache.put(p, row)
+      row
+    }
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dims = arr.numElements()
+    val bits = new Array[Boolean](planes)
+    var p = 0
+    while (p < planes) {
+      val signs = signRow(p, dims)
+      var acc = 0.0
+      var j = 0
+      while (j < dims) {
+        val v = if (elementIsFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+        acc += v * signs(j)
+        j += 1
+      }
+      bits(p) = acc >= 0
+      p += 1
+    }
+    val buckets = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var v = 0L
+      var i = 0
+      while (i < bitsPerBand) {
+        if (bits(b * bitsPerBand + i)) v |= (1L << i)
+        i += 1
+      }
+      buckets(b) = v
+      b += 1
+    }
+    new GenericArrayData(buckets)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_dot(a, b)`: sequential-fold double dot product of two numeric
+  * arrays — bit-identical to the `aggregate(zip_with(...))` formulation
+  * (left-to-right double accumulation) but one tight loop per row.
+  */
+case class VectorDot(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  @transient private lazy val leftIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val rightIsFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (leftIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -13,56 +13,40 @@ import org.apache.spark.sql.functions._
   *  - [[lshTopK]]: sign-random-projection LSH buckets so candidate
   *    generation is an equi-join on (band, bucket) — the 100 TB path.
   *
-  * All hyperplanes are derived from xxhash64 with compile-time constants:
-  * reproducible across runs, executors, and cluster sizes with no
-  * broadcast of plane matrices.
+  * Hot loops (dot product, LSH banding) run as native Catalyst
+  * expressions ([[graft.functions.VectorDot]],
+  * [[graft.functions.SignBuckets]]) registered by
+  * [[graft.plans.GraftExtensions]]; plane matrices derive from fixed
+  * seeds, so signatures are reproducible across runs, executors, and
+  * cluster sizes with no broadcast state.
   */
 object Similarity {
 
-  /** Sequential-fold dot product in double precision. Left-to-right
-    * summation makes the result bit-deterministic (and matchable by a
-    * DuckDB oracle using `list_dot_product` on DOUBLE[]).
+  /** Sequential-fold dot product in double precision (native expression;
+    * left-to-right summation is bit-deterministic and matches DuckDB's
+    * `list_dot_product` on DOUBLE[]).
     */
   def dotCol(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    expr(s"graft_dot(${a.toString}, ${b.toString})")
 
   def normCol(a: Column): Column = sqrt(dotCol(a, a))
 
   def cosineCol(a: Column, b: Column): Column =
     dotCol(a, b) / (normCol(a) * normCol(b))
 
-  /** LSH family parameters: `planes` = bands * bitsPerBand sign bits. */
+  /** LSH family parameters: bands * bitsPerBand sign planes. */
   val Bands: Int = 5
   val BitsPerBand: Int = 12
 
-  /** Rademacher (+1/-1) pseudo-random hyperplane component for plane `p`,
-    * dimension `j`, derived from xxhash64 — no materialized plane matrix.
+  /** One row per (band, bucket) for every input row, via the native
+    * banding expression. Keeps all other columns.
     */
-  private def planeSignExpr: String =
-    "if(((xxhash64(p * 131 + j) >> 7) & 1) = 1, cast(1 as double), cast(-1 as double))"
-
-  /** Per-row LSH banding: returns (idCol, embedding, band, bucket) with one
-    * row per band. Bucket = the band's sign-bit pattern as an int.
-    */
-  def signBuckets(embeddings: DataFrame, idCol: String, embCol: String,
-                  bands: Int = Bands, bitsPerBand: Int = BitsPerBand): DataFrame = {
-    val planes = bands * bitsPerBand
-    val bitsExpr =
-      s"transform(sequence(0, ${planes - 1}), p -> " +
-        s"if(aggregate(sequence(0, size($embCol) - 1), cast(0 as double), " +
-        s"(acc, j) -> acc + cast(element_at($embCol, j + 1) as double) * $planeSignExpr) >= 0, 1L, 0L))"
-    embeddings
-      .withColumn("lsh_bits", expr(bitsExpr))
-      .select(
-        col(idCol), col(embCol),
-        posexplode(expr(
-          s"transform(sequence(0, ${bands - 1}), b -> " +
-            s"aggregate(sequence(0, ${bitsPerBand - 1}), 0L, " +
-            s"(acc, i) -> acc + shiftleft(element_at(lsh_bits, b * $bitsPerBand + i + 1), i)))"
-        )).as(Seq("band", "bucket")))
-  }
+  def explodeBuckets(df: DataFrame, idCol: String, embCol: String,
+                     bands: Int = Bands, bitsPerBand: Int = BitsPerBand): DataFrame =
+    df.select(
+      (df.columns.map(col).toSeq :+
+        posexplode(expr(s"graft_signbuckets($embCol, $bands, $bitsPerBand)"))
+          .as(Seq("band", "bucket"))): _*)
 
   /** Exact brute-force cosine top-k. `queries` must be small (broadcast):
     * the plan is a BroadcastNestedLoopJoin over the corpus — a single
@@ -73,7 +57,9 @@ object Similarity {
     val scored = corpus
       .crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cosineCol(col("embedding"), col("q_emb")))
+      .withColumn("cosine",
+        dotCol(col("embedding"), col("q_emb")) /
+          (normCol(col("embedding")) * normCol(col("q_emb"))))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))))
@@ -83,24 +69,29 @@ object Similarity {
   }
 
   /** LSH-bucketed approximate top-k: candidates are corpus vectors sharing
-    * at least one (band, bucket) with the query, re-ranked by exact cosine.
-    * Candidate generation is a shuffle equi-join — no cross product.
+    * at least one (band, bucket) with the query, re-ranked by exact cosine
+    * with norms computed once per vector. Candidate generation is a
+    * shuffle equi-join — no cross product.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
               bands: Int = Bands, bitsPerBand: Int = BitsPerBand): DataFrame = {
-    val corpusB = signBuckets(corpus, "vec_id", "embedding", bands, bitsPerBand)
-    val queryB = signBuckets(
-      queries.select(col("query_id").as("vec_id"), col("q_emb").as("embedding")),
+    val corpusB = explodeBuckets(
+      corpus.withColumn("nrm", normCol(col("embedding"))),
+      "vec_id", "embedding", bands, bitsPerBand)
+    val queryB = explodeBuckets(
+      queries.select(col("query_id").as("vec_id"), col("q_emb").as("embedding"))
+        .withColumn("qnrm", normCol(col("embedding"))),
       "vec_id", "embedding", bands, bitsPerBand)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("band"), col("bucket"))
+        col("qnrm"), col("band"), col("bucket"))
     val cands = corpusB
       .join(queryB, Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select("query_id", "vec_id", "embedding", "q_emb")
+      .select("query_id", "vec_id", "embedding", "q_emb", "nrm", "qnrm")
       .dropDuplicates("query_id", "vec_id")
     cands
-      .withColumn("cosine", cosineCol(col("embedding"), col("q_emb")))
+      .withColumn("cosine",
+        dotCol(col("embedding"), col("q_emb")) / (col("nrm") * col("qnrm")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))))
       .filter(col("rank") <= k)

@@ -1,0 +1,52 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{MinHashSignature, SignBuckets, SimHash64, VectorDot, WordShingles}
+
+/** Session extensions registering graft's native expressions as SQL
+  * functions. Enable with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
+  * (see Verify/Bench/test session builders), then call via `expr(...)`:
+  *
+  *  - `graft_minhash(shingles, k)` → array<bigint> signature
+  *  - `graft_simhash(tokens)` → bigint
+  *  - `graft_signbuckets(embedding, bands, bitsPerBand)` → array<bigint>
+  *  - `graft_dot(a, b)` → double
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (children: Seq[Expression]) =>
+        MinHashSignature(children.head, intLit(children(1), "numHashes"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_signbuckets"),
+      new ExpressionInfo(classOf[SignBuckets].getName, "graft_signbuckets"),
+      (children: Seq[Expression]) => SignBuckets(children.head,
+        intLit(children(1), "bands"), intLit(children(2), "bitsPerBand"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      (children: Seq[Expression]) =>
+        WordShingles(children.head, intLit(children(1), "n"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "graft_dot"),
+      (children: Seq[Expression]) => VectorDot(children.head, children(1))))
+  }
+}
