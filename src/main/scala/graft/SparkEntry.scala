@@ -89,6 +89,14 @@ object SparkEntry {
       TextAnalysis.langId(rd(s, dir, "documents")).orderBy("doc_id")),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(rd(s, dir, "documents")).orderBy("doc_id")),
+    "text_ngrams" -> ((s, dir) =>
+      TextAnalysis.ngramFreq(rd(s, dir, "documents"))
+        .orderBy(desc("doc_freq"), asc("ngram"))),
+    "text_winnow" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprints(rd(s, dir, "documents"))
+        .orderBy("doc_id", "fp")),
+    "text_bpe" -> ((s, dir) =>
+      TextAnalysis.bpeTokens(rd(s, dir, "documents")).orderBy("doc_id")),
     // --- multimodal plumbing (row 24)
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.payloadMeta(rd(s, dir, "documents")).orderBy("media_id")),
@@ -247,6 +255,25 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id,
         | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), ng AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(generate_series(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1]))) AS ngram
+        |  FROM toks WHERE len(t) >= 2
+        |)
+        |SELECT ngram, count(*) AS doc_freq FROM ng
+        |GROUP BY 1 ORDER BY doc_freq DESC, ngram LIMIT 100""".stripMargin,
+    "text_bpe" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '\p{L}+')) AS BIGINT) AS n_word_toks,
+        | CAST(len(regexp_extract_all(text, '\p{N}+')) AS BIGINT) AS n_num_toks,
+        | CAST(len(regexp_extract_all(text, '[^\s\p{L}\p{N}]')) AS BIGINT) AS n_other_toks,
+        | CAST(len(regexp_extract_all(text, '\p{L}+')) + len(regexp_extract_all(text, '\p{N}+'))
+        |   + len(regexp_extract_all(text, '[^\s\p{L}\p{N}]')) AS BIGINT) AS n_bpe_toks
         |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id AS media_id, 'text/plain' AS mime,

@@ -148,6 +148,61 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_winnow(text, k, w)`: winnowing document fingerprints
+  * (Schleimer et al., SIGMOD'03 — the MOSS local fingerprinting
+  * algorithm): hash all word k-grams, slide a window of w consecutive
+  * hashes, record each window's minimum (rightmost on ties). Guarantees
+  * any shared run of >= w+k-1 tokens between two documents yields a
+  * shared fingerprint, at ~2/(w+1) sampling density. Returns the
+  * distinct selected hashes, sorted ascending.
+  */
+case class Winnow(child: Expression, k: Int, w: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.trim.split("\\s+")
+    val nGrams = toks.length - k + 1
+    if (nGrams <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val hashes = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+      val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      hashes(i) = Murmur3_x86_32.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42).toLong & 0xffffffffL
+      i += 1
+    }
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    var start = 0
+    val lastStart = math.max(nGrams - w, 0)
+    while (start <= lastStart) {
+      val end = math.min(start + w, nGrams)
+      var minIdx = start
+      var j = start + 1
+      while (j < end) {
+        if (hashes(j) <= hashes(minIdx)) minIdx = j // rightmost minimum
+        j += 1
+      }
+      selected.add(hashes(minIdx))
+      start += 1
+    }
+    val out = new Array[Long](selected.size)
+    val it = selected.iterator()
+    var z = 0
+    while (it.hasNext) { out(z) = it.next(); z += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `graft_signbuckets(embedding, bands, bitsPerBand)`: sign-random-
   * projection LSH band buckets. The Rademacher plane matrix is derived
   * once per expression instance from a fixed seed (never per row — the

@@ -60,6 +60,33 @@ object Multimodal {
     }
   }
 
+  case class FrameSample(media_id: Long, frame_idx: Int, width: Int,
+                         height: Int, frame_md5: String)
+
+  /** Frame sampling: decode each media item once per partition, emit
+    * every `everyNth` frame's features. The explode happens inside
+    * `mapPartitions` so the (large) payload is decoded exactly once per
+    * item and frames never materialize as whole-payload copies.
+    */
+  def sampleFrames(media: DataFrame, everyNth: Int = 10)
+                  (implicit spark: SparkSession): Dataset[FrameSample] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { rec =>
+        val (w, h, frames) = StubDecoder.decode(rec.mime, rec.payload)
+        (0 until frames by everyNth).iterator.map { idx =>
+          md.reset()
+          md.update(rec.payload)
+          // STUB: frame bytes stand-in = payload + frame index
+          md.update(idx.toByte)
+          FrameSample(rec.media_id, idx, w, h,
+            md.digest().map("%02x".format(_)).mkString)
+        }
+      }
+    }
+  }
+
   /** Payload metadata as pure column expressions (oracle-checkable):
     * byte length + md5 checksum per media item.
     */

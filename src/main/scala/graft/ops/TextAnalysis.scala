@@ -102,6 +102,45 @@ object TextAnalysis {
       )
   }
 
+  /** Corpus-wide n-gram document frequencies: how many documents contain
+    * each word n-gram (set semantics per doc via the shingle expression).
+    * One explode + one partially-aggregated count; top-k with a
+    * deterministic tiebreak.
+    */
+  def ngramFreq(docs: DataFrame, n: Int = 2, topK: Int = 100): DataFrame =
+    docs
+      .select(explode(expr(s"graft_shingles(text, $n)")).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(desc("doc_freq"), asc("ngram"))
+      .limit(topK)
+
+  /** Winnowing fingerprints (Schleimer et al.) — the locality-preserving
+    * document fingerprint family the reference era used rolling hashes
+    * for; exploded to (doc_id, fingerprint) rows for index-building or
+    * shared-fingerprint near-dup joins.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    docs.select(col("doc_id"),
+      explode(expr(s"graft_winnow(text, $k, $w)")).as("fp"))
+
+  /** BPE-style pre-tokenization counts: letter runs, digit runs, and
+    * single other-symbols — the unit count a BPE tokenizer would start
+    * from (identical regex classes in Java and RE2 for the oracle).
+    */
+  def bpeTokens(docs: DataFrame): DataFrame = {
+    val word = "\\p{L}+"
+    val num = "\\p{N}+"
+    val other = "[^\\s\\p{L}\\p{N}]"
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(word)).cast("long").as("n_word_toks"),
+      regexp_count(col("text"), lit(num)).cast("long").as("n_num_toks"),
+      regexp_count(col("text"), lit(other)).cast("long").as("n_other_toks"),
+      (regexp_count(col("text"), lit(word)) + regexp_count(col("text"), lit(num))
+        + regexp_count(col("text"), lit(other))).cast("long").as("n_bpe_toks"))
+  }
+
   /** Document fingerprint: md5 of lowercase, whitespace-collapsed text —
     * a deterministic canonical-form hash (the scalable stand-in for the
     * reference-era rolling hash; identical in DuckDB's `md5`).

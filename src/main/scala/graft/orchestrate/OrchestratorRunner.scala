@@ -1,0 +1,115 @@
+package graft.orchestrate
+
+import java.nio.file.{Files, Path}
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicBoolean
+
+import graft.util.Log
+
+/** Threaded orchestration service — the runnable form of the reference's
+  * Orchestrator (scripts/orchestrator.py:473-656): a watcher thread
+  * scanning for snapshots, N worker threads draining the queue through
+  * [[Orchestrator.processTask]], and a status thread writing a JSON
+  * snapshot file. All side effects (load, system statements, health) are
+  * injected; intervals are configurable down to milliseconds for tests.
+  */
+final class OrchestratorRunner(
+    base: Path,
+    healthCheck: () => Health.Status,
+    load: Orchestrator.SnapshotTask => Either[String, String],
+    existingDbs: () => Seq[String],
+    currentAliases: () => Map[String, String],
+    execute: String => Unit,
+    numWorkers: Int = 1,
+    scanIntervalMs: Long = 30000L,
+    statusIntervalMs: Long = 5000L,
+    statusFile: Option[Path] = None,
+    maxRetries: Int = 3,
+    backoffBase: Long = 2,
+    retrySleepMs: Long => Unit = Thread.sleep) {
+
+  private val logger = Log.getLogger("graft.OrchestratorRunner")
+  val stats = new Stats()
+  private val queue = new ConcurrentLinkedQueue[Orchestrator.SnapshotTask]()
+  private val processed = scala.collection.mutable.Set[(String, Long)]()
+  private val stop = new AtomicBoolean(false)
+  private var threads: Seq[Thread] = Seq.empty
+
+  def queueSize: Int = queue.size()
+
+  private def loopEvery(intervalMs: Long)(body: => Unit): Runnable = () => {
+    while (!stop.get()) {
+      try body
+      catch { case e: Throwable => logger.error(s"loop error: ${e.getMessage}") }
+      var waited = 0L
+      while (waited < intervalMs && !stop.get()) {
+        Thread.sleep(math.min(20L, intervalMs - waited).max(1L)); waited += 20L
+      }
+    }
+  }
+
+  private def workerLoop(id: Int): Runnable = loopEvery(20L) {
+    var task = queue.poll()
+    while (task != null && !stop.get()) {
+      Orchestrator.processTask(task, healthCheck, load, existingDbs,
+        currentAliases, execute, stats, maxRetries, backoffBase) match {
+        case Orchestrator.Completed(db, switched) =>
+          logger.info(s"worker $id: loaded $db (alias switched: $switched)")
+        case Orchestrator.Deferred(reason) =>
+          logger.warn(s"worker $id: deferred, $reason")
+          queue.add(task) // requeue like the reference's health-gate path
+          task = null
+        case Orchestrator.RetryScheduled(next, backoffSec) =>
+          logger.warn(s"worker $id: retry ${next.retryCount} in ${backoffSec}s")
+          retrySleepMs(backoffSec * 1000L)
+          if (!stop.get()) queue.add(next)
+        case Orchestrator.Failed(err) =>
+          logger.error(s"worker $id: giving up: $err")
+      }
+      task = if (task == null) null else queue.poll()
+    }
+  }
+
+  private def writeStatus(status: String): Unit = statusFile.foreach { p =>
+    val snap = stats.snapshot(queue.size()) ++ Map(
+      "workers" -> numWorkers, "scan_interval" -> scanIntervalMs,
+      "data_path" -> base.toString, "status" -> status)
+    val json = snap.map { case (k, v) =>
+      val jv = v match {
+        case null => "null"
+        case s: String => "\"" + s + "\""
+        case d: Double => d.toString
+        case other => other.toString
+      }
+      s""""$k": $jv"""
+    }.mkString("{", ", ", "}")
+    Files.writeString(p, json)
+  }
+
+  def start(): Unit = synchronized {
+    require(threads.isEmpty, "already started")
+    logger.info(s"orchestrator starting: $base, $numWorkers workers")
+    val watcher = new Thread(loopEvery(scanIntervalMs) {
+      Orchestrator.scanStep(base, processed, queue, stats)
+    }, "graft-watcher")
+    val workers = (1 to numWorkers).map(i =>
+      new Thread(workerLoop(i), s"graft-worker-$i"))
+    val status = new Thread(loopEvery(statusIntervalMs) {
+      writeStatus("running")
+    }, "graft-status")
+    threads = (watcher +: workers) :+ status
+    threads.foreach { t => t.setDaemon(true); t.start() }
+  }
+
+  /** Stop, waiting up to `drainMs` for queued tasks to finish first. */
+  def stopAndDrain(drainMs: Long = 300000L): Unit = synchronized {
+    val deadline = System.currentTimeMillis() + drainMs
+    while (queue.size() > 0 && System.currentTimeMillis() < deadline)
+      Thread.sleep(10L)
+    if (queue.size() > 0) logger.warn("drain timeout; tasks incomplete")
+    stop.set(true)
+    threads.foreach(_.join(2000L))
+    writeStatus("stopped")
+    logger.info("orchestrator stopped")
+  }
+}

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** Structured Streaming twin of [[graft.ops.Events]]: the same hourly
   * rollup as an incremental, watermarked query. In production this reads
@@ -35,6 +36,39 @@ object EventStreams {
         unix_timestamp(col("window.start")).as("hour_ts"),
         col("event_type"), col("n_events"), col("sum_value"),
         col("n_users_approx"))
+
+  /** Streaming exact dedup: keep the first document per content
+    * fingerprint. `dropDuplicates` keyed on the fingerprint with a
+    * watermark on event time bounds state — fingerprints older than the
+    * watermark are evicted, so this dedups within the late-data horizon
+    * at O(open-horizon) state, the only formulation that survives an
+    * unbounded stream.
+    */
+  def streamingDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+      .withWatermark("ts", watermark)
+      .dropDuplicates("fp")
+
+  final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom streaming state via `mapGroupsWithState`: running per-user
+    * event counts and value totals, updated each micro-batch — the
+    * KeyValueGroupedDataset state API the built-in aggregates can't
+    * express (e.g. when the update rule isn't a monoid over rows).
+    */
+  def runningUserTotals(events: DataFrame)(implicit spark: SparkSession): Dataset[UserTotal] = {
+    import spark.implicits._
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          var (c, v) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { r => c += 1; v += r._2 }
+          state.update((c, v))
+          UserTotal(user, c, v)
+      }
+  }
 
   /** Gap-session aggregation via flatMapGroupsWithState lives on the
     * batch path ([[graft.ops.Events.sessionize]]); the streaming variant

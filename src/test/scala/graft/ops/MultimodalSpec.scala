@@ -18,6 +18,20 @@ class MultimodalSpec extends SparkSpec {
       "hello multimodal world")
   }
 
+  test("sampleFrames decodes once and emits every nth frame") {
+    implicit val s = spark
+    val media = Seq(
+      (1L, "video/fake", Array.fill[Byte](25)(7)), // 1 + 25 % 30 = 26 frames
+      (2L, "text/plain", Array[Byte](1, 2, 3))     // non-video: 1 frame
+    ).toDF("media_id", "mime", "payload")
+    val frames = Multimodal.sampleFrames(media, everyNth = 10).collect()
+      .sortBy(f => (f.media_id, f.frame_idx))
+    assert(frames.count(_.media_id == 1L) == 3) // frames 0, 10, 20
+    assert(frames.count(_.media_id == 2L) == 1)
+    assert(frames.map(_.frame_md5).distinct.length == frames.length,
+      "frame checksums differ per frame index")
+  }
+
   test("extractFeatures runs batched per partition and is deterministic") {
     implicit val s = spark
     val feats = Multimodal.extractFeatures(Multimodal.asMedia(docs).repartition(2))

@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox naps under the old tree"),
+    (2L, "spark shuffles partitions 42 times; always!")
+  ).toDF("doc_id", "text")
+
+  test("ngramFreq counts document frequency of bigrams with set semantics") {
+    val rows = TextAnalysis.ngramFreq(docs, n = 2, topK = 100).collect()
+    val byGram = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGram("the quick") == 2L)
+    assert(byGram("quick brown") == 2L)
+    // "the" appears twice in doc 0 but bigram df is per-document
+    assert(byGram.get("over the").contains(1L))
+    assert(rows.map(_.getLong(1)).toSeq == rows.map(_.getLong(1)).sorted.reverse.toSeq)
+  }
+
+  test("winnowFingerprints: identical docs share all, near docs share some") {
+    val trio = Seq(
+      (0L, "a b c d e f g h i j k l m n o p"),
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "a b c d e f g h i j k l m n o q"),
+      (3L, "z y x w v u t s r q p o n m l k")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(trio).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(fps(0L) == fps(1L), "identical docs must share all fingerprints")
+    assert((fps(0L) & fps(2L)).nonEmpty, "one-token edit must share fingerprints")
+    assert(fps(0L) != fps(2L), "edit must change at least one fingerprint")
+  }
+
+  test("bpeTokens splits letter runs, digit runs, and symbols") {
+    val rows = TextAnalysis.bpeTokens(docs).orderBy("doc_id").collect()
+    val d2 = rows(2)
+    assert(d2.getAs[Long]("n_word_toks") == 5L)
+    assert(d2.getAs[Long]("n_num_toks") == 1L)   // 42
+    assert(d2.getAs[Long]("n_other_toks") == 2L) // ; !
+    assert(d2.getAs[Long]("n_bpe_toks") == 8L)
+  }
+
+  test("langId votes marker tokens with fixed tiebreak") {
+    val multilang = Seq(
+      (0L, "the cat and the dog is here"),
+      (1L, "der hund und die katze ist da"),
+      (2L, "xyzzy plugh")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(multilang).orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("predicted_lang") == "en")
+    assert(out(1).getAs[String]("predicted_lang") == "de")
+    assert(out(2).getAs[String]("predicted_lang") == "und")
+  }
+}

@@ -44,6 +44,56 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first doc per fingerprint within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val deduped = EventStreams.streamingDedup(
+      mem.toDF.toDF("ts", "doc_id", "text"))
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+      mem.addData(
+        (ts(0), 1L, "hello world"),
+        (ts(1), 2L, "hello   WORLD"), // same canonical form (lower + collapse)
+        (ts(2), 3L, "hello world"),   // exact dup of doc 1
+        (ts(3), 4L, "something else"))
+      q.processAllAvailable()
+      val docs = spark.table("dedup_test").collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(docs.contains(1L) && docs.contains(4L), "firsts kept")
+      assert(!docs.contains(2L) && !docs.contains(3L),
+        "canonical-form duplicates dropped")
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-user totals across batches") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Double)]
+    val totals = EventStreams.runningUserTotals(
+      mem.toDF.toDF("user_id", "value"))
+    val q = totals.toDF.writeStream
+      .format("memory").queryName("totals_test")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      mem.addData((1L, 2.0), (1L, 3.0), (2L, 10.0))
+      q.processAllAvailable()
+      mem.addData((1L, 5.0))
+      q.processAllAvailable()
+      val byUser = spark.table("totals_test").collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .view.mapValues(_.maxBy(_.getAs[Long]("n_events"))).toMap
+      assert(byUser(1L).getAs[Long]("n_events") == 3L)
+      assert(byUser(1L).getAs[Double]("total_value") == 10.0)
+      assert(byUser(2L).getAs[Double]("total_value") == 10.0)
+    } finally q.stop()
+  }
+
   test("session rollup groups by gap-separated session windows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
