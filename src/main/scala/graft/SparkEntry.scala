@@ -73,6 +73,13 @@ object SparkEntry {
       Similarity.bruteTopK(e.select(col("vec_id"), col("embedding")), q, 10)
         .orderBy("query_id", "rank")
     }),
+    "ann_ivf" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      Similarity.ivfTopK(e.select(col("vec_id"), col("embedding")), q, 10)
+        .orderBy("query_id", "rank")
+    }),
     "ann_lsh" -> ((s, dir) => {
       val e = rd(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 10)

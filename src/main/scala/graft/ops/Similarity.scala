@@ -68,6 +68,60 @@ object Similarity {
         col("vec_id").as("neighbor_id"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the other classic ANN scale
+    * path: coarse-quantize the corpus to `nLists` centroids (fixed-seed
+    * k-means over a bounded sample), build an inverted index
+    * centroid → vectors, and probe only the `nProbe` nearest lists per
+    * query before exact re-ranking.
+    *
+    * Scale shape: centroids are tiny and broadcast everywhere; corpus
+    * assignment is one scan + a shuffle on list id; the probe join is an
+    * equi-join on list id touching nProbe/nLists of the corpus.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+              nLists: Int = 16, nProbe: Int = 4,
+              trainSample: Int = 10000): DataFrame = {
+    val spark = corpus.sparkSession
+    import org.apache.spark.ml.linalg.Vectors
+    // train centroids on a bounded, deterministic sample — never the full
+    // 100 TB corpus (limit() after a cheap scan keeps training O(sample))
+    val sample = corpus.select("embedding").limit(trainSample).collect()
+      .map(r => Vectors.dense(
+        r.getAs[scala.collection.Seq[Float]](0).map(_.toDouble).toArray))
+    val kmeans = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nLists).setSeed(42L).setMaxIter(10)
+    import spark.implicits._
+    val model = kmeans.fit(sample.toSeq.map(Tuple1.apply).toDF("features"))
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.toSeq)
+    }.toSeq.toDF("list_id", "centroid")
+
+    def nearestLists(df: DataFrame, idCol: String, embCol: String, n: Int): DataFrame =
+      df.crossJoin(broadcast(centroids))
+        .withColumn("cdist", dotCol(col(embCol), col("centroid")) * lit(-2.0)
+          + dotCol(col("centroid"), col("centroid")))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy(idCol).orderBy(asc("cdist"), asc("list_id"))))
+        .filter(col("crank") <= n)
+        .drop("centroid", "cdist", "crank")
+
+    val indexed = nearestLists(
+      corpus.withColumn("nrm", normCol(col("embedding"))), "vec_id", "embedding", 1)
+    val probed = nearestLists(
+      queries.select(col("query_id"), col("q_emb"))
+        .withColumn("qnrm", normCol(col("q_emb"))), "query_id", "q_emb", nProbe)
+    val cands = indexed.join(probed, Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+    cands
+      .withColumn("cosine",
+        dotCol(col("embedding"), col("q_emb")) / (col("nrm") * col("qnrm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cosine"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates are corpus vectors sharing
     * at least one (band, bucket) with the query, re-ranked by exact cosine
     * with norms computed once per vector. Candidate generation is a

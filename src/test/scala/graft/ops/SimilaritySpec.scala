@@ -52,6 +52,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, f"recall $recall%.2f below 0.8")
   }
 
+  test("ivfTopK recall >= 0.8 vs brute force on clustered vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(10)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val vecs = for { c <- centers.indices; m <- 0 until 30 } yield
+      ((c * 30 + m).toLong,
+        centers(c).map(v => v + 0.05f * rnd.nextGaussian().toFloat).toSeq)
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val qs = corpus.filter($"vec_id" % 30 === 0).limit(4)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val brute = Similarity.bruteTopK(corpus, qs, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(corpus, qs, k = 10, nLists = 8, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, f"IVF recall $recall%.2f below 0.8")
+  }
+
   test("cosine of identical vectors is 1.0 exactly on unit-normalizable input") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f)))
