@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Explicit skew handling for joins whose key distribution AQE can't fix
+  * (e.g. one customer owning 30% of a 100 TB fact table).
+  *
+  * [[saltedJoin]] splinters each hot key into `salts` sub-keys: the
+  * skewed (large) side gets a deterministic per-row salt, the small side
+  * is replicated once per salt value, and the join runs on
+  * (key, salt) — spreading each hot key over `salts` reducers. Result
+  * rows are identical to the plain join; only the partitioning changes.
+  */
+object Skew {
+
+  /** Inner-join `large` with `small` on `key`, salting the large side.
+    * `small` is replicated `salts` times — keep it broadcast-sized or the
+    * replication cost outweighs the skew win.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 salts: Int = 8): DataFrame = {
+    require(salts > 0)
+    // deterministic pseudo-random salt: hash of the row's whole tuple
+    // spreads rows of one hot key uniformly without an RNG (rerun-stable)
+    val saltCol: Column = pmod(hash(large.columns.map(col): _*), lit(salts))
+    val saltedLarge = large.withColumn("__salt", saltCol)
+    val replicatedSmall = small
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    saltedLarge
+      .join(replicatedSmall, Seq(key, "__salt"))
+      .drop("__salt")
+  }
+}

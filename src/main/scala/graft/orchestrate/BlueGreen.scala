@@ -63,6 +63,24 @@ object BlueGreen {
       .map { case (_, _, db) => s"DROP DATABASE ${quote(db)} IF EXISTS" }
   }
 
+  /** Full teardown plan for a set of customers — the reference's demo
+    * cleanup (scripts/cleanup_demo.py): drop every alias belonging to a
+    * customer, then every `customer-timestamp` database, aliases first so
+    * no alias ever dangles.
+    */
+  def teardownPlan(customers: Seq[String], existingDbs: Seq[String],
+                   aliases: Map[String, String]): Seq[String] = {
+    val customerSet = customers.toSet
+    val aliasDrops = aliases.keys.toSeq.sorted
+      .filter(customerSet.contains)
+      .map(a => s"DROP ALIAS $a FOR DATABASE")
+    val dbDrops = existingDbs.flatMap(db => parseDb(db).map(p => (p._1, p._2, db)))
+      .filter { case (c, _, _) => customerSet.contains(c) }
+      .sortBy { case (c, ts, _) => (c, -ts) }
+      .map { case (_, _, db) => s"DROP DATABASE ${quote(db)} IF EXISTS" }
+    aliasDrops ++ dbDrops
+  }
+
   /** DataFrame form of keep-newest-2 at fleet scale: input
     * (customer_id, snapshot_ts, entity_id), output the deployments beyond
     * the newest `keep` per customer. Window over customer partitions —

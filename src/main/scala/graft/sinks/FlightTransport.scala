@@ -38,6 +38,8 @@ final class InMemoryFlightTransport extends FlightTransport {
 
   val actions = new ConcurrentLinkedQueue[(String, String)]()
   val putRows = new AtomicLong(0)
+  val nodeRows = new AtomicLong(0)
+  val edgeRows = new AtomicLong(0)
   val putCalls = new AtomicInteger(0)
   @volatile var importExists: Boolean = false
   /** Number of upcoming doAction calls that throw (retry testing). */
@@ -57,9 +59,9 @@ final class InMemoryFlightTransport extends FlightTransport {
         importExists = true
         s"""{"name": "${name(bodyJson)}"}"""
       case "NODE_LOAD_DONE" =>
-        s"""{"name": "${name(bodyJson)}", "node_count": ${putRows.get}}"""
+        s"""{"name": "${name(bodyJson)}", "node_count": ${nodeRows.get}}"""
       case "RELATIONSHIP_LOAD_DONE" =>
-        s"""{"name": "${name(bodyJson)}", "relationship_count": ${putRows.get}}"""
+        s"""{"name": "${name(bodyJson)}", "relationship_count": ${edgeRows.get}}"""
       case "ABORT" =>
         if (!importExists)
           throw new RuntimeException(s"NOT_FOUND: no arrow process for ${name(bodyJson)} not found")
@@ -80,6 +82,8 @@ final class InMemoryFlightTransport extends FlightTransport {
       bytes += RowSize.estimate(schema, r)
     }
     putRows.addAndGet(n)
+    if (descriptorJson.contains("\"relationship\"")) edgeRows.addAndGet(n)
+    else nodeRows.addAndGet(n)
     (n, bytes)
   }
 }

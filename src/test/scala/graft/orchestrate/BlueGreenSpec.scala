@@ -41,4 +41,15 @@ class BlueGreenSpec extends AnyFunSuite {
   test("keep-2 of fewer than 3 deployments drops nothing") {
     assert(BlueGreen.cleanupPlan("c2", Seq("c2-1", "c2-2"), Map.empty).isEmpty)
   }
+
+  test("teardownPlan drops aliases before databases, only for named customers") {
+    val plan = BlueGreen.teardownPlan(
+      customers = Seq("customer1", "customer2"),
+      existingDbs = Seq("customer1-100", "customer1-200", "customer3-7", "other"),
+      aliases = Map("customer1" -> "customer1-200", "customer3" -> "customer3-7"))
+    assert(plan == Seq(
+      "DROP ALIAS customer1 FOR DATABASE",
+      "DROP DATABASE `customer1-200` IF EXISTS",
+      "DROP DATABASE `customer1-100` IF EXISTS"))
+  }
 }

@@ -26,7 +26,7 @@ class ArrowClientSpec extends AnyFunSuite {
     assert(c.nodesDone() == 2L)
     assert(c.state == FeedingEdges)
     c.writeEdges(schema, Iterator(Row(1L, "X")))
-    assert(c.edgesDone() == 3L) // fake counts all puts
+    assert(c.edgesDone() == 1L)
     assert(c.state == AwaitingGraph)
     assert(t.actions.toArray.map(_.asInstanceOf[(String, String)]._1).toSeq ==
       Seq("CREATE_DATABASE", "NODE_LOAD_DONE", "RELATIONSHIP_LOAD_DONE"))
