@@ -7,10 +7,10 @@ import org.apache.spark.sql.functions._
   * (e.g. one customer owning 30% of a 100 TB fact table).
   *
   * [[saltedJoin]] splinters each hot key into `salts` sub-keys: the
-  * skewed (large) side gets a deterministic per-row salt, the small side
-  * is replicated once per salt value, and the join runs on
-  * (key, salt) — spreading each hot key over `salts` reducers. Result
-  * rows are identical to the plain join; only the partitioning changes.
+  * skewed (large) side gets a per-row salt, the small side is replicated
+  * once per salt value, and the join runs on (key, salt) — spreading each
+  * hot key over `salts` reducers. Result rows are identical to the plain
+  * join; only the partitioning changes.
   */
 object Skew {
 
@@ -21,9 +21,13 @@ object Skew {
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  salts: Int = 8): DataFrame = {
     require(salts > 0)
-    // deterministic pseudo-random salt: hash of the row's whole tuple
-    // spreads rows of one hot key uniformly without an RNG (rerun-stable)
-    val saltCol: Column = pmod(hash(large.columns.map(col): _*), lit(salts))
+    require(!large.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "__salt column name is reserved by saltedJoin")
+    // per-row salt: row-content hash mixed with the row's position, so a
+    // hot key spreads even when its rows are column-identical duplicates
+    val saltCol: Column = pmod(
+      hash((large.columns.map(col) :+ monotonically_increasing_id()): _*),
+      lit(salts))
     val saltedLarge = large.withColumn("__salt", saltCol)
     val replicatedSmall = small
       .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))

@@ -71,13 +71,17 @@ object BlueGreen {
   def teardownPlan(customers: Seq[String], existingDbs: Seq[String],
                    aliases: Map[String, String]): Seq[String] = {
     val customerSet = customers.toSet
-    val aliasDrops = aliases.keys.toSeq.sorted
-      .filter(customerSet.contains)
-      .map(a => s"DROP ALIAS $a FOR DATABASE")
-    val dbDrops = existingDbs.flatMap(db => parseDb(db).map(p => (p._1, p._2, db)))
-      .filter { case (c, _, _) => customerSet.contains(c) }
-      .sortBy { case (c, ts, _) => (c, -ts) }
-      .map { case (_, _, db) => s"DROP DATABASE ${quote(db)} IF EXISTS" }
+    // an alias belongs to the teardown if it is named after a customer OR
+    // points at one of the customer's databases (custom alias names must
+    // not dangle after their target drops)
+    val aliasDrops = aliases.toSeq.sortBy(_._1)
+      .filter { case (name, target) =>
+        customerSet.contains(name) ||
+          parseDb(target).exists(p => customerSet.contains(p._1))
+      }
+      .map { case (name, _) => s"DROP ALIAS $name FOR DATABASE" }
+    val dbDrops = customers.distinct.sorted.flatMap(c =>
+      cleanupPlan(c, existingDbs, aliases = Map.empty, keep = 0))
     aliasDrops ++ dbDrops
   }
 

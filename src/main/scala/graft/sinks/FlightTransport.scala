@@ -82,7 +82,10 @@ final class InMemoryFlightTransport extends FlightTransport {
       bytes += RowSize.estimate(schema, r)
     }
     putRows.addAndGet(n)
-    if (descriptorJson.contains("\"relationship\"")) edgeRows.addAndGet(n)
+    // match the discriminating field, not a bare substring — an import
+    // *named* "relationship" must still count as its entity_type says
+    if (descriptorJson.contains("\"entity_type\": \"relationship\""))
+      edgeRows.addAndGet(n)
     else nodeRows.addAndGet(n)
     (n, bytes)
   }

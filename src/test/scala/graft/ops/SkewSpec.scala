@@ -19,19 +19,16 @@ class SkewSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
-  test("salts spread a hot key across sub-keys") {
-    val facts = (1 to 1000).map(i => (1L, i)).toDF("k", "v")
+  test("column-identical duplicate rows of a hot key still join correctly") {
+    // the pathological case for content-only salting: every row identical
+    val facts = (1 to 1000).map(_ => (1L, "same")).toDF("k", "v").repartition(8)
     val dim = Seq((1L, "hot")).toDF("k", "name")
-    val saltCounts = facts
-      .withColumn("__salt",
-        org.apache.spark.sql.functions.pmod(
-          org.apache.spark.sql.functions.hash(
-            facts.columns.map(org.apache.spark.sql.functions.col): _*),
-          org.apache.spark.sql.functions.lit(8)))
-      .groupBy("__salt").count().collect()
-    assert(saltCounts.length == 8, "hot key must split across all salts")
-    assert(saltCounts.map(_.getLong(1)).max < 1000L)
-    // correctness under the hot key
     assert(Skew.saltedJoin(facts, dim, "k").count() == 1000L)
+  }
+
+  test("reserved __salt column is rejected up front") {
+    val facts = Seq((1L, 0)).toDF("k", "__salt")
+    val dim = Seq((1L, "x")).toDF("k", "name")
+    intercept[IllegalArgumentException](Skew.saltedJoin(facts, dim, "k"))
   }
 }

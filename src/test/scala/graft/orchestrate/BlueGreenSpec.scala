@@ -52,4 +52,14 @@ class BlueGreenSpec extends AnyFunSuite {
       "DROP DATABASE `customer1-200` IF EXISTS",
       "DROP DATABASE `customer1-100` IF EXISTS"))
   }
+
+  test("teardownPlan also drops custom-named aliases pointing at a customer's db") {
+    val plan = BlueGreen.teardownPlan(
+      customers = Seq("customer1"),
+      existingDbs = Seq("customer1-200"),
+      aliases = Map("customer1-prod" -> "customer1-200", "keepme" -> "other-5"))
+    assert(plan == Seq(
+      "DROP ALIAS customer1-prod FOR DATABASE",
+      "DROP DATABASE `customer1-200` IF EXISTS"))
+  }
 }
