@@ -114,6 +114,28 @@ object SparkEntry {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       Events.hourlyRollup(rd(s, dir, "events")).orderBy("hour_ts", "event_type")
     }),
+    "events_sessions" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Events.sessionize(rd(s, dir, "events"))
+        .orderBy("user_id", "session_idx")
+    }),
+    "part_stats" -> ((s, dir) =>
+      rd(s, dir, "part").groupBy(col("p_brand")).agg(
+        count(lit(1)).as("n_parts"),
+        Analytics.exactSum(col("p_retailprice")).as("sum_price"),
+        min(col("p_retailprice")).as("min_price"),
+        max(col("p_retailprice")).as("max_price"),
+        (sum(col("p_size")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_size"))
+        .orderBy("p_brand")),
+    "supplier_nation" -> ((s, dir) =>
+      rd(s, dir, "supplier")
+        .join(broadcast(rd(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(
+          count(lit(1)).as("n_suppliers"),
+          Analytics.exactSum(col("s_acctbal")).as("total_bal"))
+        .orderBy("n_name")),
     "q1_agg" -> ((s, dir) =>
       Analytics.q1(rd(s, dir, "lineitem")).orderBy("l_returnflag", "l_linestatus")),
     "q3_topk" -> ((s, dir) =>
@@ -287,6 +309,37 @@ object SparkEntry {
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | md5(text) AS checksum
         |FROM documents ORDER BY media_id""".stripMargin,
+    "events_sessions" ->
+      """WITH e AS (
+        |  -- floor, not CAST: epoch() is a fractional DOUBLE on sub-second
+        |  -- timestamps and CAST rounds while Spark's integer div floors
+        |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS secs FROM events
+        |), l AS (
+        |  SELECT *, lag(secs) OVER (PARTITION BY user_id ORDER BY secs, event_id) AS prev
+        |  FROM e
+        |), s AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR secs - prev > 1800 THEN 1 ELSE 0 END AS new_s
+        |  FROM l
+        |), t AS (
+        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY secs, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM s
+        |)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(secs) AS session_start, max(secs) AS session_end
+        |FROM t GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+    "part_stats" ->
+      """SELECT p_brand, count(*) AS n_parts,
+        | CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | min(p_retailprice) AS min_price,
+        | max(p_retailprice) AS max_price,
+        | CAST(sum(p_size) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_size
+        |FROM part GROUP BY 1 ORDER BY p_brand""".stripMargin,
+    "supplier_nation" ->
+      """SELECT n_name, count(*) AS n_suppliers,
+        | CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY n_name""".stripMargin,
     "events_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
         | event_type, count(*) AS n_events,
