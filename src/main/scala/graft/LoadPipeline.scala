@@ -68,16 +68,23 @@ object LoadPipeline {
                     concurrency: Int = 4): LoadResult = {
     val dataPath = dataBasePath.resolve(customerId).resolve(timestamp.toString)
     require(java.nio.file.Files.isDirectory(dataPath), s"Data path not found: $dataPath")
+    // redeploy of an existing db name: drop its aliases + the db first,
+    // clearing stuck state (load_with_aliases.py:56-88)
+    val dbName = BlueGreen.dbName(customerId, timestamp)
+    val preDrop = BlueGreen.preloadCleanupPlan(dbName, existingDbs, currentAliases)
+    preDrop.foreach(system)
+    val dbsAfterPreDrop = existingDbs.filterNot(_ == dbName)
+    val aliasesAfterPreDrop = currentAliases.filterNot(_._2 == dbName)
     val result = loadDatabase(spark, customerId, timestamp, dataPath,
       transportFactory, concurrency)
-    val dbsAfter = existingDbs :+ result.database
+    val dbsAfter = dbsAfterPreDrop :+ result.database
     val statements =
       (if (switchAlias && BlueGreen.isLatestDeployment(customerId, timestamp, dbsAfter))
-        BlueGreen.setAliasPlan(currentAliases, customerId, result.database)
+        BlueGreen.setAliasPlan(aliasesAfterPreDrop, customerId, result.database)
       else Seq.empty) ++
-        BlueGreen.cleanupPlan(customerId, dbsAfter, currentAliases)
+        BlueGreen.cleanupPlan(customerId, dbsAfter, aliasesAfterPreDrop)
     statements.foreach(system)
-    result.copy(aliasStatements = statements)
+    result.copy(aliasStatements = preDrop ++ statements)
   }
 
   /** CLI: scan a snapshot base dir and load everything new, like one

@@ -89,7 +89,7 @@ object Similarity {
       .map(r => Vectors.dense(
         r.getAs[scala.collection.Seq[Float]](0).map(_.toDouble).toArray))
     val kmeans = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nLists).setSeed(42L).setMaxIter(10)
+      .setK(nLists).setSeed(42L).setMaxIter(5)
     import spark.implicits._
     val model = kmeans.fit(sample.toSeq.map(Tuple1.apply).toDF("features"))
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>

@@ -63,6 +63,18 @@ object BlueGreen {
       .map { case (_, _, db) => s"DROP DATABASE ${quote(db)} IF EXISTS" }
   }
 
+  /** Pre-load cleanup for a redeploy of the same db name
+    * (load_with_aliases.py:56-88): when the target database already
+    * exists, drop any alias pointing at it, then drop the database —
+    * clearing stuck state from a previous failed load.
+    */
+  def preloadCleanupPlan(dbName: String, existingDbs: Seq[String],
+                         aliases: Map[String, String]): Seq[String] =
+    if (!existingDbs.contains(dbName)) Seq.empty
+    else aliases.toSeq.sortBy(_._1).collect {
+      case (alias, target) if target == dbName => s"DROP ALIAS $alias FOR DATABASE"
+    } :+ s"DROP DATABASE ${quote(dbName)} IF EXISTS"
+
   /** Full teardown plan for a set of customers — the reference's demo
     * cleanup (scripts/cleanup_demo.py): drop every alias belonging to a
     * customer, then every `customer-timestamp` database, aliases first so

@@ -55,6 +55,25 @@ class LoadPipelineSpec extends SparkSpec {
     assert(r.aliasStatements == statements.toSeq)
   }
 
+  test("redeploying an existing db drops its aliases and the db first") {
+    val base = Files.createTempDirectory("graft-pipe3")
+    mkSnapshot(base, "customer2", 500L)
+    val statements = scala.collection.mutable.Buffer[String]()
+    val r = LoadPipeline.loadAndSwitch(spark, "customer2", 500L, base,
+      PipelineTransport.factory,
+      existingDbs = Seq("customer2-500", "customer2-400"),
+      currentAliases = Map("customer2" -> "customer2-500"),
+      system = statements += _)
+    assert(statements.take(2) == Seq(
+      "DROP ALIAS customer2 FOR DATABASE",
+      "DROP DATABASE `customer2-500` IF EXISTS"),
+      s"pre-drop must come first: $statements")
+    // after the pre-drop the alias is gone, so the switch is a bare CREATE
+    assert(statements.contains("CREATE ALIAS customer2 FOR DATABASE `customer2-500`"))
+    assert(!statements.drop(2).contains("DROP ALIAS customer2 FOR DATABASE"))
+    assert(r.aliasStatements == statements.toSeq)
+  }
+
   test("missing snapshot path fails fast") {
     val base = Files.createTempDirectory("graft-pipe2")
     intercept[IllegalArgumentException] {
