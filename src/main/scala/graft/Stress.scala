@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale stress harness: replicates the sf0.1 corpus Nx (ids shifted) and
+  * times the bucket-join operators, checking they scale near-linearly
+  * rather than quadratically. Run: `runMain graft.Stress [factor]`.
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val emb0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val nd = docs0.count()
+    val ne = emb0.count()
+    // replicate with shifted ids; perturb text per replica so replicas are
+    // near-dups (suffix token), keeping candidate structure realistic
+    val docs = (0 until factor).map { i =>
+      docs0.select((col("doc_id") + lit(i * nd)).as("doc_id"),
+        concat(col("text"), lit(s" replica$i")).as("text"))
+    }.reduce(_ union _).repartition(32).cache()
+    val emb = (0 until factor).map { i =>
+      emb0.select((col("vec_id") + lit(i * ne)).as("vec_id"), col("embedding"))
+    }.reduce(_ union _).repartition(32).cache()
+    println(s"stress corpus: ${docs.count()} docs, ${emb.count()} vectors")
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$label%-22s ${(System.nanoTime() - t0) / 1e9}%8.2fs  ($n rows)")
+    }
+    time("dedup_minhash")(graft.ops.Dedup.minHashLsh(docs).count())
+    time("dedup_simhash")(graft.ops.Dedup.simHash(docs).count())
+    time("dedup_jaccard")(graft.ops.Dedup.ngramJaccard(docs).count())
+    time("dedup_embedding")(graft.ops.Dedup.embeddingNearDup(emb).count())
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    time("ann_lsh")(graft.ops.Similarity.lshTopK(emb, q).count())
+    time("ann_brute")(graft.ops.Similarity.bruteTopK(emb, q).count())
+    spark.stop()
+  }
+}
