@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Property-style checks of the native expressions' algebraic guarantees,
+  * driven through SQL (the registration path users hit).
+  */
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(123)
+  private def randomDoc(n: Int): String =
+    Seq.fill(n)("w" + rnd.nextInt(40)).mkString(" ")
+
+  test("winnowing guarantee: any shared run of >= w+k-1 tokens shares a fingerprint") {
+    // k=3, w=4: shared runs of >= 6 tokens must produce a common selected hash
+    val shared = Seq.fill(6)("s" + rnd.nextInt(1000)).mkString(" ")
+    val pairs = (1 to 20).map { i =>
+      (i.toLong, s"${randomDoc(10)} $shared ${randomDoc(10)}",
+        s"${randomDoc(12)} $shared ${randomDoc(8)}")
+    }
+    val df = pairs.toDF("id", "a", "b").selectExpr(
+      "id", "graft_winnow(a, 3, 4) AS fa", "graft_winnow(b, 3, 4) AS fb")
+    df.collect().foreach { r =>
+      val fa = r.getAs[scala.collection.Seq[Long]]("fa").toSet
+      val fb = r.getAs[scala.collection.Seq[Long]]("fb").toSet
+      assert((fa & fb).nonEmpty, s"pair ${r.getLong(0)} shared no fingerprint")
+    }
+  }
+
+  test("minhash signature agreement estimates Jaccard within tolerance") {
+    // doc pairs with known shingle-set overlap via shared prefixes
+    val base = Seq.fill(60)("t" + rnd.nextInt(10000))
+    val a = base.mkString(" ")                             // full set
+    val b = (base.take(45) ++ Seq.fill(15)("u" + rnd.nextInt(10000))).mkString(" ")
+    val df = Seq((a, b)).toDF("a", "b").selectExpr(
+      "graft_minhash(graft_shingles(a, 3), 128) AS sa",
+      "graft_minhash(graft_shingles(b, 3), 128) AS sb",
+      "graft_shingles(a, 3) AS sha", "graft_shingles(b, 3) AS shb")
+    val r = df.head
+    val sa = r.getAs[scala.collection.Seq[Long]]("sa")
+    val sb = r.getAs[scala.collection.Seq[Long]]("sb")
+    val sha = r.getAs[scala.collection.Seq[String]]("sha").toSet
+    val shb = r.getAs[scala.collection.Seq[String]]("shb").toSet
+    val trueJ = (sha & shb).size.toDouble / (sha | shb).size
+    val estJ = sa.zip(sb).count { case (x, y) => x == y }.toDouble / sa.size
+    assert(math.abs(trueJ - estJ) < 0.15, f"true $trueJ%.3f vs est $estJ%.3f")
+  }
+
+  test("signatures and buckets are stable across separate evaluations") {
+    val docs = (1 to 50).map(i => (i.toLong, randomDoc(30))).toDF("doc_id", "text")
+    def sigs() = docs.selectExpr("doc_id",
+      "graft_minhash(graft_shingles(text, 3), 32) AS sig",
+      "graft_simhash(array_distinct(split(trim(text), '\\\\s+'))) AS sh")
+      .collect().map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Long]](1).toSeq, r.getLong(2))).toSeq
+    assert(sigs() == sigs())
+    val emb = (1 to 20).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    def buckets() = emb.selectExpr("vec_id",
+      "graft_signbuckets(embedding, 5, 12) AS b")
+      .collect().map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Long]](1).toSeq)).toSeq
+    assert(buckets() == buckets())
+  }
+
+  test("graft_dot equals the HOF aggregate formulation bit-for-bit") {
+    val df = (1 to 30).map(i =>
+      (Seq.fill(16)(rnd.nextFloat()), Seq.fill(16)(rnd.nextFloat())))
+      .toDF("a", "b")
+    val both = df.selectExpr(
+      "graft_dot(a, b) AS nat",
+      "aggregate(zip_with(a, b, (x, y) -> cast(x as double) * cast(y as double)), " +
+        "cast(0 as double), (acc, v) -> acc + v) AS hof")
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("empty and sub-n inputs yield empty signatures, not errors") {
+    val df = Seq((1L, ""), (2L, "one two")).toDF("id", "text")
+      .selectExpr("id", "graft_shingles(text, 3) AS sh", "graft_winnow(text, 3, 4) AS w")
+    df.collect().foreach { r =>
+      assert(r.getAs[scala.collection.Seq[String]]("sh").isEmpty)
+      assert(r.getAs[scala.collection.Seq[Long]]("w").isEmpty)
+    }
+  }
+}
