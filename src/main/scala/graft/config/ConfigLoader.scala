@@ -147,11 +147,42 @@ object ConfigLoader {
       case "false" | "False" => false
       case "null" | "~" | "" => null
       case _ =>
-        v.toLongOption.map(l =>
-          if (l >= Int.MinValue && l <= Int.MaxValue) l.toInt else l)
+        // nb. Int/Long branches lub to AnyVal and box inconsistently, so
+        // integers are uniformly Int when they fit (the common case)
+        v.toLongOption.map[Any](l =>
+          if (l >= Int.MinValue && l <= Int.MaxValue) Int.box(l.toInt) else Long.box(l))
           .orElse(v.toDoubleOption)
           .getOrElse(v)
     }
+  }
+
+  /** Configuration validation matching the reference orchestrator's
+    * `_validate_config` (scripts/orchestrator.py:527-549): required
+    * sections, required neo4j connection keys, and numeric bounds.
+    * Returns every violation rather than failing on the first.
+    */
+  def validate(config: Conf): Seq[String] = {
+    val sectionErrors = Seq("neo4j", "dataset", "orchestrator")
+      .filterNot(config.contains)
+      .map(k => s"Missing required config key: $k")
+    val neo4jErrors = config.get("neo4j") match {
+      case Some(n: Map[String, Any] @unchecked) =>
+        Seq("host", "arrow_port", "bolt_port", "user", "password")
+          .filterNot(n.contains)
+          .map(k => s"Missing required Neo4j config key: $k")
+      case _ => Seq.empty
+    }
+    def intAt(path: String*): Option[Long] =
+      get(config, path: _*).collect {
+        case i: Int => i.toLong
+        case l: Long => l
+      }
+    val boundErrors = Seq(
+      (intAt("orchestrator", "num_workers"), 1, "num_workers must be >= 1"),
+      (intAt("orchestrator", "scan_interval"), 1, "scan_interval must be >= 1"),
+      (intAt("orchestrator", "max_databases"), 1, "max_databases must be >= 1")
+    ).collect { case (Some(v), min, msg) if v < min => msg }
+    sectionErrors ++ neo4jErrors ++ boundErrors
   }
 
   /** Typed path lookup: `get(config, "neo4j", "arrow_port")`. */

@@ -57,6 +57,23 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(c("b") == "real")
   }
 
+  test("validate reports missing sections, neo4j keys, and bad bounds") {
+    val env = Map("NEO4J_PASSWORD" -> "pw").get _
+    assert(validate(loadString(example, env)).isEmpty)
+    val broken = loadString(
+      """neo4j:
+        |  host: localhost
+        |orchestrator:
+        |  num_workers: 0
+        |  scan_interval: 5
+        |""".stripMargin, env)
+    val errors = validate(broken)
+    assert(errors.contains("Missing required config key: dataset"))
+    assert(errors.contains("Missing required Neo4j config key: arrow_port"))
+    assert(errors.contains("num_workers must be >= 1"))
+    assert(!errors.exists(_.contains("scan_interval")))
+  }
+
   test("nonexistent file raises FileNotFoundException") {
     intercept[java.io.FileNotFoundException](
       load(java.nio.file.Path.of("/nonexistent/config.yaml")))
