@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Analytics, Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Analytics, Dedup, Events, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.orchestrate.{BlueGreen, Snapshots}
 import graft.sources.GraphFrames
 
@@ -104,6 +104,14 @@ object SparkEntry {
         .orderBy("doc_id", "fp")),
     "text_bpe" -> ((s, dir) =>
       TextAnalysis.bpeTokens(rd(s, dir, "documents")).orderBy("doc_id")),
+    // --- training-set assembly
+    "split_assign" -> ((s, dir) =>
+      Sampling.splitAssign(
+        rd(s, dir, "documents").select(col("doc_id")), "doc_id")
+        .orderBy("doc_id")),
+    "label_balance" -> ((s, dir) =>
+      Sampling.labelBalance(rd(s, dir, "embeddings"), "label")
+        .orderBy("label")),
     // --- multimodal plumbing (row 24)
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.payloadMeta(rd(s, dir, "documents")).orderBy("media_id")),
@@ -304,6 +312,16 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(text, '\p{L}+')) + len(regexp_extract_all(text, '\p{N}+'))
         |   + len(regexp_extract_all(text, '[^\s\p{L}\p{N}]')) AS BIGINT) AS n_bpe_toks
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "split_assign" ->
+      """SELECT doc_id,
+        | CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'valid'
+        |      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e', 'f') THEN 'test'
+        |      ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "label_balance" ->
+      """SELECT label, count(*) AS n,
+        | CAST(count(*) AS DOUBLE) / (SELECT CAST(count(*) AS DOUBLE) FROM embeddings) AS fraction
+        |FROM embeddings GROUP BY 1 ORDER BY label""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id AS media_id, 'text/plain' AS mime,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

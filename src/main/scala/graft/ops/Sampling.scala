@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset-assembly operators for training pipelines: deterministic
+  * splits and distribution profiling. Splitting is keyed on a content-
+  * independent id hash so assignment is reproducible across runs,
+  * engines, and cluster sizes — and expressible in the DuckDB oracle
+  * (md5 is engine-portable where murmur seeds are not).
+  */
+object Sampling {
+
+  /** Deterministic train/valid/test assignment from the first hex char of
+    * md5(id): 0-b → train (12/16), c-d → valid (2/16), e-f → test (2/16).
+    * Stable under corpus growth: a row's split never changes when other
+    * rows are added, unlike fraction-based `randomSplit`.
+    */
+  def splitCol(id: Column): Column = {
+    val h = substring(md5(id.cast("string")), 1, 1)
+    when(h.isin("c", "d"), lit("valid"))
+      .when(h.isin("e", "f"), lit("test"))
+      .otherwise(lit("train"))
+  }
+
+  def splitAssign(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("split", splitCol(col(idCol)))
+
+  /** Per-label counts and fractions — the class-balance check before
+    * training. One partial-aggregated shuffle on the label.
+    */
+  def labelBalance(df: DataFrame, labelCol: String): DataFrame = {
+    val total = df.count().toDouble
+    df.groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("fraction", col("n").cast("double") / lit(total))
+  }
+}

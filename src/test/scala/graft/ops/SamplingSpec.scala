@@ -1,0 +1,29 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("split assignment is deterministic and stable under corpus growth") {
+    val small = (1L to 100L).map(Tuple1.apply).toDF("doc_id")
+    val big = (1L to 1000L).map(Tuple1.apply).toDF("doc_id")
+    val a = Sampling.splitAssign(small, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.splitAssign(big, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.forall { case (k, v) => b(k) == v },
+      "adding rows must never move an existing row's split")
+    val fracs = b.values.groupBy(identity).view.mapValues(_.size / 1000.0).toMap
+    assert(math.abs(fracs("train") - 12.0 / 16) < 0.08, fracs.toString)
+    assert(math.abs(fracs("valid") - 2.0 / 16) < 0.05, fracs.toString)
+    assert(math.abs(fracs("test") - 2.0 / 16) < 0.05, fracs.toString)
+  }
+
+  test("labelBalance fractions sum to 1") {
+    val df = (1 to 100).map(i => (i.toLong, i % 3)).toDF("id", "label")
+    val rows = Sampling.labelBalance(df, "label").collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == 100L)
+    assert(math.abs(rows.map(_.getAs[Double]("fraction")).sum - 1.0) < 1e-12)
+  }
+}
