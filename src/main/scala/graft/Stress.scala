@@ -44,6 +44,31 @@ object Stress {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     time("ann_lsh")(graft.ops.Similarity.lshTopK(emb, q).count())
     time("ann_brute")(graft.ops.Similarity.bruteTopK(emb, q).count())
+
+    // bulk-load throughput through the partition-parallel sink (the
+    // reference's headline metric: rows/s and MiB/s per load phase)
+    val nodes = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+      .select(col("c_custkey"),
+        concat_ws(",", col("c_mktsegment"), lit("Customer")).as("labels"),
+        col("c_name"), col("c_acctbal"))
+    val edges = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"),
+        lit("HAS_PART").as("rel"), col("l_quantity"))
+    val client = new graft.sinks.ArrowGraphClient(
+      DemoTransport.factory, "stress-db", concurrency = 32,
+      maxRetries = 1, retryDelayMs = 0, sleep = _ => ())
+    client.createDatabase()
+    def rate(label: String, f: => (Long, Long)): Unit = {
+      val t0 = System.nanoTime()
+      val (rows, bytes) = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"$label%-22s $secs%8.2fs  (${(rows / secs).toLong}%,d rows/s, " +
+        f"${bytes / secs / 1048576}%.1f MiB/s, $rows rows)")
+    }
+    rate("load_nodes", graft.sinks.GraphWriter.writeNodes(nodes, client))
+    client.nodesDone()
+    rate("load_edges", graft.sinks.GraphWriter.writeEdges(edges, client))
+    client.edgesDone()
     spark.stop()
   }
 }
