@@ -104,6 +104,8 @@ object SparkEntry {
         .orderBy("doc_id", "fp")),
     "text_bpe" -> ((s, dir) =>
       TextAnalysis.bpeTokens(rd(s, dir, "documents")).orderBy("doc_id")),
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(rd(s, dir, "documents")).orderBy("doc_id")),
     // --- training-set assembly
     "split_assign" -> ((s, dir) =>
       Sampling.splitAssign(
@@ -293,6 +295,21 @@ object SparkEntry {
       """SELECT doc_id,
         | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), ng AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1])) AS gram
+        |  FROM toks WHERE len(t) >= 2
+        |), per AS (
+        |  SELECT doc_id, gram, count(*) AS c FROM ng GROUP BY 1, 2
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_ngrams,
+        |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_ngram_frac,
+        |  CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS distinct_ngram_ratio
+        |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_ngrams" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents

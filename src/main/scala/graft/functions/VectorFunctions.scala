@@ -148,6 +148,36 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_ngrams(text, n)`: ALL word n-grams in order (non-distinct) —
+  * the counting companion to [[WordShingles]] for repetition statistics,
+  * where duplicate n-grams are the signal, not noise.
+  */
+case class WordNgrams(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.trim.split("\\s+")
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `graft_winnow(text, k, w)`: winnowing document fingerprints
   * (Schleimer et al., SIGMOD'03 — the MOSS local fingerprinting
   * algorithm): hash all word k-grams, slide a window of w consecutive

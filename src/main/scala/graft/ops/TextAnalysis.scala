@@ -115,6 +115,29 @@ object TextAnalysis {
       .orderBy(desc("doc_freq"), asc("ngram"))
       .limit(topK)
 
+  /** Repetition statistics (Gopher-style quality filter): fraction of all
+    * word bigrams taken by the single most-repeated bigram, and the
+    * distinct-bigram ratio. Highly repetitive documents (boilerplate,
+    * generation loops) score high top_ngram_frac / low distinct ratio.
+    * One explode + per-(doc, gram) partial count + per-doc rollup.
+    */
+  def repetition(docs: DataFrame, n: Int = 2): DataFrame =
+    docs
+      .select(col("doc_id"), explode(expr(s"graft_ngrams(text, $n)")).as("gram"))
+      .groupBy("doc_id", "gram")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_ngrams"),
+        max(col("c")).as("top_count"),
+        count(lit(1)).as("n_distinct_ngrams"))
+      .select(
+        col("doc_id"),
+        col("n_ngrams").cast("long").as("n_ngrams"),
+        (col("top_count").cast("double") / col("n_ngrams").cast("double"))
+          .as("top_ngram_frac"),
+        (col("n_distinct_ngrams").cast("double") / col("n_ngrams").cast("double"))
+          .as("distinct_ngram_ratio"))
+
   /** Winnowing fingerprints (Schleimer et al.) — the locality-preserving
     * document fingerprint family the reference era used rolling hashes
     * for; exploded to (doc_id, fingerprint) rows for index-building or

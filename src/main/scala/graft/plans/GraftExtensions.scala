@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{MinHashSignature, SignBuckets, SimHash64, VectorDot, Winnow, WordShingles}
+import graft.functions.{MinHashSignature, SignBuckets, SimHash64, VectorDot, Winnow, WordNgrams, WordShingles}
 
 /** Session extensions registering graft's native expressions as SQL
   * functions. Enable with
@@ -44,6 +44,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
       (children: Seq[Expression]) =>
         WordShingles(children.head, intLit(children(1), "n"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "graft_ngrams"),
+      (children: Seq[Expression]) =>
+        WordNgrams(children.head, intLit(children(1), "n"))))
     ext.injectFunction((
       new FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[Winnow].getName, "graft_winnow"),

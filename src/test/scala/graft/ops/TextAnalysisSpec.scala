@@ -44,6 +44,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d2.getAs[Long]("n_bpe_toks") == 8L)
   }
 
+  test("repetition flags looped text, passes varied text") {
+    val df = Seq(
+      (1L, "spam ham spam ham spam ham spam ham spam ham"), // one bigram loop
+      (2L, "all these words appear exactly once in here")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.repetition(df).orderBy("doc_id").collect()
+    assert(rows(0).getAs[Double]("top_ngram_frac") > 0.5, "loop not flagged")
+    assert(rows(1).getAs[Double]("top_ngram_frac") < 0.2)
+    assert(rows(1).getAs[Double]("distinct_ngram_ratio") == 1.0)
+  }
+
   test("langId votes marker tokens with fixed tiebreak") {
     val multilang = Seq(
       (0L, "the cat and the dog is here"),
