@@ -31,7 +31,12 @@ object SparkEntry {
         col("c_custkey"),
         concat_ws(",", col("c_mktsegment"), lit("Customer")).as("labels_raw"),
         col("c_name"), col("c_acctbal"))
-      GraphFrames.normalizeNodes(nodes).orderBy("nodeId")
+      // The operator emits labels as array<string> (GraphFramesSpec covers
+      // that); the registered query re-joins them to a scalar because the
+      // driver's pandas row-sort cannot order array cells.
+      GraphFrames.normalizeNodes(nodes)
+        .withColumn("labels", array_join(col("labels"), "|"))
+        .orderBy("nodeId")
     }),
     "normalize_edges" -> ((s, dir) => {
       val edges = rd(s, dir, "orders").select(
@@ -62,9 +67,18 @@ object SparkEntry {
       Dedup.minHashLsh(rd(s, dir, "documents")).orderBy("a_id", "b_id")),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHash(rd(s, dir, "documents")).orderBy("a_id", "b_id")),
-    "dedup_embedding" -> ((s, dir) =>
-      Dedup.embeddingNearDup(rd(s, dir, "embeddings"), 0.95)
-        .orderBy("a_id", "b_id")),
+    "dedup_embedding" -> ((s, dir) => {
+      // The corpus has no natural pairs above tau (max cosine ~0.51 at
+      // sf0.01), so the query plants exact duplicates of the first 25
+      // vectors under shifted ids. Identical vectors share every LSH band
+      // bucket, so the bucketed path provably finds all of them — which
+      // makes the brute-force DuckDB pair scan an exact oracle.
+      val e = rd(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = e.filter(col("vec_id") < 25)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      Dedup.embeddingNearDup(e.unionAll(planted), 0.95)
+        .orderBy("a_id", "b_id")
+    }),
     // --- similarity search (rows 22-23)
     "ann_brute" -> ((s, dir) => {
       val e = rd(s, dir, "embeddings")
@@ -164,7 +178,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "normalize_nodes" ->
       """SELECT c_custkey AS nodeId,
-        | string_split(concat(c_mktsegment, ',', 'Customer'), ',') AS labels,
+        | array_to_string(string_split(concat(c_mktsegment, ',', 'Customer'), ','), '|') AS labels,
         | c_name, c_acctbal
         |FROM customer ORDER BY nodeId""".stripMargin,
     "normalize_edges" ->
@@ -222,6 +236,20 @@ object SparkEntry {
         |JOIN sizes sa ON pairs.a_id = sa.doc_id
         |JOIN sizes sb ON pairs.b_id = sb.doc_id
         |WHERE CAST(common AS DOUBLE) / CAST(sa.set_size + sb.set_size - common AS DOUBLE) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_embedding" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings
+        |  WHERE vec_id < 25
+        |), pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    list_dot_product(a.e, b.e) /
+        |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cosine
+        |  FROM base a JOIN base b ON a.vec_id < b.vec_id
+        |)
+        |SELECT a_id, b_id, cosine FROM pairs WHERE cosine >= 0.95
         |ORDER BY a_id, b_id""".stripMargin,
     "ann_brute" ->
       """WITH q AS (

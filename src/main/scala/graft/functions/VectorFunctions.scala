@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -24,6 +25,27 @@ object VectorFunctions {
   val MinHashPrime: Long = 2147483647L
   def params(k: Int): Array[(Long, Long)] =
     Array.tabulate(k)(i => (2L * i + 1, (i.toLong * 104729 + 12345) % MinHashPrime))
+
+  /** Analysis-time input check shared by the expressions below: a wrong
+    * argument type fails with a clear message at analysis rather than an
+    * executor-side ClassCastException.
+    */
+  private[functions] def requireInput(fn: String, dt: DataType,
+                                      want: String)
+                                     (ok: DataType => Boolean): TypeCheckResult =
+    if (ok(dt)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$fn requires $want, got ${dt.catalogString}")
+
+  private[functions] def isStringArray(dt: DataType): Boolean = dt match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  private[functions] def isFloatVector(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
 }
 
 /** `graft_minhash(shingles, k)`: k-permutation minhash signature of a
@@ -35,6 +57,9 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorFunctions.requireInput("graft_minhash", child.dataType,
+      "array<string>")(VectorFunctions.isStringArray)
 
   @transient private lazy val ab = VectorFunctions.params(numHashes)
 
@@ -77,6 +102,9 @@ case class WordShingles(child: Expression, n: Int)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorFunctions.requireInput("graft_shingles", child.dataType,
+      "string")(_ == StringType)
 
   override protected def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
@@ -115,6 +143,9 @@ case class SimHash64(child: Expression)
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorFunctions.requireInput("graft_simhash", child.dataType,
+      "array<string>")(VectorFunctions.isStringArray)
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -157,6 +188,9 @@ case class WordNgrams(child: Expression, n: Int)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorFunctions.requireInput("graft_ngrams", child.dataType,
+      "string")(_ == StringType)
 
   override protected def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
@@ -191,6 +225,9 @@ case class Winnow(child: Expression, k: Int, w: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorFunctions.requireInput("graft_winnow", child.dataType,
+      "string")(_ == StringType)
 
   override protected def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
@@ -243,6 +280,9 @@ case class SignBuckets(child: Expression, bands: Int, bitsPerBand: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorFunctions.requireInput("graft_signbuckets", child.dataType,
+      "array<float> or array<double>")(VectorFunctions.isFloatVector)
 
   private val planes = bands * bitsPerBand
 
@@ -315,6 +355,13 @@ case class VectorDot(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = VectorFunctions.requireInput("graft_dot", left.dataType,
+      "array<float> or array<double>")(VectorFunctions.isFloatVector)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else VectorFunctions.requireInput("graft_dot", right.dataType,
+      "array<float> or array<double>")(VectorFunctions.isFloatVector)
+  }
 
   @transient private lazy val leftIsFloat: Boolean =
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType

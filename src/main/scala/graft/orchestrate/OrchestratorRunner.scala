@@ -1,10 +1,10 @@
 package graft.orchestrate
 
 import java.nio.file.{Files, Path}
-import java.util.concurrent.ConcurrentLinkedQueue
-import java.util.concurrent.atomic.AtomicBoolean
+import java.util.concurrent.{ConcurrentLinkedQueue, Executors, TimeUnit}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
 
-import graft.util.Log
+import graft.util.{Json, Log}
 
 /** Threaded orchestration service — the runnable form of the reference's
   * Orchestrator (scripts/orchestrator.py:473-656): a watcher thread
@@ -26,7 +26,7 @@ final class OrchestratorRunner(
     statusFile: Option[Path] = None,
     maxRetries: Int = 3,
     backoffBase: Long = 2,
-    retrySleepMs: Long => Unit = Thread.sleep) {
+    backoffToMs: Long => Long = _ * 1000L) {
 
   private val logger = Log.getLogger("graft.OrchestratorRunner")
   val stats = new Stats()
@@ -34,6 +34,16 @@ final class OrchestratorRunner(
   private val processed = scala.collection.mutable.Set[(String, Long)]()
   private val stop = new AtomicBoolean(false)
   private var threads: Seq[Thread] = Seq.empty
+  // Retries are re-enqueued from a daemon scheduler thread (the reference
+  // does the same with threading.Thread, orchestrator.py:330-352) so a
+  // failing task never head-of-line-blocks the worker for its backoff.
+  private val retryExec = Executors.newSingleThreadScheduledExecutor(r => {
+    val t = new Thread(r, "graft-retry"); t.setDaemon(true); t
+  })
+  private val pendingRetries = new AtomicInteger(0)
+  // After a failed health gate, workers stand down until this instant
+  // instead of re-polling (and re-checking health) every ~20ms.
+  @volatile private var deferredUntil = 0L
 
   def queueSize: Int = queue.size()
 
@@ -49,7 +59,8 @@ final class OrchestratorRunner(
   }
 
   private def workerLoop(id: Int): Runnable = loopEvery(20L) {
-    var task = queue.poll()
+    var task =
+      if (System.currentTimeMillis() < deferredUntil) null else queue.poll()
     while (task != null && !stop.get()) {
       Orchestrator.processTask(task, healthCheck, load, existingDbs,
         currentAliases, execute, stats, maxRetries, backoffBase) match {
@@ -58,11 +69,17 @@ final class OrchestratorRunner(
         case Orchestrator.Deferred(reason) =>
           logger.warn(s"worker $id: deferred, $reason")
           queue.add(task) // requeue like the reference's health-gate path
+          deferredUntil = System.currentTimeMillis() + scanIntervalMs
           task = null
         case Orchestrator.RetryScheduled(next, backoffSec) =>
           logger.warn(s"worker $id: retry ${next.retryCount} in ${backoffSec}s")
-          retrySleepMs(backoffSec * 1000L)
-          if (!stop.get()) queue.add(next)
+          pendingRetries.incrementAndGet()
+          retryExec.schedule(new Runnable {
+            override def run(): Unit = {
+              if (!stop.get()) queue.add(next)
+              pendingRetries.decrementAndGet()
+            }
+          }, backoffToMs(backoffSec), TimeUnit.MILLISECONDS)
         case Orchestrator.Failed(err) =>
           logger.error(s"worker $id: giving up: $err")
       }
@@ -77,11 +94,11 @@ final class OrchestratorRunner(
     val json = snap.map { case (k, v) =>
       val jv = v match {
         case null => "null"
-        case s: String => "\"" + s + "\""
+        case s: String => Json.quote(s)
         case d: Double => d.toString
         case other => other.toString
       }
-      s""""$k": $jv"""
+      s"${Json.quote(k)}: $jv"
     }.mkString("{", ", ", "}")
     Files.writeString(p, json)
   }
@@ -101,13 +118,17 @@ final class OrchestratorRunner(
     threads.foreach { t => t.setDaemon(true); t.start() }
   }
 
-  /** Stop, waiting up to `drainMs` for queued tasks to finish first. */
+  /** Stop, waiting up to `drainMs` for queued tasks (and scheduled
+    * retries) to finish first.
+    */
   def stopAndDrain(drainMs: Long = 300000L): Unit = synchronized {
     val deadline = System.currentTimeMillis() + drainMs
-    while (queue.size() > 0 && System.currentTimeMillis() < deadline)
+    while ((queue.size() > 0 || pendingRetries.get() > 0) &&
+      System.currentTimeMillis() < deadline)
       Thread.sleep(10L)
     if (queue.size() > 0) logger.warn("drain timeout; tasks incomplete")
     stop.set(true)
+    retryExec.shutdownNow()
     threads.foreach(_.join(2000L))
     writeStatus("stopped")
     logger.info("orchestrator stopped")

@@ -2,6 +2,7 @@ package graft.orchestrate
 
 import java.nio.file.{Files, Path}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -19,18 +20,24 @@ object Snapshots {
   case class Snapshot(customerId: String, timestamp: Long, path: String,
                       complete: Boolean)
 
-  private def nonEmptyDir(p: Path): Boolean =
-    Files.isDirectory(p) && Files.list(p).iterator().asScala.hasNext
+  /** Materialized directory listing — the NIO stream is closed before
+    * returning (an unclosed Files.list holds a directory fd open until
+    * process exit, and the watcher rescans every cycle).
+    */
+  private def listDir(p: Path): Seq[Path] =
+    if (!Files.isDirectory(p)) Seq.empty
+    else Using.resource(Files.list(p))(_.iterator().asScala.toList)
+
+  private def nonEmptyDir(p: Path): Boolean = listDir(p).nonEmpty
 
   /** One filesystem scan (driver-side, like the reference — this is a
     * control-plane listing of O(customers × snapshots) dirs, not data).
     */
   def scan(base: Path): Seq[Snapshot] = {
-    if (!Files.isDirectory(base)) return Seq.empty
     (for {
-      customerDir <- Files.list(base).iterator().asScala
+      customerDir <- listDir(base)
       if Files.isDirectory(customerDir)
-      tsDir <- Files.list(customerDir).iterator().asScala
+      tsDir <- listDir(customerDir)
       if Files.isDirectory(tsDir)
       ts <- tsDir.getFileName.toString.toLongOption
     } yield {
