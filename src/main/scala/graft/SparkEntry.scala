@@ -120,6 +120,15 @@ object SparkEntry {
       TextAnalysis.bpeTokens(rd(s, dir, "documents")).orderBy("doc_id")),
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(rd(s, dir, "documents")).orderBy("doc_id")),
+    "text_contamination" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      TextAnalysis.contamination(docs, docs.filter(col("doc_id") < 20))
+        .orderBy("doc_id")
+    }),
+    "quality_filter" -> ((s, dir) =>
+      TextAnalysis.qualityFilter(rd(s, dir, "documents")).orderBy("doc_id")),
+    "source_mix" -> ((s, dir) =>
+      Sampling.sourceMix(rd(s, dir, "documents")).orderBy("source", "lang")),
     // --- training-set assembly
     "split_assign" -> ((s, dir) =>
       Sampling.splitAssign(
@@ -338,6 +347,69 @@ object SparkEntry {
         |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_ngram_frac,
         |  CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS distinct_ngram_ratio
         |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram
+        |  FROM toks WHERE len(t) >= 3
+        |), bench AS (
+        |  SELECT DISTINCT gram FROM sh WHERE doc_id < 20
+        |)
+        |SELECT s.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS contamination
+        |FROM sh s LEFT JOIN bench b ON s.gram = b.gram
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "quality_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), base AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) AS type_token_ratio
+        |  FROM t
+        |), ng AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS gram
+        |  FROM t WHERE len(toks) >= 2
+        |), per AS (
+        |  SELECT doc_id, gram, count(*) AS c FROM ng GROUP BY 1, 2
+        |), rep AS (
+        |  SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_ngram_frac
+        |  FROM per GROUP BY 1
+        |), j AS (
+        |  SELECT b.doc_id, n_tokens, stopword_ratio, type_token_ratio,
+        |    coalesce(r.top_ngram_frac, 0.0) AS top_ngram_frac
+        |  FROM base b LEFT JOIN rep r ON b.doc_id = r.doc_id
+        |), decided AS (
+        |  SELECT *, CASE WHEN n_tokens < 10 THEN 'too_short'
+        |       WHEN n_tokens > 1000 THEN 'too_long'
+        |       WHEN stopword_ratio < 0.02 THEN 'low_stopword'
+        |       WHEN top_ngram_frac > 0.20 THEN 'repetitive'
+        |       WHEN type_token_ratio < 0.30 THEN 'low_diversity'
+        |       ELSE 'ok' END AS reason
+        |  FROM j
+        |)
+        |SELECT doc_id, n_tokens, stopword_ratio, type_token_ratio,
+        |  top_ngram_frac, (reason = 'ok') AS keep, reason
+        |FROM decided ORDER BY doc_id""".stripMargin,
+    "source_mix" ->
+      """WITH per AS (
+        |  SELECT source, lang, count(*) AS n_docs,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1, 2
+        |)
+        |SELECT source, lang, n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) /
+        |    CAST((SELECT sum(n_tokens) FROM per) AS DOUBLE) AS token_share
+        |FROM per ORDER BY source, lang""".stripMargin,
     "text_ngrams" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents

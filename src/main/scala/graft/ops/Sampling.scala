@@ -35,4 +35,24 @@ object Sampling {
       .agg(count(lit(1)).as("n"))
       .withColumn("fraction", col("n").cast("double") / lit(total))
   }
+
+  /** Training-mixture composition: per (source, lang) document and token
+    * counts plus each cell's share of all corpus tokens — the data-mix
+    * report behind sampling-weight decisions.
+    *
+    * One partially-aggregated shuffle on (source, lang); the share window
+    * runs over the aggregated result (|sources|×|langs| rows), never the
+    * corpus.
+    */
+  def sourceMix(docs: DataFrame): DataFrame = {
+    val perCell = docs
+      .withColumn("n_toks",
+        size(TextAnalysis.tokensCol(col("text"))).cast("long"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    perCell.withColumn("token_share",
+      col("n_tokens").cast("double") /
+        sum(col("n_tokens")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()).cast("double"))
+  }
 }

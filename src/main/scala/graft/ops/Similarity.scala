@@ -82,19 +82,17 @@ object Similarity {
               nLists: Int = 16, nProbe: Int = 4,
               trainSample: Int = 10000): DataFrame = {
     val spark = corpus.sparkSession
-    import org.apache.spark.ml.linalg.Vectors
     // train centroids on a bounded, deterministic sample — never the full
-    // 100 TB corpus (limit() after a cheap scan keeps training O(sample))
-    val sample = corpus.select("embedding").limit(trainSample).collect()
-      .map(r => Vectors.dense(
-        r.getAs[scala.collection.Seq[Float]](0).map(_.toDouble).toArray))
-    val kmeans = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nLists).setSeed(42L).setMaxIter(5)
+    // 100 TB corpus (TakeOrdered keeps the fetch O(sample)). The fit runs
+    // driver-side: the sample is already collected, and Lloyd's over
+    // 10k×dim×nLists is milliseconds — scheduling a distributed KMeans job
+    // for it was pure overhead (measured ~3s/run at every SF).
+    val sample = corpus.select("vec_id", "embedding")
+      .orderBy("vec_id").limit(trainSample).collect()
+      .map(_.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray)
     import spark.implicits._
-    val model = kmeans.fit(sample.toSeq.map(Tuple1.apply).toDF("features"))
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.toSeq)
-    }.toSeq.toDF("list_id", "centroid")
+    val centroids = kmeansFit(sample, nLists, iters = 5).zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("list_id", "centroid")
 
     def nearestLists(df: DataFrame, idCol: String, embCol: String, n: Int): DataFrame =
       df.crossJoin(broadcast(centroids))
@@ -120,6 +118,44 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("vec_id").as("neighbor_id"), col("cosine"))
+  }
+
+  /** Deterministic driver-side Lloyd's iteration for the IVF coarse
+    * quantizer: evenly-spaced initial centroids over the (ordered) sample,
+    * then `iters` assign/average rounds. Empty clusters keep their previous
+    * centroid.
+    */
+  private def kmeansFit(points: Array[Array[Double]], k: Int,
+                        iters: Int): Array[Array[Double]] = {
+    require(points.nonEmpty, "empty training sample")
+    val n = points.length
+    val dim = points(0).length
+    var centroids = Array.tabulate(k)(i => points(((i.toLong * n) / k).toInt).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      points.foreach { p =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0
+          var j = 0
+          while (j < dim) { val t = p(j) - centroids(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        val s = sums(best)
+        var j = 0
+        while (j < dim) { s(j) += p(j); j += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(k)(c =>
+        if (counts(c) > 0) sums(c).map(_ / counts(c)) else centroids(c))
+      it += 1
+    }
+    centroids
   }
 
   /** LSH-bucketed approximate top-k: candidates are corpus vectors sharing

@@ -164,6 +164,72 @@ object TextAnalysis {
         + regexp_count(col("text"), lit(other))).cast("long").as("n_bpe_toks"))
   }
 
+  /** Benchmark-contamination check: the fraction of each document's
+    * distinct word n-grams that also appear in a benchmark (eval-set)
+    * corpus — the standard pre-training decontamination measurement.
+    *
+    * Scale shape: the benchmark gram set is tiny relative to the corpus
+    * (eval sets are MBs against 100 TB), so it is broadcast and the whole
+    * check is one corpus scan + explode + broadcast-hash left join + one
+    * partial-aggregated rollup on doc_id. Documents shorter than n tokens
+    * have no n-grams and drop out (mirrored by the oracle).
+    */
+  def contamination(docs: DataFrame, benchmark: DataFrame, n: Int = 3): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(expr(s"graft_shingles(text, $n)")).as("gram"))
+    val benchGrams = benchmark
+      .select(explode(expr(s"graft_shingles(text, $n)")).as("gram"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    grams.join(broadcast(benchGrams), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .select(col("doc_id"),
+        col("n_grams").cast("long").as("n_grams"),
+        col("n_contaminated").cast("long").as("n_contaminated"),
+        (col("n_contaminated").cast("double") / col("n_grams").cast("double"))
+          .as("contamination"))
+  }
+
+  /** Gopher-style quality filter: one keep/drop decision per document with
+    * the first failing rule as the reason. Rules, in precedence order:
+    * token count in [minTokens, maxTokens], stopword ratio >= minStopword,
+    * top-bigram fraction <= maxTopNgram, type-token ratio >= minTtr.
+    *
+    * The scalar stats are a narrow single-pass projection; the only
+    * shuffle is the bigram rollup inherited from [[repetition]] (left
+    * join — documents with < 2 tokens have no bigrams and default to 0).
+    */
+  def qualityFilter(docs: DataFrame,
+                    minTokens: Long = 10L, maxTokens: Long = 1000L,
+                    minStopword: Double = 0.02, maxTopNgram: Double = 0.20,
+                    minTtr: Double = 0.30): DataFrame = {
+    val stopList = EnglishStopwords.map("'" + _ + "'").mkString(",")
+    val base = docs
+      .withColumn("toks", tokensCol(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(expr(s"filter(toks, x -> x in ($stopList))")).cast("double") /
+          size(col("toks")).cast("double")).as("stopword_ratio"),
+        (size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")).cast("double")).as("type_token_ratio"))
+    val rep = repetition(docs).select(col("doc_id"), col("top_ngram_frac"))
+    base.join(rep, Seq("doc_id"), "left")
+      .withColumn("top_ngram_frac", coalesce(col("top_ngram_frac"), lit(0.0)))
+      .withColumn("reason",
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(col("n_tokens") > maxTokens, "too_long")
+          .when(col("stopword_ratio") < minStopword, "low_stopword")
+          .when(col("top_ngram_frac") > maxTopNgram, "repetitive")
+          .when(col("type_token_ratio") < minTtr, "low_diversity")
+          .otherwise("ok"))
+      .withColumn("keep", col("reason") === "ok")
+      .select("doc_id", "n_tokens", "stopword_ratio", "type_token_ratio",
+        "top_ngram_frac", "keep", "reason")
+  }
+
   /** Document fingerprint: md5 of lowercase, whitespace-collapsed text —
     * a deterministic canonical-form hash (the scalable stand-in for the
     * reference-era rolling hash; identical in DuckDB's `md5`).

@@ -26,4 +26,21 @@ class SamplingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n")).sum == 100L)
     assert(math.abs(rows.map(_.getAs[Double]("fraction")).sum - 1.0) < 1e-12)
   }
+
+  test("sourceMix reports per-cell counts and corpus token shares") {
+    val docs = Seq(
+      (0L, "a b c", "en", "web"),
+      (1L, "d e", "en", "web"),
+      (2L, "f g h i", "de", "web"),
+      (3L, "j", "en", "books")
+    ).toDF("doc_id", "text", "lang", "source")
+    val rows = Sampling.sourceMix(docs).collect()
+    val byCell = rows.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("token_share"))).toMap
+    assert(byCell(("web", "en")) == ((2L, 5L, 0.5)))
+    assert(byCell(("web", "de"))._2 == 4L)
+    assert(byCell(("books", "en"))._1 == 1L)
+    assert(math.abs(rows.map(_.getAs[Double]("token_share")).sum - 1.0) < 1e-12)
+  }
 }

@@ -55,6 +55,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(1).getAs[Double]("distinct_ngram_ratio") == 1.0)
   }
 
+  test("contamination measures benchmark n-gram overlap") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon"),        // benchmark doc
+      (1L, "alpha beta gamma delta epsilon"),        // full copy → 1.0
+      (2L, "alpha beta gamma zeta eta theta iota"),  // shares "alpha beta gamma"
+      (3L, "one two three four five six"),           // disjoint → 0.0
+      (4L, "xy zz")                                  // < 3 tokens → dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.contamination(corpus,
+      corpus.filter($"doc_id" === 0L)).orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_contaminated"), r.getAs[Double]("contamination"))).toMap
+    assert(out.map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L))
+    assert(byId(1L)._2 == 1.0, "verbatim copy must be fully contaminated")
+    assert(byId(2L)._1 == 1L, "one shared trigram")
+    assert(byId(3L)._2 == 0.0, "disjoint doc must be clean")
+  }
+
+  test("qualityFilter applies rules in precedence order") {
+    val df = Seq(
+      (0L, "too short"),                                           // < 10 tokens
+      (1L, "the cat sat on a mat and it was that simple story"),   // ok
+      (2L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do xx"), // no stopwords... but 'sit'? none of list
+      (3L, "the spam ham spam ham spam ham spam ham spam ham it"), // repetitive
+      (4L, "the the the the the the the the the the the it")       // short-circuit: repetitive checked before diversity
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityFilter(df).orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("reason") == "too_short")
+    assert(!out(0).getAs[Boolean]("keep"))
+    assert(out(1).getAs[String]("reason") == "ok")
+    assert(out(1).getAs[Boolean]("keep"))
+    assert(out(2).getAs[String]("reason") == "low_stopword")
+    assert(out(3).getAs[String]("reason") == "repetitive")
+    assert(out(4).getAs[String]("reason") == "repetitive",
+      "top-ngram rule precedes type-token rule")
+  }
+
   test("langId votes marker tokens with fixed tiebreak") {
     val multilang = Seq(
       (0L, "the cat and the dog is here"),
