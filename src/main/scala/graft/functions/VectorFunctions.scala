@@ -212,6 +212,48 @@ case class WordNgrams(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** `graft_repstats(text, n)`: per-document n-gram repetition statistics
+  * in one pass — struct(n_ngrams, top_count, n_distinct), null when the
+  * document has fewer than n tokens. Replaces an explode + two-level
+  * aggregation (a shuffle of every gram occurrence) with a narrow
+  * projection: at corpus scale the repetition filter runs at scan speed.
+  */
+case class RepetitionStats(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_ngrams", LongType, nullable = false),
+    StructField("top_count", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorFunctions.requireInput("graft_repstats", child.dataType,
+      "string")(_ == StringType)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.trim.split("\\s+")
+    val total = toks.length - n + 1
+    if (total <= 0) return null
+    val counts = new java.util.HashMap[String, Integer]()
+    var top = 0
+    var i = 0
+    while (i < total) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      val c = counts.merge(sb.toString, 1, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total.toLong, top.toLong, counts.size.toLong))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `graft_winnow(text, k, w)`: winnowing document fingerprints
   * (Schleimer et al., SIGMOD'03 — the MOSS local fingerprinting
   * algorithm): hash all word k-grams, slide a window of w consecutive

@@ -119,23 +119,22 @@ object TextAnalysis {
     * word bigrams taken by the single most-repeated bigram, and the
     * distinct-bigram ratio. Highly repetitive documents (boilerplate,
     * generation loops) score high top_ngram_frac / low distinct ratio.
-    * One explode + per-(doc, gram) partial count + per-doc rollup.
+    *
+    * Single-pass narrow projection via the native `graft_repstats`
+    * expression — the explode + two-level aggregation it replaced
+    * shuffled every gram occurrence (measured 8x slower at sf0.1).
+    * Documents with < n tokens have no n-grams and drop out (null stats).
     */
   def repetition(docs: DataFrame, n: Int = 2): DataFrame =
     docs
-      .select(col("doc_id"), explode(expr(s"graft_ngrams(text, $n)")).as("gram"))
-      .groupBy("doc_id", "gram")
-      .agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum(col("c")).as("n_ngrams"),
-        max(col("c")).as("top_count"),
-        count(lit(1)).as("n_distinct_ngrams"))
+      .select(col("doc_id"), expr(s"graft_repstats(text, $n)").as("st"))
+      .filter(col("st").isNotNull)
       .select(
         col("doc_id"),
-        col("n_ngrams").cast("long").as("n_ngrams"),
-        (col("top_count").cast("double") / col("n_ngrams").cast("double"))
+        col("st.n_ngrams").as("n_ngrams"),
+        (col("st.top_count").cast("double") / col("st.n_ngrams").cast("double"))
           .as("top_ngram_frac"),
-        (col("n_distinct_ngrams").cast("double") / col("n_ngrams").cast("double"))
+        (col("st.n_distinct").cast("double") / col("st.n_ngrams").cast("double"))
           .as("distinct_ngram_ratio"))
 
   /** Winnowing fingerprints (Schleimer et al.) — the locality-preserving
@@ -197,27 +196,29 @@ object TextAnalysis {
     * token count in [minTokens, maxTokens], stopword ratio >= minStopword,
     * top-bigram fraction <= maxTopNgram, type-token ratio >= minTtr.
     *
-    * The scalar stats are a narrow single-pass projection; the only
-    * shuffle is the bigram rollup inherited from [[repetition]] (left
-    * join — documents with < 2 tokens have no bigrams and default to 0).
+    * The whole filter is one narrow single-pass projection — no shuffle
+    * at any scale (the bigram stats come from the native `graft_repstats`
+    * expression; documents with < 2 tokens have no bigrams and default
+    * to 0).
     */
   def qualityFilter(docs: DataFrame,
                     minTokens: Long = 10L, maxTokens: Long = 1000L,
                     minStopword: Double = 0.02, maxTopNgram: Double = 0.20,
                     minTtr: Double = 0.30): DataFrame = {
     val stopList = EnglishStopwords.map("'" + _ + "'").mkString(",")
-    val base = docs
+    docs
       .withColumn("toks", tokensCol(col("text")))
+      .withColumn("st", expr("graft_repstats(text, 2)"))
       .select(
         col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         (size(expr(s"filter(toks, x -> x in ($stopList))")).cast("double") /
           size(col("toks")).cast("double")).as("stopword_ratio"),
         (size(array_distinct(col("toks"))).cast("double") /
-          size(col("toks")).cast("double")).as("type_token_ratio"))
-    val rep = repetition(docs).select(col("doc_id"), col("top_ngram_frac"))
-    base.join(rep, Seq("doc_id"), "left")
-      .withColumn("top_ngram_frac", coalesce(col("top_ngram_frac"), lit(0.0)))
+          size(col("toks")).cast("double")).as("type_token_ratio"),
+        coalesce(
+          col("st.top_count").cast("double") / col("st.n_ngrams").cast("double"),
+          lit(0.0)).as("top_ngram_frac"))
       .withColumn("reason",
         when(col("n_tokens") < minTokens, "too_short")
           .when(col("n_tokens") > maxTokens, "too_long")
