@@ -24,7 +24,8 @@ object Stress {
     // near-dups (suffix token), keeping candidate structure realistic
     val docs = (0 until factor).map { i =>
       docs0.select((col("doc_id") + lit(i * nd)).as("doc_id"),
-        concat(col("text"), lit(s" replica$i")).as("text"))
+        concat(col("text"), lit(s" replica$i")).as("text"),
+        col("lang"), col("source"))
     }.reduce(_ union _).repartition(32).cache()
     val emb = (0 until factor).map { i =>
       emb0.select((col("vec_id") + lit(i * ne)).as("vec_id"), col("embedding"))
@@ -44,6 +45,11 @@ object Stress {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     time("ann_lsh")(graft.ops.Similarity.lshTopK(emb, q).count())
     time("ann_brute")(graft.ops.Similarity.bruteTopK(emb, q).count())
+    time("text_repetition")(graft.ops.TextAnalysis.repetition(docs).count())
+    time("quality_filter")(graft.ops.TextAnalysis.qualityFilter(docs).count())
+    time("text_contamination")(graft.ops.TextAnalysis.contamination(
+      docs, docs.filter(col("doc_id") < 20)).count())
+    time("source_mix")(graft.ops.Sampling.sourceMix(docs).count())
 
     // bulk-load throughput through the partition-parallel sink (the
     // reference's headline metric: rows/s and MiB/s per load phase)
