@@ -212,6 +212,92 @@ case class WordNgrams(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** `graft_bandbuckets(sig, bands)`: LSH band bucket ids from a minhash
+  * signature — band b's bucket is a mixed hash of its signature slice,
+  * computed long-to-long in one pass (the `transform`/`slice`/`concat_ws`
+  * formulation built 8 strings per row and hashed their bytes).
+  * Exact-slice-equality semantics: two signatures land in the same bucket
+  * for band b iff their slices match (modulo 64-bit mix collisions).
+  */
+case class BandBuckets(child: Expression, bands: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorFunctions.requireInput("graft_bandbuckets", child.dataType,
+      "array<bigint>")(dt => dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+
+  @inline private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val k = arr.numElements()
+    val rows = k / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = mix(b.toLong) // band seed so identical slices in different bands differ
+      var i = b * rows
+      val end = i + rows
+      while (i < end) { h = mix(h ^ arr.getLong(i)); i += 1 }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_eqfrac(a, b)`: fraction of positions where two bigint arrays
+  * agree — the minhash Jaccard estimate, one tight loop per candidate
+  * pair instead of an interpreted `zip_with` + `filter` lambda chain.
+  */
+case class LongArrayAgreement(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    val l = VectorFunctions.requireInput("graft_eqfrac", left.dataType,
+      "array<bigint>")(ok)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else VectorFunctions.requireInput("graft_eqfrac", right.dataType,
+      "array<bigint>")(ok)
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / n.toDouble
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `graft_repstats(text, n)`: per-document n-gram repetition statistics
   * in one pass — struct(n_ngrams, top_count, n_distinct), null when the
   * document has fewer than n tokens. Replaces an explode + two-level

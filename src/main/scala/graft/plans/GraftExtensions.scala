@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{MinHashSignature, RepetitionStats, SignBuckets, SimHash64, VectorDot, Winnow, WordNgrams, WordShingles}
+import graft.functions.{BandBuckets, LongArrayAgreement, MinHashSignature, RepetitionStats, SignBuckets, SimHash64, VectorDot, Winnow, WordNgrams, WordShingles}
 
 /** Session extensions registering graft's native expressions as SQL
   * functions. Enable with
@@ -49,6 +49,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordNgrams].getName, "graft_ngrams"),
       (children: Seq[Expression]) =>
         WordNgrams(children.head, intLit(children(1), "n"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bandbuckets"),
+      new ExpressionInfo(classOf[BandBuckets].getName, "graft_bandbuckets"),
+      (children: Seq[Expression]) =>
+        BandBuckets(children.head, intLit(children(1), "bands"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_eqfrac"),
+      new ExpressionInfo(classOf[LongArrayAgreement].getName, "graft_eqfrac"),
+      (children: Seq[Expression]) =>
+        LongArrayAgreement(children.head, children(1))))
     ext.injectFunction((
       new FunctionIdentifier("graft_repstats"),
       new ExpressionInfo(classOf[RepetitionStats].getName, "graft_repstats"),

@@ -78,6 +78,36 @@ class VectorFunctionsSpec extends SparkSpec {
     both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("graft_eqfrac matches the zip_with/filter formulation exactly") {
+    val df = (1 to 30).map(_ =>
+      (Seq.fill(32)(rnd.nextLong(8)), Seq.fill(32)(rnd.nextLong(8))))
+      .toDF("a", "b")
+    df.selectExpr(
+      "graft_eqfrac(a, b) AS nat",
+      "cast(size(filter(zip_with(a, b, (x, y) -> x = y), v -> v)) as double) / 32.0 AS hof")
+      .collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("graft_bandbuckets: equal slices collide, differing slices (almost surely) do not") {
+    val sig = Seq.fill(32)(rnd.nextLong())
+    val sameBand0 = sig.take(4) ++ Seq.fill(28)(rnd.nextLong())   // band 0 slice equal
+    val allDiff = Seq.fill(32)(rnd.nextLong())
+    val df = Seq((sig, sameBand0, allDiff)).toDF("a", "b", "c").selectExpr(
+      "graft_bandbuckets(a, 8) AS ba",
+      "graft_bandbuckets(b, 8) AS bb",
+      "graft_bandbuckets(c, 8) AS bc")
+    val r = df.head
+    val ba = r.getAs[scala.collection.Seq[Long]]("ba")
+    val bb = r.getAs[scala.collection.Seq[Long]]("bb")
+    val bc = r.getAs[scala.collection.Seq[Long]]("bc")
+    assert(ba.size == 8)
+    assert(ba(0) == bb(0), "equal band-0 slices must share a bucket")
+    assert(ba.tail != bb.tail, "differing slices must not all collide")
+    assert(ba.zip(bc).forall { case (x, y) => x != y })
+    // determinism across evaluations
+    assert(df.head.getAs[scala.collection.Seq[Long]]("ba") == ba)
+  }
+
   test("empty and sub-n inputs yield empty signatures, not errors") {
     val df = Seq((1L, ""), (2L, "one two")).toDF("id", "text")
       .selectExpr("id", "graft_shingles(text, 3) AS sh", "graft_winnow(text, 3, 4) AS w")
