@@ -67,4 +67,49 @@ object Snapshots {
     import spark.implicits._
     snaps.toDF()
   }
+
+  private def copyTree(src: Path, dst: Path): Unit = {
+    Files.createDirectories(dst)
+    listDir(src).foreach { p =>
+      val t = dst.resolve(p.getFileName.toString)
+      if (Files.isDirectory(p)) copyTree(p, t)
+      else Files.copy(p, t, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Seed a demo snapshot layout (scripts/setup_demo_data.py): copy a
+    * source dir holding parquet fragments under `nodes/{Label}` and
+    * `relationships/{TYPE}` into `targetBase/{customer}/{timestamp}/` for
+    * every customer × timestamp. Returns the number of datasets created.
+    */
+  def seedLayout(sourceDir: Path, targetBase: Path, customers: Seq[String],
+                 timestamps: Seq[Long]): Int = {
+    val nodes = sourceDir.resolve("nodes")
+    val rels = sourceDir.resolve("relationships")
+    require(Files.isDirectory(nodes) && Files.isDirectory(rels),
+      s"Source data not found. Expected: $nodes and $rels")
+    for (c <- customers; ts <- timestamps) {
+      val target = targetBase.resolve(c).resolve(ts.toString)
+      copyTree(nodes, target.resolve("nodes"))
+      copyTree(rels, target.resolve("relationships"))
+    }
+    customers.size * timestamps.size
+  }
+
+  /** Simulate a new snapshot drop (scripts/simulate_snapshot.py): copy an
+    * existing `customer/sourceTs` snapshot to `customer/newTs` so the
+    * watcher discovers it on its next scan. Returns the new snapshot path,
+    * or None when the source snapshot does not exist. `newTs` is injected
+    * (the reference uses wall-clock now) so tests are deterministic.
+    */
+  def simulateSnapshot(base: Path, customerId: String, sourceTs: Long,
+                       newTs: Long): Option[Path] = {
+    val source = base.resolve(customerId).resolve(sourceTs.toString)
+    if (!Files.isDirectory(source)) None
+    else {
+      val target = base.resolve(customerId).resolve(newTs.toString)
+      copyTree(source, target)
+      Some(target)
+    }
+  }
 }
