@@ -1,0 +1,29 @@
+package graft
+
+import graft.SparkSpec
+
+/** Structural scale guard over the ENTIRE driver contract: no registered
+  * query may plan a CartesianProduct, and only the two queries that
+  * intentionally broadcast a tiny side against the corpus scan
+  * (ann_brute's query set, ann_ivf's centroid table) may use a
+  * BroadcastNestedLoopJoin. Catches any future operator change that
+  * silently degenerates into an all-pairs product.
+  */
+class QueryPlanSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  // intentional BNLJ: a bounded broadcast side (|Q| queries / nLists
+  // centroids) streamed against the corpus — the designed scale shape
+  private val broadcastNlAllowed = Set("ann_brute", "ann_ivf")
+
+  test("no registered query plans a cross product") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name: CartesianProduct in plan")
+      if (!broadcastNlAllowed.contains(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name: unexpected BroadcastNestedLoopJoin")
+    }
+  }
+}
