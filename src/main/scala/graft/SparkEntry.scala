@@ -129,6 +129,8 @@ object SparkEntry {
       TextAnalysis.qualityFilter(rd(s, dir, "documents")).orderBy("doc_id")),
     "source_mix" -> ((s, dir) =>
       Sampling.sourceMix(rd(s, dir, "documents")).orderBy("source", "lang")),
+    "corpus_stats" -> ((s, dir) =>
+      Sampling.corpusStats(rd(s, dir, "documents")).orderBy("lang")),
     // --- training-set assembly
     "split_assign" -> ((s, dir) =>
       Sampling.splitAssign(
@@ -400,6 +402,18 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, stopword_ratio, type_token_ratio,
         |  top_ngram_frac, (reason = 'ok') AS keep, reason
         |FROM decided ORDER BY doc_id""".stripMargin,
+    "corpus_stats" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt
+        |  FROM documents
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(nt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_tokens,
+        |  CAST(quantile_cont(nt, 0.5) AS DOUBLE) AS p50_tokens,
+        |  CAST(quantile_cont(nt, 0.9) AS DOUBLE) AS p90_tokens,
+        |  min(nt) AS min_tokens, max(nt) AS max_tokens
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "source_mix" ->
       """WITH per AS (
         |  SELECT source, lang, count(*) AS n_docs,

@@ -36,6 +36,31 @@ object Sampling {
       .withColumn("fraction", col("n").cast("double") / lit(total))
   }
 
+  /** Corpus profile: per-language token-length distribution (doc count,
+    * mean, p50/p90, min/max) — the length-histogram report behind context-
+    * window and truncation decisions.
+    *
+    * `exact = true` uses exact `percentile` (holds each group's values;
+    * fine up to millions of docs per group, and DuckDB-oracle-matchable).
+    * At 100 TB pass `exact = false`: `approx_percentile` is a t-digest
+    * sketch with full partial aggregation — constant memory per group.
+    */
+  def corpusStats(docs: DataFrame, exact: Boolean = true): DataFrame = {
+    val pct = if (exact) "percentile" else "approx_percentile"
+    docs
+      .withColumn("n_toks",
+        size(TextAnalysis.tokensCol(col("text"))).cast("long"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("n_toks")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_tokens"),
+        expr(s"$pct(n_toks, 0.5)").cast("double").as("p50_tokens"),
+        expr(s"$pct(n_toks, 0.9)").cast("double").as("p90_tokens"),
+        min(col("n_toks")).as("min_tokens"),
+        max(col("n_toks")).as("max_tokens"))
+  }
+
   /** Training-mixture composition: per (source, lang) document and token
     * counts plus each cell's share of all corpus tokens — the data-mix
     * report behind sampling-weight decisions.

@@ -27,6 +27,22 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(rows.map(_.getAs[Double]("fraction")).sum - 1.0) < 1e-12)
   }
 
+  test("corpusStats profiles token-length distribution per language") {
+    val docs = Seq(
+      (0L, "a b c", "en"), (1L, "a b c d e", "en"), (2L, "a b c d e f g", "en"),
+      (3L, "x", "de")
+    ).toDF("doc_id", "text", "lang")
+    val exact = Sampling.corpusStats(docs).orderBy("lang").collect()
+    assert(exact(0).getAs[Long]("n_docs") == 1L)          // de
+    assert(exact(1).getAs[Double]("mean_tokens") == 5.0)  // en: (3+5+7)/3
+    assert(exact(1).getAs[Double]("p50_tokens") == 5.0)
+    assert(exact(1).getAs[Long]("min_tokens") == 3L)
+    assert(exact(1).getAs[Long]("max_tokens") == 7L)
+    // the sketch path returns the same medians on tiny groups
+    val approx = Sampling.corpusStats(docs, exact = false).orderBy("lang").collect()
+    assert(approx(1).getAs[Double]("p50_tokens") == 5.0)
+  }
+
   test("sourceMix reports per-cell counts and corpus token shares") {
     val docs = Seq(
       (0L, "a b c", "en", "web"),
