@@ -50,6 +50,17 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicates("fp")
 
+  /** The training-data text pipeline on a document stream: watermarked
+    * content dedup, then the (stateless, narrow) quality filter applied
+    * UNCHANGED from the batch path — the ops library is engine-mode
+    * agnostic, so batch backfill and streaming ingest share one code
+    * path. Emits only kept documents.
+    */
+  def streamingTextPipeline(docs: DataFrame,
+                            watermark: String = "1 hour"): DataFrame =
+    graft.ops.TextAnalysis.qualityFilter(streamingDedup(docs, watermark))
+      .filter(col("keep"))
+
   final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
   /** Custom streaming state via `mapGroupsWithState`: running per-user

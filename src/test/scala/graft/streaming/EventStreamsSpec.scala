@@ -69,6 +69,32 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming text pipeline dedups then quality-filters on the batch code path") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val piped = EventStreams.streamingTextPipeline(
+      mem.toDF.toDF("ts", "doc_id", "text"))
+    val q = piped.writeStream
+      .format("memory").queryName("textpipe_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+      val good = "the cat sat on a mat and it was that simple story"
+      mem.addData(
+        (ts(0), 1L, good),
+        (ts(1), 2L, good),        // duplicate → dropped by dedup
+        (ts(2), 3L, "too short"), // unique but fails the quality filter
+        (ts(3), 4L, "the dog ran over a hill and it was that fast there"))
+      q.processAllAvailable()
+      val rows = spark.table("textpipe_test").collect()
+      assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 4L),
+        "only unique, quality-passing docs flow through")
+      assert(rows.forall(_.getAs[Boolean]("keep")))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user totals across batches") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
