@@ -67,6 +67,8 @@ object SparkEntry {
       Dedup.minHashLsh(rd(s, dir, "documents")).orderBy("a_id", "b_id")),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHash(rd(s, dir, "documents")).orderBy("a_id", "b_id")),
+    "dedup_winnow" -> ((s, dir) =>
+      Dedup.winnowNearDup(rd(s, dir, "documents")).orderBy("a_id", "b_id")),
     "dedup_embedding" -> ((s, dir) => {
       // The corpus has no natural pairs above tau (max cosine ~0.51 at
       // sf0.01), so the query plants exact duplicates of the first 25

@@ -46,6 +46,22 @@ class DedupSpec extends SparkSpec {
     assert(rows.get((0L, 1L)).contains(0L), "identical docs must have hamming 0")
   }
 
+  test("winnowNearDup surfaces a shared passage between different docs, no cross product") {
+    val passage = (1 to 12).map(i => s"p$i").mkString(" ") // >= w+k-1 tokens
+    val corpus = Seq(
+      (0L, s"alpha beta gamma $passage delta epsilon zeta"),
+      (1L, s"one two three four five $passage six seven eight"),
+      (2L, "unrelated words entirely about catalyst shuffles and tungsten"),
+      (3L, "more unrelated text that shares nothing with anyone here")
+    ).toDF("doc_id", "text")
+    val df = Dedup.winnowNearDup(corpus)
+    assertNoCrossProduct(df, "winnowNearDup")
+    val pairs = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)),
+      "docs sharing a 12-token passage must share fingerprints")
+    assert(!pairs.exists(p => p._1 >= 2L || p._2 >= 2L), "unrelated docs matched")
+  }
+
   test("embeddingNearDup catches planted duplicate vectors, no cross product") {
     val vec = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
     val near = vec.clone(); near(0) = near(0) + 0.001f
