@@ -60,6 +60,38 @@ object Multimodal {
     }
   }
 
+  case class ResizedMedia(media_id: Long, mime: String, src_width: Int,
+                          src_height: Int, width: Int, height: Int,
+                          n_bytes: Long, checksum: String)
+
+  /** Resize plumbing: decode once per item inside `mapPartitions`, scale
+    * the longer side down to `maxDim` (never upscale) preserving aspect
+    * ratio, and emit the transformed payload's metadata. The pixel
+    * transform itself is a STUB (no codec in this container — the payload
+    * stands in truncated proportionally to the area ratio); the schema,
+    * batching, and aspect math are the real plumbing a production scaler
+    * drops into.
+    */
+  def resize(media: DataFrame, maxDim: Int = 256)
+            (implicit spark: SparkSession): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { rec =>
+        val (w, h, _) = StubDecoder.decode(rec.mime, rec.payload)
+        val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+        val (nw, nh) = (math.max(1, math.round(w * scale).toInt),
+          math.max(1, math.round(h * scale).toInt))
+        // STUB payload transform: length shrinks with the area ratio
+        val outLen = math.max(1, (rec.payload.length * scale * scale).toInt)
+        val out = java.util.Arrays.copyOf(rec.payload, outLen)
+        md.reset()
+        ResizedMedia(rec.media_id, rec.mime, w, h, nw, nh, outLen.toLong,
+          md.digest(out).map("%02x".format(_)).mkString)
+      }
+    }
+  }
+
   case class FrameSample(media_id: Long, frame_idx: Int, width: Int,
                          height: Int, frame_md5: String)
 

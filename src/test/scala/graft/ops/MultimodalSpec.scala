@@ -32,6 +32,26 @@ class MultimodalSpec extends SparkSpec {
       "frame checksums differ per frame index")
   }
 
+  test("resize preserves aspect ratio, never upscales, shrinks payload by area") {
+    implicit val s = spark
+    val big = Array.fill[Byte](4096)(100)   // decodes to 164x164
+    val tiny = Array[Byte](1, 2)            // decodes to 65x66 (< maxDim)
+    val media = Seq(
+      (1L, "image/fake", big),
+      (2L, "image/fake", tiny)
+    ).toDF("media_id", "mime", "payload")
+    val out = Multimodal.resize(media, maxDim = 82).collect().sortBy(_.media_id)
+    val r1 = out(0)
+    assert(math.max(r1.width, r1.height) == 82, "longer side scaled to maxDim")
+    assert(math.abs(r1.width.toDouble / r1.height -
+      r1.src_width.toDouble / r1.src_height) < 0.05, "aspect preserved")
+    assert(r1.n_bytes < 4096, "payload shrinks with area")
+    val r2 = out(1)
+    assert((r2.width, r2.height) == (r2.src_width, r2.src_height),
+      "small media never upscaled")
+    assert(r2.n_bytes == 2L)
+  }
+
   test("extractFeatures runs batched per partition and is deterministic") {
     implicit val s = spark
     val feats = Multimodal.extractFeatures(Multimodal.asMedia(docs).repartition(2))
