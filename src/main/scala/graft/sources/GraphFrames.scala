@@ -26,6 +26,26 @@ object GraphFrames {
   def readEdges(spark: SparkSession, path: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(path)
 
+  /** Format-generic variants: the same fragment-directory layout served
+    * from csv/json/orc sources — a Spark-native widening the pyarrow
+    * reference cannot express (it is parquet-only). CSV reads with
+    * header + schema inference so positional normalization applies
+    * unchanged; production pins an explicit schema to skip the
+    * inference pass.
+    */
+  def readNodesAs(spark: SparkSession, path: String, format: String): DataFrame =
+    reader(spark, format).load(path)
+
+  def readEdgesAs(spark: SparkSession, path: String, format: String): DataFrame =
+    reader(spark, format).load(path)
+
+  private def reader(spark: SparkSession, format: String) = {
+    val base = spark.read.format(format)
+      .option("recursiveFileLookup", "true")
+    if (format == "csv") base.option("header", "true").option("inferSchema", "true")
+    else base
+  }
+
   /** Node schema normalization (neo4j_pq.py:43-85): positionally rename
     * col0 → `nodeId`, col1 → `labels`, and split a comma-separated label
     * string into `array<string>`. The reference does the split through a

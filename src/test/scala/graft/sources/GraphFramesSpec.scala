@@ -42,4 +42,32 @@ class GraphFramesSpec extends SparkSpec {
     val df = GraphFrames.readNodes(spark, base.toString)
     assert(df.count() == 3)
   }
+
+  test("csv and json fragment dirs normalize identically to parquet") {
+    val rows = Seq((1L, "Person,Customer", "alice"), (2L, "Person", "bob"))
+    def normalized(df: org.apache.spark.sql.DataFrame) =
+      GraphFrames.normalizeNodes(df).orderBy("nodeId").collect()
+        .map(r => (r.getAs[Long]("nodeId"),
+          r.getAs[scala.collection.Seq[String]]("labels").toSeq)).toSeq
+
+    val csvBase = java.nio.file.Files.createTempDirectory("graft-csv")
+    rows.toDF("id", "labels", "name").write
+      .option("header", "true").csv(s"$csvBase/Person/part")
+    val fromCsv = GraphFrames.readNodesAs(spark, csvBase.toString, "csv")
+      .withColumn("id", $"id".cast("long")) // csv inference yields int
+
+    val jsonBase = java.nio.file.Files.createTempDirectory("graft-json")
+    rows.toDF("id", "labels", "name").write.json(s"$jsonBase/Person/part")
+    // json columns sort alphabetically; restore positional order
+    val fromJson = GraphFrames.readNodesAs(spark, jsonBase.toString, "json")
+      .select("id", "labels", "name")
+
+    val expected = Seq(1L -> Seq("Person", "Customer"), 2L -> Seq("Person"))
+    assert(normalized(fromCsv) == expected)
+    assert(normalized(fromJson) == expected)
+  }
+
+  test("flagship entry() returns rows with built-in functions only") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
 }
