@@ -69,6 +69,10 @@ object SparkEntry {
       Dedup.simHash(rd(s, dir, "documents")).orderBy("a_id", "b_id")),
     "dedup_winnow" -> ((s, dir) =>
       Dedup.winnowNearDup(rd(s, dir, "documents")).orderBy("a_id", "b_id")),
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.resolveClusters(
+        Dedup.ngramJaccard(rd(s, dir, "documents")).select("a_id", "b_id"))
+        .orderBy("doc_id")),
     "dedup_embedding" -> ((s, dir) => {
       // The corpus has no natural pairs above tau (max cosine ~0.51 at
       // sf0.01), so the query plants exact duplicates of the first 25
@@ -264,6 +268,43 @@ object SparkEntry {
         |)
         |SELECT a_id, b_id, cosine FROM pairs WHERE cosine >= 0.95
         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM toks WHERE len(t) >= 3
+        |), pruned AS (
+        |  SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+        |    FROM sh) WHERE df <= 25
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS set_size FROM pruned GROUP BY doc_id
+        |), cand AS (
+        |  SELECT l.doc_id AS a_id, r.doc_id AS b_id, count(*) AS common
+        |  FROM pruned l JOIN pruned r
+        |    ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2
+        |), p AS (
+        |  SELECT a_id, b_id FROM cand
+        |  JOIN sizes sa ON cand.a_id = sa.doc_id
+        |  JOIN sizes sb ON cand.b_id = sb.doc_id
+        |  WHERE CAST(common AS DOUBLE)
+        |    / CAST(sa.set_size + sb.set_size - common AS DOUBLE) >= 0.5
+        |), nodes AS (
+        |  SELECT a_id AS id FROM p UNION SELECT b_id FROM p
+        |), edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM p
+        |  UNION ALL SELECT b_id, a_id FROM p
+        |), walk(id, label) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id
+        |)
+        |SELECT id AS doc_id, min(label) AS cluster_id
+        |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
     "ann_brute" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

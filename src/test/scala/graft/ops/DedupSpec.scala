@@ -46,6 +46,27 @@ class DedupSpec extends SparkSpec {
     assert(rows.get((0L, 1L)).contains(0L), "identical docs must have hamming 0")
   }
 
+  test("resolveClusters finds connected components; keepRepresentative keeps cluster minima") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),                   // chain → cluster 1
+      (5L, 6L),                             // pair → cluster 5
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L) // longer chain → cluster 10
+    ).toDF("a_id", "b_id")
+    val clusters = Dedup.resolveClusters(pairs)
+    val byDoc = clusters.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(byDoc(_) == 1L))
+    assert(Seq(5L, 6L).forall(byDoc(_) == 5L))
+    assert(Seq(10L, 11L, 12L, 13L, 14L).forall(byDoc(_) == 10L),
+      s"chain must converge to its minimum: $byDoc")
+
+    val corpus = (1L to 14L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val kept = Dedup.keepRepresentative(corpus, clusters)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(1L, 4L, 5L, 7L, 8L, 9L, 10L),
+      "one representative per cluster + every unclustered doc")
+  }
+
   test("winnowNearDup surfaces a shared passage between different docs, no cross product") {
     val passage = (1 to 12).map(i => s"p$i").mkString(" ") // >= w+k-1 tokens
     val corpus = Seq(
