@@ -45,6 +45,8 @@ object Stress {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     time("ann_lsh")(graft.ops.Similarity.lshTopK(emb, q).count())
     time("ann_brute")(graft.ops.Similarity.bruteTopK(emb, q).count())
+    time("dedup_clusters")(graft.ops.Dedup.resolveClusters(
+      graft.ops.Dedup.ngramJaccard(docs).select("a_id", "b_id")).count())
     time("text_repetition")(graft.ops.TextAnalysis.repetition(docs).count())
     time("quality_filter")(graft.ops.TextAnalysis.qualityFilter(docs).count())
     time("text_contamination")(graft.ops.TextAnalysis.contamination(
