@@ -126,6 +126,16 @@ object SparkEntry {
       TextAnalysis.bpeTokens(rd(s, dir, "documents")).orderBy("doc_id")),
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(rd(s, dir, "documents")).orderBy("doc_id")),
+    "text_pii" -> ((s, dir) => {
+      // the corpus carries no natural PII, so the query plants a
+      // deterministic contact line per doc (same construction in the
+      // oracle) — redaction counts and the scrubbed-text hash stay exact
+      val docs = rd(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 555-0123 from 10.0.0."),
+          (col("doc_id") % 256).cast("string")).as("text"))
+      TextAnalysis.redactPii(docs).orderBy("doc_id")
+    }),
     "text_contamination" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
       TextAnalysis.contamination(docs, docs.filter(col("doc_id") < 20))
@@ -392,6 +402,23 @@ object SparkEntry {
         |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_ngram_frac,
         |  CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS distinct_ngram_ratio
         |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_pii" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or 555-0123 from 10.0.0.'
+        |      || CAST(doc_id % 256 AS VARCHAR) AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |    '\b\d{3}[-.]\d{4}\b', '[PHONE]', 'g')) AS redacted_md5
+        |FROM p ORDER BY doc_id""".stripMargin,
     "text_contamination" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents

@@ -231,6 +231,30 @@ object TextAnalysis {
         "top_ngram_frac", "keep", "reason")
   }
 
+  /** PII detection + redaction: count and replace emails, phone-like
+    * numbers, and IPv4 addresses with typed placeholders — the scrubbing
+    * pass every published-corpus pipeline runs. Pure narrow projection
+    * (three codegen'd regex passes); patterns are RE2-compatible so the
+    * DuckDB oracle applies the identical expressions.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def redactPii(docs: DataFrame): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      PhoneRe, "[PHONE]")
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ips"),
+      md5(redacted).as("redacted_md5"))
+  }
+
   /** Document fingerprint: md5 of lowercase, whitespace-collapsed text —
     * a deterministic canonical-form hash (the scalable stand-in for the
     * reference-era rolling hash; identical in DuckDB's `md5`).

@@ -92,6 +92,23 @@ class TextAnalysisSpec extends SparkSpec {
       "top-ngram rule precedes type-token rule")
   }
 
+  test("redactPii counts and scrubs emails, phones, and IPs") {
+    val df = Seq(
+      (1L, "mail alice@corp.example.org or bob.smith@site.io, call 555-1234, host 192.168.0.1"),
+      (2L, "nothing sensitive here at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(df).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_emails") == 2L)
+    assert(out(0).getAs[Long]("n_phones") == 1L)
+    assert(out(0).getAs[Long]("n_ips") == 1L)
+    assert(out(1).getAs[Long]("n_emails") == 0L)
+    // hash of the scrubbed text equals hashing the expected redaction
+    val expected = df.sparkSession.sql(
+      "SELECT md5('mail [EMAIL] or [EMAIL], call [PHONE], host [IP]') AS m")
+      .head.getString(0)
+    assert(out(0).getAs[String]("redacted_md5") == expected)
+  }
+
   test("langId votes marker tokens with fixed tiebreak") {
     val multilang = Seq(
       (0L, "the cat and the dog is here"),
