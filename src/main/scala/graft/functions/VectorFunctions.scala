@@ -241,6 +241,10 @@ case class BandBuckets(child: Expression, bands: Int)
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val k = arr.numElements()
+    if (bands <= 0 || k % bands != 0)
+      throw new IllegalArgumentException(
+        s"graft_bandbuckets: signature length $k is not divisible into " +
+          s"$bands bands; trailing elements would be silently ignored")
     val rows = k / bands
     val out = new Array[Long](bands)
     var b = 0
@@ -334,6 +338,54 @@ case class RepetitionStats(child: Expression, n: Int)
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](total.toLong, top.toLong, counts.size.toLong))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_tokstats(text, stopCsv)`: whitespace-token statistics in one
+  * pass — struct(n_tokens, n_stop, n_distinct), where n_stop counts token
+  * occurrences in the comma-separated `stopCsv` list (empty list → 0).
+  * Tokenization matches `split(trim(text), '\s+')` (empty text → one
+  * empty token), so ratios derived from the struct hash-match the DuckDB
+  * `string_split_regex` oracles. Replaces interpreted
+  * `filter(toks, x -> x IN (...))` lambdas in the quality/langid hot
+  * paths — and, being a non-cheap struct producer, is never duplicated
+  * by CollapseProject, so the document is tokenized exactly once however
+  * many fields downstream projections extract.
+  */
+case class TokenStats(child: Expression, stopCsv: String)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorFunctions.requireInput("graft_tokstats", child.dataType,
+      "string")(_ == StringType)
+
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopCsv.split(",").foreach(t => if (t.nonEmpty) s.add(t))
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.trim.split("\\s+")
+    val distinct = new java.util.HashSet[String](toks.length * 2)
+    var stop = 0L
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (!stopSet.isEmpty && stopSet.contains(t)) stop += 1
+      distinct.add(t)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](toks.length.toLong, stop, distinct.size.toLong))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

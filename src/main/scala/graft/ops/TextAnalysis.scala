@@ -18,18 +18,20 @@ object TextAnalysis {
   def tokensCol(text: Column): Column = split(trim(text), "\\s+")
 
   /** Token statistics per document: char count, token count, distinct
-    * token count, type-token ratio.
+    * token count, type-token ratio. One `graft_tokstats` pass per doc
+    * (alias the struct once, extract fields in the next select — the
+    * CollapseProject-safe shape).
     */
   def tokens(docs: DataFrame): DataFrame =
     docs
-      .withColumn("toks", tokensCol(col("text")))
+      .withColumn("st", expr("graft_tokstats(text, '')"))
       .select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars_m"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
-        (size(array_distinct(col("toks"))).cast("double") /
-          size(col("toks")).cast("double")).as("type_token_ratio")
+        col("st.n_tokens").as("n_tokens"),
+        col("st.n_distinct").as("n_distinct"),
+        (col("st.n_distinct").cast("double") /
+          col("st.n_tokens").cast("double")).as("type_token_ratio")
       )
 
   /** Stopword list used by quality scoring and language ID. Kept small and
@@ -47,12 +49,11 @@ object TextAnalysis {
       length(regexp_replace(col("text"), "\\p{Punct}", ""))).cast("double")
     val spaces = (length(col("text")) -
       length(regexp_replace(col("text"), "\\s", ""))).cast("double")
-    val stopHits = size(expr(
-      s"filter(toks, x -> x in (${EnglishStopwords.map("'" + _ + "'").mkString(",")}))"
-    )).cast("double")
-    val nToks = size(col("toks")).cast("double")
+    val stopHits = col("st.n_stop").cast("double")
+    val nToks = col("st.n_tokens").cast("double")
     docs
-      .withColumn("toks", tokensCol(col("text")))
+      .withColumn("st",
+        expr(s"graft_tokstats(text, '${EnglishStopwords.mkString(",")}')"))
       .select(
         col("doc_id"),
         nChars.cast("long").as("n_chars_m"),
@@ -80,26 +81,31 @@ object TextAnalysis {
   )
 
   private def markerHits(lang: String): Column = {
-    val lits = LangMarkers.toMap.apply(lang).map("'" + _ + "'").mkString(",")
-    size(expr(s"filter(toks, x -> x in ($lits))")).cast("long")
+    val csv = LangMarkers.toMap.apply(lang).mkString(",")
+    expr(s"graft_tokstats(text, '$csv')").getField("n_stop")
   }
 
   /** Language ID by marker-token voting with a fixed tiebreak order
     * (en > de > es > fr > zh, then "und" when no marker hits at all).
+    * One native token pass per language set — no interpreted lambdas.
     */
   def langId(docs: DataFrame): DataFrame = {
-    val hits = LangMarkers.map { case (l, _) => l -> markerHits(l) }
+    // alias each native pass once; the vote/tiebreak expressions below
+    // reference the aliased columns (CollapseProject keeps non-cheap
+    // producers un-duplicated, so each language set scans the doc once)
+    val withHits = docs.select(
+      col("doc_id") +:
+        LangMarkers.map { case (l, _) => markerHits(l).as(s"hits_$l") }: _*)
+    val hits = LangMarkers.map { case (l, _) => l -> col(s"hits_$l") }
     val best = hits.tail.foldLeft(hits.head._2)((acc, h) => greatest(acc, h._2))
     val predicted = hits
       .foldRight(lit("und"): Column) { case ((l, h), els) =>
         when(h === best && best > 0, lit(l)).otherwise(els)
       }
-    docs
-      .withColumn("toks", tokensCol(col("text")))
-      .select(
-        (col("doc_id") +: hits.map { case (l, h) => h.as(s"hits_$l") }) :+
-          predicted.as("predicted_lang"): _*
-      )
+    withHits.select(
+      (col("doc_id") +: hits.map { case (l, h) => h.as(s"hits_$l") }) :+
+        predicted.as("predicted_lang"): _*
+    )
   }
 
   /** Corpus-wide n-gram document frequencies: how many documents contain
@@ -196,26 +202,27 @@ object TextAnalysis {
     * token count in [minTokens, maxTokens], stopword ratio >= minStopword,
     * top-bigram fraction <= maxTopNgram, type-token ratio >= minTtr.
     *
-    * The whole filter is one narrow single-pass projection — no shuffle
-    * at any scale (the bigram stats come from the native `graft_repstats`
-    * expression; documents with < 2 tokens have no bigrams and default
-    * to 0).
+    * The whole filter is two native single-pass expressions inside one
+    * narrow projection — no shuffle, no interpreted lambdas, at any scale
+    * (token stats from `graft_tokstats`, bigram stats from
+    * `graft_repstats`; documents with < 2 tokens have no bigrams and
+    * default to 0).
     */
   def qualityFilter(docs: DataFrame,
                     minTokens: Long = 10L, maxTokens: Long = 1000L,
                     minStopword: Double = 0.02, maxTopNgram: Double = 0.20,
                     minTtr: Double = 0.30): DataFrame = {
-    val stopList = EnglishStopwords.map("'" + _ + "'").mkString(",")
     docs
-      .withColumn("toks", tokensCol(col("text")))
+      .withColumn("ts",
+        expr(s"graft_tokstats(text, '${EnglishStopwords.mkString(",")}')"))
       .withColumn("st", expr("graft_repstats(text, 2)"))
       .select(
         col("doc_id"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        (size(expr(s"filter(toks, x -> x in ($stopList))")).cast("double") /
-          size(col("toks")).cast("double")).as("stopword_ratio"),
-        (size(array_distinct(col("toks"))).cast("double") /
-          size(col("toks")).cast("double")).as("type_token_ratio"),
+        col("ts.n_tokens").as("n_tokens"),
+        (col("ts.n_stop").cast("double") /
+          col("ts.n_tokens").cast("double")).as("stopword_ratio"),
+        (col("ts.n_distinct").cast("double") /
+          col("ts.n_tokens").cast("double")).as("type_token_ratio"),
         coalesce(
           col("st.top_count").cast("double") / col("st.n_ngrams").cast("double"),
           lit(0.0)).as("top_ngram_frac"))
@@ -234,12 +241,18 @@ object TextAnalysis {
   /** PII detection + redaction: count and replace emails, phone-like
     * numbers, and IPv4 addresses with typed placeholders — the scrubbing
     * pass every published-corpus pipeline runs. Pure narrow projection
-    * (three codegen'd regex passes); patterns are RE2-compatible so the
-    * DuckDB oracle applies the identical expressions.
+    * (three codegen'd regex passes).
+    *
+    * The patterns deliberately avoid `\b`: Java's word boundary is
+    * Unicode-aware while RE2's (DuckDB's) is ASCII-only, so a digit
+    * adjacent to a non-ASCII letter would make the two engines disagree.
+    * Character classes alone behave identically in both, at the cost of
+    * occasionally over-matching inside longer digit runs — the right
+    * trade for an engine-exact redaction hash.
     */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhoneRe = "\\b\\d{3}[-.]\\d{4}\\b"
-  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\d{3}[-.]\\d{4}"
+  val Ipv4Re = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
 
   def redactPii(docs: DataFrame): DataFrame = {
     val redacted = regexp_replace(

@@ -74,12 +74,23 @@ final class OrchestratorRunner(
         case Orchestrator.RetryScheduled(next, backoffSec) =>
           logger.warn(s"worker $id: retry ${next.retryCount} in ${backoffSec}s")
           pendingRetries.incrementAndGet()
-          retryExec.schedule(new Runnable {
+          try retryExec.schedule(new Runnable {
             override def run(): Unit = {
               if (!stop.get()) queue.add(next)
               pendingRetries.decrementAndGet()
             }
           }, backoffToMs(backoffSec), TimeUnit.MILLISECONDS)
+          catch {
+            // the scheduler is shut down (stopAndDrain raced an in-flight
+            // task): record the task as failed instead of silently losing
+            // it, and release the counter so a later drain can't spin on it
+            case _: java.util.concurrent.RejectedExecutionException =>
+              pendingRetries.decrementAndGet()
+              stats.recordFailure()
+              logger.error(
+                s"worker $id: giving up: retry of ${next.customerId}/${next.timestamp} " +
+                  "rejected, orchestrator stopping")
+          }
         case Orchestrator.Failed(err) =>
           logger.error(s"worker $id: giving up: $err")
       }

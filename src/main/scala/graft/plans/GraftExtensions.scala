@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{BandBuckets, LongArrayAgreement, MinHashSignature, RepetitionStats, SignBuckets, SimHash64, VectorDot, Winnow, WordNgrams, WordShingles}
+import graft.functions.{BandBuckets, LongArrayAgreement, MinHashSignature, RepetitionStats, SignBuckets, SimHash64, TokenStats, VectorDot, Winnow, WordNgrams, WordShingles}
 
 /** Session extensions registering graft's native expressions as SQL
   * functions. Enable with
@@ -22,6 +22,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -64,6 +70,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RepetitionStats].getName, "graft_repstats"),
       (children: Seq[Expression]) =>
         RepetitionStats(children.head, intLit(children(1), "n"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_tokstats"),
+      new ExpressionInfo(classOf[TokenStats].getName, "graft_tokstats"),
+      (children: Seq[Expression]) =>
+        TokenStats(children.head, strLit(children(1), "stopCsv"))))
     ext.injectFunction((
       new FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[Winnow].getName, "graft_winnow"),

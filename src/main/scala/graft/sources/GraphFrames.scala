@@ -28,16 +28,32 @@ object GraphFrames {
 
   /** Format-generic variants: the same fragment-directory layout served
     * from csv/json/orc sources — a Spark-native widening the pyarrow
-    * reference cannot express (it is parquet-only). CSV reads with
-    * header + schema inference so positional normalization applies
-    * unchanged; production pins an explicit schema to skip the
-    * inference pass.
+    * reference cannot express (it is parquet-only).
+    *
+    * Positional normalization needs the frame's column ORDER to match the
+    * layout. CSV (header) and ORC preserve file column order, but JSON
+    * schema inference returns fields ALPHABETICALLY — feeding that
+    * straight into normalizeNodes would silently mislabel columns
+    * whenever layout order isn't alphabetical. Pass `columns` (the layout
+    * order) for JSON — it is `require`d there; for other formats it is an
+    * optional re-projection. Production pins a full explicit schema,
+    * which also skips the inference pass.
     */
-  def readNodesAs(spark: SparkSession, path: String, format: String): DataFrame =
-    reader(spark, format).load(path)
+  def readNodesAs(spark: SparkSession, path: String, format: String,
+                  columns: Seq[String] = Seq.empty): DataFrame =
+    ordered(reader(spark, format).load(path), format, columns)
 
-  def readEdgesAs(spark: SparkSession, path: String, format: String): DataFrame =
-    reader(spark, format).load(path)
+  def readEdgesAs(spark: SparkSession, path: String, format: String,
+                  columns: Seq[String] = Seq.empty): DataFrame =
+    ordered(reader(spark, format).load(path), format, columns)
+
+  private def ordered(df: DataFrame, format: String,
+                      columns: Seq[String]): DataFrame = {
+    require(format != "json" || columns.nonEmpty,
+      "json infers fields in alphabetical order; pass columns= with the " +
+        "layout's positional order")
+    if (columns.isEmpty) df else df.select(columns.map(col): _*)
+  }
 
   private def reader(spark: SparkSession, format: String) = {
     val base = spark.read.format(format)

@@ -38,17 +38,21 @@ object EventStreams {
         col("n_users_approx"))
 
   /** Streaming exact dedup: keep the first document per content
-    * fingerprint. `dropDuplicates` keyed on the fingerprint with a
-    * watermark on event time bounds state — fingerprints older than the
-    * watermark are evicted, so this dedups within the late-data horizon
-    * at O(open-horizon) state, the only formulation that survives an
-    * unbounded stream.
+    * fingerprint, via `dropDuplicatesWithinWatermark` keyed on the
+    * fingerprint. Plain `dropDuplicates("fp")` would NEVER evict state
+    * (Spark only cleans dedup state when the event-time column is part
+    * of the key), so every fingerprint ever seen would accumulate until
+    * executor OOM; the within-watermark variant expires each fingerprint
+    * once the watermark passes its first sighting, bounding state to the
+    * late-data horizon — the only formulation that survives an unbounded
+    * stream. Duplicates separated by more than the watermark delay can
+    * re-emit, the standard horizon trade-off.
     */
   def streamingDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
     docs
       .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
       .withWatermark("ts", watermark)
-      .dropDuplicates("fp")
+      .dropDuplicatesWithinWatermark("fp")
 
   /** The training-data text pipeline on a document stream: watermarked
     * content dedup, then the (stateless, narrow) quality filter applied

@@ -16,6 +16,10 @@ class QueryPlanSpec extends SparkSpec {
   // centroids) streamed against the corpus — the designed scale shape
   private val broadcastNlAllowed = Set("ann_brute", "ann_ivf")
 
+  // dedup_clusters executes its iterative joins eagerly behind
+  // localCheckpoint while fn() builds the frame, so this sweep only sees
+  // its post-checkpoint scan; the per-round join topology is asserted
+  // directly in DedupSpec ("cluster propagation round plans equi-joins").
   test("no registered query plans a cross product") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString

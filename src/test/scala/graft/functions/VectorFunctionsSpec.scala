@@ -108,6 +108,38 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(df.head.getAs[scala.collection.Seq[Long]]("ba") == ba)
   }
 
+  test("graft_bandbuckets rejects a signature length not divisible by bands") {
+    val df = Seq(Seq.fill(30)(rnd.nextLong())).toDF("sig")
+      .selectExpr("graft_bandbuckets(sig, 8) AS b")
+    val e = intercept[Exception](df.collect())
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("not divisible")),
+      s"expected a divisibility error, got $e")
+  }
+
+  test("graft_tokstats matches the split/filter/array_distinct formulation") {
+    val df = Seq(
+      "the cat sat on the mat for a while",
+      "",               // empty text → one empty token, like split(trim(x))
+      "  padded   whitespace the the  ",
+      "nostopwordshere atall").toDF("text")
+    val stops = "the,a,of,and,to,in,is,it,that,for"
+    val rows = df.selectExpr(
+      s"graft_tokstats(text, '$stops') AS st",
+      "size(split(trim(text), '\\\\s+')) AS n_tokens_ref",
+      s"size(filter(split(trim(text), '\\\\s+'), x -> x in (${stops.split(",").map("'" + _ + "'").mkString(",")}))) AS n_stop_ref",
+      "size(array_distinct(split(trim(text), '\\\\s+'))) AS n_distinct_ref")
+      .collect()
+    rows.foreach { r =>
+      val st = r.getStruct(0)
+      assert(st.getLong(0) == r.getAs[Int]("n_tokens_ref").toLong)
+      assert(st.getLong(1) == r.getAs[Int]("n_stop_ref").toLong)
+      assert(st.getLong(2) == r.getAs[Int]("n_distinct_ref").toLong)
+    }
+  }
+
   test("empty and sub-n inputs yield empty signatures, not errors") {
     val df = Seq((1L, ""), (2L, "one two")).toDF("id", "text")
       .selectExpr("id", "graft_shingles(text, 3) AS sh", "graft_winnow(text, 3, 4) AS w")

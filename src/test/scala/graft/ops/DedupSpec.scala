@@ -67,6 +67,17 @@ class DedupSpec extends SparkSpec {
       "one representative per cluster + every unclustered doc")
   }
 
+  test("cluster propagation round plans equi-joins, no cross product") {
+    // resolveClusters executes eagerly behind localCheckpoint, so the
+    // QueryPlanSpec sweep over registered queries only sees a
+    // post-checkpoint scan for dedup_clusters — the per-round join
+    // topology must be asserted on the lazily-planned round itself
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val labels = edges.select($"src".as("id")).distinct()
+      .withColumn("label", $"id")
+    assertNoCrossProduct(Dedup.propagationRound(labels, edges), "propagationRound")
+  }
+
   test("winnowNearDup surfaces a shared passage between different docs, no cross product") {
     val passage = (1 to 12).map(i => s"p$i").mkString(" ") // >= w+k-1 tokens
     val corpus = Seq(

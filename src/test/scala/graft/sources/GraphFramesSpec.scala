@@ -58,13 +58,18 @@ class GraphFramesSpec extends SparkSpec {
 
     val jsonBase = java.nio.file.Files.createTempDirectory("graft-json")
     rows.toDF("id", "labels", "name").write.json(s"$jsonBase/Person/part")
-    // json columns sort alphabetically; restore positional order
-    val fromJson = GraphFrames.readNodesAs(spark, jsonBase.toString, "json")
-      .select("id", "labels", "name")
+    // json columns sort alphabetically; the API demands positional order
+    val fromJson = GraphFrames.readNodesAs(spark, jsonBase.toString, "json",
+      columns = Seq("id", "labels", "name"))
 
     val expected = Seq(1L -> Seq("Person", "Customer"), 2L -> Seq("Person"))
     assert(normalized(fromCsv) == expected)
     assert(normalized(fromJson) == expected)
+
+    // json without an explicit column order is refused, not mislabeled
+    intercept[IllegalArgumentException] {
+      GraphFrames.readNodesAs(spark, jsonBase.toString, "json")
+    }
   }
 
   test("flagship entry() returns rows with built-in functions only") {
