@@ -63,8 +63,16 @@ object SparkEntry {
       Dedup.exact(rd(s, dir, "documents")).orderBy("doc_id")),
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(rd(s, dir, "documents")).orderBy("a_id", "b_id")),
+    // Registered projection drops est_jaccard (signature arithmetic is
+    // engine-specific) and keeps the PAIR SET, which does have an exact
+    // oracle on this corpus: near-dup pairs sit at true J >= 0.9 and
+    // everything else below 0.25 (verified at sf0.01), so at 8 bands x 4
+    // rows a true pair misses every band with p < 2e-4 and no borderline
+    // pair exists for the estimate to flip — the fixed-seed LSH pair set
+    // equals the exact unpruned-jaccard pair set at tau.
     "dedup_minhash" -> ((s, dir) =>
-      Dedup.minHashLsh(rd(s, dir, "documents")).orderBy("a_id", "b_id")),
+      Dedup.minHashLsh(rd(s, dir, "documents"))
+        .select("a_id", "b_id").orderBy("a_id", "b_id")),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHash(rd(s, dir, "documents")).orderBy("a_id", "b_id")),
     "dedup_winnow" -> ((s, dir) =>
@@ -260,6 +268,30 @@ object SparkEntry {
         |SELECT a_id, b_id,
         |  CAST(common AS DOUBLE) / CAST(sa.set_size + sb.set_size - common AS DOUBLE) AS jaccard
         |FROM pairs
+        |JOIN sizes sa ON pairs.a_id = sa.doc_id
+        |JOIN sizes sb ON pairs.b_id = sb.doc_id
+        |WHERE CAST(common AS DOUBLE) / CAST(sa.set_size + sb.set_size - common AS DOUBLE) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    // minhash oracle: exact jaccard over UNPRUNED shingle sets (minhash
+    // signatures estimate full-set similarity; df-pruning is jaccard's
+    // inverted-index optimization, not part of the estimated quantity)
+    "dedup_minhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM toks WHERE len(t) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT l.doc_id AS a_id, r.doc_id AS b_id, count(*) AS common
+        |  FROM sh l JOIN sh r
+        |    ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a_id, b_id FROM pairs
         |JOIN sizes sa ON pairs.a_id = sa.doc_id
         |JOIN sizes sb ON pairs.b_id = sb.doc_id
         |WHERE CAST(common AS DOUBLE) / CAST(sa.set_size + sb.set_size - common AS DOUBLE) >= 0.5
