@@ -163,6 +163,14 @@ object SparkEntry {
     "label_balance" -> ((s, dir) =>
       Sampling.labelBalance(rd(s, dir, "embeddings"), "label")
         .orderBy("label")),
+    "mixture_resample" -> ((s, dir) =>
+      Sampling.mixtureResample(
+        rd(s, dir, "documents").select(col("doc_id"), col("source")),
+        Seq("src0" -> 0.0, "src1" -> 0.25, "src2" -> 0.5), 1.0)
+        .orderBy("doc_id")),
+    "pack_sequences" -> ((s, dir) =>
+      Sampling.packSequences(rd(s, dir, "documents"), 256L)
+        .orderBy("doc_id")),
     // --- multimodal plumbing (row 24)
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.payloadMeta(rd(s, dir, "documents")).orderBy("media_id")),
@@ -555,6 +563,34 @@ object SparkEntry {
       """SELECT label, count(*) AS n,
         | CAST(count(*) AS DOUBLE) / (SELECT CAST(count(*) AS DOUBLE) FROM embeddings) AS fraction
         |FROM embeddings GROUP BY 1 ORDER BY label""".stripMargin,
+    // thresholds are the registered rates mapped to 8 hex digits:
+    // 0.0 -> 00000000 (keeps none under strict <), 0.25 -> 40000000,
+    // 0.5 -> 80000000; default rate 1.0 keeps everything
+    "mixture_resample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CASE
+        |  WHEN source = 'src0' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '00000000'
+        |  WHEN source = 'src1' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+        |  WHEN source = 'src2' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+        |  ELSE TRUE END
+        |ORDER BY doc_id""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, source AS shard,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, shard, n_toks,
+        |    COALESCE(sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks, 0) AS start_off
+        |  FROM t
+        |)
+        |SELECT doc_id, shard, n_toks,
+        |  CAST(start_off // 256 AS BIGINT) AS seq_id,
+        |  CAST(start_off % 256 AS BIGINT) AS seq_offset,
+        |  (n_toks > 0 AND (start_off // 256) <> ((start_off + n_toks - 1) // 256))
+        |    AS crosses_boundary
+        |FROM c ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id AS media_id, 'text/plain' AS mime,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

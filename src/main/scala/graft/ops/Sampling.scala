@@ -80,4 +80,66 @@ object Sampling {
         sum(col("n_tokens")).over(
           org.apache.spark.sql.expressions.Window.partitionBy()).cast("double"))
   }
+
+  /** Deterministic mixture resampling: keep each document with a
+    * per-source rate — the operator that reshapes a raw crawl into a
+    * target training mix (downweight boilerplate-heavy sources, keep all
+    * of scarce ones).
+    *
+    * The keep decision compares the first 8 hex chars of `md5(doc_id)`
+    * against the rate mapped to an 8-hex-digit threshold — lowercase hex
+    * compares identically as a STRING in every engine (ASCII '0'-'9' <
+    * 'a'-'f'), so the sample is reproducible across runs, engines, and
+    * cluster sizes, and stable under corpus growth (a kept doc stays kept
+    * when other rows arrive — unlike `sample()`, whose output depends on
+    * partitioning). Pure narrow projection + filter: no shuffle at any
+    * scale.
+    */
+  def mixtureResample(docs: DataFrame, rates: Seq[(String, Double)],
+                      defaultRate: Double = 1.0): DataFrame = {
+    def thresholdHex(rate: Double): String =
+      f"${math.min((rate * 4294967296.0).toLong, 4294967295L)}%08x"
+    val h = substring(md5(col("doc_id").cast("string")), 1, 8)
+    def keep(rate: Double): Column =
+      if (rate >= 1.0) lit(true) else h < lit(thresholdHex(rate))
+    val kept = rates.foldRight(keep(defaultRate)) { case ((src, rate), els) =>
+      when(col("source") === src, keep(rate)).otherwise(els)
+    }
+    docs.filter(kept)
+  }
+
+  /** Greedy sequential sequence packing — concatenate documents in doc_id
+    * order and chop every `seqLen` tokens, the standard pretraining
+    * batch-assembly step. Emits, per document: its packed sequence id, the
+    * token offset where it starts inside that sequence, and whether it
+    * crosses a sequence boundary (gets split across training examples).
+    *
+    * Packing is per `shardCol` group (sequence ids are (shard, seq_id)
+    * pairs): the running token sum is a window ordered by doc_id WITHIN a
+    * shard, so the only shuffle is on the shard key and no global sort
+    * exists at any scale — at 100 TB shards are file groups or sources,
+    * each packed independently, exactly how distributed pretraining
+    * tokenizers shard their output. A single global pack (shardCol = a
+    * constant) would be the one-partition window anti-pattern.
+    */
+  def packSequences(docs: DataFrame, seqLen: Long = 2048L,
+                    shardCol: String = "source"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col("doc_id"))
+    docs
+      .withColumn("n_toks",
+        size(TextAnalysis.tokensCol(col("text"))).cast("long"))
+      .withColumn("start_off",
+        coalesce(sum(col("n_toks")).over(w) - col("n_toks"), lit(0L)))
+      .select(
+        col("doc_id"), col(shardCol).as("shard"), col("n_toks"),
+        (col("start_off") / seqLen).cast("long").as("seq_id"),
+        (col("start_off") % seqLen).as("seq_offset"),
+        // a doc crosses a boundary when its first and last token land in
+        // different seqLen-sized windows (empty docs never cross)
+        (col("n_toks") > 0L &&
+          (col("start_off") / seqLen).cast("long") =!=
+            ((col("start_off") + col("n_toks") - 1L) / seqLen).cast("long"))
+          .as("crosses_boundary"))
+  }
 }

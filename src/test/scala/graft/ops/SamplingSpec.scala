@@ -43,6 +43,42 @@ class SamplingSpec extends SparkSpec {
     assert(approx(1).getAs[Double]("p50_tokens") == 5.0)
   }
 
+  test("mixtureResample keeps per-source rates deterministically and stably") {
+    val docs = (1L to 2000L).map(i => (i, s"src${i % 4}"))
+      .toDF("doc_id", "source")
+    val rates = Seq("src0" -> 0.0, "src1" -> 0.25, "src2" -> 1.0)
+    val kept = Sampling.mixtureResample(docs, rates, 0.5).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(!bySrc.contains("src0"), "rate 0.0 must drop the source entirely")
+    assert(bySrc("src2") == 500, "rate 1.0 must keep every row")
+    assert(math.abs(bySrc("src1") - 125) < 40, bySrc.toString) // ~0.25 * 500
+    assert(math.abs(bySrc("src3") - 250) < 55, bySrc.toString) // default 0.5
+    // stability: the same doc stays kept/dropped when the corpus grows
+    val grown = (1L to 4000L).map(i => (i, s"src${i % 4}"))
+      .toDF("doc_id", "source")
+    val keptGrown = Sampling.mixtureResample(grown, rates, 0.5).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(kept.forall { case (id, _) => keptGrown(id) })
+  }
+
+  test("packSequences packs shard token streams into fixed windows") {
+    val docs = Seq(
+      (0L, "t " * 100, "a"), // 100 toks: seq 0, off 0
+      (1L, "t " * 200, "a"), // starts at 100: seq 0, off 100, crosses into seq 1
+      (2L, "t " * 56, "a"),  // starts at 300: seq 1, off 44
+      (3L, "t " * 10, "b")   // other shard packs independently
+    ).toDF("doc_id", "text", "source")
+    val rows = Sampling.packSequences(docs, 256L).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("shard"),
+        r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset"),
+        r.getAs[Boolean]("crosses_boundary")))
+    assert(rows(0) == ((0L, "a", 0L, 0L, false)))
+    assert(rows(1) == ((1L, "a", 0L, 100L, true)))
+    assert(rows(2) == ((2L, "a", 1L, 44L, false)))
+    assert(rows(3) == ((3L, "b", 0L, 0L, false)))
+  }
+
   test("sourceMix reports per-cell counts and corpus token shares") {
     val docs = Seq(
       (0L, "a b c", "en", "web"),
