@@ -151,6 +151,8 @@ object SparkEntry {
     }),
     "quality_filter" -> ((s, dir) =>
       TextAnalysis.qualityFilter(rd(s, dir, "documents")).orderBy("doc_id")),
+    "text_rarity" -> ((s, dir) =>
+      TextAnalysis.tokenRarity(rd(s, dir, "documents")).orderBy("doc_id")),
     "source_mix" -> ((s, dir) =>
       Sampling.sourceMix(rd(s, dir, "documents")).orderBy("source", "lang")),
     "corpus_stats" -> ((s, dir) =>
@@ -512,6 +514,17 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, stopword_ratio, type_token_ratio,
         |  top_ngram_frac, (reason = 'ok') AS keep, reason
         |FROM decided ORDER BY doc_id""".stripMargin,
+    "text_rarity" ->
+      """WITH posting AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents
+        |), counted AS (
+        |  SELECT doc_id, count(*) OVER (PARTITION BY token) AS cnt FROM posting
+        |)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(cnt) AS BIGINT) AS sum_cnt, min(cnt) AS min_cnt,
+        |  CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_cnt
+        |FROM counted GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "corpus_stats" ->
       """WITH t AS (
         |  SELECT lang,

@@ -133,13 +133,15 @@ object Sampling {
         coalesce(sum(col("n_toks")).over(w) - col("n_toks"), lit(0L)))
       .select(
         col("doc_id"), col(shardCol).as("shard"), col("n_toks"),
-        (col("start_off") / seqLen).cast("long").as("seq_id"),
+        // integral `div`, not `/` + cast: double division loses exactness
+        // once a shard's running token count passes 2^53
+        expr(s"start_off div $seqLen").as("seq_id"),
         (col("start_off") % seqLen).as("seq_offset"),
         // a doc crosses a boundary when its first and last token land in
         // different seqLen-sized windows (empty docs never cross)
         (col("n_toks") > 0L &&
-          (col("start_off") / seqLen).cast("long") =!=
-            ((col("start_off") + col("n_toks") - 1L) / seqLen).cast("long"))
+          expr(s"start_off div $seqLen") =!=
+            expr(s"(start_off + n_toks - 1) div $seqLen"))
           .as("crosses_boundary"))
   }
 }

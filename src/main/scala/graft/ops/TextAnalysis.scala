@@ -277,4 +277,35 @@ object TextAnalysis {
       col("doc_id"),
       md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp")
     )
+
+  /** Unigram-frequency document scoring (the CCNet-style LM-filter signal
+    * in exact arithmetic): per document, the corpus-frequency profile of
+    * its tokens — total and mean occurrence count, and the count of its
+    * rarest token. Boilerplate scores high (all-common tokens), gibberish
+    * scores low (singleton tokens); rank-equivalent to unigram-LM mean
+    * log-prob without the `ln`, whose libm-vs-StrictMath last-ulp drift
+    * would break cross-engine exactness (the monotone map to -mean ln p
+    * is a driver-side afterthought if a calibrated score is wanted).
+    *
+    * Plan shape: explode tokens → count-over-window partitioned by token
+    * (the jaccard df trick: ONE shuffle computes the corpus frequency and
+    * leaves postings token-partitioned — no vocab-table join) → per-doc
+    * aggregation. Two keyed shuffles total at any scale; integer sums are
+    * exact, and the mean is a single IEEE division (deterministic, unlike
+    * a float accumulation order).
+    */
+  def tokenRarity(docs: DataFrame): DataFrame = {
+    val posting = docs.select(col("doc_id"),
+      explode(tokensCol(col("text"))).as("token"))
+    posting
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("token")))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("cnt")).as("sum_cnt"),
+        min(col("cnt")).as("min_cnt"))
+      .withColumn("mean_cnt",
+        col("sum_cnt").cast("double") / col("n_tokens").cast("double"))
+  }
 }

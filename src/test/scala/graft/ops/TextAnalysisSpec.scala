@@ -109,6 +109,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0).getAs[String]("redacted_md5") == expected)
   }
 
+  test("tokenRarity scores docs by corpus token frequency") {
+    val docs = Seq(
+      (0L, "the the the"),     // 'the' appears 4x in corpus
+      (1L, "the unique"),      // one common + one singleton token
+      (2L, "alone")            // singleton only
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenRarity(docs).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("n_tokens"), r.getAs[Long]("sum_cnt"),
+        r.getAs[Long]("min_cnt"), r.getAs[Double]("mean_cnt")))
+    assert(out(0) == ((3L, 12L, 4L, 4.0)))  // all 'the': cnt 4 each
+    assert(out(1) == ((2L, 5L, 1L, 2.5)))   // 4 + 1
+    assert(out(2) == ((1L, 1L, 1L, 1.0)))
+  }
+
   test("langId votes marker tokens with fixed tiebreak") {
     val multilang = Seq(
       (0L, "the cat and the dog is here"),
