@@ -52,6 +52,10 @@ object Stress {
     time("text_contamination")(graft.ops.TextAnalysis.contamination(
       docs, docs.filter(col("doc_id") < 20)).count())
     time("source_mix")(graft.ops.Sampling.sourceMix(docs).count())
+    time("text_rarity")(graft.ops.TextAnalysis.tokenRarity(docs).count())
+    time("pack_sequences")(graft.ops.Sampling.packSequences(docs).count())
+    time("mixture_resample")(graft.ops.Sampling.mixtureResample(
+      docs, Seq("src0" -> 0.25, "src1" -> 0.5), 0.75).count())
 
     // bulk-load throughput through the partition-parallel sink (the
     // reference's headline metric: rows/s and MiB/s per load phase)
