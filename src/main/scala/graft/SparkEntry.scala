@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Analytics, Dedup, Events, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Analytics, Dedup, Events, Graph, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.orchestrate.{BlueGreen, Snapshots}
 import graft.sources.GraphFrames
 
@@ -50,6 +50,18 @@ object SparkEntry {
         col("o_custkey").as("customer_id"),
         unix_timestamp(col("o_orderdate")).as("snapshot_ts"))
       Snapshots.latestPerCustomer(snaps).orderBy("customer_id")
+    }),
+    // --- graph analytics over the normalized edge list (order -> customer;
+    // customer ids offset so the two key spaces cannot collide as nodes)
+    "graph_degrees" -> ((s, dir) => {
+      val e = rd(s, dir, "orders").select(col("o_orderkey").as("src"),
+        (col("o_custkey") + 10000000L).as("dst"))
+      Graph.degreeStats(e).orderBy("id")
+    }),
+    "graph_pagerank" -> ((s, dir) => {
+      val e = rd(s, dir, "orders").select(col("o_orderkey").as("src"),
+        (col("o_custkey") + 10000000L).as("dst"))
+      Graph.pageRank(e, 5).orderBy("id")
     }),
     "bluegreen_keep2" -> ((s, dir) => {
       val deps = rd(s, dir, "orders").select(
@@ -235,6 +247,52 @@ object SparkEntry {
         | max(CAST(epoch(o_orderdate) AS BIGINT)) AS latest_ts,
         | count(*) AS n_snapshots
         |FROM orders GROUP BY 1 ORDER BY customer_id""".stripMargin,
+    "graph_degrees" ->
+      """WITH e AS (
+        |  SELECT o_orderkey AS src, o_custkey + 10000000 AS dst FROM orders
+        |), o AS (
+        |  SELECT src AS id, count(*) AS out_deg FROM e GROUP BY 1
+        |), i AS (
+        |  SELECT dst AS id, count(*) AS in_deg FROM e GROUP BY 1
+        |)
+        |SELECT COALESCE(o.id, i.id) AS id,
+        |  COALESCE(out_deg, 0) AS out_deg,
+        |  COALESCE(in_deg, 0) AS in_deg,
+        |  COALESCE(out_deg, 0) + COALESCE(in_deg, 0) AS total_deg
+        |FROM o FULL OUTER JOIN i ON o.id = i.id ORDER BY id""".stripMargin,
+    // fixed-point integer PageRank: 5 unrolled rounds of
+    // r' = (15S)//100 + (85 * sum(r//outdeg over in-edges))//100 at
+    // S = 10^12 — identical BIGINT arithmetic to the Spark operator, so
+    // the hashes match exactly (double accumulation would drift with
+    // reduction order)
+    "graph_pagerank" -> {
+      val round = (prev: String, cur: String) =>
+        s"""$cur AS (
+           |  SELECT n.id, 150000000000 + (85 * COALESCE(c.cin, 0)) // 100 AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT ed.dst, CAST(SUM(p.r // ed.outdeg) AS BIGINT) AS cin
+           |    FROM ed JOIN $prev p ON p.id = ed.src GROUP BY ed.dst
+           |  ) c ON n.id = c.dst
+           |)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT o_orderkey AS src, o_custkey + 10000000 AS dst FROM orders
+         |), nodes AS (
+         |  SELECT src AS id FROM e UNION SELECT dst FROM e
+         |), deg AS (
+         |  SELECT src, count(*) AS outdeg FROM e GROUP BY 1
+         |), ed AS (
+         |  SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)
+         |), r0 AS (
+         |  SELECT id, CAST(1000000000000 AS BIGINT) AS r FROM nodes
+         |), ${round("r0", "r1")},
+         |${round("r1", "r2")},
+         |${round("r2", "r3")},
+         |${round("r3", "r4")},
+         |${round("r4", "r5")}
+         |SELECT id, r AS rank_scaled,
+         |  CAST(r AS DOUBLE) / 1000000000000.0 AS rank
+         |FROM r5 ORDER BY id""".stripMargin
+    },
     "bluegreen_keep2" ->
       """WITH d AS (
         |  SELECT o_custkey AS customer_id,

@@ -56,6 +56,12 @@ object Stress {
     time("pack_sequences")(graft.ops.Sampling.packSequences(docs).count())
     time("mixture_resample")(graft.ops.Sampling.mixtureResample(
       docs, Seq("src0" -> 0.25, "src1" -> 0.5), 0.75).count())
+    // graph analytics over the replicated lineitem edge list (order->part)
+    val gEdges = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      .select(col("l_orderkey").as("src"),
+        (col("l_partkey") + lit(10000000L)).as("dst"))
+    time("graph_degrees")(graft.ops.Graph.degreeStats(gEdges).count())
+    time("graph_pagerank")(graft.ops.Graph.pageRank(gEdges, 5).count())
 
     // bulk-load throughput through the partition-parallel sink (the
     // reference's headline metric: rows/s and MiB/s per load phase)

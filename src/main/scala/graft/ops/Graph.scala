@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over normalized edge lists — the algorithms the
+  * reference's consumers run inside Neo4j GDS after the ETL lands
+  * (reference: load_with_aliases.py loads nodes/edges for downstream
+  * graph processing). A complete Spark-native replacement offers them
+  * directly over the edge DataFrames, so the 100 TB pre-aggregation and
+  * the graph pass share one engine. Companion to
+  * [[Dedup.resolveClusters]] (connected components over near-dup pairs).
+  */
+object Graph {
+
+  /** Per-node degree statistics over a directed edge list
+    * `(src, dst)`: out-degree, in-degree, total. Two partial-aggregated
+    * shuffles (one per direction) merged by a full outer join on node id —
+    * every shuffle is keyed on node id; cardinality is |V|, not |E|.
+    */
+  def degreeStats(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("out_deg"))
+    val in = edges.groupBy(col("dst").as("id"))
+      .agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .withColumn("total_deg", col("out_deg") + col("in_deg"))
+  }
+
+  /** PageRank in fixed-point integer arithmetic — bit-reproducible across
+    * runs, partitionings, and engines, unlike double accumulation whose
+    * result depends on shuffle reduction order. Ranks are scaled by
+    * `Scale` (10^12); each of `iters` rounds computes
+    *
+    *   r'(v) = (15·S) div 100  +  (85 · Σ_{(u,v)∈E} r(u) div outdeg(u)) div 100
+    *
+    * entirely in BIGINT `div` — the deterministic twin of damping 0.85
+    * (truncation loses < 1e-12 of mass per term; the ranking is
+    * unaffected and the arithmetic is engine-exact, so the DuckDB oracle
+    * hash-matches instead of drifting in the last float ulp).
+    *
+    * Scale shape: out-degrees are joined to the edge list ONCE up front;
+    * each round is one edges⋈ranks equi-join + a partial-aggregated
+    * shuffle on dst + a left join back to the node set — all keyed on
+    * node id, never all-pairs. `localCheckpoint` between rounds keeps the
+    * logical plan flat (the resolveClusters lesson: cache() alone grows
+    * the self-referencing plan exponentially). Dangling nodes (no
+    * out-edges) simply leak their mass, the common simplification; add a
+    * redistribution term if true probability conservation is needed.
+    */
+  val Scale: Long = 1000000000000L // 10^12
+
+  def pageRank(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val base = 15L * Scale / 100L
+    val e = edges.select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // degree rides on the edge list once; rounds only join ranks
+    val edgesDeg = e.join(outdeg, "src").localCheckpoint(true)
+    var ranks = nodes.withColumn("r", lit(Scale)).localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      val contribs = edgesDeg
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cin"))
+      ranks = nodes
+        .join(contribs, nodes("id") === contribs("dst"), "left")
+        .select(col("id"),
+          (lit(base) + expr("(85 * coalesce(cin, 0L)) div 100")).as("r"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    ranks.select(col("id"), col("r").as("rank_scaled"),
+      (col("r").cast("double") / lit(Scale.toDouble)).as("rank"))
+  }
+}
