@@ -45,23 +45,28 @@ object Graph {
     * Scale shape: out-degrees are joined to the edge list ONCE up front;
     * each round is one edges⋈ranks equi-join + a partial-aggregated
     * shuffle on dst + a left join back to the node set — all keyed on
-    * node id, never all-pairs. `localCheckpoint` between rounds keeps the
-    * logical plan flat (the resolveClusters lesson: cache() alone grows
-    * the self-referencing plan exponentially). Dangling nodes (no
+    * node id, never all-pairs. Unlike [[Dedup.resolveClusters]]'s
+    * self-join (whose lineage grows exponentially without truncation),
+    * `ranks` is referenced once per round, so the plan grows LINEARLY —
+    * rounds chain lazily into one multi-stage job, with a
+    * `localCheckpoint` only every `checkpointEvery` rounds to bound
+    * optimizer time on long runs. Dangling nodes (no
     * out-edges) simply leak their mass, the common simplification; add a
     * redistribution term if true probability conservation is needed.
     */
   val Scale: Long = 1000000000000L // 10^12
 
-  def pageRank(edges: DataFrame, iters: Int = 5): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int = 5,
+               checkpointEvery: Int = 10): DataFrame = {
     val base = 15L * Scale / 100L
     val e = edges.select(col("src"), col("dst"))
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true) // referenced twice per round: compute once
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // degree rides on the edge list once; rounds only join ranks
     val edgesDeg = e.join(outdeg, "src").localCheckpoint(true)
-    var ranks = nodes.withColumn("r", lit(Scale)).localCheckpoint(true)
+    var ranks = nodes.withColumn("r", lit(Scale))
     var i = 0
     while (i < iters) {
       val contribs = edgesDeg
@@ -72,8 +77,9 @@ object Graph {
         .join(contribs, nodes("id") === contribs("dst"), "left")
         .select(col("id"),
           (lit(base) + expr("(85 * coalesce(cin, 0L)) div 100")).as("r"))
-        .localCheckpoint(true)
       i += 1
+      if (i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint(true)
     }
     ranks.select(col("id"), col("r").as("rank_scaled"),
       (col("r").cast("double") / lit(Scale.toDouble)).as("rank"))
