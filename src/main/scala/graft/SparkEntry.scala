@@ -63,6 +63,14 @@ object SparkEntry {
         (col("o_custkey") + 10000000L).as("dst"))
       Graph.pageRank(e, 5).orderBy("id")
     }),
+    // triangle counts over the part co-occurrence graph (parts sharing an
+    // order); Spark enumerates degree-ordered, the oracle id-ordered —
+    // the triangle set is orientation-independent
+    "graph_triangles" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem")
+      Graph.triangleCounts(
+        Graph.coOccurrence(li, "l_orderkey", "l_partkey")).orderBy("id")
+    }),
     "bluegreen_keep2" -> ((s, dir) => {
       val deps = rd(s, dir, "orders").select(
         col("o_custkey").as("customer_id"),
@@ -293,6 +301,27 @@ object SparkEntry {
          |  CAST(r AS DOUBLE) / 1000000000000.0 AS rank
          |FROM r5 ORDER BY id""".stripMargin
     },
+    "graph_triangles" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+        |), sized AS (
+        |  SELECT g, item FROM (
+        |    SELECT g, item, count(*) OVER (PARTITION BY g) AS gsz FROM pairs)
+        |  WHERE gsz <= 100
+        |), e AS (
+        |  SELECT DISTINCT l.item AS a, r.item AS b
+        |  FROM sized l JOIN sized r ON l.g = r.g AND l.item < r.item
+        |), tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |)
+        |SELECT id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        |  SELECT x AS id FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri
+        |) GROUP BY id ORDER BY id""".stripMargin,
     "bluegreen_keep2" ->
       """WITH d AS (
         |  SELECT o_custkey AS customer_id,

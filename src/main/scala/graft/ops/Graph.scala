@@ -84,4 +84,74 @@ object Graph {
     ranks.select(col("id"), col("r").as("rank_scaled"),
       (col("r").cast("double") / lit(Scale.toDouble)).as("rank"))
   }
+
+  /** Canonical undirected co-occurrence edges: two items are connected
+    * when they share a group (parts in the same order, entities in the
+    * same document, ...). The within-group self-join is the only fan-out,
+    * and `maxGroupSize` caps it — the co-occurrence twin of jaccard's
+    * stop-shingle df-pruning: a hot group of size g contributes g² pairs,
+    * so at 100 TB ungated groups (a viral document, a mega-order) would
+    * dominate the shuffle; gated ones are bounded and the cap is an
+    * explicit, documented knob.
+    */
+  def coOccurrence(df: DataFrame, groupCol: String, itemCol: String,
+                   maxGroupSize: Int = 100): DataFrame = {
+    val pruned = df.select(col(groupCol).as("g"), col(itemCol).as("item"))
+      .distinct()
+      .withColumn("gsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      .filter(col("gsz") <= maxGroupSize)
+      .drop("gsz")
+    pruned.as("l")
+      .join(pruned.as("r"),
+        col("l.g") === col("r.g") && col("l.item") < col("r.item"))
+      .select(col("l.item").as("src"), col("r.item").as("dst"))
+      .distinct()
+  }
+
+  /** Per-node triangle participation counts over an undirected graph
+    * (edges in either orientation; self-loops dropped). Nodes in no
+    * triangle are absent (zero).
+    *
+    * Degree-ordered compact-forward enumeration: every edge is oriented
+    * from its lower-(degree, id) endpoint to the higher one, wedges are
+    * generated at each triangle's LOWEST-degree vertex (out-neighbor
+    * pairs of u), and closed by an equi-join back to the oriented edge
+    * list. Orientation bounds each vertex's wedge fan-out by its oriented
+    * out-degree — O(E^1.5) total wedges regardless of skew, where naive
+    * id-ordering lets one low-id hub generate deg² wedges. All joins are
+    * equi-joins on node/edge keys. The enumerated triangle SET is
+    * orientation-independent, so an engine-exact oracle can use the
+    * simple id-ordered enumeration.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = canon.select(col("a").as("id"))
+      .union(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    // orient each edge toward the higher (degree, id) endpoint, carrying
+    // the destination's order key for the wedge-pair comparison
+    val oriented = canon
+      .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("a")).otherwise(col("b")).as("u"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("b")).otherwise(col("a")).as("v"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("db")).otherwise(col("da")).as("dv"))
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") &&
+          struct(col("e1.dv"), col("e1.v")) < struct(col("e2.dv"), col("e2.v")))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+      .join(oriented.select(col("u").as("y"), col("v").as("z")), Seq("y", "z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+  }
 }

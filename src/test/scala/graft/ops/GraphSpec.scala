@@ -28,6 +28,31 @@ class GraphSpec extends SparkSpec {
     assert(r2.values.sum <= 3L * Graph.Scale)
   }
 
+  test("coOccurrence builds canonical pairs and caps hot groups") {
+    val df = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),     // group 1: 3 pairs
+      (2L, 10L), (2L, 20L),                // group 2: repeats an edge
+      (3L, 40L), (3L, 41L), (3L, 42L), (3L, 43L) // hot group, capped below
+    ).toDF("g", "item")
+    val edges = Graph.coOccurrence(df, "g", "item", maxGroupSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges == Set((10L, 20L), (10L, 30L), (20L, 30L)),
+      "hot group dropped, duplicate edge deduped, pairs canonical")
+  }
+
+  test("triangleCounts enumerates each triangle once at every vertex") {
+    // K4 on {1,2,3,4} (4 triangles, each vertex in 3) plus a pendant edge
+    // and a reversed duplicate edge
+    val k4 = for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+    } yield (a, b)
+    val edges = (k4 ++ Seq((2L, 1L), (4L, 5L))).toDF("src", "dst")
+    val counts = Graph.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"got $counts")
+  }
+
   test("pageRank ranks a heavier-cited node above a lighter one") {
     // 10 nodes all pointing at 100, one pointing at 200
     val edges = ((1L to 10L).map(_ -> 100L) :+ (11L -> 200L)).toDF("src", "dst")
