@@ -191,6 +191,9 @@ object SparkEntry {
     "label_balance" -> ((s, dir) =>
       Sampling.labelBalance(rd(s, dir, "embeddings"), "label")
         .orderBy("label")),
+    "label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(rd(s, dir, "embeddings"))
+        .orderBy("label", "dim")),
     "mixture_resample" -> ((s, dir) =>
       Sampling.mixtureResample(
         rd(s, dir, "documents").select(col("doc_id"), col("source")),
@@ -670,6 +673,20 @@ object SparkEntry {
       """SELECT label, count(*) AS n,
         | CAST(count(*) AS DOUBLE) / (SELECT CAST(count(*) AS DOUBLE) FROM embeddings) AS fraction
         |FROM embeddings GROUP BY 1 ORDER BY label""".stripMargin,
+    // fixed-point centroid sums: floor(v*1e6) BIGINT per element, so the
+    // aggregation is reduction-order-free in both engines; DuckDB zips
+    // parallel unnests for the (value, position) pairing
+    "label_centroids" ->
+      """WITH cells AS (
+        |  SELECT label,
+        |    unnest(generate_series(1, len(embedding))) AS dim,
+        |    unnest(embedding) AS v
+        |  FROM embeddings
+        |)
+        |SELECT label, CAST(dim AS BIGINT) AS dim,
+        |  CAST(CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |    / (CAST(count(*) AS DOUBLE) * 1000000.0) AS centroid
+        |FROM cells GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     // thresholds are the registered rates mapped to 8 hex digits:
     // 0.0 -> 00000000 (keeps none under strict <), 0.25 -> 40000000,
     // 0.5 -> 80000000; default rate 1.0 keeps everything

@@ -158,6 +158,29 @@ object Similarity {
     centroids
   }
 
+  /** Per-label embedding centroids (class prototype vectors — nearest-
+    * centroid labeling, clustering init, drift monitoring) in long form
+    * (label, dim, centroid).
+    *
+    * Exactness: element values are scaled to BIGINT via
+    * `floor(val * 10^6)` before summing — integer sums are reduction-
+    * order-free, where a double sum over a shuffled column depends on
+    * partitioning (the fixed-point trick from [[Graph.pageRank]]). The
+    * centroid is one IEEE division at the end. Plan: posexplode to
+    * (label, dim) cells, one partial-aggregated shuffle on the (small)
+    * label×dim key space — corpus rows never shuffle.
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))
+      .select(col("label"), (col("p") + 1).cast("long").as("dim"),
+        floor(col("v").cast("double") * lit(1000000.0)).cast("long").as("s"))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("s")).as("sum_scaled"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        (col("sum_scaled").cast("double") /
+          (col("n").cast("double") * 1000000.0)).as("centroid"))
+
   /** LSH-bucketed approximate top-k: candidates are corpus vectors sharing
     * at least one (band, bucket) with the query, re-ranked by exact cosine
     * with norms computed once per vector. Candidate generation is a

@@ -70,6 +70,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, f"IVF recall $recall%.2f below 0.8")
   }
 
+  test("labelCentroids averages per (label, dim) in order-free fixed point") {
+    import spark.implicits._
+    val e = Seq(
+      (0, Seq(1.0f, 3.0f)), (0, Seq(3.0f, 5.0f)), // label 0: centroid (2, 4)
+      (1, Seq(-1.5f, 0.5f))                       // label 1: itself
+    ).toDF("label", "embedding")
+    val rows = Similarity.labelCentroids(e).orderBy("label", "dim").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows(0) == ((0, 1L, 2.0)) && rows(1) == ((0, 2L, 4.0)))
+    assert(rows(2) == ((1, 1L, -1.5)) && rows(3) == ((1, 2L, 0.5)))
+  }
+
   test("cosine of identical vectors is 1.0 exactly on unit-normalizable input") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f)))
