@@ -89,6 +89,15 @@ object SparkEntry {
       Dedup.exact(rd(s, dir, "documents")).orderBy("doc_id")),
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(rd(s, dir, "documents")).orderBy("a_id", "b_id")),
+    // rolling ingestion: docs >= 250 are "today's batch", the rest are
+    // the already-ingested corpus whose checksums form the index
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      Dedup.incrementalExact(
+        docs.filter(col("doc_id") >= 250),
+        Dedup.exact(docs.filter(col("doc_id") < 250)).select("checksum"))
+        .orderBy("doc_id")
+    }),
     // Registered projection drops est_jaccard (signature arithmetic is
     // engine-specific) and keeps the PAIR SET, which does have an exact
     // oracle on this corpus: near-dup pairs sit at true J >= 0.9 and
@@ -379,6 +388,17 @@ object SparkEntry {
         |JOIN sizes sb ON pairs.b_id = sb.doc_id
         |WHERE CAST(common AS DOUBLE) / CAST(sa.set_size + sb.set_size - common AS DOUBLE) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_incremental" ->
+      """WITH batch AS (
+        |  SELECT sha256(text) AS checksum, min(doc_id) AS doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_copies
+        |  FROM documents WHERE doc_id >= 250 GROUP BY 1
+        |), known AS (
+        |  SELECT DISTINCT sha256(text) AS checksum FROM documents WHERE doc_id < 250
+        |)
+        |SELECT doc_id, checksum, n_copies FROM batch
+        |WHERE checksum NOT IN (SELECT checksum FROM known)
+        |ORDER BY doc_id""".stripMargin,
     // minhash oracle: exact jaccard over UNPRUNED shingle sets (minhash
     // signatures estimate full-set similarity; df-pruning is jaccard's
     // inverted-index optimization, not part of the estimated quantity)

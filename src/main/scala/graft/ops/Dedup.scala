@@ -81,6 +81,23 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Incremental exact dedup: a new batch against an existing checksum
+    * index — the rolling-ingestion shape (daily crawl vs everything
+    * already in the corpus). Within-batch dedup first (keep lowest
+    * doc_id per hash), then a LEFT ANTI join against the index: the only
+    * shuffles are keyed on the checksum, and the index side streams —
+    * nothing is collected or broadcast, so a multi-billion-row index is
+    * fine (at scale, bucket both sides on `checksum` to make the anti
+    * join co-located and shuffle-free; see sources.Bucketing).
+    *
+    * Output: the new-batch survivors (doc_id, checksum, n_copies) —
+    * exactly [[exact]]'s contract restricted to genuinely novel content.
+    */
+  def incrementalExact(newDocs: DataFrame, knownChecksums: DataFrame): DataFrame =
+    exact(newDocs)
+      .join(knownChecksums.select(col("checksum")), Seq("checksum"), "left_anti")
+      .select(col("doc_id"), col("checksum"), col("n_copies"))
+
   // --- MinHash + LSH ------------------------------------------------------
 
   /** Fixed affine-permutation parameters for minhash signatures. Seeds are

@@ -67,6 +67,20 @@ class DedupSpec extends SparkSpec {
       "one representative per cluster + every unclustered doc")
   }
 
+  test("incrementalExact keeps only novel content, deduped within batch") {
+    val known = Seq((1L, "seen before"), (2L, "also seen")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "seen before"),   // duplicate of the index -> dropped
+      (11L, "brand new"),     // novel
+      (12L, "brand new"),     // within-batch copy -> folded into 11
+      (13L, "also novel")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(batch, Dedup.exact(known).select("checksum"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_copies"))
+    assert(out.toSeq == Seq(11L -> 2L, 13L -> 1L))
+  }
+
   test("cluster propagation round plans equi-joins, no cross product") {
     // resolveClusters executes eagerly behind localCheckpoint, so the
     // QueryPlanSpec sweep over registered queries only sees a
