@@ -16,12 +16,19 @@ object SparkEntry {
   private def rd(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** Flagship: exact-dedup + fingerprint pipeline over sf0.001 documents. */
+  /** Flagship: the end-to-end training-data assembly pipeline over
+    * sf0.001 documents — exact dedup (keep one copy per checksum) →
+    * deterministic mixture resampling → fixed-length sequence packing.
+    * Built-in expressions only: this runs in the DRIVER's own session,
+    * which does not register the graft_* extensions.
+    */
   def entry(spark: SparkSession): DataFrame = {
     val docs = rd(spark, "/root/testdata/sf0.001", "documents")
-    Dedup.exact(docs)
-      .join(TextAnalysis.fingerprint(docs), "doc_id")
-      .orderBy("doc_id")
+    val survivors = docs.join(
+      Dedup.exact(docs).select(col("doc_id")), Seq("doc_id"))
+    val resampled = Sampling.mixtureResample(
+      survivors, Seq("src0" -> 0.5, "src1" -> 0.75), 1.0)
+    Sampling.packSequences(resampled, 256L).orderBy("doc_id")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
