@@ -233,6 +233,24 @@ object SparkEntry {
       Events.sessionize(rd(s, dir, "events"))
         .orderBy("user_id", "session_idx")
     }),
+    // state-at-event-time: each non-purchase event gets the user's latest
+    // preceding purchase; the oracle is DuckDB's NATIVE ASOF JOIN, so the
+    // union-tag composition is checked against a first-class
+    // implementation of the semantics. Times truncate to MICROseconds on
+    // both sides: DuckDB reads parquet TIMESTAMP(NANOS) at us precision,
+    // and us epochs stay under 2^53 so the driver compare's nullable-int
+    // float coercion is lossless too.
+    "events_asof" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = rd(s, dir, "events")
+        .withColumn("ts", expr("ts div 1000"))
+      val probe = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val state = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      Events.joinAsOf(probe, state, "user_id", "ts", Seq("value"))
+        .orderBy("event_id")
+    }),
     "part_stats" -> ((s, dir) =>
       rd(s, dir, "part").groupBy(col("p_brand")).agg(
         count(lit(1)).as("n_parts"),
@@ -784,6 +802,19 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
         | count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin,
+    "events_asof" ->
+      """WITH probe AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts FROM events
+        |  WHERE event_type <> 'purchase'
+        |), state AS (
+        |  SELECT user_id, epoch_us(ts) AS ts, value FROM events
+        |  WHERE event_type = 'purchase'
+        |)
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  s.ts AS asof_time, s.value AS asof_value
+        |FROM probe p ASOF LEFT JOIN state s
+        |  ON p.user_id = s.user_id AND s.ts <= p.ts
+        |ORDER BY event_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

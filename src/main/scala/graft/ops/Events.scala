@@ -57,4 +57,57 @@ object Events {
         min(col("secs")).as("session_start"),
         max(col("secs")).as("session_end"))
   }
+
+  /** As-of join — attach to every left (probe) row the latest right
+    * (state) row with the same key and `state.time <= probe.time`. The
+    * classic "state at event time" operator (last purchase before each
+    * click, last config before each request) that Spark has no native
+    * join type for. Preference order from the build rules says compose
+    * before custom plan nodes — and the union-tag trick composes:
+    *
+    *  1. union probe and state rows, state tagged 0 / probe tagged 1 (at
+    *     an equal timestamp the state row sorts first → inclusive <=);
+    *  2. one window per partition key, ordered by (time, tag), carrying
+    *     the last non-null state forward (`last(..., ignoreNulls)`);
+    *  3. keep the probe rows.
+    *
+    * ONE shuffle on the join key — same cost as a plain equi-join, no
+    * per-key loops, no range explosion. Contract: state rows are unique
+    * per (key, time) (dedupe upstream) and state columns are non-null (a
+    * null state value would be skipped by the ignoreNulls fill and an
+    * older state attached). Output: every left column, plus `asof_time`
+    * and `asof_<c>` for each requested state column (all null when no
+    * state precedes the probe).
+    */
+  def joinAsOf(left: DataFrame, right: DataFrame, keyCol: String,
+               timeCol: String, stateCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val leftCols = left.columns.toSeq
+    val probe = left.select(
+      leftCols.map(col) ++
+        Seq(lit(1).as("_tag"), lit(null).cast("long").as("_rt")) ++
+        stateCols.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(s"asof_$c")): _*)
+    val state = right.select(
+      leftCols.map {
+        case k if k == keyCol  => col(keyCol)
+        case t if t == timeCol => col(timeCol)
+        case other => lit(null).cast(left.schema(other).dataType).as(other)
+      } ++
+        Seq(lit(0).as("_tag"), col(timeCol).cast("long").as("_rt")) ++
+        stateCols.map(c => col(c).as(s"asof_$c")): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = stateCols.foldLeft(
+      probe.unionByName(state)
+        .withColumn("asof_time", last(col("_rt"), ignoreNulls = true).over(w))
+    ) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("_tag") === 1)
+      .select(leftCols.map(col) ++ Seq(col("asof_time")) ++
+        stateCols.map(c => col(s"asof_$c")): _*)
+  }
 }

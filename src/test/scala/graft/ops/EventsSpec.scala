@@ -33,6 +33,29 @@ class EventsSpec extends SparkSpec {
     assert(out(0).getAs[Long]("hour_ts") == h10 / 1000000000L)
   }
 
+  test("joinAsOf attaches the latest preceding state, inclusive at ties") {
+    import spark.implicits._
+    val probe = Seq(
+      (1L, 10L, 100L), // before any state -> nulls
+      (2L, 10L, 200L), // exactly at state ts 200 -> inclusive
+      (3L, 10L, 350L), // between states 200 and 400 -> 200
+      (4L, 10L, 450L), // after 400 -> 400
+      (5L, 99L, 500L)  // keyed user with no state at all
+    ).toDF("event_id", "user_id", "ts")
+    val state = Seq(
+      (10L, 200L, 2.5), (10L, 400L, 4.5)
+    ).toDF("user_id", "ts", "value")
+    val out = Events.joinAsOf(probe, state, "user_id", "ts", Seq("value"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+    assert(out(0) == ((1L, None, None)))
+    assert(out(1) == ((2L, Some(200L), Some(2.5))))
+    assert(out(2) == ((3L, Some(200L), Some(2.5))))
+    assert(out(3) == ((4L, Some(400L), Some(4.5))))
+    assert(out(4) == ((5L, None, None)))
+  }
+
   test("sessionize splits on the inactivity gap") {
     val df = Seq(
       (1L, ts(9, 0), 7L, "c", 0.0),
