@@ -233,6 +233,24 @@ object SparkEntry {
       Events.sessionize(rd(s, dir, "events"))
         .orderBy("user_id", "session_idx")
     }),
+    // post-purchase attribution: count each user's events inside the hour
+    // after each of their purchases — a keyed interval-containment join
+    // that stays an equi-join on (time cell, user)
+    "events_range" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val hourUs = 3600000000L
+      val ev = rd(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("interval_id"), col("user_id"),
+          col("ts").as("start_ts"), (col("ts") + hourUs).as("end_ts"))
+      val probe = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts"))
+      Events.rangeJoin(probe, windows, Seq("user_id"), hourUs)
+        .groupBy(col("interval_id"))
+        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("first_ts"),
+          max(col("ts")).as("last_ts"))
+        .orderBy("interval_id")
+    }),
     // state-at-event-time: each non-purchase event gets the user's latest
     // preceding purchase; the oracle is DuckDB's NATIVE ASOF JOIN, so the
     // union-tag composition is checked against a first-class
@@ -802,6 +820,20 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
         | count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin,
+    "events_range" ->
+      """WITH w AS (
+        |  SELECT event_id AS interval_id, user_id, epoch_us(ts) AS start_ts,
+        |    epoch_us(ts) + 3600000000 AS end_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |), p AS (
+        |  SELECT user_id, epoch_us(ts) AS ts FROM events
+        |  WHERE event_type <> 'purchase'
+        |)
+        |SELECT interval_id, count(*) AS n_events,
+        |  min(p.ts) AS first_ts, max(p.ts) AS last_ts
+        |FROM w JOIN p ON w.user_id = p.user_id
+        |  AND p.ts >= w.start_ts AND p.ts <= w.end_ts
+        |GROUP BY interval_id ORDER BY interval_id""".stripMargin,
     "events_asof" ->
       """WITH probe AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts FROM events

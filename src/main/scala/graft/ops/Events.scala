@@ -79,6 +79,34 @@ object Events {
     * and `asof_<c>` for each requested state column (all null when no
     * state precedes the probe).
     */
+  /** Range (interval-containment) join — pair every probe row with the
+    * intervals containing its timestamp: `probe.ts ∈ [start_ts, end_ts]`,
+    * optionally also matching on `keyCols`. Spark plans a raw BETWEEN
+    * predicate as a broadcast-nested-loop (fine only when one side is
+    * tiny) or a cartesian product; this composition stays an EQUI-join:
+    *
+    * time is cut into `bucket`-wide cells; each interval explodes into
+    * the cells it overlaps, each probe lands in exactly ONE cell, and
+    * the join key is (cell, keyCols) with the exact BETWEEN as a
+    * residual filter. A probe matches an interval in precisely one
+    * shared cell, so no dedup is needed. Interval fan-out =
+    * length/bucket + 1 — pick `bucket` near the typical interval length
+    * so intervals explode to O(1) cells; all shuffles are keyed on
+    * (cell, keys), never all-pairs.
+    *
+    * Contract: probe has `ts` + keyCols, intervals have `start_ts`,
+    * `end_ts` + keyCols, all times integral (same unit).
+    */
+  def rangeJoin(probe: DataFrame, intervals: DataFrame,
+                keyCols: Seq[String], bucket: Long): DataFrame = {
+    val p = probe.withColumn("_cell", expr(s"ts div $bucket"))
+    val i = intervals.withColumn("_cell",
+      explode(sequence(expr(s"start_ts div $bucket"), expr(s"end_ts div $bucket"))))
+    p.join(i, Seq("_cell") ++ keyCols)
+      .filter(col("ts") >= col("start_ts") && col("ts") <= col("end_ts"))
+      .drop("_cell")
+  }
+
   def joinAsOf(left: DataFrame, right: DataFrame, keyCol: String,
                timeCol: String, stateCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -56,6 +56,25 @@ class EventsSpec extends SparkSpec {
     assert(out(4) == ((5L, None, None)))
   }
 
+  test("rangeJoin pairs probes with containing intervals, once each, no cross product") {
+    import spark.implicits._
+    val probe = Seq(
+      (10L, 5L), (10L, 15L), (10L, 25L), // user 10 at t=5,15,25
+      (20L, 15L)                          // other user, same time
+    ).toDF("user_id", "ts")
+    val intervals = Seq(
+      (1L, 10L, 0L, 20L),   // user 10, [0,20] spans 3 cells at bucket 10
+      (2L, 10L, 14L, 16L),  // user 10, [14,16] within one cell
+      (3L, 20L, 0L, 9L)     // user 20, misses its probe at t=15
+    ).toDF("interval_id", "user_id", "start_ts", "end_ts")
+    val joined = Events.rangeJoin(probe, intervals, Seq("user_id"), 10L)
+    assertNoCrossProduct(joined, "rangeJoin")
+    val pairs = joined.select("interval_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(pairs.toSeq == Seq((1L, 5L), (1L, 15L), (2L, 15L)),
+      s"each containment exactly once, got ${pairs.toSeq}")
+  }
+
   test("sessionize splits on the inactivity gap") {
     val df = Seq(
       (1L, ts(9, 0), 7L, "c", 0.0),
