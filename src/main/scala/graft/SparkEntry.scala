@@ -195,6 +195,9 @@ object SparkEntry {
       TextAnalysis.qualityFilter(rd(s, dir, "documents")).orderBy("doc_id")),
     "text_rarity" -> ((s, dir) =>
       TextAnalysis.tokenRarity(rd(s, dir, "documents")).orderBy("doc_id")),
+    "text_topterms" -> ((s, dir) =>
+      TextAnalysis.topTerms(rd(s, dir, "documents"))
+        .orderBy("doc_id", "term_rank")),
     "source_mix" -> ((s, dir) =>
       Sampling.sourceMix(rd(s, dir, "documents")).orderBy("source", "lang")),
     "corpus_stats" -> ((s, dir) =>
@@ -674,6 +677,25 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, stopword_ratio, type_token_ratio,
         |  top_ngram_frac, (reason = 'ok') AS keep, reason
         |FROM decided ORDER BY doc_id""".stripMargin,
+    "text_topterms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT doc_id, token, tf,
+        |    count(*) OVER (PARTITION BY token) AS df,
+        |    CAST(tf AS DOUBLE) / CAST(count(*) OVER (PARTITION BY token) AS DOUBLE) AS score
+        |  FROM tf
+        |), ranked AS (
+        |  SELECT doc_id, token, tf, df, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, token) AS BIGINT) AS term_rank
+        |  FROM scored
+        |)
+        |SELECT doc_id, term_rank, token, tf, df, score FROM ranked
+        |WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
     "text_rarity" ->
       """WITH posting AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token

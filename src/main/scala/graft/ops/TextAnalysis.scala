@@ -294,6 +294,36 @@ object TextAnalysis {
     * exact, and the mean is a single IEEE division (deterministic, unlike
     * a float accumulation order).
     */
+  /** Characteristic-term extraction: the top-k tokens of each document
+    * ranked by tf/df — term frequency over corpus document frequency,
+    * the tf-idf ranking with the constant-N scale (and the `ln`) removed
+    * so the score stays a single engine-exact IEEE division while the
+    * ORDER is identical to tf·idf for any fixed corpus. Ties break on
+    * the token string.
+    *
+    * Plan: explode → (doc, token) tf aggregation → df via
+    * count-over-window partitioned by token (postings stay
+    * token-partitioned, no vocab join) → per-doc top-k window. Shuffles
+    * are keyed on (doc, token), token, doc — never all-pairs.
+    */
+  def topTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(tokensCol(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    tf
+      .withColumn("df", count(lit(1)).over(w.partitionBy("token")))
+      .withColumn("score",
+        col("tf").cast("double") / col("df").cast("double"))
+      .withColumn("term_rank", row_number().over(
+        w.partitionBy("doc_id")
+          .orderBy(desc("score"), asc("token"))))
+      .filter(col("term_rank") <= k)
+      .select(col("doc_id"), col("term_rank").cast("long").as("term_rank"),
+        col("token"), col("tf"), col("df"), col("score"))
+  }
+
   def tokenRarity(docs: DataFrame): DataFrame = {
     val posting = docs.select(col("doc_id"),
       explode(tokensCol(col("text"))).as("token"))

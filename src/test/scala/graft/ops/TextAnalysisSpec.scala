@@ -109,6 +109,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0).getAs[String]("redacted_md5") == expected)
   }
 
+  test("topTerms ranks document-characteristic tokens by tf/df") {
+    val docs = Seq(
+      (0L, "apple apple banana shared"),
+      (1L, "cherry shared shared")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.topTerms(docs, k = 2).orderBy("doc_id", "term_rank")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("token"),
+        r.getAs[Double]("score")))
+    // doc 0: apple tf=2 df=1 -> 2.0 beats banana 1.0; shared tf=1 df=2 -> 0.5
+    assert(rows(0) == ((0L, "apple", 2.0)))
+    assert(rows(1) == ((0L, "banana", 1.0)))
+    // doc 1: shared tf=2 df=2 -> 1.0, cherry tf=1 df=1 -> 1.0; tie -> "cherry" first
+    assert(rows(2) == ((1L, "cherry", 1.0)))
+    assert(rows(3) == ((1L, "shared", 1.0)))
+  }
+
   test("tokenRarity scores docs by corpus token frequency") {
     val docs = Seq(
       (0L, "the the the"),     // 'the' appears 4x in corpus
