@@ -272,6 +272,10 @@ object SparkEntry {
       Events.joinAsOf(probe, state, "user_id", "ts", Seq("value"))
         .orderBy("event_id")
     }),
+    "table_profile" -> ((s, dir) =>
+      Analytics.profile(rd(s, dir, "lineitem"),
+        Seq("l_partkey", "l_quantity", "l_extendedprice"))
+        .orderBy("column")),
     "part_stats" -> ((s, dir) =>
       rd(s, dir, "part").groupBy(col("p_brand")).agg(
         count(lit(1)).as("n_parts"),
@@ -869,6 +873,15 @@ object SparkEntry {
         |FROM probe p ASOF LEFT JOIN state s
         |  ON p.user_id = s.user_id AND s.ts <= p.ts
         |ORDER BY event_id""".stripMargin,
+    "table_profile" -> {
+      val one = (c: String) =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v
+           |FROM lineitem""".stripMargin
+      Seq("l_partkey", "l_quantity", "l_extendedprice").map(one)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -57,4 +57,26 @@ object Analytics {
       .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
         .as("revenue"),
         count(lit(1)).as("n_items"))
+
+  /** Table profile — per-column data-quality stats (row/null/distinct
+    * counts, numeric min/max), long form: the sweep a pipeline runs
+    * before trusting a new 100 TB drop. One aggregation per column, each
+    * over a scan PRUNED to that single column, so total IO equals one
+    * multi-column pass (parquet is columnar) without the row fan-out
+    * Spark's Expand inserts for multiple exact count-distincts in a
+    * single aggregate. Swap `count_distinct` for
+    * `approx_count_distinct` when a ±2% HLL answer is acceptable and
+    * the distinct cardinality is huge.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map { c =>
+      df.select(col(c)).agg(
+        count(lit(1)).as("n_rows"),
+        count(col(c)).as("n_nonnull"),
+        count_distinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("double").as("min_v"),
+        max(col(c)).cast("double").as("max_v"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_nonnull"),
+          col("n_distinct"), col("min_v"), col("max_v"))
+    }.reduce(_ unionByName _)
 }
