@@ -236,6 +236,17 @@ object SparkEntry {
       Events.sessionize(rd(s, dir, "events"))
         .orderBy("user_id", "session_idx")
     }),
+    // per-event rolling features: same-user activity in the trailing day
+    "events_trailing" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val dayUs = 86400000000L
+      val ev = rd(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      Events.trailingActivity(ev, dayUs)
+        .select(col("event_id"), col("user_id"), col("trailing_events"),
+          col("trailing_value"))
+        .orderBy("event_id")
+    }),
     // post-purchase attribution: count each user's events inside the hour
     // after each of their purchases — a keyed interval-containment join
     // that stays an equi-join on (time cell, user)
@@ -846,6 +857,17 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
         | count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin,
+    "events_trailing" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts, value FROM events
+        |)
+        |SELECT event_id, user_id,
+        |  count(*) OVER w AS trailing_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS trailing_value
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "events_range" ->
       """WITH w AS (
         |  SELECT event_id AS interval_id, user_id, epoch_us(ts) AS start_ts,

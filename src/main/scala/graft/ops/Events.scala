@@ -79,6 +79,27 @@ object Events {
     * and `asof_<c>` for each requested state column (all null when no
     * state precedes the probe).
     */
+  /** Trailing-window activity features: for every event, the count and
+    * exact value-sum of the same user's events in the trailing
+    * `windowSize` time units (inclusive of the current event) — the
+    * rolling-feature shape behind fraud scores, rate limits, and
+    * engagement features. A RANGE-framed window over integral
+    * timestamps: one shuffle on the user key, no self-join, no
+    * interval explosion; state per partition is bounded by the window
+    * span. The value sum routes through decimal so it is
+    * reduction-order-free (engine-exact).
+    */
+  def trailingActivity(events: DataFrame, windowSize: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"))
+      .rangeBetween(-windowSize, Window.currentRow)
+    events
+      .withColumn("trailing_events", count(lit(1)).over(w))
+      .withColumn("trailing_value",
+        sum(col("value").cast("decimal(18,4)")).over(w)
+          .cast("double"))
+  }
+
   /** Range (interval-containment) join — pair every probe row with the
     * intervals containing its timestamp: `probe.ts ∈ [start_ts, end_ts]`,
     * optionally also matching on `keyCols`. Spark plans a raw BETWEEN

@@ -56,6 +56,21 @@ class EventsSpec extends SparkSpec {
     assert(out(4) == ((5L, None, None)))
   }
 
+  test("trailingActivity counts same-user events in the inclusive trailing window") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 7L, 100L, 1.0),
+      (2L, 7L, 150L, 2.0),  // within 100 of t=100
+      (3L, 7L, 300L, 4.0),  // window [200,300] -> only itself
+      (4L, 8L, 150L, 8.0)   // other user
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = Events.trailingActivity(ev, 100L).orderBy("event_id").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("trailing_events"),
+        r.getAs[Double]("trailing_value")))
+    assert(out.toSeq == Seq((1L, 1L, 1.0), (2L, 2L, 3.0), (3L, 1L, 4.0),
+      (4L, 1L, 8.0)))
+  }
+
   test("rangeJoin pairs probes with containing intervals, once each, no cross product") {
     import spark.implicits._
     val probe = Seq(
