@@ -85,9 +85,69 @@ object EventStreams {
       }
   }
 
+  final case class TrailingFeature(event_id: Long, user_id: Long,
+                                   trailing_events: Long,
+                                   trailing_value: Double)
+
+  /** Streaming twin of [[graft.ops.Events.trailingActivity]] via
+    * `flatMapGroupsWithState`: per-user rolling count/sum over the
+    * trailing `windowUs` microseconds, emitted per event as it arrives.
+    * The RANGE-window formulation of the batch path has no incremental
+    * equivalent, so this is the custom-state API earning its keep:
+    *
+    *  - state per user = only the events inside the trailing window
+    *    (pruned on every update), so executor state is bounded by
+    *    window span × arrival rate, never stream length;
+    *  - idle users are evicted by an event-time timeout once the
+    *    watermark passes their horizon — without it, one-visit users
+    *    would accumulate state forever.
+    *
+    * Input: (event_id, user_id, ts: long microseconds, value, ts_time:
+    * timestamp) — `ts_time` carries the watermark. Within a micro-batch
+    * rows process in (ts, event_id) order; results match the batch
+    * operator for in-order arrivals.
+    */
+  def streamingTrailing(events: DataFrame, windowUs: Long,
+                        watermark: String = "1 hour",
+                        idleTimeoutMs: Long = 3600000L)
+                       (implicit spark: SparkSession): Dataset[TrailingFeature] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts_time", watermark)
+      // ts_time rides along: the unsupported-operation checker requires
+      // the watermarked column to reach the stateful operator's input
+      .selectExpr("event_id", "user_id", "ts", "value", "ts_time")
+      .as[(Long, Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, Double, java.sql.Timestamp)],
+         state: GroupState[List[(Long, Double)]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var buf = state.getOption.getOrElse(Nil)
+            val batch = rows.toSeq
+            val out = batch.sortBy(r => (r._3, r._1)).map {
+              case (eid, _, t, v, _) =>
+                buf = (t, v) :: buf.filter(_._1 >= t - windowUs)
+                val inWin = buf.filter(e => e._1 <= t)
+                TrailingFeature(eid, user, inWin.size.toLong,
+                  inWin.map(_._2).sum)
+            }
+            state.update(buf)
+            // anchor the idle timeout to the group's OWN latest event
+            // time: watermark-relative timeouts expire spuriously on the
+            // first real watermark advance (the initial watermark is 0)
+            state.setTimeoutTimestamp(
+              batch.map(_._5.getTime).max + idleTimeoutMs)
+            out.iterator
+          }
+      }
+  }
+
   /** Gap-session aggregation via flatMapGroupsWithState lives on the
-    * batch path ([[graft.ops.Events.sessionize]]); the streaming variant
-    * would use `session_window`, which shares the same output schema.
+    * streaming path above ([[streamingTrailing]]); this variant uses the
+    * built-in `session_window`, which shares the batch output schema.
     */
   def sessionRollup(events: DataFrame, gap: String = "30 minutes",
                     watermark: String = "2 hours"): DataFrame =

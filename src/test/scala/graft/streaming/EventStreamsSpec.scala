@@ -120,6 +120,41 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState trailing features roll across micro-batches") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // (event_id, user_id, ts us, value, ts_time)
+    val mem = MemoryStream[(Long, Long, Long, Double, Timestamp)]
+    val feats = EventStreams.streamingTrailing(
+      mem.toDF.toDF("event_id", "user_id", "ts", "value", "ts_time"),
+      windowUs = 100L)
+    val q = feats.toDF.writeStream
+      .format("memory").queryName("trailing_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      def tt(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+      mem.addData(
+        (1L, 7L, 100L, 1.0, tt(0)),
+        (2L, 7L, 150L, 2.0, tt(1)))
+      q.processAllAvailable()
+      // next batch: state carries the (150, 2.0) event into 2's window
+      mem.addData(
+        (3L, 7L, 220L, 4.0, tt(2)),  // window [120,220] -> events 2,3
+        (4L, 8L, 220L, 8.0, tt(2)))  // fresh user
+      q.processAllAvailable()
+      val byId = spark.table("trailing_test").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          (r.getAs[Long]("trailing_events"), r.getAs[Double]("trailing_value")))
+        .toMap
+      assert(byId(1L) == ((1L, 1.0)))
+      assert(byId(2L) == ((2L, 3.0)))
+      assert(byId(3L) == ((2L, 6.0)), "cross-batch state: event 2 still in window")
+      assert(byId(4L) == ((1L, 8.0)))
+    } finally q.stop()
+  }
+
   test("session rollup groups by gap-separated session windows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
