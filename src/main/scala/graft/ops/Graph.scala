@@ -96,16 +96,30 @@ object Graph {
     */
   def coOccurrence(df: DataFrame, groupCol: String, itemCol: String,
                    maxGroupSize: Int = 100): DataFrame = {
+    // Size-prune BEFORE collecting: the count-over-window caps every
+    // group at maxGroupSize rows, so the collect_list aggregation buffer
+    // that follows is bounded even when one viral group holds millions of
+    // items. The groupBy then runs on the window's own hash partitioning
+    // (both key on g) — no extra exchange.
     val pruned = df.select(col(groupCol).as("g"), col(itemCol).as("item"))
       .distinct()
       .withColumn("gsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("g")))
-      .filter(col("gsz") <= maxGroupSize)
+      .filter(col("gsz") <= maxGroupSize && col("gsz") >= 2)
       .drop("gsz")
-    pruned.as("l")
-      .join(pruned.as("r"),
-        col("l.g") === col("r.g") && col("l.item") < col("r.item"))
-      .select(col("l.item").as("src"), col("r.item").as("dst"))
+    // Emit each group's C(g,2) ordered pairs straight from the sorted item
+    // array — replacing the posting self-join, which shuffled nothing new
+    // (ReusedExchange) but materialized every pair twice through join
+    // machinery. Generation is one interpreted lambda per GROUP (not per
+    // row), consumed once by the explode, so projection collapse cannot
+    // re-evaluate it.
+    pruned
+      .groupBy(col("g")).agg(sort_array(collect_list(col("item"))).as("items"))
+      .select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items)),
+          |    y -> named_struct('src', x, 'dst', y))))""".stripMargin)).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
       .distinct()
   }
 
