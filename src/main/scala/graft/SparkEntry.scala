@@ -283,6 +283,55 @@ object SparkEntry {
       Events.joinAsOf(probe, state, "user_id", "ts", Seq("value"))
         .orderBy("event_id")
     }),
+    // ordered funnel over the event stream; micro-truncated times so both
+    // engines compare identical integers
+    "events_funnel" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = rd(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+        .select(col("user_id"), col("event_type"), col("ts"))
+      Events.funnel(ev, Seq("signup", "view", "click", "purchase"))
+        .orderBy("step_idx")
+    }),
+    "events_retention" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = rd(s, dir, "events").select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"))
+      Events.retention(ev).orderBy("cohort_day", "day_offset")
+    }),
+    "events_anomaly" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Events.anomalies(rd(s, dir, "events")).orderBy("event_id")
+    }),
+    // GDS-style node similarity over the supplier→part bipartite edges
+    "graph_nodesim" -> ((s, dir) => {
+      val e = rd(s, dir, "lineitem").select(
+        col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+      Graph.nodeSimilarity(e).orderBy("id", "rank")
+    }),
+    // int8 quantization: integer roll-ups (sum/min/max are order-free) +
+    // the head of the quantized vector joined to a scalar for the compare
+    "embed_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(rd(s, dir, "embeddings"))
+        .select(col("vec_id"),
+          floor(col("scale") * 1000000.0).cast("long").as("scale_e6"),
+          expr("aggregate(q, cast(0 as long), (a, x) -> a + x)").as("q_sum"),
+          expr("array_min(q)").as("q_min"), expr("array_max(q)").as("q_max"),
+          array_join(slice(col("q"), 1, 6), ",").as("q_head"))
+        .orderBy("vec_id")),
+    // kNN labeling: first 20 vectors play the unlabeled set, the rest vote
+    "label_knn" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      Similarity.knnClassify(
+        e.filter(col("vec_id") >= 20)
+          .select(col("vec_id"), col("embedding"), col("label")), q, 5)
+        .orderBy("query_id")
+    }),
+    "sample_per_key" -> ((s, dir) =>
+      Sampling.samplePerKey(rd(s, dir, "documents"), "source", 20)
+        .select(col("doc_id"), col("source"), col("sample_rank"))
+        .orderBy("source", "sample_rank")),
     "table_profile" -> ((s, dir) =>
       Analytics.profile(rd(s, dir, "lineitem"),
         Seq("l_partkey", "l_quantity", "l_extendedprice"))
@@ -895,6 +944,135 @@ object SparkEntry {
         |FROM probe p ASOF LEFT JOIN state s
         |  ON p.user_id = s.user_id AND s.ts <= p.ts
         |ORDER BY event_id""".stripMargin,
+    "events_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts FROM events
+        |), s1 AS (
+        |  SELECT user_id, min(ts) AS step_ts FROM ev
+        |  WHERE event_type = 'signup' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS step_ts FROM ev e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > s1.step_ts GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS step_ts FROM ev e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s2.step_ts GROUP BY 1
+        |), s4 AS (
+        |  SELECT e.user_id, min(e.ts) AS step_ts FROM ev e
+        |  JOIN s3 ON e.user_id = s3.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s3.step_ts GROUP BY 1
+        |)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step_idx, 'signup' AS step_name, count(*) AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'view', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'click', count(*) FROM s3
+        |  UNION ALL SELECT 4, 'purchase', count(*) FROM s4
+        |) ORDER BY step_idx""".stripMargin,
+    "events_retention" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+        |), cohorts AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1
+        |)
+        |SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM ev e JOIN cohorts c ON e.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    "events_anomaly" ->
+      """WITH v AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100,
+        |    count(*) OVER w AS n,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS s,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT) *
+        |        CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS ss
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id, event_type)
+        |)
+        |SELECT event_id, user_id, event_type, v100, n AS group_n FROM v
+        |WHERE n >= 3 AND (n * v100 - s) * (n * v100 - s) > 4 * (n * ss - s * s)
+        |ORDER BY event_id""".stripMargin,
+    "graph_nodesim" ->
+      """WITH adj AS (
+        |  SELECT DISTINCT l_suppkey AS id, l_partkey AS nbr FROM lineitem
+        |), deg AS (
+        |  SELECT id, count(*) AS deg FROM adj GROUP BY 1
+        |), pruned AS (
+        |  SELECT id, nbr FROM (
+        |    SELECT id, nbr, count(*) OVER (PARTITION BY nbr) AS ndeg FROM adj
+        |  ) WHERE ndeg <= 100
+        |), inter AS (
+        |  SELECT l.id AS a, r.id AS b, count(*) AS n_inter
+        |  FROM pruned l JOIN pruned r ON l.nbr = r.nbr AND l.id < r.id
+        |  GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT a, b, n_inter, da.deg + db.deg - n_inter AS n_union,
+        |    CAST(n_inter AS DOUBLE) / CAST(da.deg + db.deg - n_inter AS DOUBLE) AS score
+        |  FROM inter JOIN deg da ON inter.a = da.id JOIN deg db ON inter.b = db.id
+        |  WHERE CAST(n_inter AS DOUBLE) / CAST(da.deg + db.deg - n_inter AS DOUBLE) >= 0.1
+        |), sym AS (
+        |  SELECT a AS id, b AS other, n_inter, n_union, score FROM scored
+        |  UNION ALL
+        |  SELECT b AS id, a AS other, n_inter, n_union, score FROM scored
+        |), ranked AS (
+        |  SELECT id, other, n_inter, n_union, score,
+        |    row_number() OVER (PARTITION BY id ORDER BY score DESC, other ASC) AS "rank"
+        |  FROM sym
+        |)
+        |SELECT id, "rank", other, n_inter, n_union, score
+        |FROM ranked WHERE "rank" <= 10 ORDER BY id, "rank"""".stripMargin,
+    "embed_quantize" ->
+      """WITH sc AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS scale
+        |  FROM embeddings
+        |), qq AS (
+        |  SELECT vec_id, scale,
+        |    list_transform(e, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(floor(x * 127.0 / scale) AS BIGINT) END) AS q
+        |  FROM sc
+        |)
+        |SELECT vec_id, CAST(floor(scale * 1000000.0) AS BIGINT) AS scale_e6,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  list_min(q) AS q_min, list_max(q) AS q_max,
+        |  array_to_string(q[1:6], ',') AS q_head
+        |FROM qq ORDER BY vec_id""".stripMargin,
+    "label_knn" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id < 20
+        |), c AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ce
+        |  FROM embeddings WHERE vec_id >= 20
+        |), scored AS (
+        |  SELECT q.query_id, c.vec_id, c.label,
+        |    list_dot_product(ce, qe) /
+        |      (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(qe, qe))) AS cosine
+        |  FROM c, q
+        |), ranked AS (
+        |  SELECT query_id, label,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id ASC) AS r
+        |  FROM scored
+        |), votes AS (
+        |  SELECT query_id, label, count(*) AS votes FROM ranked
+        |  WHERE r <= 5 GROUP BY 1, 2
+        |), best AS (
+        |  SELECT query_id, label, votes,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY votes DESC, label ASC) AS vr
+        |  FROM votes
+        |)
+        |SELECT query_id, label AS pred_label, votes FROM best
+        |WHERE vr = 1 ORDER BY query_id""".stripMargin,
+    "sample_per_key" ->
+      """SELECT doc_id, source, sample_rank FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+        |  FROM documents
+        |) WHERE sample_rank <= 20 ORDER BY source, sample_rank""".stripMargin,
     "table_profile" -> {
       val one = (c: String) =>
         s"""SELECT '$c' AS "column", count(*) AS n_rows,

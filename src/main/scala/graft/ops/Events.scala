@@ -159,4 +159,92 @@ object Events {
       .select(leftCols.map(col) ++ Seq(col("asof_time")) ++
         stateCols.map(c => col(s"asof_$c")): _*)
   }
+
+  /** Ordered funnel conversion — how many users reached step 1, then step
+    * 2 strictly after their step-1 time, and so on (the product-analytics
+    * staple the reference's consumers run downstream of event loads).
+    *
+    * One aggregation per step, every shuffle keyed on the user column:
+    * after the first groupBy the later joins and groupBys hash-partition
+    * on the same key, so funnel depth adds no new exchange patterns and
+    * per-step state is one timestamp per user — never a per-user event
+    * list. Returns one row per step: (step_idx, step_name, n_users).
+    *
+    * Contract: `ts` is integral (same unit everywhere) and step names
+    * match `event_type` values.
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val perStep = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val hits = events.filter(col("event_type") === step)
+        val reached = prev match {
+          case None => hits
+          case Some(p) =>
+            hits.join(p.select(col("user_id"), col("step_ts").as("_prev_ts")),
+              Seq("user_id"))
+              .filter(col("ts") > col("_prev_ts"))
+        }
+        Some(reached.groupBy(col("user_id"))
+          .agg(min(col("ts")).as("step_ts")))
+    }.flatten
+    perStep.zip(steps).zipWithIndex.map { case ((df, name), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).cast("long").as("step_idx"),
+          lit(name).as("step_name"), col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Cohort retention — users bucketed by their first-activity day, then
+    * counted per (cohort day, day offset) on every later day they were
+    * active. All counts, fully engine-exact.
+    *
+    * Shape: one groupBy on user (first day), one distinct on (user, day)
+    * — both hash-partition on user so the join between them reuses the
+    * exchange — then a bounded-key rollup on (cohort, offset): days ×
+    * retention horizon cells, tiny at any corpus size.
+    *
+    * Contract: `day` precomputed as an integral day index (e.g.
+    * epoch_us div 86400000000) so both engines bucket identically.
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val active = events.select(col("user_id"), col("day")).distinct()
+    val cohorts = active.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    active.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
+
+  /** Per-group outlier flagging — events whose value sits more than
+    * `nSigma` standard deviations from their (user, event_type) group
+    * mean. The z-score test is algebraically cleared of divisions and
+    * square roots so it runs in pure integer arithmetic, identical in
+    * any engine and any reduction order:
+    *
+    *   |v − μ| > nσ  ⇔  (n·v − s)² > n²·σ²·n²/… → (n·v100 − s)² > k²·(n·ss − s²)
+    *
+    * with v100 = floor(100·v + 0.5) (two-decimal fixed point), s = Σv100,
+    * ss = Σv100². Stats come from count/sum windows over the group key —
+    * ONE shuffle, no self-join, partial aggregation does not apply to
+    * windows but the per-row state is three longs. At extreme group
+    * sizes (n·max(v100) approaching 2^31·√2) the squared terms need
+    * decimal(38,0) casts; at any realistic per-user cardinality longs
+    * hold exactly.
+    */
+  def anomalies(events: DataFrame, nSigma: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type")
+    val v = events
+      .withColumn("v100", floor(col("value") * 100 + lit(0.5)).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("v100")).over(w))
+      .withColumn("ss", sum(col("v100") * col("v100")).over(w))
+    val dev = col("n") * col("v100") - col("s")
+    val varTerm = col("n") * col("ss") - col("s") * col("s")
+    v.filter(col("n") >= 3 && dev * dev > lit(nSigma.toLong * nSigma) * varTerm)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("v100"), col("n").as("group_n"))
+  }
 }

@@ -168,4 +168,53 @@ object Graph {
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Node similarity — Jaccard over out-neighbor sets, the GDS
+    * `nodeSimilarity` the reference's consumers run after a load: two
+    * source nodes score |N(a) ∩ N(b)| / |N(a) ∪ N(b)|, reported top-k per
+    * node above a cutoff.
+    *
+    * Inverted-index shape (the same scale skeleton as shingle-based
+    * near-dup): a pair is generated per SHARED neighbor, so candidate
+    * generation is an equi-join on the neighbor id — never node×node.
+    * Hub neighbors (degree > `dfMax`) are pruned by a count-over-window
+    * before the self-join, capping per-neighbor fan-out exactly like
+    * stop-shingle pruning; GDS's own degreeCutoff plays this role.
+    * Degrees for the union term come from a groupBy on the src key, and
+    * the intersection division is one exact IEEE op — engine-portable.
+    */
+  def nodeSimilarity(edges: DataFrame, topK: Int = 10,
+                     minScore: Double = 0.1, dfMax: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val adj = edges.select(col("src").cast("long").as("id"),
+      col("dst").cast("long").as("nbr")).distinct()
+    val deg = adj.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val pruned = adj
+      .withColumn("ndeg", count(lit(1)).over(Window.partitionBy("nbr")))
+      .filter(col("ndeg") <= dfMax)
+      .drop("ndeg")
+    val inter = pruned.as("l")
+      .join(pruned.as("r"),
+        col("l.nbr") === col("r.nbr") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("a"), col("r.id").as("b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val scored = inter
+      .join(deg.select(col("id").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("deg_b")), "b")
+      .withColumn("n_union", col("deg_a") + col("deg_b") - col("n_inter"))
+      .withColumn("score",
+        col("n_inter").cast("double") / col("n_union").cast("double"))
+      .filter(col("score") >= minScore)
+    // emit each qualifying pair from both endpoints, then keep each
+    // node's top-k by (score desc, partner asc) — deterministic ranks
+    val sym = scored.select(col("a").as("id"), col("b").as("other"),
+        col("n_inter"), col("n_union"), col("score"))
+      .unionByName(scored.select(col("b").as("id"), col("a").as("other"),
+        col("n_inter"), col("n_union"), col("score")))
+    sym.withColumn("rank", row_number().over(
+        Window.partitionBy("id").orderBy(desc("score"), asc("other"))))
+      .filter(col("rank") <= topK)
+      .select(col("id"), col("rank").cast("long").as("rank"), col("other"),
+        col("n_inter"), col("n_union"), col("score"))
+  }
 }

@@ -144,4 +144,27 @@ object Sampling {
             expr(s"(start_off + n_toks - 1) div $seqLen"))
           .as("crosses_boundary"))
   }
+
+  /** Deterministic fixed-size sample per key — `n` documents from every
+    * `keyCol` group, chosen by md5(doc_id) order (engine-portable,
+    * uniform, and stable: a group's sample only changes where new ids
+    * hash below its current cutoff). The eval-set / spot-check / debug
+    * sampler: "give me 100 random-but-reproducible docs per source".
+    *
+    * One shuffle on the key for the rank window. When groups are huge
+    * and n is small, the same semantics can run as a partial top-k
+    * (min_by over the hash) instead of a full window sort — noted here
+    * because the window form sorts each group; at n ≪ group size prefer
+    * `groupBy.agg(min_by)` fan-in.
+    */
+  def samplePerKey(docs: DataFrame, keyCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col("h"), col("doc_id"))))
+      .filter(col("sample_rank") <= n)
+      .drop("h")
+      .withColumn("sample_rank", col("sample_rank").cast("long"))
+  }
 }

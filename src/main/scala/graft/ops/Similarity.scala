@@ -211,4 +211,54 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("vec_id").as("neighbor_id"), col("cosine"))
   }
+
+  /** Symmetric int8 quantization of the embedding column — the standard
+    * compression step before shipping vectors to an ANN index or a
+    * training shard (4× smaller than float32, 8× than float64).
+    * Per-vector scale = max |v_i|; each element maps to
+    * floor(v·127/scale) ∈ [−127, 127]. floor of one IEEE division is
+    * bit-identical in any engine, so the whole op is engine-exact —
+    * unlike round(), whose half-way rule differs between engines.
+    *
+    * Pure narrow projection: no shuffle, no UDF; the per-element lambda
+    * is interpreted but runs once per element (single consumer, no
+    * projection collapse duplication). Zero vectors quantize to zeros.
+    */
+  def quantizeInt8(embeddings: DataFrame, embCol: String = "embedding"): DataFrame =
+    embeddings
+      .withColumn("scale",
+        expr(s"aggregate($embCol, cast(0.0 as double), (m, x) -> greatest(m, abs(cast(x as double))))"))
+      .withColumn("q", expr(
+        s"""transform($embCol, x -> cast(
+           |  case when scale = 0.0 then 0
+           |  else floor(cast(x as double) * 127.0 / scale) end as long))""".stripMargin))
+
+  /** k-NN label assignment — classify unlabeled vectors by the majority
+    * label of their k nearest labeled neighbors (exact cosine), ties
+    * broken toward the smaller label. The standard semi-supervised
+    * labeling pass over an embedded corpus.
+    *
+    * Scale shape = [[bruteTopK]]'s: the (small) unlabeled query set
+    * broadcasts against a single labeled-corpus scan; per-query top-k is
+    * a window on query_id; the vote is one more tiny aggregation over
+    * |Q|·k rows. For unlabeled sets too big to broadcast, the same vote
+    * composes over [[lshTopK]]/[[ivfTopK]] candidates instead.
+    */
+  def knnClassify(labeled: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    val neighbors = labeled
+      .crossJoin(broadcast(queries))
+      .withColumn("cosine",
+        dotCol(col("embedding"), col("q_emb")) /
+          (normCol(col("embedding")) * normCol(col("q_emb"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))))
+      .filter(col("rank") <= k)
+    neighbors
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vrank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("votes"), asc("label"))))
+      .filter(col("vrank") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+  }
 }

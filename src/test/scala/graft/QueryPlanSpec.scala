@@ -13,8 +13,9 @@ class QueryPlanSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
   // intentional BNLJ: a bounded broadcast side (|Q| queries / nLists
-  // centroids) streamed against the corpus — the designed scale shape
-  private val broadcastNlAllowed = Set("ann_brute", "ann_ivf")
+  // centroids / label_knn's unlabeled set) streamed against the corpus —
+  // the designed scale shape
+  private val broadcastNlAllowed = Set("ann_brute", "ann_ivf", "label_knn")
 
   // dedup_clusters executes its iterative joins eagerly behind
   // localCheckpoint while fn() builds the frame, so this sweep only sees

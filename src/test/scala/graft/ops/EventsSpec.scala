@@ -104,4 +104,45 @@ class EventsSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_events") == 1L) // user 7 session 2
     assert(out(2).getAs[Long]("user_id") == 8L)
   }
+
+  test("funnel requires strictly ordered step times per user") {
+    val ev = Seq(
+      // user 1 completes a->b->c in order
+      (1L, "a", 10L), (1L, "b", 20L), (1L, "c", 30L),
+      // user 2 did b BEFORE its first a: reaches a only
+      (2L, "b", 5L), (2L, "a", 10L),
+      // user 3 reaches a and b; its c ties b's timestamp (not strictly after)
+      (3L, "a", 1L), (3L, "b", 2L), (3L, "c", 2L)
+    ).toDF("user_id", "event_type", "ts")
+    val out = Events.funnel(ev, Seq("a", "b", "c")).orderBy("step_idx")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "a", 3L), (2L, "b", 2L), (3L, "c", 1L)))
+  }
+
+  test("retention buckets by first-activity day and counts later days") {
+    val ev = Seq(
+      (1L, 100L), (1L, 100L), (1L, 102L), // cohort 100, offsets 0 and 2
+      (2L, 100L), (2L, 101L),             // cohort 100, offsets 0 and 1
+      (3L, 101L)                          // cohort 101, offset 0
+    ).toDF("user_id", "day")
+    val out = Events.retention(ev).orderBy("cohort_day", "day_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (100L, 0L, 2L), (100L, 1L, 1L), (100L, 2L, 1L), (101L, 0L, 1L)))
+  }
+
+  test("anomalies flags only values beyond n sigma, in pure integer math") {
+    // group: nine 10.00s and one 50.00 -> mean 14, sigma 12 -> 50 is the
+    // only value with |v-mu| = 36 > 2*12
+    val rows = (1L to 9L).map(i => (i, 1L, "t", 10.0)) :+ (10L, 1L, "t", 50.0)
+    val ev = rows.toDF("event_id", "user_id", "event_type", "value")
+    val out = Events.anomalies(ev, nSigma = 2).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(10L))
+    assert(out(0).getAs[Long]("v100") == 5000L)
+    assert(out(0).getAs[Long]("group_n") == 10L)
+    // groups below the minimum size never flag
+    val tiny = Seq((1L, 2L, "t", 1.0), (2L, 2L, "t", 99.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+    assert(Events.anomalies(tiny).count() == 0L)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class GraphSpec extends SparkSpec {
   import spark.implicits._
@@ -60,5 +61,41 @@ class GraphSpec extends SparkSpec {
       .map(x => x.getLong(0) -> x.getAs[Long]("rank_scaled")).toMap
     assert(r(100L) > r(200L))
     assert(r(200L) > 0L)
+  }
+
+  test("nodeSimilarity scores jaccard over neighbor sets and prunes hubs") {
+    // a:{1,2,3}, b:{2,3,4}, c:{9}; neighbor 5 is a hub shared by all
+    // three and must be pruned (dfMax=2) before pair generation
+    val edges = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L), (10L, 5L),
+      (20L, 2L), (20L, 3L), (20L, 4L), (20L, 5L),
+      (30L, 9L), (30L, 5L)
+    ).toDF("src", "dst")
+    val out = Graph.nodeSimilarity(edges, topK = 10, minScore = 0.0, dfMax = 2)
+    assertNoCrossProduct(out, "nodeSimilarity")
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("other"),
+        r.getAs[Long]("n_inter"), r.getAs[Long]("n_union"),
+        r.getAs[Double]("score"))).sortBy(x => (x._1, x._2))
+    // only the 10-20 pair survives: J = |{2,3}| / |{1,2,3,5} u {2,3,4,5}|
+    // = 2/6 (degrees count ALL neighbors incl. the pruned hub)
+    assert(rows.toSeq == Seq(
+      (10L, 20L, 2L, 6L, 2.0 / 6.0), (20L, 10L, 2L, 6L, 2.0 / 6.0)),
+      s"got ${rows.toSeq}")
+  }
+
+  test("nodeSimilarity keeps each node's top-k deterministically") {
+    // node 1 ties with 2 and 3 at the same score; rank breaks toward the
+    // smaller partner id
+    val edges = Seq(
+      (1L, 10L), (1L, 11L),
+      (2L, 10L), (2L, 11L),
+      (3L, 10L), (3L, 11L)
+    ).toDF("src", "dst")
+    val rows = Graph.nodeSimilarity(edges, topK = 1, minScore = 0.0, dfMax = 10)
+      .filter(col("id") === 1L).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("other") == 2L)
+    assert(rows(0).getAs[Double]("score") == 1.0)
   }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
@@ -94,5 +95,23 @@ class SamplingSpec extends SparkSpec {
     assert(byCell(("web", "de"))._2 == 4L)
     assert(byCell(("books", "en"))._1 == 1L)
     assert(math.abs(rows.map(_.getAs[Double]("token_share")).sum - 1.0) < 1e-12)
+  }
+
+  test("samplePerKey draws a stable fixed-size sample per key") {
+    val docs = (0L until 40L).map(i =>
+      (i, s"text $i", "en", if (i % 2 == 0) "web" else "books"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Sampling.samplePerKey(docs, "source", 5)
+    val rows = out.collect()
+    assert(rows.length == 10)
+    assert(rows.groupBy(_.getAs[String]("source")).forall(_._2.length == 5))
+    assert(rows.map(_.getAs[Long]("sample_rank")).forall(r => r >= 1 && r <= 5))
+    // deterministic: a second evaluation picks the identical ids
+    val again = Sampling.samplePerKey(docs, "source", 5).collect()
+    assert(rows.map(_.getLong(0)).sorted.sameElements(
+      again.map(_.getLong(0)).sorted))
+    // groups smaller than n return whole groups
+    val small = Sampling.samplePerKey(docs.filter(col("doc_id") < 3), "source", 5)
+    assert(small.count() == 3L)
   }
 }

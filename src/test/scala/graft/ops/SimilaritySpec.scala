@@ -89,4 +89,34 @@ class SimilaritySpec extends SparkSpec {
       .select(Similarity.cosineCol(col("a"), col("b")).as("c"))
     assert(math.abs(df.head.getDouble(0) - 1.0) < 1e-12)
   }
+
+  test("quantizeInt8 maps to [-127,127] with per-vector scale; zero vector safe") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, Seq(2.0f, -4.0f, 1.0f)),  // scale 4: q = floor(63.5), -127, floor(31.75)
+      (2L, Seq(0.0f, 0.0f, 0.0f))    // zero vector -> all-zero q
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.quantizeInt8(e).orderBy("vec_id").collect()
+    assert(rows(0).getAs[Double]("scale") == 4.0)
+    assert(rows(0).getAs[scala.collection.Seq[Long]]("q").toSeq == Seq(63L, -127L, 31L))
+    assert(rows(1).getAs[Double]("scale") == 0.0)
+    assert(rows(1).getAs[scala.collection.Seq[Long]]("q").toSeq == Seq(0L, 0L, 0L))
+  }
+
+  test("knnClassify takes the majority label with ties toward the smaller") {
+    import spark.implicits._
+    // query at (1,0): nearest 5 by cosine are the x-axis-ish vectors;
+    // labels 2,2,1,1,9 -> tie 2v2 between labels 1 and 2 -> pick 1
+    val labeled = Seq(
+      (10L, Seq(1.0f, 0.01f), 2), (11L, Seq(1.0f, 0.02f), 2),
+      (12L, Seq(1.0f, 0.03f), 1), (13L, Seq(1.0f, 0.04f), 1),
+      (14L, Seq(1.0f, 0.05f), 9),
+      (15L, Seq(0.0f, 1.0f), 7) // far away, outside k=5
+    ).toDF("vec_id", "embedding", "label")
+    val q = Seq((1L, Seq(1.0f, 0.0f))).toDF("query_id", "q_emb")
+    val out = Similarity.knnClassify(labeled, q, 5).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Int]("pred_label") == 1)
+    assert(out(0).getAs[Long]("votes") == 2L)
+  }
 }
