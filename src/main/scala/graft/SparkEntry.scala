@@ -1010,7 +1010,6 @@ object SparkEntry {
         |  SELECT a, b, n_inter, da.deg + db.deg - n_inter AS n_union,
         |    CAST(n_inter AS DOUBLE) / CAST(da.deg + db.deg - n_inter AS DOUBLE) AS score
         |  FROM inter JOIN deg da ON inter.a = da.id JOIN deg db ON inter.b = db.id
-        |  WHERE CAST(n_inter AS DOUBLE) / CAST(da.deg + db.deg - n_inter AS DOUBLE) >= 0.1
         |), sym AS (
         |  SELECT a AS id, b AS other, n_inter, n_union, score FROM scored
         |  UNION ALL

@@ -62,6 +62,30 @@ object Stress {
         (col("l_partkey") + lit(10000000L)).as("dst"))
     time("graph_degrees")(graft.ops.Graph.degreeStats(gEdges).count())
     time("graph_pagerank")(graft.ops.Graph.pageRank(gEdges, 5).count())
+    // node similarity over supplier->part edges: pair count grows with
+    // Σ_nbr C(df,2), capped by hub pruning — near-linear in |E| when
+    // neighbor df is bounded
+    val simEdges = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+    time("graph_nodesim")(graft.ops.Graph.nodeSimilarity(simEdges).count())
+    // events-family rollups over the replicated event stream
+    val ev0 = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    }
+    val nEv = ev0.count()
+    val ev = (0 until factor).map { i =>
+      ev0.select((col("event_id") + lit(i * nEv)).as("event_id"),
+        expr("ts div 1000").as("ts"),
+        (col("user_id") + lit(i * 1000L)).as("user_id"),
+        col("event_type"), col("value"))
+    }.reduce(_ union _).repartition(32).cache()
+    println(s"stress events: ${ev.count()} rows")
+    time("events_funnel")(graft.ops.Events.funnel(
+      ev, Seq("signup", "view", "click", "purchase")).count())
+    time("events_retention")(graft.ops.Events.retention(
+      ev.select(col("user_id"), expr("ts div 86400000000").as("day"))).count())
+    time("events_anomaly")(graft.ops.Events.anomalies(ev).count())
 
     // bulk-load throughput through the partition-parallel sink (the
     // reference's headline metric: rows/s and MiB/s per load phase)

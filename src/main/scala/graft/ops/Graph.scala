@@ -190,7 +190,7 @@ object Graph {
     * the intersection division is one exact IEEE op — engine-portable.
     */
   def nodeSimilarity(edges: DataFrame, topK: Int = 10,
-                     minScore: Double = 0.1, dfMax: Int = 100): DataFrame = {
+                     minScore: Double = 0.0, dfMax: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val adj = edges.select(col("src").cast("long").as("id"),
       col("dst").cast("long").as("nbr")).distinct()
