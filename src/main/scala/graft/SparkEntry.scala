@@ -353,6 +353,11 @@ object SparkEntry {
           count(lit(1)).as("n_suppliers"),
           Analytics.exactSum(col("s_acctbal")).as("total_bal"))
         .orderBy("n_name")),
+    "part_best_supplier" -> ((s, dir) =>
+      Analytics.bestSupplier(rd(s, dir, "lineitem")).orderBy("l_partkey")),
+    "basket_rules" -> ((s, dir) =>
+      Analytics.basketRules(rd(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minPairCount = 2L).orderBy("item_a", "item_b")),
     "q1_agg" -> ((s, dir) =>
       Analytics.q1(rd(s, dir, "lineitem")).orderBy("l_returnflag", "l_linestatus")),
     "q3_topk" -> ((s, dir) =>
@@ -1081,6 +1086,38 @@ object SparkEntry {
       Seq("l_partkey", "l_quantity", "l_extendedprice").map(one)
         .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
     },
+    "part_best_supplier" ->
+      """WITH agg AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_cost,
+        |    count(*) AS n_items
+        |  FROM lineitem GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_partkey
+        |    ORDER BY total_cost ASC, l_suppkey ASC) AS rk FROM agg
+        |)
+        |SELECT l_partkey, l_suppkey, total_cost, n_items FROM ranked
+        |WHERE rk = 1 ORDER BY l_partkey""".stripMargin,
+    "basket_rules" ->
+      """WITH b AS (
+        |  SELECT g, item FROM (
+        |    SELECT g, item, count(*) OVER (PARTITION BY g) AS gsz FROM (
+        |      SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+        |    )
+        |  ) WHERE gsz <= 100
+        |), ic AS (
+        |  SELECT item, count(*) AS n_item FROM b GROUP BY 1
+        |), pc AS (
+        |  SELECT l.item AS item_a, r.item AS item_b, count(*) AS n_pair
+        |  FROM b l JOIN b r ON l.g = r.g AND l.item < r.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |)
+        |SELECT item_a, item_b, n_pair, a.n_item AS n_a, bb.n_item AS n_b,
+        |  CAST(n_pair AS DOUBLE) / CAST(a.n_item AS DOUBLE) AS conf_a_to_b,
+        |  CAST(n_pair AS DOUBLE) / CAST(bb.n_item AS DOUBLE) AS conf_b_to_a
+        |FROM pc JOIN ic a ON pc.item_a = a.item
+        |JOIN ic bb ON pc.item_b = bb.item
+        |ORDER BY item_a, item_b""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -79,4 +79,69 @@ object Analytics {
         .select(lit(c).as("column"), col("n_rows"), col("n_nonnull"),
           col("n_distinct"), col("min_v"), col("max_v"))
     }.reduce(_ unionByName _)
+
+  /** Cheapest supplier per part (TPC-H Q2's argmin-per-group core):
+    * aggregate cost per (part, supplier), then keep each part's minimum
+    * by a rank window with a deterministic supplier tie-break. Two
+    * keyed shuffles — the second partitions on part alone, a strict
+    * coarsening of the first — and per-part state is one row, so no
+    * group ever concentrates memory. The window form (over `min_by`)
+    * keeps the full costed row and a portable tie-break.
+    */
+  def bestSupplier(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    lineitem
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(exactSum(col("l_extendedprice")).as("total_cost"),
+        count(lit(1)).as("n_items"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("l_partkey")
+          .orderBy(asc("total_cost"), asc("l_suppkey"))))
+      .filter(col("rk") === 1)
+      .select(col("l_partkey"), col("l_suppkey"), col("total_cost"),
+        col("n_items"))
+  }
+
+  /** Market-basket association rules — the co-purchase staple: for every
+    * frequently co-occurring item pair, support counts and both
+    * directional confidences (conf(a→b) = |ab| / |a|, one exact integer
+    * division each). Lift needs the global basket count; left out so the
+    * plan stays free of single-row broadcasts — divide by
+    * `baskets.count()` downstream if needed.
+    *
+    * Scale shape: per-basket pair fan-out is bounded by `maxGroupSize`
+    * (the coOccurrence cap: a mega-basket contributes g² pairs), pair
+    * counting is one partial-aggregated shuffle on the pair key, item
+    * counts join back keyed on item. `minPairCount` prunes the long tail
+    * before the joins — at 100 TB the pair table below min-support is
+    * the bulk of the output and never survives.
+    */
+  def basketRules(baskets: DataFrame, groupCol: String, itemCol: String,
+                  minPairCount: Long = 3L,
+                  maxGroupSize: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = baskets.select(col(groupCol).as("g"), col(itemCol).as("item"))
+      .distinct()
+      .withColumn("gsz", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("gsz") <= maxGroupSize)
+      .drop("gsz")
+    val itemCounts = b.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val pairCounts = b.as("l")
+      .join(b.as("r"),
+        col("l.g") === col("r.g") && col("l.item") < col("r.item"))
+      .groupBy(col("l.item").as("item_a"), col("r.item").as("item_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPairCount)
+    pairCounts
+      .join(itemCounts.select(col("item").as("item_a"),
+        col("n_item").as("n_a")), "item_a")
+      .join(itemCounts.select(col("item").as("item_b"),
+        col("n_item").as("n_b")), "item_b")
+      .select(col("item_a"), col("item_b"), col("n_pair"), col("n_a"),
+        col("n_b"),
+        (col("n_pair").cast("double") / col("n_a").cast("double"))
+          .as("conf_a_to_b"),
+        (col("n_pair").cast("double") / col("n_b").cast("double"))
+          .as("conf_b_to_a"))
+  }
 }

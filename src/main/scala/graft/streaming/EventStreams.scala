@@ -145,6 +145,46 @@ object EventStreams {
       }
   }
 
+  final case class AnomalyFlag(event_id: Long, user_id: Long,
+                               event_type: String, v100: Long,
+                               group_n: Long, is_anomaly: Boolean)
+
+  /** Online twin of [[graft.ops.Events.anomalies]]: every event is flagged
+    * against its (user, event_type) group's running statistics — the
+    * same division-and-sqrt-free BIGINT z-score test, applied to the
+    * prefix seen so far instead of the closed batch group. Classic
+    * streaming fraud/alerting shape.
+    *
+    * State per key is exactly three longs (n, Σv, Σv²) — O(1) per key no
+    * matter how long the stream runs, so no timeout-based eviction is
+    * needed for state SIZE; add one if key cardinality itself is
+    * unbounded. Within a micro-batch rows process in event_id order.
+    */
+  def streamingAnomalies(events: DataFrame, nSigma: Int = 2, minN: Long = 3L)
+                        (implicit spark: SparkSession): Dataset[AnomalyFlag] = {
+    import spark.implicits._
+    events.selectExpr("event_id", "user_id", "event_type", "value")
+      .as[(Long, Long, String, Double)]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: (Long, String), rows: Iterator[(Long, Long, String, Double)],
+         state: GroupState[(Long, Long, Long)]) =>
+          var (n, s, ss) = state.getOption.getOrElse((0L, 0L, 0L))
+          val out = rows.toSeq.sortBy(_._1).map { case (eid, uid, et, v) =>
+            val v100 = math.floor(v * 100 + 0.5).toLong
+            n += 1; s += v100; ss += v100 * v100
+            val dev = n * v100 - s
+            val varTerm = n * ss - s * s
+            AnomalyFlag(eid, uid, et, v100, n,
+              n >= minN && dev * dev > nSigma.toLong * nSigma * varTerm)
+          }
+          state.update((n, s, ss))
+          out.iterator
+      }
+  }
+
   /** Gap-session aggregation via flatMapGroupsWithState lives on the
     * streaming path above ([[streamingTrailing]]); this variant uses the
     * built-in `session_window`, which shares the batch output schema.

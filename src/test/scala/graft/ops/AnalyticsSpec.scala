@@ -15,4 +15,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows(0) == (("a", 3L, 3L, 2L, 1.0, 3.0)))
     assert(rows(1) == (("b", 3L, 2L, 2L, -1.0, 2.5)))
   }
+
+  test("bestSupplier picks the min-cost supplier with a stable tie-break") {
+    val li = Seq(
+      (1L, 10L, 5.0), (1L, 10L, 5.0),  // part 1, supp 10: 10.0
+      (1L, 20L, 8.0),                  // part 1, supp 20: 8.0 -> wins
+      (2L, 30L, 4.0), (2L, 10L, 4.0)   // part 2 ties: lower supp 10 wins
+    ).toDF("l_partkey", "l_suppkey", "l_extendedprice")
+    val rows = Analytics.bestSupplier(li).orderBy("l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((1L, 20L, 8.0, 1L), (2L, 10L, 4.0, 1L)))
+  }
+
+  test("basketRules counts pair support and directional confidence") {
+    val b = Seq(
+      (1L, "x"), (1L, "y"), (1L, "z"),
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "y"),
+      (4L, "x"), (4L, "z"),
+      (5L, "y") // y alone
+    ).toDF("basket", "item")
+    val rules = Analytics.basketRules(b, "basket", "item", minPairCount = 2L)
+    assertNoCrossProduct(rules, "basketRules")
+    val byPair = rules.collect().map(r =>
+      (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    // x,y co-occur 3x; |x|=4, |y|=4; x,z twice; y,z once (pruned)
+    assert(byPair(("x", "y")) == ((3L, 4L, 4L, 0.75, 0.75)))
+    assert(byPair(("x", "z")) == ((2L, 4L, 2L, 0.5, 1.0)))
+    assert(!byPair.contains(("y", "z")), "below min support")
+  }
 }

@@ -155,6 +155,35 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingAnomalies flags online outliers with state across batches") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    val flags = EventStreams.streamingAnomalies(
+      mem.toDF.toDF("event_id", "user_id", "event_type", "value"))
+    val q = flags.toDF.writeStream
+      .format("memory").queryName("anomaly_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 1: nine steady 10.00s — nothing anomalous
+      mem.addData((1L to 9L).map(i => (i, 1L, "t", 10.0)): _*)
+      q.processAllAvailable()
+      // batch 2: the spike arrives; running stats carried over flag it
+      // (prefix stats here equal the batch operator's closed-group stats)
+      mem.addData((10L, 1L, "t", 50.0), (11L, 2L, "t", 50.0))
+      q.processAllAvailable()
+      val rows = spark.table("anomaly_test").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          (r.getAs[Boolean]("is_anomaly"), r.getAs[Long]("group_n"))).toMap
+      assert(rows.size == 11)
+      assert((1L to 9L).forall(!rows(_)._1), "steady values never flag")
+      assert(rows(10L) == ((true, 10L)), "spike flagged with carried state")
+      assert(rows(11L) == ((false, 1L)), "fresh key below minN never flags")
+    } finally q.stop()
+  }
+
   test("session rollup groups by gap-separated session windows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
