@@ -302,6 +302,15 @@ object SparkEntry {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       Events.anomalies(rd(s, dir, "events")).orderBy("event_id")
     }),
+    "events_props" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Events.propsRollup(rd(s, dir, "events")).orderBy("prop")
+    }),
+    "events_quantiles" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Events.valueQuantiles(rd(s, dir, "events"))
+        .orderBy("event_type", "quantile")
+    }),
     // GDS-style node similarity over the supplier→part bipartite edges
     "graph_nodesim" -> ((s, dir) => {
       val e = rd(s, dir, "lineitem").select(
@@ -998,6 +1007,19 @@ object SparkEntry {
         |SELECT event_id, user_id, event_type, v100, n AS group_n FROM v
         |WHERE n >= 3 AND (n * v100 - s) * (n * v100 - s) > 4 * (n * ss - s * s)
         |ORDER BY event_id""".stripMargin,
+    "events_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY prop""".stripMargin,
+    "events_quantiles" ->
+      """WITH q AS (
+        |  SELECT event_type, quantile_cont(value, [0.5, 0.9, 0.99]) AS qv
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT event_type, unnest([0.5, 0.9, 0.99]) AS quantile,
+        |  unnest(qv) AS qvalue
+        |FROM q ORDER BY event_type, quantile""".stripMargin,
     "graph_nodesim" ->
       """WITH adj AS (
         |  SELECT DISTINCT l_suppkey AS id, l_partkey AS nbr FROM lineitem

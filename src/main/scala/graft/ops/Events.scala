@@ -227,6 +227,43 @@ object Events {
       .groupBy(col("cohort_day"), col("day_offset"))
       .agg(count(lit(1)).as("n_users"))
 
+  /** Rollup keyed on a property extracted from the semi-structured JSON
+    * `props` column — the metadata-sidecar pattern every event pipeline
+    * hits (experiment ids, device fields). `get_json_object` is a
+    * codegen'd path expression evaluated inside the scan projection, so
+    * extraction adds no shuffle; the rollup is one partial-aggregated
+    * exchange on the (bounded) property key. For hot pipelines parse
+    * once with `from_json` into a struct column instead of re-walking
+    * the JSON per field.
+    */
+  def propsRollup(events: DataFrame, path: String = "k"): DataFrame =
+    events
+      .withColumn("prop",
+        get_json_object(col("props"), s"$$.$path").cast("long"))
+      .groupBy(col("prop"))
+      .agg(count(lit(1)).as("n_events"),
+        Analytics.exactSum(col("value"), 4).as("sum_value"))
+
+  /** Exact value-distribution bands per event type (p50/p90/p99 SLO-style
+    * monitoring). Spark's exact `percentile` interpolates identically to
+    * DuckDB's `quantile_cont` (bit-for-bit), so the bands are oracled
+    * exactly; swap for `approx_percentile`'s t-digest when groups carry
+    * billions of rows and a bounded-error answer is acceptable — the
+    * exact form buffers each group's values, the sketch is O(1).
+    */
+  def valueQuantiles(events: DataFrame,
+                     qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val qList = qs.map(q => s"${q}D").mkString(", ")
+    events
+      .groupBy(col("event_type"))
+      .agg(expr(s"percentile(value, array($qList))").as("qv"))
+      .select(col("event_type"),
+        posexplode(col("qv")).as(Seq("qi", "qvalue")))
+      .select(col("event_type"),
+        element_at(array(qs.map(lit): _*), col("qi") + 1).as("quantile"),
+        col("qvalue"))
+  }
+
   /** Per-group outlier flagging — events whose value sits more than
     * `nSigma` standard deviations from their (user, event_type) group
     * mean. The z-score test is algebraically cleared of divisions and
