@@ -157,6 +157,13 @@ object SparkEntry {
       Similarity.lshTopK(e.select(col("vec_id"), col("embedding")), q, 10)
         .orderBy("query_id", "rank")
     }),
+    "ann_pq" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      Similarity.pqTopK(e.select(col("vec_id"), col("embedding")), q, 10)
+        .orderBy("query_id", "rank")
+    }),
     // --- text analysis (rows 25-28)
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokens(rd(s, dir, "documents")).orderBy("doc_id")),

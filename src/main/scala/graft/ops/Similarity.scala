@@ -212,6 +212,99 @@ object Similarity {
         col("vec_id").as("neighbor_id"), col("cosine"))
   }
 
+  /** Product-quantization ANN (FAISS IndexPQ shape) — the compressed-scan
+    * path for corpora whose raw vectors don't fit hot storage: each
+    * vector is encoded as `m` sub-space centroid codes (m bytes-ish vs
+    * 4·dim — 32× smaller at 64-dim float), candidate scoring walks ONLY
+    * the code table via per-query lookup tables (asymmetric distance),
+    * and the top `refine·k` candidates are re-ranked with exact cosine
+    * against the full vectors.
+    *
+    * Scale shape: codebooks fit from a bounded driver-side sample (same
+    * rationale as [[ivfTopK]]'s coarse quantizer); encoding is one
+    * narrow `mapPartitions` pass (genuine per-row imperative math);
+    * the ADC scan broadcasts |Q| lookup tables against the code table —
+    * the corpus never shuffles until the per-query top-k window; the
+    * refine join touches refine·k·|Q| rows keyed on vec_id. Fixed-seed
+    * deterministic end to end; compose with the IVF list pruning when
+    * even the code scan needs cutting.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+             m: Int = 8, ksub: Int = 16, refine: Int = 4,
+             trainSample: Int = 10000): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = corpus.select("vec_id", "embedding").orderBy("vec_id")
+      .limit(trainSample).collect()
+      .map(_.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { b =>
+      kmeansFit(sample.map(_.slice(b * dsub, (b + 1) * dsub)), ksub, iters = 5)
+    }
+    val bBooks = spark.sparkContext.broadcast(books)
+    val codes = corpus.select(col("vec_id"), col("embedding"))
+      .as[(Long, scala.collection.Seq[Float])]
+      .mapPartitions { it =>
+        val bk = bBooks.value
+        it.map { case (id, emb) =>
+          val v = emb
+          val cs = Array.tabulate(m) { b =>
+            var best = 0; var bd = Double.MaxValue; var c = 0
+            while (c < bk(b).length) {
+              var d = 0.0; var j = 0
+              while (j < dsub) {
+                val t = v(b * dsub + j) - bk(b)(c)(j); d += t * t; j += 1
+              }
+              if (d < bd) { bd = d; best = c }
+              c += 1
+            }
+            best
+          }
+          (id, cs.toSeq)
+        }
+      }.toDF("vec_id", "codes")
+    // per-query LUT: squared distance from each query sub-vector to every
+    // sub-centroid, flattened to m·ksub so ADC is one element_at per block
+    val luts = queries.select(col("query_id"), col("q_emb"))
+      .as[(Long, scala.collection.Seq[Float])].collect()
+      .map { case (qid, qe) =>
+        val lut = Array.tabulate(m * ksub) { i =>
+          val b = i / ksub; val c = i % ksub
+          var d = 0.0; var j = 0
+          while (j < dsub) {
+            val t = qe(b * dsub + j) - books(b)(c)(j); d += t * t; j += 1
+          }
+          d
+        }
+        (qid, lut.toSeq)
+      }.toSeq.toDF("query_id", "lut")
+    val cands = codes.crossJoin(broadcast(luts))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", expr(
+        s"""aggregate(transform(codes, (c, b) ->
+           |  element_at(lut, b * $ksub + c + 1)), 0D, (a, x) -> a + x)"""
+          .stripMargin))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("adc"), asc("vec_id"))))
+      .filter(col("crank") <= k * refine)
+      .select("query_id", "vec_id")
+    cands
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("q_emb"))),
+        "query_id")
+      .withColumn("cosine",
+        dotCol(col("embedding"), col("q_emb")) /
+          (normCol(col("embedding")) * normCol(col("q_emb"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cosine"))
+  }
+
   /** Symmetric int8 quantization of the embedding column — the standard
     * compression step before shipping vectors to an ANN index or a
     * training shard (4× smaller than float32, 8× than float64).

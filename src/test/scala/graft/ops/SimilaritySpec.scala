@@ -70,6 +70,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, f"IVF recall $recall%.2f below 0.8")
   }
 
+  test("pqTopK recall >= 0.8 vs brute force on clustered vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(10)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val vecs = for { c <- centers.indices; m <- 0 until 30 } yield
+      ((c * 30 + m).toLong,
+        centers(c).map(v => v + 0.05f * rnd.nextGaussian().toFloat).toSeq)
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val qs = corpus.filter($"vec_id" % 30 === 0).limit(4)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val brute = Similarity.bruteTopK(corpus, qs, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = Similarity.pqTopK(corpus, qs, k = 10, m = 8, ksub = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.8, f"PQ recall $recall%.2f below 0.8")
+  }
+
   test("labelCentroids averages per (label, dim) in order-free fixed point") {
     import spark.implicits._
     val e = Seq(
