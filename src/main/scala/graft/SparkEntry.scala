@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Analytics, Dedup, Events, Graph, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Analytics, Cdc, Dedup, Events, Graph, Linkage, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.orchestrate.{BlueGreen, Snapshots}
 import graft.sources.GraphFrames
 
@@ -31,7 +31,85 @@ object SparkEntry {
     Sampling.packSequences(resampled, 256L).orderBy("doc_id")
   }
 
+  /** Two deterministic snapshot generations of the orders table for the
+    * CDC queries: the "old" generation misses keys ending in 9, the "new"
+    * one misses keys ending in 0 and rewrites the priority of every key
+    * divisible by 7 — so all three change types occur. String-only value
+    * drift keeps the diff free of cross-engine float formatting.
+    */
+  private def cdcSnaps(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val o = rd(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val oldSnap = o.filter(col("o_orderkey") % 10 =!= 9)
+    val newSnap = o.filter(col("o_orderkey") % 10 =!= 0)
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 7 === 0, lit("CHANGED"))
+          .otherwise(col("o_orderpriority")))
+    (oldSnap, newSnap)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- CDC between snapshot generations (snapshot watcher's data twin)
+    "cdc_diff" -> ((s, dir) => {
+      val (oldSnap, newSnap) = cdcSnaps(s, dir)
+      Cdc.snapshotDiff(oldSnap, newSnap, "o_orderkey",
+        Seq("o_orderpriority", "o_totalprice")).orderBy("o_orderkey")
+    }),
+    // applying the diff-derived changeset to the old snapshot must
+    // reproduce the new snapshot exactly — the oracle IS the new snapshot
+    "cdc_apply" -> ((s, dir) => {
+      val (oldSnap, newSnap) = cdcSnaps(s, dir)
+      val diff = Cdc.snapshotDiff(oldSnap, newSnap, "o_orderkey",
+        Seq("o_orderpriority", "o_totalprice"))
+      val changes = diff.join(newSnap, Seq("o_orderkey"), "left")
+        .withColumn("op", when(col("change_type") === "delete", lit("delete"))
+          .otherwise(lit("upsert")))
+        .drop("change_type")
+      Cdc.applyChanges(oldSnap, changes, "o_orderkey").orderBy("o_orderkey")
+    }),
+    // --- entity resolution: blocked fuzzy self-match over customer names
+    // (planted single-typo variants of the first 50 names; blocks are the
+    // 17-char name prefix, so natural last-digit neighbors match too)
+    "entity_match" -> ((s, dir) => {
+      val c = rd(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("rec_id"), col("c_name").as("name"))
+      val planted = c.filter(col("rec_id") < 50)
+        .select((col("rec_id") + 1000000L).as("rec_id"),
+          concat(substring(col("name"), 1, 17), lit("X")).as("name"))
+      val recs = c.unionByName(planted)
+        .withColumn("block", substring(col("name"), 1, 17))
+      Linkage.blockedMatch(recs, maxDist = 1).orderBy("a_id", "b_id")
+    }),
+    // --- hop-limited BFS over the order–customer graph
+    "graph_bfs" -> ((s, dir) => {
+      val e = rd(s, dir, "orders").select(col("o_orderkey").as("src"),
+        (col("o_custkey") + 10000000L).as("dst"))
+      val seeds = rd(s, dir, "orders").filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey").as("id"))
+      Graph.bfs(e, seeds, 3).orderBy("id")
+    }),
+    // --- daily gap-fill + running totals per user
+    "events_gapfill" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = rd(s, dir, "events").select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"), col("value"))
+      Events.gapFillDaily(ev).orderBy("user_id", "day")
+    }),
+    // --- keyword retrieval: first-5-token queries from the first 5 docs
+    "text_search" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 5).select(
+        col("doc_id").as("query_id"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 5), " ")
+          .as("query_text"))
+      TextAnalysis.searchTopK(docs, qs, 5).orderBy("query_id", "rank")
+    }),
+    // --- k-means corpus clustering (driver-fit codebook, rows-only:
+    // centroid arithmetic is not SQL-expressible; SimilaritySpec asserts
+    // purity on clustered vectors)
+    "embed_cluster" -> ((s, dir) =>
+      Similarity.kmeansCluster(rd(s, dir, "embeddings"))
+        .orderBy("vec_id")),
     // --- reference surface: graph source normalization (SURVEY §2 rows 1-4)
     "normalize_nodes" -> ((s, dir) => {
       val nodes = rd(s, dir, "customer").select(
@@ -390,6 +468,110 @@ object SparkEntry {
     * invariants are covered by ScalaTest suites instead.
     */
   def oracleSql: Map[String, String] = Map(
+    "cdc_diff" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |), old AS (
+        |  SELECT * FROM o WHERE o_orderkey % 10 <> 9
+        |), new AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'CHANGED' ELSE o_orderpriority END AS o_orderpriority,
+        |    o_totalprice
+        |  FROM o WHERE o_orderkey % 10 <> 0
+        |), d AS (
+        |  SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+        |    CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+        |         WHEN new.o_orderkey IS NULL THEN 'delete'
+        |         WHEN old.o_orderpriority <> new.o_orderpriority
+        |           OR old.o_totalprice <> new.o_totalprice THEN 'update'
+        |    END AS change_type
+        |  FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+        |)
+        |SELECT o_orderkey, change_type FROM d
+        |WHERE change_type IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+    "cdc_apply" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'CHANGED' ELSE o_orderpriority END AS o_orderpriority,
+        |  o_totalprice
+        |FROM orders WHERE o_orderkey % 10 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
+    "entity_match" ->
+      """WITH c AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS rec_id, c_name AS name FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, substr(c_name, 1, 17) || 'X'
+        |  FROM customer WHERE c_custkey < 50
+        |), b AS (
+        |  SELECT rec_id, name, substr(name, 1, 17) AS block,
+        |    count(*) OVER (PARTITION BY substr(name, 1, 17)) AS bsz
+        |  FROM c
+        |), k AS (
+        |  SELECT * FROM b WHERE bsz <= 100
+        |)
+        |SELECT l.rec_id AS a_id, r.rec_id AS b_id,
+        |  CAST(levenshtein(l.name, r.name) AS BIGINT) AS dist
+        |FROM k l JOIN k r ON l.block = r.block AND l.rec_id < r.rec_id
+        |WHERE levenshtein(l.name, r.name) <= 1
+        |ORDER BY a_id, b_id""".stripMargin,
+    // bounded recursive CTE: UNION dedups (id, d) pairs and d < 3 caps the
+    // depth, so the walk terminates; min(d) per id is the BFS distance
+    "graph_bfs" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT o_orderkey AS src, o_custkey + 10000000 AS dst FROM orders
+        |), u AS (
+        |  SELECT src AS u, dst AS v FROM e
+        |  UNION ALL SELECT dst, src FROM e
+        |), walk(id, d) AS (
+        |  SELECT o_orderkey, 0 FROM orders WHERE o_orderkey < 100
+        |  UNION
+        |  SELECT u.v, w.d + 1 FROM walk w JOIN u ON u.u = w.id WHERE w.d < 3
+        |)
+        |SELECT id, CAST(min(d) AS BIGINT) AS dist
+        |FROM walk GROUP BY id ORDER BY id""".stripMargin,
+    "events_gapfill" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, value FROM events
+        |), span AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM e GROUP BY 1
+        |), grid AS (
+        |  SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM span
+        |), per AS (
+        |  SELECT user_id, day, count(*) AS n_events,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS dv
+        |  FROM e GROUP BY 1, 2
+        |)
+        |SELECT g.user_id, g.day,
+        |  COALESCE(n_events, 0) AS n_events,
+        |  CAST(COALESCE(dv, 0) AS DOUBLE) AS day_value,
+        |  CAST(sum(COALESCE(dv, 0)) OVER (PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_value
+        |FROM grid g LEFT JOIN per ON g.user_id = per.user_id AND g.day = per.day
+        |ORDER BY g.user_id, g.day""".stripMargin,
+    "text_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), q AS (
+        |  SELECT DISTINCT query_id, token FROM (
+        |    SELECT doc_id AS query_id, unnest(t[1:5]) AS token
+        |    FROM toks WHERE doc_id < 5)
+        |), tfa AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(t) AS token FROM toks)
+        |  GROUP BY 1, 2
+        |), d AS (
+        |  SELECT *, count(*) OVER (PARTITION BY token) AS df FROM tfa
+        |), sc AS (
+        |  SELECT q.query_id, d.doc_id,
+        |    CAST(sum(tf * (1000000 // df)) AS BIGINT) AS score,
+        |    count(*) AS n_terms
+        |  FROM d JOIN q ON d.token = q.token GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS "rank"
+        |  FROM sc
+        |)
+        |SELECT query_id, CAST("rank" AS BIGINT) AS "rank", doc_id, score, n_terms
+        |FROM rk WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
     "normalize_nodes" ->
       """SELECT c_custkey AS nodeId,
         | array_to_string(string_split(concat(c_mktsegment, ',', 'Customer'), ','), '|') AS labels,

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture between snapshot generations — the data-level twin
+  * of the reference's snapshot watcher (orchestrator.py:216-287 discovers
+  * `data/{customer}/{timestamp}` directories; a real deployment also needs
+  * to know WHAT changed between two of them, and a bulk re-load can shrink
+  * to an incremental one when the delta is small).
+  *
+  * Scale shape: one full-outer equi-join on the entity key — both sides
+  * shuffle once, partial aggregation everywhere, no window over the whole
+  * table. Compared columns collapse into a single md5 so arbitrarily wide
+  * rows diff with one string compare per row; with bucketed snapshots
+  * (sources.Bucketing) the join is shuffle-free.
+  */
+object Cdc {
+
+  /** Diff two snapshots keyed by `key`: one output row per entity that was
+    * inserted, deleted, or updated (unchanged entities are filtered out —
+    * at 100 TB the delta is the only thing worth materializing). `compare`
+    * lists the value columns that define row identity.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   key: String, compare: Seq[String]): DataFrame = {
+    def hashed(df: DataFrame, side: String) =
+      df.select(col(key),
+        md5(concat_ws("", compare.map(c => col(c).cast("string")): _*))
+          .as(s"${side}_hash"))
+    hashed(oldSnap, "old")
+      .join(hashed(newSnap, "new"), Seq(key), "full_outer")
+      .withColumn("change_type",
+        when(col("old_hash").isNull, lit("insert"))
+          .when(col("new_hash").isNull, lit("delete"))
+          .when(col("old_hash") =!= col("new_hash"), lit("update")))
+      .filter(col("change_type").isNotNull)
+      .select(col(key), col("change_type"))
+  }
+
+  /** Apply a changeset to a base snapshot: `changes` carries the full new
+    * row plus an `op` column (`upsert` | `delete`). Anti-join drops every
+    * touched key from the base, upserts union back in — two shuffles on
+    * the key, both co-partitioned, and the base never rewrites untouched
+    * rows through a window. applyChanges(old, diff-derived changes) ≡ new
+    * snapshot — the algebraic identity the CdcSpec and the DuckDB oracle
+    * both check.
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame,
+                   key: String): DataFrame = {
+    val touched = changes.select(col(key))
+    base.join(touched, Seq(key), "left_anti")
+      .unionByName(
+        changes.filter(col("op") === "upsert").drop("op"))
+  }
+}

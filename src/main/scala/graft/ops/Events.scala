@@ -294,4 +294,37 @@ object Events {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("v100"), col("n").as("group_n"))
   }
+
+  /** Time-series regularization: one row per (user, day) over each user's
+    * whole active span, zero-filling days with no events — the gap-fill /
+    * resample step every downstream feature store and charting layer
+    * expects (irregular event streams → fixed daily grid), plus an exact
+    * running total demonstrating forward-carrying state across the filled
+    * gaps. `df` needs `(user_id, day, value)` with integer days.
+    *
+    * Scale shape: the day grid comes from `sequence(min_day, max_day)`
+    * exploded per user — grid size is span-bounded per key and never a
+    * global cross join with a calendar table; the fill join and the
+    * running-sum window both shuffle once on user_id. Value sums route
+    * through decimal so the zero-filled series is engine-exact.
+    */
+  def gapFillDaily(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = df.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val perDay = df.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).as("day_value"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perDay, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("day_value"), lit(0).cast("decimal(18,4)"))
+          .as("day_value"))
+      .withColumn("cum_value", sum(col("day_value")).over(w).cast("double"))
+      .withColumn("day_value", col("day_value").cast("double"))
+  }
 }

@@ -230,4 +230,38 @@ object Graph {
       .select(col("id"), col("rank").cast("long").as("rank"), col("other"),
         col("n_inter"), col("n_union"), col("score"))
   }
+
+  /** Multi-source BFS: minimum hop distance from a seed set, level-
+    * synchronous over an UNDIRECTED view of the edge list (mirror the
+    * edges first if reachability should follow direction). The GDS
+    * shortestPath/BFS twin for hop-limited neighborhoods — "everything
+    * within k hops of these entities" is the standard graph-expansion
+    * query after an ETL load.
+    *
+    * Scale shape per round: frontier ⋈ edges equi-join on the node id +
+    * one distinct + a LEFT ANTI join against the visited set — all keyed
+    * shuffles, frontier-sized (not graph-sized) on the probe side. Like
+    * [[Dedup.resolveClusters]] the visited set is re-referenced every
+    * round, so each new level is `localCheckpoint`ed; unlike hash-min
+    * propagation the rounds are exactly `maxHops`, giving a fixed plan
+    * the DuckDB oracle reproduces with a bounded recursive CTE.
+    */
+  def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int = 4): DataFrame = {
+    val undirected = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+    var known = seeds.select(col("id")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = known
+    var hop = 1
+    while (hop <= maxHops && !frontier.isEmpty) {
+      val fresh = frontier.join(undirected, col("id") === col("u"))
+        .select(col("v").as("id")).distinct()
+        .join(known, Seq("id"), "left_anti")
+        .withColumn("dist", lit(hop.toLong)).localCheckpoint(true)
+      known = known.unionByName(fresh)
+      frontier = fresh
+      hop += 1
+    }
+    known
+  }
 }

@@ -354,4 +354,37 @@ object Similarity {
       .filter(col("vrank") === 1)
       .select(col("query_id"), col("label").as("pred_label"), col("votes"))
   }
+
+  /** K-means clustering of the embedding column: assign every vector to
+    * its nearest centroid and report per-cluster sizes — corpus topic
+    * discovery, diversity-aware sampling strata, and the semantic-dedup
+    * grouping step (cluster, then dedup within clusters) all run on this.
+    *
+    * Same two-level shape as [[ivfTopK]]'s index build: centroids fit
+    * driver-side on a bounded deterministic sample (Lloyd's over 10k
+    * vectors is milliseconds; the corpus-side cost is ONE broadcast-
+    * centroid scan assigning each vector — no iteration ever touches the
+    * full data, which is how k-means stays viable at 100 TB). Fixed seed
+    * and sample order make assignments reproducible run to run.
+    */
+  def kmeansCluster(corpus: DataFrame, k: Int = 16,
+                    trainSample: Int = 10000): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = corpus.select("vec_id", "embedding")
+      .orderBy("vec_id").limit(trainSample).collect()
+      .map(_.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray)
+    val centroids = kmeansFit(sample, k, iters = 5).zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cluster", "centroid")
+    val assigned = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist", dotCol(col("embedding"), col("centroid")) * lit(-2.0)
+        + dotCol(col("centroid"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(asc("cdist"), asc("cluster"))))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+    assigned.withColumn("cluster_size", count(lit(1)).over(
+      Window.partitionBy("cluster")))
+  }
 }

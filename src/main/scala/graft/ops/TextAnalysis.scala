@@ -338,4 +338,42 @@ object TextAnalysis {
       .withColumn("mean_cnt",
         col("sum_cnt").cast("double") / col("n_tokens").cast("double"))
   }
+
+  /** Keyword retrieval: top-k documents per query, scored by idf-weighted
+    * term frequency over an inverted index — the full-text-search query a
+    * corpus tool runs ("which documents mention these terms"), and the
+    * lexical half of hybrid (BM25 + vector) retrieval next to
+    * [[Similarity.bruteTopK]]. Scoring is
+    * `Σ_terms tf(term,doc) · (10^6 div df(term))` — BM25's shape with the
+    * log and length norm dropped so every score is an exact BIGINT
+    * (reduction-order-free, engine-portable; ranking quality at this
+    * corpus scale is driven by the idf ordering, which integer division
+    * preserves).
+    *
+    * Scale shape: tf is a partial-agg shuffle on (doc, token); df a
+    * count-over-window on the token key (same reusable-partitioning trick
+    * as [[topTerms]]); the query join hits ONLY postings whose token
+    * appears in some query — an equi-join on token, broadcastable since
+    * query sets are human-sized — then one top-k window per query.
+    */
+  def searchTopK(docs: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val qTerms = queries
+      .select(col("query_id"), explode(tokensCol(col("query_text"))).as("token"))
+      .distinct()
+    val tf = docs
+      .select(col("doc_id"), explode(tokensCol(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(w.partitionBy("token")))
+    tf.join(broadcast(qTerms), Seq("token"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(expr("tf * (1000000 div df)")).as("score"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(
+        w.partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("score"), col("n_terms"))
+  }
 }

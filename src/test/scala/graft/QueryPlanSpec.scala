@@ -15,7 +15,8 @@ class QueryPlanSpec extends SparkSpec {
   // intentional BNLJ: a bounded broadcast side (|Q| queries / nLists
   // centroids / label_knn's unlabeled set) streamed against the corpus —
   // the designed scale shape
-  private val broadcastNlAllowed = Set("ann_brute", "ann_ivf", "ann_pq", "label_knn")
+  private val broadcastNlAllowed =
+    Set("ann_brute", "ann_ivf", "ann_pq", "label_knn", "embed_cluster")
 
   // dedup_clusters executes its iterative joins eagerly behind
   // localCheckpoint while fn() builds the frame, so this sweep only sees

@@ -145,4 +145,20 @@ class EventsSpec extends SparkSpec {
       .toDF("event_id", "user_id", "event_type", "value")
     assert(Events.anomalies(tiny).count() == 0L)
   }
+
+  test("gapFillDaily zero-fills missing days and carries the running total") {
+    // user 1 active on days 10 and 13 -> grid must cover 11 and 12 with
+    // zero events while the cumulative sum carries through the gap
+    val ev = Seq((1L, 10L, 2.5), (1L, 10L, 1.5), (1L, 13L, 3.0),
+      (2L, 5L, 1.0)).toDF("user_id", "day", "value")
+    val out = Events.gapFillDaily(ev).orderBy("user_id", "day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Double]("day_value"), r.getAs[Double]("cum_value")))
+    assert(out.toSeq == Seq(
+      (1L, 10L, 2L, 4.0, 4.0),
+      (1L, 11L, 0L, 0.0, 4.0),
+      (1L, 12L, 0L, 0.0, 4.0),
+      (1L, 13L, 1L, 3.0, 7.0),
+      (2L, 5L, 1L, 1.0, 1.0)))
+  }
 }

@@ -98,4 +98,27 @@ class GraphSpec extends SparkSpec {
     assert(rows(0).getAs[Long]("other") == 2L)
     assert(rows(0).getAs[Double]("score") == 1.0)
   }
+
+  test("bfs reports minimum hop distance, undirected, capped at maxHops") {
+    // path 1-2-3-4-5 plus a shortcut 1-4: dist(4) is 1 via the shortcut,
+    // dist(5) is 2 even though edges point 5->4 (undirected view)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 4L), (1L, 4L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val got = Graph.bfs(edges, seeds, maxHops = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L))
+    // tighter cap prunes the far nodes entirely
+    val one = Graph.bfs(edges, seeds, maxHops = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(one === Map(1L -> 0L, 2L -> 1L, 4L -> 1L))
+  }
+
+  test("bfs takes the minimum over multiple seeds") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val seeds = Seq(1L, 4L).toDF("id")
+    val got = Graph.bfs(edges, seeds, maxHops = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 0L, 4L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
 }

@@ -88,6 +88,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, f"PQ recall $recall%.2f below 0.8")
   }
 
+  test("kmeansCluster groups planted clusters together (purity >= 0.9)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat * 3f))
+    val vecs = for { c <- centers.indices; m <- 0 until 50 } yield
+      ((c * 50 + m).toLong,
+        centers(c).map(v => v + 0.1f * rnd.nextGaussian().toFloat).toSeq)
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.kmeansCluster(corpus, k = 4, trainSample = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 200)
+    // purity: each planted group's rows should mostly share one cluster id
+    val purity = out.groupBy(_._1 / 50).values.map { grp =>
+      grp.groupBy(_._2).values.map(_.size).max.toDouble / grp.size
+    }.min
+    assert(purity >= 0.9, f"cluster purity $purity%.2f below 0.9")
+    // cluster_size is consistent with the assignment multiset
+    val sizes = Similarity.kmeansCluster(corpus, k = 4, trainSample = 200)
+      .select("cluster", "cluster_size").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val counted = out.groupBy(_._2).map { case (c, xs) => (c, xs.size.toLong) }
+    assert(sizes === counted)
+  }
+
   test("labelCentroids averages per (label, dim) in order-free fixed point") {
     import spark.implicits._
     val e = Seq(

@@ -150,4 +150,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1).getAs[String]("predicted_lang") == "de")
     assert(out(2).getAs[String]("predicted_lang") == "und")
   }
+
+  test("searchTopK ranks by idf-weighted tf with deterministic ties") {
+    val docs = Seq(
+      (0L, "rare common common"),   // tf(rare)=1
+      (1L, "rare rare common"),     // tf(rare)=2 -> outranks doc 0
+      (2L, "common common common"), // matches only the low-idf term
+      (3L, "nothing here")
+    ).toDF("doc_id", "text")
+    val qs = Seq((100L, "rare common")).toDF("query_id", "query_text")
+    val out = TextAnalysis.searchTopK(docs, qs, k = 3).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // df(rare)=2, df(common)=3 -> idf 500000 vs 333333
+    assert(out.toSeq == Seq(
+      (1L, 1L, 2L * 500000L + 333333L, 2L),  // rank 1: doc 1
+      (2L, 0L, 500000L + 2L * 333333L, 2L),  // rank 2: doc 0
+      (3L, 2L, 3L * 333333L, 1L)))           // rank 3: doc 2; doc 3 absent
+  }
+
+  test("searchTopK query join broadcasts — no cross product") {
+    val docs = Seq((0L, "a b"), (1L, "b c")).toDF("doc_id", "text")
+    val qs = Seq((9L, "b")).toDF("query_id", "query_text")
+    assertNoCrossProduct(TextAnalysis.searchTopK(docs, qs), "searchTopK")
+  }
 }
