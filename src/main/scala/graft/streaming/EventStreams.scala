@@ -199,4 +199,29 @@ object EventStreams {
         unix_timestamp(col("session_window.start")).as("session_start"),
         unix_timestamp(col("session_window.end")).as("session_end"),
         col("user_id"), col("n_events"))
+
+  /** Stream-stream interval join — attribute each click to the same
+    * user's purchase within the trailing `windowSeconds` (the streaming
+    * twin of [[graft.ops.Events.rangeJoin]]'s attribution query). Both
+    * sides carry watermarks and the join condition bounds click time
+    * between purchase time and purchase time + window, so Spark can
+    * evict buffered rows once the watermark passes the interval end —
+    * state stays proportional to the open window, not the stream, which
+    * is the only shape that survives an unbounded 100 TB/day feed.
+    *
+    * Inputs: purchases (user_id, p_id, p_ts), clicks (user_id, c_id,
+    * c_ts), both streaming.
+    */
+  def purchaseAttribution(purchases: DataFrame, clicks: DataFrame,
+                          windowSeconds: Long = 3600L,
+                          watermark: String = "1 hour"): DataFrame = {
+    val p = purchases.withWatermark("p_ts", watermark).as("p")
+    val c = clicks.withWatermark("c_ts", watermark).as("c")
+    p.join(c,
+      col("p.user_id") === col("c.user_id") &&
+        col("c_ts") >= col("p_ts") &&
+        col("c_ts") <= col("p_ts") + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(col("p.user_id").as("user_id"), col("p_id"), col("c_id"),
+        col("p_ts"), col("c_ts"))
+  }
 }

@@ -204,4 +204,33 @@ class EventStreamsSpec extends SparkSpec {
       assert(rows(1).getAs[Long]("n_events") == 1L)
     } finally q.stop()
   }
+
+  test("stream-stream purchase attribution joins within the interval only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val joined = EventStreams.purchaseAttribution(
+      purchases.toDF.toDF("user_id", "p_id", "p_ts"),
+      clicks.toDF.toDF("user_id", "c_id", "c_ts"),
+      windowSeconds = 3600L)
+    val q = joined.writeStream
+      .format("memory").queryName("attrib_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      def ts(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+      purchases.addData((1L, 100L, ts(10, 0)), (2L, 200L, ts(10, 0)))
+      clicks.addData(
+        (1L, 1000L, ts(10, 30)),  // inside window, same user -> joins
+        (1L, 1001L, ts(12, 0)),   // outside window -> dropped
+        (2L, 2000L, ts(9, 0)),    // before the purchase -> dropped
+        (3L, 3000L, ts(10, 15)))  // no purchase for user 3 -> dropped
+      q.processAllAvailable()
+      val rows = spark.table("attrib_test").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("p_id"),
+          r.getAs[Long]("c_id")))
+      assert(rows.toSet === Set((1L, 100L, 1000L)))
+    } finally q.stop()
+  }
 }
