@@ -452,6 +452,33 @@ object SparkEntry {
     "basket_rules" -> ((s, dir) =>
       Analytics.basketRules(rd(s, dir, "lineitem"), "l_orderkey", "l_partkey",
         minPairCount = 2L).orderBy("item_a", "item_b")),
+    "value_histogram" -> ((s, dir) =>
+      Analytics.histogram(rd(s, dir, "lineitem"), "l_extendedprice", 5000.0)
+        .orderBy("bin")),
+    "value_winsorize" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Analytics.winsorize(
+        rd(s, dir, "events").select(col("event_id"), col("event_type"),
+          col("value")), "event_type", "value")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("p_lo"), col("p_hi"), col("clamped"))
+        .orderBy("event_id")
+    }),
+    "sales_rollup" -> ((s, dir) =>
+      Analytics.rollupAgg(rd(s, dir, "lineitem"), "l_returnflag",
+        "l_linestatus", "l_extendedprice")
+        .orderBy("lvl", "l_returnflag", "l_linestatus")),
+    "events_pivot" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Events.pivotDaily(rd(s, dir, "events"),
+        Seq("click", "error", "purchase", "signup", "view")).orderBy("day")
+    }),
+    "events_interarrival" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = rd(s, dir, "events").select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts"))
+      Events.interarrival(ev).orderBy("event_id")
+    }),
     "q1_agg" -> ((s, dir) =>
       Analytics.q1(rd(s, dir, "lineitem")).orderBy("l_returnflag", "l_linestatus")),
     "q3_topk" -> ((s, dir) =>
@@ -1329,6 +1356,47 @@ object SparkEntry {
         |FROM pc JOIN ic a ON pc.item_a = a.item
         |JOIN ic bb ON pc.item_b = bb.item
         |ORDER BY item_a, item_b""".stripMargin,
+    "value_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin,
+        |  count(*) AS n_rows,
+        |  min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v
+        |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin,
+    "value_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type, quantile_cont(value, 0.01) AS p_lo,
+        |    quantile_cont(value, 0.99) AS p_hi
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT event_id, e.event_type, value, p_lo, p_hi,
+        |  least(greatest(value, p_lo), p_hi) AS clamped
+        |FROM events e JOIN b ON e.event_type = b.event_type
+        |ORDER BY event_id""".stripMargin,
+    "sales_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS lvl
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY lvl, l_returnflag, l_linestatus""".stripMargin,
+    "events_pivot" ->
+      """SELECT epoch_us(ts) // 86400000000 AS day,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "events_interarrival" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts FROM events
+        |)
+        |SELECT event_id, user_id, ts,
+        |  CAST(row_number() OVER w - 1 AS BIGINT) AS seq_idx,
+        |  lag(ts) OVER w AS prev_ts,
+        |  ts - lag(ts) OVER w AS gap_us
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

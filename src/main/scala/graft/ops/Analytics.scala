@@ -144,4 +144,57 @@ object Analytics {
         (col("n_pair").cast("double") / col("n_b").cast("double"))
           .as("conf_b_to_a"))
   }
+
+  /** Fixed-width histogram of a numeric column: bin id, row count, and
+    * the exact value bounds observed in each bin — the distribution
+    * profile behind data-quality dashboards and partition-skew checks.
+    * One partial-agg shuffle keyed on the bin id; output cardinality is
+    * the bin count, never the input. `floor` of a single IEEE division is
+    * engine-exact (round-half rules never enter).
+    */
+  def histogram(df: DataFrame, valueCol: String, binWidth: Double): DataFrame =
+    df.select(floor(col(valueCol) / lit(binWidth)).cast("long").as("bin"),
+        col(valueCol).as("v"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"), min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+
+  /** Winsorization: clamp a value column to its group's [lo, hi] exact
+    * percentiles — the standard outlier-taming step before aggregate
+    * features reach a model. Exact `percentile` keeps the oracle
+    * bit-for-bit (Spark's exact percentile ≡ DuckDB `quantile_cont`, the
+    * identity events_quantiles established); at billions of rows per
+    * group swap in `approx_percentile` (t-digest, mergeable) — same
+    * shape, bounded memory.
+    *
+    * Scale shape: one partial-agg shuffle computes the per-group bounds
+    * (group-count-sized result, broadcast back); the clamp itself is a
+    * narrow projection over the co-partitioned join.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
+    val bounds = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, $lo)").as("p_lo"),
+        expr(s"percentile($valueCol, $hi)").as("p_hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("clamped",
+        least(greatest(col(valueCol), col("p_lo")), col("p_hi")))
+  }
+
+  /** Hierarchical rollup (GROUP BY ROLLUP): per-(a,b) cells plus per-a
+    * subtotals plus the grand total in one pass — Spark expands the
+    * grouping sets BEFORE the shuffle, so partial aggregation still
+    * applies and subtotal rows cost no second scan. Grouping keys are
+    * COALESCEd to a sentinel so every engine (and the driver's row sort)
+    * sees the same scalar values; `lvl` is the grouping_id.
+    */
+  def rollupAgg(df: DataFrame, a: String, b: String,
+                valueCol: String): DataFrame =
+    df.rollup(col(a), col(b))
+      .agg(count(lit(1)).as("n_rows"),
+        exactSum(col(valueCol)).as("sum_v"),
+        grouping_id().as("lvl"))
+      .select(coalesce(col(a), lit("ALL")).as(a),
+        coalesce(col(b), lit("ALL")).as(b),
+        col("n_rows"), col("sum_v"), col("lvl"))
 }

@@ -327,4 +327,35 @@ object Events {
       .withColumn("cum_value", sum(col("day_value")).over(w).cast("double"))
       .withColumn("day_value", col("day_value").cast("double"))
   }
+
+  /** Long→wide pivot: one row per day with a count column per event type.
+    * The type list is EXPLICIT — with it, Spark skips the extra distinct
+    * job and the pivot is a single partial-agg shuffle keyed on day with
+    * bounded output width; an open-ended pivot at 100 TB would first scan
+    * for the universe of values and can explode the schema.
+    */
+  def pivotDaily(events: DataFrame, types: Seq[String]): DataFrame =
+    events
+      .select(expr("(ts div 1000) div 86400000000").as("day"),
+        col("event_type"))
+      .groupBy(col("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+
+  /** Inter-arrival gaps: per event, microseconds since the same user's
+    * previous event plus a per-user sequence index — the canonical
+    * session/engagement feature and the lag-window idiom. One shuffle on
+    * the user key; integer microsecond arithmetic is engine-exact.
+    * Expects `(event_id, user_id, ts)` with microsecond-long `ts`.
+    */
+  def interarrival(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("seq_idx",
+        (row_number().over(w) - 1).cast("long"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("gap_us", col("ts") - col("prev_ts"))
+  }
 }

@@ -350,19 +350,24 @@ object TextAnalysis {
     * corpus scale is driven by the idf ordering, which integer division
     * preserves).
     *
-    * Scale shape: tf is a partial-agg shuffle on (doc, token); df a
-    * count-over-window on the token key (same reusable-partitioning trick
-    * as [[topTerms]]); the query join hits ONLY postings whose token
-    * appears in some query — an equi-join on token, broadcastable since
-    * query sets are human-sized — then one top-k window per query.
+    * Scale shape: the broadcast query-token filter sits DIRECTLY under the
+    * posting explode, so only postings whose token appears in some query
+    * ever shuffle — tf's partial agg on (doc, token) and df's
+    * count-over-window on the token key both run on the matched slice,
+    * not the corpus (df(term) only needs counting for query terms;
+    * reordering the filter below the window changes nothing semantically
+    * and cuts the shuffled volume by ~|vocab|/|query terms|). One top-k
+    * window per query closes it out.
     */
   def searchTopK(docs: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val qTerms = queries
       .select(col("query_id"), explode(tokensCol(col("query_text"))).as("token"))
       .distinct()
+    val qTokens = qTerms.select(col("token")).distinct()
     val tf = docs
       .select(col("doc_id"), explode(tokensCol(col("text"))).as("token"))
+      .join(broadcast(qTokens), Seq("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("df", count(lit(1)).over(w.partitionBy("token")))

@@ -46,4 +46,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(byPair(("x", "z")) == ((2L, 4L, 2L, 0.5, 1.0)))
     assert(!byPair.contains(("y", "z")), "below min support")
   }
+
+  test("histogram bins values by fixed width with exact bounds") {
+    val df = Seq(0.5, 1.5, 9.9, 10.0, 19.9, 25.0).toDF("v")
+    val out = Analytics.histogram(df, "v", 10.0).orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (0L, 3L, 0.5, 9.9), (1L, 2L, 10.0, 19.9), (2L, 1L, 25.0, 25.0)))
+  }
+
+  test("winsorize clamps to per-group exact percentiles") {
+    // group g: 1..100 -> p01=1.99, p99=99.01; 0.5 clamps up, 100 down
+    val rows = (1 to 100).map(i => ("g", i.toDouble)) :+ (("h", 5.0))
+    val df = rows.toDF("grp", "v")
+    val out = Analytics.winsorize(df, "grp", "v", 0.01, 0.99)
+      .filter($"v" === 1.0 || $"v" === 100.0 || $"grp" === "h")
+      .orderBy("grp", "v").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getAs[Double]("clamped")))
+    assert(out(0) == (("g", 1.0, 1.99)))
+    assert(out(1) == (("g", 100.0, 99.01)))
+    assert(out(2) == (("h", 5.0, 5.0)), "single-value group is its own bound")
+  }
+
+  test("rollupAgg emits detail, subtotal, and grand-total levels") {
+    val df = Seq(("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0))
+      .toDF("f1", "f2", "v")
+    val out = Analytics.rollupAgg(df, "f1", "f2", "v").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    assert(out === Set(
+      ("a", "x", 1L, 1.0, 0L), ("a", "y", 1L, 2.0, 0L),
+      ("b", "x", 1L, 4.0, 0L),
+      ("a", "ALL", 2L, 3.0, 1L), ("b", "ALL", 1L, 4.0, 1L),
+      ("ALL", "ALL", 3L, 7.0, 3L)))
+  }
 }

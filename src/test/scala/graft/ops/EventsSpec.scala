@@ -146,6 +146,28 @@ class EventsSpec extends SparkSpec {
     assert(Events.anomalies(tiny).count() == 0L)
   }
 
+  test("pivotDaily widens event types to count columns, zero-filled") {
+    // day 0 has clicks+view, day 1 only purchase -> other cells are 0
+    val us = 86400000000L
+    val ev = Seq((0L * us, "click"), (1L, "click"), (2L, "view"),
+      (1L * us + 5L, "purchase")).map { case (t, e) => (t * 1000L, e) }
+      .toDF("ts", "event_type")
+    val out = Events.pivotDaily(ev, Seq("click", "purchase", "view"))
+      .orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 2L, 0L, 1L), (1L, 0L, 1L, 0L)))
+  }
+
+  test("interarrival computes per-user gaps with null-first semantics") {
+    val ev = Seq((1L, 7L, 100L), (2L, 7L, 250L), (3L, 8L, 10L))
+      .toDF("event_id", "user_id", "ts")
+    val out = Events.interarrival(ev).orderBy("event_id").collect()
+    assert(out.map(_.getAs[Long]("seq_idx")).toSeq == Seq(0L, 1L, 0L))
+    assert(out(0).isNullAt(out(0).fieldIndex("gap_us")))
+    assert(out(1).getAs[Long]("gap_us") == 150L)
+    assert(out(2).isNullAt(out(2).fieldIndex("gap_us")))
+  }
+
   test("gapFillDaily zero-fills missing days and carries the running total") {
     // user 1 active on days 10 and 13 -> grid must cover 11 and 12 with
     // zero events while the cumulative sum carries through the gap
