@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.{Analytics, Cdc, Dedup, Events, Graph, Linkage, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.orchestrate.{BlueGreen, Snapshots}
-import graft.sources.GraphFrames
+import graft.sources.{GraphFrames, ZOrder}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the row each query
   * covers. Every oracle-able query aliases its columns identically on both
@@ -487,7 +487,36 @@ object SparkEntry {
     "q5_join" -> ((s, dir) =>
       Analytics.q5(rd(s, dir, "region"), rd(s, dir, "nation"),
         rd(s, dir, "customer"), rd(s, dir, "orders"), rd(s, dir, "lineitem"))
-        .orderBy("r_name", "n_name"))
+        .orderBy("r_name", "n_name")),
+    // --- personalized PageRank seeded on the first five customer nodes
+    "graph_ppr" -> ((s, dir) => {
+      val e = rd(s, dir, "orders").select(col("o_orderkey").as("src"),
+        (col("o_custkey") + 10000000L).as("dst"))
+      val seeds = e.select(col("dst").as("id")).distinct()
+        .filter(col("id") <= 10000005L)
+      Graph.personalizedPageRank(e, seeds, 5).orderBy("id")
+    }),
+    // --- document chunking: 64-token windows, 16-token overlap
+    "docs_chunk" -> ((s, dir) =>
+      TextAnalysis.chunk(rd(s, dir, "documents"), 64, 16)
+        .orderBy("doc_id", "chunk_id")),
+    // --- per-user time-weighted average event value
+    "events_twap" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = rd(s, dir, "events").select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts"), col("value"))
+      Events.twap(ev).orderBy("user_id")
+    }),
+    // --- per-dimension embedding standardization (z-scores, long form)
+    "embed_standardize" -> ((s, dir) =>
+      Similarity.standardize(rd(s, dir, "embeddings"))
+        .orderBy("vec_id", "dim")),
+    // --- Morton z-values over the (partkey, suppkey) plane
+    "zorder_index" -> ((s, dir) =>
+      rd(s, dir, "lineitem")
+        .select(col("l_partkey").as("x"), col("l_suppkey").as("y")).distinct()
+        .select(col("x"), col("y"), ZOrder.zValue(col("x"), col("y"), 20).as("z"))
+        .orderBy("x", "y"))
   )
 
   /** DuckDB oracle SQL. Hash-seeded ops (minhash/simhash/LSH) are
@@ -1422,6 +1451,115 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY 1, 2 ORDER BY r_name, n_name""".stripMargin
+        |GROUP BY 1, 2 ORDER BY r_name, n_name""".stripMargin,
+    // seeded teleport term: identical unrolled integer rounds to
+    // graph_pagerank, with the reset mass conditioned on the seed flag
+    "graph_ppr" -> {
+      val round = (prev: String, cur: String) =>
+        s"""$cur AS (
+           |  SELECT n.id, n.is_seed * 150000000000 +
+           |    (85 * COALESCE(c.cin, 0)) // 100 AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT ed.dst, CAST(SUM(p.r // ed.outdeg) AS BIGINT) AS cin
+           |    FROM ed JOIN $prev p ON p.id = ed.src GROUP BY ed.dst
+           |  ) c ON n.id = c.dst
+           |)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT o_orderkey AS src, o_custkey + 10000000 AS dst FROM orders
+         |), nodes AS (
+         |  SELECT id, CASE WHEN id BETWEEN 10000000 AND 10000005
+         |    THEN 1 ELSE 0 END AS is_seed
+         |  FROM (SELECT src AS id FROM e UNION SELECT dst FROM e)
+         |), deg AS (
+         |  SELECT src, count(*) AS outdeg FROM e GROUP BY 1
+         |), ed AS (
+         |  SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)
+         |), r0 AS (
+         |  SELECT id, CAST(is_seed * 1000000000000 AS BIGINT) AS r FROM nodes
+         |), ${round("r0", "r1")},
+         |${round("r1", "r2")},
+         |${round("r2", "r3")},
+         |${round("r3", "r4")},
+         |${round("r4", "r5")}
+         |SELECT id, r AS rank_scaled,
+         |  CAST(r AS DOUBLE) / 1000000000000.0 AS rank
+         |FROM r5 ORDER BY id""".stripMargin
+    },
+    // chunk i covers tokens [i*48, i*48+64): step = 64 - 16
+    "docs_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |), ex AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(0, (len(t) - 1) // 48)) AS chunk_id
+        |  FROM toks
+        |)
+        |SELECT doc_id, chunk_id, chunk_id * 48 AS chunk_start,
+        |  CAST(least(64, len(t) - chunk_id * 48) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(list_slice(t, chunk_id * 48 + 1,
+        |    least(len(t), chunk_id * 48 + 64)), ' ') AS chunk_text
+        |FROM ex ORDER BY doc_id, chunk_id""".stripMargin,
+    // decimal(18,2) value x decimal(19,0) microsecond gap: exact product
+    // and sum in both engines; twap is one double division at the end
+    "events_twap" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts, value FROM events
+        |), seg AS (
+        |  SELECT user_id,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) - ts
+        |      AS gap_us,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM ev
+        |)
+        |SELECT user_id, count(*) AS n_segments,
+        |  CAST(sum(gap_us) AS BIGINT) AS span_us,
+        |  CAST(CAST(sum(v * CAST(gap_us AS DECIMAL(19,0))) * 100 AS BIGINT)
+        |      AS DOUBLE)
+        |    / CAST(CAST(sum(gap_us) AS BIGINT) * 100 AS DOUBLE) AS twap
+        |FROM seg WHERE gap_us IS NOT NULL
+        |GROUP BY user_id HAVING sum(gap_us) > 0
+        |ORDER BY user_id""".stripMargin,
+    // z = (n*v - s)/sqrt(n*ss - s^2): numerator and radicand exact
+    // integers (HUGEINT here, decimal(38,0) in Spark); sqrt and the
+    // division are IEEE-correctly-rounded in both engines
+    "embed_standardize" ->
+      """WITH comps AS (
+        |  SELECT vec_id,
+        |    CAST(unnest(generate_series(1, len(embedding))) AS BIGINT) AS dim,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+        |      AS HUGEINT) AS v6
+        |  FROM embeddings
+        |), stats AS (
+        |  SELECT dim, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(v6) AS HUGEINT) AS s,
+        |    CAST(sum(v6 * v6) AS HUGEINT) AS ss
+        |  FROM comps GROUP BY dim
+        |)
+        |SELECT c.vec_id, c.dim,
+        |  CASE WHEN st.n * st.ss - st.s * st.s = 0 THEN 0.0
+        |       ELSE CAST(st.n * c.v6 - st.s AS DOUBLE)
+        |         / sqrt(CAST(st.n * st.ss - st.s * st.s AS DOUBLE))
+        |  END AS z
+        |FROM comps c JOIN stats st USING (dim)
+        |ORDER BY c.vec_id, c.dim""".stripMargin,
+    // the five dilation rounds are unrolled textually: each level
+    // substitutes the previous expression twice (shift-or) then masks
+    "zorder_index" -> {
+      def dilate(e: String): String =
+        Seq(0x0000FFFF0000FFFFL -> 16, 0x00FF00FF00FF00FFL -> 8,
+          0x0F0F0F0F0F0F0F0FL -> 4, 0x3333333333333333L -> 2,
+          0x5555555555555555L -> 1)
+          .foldLeft(e) { case (acc, (m, sh)) =>
+            s"((($acc) | (($acc) << $sh)) & $m)"
+          }
+      val zx = dilate("(CAST(x AS BIGINT) & 1048575)")
+      val zy = dilate("(CAST(y AS BIGINT) & 1048575)")
+      s"""WITH xy AS (
+         |  SELECT DISTINCT l_partkey AS x, l_suppkey AS y FROM lineitem
+         |)
+         |SELECT x, y, ($zx) | (($zy) << 1) AS z
+         |FROM xy ORDER BY x, y""".stripMargin
+    }
   )
 }

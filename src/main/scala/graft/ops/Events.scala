@@ -358,4 +358,43 @@ object Events {
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("gap_us", col("ts") - col("prev_ts"))
   }
+
+  /** Time-weighted average value per user: each event's value holds until
+    * the user's next event, and the average weights values by holding
+    * duration instead of sample count — the right aggregate for
+    * irregularly-sampled series (a reading that persisted ten hours must
+    * not count like one that lasted ten seconds). Users with fewer than
+    * two events have no span and are dropped.
+    *
+    * Engine-exact: value routes through decimal(18,2) and multiplies a
+    * decimal-cast BIGINT microsecond gap (exact product, order-free
+    * decimal sum); the final twap is ONE double division of two
+    * exactly-agreed quantities. Scale shape: a single shuffle on user_id
+    * shared by the lead window and the rollup; aggregation state is O(1)
+    * per user. Expects `(event_id, user_id, ts, value)` with
+    * microsecond-long `ts`.
+    */
+  def twap(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .filter(col("next_ts").isNotNull)
+      .select(col("user_id"),
+        (col("next_ts") - col("ts")).as("gap_us"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("gap_us")).as("span_us"),
+        sum(col("v") * col("gap_us").cast("decimal(19,0)")).as("wsum"))
+      .filter(col("span_us") > 0)
+      // route the scale-2 decimal through integer cents before the one
+      // double division: decimal→double casts may double-round
+      // (int128→double, then ÷10^scale) and drift an ulp between engines;
+      // int→double is correctly rounded everywhere
+      .select(col("user_id"), col("n_segments"), col("span_us"),
+        ((col("wsum") * 100).cast("long").cast("double") /
+          (col("span_us") * 100).cast("double")).as("twap"))
+  }
 }

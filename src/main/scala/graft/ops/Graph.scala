@@ -85,6 +85,51 @@ object Graph {
       (col("r").cast("double") / lit(Scale.toDouble)).as("rank"))
   }
 
+  /** Personalized PageRank: the teleport mass returns to a SEED set
+    * instead of spreading uniformly — "importance relative to these
+    * entities", the graph-expansion score behind related-item and
+    * fraud-neighborhood queries (the seeded variant of the GDS algorithm
+    * the reference's consumers run post-ETL). Identical fixed-point
+    * BIGINT `div` arithmetic and round topology to [[pageRank]]; the only
+    * change is the reset term: seeds receive `0.15·Scale` each round and
+    * everyone else receives 0, so mass decays everywhere except along
+    * paths out of the seed neighborhood. Seed ids absent from the edge
+    * list are ignored. `ranks` is referenced once per round → rounds
+    * chain lazily (linear lineage), periodic checkpoint only.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iters: Int = 5,
+                           checkpointEvery: Int = 10): DataFrame = {
+    val base = 15L * Scale / 100L
+    val e = edges.select(col("src"), col("dst"))
+    // seed flag rides on the node set once; rounds only join ranks
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .join(seeds.select(col("id"), lit(1L).as("is_seed")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+      .localCheckpoint(true)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = e.join(outdeg, "src").localCheckpoint(true)
+    var ranks = nodes.select(col("id"), (col("is_seed") * lit(Scale)).as("r"))
+    var i = 0
+    while (i < iters) {
+      val contribs = edgesDeg
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cin"))
+      ranks = nodes
+        .join(contribs, nodes("id") === contribs("dst"), "left")
+        .select(nodes("id"),
+          (col("is_seed") * lit(base) +
+            expr("(85 * coalesce(cin, 0L)) div 100")).as("r"))
+      i += 1
+      if (i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint(true)
+    }
+    ranks.select(col("id"), col("r").as("rank_scaled"),
+      (col("r").cast("double") / lit(Scale.toDouble)).as("rank"))
+  }
+
   /** Canonical undirected co-occurrence edges: two items are connected
     * when they share a group (parts in the same order, entities in the
     * same document, ...). The within-group self-join is the only fan-out,

@@ -181,6 +181,42 @@ object Similarity {
         (col("sum_scaled").cast("double") /
           (col("n").cast("double") * 1000000.0)).as("centroid"))
 
+  /** Per-dimension corpus standardization (z-scores) in long form — the
+    * feature-normalization pass before clustering, linear probes, or
+    * distance metrics that assume comparable scales per dimension.
+    *
+    * Engine-exact via fixed point: components scale to integers with
+    * `floor(v·10^6)` (exact in any IEEE engine), per-dim moments
+    * accumulate in decimal(38,0) (order-free, no overflow at any corpus
+    * size), and `z = (n·v − Σv) / sqrt(n·Σv² − (Σv)²)` keeps numerator
+    * and radicand exact integers — sqrt and the one division are
+    * IEEE-correctly-rounded, so results hash-match across engines.
+    * Constant dimensions (zero variance) standardize to 0.
+    *
+    * Scale shape: posexplode (narrow) → partial agg onto `dim` (bounded
+    * cells: one per dimension) → the tiny stats table broadcasts back
+    * over the component stream. A stats pass plus a transform pass;
+    * nothing corpus-sized ever shuffles.
+    */
+  def standardize(embeddings: DataFrame): DataFrame = {
+    val comps = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "v")))
+      .select(col("vec_id"), (col("p") + 1).cast("long").as("dim"),
+        floor(col("v").cast("double") * lit(1000000.0))
+          .cast("decimal(38,0)").as("v6"))
+    val stats = comps.groupBy(col("dim"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("v6")).as("s"),
+        sum(col("v6") * col("v6")).as("ss"))
+    comps.join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("dim"),
+        when(col("n") * col("ss") - col("s") * col("s") === 0, lit(0.0))
+          .otherwise(
+            (col("n") * col("v6") - col("s")).cast("double") /
+              sqrt((col("n") * col("ss") - col("s") * col("s"))
+                .cast("double"))).as("z"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates are corpus vectors sharing
     * at least one (band, bucket) with the query, re-ranked by exact cosine
     * with norms computed once per vector. Candidate generation is a

@@ -381,4 +381,36 @@ object TextAnalysis {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("doc_id"), col("score"), col("n_terms"))
   }
+
+  /** Fixed-size token chunking with overlap — the splitter that turns
+    * long documents into embedding/context-window-sized pieces. Chunk `i`
+    * covers tokens `[i·step, i·step + chunkTokens)` with
+    * `step = chunkTokens − overlap`; the final chunk is short rather than
+    * padded, and every token belongs to at least one chunk.
+    *
+    * Scale shape: pure narrow projection + per-row explode — ZERO
+    * shuffles; output volume is input·(1 + overlap/step) and the whole
+    * plan is one codegen stage (`sequence`/`slice`/`array_join` are
+    * built-in expressions, no UDF). This is the op that feeds
+    * [[graft.ops.Similarity]]'s embedding pipeline at corpus scale, so it
+    * must never cost more than the scan it wraps.
+    */
+  def chunk(docs: DataFrame, chunkTokens: Int = 64,
+            overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens): $overlap vs $chunkTokens")
+    val step = chunkTokens - overlap
+    docs
+      .select(col("doc_id"), tokensCol(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L),
+          expr(s"(size(toks) - 1) div $step"))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * step).as("chunk_start"),
+        least(lit(chunkTokens.toLong),
+          size(col("toks")) - col("chunk_id") * step).as("n_chunk_tokens"),
+        array_join(slice(col("toks"),
+          (col("chunk_id") * step + 1).cast("int"), lit(chunkTokens)),
+          " ").as("chunk_text"))
+  }
 }

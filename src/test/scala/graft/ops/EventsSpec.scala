@@ -183,4 +183,21 @@ class EventsSpec extends SparkSpec {
       (1L, 13L, 1L, 3.0, 7.0),
       (2L, 5L, 1L, 1.0, 1.0)))
   }
+
+  test("twap weights values by holding duration; single-event users drop") {
+    val ev = Seq(
+      (1L, 1L, 0L, 10.0),  // held 2us
+      (2L, 1L, 2L, 20.0),  // held 4us
+      (3L, 1L, 6L, 30.0),  // last event: no span, contributes nothing
+      (4L, 2L, 5L, 99.0)   // single event: user dropped
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = Events.twap(ev).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(0) == 1L)
+    assert(r.getAs[Long]("n_segments") == 2L)
+    assert(r.getAs[Long]("span_us") == 6L)
+    // (10*2 + 20*4) / 6
+    assert(r.getAs[Double]("twap") == 100.0 / 6.0)
+  }
 }

@@ -29,6 +29,25 @@ class GraphSpec extends SparkSpec {
     assert(r2.values.sum <= 3L * Graph.Scale)
   }
 
+  test("personalizedPageRank teleports only to the seed set") {
+    // same graph as the pageRank test, seeded on node 1:
+    // r0 = (S, 0, 0)
+    // round 1: r1=base; r2=(85*(S div 2)) div 100; r3 likewise
+    // round 2: contribs from round-1 ranks, teleport still seed-only
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val r = Graph.personalizedPageRank(edges, seeds, 2).orderBy("id")
+      .collect().map(x => x.getLong(0) -> x.getAs[Long]("rank_scaled")).toMap
+    assert(r(1L) == 150000000000L)
+    assert(r(2L) == 63750000000L)   // (85 * (150e9 div 2)) div 100
+    assert(r(3L) == 425000000000L)  // (85 * (75e9 + 425e9)) div 100
+    // a seed absent from the graph contributes nothing and is dropped
+    val r2 = Graph.personalizedPageRank(edges,
+      Seq(Tuple1(99L)).toDF("id"), 2).collect()
+    assert(r2.map(_.getAs[Long]("rank_scaled")).forall(_ == 0L))
+    assert(!r2.map(_.getLong(0)).contains(99L))
+  }
+
   test("coOccurrence builds canonical pairs and caps hot groups") {
     val df = Seq(
       (1L, 10L), (1L, 20L), (1L, 30L),     // group 1: 3 pairs

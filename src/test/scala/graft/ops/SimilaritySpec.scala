@@ -161,4 +161,17 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0).getAs[Int]("pred_label") == 1)
     assert(out(0).getAs[Long]("votes") == 2L)
   }
+
+  test("standardize z-scores per dimension; constant dims go to zero") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, Seq(1.0f, 5.0f)),
+      (2L, Seq(3.0f, 5.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.standardize(e).orderBy("vec_id", "dim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // dim 1: mean 2, sd 1 -> z = -1, +1 exactly (integer fixed point);
+    // dim 2: zero variance -> 0 by convention
+    assert(out.toSeq == Seq(
+      (1L, 1L, -1.0), (1L, 2L, 0.0), (2L, 1L, 1.0), (2L, 2L, 0.0)))
+  }
 }

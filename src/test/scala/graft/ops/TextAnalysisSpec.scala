@@ -173,4 +173,24 @@ class TextAnalysisSpec extends SparkSpec {
     val qs = Seq((9L, "b")).toDF("query_id", "query_text")
     assertNoCrossProduct(TextAnalysis.searchTopK(docs, qs), "searchTopK")
   }
+
+  test("chunk slides overlapping fixed-size windows; tail chunk is short") {
+    val docs = Seq(
+      (1L, (0 until 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(docs, chunkTokens = 4, overlap = 2)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    // step = 2: starts 0,2,4,6,8; last chunk holds only tokens 8-9
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 4L, "t0 t1 t2 t3"),
+      (1L, 1L, 2L, 4L, "t2 t3 t4 t5"),
+      (1L, 2L, 4L, 4L, "t4 t5 t6 t7"),
+      (1L, 3L, 6L, 4L, "t6 t7 t8 t9"),
+      (1L, 4L, 8L, 2L, "t8 t9"),
+      (2L, 0L, 0L, 1L, "solo")))
+    // every token of every doc appears in at least one chunk
+    assert(out.filter(_._1 == 1L).flatMap(_._5.split(" ")).toSet.size == 10)
+  }
 }
