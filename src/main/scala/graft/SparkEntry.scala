@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Analytics, Cdc, Dedup, Events, Graph, Linkage, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Analytics, Cdc, Dedup, Events, Graph, Linkage, Multimodal, Quality, Sampling, Similarity, TextAnalysis}
 import graft.orchestrate.{BlueGreen, Snapshots}
 import graft.sources.{GraphFrames, ZOrder}
 
@@ -516,7 +516,28 @@ object SparkEntry {
       rd(s, dir, "lineitem")
         .select(col("l_partkey").as("x"), col("l_suppkey").as("y")).distinct()
         .select(col("x"), col("y"), ZOrder.zValue(col("x"), col("y"), 20).as("z"))
-        .orderBy("x", "y"))
+        .orderBy("x", "y")),
+    // --- declarative data-quality gate: range rules catch real rows
+    // (quantities over 40, discounts over 5%), unique/ref rules cover
+    // the key checks — the clean ref rule proving zeros report as zeros
+    "dq_violations" -> ((s, dir) => {
+      val li = Quality.violations(rd(s, dir, "lineitem"), Seq(
+        Quality.NotNull("l_quantity"),
+        Quality.InRange("l_quantity", 1, 40),
+        Quality.InRange("l_discount", 0, 0.05)))
+      val ord = Quality.violations(rd(s, dir, "orders"), Seq(
+        Quality.Unique(Seq("o_custkey")),
+        Quality.RefIntegrity("o_custkey", rd(s, dir, "customer"),
+          "c_custkey")))
+      li.unionByName(ord).orderBy("rule_id")
+    }),
+    // --- gaps-and-islands: consecutive same-type event runs per user
+    "events_runs" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = rd(s, dir, "events").select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts"), col("event_type"))
+      Events.runs(ev).orderBy("user_id", "run_id")
+    })
   )
 
   /** DuckDB oracle SQL. Hash-seeded ops (minhash/simhash/LSH) are
@@ -1560,6 +1581,52 @@ object SparkEntry {
          |)
          |SELECT x, y, ($zx) | (($zy) << 1) AS z
          |FROM xy ORDER BY x, y""".stripMargin
-    }
+    },
+    "dq_violations" ->
+      """WITH r AS (
+        |  SELECT 'not_null:l_quantity' AS rule_id,
+        |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_violations FROM lineitem
+        |  UNION ALL
+        |  SELECT 'in_range:l_quantity',
+        |    CAST(sum(CASE WHEN l_quantity IS NOT NULL
+        |      AND (l_quantity < 1 OR l_quantity > 40) THEN 1 ELSE 0 END)
+        |      AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'in_range:l_discount',
+        |    CAST(sum(CASE WHEN l_discount IS NOT NULL
+        |      AND (l_discount < 0 OR l_discount > 0.05) THEN 1 ELSE 0 END)
+        |      AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'unique:o_custkey',
+        |    CAST(COALESCE(sum(n - 1), 0) AS BIGINT)
+        |  FROM (SELECT count(*) AS n FROM orders GROUP BY o_custkey)
+        |  UNION ALL
+        |  SELECT 'ref:o_custkey', CAST(count(*) AS BIGINT)
+        |  FROM orders o
+        |  WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+        |    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |)
+        |SELECT rule_id, n_violations FROM r ORDER BY rule_id""".stripMargin,
+    "events_runs" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts, event_type
+        |  FROM events
+        |), fl AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END
+        |      AS chg
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), rn AS (
+        |  SELECT user_id, event_type, ts,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS run_id
+        |  FROM fl
+        |)
+        |SELECT user_id, run_id, min(event_type) AS event_type,
+        |  count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts
+        |FROM rn GROUP BY user_id, run_id
+        |ORDER BY user_id, run_id""".stripMargin
   )
 }

@@ -374,6 +374,33 @@ object Events {
     * per user. Expects `(event_id, user_id, ts, value)` with
     * microsecond-long `ts`.
     */
+  /** Gaps-and-islands: collapse each user's consecutive same-type events
+    * into runs — (user, run) rows carrying the type, first/last
+    * timestamps, and length. The classic two-window idiom: a lag-change
+    * flag, a running sum of flags as the run id, then one rollup. All
+    * three steps share a single shuffle on user_id (the windows and the
+    * groupBy key on the same column), so the operator costs one exchange
+    * regardless of input size. Expects `(event_id, user_id, ts,
+    * event_type)` with microsecond-long `ts`.
+    */
+  def runs(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+      .groupBy(col("user_id"), col("run_id"))
+      .agg(min(col("event_type")).as("event_type"),
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ts"),
+        max(col("ts")).as("end_ts"))
+  }
+
   def twap(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))

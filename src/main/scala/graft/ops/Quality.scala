@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations over a table — the validation
+  * gate an ETL runs before anything reaches the load path (the reference
+  * trusts its parquet inputs blindly; a production blue/green flow aborts
+  * the green build when the snapshot is malformed, which is exactly the
+  * ABORT path `sinks.ArrowGraphClient` exposes). Each rule compiles to a
+  * bounded aggregate; the report is one row per rule.
+  *
+  * Scale shape: NOT NULL and range rules are a conditional count inside
+  * ONE shared scan-aggregate (no per-rule pass); uniqueness is a partial
+  * agg on the key; referential integrity is a LEFT ANTI join against the
+  * dimension (broadcast when small, shuffle otherwise — Spark picks).
+  * Nothing returns row-level data, so the report is constant-sized no
+  * matter the input: safe to run on every snapshot of a 100 TB lake.
+  */
+object Quality {
+
+  sealed trait Rule { def id: String }
+  /** `column` must be non-null. */
+  final case class NotNull(column: String) extends Rule {
+    def id = s"not_null:$column"
+  }
+  /** `column` must lie in [lo, hi] (nulls don't violate; see NotNull). */
+  final case class InRange(column: String, lo: Double, hi: Double)
+      extends Rule {
+    def id = s"in_range:$column"
+  }
+  /** `columns` must be unique together. Violations = rows beyond the
+    * first of each duplicated key. */
+  final case class Unique(columns: Seq[String]) extends Rule {
+    def id = s"unique:${columns.mkString("+")}"
+  }
+  /** Every non-null `column` must exist in `dimColumn` of `dim`. */
+  final case class RefIntegrity(column: String, dim: DataFrame,
+                                dimColumn: String) extends Rule {
+    def id = s"ref:$column"
+  }
+
+  /** Violation report: one row per rule — (rule_id, n_violations),
+    * ordered by rule_id. A clean table yields all zeros, not an empty
+    * frame, so downstream gates can assert on every rule's presence.
+    */
+  def violations(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    // all scalar-count rules share ONE aggregate over one scan
+    val scalarRules = rules.collect {
+      case r: NotNull =>
+        r.id -> sum(when(col(r.column).isNull, 1L).otherwise(0L))
+      case r: InRange =>
+        r.id -> sum(when(col(r.column).isNotNull &&
+          (col(r.column) < r.lo || col(r.column) > r.hi), 1L).otherwise(0L))
+    }
+    val scalarReport: Option[DataFrame] =
+      if (scalarRules.isEmpty) None
+      else {
+        val agged = df.agg(scalarRules.head._2.as("c0"),
+          scalarRules.tail.zipWithIndex.map { case ((_, c), i) =>
+            c.as(s"c${i + 1}")
+          }: _*)
+        Some(agged.select(explode(map(
+          scalarRules.zipWithIndex.flatMap { case ((id, _), i) =>
+            Seq(lit(id), coalesce(col(s"c$i"), lit(0L)))
+          }: _*)).as(Seq("rule_id", "n_violations"))))
+      }
+    val keyReports = rules.collect {
+      case r: Unique =>
+        df.groupBy(r.columns.map(col): _*)
+          .agg(count(lit(1)).as("n"))
+          .agg(coalesce(sum(col("n") - 1), lit(0L)).as("n_violations"))
+          .select(lit(r.id).as("rule_id"), col("n_violations"))
+      case r: RefIntegrity =>
+        df.select(col(r.column)).filter(col(r.column).isNotNull)
+          .join(r.dim.select(col(r.dimColumn).as(r.column)).distinct(),
+            Seq(r.column), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit(r.id).as("rule_id"), col("n_violations"))
+    }
+    (scalarReport.toSeq ++ keyReports)
+      .reduce(_ unionByName _)
+      .orderBy("rule_id")
+  }
+}

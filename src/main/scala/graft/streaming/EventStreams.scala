@@ -224,4 +224,18 @@ object EventStreams {
       .select(col("p.user_id").as("user_id"), col("p_id"), col("c_id"),
         col("p_ts"), col("c_ts"))
   }
+
+  /** Stream-static enrichment: join an unbounded event stream against a
+    * bounded dimension table. The static side is broadcast, so the stream
+    * NEVER shuffles and no join state accumulates — unlike a
+    * stream-stream join there is nothing to watermark, which is why
+    * dimension lookups must be expressed this way and not as two streams.
+    * The static frame re-resolves per micro-batch, picking up dimension
+    * reloads between batches (the blue/green pattern applied to a
+    * lookup table).
+    */
+  def enrichEvents(events: DataFrame, dims: DataFrame,
+                   key: String = "user_id"): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dims), Seq(key),
+      "left")
 }

@@ -184,6 +184,22 @@ class EventsSpec extends SparkSpec {
       (2L, 5L, 1L, 1.0, 1.0)))
   }
 
+  test("runs collapses consecutive same-type events per user") {
+    val ev = Seq(
+      (1L, 1L, 0L, "view"), (2L, 1L, 1L, "view"), (3L, 1L, 2L, "click"),
+      (4L, 1L, 3L, "view"),
+      (5L, 2L, 9L, "click")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Events.runs(ev).orderBy("user_id", "run_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, "view", 2L, 0L, 1L),
+      (1L, 1L, "click", 1L, 2L, 2L),
+      (1L, 2L, "view", 1L, 3L, 3L),
+      (2L, 0L, "click", 1L, 9L, 9L)))
+  }
+
   test("twap weights values by holding duration; single-event users drop") {
     val ev = Seq(
       (1L, 1L, 0L, 10.0),  // held 2us

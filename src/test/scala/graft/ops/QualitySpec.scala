@@ -1,0 +1,37 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("violations reports every rule, zeros included, in one frame") {
+    val df = Seq(
+      (1L, Some(5.0), 10L),
+      (2L, Some(50.0), 10L),  // out of range
+      (3L, None, 11L),        // null
+      (4L, Some(7.0), 12L),
+      (4L, Some(8.0), 13L)    // duplicate id
+    ).toDF("id", "v", "ref")
+    val dim = Seq(10L, 11L, 12L).toDF("k") // 13 is an orphan
+    val out = Quality.violations(df, Seq(
+      Quality.NotNull("v"),
+      Quality.InRange("v", 0, 10),
+      Quality.Unique(Seq("id")),
+      Quality.RefIntegrity("ref", dim, "k"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map(
+      "not_null:v" -> 1L,
+      "in_range:v" -> 1L,   // nulls don't double-count as range misses
+      "unique:id" -> 1L,    // one row beyond the first for id=4
+      "ref:ref" -> 1L))     // the orphan 13
+  }
+
+  test("a clean table yields all-zero rows, not an empty frame") {
+    val df = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
+    val out = Quality.violations(df, Seq(
+      Quality.NotNull("v"), Quality.Unique(Seq("id")))).collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getLong(1) == 0L))
+  }
+}

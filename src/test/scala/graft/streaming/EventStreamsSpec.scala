@@ -233,4 +233,30 @@ class EventStreamsSpec extends SparkSpec {
       assert(rows.toSet === Set((1L, 100L, 1000L)))
     } finally q.stop()
   }
+
+  test("stream-static enrichment broadcasts the dimension, keeps unmatched") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Double)]
+    val dims = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val enriched = EventStreams.enrichEvents(
+      mem.toDF.toDF("user_id", "value"), dims)
+    val q = enriched.writeStream
+      .format("memory").queryName("enrich_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      mem.addData((1L, 10.0), (3L, 30.0))
+      q.processAllAvailable()
+      mem.addData((2L, 20.0))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_test").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value"),
+          Option(r.getAs[String]("tier")))).toSet
+      assert(rows === Set(
+        (1L, 10.0, Some("gold")),
+        (3L, 30.0, None),          // left join: unmatched events survive
+        (2L, 20.0, Some("basic"))))
+    } finally q.stop()
+  }
 }
