@@ -531,6 +531,23 @@ object SparkEntry {
           "c_custkey")))
       li.unionByName(ord).orderBy("rule_id")
     }),
+    // --- cross-corpus decontamination: benchmark = docs 0-9; planted
+    // exact copies (ids +500000) guarantee hits with identical
+    // signatures, and the corpus similarity gap (near-dups at J >= 0.9,
+    // rest < 0.25) makes the exact cross-jaccard DuckDB scan an oracle
+    // for the fixed-seed LSH pair set — the dedup_minhash argument
+    // applied across two frames
+    "dedup_cross" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val ref = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") >= 10)
+        .select(col("doc_id"), col("text"))
+        .unionByName(ref.select((col("doc_id") + 500000L).as("doc_id"),
+          col("text")))
+      Dedup.crossMinHash(ref, corpus)
+        .select("ref_id", "doc_id").orderBy("ref_id", "doc_id")
+    }),
     // --- gaps-and-islands: consecutive same-type event runs per user
     "events_runs" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1608,6 +1625,43 @@ object SparkEntry {
         |    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
         |)
         |SELECT rule_id, n_violations FROM r ORDER BY rule_id""".stripMargin,
+    // cross oracle: exact jaccard over unpruned shingle sets between the
+    // reference slice and the planted corpus (same J >= tau cut as
+    // dedup_minhash's oracle; the similarity gap closes the estimator)
+    "dedup_cross" ->
+      """WITH ref AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 10
+        |), corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 10
+        |  UNION ALL
+        |  SELECT doc_id + 500000, text FROM documents WHERE doc_id < 10
+        |), rsh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |        FROM ref) rt WHERE len(t) >= 3
+        |), csh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |        FROM corpus) ct WHERE len(t) >= 3
+        |), rsz AS (
+        |  SELECT doc_id, count(*) AS n FROM rsh GROUP BY doc_id
+        |), csz AS (
+        |  SELECT doc_id, count(*) AS n FROM csh GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT r.doc_id AS ref_id, c.doc_id AS doc_id, count(*) AS common
+        |  FROM rsh r JOIN csh c ON r.shingle = c.shingle
+        |  GROUP BY 1, 2
+        |)
+        |SELECT ref_id, pairs.doc_id AS doc_id FROM pairs
+        |JOIN rsz ON pairs.ref_id = rsz.doc_id
+        |JOIN csz ON pairs.doc_id = csz.doc_id
+        |WHERE CAST(common AS DOUBLE)
+        |  / CAST(rsz.n + csz.n - common AS DOUBLE) >= 0.5
+        |ORDER BY ref_id, doc_id""".stripMargin,
     "events_runs" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts, event_type

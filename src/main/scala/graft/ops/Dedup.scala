@@ -147,6 +147,38 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("est_jaccard"))
   }
 
+  /** Cross-corpus near-dup matching — the decontamination join: find
+    * corpus documents that near-duplicate any document of a (small)
+    * reference set, e.g. an eval benchmark, before training data ships.
+    * The same fixed-seed signatures and banding as [[minHashLsh]], so
+    * both sides bucket identically; the reference postings BROADCAST
+    * (benchmark-sized) against the corpus postings, so the corpus never
+    * shuffles — one scan, one broadcast-hash join, the full-signature
+    * agreement check, and a per-pair dedup. At 100 TB the cost is the
+    * corpus signature scan; the benchmark side is constant.
+    * Returns (ref_id, doc_id, est_jaccard).
+    */
+  def crossMinHash(refDocs: DataFrame, corpus: DataFrame,
+                   numHashes: Int = 32, bands: Int = 8,
+                   tau: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    def banded(df: DataFrame) = withShingles(df)
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", expr(s"graft_minhash(shingles, $numHashes)"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(expr(s"graft_bandbuckets(sig, $bands)"))
+          .as(Seq("band", "bucket")))
+    val ref = banded(refDocs).select(col("doc_id").as("ref_id"),
+      col("sig").as("ref_sig"), col("band"), col("bucket"))
+    banded(corpus)
+      .join(broadcast(ref), Seq("band", "bucket"))
+      .select(col("ref_id"), col("doc_id"), col("ref_sig"), col("sig"))
+      .dropDuplicates("ref_id", "doc_id")
+      .withColumn("est_jaccard", expr("graft_eqfrac(ref_sig, sig)"))
+      .filter(col("est_jaccard") >= tau)
+      .select(col("ref_id"), col("doc_id"), col("est_jaccard"))
+  }
+
   // --- SimHash ------------------------------------------------------------
 
   /** 64-bit SimHash over token xxhash64 values, then near-dup pairs whose

@@ -39,6 +39,24 @@ class DedupSpec extends SparkSpec {
     assert(keys.contains((0L, 1L)), "exact dup pair must always collide")
   }
 
+  test("crossMinHash matches corpus docs against the reference set only") {
+    val ref = Seq((0L, base)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, base),                 // exact copy: must collide
+      (11L, base + " tomorrow"),   // near dup: should collide
+      (12L, "completely different words about spark catalyst tungsten"),
+      (13L, "xy")                  // too short: no shingles
+    ).toDF("doc_id", "text")
+    val df = Dedup.crossMinHash(ref, corpus)
+    assertNoCrossProduct(df, "crossMinHash")
+    val out = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((0L, 10L)), "exact copy must always collide")
+    assert(!out.exists(_._2 == 12L), "unrelated doc matched")
+    // pairs are ref x corpus only — never corpus x corpus
+    assert(out.forall(_._1 == 0L))
+  }
+
   test("simHash flags identical docs at hamming 0, no cross product") {
     val df = Dedup.simHash(docs, maxHamming = 3)
     assertNoCrossProduct(df, "simHash")
