@@ -86,6 +86,21 @@ object Stress {
     time("events_retention")(graft.ops.Events.retention(
       ev.select(col("user_id"), expr("ts div 86400000000").as("day"))).count())
     time("events_anomaly")(graft.ops.Events.anomalies(ev).count())
+    time("events_runs")(graft.ops.Events.runs(ev).count())
+    time("events_twap")(graft.ops.Events.twap(ev).count())
+    // chunking must track the scan: narrow explode, zero shuffles
+    time("docs_chunk")(graft.ops.TextAnalysis.chunk(docs).count())
+    // decontamination: replicated corpus vs a 10-doc benchmark —
+    // corpus-side cost is the signature scan, reference side broadcast
+    time("dedup_cross")(graft.ops.Dedup.crossMinHash(
+      docs0.filter(col("doc_id") < 10).select(col("doc_id"), col("text")),
+      docs).count())
+    time("embed_standardize")(
+      graft.ops.Similarity.standardize(emb).count())
+    time("zorder_cluster")(graft.sources.ZOrder.clusterByZ(
+      spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity")),
+      "l_partkey", "l_suppkey", 32).count())
 
     // bulk-load throughput through the partition-parallel sink (the
     // reference's headline metric: rows/s and MiB/s per load phase)
