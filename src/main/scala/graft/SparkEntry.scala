@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Analytics, Cdc, Dedup, Events, Graph, Linkage, Multimodal, Quality, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Analytics, Cdc, Dedup, Events, Graph, Linkage, Multimodal, Quality, Sampling, Similarity, Skew, TextAnalysis}
 import graft.orchestrate.{BlueGreen, Snapshots}
 import graft.sources.{GraphFrames, ZOrder}
 
@@ -548,6 +548,26 @@ object SparkEntry {
       Dedup.crossMinHash(ref, corpus)
         .select("ref_id", "doc_id").orderBy("ref_id", "doc_id")
     }),
+    // --- weighted hop-bounded shortest paths over the mirrored
+    // order<->customer graph, deterministic integer weights
+    "graph_sssp" -> ((s, dir) => {
+      val e0 = rd(s, dir, "orders").select(col("o_orderkey").as("src"),
+        (col("o_custkey") + 10000000L).as("dst"),
+        (col("o_orderkey") % 7 + 1).as("w"))
+      val e = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      val seeds = e0.filter(col("src") < 100)
+        .select(col("src").as("id")).distinct()
+      Graph.shortestPaths(e, seeds, 4).orderBy("id")
+    }),
+    // --- CUBE subtotals (all four grouping sets in one Expand)
+    "sales_cube" -> ((s, dir) =>
+      Analytics.cubeAgg(rd(s, dir, "lineitem"), "l_returnflag",
+        "l_linestatus", "l_extendedprice")
+        .orderBy("lvl", "l_returnflag", "l_linestatus")),
+    // --- key-distribution profile: the decide-before-salting query
+    "skew_profile" -> ((s, dir) =>
+      Skew.keyProfile(rd(s, dir, "lineitem"), "l_partkey", 20)),
     // --- gaps-and-islands: consecutive same-type event runs per user
     "events_runs" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1662,6 +1682,54 @@ object SparkEntry {
         |WHERE CAST(common AS DOUBLE)
         |  / CAST(rsz.n + csz.n - common AS DOUBLE) >= 0.5
         |ORDER BY ref_id, doc_id""".stripMargin,
+    // bounded Bellman-Ford: identical unrolled integer relaxations;
+    // least() skips NULLs in both engines, so unreached stays NULL
+    "graph_sssp" -> {
+      val round = (prev: String, cur: String) =>
+        s"""$cur AS (
+           |  SELECT d.id, least(d.dist, c.nd) AS dist
+           |  FROM $prev d LEFT JOIN (
+           |    SELECT e.dst AS id, CAST(min(p.dist + e.w) AS BIGINT) AS nd
+           |    FROM e JOIN $prev p ON p.id = e.src
+           |    WHERE p.dist IS NOT NULL GROUP BY e.dst
+           |  ) c ON d.id = c.id
+           |)""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT o_orderkey AS src, o_custkey + 10000000 AS dst,
+         |    (o_orderkey % 7) + 1 AS w
+         |  FROM orders
+         |), e AS (
+         |  SELECT src, dst, w FROM e0
+         |  UNION ALL SELECT dst, src, w FROM e0
+         |), nodes AS (
+         |  SELECT src AS id FROM e UNION SELECT dst FROM e
+         |), d0 AS (
+         |  SELECT id, CASE WHEN id < 100 THEN CAST(0 AS BIGINT)
+         |    ELSE NULL END AS dist FROM nodes
+         |), ${round("d0", "d1")},
+         |${round("d1", "d2")},
+         |${round("d2", "d3")},
+         |${round("d3", "d4")}
+         |SELECT id, dist FROM d4 WHERE dist IS NOT NULL
+         |ORDER BY id""".stripMargin
+    },
+    "sales_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS lvl
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY lvl, l_returnflag, l_linestatus""".stripMargin,
+    "skew_profile" ->
+      """WITH c AS (
+        |  SELECT l_partkey, count(*) AS n_rows FROM lineitem GROUP BY 1
+        |), t AS (
+        |  SELECT count(*) AS total FROM lineitem
+        |)
+        |SELECT l_partkey, n_rows, total,
+        |  CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        |FROM c, t ORDER BY n_rows DESC, l_partkey LIMIT 20""".stripMargin,
     "events_runs" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts, event_type

@@ -197,4 +197,19 @@ object Analytics {
       .select(coalesce(col(a), lit("ALL")).as(a),
         coalesce(col(b), lit("ALL")).as(b),
         col("n_rows"), col("sum_v"), col("lvl"))
+
+  /** CUBE twin of [[rollupAgg]]: all four grouping sets — (a,b), (a),
+    * (b), () — in the same single pre-shuffle Expand, so the per-`b`
+    * subtotals ROLLUP lacks cost no extra scan either. Output cardinality
+    * is the sum of the four groupings' key spaces, still
+    * aggregate-bounded. */
+  def cubeAgg(df: DataFrame, a: String, b: String,
+              valueCol: String): DataFrame =
+    df.cube(col(a), col(b))
+      .agg(count(lit(1)).as("n_rows"),
+        exactSum(col(valueCol)).as("sum_v"),
+        grouping_id().as("lvl"))
+      .select(coalesce(col(a), lit("ALL")).as(a),
+        coalesce(col(b), lit("ALL")).as(b),
+        col("n_rows"), col("sum_v"), col("lvl"))
 }

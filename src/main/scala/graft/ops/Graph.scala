@@ -130,6 +130,47 @@ object Graph {
       (col("r").cast("double") / lit(Scale.toDouble)).as("rank"))
   }
 
+  /** Weighted single-source (multi-seed) shortest paths, bounded at
+    * `maxHops` relaxation rounds — Bellman-Ford with a hop budget, the
+    * weighted twin of [[bfs]] (GDS sourceTarget/deltaStepping territory;
+    * a hop-bounded answer is what neighborhood-cost queries actually
+    * need, and the FIXED round count gives a plan a bounded oracle can
+    * reproduce). Directed; mirror the edge list first for undirected
+    * cost. Integer weights keep every distance exact.
+    *
+    * Scale shape per round: one dist⋈edges equi-join on the source id +
+    * a min partial-agg on dst + a left join back to the node set — all
+    * keyed shuffles. `dist` is referenced twice per round (relaxation
+    * input AND the least() merge), so every round localCheckpoints —
+    * the [[Dedup.resolveClusters]] rule, not [[pageRank]]'s lazy chain.
+    */
+  def shortestPaths(edges: DataFrame, seeds: DataFrame,
+                    maxHops: Int = 4): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    var dist = nodes
+      .join(seeds.select(col("id"), lit(0L).as("dist")), Seq("id"), "left")
+      .localCheckpoint(true)
+    var i = 0
+    while (i < maxHops) {
+      val relaxed = e
+        .join(dist.select(col("id").as("src"), col("dist").as("sd")), "src")
+        .filter(col("sd").isNotNull)
+        .select(col("dst").as("id"), (col("sd") + col("w")).as("nd"))
+        .groupBy(col("id")).agg(min(col("nd")).as("nd"))
+      // least() skips nulls in both Spark and DuckDB — unreached stays
+      // null until a candidate arrives
+      dist = dist.join(relaxed, Seq("id"), "left")
+        .select(col("id"), least(col("dist"), col("nd")).as("dist"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    dist.filter(col("dist").isNotNull)
+      .select(col("id"), col("dist"))
+  }
+
   /** Canonical undirected co-occurrence edges: two items are connected
     * when they share a group (parts in the same order, entities in the
     * same document, ...). The within-group self-join is the only fan-out,

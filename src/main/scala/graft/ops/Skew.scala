@@ -35,4 +35,23 @@ object Skew {
       .join(replicatedSmall, Seq(key, "__salt"))
       .drop("__salt")
   }
+
+  /** Key-distribution diagnosis: the `topN` heaviest keys with row count
+    * and corpus share — the profiling query you run BEFORE deciding a
+    * join needs [[saltedJoin]], a co-occurrence cap, or an AQE skew hint.
+    * One partial-agg shuffle on the key plus a key-cardinality-sized
+    * top-k sort (never the input); the total rides in from a one-row
+    * aggregate broadcast. Counts are exact integers; share is one
+    * portable double division.
+    */
+  def keyProfile(df: DataFrame, keyCol: String, topN: Int = 20): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
+    val total = df.agg(count(lit(1)).as("total"))
+    counts.crossJoin(broadcast(total))
+      .orderBy(desc("n_rows"), col(keyCol))
+      .limit(topN)
+      .select(col(keyCol), col("n_rows"), col("total"),
+        (col("n_rows").cast("double") / col("total").cast("double"))
+          .as("share"))
+  }
 }

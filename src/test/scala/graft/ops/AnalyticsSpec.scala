@@ -80,4 +80,19 @@ class AnalyticsSpec extends SparkSpec {
       ("a", "ALL", 2L, 3.0, 1L), ("b", "ALL", 1L, 4.0, 1L),
       ("ALL", "ALL", 3L, 7.0, 3L)))
   }
+
+  test("cubeAgg adds the per-b grouping set rollup lacks") {
+    val df = Seq(("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0))
+      .toDF("g1", "g2", "v")
+    val out = Analytics.cubeAgg(df, "g1", "g2", "v")
+      .orderBy("lvl", "g1", "g2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("a", "x", 1L, 1.0, 0L), ("a", "y", 1L, 2.0, 0L),
+      ("b", "x", 1L, 4.0, 0L),
+      ("a", "ALL", 2L, 3.0, 1L), ("b", "ALL", 1L, 4.0, 1L),
+      ("ALL", "x", 2L, 5.0, 2L), ("ALL", "y", 1L, 2.0, 2L),
+      ("ALL", "ALL", 3L, 7.0, 3L)))
+  }
 }

@@ -48,6 +48,22 @@ class GraphSpec extends SparkSpec {
     assert(!r2.map(_.getLong(0)).contains(99L))
   }
 
+  test("shortestPaths relaxes weighted edges within the hop budget") {
+    // 1 -(1)-> 2 -(1)-> 3, and a heavy direct edge 1 -(5)-> 3;
+    // node 4 is only reachable in 3 hops: 3 -(1)-> 4
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 5L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val d = Graph.shortestPaths(edges, seeds, maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // two-hop path (cost 2) beats the direct heavy edge (cost 5)
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // with a one-hop budget only the direct edges resolve
+    val d1 = Graph.shortestPaths(edges, seeds, maxHops = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d1 == Map(1L -> 0L, 2L -> 1L, 3L -> 5L))
+  }
+
   test("coOccurrence builds canonical pairs and caps hot groups") {
     val df = Seq(
       (1L, 10L), (1L, 20L), (1L, 30L),     // group 1: 3 pairs

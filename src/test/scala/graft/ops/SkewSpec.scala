@@ -31,4 +31,12 @@ class SkewSpec extends SparkSpec {
     val dim = Seq((1L, "x")).toDF("k", "name")
     intercept[IllegalArgumentException](Skew.saltedJoin(facts, dim, "k"))
   }
+
+  test("keyProfile surfaces the heaviest keys with exact shares") {
+    val df = (Seq.fill(6)(7L) ++ Seq.fill(3)(8L) ++ Seq(9L))
+      .map(Tuple1(_)).toDF("k")
+    val out = Skew.keyProfile(df, "k", topN = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((7L, 6L, 10L, 0.6), (8L, 3L, 10L, 0.3)))
+  }
 }
