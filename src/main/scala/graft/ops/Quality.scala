@@ -40,19 +40,42 @@ object Quality {
     def id = s"ref:$column"
   }
 
-  /** Violation report: one row per rule — (rule_id, n_violations),
-    * ordered by rule_id. A clean table yields all zeros, not an empty
-    * frame, so downstream gates can assert on every rule's presence.
-    */
-  def violations(df: DataFrame, rules: Seq[Rule]): DataFrame = {
-    // all scalar-count rules share ONE aggregate over one scan
-    val scalarRules = rules.collect {
+  /** Scalar-rule aggregate columns (NotNull / InRange), aliased by rule
+    * id — the shared compile step for [[violations]] and [[observe]]. */
+  private def scalarCols(rules: Seq[Rule]): Seq[(String, Column)] =
+    rules.collect {
       case r: NotNull =>
         r.id -> sum(when(col(r.column).isNull, 1L).otherwise(0L))
       case r: InRange =>
         r.id -> sum(when(col(r.column).isNotNull &&
           (col(r.column) < r.lo || col(r.column) > r.hi), 1L).otherwise(0L))
     }
+
+  /** Attach the scalar rules (NotNull / InRange) to `df` IN FLIGHT via
+    * Spark's observable-metrics API: the counters piggyback on whatever
+    * action consumes the frame — zero extra scans, zero extra shuffles —
+    * and `observation.get` yields them after the action. The free-monitor
+    * pattern: a 100 TB load shouldn't pay a second pass just to learn its
+    * null rates; key rules (Unique/RefIntegrity) need their own shuffle
+    * and belong in [[violations]].
+    */
+  def observe(df: DataFrame,
+              observation: org.apache.spark.sql.Observation,
+              rules: Seq[Rule]): DataFrame = {
+    val cols = scalarCols(rules).map { case (id, c) =>
+      coalesce(c, lit(0L)).as(id)
+    }
+    require(cols.nonEmpty, "observe needs at least one NotNull/InRange rule")
+    df.observe(observation, cols.head, cols.tail: _*)
+  }
+
+  /** Violation report: one row per rule — (rule_id, n_violations),
+    * ordered by rule_id. A clean table yields all zeros, not an empty
+    * frame, so downstream gates can assert on every rule's presence.
+    */
+  def violations(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    // all scalar-count rules share ONE aggregate over one scan
+    val scalarRules = scalarCols(rules)
     val scalarReport: Option[DataFrame] =
       if (scalarRules.isEmpty) None
       else {

@@ -27,6 +27,18 @@ class QualitySpec extends SparkSpec {
       "ref:ref" -> 1L))     // the orphan 13
   }
 
+  test("observe piggybacks DQ counters on the consuming action") {
+    val obs = new org.apache.spark.sql.Observation("dq")
+    val df = Seq((1L, Some(5.0)), (2L, Some(50.0)), (3L, None))
+      .toDF("id", "v")
+    val observed = Quality.observe(df, obs, Seq(
+      Quality.NotNull("v"), Quality.InRange("v", 0, 10)))
+    observed.count() // the only action: metrics ride on it
+    val m = obs.get
+    assert(m("not_null:v") == 1L)
+    assert(m("in_range:v") == 1L)
+  }
+
   test("a clean table yields all-zero rows, not an empty frame") {
     val df = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
     val out = Quality.violations(df, Seq(
