@@ -35,4 +35,38 @@ object PartitionedLake {
   def readDays(spark: SparkSession, path: String,
                fromDay: Long, toDay: Long): DataFrame =
     spark.read.parquet(path).filter(col("day").between(fromDay, toDay))
+
+  /** Retention: drop `day=` partitions older than `keepDays` behind the
+    * newest one — directory deletes from the listing only, no data scan
+    * (the lake-level twin of the orchestrator's keep-newest-2 database
+    * cleanup). Returns the dropped day numbers.
+    */
+  def expireDays(spark: SparkSession, path: String, keepDays: Int): Seq[Long] = {
+    require(keepDays >= 1)
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return Seq.empty
+    val days = fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+      .map(s => (s.getPath.getName.stripPrefix("day=").toLong, s.getPath))
+      .sortBy(_._1)
+    days.map(_._1).maxOption match {
+      case None => Seq.empty
+      case Some(newest) =>
+        val cutoff = newest - keepDays + 1
+        days.filter(_._1 < cutoff).map { case (d, p) =>
+          fs.delete(p, true); d
+        }
+    }
+  }
+
+  /** Read with schema merging across partitions: additive drift (a day
+    * that gained a column) unifies to the superset schema with nulls for
+    * the missing days — the read-side counterpart of
+    * [[SchemaCheck.diff]]'s "additive is compatible" rule. Merging pays a
+    * footer pass per file, so it is the explicit slow path; steady-state
+    * readers use the plain `readDays`.
+    */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 }

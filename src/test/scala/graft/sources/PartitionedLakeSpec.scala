@@ -31,6 +31,33 @@ class PartitionedLakeSpec extends SparkSpec {
       plan.contains(">= 1") && plan.contains("<= 2"), plan.take(800))
   }
 
+  test("expireDays drops only partitions beyond the retention window") {
+    val dir = Files.createTempDirectory("lake3").toFile.getAbsolutePath
+    val ev = Seq(
+      (1L, 0L * us, 1.0), (2L, 1L * us, 2.0),
+      (3L, 2L * us, 3.0), (4L, 3L * us, 4.0)
+    ).toDF("event_id", "ts", "value")
+    PartitionedLake.writeDaily(ev, dir)
+    val dropped = PartitionedLake.expireDays(spark, dir, keepDays = 2)
+    assert(dropped == Seq(0L, 1L))
+    val days = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("day=")).map(_.getName).sorted
+    assert(days.toSeq == Seq("day=2", "day=3"))
+  }
+
+  test("readEvolved unifies additive schema drift across days") {
+    val dir = Files.createTempDirectory("lake4").toFile.getAbsolutePath
+    Seq((1L, 0L * us, 1.0)).toDF("event_id", "ts", "value")
+      .write.parquet(s"$dir/day=0")
+    // day 1 gained a column
+    Seq((2L, 1L * us, 2.0, "mobile")).toDF("event_id", "ts", "value", "device")
+      .write.parquet(s"$dir/day=1")
+    val out = PartitionedLake.readEvolved(spark, dir)
+      .select("event_id", "device").orderBy("event_id").collect()
+    assert(out.map(r => (r.getLong(0), Option(r.getString(1)))).toSeq ==
+      Seq((1L, None), (2L, Some("mobile"))))
+  }
+
   test("dynamic overwrite replaces only the re-written day") {
     val dir = Files.createTempDirectory("lake2").toFile.getAbsolutePath
     val v1 = Seq((1L, 0L * us, 1.0), (2L, 1L * us, 2.0))
