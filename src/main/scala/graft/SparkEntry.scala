@@ -568,6 +568,10 @@ object SparkEntry {
     // --- key-distribution profile: the decide-before-salting query
     "skew_profile" -> ((s, dir) =>
       Skew.keyProfile(rd(s, dir, "lineitem"), "l_partkey", 20)),
+    // --- feature-hashing vectorizer: md5 buckets are engine-portable
+    "text_hashtf" -> ((s, dir) =>
+      TextAnalysis.hashTf(rd(s, dir, "documents"), 64)
+        .orderBy("doc_id", "bucket")),
     // --- gaps-and-islands: consecutive same-type event runs per user
     "events_runs" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1730,6 +1734,24 @@ object SparkEntry {
         |SELECT l_partkey, n_rows, total,
         |  CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE) AS share
         |FROM c, t ORDER BY n_rows DESC, l_partkey LIMIT 20""".stripMargin,
+    // identical md5-prefix bucket + sign-digit arithmetic; DuckDB casts
+    // '0x...' strings to integers natively
+    "text_hashtf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 64 AS bucket,
+        |    CASE WHEN CAST('0x' || substr(md5(tok), 9, 1) AS BIGINT) < 8
+        |      THEN 1 ELSE -1 END AS sign
+        |  FROM toks
+        |)
+        |SELECT doc_id, bucket, count(*) AS tf,
+        |  CAST(sum(sign) AS BIGINT) AS signed_tf
+        |FROM b GROUP BY doc_id, bucket
+        |ORDER BY doc_id, bucket""".stripMargin,
     "events_runs" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts, event_type

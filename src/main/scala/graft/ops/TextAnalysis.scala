@@ -382,6 +382,32 @@ object TextAnalysis {
         col("doc_id"), col("score"), col("n_terms"))
   }
 
+  /** Feature-hashing TF vectorization (the hashing trick): every token
+    * maps to `bucket = int(md5[0:8]) mod dim`, with a sign bit from the
+    * next hex digit so the signed sum stays unbiased under collisions —
+    * the classic fixed-dimension text vectorizer that needs NO vocabulary
+    * pass, emitted in sparse long form (doc_id, bucket, tf, signed_tf).
+    *
+    * md5 is bit-identical in every engine, so the SAME vectors come out
+    * of Spark, DuckDB, or anything else — unlike murmur-based hashingTF
+    * implementations whose buckets are library-private. Shape: one
+    * explode + one partial-agg shuffle keyed on (doc, bucket); no
+    * vocabulary join, no driver state, output ≤ min(tokens, dim) rows
+    * per doc.
+    */
+  def hashTf(docs: DataFrame, dim: Int = 64): DataFrame = {
+    require(dim >= 1)
+    docs
+      .select(col("doc_id"), explode(tokensCol(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+          % dim).as("bucket"),
+        when(conv(substring(md5(col("tok")), 9, 1), 16, 10)
+          .cast("long") < 8, 1L).otherwise(-1L).as("sign"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("tf"), sum(col("sign")).as("signed_tf"))
+  }
+
   /** Fixed-size token chunking with overlap — the splitter that turns
     * long documents into embedding/context-window-sized pieces. Chunk `i`
     * covers tokens `[i·step, i·step + chunkTokens)` with

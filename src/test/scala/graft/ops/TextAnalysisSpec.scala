@@ -174,6 +174,26 @@ class TextAnalysisSpec extends SparkSpec {
     assertNoCrossProduct(TextAnalysis.searchTopK(docs, qs), "searchTopK")
   }
 
+  test("hashTf buckets deterministically, preserves token mass, bounds dim") {
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma"),
+      (2L, "alpha beta alpha gamma"), // identical text -> identical vector
+      (3L, "delta")).toDF("doc_id", "text")
+    val out = TextAnalysis.hashTf(docs, dim = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // buckets inside [0, dim)
+    assert(out.forall(t => t._2 >= 0 && t._2 < 8))
+    // token mass preserved: sum(tf) per doc == token count
+    val mass = out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(mass == Map(1L -> 4L, 2L -> 4L, 3L -> 1L))
+    // identical docs produce identical sparse vectors
+    val v1 = out.filter(_._1 == 1L).map(t => (t._2, t._3, t._4)).sortBy(_._1)
+    val v2 = out.filter(_._1 == 2L).map(t => (t._2, t._3, t._4)).sortBy(_._1)
+    assert(v1.toSeq == v2.toSeq)
+    // signs are ±1 per token, so |signed_tf| <= tf with matching parity
+    assert(out.forall(t => math.abs(t._4) <= t._3 && (t._4 - t._3) % 2 == 0))
+  }
+
   test("chunk slides overlapping fixed-size windows; tail chunk is short") {
     val docs = Seq(
       (1L, (0 until 10).map(i => s"t$i").mkString(" ")), // 10 tokens
