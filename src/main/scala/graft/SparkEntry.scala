@@ -568,6 +568,17 @@ object SparkEntry {
     // --- key-distribution profile: the decide-before-salting query
     "skew_profile" -> ((s, dir) =>
       Skew.keyProfile(rd(s, dir, "lineitem"), "l_partkey", 20)),
+    // --- rolling 7-day distinct users (sliding distinct via explode)
+    "events_rolling_users" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = rd(s, dir, "events").select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"))
+      Events.rollingActiveUsers(ev, 7).orderBy("day")
+    }),
+    // --- percentile-rank normalization of doc length within language
+    "docs_chars_rank" -> ((s, dir) =>
+      Analytics.percentileRank(rd(s, dir, "documents"),
+        "doc_id", "lang", "n_chars").orderBy("doc_id")),
     // --- feature-hashing vectorizer: md5 buckets are engine-portable
     "text_hashtf" -> ((s, dir) =>
       TextAnalysis.hashTf(rd(s, dir, "documents"), 64)
@@ -1734,6 +1745,27 @@ object SparkEntry {
         |SELECT l_partkey, n_rows, total,
         |  CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE) AS share
         |FROM c, t ORDER BY n_rows DESC, l_partkey LIMIT 20""".stripMargin,
+    "events_rolling_users" ->
+      """WITH du AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events
+        |), days AS (
+        |  SELECT DISTINCT day FROM du
+        |), contrib AS (
+        |  SELECT du.user_id, du.day + t.g AS day_w
+        |  FROM du, generate_series(0, 6) AS t(g)
+        |)
+        |SELECT c.day_w AS day,
+        |  count(DISTINCT c.user_id) AS active_users
+        |FROM contrib c JOIN days d ON c.day_w = d.day
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+    // unique order key (value, id) -> no ties -> percent_rank is one
+    // exact-integer division in both engines
+    "docs_chars_rank" ->
+      """SELECT doc_id, lang, n_chars,
+        |  percent_rank() OVER (PARTITION BY lang
+        |    ORDER BY n_chars, doc_id) AS pct_rank
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // identical md5-prefix bucket + sign-digit arithmetic; DuckDB casts
     // '0x...' strings to integers natively
     "text_hashtf" ->

@@ -198,6 +198,23 @@ object Analytics {
         coalesce(col(b), lit("ALL")).as(b),
         col("n_rows"), col("sum_v"), col("lvl"))
 
+  /** Within-group percentile-rank normalization: each row's value mapped
+    * to [0, 1] by its rank inside its group — the scale-free feature
+    * transform (and the quality-tiering step: "top decile per language").
+    * The order key includes `idCol`, so ranks are unique and the result
+    * deterministic under ties; percent_rank's (rank−1)/(n−1) is one
+    * division of two exact integers — portable. One shuffle on the group
+    * key; groups larger than a partition need the range-partitioned
+    * global-sort variant, the documented huge-group path.
+    */
+  def percentileRank(df: DataFrame, idCol: String, groupCol: String,
+                     valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(idCol), col(groupCol), col(valueCol))
+      .withColumn("pct_rank", percent_rank().over(
+        Window.partitionBy(groupCol).orderBy(col(valueCol), col(idCol))))
+  }
+
   /** CUBE twin of [[rollupAgg]]: all four grouping sets — (a,b), (a),
     * (b), () — in the same single pre-shuffle Expand, so the per-`b`
     * subtotals ROLLUP lacks cost no extra scan either. Output cardinality

@@ -374,6 +374,32 @@ object Events {
     * per user. Expects `(event_id, user_id, ts, value)` with
     * microsecond-long `ts`.
     */
+  /** Rolling N-day distinct users (the 7-day-active metric): for each
+    * active day, the count of users seen in the trailing `windowDays`
+    * window. COUNT DISTINCT over a sliding range can't partial-aggregate
+    * directly, so each (user, day) pair is exploded into the
+    * `windowDays` future days it remains "active" for — turning the
+    * sliding distinct into a plain per-day distinct aggregation with
+    * map-side partials. Explode fan-out is the fixed window width, and
+    * the (user, day) input is deduped FIRST, so the shuffled volume is
+    * active-pairs × window, independent of raw event count. Days with no
+    * events of their own are dropped (no phantom trailing days).
+    * Expects `(user_id, day)` with integer days.
+    */
+  def rollingActiveUsers(events: DataFrame,
+                         windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1)
+    val du = events.select(col("user_id"), col("day")).distinct()
+    val activeDays = du.select(col("day")).distinct()
+    du.select(col("user_id"),
+        explode(sequence(col("day"),
+          col("day") + (windowDays - 1))).as("day_w"))
+      .join(activeDays.withColumnRenamed("day", "day_w"), Seq("day_w"))
+      .groupBy(col("day_w"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .select(col("day_w").as("day"), col("active_users"))
+  }
+
   /** Gaps-and-islands: collapse each user's consecutive same-type events
     * into runs — (user, run) rows carrying the type, first/last
     * timestamps, and length. The classic two-window idiom: a lag-change

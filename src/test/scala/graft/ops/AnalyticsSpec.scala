@@ -81,6 +81,19 @@ class AnalyticsSpec extends SparkSpec {
       ("ALL", "ALL", 3L, 7.0, 3L)))
   }
 
+  test("percentileRank maps values to [0,1] per group, deterministic ties") {
+    val df = Seq(
+      (1L, "en", 10L), (2L, "en", 20L), (3L, "en", 30L),
+      (4L, "en", 30L), // tie with 3 — id breaks it
+      (5L, "de", 7L)   // singleton group -> rank 0
+    ).toDF("doc_id", "lang", "n")
+    val out = Analytics.percentileRank(df, "doc_id", "lang", "n")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0.0), (2L, 1.0 / 3.0), (3L, 2.0 / 3.0), (4L, 1.0), (5L, 0.0)))
+  }
+
   test("cubeAgg adds the per-b grouping set rollup lacks") {
     val df = Seq(("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0))
       .toDF("g1", "g2", "v")

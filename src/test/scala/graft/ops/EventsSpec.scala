@@ -200,6 +200,18 @@ class EventsSpec extends SparkSpec {
       (2L, 0L, "click", 1L, 9L, 9L)))
   }
 
+  test("rollingActiveUsers counts trailing-window distinct users per active day") {
+    val ev = Seq(
+      (1L, 0L), (2L, 0L),   // day 0: users 1,2
+      (1L, 1L),             // day 1: user 1 again
+      (3L, 9L)              // day 9: far gap — day 0/1 users expired
+    ).toDF("user_id", "day")
+    val out = Events.rollingActiveUsers(ev, windowDays = 3).orderBy("day")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // day 0: {1,2}; day 1: {1,2} (day-0 users still in window); day 9: {3}
+    assert(out.toSeq == Seq((0L, 2L), (1L, 2L), (9L, 1L)))
+  }
+
   test("twap weights values by holding duration; single-event users drop") {
     val ev = Seq(
       (1L, 1L, 0L, 10.0),  // held 2us
