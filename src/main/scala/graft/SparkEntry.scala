@@ -579,6 +579,17 @@ object SparkEntry {
     "docs_chars_rank" -> ((s, dir) =>
       Analytics.percentileRank(rd(s, dir, "documents"),
         "doc_id", "lang", "n_chars").orderBy("doc_id")),
+    // --- first-order Markov transitions between event types
+    "events_transitions" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = rd(s, dir, "events").select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts"), col("event_type"))
+      Events.transitionMatrix(ev).orderBy("from_type", "to_type")
+    }),
+    // --- bigram LM: top-5 continuations per head token
+    "text_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLm(rd(s, dir, "documents"), 5)
+        .orderBy("w1", "rank")),
     // --- feature-hashing vectorizer: md5 buckets are engine-portable
     "text_hashtf" -> ((s, dir) =>
       TextAnalysis.hashTf(rd(s, dir, "documents"), 64)
@@ -1766,6 +1777,45 @@ object SparkEntry {
         |  percent_rank() OVER (PARTITION BY lang
         |    ORDER BY n_chars, doc_id) AS pct_rank
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "events_transitions" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts, event_type
+        |  FROM events
+        |), pr AS (
+        |  SELECT event_type AS to_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from_type
+        |  FROM ev
+        |), c AS (
+        |  SELECT from_type, to_type, count(*) AS n_pairs
+        |  FROM pr WHERE from_type IS NOT NULL GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT from_type, CAST(sum(n_pairs) AS BIGINT) AS n_from
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT c.from_type, c.to_type, c.n_pairs, t.n_from,
+        |  CAST(c.n_pairs AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
+        |FROM c JOIN tot t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+    "text_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), bg AS (
+        |  SELECT unnest(generate_series(1, len(t) - 1)) AS i, t
+        |  FROM toks WHERE len(t) >= 2
+        |), c AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS c12
+        |  FROM bg GROUP BY 1, 2
+        |), r AS (
+        |  SELECT w1, w2, c12,
+        |    CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+        |    row_number() OVER (PARTITION BY w1
+        |      ORDER BY c12 DESC, w2) AS rank
+        |  FROM c
+        |)
+        |SELECT w1, CAST(rank AS BIGINT) AS rank, w2, c12, c1,
+        |  CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
+        |FROM r WHERE rank <= 5 ORDER BY w1, rank""".stripMargin,
     // identical md5-prefix bucket + sign-digit arithmetic; DuckDB casts
     // '0x...' strings to integers natively
     "text_hashtf" ->

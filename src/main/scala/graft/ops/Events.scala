@@ -374,6 +374,34 @@ object Events {
     * per user. Expects `(event_id, user_id, ts, value)` with
     * microsecond-long `ts`.
     */
+  /** Event-type transition matrix (first-order Markov): per (from, to)
+    * consecutive-pair counts across users plus the conditional
+    * probability P(to | from) — the behavioral-model summary and the
+    * anomalous-flow detector's baseline. The lag window and the pair
+    * rollup share one user_id shuffle; the final matrix is
+    * type²-bounded. The probability is c(from,to)/c(from,*) — one
+    * division of two exact integers, engine-portable.
+    * Expects `(event_id, user_id, ts, event_type)`.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("to_type"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val fromTotals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n_pairs")).as("n_from"))
+    pairs.join(fromTotals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n_pairs"),
+        col("n_from"),
+        (col("n_pairs").cast("double") / col("n_from").cast("double"))
+          .as("p"))
+  }
+
   /** Rolling N-day distinct users (the 7-day-active metric): for each
     * active day, the count of users seen in the trailing `windowDays`
     * window. COUNT DISTINCT over a sliding range can't partial-aggregate

@@ -382,6 +382,34 @@ object TextAnalysis {
         col("doc_id"), col("score"), col("n_terms"))
   }
 
+  /** Bigram language-model training: conditional continuation
+    * probabilities P(w2 | w1) = c(w1 w2) / c(w1 ·), kept to the top
+    * `topK` continuations per head token — the tiny in-corpus LM behind
+    * next-token baselines and domain-drift checks. Counts come from two
+    * partial-agg shuffles (bigram, then head-token rollup via a window
+    * on the same key); the probability is one exact-integer division.
+    * Output is vocabulary-bounded, never corpus-sized.
+    */
+  def bigramLm(docs: DataFrame, topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), tokensCol(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bigrams = toks
+      .select(col("t"), posexplode(col("t")).as(Seq("p", "w1")))
+      .filter(col("p") < size(col("t")) - 1)
+      .select(col("w1"), element_at(col("t"), col("p") + 2).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val w = Window.partitionBy("w1")
+    val rk = Window.partitionBy("w1").orderBy(desc("c12"), col("w2"))
+    bigrams
+      .withColumn("c1", sum(col("c12")).over(w))
+      .withColumn("rank", row_number().over(rk))
+      .filter(col("rank") <= topK)
+      .select(col("w1"), col("rank").cast("long").as("rank"), col("w2"),
+        col("c12"), col("c1"),
+        (col("c12").cast("double") / col("c1").cast("double")).as("p"))
+  }
+
   /** Feature-hashing TF vectorization (the hashing trick): every token
     * maps to `bucket = int(md5[0:8]) mod dim`, with a sign bit from the
     * next hex digit so the signed sum stays unbiased under collisions —

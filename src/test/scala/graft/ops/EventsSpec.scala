@@ -200,6 +200,22 @@ class EventsSpec extends SparkSpec {
       (2L, 0L, "click", 1L, 9L, 9L)))
   }
 
+  test("transitionMatrix counts consecutive pairs with exact conditionals") {
+    val ev = Seq(
+      (1L, 1L, 0L, "view"), (2L, 1L, 1L, "view"), (3L, 1L, 2L, "click"),
+      (4L, 2L, 0L, "view"), (5L, 2L, 1L, "click"),
+      (6L, 3L, 0L, "view")  // single event: no transition
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Events.transitionMatrix(ev)
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // from view: view->view once, view->click twice
+    assert(out.toSeq == Seq(
+      ("view", "click", 2L, 3L, 2.0 / 3.0),
+      ("view", "view", 1L, 3L, 1.0 / 3.0)))
+  }
+
   test("rollingActiveUsers counts trailing-window distinct users per active day") {
     val ev = Seq(
       (1L, 0L), (2L, 0L),   // day 0: users 1,2

@@ -174,6 +174,22 @@ class TextAnalysisSpec extends SparkSpec {
     assertNoCrossProduct(TextAnalysis.searchTopK(docs, qs), "searchTopK")
   }
 
+  test("bigramLm ranks continuations by count with exact conditionals") {
+    val docs = Seq(
+      (1L, "a b a b a c"),
+      (2L, "x")  // single token: no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLm(docs, topK = 2)
+      .orderBy("w1", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // bigrams: a->b x2, a->c x1, b->a x2
+    assert(out.toSeq == Seq(
+      ("a", 1L, "b", 2L, 3L, 2.0 / 3.0),
+      ("a", 2L, "c", 1L, 3L, 1.0 / 3.0),
+      ("b", 1L, "a", 2L, 2L, 1.0)))
+  }
+
   test("hashTf buckets deterministically, preserves token mass, bounds dim") {
     val docs = Seq(
       (1L, "alpha beta alpha gamma"),
