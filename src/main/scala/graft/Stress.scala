@@ -101,6 +101,23 @@ object Stress {
       spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
         .select(col("l_partkey"), col("l_suppkey"), col("l_quantity")),
       "l_partkey", "l_suppkey", 32).count())
+    time("events_transitions")(
+      graft.ops.Events.transitionMatrix(ev).count())
+    time("events_rolling_users")(graft.ops.Events.rollingActiveUsers(
+      ev.select(col("user_id"),
+        expr("ts div 86400000000").as("day"))).count())
+    time("text_bigram_lm")(graft.ops.TextAnalysis.bigramLm(docs).count())
+    time("text_hashtf")(graft.ops.TextAnalysis.hashTf(docs).count())
+    // weighted SSSP over the mirrored replicated-order graph
+    val se0 = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+      .select(col("o_orderkey").as("src"),
+        (col("o_custkey") + 10000000L).as("dst"),
+        (col("o_orderkey") % 7 + 1).as("w"))
+    val se = se0.unionByName(
+      se0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    time("graph_sssp")(graft.ops.Graph.shortestPaths(se,
+      se0.filter(col("src") < 100).select(col("src").as("id")).distinct(),
+      4).count())
 
     // bulk-load throughput through the partition-parallel sink (the
     // reference's headline metric: rows/s and MiB/s per load phase)
