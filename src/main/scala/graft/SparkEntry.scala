@@ -579,6 +579,14 @@ object SparkEntry {
     "docs_chars_rank" -> ((s, dir) =>
       Analytics.percentileRank(rd(s, dir, "documents"),
         "doc_id", "lang", "n_chars").orderBy("doc_id")),
+    // --- k-fold CV assignment (md5-stable, engine-portable)
+    "fold_assign" -> ((s, dir) =>
+      Sampling.kFoldAssign(rd(s, dir, "documents")
+        .select(col("doc_id")), "doc_id", 5).orderBy("doc_id")),
+    // --- Pareto: cumulative revenue share by part
+    "sales_pareto" -> ((s, dir) =>
+      Analytics.paretoShare(rd(s, dir, "lineitem"),
+        "l_partkey", "l_extendedprice").orderBy("rank")),
     // --- first-order Markov transitions between event types
     "events_transitions" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1777,6 +1785,30 @@ object SparkEntry {
         |  percent_rank() OVER (PARTITION BY lang
         |    ORDER BY n_chars, doc_id) AS pct_rank
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "fold_assign" ->
+      """SELECT doc_id,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |    AS BIGINT) % 5 AS fold
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "sales_pareto" ->
+      """WITH agg AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(rev) AS total FROM agg
+        |), r AS (
+        |  SELECT l_partkey, rev,
+        |    row_number() OVER (ORDER BY rev DESC, l_partkey) AS rank,
+        |    sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM agg
+        |)
+        |SELECT l_partkey, CAST(rank AS BIGINT) AS rank,
+        |  CAST(rev * 100 AS BIGINT) AS rev_cents,
+        |  CAST(CAST(cum * 100 AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(t.total * 100 AS BIGINT) AS DOUBLE) AS cum_share
+        |FROM r, tot t ORDER BY rank""".stripMargin,
     "events_transitions" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts, event_type

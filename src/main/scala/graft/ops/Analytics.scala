@@ -198,6 +198,32 @@ object Analytics {
         coalesce(col(b), lit("ALL")).as(b),
         col("n_rows"), col("sum_v"), col("lvl"))
 
+  /** Pareto / cumulative-share analysis: value per key ranked descending
+    * with the running share of the grand total — "which 20% of parts
+    * carry 80% of revenue". The unpartitioned window is safe because it
+    * runs over the AGGREGATED rows (key cardinality, never input rows);
+    * the rollup's partial aggregation did the heavy lifting. Values stay
+    * decimal through the cumulative sum and export as integer cents, so
+    * every column is engine-exact (the one division divides two
+    * exactly-agreed integers).
+    */
+  def paretoShare(df: DataFrame, keyCol: String,
+                  valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.orderBy(desc("rev"), col(keyCol))
+    val agg = df.groupBy(col(keyCol))
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).as("rev"))
+    val tot = agg.agg(sum(col("rev")).as("total"))
+    agg.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(ord).cast("long"))
+      .withColumn("cum", sum(col("rev")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col(keyCol), col("rank"),
+        (col("rev") * 100).cast("long").as("rev_cents"),
+        ((col("cum") * 100).cast("long").cast("double") /
+          (col("total") * 100).cast("long").cast("double")).as("cum_share"))
+  }
+
   /** Within-group percentile-rank normalization: each row's value mapped
     * to [0, 1] by its rank inside its group — the scale-free feature
     * transform (and the quality-tiering step: "top decile per language").

@@ -26,6 +26,19 @@ object Sampling {
   def splitAssign(df: DataFrame, idCol: String): DataFrame =
     df.withColumn("split", splitCol(col(idCol)))
 
+  /** k-fold cross-validation assignment: `fold = int(md5(id)[0:8]) mod
+    * k`. Deterministic and stable under corpus growth — a row's fold
+    * never changes when other rows arrive (the same property
+    * [[splitAssign]] gives train/val/test), and the md5-prefix integer
+    * is engine-portable. Pure narrow projection, zero shuffles.
+    */
+  def kFoldAssign(df: DataFrame, idCol: String, k: Int = 5): DataFrame = {
+    require(k >= 2)
+    df.withColumn("fold",
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long") % k)
+  }
+
   /** Per-label counts and fractions — the class-balance check before
     * training. One partial-aggregated shuffle on the label.
     */

@@ -15,11 +15,12 @@ class QueryPlanSpec extends SparkSpec {
   // intentional BNLJ: a bounded broadcast side (|Q| queries / nLists
   // centroids / label_knn's unlabeled set) streamed against the corpus —
   // the designed scale shape
-  // skew_profile joins a ONE-ROW total aggregate onto the key counts —
-  // a broadcast of a single row, the cheapest possible BNLJ
+  // skew_profile and sales_pareto join a ONE-ROW total aggregate onto
+  // key-cardinality counts — a broadcast of a single row, the cheapest
+  // possible BNLJ
   private val broadcastNlAllowed =
     Set("ann_brute", "ann_ivf", "ann_pq", "label_knn", "embed_cluster",
-      "skew_profile")
+      "skew_profile", "sales_pareto")
 
   // dedup_clusters executes its iterative joins eagerly behind
   // localCheckpoint while fn() builds the frame, so this sweep only sees

@@ -81,6 +81,20 @@ class AnalyticsSpec extends SparkSpec {
       ("ALL", "ALL", 3L, 7.0, 3L)))
   }
 
+  test("paretoShare ranks keys by value with exact cumulative shares") {
+    val df = Seq(
+      ("a", 50.0), ("a", 10.0), // a: 60
+      ("b", 30.0),              // b: 30
+      ("c", 10.0)               // c: 10; total 100
+    ).toDF("k", "v")
+    val out = Analytics.paretoShare(df, "k", "v").orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("a", 1L, 6000L, 0.6),
+      ("b", 2L, 3000L, 0.9),
+      ("c", 3L, 1000L, 1.0)))
+  }
+
   test("percentileRank maps values to [0,1] per group, deterministic ties") {
     val df = Seq(
       (1L, "en", 10L), (2L, "en", 20L), (3L, "en", 30L),

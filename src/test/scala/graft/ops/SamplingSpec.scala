@@ -21,6 +21,22 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(fracs("test") - 2.0 / 16) < 0.05, fracs.toString)
   }
 
+  test("kFoldAssign is stable under growth and spreads folds") {
+    val small = (1L to 200L).map(Tuple1.apply).toDF("doc_id")
+    val big = (1L to 2000L).map(Tuple1.apply).toDF("doc_id")
+    val a = Sampling.kFoldAssign(small, "doc_id", 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Sampling.kFoldAssign(big, "doc_id", 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // growth never reassigns an existing row's fold
+    assert(a.forall { case (id, f) => b(id) == f })
+    assert(a.values.forall(f => f >= 0 && f < 5))
+    // every fold is populated and no fold hogs the corpus
+    val sizes = b.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.keys.toSet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(sizes.values.forall(n => n > 200 && n < 600))
+  }
+
   test("labelBalance fractions sum to 1") {
     val df = (1 to 100).map(i => (i.toLong, i % 3)).toDF("id", "label")
     val rows = Sampling.labelBalance(df, "label").collect()
