@@ -17,29 +17,55 @@ object Bench {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       li.groupBy("l_returnflag").count().count()
     } catch { case _: Throwable => () }
-    // Optional args = query-name filter (repeat runs: "name xN"); the
-    // driver invokes with no args and times the full registry once.
-    val (repeat, names) = args.partition(_.startsWith("x"))
-    val reps = repeat.headOption.map(_.drop(1).toInt).getOrElse(1)
+    // Optional args = query-name filter plus a strict "xN" repeat count
+    // (only ^x\d+$ — a query whose NAME starts with 'x' stays selectable).
+    // The driver invokes with no args: full registry, one rep each.
+    val (repeatArgs, names) = args.partition(_.matches("x\\d+"))
+    val reps = repeatArgs.headOption.map(_.drop(1).toInt).getOrElse(1)
     val selected =
       if (names.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => names.contains(k) }
     // A failed query is reported as -1 (never a timing) so a regression
     // can't masquerade as a speedup; failures also go to stderr.
-    val results = Seq.fill(reps)(selected).flatten.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    val runs: Seq[(String, Double)] = Seq.fill(reps)(selected).flatten.map {
+      case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+          }
+        val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        if (reps > 1) System.err.println(f"[bench] $name run: $sec%.3f")
+        name -> sec
     }
-    val qs = results.map { case (k, v) => graft.util.Json.quote(k) + ":" + v }
+    // With reps > 1 the reported per-query value is the MEDIAN of its
+    // successful runs (local VM noise lands 5-10s stalls on random
+    // queries — see PLANS.md — so a single reading is never trusted);
+    // raw values go to stderr above.
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val byName: Seq[(String, Double)] = runs.map(_._1).distinct.map { n =>
+      val ok = runs.collect { case (`n`, v) if v >= 0 => v }.sorted
+      n -> (if (ok.isEmpty) -1.0 else ok(ok.length / 2))
+    }
+    val qs = byName.map { case (k, v) => graft.util.Json.quote(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => graft.util.Json.quote(k) }
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    val failed = byName.collect { case (k, v) if v < 0 => graft.util.Json.quote(k) }
+    val total = byName.map(_._2).filter(_ >= 0).sum
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"reps":$reps,"sf":"$sfDir"}"""
+    // The driver's stdout tail capture truncated r4's 92-query line —
+    // ALWAYS also persist the full JSON to a committed file so every
+    // round's timings stay machine-readable regardless of log capture.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_latest.json"))
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_latest.json: ${e.getMessage}")
+    }
+    println(line)
     spark.stop()
   }
 }

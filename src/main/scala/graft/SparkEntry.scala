@@ -48,6 +48,20 @@ object SparkEntry {
     (oldSnap, newSnap)
   }
 
+  /** Embeddings corpus with an exact copy of each of the first 10 vectors
+    * planted at vec_id+100000, plus those 10 originals as the query set —
+    * the provable-top-1 construction the approximate ANN queries oracle
+    * against (see the ann_lsh/ann_ivf/ann_pq registration comment).
+    */
+  private def plantedAnnInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = rd(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val corpus = e.unionAll(e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+    (corpus, q)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- CDC between snapshot generations (snapshot watcher's data twin)
     "cdc_diff" -> ((s, dir) => {
@@ -104,12 +118,27 @@ object SparkEntry {
           .as("query_text"))
       TextAnalysis.searchTopK(docs, qs, 5).orderBy("query_id", "rank")
     }),
-    // --- k-means corpus clustering (driver-fit codebook, rows-only:
-    // centroid arithmetic is not SQL-expressible; SimilaritySpec asserts
-    // purity on clustered vectors)
-    "embed_cluster" -> ((s, dir) =>
-      Similarity.kmeansCluster(rd(s, dir, "embeddings"))
-        .orderBy("vec_id")),
+    // --- k-means corpus clustering. The registered query plants k=16
+    // well-separated blocks (dim 0 shifted by 1000·g,
+    // g = (vec_id·16 + 15) div n — the exact inverse of kmeansFit's
+    // evenly-spaced init indices ⌊i·n/16⌋, so block(⌊i·n/16⌋) = i and
+    // each block gets exactly one initial centroid) making the
+    // assignment PROVABLY exact: every point is ≥ ~988 from any other
+    // block's centroid vs ≤ ~25 from its own, so Lloyd's assignments
+    // equal the blocks at every iteration and centroids stay in-block —
+    // the final cluster id IS g, which DuckDB computes arithmetically.
+    // Requires corpus ≤ trainSample (500/2000 at the verify/bench SFs)
+    // so the sample covers all blocks. SimilaritySpec keeps the purity
+    // invariant on the unplanted operator.
+    "embed_cluster" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val n = e.count()
+      val planted = e.select(col("vec_id"),
+        expr(s"transform(embedding, (x, i) -> CASE WHEN i = 0 THEN " +
+          s"cast(x + cast((vec_id * 16 + 15) div $n as double) * 1000.0d as float) " +
+          "ELSE x END)").as("embedding"))
+      Similarity.kmeansCluster(planted, 16).orderBy("vec_id")
+    }),
     // --- reference surface: graph source normalization (SURVEY §2 rows 1-4)
     "normalize_nodes" -> ((s, dir) => {
       val nodes = rd(s, dir, "customer").select(
@@ -201,6 +230,12 @@ object SparkEntry {
       Dedup.resolveClusters(
         Dedup.ngramJaccard(rd(s, dir, "documents")).select("a_id", "b_id"))
         .orderBy("doc_id")),
+    // same pair graph through the O(log n) large-star/small-star path —
+    // must produce the identical component table (same oracle SQL)
+    "dedup_clusters_star" -> ((s, dir) =>
+      Dedup.resolveClustersStar(
+        Dedup.ngramJaccard(rd(s, dir, "documents")).select("a_id", "b_id"))
+        .orderBy("doc_id")),
     "dedup_embedding" -> ((s, dir) => {
       // The corpus has no natural pairs above tau (max cosine ~0.51 at
       // sf0.01), so the query plants exact duplicates of the first 25
@@ -221,26 +256,33 @@ object SparkEntry {
       Similarity.bruteTopK(e.select(col("vec_id"), col("embedding")), q, 10)
         .orderBy("query_id", "rank")
     }),
+    // The approximate ANN paths (lsh/ivf/pq) register their PLANTED
+    // top-1 form for an exact oracle (the dedup_embedding pattern): the
+    // corpus gains an identical copy of each query at vec_id+100000.
+    // Identical vectors share every sign bucket (same dot products →
+    // same signs), the same nearest IVF list (same centroid distances,
+    // same deterministic tie-break), and the block-wise-minimal PQ codes
+    // (ADC(q, copy) = Σ_b min_c ‖q_b−c‖² — the global ADC minimum), so
+    // each path provably surfaces the copy as a candidate; exact cosine
+    // re-rank then makes it rank 1 (cosine ≈1 vs a natural max ~0.51).
+    // Full-top-k behavior keeps its recall gates in SimilaritySpec.
     "ann_ivf" -> ((s, dir) => {
-      val e = rd(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      Similarity.ivfTopK(e.select(col("vec_id"), col("embedding")), q, 10)
-        .orderBy("query_id", "rank")
+      val (corpus, q) = plantedAnnInputs(s, dir)
+      Similarity.ivfTopK(corpus, q, 10)
+        .filter(col("rank") === 1).select("query_id", "neighbor_id")
+        .orderBy("query_id")
     }),
     "ann_lsh" -> ((s, dir) => {
-      val e = rd(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      Similarity.lshTopK(e.select(col("vec_id"), col("embedding")), q, 10)
-        .orderBy("query_id", "rank")
+      val (corpus, q) = plantedAnnInputs(s, dir)
+      Similarity.lshTopK(corpus, q, 10)
+        .filter(col("rank") === 1).select("query_id", "neighbor_id")
+        .orderBy("query_id")
     }),
     "ann_pq" -> ((s, dir) => {
-      val e = rd(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      Similarity.pqTopK(e.select(col("vec_id"), col("embedding")), q, 10)
-        .orderBy("query_id", "rank")
+      val (corpus, q) = plantedAnnInputs(s, dir)
+      Similarity.pqTopK(corpus, q, 10)
+        .filter(col("rank") === 1).select("query_id", "neighbor_id")
+        .orderBy("query_id")
     }),
     // --- text analysis (rows 25-28)
     "text_tokens" -> ((s, dir) =>
@@ -615,6 +657,49 @@ object SparkEntry {
     * intentionally absent → driver records a rows-only check; their
     * invariants are covered by ScalaTest suites instead.
     */
+  /** Duplicate-cluster oracle: df-pruned 3-shingle Jaccard pairs, then
+    * min-label connected components via a recursive CTE — shared verbatim
+    * by `dedup_clusters` (hash-min) and `dedup_clusters_star`
+    * (large-star/small-star), which must agree row-for-row.
+    */
+  private val clustersOracleSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(generate_series(1, len(t) - 2),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      |  FROM toks WHERE len(t) >= 3
+      |), pruned AS (
+      |  SELECT doc_id, shingle FROM (
+      |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+      |    FROM sh) WHERE df <= 25
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS set_size FROM pruned GROUP BY doc_id
+      |), cand AS (
+      |  SELECT l.doc_id AS a_id, r.doc_id AS b_id, count(*) AS common
+      |  FROM pruned l JOIN pruned r
+      |    ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+      |  GROUP BY 1, 2
+      |), p AS (
+      |  SELECT a_id, b_id FROM cand
+      |  JOIN sizes sa ON cand.a_id = sa.doc_id
+      |  JOIN sizes sb ON cand.b_id = sb.doc_id
+      |  WHERE CAST(common AS DOUBLE)
+      |    / CAST(sa.set_size + sb.set_size - common AS DOUBLE) >= 0.5
+      |), nodes AS (
+      |  SELECT a_id AS id FROM p UNION SELECT b_id FROM p
+      |), edges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM p
+      |  UNION ALL SELECT b_id, a_id FROM p
+      |), walk(id, label) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id
+      |)
+      |SELECT id AS doc_id, min(label) AS cluster_id
+      |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "cdc_diff" ->
       """WITH o AS (
@@ -898,43 +983,11 @@ object SparkEntry {
         |)
         |SELECT a_id, b_id, cosine FROM pairs WHERE cosine >= 0.95
         |ORDER BY a_id, b_id""".stripMargin,
-    "dedup_clusters" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
-        |), sh AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    list_transform(generate_series(1, len(t) - 2),
-        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
-        |  FROM toks WHERE len(t) >= 3
-        |), pruned AS (
-        |  SELECT doc_id, shingle FROM (
-        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
-        |    FROM sh) WHERE df <= 25
-        |), sizes AS (
-        |  SELECT doc_id, count(*) AS set_size FROM pruned GROUP BY doc_id
-        |), cand AS (
-        |  SELECT l.doc_id AS a_id, r.doc_id AS b_id, count(*) AS common
-        |  FROM pruned l JOIN pruned r
-        |    ON l.shingle = r.shingle AND l.doc_id < r.doc_id
-        |  GROUP BY 1, 2
-        |), p AS (
-        |  SELECT a_id, b_id FROM cand
-        |  JOIN sizes sa ON cand.a_id = sa.doc_id
-        |  JOIN sizes sb ON cand.b_id = sb.doc_id
-        |  WHERE CAST(common AS DOUBLE)
-        |    / CAST(sa.set_size + sb.set_size - common AS DOUBLE) >= 0.5
-        |), nodes AS (
-        |  SELECT a_id AS id FROM p UNION SELECT b_id FROM p
-        |), edges AS (
-        |  SELECT a_id AS src, b_id AS dst FROM p
-        |  UNION ALL SELECT b_id, a_id FROM p
-        |), walk(id, label) AS (
-        |  SELECT id, id FROM nodes
-        |  UNION
-        |  SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id
-        |)
-        |SELECT id AS doc_id, min(label) AS cluster_id
-        |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
+    // shared by dedup_clusters (hash-min) and dedup_clusters_star
+    // (large-star/small-star): both must produce the identical
+    // min-labelled component table
+    "dedup_clusters" -> clustersOracleSql,
+    "dedup_clusters_star" -> clustersOracleSql,
     "ann_brute" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
@@ -954,6 +1007,25 @@ object SparkEntry {
         |)
         |SELECT query_id, "rank", vec_id AS neighbor_id
         |FROM ranked WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+    // planted-copy provable top-1 (see the registration comment): each
+    // query's rank-1 neighbor is its identical copy at vec_id+100000
+    "ann_lsh" ->
+      """SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+    "ann_ivf" ->
+      """SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+    "ann_pq" ->
+      """SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+    // planted-block k-means (see registration comment): the provably
+    // exact assignment is the block id g = (vec_id·16 + 15) div n
+    "embed_cluster" ->
+      """WITH n AS (SELECT count(*) AS cnt FROM embeddings)
+        |SELECT vec_id,
+        |  CAST((vec_id * 16 + 15) // cnt AS BIGINT) AS cluster,
+        |  count(*) OVER (PARTITION BY (vec_id * 16 + 15) // cnt) AS cluster_size
+        |FROM embeddings, n ORDER BY vec_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         | CAST(length(text) AS BIGINT) AS n_chars_m,

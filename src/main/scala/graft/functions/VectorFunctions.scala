@@ -527,6 +527,51 @@ case class SignBuckets(child: Expression, bands: Int, bitsPerBand: Int)
     copy(child = newChild)
 }
 
+/** `graft_adc(codes, lut, ksub)`: product-quantization asymmetric
+  * distance — sum over blocks b of `lut[b*ksub + codes[b]]` (0-based),
+  * accumulated left-to-right in double, so results are bit-identical to
+  * the interpreted `aggregate(transform(codes, (c, b) ->
+  * element_at(lut, b*ksub + c + 1)), 0D, (a, x) -> a + x)` chain it
+  * replaces — but one tight array walk per (code row × query LUT) pair
+  * instead of per-element interpreted lambdas on the hottest scan of the
+  * PQ path ([[graft.ops.Similarity.pqTopK]]).
+  */
+case class AdcDistance(left: Expression, right: Expression, ksub: Int)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = VectorFunctions.requireInput("graft_adc", left.dataType,
+      "array<int>")(dt => dt match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    })
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else VectorFunctions.requireInput("graft_adc", right.dataType,
+      "array<double>")(dt => dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val codes = l.asInstanceOf[ArrayData]
+    val lut = r.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    var acc = 0.0
+    var b = 0
+    while (b < m) {
+      acc += lut.getDouble(b * ksub + codes.getInt(b))
+      b += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `graft_dot(a, b)`: sequential-fold double dot product of two numeric
   * arrays — bit-identical to the `aggregate(zip_with(...))` formulation
   * (left-to-right double accumulation) but one tight loop per row.

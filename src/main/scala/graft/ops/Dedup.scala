@@ -298,6 +298,97 @@ object Dedup {
         (jumped =!= col("a.old_label")).as("changed"))
   }
 
+  /** Connected components via alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the web-scale alternative to [[resolveClusters]]'s
+    * hash-min propagation: converges in O(log n) rounds on ANY graph
+    * (hash-min needs O(diameter) rounds, which bites on long chains),
+    * with every step an equi-join/aggregation on node keys.
+    *
+    *  - large-star: every node u connects its strictly-larger neighbors
+    *    to m(u) = min(Γ(u) ∪ u)
+    *  - small-star: every node u connects its not-larger neighbors and
+    *    itself to m(u)
+    *
+    * The fixed point is a forest of stars rooted at each component's
+    * minimum id. Same contract as [[resolveClusters]]: input (a_id,
+    * b_id) pairs, output (doc_id, cluster_id) for every id appearing in
+    * a pair (self-loop-only ids label themselves).
+    */
+  def resolveClustersStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val undirected = pairs.select(col("a_id").cast("long").as("a"),
+      col("b_id").cast("long").as("b")).cache()
+    undirected.count() // materialize the (possibly expensive) pair source once
+    val nodes = undirected.select(col("a").as("id"))
+      .union(undirected.select(col("b").as("id"))).distinct()
+      .localCheckpoint(true)
+    // canonical (lo, hi) storage, self-loops dropped
+    var edges = undirected
+      .select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct().localCheckpoint(true)
+    undirected.unpersist(blocking = false)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("lo").as("a"), col("hi").as("b"))
+        .union(e.select(col("hi").as("a"), col("lo").as("b")))
+      val mins = sym.groupBy(col("a")).agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("mn"), col("a")).as("m"))
+      sym.join(mins, Seq("a"))
+        .filter(col("b") > col("a"))
+        .select(col("m").as("lo"), col("b").as("hi")) // m <= a < b
+        .filter(col("lo") =!= col("hi")).distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(col("hi").as("a"), col("lo").as("b"))
+      val mins = oriented.groupBy(col("a")).agg(min(col("b")).as("m"))
+      oriented.join(mins, Seq("a"))
+        .select(col("b").as("v"), col("m"))
+        .union(mins.select(col("a").as("v"), col("m")))
+        .filter(col("v") =!= col("m"))
+        .select(col("m").as("lo"), col("v").as("hi")) // m = min(Γ⁻(a) ∪ a)
+        .distinct()
+    }
+
+    // convergence = the (count, order-free hash-sum) signature of the
+    // canonical edge set reaching a fixed point — two cheap aggregates,
+    // never an old-vs-new join; maxIter bounds the astronomically
+    // unlikely hash-collision miss
+    def sig(e: DataFrame): (Long, java.math.BigDecimal) = {
+      // decimal accumulator: a plain long sum of 2^63-range hashes
+      // overflows (ANSI mode throws)
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("lo"), col("hi")).cast("decimal(38,0)"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+
+    var s = sig(edges)
+    var iter = 0
+    var done = edges.isEmpty
+    while (!done && iter < maxIter) {
+      // checkpoint between the half-steps too: each half-step references
+      // its input in two branches (sym/oriented union + the mins join) —
+      // lazy chaining would re-execute the previous half-step per branch
+      // (the resolveClusters lesson; Spark reuses exchanges, not subplans)
+      val afterLarge = largeStar(edges).localCheckpoint(true)
+      edges = smallStar(afterLarge).localCheckpoint(true)
+      val s2 = sig(edges)
+      done = s2 == s
+      s = s2
+      iter += 1
+    }
+    Log.getLogger("graft.Dedup").info(
+      s"resolveClustersStar converged=$done after $iter round(s)")
+    // converged stars: hi -> lo labels roots implicitly; nodes outside
+    // any surviving edge (self-loop-only inputs) label themselves
+    val labels = edges.select(col("hi").as("id"), col("lo").as("label"))
+    nodes.join(labels, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("label"), col("id")).as("cluster_id"))
+  }
+
   /** Keep one representative per duplicate cluster: a document survives
     * when it is in no cluster, or when it IS its cluster's id (the lowest
     * member). The join against the (small) cluster table broadcasts.

@@ -359,21 +359,6 @@ object Events {
       .withColumn("gap_us", col("ts") - col("prev_ts"))
   }
 
-  /** Time-weighted average value per user: each event's value holds until
-    * the user's next event, and the average weights values by holding
-    * duration instead of sample count — the right aggregate for
-    * irregularly-sampled series (a reading that persisted ten hours must
-    * not count like one that lasted ten seconds). Users with fewer than
-    * two events have no span and are dropped.
-    *
-    * Engine-exact: value routes through decimal(18,2) and multiplies a
-    * decimal-cast BIGINT microsecond gap (exact product, order-free
-    * decimal sum); the final twap is ONE double division of two
-    * exactly-agreed quantities. Scale shape: a single shuffle on user_id
-    * shared by the lead window and the rollup; aggregation state is O(1)
-    * per user. Expects `(event_id, user_id, ts, value)` with
-    * microsecond-long `ts`.
-    */
   /** Event-type transition matrix (first-order Markov): per (from, to)
     * consecutive-pair counts across users plus the conditional
     * probability P(to | from) — the behavioral-model summary and the
@@ -455,6 +440,21 @@ object Events {
         max(col("ts")).as("end_ts"))
   }
 
+  /** Time-weighted average value per user: each event's value holds until
+    * the user's next event, and the average weights values by holding
+    * duration instead of sample count — the right aggregate for
+    * irregularly-sampled series (a reading that persisted ten hours must
+    * not count like one that lasted ten seconds). Users with fewer than
+    * two events have no span and are dropped.
+    *
+    * Engine-exact: value routes through decimal(18,2) and multiplies a
+    * decimal-cast BIGINT microsecond gap (exact product, order-free
+    * decimal sum); the final twap is ONE double division of two
+    * exactly-agreed quantities. Scale shape: a single shuffle on user_id
+    * shared by the lead window and the rollup; aggregation state is O(1)
+    * per user. Expects `(event_id, user_id, ts, value)` with
+    * microsecond-long `ts`.
+    */
   def twap(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))

@@ -74,6 +74,7 @@ object Quality {
     * frame, so downstream gates can assert on every rule's presence.
     */
   def violations(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "violations needs at least one rule")
     // all scalar-count rules share ONE aggregate over one scan
     val scalarRules = scalarCols(rules)
     val scalarReport: Option[DataFrame] =

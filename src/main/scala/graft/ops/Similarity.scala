@@ -48,10 +48,71 @@ object Similarity {
         posexplode(expr(s"graft_signbuckets($embCol, $bands, $bitsPerBand)"))
           .as(Seq("band", "bucket"))): _*)
 
+  /** Two-level exact per-query top-k over a scored candidate stream — the
+    * scale-safe replacement for `row_number().over(Window.partitionBy(
+    * "query_id"))` on a corpus-sized input, which funnels EVERY scored row
+    * for a query through one reducer. Level 1 keeps a bounded |Q|·k heap
+    * per partition (narrow mapPartitions, zero shuffle on the corpus);
+    * level 2 ranks the ≤ k·P survivors per query, so the only shuffle is
+    * over |Q|·k·P rows — independent of corpus size. Exact selection:
+    * every global top-k row is in its own partition's local top-k under
+    * the same (score, vec_id) total order, and the heap's comparator is
+    * `java.lang.Double.compare` — the same ordering Spark's SortOrder
+    * uses for doubles (NaN greatest, -0.0 < 0.0) — so the merged result
+    * is bit-identical to the single-window formulation.
+    *
+    * Input must carry (query_id, vec_id, scoreCol); |Q| must be bounded
+    * (the callers' broadcast-query-set contract — heap state is |Q|·k
+    * per partition).
+    */
+  private[graft] def topKPerQuery(scored: DataFrame, k: Int, scoreCol: String,
+                                  ascending: Boolean): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    // worst-first ordering: PriorityQueue dequeues its max, so "a greater
+    // than b" must mean "a is worse than b" under the caller's direction
+    val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+      override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c =
+          if (ascending) java.lang.Double.compare(a._1, b._1)
+          else java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+    val partial = scored
+      .select(col("query_id").cast("long"), col("vec_id").cast("long"),
+        col(scoreCol).cast("double"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        val heaps = new java.util.HashMap[
+          Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]()
+        it.foreach { case (qid, vid, score) =>
+          var h = heaps.get(qid)
+          if (h == null) {
+            h = scala.collection.mutable.PriorityQueue.empty(worstFirst)
+            heaps.put(qid, h)
+          }
+          if (h.size < k) h.enqueue((score, vid))
+          else if (worstFirst.compare((score, vid), h.head) < 0) {
+            h.dequeue(); h.enqueue((score, vid))
+          }
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        heaps.forEach((qid, h) => h.foreach { case (s, v) => out += ((qid, v, s)) })
+        out.iterator
+      }
+      .toDF("query_id", "vec_id", scoreCol)
+    partial
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(if (ascending) asc(scoreCol) else desc(scoreCol), asc("vec_id"))))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact brute-force cosine top-k. `queries` must be small (broadcast):
     * the plan is a BroadcastNestedLoopJoin over the corpus — a single
-    * corpus scan, no corpus shuffle until the final per-query top-k, which
-    * is a window over |Q|·N rows partitioned by query.
+    * corpus scan with per-partition partial top-k, then a merge rank over
+    * |Q|·k·P survivor rows ([[topKPerQuery]]); nothing corpus-sized ever
+    * shuffles.
     */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
     val scored = corpus
@@ -60,10 +121,8 @@ object Similarity {
       .withColumn("cosine",
         dotCol(col("embedding"), col("q_emb")) /
           (normCol(col("embedding")) * normCol(col("q_emb"))))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored.select("query_id", "vec_id", "cosine"), k,
+      "cosine", ascending = false)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("vec_id").as("neighbor_id"))
   }
@@ -110,12 +169,12 @@ object Similarity {
         .withColumn("qnrm", normCol(col("q_emb"))), "query_id", "q_emb", nProbe)
     val cands = indexed.join(probed, Seq("list_id"))
       .filter(col("vec_id") =!= col("query_id"))
-    cands
       .withColumn("cosine",
         dotCol(col("embedding"), col("q_emb")) / (col("nrm") * col("qnrm")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))))
-      .filter(col("rank") <= k)
+    // probed candidates are still ~nProbe/nLists of the corpus per query —
+    // two-level top-k, not a per-query window over that stream
+    topKPerQuery(cands.select("query_id", "vec_id", "cosine"), k,
+      "cosine", ascending = false)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("vec_id").as("neighbor_id"), col("cosine"))
   }
@@ -238,12 +297,12 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id", "embedding", "q_emb", "nrm", "qnrm")
       .dropDuplicates("query_id", "vec_id")
-    cands
       .withColumn("cosine",
         dotCol(col("embedding"), col("q_emb")) / (col("nrm") * col("qnrm")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))))
-      .filter(col("rank") <= k)
+    // bucket-collision candidate counts are data-dependent (a hot bucket
+    // can hold a large corpus fraction) — rank via two-level top-k
+    topKPerQuery(cands.select("query_id", "vec_id", "cosine"), k,
+      "cosine", ascending = false)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("vec_id").as("neighbor_id"), col("cosine"))
   }
@@ -260,7 +319,8 @@ object Similarity {
     * rationale as [[ivfTopK]]'s coarse quantizer); encoding is one
     * narrow `mapPartitions` pass (genuine per-row imperative math);
     * the ADC scan broadcasts |Q| lookup tables against the code table —
-    * the corpus never shuffles until the per-query top-k window; the
+    * the corpus never shuffles (per-partition partial top-k bounds every
+    * per-query reduction at |Q|·k·refine·P rows); the
     * refine join touches refine·k·|Q| rows keyed on vec_id. Fixed-seed
     * deterministic end to end; compose with the IVF list pruning when
     * even the code scan needs cutting.
@@ -317,16 +377,18 @@ object Similarity {
         }
         (qid, lut.toSeq)
       }.toSeq.toDF("query_id", "lut")
-    val cands = codes.crossJoin(broadcast(luts))
+    // ADC scan: native expression (one array walk per row — the
+    // aggregate(transform(...)) HOF chain it replaces was interpreted
+    // per element per row), then two-level top-(k·refine) so the
+    // corpus-sized code stream never funnels into per-query reducers
+    val scoredAdc = codes.crossJoin(broadcast(luts))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adc", expr(
-        s"""aggregate(transform(codes, (c, b) ->
-           |  element_at(lut, b * $ksub + c + 1)), 0D, (a, x) -> a + x)"""
-          .stripMargin))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("query_id").orderBy(asc("adc"), asc("vec_id"))))
-      .filter(col("crank") <= k * refine)
+      .withColumn("adc", expr(s"graft_adc(codes, lut, $ksub)"))
+    val cands = topKPerQuery(scoredAdc.select("query_id", "vec_id", "adc"),
+      k * refine, "adc", ascending = true)
       .select("query_id", "vec_id")
+    // exact re-rank over the refine·k·|Q| survivors — bounded input, so a
+    // per-query window is safe here
     cands
       .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
       .join(broadcast(queries.select(col("query_id"), col("q_emb"))),
@@ -374,14 +436,19 @@ object Similarity {
     * composes over [[lshTopK]]/[[ivfTopK]] candidates instead.
     */
   def knnClassify(labeled: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
-    val neighbors = labeled
+    val scored = labeled
       .crossJoin(broadcast(queries))
       .withColumn("cosine",
         dotCol(col("embedding"), col("q_emb")) /
           (normCol(col("embedding")) * normCol(col("q_emb"))))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))))
-      .filter(col("rank") <= k)
+    // two-level top-k over the corpus scan, then the |Q|·k winner set
+    // broadcasts back against the labeled table to recover labels — the
+    // join-back costs one more scan but keeps every per-query reduction
+    // bounded at any corpus size
+    val winners = topKPerQuery(scored.select("query_id", "vec_id", "cosine"),
+      k, "cosine", ascending = false)
+    val neighbors = labeled.select(col("vec_id"), col("label"))
+      .join(broadcast(winners), Seq("vec_id"))
     neighbors
       .groupBy(col("query_id"), col("label"))
       .agg(count(lit(1)).as("votes"))
@@ -420,7 +487,12 @@ object Similarity {
         Window.partitionBy("vec_id").orderBy(asc("cdist"), asc("cluster"))))
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
-    assigned.withColumn("cluster_size", count(lit(1)).over(
-      Window.partitionBy("cluster")))
+    // sizes via partial-aggregated groupBy + broadcast join-back: a
+    // count(*) OVER (PARTITION BY cluster) would move each cluster's
+    // entire membership to one reducer (k reducers for the whole corpus)
+    val sizes = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+    assigned.join(broadcast(sizes), Seq("cluster"))
+      .select(col("vec_id"), col("cluster"), col("cluster_size"))
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{BandBuckets, LongArrayAgreement, MinHashSignature, RepetitionStats, SignBuckets, SimHash64, TokenStats, VectorDot, Winnow, WordNgrams, WordShingles}
+import graft.functions.{AdcDistance, BandBuckets, LongArrayAgreement, MinHashSignature, RepetitionStats, SignBuckets, SimHash64, TokenStats, VectorDot, Winnow, WordNgrams, WordShingles}
 
 /** Session extensions registering graft's native expressions as SQL
   * functions. Enable with
@@ -80,6 +80,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Winnow].getName, "graft_winnow"),
       (children: Seq[Expression]) => Winnow(children.head,
         intLit(children(1), "k"), intLit(children(2), "w"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_adc"),
+      new ExpressionInfo(classOf[AdcDistance].getName, "graft_adc"),
+      (children: Seq[Expression]) =>
+        AdcDistance(children.head, children(1), intLit(children(2), "ksub"))))
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "graft_dot"),

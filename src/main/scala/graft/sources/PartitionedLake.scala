@@ -46,8 +46,10 @@ object PartitionedLake {
     val base = new org.apache.hadoop.fs.Path(path)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return Seq.empty
+    // numeric-only match: null-partition dirs (day=__HIVE_DEFAULT_PARTITION__)
+    // and other non-numeric names are skipped, not crashed on
     val days = fs.listStatus(base).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+      .filter(s => s.isDirectory && s.getPath.getName.matches("day=-?\\d+"))
       .map(s => (s.getPath.getName.stripPrefix("day=").toLong, s.getPath))
       .sortBy(_._1)
     days.map(_._1).maxOption match {

@@ -26,14 +26,35 @@ import graft.ops.Cdc
   */
 object CdcStream {
 
+  /** Generation directories carrying Spark's `_SUCCESS` commit marker,
+    * ascending. A gen dir without the marker is a crashed half-write: it
+    * must never be picked as a merge base or served to a reader (the
+    * reader-never-sees-partial guarantee), so it is invisible here and
+    * reclaimed by [[applyStream]]'s next batch.
+    */
   private def generations(spark: SparkSession, path: String): Seq[(Int, Path)] = {
     val base = new Path(path)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) Seq.empty
     else fs.listStatus(base).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+      .filter(s => s.isDirectory && s.getPath.getName.matches("gen=\\d+") &&
+        fs.exists(new Path(s.getPath, "_SUCCESS")))
       .map(s => (s.getPath.getName.stripPrefix("gen=").toInt, s.getPath))
       .sortBy(_._1)
+  }
+
+  /** Delete crashed half-written generation dirs (no `_SUCCESS`) so a
+    * stale partial can never shadow a later complete write of the same
+    * generation number.
+    */
+  private def reclaimPartials(spark: SparkSession, path: String): Unit = {
+    val base = new Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(base))
+      fs.listStatus(base).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.matches("gen=\\d+") &&
+          !fs.exists(new Path(s.getPath, "_SUCCESS")))
+        .foreach(s => fs.delete(s.getPath, true))
   }
 
   /** The table's current (newest complete) generation, or None before the
@@ -58,6 +79,9 @@ object CdcStream {
           .withColumn("_rn", row_number().over(
             Window.partitionBy(key).orderBy(desc(seqCol), desc("op"))))
           .filter(col("_rn") === 1).drop("_rn", seqCol)
+        // a crash between parquet write and commit leaves a marker-less
+        // gen dir — reclaim it before choosing the merge base
+        reclaimPartials(spark, path)
         val gens = generations(spark, path)
         val next = gens.lastOption match {
           case Some((_, p)) =>

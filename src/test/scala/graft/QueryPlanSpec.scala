@@ -26,6 +26,32 @@ class QueryPlanSpec extends SparkSpec {
   // localCheckpoint while fn() builds the frame, so this sweep only sees
   // its post-checkpoint scan; the per-round join topology is asserted
   // directly in DedupSpec ("cluster propagation round plans equi-joins").
+  // Single-reducer guard for the ANN paths: the per-query ranking over a
+  // corpus-scale candidate stream must be two-level (per-partition partial
+  // top-k via mapPartitions, then a merge window over |Q|·k·P survivors) —
+  // a Window.partitionBy(query_id) directly over the scored corpus sends
+  // every row for a query to ONE reducer. The topmost query_id-partitioned
+  // window is the merge (or a downstream bounded rank); requiring a
+  // MapPartitions partial beneath it catches a revert to the single-window
+  // form. Inner query_id windows (ivf's probe-list rank) run over bounded
+  // broadcast-side inputs and are exempt by construction.
+  test("ANN per-query top-k is two-level, never a corpus-wide window") {
+    Seq("ann_brute", "ann_pq", "ann_ivf", "ann_lsh", "label_knn").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan
+      val qWindows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.length == 1 &&
+            w.partitionSpec.head.toString.contains("query_id") => w
+      }
+      assert(qWindows.nonEmpty, s"$name: expected a per-query merge window")
+      val partials = qWindows.head.collect {
+        case m: org.apache.spark.sql.execution.MapPartitionsExec => m
+      }
+      assert(partials.nonEmpty,
+        s"$name: query_id window has no per-partition partial top-k beneath it")
+    }
+  }
+
   test("no registered query plans a cross product") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString

@@ -85,6 +85,26 @@ class DedupSpec extends SparkSpec {
       "one representative per cluster + every unclustered doc")
   }
 
+  test("resolveClustersStar matches hash-min on chain/star/clique/self-loop graphs") {
+    val cases: Seq[(String, Seq[(Long, Long)])] = Seq(
+      "long chain" -> (1L to 9L).map(i => (i, i + 1)),
+      "star" -> Seq((7L, 1L), (7L, 2L), (7L, 3L), (7L, 4L)),
+      "K4 clique" -> Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)),
+      "two components + self-loop" ->
+        Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 20L)),
+      "reversed/duplicated edges" ->
+        Seq((5L, 4L), (4L, 5L), (4L, 3L), (5L, 3L), (3L, 2L))
+    )
+    cases.foreach { case (name, edges) =>
+      val pairs = edges.toDF("a_id", "b_id")
+      val expected = Dedup.resolveClusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSet
+      val got = Dedup.resolveClustersStar(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSet
+      assert(got == expected, s"$name: star=$got hashMin=$expected")
+    }
+  }
+
   test("incrementalExact keeps only novel content, deduped within batch") {
     val known = Seq((1L, "seen before"), (2L, "also seen")).toDF("doc_id", "text")
     val batch = Seq(

@@ -37,4 +37,42 @@ class CdcStreamSpec extends SparkSpec {
       assert(gens.length <= 2, gens.mkString(","))
     } finally q.stop()
   }
+
+  test("half-written generations are invisible to readers and reclaimed") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val dir = Files.createTempDirectory("cdcpart").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("cdcpart-ckpt").toFile.getAbsolutePath
+    val q = CdcStream.applyStream(
+      mem.toDF.toDF("k", "v", "op", "seq"), dir, "k", "seq")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      mem.addData((1L, "a", "upsert", 1L))
+      q.processAllAvailable()
+
+      // simulate a crash mid-write of the NEXT generation: parquet data
+      // present, no _SUCCESS marker
+      val partial = new java.io.File(dir, "gen=99")
+      Seq((1L, "CORRUPT")).toDF("k", "v").write
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        .parquet(partial.getAbsolutePath)
+      assert(!new java.io.File(partial, "_SUCCESS").exists())
+
+      // readers never observe the partial generation as current
+      val cur = CdcStream.currentTable(spark, dir).get.collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(cur == Set((1L, "a")), s"partial gen leaked into reads: $cur")
+
+      // the next batch reclaims the partial dir and merges off the last
+      // COMPLETE generation
+      mem.addData((2L, "b", "upsert", 2L))
+      q.processAllAvailable()
+      assert(!partial.exists(), "crashed partial generation not reclaimed")
+      val t = CdcStream.currentTable(spark, dir).get.collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(t == Set((1L, "a"), (2L, "b")))
+    } finally q.stop()
+  }
 }
