@@ -121,3 +121,18 @@ object DemoTransport {
   lazy val shared = new graft.sinks.InMemoryFlightTransport
   val factory: () => FlightTransport = () => DemoTransport.shared
 }
+
+/** Resettable JVM-wide transport for the registered `load_e2e` query:
+  * executor tasks resolve the singleton through the object reference
+  * (local-mode only — production factories open one Flight connection
+  * per executor), and `reset()` gives each query invocation fresh
+  * counters so repeated Verify/Bench runs stay deterministic.
+  */
+object E2eTransport {
+  @volatile var current = new graft.sinks.InMemoryFlightTransport
+  def reset(): graft.sinks.InMemoryFlightTransport = {
+    current = new graft.sinks.InMemoryFlightTransport
+    current
+  }
+  val factory: () => FlightTransport = () => E2eTransport.current
+}

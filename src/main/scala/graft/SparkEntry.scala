@@ -191,6 +191,42 @@ object SparkEntry {
       Graph.triangleCounts(
         Graph.coOccurrence(li, "l_orderkey", "l_partkey")).orderBy("id")
     }),
+    // --- end-to-end blue/green load (row 33): the reference's headline
+    // path (load_with_aliases.py:216-249) as ONE verified query — stage a
+    // snapshot layout from the sf tables, run abort→create→node fan-out→
+    // edge fan-out→alias switch→keep-2 cleanup through the in-memory
+    // transport, and emit counts-by-stage + the system-statement plan.
+    // Counts come back through executor-side accumulators; statements are
+    // fully determined by the (existingDbs, aliases) scenario.
+    "load_e2e" -> ((s, dir) => {
+      import java.nio.file.Paths
+      val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_load_e2e")
+      rd(s, dir, "customer").select(
+        col("c_custkey"),
+        concat_ws(",", col("c_mktsegment"), lit("Customer")).as("labels"),
+        col("c_name"), col("c_acctbal"))
+        .write.mode("overwrite")
+        .parquet(base.resolve("acme/20240301/nodes/customer").toString)
+      rd(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"))
+        .write.mode("overwrite")
+        .parquet(base.resolve("acme/20240301/relationships/orders").toString)
+      E2eTransport.reset()
+      val r = LoadPipeline.loadAndSwitch(s, "acme", 20240301L, base,
+        E2eTransport.factory,
+        existingDbs = Seq("acme-20240101", "acme-20240201"),
+        currentAliases = Map("acme" -> "acme-20240201"),
+        system = _ => ())
+      val rows = Seq(
+        (1L, "nodes", r.database, r.nodeCount),
+        (2L, "relationships", r.database, r.relationshipCount)) ++
+        r.aliasStatements.zipWithIndex.map { case (st, i) =>
+          (i + 3L, "statement", st, 0L)
+        }
+      import s.implicits._
+      rows.toDF("step", "stage", "detail", "n").orderBy("step")
+    }),
     "bluegreen_keep2" -> ((s, dir) => {
       val deps = rd(s, dir, "orders").select(
         col("o_custkey").as("customer_id"),
@@ -700,6 +736,34 @@ object SparkEntry {
       |SELECT id AS doc_id, min(label) AS cluster_id
       |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** Winnowing fingerprint CTE chain (to `fps(doc_id, fp)`) — the exact
+    * DuckDB twin of `graft_winnow(text, 3, 4)`: md5-prefix-32 hashes of
+    * word 3-grams, window-of-4 sliding minimum, distinct selected values.
+    * Shared by `text_winnow` (raw fingerprints) and `dedup_winnow`
+    * (df-pruned shared-fingerprint pairs).
+    */
+  private val winnowFpsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+      |), grams AS (
+      |  SELECT doc_id, unnest(generate_series(1, len(t) - 2)) AS i, t,
+      |    len(t) - 2 AS g
+      |  FROM toks WHERE len(t) >= 3
+      |), gh AS (
+      |  SELECT doc_id, i, g,
+      |    CAST('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8)
+      |      AS BIGINT) AS h
+      |  FROM grams
+      |), wins AS (
+      |  SELECT doc_id, i, g,
+      |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+      |  FROM gh
+      |), fps AS (
+      |  SELECT DISTINCT doc_id, m AS fp FROM wins
+      |  WHERE i <= greatest(g - 4, 0) + 1
+      |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "cdc_diff" ->
       """WITH o AS (
@@ -903,6 +967,21 @@ object SparkEntry {
         |  concat(CAST(customer_id AS VARCHAR), '-', CAST(snapshot_ts AS VARCHAR)) AS db_name,
         |  drop_rank
         |FROM r WHERE drop_rank > 2 ORDER BY customer_id, drop_rank""".stripMargin,
+    // load_e2e: counts are the staged tables' cardinalities; the
+    // statement plan is fully determined by the registered scenario
+    // (new latest snapshot over two older dbs, alias on the middle one →
+    // switch + drop the oldest)
+    "load_e2e" ->
+      """SELECT 1 AS step, 'nodes' AS stage, 'acme-20240301' AS detail,
+        |  (SELECT count(*) FROM customer) AS n
+        |UNION ALL SELECT 2, 'relationships', 'acme-20240301',
+        |  (SELECT count(*) FROM orders)
+        |UNION ALL SELECT 3, 'statement', 'DROP ALIAS acme FOR DATABASE', 0
+        |UNION ALL SELECT 4, 'statement',
+        |  'CREATE ALIAS acme FOR DATABASE `acme-20240301`', 0
+        |UNION ALL SELECT 5, 'statement',
+        |  'DROP DATABASE `acme-20240101` IF EXISTS', 0
+        |ORDER BY step""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, sha256(text) AS checksum,
         | count(*) AS n_copies
@@ -969,6 +1048,55 @@ object SparkEntry {
         |JOIN sizes sb ON pairs.b_id = sb.doc_id
         |WHERE CAST(common AS DOUBLE) / CAST(sa.set_size + sb.set_size - common AS DOUBLE) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    // simhash oracle is EXACT: graft_simhash uses md5-prefix token hashes
+    // (first 8 md5 bytes as hi/lo 32-bit halves), so DuckDB rebuilds the
+    // identical 64 signature bits; and with 4 chunks vs maxHamming=3 the
+    // chunk-agreement candidate join is exhaustive by pigeonhole — the
+    // Spark pair set IS the set of all pairs at hamming <= 3
+    "dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, t FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |    FROM documents)
+        |), th AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS hi,
+        |    CAST('0x' || substr(md5(t), 9, 8) AS BIGINT) AS lo
+        |  FROM tok
+        |), bits AS (
+        |  SELECT doc_id, b,
+        |    CASE WHEN sum(CASE WHEN ((CASE WHEN b < 32 THEN lo >> b
+        |                              ELSE hi >> (b - 32) END) & 1) = 1
+        |                      THEN 1 ELSE -1 END) > 0
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM th, (SELECT unnest(generate_series(0, 63)) AS b) bs
+        |  GROUP BY doc_id, b
+        |), ham AS (
+        |  SELECT l.doc_id AS a_id, r.doc_id AS b_id,
+        |    CAST(sum(CASE WHEN l.bit <> r.bit THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS hamming
+        |  FROM bits l JOIN bits r ON l.b = r.b AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a_id, b_id, hamming FROM ham WHERE hamming <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
+    // winnow fingerprints are md5-prefix hashes of word 3-grams with a
+    // w=4 sliding window min; rightmost-on-ties never changes the selected
+    // VALUE, so the distinct window-min set below is exact
+    "text_winnow" -> (winnowFpsSql +
+      """
+        |SELECT doc_id, fp FROM fps ORDER BY doc_id, fp""".stripMargin),
+    "dedup_winnow" -> (winnowFpsSql +
+      """
+        |, pruned AS (
+        |  SELECT doc_id, fp FROM (
+        |    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM fps)
+        |  WHERE df <= 25
+        |)
+        |SELECT l.doc_id AS a_id, r.doc_id AS b_id,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM pruned l JOIN pruned r ON l.fp = r.fp AND l.doc_id < r.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY a_id, b_id""".stripMargin),
     "dedup_embedding" ->
       """WITH base AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

@@ -46,6 +46,38 @@ object VectorFunctions {
     case ArrayType(FloatType | DoubleType, _) => true
     case _ => false
   }
+
+  /** Engine-portable hashing for expressions whose OUTPUT must be
+    * reproducible by the DuckDB oracle: the first bytes of md5 equal the
+    * leading hex digits of `md5()` in any engine, so
+    * `CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)` is an exact SQL twin
+    * (murmur3 seeds are Spark-private and unverifiable). ThreadLocal —
+    * expression instances can be shared across local-mode task threads.
+    */
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 4 md5 bytes as an unsigned 32-bit value in a Long. */
+  private[functions] def md5Prefix32(bytes: Array[Byte]): Long = {
+    val d = md5Digest.get()
+    d.reset()
+    val h = d.digest(bytes)
+    ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+  }
+
+  /** First 8 md5 bytes as a big-endian Long (= hex digits 1-16). */
+  private[functions] def md5Prefix64(bytes: Array[Byte]): Long = {
+    val d = md5Digest.get()
+    d.reset()
+    val h = d.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    v
+  }
 }
 
 /** `graft_minhash(shingles, k)`: k-permutation minhash signature of a
@@ -133,10 +165,16 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
-/** `graft_simhash(tokens)`: 64-bit simhash over murmur3 token hashes —
+/** `graft_simhash(tokens)`: 64-bit simhash over md5-prefix token hashes —
   * bit i of the result is set when more tokens have bit i set than clear.
   * Single pass, 64 counters; tokens should be pre-deduplicated upstream
   * when set semantics are wanted.
+  *
+  * Token hash = first 8 md5 bytes, making the signature engine-portable:
+  * the DuckDB oracle rebuilds the identical bits from
+  * `substr(md5(token), 1, 8)` / `(9, 8)` as the hi/lo 32-bit halves, so
+  * the pair set (exhaustive for hamming<=3 by the 4-chunk pigeonhole) is
+  * exactly verifiable.
   */
 case class SimHash64(child: Expression)
   extends UnaryExpression with CodegenFallback {
@@ -153,12 +191,7 @@ case class SimHash64(child: Expression)
     val counts = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      val h32 = Murmur3_x86_32.hashUnsafeBytes(
-        s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
-      // widen to 64 bits deterministically: two seeds
-      val h = (h32.toLong << 32) | (Murmur3_x86_32.hashUnsafeBytes(
-        s.getBaseObject, s.getBaseOffset, s.numBytes, 977).toLong & 0xffffffffL)
+      val h = VectorFunctions.md5Prefix64(arr.getUTF8String(i).getBytes)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -399,6 +432,13 @@ case class TokenStats(child: Expression, stopCsv: String)
   * any shared run of >= w+k-1 tokens between two documents yields a
   * shared fingerprint, at ~2/(w+1) sampling density. Returns the
   * distinct selected hashes, sorted ascending.
+  *
+  * K-gram hash = first 4 md5 bytes (unsigned 32-bit), so the DuckDB
+  * oracle reproduces fingerprints exactly via
+  * `CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT)` + a sliding window
+  * min. Rightmost-on-ties only affects WHICH index is selected, never the
+  * selected VALUE, so the distinct value set equals the distinct
+  * window-min set — SQL-expressible without the tie-break.
   */
 case class Winnow(child: Expression, k: Int, w: Int)
   extends UnaryExpression with CodegenFallback {
@@ -421,8 +461,7 @@ case class Winnow(child: Expression, k: Int, w: Int)
       var j = 1
       while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
       val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      hashes(i) = Murmur3_x86_32.hashUnsafeBytes(bytes,
-        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42).toLong & 0xffffffffL
+      hashes(i) = VectorFunctions.md5Prefix32(bytes)
       i += 1
     }
     val selected = new java.util.TreeSet[java.lang.Long]()

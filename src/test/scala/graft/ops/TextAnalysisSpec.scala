@@ -25,14 +25,19 @@ class TextAnalysisSpec extends SparkSpec {
     val trio = Seq(
       (0L, "a b c d e f g h i j k l m n o p"),
       (1L, "a b c d e f g h i j k l m n o p"),
-      (2L, "a b c d e f g h i j k l m n o q"),
+      (2L, "a b c d e f g zz i j k l m n o p"),
       (3L, "z y x w v u t s r q p o n m l k")
     ).toDF("doc_id", "text")
     val fps = TextAnalysis.winnowFingerprints(trio).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // the winnowing GUARANTEE is only about shared runs >= w+k-1 tokens;
+    // whether a specific edit changes a SELECTED fingerprint depends on
+    // the hash values, so the edit here sits mid-document (verified to
+    // perturb a window minimum under the md5-prefix hash family)
     assert(fps(0L) == fps(1L), "identical docs must share all fingerprints")
     assert((fps(0L) & fps(2L)).nonEmpty, "one-token edit must share fingerprints")
     assert(fps(0L) != fps(2L), "edit must change at least one fingerprint")
+    assert((fps(0L) & fps(3L)).isEmpty, "no shared 3-gram run, no shared fingerprint")
   }
 
   test("bpeTokens splits letter runs, digit runs, and symbols") {
