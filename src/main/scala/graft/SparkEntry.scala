@@ -272,6 +272,30 @@ object SparkEntry {
       Dedup.resolveClustersStar(
         Dedup.ngramJaccard(rd(s, dir, "documents")).select("a_id", "b_id"))
         .orderBy("doc_id")),
+    // --- paragraph-level exact dedup (C4-style repeated-span removal).
+    // The corpus has no natural repeated spans (random word soup), so the
+    // query segments docs into 10-token windows and PLANTS a copied
+    // passage: each doc_id < 25 also carries the first window of doc
+    // doc_id+100 (appended at para_idx 1e6). The planted copy is the
+    // lexicographic keeper, so the donor's first paragraph is dropped —
+    // both the construction and the keeper rule are plain SQL, making the
+    // oracle exact.
+    "dedup_paragraph" -> ((s, dir) => {
+      val toks = rd(s, dir, "documents").select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("t"))
+      val own = toks
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, cast(ceil(size(t)/10.0) as int)), " +
+            "i -> array_join(slice(t, (i-1)*10+1, 10), ' '))"))
+          .as(Seq("pos", "para")))
+        .select(col("doc_id"), (col("pos") + 1L).as("para_idx"), col("para"))
+      val planted = toks
+        .filter(col("doc_id") >= 100 && col("doc_id") < 125)
+        .select((col("doc_id") - 100).as("doc_id"),
+          lit(1000000L).as("para_idx"),
+          array_join(slice(col("t"), 1, 10), " ").as("para"))
+      Dedup.paragraphDedup(own.unionAll(planted)).orderBy("doc_id")
+    }),
     "dedup_embedding" -> ((s, dir) => {
       // The corpus has no natural pairs above tau (max cosine ~0.51 at
       // sf0.01), so the query plants exact duplicates of the first 25
@@ -1097,6 +1121,35 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_shared
         |FROM pruned l JOIN pruned r ON l.fp = r.fp AND l.doc_id < r.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY a_id, b_id""".stripMargin),
+    "dedup_paragraph" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), own AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, CAST(ceil(len(t)/10.0) AS BIGINT)))
+        |      AS para_idx, t
+        |  FROM toks
+        |), ownp AS (
+        |  SELECT doc_id, para_idx,
+        |    array_to_string(t[(para_idx-1)*10+1:(para_idx-1)*10+10], ' ') AS para
+        |  FROM own
+        |), planted AS (
+        |  SELECT doc_id - 100 AS doc_id, CAST(1000000 AS BIGINT) AS para_idx,
+        |    array_to_string(t[1:10], ' ') AS para
+        |  FROM toks WHERE doc_id >= 100 AND doc_id < 125
+        |), paras AS (
+        |  SELECT * FROM ownp UNION ALL SELECT * FROM planted
+        |), flag AS (
+        |  SELECT doc_id, para_idx, para,
+        |    row_number() OVER (PARTITION BY md5(para)
+        |      ORDER BY doc_id, para_idx) AS rn
+        |  FROM paras
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN para END, ' '
+        |    ORDER BY para_idx), '') AS clean_text
+        |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       """WITH base AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

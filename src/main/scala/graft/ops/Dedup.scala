@@ -147,6 +147,58 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("est_jaccard"))
   }
 
+  /** Web-scale variant of [[minHashLsh]] with hot-bucket star fallback.
+    *
+    * A corpus with a massive duplicate cluster (the normal case on web
+    * data: one boilerplate page copied D times) puts all D docs in the
+    * same band buckets, and the all-pairs bucket join emits C(D,2) pairs —
+    * quadratic in the cluster size, in the OUTPUT itself, so no join
+    * strategy can save it. When the pairs feed cluster resolution
+    * (connected components), the full clique is redundant: a STAR — every
+    * bucket member paired with the bucket's minimum doc_id — preserves
+    * exactly the same connectivity in O(D) edges.
+    *
+    * Buckets with df <= `hotBucket` keep the exact all-pairs behavior;
+    * hotter buckets emit star edges to the bucket representative (each
+    * still passing the full-signature agreement filter, so a hot-bucket
+    * member whose true similarity to the representative is below tau is
+    * dropped — the same probabilistic-recall class as LSH itself).
+    * The df window and the representative join share one (band, bucket)
+    * partitioning. Use this form when resolving clusters at scale; the
+    * plain [[minHashLsh]] remains the exact pair-set operator.
+    */
+  def minHashLshStar(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
+                     tau: Double = 0.5, hotBucket: Int = 64): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val banded = withShingles(docs)
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", expr(s"graft_minhash(shingles, $numHashes)"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(expr(s"graft_bandbuckets(sig, $bands)"))
+          .as(Seq("band", "bucket")))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+    val cold = banded.filter(col("df") <= hotBucket)
+    val coldPairs = cold.as("l")
+      .join(cold.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"),
+        col("l.sig").as("a_sig"), col("r.sig").as("b_sig"))
+    val hot = banded.filter(col("df") > hotBucket)
+    val reps = hot.groupBy("band", "bucket")
+      .agg(min_by(struct(col("doc_id"), col("sig")), col("doc_id")).as("rep"))
+    val starEdges = hot.join(reps, Seq("band", "bucket"))
+      .filter(col("doc_id") > col("rep.doc_id"))
+      .select(col("rep.doc_id").as("a_id"), col("doc_id").as("b_id"),
+        col("rep.sig").as("a_sig"), col("sig").as("b_sig"))
+    coldPairs.unionAll(starEdges)
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("est_jaccard", expr("graft_eqfrac(a_sig, b_sig)"))
+      .filter(col("est_jaccard") >= tau)
+      .select(col("a_id"), col("b_id"), col("est_jaccard"))
+  }
+
   /** Cross-corpus near-dup matching — the decontamination join: find
     * corpus documents that near-duplicate any document of a (small)
     * reference set, e.g. an eval benchmark, before training data ships.
@@ -397,6 +449,43 @@ object Dedup {
     docs.join(broadcast(clusters), Seq("doc_id"), "left")
       .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
       .drop("cluster_id")
+
+  /** Paragraph-level exact dedup — the C4/RefinedWeb-style pass that
+    * removes REPEATED SPANS across the corpus while keeping the documents
+    * themselves: the first occurrence (lexicographically smallest
+    * (doc_id, para_idx)) of each distinct paragraph survives; every later
+    * copy is dropped and the documents are reassembled from their kept
+    * paragraphs in order.
+    *
+    * Input is pre-segmented (doc_id, para_idx, para) — segmentation policy
+    * (blank-line split, sentence split, fixed token windows) is the
+    * caller's, keeping the operator corpus-agnostic. Two keyed shuffles at
+    * corpus scale: keeper election is a partial-aggregated min per
+    * content hash, the join back is on the same hash, and reassembly is
+    * one groupBy(doc_id). Nothing driver-side; the per-doc collect_list
+    * holds one document's paragraphs, bounded by document length.
+    *
+    * Output: (doc_id, n_paras, n_dropped, clean_text).
+    */
+  def paragraphDedup(paras: DataFrame): DataFrame = {
+    val keyed = paras.select(col("doc_id"), col("para_idx"), col("para"),
+      md5(col("para")).as("ph"))
+    val keepers = keyed.groupBy("ph")
+      .agg(min(struct(col("doc_id"), col("para_idx"))).as("k"))
+    keyed.join(keepers, "ph")
+      .withColumn("kept", col("doc_id") === col("k.doc_id") &&
+        col("para_idx") === col("k.para_idx"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("kept"),
+              struct(col("para_idx"), col("para"))))),
+            x => x.getField("para")),
+          " ").as("clean_text"))
+  }
 
   /** Partial-overlap near-dup via shared winnowing fingerprints — the
     * scalable approximation of substring dedup: two documents sharing any

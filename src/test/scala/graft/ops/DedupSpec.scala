@@ -39,6 +39,44 @@ class DedupSpec extends SparkSpec {
     assert(keys.contains((0L, 1L)), "exact dup pair must always collide")
   }
 
+  test("minHashLshStar caps hot buckets with star edges, same components") {
+    // 40 exact copies (one hot cluster) + the distinct docs
+    val cluster = (100L until 140L).map(i => (i, base + " shared tail words"))
+    val big = (cluster ++ Seq(
+      (0L, base), (1L, base),
+      (3L, "completely different words about spark catalyst tungsten shuffles")))
+      .toDF("doc_id", "text")
+    val full = Dedup.minHashLsh(big, tau = 0.5)
+    val star = Dedup.minHashLshStar(big, tau = 0.5, hotBucket = 10)
+    assertNoCrossProduct(star, "minHashLshStar")
+    val nFull = full.count()
+    val nStar = star.count()
+    // the clique collapses: C(40,2)=780 intra-cluster pairs become 39 star
+    // edges (plus the 0-1 pair)
+    assert(nFull >= 780L, s"clique baseline missing pairs: $nFull")
+    assert(nStar <= 60L, s"star did not cap the hot bucket: $nStar")
+    // identical connected components either way
+    def comps(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.resolveClusters(pairs.select("a_id", "b_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(comps(star) == comps(full), "star edges must preserve components")
+  }
+
+  test("paragraphDedup keeps first occurrence, reassembles in order") {
+    val paras = Seq(
+      (0L, 1L, "alpha beta"), (0L, 2L, "gamma delta"),
+      (1L, 1L, "gamma delta"),                      // copy of (0,2): dropped
+      (1L, 2L, "epsilon zeta"),
+      (2L, 1L, "alpha beta"), (2L, 2L, "alpha beta") // both dropped
+    ).toDF("doc_id", "para_idx", "para")
+    val out = Dedup.paragraphDedup(paras).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("n_dropped")).toSeq == Seq(0L, 1L, 2L))
+    assert(out(0).getAs[String]("clean_text") == "alpha beta gamma delta")
+    assert(out(1).getAs[String]("clean_text") == "epsilon zeta")
+    assert(out(2).getAs[String]("clean_text") == "")
+    assert(out.map(_.getAs[Long]("n_paras")).toSeq == Seq(2L, 2L, 2L))
+  }
+
   test("crossMinHash matches corpus docs against the reference set only") {
     val ref = Seq((0L, base)).toDF("doc_id", "text")
     val corpus = Seq(
