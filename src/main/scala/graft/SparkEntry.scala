@@ -504,6 +504,11 @@ object SparkEntry {
         col("l_suppkey").as("src"), col("l_partkey").as("dst"))
       Graph.nodeSimilarity(e).orderBy("id", "rank")
     }),
+    // exact integer gram matrix — the second-moment table PCA whitening
+    // starts from; per-cell floor-scaling keeps the sums order-free so
+    // DuckDB's identical IEEE arithmetic hash-matches
+    "embed_gram" -> ((s, dir) =>
+      Similarity.gramMatrix(rd(s, dir, "embeddings")).orderBy("i", "j")),
     // int8 quantization: integer roll-ups (sum/min/max are order-free) +
     // the head of the quantized vector joined to a scalar for the compare
     "embed_quantize" -> ((s, dir) =>
@@ -704,6 +709,20 @@ object SparkEntry {
     "text_hashtf" -> ((s, dir) =>
       TextAnalysis.hashTf(rd(s, dir, "documents"), 64)
         .orderBy("doc_id", "bucket")),
+    // --- linear-model corpus scoring: hashTf features x broadcast weight
+    // vector. The registered weights derive from the bucket id's md5 (an
+    // arbitrary-but-fixed integer model both engines can rebuild).
+    "text_score_lr" -> ((s, dir) => {
+      val w = s.range(64).select(col("id").as("bucket"),
+        (conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2001 - 1000).as("w"))
+      TextAnalysis.scoreLinear(rd(s, dir, "documents"), w).orderBy("doc_id")
+    }),
+    // --- training-shard manifest: stable md5 assignment + order-free
+    // integer checksums per shard
+    "shard_manifest" -> ((s, dir) =>
+      graft.sources.Shards.manifest(rd(s, dir, "documents"),
+        "doc_id", "text", 16).orderBy("shard")),
     // --- gaps-and-islands: consecutive same-type event runs per user
     "events_runs" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1638,6 +1657,20 @@ object SparkEntry {
         |)
         |SELECT id, "rank", other, n_inter, n_union, score
         |FROM ranked WHERE "rank" <= 10 ORDER BY id, "rank"""".stripMargin,
+    "embed_gram" ->
+      """WITH e AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), cells AS (
+        |  SELECT bi.i, bj.j,
+        |    CAST(floor(v[bi.i + 1] * v[bj.j + 1] * 1000000.0) AS BIGINT) AS c
+        |  FROM e,
+        |    (SELECT unnest(generate_series(0, 63)) AS i) bi,
+        |    (SELECT unnest(generate_series(0, 63)) AS j) bj
+        |  WHERE bj.j >= bi.i
+        |)
+        |SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+        |  CAST(sum(c) AS BIGINT) AS s
+        |FROM cells GROUP BY i, j ORDER BY i, j""".stripMargin,
     "embed_quantize" ->
       """WITH sc AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
@@ -2103,6 +2136,36 @@ object SparkEntry {
         |FROM r WHERE rank <= 5 ORDER BY w1, rank""".stripMargin,
     // identical md5-prefix bucket + sign-digit arithmetic; DuckDB casts
     // '0x...' strings to integers natively
+    "text_score_lr" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |), tfs AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 64 AS bucket,
+        |    count(*) AS tf
+        |  FROM toks GROUP BY 1, 2
+        |), w AS (
+        |  SELECT i AS bucket,
+        |    CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 8) AS BIGINT)
+        |      % 2001 - 1000 AS w
+        |  FROM (SELECT unnest(generate_series(0, 63)) AS i)
+        |)
+        |SELECT doc_id, CAST(sum(tf * w) AS BIGINT) AS score_milli
+        |FROM tfs JOIN w USING (bucket)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "shard_manifest" ->
+      """WITH a AS (
+        |  SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |    AS BIGINT) % 16 AS shard, text
+        |  FROM documents
+        |)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_bytes,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
+        |    AS BIGINT) AS checksum
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
     "text_hashtf" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -611,6 +611,114 @@ case class AdcDistance(left: Expression, right: Expression, ksub: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_outerprod(vec, scale)`: upper-triangle outer product of a
+  * vector with itself as (i, j, v) cells, v = floor(x_i * x_j * scale) —
+  * the per-row contribution to an ORDER-FREE integer gram matrix.
+  * Flooring each cell before the sum (the repo's scaled-sum recipe)
+  * makes the aggregate exact and engine-portable: float→double widening,
+  * the double product, the scale multiply, and floor are all
+  * IEEE-deterministic, so DuckDB reproduces every cell bit-for-bit.
+  * One tight d²/2 loop per row; downstream partial aggregation collapses
+  * the explode to d(d+1)/2 cells per partition before any shuffle.
+  */
+case class OuterProduct(child: Expression, scale: Double)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("i", IntegerType, nullable = false),
+    StructField("j", IntegerType, nullable = false),
+    StructField("v", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorFunctions.requireInput("graft_outerprod", child.dataType,
+      "array<float> or array<double>")(VectorFunctions.isFloatVector)
+
+  @transient private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val d = a.numElements()
+    val xs = new Array[Double](d)
+    var t = 0
+    while (t < d) {
+      xs(t) = if (isFloat) a.getFloat(t).toDouble else a.getDouble(t)
+      t += 1
+    }
+    val out = new Array[Any](d * (d + 1) / 2)
+    var z = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        out(z) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i, j, math.floor(xs(i) * xs(j) * scale).toLong))
+        z += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_matveccenter(vec, flat)`: centered matrix-vector product —
+  * y_c = Σ_d M[c·dim + d] · (x_d − mean_d), with `flat` laid out as the
+  * row-major k×dim matrix followed by the dim-length mean vector
+  * (flat.length = (k+1)·dim). One tight k·dim loop per row — the
+  * projection step of PCA whitening over a broadcast-literal matrix,
+  * replacing a per-row interpreted transform/aggregate lambda chain.
+  */
+case class MatVecCenter(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = VectorFunctions.requireInput("graft_matveccenter", left.dataType,
+      "array<float> or array<double>")(VectorFunctions.isFloatVector)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else VectorFunctions.requireInput("graft_matveccenter", right.dataType,
+      "array<double>")(dt => dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+  }
+
+  @transient private lazy val leftIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val x = l.asInstanceOf[ArrayData]
+    val flat = r.asInstanceOf[ArrayData]
+    val dim = x.numElements()
+    require(flat.numElements() % dim == 0 && flat.numElements() >= 2 * dim,
+      s"graft_matveccenter: flat length ${flat.numElements()} is not (k+1)*$dim")
+    val k = flat.numElements() / dim - 1
+    val meanOff = k * dim
+    val out = new Array[Any](k)
+    var c = 0
+    while (c < k) {
+      var acc = 0.0
+      var d = 0
+      while (d < dim) {
+        val xd = if (leftIsFloat) x.getFloat(d).toDouble else x.getDouble(d)
+        acc += flat.getDouble(c * dim + d) * (xd - flat.getDouble(meanOff + d))
+        d += 1
+      }
+      out(c) = acc
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `graft_dot(a, b)`: sequential-fold double dot product of two numeric
   * arrays — bit-identical to the `aggregate(zip_with(...))` formulation
   * (left-to-right double accumulation) but one tight loop per row.

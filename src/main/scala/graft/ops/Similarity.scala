@@ -217,6 +217,128 @@ object Similarity {
     centroids
   }
 
+  /** Exact integer gram matrix over the corpus embeddings: upper-triangle
+    * cells (i, j, s) with s = Σ_rows floor(x_i·x_j·scale) — the
+    * second-moment table PCA/covariance/whitening starts from. The
+    * native `graft_outerprod` emits d(d+1)/2 cells per row in one tight
+    * loop; partial aggregation collapses the explode to a d²-bounded
+    * state per partition, so the only shuffle is d(d+1)/2 cells per
+    * partition regardless of corpus size. Per-cell flooring keeps the
+    * sum reduction-order-free (exact + engine-portable, the
+    * [[labelCentroids]] recipe).
+    */
+  def gramMatrix(embeddings: DataFrame,
+                 embCol: String = "embedding"): DataFrame =
+    embeddings
+      .select(explode(expr(s"graft_outerprod($embCol, 1000000.0d)")).as("c"))
+      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+      .agg(sum(col("c.v")).as("s"))
+
+  /** PCA whitening: project embeddings onto the top-k principal
+    * components scaled to unit variance — the standard conditioning step
+    * before similarity search / clustering over learned embeddings.
+    *
+    * Distributed part: the covariance second moments come from
+    * [[gramMatrix]] and the mean from one posexplode partial aggregation —
+    * two d²-bounded shuffles, corpus rows never move. Driver part: a
+    * deterministic cyclic-sweep Jacobi eigendecomposition of the d×d
+    * covariance (d = 64 here; microseconds, no iteration-order
+    * nondeterminism). The k whitening rows + mean then travel as ONE
+    * literal array into the native `graft_matveccenter` projection —
+    * a tight k·d loop per row, no per-row lambda interpretation.
+    * Output: (idCol, proj array<double>).
+    */
+  def pcaWhiten(embeddings: DataFrame, k: Int = 16,
+                idCol: String = "vec_id",
+                embCol: String = "embedding"): DataFrame = {
+    val moments = embeddings
+      .select(posexplode(col(embCol)).as(Seq("d", "x")))
+      .groupBy("d")
+      .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
+      .collect()
+    val dim = moments.length
+    require(dim > 0, "pcaWhiten: empty embedding column")
+    val n = moments.head.getAs[Long]("n").toDouble
+    val mean = new Array[Double](dim)
+    moments.foreach(r => mean(r.getAs[Int]("d")) = r.getAs[Double]("sx") / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    gramMatrix(embeddings, embCol).collect().foreach { r =>
+      val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
+      val second = r.getAs[Long]("s").toDouble / 1e6 / n
+      val c = second - mean(i) * mean(j)
+      cov(i)(j) = c
+      cov(j)(i) = c
+    }
+    val (eigVals, eigVecs) = jacobiEigen(cov)
+    // top-k by eigenvalue desc, index asc on ties — deterministic
+    val order = eigVals.indices.sortBy(c => (-eigVals(c), c)).take(k)
+    val flat = new Array[Double]((k + 1) * dim)
+    order.zipWithIndex.foreach { case (c, row) =>
+      val inv = 1.0 / math.sqrt(math.max(eigVals(c), 1e-12))
+      var d = 0
+      while (d < dim) { flat(row * dim + d) = eigVecs(d)(c) * inv; d += 1 }
+    }
+    System.arraycopy(mean, 0, flat, k * dim, dim)
+    val flatSql = flat.mkString("array(", "d, ", "d)")
+    embeddings.select(col(idCol),
+      expr(s"graft_matveccenter($embCol, $flatSql)").as("proj"))
+  }
+
+  /** Deterministic cyclic-sweep Jacobi eigendecomposition of a symmetric
+    * matrix: fixed (p, q) sweep order, fixed sweep count — identical
+    * output across runs and JVMs. Returns (eigenvalues, column
+    * eigenvector matrix V with A·V = V·diag).
+    */
+  private[ops] def jacobiEigen(a0: Array[Array[Double]],
+                               sweeps: Int = 32): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var s = 0
+    while (s < sweeps) {
+      var off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          off += a(p)(q) * a(p)(q)
+          if (math.abs(a(p)(q)) > 1e-14) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val t = math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+              case 0.0 => 1.0 // theta == 0 → 45° rotation
+              case x => x
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val sn = t * c
+            var r = 0
+            while (r < d) {
+              val arp = a(r)(p); val arq = a(r)(q)
+              a(r)(p) = c * arp - sn * arq
+              a(r)(q) = sn * arp + c * arq
+              r += 1
+            }
+            r = 0
+            while (r < d) {
+              val apr = a(p)(r); val aqr = a(q)(r)
+              a(p)(r) = c * apr - sn * aqr
+              a(q)(r) = sn * apr + c * aqr
+              val vrp = v(r)(p); val vrq = v(r)(q)
+              v(r)(p) = c * vrp - sn * vrq
+              v(r)(q) = sn * vrp + c * vrq
+              r += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      s += 1
+      if (off < 1e-24) s = sweeps // converged — skip remaining sweeps
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
   /** Per-label embedding centroids (class prototype vectors — nearest-
     * centroid labeling, clustering init, drift monitoring) in long form
     * (label, dim, centroid).

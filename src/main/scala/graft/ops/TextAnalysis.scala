@@ -436,6 +436,25 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"), sum(col("sign")).as("signed_tf"))
   }
 
+  /** Linear-model scoring over hashed features — the at-scale shape of
+    * "run the trained quality classifier over the corpus": features from
+    * [[hashTf]], the weight vector (tiny: one row per bucket) BROADCAST,
+    * one partial-aggregated rollup per doc. The corpus shuffles once on
+    * (doc_id, bucket) inside hashTf and once on doc_id for the rollup —
+    * the model side never shuffles, so any linear model (quality filter,
+    * language scorer, topic gate) scores 100 TB at scan cost. Integer
+    * weights keep the score an exact BIGINT (engine-portable; a float
+    * model ships its weights the same way, scaled).
+    *
+    * Output: (doc_id, score_milli = Σ_buckets tf · w).
+    */
+  def scoreLinear(docs: DataFrame, weights: DataFrame,
+                  dim: Int = 64): DataFrame =
+    hashTf(docs, dim)
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("w")).as("score_milli"))
+
   /** Fixed-size token chunking with overlap — the splitter that turns
     * long documents into embedding/context-window-sized pieces. Chunk `i`
     * covers tokens `[i·step, i·step + chunkTokens)` with

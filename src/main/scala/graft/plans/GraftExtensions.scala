@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{AdcDistance, BandBuckets, LongArrayAgreement, MinHashSignature, RepetitionStats, SignBuckets, SimHash64, TokenStats, VectorDot, Winnow, WordNgrams, WordShingles}
+import graft.functions.{AdcDistance, BandBuckets, LongArrayAgreement, MatVecCenter, MinHashSignature, OuterProduct, RepetitionStats, SignBuckets, SimHash64, TokenStats, VectorDot, Winnow, WordNgrams, WordShingles}
 
 /** Session extensions registering graft's native expressions as SQL
   * functions. Enable with
@@ -22,6 +22,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  private def dblLit(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: Int, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
   }
 
   private def strLit(e: Expression, what: String): String = e match {
@@ -89,5 +96,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "graft_dot"),
       (children: Seq[Expression]) => VectorDot(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_outerprod"),
+      new ExpressionInfo(classOf[OuterProduct].getName, "graft_outerprod"),
+      (children: Seq[Expression]) =>
+        OuterProduct(children.head, dblLit(children(1), "scale"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_matveccenter"),
+      new ExpressionInfo(classOf[MatVecCenter].getName, "graft_matveccenter"),
+      (children: Seq[Expression]) =>
+        MatVecCenter(children.head, children(1))))
   }
 }

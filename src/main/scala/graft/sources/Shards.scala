@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-shard export: assign every row a stable shard, write the
+  * corpus as one directory per shard, and emit a manifest the training
+  * job (or a later integrity check) can trust.
+  *
+  * The webdataset/TFRecord-style contract a large-scale training run
+  * needs from its data pipeline:
+  *  - ASSIGNMENT is content-stable: `shard = int(md5(key)[0:8]) mod n`
+  *    (the [[graft.ops.Sampling.kFoldAssign]] recipe) — a row's shard
+  *    never changes when other rows arrive, re-exports are idempotent,
+  *    and any engine can recompute it.
+  *  - The MANIFEST carries per-shard row counts, payload bytes, and an
+  *    order-free integer checksum (sum of md5-prefix ints of the
+  *    payload), so a reader can verify a shard without re-reading the
+  *    whole export, in any engine.
+  *
+  * Plan shape: assignment is a narrow projection; the write shuffles on
+  * the shard key once (`repartition(shard)` → one file per shard dir
+  * instead of tasks×shards fragments); the manifest is one partial-
+  * aggregated groupBy on n keys.
+  */
+object Shards {
+
+  /** Stable shard id in [0, n). */
+  def assign(df: DataFrame, keyCol: String, n: Int): DataFrame = {
+    require(n >= 1, "need at least one shard")
+    df.withColumn("shard",
+      conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+        .cast("long") % n)
+  }
+
+  /** Per-shard manifest: (shard, n_rows, n_bytes, checksum). */
+  def manifest(df: DataFrame, keyCol: String, payloadCol: String,
+               n: Int): DataFrame =
+    assign(df, keyCol, n)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(length(col(payloadCol)).cast("long")).as("n_bytes"),
+        sum(conv(substring(md5(col(payloadCol)), 1, 8), 16, 10)
+          .cast("long")).as("checksum"))
+
+  /** Write the sharded export (`path/shard=K/...`) plus
+    * `path/_manifest` (parquet), returning the manifest. One shuffle on
+    * the shard key so each shard directory holds one file per shard —
+    * the reader-friendly layout — rather than one fragment per
+    * (task × shard).
+    */
+  def write(df: DataFrame, path: String, keyCol: String, payloadCol: String,
+            n: Int): DataFrame = {
+    assign(df, keyCol, n)
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    val m = manifest(df, keyCol, payloadCol, n)
+    m.coalesce(1).write.mode("overwrite").parquet(s"$path/_manifest")
+    m
+  }
+
+  /** Re-derive the manifest from a written export and compare with the
+    * stored one: empty result = intact; otherwise one row per damaged
+    * shard. The integrity check a training job runs before trusting a
+    * shard directory.
+    */
+  def verify(spark: SparkSession, path: String, keyCol: String,
+             payloadCol: String, n: Int): DataFrame = {
+    val stored = spark.read.parquet(s"$path/_manifest")
+    val actual = manifest(spark.read.parquet(path), keyCol, payloadCol, n)
+    stored.as("s").join(actual.as("a"), Seq("shard"), "full")
+      .filter(
+        col("s.n_rows").isNull || col("a.n_rows").isNull ||
+          col("s.n_rows") =!= col("a.n_rows") ||
+          col("s.n_bytes") =!= col("a.n_bytes") ||
+          col("s.checksum") =!= col("a.checksum"))
+      .select(col("shard"),
+        col("s.n_rows").as("manifest_rows"), col("a.n_rows").as("actual_rows"),
+        col("s.checksum").as("manifest_checksum"),
+        col("a.checksum").as("actual_checksum"))
+  }
+}

@@ -174,4 +174,54 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq(
       (1L, 1L, -1.0), (1L, 2L, 0.0), (2L, 1L, 1.0), (2L, 2L, 0.0)))
   }
+
+  test("gramMatrix matches a driver-side exact computation") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, Seq(0.5f, -1.25f, 2.0f)),
+      (2L, Seq(1.0f, 0.25f, -0.5f))).toDF("vec_id", "embedding")
+    val out = Similarity.gramMatrix(e).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val rows = Seq(Seq(0.5, -1.25, 2.0), Seq(1.0, 0.25, -0.5))
+    for (i <- 0 until 3; j <- i until 3) {
+      val want = rows.map(v => math.floor(v(i) * v(j) * 1e6).toLong).sum
+      assert(out((i, j)) == want, s"cell ($i,$j)")
+    }
+    assert(out.size == 6)
+  }
+
+  test("jacobiEigen diagonalizes; pcaWhiten output has unit variance, " +
+    "decorrelated dims") {
+    // covariance with a known dominant direction
+    val a = Array(Array(4.0, 2.0), Array(2.0, 3.0))
+    val (vals, vecs) = Similarity.jacobiEigen(a)
+    // eigenvalues of [[4,2],[2,3]]: (7±sqrt(17))/2
+    val want = Seq((7.0 + math.sqrt(17)) / 2, (7.0 - math.sqrt(17)) / 2)
+    assert(vals.sorted.reverse.zip(want).forall { case (g, w) =>
+      math.abs(g - w) < 1e-9 })
+    // columns orthonormal
+    for (c <- 0 until 2) {
+      val nrm = math.sqrt(vecs.map(r => r(c) * r(c)).sum)
+      assert(math.abs(nrm - 1.0) < 1e-9)
+    }
+    // whiten a correlated 2-d cloud: sample covariance of the projection
+    // must be ~identity (unit variance, zero cross-correlation)
+    import spark.implicits._
+    val pts = (0 until 200).map { t =>
+      val u = math.sin(t * 0.7) * 2.0
+      val v = math.cos(t * 1.3)
+      (t.toLong, Seq((u + v).toFloat, (u - v).toFloat))
+    }.toDF("vec_id", "embedding")
+    val proj = Similarity.pcaWhiten(pts, k = 2).collect()
+      .map(r => r.getSeq[Double](1))
+    val n = proj.length.toDouble
+    val m0 = proj.map(_(0)).sum / n
+    val m1 = proj.map(_(1)).sum / n
+    val c00 = proj.map(p => (p(0) - m0) * (p(0) - m0)).sum / n
+    val c11 = proj.map(p => (p(1) - m1) * (p(1) - m1)).sum / n
+    val c01 = proj.map(p => (p(0) - m0) * (p(1) - m1)).sum / n
+    assert(math.abs(c00 - 1.0) < 0.05, s"var0 $c00")
+    assert(math.abs(c11 - 1.0) < 0.05, s"var1 $c11")
+    assert(math.abs(c01) < 0.05, s"cross $c01")
+  }
 }

@@ -40,6 +40,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert((fps(0L) & fps(3L)).isEmpty, "no shared 3-gram run, no shared fingerprint")
   }
 
+  test("scoreLinear sums tf x weight exactly over hashed buckets") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val d = Seq((0L, "a b c d e"), (1L, "a a a")).toDF("doc_id", "text")
+    // all-ones model: the score is exactly the token count, regardless of
+    // which bucket each token hashes into
+    val ones = spark.range(64).select(col("id").as("bucket"), lit(1L).as("w"))
+    val out = TextAnalysis.scoreLinear(d, ones).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0L, 5L), (1L, 3L)))
+  }
+
   test("bpeTokens splits letter runs, digit runs, and symbols") {
     val rows = TextAnalysis.bpeTokens(docs).orderBy("doc_id").collect()
     val d2 = rows(2)

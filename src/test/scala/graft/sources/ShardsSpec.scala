@@ -1,0 +1,52 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ShardsSpec extends SparkSpec {
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select(col("doc_id"), col("text"))
+
+  test("sharded export preserves rows; manifest verifies clean") {
+    val path = Files.createTempDirectory("graft_shards").toString
+    val m = Shards.write(docs, path, "doc_id", "text", 4)
+    val counts = m.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set(0L, 1L, 2L, 3L))
+    assert(counts.values.sum == docs.count())
+    // round-trip: every row lands in its assigned shard
+    val back = spark.read.parquet(path)
+    assert(back.count() == docs.count())
+    val misplaced = Shards.assign(back.drop("shard"), "doc_id", 4)
+      .as("recomputed")
+      .join(back.select(col("doc_id"), col("shard").as("stored")), "doc_id")
+      .filter(col("shard") =!= col("stored")).count()
+    assert(misplaced == 0, "assignment must be recomputable from content")
+    assert(Shards.verify(spark, path, "doc_id", "text", 4).isEmpty)
+  }
+
+  test("verify flags a damaged shard") {
+    val path = Files.createTempDirectory("graft_shards_dmg").toString
+    Shards.write(docs, path, "doc_id", "text", 4)
+    // drop one shard directory entirely
+    val dir = new java.io.File(s"$path/shard=2")
+    dir.listFiles().foreach(_.delete())
+    dir.delete()
+    val bad = Shards.verify(spark, path, "doc_id", "text", 4).collect()
+    assert(bad.map(_.getAs[Long]("shard")).toSeq == Seq(2L))
+    assert(bad.head.isNullAt(bad.head.fieldIndex("actual_rows")))
+  }
+
+  test("assignment is growth-stable: adding rows never moves old rows") {
+    val half = docs.filter(col("doc_id") < 75)
+    val a1 = Shards.assign(half, "doc_id", 8).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shard")).toMap
+    val a2 = Shards.assign(docs, "doc_id", 8).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shard")).toMap
+    assert(a1.forall { case (id, s) => a2(id) == s })
+  }
+}
