@@ -709,6 +709,12 @@ object SparkEntry {
     "text_hashtf" -> ((s, dir) =>
       TextAnalysis.hashTf(rd(s, dir, "documents"), 64)
         .orderBy("doc_id", "bucket")),
+    // --- vocabulary construction: top-50 tokens with cumulative coverage
+    "vocab_top" -> ((s, dir) =>
+      TextAnalysis.buildVocab(rd(s, dir, "documents"), 50).orderBy("rank")),
+    // --- canonicalization pass (lowercase/strip/collapse), zero shuffles
+    "text_normalize" -> ((s, dir) =>
+      TextAnalysis.normalize(rd(s, dir, "documents")).orderBy("doc_id")),
     // --- linear-model corpus scoring: hashTf features x broadcast weight
     // vector. The registered weights derive from the bucket id's md5 (an
     // arbitrary-but-fixed integer model both engines can rebuild).
@@ -723,6 +729,26 @@ object SparkEntry {
     "shard_manifest" -> ((s, dir) =>
       graft.sources.Shards.manifest(rd(s, dir, "documents"),
         "doc_id", "text", 16).orderBy("shard")),
+    // --- the WHOLE training-data pipeline as one verified composition:
+    // quality gate -> exact dedup -> benchmark decontamination -> train
+    // split -> shard manifest. Every stage is an already-oracled operator;
+    // the composite proves they compose exactly (the benchmark docs
+    // themselves enter the pipeline and are dropped at decontamination
+    // with contamination = 1.0).
+    "pipeline_e2e" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val kept = docs.join(TextAnalysis.qualityFilter(docs)
+        .filter(col("keep")).select("doc_id"), "doc_id")
+      val survivors = kept.join(Dedup.exact(kept).select("doc_id"), "doc_id")
+      val contaminated = TextAnalysis.contamination(
+        survivors, docs.filter(col("doc_id") < 20))
+        .filter(col("contamination") >= 0.5).select("doc_id")
+      val clean = survivors.join(contaminated, Seq("doc_id"), "left_anti")
+      val train = Sampling.splitAssign(clean, "doc_id")
+        .filter(col("split") === "train")
+      graft.sources.Shards.manifest(train, "doc_id", "text", 8)
+        .orderBy("shard")
+    }),
     // --- gaps-and-islands: consecutive same-type event runs per user
     "events_runs" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -2136,6 +2162,30 @@ object SparkEntry {
         |FROM r WHERE rank <= 5 ORDER BY w1, rank""".stripMargin,
     // identical md5-prefix bucket + sign-digit arithmetic; DuckDB casts
     // '0x...' strings to integers natively
+    "vocab_top" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents
+        |), f AS (
+        |  SELECT token, count(*) AS freq FROM tok GROUP BY 1
+        |), r AS (
+        |  SELECT token, freq,
+        |    CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT)
+        |      AS "rank",
+        |    sum(freq) OVER (ORDER BY freq DESC, token
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(freq) OVER () AS total
+        |  FROM f
+        |)
+        |SELECT "rank", token, freq,
+        |  CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+        |FROM r WHERE "rank" <= 50 ORDER BY "rank"""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+        |    '\s', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))
+        |    AS norm_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_score_lr" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -2155,6 +2205,71 @@ object SparkEntry {
         |SELECT doc_id, CAST(sum(tf * w) AS BIGINT) AS score_milli
         |FROM tfs JOIN w USING (bucket)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "pipeline_e2e" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) AS type_token_ratio
+        |  FROM t
+        |), ng AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS gram
+        |  FROM t WHERE len(toks) >= 2
+        |), per AS (
+        |  SELECT doc_id, gram, count(*) AS c FROM ng GROUP BY 1, 2
+        |), rep AS (
+        |  SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+        |    AS top_ngram_frac
+        |  FROM per GROUP BY 1
+        |), keepers AS (
+        |  SELECT b.doc_id FROM base b
+        |  LEFT JOIN rep r ON b.doc_id = r.doc_id
+        |  WHERE b.n_tokens >= 10 AND b.n_tokens <= 1000
+        |    AND b.stopword_ratio >= 0.02
+        |    AND coalesce(r.top_ngram_frac, 0.0) <= 0.20
+        |    AND b.type_token_ratio >= 0.30
+        |), kept AS (
+        |  SELECT t.doc_id, t.text, t.toks FROM t JOIN keepers USING (doc_id)
+        |), dd AS (
+        |  SELECT min(doc_id) AS doc_id FROM kept GROUP BY text
+        |), surv AS (
+        |  SELECT k.doc_id, k.text, k.toks FROM kept k JOIN dd USING (doc_id)
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+        |  FROM surv WHERE len(toks) >= 3
+        |), bench AS (
+        |  SELECT DISTINCT unnest(list_distinct(
+        |    list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+        |  FROM t WHERE doc_id < 20 AND len(toks) >= 3
+        |), cont AS (
+        |  SELECT s.doc_id FROM sh s LEFT JOIN bench b ON s.gram = b.gram
+        |  GROUP BY s.doc_id
+        |  HAVING CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE) >= 0.5
+        |), train AS (
+        |  SELECT doc_id, text FROM surv
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+        |    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |      NOT IN ('c', 'd', 'e', 'f')
+        |), a AS (
+        |  SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |    AS BIGINT) % 8 AS shard, text
+        |  FROM train
+        |)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_bytes,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
+        |    AS BIGINT) AS checksum
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
     "shard_manifest" ->
       """WITH a AS (
         |  SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)

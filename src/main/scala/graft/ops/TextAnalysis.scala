@@ -436,6 +436,48 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"), sum(col("sign")).as("signed_tf"))
   }
 
+  /** Vocabulary construction: the top-`maxVocab` tokens by corpus
+    * frequency with rank and cumulative coverage — what a tokenizer
+    * training run starts from and what an OOV-rate estimate reads.
+    * Corpus rows reduce through ONE partial-aggregated shuffle on the
+    * token; the rank/coverage windows then run over AGGREGATED
+    * vocabulary-cardinality rows only (the `sales_pareto` pattern — the
+    * unpartitioned window never sees corpus-sized input). Coverage is an
+    * exact-integer cumsum with one final IEEE division.
+    */
+  def buildVocab(docs: DataFrame, maxVocab: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.orderBy(desc("freq"), asc("token"))
+    docs.select(explode(tokensCol(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(ord).cast("long"))
+      .withColumn("cum", sum("freq").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum("freq").over(
+        Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("rank") <= maxVocab)
+      .select(col("rank"), col("token"), col("freq"),
+        (col("cum").cast("double") / col("total").cast("double"))
+          .as("coverage"))
+  }
+
+  /** Text normalization — the canonicalization pass upstream of hashing /
+    * dedup / tokenization: lowercase, strip characters outside
+    * [a-z0-9 ], collapse whitespace runs, trim. Pure narrow projection of
+    * codegen'd built-ins (ASCII regex classes behave identically in Java
+    * and RE2/DuckDB); zero shuffles at any scale.
+    */
+  def normalize(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      // whitespace → space BEFORE stripping symbols, so a tab between
+      // tokens separates them instead of gluing them together
+      trim(regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(col("text")), "\\s", " "),
+          "[^a-z0-9 ]", ""),
+        " +", " ")).as("norm_text"))
+
   /** Linear-model scoring over hashed features — the at-scale shape of
     * "run the trained quality classifier over the corpus": features from
     * [[hashTf]], the weight vector (tiny: one row per bucket) BROADCAST,

@@ -40,6 +40,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert((fps(0L) & fps(3L)).isEmpty, "no shared 3-gram run, no shared fingerprint")
   }
 
+  test("buildVocab ranks by frequency with exact cumulative coverage") {
+    val d = Seq((0L, "b b b a a c"), (1L, "a d")).toDF("doc_id", "text")
+    val out = TextAnalysis.buildVocab(d, 3).orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // freqs: a=3, b=3, c=1, d=1 → ties break by token asc
+    assert(out.toSeq == Seq(
+      (1L, "a", 3L, 3.0 / 8), (2L, "b", 3L, 6.0 / 8), (3L, "c", 1L, 7.0 / 8)))
+  }
+
+  test("normalize lowercases, strips symbols, collapses whitespace") {
+    val d = Seq((0L, "  Hello,  WORLD!\t42 ")).toDF("doc_id", "text")
+    val out = TextAnalysis.normalize(d).collect()
+    assert(out(0).getString(1) == "hello world 42")
+  }
+
   test("scoreLinear sums tf x weight exactly over hashed buckets") {
     import org.apache.spark.sql.functions.{col, lit}
     val d = Seq((0L, "a b c d e"), (1L, "a a a")).toDF("doc_id", "text")
