@@ -296,6 +296,20 @@ object SparkEntry {
           array_join(slice(col("t"), 1, 10), " ").as("para"))
       Dedup.paragraphDedup(own.unionAll(planted)).orderBy("doc_id")
     }),
+    // --- SemDeDup-style semantic dedup. Planted-copy oracle (the
+    // dedup_embedding argument): identical vectors land in the same
+    // k-means cluster (identical distances, same deterministic tiebreak)
+    // and share every LSH bucket, cosine exactly 1.0 >= tau; no natural
+    // pair reaches tau (max natural cosine ~0.51). Survivors are
+    // therefore provably the original ids; the copy always drops. The
+    // cluster column is kmeans-internal and excluded from the compare.
+    "dedup_semantic" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = e.filter(col("vec_id") < 25)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      Dedup.semanticDedup(e.unionAll(planted), 16, 0.95)
+        .select("vec_id").orderBy("vec_id")
+    }),
     "dedup_embedding" -> ((s, dir) => {
       // The corpus has no natural pairs above tau (max cosine ~0.51 at
       // sf0.01), so the query plants exact duplicates of the first 25
@@ -1195,6 +1209,11 @@ object SparkEntry {
         |  coalesce(string_agg(CASE WHEN rn = 1 THEN para END, ' '
         |    ORDER BY para_idx), '') AS clean_text
         |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // survivors = every original id; each planted copy (vec_id+100000,
+    // identical vector) pairs with its original and loses the min-id
+    // representative election
+    "dedup_semantic" ->
+      """SELECT vec_id FROM embeddings ORDER BY vec_id""".stripMargin,
     "dedup_embedding" ->
       """WITH base AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

@@ -108,6 +108,27 @@ object Stress {
         expr("ts div 86400000000").as("day"))).count())
     time("text_bigram_lm")(graft.ops.TextAnalysis.bigramLm(docs).count())
     time("text_hashtf")(graft.ops.TextAnalysis.hashTf(docs).count())
+    // r5 wave: paragraph dedup (two content-hash shuffles), gram matrix
+    // (explode bounded by partial agg), LR scoring, vocab, semantic dedup
+    time("dedup_paragraph") {
+      val toks = docs.select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("t"))
+      val paras = toks.select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, cast(ceil(size(t)/10.0) as int)), " +
+          "i -> array_join(slice(t, (i-1)*10+1, 10), ' '))"))
+        .as(Seq("pos", "para")))
+        .select(col("doc_id"), (col("pos") + 1L).as("para_idx"), col("para"))
+      graft.ops.Dedup.paragraphDedup(paras).count()
+    }
+    time("embed_gram")(graft.ops.Similarity.gramMatrix(emb).count())
+    time("pca_whiten")(graft.ops.Similarity.pcaWhiten(emb, 16).count())
+    time("text_score_lr") {
+      val w = spark.range(64).select(col("id").as("bucket"),
+        (col("id") % 101 - 50).as("w"))
+      graft.ops.TextAnalysis.scoreLinear(docs, w).count()
+    }
+    time("vocab_top")(graft.ops.TextAnalysis.buildVocab(docs, 100).count())
+    time("dedup_semantic")(graft.ops.Dedup.semanticDedup(emb).count())
     // weighted SSSP over the mirrored replicated-order graph
     val se0 = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
       .select(col("o_orderkey").as("src"),

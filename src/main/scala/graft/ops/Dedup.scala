@@ -450,6 +450,50 @@ object Dedup {
       .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
       .drop("cluster_id")
 
+  /** SemDeDup-style semantic deduplication: cluster the embedding space,
+    * find near-duplicate pairs WITHIN each semantic cluster (sign-LSH
+    * candidates + exact cosine re-check, bucket keys scoped by cluster so
+    * unrelated regions never co-bucket), resolve pairs into connected
+    * components, and keep one representative (minimum vec_id) per
+    * component. Returns the SURVIVORS as (vec_id, cluster).
+    *
+    * Scale shape: the k-means fit is a bounded driver-side sample; the
+    * assignment is a broadcast-centroid scan; candidate generation is the
+    * [[embeddingNearDup]] bucketed join with (cluster, band, bucket) keys;
+    * components resolve via [[resolveClusters]]. Hot semantic clusters at
+    * 100 TB take the [[minHashLshStar]] treatment — cap the bucket and
+    * star to the representative.
+    */
+  def semanticDedup(embeddings: DataFrame, k: Int = 16,
+                    tau: Double = 0.95): DataFrame = {
+    val assigned = Similarity.kmeansCluster(embeddings, k)
+      .select(col("vec_id"), col("cluster"))
+    val scoped = embeddings.select(col("vec_id"), col("embedding"))
+      .join(assigned, "vec_id")
+      .withColumn("nrm",
+        sqrt(Similarity.dotCol(col("embedding"), col("embedding"))))
+    val banded = Similarity.explodeBuckets(scoped, "vec_id", "embedding")
+    val pairs = banded.as("l")
+      .join(banded.as("r"),
+        col("l.cluster") === col("r.cluster") &&
+          col("l.band") === col("r.band") &&
+          col("l.bucket") === col("r.bucket") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("a_id"), col("r.vec_id").as("b_id"),
+        col("l.embedding").as("a_emb"), col("r.embedding").as("b_emb"),
+        col("l.nrm").as("a_nrm"), col("r.nrm").as("b_nrm"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("cosine",
+        Similarity.dotCol(col("a_emb"), col("b_emb"))
+          / (col("a_nrm") * col("b_nrm")))
+      .filter(col("cosine") >= tau)
+      .select(col("a_id"), col("b_id"))
+    val dropped = resolveClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("vec_id"))
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+  }
+
   /** Paragraph-level exact dedup — the C4/RefinedWeb-style pass that
     * removes REPEATED SPANS across the corpus while keeping the documents
     * themselves: the first occurrence (lexicographically smallest

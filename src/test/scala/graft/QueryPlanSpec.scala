@@ -20,6 +20,7 @@ class QueryPlanSpec extends SparkSpec {
   // possible BNLJ
   private val broadcastNlAllowed =
     Set("ann_brute", "ann_ivf", "ann_pq", "label_knn", "embed_cluster",
+      "dedup_semantic", // kmeans centroid table broadcast (k rows)
       "skew_profile", "sales_pareto")
 
   // dedup_clusters executes its iterative joins eagerly behind

@@ -62,6 +62,17 @@ class DedupSpec extends SparkSpec {
     assert(comps(star) == comps(full), "star edges must preserve components")
   }
 
+  test("semanticDedup keeps one representative per duplicate group") {
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (10L, Seq(1.0f, 0.0f)), // exact copy of 0: dropped
+      (20L, Seq(0.0f, 1.0f)), (21L, Seq(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(e, k = 2, tau = 0.999)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(0L, 1L, 20L, 21L))
+  }
+
   test("paragraphDedup keeps first occurrence, reassembles in order") {
     val paras = Seq(
       (0L, 1L, "alpha beta"), (0L, 2L, "gamma delta"),
