@@ -296,6 +296,23 @@ object SparkEntry {
           array_join(slice(col("t"), 1, 10), " ").as("para"))
       Dedup.paragraphDedup(own.unionAll(planted)).orderBy("doc_id")
     }),
+    // --- C4 boilerplate rule: every doc carries the same planted header
+    // paragraph (df = corpus size >= the threshold), which must vanish
+    // from ALL docs while ordinary paragraphs keep their first occurrence.
+    "dedup_boilerplate" -> ((s, dir) => {
+      val toks = rd(s, dir, "documents").select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("t"))
+      val own = toks
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, cast(ceil(size(t)/10.0) as int)), " +
+            "i -> array_join(slice(t, (i-1)*10+1, 10), ' '))"))
+          .as(Seq("pos", "para")))
+        .select(col("doc_id"), (col("pos") + 1L).as("para_idx"), col("para"))
+      val header = toks.select(col("doc_id"), lit(0L).as("para_idx"),
+        lit("copyright license terms apply to this document").as("para"))
+      Dedup.paragraphDedup(own.unionAll(header), boilerplateDf = 100L)
+        .orderBy("doc_id")
+    }),
     // --- SemDeDup-style semantic dedup. Planted-copy oracle (the
     // dedup_embedding argument): identical vectors land in the same
     // k-means cluster (identical distances, same deterministic tiebreak)
@@ -1208,6 +1225,39 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
         |  coalesce(string_agg(CASE WHEN rn = 1 THEN para END, ' '
         |    ORDER BY para_idx), '') AS clean_text
+        |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), own AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, CAST(ceil(len(t)/10.0) AS BIGINT)))
+        |      AS para_idx, t
+        |  FROM toks
+        |), ownp AS (
+        |  SELECT doc_id, para_idx,
+        |    array_to_string(t[(para_idx-1)*10+1:(para_idx-1)*10+10], ' ') AS para
+        |  FROM own
+        |), header AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS para_idx,
+        |    'copyright license terms apply to this document' AS para
+        |  FROM toks
+        |), paras AS (
+        |  SELECT * FROM ownp UNION ALL SELECT * FROM header
+        |), dfs AS (
+        |  SELECT md5(para) AS ph, count(DISTINCT doc_id) AS df
+        |  FROM paras GROUP BY 1
+        |), flag AS (
+        |  SELECT p.doc_id, p.para_idx, p.para, d.df,
+        |    row_number() OVER (PARTITION BY md5(p.para)
+        |      ORDER BY p.doc_id, p.para_idx) AS rn
+        |  FROM paras p JOIN dfs d ON md5(p.para) = d.ph
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+        |  CAST(sum(CASE WHEN rn = 1 AND df < 100 THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS n_dropped,
+        |  coalesce(string_agg(CASE WHEN rn = 1 AND df < 100 THEN para END,
+        |    ' ' ORDER BY para_idx), '') AS clean_text
         |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // survivors = every original id; each planted copy (vec_id+100000,
     // identical vector) pairs with its original and loses the min-id

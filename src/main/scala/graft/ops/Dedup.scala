@@ -509,16 +509,24 @@ object Dedup {
     * one groupBy(doc_id). Nothing driver-side; the per-doc collect_list
     * holds one document's paragraphs, bounded by document length.
     *
+    * `boilerplateDf` adds the C4 boilerplate rule: a paragraph appearing
+    * in >= that many DISTINCT documents (a license header, a nav bar) is
+    * removed from EVERY document — no keeper survives. The df rides the
+    * same keeper aggregation, so the rule costs nothing extra.
+    *
     * Output: (doc_id, n_paras, n_dropped, clean_text).
     */
-  def paragraphDedup(paras: DataFrame): DataFrame = {
+  def paragraphDedup(paras: DataFrame,
+                     boilerplateDf: Long = Long.MaxValue): DataFrame = {
     val keyed = paras.select(col("doc_id"), col("para_idx"), col("para"),
       md5(col("para")).as("ph"))
     val keepers = keyed.groupBy("ph")
-      .agg(min(struct(col("doc_id"), col("para_idx"))).as("k"))
+      .agg(min(struct(col("doc_id"), col("para_idx"))).as("k"),
+        countDistinct(col("doc_id")).as("df"))
     keyed.join(keepers, "ph")
       .withColumn("kept", col("doc_id") === col("k.doc_id") &&
-        col("para_idx") === col("k.para_idx"))
+        col("para_idx") === col("k.para_idx") &&
+        col("df") < boilerplateDf)
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_paras"),

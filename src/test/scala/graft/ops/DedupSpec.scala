@@ -86,6 +86,14 @@ class DedupSpec extends SparkSpec {
     assert(out(1).getAs[String]("clean_text") == "epsilon zeta")
     assert(out(2).getAs[String]("clean_text") == "")
     assert(out.map(_.getAs[Long]("n_paras")).toSeq == Seq(2L, 2L, 2L))
+    // boilerplate rule at df >= 2: "alpha beta" (docs 0,2) and
+    // "gamma delta" (docs 0,1) vanish EVERYWHERE, first copies included;
+    // only the df=1 "epsilon zeta" survives
+    val bp = Dedup.paragraphDedup(paras, boilerplateDf = 2L)
+      .orderBy("doc_id").collect()
+    assert(bp.map(_.getAs[String]("clean_text")).toSeq ==
+      Seq("", "epsilon zeta", ""))
+    assert(bp.map(_.getAs[Long]("n_dropped")).toSeq == Seq(2L, 1L, 2L))
   }
 
   test("crossMinHash matches corpus docs against the reference set only") {
