@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Analytics, Cdc, Dedup, Events, Graph, Linkage, Multimodal, Quality, Sampling, Similarity, Skew, TextAnalysis}
+import graft.ops.{Analytics, Cdc, Dedup, Events, Graph, Linkage, Multimodal, Quality, Sampling, Similarity, Skew, Sketches, TextAnalysis}
 import graft.orchestrate.{BlueGreen, Snapshots}
 import graft.sources.{GraphFrames, ZOrder}
 
@@ -786,6 +786,45 @@ object SparkEntry {
       val ev = rd(s, dir, "events").select(col("event_id"), col("user_id"),
         expr("ts div 1000").as("ts"), col("event_type"))
       Events.runs(ev).orderBy("user_id", "run_id")
+    }),
+    // --- HyperLogLog distinct-user sketch per event type. Registers and
+    // the scaled harmonic sum are exact integers (md5-prefix hashes +
+    // integer 2^(maxRho-M) terms); the estimate is one double division
+    // of a literal — engine-exact end to end.
+    "sketch_hll_users" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = rd(s, dir, "events").select(col("event_type"), col("user_id"))
+      Sketches.hllCount(ev, "user_id", Seq("event_type"), b = 8)
+        .orderBy("event_type")
+    }),
+    // --- count-min token frequencies: fixed 4x1024 sketch, top-20
+    // estimates over the distinct-token candidate set (est >= truth).
+    "sketch_cms_tokens" -> ((s, dir) => {
+      val toks = rd(s, dir, "documents")
+        .select(explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
+      val sketch = Sketches.cmsSketch(toks, "tok", 4, 1024)
+      Sketches.cmsEstimate(sketch, toks, "tok", 4, 1024)
+        .orderBy(desc("est"), asc("item")).limit(20)
+    }),
+    // --- Bloom runtime filter: urgent-order keys -> 3x65536-bit filter,
+    // probe the distinct lineitem keys through broadcast semi-joins
+    // (probe side never shuffles); summary counts incl. false positives.
+    "bloom_prune" -> ((s, dir) => {
+      val urgent = rd(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val bits = Sketches.bloomBits(urgent, "o_orderkey", 3, 65536)
+      val probeKeys = rd(s, dir, "lineitem")
+        .select(col("l_orderkey")).distinct()
+      val pass = Sketches.bloomFilter(probeKeys, "l_orderkey", bits, 3, 65536)
+      val tagged = pass.join(
+        urgent.withColumnRenamed("o_orderkey", "l_orderkey")
+          .withColumn("is_true", lit(1L)),
+        Seq("l_orderkey"), "left")
+      val stats = tagged.agg(count(lit(1)).as("n_pass"),
+        sum(coalesce(col("is_true"), lit(0L))).as("n_true_pass"))
+      probeKeys.agg(count(lit(1)).as("n_keys")).crossJoin(stats)
+        .withColumn("n_false_pos", col("n_pass") - col("n_true_pass"))
     })
   )
 
@@ -2385,6 +2424,94 @@ object SparkEntry {
         |SELECT user_id, run_id, min(event_type) AS event_type,
         |  count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts
         |FROM rn GROUP BY user_id, run_id
-        |ORDER BY user_id, run_id""".stripMargin
+        |ORDER BY user_id, run_id""".stripMargin,
+    // HLL twin: identical 60-bit md5-prefix hash split 8/52, rho via
+    // bin+ltrim (both engines print unpadded binary; zero payload ->
+    // empty string -> rho 53 with no special case); the alpha*m^2*2^53
+    // literal is the Scala-folded double, round-tripped verbatim.
+    "sketch_hll_users" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, h // 4503599627370496 AS bucket,
+        |    53 - length(ltrim(bin(h % 4503599627370496), '0')) AS rho
+        |  FROM h
+        |), reg AS (
+        |  SELECT event_type, bucket, CAST(max(rho) AS BIGINT) AS rho_max
+        |  FROM r GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_registers,
+        |    CAST(sum(1::BIGINT << CAST(53 - rho_max AS INTEGER))
+        |      AS BIGINT) AS present_scaled
+        |  FROM reg GROUP BY 1
+        |)
+        |SELECT event_type, n_registers,
+        |  present_scaled + (256 - n_registers) * (1::BIGINT << 53)
+        |    AS sum_scaled,
+        |  CAST('4.2399330249068963e+20' AS DOUBLE)
+        |    / CAST(present_scaled + (256 - n_registers) * (1::BIGINT << 53)
+        |        AS DOUBLE) AS est
+        |FROM agg ORDER BY event_type""".stripMargin,
+    "sketch_cms_tokens" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |), depths AS (
+        |  SELECT unnest(generate_series(0, 3)) AS depth
+        |), cells AS (
+        |  SELECT depth,
+        |    CAST('0x' || substr(md5(CAST(depth AS VARCHAR) || ':' || tok),
+        |      1, 8) AS BIGINT) % 1024 AS cell
+        |  FROM toks, depths
+        |), sk AS (
+        |  SELECT depth, cell, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM cells GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT DISTINCT tok FROM toks
+        |), probe AS (
+        |  SELECT tok AS item, depth,
+        |    CAST('0x' || substr(md5(CAST(depth AS VARCHAR) || ':' || tok),
+        |      1, 8) AS BIGINT) % 1024 AS cell
+        |  FROM cand, depths
+        |)
+        |SELECT item, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+        |FROM probe LEFT JOIN sk USING (depth, cell)
+        |GROUP BY item ORDER BY est DESC, item LIMIT 20""".stripMargin,
+    "bloom_prune" ->
+      """WITH urgent AS (
+        |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |), salts AS (
+        |  SELECT unnest(generate_series(0, 2)) AS salt
+        |), bits AS (
+        |  SELECT DISTINCT
+        |    CAST('0x' || substr(md5(CAST(salt AS VARCHAR) || ':'
+        |      || CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 65536
+        |      AS pos
+        |  FROM urgent, salts
+        |), keys AS (
+        |  SELECT DISTINCT l_orderkey FROM lineitem
+        |), probe AS (
+        |  SELECT l_orderkey,
+        |    CAST('0x' || substr(md5(CAST(salt AS VARCHAR) || ':'
+        |      || CAST(l_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 65536
+        |      AS pos
+        |  FROM keys, salts
+        |), hit AS (
+        |  SELECT l_orderkey, CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END AS ok
+        |  FROM probe p LEFT JOIN bits b USING (pos)
+        |), pass AS (
+        |  SELECT l_orderkey FROM hit GROUP BY 1 HAVING min(ok) = 1
+        |), agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pass,
+        |    CAST(sum(CASE WHEN u.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_true_pass
+        |  FROM pass LEFT JOIN urgent u ON pass.l_orderkey = u.o_orderkey
+        |)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM keys) AS n_keys,
+        |  n_pass, n_true_pass, n_pass - n_true_pass AS n_false_pos
+        |FROM agg""".stripMargin
   )
 }

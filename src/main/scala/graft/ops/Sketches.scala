@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-size mergeable sketches — the cardinality / frequency /
+  * membership summaries a 100 TB pipeline keeps instead of exact state.
+  * All three are built from md5-prefix hashes (the engine-portable
+  * integer-hash recipe: the first k hex chars of the digest equal the
+  * first 4k bits), so every sketch here is bit-reproducible across runs,
+  * partitionings, AND engines — the DuckDB oracle rebuilds identical
+  * registers/counters/bits in plain SQL and the registered queries are
+  * hash-exact, where a murmur- or seed-dependent sketch could only ever
+  * be checked rows-only.
+  *
+  * Scale shape shared by all three: per-partition partial aggregation
+  * collapses input rows to a bounded cell space (2^b registers, d·w
+  * counters, m bit positions) BEFORE any exchange, so the shuffle volume
+  * is O(sketch size × groups), independent of input row count; sketches
+  * merge associatively (max / sum / union) for multi-day or multi-corpus
+  * rollups.
+  */
+object Sketches {
+
+  /** Payload bit width: a 60-bit hash (15 hex chars — fits a signed
+    * BIGINT in both engines) split into `b` register-index bits and
+    * `60-b` payload bits.
+    */
+  private val HashHexChars = 15
+
+  /** HyperLogLog registers for `countDistinct(valueCol)` per group:
+    * one row per non-empty register, `(groupCols*, bucket, rho_max)`.
+    *
+    * bucket = top `b` hash bits; rho = leading-zero count of the
+    * remaining `60-b` payload bits + 1, computed portably as
+    * `(60-b) + 1 - length(ltrim(bin(payload),'0'))` (zero payload gives
+    * the empty string, length 0 — the rho = 61-b maximum falls out
+    * without a special case). Registers merge by `max`, so partial
+    * aggregation bounds per-partition state at 2^b longs per group
+    * regardless of input cardinality — the whole point of the sketch.
+    */
+  def hllRegisters(df: DataFrame, valueCol: String,
+                   groupCols: Seq[String], b: Int = 8): DataFrame = {
+    require(b >= 4 && b <= 16, s"register bits out of range: $b")
+    val payloadBits = 60 - b
+    val payloadMod = 1L << payloadBits
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1,
+      HashHexChars), 16, 10).cast("long")
+    df.withColumn("h", h)
+      .withColumn("bucket", expr(s"h div ${payloadMod}L"))
+      .withColumn("rho",
+        lit(payloadBits + 1) -
+          length(ltrim(bin(col("h") % payloadMod), "0")))
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).cast("long").as("rho_max"))
+  }
+
+  /** Raw HyperLogLog estimate per group from [[hllRegisters]]:
+    * `(groupCols*, n_registers, sum_scaled, est)`.
+    *
+    * Engine-exact arithmetic: instead of summing dyadic fractions
+    * 2^-M[j] in floating point (whose rounding would depend on reduction
+    * order), each register contributes the INTEGER 2^(maxRho - M[j]) and
+    * empty registers 2^maxRho, so `sum_scaled` is an exact BIGINT and
+    * the estimate alpha_m·m²·2^maxRho / sum_scaled is ONE IEEE double
+    * division of a literal by an integer — identical in any engine. The
+    * raw estimate is reported without the small-range linear-counting
+    * correction (it needs `ln`, which drifts across libm builds; callers
+    * needing small-range accuracy have exact countDistinct).
+    */
+  def hllCount(df: DataFrame, valueCol: String,
+               groupCols: Seq[String], b: Int = 8): DataFrame = {
+    val m = 1 << b
+    val maxRho = 60 - b + 1
+    val alphaScaled = // alpha_m * m^2 * 2^maxRho, folded once in Scala
+      0.7213 / (1.0 + 1.079 / m) * m * m * Math.pow(2.0, maxRho)
+    hllRegisters(df, valueCol, groupCols, b)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_registers"),
+        sum(expr(s"shiftleft(cast(1 as bigint), $maxRho - rho_max)"))
+          .as("present_scaled"))
+      .withColumn("sum_scaled",
+        col("present_scaled") +
+          (lit(m.toLong) - col("n_registers")) * lit(1L << maxRho))
+      .withColumn("est", lit(alphaScaled) / col("sum_scaled").cast("double"))
+      .drop("present_scaled")
+  }
+
+  /** Count-min sketch of `itemCol` frequencies: `depth` independent
+    * md5-salted hash rows of `width` counters, one output row per
+    * non-empty cell `(depth, cell, cnt)`. Merging two sketches is
+    * cell-wise addition; estimates never undercount. The input collapses
+    * to ≤ depth·width cells through partial aggregation — constant
+    * shuffle volume at any corpus size.
+    */
+  def cmsSketch(items: DataFrame, itemCol: String,
+                depth: Int = 4, width: Int = 1024): DataFrame =
+    items
+      .select(explode(expr(s"sequence(0, ${depth - 1})")).as("depth"),
+        col(itemCol).as("item"))
+      .withColumn("cell",
+        conv(substring(md5(concat(col("depth").cast("string"), lit(":"),
+          col("item"))), 1, 8), 16, 10).cast("long") % width)
+      .groupBy(col("depth"), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Count-min frequency estimates for a candidate item set:
+    * `(item, est)` where `est = min over rows of cnt[row][h_row(item)]`
+    * (the classic min-over-depths upper bound; collisions only ever
+    * inflate). The candidate side joins the ≤ depth·width-cell sketch —
+    * broadcast-sized by construction — so the probe never shuffles the
+    * sketch and the join is keyed, never all-pairs.
+    */
+  def cmsEstimate(sketch: DataFrame, candidates: DataFrame,
+                  itemCol: String, depth: Int = 4,
+                  width: Int = 1024): DataFrame =
+    candidates
+      .select(col(itemCol).as("item"))
+      .distinct()
+      .select(col("item"),
+        explode(expr(s"sequence(0, ${depth - 1})")).as("depth"))
+      .withColumn("cell",
+        conv(substring(md5(concat(col("depth").cast("string"), lit(":"),
+          col("item"))), 1, 8), 16, 10).cast("long") % width)
+      .join(broadcast(sketch), Seq("depth", "cell"), "left")
+      .groupBy(col("item"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** Bloom-filter bit positions for a key set: `k` md5-salted hashes
+    * into `[0, m)`, deduplicated — the compact membership summary a
+    * runtime filter broadcasts. At most `m` rows regardless of key
+    * count; build cost is one partial-aggregated distinct on the
+    * position.
+    */
+  def bloomBits(keys: DataFrame, keyCol: String,
+                k: Int = 3, m: Int = 65536): DataFrame =
+    keys
+      .select(explode(expr(s"sequence(0, ${k - 1})")).as("salt"),
+        col(keyCol).cast("string").as("key"))
+      .select((conv(substring(md5(concat(col("salt").cast("string"),
+        lit(":"), col("key"))), 1, 8), 16, 10).cast("long") % m).as("pos"))
+      .distinct()
+
+  /** Bloom-filter probe: keep probe rows whose key tests positive in
+    * `bits` (every one of the `k` positions present). Each of the `k`
+    * membership tests is a broadcast LEFT SEMI join against the ≤ m-row
+    * bit set, so the probe side NEVER shuffles — the runtime-filter
+    * pattern that prunes a fact scan before an expensive join. False
+    * positives pass by design (rate ≈ (1-e^{-kn/m})^k); there are no
+    * false negatives.
+    */
+  def bloomFilter(probe: DataFrame, keyCol: String, bits: DataFrame,
+                  k: Int = 3, m: Int = 65536): DataFrame =
+    (0 until k).foldLeft(probe) { (df, salt) =>
+      df.join(broadcast(bits),
+        conv(substring(md5(concat(lit(salt.toString), lit(":"),
+          col(keyCol).cast("string"))), 1, 8), 16, 10).cast("long") % m
+          === bits("pos"),
+        "left_semi")
+    }
+}

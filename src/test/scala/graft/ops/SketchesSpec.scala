@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hllCount estimates distinct cardinality within HLL error bounds") {
+    // 2000 distinct users, each appearing 1-3 times
+    val rows = (1 to 2000).flatMap(u => (0 until (u % 3 + 1)).map(_ =>
+      (u.toLong, "g")))
+    val df = rows.toDF("user_id", "grp")
+    val out = Sketches.hllCount(df, "user_id", Seq("grp"), b = 8).collect()
+    assert(out.length == 1)
+    val est = out.head.getAs[Double]("est")
+    // raw HLL at m=256: sigma ~ 1.04/sqrt(256) = 6.5%; allow 4 sigma
+    assert(math.abs(est - 2000.0) / 2000.0 < 0.26, s"est=$est")
+    // registers bounded by m regardless of cardinality
+    assert(out.head.getAs[Long]("n_registers") <= 256L)
+  }
+
+  test("hllCount registers merge: union of halves equals whole") {
+    val a = (1 to 1000).map(i => (i.toLong, "g")).toDF("user_id", "grp")
+    val b = (501 to 1500).map(i => (i.toLong, "g")).toDF("user_id", "grp")
+    val whole = Sketches.hllCount(a.unionAll(b), "user_id", Seq("grp"))
+      .select("sum_scaled").as[Long].head()
+    // merge = max per bucket over the union of register tables
+    val merged = Sketches.hllRegisters(a, "user_id", Seq("grp"))
+      .unionAll(Sketches.hllRegisters(b, "user_id", Seq("grp")))
+      .groupBy("grp", "bucket").agg(max("rho_max").as("rho_max"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_registers"),
+        sum(expr("shiftleft(cast(1 as bigint), 53 - rho_max)")).as("p"))
+      .select(col("p") + (lit(256L) - col("n_registers")) * lit(1L << 53))
+      .as[Long].head()
+    assert(whole == merged)
+  }
+
+  test("cmsEstimate never undercounts and is exact absent collisions") {
+    val items = (Seq.fill(50)("hot") ++ (1 to 200).map(i => s"tok$i"))
+      .toDF("tok")
+    val sk = Sketches.cmsSketch(items, "tok", 4, 1024)
+    // sketch is bounded by depth x width cells
+    assert(sk.count() <= 4L * 1024L)
+    val est = Sketches.cmsEstimate(sk, items, "tok", 4, 1024)
+      .collect().map(r => r.getAs[String]("item") -> r.getAs[Long]("est"))
+      .toMap
+    assert(est("hot") >= 50L)
+    (1 to 200).foreach(i => assert(est(s"tok$i") >= 1L))
+    // 201 distinct items over 4x1024 cells: the min over 4 rows is
+    // almost surely collision-free for the hot item
+    assert(est("hot") <= 60L)
+  }
+
+  test("bloomFilter has no false negatives and prunes most non-members") {
+    val members = (1 to 300).map(i => i.toLong * 7).toDF("k")
+    val bits = Sketches.bloomBits(members, "k", 3, 65536)
+    val probe = (1 to 5000).map(_.toLong).toDF("k")
+    val kept = Sketches.bloomFilter(probe, "k", bits, 3, 65536)
+      .as[Long].collect().toSet
+    // every true member in probe range passes
+    (1 to 300).map(_.toLong * 7).filter(_ <= 5000L)
+      .foreach(m => assert(kept.contains(m), s"false negative $m"))
+    // 3 hashes into 65536 bits for <=900 set bits: fp rate ~ 2e-6;
+    // allow a generous margin
+    val trueMembers = (1 to 300).map(_.toLong * 7).filter(_ <= 5000).toSet
+    assert((kept -- trueMembers).size <= 5, s"${(kept -- trueMembers).size} fp")
+  }
+
+  test("sketch plans stay bucketed: no cross product anywhere") {
+    val items = (1 to 100).map(i => s"t$i").toDF("tok")
+    val sk = Sketches.cmsSketch(items, "tok")
+    assertNoCrossProduct(Sketches.cmsEstimate(sk, items, "tok"), "cms")
+    val bits = Sketches.bloomBits((1 to 50).map(_.toLong).toDF("k"), "k")
+    assertNoCrossProduct(
+      Sketches.bloomFilter((1 to 100).map(_.toLong).toDF("k"), "k", bits),
+      "bloom")
+  }
+}
