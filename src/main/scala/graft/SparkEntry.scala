@@ -787,6 +787,14 @@ object SparkEntry {
         expr("ts div 1000").as("ts"), col("event_type"))
       Events.runs(ev).orderBy("user_id", "run_id")
     }),
+    // --- k-core of the order–part bipartite graph (parts offset into a
+    // disjoint id space). Fixed 5 peel rounds -> unrolled-CTE oracle.
+    "graph_kcore" -> ((s, dir) => {
+      val e = rd(s, dir, "lineitem")
+        .select(col("l_orderkey").as("src"),
+          (col("l_partkey") + 20000000L).as("dst")).distinct()
+      Graph.kCore(e, k = 4, rounds = 5).orderBy("id")
+    }),
     // --- HyperLogLog distinct-user sketch per event type. Registers and
     // the scaled harmonic sum are exact integers (md5-prefix hashes +
     // integer 2^(maxRho-M) terms); the estimate is one double division
@@ -2425,6 +2433,30 @@ object SparkEntry {
         |  count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts
         |FROM rn GROUP BY user_id, run_id
         |ORDER BY user_id, run_id""".stripMargin,
+    // k-core twin: the same fixed 5 peel rounds unrolled as CTEs (the
+    // pagerank bounded-iteration recipe); converged rounds are no-ops.
+    "graph_kcore" -> {
+      val round = (prev: String, cur: String, keep: String) =>
+        s"""$keep AS (
+           |  SELECT a FROM $prev GROUP BY a HAVING count(*) >= 4
+           |), $cur AS (
+           |  SELECT e.a, e.b FROM $prev e
+           |  WHERE e.a IN (SELECT a FROM $keep)
+           |    AND e.b IN (SELECT a FROM $keep)
+           |)""".stripMargin
+      s"""WITH ed AS (
+         |  SELECT DISTINCT l_orderkey AS a, l_partkey + 20000000 AS b
+         |  FROM lineitem
+         |), e0 AS (
+         |  SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed
+         |), ${round("e0", "e1", "k0")},
+         |${round("e1", "e2", "k1")},
+         |${round("e2", "e3", "k2")},
+         |${round("e3", "e4", "k3")},
+         |${round("e4", "e5", "k4")}
+         |SELECT a AS id, CAST(count(*) AS BIGINT) AS deg
+         |FROM e5 GROUP BY a ORDER BY id""".stripMargin
+    },
     // HLL twin: identical 60-bit md5-prefix hash split 8/52, rho via
     // bin+ltrim (both engines print unpadded binary; zero payload ->
     // empty string -> rho 53 with no special case); the alpha*m^2*2^53

@@ -350,4 +350,41 @@ object Graph {
     }
     known
   }
+
+  /** k-core decomposition: iteratively peel nodes of degree < k from an
+    * UNDIRECTED view of the edge list until only the k-core remains —
+    * the density filter behind "drop weakly-connected entities before
+    * community detection" (a standard GDS pass after the reference's
+    * ETL lands). Returns surviving `(id, deg)` with the within-core
+    * degree.
+    *
+    * Runs a FIXED `rounds` peels (extra rounds past convergence are
+    * no-ops), so the DuckDB oracle unrolls the identical rounds as CTEs
+    * and hash-matches — the [[pageRank]] bounded-iteration recipe. The
+    * peel usually converges in a handful of rounds; at web scale size
+    * `rounds` ~ log(n) or iterate until `isEmpty` of the dropped set.
+    *
+    * Scale shape per round: one partial-aggregated degree count keyed on
+    * node id + two LEFT SEMI joins of the edge list against the ≤|V|-row
+    * keep set — all keyed shuffles, never all-pairs. The edge list is
+    * referenced twice per round (both endpoint filters), so every round
+    * `localCheckpoint`s — the [[Dedup.resolveClusters]] lesson: lazy
+    * chaining would re-execute the previous round once per join branch.
+    */
+  def kCore(edges: DataFrame, k: Int = 3, rounds: Int = 5): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    var e = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < rounds) {
+      val keep = e.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("a").as("n"))
+      e = e.join(keep, col("a") === col("n"), "left_semi")
+        .join(keep, col("b") === col("n"), "left_semi")
+        .localCheckpoint(true)
+      i += 1
+    }
+    e.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+  }
 }

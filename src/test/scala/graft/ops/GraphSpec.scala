@@ -156,4 +156,27 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got === Map(1L -> 0L, 4L -> 0L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("kCore peels cascading low-degree nodes down to the core") {
+    // K4 on 1-4 plus a tail 4-5-6 at k=2: the tail unravels over TWO
+    // rounds (6 drops, THEN 5's degree falls to 1), leaving K4
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val got = Graph.kCore(edges, k = 2, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // one round is NOT enough: 5 still looks 2-connected until 6 is gone
+    val partial = Graph.kCore(edges, k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(partial.contains(5L) && !partial.contains(6L))
+    // extra rounds past convergence are no-ops (the oracle contract)
+    val more = Graph.kCore(edges, k = 2, rounds = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(more === got)
+  }
+
+  test("kCore returns empty when no core exists at k") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Graph.kCore(path, k = 2, rounds = 4).isEmpty)
+  }
 }
