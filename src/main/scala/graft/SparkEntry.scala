@@ -787,6 +787,19 @@ object SparkEntry {
         expr("ts div 1000").as("ts"), col("event_type"))
       Events.runs(ev).orderBy("user_id", "run_id")
     }),
+    // --- mergeable-histogram quantiles over lineitem prices: the
+    // bounded-memory 100 TB alternative to exact percentile
+    "value_quantile_bins" -> ((s, dir) =>
+      Analytics.binQuantiles(rd(s, dir, "lineitem"), "l_extendedprice",
+        bins = 64, qs = Seq(0.5, 0.9, 0.99)).orderBy("q")),
+    // --- chi-square category drift between the even/odd event-id
+    // snapshots (floor-scaled contributions: order-free + engine-exact)
+    "events_drift" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = rd(s, dir, "events").select(col("event_id"), col("event_type"))
+      Quality.drift(ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1), "event_type").orderBy("cat")
+    }),
     // --- k-core of the order–part bipartite graph (parts offset into a
     // disjoint id space). Fixed 5 peel rounds -> unrolled-CTE oracle.
     "graph_kcore" -> ((s, dir) => {
@@ -2433,6 +2446,70 @@ object SparkEntry {
         |  count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts
         |FROM rn GROUP BY user_id, run_id
         |ORDER BY user_id, run_id""".stripMargin,
+    // binQuantiles twin: identical IEEE divide chains; quantile literals
+    // forced to DOUBLE (bare 0.9 parses as DECIMAL in DuckDB, and
+    // decimal ceil(q*n) would diverge from the double path)
+    "value_quantile_bins" ->
+      """WITH bounds AS (
+        |  SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+        |    CAST(max(l_extendedprice) AS DOUBLE) AS hi,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem
+        |), binned AS (
+        |  SELECT CASE WHEN hi = lo THEN 0 ELSE
+        |    least(CAST(floor((CAST(l_extendedprice AS DOUBLE) - lo)
+        |      / ((hi - lo) / CAST(64 AS DOUBLE))) AS BIGINT), 63) END AS bin,
+        |    lo, hi, n
+        |  FROM lineitem, bounds
+        |), counts AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n_bin, min(lo) AS lo,
+        |    min(hi) AS hi, min(n) AS n
+        |  FROM binned GROUP BY bin
+        |), cum AS (
+        |  SELECT bin, n_bin, lo, hi, n,
+        |    CAST(sum(n_bin) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS n_le
+        |  FROM counts
+        |), qrows AS (
+        |  SELECT cum.*, q FROM cum, (SELECT unnest([
+        |    CAST('0.5' AS DOUBLE), CAST('0.9' AS DOUBLE),
+        |    CAST('0.99' AS DOUBLE)]) AS q) qs
+        |)
+        |SELECT q, bin,
+        |  lo + CAST(bin AS DOUBLE) * ((hi - lo) / CAST(64 AS DOUBLE)) AS est,
+        |  n_le
+        |FROM qrows
+        |WHERE n_le >= ceil(q * CAST(n AS DOUBLE))
+        |  AND n_le - n_bin < ceil(q * CAST(n AS DOUBLE))
+        |ORDER BY q""".stripMargin,
+    "events_drift" ->
+      """WITH a AS (
+        |  SELECT event_type AS cat, CAST(count(*) AS BIGINT) AS n_a
+        |  FROM events WHERE event_id % 2 = 0 GROUP BY 1
+        |), b AS (
+        |  SELECT event_type AS cat, CAST(count(*) AS BIGINT) AS n_b
+        |  FROM events WHERE event_id % 2 = 1 GROUP BY 1
+        |), merged AS (
+        |  SELECT cat, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        |  FROM a FULL OUTER JOIN b USING (cat)
+        |), tot AS (
+        |  SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+        |    CAST(sum(n_b) AS BIGINT) AS tb
+        |  FROM merged
+        |), ex AS (
+        |  SELECT cat, n_a, n_b,
+        |    CAST(n_a + n_b AS DOUBLE) * CAST(ta AS DOUBLE)
+        |      / CAST(ta + tb AS DOUBLE) AS e_a,
+        |    CAST(n_a + n_b AS DOUBLE) * CAST(tb AS DOUBLE)
+        |      / CAST(ta + tb AS DOUBLE) AS e_b
+        |  FROM merged, tot
+        |)
+        |SELECT cat, n_a, n_b,
+        |  CAST(floor((CAST(n_a AS DOUBLE) - e_a) * (CAST(n_a AS DOUBLE) - e_a)
+        |      / e_a * CAST('1e6' AS DOUBLE))
+        |    + floor((CAST(n_b AS DOUBLE) - e_b) * (CAST(n_b AS DOUBLE) - e_b)
+        |      / e_b * CAST('1e6' AS DOUBLE)) AS BIGINT) AS chi2_scaled
+        |FROM ex ORDER BY cat""".stripMargin,
     // k-core twin: the same fixed 5 peel rounds unrolled as CTEs (the
     // pagerank bounded-iteration recipe); converged rounds are no-ops.
     "graph_kcore" -> {

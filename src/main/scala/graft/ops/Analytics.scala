@@ -159,6 +159,57 @@ object Analytics {
       .agg(count(lit(1)).as("n_rows"), min(col("v")).as("min_v"),
         max(col("v")).as("max_v"))
 
+  /** Mergeable-histogram quantiles — the 100 TB path where exact
+    * `percentile` (which buffers each group's values) and t-digest
+    * (engine-private) both fall short: two partial-aggregated passes
+    * (exact bounds, then fixed-bin counts) reduce ANY input to ≤ `bins`
+    * rows, and each quantile is answered from the cumulative bin counts
+    * with resolution (hi-lo)/bins. Bin histograms merge by cell-wise
+    * addition across corpora/days.
+    *
+    * Engine-exact: bin index is `floor` of one IEEE divide chain,
+    * the target rank `ceil(q·n)` and the bin edge estimate
+    * `lo + bin·w` are single-rounded double expressions written
+    * identically in the DuckDB twin, and the cumulative window runs
+    * over ≤ `bins` rows (never the input). Degenerate lo == hi inputs
+    * collapse to bin 0.
+    *
+    * Output: one row per requested quantile `(q, bin, est, n_le)` where
+    * `est` is the bin's lower edge and `n_le` the rows at-or-below it.
+    */
+  def binQuantiles(df: DataFrame, valueCol: String, bins: Int = 64,
+                   qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(bins >= 2 && qs.nonEmpty)
+    val bounds = df.agg(min(col(valueCol)).cast("double").as("lo"),
+      max(col(valueCol)).cast("double").as("hi"),
+      count(lit(1)).as("n"))
+    val counts = df.select(col(valueCol).cast("double").as("v"))
+      .crossJoin(broadcast(bounds))
+      .select(
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(
+            floor((col("v") - col("lo")) /
+              ((col("hi") - col("lo")) / lit(bins.toDouble))).cast("long"),
+            lit(bins - 1L))).as("bin"),
+        col("lo"), col("hi"), col("n"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_bin"), min(col("lo")).as("lo"),
+        min(col("hi")).as("hi"), min(col("n")).as("n"))
+    val cum = counts.withColumn("n_le",
+      sum(col("n_bin")).over(org.apache.spark.sql.expressions.Window
+        .orderBy("bin").rowsBetween(Long.MinValue, 0)))
+    cum.select(col("bin"), col("n_bin"), col("n_le"), col("lo"),
+        col("hi"), col("n"),
+        explode(array(qs.map(lit): _*)).as("q"))
+      .filter(col("n_le") >= ceil(col("q") * col("n").cast("double")) &&
+        col("n_le") - col("n_bin") <
+          ceil(col("q") * col("n").cast("double")))
+      .select(col("q"), col("bin"),
+        (col("lo") + col("bin").cast("double") *
+          ((col("hi") - col("lo")) / lit(bins.toDouble))).as("est"),
+        col("n_le"))
+  }
+
   /** Winsorization: clamp a value column to its group's [lo, hi] exact
     * percentiles — the standard outlier-taming step before aggregate
     * features reach a model. Exact `percentile` keeps the oracle

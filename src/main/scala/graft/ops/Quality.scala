@@ -106,4 +106,39 @@ object Quality {
       .reduce(_ unionByName _)
       .orderBy("rule_id")
   }
+
+  /** Category-distribution drift between two snapshots: the chi-square
+    * statistic of independence, per category — the portable alternative
+    * to PSI/KL (both need `ln`, which drifts across libm builds). Each
+    * category's contribution (o-e)²/e is computed against the pooled
+    * expectation and floor-scaled to an exact BIGINT (the gram-matrix
+    * recipe: per-cell floor(x·10⁶) before summing keeps the statistic
+    * order-free AND engine-exact); callers sum `chi2_scaled` and compare
+    * against a critical value for |categories|-1 degrees of freedom.
+    *
+    * Scale shape: one partial-aggregated count per side keyed on the
+    * category, a full-outer merge on category, one one-row total crossed
+    * back — output cardinality is |categories|, never the input.
+    */
+  def drift(a: DataFrame, b: DataFrame, catCol: String): DataFrame = {
+    val ca = a.groupBy(col(catCol).as("cat")).agg(count(lit(1)).as("n_a"))
+    val cb = b.groupBy(col(catCol).as("cat")).agg(count(lit(1)).as("n_b"))
+    val merged = ca.join(cb, Seq("cat"), "full_outer")
+      .select(col("cat"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val tot = merged.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+    merged.crossJoin(broadcast(tot))
+      .withColumn("e_a",
+        (col("n_a") + col("n_b")).cast("double") * col("ta").cast("double")
+          / (col("ta") + col("tb")).cast("double"))
+      .withColumn("e_b",
+        (col("n_a") + col("n_b")).cast("double") * col("tb").cast("double")
+          / (col("ta") + col("tb")).cast("double"))
+      .select(col("cat"), col("n_a"), col("n_b"),
+        (floor((col("n_a").cast("double") - col("e_a")) *
+          (col("n_a").cast("double") - col("e_a")) / col("e_a") * 1e6) +
+         floor((col("n_b").cast("double") - col("e_b")) *
+          (col("n_b").cast("double") - col("e_b")) / col("e_b") * 1e6))
+          .cast("long").as("chi2_scaled"))
+  }
 }

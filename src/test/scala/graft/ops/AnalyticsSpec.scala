@@ -122,4 +122,28 @@ class AnalyticsSpec extends SparkSpec {
       ("ALL", "x", 2L, 5.0, 2L), ("ALL", "y", 1L, 2.0, 2L),
       ("ALL", "ALL", 3L, 7.0, 3L)))
   }
+
+  test("binQuantiles lands within one bin width of the exact quantile") {
+    val df = (1 to 1000).map(_.toDouble).toDF("v")
+    val out = Analytics.binQuantiles(df, "v", bins = 100,
+      qs = Seq(0.5, 0.9)).orderBy("q").collect()
+    assert(out.length == 2)
+    val w = (1000.0 - 1.0) / 100
+    val est = out.map(r => r.getAs[Double]("q") -> r.getAs[Double]("est"))
+      .toMap
+    assert(math.abs(est(0.5) - 500.0) <= w + 1e-9)
+    assert(math.abs(est(0.9) - 900.0) <= w + 1e-9)
+    // n_le at the selected bin covers at least the target rank
+    assert(out.forall(r => r.getAs[Long]("n_le") >=
+      math.ceil(r.getAs[Double]("q") * 1000).toLong))
+  }
+
+  test("binQuantiles handles a constant column (single bin)") {
+    val df = Seq.fill(10)(7.5).toDF("v")
+    val out = Analytics.binQuantiles(df, "v", bins = 8, qs = Seq(0.5))
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("bin") == 0L)
+    assert(out.head.getAs[Double]("est") == 7.5)
+  }
 }

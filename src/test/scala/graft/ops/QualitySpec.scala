@@ -46,4 +46,27 @@ class QualitySpec extends SparkSpec {
     assert(out.length == 2)
     assert(out.forall(_.getLong(1) == 0L))
   }
+
+  test("drift is zero for identical distributions, positive when shifted") {
+    val a = (Seq.fill(60)("x") ++ Seq.fill(40)("y")).toDF("c")
+    val same = Quality.drift(a, a, "c").collect()
+    assert(same.forall(_.getAs[Long]("chi2_scaled") == 0L))
+    // b flips the mix 60/40 -> 20/80: every category contributes
+    val b = (Seq.fill(20)("x") ++ Seq.fill(80)("y")).toDF("c")
+    val drifted = Quality.drift(a, b, "c")
+      .collect().map(r => r.getAs[String]("cat") ->
+        r.getAs[Long]("chi2_scaled")).toMap
+    assert(drifted("x") > 0L && drifted("y") > 0L)
+    // hand check: x pooled e=40 per side, (60-40)^2/40 = 10 each side
+    assert(drifted("x") == 20000000L)
+  }
+
+  test("drift counts categories missing from one side") {
+    val a = Seq("x", "x", "y").toDF("c")
+    val b = Seq("x", "x", "x").toDF("c")
+    val out = Quality.drift(a, b, "c")
+      .collect().map(r => (r.getAs[String]("cat"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"))).toSet
+    assert(out == Set(("x", 2L, 3L), ("y", 1L, 0L)))
+  }
 }
