@@ -18,10 +18,14 @@ class QueryPlanSpec extends SparkSpec {
   // skew_profile and sales_pareto join a ONE-ROW total aggregate onto
   // key-cardinality counts — a broadcast of a single row, the cheapest
   // possible BNLJ
+  // bloom_prune / value_quantile_bins / events_drift cross ONE-ROW
+  // aggregates (pass-stats, bounds, totals) onto the stream — a
+  // single-row broadcast, the cheapest possible BNLJ
   private val broadcastNlAllowed =
     Set("ann_brute", "ann_ivf", "ann_pq", "label_knn", "embed_cluster",
       "dedup_semantic", // kmeans centroid table broadcast (k rows)
-      "skew_profile", "sales_pareto")
+      "skew_profile", "sales_pareto",
+      "bloom_prune", "value_quantile_bins", "events_drift")
 
   // dedup_clusters executes its iterative joins eagerly behind
   // localCheckpoint while fn() builds the frame, so this sweep only sees
