@@ -140,6 +140,40 @@ object Stress {
       se0.filter(col("src") < 100).select(col("src").as("id")).distinct(),
       4).count())
 
+    // r5 late wave: sketches stay fixed-size at any input scale, the
+    // bloom probe never shuffles, k-core peels keyed rounds, histogram
+    // quantiles collapse to <= bins rows
+    time("sketch_hll")(graft.ops.Sketches.hllCount(
+      ev.select(col("event_type"), col("user_id")), "user_id",
+      Seq("event_type")).count())
+    time("sketch_cms") {
+      val toks = docs.select(
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      val sk = graft.ops.Sketches.cmsSketch(toks, "tok")
+      graft.ops.Sketches.cmsEstimate(sk, toks, "tok").count()
+    }
+    time("bloom_prune") {
+      // size the filter ~17 bits/key for the ~30k urgent keys at sf0.1
+      // (the sf0.01-sized 65536-bit default oversaturates here: 3 hashes
+      // x 30k keys fill 75% of the bits and fp climbs to ~40%)
+      val urgent = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val bits = graft.ops.Sketches.bloomBits(urgent, "o_orderkey",
+        m = 1 << 19)
+      val probe = (0 until factor).map { i =>
+        spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+          .select((col("l_orderkey") + lit(i * 10000000L)).as("k"))
+      }.reduce(_ union _)
+      graft.ops.Sketches.bloomFilter(probe, "k", bits, m = 1 << 19).count()
+    }
+    time("graph_kcore")(graft.ops.Graph.kCore(gEdges, 4, 5).count())
+    time("value_quantile_bins")(
+      graft.ops.Analytics.binQuantiles(ev, "value").count())
+    time("events_drift")(graft.ops.Quality.drift(
+      ev.filter(col("event_id") % 2 === 0),
+      ev.filter(col("event_id") % 2 === 1), "event_type").count())
+
     // bulk-load throughput through the partition-parallel sink (the
     // reference's headline metric: rows/s and MiB/s per load phase)
     val nodes = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
