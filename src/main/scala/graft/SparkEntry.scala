@@ -787,6 +787,14 @@ object SparkEntry {
         expr("ts div 1000").as("ts"), col("event_type"))
       Events.runs(ev).orderBy("user_id", "run_id")
     }),
+    // --- deterministic label-propagation communities on the order–part
+    // graph: 3 synchronous rounds, min-label tie-break -> unrolled oracle
+    "graph_labelprop" -> ((s, dir) => {
+      val e = rd(s, dir, "lineitem")
+        .select(col("l_orderkey").as("src"),
+          (col("l_partkey") + 20000000L).as("dst")).distinct()
+      Graph.labelPropagation(e, rounds = 3).orderBy("id")
+    }),
     // --- mergeable-histogram quantiles over lineitem prices: the
     // bounded-memory 100 TB alternative to exact percentile
     "value_quantile_bins" -> ((s, dir) =>
@@ -2446,6 +2454,32 @@ object SparkEntry {
         |  count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts
         |FROM rn GROUP BY user_id, run_id
         |ORDER BY user_id, run_id""".stripMargin,
+    // label-propagation twin: identical synchronous rounds; the Spark
+    // side's min(struct(MaxValue - n, lbl)) argmax == ORDER BY n DESC,
+    // lbl ASC row_number = 1
+    "graph_labelprop" -> {
+      val round = (prev: String, cur: String) =>
+        s"""$cur AS (
+           |  SELECT a AS id, lbl FROM (
+           |    SELECT e.a, l.lbl, count(*) AS n,
+           |      row_number() OVER (PARTITION BY e.a
+           |        ORDER BY count(*) DESC, l.lbl) AS rn
+           |    FROM e0 e JOIN $prev l ON e.b = l.id
+           |    GROUP BY e.a, l.lbl
+           |  ) WHERE rn = 1
+           |)""".stripMargin
+      s"""WITH ed AS (
+         |  SELECT DISTINCT l_orderkey AS a, l_partkey + 20000000 AS b
+         |  FROM lineitem
+         |), e0 AS (
+         |  SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed
+         |), l0 AS (
+         |  SELECT DISTINCT a AS id, a AS lbl FROM e0
+         |), ${round("l0", "l1")},
+         |${round("l1", "l2")},
+         |${round("l2", "l3")}
+         |SELECT id, lbl FROM l3 ORDER BY id""".stripMargin
+    },
     // binQuantiles twin: identical IEEE divide chains; quantile literals
     // forced to DOUBLE (bare 0.9 parses as DECIMAL in DuckDB, and
     // decimal ceil(q*n) would diverge from the double path)

@@ -168,6 +168,8 @@ object Stress {
       graft.ops.Sketches.bloomFilter(probe, "k", bits, m = 1 << 19).count()
     }
     time("graph_kcore")(graft.ops.Graph.kCore(gEdges, 4, 5).count())
+    time("graph_labelprop")(
+      graft.ops.Graph.labelPropagation(gEdges, 3).count())
     time("value_quantile_bins")(
       graft.ops.Analytics.binQuantiles(ev, "value").count())
     time("events_drift")(graft.ops.Quality.drift(

@@ -387,4 +387,43 @@ object Graph {
     }
     e.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
   }
+
+  /** Label-propagation community detection, made DETERMINISTIC (classic
+    * LPA is order-dependent): every node starts with its own id as the
+    * label, and each synchronous round adopts the most frequent label
+    * among its undirected neighbors with ties broken by the SMALLER
+    * label — expressed as `min(struct(Long.MaxValue - n, lbl))`, an
+    * ordinary partial-aggregable min. Fixed `rounds`, so the DuckDB
+    * oracle unrolls identical rounds ([[pageRank]] recipe) and the
+    * result is reproducible across runs, partitionings, and engines.
+    *
+    * Scale shape per round: one edges⋈labels equi-join on the node id +
+    * two partial-aggregated shuffles ((node,label) counts, then argmax
+    * per node) — never all-pairs. `labels` is referenced ONCE per round,
+    * so rounds chain lazily with linear lineage (the pageRank lesson:
+    * per-round barriers cost 2.5x); periodic localCheckpoint only.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3,
+                       checkpointEvery: Int = 10): DataFrame = {
+    require(rounds >= 1)
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
+      .localCheckpoint(true) // referenced every round: compute once
+    var labels = und.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    var i = 0
+    while (i < rounds) {
+      labels = und
+        .join(labels.withColumnRenamed("id", "b"), "b")
+        .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("n"))
+        .groupBy(col("a"))
+        .agg(min(struct((lit(Long.MaxValue) - col("n")).as("neg"),
+          col("lbl").as("lbl"))).as("k"))
+        .select(col("a").as("id"), col("k.lbl").as("lbl"))
+      i += 1
+      if (i % checkpointEvery == 0 && i < rounds)
+        labels = labels.localCheckpoint(true)
+    }
+    labels
+  }
 }

@@ -179,4 +179,27 @@ class GraphSpec extends SparkSpec {
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
     assert(Graph.kCore(path, k = 2, rounds = 4).isEmpty)
   }
+
+  test("labelPropagation separates two triangles joined by a bridge") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // hand-traced synchronous rounds with min-label tie-break
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // one community label per triangle side (bridge nodes settle too)
+    assert(Set(got(1L), got(2L), got(3L)).size == 1)
+    assert(Set(got(4L), got(5L), got(6L)).size == 1)
+  }
+
+  test("labelPropagation is deterministic across runs") {
+    val edges = (1 to 200).map(i =>
+      (i.toLong, ((i * 7) % 50 + 1).toLong)).toDF("src", "dst")
+    val a = Graph.labelPropagation(edges, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = Graph.labelPropagation(edges, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b)
+  }
 }
