@@ -826,6 +826,15 @@ object SparkEntry {
       Sketches.hllCount(ev, "user_id", Seq("event_type"), b = 8)
         .orderBy("event_type")
     }),
+    // --- rolling 7-day distinct users from merged daily HLL sketches:
+    // one <=256-row register table per day answers every window
+    "events_rolling_hll" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = rd(s, dir, "events").select(
+        expr("(ts div 1000) div 86400000000").as("day"), col("user_id"))
+      Sketches.rollingDistinctHll(ev, "user_id", "day", windowDays = 7)
+        .orderBy("day")
+    }),
     // --- count-min token frequencies: fixed 4x1024 sketch, top-20
     // estimates over the distinct-token candidate set (est >= truth).
     "sketch_cms_tokens" -> ((s, dir) => {
@@ -2598,6 +2607,44 @@ object SparkEntry {
         |    / CAST(present_scaled + (256 - n_registers) * (1::BIGINT << 53)
         |        AS DOUBLE) AS est
         |FROM agg ORDER BY event_type""".stripMargin,
+    "events_rolling_hll" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+        |), h AS (
+        |  SELECT day,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM ev
+        |), r AS (
+        |  SELECT day, h // 4503599627370496 AS bucket,
+        |    53 - length(ltrim(bin(h % 4503599627370496), '0')) AS rho
+        |  FROM h
+        |), reg AS (
+        |  SELECT day, bucket, CAST(max(rho) AS BIGINT) AS rho_max
+        |  FROM r GROUP BY 1, 2
+        |), days AS (
+        |  SELECT DISTINCT day FROM ev
+        |), contrib AS (
+        |  SELECT reg.day + g.g AS cday, bucket, rho_max
+        |  FROM reg, (SELECT unnest(generate_series(0, 6)) AS g) g
+        |), merged AS (
+        |  SELECT cday AS day, bucket, CAST(max(rho_max) AS BIGINT)
+        |    AS rho_max
+        |  FROM contrib JOIN days ON contrib.cday = days.day
+        |  GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS n_registers,
+        |    CAST(sum(1::BIGINT << CAST(53 - rho_max AS INTEGER))
+        |      AS BIGINT) AS present_scaled
+        |  FROM merged GROUP BY 1
+        |)
+        |SELECT day, n_registers,
+        |  present_scaled + (256 - n_registers) * (1::BIGINT << 53)
+        |    AS sum_scaled,
+        |  CAST('4.2399330249068963e+20' AS DOUBLE)
+        |    / CAST(present_scaled + (256 - n_registers) * (1::BIGINT << 53)
+        |        AS DOUBLE) AS est
+        |FROM agg ORDER BY day""".stripMargin,
     "sketch_cms_tokens" ->
       """WITH toks AS (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok

@@ -146,6 +146,9 @@ object Stress {
     time("sketch_hll")(graft.ops.Sketches.hllCount(
       ev.select(col("event_type"), col("user_id")), "user_id",
       Seq("event_type")).count())
+    time("sketch_rolling_hll")(graft.ops.Sketches.rollingDistinctHll(
+      ev.select(expr("ts div 86400000000").as("day"), col("user_id")),
+      "user_id", "day").count())
     time("sketch_cms") {
       val toks = docs.select(
         explode(split(trim(col("text")), "\\s+")).as("tok"))

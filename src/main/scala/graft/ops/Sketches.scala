@@ -69,12 +69,22 @@ object Sketches {
     * needing small-range accuracy have exact countDistinct).
     */
   def hllCount(df: DataFrame, valueCol: String,
-               groupCols: Seq[String], b: Int = 8): DataFrame = {
+               groupCols: Seq[String], b: Int = 8): DataFrame =
+    hllEstimate(hllRegisters(df, valueCol, groupCols, b), groupCols, b)
+
+  /** Estimate from a register table (as produced by [[hllRegisters]], or
+    * any max-merge of such tables): `(groupCols*, n_registers,
+    * sum_scaled, est)`. Exposed separately so merged sketches — union
+    * register tables, `max(rho_max)` per (group, bucket) — reuse the
+    * identical arithmetic.
+    */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String],
+                  b: Int = 8): DataFrame = {
     val m = 1 << b
     val maxRho = 60 - b + 1
     val alphaScaled = // alpha_m * m^2 * 2^maxRho, folded once in Scala
       0.7213 / (1.0 + 1.079 / m) * m * m * Math.pow(2.0, maxRho)
-    hllRegisters(df, valueCol, groupCols, b)
+    registers
       .groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n_registers"),
@@ -85,6 +95,32 @@ object Sketches {
           (lit(m.toLong) - col("n_registers")) * lit(1L << maxRho))
       .withColumn("est", lit(alphaScaled) / col("sum_scaled").cast("double"))
       .drop("present_scaled")
+  }
+
+  /** Rolling N-day distinct counts from merged daily HLL sketches — the
+    * canonical production pattern for "distinct users over the trailing
+    * week" at 100 TB: the exact form re-scans N days of raw rows per
+    * day, while this keeps ONE register table per day (≤ 2^b rows) and
+    * answers every day's window by max-merging ≤ N·2^b register rows.
+    * Each day's registers contribute to the `windowDays` windows ending
+    * on or after it (the same forward-contribution trick as
+    * `Events.rollingActiveUsers`), restricted to days present in the
+    * data.
+    */
+  def rollingDistinctHll(df: DataFrame, valueCol: String, dayCol: String,
+                         windowDays: Int = 7, b: Int = 8): DataFrame = {
+    require(windowDays >= 1)
+    val regs = hllRegisters(df, valueCol, Seq(dayCol), b)
+    val days = df.select(col(dayCol)).distinct()
+    val contrib = regs
+      .select(col(dayCol), col("bucket"), col("rho_max"),
+        explode(expr(s"sequence(0, ${windowDays - 1})")).as("g"))
+      .select((col(dayCol) + col("g")).as(dayCol), col("bucket"),
+        col("rho_max"))
+    val merged = contrib.join(broadcast(days), Seq(dayCol))
+      .groupBy(col(dayCol), col("bucket"))
+      .agg(max(col("rho_max")).as("rho_max"))
+    hllEstimate(merged, Seq(dayCol), b)
   }
 
   /** Count-min sketch of `itemCol` frequencies: `depth` independent

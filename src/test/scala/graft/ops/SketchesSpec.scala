@@ -68,6 +68,29 @@ class SketchesSpec extends SparkSpec {
     assert((kept -- trueMembers).size <= 5, s"${(kept -- trueMembers).size} fp")
   }
 
+  test("rollingDistinctHll tracks the exact trailing-window distinct") {
+    // 10 days x 500 disjoint users/day: trailing-7 exact = 3500 once
+    // the window fills, 500 on day 0
+    val rows = for (d <- 0 until 10; u <- 0 until 500)
+      yield (d.toLong, (d * 1000 + u).toLong)
+    val df = rows.toDF("day", "user_id")
+    val est = Sketches.rollingDistinctHll(df, "user_id", "day")
+      .collect().map(r => r.getAs[Long]("day") -> r.getAs[Double]("est"))
+      .toMap
+    assert(est.size == 10)
+    assert(math.abs(est(0L) - 500.0) / 500.0 < 0.26)
+    (6L to 9L).foreach(d =>
+      assert(math.abs(est(d) - 3500.0) / 3500.0 < 0.26,
+        s"day $d est ${est(d)}"))
+    // merged-window estimate == the estimate of the union computed
+    // directly (register max-merge is lossless)
+    val window9 = Sketches.hllCount(
+      df.filter(col("day") >= 3 && col("day") <= 9)
+        .withColumn("g", lit(1L)), "user_id", Seq("g"))
+      .select("est").as[Double].head()
+    assert(est(9L) == window9)
+  }
+
   test("sketch plans stay bucketed: no cross product anywhere") {
     val items = (1 to 100).map(i => s"t$i").toDF("tok")
     val sk = Sketches.cmsSketch(items, "tok")
