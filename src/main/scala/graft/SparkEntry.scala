@@ -755,6 +755,14 @@ object SparkEntry {
           .cast("long") % 2001 - 1000).as("w"))
       TextAnalysis.scoreLinear(rd(s, dir, "documents"), w).orderBy("doc_id")
     }),
+    // --- domain-affinity LM scoring: bigram LM trained on src0 docs,
+    // every doc scored by mean in-model bigram probability (ln-free
+    // perplexity stand-in; floor-scaled exact contributions)
+    "text_lm_affinity" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val lm = TextAnalysis.bigramLm(docs.filter(col("source") === "src0"), 5)
+      TextAnalysis.scoreBigramLm(docs, lm).orderBy("doc_id")
+    }),
     // --- training-shard manifest: stable md5 assignment + order-free
     // integer checksums per shard
     "shard_manifest" -> ((s, dir) =>
@@ -2287,6 +2295,46 @@ object SparkEntry {
         |  CAST(c.n_pairs AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
         |FROM c JOIN tot t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+    "text_lm_affinity" ->
+      """WITH tgt AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE source = 'src0'
+        |), bgT AS (
+        |  SELECT unnest(generate_series(1, len(t) - 1)) AS i, t
+        |  FROM tgt WHERE len(t) >= 2
+        |), cT AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM bgT GROUP BY 1, 2
+        |), lm AS (
+        |  SELECT w1, w2, c12,
+        |    CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+        |    row_number() OVER (PARTITION BY w1 ORDER BY c12 DESC, w2) AS rn
+        |  FROM cT
+        |), lmk AS (
+        |  SELECT w1, w2, c12, c1 FROM lm WHERE rn <= 5
+        |), dt AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |), bgD AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(t) - 1)) AS i, t
+        |  FROM dt WHERE len(t) >= 2
+        |), pairs AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM bgD
+        |), agg AS (
+        |  SELECT p.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(CASE WHEN l.c12 IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_matched,
+        |    CAST(sum(coalesce(floor(CAST(l.c12 AS DOUBLE)
+        |      / CAST(l.c1 AS DOUBLE) * CAST('1e6' AS DOUBLE)), 0))
+        |      AS BIGINT) AS score_scaled
+        |  FROM pairs p LEFT JOIN lmk l ON p.w1 = l.w1 AND p.w2 = l.w2
+        |  GROUP BY 1
+        |)
+        |SELECT doc_id, n_bigrams, n_matched, score_scaled,
+        |  CAST(score_scaled AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+        |    / CAST('1e6' AS DOUBLE) AS score
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "text_bigram_lm" ->
       """WITH toks AS (
         |  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents

@@ -410,6 +410,42 @@ object TextAnalysis {
         (col("c12").cast("double") / col("c1").cast("double")).as("p"))
   }
 
+  /** Domain-affinity scoring against a trained [[bigramLm]]: the mean
+    * in-model bigram probability of each document — the `ln`-free
+    * selection signal for "keep documents that look like the target
+    * domain" (a perplexity stand-in that stays engine-exact: each
+    * matched bigram contributes the exact integer floor(10⁶·c12/c1),
+    * unmatched bigrams contribute 0, and the mean is two IEEE
+    * divisions). Documents with fewer than two tokens are skipped (no
+    * bigrams to score) — mirror the filter when joining back.
+    *
+    * Scale shape: the LM is vocabulary-bounded (topK continuations per
+    * head) and broadcasts; the corpus side explodes to bigrams and
+    * partial-aggregates per doc — one keyed shuffle, never all-pairs.
+    */
+  def scoreBigramLm(docs: DataFrame, lm: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokensCol(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val pairs = toks
+      .select(col("doc_id"), col("t"), posexplode(col("t")).as(Seq("p", "w1")))
+      .filter(col("p") < size(col("t")) - 1)
+      .select(col("doc_id"), col("w1"),
+        element_at(col("t"), col("p") + 2).as("w2"))
+    pairs
+      .join(broadcast(lm.select(col("w1"), col("w2"), col("c12"),
+        col("c1"))), Seq("w1", "w2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("c12").isNotNull, lit(1L)).otherwise(lit(0L)))
+          .as("n_matched"),
+        sum(coalesce(floor(col("c12").cast("double")
+          / col("c1").cast("double") * lit(1e6)), lit(0L)))
+          .cast("long").as("score_scaled"))
+      .withColumn("score", col("score_scaled").cast("double")
+        / col("n_bigrams").cast("double") / lit(1e6))
+  }
+
   /** Feature-hashing TF vectorization (the hashing trick): every token
     * maps to `bucket = int(md5[0:8]) mod dim`, with a sign bit from the
     * next hex digit so the signed sum stays unbiased under collisions —

@@ -260,4 +260,24 @@ class TextAnalysisSpec extends SparkSpec {
     // every token of every doc appears in at least one chunk
     assert(out.filter(_._1 == 1L).flatMap(_._5.split(" ")).toSet.size == 10)
   }
+
+  test("scoreBigramLm ranks in-domain docs above out-of-domain") {
+    // target domain: "a b" dominates; LM gives P(b|a)=1, P(c|b)=1 etc.
+    val target = Seq((1L, "a b c a b c"), (2L, "a b c a b")).toDF("doc_id", "text")
+    val lm = TextAnalysis.bigramLm(target, 5)
+    val docs = Seq(
+      (10L, "a b c a b"),  // pure in-domain
+      (11L, "x y z x y"),  // fully out-of-domain
+      (12L, "a b x y"))    // mixed
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.scoreBigramLm(docs, lm)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_matched"),
+          r.getAs[Double]("score"))).toMap
+    assert(got(10L)._1 == 4L && got(10L)._2 == 4L)
+    assert(got(11L)._2 == 0L && got(11L)._3 == 0.0)
+    assert(got(10L)._3 > got(12L)._3 && got(12L)._3 > got(11L)._3)
+    // doc 10's bigrams all have conditional prob 1 -> mean exactly 1
+    assert(got(10L)._3 == 1.0)
+  }
 }
