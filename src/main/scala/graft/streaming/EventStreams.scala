@@ -238,4 +238,46 @@ object EventStreams {
                    key: String = "user_id"): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dims), Seq(key),
       "left")
+
+  final case class HllRegister(group: String, bucket: Long, rho_max: Long)
+
+  /** Streaming distinct counting via HyperLogLog register maintenance —
+    * the streaming twin of [[graft.ops.Sketches.hllRegisters]], sharing
+    * its md5-prefix hash split so batch and stream produce IDENTICAL
+    * registers. State per (group, bucket) is ONE long (the max rho), so
+    * total executor state is bounded by groups × 2^b no matter how long
+    * the stream runs or how many distinct values arrive — where
+    * `dropDuplicates`-based streaming distinct state grows with
+    * cardinality until the watermark saves it. The max update is
+    * idempotent and commutative, so replays and out-of-order arrival
+    * cannot corrupt the sketch. Each micro-batch emits the updated
+    * registers; feed any snapshot to `Sketches.hllEstimate` for the
+    * count estimate.
+    *
+    * Input columns: `group` (string), `value` (string-castable).
+    */
+  def streamingDistinctRegisters(rows: DataFrame, b: Int = 8)(
+      implicit spark: SparkSession): Dataset[HllRegister] = {
+    import spark.implicits._
+    val payloadBits = 60 - b
+    val payloadMod = 1L << payloadBits
+    val keyed = rows
+      .select(col("group"),
+        conv(substring(md5(col("value").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .select(col("group"), expr(s"h div ${payloadMod}L").as("bucket"),
+        (lit(payloadBits + 1) -
+          length(ltrim(bin(col("h") % payloadMod), "0")))
+          .cast("long").as("rho"))
+      .as[(String, Long, Long)]
+    keyed.groupByKey(r => (r._1, r._2))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), rs: Iterator[(String, Long, Long)],
+         state: GroupState[Long]) =>
+          val top = math.max(state.getOption.getOrElse(0L),
+            rs.map(_._3).max)
+          state.update(top)
+          HllRegister(key._1, key._2, top)
+      }
+  }
 }

@@ -259,4 +259,38 @@ class EventStreamsSpec extends SparkSpec {
         (2L, 20.0, Some("basic"))))
     } finally q.stop()
   }
+
+  test("streaming HLL registers converge to the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sess = spark
+    import spark.implicits._
+    val mem = MemoryStream[(String, Long)]
+    val regs = EventStreams.streamingDistinctRegisters(
+      mem.toDF.toDF("group", "value"))
+    val q = regs.writeStream
+      .format("memory").queryName("hll_stream_test")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      mem.addData((1 to 600).map(i => ("g", i.toLong)): _*)
+      q.processAllAvailable()
+      mem.addData((401 to 1000).map(i => ("g", i.toLong)): _*)
+      q.processAllAvailable()
+      // latest state per register (update mode re-emits changed rows)
+      val streamed = spark.table("hll_stream_test")
+        .groupBy("group", "bucket")
+        .agg(org.apache.spark.sql.functions.max("rho_max").as("rho_max"))
+      val streamedEst = graft.ops.Sketches
+        .hllEstimate(streamed, Seq("group"))
+        .select("est").as[Double].head()
+      // identical hash split -> identical registers as the batch sketch
+      val batchEst = graft.ops.Sketches.hllCount(
+        (1 to 1000).map(i => ("g", i.toLong)).toDF("group", "value"),
+        "value", Seq("group"))
+        .select("est").as[Double].head()
+      assert(streamedEst == batchEst)
+      // bounded state: never more than 2^8 registers for the group
+      assert(streamed.count() <= 256L)
+    } finally q.stop()
+  }
 }
