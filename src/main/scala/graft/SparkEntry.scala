@@ -846,10 +846,13 @@ object SparkEntry {
     // --- count-min token frequencies: fixed 4x1024 sketch, top-20
     // estimates over the distinct-token candidate set (est >= truth).
     "sketch_cms_tokens" -> ((s, dir) => {
-      val toks = rd(s, dir, "documents")
+      // aggregate to (token, tf) ONCE: the depth-fold explode then runs
+      // over the vocabulary, not the corpus token stream
+      val tf = rd(s, dir, "documents")
         .select(explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
-      val sketch = Sketches.cmsSketch(toks, "tok", 4, 1024)
-      Sketches.cmsEstimate(sketch, toks, "tok", 4, 1024)
+        .groupBy(col("tok")).agg(count(lit(1)).as("w"))
+      val sketch = Sketches.cmsSketchWeighted(tf, "tok", "w", 4, 1024)
+      Sketches.cmsEstimate(sketch, tf, "tok", 4, 1024)
         .orderBy(desc("est"), asc("item")).limit(20)
     }),
     // --- Bloom runtime filter: urgent-order keys -> 3x65536-bit filter,

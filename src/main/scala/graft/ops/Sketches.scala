@@ -132,14 +132,27 @@ object Sketches {
     */
   def cmsSketch(items: DataFrame, itemCol: String,
                 depth: Int = 4, width: Int = 1024): DataFrame =
-    items
+    cmsSketchWeighted(
+      items.groupBy(col(itemCol).as("item")).agg(count(lit(1)).as("w")),
+      "item", "w", depth, width)
+
+  /** [[cmsSketch]] over pre-aggregated `(item, weight)` counts — the
+    * shape to use when item frequencies are already rolled up (or when
+    * the raw item stream would explode `depth`× before aggregating:
+    * aggregating FIRST shrinks the explode input from stream size to
+    * vocabulary size).
+    */
+  def cmsSketchWeighted(counts: DataFrame, itemCol: String,
+                        weightCol: String, depth: Int = 4,
+                        width: Int = 1024): DataFrame =
+    counts
       .select(explode(expr(s"sequence(0, ${depth - 1})")).as("depth"),
-        col(itemCol).as("item"))
+        col(itemCol).as("item"), col(weightCol).as("w"))
       .withColumn("cell",
         conv(substring(md5(concat(col("depth").cast("string"), lit(":"),
           col("item"))), 1, 8), 16, 10).cast("long") % width)
       .groupBy(col("depth"), col("cell"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("w")).as("cnt"))
 
   /** Count-min frequency estimates for a candidate item set:
     * `(item, est)` where `est = min over rows of cnt[row][h_row(item)]`
