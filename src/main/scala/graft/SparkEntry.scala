@@ -843,6 +843,14 @@ object SparkEntry {
       Sketches.rollingDistinctHll(ev, "user_id", "day", windowDays = 7)
         .orderBy("day")
     }),
+    // --- pairwise audience overlap between event types from KMV
+    // k-minima sketches (jaccard/union/intersection estimates)
+    "events_audience_overlap" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = rd(s, dir, "events").select(col("event_type"), col("user_id"))
+      val sk = Sketches.kmvSketch(ev, "event_type", "user_id", 256)
+      Sketches.kmvOverlapPairs(sk, 256).orderBy("set_a", "set_b")
+    }),
     // --- count-min token frequencies: fixed 4x1024 sketch, top-20
     // estimates over the distinct-token candidate set (est >= truth).
     "sketch_cms_tokens" -> ((s, dir) => {
@@ -2696,6 +2704,59 @@ object SparkEntry {
         |    / CAST(present_scaled + (256 - n_registers) * (1::BIGINT << 53)
         |        AS DOUBLE) AS est
         |FROM agg ORDER BY day""".stripMargin,
+    // KMV twin: identical 60-bit hashes; Spark's folded (k-1)*2^60
+    // literal == the SQL product of 255.0 and the exact 2^60 double
+    "events_audience_overlap" ->
+      """WITH hashed AS (
+        |  SELECT DISTINCT event_type AS set_id,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM events
+        |), sk AS (
+        |  SELECT set_id, h FROM (
+        |    SELECT set_id, h,
+        |      row_number() OVER (PARTITION BY set_id ORDER BY h) AS rn
+        |    FROM hashed) WHERE rn <= 256
+        |), sets AS (
+        |  SELECT DISTINCT set_id FROM sk
+        |), pairs AS (
+        |  SELECT a.set_id AS set_a, b.set_id AS set_b
+        |  FROM sets a, sets b WHERE a.set_id < b.set_id
+        |), contrib AS (
+        |  SELECT p.set_a, p.set_b, s.h, 'a' AS side
+        |  FROM sk s JOIN pairs p ON s.set_id = p.set_a
+        |  UNION ALL
+        |  SELECT p.set_a, p.set_b, s.h, 'b' AS side
+        |  FROM sk s JOIN pairs p ON s.set_id = p.set_b
+        |), uniq AS (
+        |  SELECT set_a, set_b, h, count(DISTINCT side) AS sides
+        |  FROM contrib GROUP BY 1, 2, 3
+        |), ranked AS (
+        |  SELECT * FROM (
+        |    SELECT set_a, set_b, h, sides,
+        |      row_number() OVER (PARTITION BY set_a, set_b ORDER BY h)
+        |        AS rn
+        |    FROM uniq) WHERE rn <= 256
+        |), agg AS (
+        |  SELECT set_a, set_b, CAST(max(h) AS BIGINT) AS theta,
+        |    CAST(count(*) AS BIGINT) AS n_union,
+        |    CAST(sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_common
+        |  FROM ranked GROUP BY 1, 2
+        |)
+        |SELECT set_a, set_b, theta, n_union, n_common,
+        |  CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE)
+        |    AS jaccard_est,
+        |  CASE WHEN n_union < 256 THEN CAST(n_union AS DOUBLE)
+        |    ELSE CAST(255 AS DOUBLE)
+        |      * CAST('1.152921504606846976e18' AS DOUBLE)
+        |      / CAST(theta AS DOUBLE) END AS union_est,
+        |  CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE)
+        |    * (CASE WHEN n_union < 256 THEN CAST(n_union AS DOUBLE)
+        |        ELSE CAST(255 AS DOUBLE)
+        |          * CAST('1.152921504606846976e18' AS DOUBLE)
+        |          / CAST(theta AS DOUBLE) END) AS inter_est
+        |FROM agg ORDER BY set_a, set_b""".stripMargin,
     "sketch_cms_tokens" ->
       """WITH toks AS (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok

@@ -170,6 +170,12 @@ object Stress {
       }.reduce(_ union _)
       graft.ops.Sketches.bloomFilter(probe, "k", bits, m = 1 << 19).count()
     }
+    time("kmv_overlap") {
+      val sk = graft.ops.Sketches.kmvSketch(
+        ev.select(col("event_type"), col("user_id")),
+        "event_type", "user_id")
+      graft.ops.Sketches.kmvOverlapPairs(sk).count()
+    }
     time("graph_kcore")(graft.ops.Graph.kCore(gEdges, 4, 5).count())
     time("graph_labelprop")(
       graft.ops.Graph.labelPropagation(gEdges, 3).count())

@@ -91,6 +91,40 @@ class SketchesSpec extends SparkSpec {
     assert(est(9L) == window9)
   }
 
+  test("kmvSketch keeps the k smallest distinct hashes per set") {
+    val df = (1 to 500).map(i => ("s", i.toLong)).toDF("grp", "v")
+    val full = Sketches.kmvSketch(df, "grp", "v", k = 1000)
+      .select("h").as[Long].collect().sorted
+    assert(full.length == 500) // all distinct hashes, under k
+    val sk = Sketches.kmvSketch(df, "grp", "v", k = 64)
+      .select("h").as[Long].collect().sorted
+    assert(sk.toSeq == full.take(64).toSeq) // exactly the 64 minima
+  }
+
+  test("kmvOverlapPairs estimates jaccard/union/intersection") {
+    // A = 1..1000, B = 501..1500 (true J=1/3), C disjoint, D == A
+    val rows =
+      (1 to 1000).map(i => ("a", i.toLong)) ++
+      (501 to 1500).map(i => ("b", i.toLong)) ++
+      (90001 to 91000).map(i => ("c", i.toLong)) ++
+      (1 to 1000).map(i => ("d", i.toLong))
+    val sk = Sketches.kmvSketch(rows.toDF("grp", "v"), "grp", "v", 256)
+    val out = Sketches.kmvOverlapPairs(sk, 256)
+      .collect().map(r => (r.getAs[String]("set_a"),
+        r.getAs[String]("set_b")) ->
+        (r.getAs[Double]("jaccard_est"), r.getAs[Double]("union_est"),
+          r.getAs[Double]("inter_est"))).toMap
+    assert(out.size == 6) // C(4,2) pairs
+    val (jab, uab, iab) = out(("a", "b"))
+    assert(math.abs(jab - 1.0 / 3) < 0.15, s"jaccard $jab")
+    assert(math.abs(uab - 1500.0) / 1500.0 < 0.25, s"union $uab")
+    assert(math.abs(iab - 500.0) / 500.0 < 0.45, s"inter $iab")
+    // disjoint sets share no hashes: jaccard exactly 0
+    assert(out(("a", "c"))._1 == 0.0)
+    // identical value sets produce identical minima: jaccard exactly 1
+    assert(out(("a", "d"))._1 == 1.0)
+  }
+
   test("sketch plans stay bucketed: no cross product anywhere") {
     val items = (1 to 100).map(i => s"t$i").toDF("tok")
     val sk = Sketches.cmsSketch(items, "tok")
