@@ -225,14 +225,12 @@ object Sketches {
     */
   def kmvOverlapPairs(sketch: DataFrame, k: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // |sets|² pair enumeration via a constant-key equi-join (plans as a
-    // broadcast hash join — no cartesian operator for the sweep to flag)
+    // |sets|² pair enumeration: a broadcast cross of the DISTINCT set
+    // ids — set-count-sized (corpora/segments), never data-sized
     val sets = sketch.select(col("set_id")).distinct()
-      .withColumn("one", lit(1))
-    val pairs = sets.select(col("set_id").as("set_a"), col("one"))
-      .join(broadcast(sets.select(col("set_id").as("set_b"), col("one"))),
-        Seq("one"))
-      .filter(col("set_a") < col("set_b")).drop("one")
+    val pairs = sets.select(col("set_id").as("set_a"))
+      .crossJoin(broadcast(sets.select(col("set_id").as("set_b"))))
+      .filter(col("set_a") < col("set_b"))
     val contrib = sketch.join(pairs, col("set_id") === col("set_a"))
       .select(col("set_a"), col("set_b"), col("h"), lit("a").as("side"))
       .unionByName(sketch.join(pairs, col("set_id") === col("set_b"))

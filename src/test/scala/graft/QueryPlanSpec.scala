@@ -25,7 +25,11 @@ class QueryPlanSpec extends SparkSpec {
     Set("ann_brute", "ann_ivf", "ann_pq", "label_knn", "embed_cluster",
       "dedup_semantic", // kmeans centroid table broadcast (k rows)
       "skew_profile", "sales_pareto",
-      "bloom_prune", "value_quantile_bins", "events_drift")
+      "bloom_prune", "value_quantile_bins", "events_drift",
+      // |sets|² pair enumeration over DISTINCT set ids (5 event types);
+      // the constant-key equi-join is folded back to a BNLJ by constant
+      // propagation, but the broadcast side is set-count-sized
+      "events_audience_overlap")
 
   // dedup_clusters executes its iterative joins eagerly behind
   // localCheckpoint while fn() builds the frame, so this sweep only sees
