@@ -755,6 +755,10 @@ object SparkEntry {
           .cast("long") % 2001 - 1000).as("w"))
       TextAnalysis.scoreLinear(rd(s, dir, "documents"), w).orderBy("doc_id")
     }),
+    // --- distributed BPE tokenizer training: top-8 merges from corpus
+    // word frequencies, deterministic tie-break, unrolled-round oracle
+    "text_bpe_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(rd(s, dir, "documents"), 8).orderBy("round")),
     // --- domain-affinity LM scoring: bigram LM trained on src0 docs,
     // every doc scored by mean in-model bigram probability (ln-free
     // perplexity stand-in; floor-scaled exact contributions)
@@ -2306,6 +2310,62 @@ object SparkEntry {
         |  CAST(c.n_pairs AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
         |FROM c JOIN tot t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+    // BPE twin: 8 unrolled rounds. Greedy leftmost application via
+    // gaps-and-islands parity (odd-indexed pairs within a flagged run
+    // merge); each round's argmax is ORDER BY cnt DESC, pair LIMIT 1.
+    "text_bpe_train" -> {
+      val round = (i: Int) =>
+        s"""p$i AS (
+           |  SELECT word, freq, pos, sym,
+           |    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+           |  FROM s$i
+           |), b$i AS (
+           |  SELECT sym AS a, nxt AS b, CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM p$i WHERE nxt IS NOT NULL GROUP BY sym, nxt
+           |  ORDER BY cnt DESC, a, b LIMIT 1
+           |), f$i AS (
+           |  SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
+           |    CASE WHEN p.sym = b.a AND p.nxt = b.b THEN 1 ELSE 0 END AS m
+           |  FROM p$i p, b$i b
+           |), g$i AS (
+           |  SELECT *, pos - row_number()
+           |    OVER (PARTITION BY word, m ORDER BY pos) AS grp
+           |  FROM f$i
+           |), h$i AS (
+           |  SELECT *, CASE WHEN m = 1 AND row_number()
+           |      OVER (PARTITION BY word, m, grp ORDER BY pos) % 2 = 1
+           |    THEN 1 ELSE 0 END AS sel
+           |  FROM g$i
+           |), r$i AS (
+           |  SELECT word, freq, pos, sym, nxt, sel,
+           |    lag(sel) OVER (PARTITION BY word ORDER BY pos) AS prev_sel
+           |  FROM h$i
+           |), s${i + 1} AS (
+           |  SELECT word, freq,
+           |    row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+           |    CASE WHEN sel = 1 THEN sym || nxt ELSE sym END AS sym
+           |  FROM r$i WHERE coalesce(prev_sel, 0) = 0
+           |)""".stripMargin
+      val rounds = (0 until 8).map(round).mkString(",\n")
+      val unions = (0 until 8)
+        .map(i => s"SELECT CAST($i AS BIGINT) AS round, a, b, cnt FROM b$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH wf AS (
+         |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+'))
+         |          AS tok FROM documents)
+         |  WHERE length(tok) > 0 GROUP BY 1
+         |), s0 AS (
+         |  SELECT word, freq, pos,
+         |    substr(word, CAST(pos AS INTEGER), 1) AS sym
+         |  FROM (SELECT word, freq,
+         |          unnest(generate_series(1, length(word))) AS pos
+         |        FROM wf)
+         |),
+         |$rounds
+         |$unions
+         |ORDER BY round""".stripMargin
+    },
     "text_lm_affinity" ->
       """WITH tgt AS (
         |  SELECT string_split_regex(trim(text), '\s+') AS t

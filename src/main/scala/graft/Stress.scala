@@ -128,6 +128,7 @@ object Stress {
       graft.ops.TextAnalysis.scoreLinear(docs, w).count()
     }
     time("vocab_top")(graft.ops.TextAnalysis.buildVocab(docs, 100).count())
+    time("text_bpe_train")(graft.ops.TextAnalysis.bpeTrain(docs, 8).count())
     time("dedup_semantic")(graft.ops.Dedup.semanticDedup(emb).count())
     // weighted SSSP over the mirrored replicated-order graph
     val se0 = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")

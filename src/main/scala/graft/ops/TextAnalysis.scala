@@ -410,6 +410,80 @@ object TextAnalysis {
         (col("c12").cast("double") / col("c1").cast("double")).as("p"))
   }
 
+  /** Distributed BPE tokenizer training: learn the top `merges` byte-pair
+    * merges from corpus word frequencies — the tokenizer-fitting step of
+    * a training-data pipeline. Classic BPE with deterministic tie-break
+    * (highest pair count, then lexicographic pair), greedy leftmost
+    * non-overlapping application per word.
+    *
+    * Everything is relational, so the DuckDB oracle unrolls the SAME
+    * rounds and hash-matches: adjacency via `lead` over (word, pos);
+    * greedy leftmost application via gaps-and-islands parity (within a
+    * run of consecutive flagged pairs, every odd-indexed pair merges —
+    * exactly the sequential greedy result, e.g. "aaaa" → [aa, aa]);
+    * rebuild drops the absorbed position and renumbers.
+    *
+    * Scale shape: state is the WORD VOCABULARY exploded to symbols (never
+    * the corpus — word frequencies are aggregated up front), shuffles are
+    * keyed on word/pair, and each round's argmax collects ONE row to the
+    * driver. State is referenced several times per round → per-round
+    * localCheckpoint. Stops early if the vocabulary runs out of pairs.
+    *
+    * Output: `(round, a, b, cnt)`, one row per learned merge.
+    */
+  def bpeTrain(docs: DataFrame, merges: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(merges >= 1)
+    // drop empty tokens: Spark's sequence(1, 0) DESCENDS ([1, 0]) where
+    // DuckDB's generate_series(1, 0) is empty — a zero-length word would
+    // desync the engines
+    val words = docs.select(explode(tokensCol(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    var state = words
+      .select(col("word"), col("freq"),
+        explode(expr("sequence(1, length(word))")).as("pos"))
+      .withColumn("sym", expr("substring(word, pos, 1)"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy("word").orderBy("pos")
+    val found = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var r = 0
+    var exhausted = false
+    while (r < merges && !exhausted) {
+      val paired = state.withColumn("nxt", lead(col("sym"), 1).over(w))
+      val best = paired.filter(col("nxt").isNotNull)
+        .groupBy(col("sym"), col("nxt")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(desc("cnt"), asc("sym"), asc("nxt")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) =
+          (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
+        found += ((r.toLong, a, b, cnt))
+        state = paired
+          .withColumn("m",
+            when(col("sym") === a && col("nxt") === b, 1).otherwise(0))
+          .withColumn("grp", col("pos") -
+            row_number().over(Window.partitionBy("word", "m").orderBy("pos")))
+          .withColumn("sel", when(col("m") === 1 &&
+            row_number().over(
+              Window.partitionBy("word", "m", "grp").orderBy("pos")) % 2 === 1,
+            1).otherwise(0))
+          .withColumn("prev_sel", lag(col("sel"), 1).over(w))
+          .filter(coalesce(col("prev_sel"), lit(0)) === 0)
+          .withColumn("sym2", when(col("sel") === 1,
+            concat(col("sym"), col("nxt"))).otherwise(col("sym")))
+          .withColumn("npos", row_number().over(w))
+          .select(col("word"), col("freq"), col("npos").as("pos"),
+            col("sym2").as("sym"))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    val sp = docs.sparkSession
+    import sp.implicits._
+    found.toSeq.toDF("round", "a", "b", "cnt")
+  }
+
   /** Domain-affinity scoring against a trained [[bigramLm]]: the mean
     * in-model bigram probability of each document — the `ln`-free
     * selection signal for "keep documents that look like the target

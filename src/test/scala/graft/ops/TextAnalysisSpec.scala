@@ -261,6 +261,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.filter(_._1 == 1L).flatMap(_._5.split(" ")).toSet.size == 10)
   }
 
+  test("bpeTrain learns merges in frequency order and stops when exhausted") {
+    // words: ab (freq 2), abc (freq 1) -> (a,b):3 then (ab,c):1, done
+    val docs = Seq((1L, "ab ab abc")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, merges = 5)
+      .collect().map(r => (r.getAs[Long]("round"), r.getAs[String]("a"),
+        r.getAs[String]("b"), r.getAs[Long]("cnt"))).toSeq
+    assert(got == Seq((0L, "a", "b", 3L), (1L, "ab", "c", 1L)))
+  }
+
+  test("bpeTrain applies merges greedy-leftmost within same-symbol runs") {
+    // aaaa (freq 2): 3 (a,a) pairs; aaa (freq 1): 2 -> cnt 8
+    val docs = Seq((1L, "aaaa aaaa aaa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, merges = 2)
+      .collect().map(r => (r.getAs[Long]("round"), r.getAs[String]("a"),
+        r.getAs[String]("b"), r.getAs[Long]("cnt"))).toSeq
+    assert(got.head == ((0L, "a", "a", 8L)))
+    // greedy leftmost: aaaa -> [aa, aa], aaa -> [aa, a]
+    // round 1 pairs: (aa,aa): 2, (aa,a): 1
+    assert(got(1) == ((1L, "aa", "aa", 2L)))
+  }
+
   test("scoreBigramLm ranks in-domain docs above out-of-domain") {
     // target domain: "a b" dominates; LM gives P(b|a)=1, P(c|b)=1 etc.
     val target = Seq((1L, "a b c a b c"), (2L, "a b c a b")).toDF("doc_id", "text")
