@@ -759,6 +759,14 @@ object SparkEntry {
     // word frequencies, deterministic tie-break, unrolled-round oracle
     "text_bpe_train" -> ((s, dir) =>
       TextAnalysis.bpeTrain(rd(s, dir, "documents"), 8).orderBy("round")),
+    // --- BPE encode: apply the 8 learned merges to the vocabulary,
+    // join the corpus, hash each doc's ordered subword sequence
+    "text_bpe_encode" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val merges = TextAnalysis.bpeTrain(docs, 8).orderBy("round").collect()
+        .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
+      TextAnalysis.bpeEncode(docs, merges).orderBy("doc_id")
+    }),
     // --- domain-affinity LM scoring: bigram LM trained on src0 docs,
     // every doc scored by mean in-model bigram probability (ln-free
     // perplexity stand-in; floor-scaled exact contributions)
@@ -888,6 +896,58 @@ object SparkEntry {
         .withColumn("n_false_pos", col("n_pass") - col("n_true_pass"))
     })
   )
+
+  /** Shared BPE oracle fragments: the symbol init and one unrolled
+    * train/apply round (argmax pair + greedy-leftmost application via
+    * islands parity), used by both `text_bpe_train` and
+    * `text_bpe_encode`.
+    */
+  private val bpePrefixSql: String =
+    """WITH wf AS (
+      |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+'))
+      |          AS tok FROM documents)
+      |  WHERE length(tok) > 0 GROUP BY 1
+      |), s0 AS (
+      |  SELECT word, freq, pos,
+      |    substr(word, CAST(pos AS INTEGER), 1) AS sym
+      |  FROM (SELECT word, freq,
+      |          unnest(generate_series(1, length(word))) AS pos
+      |        FROM wf)
+      |)""".stripMargin
+
+  private def bpeRoundSql(i: Int): String =
+    s"""p$i AS (
+       |  SELECT word, freq, pos, sym,
+       |    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+       |  FROM s$i
+       |), b$i AS (
+       |  SELECT sym AS a, nxt AS b, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM p$i WHERE nxt IS NOT NULL GROUP BY sym, nxt
+       |  ORDER BY cnt DESC, a, b LIMIT 1
+       |), f$i AS (
+       |  SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
+       |    CASE WHEN p.sym = b.a AND p.nxt = b.b THEN 1 ELSE 0 END AS m
+       |  FROM p$i p, b$i b
+       |), g$i AS (
+       |  SELECT *, pos - row_number()
+       |    OVER (PARTITION BY word, m ORDER BY pos) AS grp
+       |  FROM f$i
+       |), h$i AS (
+       |  SELECT *, CASE WHEN m = 1 AND row_number()
+       |      OVER (PARTITION BY word, m, grp ORDER BY pos) % 2 = 1
+       |    THEN 1 ELSE 0 END AS sel
+       |  FROM g$i
+       |), r$i AS (
+       |  SELECT word, freq, pos, sym, nxt, sel,
+       |    lag(sel) OVER (PARTITION BY word ORDER BY pos) AS prev_sel
+       |  FROM h$i
+       |), s${i + 1} AS (
+       |  SELECT word, freq,
+       |    row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+       |    CASE WHEN sel = 1 THEN sym || nxt ELSE sym END AS sym
+       |  FROM r$i WHERE coalesce(prev_sel, 0) = 0
+       |)""".stripMargin
 
   /** DuckDB oracle SQL. Hash-seeded ops (minhash/simhash/LSH) are
     * intentionally absent → driver records a rows-only check; their
@@ -2314,58 +2374,37 @@ object SparkEntry {
     // gaps-and-islands parity (odd-indexed pairs within a flagged run
     // merge); each round's argmax is ORDER BY cnt DESC, pair LIMIT 1.
     "text_bpe_train" -> {
-      val round = (i: Int) =>
-        s"""p$i AS (
-           |  SELECT word, freq, pos, sym,
-           |    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
-           |  FROM s$i
-           |), b$i AS (
-           |  SELECT sym AS a, nxt AS b, CAST(sum(freq) AS BIGINT) AS cnt
-           |  FROM p$i WHERE nxt IS NOT NULL GROUP BY sym, nxt
-           |  ORDER BY cnt DESC, a, b LIMIT 1
-           |), f$i AS (
-           |  SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
-           |    CASE WHEN p.sym = b.a AND p.nxt = b.b THEN 1 ELSE 0 END AS m
-           |  FROM p$i p, b$i b
-           |), g$i AS (
-           |  SELECT *, pos - row_number()
-           |    OVER (PARTITION BY word, m ORDER BY pos) AS grp
-           |  FROM f$i
-           |), h$i AS (
-           |  SELECT *, CASE WHEN m = 1 AND row_number()
-           |      OVER (PARTITION BY word, m, grp ORDER BY pos) % 2 = 1
-           |    THEN 1 ELSE 0 END AS sel
-           |  FROM g$i
-           |), r$i AS (
-           |  SELECT word, freq, pos, sym, nxt, sel,
-           |    lag(sel) OVER (PARTITION BY word ORDER BY pos) AS prev_sel
-           |  FROM h$i
-           |), s${i + 1} AS (
-           |  SELECT word, freq,
-           |    row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
-           |    CASE WHEN sel = 1 THEN sym || nxt ELSE sym END AS sym
-           |  FROM r$i WHERE coalesce(prev_sel, 0) = 0
-           |)""".stripMargin
-      val rounds = (0 until 8).map(round).mkString(",\n")
       val unions = (0 until 8)
         .map(i => s"SELECT CAST($i AS BIGINT) AS round, a, b, cnt FROM b$i")
         .mkString("\nUNION ALL ")
-      s"""WITH wf AS (
-         |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
-         |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+'))
-         |          AS tok FROM documents)
-         |  WHERE length(tok) > 0 GROUP BY 1
-         |), s0 AS (
-         |  SELECT word, freq, pos,
-         |    substr(word, CAST(pos AS INTEGER), 1) AS sym
-         |  FROM (SELECT word, freq,
-         |          unnest(generate_series(1, length(word))) AS pos
-         |        FROM wf)
-         |),
-         |$rounds
+      s"""$bpePrefixSql,
+         |${(0 until 8).map(bpeRoundSql).mkString(",\n")}
          |$unions
          |ORDER BY round""".stripMargin
     },
+    // encode twin: the SAME 8 unrolled rounds leave s8 as the encoded
+    // vocabulary; join the corpus tokens and hash each doc's ordered
+    // subword sequence
+    "text_bpe_encode" ->
+      s"""$bpePrefixSql,
+         |${(0 until 8).map(bpeRoundSql).mkString(",\n")},
+         |enc AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS n_sub,
+         |    string_agg(sym, ' ' ORDER BY pos) AS enc
+         |  FROM s8 GROUP BY word
+         |), dtoks AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(t))) AS tpos, t
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+         |        FROM documents)
+         |), dt AS (
+         |  SELECT doc_id, tpos, t[tpos] AS word
+         |  FROM dtoks WHERE length(t[tpos]) > 0
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(e.n_sub) AS BIGINT) AS n_subwords,
+         |  md5(string_agg(e.enc, ' ' ORDER BY tpos)) AS enc_hash
+         |FROM dt JOIN enc e USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_lm_affinity" ->
       """WITH tgt AS (
         |  SELECT string_split_regex(trim(text), '\s+') AS t

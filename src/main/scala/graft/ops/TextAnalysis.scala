@@ -459,29 +459,79 @@ object TextAnalysis {
         val (a, b, cnt) =
           (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
         found += ((r.toLong, a, b, cnt))
-        state = paired
-          .withColumn("m",
-            when(col("sym") === a && col("nxt") === b, 1).otherwise(0))
-          .withColumn("grp", col("pos") -
-            row_number().over(Window.partitionBy("word", "m").orderBy("pos")))
-          .withColumn("sel", when(col("m") === 1 &&
-            row_number().over(
-              Window.partitionBy("word", "m", "grp").orderBy("pos")) % 2 === 1,
-            1).otherwise(0))
-          .withColumn("prev_sel", lag(col("sel"), 1).over(w))
-          .filter(coalesce(col("prev_sel"), lit(0)) === 0)
-          .withColumn("sym2", when(col("sel") === 1,
-            concat(col("sym"), col("nxt"))).otherwise(col("sym")))
-          .withColumn("npos", row_number().over(w))
-          .select(col("word"), col("freq"), col("npos").as("pos"),
-            col("sym2").as("sym"))
-          .localCheckpoint(true)
+        state = bpeApplyMerge(paired, a, b, Seq("freq")).localCheckpoint(true)
         r += 1
       }
     }
     val sp = docs.sparkSession
     import sp.implicits._
     found.toSeq.toDF("round", "a", "b", "cnt")
+  }
+
+  /** One greedy-leftmost merge application over a
+    * `(word, carry*, pos, sym, nxt)` frame — the relational merge step
+    * shared by [[bpeTrain]] and [[bpeEncode]] (flag → islands parity →
+    * drop absorbed → renumber).
+    */
+  private def bpeApplyMerge(paired: DataFrame, a: String, b: String,
+                            carry: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("word").orderBy("pos")
+    paired
+      .withColumn("m",
+        when(col("sym") === a && col("nxt") === b, 1).otherwise(0))
+      .withColumn("grp", col("pos") -
+        row_number().over(Window.partitionBy("word", "m").orderBy("pos")))
+      .withColumn("sel", when(col("m") === 1 &&
+        row_number().over(
+          Window.partitionBy("word", "m", "grp").orderBy("pos")) % 2 === 1,
+        1).otherwise(0))
+      .withColumn("prev_sel", lag(col("sel"), 1).over(w))
+      .filter(coalesce(col("prev_sel"), lit(0)) === 0)
+      .withColumn("sym2", when(col("sel") === 1,
+        concat(col("sym"), col("nxt"))).otherwise(col("sym")))
+      .withColumn("npos", row_number().over(w))
+      .select((col("word") +: carry.map(col)) ++
+        Seq(col("npos").as("pos"), col("sym2").as("sym")): _*)
+  }
+
+  /** Tokenize the corpus with a learned merge list (the [[bpeTrain]]
+    * output): the encode half of the tokenizer. Merges apply to the
+    * word VOCABULARY (each distinct word encoded once, corpus joins the
+    * result) — at 100 TB the per-round relational work stays vocab-sized
+    * and the only corpus-scale operations are one token explode and one
+    * keyed join. Output per document: token count, subword count, and an
+    * md5 of the full subword sequence in order (the compact
+    * equality-checkable form of the encoding).
+    */
+  def bpeEncode(docs: DataFrame,
+                merges: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokensCol(col("text"))).as(Seq("tpos", "word")))
+      .filter(length(col("word")) > 0)
+    var state = toks.select(col("word")).distinct()
+      .select(col("word"),
+        explode(expr("sequence(1, length(word))")).as("pos"))
+      .withColumn("sym", expr("substring(word, pos, 1)"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy("word").orderBy("pos")
+    merges.foreach { case (a, b) =>
+      val paired = state.withColumn("nxt", lead(col("sym"), 1).over(w))
+      state = bpeApplyMerge(paired, a, b, Seq.empty).localCheckpoint(true)
+    }
+    val enc = state.groupBy(col("word"))
+      .agg(count(lit(1)).as("n_sub"),
+        array_join(expr(
+          "transform(sort_array(collect_list(struct(pos, sym))), x -> x.sym)"),
+          " ").as("enc"))
+    toks.join(enc, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("n_sub")).as("n_subwords"),
+        md5(array_join(expr(
+          "transform(sort_array(collect_list(struct(tpos, enc))), x -> x.enc)"),
+          " ")).as("enc_hash"))
   }
 
   /** Domain-affinity scoring against a trained [[bigramLm]]: the mean

@@ -282,6 +282,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1) == ((1L, "aa", "aa", 2L)))
   }
 
+  test("bpeEncode applies merges in order and counts subwords") {
+    val docs = Seq((1L, "ab ab abc"), (2L, "xyz")).toDF("doc_id", "text")
+    // merges learned above: (a,b) then (ab,c)
+    val out = TextAnalysis.bpeEncode(docs, Seq(("a", "b"), ("ab", "c")))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_subwords")))
+    // doc 1: [ab] [ab] [abc] -> 3 subwords; doc 2: x y z untouched
+    assert(out.toSeq == Seq((1L, 3L, 3L), (2L, 1L, 3L)))
+    // encoding hash is deterministic across runs
+    val h1 = TextAnalysis.bpeEncode(docs, Seq(("a", "b")))
+      .orderBy("doc_id").collect().map(_.getAs[String]("enc_hash")).toSeq
+    val h2 = TextAnalysis.bpeEncode(docs, Seq(("a", "b")))
+      .orderBy("doc_id").collect().map(_.getAs[String]("enc_hash")).toSeq
+    assert(h1 == h2)
+  }
+
   test("scoreBigramLm ranks in-domain docs above out-of-domain") {
     // target domain: "a b" dominates; LM gives P(b|a)=1, P(c|b)=1 etc.
     val target = Seq((1L, "a b c a b c"), (2L, "a b c a b")).toDF("doc_id", "text")
