@@ -237,6 +237,10 @@ object SparkEntry {
     // --- dedup family (rows 17-21)
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(rd(s, dir, "documents")).orderBy("doc_id")),
+    // --- per-source duplication profile (drives sampling weights)
+    "dedup_report" -> ((s, dir) =>
+      Dedup.dedupReport(rd(s, dir, "documents"), "source")
+        .orderBy("source")),
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(rd(s, dir, "documents")).orderBy("a_id", "b_id")),
     // rolling ingestion: docs >= 250 are "today's batch", the rest are
@@ -1246,6 +1250,18 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id, sha256(text) AS checksum,
         | count(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
+    "dedup_report" ->
+      """WITH per AS (
+        |  SELECT source, sha256(text) AS checksum,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2
+        |)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_unique,
+        |  CAST(sum(n) - count(*) AS BIGINT) AS n_dup,
+        |  CAST(sum(n) - count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+        |    AS dup_rate
+        |FROM per GROUP BY source ORDER BY source""".stripMargin,
     "dedup_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents

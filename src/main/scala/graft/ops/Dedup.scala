@@ -36,6 +36,24 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("checksum"), col("n_copies"))
 
+  /** Per-group duplication profile: doc/unique/duplicate counts and the
+    * within-group duplicate rate — the "which source is flooding us with
+    * copies" report that decides per-source sampling weights. Duplicates
+    * are counted WITHIN each group (a checksum shared across groups is
+    * unique in each). Two partial-aggregated shuffles, output
+    * cardinality = |groups|.
+    */
+  def dedupReport(docs: DataFrame, groupCol: String = "source"): DataFrame =
+    docs
+      .withColumn("checksum", sha2(col("text"), 256))
+      .groupBy(col(groupCol), col("checksum"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_unique"),
+        (sum(col("n")) - count(lit(1))).as("n_dup"))
+      .withColumn("dup_rate",
+        col("n_dup").cast("double") / col("n_docs").cast("double"))
+
   /** Exact n-gram Jaccard over a df-pruned shingle space.
     *
     * Semantics (mirrored exactly by the DuckDB oracle): drop shingles with

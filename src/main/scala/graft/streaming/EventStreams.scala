@@ -256,6 +256,40 @@ object EventStreams {
     *
     * Input columns: `group` (string), `value` (string-castable).
     */
+  final case class CmsCell(depth: Int, cell: Long, cnt: Long)
+
+  /** Streaming frequency sketching via count-min cell maintenance — the
+    * streaming twin of [[graft.ops.Sketches.cmsSketch]] with the same
+    * md5-salted hashing, so batch and stream produce IDENTICAL cells.
+    * State is one long per (depth, cell): bounded by depth × width
+    * forever, regardless of stream length or item cardinality. Cell
+    * addition is commutative/associative, so arrival order cannot
+    * change the sketch; estimates come from
+    * `Sketches.cmsEstimate(broadcast-able snapshot, candidates)`.
+    *
+    * Input column: `item` (string).
+    */
+  def streamingFrequencyCells(rows: DataFrame, depth: Int = 4,
+                              width: Int = 1024)(
+      implicit spark: SparkSession): Dataset[CmsCell] = {
+    import spark.implicits._
+    rows
+      .select(explode(expr(s"sequence(0, ${depth - 1})")).as("depth"),
+        col("item"))
+      .withColumn("cell",
+        conv(substring(md5(concat(col("depth").cast("string"), lit(":"),
+          col("item"))), 1, 8), 16, 10).cast("long") % width)
+      .select(col("depth"), col("cell")).as[(Int, Long)]
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), rs: Iterator[(Int, Long)],
+         state: GroupState[Long]) =>
+          val c = state.getOption.getOrElse(0L) + rs.size
+          state.update(c)
+          CmsCell(key._1, key._2, c)
+      }
+  }
+
   def streamingDistinctRegisters(rows: DataFrame, b: Int = 8)(
       implicit spark: SparkSession): Dataset[HllRegister] = {
     import spark.implicits._

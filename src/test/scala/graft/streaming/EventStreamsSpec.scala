@@ -260,6 +260,38 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS cells equal the batch sketch after two batches") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sess = spark
+    import spark.implicits._
+    val mem = MemoryStream[String]
+    val cells = EventStreams.streamingFrequencyCells(
+      mem.toDF.toDF("item"), depth = 3, width = 64)
+    val q = cells.writeStream
+      .format("memory").queryName("cms_stream_test")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      val batch1 = (1 to 100).map(i => s"tok${i % 10}")
+      val batch2 = (1 to 50).map(i => s"tok${i % 5}")
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      // latest count per cell (update mode re-emits changed cells)
+      val streamed = spark.table("cms_stream_test")
+        .groupBy("depth", "cell")
+        .agg(org.apache.spark.sql.functions.max("cnt").as("cnt"))
+        .collect().map(r => (r.getAs[Int]("depth"), r.getAs[Long]("cell"))
+          -> r.getAs[Long]("cnt")).toMap
+      val batch = graft.ops.Sketches.cmsSketch(
+        (batch1 ++ batch2).toDF("tok"), "tok", depth = 3, width = 64)
+        .collect().map(r => (r.getAs[Int]("depth"), r.getAs[Long]("cell"))
+          -> r.getAs[Long]("cnt")).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming HLL registers converge to the batch sketch") {
     implicit val sqlCtx = spark.sqlContext
     implicit val sess = spark
