@@ -237,6 +237,11 @@ object SparkEntry {
     // --- dedup family (rows 17-21)
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(rd(s, dir, "documents")).orderBy("doc_id")),
+    // --- target-mix sampling rates (no-upsampling scale election)
+    "mix_rates" -> ((s, dir) =>
+      Sampling.ratesForTarget(rd(s, dir, "documents"),
+        Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .orderBy("source")),
     // --- per-source duplication profile (drives sampling weights)
     "dedup_report" -> ((s, dir) =>
       Dedup.dedupReport(rd(s, dir, "documents"), "source")
@@ -1250,6 +1255,23 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id, sha256(text) AS checksum,
         | count(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
+    // mix_rates twin: shares forced to DOUBLE (bare decimals parse as
+    // DECIMAL in DuckDB and the min/divide chain would diverge)
+    "mix_rates" ->
+      """WITH tgt(source, share) AS (
+        |  VALUES ('src0', CAST('0.5' AS DOUBLE)),
+        |    ('src1', CAST('0.3' AS DOUBLE)),
+        |    ('src2', CAST('0.2' AS DOUBLE))
+        |), counts AS (
+        |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs, t.share
+        |  FROM documents d JOIN tgt t ON d.source = t.source
+        |  GROUP BY 1, 3
+        |), sc AS (
+        |  SELECT min(CAST(n_docs AS DOUBLE) / share) AS scale FROM counts
+        |)
+        |SELECT source, n_docs, share,
+        |  share * scale / CAST(n_docs AS DOUBLE) AS rate
+        |FROM counts, sc ORDER BY source""".stripMargin,
     "dedup_report" ->
       """WITH per AS (
         |  SELECT source, sha256(text) AS checksum,

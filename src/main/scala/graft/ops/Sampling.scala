@@ -39,6 +39,33 @@ object Sampling {
         .cast("long") % k)
   }
 
+  /** Per-source sampling rates that reshape the corpus into a target
+    * mix WITHOUT upsampling: `scale = min_s(n_s / share_s)` is the
+    * largest output size at which no source must repeat documents, and
+    * `rate_s = share_s · scale / n_s` (the bottleneck source gets rate
+    * 1.0). Feed the result to [[mixtureResample]] — together with
+    * [[graft.ops.Dedup.dedupReport]] this closes the loop: measure the
+    * mix, compute rates, resample deterministically. Sources absent
+    * from `targets` are dropped (rate 0). One partial-aggregated count
+    * keyed on the source + a one-row scale broadcast.
+    */
+  def ratesForTarget(docs: DataFrame, targets: Seq[(String, Double)],
+                     srcCol: String = "source"): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0),
+      "targets must be non-empty positive shares")
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val tgt = targets.toDF(srcCol, "share")
+    val counts = docs.groupBy(col(srcCol)).agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(tgt), srcCol)
+    val scale = counts
+      .agg(min(col("n_docs").cast("double") / col("share")).as("scale"))
+    counts.crossJoin(broadcast(scale))
+      .select(col(srcCol), col("n_docs"), col("share"),
+        (col("share") * col("scale") / col("n_docs").cast("double"))
+          .as("rate"))
+  }
+
   /** Per-label counts and fractions — the class-balance check before
     * training. One partial-aggregated shuffle on the label.
     */

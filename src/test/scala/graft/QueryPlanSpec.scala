@@ -29,7 +29,8 @@ class QueryPlanSpec extends SparkSpec {
       // |sets|² pair enumeration over DISTINCT set ids (5 event types);
       // the constant-key equi-join is folded back to a BNLJ by constant
       // propagation, but the broadcast side is set-count-sized
-      "events_audience_overlap")
+      "events_audience_overlap",
+      "mix_rates") // one-row scale aggregate crossed onto |sources| rows
 
   // dedup_clusters executes its iterative joins eagerly behind
   // localCheckpoint while fn() builds the frame, so this sweep only sees

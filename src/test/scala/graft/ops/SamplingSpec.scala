@@ -130,4 +130,25 @@ class SamplingSpec extends SparkSpec {
     val small = Sampling.samplePerKey(docs.filter(col("doc_id") < 3), "source", 5)
     assert(small.count() == 3L)
   }
+
+  test("ratesForTarget caps the bottleneck source at rate 1, no upsampling") {
+    // a: 100 docs wanted at 50%, b: 900 at 25%, c: 500 at 25%
+    // scale = min(100/.5, 900/.25, 500/.25) = 200 -> a is the bottleneck
+    val docs = ((1 to 100).map(i => (i.toLong, "a")) ++
+      (1 to 900).map(i => (i.toLong + 1000, "b")) ++
+      (1 to 500).map(i => (i.toLong + 10000, "c")) ++
+      (1 to 50).map(i => (i.toLong + 100000, "untargeted")))
+      .toDF("doc_id", "source")
+    val got = Sampling.ratesForTarget(docs,
+      Seq("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("rate"))).toMap
+    assert(got.keySet == Set("a", "b", "c")) // untargeted dropped
+    assert(got("a") == ((100L, 1.0)))        // bottleneck: keep all
+    assert(got("b") == ((900L, 0.25 * 200 / 900)))
+    assert(got("c") == ((500L, 0.25 * 200 / 500)))
+    // resulting mix matches the target shares exactly
+    val outSizes = got.map { case (_, (n, r)) => n * r }
+    assert(math.abs(outSizes.sum - 200.0) < 1e-9)
+  }
 }
