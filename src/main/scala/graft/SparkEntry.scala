@@ -81,6 +81,14 @@ object SparkEntry {
         .drop("change_type")
       Cdc.applyChanges(oldSnap, changes, "o_orderkey").orderBy("o_orderkey")
     }),
+    // --- SCD Type-2 dimension history: each customer's order-priority
+    // observations (ordered by orderkey) collapse into validity intervals
+    "cdc_scd2" -> ((s, dir) => {
+      val log = rd(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderpriority"), col("o_orderkey"))
+      Cdc.scd2(log, "o_custkey", "o_orderpriority", "o_orderkey",
+        "o_orderkey").orderBy("o_custkey", "version")
+    }),
     // --- entity resolution: blocked fuzzy self-match over customer names
     // (planted single-typo variants of the first 50 names; blocks are the
     // 17-char name prefix, so natural last-digit neighbors match too)
@@ -101,6 +109,15 @@ object SparkEntry {
       val seeds = rd(s, dir, "orders").filter(col("o_orderkey") < 100)
         .select(col("o_orderkey").as("id"))
       Graph.bfs(e, seeds, 3).orderBy("id")
+    }),
+    // --- sampled-pivot harmonic closeness over the same order–customer
+    // graph: exact integer 12/d terms, one double division at the end
+    "graph_harmonic" -> ((s, dir) => {
+      val e = rd(s, dir, "orders").select(col("o_orderkey").as("src"),
+        (col("o_custkey") + 10000000L).as("dst"))
+      val seeds = rd(s, dir, "orders").filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey").as("id"))
+      Graph.harmonicCloseness(e, seeds, 3).orderBy("id")
     }),
     // --- daily gap-fill + running totals per user
     "events_gapfill" -> ((s, dir) => {
@@ -1061,6 +1078,23 @@ object SparkEntry {
         |  o_totalprice
         |FROM orders WHERE o_orderkey % 10 <> 0
         |ORDER BY o_orderkey""".stripMargin,
+    "cdc_scd2" ->
+      """WITH ch AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderkey,
+        |    lag(o_orderpriority) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev
+        |  FROM orders
+        |), f AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderkey FROM ch
+        |  WHERE prev IS NULL OR prev <> o_orderpriority
+        |)
+        |SELECT o_custkey, o_orderpriority,
+        |  o_orderkey AS valid_from,
+        |  lead(o_orderkey) OVER w AS valid_to,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  lead(o_orderkey) OVER w IS NULL AS is_current
+        |FROM f WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, version""".stripMargin,
     "entity_match" ->
       """WITH c AS (
         |  SELECT CAST(c_custkey AS BIGINT) AS rec_id, c_name AS name FROM customer
@@ -1094,6 +1128,28 @@ object SparkEntry {
         |)
         |SELECT id, CAST(min(d) AS BIGINT) AS dist
         |FROM walk GROUP BY id ORDER BY id""".stripMargin,
+    // same bounded walk keyed per seed; 12/d is an exact integer for
+    // d in 1..3 so the per-node sum is order-free BIGINT, one final
+    // double division (CAST '12' to dodge DuckDB's decimal literals)
+    "graph_harmonic" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT o_orderkey AS src, o_custkey + 10000000 AS dst FROM orders
+        |), u AS (
+        |  SELECT src AS u, dst AS v FROM e
+        |  UNION ALL SELECT dst, src FROM e
+        |), walk(seed, id, d) AS (
+        |  SELECT o_orderkey, o_orderkey, 0 FROM orders WHERE o_orderkey < 100
+        |  UNION
+        |  SELECT w.seed, u.v, w.d + 1 FROM walk w JOIN u ON u.u = w.id
+        |  WHERE w.d < 3
+        |), dist AS (
+        |  SELECT seed, id, min(d) AS dist FROM walk GROUP BY 1, 2
+        |)
+        |SELECT id, CAST(sum(12 // dist) AS BIGINT) AS h_scaled,
+        |  CAST(count(*) AS BIGINT) AS n_reached,
+        |  CAST(CAST(sum(12 // dist) AS BIGINT) AS DOUBLE)
+        |    / CAST('12' AS DOUBLE) AS harmonic
+        |FROM dist WHERE dist > 0 GROUP BY id ORDER BY id""".stripMargin,
     "events_gapfill" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, value FROM events

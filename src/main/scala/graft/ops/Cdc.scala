@@ -53,4 +53,41 @@ object Cdc {
       .unionByName(
         changes.filter(col("op") === "upsert").drop("op"))
   }
+
+  /** Slowly-changing-dimension Type-2 history from an attribute change
+    * log: `log` carries `(key, attr, seq)` observations ordered by the
+    * monotonic `seq` within each key (ties broken by `tieCol`, a unique
+    * column — a change-log sequence number or source row id). Consecutive
+    * observations with an UNCHANGED attribute collapse into one validity
+    * interval; each surviving version gets `valid_from` (its first seq),
+    * `valid_to` (the next version's seq, NULL while current),
+    * `version` (1-based per key) and `is_current` — the standard
+    * warehouse dimension-history build downstream of a CDC feed
+    * ([[snapshotDiff]] emits the change events; this materializes their
+    * time dimension).
+    *
+    * Scale shape: two windows and the final projection all share ONE
+    * hash partitioning on `key` (Spark reuses the exchange across the
+    * lag-filter and lead steps — the twap/runs single-shuffle pattern);
+    * state per key is O(1). No corpus-wide window, no self-join. Exact
+    * in both engines: the collapse rule compares attribute VALUES
+    * (string equality), never floats.
+    */
+  def scd2(log: DataFrame, key: String, attr: String, seq: String,
+           tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(key).orderBy(col(seq), col(tieCol))
+    // keep only observations where the attribute actually changed
+    val changed = log
+      .withColumn("_prev", lag(col(attr), 1).over(w))
+      .filter(col("_prev").isNull || col("_prev") =!= col(attr))
+      .drop("_prev")
+    val w2 = Window.partitionBy(key).orderBy(col(seq), col(tieCol))
+    changed
+      .withColumn("valid_from", col(seq))
+      .withColumn("valid_to", lead(col(seq), 1).over(w2))
+      .withColumn("version", row_number().over(w2).cast("long"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(seq, tieCol)
+  }
 }

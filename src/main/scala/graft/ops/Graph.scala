@@ -430,4 +430,66 @@ object Graph {
     }
     labels
   }
+
+  /** Per-seed hop distances: [[bfs]] generalized to keep the SEED
+    * identity — level-synchronous over the undirected view with the
+    * frontier keyed on `(seed, id)`, returning every `(seed, id, dist)`
+    * with `dist ≤ maxHops`. State is |seeds|·reached — callers pass a
+    * BOUNDED seed sample (the standard centrality-estimation setup:
+    * exact distances from a pivot set, not all-pairs).
+    *
+    * Same per-round shape as [[bfs]] (frontier⋈edges equi-join on the
+    * node id, distinct, LEFT ANTI vs the visited set, all keyed on
+    * (seed, id)); visited is re-referenced every round so each level
+    * localCheckpoints.
+    */
+  def seedDistances(edges: DataFrame, seeds: DataFrame,
+                    maxHops: Int = 4): DataFrame = {
+    val undirected = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+    var known = seeds.select(col("id")).distinct()
+      .select(col("id").as("seed"), col("id"))
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = known
+    var hop = 1
+    while (hop <= maxHops && !frontier.isEmpty) {
+      val fresh = frontier.join(undirected, col("id") === col("u"))
+        .select(col("seed"), col("v").as("id")).distinct()
+        .join(known, Seq("seed", "id"), "left_anti")
+        .withColumn("dist", lit(hop.toLong)).localCheckpoint(true)
+      known = known.unionByName(fresh)
+      frontier = fresh
+      hop += 1
+    }
+    known
+  }
+
+  /** Hop-bounded harmonic-closeness centrality from a pivot seed set:
+    * `harmonic(v) = Σ_seeds 1/d(seed, v)` over seeds within `maxHops`,
+    * the standard sampled-pivot centrality estimate (exact all-pairs
+    * closeness is O(V·E) — at web scale everyone samples pivots and
+    * bounds the radius; with seeds = all nodes this IS harmonic
+    * centrality). Unreached pairs contribute 0 by harmonic convention —
+    * no infinite-distance special case, which is why harmonic beats
+    * classic closeness on disconnected graphs.
+    *
+    * Engine-exact: each term is `scale div d` with
+    * `scale = lcm(1..maxHops)` (maxHops ≤ 4 → 12), so every reciprocal
+    * is an exact integer and the per-node sum is order-free BIGINT —
+    * `h_scaled / 12.0` only at the end, one IEEE division. Scale shape:
+    * [[seedDistances]] rounds + ONE partial-aggregated shuffle on the
+    * node id; output is node-sized.
+    */
+  def harmonicCloseness(edges: DataFrame, seeds: DataFrame,
+                        maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 4, "lcm scaling table covers 1..4")
+    val scale = 12L
+    seedDistances(edges, seeds, maxHops)
+      .filter(col("dist") > 0)
+      .groupBy(col("id"))
+      .agg(sum(expr(s"$scale div dist")).as("h_scaled"),
+        count(lit(1)).as("n_reached"))
+      .withColumn("harmonic",
+        col("h_scaled").cast("double") / lit(scale.toDouble))
+  }
 }

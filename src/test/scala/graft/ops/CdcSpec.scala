@@ -45,4 +45,32 @@ class CdcSpec extends SparkSpec {
     val (oldSnap, _) = snaps()
     assert(Cdc.snapshotDiff(oldSnap, oldSnap, "id", Seq("p", "v")).isEmpty)
   }
+
+  test("scd2 collapses unchanged runs into versioned validity intervals") {
+    import spark.implicits._
+    val log = Seq(
+      ("a", "x", 1L, 1L), ("a", "x", 2L, 2L), ("a", "y", 3L, 3L),
+      ("a", "x", 5L, 5L), // back to x: a NEW version, not merged with v1
+      ("b", "z", 10L, 10L)
+    ).toDF("k", "attr", "seq", "tie")
+    val got = Cdc.scd2(log, "k", "attr", "seq", "tie")
+      .orderBy("k", "version").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4),
+        r.getBoolean(5)))
+    assert(got.toSeq == Seq(
+      ("a", "x", 1L, Some(3L), 1L, false),
+      ("a", "y", 3L, Some(5L), 2L, false),
+      ("a", "x", 5L, None, 3L, true),
+      ("b", "z", 10L, None, 1L, true)))
+  }
+
+  test("scd2 with a constant attribute yields one current version per key") {
+    import spark.implicits._
+    val log = (1 to 9).map(i => ("k" + (i % 3), "same", i.toLong, i.toLong))
+      .toDF("k", "attr", "seq", "tie")
+    val got = Cdc.scd2(log, "k", "attr", "seq", "tie").collect()
+    assert(got.length == 3)
+    assert(got.forall(_.getBoolean(5)))
+  }
 }

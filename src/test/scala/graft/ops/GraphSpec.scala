@@ -193,6 +193,28 @@ class GraphSpec extends SparkSpec {
     assert(Set(got(4L), got(5L), got(6L)).size == 1)
   }
 
+  test("seedDistances keeps per-seed identity on a path graph") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(1L, 5L).toDF("id")
+    val got = Graph.seedDistances(edges, seeds, maxHops = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 1L, 0L), (1L, 2L, 1L), (1L, 3L, 2L),
+      (5L, 5L, 0L), (5L, 4L, 1L), (5L, 3L, 2L)))
+  }
+
+  test("harmonicCloseness sums exact scaled reciprocals within the radius") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(1L, 5L).toDF("id")
+    val got = Graph.harmonicCloseness(edges, seeds, maxHops = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // node 3 reached by both seeds at d=2 (6+6); nodes 2 and 4 by one
+    // seed at d=1 (12); seeds themselves are beyond each other's radius
+    assert(got == Set(
+      (2L, 12L, 1L, 1.0), (3L, 12L, 2L, 1.0), (4L, 12L, 1L, 1.0)))
+  }
+
   test("labelPropagation is deterministic across runs") {
     val edges = (1 to 200).map(i =>
       (i.toLong, ((i * 7) % 50 + 1).toLong)).toDF("src", "dst")
