@@ -265,6 +265,29 @@ object SparkEntry {
         .orderBy("source")),
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(rd(s, dir, "documents")).orderBy("a_id", "b_id")),
+    // --- exact duplicated-substring spans (relational ExactSubstr)
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpans(rd(s, dir, "documents"), 5)
+        .orderBy("doc_id", "span_id")),
+    // --- prefix-filtered token-set join: lossless candidate pruning
+    "dedup_jaccard_prefix" -> ((s, dir) =>
+      Dedup.tokenJaccardPrefix(rd(s, dir, "documents"), 0.8)
+        .orderBy("a_id", "b_id")),
+    // --- block-hash perceptual near-dup over binary payloads: planted
+    // copies perturb only the last 3 bytes, flipping one 4-bit block
+    "multimodal_phash" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") < 40).select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        concat(expr("substring(text, 1, length(text) - 3)"), lit("XXX"))
+          .as("text"))
+      Multimodal.mediaNearDup(Multimodal.asMedia(docs.unionByName(planted)))
+        .orderBy("a_id", "b_id")
+    }),
+    // --- temperature-flattened mixture rates (iterated-sqrt weights)
+    "mix_temperature" -> ((s, dir) =>
+      Sampling.temperatureRates(rd(s, dir, "documents"), 4)
+        .orderBy("source")),
     // rolling ingestion: docs >= 250 are "today's batch", the rest are
     // the already-ingested corpus whose checksums form the index
     "dedup_incremental" -> ((s, dir) => {
@@ -1328,6 +1351,22 @@ object SparkEntry {
         |SELECT source, n_docs, share,
         |  share * scale / CAST(n_docs AS DOUBLE) AS rate
         |FROM counts, sc ORDER BY source""".stripMargin,
+    // T=4 → two iterated sqrts (IEEE-exact in both engines); normalizer
+    // is a min, so no order-dependent float sum anywhere
+    "mix_temperature" ->
+      """WITH counts AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1
+        |), w AS (
+        |  SELECT source, n_docs,
+        |    sqrt(sqrt(CAST(n_docs AS DOUBLE))) AS weight
+        |  FROM counts
+        |), sc AS (
+        |  SELECT min(CAST(n_docs AS DOUBLE) / weight) AS scale FROM w
+        |)
+        |SELECT source, n_docs, weight,
+        |  weight * scale / CAST(n_docs AS DOUBLE) AS rate
+        |FROM w, sc ORDER BY source""".stripMargin,
     "dedup_report" ->
       """WITH per AS (
         |  SELECT source, sha256(text) AS checksum,
@@ -1366,6 +1405,62 @@ object SparkEntry {
         |JOIN sizes sa ON pairs.a_id = sa.doc_id
         |JOIN sizes sb ON pairs.b_id = sb.doc_id
         |WHERE CAST(common AS DOUBLE) / CAST(sa.set_size + sb.set_size - common AS DOUBLE) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    // duplicated 5-gram positions → interval union per doc (same island
+    // windows as the Spark side — all-integer, hash-exact)
+    "dedup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), g0 AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+        |  FROM toks WHERE len(t) >= 5
+        |), g AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |      || ' ' || t[i+4] AS gram
+        |  FROM g0
+        |), d AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS occ
+        |    FROM g) WHERE occ > 1
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM d
+        |), sp AS (
+        |  SELECT doc_id, pos,
+        |    sum(CASE WHEN prev_end IS NULL OR prev_end + 1 < pos
+        |      THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        |  FROM isl
+        |)
+        |SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+        |  CAST(min(pos) AS BIGINT) AS start_pos,
+        |  CAST(max(pos) + 4 AS BIGINT) AS end_pos,
+        |  CAST(max(pos) + 4 - min(pos) + 1 AS BIGINT) AS span_tokens
+        |FROM sp GROUP BY 1, 2 ORDER BY doc_id, span_id""".stripMargin,
+    // oracle is the UNFILTERED exact token-jaccard pair set — the prefix
+    // filter must be lossless, so the hashes agree only if it is
+    "dedup_jaccard_prefix" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
+        |  FROM documents
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1
+        |), pairs AS (
+        |  SELECT l.doc_id AS a_id, r.doc_id AS b_id, count(*) AS common
+        |  FROM toks l JOIN toks r ON l.tok = r.tok AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a_id, b_id,
+        |  CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON pairs.a_id = sa.doc_id
+        |JOIN sizes sb ON pairs.b_id = sb.doc_id
+        |WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE)
+        |  >= CAST('0.8' AS DOUBLE)
         |ORDER BY a_id, b_id""".stripMargin,
     "dedup_incremental" ->
       """WITH batch AS (
@@ -1841,6 +1936,30 @@ object SparkEntry {
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | md5(text) AS checksum
         |FROM documents ORDER BY media_id""".stripMargin,
+    // block-hash twin: DuckDB's md5 is VARCHAR-only, but the corpus is
+    // ASCII so byte slices == char slices and the text-side signature is
+    // bit-identical to Spark's binary-side one (14 nibble terms below
+    // are generated to mirror Multimodal.blockHashSignature exactly)
+    "multimodal_phash" -> {
+      val sigTerms = (0 until 14).map { b =>
+        s"CAST('0x' || substr(md5(substr(text, $b * blkw + 1, blkw)), 1, 1) AS BIGINT) * ${math.pow(16, b).toLong}"
+      }.mkString("\n    + ")
+      s"""WITH d AS (
+         |  SELECT doc_id AS media_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, substr(text, 1, length(text) - 3) || 'XXX'
+         |  FROM documents WHERE doc_id < 40
+         |), blk AS (
+         |  SELECT media_id, text, (length(text) + 13) // 14 AS blkw FROM d
+         |), s AS (
+         |  SELECT media_id, $sigTerms AS sig FROM blk
+         |)
+         |SELECT a.media_id AS a_id, b.media_id AS b_id,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM s a JOIN s b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 4
+         |ORDER BY a_id, b_id""".stripMargin
+    },
     "events_sessions" ->
       """WITH e AS (
         |  -- floor, not CAST: epoch() is a fractional DOUBLE on sub-second

@@ -609,4 +609,93 @@ object Dedup {
       .filter(col("cosine") >= tau)
       .select(col("a_id"), col("b_id"), col("cosine"))
   }
+
+  /** Exact duplicated-substring spans — the span-level counterpart of
+    * [[paragraphDedup]]: every maximal token range whose length-`n`
+    * token grams ALL occur 2+ times anywhere in the corpus (intra- or
+    * inter-document). This is the relational form of suffix-array
+    * substring dedup: a copied passage of >= n tokens is a run of
+    * duplicated grams, and merging overlapping/adjacent gram intervals
+    * recovers the maximal copied span without materializing suffixes.
+    * Returns `(doc_id, span_id, start_pos, end_pos, span_tokens)` in
+    * token coordinates (0-based, inclusive).
+    *
+    * Scale shape: tokenize once per row (native [[graft.functions.WordNgrams]]
+    * single pass), ONE shuffle on the gram for the occurrence count (the
+    * jaccard count-over-window form — postings shuffle exactly once),
+    * then one doc-keyed shuffle shared by the interval-merge windows and
+    * the span rollup. A boilerplate gram at df=N contributes N posting
+    * rows, never N² — there is no pair join anywhere.
+    */
+  def duplicatedSpans(docs: DataFrame, n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col("doc_id"),
+      posexplode(expr(s"graft_ngrams(text, $n)")).as(Seq("pos", "gram")))
+    val dupPos = grams
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy("gram")))
+      .filter(col("occ") > 1)
+      .select(col("doc_id"), col("pos"))
+    // union of intervals [pos, pos+n-1]: a new island starts when this
+    // gram begins past the running max end + 1 (merge overlap AND touch)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    dupPos
+      .withColumn("prev_end", max(col("pos") + lit(n - 1))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("island",
+        when(col("prev_end").isNull || col("prev_end") + 1 < col("pos"), 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum(col("island")).over(w))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).cast("long").as("start_pos"),
+        (max(col("pos")) + lit(n - 1)).cast("long").as("end_pos"))
+      .withColumn("span_tokens", col("end_pos") - col("start_pos") + 1)
+  }
+
+  /** Prefix-filtered token-set similarity self-join (AllPairs/PPJoin
+    * family): EXACT jaccard >= `tau` pairs over word-token sets, with
+    * candidate generation restricted to each document's PREFIX — its
+    * `|x| - ceil(tau·|x|) + 1` globally rarest tokens. Completeness:
+    * under any global total order, two sets with J >= tau overlap in at
+    * least `ceil(tau/(1+tau)·(|x|+|y|))` tokens, which forces a shared
+    * token inside both symmetric prefixes — so unlike [[ngramJaccard]]'s
+    * df-cap (which DROPS hot shingles and needs a corpus-gap argument),
+    * the prefix filter is lossless at every threshold.
+    *
+    * Scale shape: rarest-first ordering means stopwords land at the END
+    * of every token list and never enter the index — posting-list fanout
+    * concentrates on rare tokens where df is small by definition. One
+    * token-keyed shuffle for df, one doc-keyed shuffle for ranking, one
+    * prefix-token-keyed shuffle for the candidate join, one pair-keyed
+    * shuffle for verification. The verify join streams only candidate
+    * docs' postings, keyed on token.
+    */
+  def tokenJaccardPrefix(docs: DataFrame, tau: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
+    val ranked = toks
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
+      .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(asc("df"), asc("tok"))))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val prefix = ranked
+      .filter(col("rk") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
+      .select(col("doc_id"), col("tok"), col("sz"))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.sz").as("a_sz"), col("b.sz").as("b_sz"))
+      .distinct()
+    val postings = toks.select(col("doc_id"), col("tok"))
+    cands
+      .join(postings.as("pa"), col("a_id") === col("pa.doc_id"))
+      .join(postings.as("pb"), col("b_id") === col("pb.doc_id") &&
+        col("pa.tok") === col("pb.tok"))
+      .groupBy(col("a_id"), col("b_id"), col("a_sz"), col("b_sz"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("a_sz") + col("b_sz") - col("common")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
 }

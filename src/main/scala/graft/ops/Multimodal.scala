@@ -92,6 +92,64 @@ object Multimodal {
     }
   }
 
+  /** Perceptual-hash stand-in over the raw payload BYTES (blockhash/PDQ
+    * family shape): split the payload into `blocks` equal byte ranges,
+    * digest each, keep one hex nibble per block, and pack the nibbles
+    * into a single BIGINT signature. Equal payloads always collide; a
+    * localized byte edit flips exactly the nibbles of the blocks it
+    * touches, so nibble-aligned bit hamming measures how MUCH of the
+    * payload changed — the plumbing a real DCT perceptual hash drops
+    * into (swap the per-block digest for a frequency-domain feature).
+    *
+    * 14 blocks × 4 bits = 56 bits: the top nibble's weight 16^13 stays
+    * far below 2^63, so the packed signature never overflows signed
+    * BIGINT in any engine. Single narrow projection — no shuffle, no
+    * UDF; every digest is md5-prefix so the signature is engine-portable
+    * (the DuckDB twin rebuilds it from the text form of the payload).
+    */
+  def blockHashSignature(media: DataFrame, blocks: Int = 14): DataFrame = {
+    val sig = (0 until blocks).map { b =>
+      s"""CAST(conv(substr(md5(substring(payload,
+         | CAST($b * blkw + 1 AS INT), CAST(blkw AS INT))), 1, 1),
+         | 16, 10) AS BIGINT) * ${math.pow(16, b).toLong}L""".stripMargin
+    }.mkString(" + ")
+    media
+      .withColumn("blkw",
+        expr(s"(octet_length(payload) + ${blocks - 1}) div $blocks"))
+      .withColumn("sig", expr(sig))
+      .select(col("media_id"), col("sig"))
+  }
+
+  /** Media near-dup pairs at bit-hamming <= `maxHamming` over
+    * [[blockHashSignature]]s — the image/audio twin of
+    * [[graft.ops.Dedup.simHash]]: signatures split into `chunks` 8-bit
+    * chunks, candidates share at least one chunk value (pigeonhole: with
+    * 7 chunks every pair at hamming <= 6 shares an untouched chunk, so
+    * the candidate join is EXHAUSTIVE for the default threshold — the
+    * pair set is exact, not approximate). Shuffles are keyed on
+    * (chunk_idx, chunk_value) and the pair key; nothing corpus-sized
+    * funnels through one reducer.
+    */
+  def mediaNearDup(media: DataFrame, maxHamming: Int = 4,
+                   blocks: Int = 14, chunks: Int = 7): DataFrame = {
+    require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
+    val sigs = blockHashSignature(media, blocks)
+    val chunked = sigs.select(col("media_id"), col("sig"),
+      explode(array((0 until chunks).map(c =>
+        struct(lit(c).as("c"),
+          expr(s"(sig div ${math.pow(256, c).toLong}L) % 256L").as("v"))
+      ): _*)).as("ch"))
+      .select(col("media_id"), col("sig"),
+        col("ch.c").as("c"), col("ch.v").as("v"))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"),
+        expr("bit_count(a.sig ^ b.sig)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   case class FrameSample(media_id: Long, frame_idx: Int, width: Int,
                          height: Int, frame_md5: String)
 

@@ -66,6 +66,39 @@ object Sampling {
           .as("rate"))
   }
 
+  /** Temperature-flattened sampling rates (the multilingual-pretraining
+    * mix rule): source weight `n_s^(1/T)` damps the head so rare sources
+    * keep a larger fraction — T=1 is proportional (rate 1 everywhere),
+    * larger T flattens toward uniform. No-upsampling normalization as in
+    * [[ratesForTarget]]: `n_s / w_s = n_s^(1-1/T)` is smallest for the
+    * RAREST source, so `scale = min_s(n_s / w_s)` keeps all of it
+    * (rate 1) and downsamples every larger source toward the flattened
+    * mix with `rate_s = w_s · scale / n_s`.
+    *
+    * T is restricted to powers of two so the root is ITERATED `sqrt` —
+    * IEEE-correctly-rounded in every engine, unlike `pow`/`ln` whose
+    * last-ulp drift breaks cross-engine exactness. No float sum anywhere:
+    * the normalizer is a `min` (order-free), each rate is three IEEE ops
+    * in a fixed tree. One source-keyed count + a one-row broadcast.
+    */
+  def temperatureRates(docs: DataFrame, temperature: Int = 4,
+                       srcCol: String = "source"): DataFrame = {
+    require(Seq(1, 2, 4, 8).contains(temperature),
+      "temperature must be 1, 2, 4, or 8 (iterated-sqrt exactness)")
+    val roots = (math.log(temperature) / math.log(2)).round.toInt
+    def weight(c: Column): Column =
+      (0 until roots).foldLeft(c.cast("double"))((acc, _) => sqrt(acc))
+    val counts = docs.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight", weight(col("n_docs")))
+    val scale = counts
+      .agg(min(col("n_docs").cast("double") / col("weight")).as("scale"))
+    counts.crossJoin(broadcast(scale))
+      .select(col(srcCol), col("n_docs"), col("weight"),
+        (col("weight") * col("scale") / col("n_docs").cast("double"))
+          .as("rate"))
+  }
+
   /** Per-label counts and fractions — the class-balance check before
     * training. One partial-aggregated shuffle on the label.
     */

@@ -216,4 +216,58 @@ class DedupSpec extends SparkSpec {
     assert(keys.contains((0L, 2L)), "0.001-perturbed vector missed")
     assert(!keys.exists(p => p._1 == 3L || p._2 == 3L), "unrelated vector matched")
   }
+
+  test("duplicatedSpans recovers the maximal copied passage in both docs") {
+    val corpus = Seq(
+      (1L, "a b c d e f g x y z"),
+      (2L, "q r a b c d e f g w")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(corpus, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // shared run "a b c d e f g" spans tokens 0..6 in doc 1, 2..8 in doc 2
+    assert(got == Set((1L, 0L, 6L, 7L), (2L, 2L, 8L, 7L)))
+  }
+
+  test("duplicatedSpans merges intra-document repetition into one island") {
+    val corpus = Seq((1L, "m n m n m n")).toDF("doc_id", "text")
+    // every 3-gram repeats within the doc: the whole doc is one span
+    val got = Dedup.duplicatedSpans(corpus, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 0L, 5L)))
+  }
+
+  test("duplicatedSpans keeps disjoint copied regions as separate spans") {
+    val corpus = Seq(
+      (1L, "a b c d ZZ1 ZZ2 ZZ3 ZZ4 w x y z"),
+      (2L, "a b c d q8 q9 r8 r9 w x y z")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(corpus, n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    // "a b c d" (0..3) and "w x y z" (8..11) duplicate; middles differ
+    assert(got == Set((1L, 0L, 3L), (1L, 8L, 11L),
+      (2L, 0L, 3L), (2L, 8L, 11L)))
+  }
+
+  test("tokenJaccardPrefix equals the brute-force jaccard pair set") {
+    // overlapping vocab slices force a range of true jaccards around tau
+    val corpus = (0 until 30).map { i =>
+      val toks = (0 until 12).map(j => s"w${(i / 3) * 2 + j}")
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val tau = 0.5
+    val got = Dedup.tokenJaccardPrefix(corpus, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = (0 until 30).map { i =>
+      i.toLong -> (0 until 12).map(j => s"w${(i / 3) * 2 + j}").toSet
+    }.toMap
+    val brute = (for {
+      a <- 0L until 30L; b <- (a + 1) until 30L
+      inter = sets(a).intersect(sets(b)).size.toDouble
+      union = sets(a).union(sets(b)).size.toDouble
+      if union > 0 && inter / union >= tau
+    } yield (a, b)).toSet
+    assert(brute.nonEmpty, "test corpus must produce matching pairs")
+    assert(got == brute, "prefix filter must be lossless")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, encode, lit}
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -68,5 +69,46 @@ class MultimodalSpec extends SparkSpec {
       .collect().sortBy(_.media_id)
     assert(again.map(f => (f.width, f.height, f.checksum)).toSeq ==
       feats.map(f => (f.width, f.height, f.checksum)).toSeq)
+  }
+
+  test("blockHashSignature: equal payloads collide, local edits flip few bits") {
+    import spark.implicits._
+    val base = "x" * 140 // 14 blocks of 10 bytes
+    val media = Seq(
+      (1L, base), (2L, base),                       // exact copy
+      (3L, base.dropRight(3) + "YYY"),              // last block perturbed
+      (4L, base.map(c => ('a' + c % 7).toChar).mkString) // unrelated
+    ).toDF("media_id", "text")
+      .select(col("media_id"), lit("text/plain").as("mime"),
+        encode(col("text"), "utf-8").as("payload"))
+    val sigs = Multimodal.blockHashSignature(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L), "identical payloads must collide")
+    val ham13 = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    assert(ham13 <= 4, s"one perturbed block flips at most one nibble ($ham13)")
+    assert(sigs.values.forall(s => s >= 0L && s < (1L << 56)))
+  }
+
+  test("mediaNearDup pair set equals brute-force hamming over signatures") {
+    import spark.implicits._
+    val base = "some synthetic payload content repeated " * 5
+    val rows = (0 until 20).map { i =>
+      // 5 perturbed copies of doc 0, the rest distinct
+      val text = if (i < 5) base.dropRight(3) + s"Y$i%02d" else base + s" tail unique $i " * 3
+      (i.toLong, text)
+    }
+    val media = rows.toDF("media_id", "text")
+      .select(col("media_id"), lit("text/plain").as("mime"),
+        encode(col("text"), "utf-8").as("payload"))
+    val sigs = Multimodal.blockHashSignature(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- 0L until 20L; b <- (a + 1) until 20L
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 4
+    } yield (a, b)).toSet
+    val got = Multimodal.mediaNearDup(media, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, "pigeonhole candidate join must be exhaustive")
+    assert(brute.nonEmpty, "perturbed copies must produce near-dup pairs")
   }
 }

@@ -151,4 +151,30 @@ class SamplingSpec extends SparkSpec {
     val outSizes = got.map { case (_, (n, r)) => n * r }
     assert(math.abs(outSizes.sum - 200.0) < 1e-9)
   }
+
+  test("temperatureRates keeps the rarest source and flattens the head") {
+    import spark.implicits._
+    val docs = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (1 to 16).map(i => (i.toLong + 1000, "small")) ++
+      (1 to 81).map(i => (i.toLong + 2000, "mid")))
+      .toDF("doc_id", "source")
+    val got = Sampling.temperatureRates(docs, temperature = 2)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("rate"))).toMap
+    // weights are sqrt(n): 10, 4, 9; scale = min(n/w) = 4 (rarest)
+    assert(got("small") == ((16L, 1.0)), "rarest source keeps everything")
+    assert(got("big") == ((100L, 10.0 * 4.0 / 100.0)))
+    assert(got("mid") == ((81L, 9.0 * 4.0 / 81.0)))
+    // flattening: output ratio big/small (40/16) < input ratio (100/16)
+    assert(100.0 * got("big")._2 / 16.0 < 100.0 / 16.0)
+  }
+
+  test("temperatureRates at T=1 is proportional (all rates 1)") {
+    import spark.implicits._
+    val docs = ((1 to 30).map(i => (i.toLong, "a")) ++
+      (1 to 7).map(i => (i.toLong + 100, "b"))).toDF("doc_id", "source")
+    val rates = Sampling.temperatureRates(docs, temperature = 1)
+      .collect().map(_.getAs[Double]("rate"))
+    assert(rates.forall(_ == 1.0))
+  }
 }
