@@ -269,9 +269,11 @@ object SparkEntry {
     "dedup_spans" -> ((s, dir) =>
       Dedup.duplicatedSpans(rd(s, dir, "documents"), 5)
         .orderBy("doc_id", "span_id")),
-    // --- prefix-filtered token-set join: lossless candidate pruning
+    // --- prefix-filtered shingle-set join: lossless candidate pruning
+    // (3-gram sets — see tokenJaccardPrefix scaladoc for why word sets
+    // defeat the filter on this vocabulary)
     "dedup_jaccard_prefix" -> ((s, dir) =>
-      Dedup.tokenJaccardPrefix(rd(s, dir, "documents"), 0.8)
+      Dedup.tokenJaccardPrefix(rd(s, dir, "documents"), 0.8, ngram = 3)
         .orderBy("a_id", "b_id")),
     // --- block-hash perceptual near-dup over binary payloads: planted
     // copies perturb only the last 3 bytes, flipping one 4-bit block
@@ -1440,13 +1442,16 @@ object SparkEntry {
         |  CAST(max(pos) + 4 AS BIGINT) AS end_pos,
         |  CAST(max(pos) + 4 - min(pos) + 1 AS BIGINT) AS span_tokens
         |FROM sp GROUP BY 1, 2 ORDER BY doc_id, span_id""".stripMargin,
-    // oracle is the UNFILTERED exact token-jaccard pair set — the prefix
-    // filter must be lossless, so the hashes agree only if it is
+    // oracle is the UNFILTERED exact shingle-jaccard pair set — the
+    // prefix filter must be lossless, so the hashes agree only if it is
     "dedup_jaccard_prefix" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
-        |  FROM documents
+      """WITH raw AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), toks AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS tok
+        |  FROM raw WHERE len(t) >= 3
         |), sizes AS (
         |  SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1
         |), pairs AS (

@@ -667,12 +667,25 @@ object Dedup {
     * token-keyed shuffle for df, one doc-keyed shuffle for ranking, one
     * prefix-token-keyed shuffle for the candidate join, one pair-keyed
     * shuffle for verification. The verify join streams only candidate
-    * docs' postings, keyed on token.
+    * docs' postings, keyed on token. The length filter
+    * (`tau·|x| <= |y|`) drops size-incompatible candidates before they
+    * reach verification.
+    *
+    * `ngram >= 2` switches the set elements from word tokens to word
+    * n-gram shingles ([[shinglesCol]]'s similarity space). That choice
+    * is load-bearing for the filter's effectiveness: prefix filtering
+    * prunes in proportion to how RARE the rarest set elements are, and
+    * a small word vocabulary (every token hot) gives it nothing to work
+    * with — measured 140s at sf0.1 on word sets vs ~2s on 3-gram sets,
+    * whose key space is combinatorially larger so prefix dfs are tiny.
     */
-  def tokenJaccardPrefix(docs: DataFrame, tau: Double = 0.5): DataFrame = {
+  def tokenJaccardPrefix(docs: DataFrame, tau: Double = 0.5,
+                         ngram: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col("doc_id"),
-      explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
+    val elems =
+      if (ngram <= 1) array_distinct(split(trim(col("text")), "\\s+"))
+      else expr(s"graft_shingles(text, $ngram)")
+    val toks = docs.select(col("doc_id"), explode(elems).as("tok"))
     val ranked = toks
       .withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
       .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
@@ -682,7 +695,10 @@ object Dedup {
       .filter(col("rk") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
       .select(col("doc_id"), col("tok"), col("sz"))
     val cands = prefix.as("a").join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+          // length filter: J >= tau forces tau·|x| <= |y| and vice versa
+          col("a.sz") * lit(tau) <= col("b.sz") &&
+          col("b.sz") * lit(tau) <= col("a.sz"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         col("a.sz").as("a_sz"), col("b.sz").as("b_sz"))
       .distinct()

@@ -30,7 +30,8 @@ class QueryPlanSpec extends SparkSpec {
       // the constant-key equi-join is folded back to a BNLJ by constant
       // propagation, but the broadcast side is set-count-sized
       "events_audience_overlap",
-      "mix_rates") // one-row scale aggregate crossed onto |sources| rows
+      "mix_rates",  // one-row scale aggregate crossed onto |sources| rows
+      "mix_temperature") // same one-row scale-election broadcast
 
   // dedup_clusters executes its iterative joins eagerly behind
   // localCheckpoint while fn() builds the frame, so this sweep only sees

@@ -270,4 +270,19 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty, "test corpus must produce matching pairs")
     assert(got == brute, "prefix filter must be lossless")
   }
+
+  test("tokenJaccardPrefix in shingle mode equals uncapped ngramJaccard") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val corpus = Seq(
+      (1L, base), (2L, base),                          // identical
+      (3L, base.replace("lazy", "sleepy")),            // near-dup
+      (4L, "completely different text with no overlap at all in any shingle window here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.tokenJaccardPrefix(corpus, 0.5, ngram = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccard(corpus, 0.5, dfMax = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((1L, 2L)) && exact.contains((1L, 3L)))
+    assert(got == exact, "shingle-mode prefix join must equal exact jaccard")
+  }
 }
