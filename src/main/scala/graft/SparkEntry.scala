@@ -286,6 +286,31 @@ object SparkEntry {
       Multimodal.mediaNearDup(Multimodal.asMedia(docs.unionByName(planted)))
         .orderBy("a_id", "b_id")
     }),
+    // --- media dedup END-TO-END: block-hash pairs → connected
+    // components → representative election (exact + perturbed copies
+    // planted; every copy family must collapse to one representative)
+    "multimodal_dedup" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val perturbed = docs.filter(col("doc_id") < 40).select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        concat(expr("substring(text, 1, length(text) - 3)"), lit("XXX"))
+          .as("text"))
+      val exact = docs.filter(col("doc_id") < 10).select(
+        (col("doc_id") + 200000L).as("doc_id"), col("text"))
+      val media = Multimodal.asMedia(
+        docs.unionByName(perturbed).unionByName(exact))
+      val pairs = Multimodal.mediaNearDup(media)
+        .select(col("a_id"), col("b_id"))
+      val clusters = Dedup.resolveClusters(pairs)
+        .select(col("doc_id").as("media_id"), col("cluster_id"))
+      media.select(col("media_id"))
+        .join(clusters, Seq("media_id"), "left")
+        .withColumn("cluster_id",
+          coalesce(col("cluster_id"), col("media_id")))
+        .withColumn("is_representative",
+          col("media_id") === col("cluster_id"))
+        .orderBy("media_id")
+    }),
     // --- temperature-flattened mixture rates (iterated-sqrt weights)
     "mix_temperature" -> ((s, dir) =>
       Sampling.temperatureRates(rd(s, dir, "documents"), 4)
@@ -1009,6 +1034,32 @@ object SparkEntry {
     * by `dedup_clusters` (hash-min) and `dedup_clusters_star`
     * (large-star/small-star), which must agree row-for-row.
     */
+  /** Block-hash signature CTE chain (to `s(media_id, sig)`) — the DuckDB
+    * twin of [[graft.ops.Multimodal.blockHashSignature]] over the planted
+    * media corpus: 14 per-block md5 nibbles packed into one BIGINT.
+    * `withExactCopies` adds the verbatim doc_id<10 copies that
+    * `multimodal_dedup` plants on top of the perturbed doc_id<40 ones.
+    */
+  private def phashSigCtes(withExactCopies: Boolean): String = {
+    val sigTerms = (0 until 14).map { b =>
+      s"CAST('0x' || substr(md5(substr(text, $b * blkw + 1, blkw)), 1, 1) AS BIGINT) * ${math.pow(16, b).toLong}"
+    }.mkString("\n    + ")
+    val exact =
+      if (withExactCopies)
+        "\n  UNION ALL\n  SELECT doc_id + 200000, text FROM documents WHERE doc_id < 10"
+      else ""
+    s"""d AS (
+       |  SELECT doc_id AS media_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, substr(text, 1, length(text) - 3) || 'XXX'
+       |  FROM documents WHERE doc_id < 40$exact
+       |), blk AS (
+       |  SELECT media_id, text, (length(text) + 13) // 14 AS blkw FROM d
+       |), s AS (
+       |  SELECT media_id, $sigTerms AS sig FROM blk
+       |)""".stripMargin
+  }
+
   private val clustersOracleSql: String =
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
@@ -1943,28 +1994,40 @@ object SparkEntry {
         |FROM documents ORDER BY media_id""".stripMargin,
     // block-hash twin: DuckDB's md5 is VARCHAR-only, but the corpus is
     // ASCII so byte slices == char slices and the text-side signature is
-    // bit-identical to Spark's binary-side one (14 nibble terms below
-    // are generated to mirror Multimodal.blockHashSignature exactly)
-    "multimodal_phash" -> {
-      val sigTerms = (0 until 14).map { b =>
-        s"CAST('0x' || substr(md5(substr(text, $b * blkw + 1, blkw)), 1, 1) AS BIGINT) * ${math.pow(16, b).toLong}"
-      }.mkString("\n    + ")
-      s"""WITH d AS (
-         |  SELECT doc_id AS media_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 100000, substr(text, 1, length(text) - 3) || 'XXX'
-         |  FROM documents WHERE doc_id < 40
-         |), blk AS (
-         |  SELECT media_id, text, (length(text) + 13) // 14 AS blkw FROM d
-         |), s AS (
-         |  SELECT media_id, $sigTerms AS sig FROM blk
-         |)
+    // bit-identical to Spark's binary-side one (14 nibble terms are
+    // generated to mirror Multimodal.blockHashSignature exactly)
+    "multimodal_phash" ->
+      s"""WITH ${phashSigCtes(withExactCopies = false)}
          |SELECT a.media_id AS a_id, b.media_id AS b_id,
          |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
          |FROM s a JOIN s b ON a.media_id < b.media_id
          |WHERE bit_count(xor(a.sig, b.sig)) <= 4
-         |ORDER BY a_id, b_id""".stripMargin
-    },
+         |ORDER BY a_id, b_id""".stripMargin,
+    // same signature CTEs + the recursive-CC walk of clustersOracleSql:
+    // pair edges → components → min-id representative per component
+    "multimodal_dedup" ->
+      s"""WITH RECURSIVE ${phashSigCtes(withExactCopies = true)}
+         |, p AS (
+         |  SELECT a.media_id AS a_id, b.media_id AS b_id
+         |  FROM s a JOIN s b ON a.media_id < b.media_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 4
+         |), nodes AS (
+         |  SELECT a_id AS id FROM p UNION SELECT b_id FROM p
+         |), edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM p
+         |  UNION ALL SELECT b_id, a_id FROM p
+         |), walk(id, label) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id
+         |), cc AS (
+         |  SELECT id, min(label) AS cluster_id FROM walk GROUP BY id
+         |)
+         |SELECT m.media_id,
+         |  COALESCE(cc.cluster_id, m.media_id) AS cluster_id,
+         |  m.media_id = COALESCE(cc.cluster_id, m.media_id) AS is_representative
+         |FROM s m LEFT JOIN cc ON m.media_id = cc.id
+         |ORDER BY media_id""".stripMargin,
     "events_sessions" ->
       """WITH e AS (
         |  -- floor, not CAST: epoch() is a fractional DOUBLE on sub-second

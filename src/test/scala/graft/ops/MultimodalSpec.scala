@@ -111,4 +111,24 @@ class MultimodalSpec extends SparkSpec {
     assert(got == brute, "pigeonhole candidate join must be exhaustive")
     assert(brute.nonEmpty, "perturbed copies must produce near-dup pairs")
   }
+
+  test("mediaNearDup pairs resolve copy families into one cluster each") {
+    import spark.implicits._
+    val a = "alpha payload body " * 8
+    val b = "beta payload body completely different words " * 4
+    val media = Seq(
+      (1L, a), (2L, a), (3L, a.dropRight(2) + "ZZ"), // family A: exact + near
+      (10L, b), (11L, b),                            // family B: exact
+      (20L, a.reverse)                               // unrelated
+    ).toDF("media_id", "text")
+      .select(col("media_id"), lit("text/plain").as("mime"),
+        encode(col("text"), "utf-8").as("payload"))
+    val pairs = Multimodal.mediaNearDup(media, maxHamming = 4)
+      .select(col("a_id"), col("b_id"))
+    val clusters = Dedup.resolveClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L)
+    assert(clusters(10L) == 10L && clusters(11L) == 10L)
+    assert(!clusters.contains(20L), "unrelated media must stay a singleton")
+  }
 }
