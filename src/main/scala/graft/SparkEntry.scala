@@ -135,6 +135,16 @@ object SparkEntry {
           .as("query_text"))
       TextAnalysis.searchTopK(docs, qs, 5).orderBy("query_id", "rank")
     }),
+    // --- BM25 retrieval: same first-5-token queries, scored with tf
+    // saturation + doc-length normalization (all-BIGINT, see bm25TopK)
+    "text_bm25" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 5).select(
+        col("doc_id").as("query_id"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 5), " ")
+          .as("query_text"))
+      TextAnalysis.bm25TopK(docs, qs, 5).orderBy("query_id", "rank")
+    }),
     // --- k-means corpus clustering. The registered query plants k=16
     // well-separated blocks (dim 0 shifted by 1000·g,
     // g = (vec_id·16 + 15) div n — the exact inverse of kmeansFit's
@@ -1263,6 +1273,43 @@ object SparkEntry {
         |    CAST(sum(tf * (1000000 // df)) AS BIGINT) AS score,
         |    count(*) AS n_terms
         |  FROM d JOIN q ON d.token = q.token GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS "rank"
+        |  FROM sc
+        |)
+        |SELECT query_id, CAST("rank" AS BIGINT) AS "rank", doc_id, score, n_terms
+        |FROM rk WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    // BM25 twin: identical integer arithmetic — the one scaled division
+    // per term ((idf·2200·L·tf) // (10·L·tf + 3·L + 9·dl·N)) is pure
+    // BIGINT in both engines, so the summed scores hash-match exactly
+    "text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), lens AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks
+        |), tot AS (
+        |  SELECT CAST(sum(dl) AS BIGINT) AS corpus_len, count(*) AS n_docs FROM lens
+        |), q AS (
+        |  SELECT DISTINCT query_id, token FROM (
+        |    SELECT doc_id AS query_id, unnest(t[1:5]) AS token
+        |    FROM toks WHERE doc_id < 5)
+        |), tfa AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(t) AS token FROM toks)
+        |  GROUP BY 1, 2
+        |), d AS (
+        |  SELECT *, count(*) OVER (PARTITION BY token) AS df FROM tfa
+        |), sc AS (
+        |  SELECT q.query_id, d.doc_id,
+        |    CAST(sum(((1000000 // df) * 2200 * corpus_len * tf)
+        |      // (10 * corpus_len * tf + 3 * corpus_len + 9 * dl * n_docs))
+        |      AS BIGINT) AS score,
+        |    count(*) AS n_terms
+        |  FROM d JOIN q ON d.token = q.token
+        |  JOIN lens ON d.doc_id = lens.doc_id
+        |  CROSS JOIN tot
+        |  GROUP BY 1, 2
         |), rk AS (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY score DESC, doc_id) AS "rank"

@@ -382,6 +382,60 @@ object TextAnalysis {
         col("doc_id"), col("score"), col("n_terms"))
   }
 
+  /** BM25 retrieval: top-k documents per query with the two behaviors
+    * [[searchTopK]]'s flat tf·idf lacks — term-frequency SATURATION
+    * (k1 = 1.2: the 100th occurrence adds almost nothing) and
+    * DOC-LENGTH NORMALIZATION (b = 0.75: long documents stop winning on
+    * bulk alone). Per-term score
+    * `idf · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))` is computed as ONE
+    * exact integer division: with k1 = 6/5, b = 3/4 and avgdl = L/N
+    * (L = corpus token count, N = doc count) the denominator scaled by
+    * 10·L is `10·L·tf + 3·L + 9·dl·N` — all BIGINT — so
+    * `score_term = (idf · 2200·L·tf) div that`, a floor at 3 decimal
+    * places, and the per-doc sum is reduction-order-free. The ln-idf is
+    * replaced by [[searchTopK]]'s rank-preserving `10^6 div df` (ln is
+    * not portable across libm implementations; 1/df orders terms exactly
+    * as ln(N/df) does for fixed N). Magnitudes: idf ≤ 10^6, tf ≤ 10^4,
+    * the numerator tops out near 2·10^17 at L = 10^6 — at a 100 TB
+    * corpus (L ~ 10^13) move the numerator to DECIMAL(38,0); the plan is
+    * unchanged.
+    *
+    * Scale shape: identical to [[searchTopK]] — the broadcast query-token
+    * filter sits under the posting explode so only matched postings
+    * shuffle — plus one narrow per-doc length projection (`size(tokens)`,
+    * no explode, no shuffle) joined onto the matched slice and one
+    * all-corpus single-row total (L, N) cross-joined as a broadcast
+    * literal. One top-k window per query closes it out.
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val qTerms = queries
+      .select(col("query_id"), explode(tokensCol(col("query_text"))).as("token"))
+      .distinct()
+    val qTokens = qTerms.select(col("token")).distinct()
+    val lens = docs.select(col("doc_id"), size(tokensCol(col("text"))).cast("long").as("dl"))
+    val totals = lens.agg(sum(col("dl")).as("corpus_len"), count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(tokensCol(col("text"))).as("token"))
+      .join(broadcast(qTokens), Seq("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(w.partitionBy("token")))
+    tf.join(broadcast(qTerms), Seq("token"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("term_score", expr(
+        """((1000000 div df) * 2200 * corpus_len * tf)
+           div (10 * corpus_len * tf + 3 * corpus_len + 9 * dl * n_docs)"""))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_score")).as("score"), count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(
+        w.partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("score"), col("n_terms"))
+  }
+
   /** Bigram language-model training: conditional continuation
     * probabilities P(w2 | w1) = c(w1 w2) / c(w1 ·), kept to the top
     * `topK` continuations per head token — the tiny in-corpus LM behind

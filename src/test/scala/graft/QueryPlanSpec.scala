@@ -31,7 +31,9 @@ class QueryPlanSpec extends SparkSpec {
       // propagation, but the broadcast side is set-count-sized
       "events_audience_overlap",
       "mix_rates",  // one-row scale aggregate crossed onto |sources| rows
-      "mix_temperature") // same one-row scale-election broadcast
+      "mix_temperature", // same one-row scale-election broadcast
+      "text_bm25") // one-row (corpus_len, n_docs) total crossed onto the
+                   // matched posting slice
 
   // dedup_clusters executes its iterative joins eagerly behind
   // localCheckpoint while fn() builds the frame, so this sweep only sees

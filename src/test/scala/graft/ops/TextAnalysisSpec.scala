@@ -205,6 +205,39 @@ class TextAnalysisSpec extends SparkSpec {
     assertNoCrossProduct(TextAnalysis.searchTopK(docs, qs), "searchTopK")
   }
 
+  test("bm25TopK normalizes by doc length: short doc beats long at equal tf") {
+    val docs = Seq(
+      (0L, "rare x x x x x x x x x x x x x x x x x x x"), // tf=1, dl=20
+      (1L, "rare y"),                                     // tf=1, dl=2
+      (2L, "zz zz")                                       // no match
+    ).toDF("doc_id", "text")
+    val qs = Seq((7L, "rare")).toDF("query_id", "query_text")
+    val out = TextAnalysis.bm25TopK(docs, qs, k = 3).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L), (2L, 0L)),
+      "equal tf must rank the shorter document first")
+  }
+
+  test("bm25TopK saturates tf: 50 repeats score < 4x a single occurrence") {
+    val docs = Seq(
+      (0L, Seq.fill(50)("t").mkString(" ")), // tf=50, dl=50
+      (1L, "t " + Seq.fill(49)("u").mkString(" "))  // tf=1, dl=50
+    ).toDF("doc_id", "text")
+    val qs = Seq((7L, "t")).toDF("query_id", "query_text")
+    val byDoc = TextAnalysis.bm25TopK(docs, qs, k = 2).collect()
+      .map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(byDoc(0L) > byDoc(1L), "higher tf must still score higher")
+    assert(byDoc(0L) < 4L * byDoc(1L),
+      s"k1 saturation must cap the 50x-tf gain (got ${byDoc(0L)} vs ${byDoc(1L)})")
+  }
+
+  test("bm25TopK query join broadcasts — no cross product beyond the one-row totals") {
+    val docs = Seq((0L, "a b"), (1L, "b c")).toDF("doc_id", "text")
+    val qs = Seq((9L, "b")).toDF("query_id", "query_text")
+    val plan = TextAnalysis.bm25TopK(docs, qs).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "bm25TopK must not build a cartesian product")
+  }
+
   test("bigramLm ranks continuations by count with exact conditionals") {
     val docs = Seq(
       (1L, "a b a b a c"),
