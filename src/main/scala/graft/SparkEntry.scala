@@ -626,6 +626,11 @@ object SparkEntry {
     // DuckDB's identical IEEE arithmetic hash-matches
     "embed_gram" -> ((s, dir) =>
       Similarity.gramMatrix(rd(s, dir, "embeddings")).orderBy("i", "j")),
+    // JL sign random projection 64 -> 16: stateless md5-derived signs,
+    // exact BIGINT cell sums, one portable division (10^6*sqrt(16))
+    "embed_rp" -> ((s, dir) =>
+      Similarity.randomProject(rd(s, dir, "embeddings"), 16)
+        .orderBy("vec_id", "dim")),
     // int8 quantization: integer roll-ups (sum/min/max are order-free) +
     // the head of the quantized vector joined to a scalar for the compare
     "embed_quantize" -> ((s, dir) =>
@@ -2254,6 +2259,28 @@ object SparkEntry {
         |SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
         |  CAST(sum(c) AS BIGINT) AS s
         |FROM cells GROUP BY i, j ORDER BY i, j""".stripMargin,
+    // JL twin: DuckDB derives the SAME sign matrix from its own md5()
+    // (independent implementation, same recipe) and replays the signed
+    // floor-scaled BIGINT sums; the one division is CAST-forced DOUBLE
+    // (bare 4000000.0 would be DECIMAL — the r5-late literal trap)
+    "embed_rp" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), cells AS (
+        |  SELECT vec_id, jj.j, ii.i,
+        |    (CASE WHEN CAST('0x' || substr(md5('rp:' || jj.j || ':' || ii.i), 1, 1)
+        |        AS BIGINT) < 8 THEN 1 ELSE -1 END)
+        |      * CAST(floor(v[ii.i + 1] * 1000000.0) AS BIGINT) AS c
+        |  FROM e,
+        |    (SELECT unnest(generate_series(0, 15)) AS j) jj,
+        |    (SELECT unnest(generate_series(0, 63)) AS i) ii
+        |), s AS (
+        |  SELECT vec_id, j, CAST(sum(c) AS BIGINT) AS s_e6
+        |  FROM cells GROUP BY 1, 2
+        |)
+        |SELECT vec_id, CAST(j AS BIGINT) AS dim, s_e6,
+        |  s_e6 / CAST('4000000' AS DOUBLE) AS value
+        |FROM s ORDER BY vec_id, dim""".stripMargin,
     "embed_quantize" ->
       """WITH sc AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,

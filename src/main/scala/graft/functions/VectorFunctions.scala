@@ -759,3 +759,64 @@ case class VectorDot(left: Expression, right: Expression)
                                                  newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** `graft_rproject(vec, dOut)`: Johnson-Lindenstrauss sign random
+  * projection to `dOut` dims as exact BIGINT sums —
+  * `out_j = sum_i s(j,i) * floor(v_i * 10^6)` with the +-1 sign drawn
+  * from an md5 recipe both engines can derive independently:
+  * `s(j,i) = +1 iff` the first hex nibble of `md5("rp:j:i")` is `< 8`.
+  * Flooring each cell BEFORE the sum makes the result
+  * reduction-order-free (the r5 gram-matrix recipe); the caller divides
+  * the BIGINT once by `10^6 * sqrt(dOut)` for the unbiased estimate, so
+  * the only float op is one final portable division. The sign matrix is
+  * dOut x dim constants — computed once per (instance, dim) and cached,
+  * never per row.
+  */
+case class SignedProjection(child: Expression, dOut: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorFunctions.requireInput("graft_rproject", child.dataType,
+      "array<float> or array<double>")(VectorFunctions.isFloatVector)
+
+  @transient private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private var signDim: Int = -1
+  @transient private var signs: Array[Array[Int]] = _
+
+  private def signMatrix(dim: Int): Array[Array[Int]] = {
+    if (signDim != dim) {
+      signs = Array.tabulate(dOut, dim) { (j, i) =>
+        val nib = (VectorFunctions.md5Prefix32(
+          s"rp:$j:$i".getBytes("UTF-8")) >>> 28) & 0xfL
+        if (nib < 8) 1 else -1
+      }
+      signDim = dim
+    }
+    signs
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val dim = a.numElements()
+    val s = signMatrix(dim)
+    val out = new Array[Long](dOut)
+    var i = 0
+    while (i < dim) {
+      val cell = math.floor(
+        (if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)) * 1e6).toLong
+      var j = 0
+      while (j < dOut) {
+        out(j) += s(j)(i) * cell
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -379,6 +379,31 @@ object Similarity {
     * over the component stream. A stats pass plus a transform pass;
     * nothing corpus-sized ever shuffles.
     */
+  /** Johnson-Lindenstrauss sign random projection: compress each
+    * embedding from d dims to `dOut` (default 16) while approximately
+    * preserving pairwise distances — the cheap dimensionality-reduction
+    * path when [[pcaWhiten]]'s covariance pass is overkill, and the
+    * standard pre-filter before exact re-scoring at 100 TB (project →
+    * shortlist in d' → re-rank in d). The ±1 sign matrix derives from
+    * md5("rp:j:i") (first nibble < 8 → +1), so the projection needs NO
+    * fitted state and any engine can reproduce it; per-cell
+    * `floor(v·10^6)` before the signed BIGINT sum makes every output
+    * exact and order-free (`graft_rproject`, one tight dOut·d loop per
+    * row). The unbiased estimate divides once by `10^6·sqrt(dOut)`.
+    *
+    * Scale shape: one narrow projection — no shuffle at all; output is
+    * N·dOut rows only because the verifier needs scalar cells (the
+    * operator's array form is the `proj` column before the posexplode).
+    */
+  def randomProject(embeddings: DataFrame, dOut: Int = 16): DataFrame = {
+    val divisor = 1e6 * math.sqrt(dOut.toDouble)
+    embeddings
+      .select(col("vec_id"), expr(s"graft_rproject(embedding, $dOut)").as("proj"))
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("p", "s_e6")))
+      .select(col("vec_id"), col("p").cast("long").as("dim"), col("s_e6"),
+        (col("s_e6") / lit(divisor)).as("value"))
+  }
+
   def standardize(embeddings: DataFrame): DataFrame = {
     val comps = embeddings
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "v")))

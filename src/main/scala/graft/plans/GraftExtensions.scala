@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{AdcDistance, BandBuckets, LongArrayAgreement, MatVecCenter, MinHashSignature, OuterProduct, RepetitionStats, SignBuckets, SimHash64, TokenStats, VectorDot, Winnow, WordNgrams, WordShingles}
+import graft.functions.{AdcDistance, BandBuckets, SignedProjection, LongArrayAgreement, MatVecCenter, MinHashSignature, OuterProduct, RepetitionStats, SignBuckets, SimHash64, TokenStats, VectorDot, Winnow, WordNgrams, WordShingles}
 
 /** Session extensions registering graft's native expressions as SQL
   * functions. Enable with
@@ -106,5 +106,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MatVecCenter].getName, "graft_matveccenter"),
       (children: Seq[Expression]) =>
         MatVecCenter(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_rproject"),
+      new ExpressionInfo(classOf[SignedProjection].getName, "graft_rproject"),
+      (children: Seq[Expression]) =>
+        SignedProjection(children.head, intLit(children(1), "dOut"))))
   }
 }

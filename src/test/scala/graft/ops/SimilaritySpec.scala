@@ -145,6 +145,24 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(1).getAs[scala.collection.Seq[Long]]("q").toSeq == Seq(0L, 0L, 0L))
   }
 
+  test("randomProject is deterministic, dOut-dimensional, and norm-preserving") {
+    import spark.implicits._
+    // deterministic pseudo-random 64-dim vectors (no Math.random in specs)
+    def vec(seed: Int): Seq[Float] =
+      (0 until 64).map(i => (((seed * 73 + i * 37) % 19) - 9) / 3.0f)
+    val e = Seq((1L, vec(1)), (2L, vec(1)), (3L, vec(5))).toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(e, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(out.size == 3 * 16, "every vector must emit exactly dOut dims")
+    // identical inputs -> identical projections, exactly
+    (0 until 16).foreach(j => assert(out((1L, j.toLong)) == out((2L, j.toLong))))
+    // E[||proj||^2] = ||v||^2 for sign-JL; at dOut=16 allow a loose 3x band
+    val inNorm2 = vec(1).map(x => x.toDouble * x).sum
+    val projNorm2 = (0 until 16).map(j => math.pow(out((1L, j.toLong)), 2)).sum
+    assert(projNorm2 > inNorm2 / 3 && projNorm2 < inNorm2 * 3,
+      s"norm must be approximately preserved ($projNorm2 vs $inNorm2)")
+  }
+
   test("knnClassify takes the majority label with ties toward the smaller") {
     import spark.implicits._
     // query at (1,0): nearest 5 by cosine are the x-axis-ish vectors;
