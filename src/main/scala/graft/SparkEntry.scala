@@ -602,6 +602,25 @@ object SparkEntry {
         expr("(ts div 1000) div 86400000000").as("day"))
       Events.retention(ev).orderBy("cohort_day", "day_offset")
     }),
+    // --- A/B readout: md5-parity variant split, conversion = purchase,
+    // engine-exact two-proportion z-score (integer counts -> IEEE chain)
+    "events_ab" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = rd(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("value"))
+      // conversion = a high-value purchase (plain comparison, portable);
+      // bare event presence converts EVERY user at these SFs (zero
+      // pooled variance -> NULL z), so threshold on value
+      Events.abTest(ev, col("event_type") === "purchase" && col("value") > 180)
+    }),
+    // --- per-type daily OLS trend: exact integer sufficient statistics,
+    // slope/intercept each one double division
+    "events_trend" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = rd(s, dir, "events").select(col("event_type"),
+        expr("(ts div 1000) div 86400000000").as("day"))
+      Events.trendSlope(ev).orderBy("event_type")
+    }),
     "events_anomaly" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       Events.anomalies(rd(s, dir, "events")).orderBy("event_id")
@@ -2190,6 +2209,61 @@ object SparkEntry {
         |  count(DISTINCT e.user_id) AS n_users
         |FROM ev e JOIN cohorts c ON e.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    // md5-parity variant split (independent md5 per engine); the z-score
+    // float chain starts from exact BIGINTs and every op is
+    // correctly-rounded, so even the doubles hash-match
+    "events_ab" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 180
+        |      THEN 1 ELSE 0 END) AS converted
+        |  FROM events GROUP BY 1
+        |), v AS (
+        |  SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |      AS BIGINT) < 8 THEN 'A' ELSE 'B' END AS variant, converted
+        |  FROM pu
+        |), w AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN variant = 'A' THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM v
+        |)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+        |  CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+        |  (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |    - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |  / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |     * (CAST('1' AS DOUBLE)
+        |        - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |     * (CAST('1' AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |        + CAST('1' AS DOUBLE) / CAST(n_b AS DOUBLE))) AS z_score
+        |FROM w""".stripMargin,
+    // exact OLS sufficient statistics; x centered on the type's first day
+    "events_trend" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events
+        |), daily AS (
+        |  SELECT event_type, day, CAST(count(*) AS BIGINT) AS y FROM ev GROUP BY 1, 2
+        |), xd AS (
+        |  SELECT event_type, day - min(day) OVER (PARTITION BY event_type) AS x, y
+        |  FROM daily
+        |), st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM xd GROUP BY 1
+        |)
+        |SELECT event_type, n_days, sy AS n_events,
+        |  CASE WHEN n_days * sxx - sx * sx = 0 THEN NULL
+        |    ELSE CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n_days * sxx - sx * sx AS DOUBLE) END AS slope,
+        |  CASE WHEN n_days * sxx - sx * sx = 0 THEN NULL
+        |    ELSE CAST(sy * sxx - sx * sxy AS DOUBLE)
+        |      / CAST(n_days * sxx - sx * sx AS DOUBLE) END AS intercept
+        |FROM st ORDER BY event_type""".stripMargin,
     "events_anomaly" ->
       """WITH v AS (
         |  SELECT event_id, user_id, event_type,

@@ -478,4 +478,98 @@ object Events {
         ((col("wsum") * 100).cast("long").cast("double") /
           (col("span_us") * 100).cast("double")).as("twap"))
   }
+
+  /** A/B experiment readout: users split into two deterministic variants
+    * by md5 parity of the user id (first hex nibble < 8 → A — the
+    * portable hash-split recipe, so assignment is stable across runs AND
+    * reproducible by the oracle), conversion = "has at least one event
+    * matching the `converted` predicate". Emits one row with counts,
+    * rates, and the
+    * two-proportion z-score
+    * `(p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b))` — every input to the
+    * float chain is an exact BIGINT count and each double op
+    * (divisions, sqrt) is IEEE-correctly-rounded, so even the z-score is
+    * engine-exact.
+    *
+    * Scale shape: one partial-agg shuffle on user_id (conversion flag),
+    * then a two-cell rollup to the variant totals — output is one row no
+    * matter the corpus.
+    */
+  def abTest(events: DataFrame, converted: Column): DataFrame = {
+    val perUser = events
+      .select(col("user_id"),
+        when(converted, lit(1L)).otherwise(lit(0L)).as("hit"))
+      .groupBy(col("user_id"))
+      .agg(max(col("hit")).as("converted"))
+      .withColumn("variant",
+        when(expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 1), 16, 10) AS BIGINT)") < 8,
+          lit("A")).otherwise(lit("B")))
+    val cells = perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+    val wide = cells.groupBy()
+      .agg(
+        coalesce(sum(when(col("variant") === "A", col("n"))), lit(0L)).as("n_a"),
+        coalesce(sum(when(col("variant") === "A", col("conv"))), lit(0L)).as("conv_a"),
+        coalesce(sum(when(col("variant") === "B", col("n"))), lit(0L)).as("n_b"),
+        coalesce(sum(when(col("variant") === "B", col("conv"))), lit(0L)).as("conv_b"))
+    // the z-score is undefined when a variant is empty or the pooled rate
+    // is degenerate (0 or 1: zero pooled variance) — NULL, never a
+    // div-by-zero (Spark 4 ANSI raises even for double 0-divisors)
+    val defined = col("n_a") > 0 && col("n_b") > 0 &&
+      col("conv_a") + col("conv_b") > 0 &&
+      col("conv_a") + col("conv_b") < col("n_a") + col("n_b")
+    wide.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      when(col("n_a") > 0,
+        col("conv_a").cast("double") / col("n_a").cast("double")).as("rate_a"),
+      when(col("n_b") > 0,
+        col("conv_b").cast("double") / col("n_b").cast("double")).as("rate_b"),
+      when(defined,
+        (col("conv_a").cast("double") / col("n_a").cast("double") -
+          col("conv_b").cast("double") / col("n_b").cast("double")) /
+          sqrt(((col("conv_a") + col("conv_b")).cast("double") /
+                (col("n_a") + col("n_b")).cast("double")) *
+               (lit(1.0) - (col("conv_a") + col("conv_b")).cast("double") /
+                (col("n_a") + col("n_b")).cast("double")) *
+               (lit(1.0) / col("n_a").cast("double") +
+                lit(1.0) / col("n_b").cast("double")))).as("z_score"))
+  }
+
+  /** Per-type daily activity trend: the exact ordinary-least-squares
+    * slope and intercept of daily event counts against the day index.
+    * All four sufficient statistics (Σx, Σy, Σxy, Σx²) are BIGINT sums
+    * of integer terms — reduction-order-free — and slope/intercept each
+    * fold to ONE double division of exact integers:
+    * `slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`,
+    * `intercept = (Σy·Σx² − Σx·Σxy) / same`. Zero-variance x (a type
+    * seen on a single day) yields NULL slope rather than a div-by-zero.
+    * `x` is centered on the type's first day so the integer products
+    * stay small at any calendar epoch.
+    *
+    * Scale shape: partial-agg on (type, day) — shuffle cardinality is
+    * types × days, not events — then a per-type rollup of the bounded
+    * daily cells; output is one row per event type.
+    */
+  def trendSlope(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("x", col("day") - min(col("day")).over(
+        Window.partitionBy("event_type")))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    stats.select(col("event_type"), col("n_days"), col("sy").as("n_events"),
+      when(col("n_days") * col("sxx") - col("sx") * col("sx") === 0, lit(null))
+        .otherwise(
+          (col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .as("slope"),
+      when(col("n_days") * col("sxx") - col("sx") * col("sx") === 0, lit(null))
+        .otherwise(
+          (col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
+          (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .as("intercept"))
+  }
 }

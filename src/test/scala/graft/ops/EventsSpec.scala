@@ -244,4 +244,46 @@ class EventsSpec extends SparkSpec {
     // (10*2 + 20*4) / 6
     assert(r.getAs[Double]("twap") == 100.0 / 6.0)
   }
+
+  test("abTest splits by md5 parity and computes the exact z-score") {
+    // users 1..40; conversion = a 'purchase' event for that user
+    val ev = (1L to 40L).flatMap { u =>
+      val base = Seq((u, "view"))
+      if (u % 4 == 0) base :+ (u, "purchase") else base
+    }.toDF("user_id", "event_type")
+    val r = Events.abTest(ev,
+      org.apache.spark.sql.functions.col("event_type") === "purchase").collect()(0)
+    val (na, ca, nb, cb) = (r.getAs[Long]("n_a"), r.getAs[Long]("conv_a"),
+      r.getAs[Long]("n_b"), r.getAs[Long]("conv_b"))
+    assert(na + nb == 40L, "every user lands in exactly one variant")
+    assert(ca + cb == 10L, "conversions must be counted once per user")
+    // recompute the z-score the same way and demand bit equality
+    val (pa, pb) = (ca.toDouble / na, cb.toDouble / nb)
+    val p = (ca + cb).toDouble / (na + nb)
+    val z = (pa - pb) / math.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+    assert(r.getAs[Double]("z_score") == z)
+    // variant assignment is the md5 recipe, not arbitrary
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val aCount = (1L to 40L).count { u =>
+      ((md.digest(u.toString.getBytes("UTF-8"))(0) >> 4) & 0xf) < 8
+    }
+    assert(na == aCount, "A-variant size must match the md5 recipe")
+  }
+
+  test("trendSlope recovers an exact linear ramp and nulls single-day types") {
+    // type 'up': y = 3 + 2x on days 10..14; type 'one': single day
+    val ev = (0 until 5).flatMap { x =>
+      Seq.fill(3 + 2 * x)(("up", 10L + x))
+    } ++ Seq(("one", 5L), ("one", 5L))
+    val out = Events.trendSlope(ev.toDF("event_type", "day"))
+      .orderBy("event_type").collect()
+    val one = out(0)
+    assert(one.getAs[String]("event_type") == "one")
+    assert(one.isNullAt(one.fieldIndex("slope")) &&
+      one.isNullAt(one.fieldIndex("intercept")))
+    val up = out(1)
+    assert(up.getAs[Long]("n_days") == 5L && up.getAs[Long]("n_events") == 35L)
+    assert(up.getAs[Double]("slope") == 2.0)
+    assert(up.getAs[Double]("intercept") == 3.0)
+  }
 }
