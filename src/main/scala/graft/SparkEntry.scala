@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Analytics, Cdc, Dedup, Events, Graph, Linkage, Multimodal, Quality, Sampling, Similarity, Skew, Sketches, TextAnalysis}
+import graft.ops.{Analytics, Cdc, Dedup, Events, Graph, Linkage, Multimodal, Privacy, Quality, Sampling, Similarity, Skew, Sketches, TextAnalysis, Web}
 import graft.orchestrate.{BlueGreen, Snapshots}
 import graft.sources.{GraphFrames, ZOrder}
 
@@ -203,6 +203,13 @@ object SparkEntry {
       val e = rd(s, dir, "orders").select(col("o_orderkey").as("src"),
         (col("o_custkey") + 10000000L).as("dst"))
       Graph.pageRank(e, 5).orderBy("id")
+    }),
+    // HITS on the bipartite order→customer graph: orders are hubs,
+    // customers authorities; fixed-point L1 normalization, 3 rounds
+    "graph_hits" -> ((s, dir) => {
+      val e = rd(s, dir, "orders").select(col("o_orderkey").as("src"),
+        (col("o_custkey") + 10000000L).as("dst"))
+      Graph.hits(e, 3).orderBy("id")
     }),
     // triangle counts over the part co-occurrence graph (parts sharing an
     // order); Spark enumerates degree-ordered, the oracle id-ordered —
@@ -621,6 +628,21 @@ object SparkEntry {
         expr("(ts div 1000) div 86400000000").as("day"))
       Events.trendSlope(ev).orderBy("event_type")
     }),
+    // --- per-user integer EWMA (alpha = 1/8); ts truncated to micros so
+    // the sort order matches DuckDB's microsecond view of the parquet
+    "events_ewma" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = rd(s, dir, "events").select(col("user_id"),
+        expr("ts div 1000").as("ts"), col("event_id"), col("value"))
+      Events.ewma(ev, 3).orderBy("user_id")
+    }),
+    // --- trending rollup: top-3 event types per day, deterministic ties
+    "events_daily_topk" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = rd(s, dir, "events").select(
+        expr("(ts div 1000) div 86400000000").as("day"), col("event_type"))
+      Events.dailyTopK(ev, 3).orderBy("day", "rank")
+    }),
     "events_anomaly" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       Events.anomalies(rd(s, dir, "events")).orderBy("event_id")
@@ -856,6 +878,63 @@ object SparkEntry {
     // --- canonicalization pass (lowercase/strip/collapse), zero shuffles
     "text_normalize" -> ((s, dir) =>
       TextAnalysis.normalize(rd(s, dir, "documents")).orderBy("doc_id")),
+    // --- Flesch-style readability from three exact regex counts
+    "text_readability" -> ((s, dir) =>
+      TextAnalysis.readability(rd(s, dir, "documents")).orderBy("doc_id")),
+    // --- URL hygiene end-to-end: stage deterministic messy URLs from the
+    // doc table (mixed-case scheme/host, default ports, tracking params,
+    // fragments, trailing slashes), canonicalize, drop two blocklisted
+    // domains, roll up per-domain inventory
+    "web_domains" -> ((s, dir) => {
+      import s.implicits._
+      val urls = rd(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("h", expr(
+          """concat(CASE WHEN doc_id % 7 IN (1, 3, 5) THEN 'www.' ELSE '' END,
+            |source, '.',
+            |CASE CAST((doc_id div 4) % 4 AS INT) WHEN 0 THEN 'com'
+            |  WHEN 1 THEN 'org' WHEN 2 THEN 'net' ELSE 'io' END)""".stripMargin))
+        .withColumn("url", expr(
+          """concat(
+            |CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END, '://',
+            |CASE WHEN doc_id % 7 = 0 THEN upper(h) ELSE h END,
+            |CASE WHEN doc_id % 5 = 0 THEN
+            |  (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE ':80' END)
+            |  ELSE '' END,
+            |'/', lang, '/p', CAST(doc_id % 40 AS STRING),
+            |CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END,
+            |CASE WHEN doc_id % 3 = 0 THEN
+            |  concat('?utm_source=feed&utm_medium=rss&id=',
+            |         CAST(doc_id % 9 AS STRING))
+            |  WHEN doc_id % 3 = 1 THEN concat('?id=', CAST(doc_id % 9 AS STRING))
+            |  ELSE '' END,
+            |CASE WHEN doc_id % 5 = 0 THEN '#sec2' ELSE '' END)""".stripMargin))
+        .drop("h")
+      val blocked = Seq("src3.io", "src6.net").toDF("domain")
+      Web.domainStats(Web.filterBlocked(Web.normalizeUrls(urls), blocked))
+        .orderBy("domain")
+    }),
+    // --- right-to-be-forgotten audit: deletion list = every ninth user,
+    // broadcast-flagged, per-type before/removed/after + survivor checksum
+    "privacy_purge" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = rd(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val del = ev.select(col("user_id")).distinct()
+        .filter(col("user_id") % 9 === 0)
+      Privacy.purgeAudit(ev, del).orderBy("event_type")
+    }),
+    // --- salted md5-prefix pseudonymization; output keyed on the
+    // pseudonym only (the point), counts + checksum prove the mapping
+    "privacy_pseudo" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = rd(s, dir, "events").select(col("event_id"), col("user_id"))
+      Privacy.pseudonymize(ev, "s42")
+        .groupBy(col("pseudo_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("event_id")).as("checksum"))
+        .orderBy("pseudo_id")
+    }),
     // --- linear-model corpus scoring: hashTf features x broadcast weight
     // vector. The registered weights derive from the bucket id's md5 (an
     // arbitrary-but-fixed integer model both engines can rebuild).
@@ -1373,6 +1452,48 @@ object SparkEntry {
     // S = 10^12 — identical BIGINT arithmetic to the Spark operator, so
     // the hashes match exactly (double accumulation would drift with
     // reduction order)
+    // hits: 3 unrolled rounds; each half-round aggregates the opposite
+    // score along the edges then L1-normalizes by the integer total —
+    // v div greatest(1, total div Scale), exactly the Spark arithmetic
+    "graph_hits" -> {
+      val round = (i: Int) =>
+        s"""araw$i AS (
+           |  SELECT n.id, COALESCE(x.s, CAST(0 AS BIGINT)) AS raw
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS id, CAST(sum(h.r) AS BIGINT) AS s
+           |    FROM e JOIN h${i - 1} h ON h.id = e.src GROUP BY 1
+           |  ) x ON n.id = x.id
+           |), at$i AS (
+           |  SELECT greatest(CAST(1 AS BIGINT),
+           |    CAST(sum(raw) AS BIGINT) // 1000000000000) AS t FROM araw$i
+           |), a$i AS (
+           |  SELECT id, raw // (SELECT t FROM at$i) AS r FROM araw$i
+           |), hraw$i AS (
+           |  SELECT n.id, COALESCE(x.s, CAST(0 AS BIGINT)) AS raw
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.src AS id, CAST(sum(a.r) AS BIGINT) AS s
+           |    FROM e JOIN a$i a ON a.id = e.dst GROUP BY 1
+           |  ) x ON n.id = x.id
+           |), ht$i AS (
+           |  SELECT greatest(CAST(1 AS BIGINT),
+           |    CAST(sum(raw) AS BIGINT) // 1000000000000) AS t FROM hraw$i
+           |), h$i AS (
+           |  SELECT id, raw // (SELECT t FROM ht$i) AS r FROM hraw$i
+           |)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT o_orderkey AS src, o_custkey + 10000000 AS dst FROM orders
+         |), nodes AS (
+         |  SELECT src AS id FROM e UNION SELECT dst FROM e
+         |), h0 AS (
+         |  SELECT id, CAST(1000000000000 AS BIGINT) AS r FROM nodes
+         |), ${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT h3.id, h3.r AS hub_scaled, a3.r AS auth_scaled,
+         |  CAST(h3.r AS DOUBLE) / 1000000000000.0 AS hub,
+         |  CAST(a3.r AS DOUBLE) / 1000000000000.0 AS auth
+         |FROM h3 JOIN a3 USING (id) ORDER BY id""".stripMargin
+    },
     "graph_pagerank" -> {
       val round = (prev: String, cur: String) =>
         s"""$cur AS (
@@ -2264,6 +2385,40 @@ object SparkEntry {
         |    ELSE CAST(sy * sxx - sx * sxy AS DOUBLE)
         |      / CAST(n_days * sxx - sx * sx AS DOUBLE) END AS intercept
         |FROM st ORDER BY event_type""".stripMargin,
+    // the sequential integer fold as a recursive CTE; // matches Spark's
+    // div (truncation toward zero) including on negative deltas
+    "events_ewma" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT user_id, CAST(floor(value * 100) AS BIGINT) * 1000000 AS x,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS rn
+        |  FROM events
+        |), cnt AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM seq GROUP BY 1
+        |), r AS (
+        |  SELECT user_id, x AS s, CAST(1 AS BIGINT) AS i FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.s + (seq.x - r.s) // 8, r.i + 1
+        |  FROM r JOIN seq ON seq.user_id = r.user_id AND seq.rn = r.i + 1
+        |)
+        |SELECT r.user_id, cnt.n AS n_events, r.s AS ewma_scaled,
+        |  CAST(r.s AS DOUBLE) / CAST(100000000 AS DOUBLE) AS ewma
+        |FROM r JOIN cnt USING (user_id)
+        |WHERE r.i = cnt.n ORDER BY user_id""".stripMargin,
+    "events_daily_topk" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, event_type FROM events
+        |), cells AS (
+        |  SELECT day, event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM ev GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT day, event_type, n,
+        |    CAST(row_number() OVER (PARTITION BY day
+        |      ORDER BY n DESC, event_type) AS BIGINT) AS rank
+        |  FROM cells
+        |)
+        |SELECT day, event_type, n, rank FROM rk
+        |WHERE rank <= 3 ORDER BY day, rank""".stripMargin,
     "events_anomaly" ->
       """WITH v AS (
         |  SELECT event_id, user_id, event_type,
@@ -2919,6 +3074,105 @@ object SparkEntry {
         |    '\s', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))
         |    AS norm_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // three exact regex counts; constants forced to DOUBLE (a bare
+    // decimal literal parses as DECIMAL in DuckDB and rounds differently)
+    "text_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    greatest(CAST(1 AS BIGINT), CAST(length(
+        |      regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)) AS n_words,
+        |    greatest(CAST(1 AS BIGINT), CAST(length(
+        |      regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
+        |    CAST(length(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CAST('206.835' AS DOUBLE)
+        |  - CAST('1.015' AS DOUBLE)
+        |    * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |  - CAST('84.6' AS DOUBLE)
+        |    * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) AS flesch
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // same staging expressions, then the same portable normalization
+    // chain (no group refs in replacements: Spark $1 vs DuckDB \1)
+    "web_domains" ->
+      """WITH raw AS (
+        |  SELECT
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END) ||
+        |    '://' ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN upper(h) ELSE h END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN
+        |       (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE ':80' END)
+        |     ELSE '' END) ||
+        |    '/' || lang || '/p' || CAST(doc_id % 40 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN
+        |       '?utm_source=feed&utm_medium=rss&id=' ||
+        |       CAST(doc_id % 9 AS VARCHAR)
+        |     WHEN doc_id % 3 = 1 THEN '?id=' || CAST(doc_id % 9 AS VARCHAR)
+        |     ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '#sec2' ELSE '' END) AS url
+        |  FROM (SELECT doc_id, lang,
+        |        (CASE WHEN doc_id % 7 IN (1, 3, 5) THEN 'www.' ELSE '' END)
+        |        || source || '.' ||
+        |        (CASE CAST((doc_id // 4) % 4 AS INT) WHEN 0 THEN 'com'
+        |          WHEN 1 THEN 'org' WHEN 2 THEN 'net' ELSE 'io' END) AS h
+        |        FROM documents)
+        |), step1 AS (
+        |  SELECT regexp_replace(regexp_replace(regexp_replace(url,
+        |    '#.*', '', 'g'),
+        |    '(utm_[a-zA-Z]+|gclid|fbclid)=[^&]*&?', '', 'g'),
+        |    '[?&]+$', '', 'g') AS u
+        |  FROM raw
+        |), parts AS (
+        |  SELECT u,
+        |    regexp_replace(lower(regexp_extract(u,
+        |      '^[A-Za-z]+://([^/?#]+)', 1)), ':(80|443)$', '', 'g') AS host,
+        |    regexp_replace(replace(regexp_extract(u,
+        |      '^[A-Za-z]+://[^/?#]+(.*)', 1), '/?', '?'),
+        |      '/+$', '', 'g') AS path
+        |  FROM step1
+        |), norm AS (
+        |  SELECT host,
+        |    lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) || '://' ||
+        |      host || path AS url_norm,
+        |    regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+        |  FROM parts
+        |), kept AS (
+        |  SELECT * FROM norm WHERE domain NOT IN ('src3.io', 'src6.net')
+        |)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(count(DISTINCT url_norm) AS BIGINT) AS n_unique_urls,
+        |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+        |FROM kept GROUP BY 1 ORDER BY domain""".stripMargin,
+    "privacy_purge" ->
+      """WITH del AS (
+        |  SELECT DISTINCT user_id FROM events WHERE user_id % 9 = 0
+        |), f AS (
+        |  SELECT e.event_id, e.event_type, e.user_id,
+        |    CASE WHEN d.user_id IS NULL THEN 0 ELSE 1 END AS dl
+        |  FROM events e LEFT JOIN del d ON e.user_id = d.user_id
+        |)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS rows_before,
+        |  CAST(sum(dl) AS BIGINT) AS rows_removed,
+        |  CAST(sum(1 - dl) AS BIGINT) AS rows_after,
+        |  CAST(count(DISTINCT CASE WHEN dl = 1 THEN user_id END)
+        |    AS BIGINT) AS users_removed,
+        |  CAST(sum(CASE WHEN dl = 0 THEN event_id ELSE 0 END)
+        |    AS BIGINT) AS checksum_after
+        |FROM f GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // the md5-prefix pseudonym recipe: 15 leading hex chars == first 60
+    // digest bits, positive and inside BIGINT in both engines
+    "privacy_pseudo" ->
+      """WITH p AS (
+        |  SELECT CAST('0x' || substr(md5('s42:' || CAST(user_id AS VARCHAR)),
+        |    1, 15) AS BIGINT) AS pseudo_id, event_id
+        |  FROM events
+        |)
+        |SELECT pseudo_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS checksum
+        |FROM p GROUP BY 1 ORDER BY pseudo_id""".stripMargin,
     "text_score_lr" ->
       """WITH toks AS (
         |  SELECT doc_id,

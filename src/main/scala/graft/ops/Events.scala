@@ -534,6 +534,60 @@ object Events {
                 lit(1.0) / col("n_b").cast("double")))).as("z_score"))
   }
 
+  /** Top-k event types per day by volume — the "trending" rollup.
+    * Aggregates to (day, type) cells first (shuffle cardinality is
+    * days × types, never events), then ranks WITHIN each day with a
+    * deterministic tie-break (count desc, type asc). The ranking window
+    * partitions on `day` over cells whose per-partition size is bounded
+    * by the type vocabulary — NOT a corpus-sized single-reducer window,
+    * so the plan survives any scale-up.
+    * Expects `(day, event_type)`.
+    */
+  def dailyTopK(events: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    events.groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("day").orderBy(desc("n"), col("event_type")))
+        .cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Per-user exponentially-weighted moving average of event values —
+    * the standard smoother for irregularly-sampled user series (sensor
+    * denoising, spend-velocity features). The recurrence
+    * `s_t = s_{t-1} + (x_t − s_{t-1})/2^k` runs in fixed-point BIGINT:
+    * values scale to integer cents ×10^6, and the per-step division is
+    * `div` by 2^k — truncation toward zero, which DuckDB's `//` matches
+    * exactly (verified including negative deltas), so the sequential
+    * fold is engine-exact and the oracle is a recursive CTE.
+    *
+    * An EWMA is inherently sequential per key, so each user's series is
+    * gathered into one sorted array (`(ts, event_id, x)` — lexicographic
+    * struct sort = deterministic ORDER BY twin) and folded once. State
+    * is one user's events — the same per-key-bounded assumption as
+    * sessionization; the fold is one pass per event, embarrassingly
+    * parallel across users. Emits the final smoothed level per user.
+    */
+  def ewma(events: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 16, "alpha = 1/2^k with k in 1..16")
+    val d = 1L << k
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(floor(value * 100) AS BIGINT) * 1000000L").as("x"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(
+        struct(col("ts"), col("event_id"), col("x")))).as("seq"))
+      .select(col("user_id"),
+        size(col("seq")).cast("long").as("n_events"),
+        expr(s"""aggregate(slice(seq, 2, size(seq) - 1),
+                 element_at(seq, 1).x,
+                 (s, e) -> s + ((e.x - s) div ${d}L))""").as("ewma_scaled"))
+      .select(col("user_id"), col("n_events"), col("ewma_scaled"),
+        (col("ewma_scaled").cast("double") /
+          lit(100000000L).cast("double")).as("ewma"))
+  }
+
   /** Per-type daily activity trend: the exact ordinary-least-squares
     * slope and intercept of daily event counts against the day index.
     * All four sufficient statistics (Σx, Σy, Σxy, Σx²) are BIGINT sums

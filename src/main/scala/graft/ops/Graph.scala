@@ -492,4 +492,64 @@ object Graph {
       .withColumn("harmonic",
         col("h_scaled").cast("double") / lit(scale.toDouble))
   }
+
+  /** HITS hubs-and-authorities in fixed-point integer arithmetic — the
+    * link-analysis pair score (a good hub points at good authorities; a
+    * good authority is pointed at by good hubs), run on the same
+    * post-ETL graphs as [[pageRank]]. Each round:
+    *
+    *   a'(v) = Σ_{(u,v)∈E} h(u),  then L1-normalize to mass `Scale`
+    *   h'(u) = Σ_{(u,v)∈E} a'(v), then L1-normalize
+    *
+    * L1 (sum) normalization instead of the classical L2: the ranking is
+    * invariant to the norm choice, and dividing by the integer total
+    * keeps every score an exact BIGINT — `v div greatest(1, total div
+    * Scale)` is engine-portable where an L2 sqrt-of-sum-of-squares float
+    * chain is reduction-order-dependent. The `greatest(1, …)` guard
+    * covers mass draining into sinks (total < Scale).
+    *
+    * Scale shape per half-round: one edges⋈scores equi-join keyed on the
+    * node id + a partial-aggregated shuffle to the receiving side + a
+    * node-sized total (two-stage global agg, broadcast back as ONE row —
+    * the bounded-broadcast pattern, never a corpus-side shuffle). The
+    * raw table is referenced twice (rows + its total), so each
+    * half-round localCheckpoints a node-sized table — the
+    * [[Dedup.resolveClusters]] rule, not [[pageRank]]'s lazy chain.
+    */
+  def hits(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    // raw is node-sized and referenced twice (rows + total): checkpoint,
+    // then divide by the broadcast one-row total
+    def l1Normalize(raw: DataFrame): DataFrame = {
+      val m = raw.localCheckpoint(true)
+      val total = m.groupBy()
+        .agg(greatest(lit(1L), expr(s"sum(raw) div ${Scale}L")).as("t"))
+      m.crossJoin(broadcast(total))
+        .select(col("id"), expr("raw div t").as("r"))
+    }
+    var hub = nodes.withColumn("r", lit(Scale))
+    var auth = nodes.withColumn("r", lit(0L))
+    var i = 0
+    while (i < iters) {
+      auth = l1Normalize(nodes.join(
+        e.join(hub.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id")).agg(sum(col("r")).as("raw")),
+        Seq("id"), "left")
+        .select(col("id"), coalesce(col("raw"), lit(0L)).as("raw")))
+      hub = l1Normalize(nodes.join(
+        e.join(auth.withColumnRenamed("id", "dst"), "dst")
+          .groupBy(col("src").as("id")).agg(sum(col("r")).as("raw")),
+        Seq("id"), "left")
+        .select(col("id"), coalesce(col("raw"), lit(0L)).as("raw")))
+      i += 1
+    }
+    hub.select(col("id"), col("r").as("hub_scaled"))
+      .join(auth.select(col("id"), col("r").as("auth_scaled")), "id")
+      .select(col("id"), col("hub_scaled"), col("auth_scaled"),
+        (col("hub_scaled").cast("double") / lit(Scale.toDouble)).as("hub"),
+        (col("auth_scaled").cast("double") / lit(Scale.toDouble)).as("auth"))
+  }
 }

@@ -742,4 +742,34 @@ object TextAnalysis {
           (col("chunk_id") * step + 1).cast("int"), lit(chunkTokens)),
           " ").as("chunk_text"))
   }
+
+  /** Flesch-style readability per document — the classic ease score from
+    * three integer counts: words (`[A-Za-z0-9]+` runs), sentences
+    * (`[.!?]+` runs, floored at 1 so headline-only docs don't divide by
+    * zero), and a syllable proxy (vowel-group runs `[aeiouy]+` over the
+    * lowercased text — the standard dictionary-free estimate).
+    *
+    *   score = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    *
+    * Engine-exact: the three counts are exact integers, each ratio is
+    * one IEEE division, and the constants are double literals on both
+    * sides (DuckDB gets `CAST('…' AS DOUBLE)` — a bare decimal literal
+    * would parse as DECIMAL and round differently). Narrow single-pass
+    * projection, codegen-friendly; regexes are RE2-safe (no `\b`, no
+    * lookaround).
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val words = greatest(lit(1L),
+      size(expr("regexp_extract_all(text, '[A-Za-z0-9]+', 0)")).cast("long"))
+    val sents = greatest(lit(1L),
+      size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long"))
+    val sylls = size(expr(
+      "regexp_extract_all(lower(text), '[aeiouy]+', 0)")).cast("long")
+    docs.select(col("doc_id"),
+      words.as("n_words"), sents.as("n_sentences"), sylls.as("n_syllables"),
+      (lit(206.835)
+        - lit(1.015) * (words.cast("double") / sents.cast("double"))
+        - lit(84.6) * (sylls.cast("double") / words.cast("double")))
+        .as("flesch"))
+  }
 }

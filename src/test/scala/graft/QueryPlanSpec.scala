@@ -32,8 +32,10 @@ class QueryPlanSpec extends SparkSpec {
       "events_audience_overlap",
       "mix_rates",  // one-row scale aggregate crossed onto |sources| rows
       "mix_temperature", // same one-row scale-election broadcast
-      "text_bm25") // one-row (corpus_len, n_docs) total crossed onto the
+      "text_bm25", // one-row (corpus_len, n_docs) total crossed onto the
                    // matched posting slice
+      "graph_hits") // L1 normalization divides by a ONE-ROW integer total
+                    // each half-round — the same single-row broadcast
 
   // dedup_clusters executes its iterative joins eagerly behind
   // localCheckpoint while fn() builds the frame, so this sweep only sees

@@ -270,6 +270,46 @@ class EventsSpec extends SparkSpec {
     assert(na == aCount, "A-variant size must match the md5 recipe")
   }
 
+  test("ewma folds the integer recurrence in timestamp order") {
+    // user 1: values 1.00 then 9.00 -> x = 100e6 then 900e6;
+    // s = 100e6 + (900e6 - 100e6)/8 = 200e6 -> ewma 2.0
+    // user 2: single event keeps its own value
+    val ev = Seq((1L, 10L, 1L, 1.0), (1L, 20L, 2L, 9.0),
+      (2L, 10L, 3L, 5.0)).toDF("user_id", "ts", "event_id", "value")
+    val r = Events.ewma(ev, k = 3).orderBy("user_id").collect()
+    assert(r(0).getAs[Long]("n_events") == 2L)
+    assert(r(0).getAs[Long]("ewma_scaled") == 200000000L)
+    assert(r(0).getAs[Double]("ewma") == 2.0)
+    assert(r(1).getAs[Long]("ewma_scaled") == 500000000L)
+    // order matters: swapping arrival order changes the fold
+    val swapped = Seq((1L, 10L, 1L, 9.0), (1L, 20L, 2L, 1.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val s = Events.ewma(swapped, k = 3).collect()(0)
+    assert(s.getAs[Long]("ewma_scaled") == 800000000L) // 9 -> step toward 1
+  }
+
+  test("ewma truncates negative deltas toward zero like the oracle") {
+    // delta = -1 cent scaled: (-1000000)/8 = -125000 exactly; then a
+    // non-divisible delta: s=99875000, x=0 -> (0-s)/8 = -12484375
+    val ev = Seq((1L, 1L, 1L, 1.0), (1L, 2L, 2L, 0.99), (1L, 3L, 3L, 0.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val r = Events.ewma(ev, k = 3).collect()(0)
+    assert(r.getAs[Long]("ewma_scaled") == 100000000L - 125000L - 12484375L)
+  }
+
+  test("dailyTopK keeps k types per day with deterministic ties") {
+    val ev = (Seq.fill(5)(("a", 1L)) ++ Seq.fill(3)(("b", 1L)) ++
+      Seq.fill(3)(("c", 1L)) ++ Seq.fill(1)(("d", 1L)) ++
+      Seq.fill(2)(("x", 2L))).map(p => (p._2, p._1))
+      .toDF("day", "event_type")
+    val r = Events.dailyTopK(ev, k = 3).orderBy("day", "rank").collect()
+      .map(x => (x.getAs[Long]("day"), x.getAs[String]("event_type"),
+        x.getAs[Long]("n"), x.getAs[Long]("rank"))).toSeq
+    // day 1: a(5) then the b/c tie broken alphabetically; d cut at k=3
+    assert(r == Seq((1L, "a", 5L, 1L), (1L, "b", 3L, 2L), (1L, "c", 3L, 3L),
+      (2L, "x", 2L, 1L)))
+  }
+
   test("trendSlope recovers an exact linear ramp and nulls single-day types") {
     // type 'up': y = 3 + 2x on days 10..14; type 'one': single day
     val ev = (0 until 5).flatMap { x =>

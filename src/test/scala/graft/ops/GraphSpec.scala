@@ -224,4 +224,40 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(a == b)
   }
+
+  test("hits ranks the better-endorsed authority higher") {
+    // authority 10 <- hubs {1,2,3}; authority 11 <- hubs {1,4}:
+    // 10 has more in-links, so a(10) > a(11); hub 1 (cites both
+    // authorities) must outrank hub 3 (cites one)
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L),
+      (4L, 11L)).toDF("src", "dst")
+    val r = Graph.hits(edges, iters = 3).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(10L)._2 > r(11L)._2, "authority 10 must outrank 11")
+    assert(r(1L)._1 > r(3L)._1,
+      "the hub citing both authorities must outrank a single-citer")
+    assert(r(10L)._1 == 0L && r(1L)._2 == 0L,
+      "bipartite graph: sources have no authority, sinks no hub mass")
+    // L1 normalization bounds the mass: dividing by t = max(1,
+    // total div Scale) keeps sum(r) in [~Scale, Scale*(1+1/t)) — on a
+    // tiny graph t is small, so only the coarse envelope holds
+    val authMass = r.values.map(_._2).sum
+    val hubMass = r.values.map(_._1).sum
+    assert(authMass > Graph.Scale / 2 && authMass < 3 * Graph.Scale,
+      s"authority mass $authMass outside the normalization envelope")
+    assert(hubMass > Graph.Scale / 2 && hubMass < 3 * Graph.Scale,
+      s"hub mass $hubMass outside the normalization envelope")
+  }
+
+  test("hits is deterministic and handles sink-drained mass") {
+    // a chain 1->2->3: node 2 is both hub and authority; mass drains
+    // toward the sink but the greatest(1,...) guard keeps rounds defined
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val a = Graph.hits(edges, iters = 4).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val b = Graph.hits(edges, iters = 4).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(a == b)
+    assert(a.forall { case (_, h, au) => h >= 0L && au >= 0L })
+  }
 }
