@@ -204,6 +204,20 @@ object SparkEntry {
         (col("o_custkey") + 10000000L).as("dst"))
       Graph.pageRank(e, 5).orderBy("id")
     }),
+    // strongly connected components over a staged 400-node graph of
+    // 4-cycles with one cross link: min-label FW-BW peel, 2 rounds of
+    // 4 hops resolves everything (block {4..7} needs the second peel
+    // once block 0's smaller ids stop shadowing its backward minimum)
+    "graph_scc" -> ((s, dir) => {
+      val ids = rd(s, dir, "customer")
+        .select((col("c_custkey") % 400).as("id")).distinct()
+      val ring = ids.select(col("id").as("src"),
+        when(col("id") % 4 === 3, col("id") - 3)
+          .otherwise(col("id") + 1).as("dst"))
+      val cross = ids.filter(col("id") === 0)
+        .select(col("id").as("src"), (col("id") + 4).as("dst"))
+      Graph.scc(ring.union(cross), peels = 2, hops = 4).orderBy("id")
+    }),
     // HITS on the bipartite order→customer graph: orders are hubs,
     // customers authorities; fixed-point L1 normalization, 3 rounds
     "graph_hits" -> ((s, dir) => {
@@ -647,6 +661,27 @@ object SparkEntry {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       Events.anomalies(rd(s, dir, "events")).orderBy("event_id")
     }),
+    // --- multi-touch attribution: purchases credited to click/view
+    // touches in a 7-day lookback under first/last/linear models
+    "events_attribution" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = rd(s, dir, "events").select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts"), col("event_type"))
+      Events.attribution(ev).orderBy("touch_type")
+    }),
+    // --- OHLC bar downsampling per (user, day), fixed-point exact
+    "events_ohlc" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = rd(s, dir, "events").select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts"), col("value"))
+      Events.ohlcBars(ev).orderBy("user_id", "day")
+    }),
+    // --- robust MAD outliers; doubled integers clear the interpolated
+    // median's half-fractions so the flag test is pure BIGINT
+    "events_outliers_mad" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Events.madOutliers(rd(s, dir, "events")).orderBy("event_id")
+    }),
     "events_props" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       Events.propsRollup(rd(s, dir, "events")).orderBy("prop")
@@ -943,6 +978,14 @@ object SparkEntry {
         (conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
           .cast("long") % 2001 - 1000).as("w"))
       TextAnalysis.scoreLinear(rd(s, dir, "documents"), w).orderBy("doc_id")
+    }),
+    // --- DSIR-style importance selection: hashed-feature target/raw
+    // ratio weights (src0 = target domain), corpus scored per token
+    "text_dsir" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val w = TextAnalysis.importanceWeights(docs,
+        docs.filter(col("source") === "src0"))
+      TextAnalysis.importanceScore(docs, w).orderBy("doc_id")
     }),
     // --- distributed BPE tokenizer training: top-8 merges from corpus
     // word frequencies, deterministic tie-break, unrolled-round oracle
@@ -1452,6 +1495,55 @@ object SparkEntry {
     // S = 10^12 — identical BIGINT arithmetic to the Spark operator, so
     // the hashes match exactly (double accumulation would drift with
     // reduction order)
+    // scc: two unrolled FW-BW peels; least() skips the NULL a
+    // neighborless node produces in BOTH engines, so each propagation
+    // round is the exact twin of the Spark sccStep
+    "graph_scc" -> {
+      val step = (prev: String, cur: String, eTab: String, fwd: Boolean) => {
+        val (near, far) = if (fwd) ("src", "dst") else ("dst", "src")
+        s"""$cur AS MATERIALIZED (
+           |  SELECT p.id, least(p.lbl, x.m) AS lbl
+           |  FROM $prev p LEFT JOIN (
+           |    SELECT e.$near AS id, min(q.lbl) AS m
+           |    FROM $eTab e JOIN $prev q ON q.id = e.$far GROUP BY 1
+           |  ) x ON x.id = p.id
+           |)""".stripMargin
+      }
+      val peel = (n: Int) => (1 to 4).map(i =>
+        step(s"f$n${i - 1}", s"f$n$i", s"e$n", true) + ",\n" +
+          step(s"b$n${i - 1}", s"b$n$i", s"e$n", false)).mkString(",\n")
+      s"""WITH ids AS (
+         |  SELECT DISTINCT c_custkey % 400 AS id FROM customer
+         |), e1 AS MATERIALIZED (
+         |  SELECT id AS src,
+         |    CASE WHEN id % 4 = 3 THEN id - 3 ELSE id + 1 END AS dst
+         |  FROM ids
+         |  UNION ALL SELECT id, id + 4 FROM ids WHERE id = 0
+         |), n1 AS MATERIALIZED (
+         |  SELECT src AS id FROM e1 UNION SELECT dst FROM e1
+         |), f10 AS (SELECT id, id AS lbl FROM n1),
+         |b10 AS (SELECT id, id AS lbl FROM n1),
+         |${peel(1)},
+         |a1 AS MATERIALIZED (
+         |  SELECT f.id, f.lbl AS scc_id
+         |  FROM f14 f JOIN b14 b ON b.id = f.id AND b.lbl = f.lbl
+         |), e2 AS MATERIALIZED (
+         |  SELECT src, dst FROM e1
+         |  WHERE src NOT IN (SELECT id FROM a1)
+         |    AND dst NOT IN (SELECT id FROM a1)
+         |), n2 AS MATERIALIZED (
+         |  SELECT id FROM n1 WHERE id NOT IN (SELECT id FROM a1)
+         |), f20 AS (SELECT id, id AS lbl FROM n2),
+         |b20 AS (SELECT id, id AS lbl FROM n2),
+         |${peel(2)},
+         |a2 AS (
+         |  SELECT f.id, f.lbl AS scc_id
+         |  FROM f24 f JOIN b24 b ON b.id = f.id AND b.lbl = f.lbl
+         |)
+         |SELECT id, scc_id FROM (
+         |  SELECT * FROM a1 UNION ALL SELECT * FROM a2
+         |) ORDER BY id""".stripMargin
+    },
     // hits: 3 unrolled rounds; each half-round aggregates the opposite
     // score along the edges then L1-normalizes by the integer total —
     // v div greatest(1, total div Scale), exactly the Spark arithmetic
@@ -2419,6 +2511,88 @@ object SparkEntry {
         |)
         |SELECT day, event_type, n, rank FROM rk
         |WHERE rank <= 3 ORDER BY day, rank""".stripMargin,
+    // first/last election is the row_number twin of min/max(struct);
+    // linear ppm is integer 1e6 // n (truncation identical to Spark div)
+    "events_attribution" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts, event_type
+        |  FROM events
+        |), convs AS (
+        |  SELECT user_id, event_id AS conv_id, ts AS conv_ts
+        |  FROM ev WHERE event_type = 'purchase'
+        |), touches AS (
+        |  SELECT user_id, event_id AS touch_id, ts AS touch_ts,
+        |    event_type AS touch_type
+        |  FROM ev WHERE event_type IN ('click', 'view')
+        |), pairs AS (
+        |  SELECT c.conv_id, t.touch_id, t.touch_ts, t.touch_type
+        |  FROM convs c JOIN touches t ON c.user_id = t.user_id
+        |    AND t.touch_ts <= c.conv_ts
+        |    AND t.touch_ts > c.conv_ts - 604800000000
+        |), rk AS (
+        |  SELECT conv_id, touch_id, touch_type,
+        |    CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT)
+        |      AS n_touches,
+        |    row_number() OVER (PARTITION BY conv_id
+        |      ORDER BY touch_ts, touch_id) AS rf,
+        |    row_number() OVER (PARTITION BY conv_id
+        |      ORDER BY touch_ts DESC, touch_id DESC) AS rl
+        |  FROM pairs
+        |)
+        |SELECT touch_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+        |  CAST(sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS first_touch_wins,
+        |  CAST(sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS last_touch_wins,
+        |  CAST(sum(1000000 // n_touches) AS BIGINT) AS linear_credit_ppm
+        |FROM rk GROUP BY 1 ORDER BY touch_type""".stripMargin,
+    "events_ohlc" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    epoch_us(ts) AS ts, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+        |  FROM events
+        |), rk AS (
+        |  SELECT user_id, day, v100,
+        |    row_number() OVER (PARTITION BY user_id, day
+        |      ORDER BY ts, event_id) AS rf,
+        |    row_number() OVER (PARTITION BY user_id, day
+        |      ORDER BY ts DESC, event_id DESC) AS rl
+        |  FROM ev
+        |)
+        |SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN rf = 1 THEN v100 ELSE 0 END) AS BIGINT)
+        |    AS open_c,
+        |  CAST(max(v100) AS BIGINT) AS high_c,
+        |  CAST(min(v100) AS BIGINT) AS low_c,
+        |  CAST(sum(CASE WHEN rl = 1 THEN v100 ELSE 0 END) AS BIGINT)
+        |    AS close_c,
+        |  CAST(sum(v100) AS BIGINT) AS sum_c
+        |FROM rk GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin,
+    // quantile_cont == Spark exact percentile (same p*(n-1) interpolation);
+    // doubling before round() keeps every compared term an exact integer
+    "events_outliers_mad" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100 FROM events
+        |), med AS (
+        |  SELECT event_type,
+        |    CAST(round(2 * quantile_cont(v100, 0.5)) AS BIGINT) AS med2
+        |  FROM v GROUP BY 1
+        |), dev AS (
+        |  SELECT v.event_id, v.event_type, v.v100, med.med2,
+        |    abs(2 * v.v100 - med.med2) AS dev2
+        |  FROM v JOIN med USING (event_type)
+        |), mad AS (
+        |  SELECT event_type,
+        |    CAST(round(2 * quantile_cont(dev2, 0.5)) AS BIGINT) AS mad4
+        |  FROM dev GROUP BY 1
+        |)
+        |SELECT d.event_id, d.event_type, d.v100, d.med2,
+        |  CAST(d.dev2 AS BIGINT) AS dev2, mad.mad4
+        |FROM dev d JOIN mad USING (event_type)
+        |WHERE 2 * d.dev2 > 3 * mad.mad4 ORDER BY event_id""".stripMargin,
     "events_anomaly" ->
       """WITH v AS (
         |  SELECT event_id, user_id, event_type,
@@ -3173,6 +3347,39 @@ object SparkEntry {
         |SELECT pseudo_id, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(event_id) AS BIGINT) AS checksum
         |FROM p GROUP BY 1 ORDER BY pseudo_id""".stripMargin,
+    // add-1-smoothed integer ratio weights over all 64 buckets (range
+    // join fills untouched ones); // is Spark's div twin on positives
+    "text_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, source,
+        |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 64 AS bucket
+        |  FROM toks
+        |), rawc AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_raw
+        |  FROM b GROUP BY 1
+        |), tgtc AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_tgt
+        |  FROM b WHERE source = 'src0' GROUP BY 1
+        |), w AS (
+        |  SELECT r.range AS bucket,
+        |    (COALESCE(n_tgt, 0) + 1) * 1000000 // (COALESCE(n_raw, 0) + 1)
+        |      AS w
+        |  FROM range(64) r
+        |  LEFT JOIN rawc ON rawc.bucket = r.range
+        |  LEFT JOIN tgtc ON tgtc.bucket = r.range
+        |), tf AS (
+        |  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS tf
+        |  FROM b GROUP BY 1, 2
+        |)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  CAST(sum(tf * w) AS BIGINT) AS importance_scaled,
+        |  CAST(sum(tf * w) // sum(tf) AS BIGINT) AS importance_ppm
+        |FROM tf JOIN w USING (bucket)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "text_score_lr" ->
       """WITH toks AS (
         |  SELECT doc_id,

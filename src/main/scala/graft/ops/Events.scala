@@ -626,4 +626,115 @@ object Events {
           (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double"))
         .as("intercept"))
   }
+
+  /** Multi-touch conversion attribution: for every conversion event,
+    * credit the user's preceding touch events inside the lookback
+    * window under the three standard models at once — first-touch,
+    * last-touch, and linear — rolled up per touch type.
+    *
+    * The (touch, conversion) pairing is an equi-join on `user_id` with
+    * a residual time-range predicate, so per-pair work is bounded by a
+    * single user's activity — never a corpus-level range join. First
+    * and last election is `min/max(struct(ts, event_id))` — a
+    * partial-aggregable deterministic argmin/argmax (the
+    * [[Graph]] most-frequent recipe). Linear credit is integer
+    * parts-per-million `1e6 div n`, truncation shared by DuckDB `//`;
+    * the rollup sums are exact BIGINTs.
+    *
+    * Expects `(event_id, user_id, ts, event_type)` with microsecond
+    * longs. Output: one row per touch type with pair counts, distinct
+    * conversions touched, first/last-touch wins, and summed linear
+    * credit.
+    */
+  def attribution(events: DataFrame, convType: String = "purchase",
+                  touchTypes: Seq[String] = Seq("click", "view"),
+                  lookbackUs: Long = 7L * 86400000000L): DataFrame = {
+    val convs = events.filter(col("event_type") === convType)
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("ts").as("conv_ts"))
+    val touches = events.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("ts").as("touch_ts"), col("event_type").as("touch_type"))
+    val pairs = convs.join(touches, Seq("user_id"))
+      .filter(col("touch_ts") <= col("conv_ts") &&
+        col("touch_ts") > col("conv_ts") - lookbackUs)
+    val perConv = pairs.groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_touches"),
+        min(struct(col("touch_ts"), col("touch_id"))).as("first_t"),
+        max(struct(col("touch_ts"), col("touch_id"))).as("last_t"))
+    pairs.join(perConv, Seq("conv_id"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("conv_id")).as("n_convs"),
+        sum(when(col("touch_id") === col("first_t.touch_id"), 1L)
+          .otherwise(0L)).as("first_touch_wins"),
+        sum(when(col("touch_id") === col("last_t.touch_id"), 1L)
+          .otherwise(0L)).as("last_touch_wins"),
+        sum(expr("1000000L div n_touches")).as("linear_credit_ppm"))
+  }
+
+  /** OHLC downsampling: per (user, day) open/high/low/close bars plus
+    * volume and an exact value sum — the irregular-series → fixed-bar
+    * compaction every monitoring and feature layer runs. Open and close
+    * are the values AT the first/last event, elected with
+    * `min/max(struct(ts, event_id, v100))`: `(ts, event_id)` is unique,
+    * so the trailing value never influences the ordering, and the
+    * struct min/max is partial-aggregable — ONE shuffle on
+    * (user, day), no window, no self-join. Values are two-decimal
+    * fixed-point BIGINTs throughout (the [[anomalies]] scaling), so
+    * every bar field is engine-exact.
+    * Expects `(event_id, user_id, ts, value)` with microsecond longs.
+    */
+  def ohlcBars(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), expr("ts div 86400000000").as("day"),
+        col("ts"), col("event_id"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("v100"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        min(struct(col("ts"), col("event_id"), col("v100")))
+          .getField("v100").as("open_c"),
+        max(col("v100")).as("high_c"),
+        min(col("v100")).as("low_c"),
+        max(struct(col("ts"), col("event_id"), col("v100")))
+          .getField("v100").as("close_c"),
+        sum(col("v100")).as("sum_c"))
+
+  /** Robust per-type outlier flagging via median absolute deviation —
+    * the estimator that survives the heavy tails that wreck
+    * [[anomalies]]' mean/σ z-score (one enormous value drags the mean
+    * and inflates σ until nothing else flags). Flags events with
+    * `|v − median| > k · MAD`.
+    *
+    * Exactness: medians come from Spark's exact `percentile`, whose
+    * linear interpolation `lo + 0.5·(hi − lo)` lands on integers or
+    * exact `.5` halves for two-decimal fixed-point inputs — doubling
+    * both sides clears the fraction, so the test
+    * `2·|2v − 2med| > k·2·(2·MAD)` runs in pure BIGINT arithmetic with
+    * DuckDB's `quantile_cont` as an exact twin.
+    *
+    * Scale shape: two sequential per-type aggregations (values, then
+    * absolute deviations against the broadcast |types|-row median
+    * table). Exact percentile buffers each type's values in the agg
+    * state — the documented trade; at corpus scales where a type
+    * overflows one task, [[graft.ops.Analytics.binQuantiles]] is the
+    * bounded-memory substitute (same call shape, bin-width error).
+    */
+  def madOutliers(events: DataFrame, k: Int = 3): DataFrame = {
+    val v = events.select(col("event_id"), col("event_type"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("v100"))
+    // med2 = 2·median: integer-exact even when the median interpolates
+    val med = v.groupBy(col("event_type"))
+      .agg(expr("CAST(round(2 * percentile(v100, 0.5D)) AS BIGINT)")
+        .as("med2"))
+    val dev = v.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev2", abs(lit(2L) * col("v100") - col("med2")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("CAST(round(2 * percentile(dev2, 0.5D)) AS BIGINT)")
+        .as("mad4"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .filter(lit(2L) * col("dev2") > lit(k.toLong) * col("mad4"))
+      .select(col("event_id"), col("event_type"), col("v100"),
+        col("med2"), col("dev2"), col("mad4"))
+  }
 }

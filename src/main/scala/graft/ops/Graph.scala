@@ -552,4 +552,96 @@ object Graph {
         (col("hub_scaled").cast("double") / lit(Scale.toDouble)).as("hub"),
         (col("auth_scaled").cast("double") / lit(Scale.toDouble)).as("auth"))
   }
+
+  /** One min-label propagation step: every node takes the least of its
+    * own label and its neighbors' labels along `forward` out-edges
+    * (pulling from dst) or backward in-edges. `least` skips the NULL a
+    * neighborless node produces — identical semantics in DuckDB. */
+  private def sccStep(labels: DataFrame, edges: DataFrame,
+                      forward: Boolean): DataFrame = {
+    val (near, far) = if (forward) ("src", "dst") else ("dst", "src")
+    val nbr = edges.join(labels.withColumnRenamed("id", far), far)
+      .groupBy(col(near).as("id")).agg(min(col("lbl")).as("nlbl"))
+    labels.join(nbr, Seq("id"), "left")
+      .select(col("id"), least(col("lbl"), col("nlbl")).as("lbl"))
+  }
+
+  /** Strongly connected components by forward-backward min-label
+    * peeling (the FW-BW / coloring family): per peel round, propagate
+    * the minimum reachable id forward (`f`) and backward (`b`) for
+    * `hops` fixed steps; a node with `f == b == m` provably sits in
+    * SCC(m) — m reaches it and it reaches m — so every emitted
+    * assignment is EXACT regardless of budget. Assigned nodes and their
+    * edges peel off, letting SCCs previously shadowed by a smaller
+    * upstream/downstream id resolve in the next round.
+    *
+    * Soundness under the budget: a peel's removals are only safe when
+    * the labels reached their fixed point (a converged min-label is the
+    * true closure minimum, which is SCC-invariant — the whole SCC
+    * assigns or none of it does). After the fixed rounds one extra
+    * verification step checks stability; a non-converged round stops
+    * the peel instead of removing a possibly-split SCC, leaving the
+    * remainder honestly NULL. Choose `hops` ≥ the graph's min-label
+    * propagation diameter to resolve everything the peel budget allows.
+    *
+    * Scale shape: every step is one edges⋈labels equi-join on a node id
+    * plus a keyed partial-agg min — never a transitive-closure join.
+    * Labels are referenced twice per step (self + neighbor pull) →
+    * per-step localCheckpoint, the [[Dedup.resolveClusters]] rule; the
+    * peel's anti-joins shrink edges monotonically. Output: `(id,
+    * scc_id)` with NULL for nodes unresolved within the budget.
+    */
+  def scc(edges: DataFrame, peels: Int = 2, hops: Int = 4): DataFrame = {
+    require(peels >= 1 && hops >= 1, "peels and hops must be positive")
+    val e0 = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    val allNodes = e0.select(col("src").as("id"))
+      .union(e0.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    var remaining = allNodes
+    var e = e0
+    var assignedAll: Option[DataFrame] = None
+    var p = 0
+    var live = true
+    while (p < peels && live && !remaining.isEmpty) {
+      var f = remaining.withColumn("lbl", col("id"))
+      var b = remaining.withColumn("lbl", col("id"))
+      var i = 0
+      while (i < hops) {
+        f = sccStep(f, e, forward = true).localCheckpoint(true)
+        b = sccStep(b, e, forward = false).localCheckpoint(true)
+        i += 1
+      }
+      // stability check: one more step must change nothing, else the
+      // closure minima aren't final and removal could split an SCC
+      val fv = sccStep(f, e, forward = true)
+        .withColumnRenamed("lbl", "lbl2").join(f, "id")
+      val bv = sccStep(b, e, forward = false)
+        .withColumnRenamed("lbl", "lbl2").join(b, "id")
+      val unstable = fv.filter(col("lbl2") =!= col("lbl")).count() +
+        bv.filter(col("lbl2") =!= col("lbl")).count()
+      if (unstable > 0) {
+        graft.util.Log.getLogger("graft.Graph").warn(
+          s"scc peel $p not converged within $hops hops " +
+            s"($unstable labels still moving); stopping with partial cover")
+        live = false
+      } else {
+        val lbl = f.withColumnRenamed("lbl", "flbl")
+          .join(b.withColumnRenamed("lbl", "blbl"), "id")
+        val assigned = lbl.filter(col("flbl") === col("blbl"))
+          .select(col("id"), col("flbl").as("scc_id")).localCheckpoint(true)
+        assignedAll = Some(assignedAll.fold(assigned)(_.union(assigned)))
+        remaining = lbl.filter(col("flbl") =!= col("blbl"))
+          .select(col("id")).localCheckpoint(true)
+        val ids = assigned.select(col("id"))
+        e = e.join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+          .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+          .select(col("src"), col("dst")).localCheckpoint(true)
+      }
+      p += 1
+    }
+    val found = assignedAll.getOrElse(
+      allNodes.withColumn("scc_id", lit(null).cast("long")).limit(0))
+    allNodes.join(found, Seq("id"), "left")
+  }
 }

@@ -711,6 +711,51 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(sum(col("tf") * col("w")).as("score_milli"))
 
+  /** Importance weights for domain-targeted data selection (the DSIR
+    * recipe shape: score raw documents by how target-like their hashed
+    * n-gram features are, then sample by score). Per bucket the weight
+    * is the add-1-smoothed target/raw frequency ratio in integer parts
+    * per million — `(tgt+1)·1e6 div (raw+1)` — truncation DuckDB's `//`
+    * shares, so scores are engine-exact. The true DSIR weight is the
+    * log-ratio (so products become sums); with `ln` banned from oracled
+    * outputs (libm drift), the scaled plain ratio is the monotone
+    * stand-in: per-token mean ratio instead of the log-likelihood sum.
+    *
+    * Both corpora collapse to `dim` bucket totals via partial
+    * aggregation before the tiny three-way bucket join — the output is
+    * dim rows, broadcastable everywhere.
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+                        dim: Int = 64): DataFrame = {
+    val rawC = hashTf(raw, dim).groupBy(col("bucket"))
+      .agg(sum(col("tf")).as("n_raw"))
+    val tgtC = hashTf(target, dim).groupBy(col("bucket"))
+      .agg(sum(col("tf")).as("n_tgt"))
+    raw.sparkSession.range(dim).select(col("id").as("bucket"))
+      .join(rawC, Seq("bucket"), "left")
+      .join(tgtC, Seq("bucket"), "left")
+      .select(col("bucket"),
+        expr("(coalesce(n_tgt, 0L) + 1L) * 1000000L" +
+          " div (coalesce(n_raw, 0L) + 1L)").as("w"))
+  }
+
+  /** Score documents by [[importanceWeights]]: summed per-token bucket
+    * weight plus the length-normalized per-token mean (`div` — exact).
+    * Same scan-cost shape as [[scoreLinear]]: the dim-row weight table
+    * broadcasts, the corpus shuffles only inside hashTf and the per-doc
+    * rollup. Downstream selection keeps the top importance_ppm slice
+    * (or samples proportionally), completing measure → weigh → select.
+    */
+  def importanceScore(docs: DataFrame, weights: DataFrame,
+                      dim: Int = 64): DataFrame =
+    hashTf(docs, dim)
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("w")).as("importance_scaled"))
+      .select(col("doc_id"), col("n_tokens"), col("importance_scaled"),
+        expr("importance_scaled div n_tokens").as("importance_ppm"))
+
   /** Fixed-size token chunking with overlap — the splitter that turns
     * long documents into embedding/context-window-sized pieces. Chunk `i`
     * covers tokens `[i·step, i·step + chunkTokens)` with

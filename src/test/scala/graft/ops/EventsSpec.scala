@@ -326,4 +326,81 @@ class EventsSpec extends SparkSpec {
     assert(up.getAs[Double]("slope") == 2.0)
     assert(up.getAs[Double]("intercept") == 3.0)
   }
+
+  test("attribution credits first/last/linear within the lookback only") {
+    // user 1: click@10, view@20, click@30, purchase@40 (conv 100)
+    //         -> first = click@10, last = click@30, 3 touches
+    // user 1: purchase@15 (conv 101) -> only click@10 in window: 1 touch
+    // user 2: view@5 then purchase@1000 with lookback 100 -> no touches
+    val ev = Seq(
+      (1L, 1L, 10L, "click"), (2L, 1L, 20L, "view"), (3L, 1L, 30L, "click"),
+      (100L, 1L, 40L, "purchase"), (101L, 1L, 15L, "purchase"),
+      (4L, 2L, 5L, "view"), (102L, 2L, 1000L, "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = Events.attribution(ev, lookbackUs = 100L)
+      .orderBy("touch_type").collect()
+    assert(out.length == 2)
+    val click = out(0)
+    assert(click.getAs[String]("touch_type") == "click")
+    assert(click.getAs[Long]("n_pairs") == 3L)     // 2 for conv100 + 1 for conv101
+    assert(click.getAs[Long]("n_convs") == 2L)
+    assert(click.getAs[Long]("first_touch_wins") == 2L)
+    assert(click.getAs[Long]("last_touch_wins") == 2L)
+    // conv100: two clicks at 333333 each; conv101: one click at 1000000
+    assert(click.getAs[Long]("linear_credit_ppm") == 2L * 333333L + 1000000L)
+    val view = out(1)
+    assert(view.getAs[Long]("n_pairs") == 1L)
+    assert(view.getAs[Long]("first_touch_wins") == 0L)
+    assert(view.getAs[Long]("last_touch_wins") == 0L)
+    assert(view.getAs[Long]("linear_credit_ppm") == 333333L)
+  }
+
+  test("ohlcBars elects open/close by time and tracks high/low exactly") {
+    val day = 86400000000L
+    val ev = Seq(
+      (1L, 1L, day + 30L, 5.00),  // first -> open 500
+      (2L, 1L, day + 10L, 9.00),  // wait, earlier: THIS is open
+      (3L, 1L, day + 50L, 1.00),  // low 100
+      (4L, 1L, day + 99L, 7.00),  // last -> close 700
+      (5L, 2L, day + 1L, 2.00))
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = Events.ohlcBars(ev).orderBy("user_id").collect()
+    val u1 = out(0)
+    assert(u1.getAs[Long]("day") == 1L && u1.getAs[Long]("n_events") == 4L)
+    assert(u1.getAs[Long]("open_c") == 900L)   // value at earliest ts
+    assert(u1.getAs[Long]("high_c") == 900L)
+    assert(u1.getAs[Long]("low_c") == 100L)
+    assert(u1.getAs[Long]("close_c") == 700L)
+    assert(u1.getAs[Long]("sum_c") == 2200L)
+    assert(out(1).getAs[Long]("open_c") == 200L)
+    assert(out(1).getAs[Long]("close_c") == 200L)
+  }
+
+  test("madOutliers flags the heavy tail the z-score misses") {
+    // 9 values at 10.00 +- 0.02 and one at 500.00: the outlier inflates
+    // mean/sigma (z-score at 2 sigma still flags it, but a SECOND large
+    // value would mask it); MAD stays ~2 cents so 500 flags decisively
+    val vals = Seq(10.00, 10.01, 9.99, 10.02, 9.98, 10.00, 10.01, 9.99,
+      10.00, 500.00)
+    val ev = vals.zipWithIndex.map { case (v, i) => (i.toLong, "a", v) }
+      .toDF("event_id", "event_type", "value")
+    val out = Events.madOutliers(ev, k = 3).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("event_id") == 9L)
+    assert(out(0).getAs[Long]("med2") == 2000L)   // median 10.00 -> v100 1000
+    // dev2 for the others: <= 2*2 = 4; mad4 = 4*MAD = 2*median(dev2)
+    // dev2 values: 0,2,2,4,4,0,2,2,0,98000 -> sorted median = 2 -> mad4 = 4
+    assert(out(0).getAs[Long]("mad4") == 4L)
+  }
+
+  test("madOutliers is exact when the median interpolates on a half") {
+    // even n with distinct middles: median of (100, 200, 300, 400) = 250
+    // -> med2 = 500 exactly, no float drift
+    val ev = Seq((1L, "t", 1.00), (2L, "t", 2.00), (3L, "t", 3.00),
+      (4L, "t", 4.00)).toDF("event_id", "event_type", "value")
+    val dev = Events.madOutliers(ev, k = 100).collect() // k huge: no flags
+    assert(dev.isEmpty)
+    val med = Events.madOutliers(ev, k = 0).collect()   // k=0: all nonzero dev
+    assert(med.length == 4 && med.forall(_.getAs[Long]("med2") == 500L))
+  }
 }

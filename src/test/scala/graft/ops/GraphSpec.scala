@@ -260,4 +260,81 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
     assert(a.forall { case (_, h, au) => h >= 0L && au >= 0L })
   }
+
+  /** Reference SCC via iterative Tarjan for cross-checking. */
+  private def tarjan(edges: Seq[(Long, Long)]): Map[Long, Set[Long]] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var index = 0
+    val idx = scala.collection.mutable.Map[Long, Int]()
+    val low = scala.collection.mutable.Map[Long, Int]()
+    val onStack = scala.collection.mutable.Set[Long]()
+    val stack = scala.collection.mutable.Stack[Long]()
+    val comps = scala.collection.mutable.ListBuffer[Set[Long]]()
+    def strongconnect(v: Long): Unit = {
+      idx(v) = index; low(v) = index; index += 1
+      stack.push(v); onStack += v
+      for (w <- adj.getOrElse(v, Seq.empty)) {
+        if (!idx.contains(w)) { strongconnect(w); low(v) = low(v) min low(w) }
+        else if (onStack(w)) low(v) = low(v) min idx(w)
+      }
+      if (low(v) == idx(v)) {
+        val comp = scala.collection.mutable.Set[Long]()
+        var w = -1L
+        while ({ w = stack.pop(); onStack -= w; comp += w; w != v }) ()
+        comps += comp.toSet
+      }
+    }
+    nodes.foreach(v => if (!idx.contains(v)) strongconnect(v))
+    comps.flatMap(c => c.map(_ -> c)).toMap
+  }
+
+  test("scc matches Tarjan on cycles, a DAG tail, and nested structure") {
+    // cycle {1,2,3}, cycle {10,11}, DAG nodes 20->1 and 21->20, and a
+    // two-node back-and-forth {30,31} feeding the first cycle
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 10L),
+      (20L, 1L), (21L, 20L), (30L, 31L), (31L, 30L), (31L, 1L))
+    val out = Graph.scc(es.toDF("src", "dst"), peels = 3, hops = 5)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getLong(1)))).toMap
+    val truth = tarjan(es)
+    // every assigned pair of nodes agrees with Tarjan's partition
+    val assigned = out.collect { case (k, Some(v)) => k -> v }
+    assert(assigned.nonEmpty)
+    for ((a, ca) <- assigned; (b, cb) <- assigned) {
+      assert((ca == cb) == (truth(a) == truth(b)),
+        s"nodes $a/$b grouping disagrees with Tarjan")
+    }
+    // the full budget resolves this graph completely, exactly
+    assert(out.values.forall(_.isDefined))
+    assert(assigned.values.toSet.size == truth.values.toSet.size)
+  }
+
+  test("scc within budget assigns only provable components, rest NULL") {
+    // three 2-cycles chained by cross edges: {0,1} -> {4,5} -> {8,9};
+    // min-label interference resolves one block per peel, so peels=2
+    // leaves the third block honestly unassigned
+    val es = Seq((0L, 1L), (1L, 0L), (4L, 5L), (5L, 4L), (8L, 9L),
+      (9L, 8L), (0L, 4L), (4L, 8L))
+    val out = Graph.scc(es.toDF("src", "dst"), peels = 2, hops = 4)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getLong(1)))).toMap
+    assert(out(0L).contains(0L) && out(1L).contains(0L))
+    assert(out(4L).contains(4L) && out(5L).contains(4L))
+    assert(out(8L).isEmpty && out(9L).isEmpty)
+    // a third peel finishes the job
+    val full = Graph.scc(es.toDF("src", "dst"), peels = 3, hops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full(8L) == 8L && full(9L) == 8L)
+  }
+
+  test("scc halts without removal when hops cannot converge") {
+    // a long cycle whose propagation diameter exceeds hops=1: the
+    // verification step detects instability and nothing is assigned
+    // (sound: no SCC is ever split by a premature peel)
+    val ring = (0L until 8L).map(i => (i, (i + 1) % 8))
+    val out = Graph.scc(ring.toDF("src", "dst"), peels = 2, hops = 1)
+      .collect()
+    assert(out.forall(_.isNullAt(1)))
+  }
 }

@@ -66,6 +66,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 5L), (1L, 3L)))
   }
 
+  test("importanceWeights ranks target-domain tokens above raw-common ones") {
+    import org.apache.spark.sql.functions.col
+    // raw corpus: 'common' everywhere, 'rare' only in the target docs
+    val raw = Seq((0L, "common common common"), (1L, "common common"),
+      (2L, "rare common"), (3L, "rare rare")).toDF("doc_id", "text")
+    val target = raw.filter(col("doc_id") >= 2L)
+    val w = TextAnalysis.importanceWeights(raw, target)
+    assert(w.count() == 64L) // every bucket present, absent ones smoothed
+    val scored = TextAnalysis.importanceScore(raw, w)
+      .orderBy("doc_id").collect()
+    // 'common': raw 6, tgt 1 -> w = 2e6/7 = 285714
+    // 'rare':   raw 3, tgt 3 -> w = 4e6/4 = 1000000
+    val byDoc = scored.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("n_tokens"), r.getAs[Long]("importance_ppm"))).toSeq
+    assert(byDoc(0) == (0L, 3L, 285714L))           // pure raw-common
+    assert(byDoc(3) == (3L, 2L, 1000000L))          // pure target-like
+    // mixed doc lands strictly between
+    assert(byDoc(2)._3 > byDoc(0)._3 && byDoc(2)._3 < byDoc(3)._3)
+    // untouched buckets get the 1/1 smoothed weight, not 0 or null
+    val untouched = w.filter(col("w") === 1000000L).count()
+    assert(untouched >= 62L)
+  }
+
   test("bpeTokens splits letter runs, digit runs, and symbols") {
     val rows = TextAnalysis.bpeTokens(docs).orderBy("doc_id").collect()
     val d2 = rows(2)
