@@ -553,17 +553,20 @@ object Graph {
         (col("auth_scaled").cast("double") / lit(Scale.toDouble)).as("auth"))
   }
 
-  /** One min-label propagation step: every node takes the least of its
-    * own label and its neighbors' labels along `forward` out-edges
-    * (pulling from dst) or backward in-edges. `least` skips the NULL a
-    * neighborless node produces — identical semantics in DuckDB. */
-  private def sccStep(labels: DataFrame, edges: DataFrame,
-                      forward: Boolean): DataFrame = {
-    val (near, far) = if (forward) ("src", "dst") else ("dst", "src")
-    val nbr = edges.join(labels.withColumnRenamed("id", far), far)
-      .groupBy(col(near).as("id")).agg(min(col("lbl")).as("nlbl"))
-    labels.join(nbr, Seq("id"), "left")
-      .select(col("id"), least(col("lbl"), col("nlbl")).as("lbl"))
+  /** One combined min-label propagation step: the forward label pulls
+    * the minimum over out-neighbors, the backward label over
+    * in-neighbors — two equi-joins + keyed partial-agg mins against ONE
+    * state frame, so each hop materializes a single checkpoint instead
+    * of two. `least` skips the NULL a neighborless node produces —
+    * identical semantics in DuckDB. */
+  private def sccStep(st: DataFrame, edges: DataFrame): DataFrame = {
+    val fn = edges.join(st.select(col("id").as("dst"), col("flbl")), "dst")
+      .groupBy(col("src").as("id")).agg(min(col("flbl")).as("fn"))
+    val bn = edges.join(st.select(col("id").as("src"), col("blbl")), "src")
+      .groupBy(col("dst").as("id")).agg(min(col("blbl")).as("bn"))
+    st.join(fn, Seq("id"), "left").join(bn, Seq("id"), "left")
+      .select(col("id"), least(col("flbl"), col("fn")).as("flbl"),
+        least(col("blbl"), col("bn")).as("blbl"))
   }
 
   /** Strongly connected components by forward-backward min-label
@@ -604,34 +607,30 @@ object Graph {
     var p = 0
     var live = true
     while (p < peels && live && !remaining.isEmpty) {
-      var f = remaining.withColumn("lbl", col("id"))
-      var b = remaining.withColumn("lbl", col("id"))
+      var st = remaining.select(col("id"), col("id").as("flbl"),
+        col("id").as("blbl"))
       var i = 0
       while (i < hops) {
-        f = sccStep(f, e, forward = true).localCheckpoint(true)
-        b = sccStep(b, e, forward = false).localCheckpoint(true)
+        st = sccStep(st, e).localCheckpoint(true)
         i += 1
       }
       // stability check: one more step must change nothing, else the
       // closure minima aren't final and removal could split an SCC
-      val fv = sccStep(f, e, forward = true)
-        .withColumnRenamed("lbl", "lbl2").join(f, "id")
-      val bv = sccStep(b, e, forward = false)
-        .withColumnRenamed("lbl", "lbl2").join(b, "id")
-      val unstable = fv.filter(col("lbl2") =!= col("lbl")).count() +
-        bv.filter(col("lbl2") =!= col("lbl")).count()
+      val v = sccStep(st, e)
+        .withColumnRenamed("flbl", "flbl2").withColumnRenamed("blbl", "blbl2")
+        .join(st, "id")
+      val unstable = v.filter(col("flbl2") =!= col("flbl") ||
+        col("blbl2") =!= col("blbl")).count()
       if (unstable > 0) {
         graft.util.Log.getLogger("graft.Graph").warn(
           s"scc peel $p not converged within $hops hops " +
             s"($unstable labels still moving); stopping with partial cover")
         live = false
       } else {
-        val lbl = f.withColumnRenamed("lbl", "flbl")
-          .join(b.withColumnRenamed("lbl", "blbl"), "id")
-        val assigned = lbl.filter(col("flbl") === col("blbl"))
+        val assigned = st.filter(col("flbl") === col("blbl"))
           .select(col("id"), col("flbl").as("scc_id")).localCheckpoint(true)
         assignedAll = Some(assignedAll.fold(assigned)(_.union(assigned)))
-        remaining = lbl.filter(col("flbl") =!= col("blbl"))
+        remaining = st.filter(col("flbl") =!= col("blbl"))
           .select(col("id")).localCheckpoint(true)
         val ids = assigned.select(col("id"))
         e = e.join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_anti")

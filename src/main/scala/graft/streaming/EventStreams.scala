@@ -290,6 +290,41 @@ object EventStreams {
       }
   }
 
+  final case class EwmaState(user_id: Long, n_events: Long,
+                             ewma_scaled: Long)
+
+  /** Streaming twin of [[graft.ops.Events.ewma]]: the same fixed-point
+    * recurrence `s += (x − s) div 2^k` carried in mapGroupsWithState —
+    * state per user is (count, level), two longs forever. Within a
+    * micro-batch the group's rows fold in `(ts, event_id)` order (an
+    * EWMA is order-sensitive, and the iterator order is not
+    * guaranteed); ACROSS batches exactness holds when batches arrive in
+    * event-time order — the same in-order contract the batch operator's
+    * sorted fold encodes, checked batch-vs-stream in the spec. Input
+    * columns: `(user_id, ts, event_id, value)`.
+    */
+  def streamingEwma(events: DataFrame, k: Int = 3)(
+      implicit spark: SparkSession): Dataset[EwmaState] = {
+    import spark.implicits._
+    val d = 1L << k
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(floor(value * 100) AS BIGINT) * 1000000L").as("x"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[(Long, Long)]) =>
+          var (n, s) = state.getOption.getOrElse((0L, 0L))
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+            s = if (n == 0L) r._4 else s + ((r._4 - s) / d)
+            n += 1
+          }
+          state.update((n, s))
+          EwmaState(user, n, s)
+      }
+  }
+
   def streamingDistinctRegisters(rows: DataFrame, b: Int = 8)(
       implicit spark: SparkSession): Dataset[HllRegister] = {
     import spark.implicits._

@@ -120,6 +120,43 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingEwma equals the batch fold when batches arrive in order") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // (user_id, ts, event_id, value); second batch continues user 1's
+    // series and starts user 2's — the carried (n, s) state must make
+    // the stream land exactly on the batch operator's fold
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val out = EventStreams.streamingEwma(
+      mem.toDF.toDF("user_id", "ts", "event_id", "value"))
+    val q = out.toDF.writeStream
+      .format("memory").queryName("ewma_test")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      mem.addData((1L, 10L, 1L, 1.0), (1L, 20L, 2L, 9.0))
+      q.processAllAvailable()
+      mem.addData((1L, 30L, 3L, 0.0), (2L, 10L, 4L, 5.0))
+      q.processAllAvailable()
+      val streamed = spark.table("ewma_test").collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .view.mapValues(_.maxBy(_.getAs[Long]("n_events"))).toMap
+      val batch = graft.ops.Events.ewma(
+        Seq((1L, 10L, 1L, 1.0), (1L, 20L, 2L, 9.0), (1L, 30L, 3L, 0.0),
+          (2L, 10L, 4L, 5.0)).toDF("user_id", "ts", "event_id", "value"))
+        .collect().map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Long]("n_events"), r.getAs[Long]("ewma_scaled"))).toMap
+      for ((u, (n, sc)) <- batch) {
+        assert(streamed(u).getAs[Long]("n_events") == n)
+        assert(streamed(u).getAs[Long]("ewma_scaled") == sc,
+          s"user $u stream/batch EWMA mismatch")
+      }
+      // out-of-order WITHIN one batch is still exact (sorted fold)
+      assert(batch(1L)._2 == 200000000L - 25000000L)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState trailing features roll across micro-batches") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
