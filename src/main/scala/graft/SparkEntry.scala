@@ -145,6 +145,51 @@ object SparkEntry {
           .as("query_text"))
       TextAnalysis.bm25TopK(docs, qs, 5).orderBy("query_id", "rank")
     }),
+    // --- hybrid retrieval: BM25 lexical + embedding-cosine rankings
+    // fused by integer-scaled reciprocal-rank fusion (vec_id == doc_id
+    // in the testdata, so the two systems rank the same id space)
+    "search_hybrid" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 5).select(
+        col("doc_id").as("query_id"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 5), " ")
+          .as("query_text"))
+      val lex = TextAnalysis.bm25TopK(docs, qs, 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val e = rd(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val sem = Similarity.bruteTopK(
+        e.select(col("vec_id"), col("embedding")), q, 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      TextAnalysis.rrfFuse(Seq(lex, sem)).orderBy("query_id", "rank")
+    }),
+    // --- dedup quality harness: exact-hash dedup evaluated against a
+    // planted truth set (10 byte-identical copies it must catch, 40
+    // near copies it must miss) — tp/fp/fn + ppm precision/recall/F1
+    "dedup_eval" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val near = docs.filter(col("doc_id") < 40).select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        concat(expr("substring(text, 1, length(text) - 3)"), lit("XXX"))
+          .as("text"))
+      val exact = docs.filter(col("doc_id") < 10).select(
+        (col("doc_id") + 200000L).as("doc_id"), col("text"))
+      val hashed = docs.unionByName(near).unionByName(exact)
+        .withColumn("h", sha2(col("text"), 256))
+      val pred = hashed.select(col("h"), col("doc_id").as("a_id"))
+        .join(hashed.select(col("h"), col("doc_id").as("b_id")), "h")
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+      val truth = docs.filter(col("doc_id") < 40)
+        .select(col("doc_id").as("a_id"),
+          (col("doc_id") + 100000L).as("b_id"))
+        .unionByName(docs.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("a_id"),
+            (col("doc_id") + 200000L).as("b_id")))
+      Dedup.evalPairs(pred, truth)
+    }),
     // --- k-means corpus clustering. The registered query plants k=16
     // well-separated blocks (dim 0 shifted by 1000·g,
     // g = (vec_id·16 + 15) div n — the exact inverse of kmeansFit's
@@ -1429,6 +1474,120 @@ object SparkEntry {
     // BM25 twin: identical integer arithmetic — the one scaled division
     // per term ((idf·2200·L·tf) // (10·L·tf + 3·L + 9·dl·N)) is pure
     // BIGINT in both engines, so the summed scores hash-match exactly
+    // both rankings rebuilt in SQL (the text_bm25 and ann_brute chains
+    // at k=10), then fused: 1e9 // (60 + rank) summed per (query, doc)
+    "search_hybrid" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), lens AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks
+        |), tot AS (
+        |  SELECT CAST(sum(dl) AS BIGINT) AS corpus_len, count(*) AS n_docs FROM lens
+        |), q AS (
+        |  SELECT DISTINCT query_id, token FROM (
+        |    SELECT doc_id AS query_id, unnest(t[1:5]) AS token
+        |    FROM toks WHERE doc_id < 5)
+        |), tfa AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(t) AS token FROM toks)
+        |  GROUP BY 1, 2
+        |), d AS (
+        |  SELECT *, count(*) OVER (PARTITION BY token) AS df FROM tfa
+        |), sc AS (
+        |  SELECT q.query_id, d.doc_id,
+        |    CAST(sum(((1000000 // df) * 2200 * corpus_len * tf)
+        |      // (10 * corpus_len * tf + 3 * corpus_len + 9 * dl * n_docs))
+        |      AS BIGINT) AS score
+        |  FROM d JOIN q ON d.token = q.token
+        |  JOIN lens ON d.doc_id = lens.doc_id
+        |  CROSS JOIN tot
+        |  GROUP BY 1, 2
+        |), lex AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS r
+        |  FROM sc
+        |), aq AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id < 5
+        |), ac AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings
+        |), ascored AS (
+        |  SELECT aq.query_id, ac.vec_id,
+        |    list_dot_product(ce, qe) /
+        |      (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(qe, qe))) AS cosine
+        |  FROM ac, aq WHERE ac.vec_id <> aq.query_id
+        |), sem AS (
+        |  SELECT query_id, vec_id AS doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id ASC) AS r
+        |  FROM ascored
+        |), fused AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(sum(1000000000 // (60 + r)) AS BIGINT) AS rrf_scaled,
+        |    CAST(count(*) AS BIGINT) AS n_lists
+        |  FROM (
+        |    SELECT query_id, doc_id, r FROM lex WHERE r <= 10
+        |    UNION ALL
+        |    SELECT query_id, doc_id, r FROM sem WHERE r <= 10
+        |  ) GROUP BY 1, 2
+        |), frk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_scaled DESC, doc_id) AS "rank"
+        |  FROM fused
+        |)
+        |SELECT query_id, CAST("rank" AS BIGINT) AS "rank", doc_id,
+        |  rrf_scaled, n_lists
+        |FROM frk WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+    "dedup_eval" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |), corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    substr(text, 1, length(text) - 3) || 'XXX'
+        |  FROM base WHERE doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM base WHERE doc_id < 10
+        |), hashed AS (
+        |  SELECT doc_id, sha256(text) AS h FROM corpus
+        |), pred AS (
+        |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |  FROM hashed a JOIN hashed b
+        |    ON a.h = b.h AND a.doc_id < b.doc_id
+        |), truth AS (
+        |  SELECT DISTINCT a, b FROM (
+        |    SELECT doc_id AS a, doc_id + 100000 AS b FROM base
+        |    WHERE doc_id < 40
+        |    UNION ALL
+        |    SELECT doc_id, doc_id + 200000 FROM base WHERE doc_id < 10)
+        |), j AS (
+        |  SELECT COALESCE(p.one, 0) AS in_p, COALESCE(t.one, 0) AS in_t
+        |  FROM (SELECT a, b, 1 AS one FROM pred) p
+        |  FULL OUTER JOIN (SELECT a, b, 1 AS one FROM truth) t
+        |    USING (a, b)
+        |), agg AS (
+        |  SELECT CAST(sum(in_p) AS BIGINT) AS n_predicted,
+        |    CAST(sum(in_t) AS BIGINT) AS n_truth,
+        |    CAST(sum(in_p * in_t) AS BIGINT) AS tp
+        |  FROM j
+        |), pr AS (
+        |  SELECT *,
+        |    CASE WHEN n_predicted = 0 THEN 0
+        |      ELSE 1000000 * tp // n_predicted END AS precision_ppm,
+        |    CASE WHEN n_truth = 0 THEN 0
+        |      ELSE 1000000 * tp // n_truth END AS recall_ppm
+        |  FROM agg
+        |)
+        |SELECT n_predicted, n_truth, tp,
+        |  n_predicted - tp AS fp, n_truth - tp AS fn,
+        |  CAST(precision_ppm AS BIGINT) AS precision_ppm,
+        |  CAST(recall_ppm AS BIGINT) AS recall_ppm,
+        |  CAST(CASE WHEN precision_ppm + recall_ppm = 0 THEN 0
+        |    ELSE 2 * precision_ppm * recall_ppm
+        |      // (precision_ppm + recall_ppm) END AS BIGINT) AS f1_ppm
+        |FROM pr""".stripMargin,
     "text_bm25" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents

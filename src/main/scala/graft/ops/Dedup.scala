@@ -714,4 +714,42 @@ object Dedup {
       .filter(col("jaccard") >= tau)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
+
+  /** Pair-level dedup quality evaluation against a ground-truth pair
+    * set — the harness that turns "we ran MinHash" into "MinHash found
+    * 96% of the planted duplicates at 99% precision". Both sides
+    * canonicalize to unordered `(min, max)` pairs; one full-outer join
+    * classifies every pair as tp/fp/fn; precision, recall, and F1 come
+    * out in exact integer parts-per-million
+    * (`f1 = 2·p·r div (p + r)` over the already-scaled p and r).
+    *
+    * Scale shape: one keyed join on the pair identity + a one-row
+    * global rollup (two-stage partial agg). Output is ONE row — the
+    * metric card a dedup sweep logs per (method, threshold).
+    * Inputs need `(a_id, b_id)`.
+    */
+  def evalPairs(predicted: DataFrame, truth: DataFrame): DataFrame = {
+    def canon(df: DataFrame) = df.select(
+      least(col("a_id"), col("b_id")).as("a"),
+      greatest(col("a_id"), col("b_id")).as("b")).distinct()
+    canon(predicted).withColumn("in_p", lit(1L))
+      .join(canon(truth).withColumn("in_t", lit(1L)),
+        Seq("a", "b"), "full_outer")
+      .select(coalesce(col("in_p"), lit(0L)).as("in_p"),
+        coalesce(col("in_t"), lit(0L)).as("in_t"))
+      .agg(sum(col("in_p")).as("n_predicted"),
+        sum(col("in_t")).as("n_truth"),
+        sum(col("in_p") * col("in_t")).as("tp"))
+      .select(col("n_predicted"), col("n_truth"), col("tp"),
+        (col("n_predicted") - col("tp")).as("fp"),
+        (col("n_truth") - col("tp")).as("fn"),
+        expr("CASE WHEN n_predicted = 0 THEN 0L" +
+          " ELSE 1000000L * tp div n_predicted END").as("precision_ppm"),
+        expr("CASE WHEN n_truth = 0 THEN 0L" +
+          " ELSE 1000000L * tp div n_truth END").as("recall_ppm"))
+      .withColumn("f1_ppm",
+        expr("CASE WHEN precision_ppm + recall_ppm = 0 THEN 0L" +
+          " ELSE 2L * precision_ppm * recall_ppm" +
+          " div (precision_ppm + recall_ppm) END"))
+  }
 }

@@ -436,6 +436,37 @@ object TextAnalysis {
         col("doc_id"), col("score"), col("n_terms"))
   }
 
+  /** Reciprocal-rank fusion — the standard hybrid-search combiner: each
+    * input ranking contributes `1/(kRrf + rank)` per (query, doc), the
+    * sums re-rank. The score is integer-scaled `1e9 div (kRrf + rank)`
+    * (floor division both engines share), so fusion of exactly-ranked
+    * inputs stays exactly ranked — no float accumulation between
+    * rankers. RRF needs no score calibration between the fused systems
+    * (only ranks), which is why it's the default way to merge lexical
+    * BM25 with embedding ANN.
+    *
+    * Scale shape: each ranking is already top-k-per-query (bounded); the
+    * union, per-(query,doc) rollup, and final re-rank window all operate
+    * on ≤ Σ k_i rows per query — never corpus-sized. Inputs need
+    * `(query_id, doc_id, rank)`.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], kRrf: Int = 60,
+              topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    import org.apache.spark.sql.expressions.Window
+    rankings
+      .map(_.select(col("query_id"), col("doc_id"),
+        expr(s"1000000000L div (${kRrf}L + rank)").as("c")))
+      .reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("rrf_scaled"), count(lit(1)).as("n_lists"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(desc("rrf_scaled"), col("doc_id"))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rrf_scaled"), col("n_lists"))
+  }
+
   /** Bigram language-model training: conditional continuation
     * probabilities P(w2 | w1) = c(w1 w2) / c(w1 ·), kept to the top
     * `topK` continuations per head token — the tiny in-corpus LM behind

@@ -285,4 +285,30 @@ class DedupSpec extends SparkSpec {
     assert(exact.contains((1L, 2L)) && exact.contains((1L, 3L)))
     assert(got == exact, "shingle-mode prefix join must equal exact jaccard")
   }
+
+  test("evalPairs scores predictions against truth in exact ppm") {
+    // truth: (1,2) (3,4) (5,6); predicted: (2,1) dup+flipped, (3,4), (7,8)
+    // -> tp=2, fp=1, fn=1; p = 2/3, r = 2/3, f1 = 2pr/(p+r)
+    val pred = Seq((2L, 1L), (1L, 2L), (3L, 4L), (7L, 8L))
+      .toDF("a_id", "b_id")
+    val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a_id", "b_id")
+    val r = Dedup.evalPairs(pred, truth).collect()(0)
+    assert(r.getAs[Long]("n_predicted") == 3L) // canonicalized + deduped
+    assert(r.getAs[Long]("n_truth") == 3L)
+    assert(r.getAs[Long]("tp") == 2L)
+    assert(r.getAs[Long]("fp") == 1L && r.getAs[Long]("fn") == 1L)
+    assert(r.getAs[Long]("precision_ppm") == 666666L)
+    assert(r.getAs[Long]("recall_ppm") == 666666L)
+    // 2*666666*666666 div 1333332 = 666666 exactly
+    assert(r.getAs[Long]("f1_ppm") == 666666L)
+  }
+
+  test("evalPairs handles empty predictions without dividing by zero") {
+    val pred = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val truth = Seq((1L, 2L)).toDF("a_id", "b_id")
+    val r = Dedup.evalPairs(pred, truth).collect()(0)
+    assert(r.getAs[Long]("n_predicted") == 0L)
+    assert(r.getAs[Long]("precision_ppm") == 0L)
+    assert(r.getAs[Long]("recall_ppm") == 0L && r.getAs[Long]("f1_ppm") == 0L)
+  }
 }

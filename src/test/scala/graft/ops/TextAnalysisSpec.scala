@@ -66,6 +66,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 5L), (1L, 3L)))
   }
 
+  test("rrfFuse merges rankings by reciprocal rank with exact ties") {
+    // doc 10 is rank 1 lexically and rank 2 semantically; doc 20 the
+    // reverse -> identical fused scores, tie broken by doc_id
+    val lex = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val sem = Seq((1L, 20L, 1L), (1L, 10L, 2L), (1L, 40L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val out = TextAnalysis.rrfFuse(Seq(lex, sem), kRrf = 60, topK = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("rrf_scaled"), r.getAs[Long]("n_lists")))
+    val c1 = 1000000000L / 61
+    val c2 = 1000000000L / 62
+    val c3 = 1000000000L / 63
+    assert(out(0) == (1L, 10L, c1 + c2, 2L)) // tie -> lower doc_id first
+    assert(out(1) == (2L, 20L, c1 + c2, 2L))
+    // single-list docs rank below the consensus docs
+    assert(out(2) == (3L, 30L, c3, 1L) && out(3) == (4L, 40L, c3, 1L))
+  }
+
   test("importanceWeights ranks target-domain tokens above raw-common ones") {
     import org.apache.spark.sql.functions.col
     // raw corpus: 'common' everywhere, 'rare' only in the target docs
