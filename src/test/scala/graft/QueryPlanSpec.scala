@@ -34,6 +34,8 @@ class QueryPlanSpec extends SparkSpec {
       "mix_temperature", // same one-row scale-election broadcast
       "text_bm25", // one-row (corpus_len, n_docs) total crossed onto the
                    // matched posting slice
+      "search_hybrid", // fuses the bm25 chain (same one-row total) with
+                       // the ann_brute broadcast query set
       "graph_hits") // L1 normalization divides by a ONE-ROW integer total
                     // each half-round — the same single-row broadcast
 
