@@ -727,6 +727,21 @@ object SparkEntry {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       Events.madOutliers(rd(s, dir, "events")).orderBy("event_id")
     }),
+    // --- RFM segmentation: ntile quantile bins over the aggregated
+    // per-user frame, reference instant = corpus max timestamp
+    "events_rfm" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = rd(s, dir, "events").select(col("user_id"),
+        expr("ts div 1000").as("ts"), col("value"))
+      Events.rfm(ev).orderBy("user_id")
+    }),
+    // --- session co-visitation with integer-ppm lift vs independence
+    "events_covisit" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = rd(s, dir, "events").select(col("user_id"),
+        expr("ts div 1000").as("ts"), col("event_type"))
+      Events.covisitation(ev).orderBy("type_a", "type_b")
+    }),
     "events_props" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       Events.propsRollup(rd(s, dir, "events")).orderBy("prop")
@@ -747,6 +762,10 @@ object SparkEntry {
     // DuckDB's identical IEEE arithmetic hash-matches
     "embed_gram" -> ((s, dir) =>
       Similarity.gramMatrix(rd(s, dir, "embeddings")).orderBy("i", "j")),
+    // --- Matryoshka truncation profile: per-prefix squared-norm share,
+    // per-cell floor-scaled (order-free BIGINT, engine-exact)
+    "embed_truncation" -> ((s, dir) =>
+      Similarity.truncationEval(rd(s, dir, "embeddings")).orderBy("dim")),
     // JL sign random projection 64 -> 16: stateless md5-derived signs,
     // exact BIGINT cell sums, one portable division (10^6*sqrt(16))
     "embed_rp" -> ((s, dir) =>
@@ -2729,6 +2748,75 @@ object SparkEntry {
         |    AS close_c,
         |  CAST(sum(v100) AS BIGINT) AS sum_c
         |FROM rk GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin,
+    // ntile's bucket-split rule (earlier buckets take the extras) is
+    // identical in DuckDB; the (metric, user_id) total order pins ties
+    "events_rfm" ->
+      """WITH pu AS (
+        |  SELECT user_id, max(epoch_us(ts)) AS last_ts,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS monetary_c
+        |  FROM events GROUP BY 1
+        |), nw AS (
+        |  SELECT max(last_ts) AS now_ts FROM pu
+        |), b AS (
+        |  SELECT user_id,
+        |    (now_ts - last_ts) // 86400000000 AS recency_days,
+        |    frequency, monetary_c,
+        |    CAST(ntile(5) OVER (ORDER BY (now_ts - last_ts) // 86400000000,
+        |      user_id) AS BIGINT) AS r_bin,
+        |    CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS BIGINT)
+        |      AS f_bin,
+        |    CAST(ntile(5) OVER (ORDER BY monetary_c, user_id) AS BIGINT)
+        |      AS m_bin
+        |  FROM pu CROSS JOIN nw
+        |)
+        |SELECT user_id, recency_days, frequency, monetary_c,
+        |  r_bin, f_bin, m_bin,
+        |  CAST(r_bin AS VARCHAR) || '-' || CAST(f_bin AS VARCHAR) || '-' ||
+        |    CAST(m_bin AS VARCHAR) AS segment
+        |FROM b ORDER BY user_id""".stripMargin,
+    // session partition is tie-order-independent (equal timestamps gap 0
+    // -> same session either way), so the ts-only window is deterministic
+    "events_covisit" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts, event_type FROM events
+        |), s1 AS (
+        |  SELECT user_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w > 1800000000 THEN 1 ELSE 0 END
+        |      AS new_sess
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), s2 AS (
+        |  SELECT user_id, event_type,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS sess_idx
+        |  FROM s1
+        |), sess AS (
+        |  SELECT DISTINCT user_id, sess_idx, event_type FROM s2
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_sessions
+        |  FROM (SELECT DISTINCT user_id, sess_idx FROM sess)
+        |), pt AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS c
+        |  FROM sess GROUP BY 1
+        |), pairs AS (
+        |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM sess x JOIN sess y
+        |    ON x.user_id = y.user_id AND x.sess_idx = y.sess_idx
+        |    AND x.event_type < y.event_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT type_a, type_b, c_ab, a.c AS c_a, b.c AS c_b, n_sessions,
+        |  CAST(1000000 * n_sessions * c_ab // (a.c * b.c) AS BIGINT)
+        |    AS lift_ppm
+        |FROM pairs
+        |JOIN pt a ON a.event_type = type_a
+        |JOIN pt b ON b.event_type = type_b
+        |CROSS JOIN tot
+        |ORDER BY type_a, type_b""".stripMargin,
     // quantile_cont == Spark exact percentile (same p*(n-1) interpolation);
     // doubling before round() keeps every compared term an exact integer
     "events_outliers_mad" ->
@@ -2821,6 +2909,26 @@ object SparkEntry {
         |SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
         |  CAST(sum(c) AS BIGINT) AS s
         |FROM cells GROUP BY i, j ORDER BY i, j""".stripMargin,
+    // per-cell floor before summing (the gram recipe); DuckDB lists are
+    // 1-indexed like Spark's posexplode index + 1
+    "embed_truncation" ->
+      """WITH cells AS (
+        |  SELECT r.range AS pos,
+        |    CAST(floor(ce[r.range] * ce[r.range] * 1000000) AS BIGINT) AS e
+        |  FROM (SELECT CAST(embedding AS DOUBLE[]) AS ce FROM embeddings)
+        |  CROSS JOIN range(1, 65) r
+        |), byp AS (
+        |  SELECT pos, CAST(sum(e) AS BIGINT) AS pe FROM cells GROUP BY 1
+        |), pref AS (
+        |  SELECT pos, CAST(sum(pe) OVER (ORDER BY pos) AS BIGINT) AS cum
+        |  FROM byp
+        |), tot AS (
+        |  SELECT max(cum) AS total_scaled FROM pref
+        |)
+        |SELECT pos AS dim, cum AS energy_scaled, total_scaled,
+        |  CAST(1000000 * cum // total_scaled AS BIGINT) AS energy_ppm
+        |FROM pref CROSS JOIN tot
+        |WHERE pos IN (8, 16, 32, 64) ORDER BY dim""".stripMargin,
     // JL twin: DuckDB derives the SAME sign matrix from its own md5()
     // (independent implementation, same recipe) and replays the signed
     // floor-scaled BIGINT sums; the one division is CAST-forced DOUBLE

@@ -700,6 +700,94 @@ object Events {
           .getField("v100").as("close_c"),
         sum(col("v100")).as("sum_c"))
 
+  /** RFM (recency / frequency / monetary) segmentation — the classic
+    * customer-analytics rollup: per user, days since last event,
+    * event count, and fixed-point value total, each scored into
+    * `nBins` quantile bins with `ntile` (identical bucket-split rule in
+    * DuckDB) over a deterministic `(metric, user_id)` total order.
+    * Bin 1 holds the LOWEST metric values — most-recent users score
+    * r_bin 1, biggest spenders m_bin `nBins`. The reference instant is
+    * the corpus max timestamp (deterministic), not the wall clock.
+    *
+    * Scale shape: one partial-aggregated shuffle to |users| rows; the
+    * ntile windows are unpartitioned but run over the AGGREGATED
+    * user-cardinality frame only (the sales_pareto precedent), never
+    * raw events. Expects `(user_id, ts, value)` with microsecond longs.
+    */
+  def rfm(events: DataFrame, nBins: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = events
+      .select(col("user_id"), col("ts"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("v100"))
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"),
+        count(lit(1)).as("frequency"),
+        sum(col("v100")).as("monetary_c"))
+    val now = perUser.groupBy().agg(max(col("last_ts")).as("now_ts"))
+    perUser.crossJoin(broadcast(now))
+      .withColumn("recency_days",
+        expr("(now_ts - last_ts) div 86400000000"))
+      .withColumn("r_bin", ntile(nBins).over(
+        Window.orderBy(col("recency_days"), col("user_id"))).cast("long"))
+      .withColumn("f_bin", ntile(nBins).over(
+        Window.orderBy(col("frequency"), col("user_id"))).cast("long"))
+      .withColumn("m_bin", ntile(nBins).over(
+        Window.orderBy(col("monetary_c"), col("user_id"))).cast("long"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_c"), col("r_bin"), col("f_bin"), col("m_bin"),
+        concat(col("r_bin"), lit("-"), col("f_bin"), lit("-"),
+          col("m_bin")).as("segment"))
+  }
+
+  /** Session co-visitation: for every pair of event types occurring in
+    * the same gap-delimited session, the co-occurrence count (set
+    * semantics per session) and the integer-ppm lift
+    * `1e6·N·c_ab div (c_a·c_b)` against independence — the signal
+    * behind "users who view also purchase" co-recommendations, one
+    * level up from [[transitionMatrix]]'s adjacent-pair view.
+    *
+    * Scale shape: sessionization is one user-keyed window; per-session
+    * distinct types bound the pair self-join by the TYPE VOCABULARY per
+    * session (never raw events²); the rollup is type²-bounded. Expects
+    * `(user_id, ts, event_type)` with microsecond longs.
+    */
+  def covisitation(events: DataFrame,
+                   gapSeconds: Long = 1800L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"))
+    val sess = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts") - col("prev_ts") > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_idx", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("sess_idx"), col("event_type"))
+      .distinct()
+    val total = sess.select(col("user_id"), col("sess_idx")).distinct()
+      .groupBy().agg(count(lit(1)).as("n_sessions"))
+    val perType = sess.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val pairs = sess.as("x").join(sess.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.sess_idx") === col("y.sess_idx") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("c_ab"))
+    pairs
+      .join(broadcast(perType.select(col("event_type").as("type_a"),
+        col("c").as("c_a"))), Seq("type_a"))
+      .join(broadcast(perType.select(col("event_type").as("type_b"),
+        col("c").as("c_b"))), Seq("type_b"))
+      .crossJoin(broadcast(total))
+      .select(col("type_a"), col("type_b"), col("c_ab"), col("c_a"),
+        col("c_b"), col("n_sessions"),
+        expr("1000000L * n_sessions * c_ab div (c_a * c_b)")
+          .as("lift_ppm"))
+  }
+
   /** Robust per-type outlier flagging via median absolute deviation —
     * the estimator that survives the heavy tails that wreck
     * [[anomalies]]' mean/σ z-score (one enormous value drags the mean

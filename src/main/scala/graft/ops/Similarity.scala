@@ -642,4 +642,38 @@ object Similarity {
     assigned.join(broadcast(sizes), Seq("cluster"))
       .select(col("vec_id"), col("cluster"), col("cluster_size"))
   }
+
+  /** Truncated-dimension energy profile — the Matryoshka diagnostic:
+    * for each prefix length `d`, how much of the corpus's total squared
+    * norm the first `d` coordinates carry. A front-loaded profile says
+    * truncated vectors (cheaper ANN, smaller indexes) keep most of the
+    * geometry; a flat one says they don't. Each cell contributes
+    * `floor(x²·1e6)` BEFORE summation (the gram-matrix recipe: per-cell
+    * floor of an IEEE-identical double product → order-free BIGINT
+    * sums, engine-exact).
+    *
+    * Scale shape: one posexplode + partial-agg to exactly `dim` rows;
+    * the prefix-sum window runs over that dim-row frame only. Output is
+    * |dims| rows.
+    */
+  def truncationEval(embeddings: DataFrame,
+                     dims: Seq[Int] = Seq(8, 16, 32, 64),
+                     embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = embeddings
+      .select(posexplode(col(embCol)).as(Seq("i", "x")))
+      .select((col("i") + 1).cast("long").as("pos"),
+        expr("CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)" +
+          " * 1000000.0d) AS BIGINT)").as("e"))
+      .groupBy(col("pos")).agg(sum(col("e")).as("pe"))
+    val pref = byPos.withColumn("cum", sum(col("pe")).over(
+      Window.orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = pref.groupBy().agg(max(col("cum")).as("total_scaled"))
+    pref.filter(col("pos").isin(dims.map(_.toLong): _*))
+      .crossJoin(broadcast(total))
+      .select(col("pos").as("dim"), col("cum").as("energy_scaled"),
+        col("total_scaled"),
+        expr("1000000L * cum div total_scaled").as("energy_ppm"))
+  }
 }

@@ -36,6 +36,9 @@ class QueryPlanSpec extends SparkSpec {
                    // matched posting slice
       "search_hybrid", // fuses the bm25 chain (same one-row total) with
                        // the ann_brute broadcast query set
+      "events_rfm",    // one-row corpus-max instant onto |users| rows
+      "events_covisit", // one-row session total onto type² pair rows
+      "embed_truncation", // one-row total energy onto |dims| rows
       "graph_hits") // L1 normalization divides by a ONE-ROW integer total
                     // each half-round — the same single-row broadcast
 

@@ -376,6 +376,47 @@ class EventsSpec extends SparkSpec {
     assert(out(1).getAs[Long]("close_c") == 200L)
   }
 
+  test("rfm bins users by quantile with deterministic ties") {
+    val day = 86400000000L
+    // 5 users: recency 0..4 days (user 5 most recent), frequency and
+    // monetary increasing with user_id
+    val ev = (1 to 5).flatMap { u =>
+      (1 to u).map(i => (u.toLong, (10L - u) * day + i, u * 1.0))
+    }.toDF("user_id", "ts", "value")
+    val r = Events.rfm(ev, nBins = 5).orderBy("user_id").collect()
+    // user 1 has the latest event (day 9) -> recency 0 -> r_bin 1;
+    // user 5's last event sits ~4 days earlier -> recency 3 -> r_bin 5
+    assert(r(0).getAs[Long]("recency_days") == 0L)
+    assert(r(0).getAs[Long]("r_bin") == 1L)
+    assert(r(4).getAs[Long]("recency_days") == 3L)
+    assert(r(4).getAs[Long]("r_bin") == 5L)
+    // frequency/monetary rise with user_id -> bins follow exactly
+    assert(r.map(_.getAs[Long]("f_bin")).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(r.map(_.getAs[Long]("m_bin")).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(r(2).getAs[String]("segment") == "3-3-3")
+  }
+
+  test("covisitation pairs types within sessions and computes exact lift") {
+    val gap = 1800L * 1000000L
+    // user 1 session A: a+b; user 1 session B (after gap): a only;
+    // user 2 session C: a+b -> N=3, c_a=3, c_b=2, c_ab=2
+    val ev = Seq(
+      (1L, 0L, "a"), (1L, 1000L, "b"),
+      (1L, gap * 2, "a"),
+      (2L, 0L, "a"), (2L, 500L, "b"))
+      .toDF("user_id", "ts", "event_type")
+    val r = Events.covisitation(ev).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[String]("type_a") == "a" &&
+      row.getAs[String]("type_b") == "b")
+    assert(row.getAs[Long]("n_sessions") == 3L)
+    assert(row.getAs[Long]("c_a") == 3L && row.getAs[Long]("c_b") == 2L)
+    assert(row.getAs[Long]("c_ab") == 2L)
+    // lift = 1e6 * 3 * 2 div (3 * 2) = 1e6 exactly (independence)
+    assert(row.getAs[Long]("lift_ppm") == 1000000L)
+  }
+
   test("madOutliers flags the heavy tail the z-score misses") {
     // 9 values at 10.00 +- 0.02 and one at 500.00: the outlier inflates
     // mean/sigma (z-score at 2 sigma still flags it, but a SECOND large

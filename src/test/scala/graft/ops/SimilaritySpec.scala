@@ -242,4 +242,20 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(c11 - 1.0) < 0.05, s"var1 $c11")
     assert(math.abs(c01) < 0.05, s"cross $c01")
   }
+
+  test("truncationEval reports exact prefix energy shares") {
+    import spark.implicits._
+    // front-loaded vectors: energy 4+1 in dims 1-2, tail zero
+    val emb = Seq(
+      (1L, Array(2.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(2.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.truncationEval(emb, dims = Seq(1, 2, 4))
+      .orderBy("dim").collect()
+      .map(x => (x.getAs[Long]("dim"), x.getAs[Long]("energy_scaled"),
+        x.getAs[Long]("energy_ppm")))
+    // per vector: floor(4e6) + floor(1e6) = 5e6; two vectors -> 10e6
+    assert(r(0) == (1L, 8000000L, 800000L))
+    assert(r(1) == (2L, 10000000L, 1000000L))
+    assert(r(2) == (4L, 10000000L, 1000000L))
+  }
 }
