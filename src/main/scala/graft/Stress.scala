@@ -180,6 +180,28 @@ object Stress {
     time("graph_kcore")(graft.ops.Graph.kCore(gEdges, 4, 5).count())
     time("graph_labelprop")(
       graft.ops.Graph.labelPropagation(gEdges, 3).count())
+    // r6 wave: event-family ops over the replicated stream (all keyed
+    // partial-agg shapes), SCC over a factor-scaled cycle-block graph
+    time("events_attribution")(graft.ops.Events.attribution(ev).count())
+    time("events_ohlc")(graft.ops.Events.ohlcBars(ev).count())
+    time("events_outliers_mad")(graft.ops.Events.madOutliers(ev).count())
+    time("events_rfm")(graft.ops.Events.rfm(
+      ev.select(col("user_id"), col("ts"), col("value"))).count())
+    time("events_covisit")(graft.ops.Events.covisitation(
+      ev.select(col("user_id"), col("ts"), col("event_type"))).count())
+    time("graph_scc") {
+      // factor x 4000 nodes of 4-cycles, one cross link per 100 blocks:
+      // the peel budget resolves everything in 2 rounds like the
+      // registered query, at 100x the registered node count
+      val n = factor * 4000L
+      val ids = spark.range(n).select(col("id"))
+      val ring = ids.select(col("id").as("src"),
+        when(col("id") % 4 === 3, col("id") - 3)
+          .otherwise(col("id") + 1).as("dst"))
+      val cross = ids.filter(col("id") % 400 === 0)
+        .select(col("id").as("src"), (col("id") + 4).as("dst"))
+      graft.ops.Graph.scc(ring.union(cross), peels = 2, hops = 4).count()
+    }
     time("value_quantile_bins")(
       graft.ops.Analytics.binQuantiles(ev, "value").count())
     time("events_drift")(graft.ops.Quality.drift(
