@@ -727,6 +727,13 @@ object SparkEntry {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       Events.madOutliers(rd(s, dir, "events")).orderBy("event_id")
     }),
+    // --- Poisson-style daily burst flags, square-cleared to integers
+    "events_bursts" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = rd(s, dir, "events").select(col("event_type"),
+        expr("(ts div 1000) div 86400000000").as("day"))
+      Events.burstDays(ev, 2).orderBy("event_type", "day")
+    }),
     // --- RFM segmentation: ntile quantile bins over the aggregated
     // per-user frame, reference instant = corpus max timestamp
     "events_rfm" -> ((s, dir) => {
@@ -2748,6 +2755,21 @@ object SparkEntry {
         |    AS close_c,
         |  CAST(sum(v100) AS BIGINT) AS sum_c
         |FROM rk GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin,
+    "events_bursts" ->
+      """WITH cells AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), base AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS d,
+        |    CAST(sum(x) AS BIGINT) AS s
+        |  FROM cells GROUP BY 1
+        |)
+        |SELECT c.event_type, c.day, c.x, b.d, b.s
+        |FROM cells c JOIN base b USING (event_type)
+        |WHERE c.x * b.d - b.s > 0
+        |  AND (c.x * b.d - b.s) * (c.x * b.d - b.s) > 4 * b.d * b.s
+        |ORDER BY event_type, day""".stripMargin,
     // ntile's bucket-split rule (earlier buckets take the extras) is
     // identical in DuckDB; the (metric, user_id) total order pins ties
     "events_rfm" ->

@@ -700,6 +700,32 @@ object Events {
           .getField("v100").as("close_c"),
         sum(col("v100")).as("sum_c"))
 
+  /** Daily burst detection per event type — flags days whose volume
+    * spikes above the type's baseline under a Poisson-style test:
+    * `x > mean + k·sqrt(mean)` with `mean = s/d` over `d` observed days
+    * and `s` total events. Squaring clears both the division and the
+    * square root: `(x − s/d)² > k²·s/d  ⇔  (x·d − s)² > k²·d·s`, so the
+    * flag is the pure-integer predicate `x·d > s AND (x·d − s)² >
+    * k²·d·s` — identical in any engine and reduction order (the
+    * [[anomalies]] algebra applied to counts). Baseline uses OBSERVED days only —
+    * a type absent on a day contributes no zero cell, which biases the
+    * baseline up and makes the detector conservative (documented).
+    *
+    * Scale shape: partial-agg to (type, day) cells — shuffle
+    * cardinality is types × days, never events — then a type-keyed
+    * rollup broadcast back onto the cells. Expects `(event_type, day)`.
+    */
+  def burstDays(events: DataFrame, k: Int = 3): DataFrame = {
+    val cells = events.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x"))
+    val base = cells.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("d"), sum(col("x")).as("s"))
+    val dev = col("x") * col("d") - col("s")
+    cells.join(broadcast(base), Seq("event_type"))
+      .filter(dev > 0 && dev * dev > lit(k.toLong * k) * col("d") * col("s"))
+      .select(col("event_type"), col("day"), col("x"), col("d"), col("s"))
+  }
+
   /** RFM (recency / frequency / monetary) segmentation — the classic
     * customer-analytics rollup: per user, days since last event,
     * event count, and fixed-point value total, each scored into

@@ -376,6 +376,21 @@ class EventsSpec extends SparkSpec {
     assert(out(1).getAs[Long]("close_c") == 200L)
   }
 
+  test("burstDays flags only the spike day via the integer Poisson test") {
+    // type 'a': nine quiet days at 10, one day at 100
+    val ev = ((1 to 9).flatMap(d => Seq.fill(10)(("a", d.toLong))) ++
+      Seq.fill(100)(("a", 10L)) ++
+      Seq.fill(5)(("b", 1L))).toDF("event_type", "day")
+    val r = Events.burstDays(ev, k = 3).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[String]("event_type") == "a" &&
+      r(0).getAs[Long]("day") == 10L)
+    assert(r(0).getAs[Long]("x") == 100L && r(0).getAs[Long]("d") == 10L &&
+      r(0).getAs[Long]("s") == 190L)
+    // quiet days sit below the mean (dev < 0): never flagged, and the
+    // single-day type 'b' has dev = 0 -> not flagged
+  }
+
   test("rfm bins users by quantile with deterministic ties") {
     val day = 86400000000L
     // 5 users: recency 0..4 days (user 5 most recent), frequency and
