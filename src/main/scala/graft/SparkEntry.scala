@@ -727,6 +727,14 @@ object SparkEntry {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       Events.madOutliers(rd(s, dir, "events")).orderBy("event_id")
     }),
+    // --- funnel timing: first-signup -> first-subsequent-purchase
+    // latency, one-row rollup with doubled-exact median
+    "events_conversion_lag" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = rd(s, dir, "events").select(col("user_id"),
+        expr("ts div 1000").as("ts"), col("event_type"))
+      Events.conversionLatency(ev)
+    }),
     // --- Poisson-style daily burst flags, square-cleared to integers
     "events_bursts" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1050,6 +1058,11 @@ object SparkEntry {
           .cast("long") % 2001 - 1000).as("w"))
       TextAnalysis.scoreLinear(rd(s, dir, "documents"), w).orderBy("doc_id")
     }),
+    // --- RAKE keyphrases: stopword-delimited candidate runs, exact
+    // integer deg/freq scoring, per-doc deterministic top-5
+    "text_keyphrases" -> ((s, dir) =>
+      TextAnalysis.keyphrases(rd(s, dir, "documents"))
+        .orderBy("doc_id", "rank")),
     // --- DSIR-style importance selection: hashed-feature target/raw
     // ratio weights (src0 = target domain), corpus scored per token
     "text_dsir" -> ((s, dir) => {
@@ -2755,6 +2768,25 @@ object SparkEntry {
         |    AS close_c,
         |  CAST(sum(v100) AS BIGINT) AS sum_c
         |FROM rk GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin,
+    "events_conversion_lag" ->
+      """WITH f AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS from_ts
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts) - f.from_ts) AS lat
+        |  FROM events e JOIN f ON e.user_id = f.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= f.from_ts
+        |  GROUP BY 1
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_started,
+        |  CAST(count(lat) AS BIGINT) AS n_converted,
+        |  CAST(min(lat) AS BIGINT) AS min_us,
+        |  CAST(round(2 * quantile_cont(lat, 0.5)) AS BIGINT) AS p50_x2_us,
+        |  CAST(sum(lat) AS BIGINT) AS sum_us,
+        |  CAST(CASE WHEN count(lat) = 0 THEN NULL
+        |    ELSE sum(lat) // count(lat) END AS BIGINT) AS mean_us,
+        |  CAST(max(lat) AS BIGINT) AS max_us
+        |FROM f LEFT JOIN c USING (user_id)""".stripMargin,
     "events_bursts" ->
       """WITH cells AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
@@ -3636,6 +3668,59 @@ object SparkEntry {
         |SELECT pseudo_id, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(event_id) AS BIGINT) AS checksum
         |FROM p GROUP BY 1 ORDER BY pseudo_id""".stripMargin,
+    "text_keyphrases" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents
+        |), pos AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(t))) AS p, t
+        |  FROM toks
+        |), flagged AS (
+        |  SELECT doc_id, p,
+        |    regexp_replace(t[p], '[^a-z0-9]', '', 'g') AS w
+        |  FROM pos
+        |), grped AS (
+        |  SELECT doc_id, p, w,
+        |    CASE WHEN w = '' OR w IN ('the','a','an','and','or','of','to',
+        |      'in','is','on','for','with','as','at','by','from','it',
+        |      'this','that','are','was','be') THEN 1 ELSE 0 END AS st
+        |  FROM flagged
+        |), isl AS (
+        |  SELECT doc_id, p, w, st,
+        |    sum(st) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM grped
+        |), ph0 AS (
+        |  SELECT doc_id, grp, p, w FROM isl WHERE st = 0
+        |), ph AS (
+        |  SELECT *, count(*) OVER (PARTITION BY doc_id, grp) AS len
+        |  FROM ph0
+        |), phx AS (
+        |  SELECT * FROM ph WHERE len <= 4
+        |), wsc AS (
+        |  SELECT doc_id, w,
+        |    CAST(sum(len) AS BIGINT) * 1000000
+        |      // CAST(count(*) AS BIGINT) AS wscore
+        |  FROM phx GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT x.doc_id, x.grp,
+        |    CAST(sum(s.wscore) AS BIGINT) AS score_scaled,
+        |    string_agg(x.w, ' ' ORDER BY x.p) AS phrase
+        |  FROM phx x JOIN wsc s ON s.doc_id = x.doc_id AND s.w = x.w
+        |  GROUP BY 1, 2
+        |), dd AS (
+        |  SELECT doc_id, phrase, max(score_scaled) AS score_scaled,
+        |    CAST(count(*) AS BIGINT) AS n_occurrences
+        |  FROM scored GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_scaled DESC, phrase) AS "rank"
+        |  FROM dd
+        |)
+        |SELECT doc_id, CAST("rank" AS BIGINT) AS "rank", phrase,
+        |  score_scaled, n_occurrences
+        |FROM rk WHERE "rank" <= 5 ORDER BY doc_id, "rank"""".stripMargin,
     // add-1-smoothed integer ratio weights over all 64 buckets (range
     // join fills untouched ones); // is Spark's div twin on positives
     "text_dsir" ->

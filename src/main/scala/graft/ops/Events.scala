@@ -700,6 +700,40 @@ object Events {
           .getField("v100").as("close_c"),
         sum(col("v100")).as("sum_c"))
 
+  /** Conversion latency: per user the time from the FIRST `fromType`
+    * event to the FIRST `toType` event at or after it, rolled up into
+    * count + exact quantile statistics — the funnel-timing view
+    * ([[funnel]] says how many convert, this says how fast). Latency
+    * quantiles use Spark's exact percentile over integer microseconds
+    * with the [[madOutliers]] doubling trick (interpolation lands on
+    * halves; `2·q` is an exact BIGINT both engines agree on).
+    *
+    * Scale shape: two partial-aggregated min-reductions per user
+    * (never a window over raw events), a user-keyed join, then a
+    * one-row rollup. Users who never reach `toType` after `fromType`
+    * count as `n_started - n_converted`. Expects
+    * `(user_id, ts, event_type)` with microsecond longs.
+    */
+  def conversionLatency(events: DataFrame, fromType: String = "signup",
+                        toType: String = "purchase"): DataFrame = {
+    val first = events.filter(col("event_type") === fromType)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("from_ts"))
+    val conv = events.filter(col("event_type") === toType)
+      .select(col("user_id"), col("ts"))
+      .join(first, Seq("user_id"))
+      .filter(col("ts") >= col("from_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts") - col("from_ts")).as("lat"))
+    first.join(conv, Seq("user_id"), "left")
+      .agg(count(lit(1)).as("n_started"),
+        count(col("lat")).as("n_converted"),
+        min(col("lat")).as("min_us"),
+        expr("CAST(round(2 * percentile(lat, 0.5D)) AS BIGINT)")
+          .as("p50_x2_us"),
+        sum(col("lat")).as("sum_us"),
+        expr("sum(lat) div count(lat)").as("mean_us"),
+        max(col("lat")).as("max_us"))
+  }
+
   /** Daily burst detection per event type — flags days whose volume
     * spikes above the type's baseline under a Poisson-style test:
     * `x > mean + k·sqrt(mean)` with `mean = s/d` over `d` observed days

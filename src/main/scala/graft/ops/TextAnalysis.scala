@@ -436,6 +436,67 @@ object TextAnalysis {
         col("doc_id"), col("score"), col("n_terms"))
   }
 
+  /** Stopwords used by [[keyphrases]] — inlined so the DuckDB oracle
+    * carries the identical list. */
+  val RakeStops: Seq[String] = Seq("the", "a", "an", "and", "or", "of",
+    "to", "in", "is", "on", "for", "with", "as", "at", "by", "from",
+    "it", "this", "that", "are", "was", "be")
+
+  /** RAKE keyphrase extraction: candidate phrases are the maximal runs
+    * of non-stopword tokens (gaps-and-islands over the token stream),
+    * each word scores `degree/frequency` within its document (degree =
+    * summed length of phrases containing it — words living in longer
+    * phrases rank up), and a phrase scores the sum of its words. The
+    * per-word ratio is integer-scaled `deg·1e6 div freq`, so phrase
+    * scores are exact BIGINTs and ranking is engine-deterministic
+    * (score desc, phrase asc over per-doc DISTINCT phrases).
+    *
+    * Scale shape: everything is keyed on doc_id — the island window,
+    * the phrase-length window, and the final rank all partition per
+    * document (bounded by doc length); word stats are one
+    * partial-aggregated (doc, word) shuffle. No corpus-wide state.
+    */
+  def keyphrases(docs: DataFrame, topK: Int = 5,
+                 maxLen: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(split(trim(lower(col("text"))), "\\s+"))
+          .as(Seq("p", "raw")))
+      .withColumn("w", regexp_replace(col("raw"), "[^a-z0-9]", ""))
+      .withColumn("is_stop",
+        col("w") === "" || col("w").isin(RakeStops: _*))
+    val wIdx = Window.partitionBy("doc_id").orderBy("p")
+    val islands = toks
+      .withColumn("grp", sum(when(col("is_stop"), 1L).otherwise(0L)).over(
+        wIdx.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(!col("is_stop"))
+      .select(col("doc_id"), col("grp"), col("p"), col("w"))
+    val ph = islands
+      .withColumn("len",
+        count(lit(1)).over(Window.partitionBy("doc_id", "grp")))
+      .filter(col("len") <= maxLen)
+    val wscore = ph.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+      .select(col("doc_id"), col("w"),
+        expr("deg * 1000000L div freq").as("wscore"))
+    val scored = ph.join(wscore, Seq("doc_id", "w"))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(sum(col("wscore")).as("score_scaled"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "struct(p, w))), x -> x.w), ' ')").as("phrase"))
+    // identical phrase text => identical word multiset => same score,
+    // so the dedup's max() is a no-op and ranking ties resolve on text
+    scored.groupBy(col("doc_id"), col("phrase"))
+      .agg(max(col("score_scaled")).as("score_scaled"),
+        count(lit(1)).as("n_occurrences"))
+      .withColumn("rank", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(desc("score_scaled"), col("phrase"))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("phrase"),
+        col("score_scaled"), col("n_occurrences"))
+  }
+
   /** Reciprocal-rank fusion — the standard hybrid-search combiner: each
     * input ranking contributes `1/(kRrf + rank)` per (query, doc), the
     * sums re-rank. The score is integer-scaled `1e9 div (kRrf + rank)`

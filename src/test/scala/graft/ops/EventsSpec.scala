@@ -376,6 +376,24 @@ class EventsSpec extends SparkSpec {
     assert(out(1).getAs[Long]("close_c") == 200L)
   }
 
+  test("conversionLatency measures first-to-first gaps, ignoring earlier buys") {
+    // user 1: signup@100, purchase@50 (BEFORE signup - ignored),
+    //         purchase@300 -> lat 200
+    // user 2: signup@10, purchase@110 and @500 -> first after = 100
+    // user 3: signup@10, never purchases -> started, not converted
+    val ev = Seq(
+      (1L, 100L, "signup"), (1L, 50L, "purchase"), (1L, 300L, "purchase"),
+      (2L, 10L, "signup"), (2L, 110L, "purchase"), (2L, 500L, "purchase"),
+      (3L, 10L, "signup"), (4L, 99L, "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val r = Events.conversionLatency(ev).collect()(0)
+    assert(r.getAs[Long]("n_started") == 3L)   // user 4 never signed up
+    assert(r.getAs[Long]("n_converted") == 2L)
+    assert(r.getAs[Long]("min_us") == 100L && r.getAs[Long]("max_us") == 200L)
+    assert(r.getAs[Long]("p50_x2_us") == 300L) // median of {100,200} = 150
+    assert(r.getAs[Long]("sum_us") == 300L && r.getAs[Long]("mean_us") == 150L)
+  }
+
   test("burstDays flags only the spike day via the integer Poisson test") {
     // type 'a': nine quiet days at 10, one day at 100
     val ev = ((1 to 9).flatMap(d => Seq.fill(10)(("a", d.toLong))) ++

@@ -66,6 +66,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 5L), (1L, 3L)))
   }
 
+  test("keyphrases extracts stopword-delimited runs and ranks by deg/freq") {
+    import org.apache.spark.sql.functions.col
+    // "deep learning" appears twice (multi-word, high degree); "model"
+    // appears alone; stopwords split the candidates
+    val d = Seq((1L,
+      "deep learning is the model of deep learning and model"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.keyphrases(d, topK = 5).orderBy("rank").collect()
+      .map(x => (x.getAs[Long]("rank"), x.getAs[String]("phrase"),
+        x.getAs[Long]("score_scaled"), x.getAs[Long]("n_occurrences")))
+    // words: deep freq 2 deg 4 (two phrases of len 2) -> 2e6
+    //        learning freq 2 deg 4 -> 2e6; model freq 2 deg 2 -> 1e6
+    // phrase "deep learning" = 4e6 (x2 occurrences), "model" = 1e6
+    assert(r(0) == (1L, "deep learning", 4000000L, 2L))
+    assert(r(1) == (2L, "model", 1000000L, 2L))
+    assert(r.length == 2)
+  }
+
   test("rrfFuse merges rankings by reciprocal rank with exact ties") {
     // doc 10 is rank 1 lexically and rank 2 semantically; doc 20 the
     // reverse -> identical fused scores, tie broken by doc_id
