@@ -727,6 +727,14 @@ object SparkEntry {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       Events.madOutliers(rd(s, dir, "events")).orderBy("event_id")
     }),
+    // --- referential integrity: staged orphan/NULL foreign keys on
+    // the lineitem->orders relationship, one-row audit card
+    "dq_orphans" -> ((s, dir) => {
+      val fact = rd(s, dir, "lineitem").select(
+        expr("CASE WHEN l_linenumber = 7 THEN l_orderkey + 100000000 " +
+          "WHEN l_linenumber = 6 THEN NULL ELSE l_orderkey END").as("fk"))
+      Quality.orphans(fact, "fk", rd(s, dir, "orders"), "o_orderkey")
+    }),
     // --- funnel timing: first-signup -> first-subsequent-purchase
     // latency, one-row rollup with doubled-exact median
     "events_conversion_lag" -> ((s, dir) => {
@@ -2768,6 +2776,28 @@ object SparkEntry {
         |    AS close_c,
         |  CAST(sum(v100) AS BIGINT) AS sum_c
         |FROM rk GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin,
+    "dq_orphans" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN l_linenumber = 7 THEN l_orderkey + 100000000
+        |    WHEN l_linenumber = 6 THEN NULL ELSE l_orderkey END AS fk
+        |  FROM lineitem
+        |), keys AS (
+        |  SELECT DISTINCT o_orderkey AS fk FROM orders
+        |), o AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS orphan_rows,
+        |    CAST(count(DISTINCT f.fk) AS BIGINT) AS orphan_keys
+        |  FROM fact f LEFT JOIN keys k ON f.fk = k.fk
+        |  WHERE f.fk IS NOT NULL AND k.fk IS NULL
+        |), t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS fact_rows,
+        |    CAST(sum(CASE WHEN fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS null_keys
+        |  FROM fact
+        |)
+        |SELECT fact_rows, null_keys, orphan_rows, orphan_keys,
+        |  CAST(1000000 * orphan_rows // greatest(1, fact_rows) AS BIGINT)
+        |    AS orphan_ppm
+        |FROM t CROSS JOIN o""".stripMargin,
     "events_conversion_lag" ->
       """WITH f AS (
         |  SELECT user_id, min(epoch_us(ts)) AS from_ts

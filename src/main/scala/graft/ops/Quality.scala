@@ -141,4 +141,29 @@ object Quality {
           (col("n_b").cast("double") - col("e_b")) / col("e_b") * 1e6))
           .cast("long").as("chi2_scaled"))
   }
+
+  /** Referential-integrity audit between a fact table and a dimension:
+    * counts fact rows (and distinct keys) whose foreign key has no
+    * match — the orphan check every lake contract needs before a join
+    * silently drops rows. NULL keys are reported separately (they are
+    * not orphans; they're missing data). One keyed LEFT ANTI join for
+    * the orphans plus partial-aggregated counts; the dimension side is
+    * reduced to DISTINCT keys first, so the fact side shuffles once on
+    * the key and nothing is ever collected.
+    */
+  def orphans(fact: DataFrame, factKey: String,
+              dim: DataFrame, dimKey: String): DataFrame = {
+    val keys = dim.select(col(dimKey).as(factKey)).distinct()
+    val nonNull = fact.filter(col(factKey).isNotNull)
+    val orphan = nonNull.join(keys, Seq(factKey), "left_anti")
+      .agg(coalesce(count(lit(1)), lit(0L)).as("orphan_rows"),
+        coalesce(countDistinct(col(factKey)), lit(0L)).as("orphan_keys"))
+    val totals = fact.agg(count(lit(1)).as("fact_rows"),
+      sum(when(col(factKey).isNull, 1L).otherwise(0L)).as("null_keys"))
+    totals.crossJoin(orphan)
+      .select(col("fact_rows"), col("null_keys"), col("orphan_rows"),
+        col("orphan_keys"),
+        expr("1000000L * orphan_rows div greatest(1L, fact_rows)")
+          .as("orphan_ppm"))
+  }
 }

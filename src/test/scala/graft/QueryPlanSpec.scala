@@ -39,6 +39,7 @@ class QueryPlanSpec extends SparkSpec {
       "events_rfm",    // one-row corpus-max instant onto |users| rows
       "events_covisit", // one-row session total onto type² pair rows
       "embed_truncation", // one-row total energy onto |dims| rows
+      "dq_orphans",    // two one-row audit aggregates crossed together
       "graph_hits") // L1 normalization divides by a ONE-ROW integer total
                     // each half-round — the same single-row broadcast
 

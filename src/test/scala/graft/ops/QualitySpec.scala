@@ -69,4 +69,25 @@ class QualitySpec extends SparkSpec {
         r.getAs[Long]("n_b"))).toSet
     assert(out == Set(("x", 2L, 3L), ("y", 1L, 0L)))
   }
+
+  test("orphans counts unmatched foreign keys, nulls reported separately") {
+    val fact = Seq(Some(1L), Some(1L), Some(9L), Some(8L), None)
+      .toDF("fk")
+    val dim = Seq(1L, 2L, 3L).toDF("id")
+    val r = Quality.orphans(fact, "fk", dim, "id").collect()(0)
+    assert(r.getAs[Long]("fact_rows") == 5L)
+    assert(r.getAs[Long]("null_keys") == 1L)
+    assert(r.getAs[Long]("orphan_rows") == 2L)   // keys 9 and 8
+    assert(r.getAs[Long]("orphan_keys") == 2L)
+    assert(r.getAs[Long]("orphan_ppm") == 400000L) // 2/5
+  }
+
+  test("orphans on a fully-covered fact table is all zeros") {
+    val fact = Seq(1L, 2L).toDF("fk")
+    val dim = Seq(1L, 2L, 3L).toDF("id")
+    val r = Quality.orphans(fact, "fk", dim, "id").collect()(0)
+    assert(r.getAs[Long]("orphan_rows") == 0L &&
+      r.getAs[Long]("orphan_keys") == 0L &&
+      r.getAs[Long]("orphan_ppm") == 0L)
+  }
 }
