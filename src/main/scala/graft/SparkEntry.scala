@@ -750,6 +750,21 @@ object SparkEntry {
         expr("(ts div 1000) div 86400000000").as("day"))
       Events.burstDays(ev, 2).orderBy("event_type", "day")
     }),
+    // --- CUSUM change-point per type over the integer deviation walk
+    "events_changepoint" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = rd(s, dir, "events").select(col("event_type"),
+        expr("(ts div 1000) div 86400000000").as("day"))
+      Events.changePoint(ev).orderBy("event_type")
+    }),
+    // --- deterministic half-sample bootstrap CI for the per-type mean
+    "value_bootstrap" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val v = rd(s, dir, "events").select(col("event_type").as("group"),
+        col("event_id").as("id"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("v100"))
+      Sampling.bootstrapMean(v).orderBy("group")
+    }),
     // --- RFM segmentation: ntile quantile bins over the aggregated
     // per-user frame, reference instant = corpus max timestamp
     "events_rfm" -> ((s, dir) => {
@@ -2817,6 +2832,62 @@ object SparkEntry {
         |    ELSE sum(lat) // count(lat) END AS BIGINT) AS mean_us,
         |  CAST(max(lat) AS BIGINT) AS max_us
         |FROM f LEFT JOIN c USING (user_id)""".stripMargin,
+    // argmax via row_number (abs desc, day) — the min(struct) twin
+    "events_changepoint" ->
+      """WITH cells AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), base AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS d,
+        |    CAST(sum(x) AS BIGINT) AS s
+        |  FROM cells GROUP BY 1
+        |), walk AS (
+        |  SELECT c.event_type, c.day, b.d, b.s,
+        |    sum(c.x * b.d - b.s) OVER (PARTITION BY c.event_type
+        |      ORDER BY c.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM cells c JOIN base b USING (event_type)
+        |), rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(cum) DESC, day) AS rn
+        |  FROM walk
+        |)
+        |SELECT event_type, day AS change_day,
+        |  CAST(abs(cum) AS BIGINT) AS peak_abs_dev,
+        |  CAST(cum AS BIGINT) AS peak_dev, d AS n_days, s AS n_events
+        |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    // the md5-threshold Bernoulli(1/2) replica membership is rebuilt
+    // verbatim; replica means are truncated integer division twins
+    "value_bootstrap" ->
+      """WITH v AS (
+        |  SELECT event_type AS "group", event_id AS id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+        |  FROM events
+        |), reps AS (
+        |  SELECT "group", r.range AS r,
+        |    CAST(sum(v100) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |      AS mean_c
+        |  FROM v CROSS JOIN range(0, 32) r
+        |  WHERE CAST('0x' || substr(md5(CAST(id AS VARCHAR) || ':' ||
+        |    CAST(r.range AS VARCHAR)), 1, 1) AS BIGINT) < 8
+        |  GROUP BY 1, 2
+        |), point AS (
+        |  SELECT "group",
+        |    CAST(sum(v100) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |      AS point_c,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM v GROUP BY 1
+        |)
+        |SELECT p."group", n_rows, point_c,
+        |  CAST(count(*) AS BIGINT) AS n_replicas,
+        |  CAST(min(mean_c) AS BIGINT) AS ci_lo_c,
+        |  CAST(round(2 * quantile_cont(mean_c, 0.5)) AS BIGINT)
+        |    AS median_x2_c,
+        |  CAST(max(mean_c) AS BIGINT) AS ci_hi_c
+        |FROM reps JOIN point p USING ("group")
+        |GROUP BY 1, 2, 3
+        |ORDER BY p."group"""".stripMargin,
     "events_bursts" ->
       """WITH cells AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,

@@ -700,6 +700,40 @@ object Events {
           .getField("v100").as("close_c"),
         sum(col("v100")).as("sum_c"))
 
+  /** CUSUM change-point detection over daily volumes: per event type,
+    * the day where the cumulative deviation from the type's mean rate
+    * peaks — the standard "when did behavior shift" locator. With `d`
+    * observed days and `s` total events, the walk
+    * `S_t = Σ_{i≤t} (x_i·d − s)` is pure BIGINT (clearing the mean's
+    * division, the [[burstDays]] algebra), starts and ends at 0, and
+    * its extreme |S_t| marks the split with maximal evidence. The
+    * argmax is the partial-aggregable deterministic
+    * `min(struct(−|S|, day))` (largest deviation, earliest day on
+    * ties — the CLAUDE most-frequent recipe).
+    *
+    * Scale shape: partial-agg to (type, day) cells, a per-type prefix
+    * window over those bounded cells, one per-type rollup.
+    * Expects `(event_type, day)`.
+    */
+  def changePoint(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = events.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x"))
+    val base = cells.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("d"), sum(col("x")).as("s"))
+    val walk = cells.join(broadcast(base), Seq("event_type"))
+      .withColumn("cum", sum(col("x") * col("d") - col("s")).over(
+        Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    walk.groupBy(col("event_type"))
+      .agg(min(struct((-abs(col("cum"))).as("neg"), col("day"),
+        col("cum"))).as("m"),
+        max(col("d")).as("n_days"), max(col("s")).as("n_events"))
+      .select(col("event_type"), col("m.day").as("change_day"),
+        (-col("m.neg")).as("peak_abs_dev"), col("m.cum").as("peak_dev"),
+        col("n_days"), col("n_events"))
+  }
+
   /** Conversion latency: per user the time from the FIRST `fromType`
     * event to the FIRST `toType` event at or after it, rolled up into
     * count + exact quantile statistics — the funnel-timing view

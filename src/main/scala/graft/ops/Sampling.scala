@@ -230,6 +230,44 @@ object Sampling {
     * because the window form sorts each group; at n ≪ group size prefer
     * `groupBy.agg(min_by)` fan-in.
     */
+  /** Bootstrap confidence interval for a per-group fixed-point mean,
+    * deterministic and engine-exact: `b` half-sample replicas per
+    * group, each keeping the rows whose md5 over `(id, replica)` has a
+    * leading hex digit below 8 (Bernoulli(1/2), the portable sampling
+    * threshold from [[splitCol]]); replica means are truncated-integer
+    * `sum div count`, and the interval is (min, doubled-exact median,
+    * max) over the `b` replica means — exact order statistics on a
+    * b-row frame. The standard Poisson-bootstrap shape: the only cost
+    * is the ×b replica explode, which runs at scan parallelism; no
+    * state ever exceeds groups × b rows after the first aggregation.
+    *
+    * Expects `(group, id, v100)` — two-decimal fixed-point values.
+    */
+  def bootstrapMean(df: DataFrame, b: Int = 32): DataFrame = {
+    require(b >= 2 && b % 2 == 0, "need an even replica count >= 2")
+    val reps = df
+      .select(col("group"), col("id"), col("v100"),
+        explode(expr(s"sequence(0, ${b - 1})")).as("r"))
+      .filter(conv(substring(md5(concat(col("id").cast("string"),
+        lit(":"), col("r").cast("string"))), 1, 1), 16, 10)
+        .cast("long") < 8)
+      .groupBy(col("group"), col("r"))
+      .agg(expr("sum(v100) div count(1)").as("mean_c"))
+    val point = df.groupBy(col("group"))
+      .agg(expr("sum(v100) div count(1)").as("point_c"),
+        count(lit(1)).as("n_rows"))
+    reps.groupBy(col("group"))
+      .agg(count(lit(1)).as("n_replicas"),
+        min(col("mean_c")).as("ci_lo_c"),
+        expr("CAST(round(2 * percentile(mean_c, 0.5D)) AS BIGINT)")
+          .as("median_x2_c"),
+        max(col("mean_c")).as("ci_hi_c"))
+      .join(point, Seq("group"))
+      .select(col("group"), col("n_rows"), col("point_c"),
+        col("n_replicas"), col("ci_lo_c"), col("median_x2_c"),
+        col("ci_hi_c"))
+  }
+
   def samplePerKey(docs: DataFrame, keyCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     docs

@@ -376,6 +376,20 @@ class EventsSpec extends SparkSpec {
     assert(out(1).getAs[Long]("close_c") == 200L)
   }
 
+  test("changePoint locates the level shift in the deviation walk") {
+    // type 'a': 5 days at 10 then 5 days at 30 -> mean 20/day; the
+    // cumulative deviation peaks at the last low day (day 5)
+    val ev = ((1 to 5).flatMap(d => Seq.fill(10)(("a", d.toLong))) ++
+      (6 to 10).flatMap(d => Seq.fill(30)(("a", d.toLong))))
+      .toDF("event_type", "day")
+    val r = Events.changePoint(ev).collect()(0)
+    assert(r.getAs[Long]("change_day") == 5L)
+    // S_5 = 5*(10*10 - 200) = -500; peak_abs = 500
+    assert(r.getAs[Long]("peak_dev") == -500L)
+    assert(r.getAs[Long]("peak_abs_dev") == 500L)
+    assert(r.getAs[Long]("n_days") == 10L && r.getAs[Long]("n_events") == 200L)
+  }
+
   test("conversionLatency measures first-to-first gaps, ignoring earlier buys") {
     // user 1: signup@100, purchase@50 (BEFORE signup - ignored),
     //         purchase@300 -> lat 200

@@ -113,6 +113,24 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(rows.map(_.getAs[Double]("token_share")).sum - 1.0) < 1e-12)
   }
 
+  test("bootstrapMean brackets the point estimate with exact order stats") {
+    // one group, values 100..199 cents: every half-sample replica's
+    // truncated mean sits near 149, and min <= point <= max must hold
+    val rows = (0 until 100).map(i => ("g", i.toLong, 100L + i))
+      .toDF("group", "id", "v100")
+    val r = Sampling.bootstrapMean(rows, b = 32).collect()(0)
+    assert(r.getAs[Long]("n_rows") == 100L)
+    assert(r.getAs[Long]("n_replicas") == 32L)
+    val (lo, hi) = (r.getAs[Long]("ci_lo_c"), r.getAs[Long]("ci_hi_c"))
+    val point = r.getAs[Long]("point_c")
+    assert(point == 149L)
+    assert(lo <= point && point <= hi, s"CI [$lo, $hi] must cover $point")
+    assert(hi - lo < 30L, s"half-sample spread [$lo, $hi] implausibly wide")
+    // deterministic: the same call reproduces the identical interval
+    val r2 = Sampling.bootstrapMean(rows, b = 32).collect()(0)
+    assert(r2.getAs[Long]("ci_lo_c") == lo && r2.getAs[Long]("ci_hi_c") == hi)
+  }
+
   test("samplePerKey draws a stable fixed-size sample per key") {
     val docs = (0L until 40L).map(i =>
       (i, s"text $i", "en", if (i % 2 == 0) "web" else "books"))
