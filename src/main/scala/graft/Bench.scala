@@ -66,6 +66,23 @@ object Bench {
       System.err.println(s"[bench] could not write bench_latest.json: ${e.getMessage}")
     }
     println(line)
+    // The driver keeps only a 2000-char stdout TAIL: with 151 queries the
+    // full line above is ~4KB, so its head (and the opening '{') is gone
+    // by parse time — r4 and r6 both shipped `parsed: null`. Emit a
+    // SECOND, size-bounded summary line LAST (slowest queries first,
+    // cut to fit the tail with room for sbt's trailing status line); the
+    // complete map lives in bench_latest.json and the full line above.
+    val slowestFirst = byName.sortBy { case (_, v) => -v }
+    val budget = 1500
+    val kept = new scala.collection.mutable.ArrayBuffer[String]
+    var used = 0
+    slowestFirst.foreach { case (k, v) =>
+      val entry = graft.util.Json.quote(k) + ":" + fmt(v)
+      if (used + entry.length + 1 <= budget) { kept += entry; used += entry.length + 1 }
+    }
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${byName.length},"n_failed":${failed.length},"reps":$reps,"sf":"$sfDir","full":"bench_latest.json","queries":${kept.mkString("{", ",", "}")}}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -1098,14 +1098,12 @@ object SparkEntry {
     // word frequencies, deterministic tie-break, unrolled-round oracle
     "text_bpe_train" -> ((s, dir) =>
       TextAnalysis.bpeTrain(rd(s, dir, "documents"), 8).orderBy("round")),
-    // --- BPE encode: apply the 8 learned merges to the vocabulary,
-    // join the corpus, hash each doc's ordered subword sequence
-    "text_bpe_encode" -> ((s, dir) => {
-      val docs = rd(s, dir, "documents")
-      val merges = TextAnalysis.bpeTrain(docs, 8).orderBy("round").collect()
-        .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
-      TextAnalysis.bpeEncode(docs, merges).orderBy("doc_id")
-    }),
+    // --- BPE encode: train 8 merges and encode the SAME corpus from the
+    // final training state (no re-applied merge rounds — bpeTrainEncode);
+    // bpeEncode(docs, merges) remains the new-corpus path
+    "text_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeTrainEncode(rd(s, dir, "documents"), 8)
+        .orderBy("doc_id")),
     // --- domain-affinity LM scoring: bigram LM trained on src0 docs,
     // every doc scored by mean in-model bigram probability (ln-free
     // perplexity stand-in; floor-scaled exact contributions)

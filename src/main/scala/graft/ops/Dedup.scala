@@ -685,12 +685,17 @@ object Dedup {
     val elems =
       if (ngram <= 1) array_distinct(split(trim(col("text")), "\\s+"))
       else expr(s"graft_shingles(text, $ngram)")
-    val toks = docs.select(col("doc_id"), explode(elems).as("tok"))
+    // set size is a narrow size() BEFORE the explode (el aliased once so
+    // CollapseProject can't duplicate the shingle producer) — the r6 plan
+    // ran a second doc_id count-window over the whole posting stream for
+    // a value already known per doc
+    val toks = docs.select(col("doc_id"), elems.as("el"))
+      .select(col("doc_id"), size(col("el")).cast("long").as("sz"),
+        explode(col("el")).as("tok"))
     val ranked = toks
       .withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
       .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
         .orderBy(asc("df"), asc("tok"))))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
     val prefix = ranked
       .filter(col("rk") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
       .select(col("doc_id"), col("tok"), col("sz"))

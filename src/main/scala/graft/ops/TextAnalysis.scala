@@ -339,6 +339,67 @@ object TextAnalysis {
         col("sum_cnt").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Two-level exact top-k for text retrieval — the BIGINT-score twin of
+    * [[Similarity.topKPerQuery]]. Level 1 keeps a k-heap per query per
+    * partition (narrow mapPartitions, zero shuffle on the scored slice);
+    * level 2 ranks the ≤ k·P survivors per query, so the only
+    * per-query window runs over |Q|·k·P rows — never the matched-doc
+    * slice, which for a common query term is corpus-sized. Scores stay
+    * Long end to end (no double round-trip: BM25 numerators can pass
+    * 2^53 at large L where a double cast would lose exactness). The
+    * heap's (score desc, doc_id asc) comparator is the same total order
+    * as the final rank window, so the result is row-identical to the
+    * single-window formulation. Input: (query_id, doc_id, score, n_terms)
+    * all castable to long; |Q| bounded (the callers' broadcast-query-set
+    * contract — heap state is |Q|·k per partition).
+    */
+  private[graft] def topKDocs(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    // worst-first: PriorityQueue dequeues its max, so "greater" = "worse"
+    // under (score desc, doc_id asc) — lower score or, on ties, larger id
+    val worstFirst: Ordering[(Long, Long)] = new Ordering[(Long, Long)] {
+      override def compare(a: (Long, Long), b: (Long, Long)): Int = {
+        val c = java.lang.Long.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+    val partial = scored
+      .select(col("query_id").cast("long"), col("doc_id").cast("long"),
+        col("score").cast("long"), col("n_terms").cast("long"))
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        val heaps = new java.util.HashMap[
+          Long, scala.collection.mutable.PriorityQueue[(Long, Long, Long)]]()
+        val ord: Ordering[(Long, Long, Long)] =
+          Ordering.by[(Long, Long, Long), (Long, Long)](t => (t._1, t._2))(worstFirst)
+        it.foreach { case (qid, did, score, nt) =>
+          var h = heaps.get(qid)
+          if (h == null) {
+            h = scala.collection.mutable.PriorityQueue.empty(ord)
+            heaps.put(qid, h)
+          }
+          if (h.size < k) h.enqueue((score, did, nt))
+          else if (ord.compare((score, did, nt), h.head) < 0) {
+            h.dequeue(); h.enqueue((score, did, nt))
+          }
+        }
+        val out =
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        heaps.forEach((qid, h) =>
+          h.foreach { case (s, d, nt) => out += ((qid, d, s, nt)) })
+        out.iterator
+      }
+      .toDF("query_id", "doc_id", "score", "n_terms")
+    partial
+      .withColumn("rank", row_number().over(
+        w.partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("score"), col("n_terms"))
+  }
+
   /** Keyword retrieval: top-k documents per query, scored by idf-weighted
     * term frequency over an inverted index — the full-text-search query a
     * corpus tool runs ("which documents mention these terms"), and the
@@ -356,8 +417,11 @@ object TextAnalysis {
     * count-over-window on the token key both run on the matched slice,
     * not the corpus (df(term) only needs counting for query terms;
     * reordering the filter below the window changes nothing semantically
-    * and cuts the shuffled volume by ~|vocab|/|query terms|). One top-k
-    * window per query closes it out.
+    * and cuts the shuffled volume by ~|vocab|/|query terms|). The close
+    * is [[topKDocs]]'s two-level top-k: per-partition k-heaps, then a
+    * rank over |Q|·k·P survivors — a single per-query window over the
+    * matched-doc slice would funnel every doc containing a common query
+    * term into one reducer.
     */
   def searchTopK(docs: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -371,15 +435,11 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("df", count(lit(1)).over(w.partitionBy("token")))
-    tf.join(broadcast(qTerms), Seq("token"))
+    val scored = tf.join(broadcast(qTerms), Seq("token"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(expr("tf * (1000000 div df)")).as("score"),
         count(lit(1)).as("n_terms"))
-      .withColumn("rank", row_number().over(
-        w.partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("doc_id"), col("score"), col("n_terms"))
+    topKDocs(scored, k)
   }
 
   /** BM25 retrieval: top-k documents per query with the two behaviors
@@ -405,7 +465,8 @@ object TextAnalysis {
     * shuffle — plus one narrow per-doc length projection (`size(tokens)`,
     * no explode, no shuffle) joined onto the matched slice and one
     * all-corpus single-row total (L, N) cross-joined as a broadcast
-    * literal. One top-k window per query closes it out.
+    * literal. [[topKDocs]]'s two-level top-k closes it out (partial
+    * k-heaps per partition, rank over |Q|·k·P survivors).
     */
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -421,7 +482,7 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("df", count(lit(1)).over(w.partitionBy("token")))
-    tf.join(broadcast(qTerms), Seq("token"))
+    val scored = tf.join(broadcast(qTerms), Seq("token"))
       .join(lens, Seq("doc_id"))
       .crossJoin(broadcast(totals))
       .withColumn("term_score", expr(
@@ -429,11 +490,7 @@ object TextAnalysis {
            div (10 * corpus_len * tf + 3 * corpus_len + 9 * dl * n_docs)"""))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("term_score")).as("score"), count(lit(1)).as("n_terms"))
-      .withColumn("rank", row_number().over(
-        w.partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("doc_id"), col("score"), col("n_terms"))
+    topKDocs(scored, k)
   }
 
   /** Stopwords used by [[keyphrases]] — inlined so the DuckDB oracle
@@ -578,6 +635,21 @@ object TextAnalysis {
     * Output: `(round, a, b, cnt)`, one row per learned merge.
     */
   def bpeTrain(docs: DataFrame, merges: Int = 10): DataFrame = {
+    val (found, _) = bpeTrainLoop(docs, merges)
+    val sp = docs.sparkSession
+    import sp.implicits._
+    found.toDF("round", "a", "b", "cnt")
+  }
+
+  /** The [[bpeTrain]] loop, also returning the FINAL merged vocabulary
+    * state `(word, freq, pos, sym)` — training's last round already
+    * holds every corpus word fully encoded, so an encode pass over the
+    * SAME corpus can reuse it instead of re-applying all merge rounds
+    * ([[bpeTrainEncode]]); re-application is only needed for words the
+    * training corpus never saw ([[bpeEncode]]).
+    */
+  private def bpeTrainLoop(docs: DataFrame, merges: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     require(merges >= 1)
     // drop empty tokens: Spark's sequence(1, 0) DESCENDS ([1, 0]) where
@@ -609,9 +681,41 @@ object TextAnalysis {
         r += 1
       }
     }
-    val sp = docs.sparkSession
-    import sp.implicits._
-    found.toSeq.toDF("round", "a", "b", "cnt")
+    (found.toSeq, state)
+  }
+
+  /** Train-then-encode over ONE corpus without duplicated rounds: the
+    * final training state already carries every word fully merged, so
+    * encode is just the vocab→corpus join ([[bpeEncode]]'s tail) with
+    * zero extra merge rounds. Halves the train+encode pipeline (the
+    * registered `text_bpe_encode` shape); output is row-identical to
+    * `bpeEncode(docs, bpeTrain(docs, merges))`.
+    */
+  def bpeTrainEncode(docs: DataFrame, merges: Int = 10): DataFrame = {
+    val (_, state) = bpeTrainLoop(docs, merges)
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokensCol(col("text"))).as(Seq("tpos", "word")))
+      .filter(length(col("word")) > 0)
+    bpeEncodeVocabJoin(toks, state)
+  }
+
+  /** The shared encode tail: collapse a merged `(word, pos, sym)` state
+    * to per-word subword strings, join the corpus tokens, roll up per
+    * doc with an order-preserving md5 of the subword stream.
+    */
+  private def bpeEncodeVocabJoin(toks: DataFrame, state: DataFrame): DataFrame = {
+    val enc = state.groupBy(col("word"))
+      .agg(count(lit(1)).as("n_sub"),
+        array_join(expr(
+          "transform(sort_array(collect_list(struct(pos, sym))), x -> x.sym)"),
+          " ").as("enc"))
+    toks.join(enc, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("n_sub")).as("n_subwords"),
+        md5(array_join(expr(
+          "transform(sort_array(collect_list(struct(tpos, enc))), x -> x.enc)"),
+          " ")).as("enc_hash"))
   }
 
   /** One greedy-leftmost merge application over a
@@ -666,18 +770,7 @@ object TextAnalysis {
       val paired = state.withColumn("nxt", lead(col("sym"), 1).over(w))
       state = bpeApplyMerge(paired, a, b, Seq.empty).localCheckpoint(true)
     }
-    val enc = state.groupBy(col("word"))
-      .agg(count(lit(1)).as("n_sub"),
-        array_join(expr(
-          "transform(sort_array(collect_list(struct(pos, sym))), x -> x.sym)"),
-          " ").as("enc"))
-    toks.join(enc, "word")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("n_sub")).as("n_subwords"),
-        md5(array_join(expr(
-          "transform(sort_array(collect_list(struct(tpos, enc))), x -> x.enc)"),
-          " ")).as("enc_hash"))
+    bpeEncodeVocabJoin(toks, state)
   }
 
   /** Domain-affinity scoring against a trained [[bigramLm]]: the mean

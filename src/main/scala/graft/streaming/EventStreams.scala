@@ -325,6 +325,53 @@ object EventStreams {
       }
   }
 
+  final case class ChangePointState(event_type: String, change_day: Long,
+                                    peak_abs_dev: Long, peak_dev: Long,
+                                    n_days: Long, n_events: Long)
+
+  /** Streaming twin of [[graft.ops.Events.changePoint]]: per event type
+    * the state is one count per OBSERVED DAY — exactly the (type, day)
+    * cells the batch operator partial-aggregates to, so state is
+    * days-bounded (≤ a few thousand longs per type after a decade),
+    * never event-bounded. Each micro-batch folds its events into the
+    * cells and re-walks the CUSUM `S_t = Σ(x_i·d − s)` over the ≤ d
+    * cells in pure BIGINT with the batch op's exact
+    * (−|S|, day)-min tie-break, emitting the current change point —
+    * identical to running the batch operator over everything seen so
+    * far (asserted stream==batch in the spec). The final-mean CUSUM
+    * needs the full day frame by definition (d and s change with every
+    * batch), so cell state IS the minimal exact state.
+    * Input columns: `(event_type, day)`.
+    */
+  def streamingChangePoint(events: DataFrame)(
+      implicit spark: SparkSession): Dataset[ChangePointState] = {
+    import spark.implicits._
+    events.select(col("event_type"), col("day").cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[(String, Long)],
+         state: GroupState[Map[Long, Long]]) =>
+          var cells = state.getOption.getOrElse(Map.empty[Long, Long])
+          rows.foreach { r =>
+            cells = cells.updated(r._2, cells.getOrElse(r._2, 0L) + 1L)
+          }
+          state.update(cells)
+          val d = cells.size.toLong
+          val s = cells.valuesIterator.sum
+          var cum = 0L
+          var bestNeg = Long.MaxValue
+          var bestDay = 0L
+          var bestCum = 0L
+          cells.toSeq.sortBy(_._1).foreach { case (day, x) =>
+            cum += x * d - s
+            val neg = -math.abs(cum)
+            if (neg < bestNeg) { bestNeg = neg; bestDay = day; bestCum = cum }
+          }
+          ChangePointState(tpe, bestDay, -bestNeg, bestCum, d, s)
+      }
+  }
+
   def streamingDistinctRegisters(rows: DataFrame, b: Int = 8)(
       implicit spark: SparkSession): Dataset[HllRegister] = {
     import spark.implicits._

@@ -56,8 +56,11 @@ class QueryPlanSpec extends SparkSpec {
   // MapPartitions partial beneath it catches a revert to the single-window
   // form. Inner query_id windows (ivf's probe-list rank) run over bounded
   // broadcast-side inputs and are exempt by construction.
+  // text_search/text_bm25 joined the guard in r7: their matched-doc slice
+  // is corpus-sized for a common query term, the same failure shape.
   test("ANN per-query top-k is two-level, never a corpus-wide window") {
-    Seq("ann_brute", "ann_pq", "ann_ivf", "ann_lsh", "label_knn").foreach { name =>
+    Seq("ann_brute", "ann_pq", "ann_ivf", "ann_lsh", "label_knn",
+      "text_search", "text_bm25").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan
       val qWindows = plan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec

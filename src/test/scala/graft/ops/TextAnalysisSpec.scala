@@ -393,6 +393,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(h1 == h2)
   }
 
+  test("bpeTrainEncode matches train-then-encode row for row") {
+    val docs = Seq((1L, "ab ab abc abc low lower"), (2L, "xyz ab low"))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, 3).orderBy("round").collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
+    val viaEncode = TextAnalysis.bpeEncode(docs, merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_subwords"), r.getAs[String]("enc_hash"))).toSeq
+    val viaState = TextAnalysis.bpeTrainEncode(docs, 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_subwords"), r.getAs[String]("enc_hash"))).toSeq
+    assert(viaState == viaEncode)
+  }
+
   test("scoreBigramLm ranks in-domain docs above out-of-domain") {
     // target domain: "a b" dominates; LM gives P(b|a)=1, P(c|b)=1 etc.
     val target = Seq((1L, "a b c a b c"), (2L, "a b c a b")).toDF("doc_id", "text")

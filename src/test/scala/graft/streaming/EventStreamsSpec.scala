@@ -157,6 +157,39 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingChangePoint equals the batch CUSUM over everything seen") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // a level shift on day 4 for type "click", split across two
+    // micro-batches — the day-cell state must make batch 2's emission
+    // identical to running the batch operator over the union
+    val b1 = Seq.tabulate(6)(i => ("click", (i / 2 + 1).toLong)) // d1..d3 ×2
+    val b2 = Seq.tabulate(10)(i => ("click", (i / 5 + 4).toLong)) // d4,d5 ×5
+    val mem = MemoryStream[(String, Long)]
+    val out = EventStreams.streamingChangePoint(
+      mem.toDF.toDF("event_type", "day"))
+    val q = out.toDF.writeStream
+      .format("memory").queryName("cusum_test")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val last = spark.table("cusum_test").collect()
+        .filter(_.getAs[String]("event_type") == "click")
+        .maxBy(_.getAs[Long]("n_events"))
+      val batch = graft.ops.Events.changePoint(
+        (b1 ++ b2).toDF("event_type", "day")).collect().head
+      for (c <- Seq("change_day", "peak_abs_dev", "peak_dev", "n_days",
+        "n_events"))
+        assert(last.getAs[Long](c) == batch.getAs[Long](c),
+          s"$c stream/batch mismatch")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState trailing features roll across micro-batches") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
