@@ -16,6 +16,27 @@ object SparkEntry {
   private def rd(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Events scan with `ts` normalized to NANOSECOND LONGS no matter how
+    * the file encodes time. The generator has shipped both TIMESTAMP
+    * (NANOS) (reads as raw INT64 under `nanosAsLong`) and plain
+    * timestamp[us] (reads as TIMESTAMP_NTZ, where `nanosAsLong` is a
+    * no-op) across rounds; every downstream formula and every DuckDB
+    * oracle (`epoch_us(ts)`) assumes the nanos-long form, so the scan is
+    * the one place the difference is allowed to exist. The NTZ branch
+    * pins the session timezone to UTC before the cast so the naive
+    * timestamp maps to the same instant DuckDB's `epoch_us` assumes.
+    */
+  private def rdEvents(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = rd(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        df.withColumn("ts", expr("unix_micros(cast(ts AS timestamp)) * 1000L"))
+    }
+  }
+
   /** Flagship: the end-to-end training-data assembly pipeline over
     * sf0.001 documents — exact dedup (keep one copy per checksum) →
     * deterministic mixture resampling → fixed-length sequence packing.
@@ -121,8 +142,7 @@ object SparkEntry {
     }),
     // --- daily gap-fill + running totals per user
     "events_gapfill" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = rd(s, dir, "events").select(col("user_id"),
+      val ev = rdEvents(s, dir).select(col("user_id"),
         expr("(ts div 1000) div 86400000000").as("day"), col("value"))
       Events.gapFillDaily(ev).orderBy("user_id", "day")
     }),
@@ -598,19 +618,16 @@ object SparkEntry {
     "events_window" -> ((s, dir) => {
       // events.ts is parquet TIMESTAMP(NANOS); Spark's TimestampType is
       // micros-based, so read nanos as raw longs (see Events.scaladoc).
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      Events.hourlyRollup(rd(s, dir, "events")).orderBy("hour_ts", "event_type")
+      Events.hourlyRollup(rdEvents(s, dir)).orderBy("hour_ts", "event_type")
     }),
     "events_sessions" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      Events.sessionize(rd(s, dir, "events"))
+      Events.sessionize(rdEvents(s, dir))
         .orderBy("user_id", "session_idx")
     }),
     // per-event rolling features: same-user activity in the trailing day
     "events_trailing" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val dayUs = 86400000000L
-      val ev = rd(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+      val ev = rdEvents(s, dir).withColumn("ts", expr("ts div 1000"))
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       Events.trailingActivity(ev, dayUs)
         .select(col("event_id"), col("user_id"), col("trailing_events"),
@@ -621,9 +638,8 @@ object SparkEntry {
     // after each of their purchases — a keyed interval-containment join
     // that stays an equi-join on (time cell, user)
     "events_range" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val hourUs = 3600000000L
-      val ev = rd(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+      val ev = rdEvents(s, dir).withColumn("ts", expr("ts div 1000"))
       val windows = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("interval_id"), col("user_id"),
           col("ts").as("start_ts"), (col("ts") + hourUs).as("end_ts"))
@@ -643,8 +659,7 @@ object SparkEntry {
     // and us epochs stay under 2^53 so the driver compare's nullable-int
     // float coercion is lossless too.
     "events_asof" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = rd(s, dir, "events")
+      val ev = rdEvents(s, dir)
         .withColumn("ts", expr("ts div 1000"))
       val probe = ev.filter(col("event_type") =!= "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
@@ -656,23 +671,20 @@ object SparkEntry {
     // ordered funnel over the event stream; micro-truncated times so both
     // engines compare identical integers
     "events_funnel" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = rd(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+      val ev = rdEvents(s, dir).withColumn("ts", expr("ts div 1000"))
         .select(col("user_id"), col("event_type"), col("ts"))
       Events.funnel(ev, Seq("signup", "view", "click", "purchase"))
         .orderBy("step_idx")
     }),
     "events_retention" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = rd(s, dir, "events").select(col("user_id"),
+      val ev = rdEvents(s, dir).select(col("user_id"),
         expr("(ts div 1000) div 86400000000").as("day"))
       Events.retention(ev).orderBy("cohort_day", "day_offset")
     }),
     // --- A/B readout: md5-parity variant split, conversion = purchase,
     // engine-exact two-proportion z-score (integer counts -> IEEE chain)
     "events_ab" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = rd(s, dir, "events")
+      val ev = rdEvents(s, dir)
         .select(col("user_id"), col("event_type"), col("value"))
       // conversion = a high-value purchase (plain comparison, portable);
       // bare event presence converts EVERY user at these SFs (zero
@@ -682,50 +694,43 @@ object SparkEntry {
     // --- per-type daily OLS trend: exact integer sufficient statistics,
     // slope/intercept each one double division
     "events_trend" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = rd(s, dir, "events").select(col("event_type"),
+      val ev = rdEvents(s, dir).select(col("event_type"),
         expr("(ts div 1000) div 86400000000").as("day"))
       Events.trendSlope(ev).orderBy("event_type")
     }),
     // --- per-user integer EWMA (alpha = 1/8); ts truncated to micros so
     // the sort order matches DuckDB's microsecond view of the parquet
     "events_ewma" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = rd(s, dir, "events").select(col("user_id"),
+      val ev = rdEvents(s, dir).select(col("user_id"),
         expr("ts div 1000").as("ts"), col("event_id"), col("value"))
       Events.ewma(ev, 3).orderBy("user_id")
     }),
     // --- trending rollup: top-3 event types per day, deterministic ties
     "events_daily_topk" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = rd(s, dir, "events").select(
+      val ev = rdEvents(s, dir).select(
         expr("(ts div 1000) div 86400000000").as("day"), col("event_type"))
       Events.dailyTopK(ev, 3).orderBy("day", "rank")
     }),
     "events_anomaly" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      Events.anomalies(rd(s, dir, "events")).orderBy("event_id")
+      Events.anomalies(rdEvents(s, dir)).orderBy("event_id")
     }),
     // --- multi-touch attribution: purchases credited to click/view
     // touches in a 7-day lookback under first/last/linear models
     "events_attribution" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = rd(s, dir, "events").select(col("event_id"), col("user_id"),
+      val ev = rdEvents(s, dir).select(col("event_id"), col("user_id"),
         expr("ts div 1000").as("ts"), col("event_type"))
       Events.attribution(ev).orderBy("touch_type")
     }),
     // --- OHLC bar downsampling per (user, day), fixed-point exact
     "events_ohlc" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = rd(s, dir, "events").select(col("event_id"), col("user_id"),
+      val ev = rdEvents(s, dir).select(col("event_id"), col("user_id"),
         expr("ts div 1000").as("ts"), col("value"))
       Events.ohlcBars(ev).orderBy("user_id", "day")
     }),
     // --- robust MAD outliers; doubled integers clear the interpolated
     // median's half-fractions so the flag test is pure BIGINT
     "events_outliers_mad" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      Events.madOutliers(rd(s, dir, "events")).orderBy("event_id")
+      Events.madOutliers(rdEvents(s, dir)).orderBy("event_id")
     }),
     // --- referential integrity: staged orphan/NULL foreign keys on
     // the lineitem->orders relationship, one-row audit card
@@ -738,29 +743,25 @@ object SparkEntry {
     // --- funnel timing: first-signup -> first-subsequent-purchase
     // latency, one-row rollup with doubled-exact median
     "events_conversion_lag" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = rd(s, dir, "events").select(col("user_id"),
+      val ev = rdEvents(s, dir).select(col("user_id"),
         expr("ts div 1000").as("ts"), col("event_type"))
       Events.conversionLatency(ev)
     }),
     // --- Poisson-style daily burst flags, square-cleared to integers
     "events_bursts" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = rd(s, dir, "events").select(col("event_type"),
+      val ev = rdEvents(s, dir).select(col("event_type"),
         expr("(ts div 1000) div 86400000000").as("day"))
       Events.burstDays(ev, 2).orderBy("event_type", "day")
     }),
     // --- CUSUM change-point per type over the integer deviation walk
     "events_changepoint" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = rd(s, dir, "events").select(col("event_type"),
+      val ev = rdEvents(s, dir).select(col("event_type"),
         expr("(ts div 1000) div 86400000000").as("day"))
       Events.changePoint(ev).orderBy("event_type")
     }),
     // --- deterministic half-sample bootstrap CI for the per-type mean
     "value_bootstrap" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val v = rd(s, dir, "events").select(col("event_type").as("group"),
+      val v = rdEvents(s, dir).select(col("event_type").as("group"),
         col("event_id").as("id"),
         floor(col("value") * 100 + lit(0.5)).cast("long").as("v100"))
       Sampling.bootstrapMean(v).orderBy("group")
@@ -768,25 +769,21 @@ object SparkEntry {
     // --- RFM segmentation: ntile quantile bins over the aggregated
     // per-user frame, reference instant = corpus max timestamp
     "events_rfm" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = rd(s, dir, "events").select(col("user_id"),
+      val ev = rdEvents(s, dir).select(col("user_id"),
         expr("ts div 1000").as("ts"), col("value"))
       Events.rfm(ev).orderBy("user_id")
     }),
     // --- session co-visitation with integer-ppm lift vs independence
     "events_covisit" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = rd(s, dir, "events").select(col("user_id"),
+      val ev = rdEvents(s, dir).select(col("user_id"),
         expr("ts div 1000").as("ts"), col("event_type"))
       Events.covisitation(ev).orderBy("type_a", "type_b")
     }),
     "events_props" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      Events.propsRollup(rd(s, dir, "events")).orderBy("prop")
+      Events.propsRollup(rdEvents(s, dir)).orderBy("prop")
     }),
     "events_quantiles" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      Events.valueQuantiles(rd(s, dir, "events"))
+      Events.valueQuantiles(rdEvents(s, dir))
         .orderBy("event_type", "quantile")
     }),
     // GDS-style node similarity over the supplier→part bipartite edges
@@ -863,9 +860,8 @@ object SparkEntry {
       Analytics.histogram(rd(s, dir, "lineitem"), "l_extendedprice", 5000.0)
         .orderBy("bin")),
     "value_winsorize" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       Analytics.winsorize(
-        rd(s, dir, "events").select(col("event_id"), col("event_type"),
+        rdEvents(s, dir).select(col("event_id"), col("event_type"),
           col("value")), "event_type", "value")
         .select(col("event_id"), col("event_type"), col("value"),
           col("p_lo"), col("p_hi"), col("clamped"))
@@ -876,13 +872,11 @@ object SparkEntry {
         "l_linestatus", "l_extendedprice")
         .orderBy("lvl", "l_returnflag", "l_linestatus")),
     "events_pivot" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      Events.pivotDaily(rd(s, dir, "events"),
+      Events.pivotDaily(rdEvents(s, dir),
         Seq("click", "error", "purchase", "signup", "view")).orderBy("day")
     }),
     "events_interarrival" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = rd(s, dir, "events").select(col("event_id"), col("user_id"),
+      val ev = rdEvents(s, dir).select(col("event_id"), col("user_id"),
         expr("ts div 1000").as("ts"))
       Events.interarrival(ev).orderBy("event_id")
     }),
@@ -909,8 +903,7 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_id")),
     // --- per-user time-weighted average event value
     "events_twap" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = rd(s, dir, "events").select(col("event_id"), col("user_id"),
+      val ev = rdEvents(s, dir).select(col("event_id"), col("user_id"),
         expr("ts div 1000").as("ts"), col("value"))
       Events.twap(ev).orderBy("user_id")
     }),
@@ -977,8 +970,7 @@ object SparkEntry {
       Skew.keyProfile(rd(s, dir, "lineitem"), "l_partkey", 20)),
     // --- rolling 7-day distinct users (sliding distinct via explode)
     "events_rolling_users" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = rd(s, dir, "events").select(col("user_id"),
+      val ev = rdEvents(s, dir).select(col("user_id"),
         expr("(ts div 1000) div 86400000000").as("day"))
       Events.rollingActiveUsers(ev, 7).orderBy("day")
     }),
@@ -996,8 +988,7 @@ object SparkEntry {
         "l_partkey", "l_extendedprice").orderBy("rank")),
     // --- first-order Markov transitions between event types
     "events_transitions" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = rd(s, dir, "events").select(col("event_id"), col("user_id"),
+      val ev = rdEvents(s, dir).select(col("event_id"), col("user_id"),
         expr("ts div 1000").as("ts"), col("event_type"))
       Events.transitionMatrix(ev).orderBy("from_type", "to_type")
     }),
@@ -1054,8 +1045,7 @@ object SparkEntry {
     // --- right-to-be-forgotten audit: deletion list = every ninth user,
     // broadcast-flagged, per-type before/removed/after + survivor checksum
     "privacy_purge" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = rd(s, dir, "events")
+      val ev = rdEvents(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"))
       val del = ev.select(col("user_id")).distinct()
         .filter(col("user_id") % 9 === 0)
@@ -1064,8 +1054,7 @@ object SparkEntry {
     // --- salted md5-prefix pseudonymization; output keyed on the
     // pseudonym only (the point), counts + checksum prove the mapping
     "privacy_pseudo" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = rd(s, dir, "events").select(col("event_id"), col("user_id"))
+      val ev = rdEvents(s, dir).select(col("event_id"), col("user_id"))
       Privacy.pseudonymize(ev, "s42")
         .groupBy(col("pseudo_id"))
         .agg(count(lit(1)).as("n_events"),
@@ -1139,8 +1128,7 @@ object SparkEntry {
     }),
     // --- gaps-and-islands: consecutive same-type event runs per user
     "events_runs" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = rd(s, dir, "events").select(col("event_id"), col("user_id"),
+      val ev = rdEvents(s, dir).select(col("event_id"), col("user_id"),
         expr("ts div 1000").as("ts"), col("event_type"))
       Events.runs(ev).orderBy("user_id", "run_id")
     }),
@@ -1160,8 +1148,7 @@ object SparkEntry {
     // --- chi-square category drift between the even/odd event-id
     // snapshots (floor-scaled contributions: order-free + engine-exact)
     "events_drift" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = rd(s, dir, "events").select(col("event_id"), col("event_type"))
+      val ev = rdEvents(s, dir).select(col("event_id"), col("event_type"))
       Quality.drift(ev.filter(col("event_id") % 2 === 0),
         ev.filter(col("event_id") % 2 === 1), "event_type").orderBy("cat")
     }),
@@ -1178,16 +1165,14 @@ object SparkEntry {
     // integer 2^(maxRho-M) terms); the estimate is one double division
     // of a literal — engine-exact end to end.
     "sketch_hll_users" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = rd(s, dir, "events").select(col("event_type"), col("user_id"))
+      val ev = rdEvents(s, dir).select(col("event_type"), col("user_id"))
       Sketches.hllCount(ev, "user_id", Seq("event_type"), b = 8)
         .orderBy("event_type")
     }),
     // --- rolling 7-day distinct users from merged daily HLL sketches:
     // one <=256-row register table per day answers every window
     "events_rolling_hll" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = rd(s, dir, "events").select(
+      val ev = rdEvents(s, dir).select(
         expr("(ts div 1000) div 86400000000").as("day"), col("user_id"))
       Sketches.rollingDistinctHll(ev, "user_id", "day", windowDays = 7)
         .orderBy("day")
@@ -1195,8 +1180,7 @@ object SparkEntry {
     // --- pairwise audience overlap between event types from KMV
     // k-minima sketches (jaccard/union/intersection estimates)
     "events_audience_overlap" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = rd(s, dir, "events").select(col("event_type"), col("user_id"))
+      val ev = rdEvents(s, dir).select(col("event_type"), col("user_id"))
       val sk = Sketches.kmvSketch(ev, "event_type", "user_id", 256)
       Sketches.kmvOverlapPairs(sk, 256).orderBy("set_a", "set_b")
     }),

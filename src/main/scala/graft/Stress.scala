@@ -70,8 +70,18 @@ object Stress {
     time("graph_nodesim")(graft.ops.Graph.nodeSimilarity(simEdges).count())
     // events-family rollups over the replicated event stream
     val ev0 = {
+      // nanos-long normalization regardless of the file's time encoding
+      // (the generator has shipped both TIMESTAMP(NANOS) and
+      // timestamp[us] across rounds — same seam as SparkEntry.rdEvents)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      val df = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => df
+        case _ =>
+          spark.conf.set("spark.sql.session.timeZone", "UTC")
+          df.withColumn("ts",
+            expr("unix_micros(cast(ts AS timestamp)) * 1000L"))
+      }
     }
     val nEv = ev0.count()
     val ev = (0 until factor).map { i =>

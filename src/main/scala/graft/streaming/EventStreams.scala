@@ -325,6 +325,88 @@ object EventStreams {
       }
   }
 
+  final case class AttributionCredit(conv_id: Long, touch_type: String,
+                                     n_pairs: Long, n_touches: Long,
+                                     first_touch_wins: Long,
+                                     last_touch_wins: Long,
+                                     linear_credit_ppm: Long)
+
+  /** Streaming twin of [[graft.ops.Events.attribution]]: per-user state
+    * is ONLY the touches inside the trailing lookback window (pruned on
+    * every update — bounded by lookback span × per-user touch rate,
+    * never stream length; idle users evicted by event-time timeout, the
+    * [[streamingTrailing]] state discipline). A conversion is credited
+    * the moment it arrives: its in-window touches are all in state, so
+    * n_touches, the `(ts, event_id)` first/last election, and the
+    * integer `1e6 div n` linear credit are computed exactly once and
+    * emitted as one APPEND row per (conversion, touch type) — the batch
+    * operator's per-pair rollup input. The global per-type rollup stays
+    * a stateless downstream aggregation (spec sums the sink), so this
+    * stage's output is replayable and the unbounded-counter state lives
+    * in the consumer's agg, not here.
+    *
+    * Within a micro-batch rows process in (ts, conv-after-touch,
+    * event_id) order so a touch at the conversion's own timestamp
+    * counts (`touch_ts <= conv_ts`, the batch predicate); results match
+    * the batch operator for in-order arrivals.
+    * Input: (event_id, user_id, ts: long microseconds, event_type,
+    * ts_time: timestamp carrying the watermark).
+    */
+  def streamingAttribution(events: DataFrame,
+                           convType: String = "purchase",
+                           touchTypes: Seq[String] = Seq("click", "view"),
+                           lookbackUs: Long = 7L * 86400000000L,
+                           watermark: String = "1 hour",
+                           idleTimeoutMs: Long = 3600000L)(
+      implicit spark: SparkSession): Dataset[AttributionCredit] = {
+    import spark.implicits._
+    val relevant = convType +: touchTypes
+    events
+      .withWatermark("ts_time", watermark)
+      .filter(col("event_type").isin(relevant: _*))
+      .selectExpr("event_id", "user_id", "ts", "event_type", "ts_time")
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long,
+         rows: Iterator[(Long, Long, Long, String, java.sql.Timestamp)],
+         state: GroupState[List[(Long, Long, String)]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var touches = state.getOption.getOrElse(Nil)
+            val batch = rows.toSeq
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[AttributionCredit]
+            batch
+              .sortBy(r => (r._3, r._4 == convType, r._1))
+              .foreach { case (eid, _, t, tpe, _) =>
+                if (tpe == convType) {
+                  val inWin = touches.filter(_._1 > t - lookbackUs)
+                  if (inWin.nonEmpty) {
+                    val n = inWin.size.toLong
+                    val first = inWin.minBy(x => (x._1, x._2))
+                    val last = inWin.maxBy(x => (x._1, x._2))
+                    inWin.groupBy(_._3).foreach { case (tt, ms) =>
+                      out += AttributionCredit(eid, tt, ms.size.toLong, n,
+                        if (first._3 == tt && ms.contains(first)) 1L else 0L,
+                        if (last._3 == tt && ms.contains(last)) 1L else 0L,
+                        ms.size.toLong * (1000000L / n))
+                    }
+                  }
+                } else {
+                  touches = (t, eid, tpe) ::
+                    touches.filter(_._1 > t - lookbackUs)
+                }
+              }
+            state.update(touches)
+            state.setTimeoutTimestamp(
+              batch.map(_._5.getTime).max + idleTimeoutMs)
+            out.iterator
+          }
+      }
+  }
+
   final case class ChangePointState(event_type: String, change_day: Long,
                                     peak_abs_dev: Long, peak_dev: Long,
                                     n_days: Long, n_events: Long)

@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The coverage contract (SURVEY.md §2) must track the registered query
+  * inventory — round 6's verdict found 11 shipped, passing queries with
+  * no §2 row, which makes the judged operator table under-count real
+  * work. This spec is the scriptable check VERDICT r6 item #3 asked
+  * for: every key of [[SparkEntry.queries]] must be mentioned (as a
+  * backticked name) somewhere inside §2. It reads the checked-in
+  * SURVEY.md, so it runs wherever `sbt test` runs and fails the build
+  * the moment a query is registered without a contract row.
+  */
+class SurveyCoverageSpec extends AnyFunSuite {
+
+  test("every registered query has a SURVEY §2 row") {
+    val survey = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val start = survey.indexOf("## §2")
+    val end = survey.indexOf("## §3")
+    assert(start >= 0 && end > start, "SURVEY.md must contain §2 and §3")
+    val section2 = survey.substring(start, end)
+    val mentioned = "`([a-z0-9_]+)`".r
+      .findAllMatchIn(section2).map(_.group(1)).toSet
+    val unlisted = SparkEntry.queries.keySet.diff(mentioned).toSeq.sorted
+    assert(unlisted.isEmpty,
+      s"registered queries missing from SURVEY §2: ${unlisted.mkString(", ")}")
+  }
+
+  test("every oracle key is a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
+    assert(orphans.isEmpty,
+      s"oracleSql keys with no matching query: ${orphans.mkString(", ")}")
+  }
+}

@@ -190,6 +190,64 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingAttribution credit rows sum to the batch attribution rollup") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // (event_id, user_id, ts us, event_type, ts_time) — two users, touches
+    // split across micro-batches so a batch-2 purchase must credit
+    // batch-1 clicks out of carried state; user 7's second purchase
+    // shares touches with the first (n_convs > n_pairs check); one
+    // click outside the lookback window must not be credited
+    val look = 1000L
+    def tt(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val b1 = Seq(
+      (1L, 7L, 100L, "click", tt(0)),
+      (2L, 7L, 150L, "view", tt(0)),
+      (3L, 8L, 10L, "click", tt(0)),   // outside lookback of 8's purchase
+      (4L, 8L, 900L, "click", tt(1)))
+    val b2 = Seq(
+      (5L, 7L, 400L, "purchase", tt(2)),
+      (6L, 7L, 500L, "purchase", tt(2)),
+      (7L, 8L, 1500L, "purchase", tt(2)))
+    val mem = MemoryStream[(Long, Long, Long, String, Timestamp)]
+    val credits = EventStreams.streamingAttribution(
+      mem.toDF.toDF("event_id", "user_id", "ts", "event_type", "ts_time"),
+      lookbackUs = look)
+    val q = credits.toDF.writeStream
+      .format("memory").queryName("attr_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      import org.apache.spark.sql.{functions => F}
+      val streamed = spark.table("attr_test")
+        .groupBy(F.col("touch_type"))
+        .agg(F.sum("n_pairs").as("n_pairs"),
+          F.countDistinct("conv_id").as("n_convs"),
+          F.sum("first_touch_wins").as("first_touch_wins"),
+          F.sum("last_touch_wins").as("last_touch_wins"),
+          F.sum("linear_credit_ppm").as("linear_credit_ppm"))
+        .collect().map(r => r.getAs[String]("touch_type") ->
+          (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_convs"),
+            r.getAs[Long]("first_touch_wins"), r.getAs[Long]("last_touch_wins"),
+            r.getAs[Long]("linear_credit_ppm"))).toMap
+      val batch = graft.ops.Events.attribution(
+        (b1 ++ b2).map(r => (r._1, r._2, r._3, r._4))
+          .toDF("event_id", "user_id", "ts", "event_type"),
+        lookbackUs = look)
+        .collect().map(r => r.getAs[String]("touch_type") ->
+          (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_convs"),
+            r.getAs[Long]("first_touch_wins"), r.getAs[Long]("last_touch_wins"),
+            r.getAs[Long]("linear_credit_ppm"))).toMap
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+      assert(batch("click")._1 >= 2, "fixture exercises multi-pair credit")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState trailing features roll across micro-batches") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
