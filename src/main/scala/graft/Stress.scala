@@ -218,6 +218,21 @@ object Stress {
       ev.filter(col("event_id") % 2 === 0),
       ev.filter(col("event_id") % 2 === 1), "event_type").count())
 
+    // r7 wave: text retrieval closes through the two-level topKDocs
+    // (per-partition k-heaps), so the per-query cost must stay flat as
+    // the matched-doc slice grows with the corpus; prefix-jaccard and
+    // span dedup are posting-keyed joins that must track corpus size
+    val queries = docs0.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"),
+        substring(col("text"), 1, 60).as("query_text"))
+    time("text_search")(
+      graft.ops.TextAnalysis.searchTopK(docs, queries).count())
+    time("text_bm25")(
+      graft.ops.TextAnalysis.bm25TopK(docs, queries).count())
+    time("dedup_jaccard_prefix")(
+      graft.ops.Dedup.tokenJaccardPrefix(docs, 0.5, ngram = 3).count())
+    time("dedup_spans")(graft.ops.Dedup.duplicatedSpans(docs).count())
+
     // bulk-load throughput through the partition-parallel sink (the
     // reference's headline metric: rows/s and MiB/s per load phase)
     val nodes = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
