@@ -430,6 +430,16 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minHashLsh(rd(s, dir, "documents"))
         .select("a_id", "b_id").orderBy("a_id", "b_id")),
+    // --- incremental LSH: docs with id % 5 == 0 play the day's crawl,
+    // the rest the already-ingested index; pair set == full LSH
+    // restricted to pairs touching the batch (invariant + oracle)
+    "dedup_minhash_incremental" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      Dedup.incrementalMinHash(docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0))
+        .select(col("a_id"), col("b_id"), col("via"))
+        .orderBy("a_id", "b_id")
+    }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHash(rd(s, dir, "documents")).orderBy("a_id", "b_id")),
     "dedup_winnow" -> ((s, dir) =>
@@ -2039,6 +2049,33 @@ object SparkEntry {
         |JOIN sizes sa ON pairs.a_id = sa.doc_id
         |JOIN sizes sb ON pairs.b_id = sb.doc_id
         |WHERE CAST(common AS DOUBLE) / CAST(sa.set_size + sb.set_size - common AS DOUBLE) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    // incremental = the same pair set restricted to pairs touching the
+    // id % 5 == 0 batch, with provenance derived from the split rule
+    "dedup_minhash_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM toks WHERE len(t) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT l.doc_id AS a_id, r.doc_id AS b_id, count(*) AS common
+        |  FROM sh l JOIN sh r
+        |    ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a_id, b_id,
+        |  CASE WHEN a_id % 5 = 0 AND b_id % 5 = 0 THEN 'batch'
+        |       ELSE 'index' END AS via
+        |FROM pairs
+        |JOIN sizes sa ON pairs.a_id = sa.doc_id
+        |JOIN sizes sb ON pairs.b_id = sb.doc_id
+        |WHERE CAST(common AS DOUBLE) / CAST(sa.set_size + sb.set_size - common AS DOUBLE) >= 0.5
+        |  AND (a_id % 5 = 0 OR b_id % 5 = 0)
         |ORDER BY a_id, b_id""".stripMargin,
     // simhash oracle is EXACT: graft_simhash uses md5-prefix token hashes
     // (first 8 md5 bytes as hi/lo 32-bit halves), so DuckDB rebuilds the

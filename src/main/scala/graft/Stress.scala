@@ -232,6 +232,12 @@ object Stress {
     time("dedup_jaccard_prefix")(
       graft.ops.Dedup.tokenJaccardPrefix(docs, 0.5, ngram = 3).count())
     time("dedup_spans")(graft.ops.Dedup.duplicatedSpans(docs).count())
+    // incremental LSH: 1/5 of the replicated corpus plays the day's
+    // crawl against the rest as index — both sides shuffle keyed, the
+    // index side never broadcasts
+    time("dedup_minhash_incr")(graft.ops.Dedup.incrementalMinHash(
+      docs.filter(col("doc_id") % 5 === 0),
+      docs.filter(col("doc_id") % 5 =!= 0)).count())
 
     // bulk-load throughput through the partition-parallel sink (the
     // reference's headline metric: rows/s and MiB/s per load phase)

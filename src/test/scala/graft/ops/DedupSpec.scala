@@ -39,6 +39,32 @@ class DedupSpec extends SparkSpec {
     assert(keys.contains((0L, 1L)), "exact dup pair must always collide")
   }
 
+  test("incrementalMinHash equals full LSH restricted to batch-touching pairs") {
+    // batch = odd ids (1 is an exact dup of index doc 0; 5 is a fresh
+    // near-dup of batch doc 7) — exercises both the vs-index and the
+    // within-batch candidate paths
+    val all = Seq(
+      (0L, base), (1L, base), (2L, base + " tomorrow"),
+      (3L, "completely different words about spark catalyst tungsten shuffles"),
+      (5L, base + " yesterday evening"), (7L, base + " yesterday evening"))
+      .toDF("doc_id", "text")
+    val batch = all.filter($"doc_id" % 2 === 1)
+    val index = all.filter($"doc_id" % 2 === 0)
+    val inc = Dedup.incrementalMinHash(batch, index)
+    assertNoCrossProduct(inc, "incrementalMinHash")
+    val got = inc.collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[String]("via"))).toSet
+    val fullRestricted = Dedup.minHashLsh(all)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => p._1 % 2 == 1 || p._2 % 2 == 1)
+      .map(p => (p._1, p._2,
+        if (p._1 % 2 == 1 && p._2 % 2 == 1) "batch" else "index")).toSet
+    assert(got == fullRestricted, s"got $got vs full-restricted $fullRestricted")
+    assert(got.exists(_._3 == "batch") && got.exists(_._3 == "index"),
+      "fixture must exercise both candidate paths")
+  }
+
   test("minHashLshStar caps hot buckets with star edges, same components") {
     // 40 exact copies (one hot cluster) + the distinct docs
     val cluster = (100L until 140L).map(i => (i, base + " shared tail words"))
