@@ -448,6 +448,14 @@ object SparkEntry {
       Dedup.resolveClusters(
         Dedup.ngramJaccard(rd(s, dir, "documents")).select("a_id", "b_id"))
         .orderBy("doc_id")),
+    // --- leakage-safe split: near-dup clusters (same pair graph as
+    // dedup_clusters) assigned to train/val atomically by cluster-id md5
+    "split_leakage_safe" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      Sampling.leakageSafeSplit(docs,
+          Dedup.ngramJaccard(docs).select("a_id", "b_id"))
+        .orderBy("doc_id")
+    }),
     // same pair graph through the O(log n) large-star/small-star path —
     // must produce the identical component table (same oracle SQL)
     "dedup_clusters_star" -> ((s, dir) =>
@@ -1315,7 +1323,10 @@ object SparkEntry {
        |)""".stripMargin
   }
 
-  private val clustersOracleSql: String =
+  // shared CTE chain to `walk(id, label)` — the recursive transitive
+  // closure over the df-pruned exact-jaccard pair graph; consumed by the
+  // clusters oracles and the leakage-safe split oracle
+  private val clustersCteSql: String =
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
       |), sh AS (
@@ -1349,7 +1360,10 @@ object SparkEntry {
       |  SELECT id, id FROM nodes
       |  UNION
       |  SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id
-      |)
+      |)""".stripMargin
+
+  private val clustersOracleSql: String = clustersCteSql +
+    """
       |SELECT id AS doc_id, min(label) AS cluster_id
       |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
 
@@ -2212,6 +2226,20 @@ object SparkEntry {
     // min-labelled component table
     "dedup_clusters" -> clustersOracleSql,
     "dedup_clusters_star" -> clustersOracleSql,
+    // same components; split decided by the first md5 BYTE of the
+    // cluster id (< 64 of 256 = 25% val), singletons = own id
+    "split_leakage_safe" -> (clustersCteSql +
+      """
+        |, comp AS (
+        |  SELECT id, min(label) AS cluster_id FROM walk GROUP BY id
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(comp.cluster_id, d.doc_id) AS cluster_id,
+        |  CASE WHEN CAST('0x' || substr(md5(
+        |      CAST(coalesce(comp.cluster_id, d.doc_id) AS VARCHAR)), 1, 2)
+        |      AS BIGINT) < 64 THEN 'val' ELSE 'train' END AS split
+        |FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
+        |ORDER BY doc_id""".stripMargin),
     "ann_brute" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

@@ -26,6 +26,38 @@ object Sampling {
   def splitAssign(df: DataFrame, idCol: String): DataFrame =
     df.withColumn("split", splitCol(col(idCol)))
 
+  /** Leakage-safe train/val split: near-duplicate CLUSTERS are assigned
+    * to a split atomically, so no near-dup pair ever straddles the
+    * boundary — the standard fix for eval contamination, where a
+    * training document's near-copy lands in the validation set and
+    * inflates every metric. `pairs` is any near-dup pair set
+    * ((a_id, b_id): minhash/jaccard/simhash output); components come
+    * from [[graft.ops.Dedup.resolveClusters]] min-label propagation,
+    * unpaired docs are their own singleton cluster, and the split is
+    * decided by the first md5 BYTE of the CLUSTER id (`< 64` of 256 →
+    * 'val', i.e. 25%) — the [[splitCol]] determinism recipe lifted from
+    * doc to cluster granularity, so assignment is stable under corpus
+    * growth AND engine-portable. Scale shape: the pair-graph components
+    * are the dominant cost (pairs-sized keyed joins per round, see
+    * resolveClusters); the rest is one docs⋈components left join and a
+    * narrow md5 projection.
+    */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+                       valPct: Int = 25): DataFrame = {
+    require(valPct >= 1 && valPct <= 99, "valPct must be 1..99")
+    val threshold = 256L * valPct / 100L
+    val clusters = Dedup.resolveClusters(pairs)
+      .select(col("doc_id"), col("cluster_id").as("cid"))
+    docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cid"), col("doc_id")))
+      .withColumn("split",
+        when(conv(substring(md5(col("cluster_id").cast("string")), 1, 2),
+          16, 10).cast("long") < threshold, lit("val"))
+          .otherwise(lit("train")))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+  }
+
   /** k-fold cross-validation assignment: `fold = int(md5(id)[0:8]) mod
     * k`. Deterministic and stable under corpus growth — a row's fold
     * never changes when other rows arrive (the same property

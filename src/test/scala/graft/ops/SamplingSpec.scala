@@ -21,6 +21,30 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(fracs("test") - 2.0 / 16) < 0.05, fracs.toString)
   }
 
+  test("leakageSafeSplit never lets a near-dup pair straddle the boundary") {
+    import spark.implicits._
+    // two 2-clusters + a 3-chain + singletons; the chain's ends are not
+    // directly paired, so atomicity must come from the transitive
+    // component, not the pair list
+    val docs = (0L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (2L, 3L), (4L, 5L), (5L, 6L))
+      .toDF("a_id", "b_id")
+    val out = Sampling.leakageSafeSplit(docs, pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[String]("split"))).toMap
+    assert(out.size == 10, "every doc gets a row")
+    // cluster atomicity, including across the transitive 4-5-6 chain
+    for ((a, b) <- Seq((0L, 1L), (2L, 3L), (4L, 5L), (5L, 6L), (4L, 6L)))
+      assert(out(a) == out(b), s"pair ($a,$b) split apart: ${out(a)} ${out(b)}")
+    // singletons cluster to themselves
+    for (s <- Seq(7L, 8L, 9L)) assert(out(s)._1 == s)
+    // deterministic across runs
+    val again = Sampling.leakageSafeSplit(docs, pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[String]("split"))).toMap
+    assert(again == out)
+  }
+
   test("kFoldAssign is stable under growth and spreads folds") {
     val small = (1L to 200L).map(Tuple1.apply).toDF("doc_id")
     val big = (1L to 2000L).map(Tuple1.apply).toDF("doc_id")
