@@ -126,6 +126,24 @@ object Dedup {
   def minHashParams(k: Int): Seq[(Long, Long)] =
     (0 until k).map(i => (2L * i + 1, (i.toLong * 104729 + 12345) % MinHashPrime))
 
+  /** Banded minhash signatures — (doc_id, sig, band, bucket) — the shared
+    * projection under [[minHashLsh]]-family candidate generation, exposed
+    * package-private so the streaming twin
+    * ([[graft.streaming.EventStreams.streamingNearDup]]) buckets arriving
+    * docs with the exact batch signature pipeline (a stateless
+    * projection, legal on a streaming DataFrame).
+    */
+  private[graft] def bandedSignatures(docs: DataFrame, numHashes: Int = 32,
+                                      bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    withShingles(docs)
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", expr(s"graft_minhash(shingles, $numHashes)"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(expr(s"graft_bandbuckets(sig, $bands)"))
+          .as(Seq("band", "bucket")))
+  }
+
   /** Near-dup candidate pairs via MinHash-LSH banding.
     *
     * numHashes k, bands b, rows r = k/b. Two docs land in the same bucket

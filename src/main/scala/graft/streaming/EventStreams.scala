@@ -325,6 +325,66 @@ object EventStreams {
       }
   }
 
+  final case class NearDupPair(a_id: Long, b_id: Long, est_jaccard: Double)
+
+  /** Streaming near-dup detection at ingest — the streaming twin of
+    * [[graft.ops.Dedup.incrementalMinHash]]: arriving docs run the exact
+    * batch signature pipeline (`Dedup.bandedSignatures`, a stateless
+    * projection), then each (band, bucket) group holds its member
+    * signatures in state and every new doc emits a pair against each
+    * stored member whose full-signature agreement passes `tau` — the
+    * same arithmetic as the batch `graft_eqfrac` filter, so the DISTINCT
+    * emitted pair set equals batch [[graft.ops.Dedup.minHashLsh]] over
+    * everything seen (asserted in the spec; a pair sharing two bands
+    * emits once per band — the consumer's `dropDuplicates`, exactly like
+    * the batch op's, folds them).
+    *
+    * State discipline: ≤ `hotBucket` signatures per bucket — the
+    * [[graft.ops.Dedup.minHashLshStar]] hot-bucket cap. Docs beyond the
+    * cap still compare against the stored members (every hot-bucket doc
+    * pairs with the earliest arrivals — the star shape: connectivity is
+    * preserved, the C(D,2) clique is not enumerated), so state per
+    * bucket is bounded no matter how pathological the duplicate cluster.
+    */
+  def streamingNearDup(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
+                       tau: Double = 0.5, hotBucket: Int = 64)(
+      implicit spark: SparkSession): Dataset[NearDupPair] = {
+    import spark.implicits._
+    graft.ops.Dedup.bandedSignatures(docs, numHashes, bands)
+      .select(col("band").cast("int"), col("bucket").cast("long"),
+        col("doc_id").cast("long"), col("sig"))
+      .as[(Int, Long, Long, Seq[Long])]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: (Int, Long), rows: Iterator[(Int, Long, Long, Seq[Long])],
+         state: GroupState[List[(Long, Seq[Long])]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+          rows.toSeq.sortBy(_._3).foreach { case (_, _, did, sig) =>
+            if (!seen.exists(_._1 == did)) {
+              seen.foreach { case (od, osig) =>
+                val n = math.min(sig.length, osig.length)
+                if (n > 0) {
+                  var eq = 0
+                  var i = 0
+                  while (i < n) {
+                    if (sig(i) == osig(i)) eq += 1
+                    i += 1
+                  }
+                  val est = eq.toDouble / n.toDouble
+                  if (est >= tau)
+                    out += NearDupPair(math.min(did, od), math.max(did, od), est)
+                }
+              }
+              if (seen.size < hotBucket) seen = (did, sig) :: seen
+            }
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   final case class AttributionCredit(conv_id: Long, touch_type: String,
                                      n_pairs: Long, n_touches: Long,
                                      first_touch_wins: Long,

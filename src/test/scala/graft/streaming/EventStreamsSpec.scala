@@ -190,6 +190,40 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingNearDup distinct pairs equal batch minHashLsh over all seen") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    // batch 1 seeds docs 0/1 (exact dups); batch 2 adds a near-dup of
+    // them plus an unrelated doc — the cross-batch pair (0,2)/(1,2)
+    // must come out of carried bucket state
+    val b1 = Seq((0L, base), (1L, base))
+    val b2 = Seq((2L, base + " tomorrow"),
+      (3L, "completely different words about spark catalyst tungsten shuffles"))
+    val mem = MemoryStream[(Long, String)]
+    val out = EventStreams.streamingNearDup(
+      mem.toDF.toDF("doc_id", "text"))
+    val q = out.toDF.writeStream
+      .format("memory").queryName("neardup_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("neardup_test")
+        .select("a_id", "b_id").distinct().collect()
+        .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+      val batch = graft.ops.Dedup.minHashLsh((b1 ++ b2).toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+      assert(batch.contains((0L, 2L)) || batch.contains((1L, 2L)),
+        "fixture must produce a cross-batch pair")
+    } finally q.stop()
+  }
+
   test("streamingAttribution credit rows sum to the batch attribution rollup") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
