@@ -165,6 +165,22 @@ object SparkEntry {
           .as("query_text"))
       TextAnalysis.bm25TopK(docs, qs, 5).orderBy("query_id", "rank")
     }),
+    // --- two-stage retrieval: BM25 top-10 shortlist re-ranked by exact
+    // embedding cosine (vec_id == doc_id id space, as in search_hybrid)
+    "search_rerank" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 5).select(
+        col("doc_id").as("query_id"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 5), " ")
+          .as("query_text"))
+      val e = rd(s, dir, "embeddings")
+      TextAnalysis.retrieveRerank(docs, qs,
+          e.select(col("vec_id").as("doc_id"), col("embedding")),
+          e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"),
+            col("embedding").as("q_emb")),
+          kRetrieve = 10, k = 5)
+        .orderBy("query_id", "rank")
+    }),
     // --- hybrid retrieval: BM25 lexical + embedding-cosine rankings
     // fused by integer-scaled reciprocal-rank fusion (vec_id == doc_id
     // in the testdata, so the two systems rank the same id space)
@@ -1690,6 +1706,60 @@ object SparkEntry {
         |)
         |SELECT query_id, CAST("rank" AS BIGINT) AS "rank", doc_id, score, n_terms
         |FROM rk WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    // bm25 chain to a top-10 shortlist, then exact cosine re-rank — the
+    // ann_brute float recipe (list_dot_product == graft_dot fold)
+    "search_rerank" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), lens AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks
+        |), tot AS (
+        |  SELECT CAST(sum(dl) AS BIGINT) AS corpus_len, count(*) AS n_docs FROM lens
+        |), q AS (
+        |  SELECT DISTINCT query_id, token FROM (
+        |    SELECT doc_id AS query_id, unnest(t[1:5]) AS token
+        |    FROM toks WHERE doc_id < 5)
+        |), tfa AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(t) AS token FROM toks)
+        |  GROUP BY 1, 2
+        |), d AS (
+        |  SELECT *, count(*) OVER (PARTITION BY token) AS df FROM tfa
+        |), sc AS (
+        |  SELECT q.query_id, d.doc_id,
+        |    CAST(sum(((1000000 // df) * 2200 * corpus_len * tf)
+        |      // (10 * corpus_len * tf + 3 * corpus_len + 9 * dl * n_docs))
+        |      AS BIGINT) AS score
+        |  FROM d JOIN q ON d.token = q.token
+        |  JOIN lens ON d.doc_id = lens.doc_id
+        |  CROSS JOIN tot
+        |  GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS "rank"
+        |  FROM sc
+        |), short AS (
+        |  SELECT query_id, doc_id FROM rk WHERE "rank" <= 10
+        |), de AS (
+        |  SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |), qe AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id < 5
+        |), resc AS (
+        |  SELECT s.query_id, s.doc_id,
+        |    list_dot_product(de.e, qe.e) /
+        |      (sqrt(list_dot_product(de.e, de.e)) *
+        |       sqrt(list_dot_product(qe.e, qe.e))) AS cosine
+        |  FROM short s
+        |  JOIN de ON s.doc_id = de.doc_id
+        |  JOIN qe ON s.query_id = qe.query_id
+        |), rr AS (
+        |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, doc_id) AS "rank"
+        |  FROM resc
+        |)
+        |SELECT query_id, CAST("rank" AS BIGINT) AS "rank", doc_id
+        |FROM rr WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
     "normalize_nodes" ->
       """SELECT c_custkey AS nodeId,
         | array_to_string(string_split(concat(c_mktsegment, ',', 'Customer'), ','), '|') AS labels,

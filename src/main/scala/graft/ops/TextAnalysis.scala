@@ -554,6 +554,40 @@ object TextAnalysis {
         col("score_scaled"), col("n_occurrences"))
   }
 
+  /** Two-stage retrieval: BM25 shortlist → exact embedding-cosine
+    * re-rank — the retrieve-then-rerank composite every RAG serving
+    * stack runs (cheap lexical recall over the corpus, expensive exact
+    * similarity only over the shortlist). Stage 1 is [[bm25TopK]] with
+    * its two-level top-k close (the only corpus-sized work); stage 2
+    * joins the ≤ |Q|·kRetrieve shortlist rows to their embeddings and
+    * re-ranks by [[graft.ops.Similarity.cosineCol]] — the rank window
+    * runs over the BOUNDED shortlist, never the corpus, so the
+    * single-window form is safe by construction here. Cosine parity is
+    * the ann_brute recipe: sequential-fold `graft_dot` matches DuckDB's
+    * `list_dot_product` bit for bit, sqrt is IEEE-correctly rounded.
+    * `docEmb` maps doc_id → embedding; `queryEmb` is |Q|-sized and
+    * broadcast.
+    */
+  def retrieveRerank(docs: DataFrame, queries: DataFrame,
+                     docEmb: DataFrame, queryEmb: DataFrame,
+                     kRetrieve: Int = 10, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shortlist = bm25TopK(docs, queries, kRetrieve)
+      .select(col("query_id"), col("doc_id"))
+    shortlist
+      .join(docEmb.select(col("doc_id"), col("embedding").as("d_emb")),
+        Seq("doc_id"))
+      .join(broadcast(queryEmb.select(col("query_id"),
+        col("q_emb"))), Seq("query_id"))
+      .withColumn("cosine",
+        graft.ops.Similarity.cosineCol(col("d_emb"), col("q_emb")))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(desc("cosine"), asc("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"))
+  }
+
   /** Reciprocal-rank fusion — the standard hybrid-search combiner: each
     * input ranking contributes `1/(kRrf + rank)` per (query, doc), the
     * sums re-rank. The score is integer-scaled `1e9 div (kRrf + rank)`

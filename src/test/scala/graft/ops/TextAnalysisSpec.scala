@@ -266,6 +266,29 @@ class TextAnalysisSpec extends SparkSpec {
     assertNoCrossProduct(TextAnalysis.searchTopK(docs, qs), "searchTopK")
   }
 
+  test("retrieveRerank reorders the lexical shortlist by embedding cosine") {
+    // docs 0 and 1 both match the query lexically; doc 1's embedding is
+    // aligned with the query's, doc 0's is orthogonal — the re-rank must
+    // put 1 first regardless of the bm25 order. Doc 2 never matches
+    // lexically, so a perfect embedding cannot rescue it (shortlist
+    // gate).
+    val ds = Seq(
+      (0L, "quick brown fox jumps high"),
+      (1L, "quick brown fox sleeps low"),
+      (2L, "completely unrelated words here entirely")).toDF("doc_id", "text")
+    val qs = Seq((9L, "quick brown fox")).toDF("query_id", "query_text")
+    val docEmb = Seq(
+      (0L, Seq(0.0, 1.0, 0.0)),
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.9, 0.1, 0.0))).toDF("doc_id", "embedding")
+    val qEmb = Seq((9L, Seq(1.0, 0.0, 0.0))).toDF("query_id", "q_emb")
+    val out = TextAnalysis.retrieveRerank(ds, qs, docEmb, qEmb,
+      kRetrieve = 2, k = 2).orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id")))
+    assert(out.toSeq == Seq((1L, 1L), (2L, 0L)),
+      s"expected embedding-aligned doc first, got ${out.toSeq}")
+  }
+
   test("bm25TopK normalizes by doc length: short doc beats long at equal tf") {
     val docs = Seq(
       (0L, "rare x x x x x x x x x x x x x x x x x x x"), // tf=1, dl=20
