@@ -181,6 +181,22 @@ object SparkEntry {
           kRetrieve = 10, k = 5)
         .orderBy("query_id", "rank")
     }),
+    // --- hard negatives: BM25 top-10 docs whose embedding cosine to the
+    // query falls under 0.5 — lexically plausible, semantically wrong
+    "search_hard_negatives" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 5).select(
+        col("doc_id").as("query_id"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 5), " ")
+          .as("query_text"))
+      val e = rd(s, dir, "embeddings")
+      TextAnalysis.hardNegatives(docs, qs,
+          e.select(col("vec_id").as("doc_id"), col("embedding")),
+          e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"),
+            col("embedding").as("q_emb")),
+          kRetrieve = 10, maxCos = 0.5)
+        .orderBy("query_id", "bm25_rank", "doc_id")
+    }),
     // --- hybrid retrieval: BM25 lexical + embedding-cosine rankings
     // fused by integer-scaled reciprocal-rank fusion (vec_id == doc_id
     // in the testdata, so the two systems rank the same id space)
@@ -1760,6 +1776,55 @@ object SparkEntry {
         |)
         |SELECT query_id, CAST("rank" AS BIGINT) AS "rank", doc_id
         |FROM rr WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    // same bm25 shortlist; keep docs whose cosine < 0.5 (forced DOUBLE —
+    // a bare 0.5 parses DECIMAL in DuckDB and diverges from Spark)
+    "search_hard_negatives" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), lens AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks
+        |), tot AS (
+        |  SELECT CAST(sum(dl) AS BIGINT) AS corpus_len, count(*) AS n_docs FROM lens
+        |), q AS (
+        |  SELECT DISTINCT query_id, token FROM (
+        |    SELECT doc_id AS query_id, unnest(t[1:5]) AS token
+        |    FROM toks WHERE doc_id < 5)
+        |), tfa AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(t) AS token FROM toks)
+        |  GROUP BY 1, 2
+        |), d AS (
+        |  SELECT *, count(*) OVER (PARTITION BY token) AS df FROM tfa
+        |), sc AS (
+        |  SELECT q.query_id, d.doc_id,
+        |    CAST(sum(((1000000 // df) * 2200 * corpus_len * tf)
+        |      // (10 * corpus_len * tf + 3 * corpus_len + 9 * dl * n_docs))
+        |      AS BIGINT) AS score
+        |  FROM d JOIN q ON d.token = q.token
+        |  JOIN lens ON d.doc_id = lens.doc_id
+        |  CROSS JOIN tot
+        |  GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS "rank"
+        |  FROM sc
+        |), short AS (
+        |  SELECT query_id, doc_id, CAST("rank" AS BIGINT) AS bm25_rank
+        |  FROM rk WHERE "rank" <= 10
+        |), de AS (
+        |  SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |), qe AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id < 5
+        |)
+        |SELECT s.query_id AS query_id, s.doc_id AS doc_id, s.bm25_rank
+        |FROM short s
+        |JOIN de ON s.doc_id = de.doc_id
+        |JOIN qe ON s.query_id = qe.query_id
+        |WHERE list_dot_product(de.e, qe.e) /
+        |    (sqrt(list_dot_product(de.e, de.e)) *
+        |     sqrt(list_dot_product(qe.e, qe.e))) < CAST('0.5' AS DOUBLE)
+        |ORDER BY s.query_id, s.bm25_rank, s.doc_id""".stripMargin,
     "normalize_nodes" ->
       """SELECT c_custkey AS nodeId,
         | array_to_string(string_split(concat(c_mktsegment, ',', 'Customer'), ','), '|') AS labels,

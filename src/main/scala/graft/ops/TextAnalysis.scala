@@ -588,6 +588,31 @@ object TextAnalysis {
         col("doc_id"))
   }
 
+  /** Hard-negative mining for contrastive retrieval training: per query,
+    * the documents that score HIGH lexically (BM25 shortlist — they look
+    * relevant) but LOW semantically (embedding cosine under `maxCos` —
+    * they aren't) — exactly the negatives an embedding model learns the
+    * most from, and the standard companion op to [[retrieveRerank]] in a
+    * training-data pipeline. Same scale shape as the re-ranker: the BM25
+    * stage is the only corpus-sized work, the cosine gate runs over the
+    * bounded shortlist. Output `(query_id, doc_id, bm25_rank)` keeps the
+    * lexical rank (negatives are usually consumed hardest-first) and no
+    * float columns — the cosine participates only in the comparison, the
+    * decidable part of the float recipe.
+    */
+  def hardNegatives(docs: DataFrame, queries: DataFrame,
+                    docEmb: DataFrame, queryEmb: DataFrame,
+                    kRetrieve: Int = 10, maxCos: Double = 0.5): DataFrame =
+    bm25TopK(docs, queries, kRetrieve)
+      .select(col("query_id"), col("doc_id"), col("rank").as("bm25_rank"))
+      .join(docEmb.select(col("doc_id"), col("embedding").as("d_emb")),
+        Seq("doc_id"))
+      .join(broadcast(queryEmb.select(col("query_id"), col("q_emb"))),
+        Seq("query_id"))
+      .filter(graft.ops.Similarity.cosineCol(col("d_emb"), col("q_emb")) <
+        lit(maxCos))
+      .select(col("query_id"), col("doc_id"), col("bm25_rank"))
+
   /** Reciprocal-rank fusion — the standard hybrid-search combiner: each
     * input ranking contributes `1/(kRrf + rank)` per (query, doc), the
     * sums re-rank. The score is integer-scaled `1e9 div (kRrf + rank)`

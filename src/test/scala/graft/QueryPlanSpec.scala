@@ -37,6 +37,7 @@ class QueryPlanSpec extends SparkSpec {
       "search_hybrid", // fuses the bm25 chain (same one-row total) with
                        // the ann_brute broadcast query set
       "search_rerank", // contains the bm25 chain's one-row totals
+      "search_hard_negatives", // same bm25 chain
       "events_rfm",    // one-row corpus-max instant onto |users| rows
       "events_covisit", // one-row session total onto type² pair rows
       "embed_truncation", // one-row total energy onto |dims| rows

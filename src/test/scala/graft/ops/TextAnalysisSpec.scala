@@ -289,6 +289,26 @@ class TextAnalysisSpec extends SparkSpec {
       s"expected embedding-aligned doc first, got ${out.toSeq}")
   }
 
+  test("hardNegatives keeps lexical matches that fail the semantic gate") {
+    val ds = Seq(
+      (0L, "quick brown fox jumps high"),
+      (1L, "quick brown fox sleeps low"),
+      (2L, "completely unrelated words here entirely")).toDF("doc_id", "text")
+    val qs = Seq((9L, "quick brown fox")).toDF("query_id", "query_text")
+    // doc 1 is semantically aligned (cos = 1) -> NOT a negative;
+    // doc 0 is orthogonal (cos = 0) -> the hard negative
+    val docEmb = Seq(
+      (0L, Seq(0.0, 1.0, 0.0)),
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.9, 0.1, 0.0))).toDF("doc_id", "embedding")
+    val qEmb = Seq((9L, Seq(1.0, 0.0, 0.0))).toDF("query_id", "q_emb")
+    val out = TextAnalysis.hardNegatives(ds, qs, docEmb, qEmb,
+      kRetrieve = 2, maxCos = 0.5).collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    assert(out == Set(0L),
+      s"expected only the orthogonal lexical match, got $out")
+  }
+
   test("bm25TopK normalizes by doc length: short doc beats long at equal tf") {
     val docs = Seq(
       (0L, "rare x x x x x x x x x x x x x x x x x x x"), // tf=1, dl=20
