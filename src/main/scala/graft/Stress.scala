@@ -238,6 +238,20 @@ object Stress {
     time("dedup_minhash_incr")(graft.ops.Dedup.incrementalMinHash(
       docs.filter(col("doc_id") % 5 === 0),
       docs.filter(col("doc_id") % 5 =!= 0)).count())
+    // retrieval composites: corpus cost = the shared bm25 stage; the
+    // cosine re-rank/gate run over the bounded shortlist only (synthetic
+    // per-doc embeddings keep the join doc-keyed at any factor)
+    val fakeEmb = docs.select(col("doc_id"),
+      // +1 keeps every vector off the origin (doc_id ≡ 0 mod 97 would
+      // otherwise zero the norm and ANSI-fault the cosine division)
+      expr("transform(sequence(1, 8), i -> CAST((doc_id * i) % 97 + 1 AS DOUBLE))")
+        .as("embedding"))
+    val fakeQEmb = fakeEmb.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("embedding").as("q_emb"))
+    time("search_rerank")(graft.ops.TextAnalysis.retrieveRerank(
+      docs, queries, fakeEmb, fakeQEmb).count())
+    time("search_hard_neg")(graft.ops.TextAnalysis.hardNegatives(
+      docs, queries, fakeEmb, fakeQEmb).count())
 
     // bulk-load throughput through the partition-parallel sink (the
     // reference's headline metric: rows/s and MiB/s per load phase)
