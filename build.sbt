@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench` as
+// JSON from a 2000-char tail. Two sbt behaviors broke that for three
+// rounds (r4/r6/r7 `parsed: null`): the logger wraps forked output in an
+// "[info] " prefix, and sbt appends its own "[success] Total time..."
+// trailer AFTER our summary line. StdoutOutput forwards the forked
+// process's stdout verbatim; showSuccess drops the trailer.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

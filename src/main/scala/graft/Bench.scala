@@ -19,9 +19,13 @@ object Bench {
     } catch { case _: Throwable => () }
     // Optional args = query-name filter plus a strict "xN" repeat count
     // (only ^x\d+$ — a query whose NAME starts with 'x' stays selectable).
-    // The driver invokes with no args: full registry, one rep each.
+    // The driver invokes with no args: full registry. Bare runs default to
+    // x3 per-query MEDIANS since r8 — this VM's documented 5-10s stalls
+    // land on random queries, so a reps=1 artifact overstates the suite by
+    // ~50% (BENCH_r07: 201.4s reps=1 vs 131.7s x3 medians) and single
+    // per-query numbers are unusable. Pass x1 explicitly for a quick pass.
     val (repeatArgs, names) = args.partition(_.matches("x\\d+"))
-    val reps = repeatArgs.headOption.map(_.drop(1).toInt).getOrElse(1)
+    val reps = repeatArgs.headOption.map(_.drop(1).toInt).getOrElse(3)
     val selected =
       if (names.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => names.contains(k) }

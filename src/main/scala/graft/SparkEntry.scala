@@ -1050,6 +1050,16 @@ object SparkEntry {
     "text_hashtf" -> ((s, dir) =>
       TextAnalysis.hashTf(rd(s, dir, "documents"), 64)
         .orderBy("doc_id", "bucket")),
+    // --- distributed perceptron training over hashed features: labels
+    // planted by doc_id parity, 3 fixed full-batch integer rounds
+    // (learning rate 1 — no division, no floats); oracle = the same
+    // rounds unrolled as materialized CTEs
+    "text_train_lr" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+        .withColumn("label",
+          when(col("doc_id") % 2 === 0, 1L).otherwise(-1L))
+      TextAnalysis.trainPerceptron(docs, 64, 3).orderBy("bucket")
+    }),
     // --- vocabulary construction: top-50 tokens with cumulative coverage
     "vocab_top" -> ((s, dir) =>
       TextAnalysis.buildVocab(rd(s, dir, "documents"), 50).orderBy("rank")),
@@ -1091,6 +1101,28 @@ object SparkEntry {
       val blocked = Seq("src3.io", "src6.net").toDF("domain")
       Web.domainStats(Web.filterBlocked(Web.normalizeUrls(urls), blocked))
         .orderBy("domain")
+    }),
+    // --- HTML main-content extraction: stage deterministic crawl HTML
+    // from the doc table (comment, script/style blocks, nav bar, head
+    // title, short footer, entities), extract; only the real paragraph
+    // survives the block heuristics
+    "web_extract" -> ((s, dir) => {
+      val pages = rd(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("html", expr(
+          """concat('<html><!-- id ', CAST(doc_id AS STRING), ' -->',
+            |'<head><title>Doc ', CAST(doc_id AS STRING), ' &amp; co</title>',
+            |'<script type="text/javascript">var x = 1; if (x < 2) { x = 3; }</script>',
+            |'<style>.nav { color: red; }</style></head>',
+            |'<body><div class="nav">Home | About | Contact</div>',
+            |'<h1>Doc ', CAST(doc_id AS STRING), '</h1>',
+            |'<p>', substring(text, 1, 240), '</p>',
+            |'<p>Short.</p>',
+            |'<div class="footer">Copyright 2026</div>',
+            |'</body></html>')""".stripMargin))
+      Web.extractMainContent(pages)
+        .select(col("doc_id"), col("title"), col("content"), col("n_blocks"))
+        .orderBy("doc_id")
     }),
     // --- right-to-be-forgotten audit: deletion list = every ninth user,
     // broadcast-flagged, per-type before/removed/after + survivor checksum
@@ -3924,6 +3956,57 @@ object SparkEntry {
         |  CAST(count(DISTINCT url_norm) AS BIGINT) AS n_unique_urls,
         |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
         |FROM kept GROUP BY 1 ORDER BY domain""".stripMargin,
+    // same staged HTML, same RE2-safe strip chain; inline (?is) flags work
+    // in both engines, 'g' is DuckDB's replace-all (Spark's default)
+    "web_extract" ->
+      """WITH pages AS (
+        |  SELECT doc_id,
+        |    '<html><!-- id ' || CAST(doc_id AS VARCHAR) || ' -->' ||
+        |    '<head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    ' &amp; co</title>' ||
+        |    '<script type="text/javascript">var x = 1; if (x < 2) { x = 3; }</script>' ||
+        |    '<style>.nav { color: red; }</style></head>' ||
+        |    '<body><div class="nav">Home | About | Contact</div>' ||
+        |    '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' ||
+        |    '<p>' || substring(text, 1, 240) || '</p>' ||
+        |    '<p>Short.</p>' ||
+        |    '<div class="footer">Copyright 2026</div>' ||
+        |    '</body></html>' AS html
+        |  FROM documents
+        |), stripped AS (
+        |  SELECT doc_id,
+        |    trim(regexp_extract(html,
+        |      '(?is)<title[^>]*>(.*?)</title>', 1)) AS title,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(html,
+        |      '(?s)<!--.*?-->', '', 'g'),
+        |      '(?is)<script[^>]*>.*?</script>', '', 'g'),
+        |      '(?is)<style[^>]*>.*?</style>', '', 'g'),
+        |      '(?i)</(p|div|h1|h2|h3|h4|h5|h6|li|tr|table|ul|ol|blockquote|title|head)>',
+        |      chr(10), 'g'),
+        |      '(?i)<(br|hr)[^>]*>', chr(10), 'g') AS blocked
+        |  FROM pages
+        |), cleaned AS (
+        |  SELECT doc_id, title,
+        |    regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(blocked, '(?s)<[^>]*>', ' ', 'g'),
+        |        '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+        |        '&quot;', '"'), '&#39;', ''''),
+        |      '[ \t\r]+', ' ', 'g') AS clean
+        |  FROM stripped
+        |), kept AS (
+        |  SELECT doc_id, title,
+        |    list_filter(list_transform(string_split(clean, chr(10)),
+        |        x -> trim(x)),
+        |      x -> length(x) >= 30 AND len(string_split(x, ' ')) >= 5)
+        |      AS blocks
+        |  FROM cleaned
+        |)
+        |SELECT doc_id, title,
+        |  array_to_string(blocks, chr(10)) AS content,
+        |  CAST(len(blocks) AS BIGINT) AS n_blocks
+        |FROM kept ORDER BY doc_id""".stripMargin,
     "privacy_purge" ->
       """WITH del AS (
         |  SELECT DISTINCT user_id FROM events WHERE user_id % 9 = 0
@@ -4148,6 +4231,53 @@ object SparkEntry {
         |  CAST(sum(sign) AS BIGINT) AS signed_tf
         |FROM b GROUP BY doc_id, bucket
         |ORDER BY doc_id, bucket""".stripMargin,
+    // the perceptron rounds unrolled; every per-round CTE that later
+    // rounds reference twice is MATERIALIZED (DuckDB inlines plain CTEs
+    // per reference — the graph_scc 2^rounds lesson). Round 1 from w=0
+    // marks every doc misclassified, so w1 folds to one aggregation.
+    "text_train_lr" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |), feats AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 64 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS tf,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS label
+        |  FROM toks
+        |  GROUP BY doc_id, bucket, label
+        |), w1 AS MATERIALIZED (
+        |  SELECT bucket, CAST(sum(label * tf) AS BIGINT) AS w
+        |  FROM feats GROUP BY bucket
+        |), m2 AS MATERIALIZED (
+        |  SELECT f.doc_id FROM feats f
+        |  LEFT JOIN w1 ON f.bucket = w1.bucket
+        |  GROUP BY f.doc_id, f.label
+        |  HAVING f.label * sum(f.tf * coalesce(w1.w, 0)) <= 0
+        |), u2 AS (
+        |  SELECT bucket, CAST(sum(label * tf) AS BIGINT) AS d
+        |  FROM feats WHERE doc_id IN (SELECT doc_id FROM m2)
+        |  GROUP BY bucket
+        |), w2 AS MATERIALIZED (
+        |  SELECT w1.bucket, CAST(w1.w + coalesce(u2.d, 0) AS BIGINT) AS w
+        |  FROM w1 LEFT JOIN u2 ON w1.bucket = u2.bucket
+        |), m3 AS MATERIALIZED (
+        |  SELECT f.doc_id FROM feats f
+        |  LEFT JOIN w2 ON f.bucket = w2.bucket
+        |  GROUP BY f.doc_id, f.label
+        |  HAVING f.label * sum(f.tf * coalesce(w2.w, 0)) <= 0
+        |), u3 AS (
+        |  SELECT bucket, CAST(sum(label * tf) AS BIGINT) AS d
+        |  FROM feats WHERE doc_id IN (SELECT doc_id FROM m3)
+        |  GROUP BY bucket
+        |), w3 AS MATERIALIZED (
+        |  SELECT w2.bucket, CAST(w2.w + coalesce(u3.d, 0) AS BIGINT) AS w
+        |  FROM w2 LEFT JOIN u3 ON w2.bucket = u3.bucket
+        |)
+        |SELECT r.range AS bucket, CAST(coalesce(w3.w, 0) AS BIGINT) AS w
+        |FROM range(64) r LEFT JOIN w3 ON r.range = w3.bucket
+        |ORDER BY bucket""".stripMargin,
     "events_runs" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts, event_type

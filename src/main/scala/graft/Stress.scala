@@ -238,6 +238,21 @@ object Stress {
     time("dedup_minhash_incr")(graft.ops.Dedup.incrementalMinHash(
       docs.filter(col("doc_id") % 5 === 0),
       docs.filter(col("doc_id") % 5 =!= 0)).count())
+    // leakage-safe split on an adversarial near-dup CHAIN (A~B~C~...,
+    // factor x 1000 docs): component diameter == chain length, the exact
+    // shape that forces min-label propagation into diameter rounds (or a
+    // silent maxIter truncation) — the default star resolver must close
+    // the single component in O(log n) rounds (r8: 1 component asserted)
+    time("split_leakage_chain") {
+      val n = factor * 1000L
+      val chainPairs = spark.range(n - 1)
+        .select(col("id").as("a_id"), (col("id") + 1L).as("b_id"))
+      val chainDocs = spark.range(n).select(col("id").as("doc_id"))
+      val split = graft.ops.Sampling.leakageSafeSplit(chainDocs, chainPairs)
+      val comps = split.select(col("cluster_id")).distinct().count()
+      require(comps == 1L, s"chain must resolve to ONE component, got $comps")
+      split.count()
+    }
     // retrieval composites: corpus cost = the shared bm25 stage; the
     // cosine re-rank/gate run over the bounded shortlist only (synthetic
     // per-doc embeddings keep the join doc-keyed at any factor)

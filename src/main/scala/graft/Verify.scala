@@ -18,6 +18,22 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Round-start seam check (CLAUDE.md rule): the events time encoding
+    // has CHANGED between driver rounds (timestamp[ns]→[us]); rdEvents
+    // normalizes both, but an encoding we have never seen must fail HERE,
+    // loudly, not 37 queries deep as per-query analysis errors.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(s"$sfDir/events.parquet")
+      .schema("ts").dataType
+    val knownTs = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.TimestampType,
+      org.apache.spark.sql.types.TimestampNTZType)
+    require(knownTs(tsType),
+      s"events.parquet ts encoding changed AGAIN: read as $tsType under " +
+        "nanosAsLong=true — extend SparkEntry.rdEvents before trusting any " +
+        "events query")
+    System.err.println(s"[verify] events ts encoding: $tsType (normalized by rdEvents)")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

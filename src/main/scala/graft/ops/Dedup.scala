@@ -116,6 +116,31 @@ object Dedup {
       .join(knownChecksums.select(col("checksum")), Seq("checksum"), "left_anti")
       .select(col("doc_id"), col("checksum"), col("n_copies"))
 
+  // --- Bucketed dedup indexes ---------------------------------------------
+  // The rolling-ingestion endgame at 100 TB: the corpus-side index is far
+  // larger than any day's batch and joined EVERY day, so it should never
+  // shuffle again after being written. Persisting it bucketed on the join
+  // key makes the daily anti/equi join shuffle ONLY the batch (Catalyst
+  // plans the index side as a bucketed scan with zero Exchange —
+  // BucketingSpec asserts this on both index shapes).
+
+  /** Persist the exact-dedup checksum index as a managed parquet table
+    * bucketed+sorted on `checksum`. Rewrite (or append a compacted delta
+    * with the same bucket spec) per ingestion cycle.
+    */
+  def writeChecksumIndex(docs: DataFrame, table: String,
+                         buckets: Int = 32): Unit =
+    graft.sources.Bucketing.writeBucketed(
+      exact(docs).select(col("checksum")), table, "checksum", buckets)
+
+  /** [[incrementalExact]] against a [[writeChecksumIndex]] table: the
+    * LEFT ANTI join shuffles only the (already checksum-partitioned)
+    * batch aggregate; the index side is a co-located bucketed scan.
+    */
+  def incrementalExactIndexed(spark: org.apache.spark.sql.SparkSession,
+                              newDocs: DataFrame, table: String): DataFrame =
+    incrementalExact(newDocs, spark.table(table))
+
   // --- MinHash + LSH ------------------------------------------------------
 
   /** Fixed affine-permutation parameters for minhash signatures. Seeds are
@@ -131,17 +156,20 @@ object Dedup {
     * package-private so the streaming twin
     * ([[graft.streaming.EventStreams.streamingNearDup]]) buckets arriving
     * docs with the exact batch signature pipeline (a stateless
-    * projection, legal on a streaming DataFrame).
+    * projection, legal on a streaming DataFrame). `carry` names input
+    * columns to keep alongside the signature (e.g. the event-time column
+    * a streaming consumer's watermark/TTL rides on).
     */
   private[graft] def bandedSignatures(docs: DataFrame, numHashes: Int = 32,
-                                      bands: Int = 8): DataFrame = {
+                                      bands: Int = 8,
+                                      carry: Seq[String] = Nil): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     withShingles(docs)
       .filter(size(col("shingles")) > 0)
       .withColumn("sig", expr(s"graft_minhash(shingles, $numHashes)"))
-      .select(col("doc_id"), col("sig"),
+      .select(col("doc_id") +: col("sig") +: carry.map(col) :+
         posexplode(expr(s"graft_bandbuckets(sig, $bands)"))
-          .as(Seq("band", "bucket")))
+          .as(Seq("band", "bucket")): _*)
   }
 
   /** Near-dup candidate pairs via MinHash-LSH banding.
@@ -199,19 +227,43 @@ object Dedup {
     * least one batch doc — the invariant DedupSpec asserts and the
     * oracle re-derives. Output: (a_id, b_id, via) with `via` = 'batch'
     * for batch-internal pairs, 'index' for batch-vs-corpus pairs.
+    * Batch and index id spaces must be DISJOINT: a doc_id present on both
+    * sides would meet itself in every bucket and emit a degenerate
+    * self-pair (est 1.0) — the vsIndex join guards with `l != r`, so such
+    * a doc contributes only its genuine cross pairs.
     */
   def incrementalMinHash(newDocs: DataFrame, indexDocs: DataFrame,
                          numHashes: Int = 32, bands: Int = 8,
-                         tau: Double = 0.5): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    def banded(df: DataFrame) = withShingles(df)
-      .filter(size(col("shingles")) > 0)
-      .withColumn("sig", expr(s"graft_minhash(shingles, $numHashes)"))
-      .select(col("doc_id"), col("sig"),
-        posexplode(expr(s"graft_bandbuckets(sig, $bands)"))
-          .as(Seq("band", "bucket")))
-    val nb = banded(newDocs)
-    val ib = banded(indexDocs)
+                         tau: Double = 0.5): DataFrame =
+    incrementalMinHashFrom(bandedSignatures(newDocs, numHashes, bands),
+      bandedSignatures(indexDocs, numHashes, bands), tau)
+
+  /** Persist a corpus's banded minhash postings — (doc_id, sig, band,
+    * bucket), the [[bandedSignatures]] projection — as a managed parquet
+    * table bucketed on (band, bucket): the daily
+    * [[incrementalMinHashIndexed]] equi-join then shuffles only the
+    * batch's postings, and the corpus-side signature scan is never
+    * recomputed or re-shuffled.
+    */
+  def writeBandedIndex(docs: DataFrame, table: String, numHashes: Int = 32,
+                       bands: Int = 8, buckets: Int = 32): Unit =
+    graft.sources.Bucketing.writeBucketed(
+      bandedSignatures(docs, numHashes, bands), table,
+      "band", buckets, "bucket")
+
+  /** [[incrementalMinHash]] against a [[writeBandedIndex]] table (same
+    * signature/band parameters as at write time). Identical output;
+    * the index side is a co-located bucketed scan with zero Exchange.
+    */
+  def incrementalMinHashIndexed(spark: org.apache.spark.sql.SparkSession,
+                                newDocs: DataFrame, table: String,
+                                numHashes: Int = 32, bands: Int = 8,
+                                tau: Double = 0.5): DataFrame =
+    incrementalMinHashFrom(bandedSignatures(newDocs, numHashes, bands),
+      spark.table(table), tau)
+
+  private[graft] def incrementalMinHashFrom(nb: DataFrame, ib: DataFrame,
+                                            tau: Double): DataFrame = {
     val withinBatch = nb.as("l")
       .join(nb.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
@@ -221,7 +273,8 @@ object Dedup {
         lit("batch").as("via"))
     val vsIndex = nb.as("l")
       .join(ib.as("r"),
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.doc_id") =!= col("r.doc_id"))
       .select(least(col("l.doc_id"), col("r.doc_id")).as("a_id"),
         greatest(col("l.doc_id"), col("r.doc_id")).as("b_id"),
         col("l.sig").as("a_sig"), col("r.sig").as("b_sig"),

@@ -32,21 +32,31 @@ object Sampling {
     * training document's near-copy lands in the validation set and
     * inflates every metric. `pairs` is any near-dup pair set
     * ((a_id, b_id): minhash/jaccard/simhash output); components come
-    * from [[graft.ops.Dedup.resolveClusters]] min-label propagation,
-    * unpaired docs are their own singleton cluster, and the split is
+    * from [[graft.ops.Dedup.resolveClustersStar]] large-star/small-star
+    * rounds by default — near-dup CHAINS (A~B~C~... each pair under the
+    * threshold) are exactly the leakage scenario this operator exists
+    * for, and a chain's component diameter equals its length, so the
+    * O(log n)-round star resolver is the scale-safe default where
+    * min-label propagation needs diameter rounds (or silently truncates
+    * at maxIter). Both resolvers emit identical hash-min components, so
+    * the choice never changes the output — `resolver` accepts the
+    * diameter-round [[graft.ops.Dedup.resolveClusters]] for small dense
+    * pair sets where its per-round cost is lower. Unpaired docs are
+    * their own singleton cluster, and the split is
     * decided by the first md5 BYTE of the CLUSTER id (`< 64` of 256 →
     * 'val', i.e. 25%) — the [[splitCol]] determinism recipe lifted from
     * doc to cluster granularity, so assignment is stable under corpus
     * growth AND engine-portable. Scale shape: the pair-graph components
-    * are the dominant cost (pairs-sized keyed joins per round, see
-    * resolveClusters); the rest is one docs⋈components left join and a
-    * narrow md5 projection.
+    * are the dominant cost (pairs-sized keyed joins per round); the rest
+    * is one docs⋈components left join and a narrow md5 projection.
     */
   def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
-                       valPct: Int = 25): DataFrame = {
+                       valPct: Int = 25,
+                       resolver: DataFrame => DataFrame =
+                         Dedup.resolveClustersStar(_)): DataFrame = {
     require(valPct >= 1 && valPct <= 99, "valPct must be 1..99")
     val threshold = 256L * valPct / 100L
-    val clusters = Dedup.resolveClusters(pairs)
+    val clusters = resolver(pairs)
       .select(col("doc_id"), col("cluster_id").as("cid"))
     docs.select(col("doc_id"))
       .join(clusters, Seq("doc_id"), "left")

@@ -955,6 +955,64 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(sum(col("tf") * col("w")).as("score_milli"))
 
+  /** Distributed linear-classifier TRAINING — closes the [[scoreLinear]]
+    * loop: full-batch perceptron over [[hashTf]] features, pure integer
+    * arithmetic, `rounds` fixed passes (the pageRank fixed-round recipe,
+    * so an unrolled SQL oracle matches bit-for-bit and extra rounds past
+    * convergence are no-ops).
+    *
+    * Per round: margin_d = Σ_b tf·w_b via a broadcast join against the
+    * dim-row weight vector and one per-doc partial-agg rollup; docs with
+    * `label · margin <= 0` (all of them at w=0, making round 1 the
+    * deterministic Σ label·tf initializer) contribute `Σ label·tf` per
+    * bucket — the classic batch perceptron update with learning rate 1,
+    * which keeps every weight an exact BIGINT (no float order
+    * sensitivity, no division at all).
+    *
+    * Scale shape: the corpus collapses to hashed features ONCE (cached;
+    * two scan-cost passes per round — margin + update, both keyed
+    * partial aggregations). The model is `dim` rows: it broadcasts out
+    * and the per-round update collect is a bounded `<= dim`-row driver
+    * pull (the k-means-centroid class of driver state), which also
+    * truncates the per-round lineage — no checkpoints needed.
+    *
+    * Input: docs with a `label` column in {+1, -1}. Output: (bucket, w)
+    * — feed straight back to [[scoreLinear]].
+    */
+  def trainPerceptron(docs: DataFrame, dim: Int = 64,
+                      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && dim >= 1)
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val feats = hashTf(docs, dim)
+      .join(docs.select(col("doc_id"), col("label").cast("long").as("label")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("bucket"), col("tf"), col("label"))
+      .cache()
+    feats.count()
+    var w = Map.empty[Long, Long].withDefaultValue(0L)
+    for (_ <- 1 to rounds) {
+      val wDf = (0L until dim.toLong).map(b => (b, w(b))).toDF("bucket", "w")
+      val misclassified = feats
+        .join(broadcast(wDf), Seq("bucket"))
+        .groupBy(col("doc_id"), col("label"))
+        .agg(sum(col("tf") * col("w")).as("margin"))
+        .filter(col("label") * col("margin") <= 0L)
+        .select(col("doc_id"))
+      val updates = feats
+        .join(misclassified, Seq("doc_id"), "left_semi")
+        .groupBy(col("bucket"))
+        .agg(sum(col("label") * col("tf")).as("delta"))
+        .collect() // bounded: <= dim rows (the model, not the data)
+      w = updates.foldLeft(w) { (acc, r) =>
+        val b = r.getLong(0)
+        acc.updated(b, acc(b) + r.getLong(1))
+      }
+    }
+    feats.unpersist(blocking = false)
+    (0L until dim.toLong).map(b => (b, w(b))).toDF("bucket", "w")
+  }
+
   /** Importance weights for domain-targeted data selection (the DSIR
     * recipe shape: score raw documents by how target-like their hashed
     * n-gram features are, then sample by score). Per bucket the weight

@@ -69,4 +69,64 @@ object Web {
   def filterBlocked(urls: DataFrame, blocked: DataFrame): DataFrame =
     urls.join(broadcast(blocked.select(col("domain")).distinct()),
       Seq("domain"), "left_anti")
+
+  /** HTML main-content extraction — the crawl front door everything
+    * downstream (dedup, quality, tokenization) assumes has already run.
+    * A trafilatura-class extractor needs a DOM; at corpus scale the
+    * standard first pass is exactly this shape (C4/CCNet): strip the
+    * non-content machinery, split into blocks, keep the paragraph-like
+    * blocks. Steps, in order, every one an RE2-safe regex or plain
+    * replace (no lookaround, no backreferences — the
+    * [[normalizeUrls]]/text_pii portability recipe):
+    *
+    *  1. drop `<!-- -->` comments, `<script>`/`<style>` blocks (with
+    *     their contents);
+    *  2. capture `<title>` before tags are stripped;
+    *  3. block-level closers (`</p> </div> </hN> </li> </tr> </table>
+    *     </ul> </ol> </blockquote> </title> </head>`) and `<br>`/`<hr>`
+    *     become newlines — the block structure the boilerplate filter
+    *     operates on (title/head count so head text never fuses into the
+    *     first body block);
+    *  4. every remaining tag becomes a space; the five standard entities
+    *     and `&nbsp;` decode; horizontal whitespace collapses;
+    *  5. boilerplate-block heuristic: a trimmed block survives when it
+    *     has >= `minChars` characters AND >= `minWords`
+    *     space-separated words — nav bars ("Home | About"), cookie
+    *     banners, and footer fragments are short and link-dense, real
+    *     paragraphs are not (the C4 "at least N words per line" rule).
+    *
+    * Adds `title`, `content` (kept blocks joined by newline), and
+    * `n_blocks` (kept-block count). Pure narrow projection — zero
+    * shuffles, tracks the scan at any corpus size.
+    */
+  def extractMainContent(df: DataFrame, htmlCol: String = "html",
+                         minChars: Int = 30, minWords: Int = 5): DataFrame = {
+    val noComment = regexp_replace(col(htmlCol), "(?s)<!--.*?-->", "")
+    val noScript = regexp_replace(noComment,
+      "(?is)<script[^>]*>.*?</script>", "")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", "")
+    val blocks = regexp_replace(
+      regexp_replace(noStyle,
+        "(?i)</(p|div|h1|h2|h3|h4|h5|h6|li|tr|table|ul|ol|blockquote|title|head)>",
+        "\n"),
+      "(?i)<(br|hr)[^>]*>", "\n")
+    val untagged = regexp_replace(blocks, "(?s)<[^>]*>", " ")
+    // entity decode: a plain (non-regex) replace chain — both engines
+    // have byte-identical `replace`, no regex-dialect risk at all
+    val entity = Seq("&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
+      "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'")
+      .foldLeft(untagged) { case (c, (from, to)) =>
+        call_function("replace", c, lit(from), lit(to))
+      }
+    val collapsed = regexp_replace(entity, "[ \\t\\r]+", " ")
+    df.withColumn("title",
+        trim(regexp_extract(col(htmlCol), "(?is)<title[^>]*>(.*?)</title>", 1)))
+      .withColumn("_clean", collapsed)
+      .withColumn("_kept",
+        filter(transform(split(col("_clean"), "\n"), b => trim(b)),
+          b => length(b) >= minChars && size(split(b, " ")) >= minWords))
+      .withColumn("content", array_join(col("_kept"), "\n"))
+      .withColumn("n_blocks", size(col("_kept")).cast("long"))
+      .drop("_clean", "_kept")
+  }
 }

@@ -10,14 +10,17 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed+sorted managed parquet table. */
+  /** Write `df` as a bucketed+sorted managed parquet table. Multiple keys
+    * bucket on the tuple — an equi-join must then cover ALL of them for
+    * the bucketed scan to satisfy the join's required partitioning.
+    */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit =
+                    buckets: Int, moreKeys: String*): Unit =
     df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, key, moreKeys: _*)
+      .sortBy(key, moreKeys: _*)
       .saveAsTable(table)
 
   /** Join two identically-bucketed tables on their bucket key. With both

@@ -343,45 +343,94 @@ object EventStreams {
     * [[graft.ops.Dedup.minHashLshStar]] hot-bucket cap. Docs beyond the
     * cap still compare against the stored members (every hot-bucket doc
     * pairs with the earliest arrivals — the star shape: connectivity is
-    * preserved, the C(D,2) clique is not enumerated), so state per
-    * bucket is bounded no matter how pathological the duplicate cluster.
+    * preserved through stored members). Cap edge case: the star anchor
+    * set is the FIRST `hotBucket` arrivals, not matched ones — if a hot
+    * bucket fills with mutually-dissimilar docs (all est < tau), two
+    * identical over-cap arrivals pair only if a stored member bridges
+    * them, which none does. The cap assumes hot buckets are hot because
+    * of a duplicate cluster (the empirical web-data case minHashLshStar
+    * is built on); a bucket that is hot from LSH collisions alone can
+    * drop over-cap pairs.
+    *
+    * STATE IS THE LSH INDEX: an ingest dedup must remember the corpus,
+    * so by default (`retentionMs = None`) per-bucket state never expires
+    * and the state store grows with the number of distinct buckets ever
+    * touched — exactly the banded-postings index the batch operator
+    * would persist, capped at `hotBucket` signatures per bucket. When a
+    * retention window is the contract instead ("dedup against the last
+    * 30 days of crawl"), pass `retentionMs`: the input must then carry a
+    * `ts_time` timestamp column, the stream watermarks on it
+    * (`watermark` delay), and a bucket whose latest arrival is older
+    * than the retention window is evicted by event-time timeout — new
+    * arrivals in an evicted bucket start a fresh index, so pairs against
+    * pre-expiry docs are no longer emitted and total state is bounded by
+    * the buckets touched inside one retention window.
     */
   def streamingNearDup(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
-                       tau: Double = 0.5, hotBucket: Int = 64)(
+                       tau: Double = 0.5, hotBucket: Int = 64,
+                       retentionMs: Option[Long] = None,
+                       watermark: String = "1 hour")(
       implicit spark: SparkSession): Dataset[NearDupPair] = {
     import spark.implicits._
-    graft.ops.Dedup.bandedSignatures(docs, numHashes, bands)
-      .select(col("band").cast("int"), col("bucket").cast("long"),
-        col("doc_id").cast("long"), col("sig"))
-      .as[(Int, Long, Long, Seq[Long])]
+    val src = retentionMs match {
+      case Some(_) => docs.withWatermark("ts_time", watermark)
+      case None => docs
+    }
+    val banded = graft.ops.Dedup.bandedSignatures(src, numHashes, bands,
+      carry = if (retentionMs.isDefined) Seq("ts_time") else Nil)
+    val keyed = (retentionMs match {
+      case Some(_) => banded.select(col("band").cast("int"),
+        col("bucket").cast("long"), col("doc_id").cast("long"), col("sig"),
+        col("ts_time"))
+      case None => banded.select(col("band").cast("int"),
+        col("bucket").cast("long"), col("doc_id").cast("long"), col("sig"),
+        lit("1970-01-01 00:00:00").cast("timestamp").as("ts_time"))
+    }).as[(Int, Long, Long, Seq[Long], java.sql.Timestamp)]
       .groupByKey(r => (r._1, r._2))
-      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()) {
-        (_: (Int, Long), rows: Iterator[(Int, Long, Long, Seq[Long])],
+    val timeoutConf = retentionMs match {
+      case Some(_) => GroupStateTimeout.EventTimeTimeout()
+      case None => GroupStateTimeout.NoTimeout()
+    }
+    keyed.flatMapGroupsWithState(
+      org.apache.spark.sql.streaming.OutputMode.Append(), timeoutConf) {
+        (_: (Int, Long),
+         rows: Iterator[(Int, Long, Long, Seq[Long], java.sql.Timestamp)],
          state: GroupState[List[(Long, Seq[Long])]]) =>
-          var seen = state.getOption.getOrElse(Nil)
-          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
-          rows.toSeq.sortBy(_._3).foreach { case (_, _, did, sig) =>
-            if (!seen.exists(_._1 == did)) {
-              seen.foreach { case (od, osig) =>
-                val n = math.min(sig.length, osig.length)
-                if (n > 0) {
-                  var eq = 0
-                  var i = 0
-                  while (i < n) {
-                    if (sig(i) == osig(i)) eq += 1
-                    i += 1
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+            var maxTsMs = Long.MinValue
+            rows.toSeq.sortBy(_._3).foreach { case (_, _, did, sig, ts) =>
+              if (ts.getTime > maxTsMs) maxTsMs = ts.getTime
+              if (!seen.exists(_._1 == did)) {
+                seen.foreach { case (od, osig) =>
+                  val n = math.min(sig.length, osig.length)
+                  if (n > 0) {
+                    var eq = 0
+                    var i = 0
+                    while (i < n) {
+                      if (sig(i) == osig(i)) eq += 1
+                      i += 1
+                    }
+                    val est = eq.toDouble / n.toDouble
+                    if (est >= tau)
+                      out += NearDupPair(math.min(did, od), math.max(did, od), est)
                   }
-                  val est = eq.toDouble / n.toDouble
-                  if (est >= tau)
-                    out += NearDupPair(math.min(did, od), math.max(did, od), est)
                 }
+                if (seen.size < hotBucket) seen = (did, sig) :: seen
               }
-              if (seen.size < hotBucket) seen = (did, sig) :: seen
             }
+            state.update(seen)
+            retentionMs.foreach { r =>
+              // same watermark clamp as streamingAttribution: Spark
+              // rejects a timeout not strictly later than the watermark
+              val proposed = maxTsMs + r
+              val floor = state.getCurrentWatermarkMs() + 1L
+              state.setTimeoutTimestamp(math.max(proposed, floor))
+            }
+            out.iterator
           }
-          state.update(seen)
-          out.iterator
       }
   }
 
@@ -442,7 +491,14 @@ object EventStreams {
               .sortBy(r => (r._3, r._4 == convType, r._1))
               .foreach { case (eid, _, t, tpe, _) =>
                 if (tpe == convType) {
-                  val inWin = touches.filter(_._1 > t - lookbackUs)
+                  // upper bound matters for OUT-OF-ORDER arrivals the
+                  // watermark admits: a touch with ts > conv ts may already
+                  // sit in state (delivered in an earlier micro-batch), and
+                  // the batch operator's `touch_ts <= conv_ts` predicate
+                  // must exclude it — without `<= t` a late conversion
+                  // would credit a FUTURE touch
+                  val inWin = touches.filter(x =>
+                    x._1 > t - lookbackUs && x._1 <= t)
                   if (inWin.nonEmpty) {
                     val n = inWin.size.toLong
                     val first = inWin.minBy(x => (x._1, x._2))
@@ -460,8 +516,15 @@ object EventStreams {
                 }
               }
             state.update(touches)
-            state.setTimeoutTimestamp(
-              batch.map(_._5.getTime).max + idleTimeoutMs)
+            // Spark throws IllegalArgumentException when the event-time
+            // timeout is not strictly later than the current watermark; a
+            // batch of rows admitted just inside the watermark with a small
+            // idleTimeoutMs would land exactly there — clamp to a
+            // watermark-derived floor so the query degrades (idle eviction
+            // waits one more interval) instead of dying
+            val proposed = batch.map(_._5.getTime).max + idleTimeoutMs
+            val floor = state.getCurrentWatermarkMs() + idleTimeoutMs + 1L
+            state.setTimeoutTimestamp(math.max(proposed, floor))
             out.iterator
           }
       }

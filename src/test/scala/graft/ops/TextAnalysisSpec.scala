@@ -471,4 +471,24 @@ class TextAnalysisSpec extends SparkSpec {
     // doc 10's bigrams all have conditional prob 1 -> mean exactly 1
     assert(got(10L)._3 == 1.0)
   }
+
+  test("trainPerceptron learns weights that separate planted domains") {
+    import org.apache.spark.sql.functions.col
+    // two vocab-disjoint domains; +1 docs speak finance, -1 docs cooking
+    val pos = (0 until 30).map(i => (i.toLong,
+      s"market equity dividend portfolio yield bond asset ticker v$i", 1L))
+    val neg = (0 until 30).map(i => (100L + i,
+      s"recipe butter flour oven simmer garlic onion saute w$i", -1L))
+    val docs = (pos ++ neg).toDF("doc_id", "text", "label")
+    val w = TextAnalysis.trainPerceptron(docs, 64, 5)
+    assert(w.count() == 64L, "one weight row per bucket")
+    val scored = TextAnalysis.scoreLinear(docs, w)
+      .join(docs.select(col("doc_id"), col("label")), Seq("doc_id"))
+    val n = scored.count()
+    val correct = scored.filter(
+      (col("score_milli") > 0 && col("label") === 1L) ||
+        (col("score_milli") < 0 && col("label") === -1L)).count()
+    assert(correct >= (n * 9) / 10,
+      s"learned weights must separate the domains: $correct/$n correct")
+  }
 }

@@ -224,6 +224,46 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingNearDup retention expires idle buckets (no pairs vs pre-expiry docs)") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val other = "completely different words about spark catalyst tungsten shuffles"
+    def ts(day: Int) = Timestamp.valueOf(f"2026-01-$day%02d 00:00:00")
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    // 1-day retention, zero watermark delay so event time IS the watermark
+    val out = EventStreams.streamingNearDup(
+      mem.toDF.toDF("doc_id", "text", "ts_time"),
+      retentionMs = Some(86400000L), watermark = "0 seconds")
+    val q = out.toDF.writeStream
+      .format("memory").queryName("neardup_ttl_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // b1: exact dups at day 1 → pair (0,1); bucket timeout = day 2
+      mem.addData((0L, base, ts(1)), (1L, base, ts(1)))
+      q.processAllAvailable()
+      // b2: unrelated doc far in the future advances the watermark past
+      // the base bucket's timeout (watermark updates at end of batch)
+      mem.addData((9L, other, ts(20)))
+      q.processAllAvailable()
+      // b3: another unrelated doc — THIS trigger fires the base bucket's
+      // timeout (timeouts process against the watermark set after b2)
+      mem.addData((8L, other + " and more tokens here", ts(20)))
+      q.processAllAvailable()
+      // b4: a near-dup of the day-1 docs arrives after expiry → the
+      // bucket index restarted, so no pair against doc 0/1 may appear
+      mem.addData((2L, base + " tomorrow", ts(20)))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_ttl_test")
+        .select("a_id", "b_id").distinct().collect()
+        .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+      assert(pairs == Set((0L, 1L)),
+        s"expected only the pre-expiry pair (0,1); got $pairs")
+    } finally q.stop()
+  }
+
   test("streamingAttribution credit rows sum to the batch attribution rollup") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
