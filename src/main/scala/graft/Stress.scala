@@ -238,6 +238,20 @@ object Stress {
     time("dedup_minhash_incr")(graft.ops.Dedup.incrementalMinHash(
       docs.filter(col("doc_id") % 5 === 0),
       docs.filter(col("doc_id") % 5 =!= 0)).count())
+    // bucketed banded-postings index: write once (4/5 of the base
+    // corpus), then the daily batch joins it with ZERO index-side
+    // shuffle AND zero index-side signature recompute — the wall-clock
+    // delta vs the plain operator is the per-ingest saving at scale
+    time("minhash_index_write")(
+      { graft.ops.Dedup.writeBandedIndex(
+          docs0.filter(col("doc_id") % 5 =!= 0), "stress_lsh_index")
+        spark.table("stress_lsh_index").count() })
+    time("minhash_vs_index")(graft.ops.Dedup.incrementalMinHashIndexed(
+      spark, docs0.filter(col("doc_id") % 5 === 0),
+      "stress_lsh_index").count())
+    time("minhash_vs_plain")(graft.ops.Dedup.incrementalMinHash(
+      docs0.filter(col("doc_id") % 5 === 0),
+      docs0.filter(col("doc_id") % 5 =!= 0)).count())
     // leakage-safe split on an adversarial near-dup CHAIN (A~B~C~...,
     // factor x 1000 docs): component diameter == chain length, the exact
     // shape that forces min-label propagation into diameter rounds (or a

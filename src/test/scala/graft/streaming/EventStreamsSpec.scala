@@ -322,6 +322,36 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingAttribution never credits a future-timestamped touch (out-of-order)") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // touch B (ts=1200) reaches state in batch 1; the conversion (ts=600)
+    // arrives LATE in batch 2 — inside the 1-hour watermark, so it is
+    // admitted — and must credit only touch A (ts=500): the batch
+    // operator's touch_ts <= conv_ts predicate excludes B
+    def tt(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val mem = MemoryStream[(Long, Long, Long, String, Timestamp)]
+    val credits = EventStreams.streamingAttribution(
+      mem.toDF.toDF("event_id", "user_id", "ts", "event_type", "ts_time"),
+      lookbackUs = 1000L)
+    val q = credits.toDF.writeStream
+      .format("memory").queryName("attr_ooo_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      mem.addData((1L, 7L, 500L, "click", tt(5)), (2L, 7L, 1200L, "click", tt(20)))
+      q.processAllAvailable()
+      mem.addData((3L, 7L, 600L, "purchase", tt(10)))
+      q.processAllAvailable()
+      val rows = spark.table("attr_ooo_test").collect()
+      assert(rows.length == 1, s"one credit row expected: ${rows.toSeq}")
+      assert(rows.head.getAs[Long]("n_touches") == 1L,
+        "the future touch must not be credited")
+      assert(rows.head.getAs[Long]("linear_credit_ppm") == 1000000L)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState trailing features roll across micro-batches") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
