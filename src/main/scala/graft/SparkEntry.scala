@@ -661,6 +661,11 @@ object SparkEntry {
     "pack_sequences" -> ((s, dir) =>
       Sampling.packSequences(rd(s, dir, "documents"), 256L)
         .orderBy("doc_id")),
+    // --- length-bucketed inference batches: per-shard descending-length
+    // fill, per-batch padding economics
+    "pack_batches" -> ((s, dir) =>
+      Sampling.lengthBatches(rd(s, dir, "documents"), 512L)
+        .orderBy("shard", "batch_id")),
     // --- multimodal plumbing (row 24)
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.payloadMeta(rd(s, dir, "documents")).orderBy("media_id")),
@@ -2706,6 +2711,31 @@ object SparkEntry {
         |  (n_toks > 0 AND (start_off // 256) <> ((start_off + n_toks - 1) // 256))
         |    AS crosses_boundary
         |FROM c ORDER BY doc_id""".stripMargin,
+    // (n_toks DESC, doc_id) is a total order, so the default RANGE frame
+    // == ROWS in both engines (no peer rows); div/`//` truncation agrees
+    "pack_batches" ->
+      """WITH t AS (
+        |  SELECT doc_id, source AS shard,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, shard, n_toks,
+        |    CAST((sum(n_toks) OVER (PARTITION BY shard
+        |      ORDER BY n_toks DESC, doc_id) - n_toks) // 512 AS BIGINT)
+        |      AS batch_id
+        |  FROM t
+        |), b AS (
+        |  SELECT shard, batch_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_toks) AS BIGINT) AS batch_tokens,
+        |    CAST(max(n_toks) AS BIGINT) AS max_len
+        |  FROM c GROUP BY shard, batch_id
+        |)
+        |SELECT shard, batch_id, n_docs, batch_tokens, max_len,
+        |  max_len * n_docs AS padded_tokens,
+        |  CASE WHEN max_len * n_docs = 0 THEN 0
+        |    ELSE (max_len * n_docs - batch_tokens) * 1000000
+        |      // (max_len * n_docs) END AS waste_ppm
+        |FROM b ORDER BY shard, batch_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id AS media_id, 'text/plain' AS mime,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -260,6 +260,48 @@ object Sampling {
           .as("crosses_boundary"))
   }
 
+  /** Length-bucketed micro-batch assembly — the inference/eval cousin of
+    * [[packSequences]]: instead of concatenating docs into fixed token
+    * windows, group SIMILAR-LENGTH docs into batches so per-batch
+    * padding (every sequence padded to the batch max) is minimized —
+    * the standard dynamic-batching trick for transformer inference.
+    *
+    * Within each `shardCol` group docs order by (n_toks DESC, doc_id) —
+    * descending length puts near-equal lengths adjacent, the unique id
+    * makes the order total and engine-portable — and greedy contiguous
+    * fill assigns `batch_id = (cumsum − n_toks) div maxTokensPerBatch`
+    * (a batch's token sum exceeds the budget by at most its last doc —
+    * the doc-atomic variant of [[packSequences]]' boundary crossing).
+    * Per-(shard, batch) rollup reports the padding economics:
+    * `padded_tokens = max_len · n_docs` is what the accelerator
+    * actually processes, `waste_ppm` the padding overhead.
+    *
+    * Scale shape: the window is PER SHARD (the packSequences rule — a
+    * global sort would be the one-partition anti-pattern); one shuffle
+    * on the shard key, one partial-aggregated rollup on (shard, batch).
+    */
+  def lengthBatches(docs: DataFrame, maxTokensPerBatch: Long = 2048L,
+                    shardCol: String = "source"): DataFrame = {
+    require(maxTokensPerBatch >= 1L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol))
+      .orderBy(col("n_toks").desc, col("doc_id"))
+    docs
+      .withColumn("n_toks",
+        size(TextAnalysis.tokensCol(col("text"))).cast("long"))
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .select(col("doc_id"), col(shardCol).as("shard"), col("n_toks"),
+        expr(s"(cum - n_toks) div ${maxTokensPerBatch}L").as("batch_id"))
+      .groupBy(col("shard"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("batch_tokens"),
+        max(col("n_toks")).as("max_len"))
+      .withColumn("padded_tokens", col("max_len") * col("n_docs"))
+      .withColumn("waste_ppm",
+        expr("CASE WHEN padded_tokens = 0 THEN 0L ELSE " +
+          "(padded_tokens - batch_tokens) * 1000000L div padded_tokens END"))
+  }
+
   /** Deterministic fixed-size sample per key — `n` documents from every
     * `keyCol` group, chosen by md5(doc_id) order (engine-portable,
     * uniform, and stable: a group's sample only changes where new ids

@@ -219,4 +219,31 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getAs[Double]("rate"))
     assert(rates.forall(_ == 1.0))
   }
+
+  test("lengthBatches fills token budgets in descending-length order per shard") {
+    import org.apache.spark.sql.functions.col
+    // shard A lengths (desc): 10,10,10,5 with budget 20 →
+    // batches [10,10] (exact fit, zero waste) and [10,5] (25% padding)
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(10), "A"), (2L, words(5), "A"),
+      (3L, words(10), "A"), (4L, words(10), "A"),
+      (5L, words(7), "B"))
+      .toDF("doc_id", "text", "source")
+    val got = Sampling.lengthBatches(docs, maxTokensPerBatch = 20L)
+      .orderBy("shard", "batch_id").collect()
+      .map(r => (r.getAs[String]("shard"), r.getAs[Long]("batch_id"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("batch_tokens"),
+        r.getAs[Long]("max_len"), r.getAs[Long]("padded_tokens"),
+        r.getAs[Long]("waste_ppm"))).toSeq
+    assert(got == Seq(
+      ("A", 0L, 2L, 20L, 10L, 20L, 0L),
+      ("A", 1L, 2L, 15L, 10L, 20L, 250000L),
+      ("B", 0L, 1L, 7L, 7L, 7L, 0L)), got.toString)
+    // zero shuffles beyond the shard window + batch rollup: no global sort
+    val plan = Sampling.lengthBatches(docs, 20L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"),
+      s"no global sort allowed:\n$plan")
+  }
 }
