@@ -140,31 +140,10 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
               nLists: Int = 16, nProbe: Int = 4,
               trainSample: Int = 10000): DataFrame = {
-    val spark = corpus.sparkSession
-    // train centroids on a bounded, deterministic sample — never the full
-    // 100 TB corpus (TakeOrdered keeps the fetch O(sample)). The fit runs
-    // driver-side: the sample is already collected, and Lloyd's over
-    // 10k×dim×nLists is milliseconds — scheduling a distributed KMeans job
-    // for it was pure overhead (measured ~3s/run at every SF).
-    val sample = corpus.select("vec_id", "embedding")
-      .orderBy("vec_id").limit(trainSample).collect()
-      .map(_.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray)
-    import spark.implicits._
-    val centroids = kmeansFit(sample, nLists, iters = 5).zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("list_id", "centroid")
-
-    def nearestLists(df: DataFrame, idCol: String, embCol: String, n: Int): DataFrame =
-      df.crossJoin(broadcast(centroids))
-        .withColumn("cdist", dotCol(col(embCol), col("centroid")) * lit(-2.0)
-          + dotCol(col("centroid"), col("centroid")))
-        .withColumn("crank", row_number().over(
-          Window.partitionBy(idCol).orderBy(asc("cdist"), asc("list_id"))))
-        .filter(col("crank") <= n)
-        .drop("centroid", "cdist", "crank")
-
-    val indexed = nearestLists(
+    val centroids = fitCentroids(corpus, nLists, trainSample)
+    val indexed = nearestLists(centroids)(
       corpus.withColumn("nrm", normCol(col("embedding"))), "vec_id", "embedding", 1)
-    val probed = nearestLists(
+    val probed = nearestLists(centroids)(
       queries.select(col("query_id"), col("q_emb"))
         .withColumn("qnrm", normCol(col("q_emb"))), "query_id", "q_emb", nProbe)
     val cands = indexed.join(probed, Seq("list_id"))
@@ -173,6 +152,85 @@ object Similarity {
         dotCol(col("embedding"), col("q_emb")) / (col("nrm") * col("qnrm")))
     // probed candidates are still ~nProbe/nLists of the corpus per query —
     // two-level top-k, not a per-query window over that stream
+    topKPerQuery(cands.select("query_id", "vec_id", "cosine"), k,
+      "cosine", ascending = false)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cosine"))
+  }
+
+  /** Deterministic IVF coarse quantizer as a (list_id, centroid) frame.
+    * Trains on a bounded, deterministic sample — never the full 100 TB
+    * corpus (TakeOrdered keeps the fetch O(sample)). The fit runs
+    * driver-side: the sample is already collected, and Lloyd's over
+    * 10k×dim×nLists is milliseconds — scheduling a distributed KMeans
+    * job for it was pure overhead (measured ~3s/run at every SF).
+    */
+  private def fitCentroids(corpus: DataFrame, nLists: Int,
+                           trainSample: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = corpus.select("vec_id", "embedding")
+      .orderBy("vec_id").limit(trainSample).collect()
+      .map(_.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray)
+    kmeansFit(sample, nLists, iters = 5).zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("list_id", "centroid")
+  }
+
+  /** Assign each row to its `n` nearest coarse centroids (broadcast
+    * centroid table; per-row rank over nLists broadcast-side rows).
+    */
+  private def nearestLists(centroids: DataFrame)(
+      df: DataFrame, idCol: String, embCol: String, n: Int): DataFrame =
+    df.crossJoin(broadcast(centroids))
+      .withColumn("cdist", dotCol(col(embCol), col("centroid")) * lit(-2.0)
+        + dotCol(col("centroid"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(idCol).orderBy(asc("cdist"), asc("list_id"))))
+      .filter(col("crank") <= n)
+      .drop("centroid", "cdist", "crank")
+
+  /** Persist the IVF index: the corpus assigned to its nearest list and
+    * written `partitionBy(list_id)` (one directory per inverted list,
+    * with norms precomputed), centroids alongside. Query-time
+    * ([[ivfTopKIndexed]]) then reads ONLY the probed lists via partition
+    * pruning — the true at-scale IVF serving shape, where a query
+    * touches nProbe/nLists of the corpus ON DISK, and the per-run
+    * corpus-wide assignment shuffle of [[ivfTopK]] is paid once at
+    * build time instead of every query batch.
+    */
+  def writeIvfIndex(corpus: DataFrame, path: String, nLists: Int = 16,
+                    trainSample: Int = 10000): Unit = {
+    val centroids = fitCentroids(corpus, nLists, trainSample)
+    nearestLists(centroids)(
+      corpus.withColumn("nrm", normCol(col("embedding"))),
+      "vec_id", "embedding", 1)
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$path/index")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** IVF top-k against a [[writeIvfIndex]] layout. Identical math to
+    * [[ivfTopK]] (same deterministic centroids → same probe sets → same
+    * candidates); the probe-list set is a bounded `<= |Q|·nProbe` driver
+    * pull that becomes a partition-pruning IN filter, so the scan reads
+    * only the probed list directories (SimilaritySpec asserts
+    * PartitionFilters and output equality with ivfTopK).
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                     queries: DataFrame, path: String, k: Int = 10,
+                     nProbe: Int = 4): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val probed = nearestLists(centroids)(
+      queries.select(col("query_id"), col("q_emb"))
+        .withColumn("qnrm", normCol(col("q_emb"))), "query_id", "q_emb", nProbe)
+    val probeLists = probed.select(col("list_id"))
+      .distinct().collect().map(_.getInt(0)) // bounded: <= |Q| * nProbe
+    val indexed = spark.read.parquet(s"$path/index")
+      .filter(col("list_id").isin(probeLists.map(Integer.valueOf): _*))
+    val cands = indexed.join(broadcast(probed), Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        dotCol(col("embedding"), col("q_emb")) / (col("nrm") * col("qnrm")))
     topKPerQuery(cands.select("query_id", "vec_id", "cosine"), k,
       "cosine", ascending = false)
       .select(col("query_id"), col("rank").cast("long").as("rank"),

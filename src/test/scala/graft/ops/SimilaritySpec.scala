@@ -70,6 +70,37 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, f"IVF recall $recall%.2f below 0.8")
   }
 
+  test("ivfTopKIndexed equals ivfTopK and prunes unprobed list partitions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(10)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val vecs = for { c <- centers.indices; m <- 0 until 30 } yield
+      ((c * 30 + m).toLong,
+        centers(c).map(v => v + 0.05f * rnd.nextGaussian().toFloat).toSeq)
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val qs = corpus.filter($"vec_id" % 30 === 0).limit(4)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    try {
+      Similarity.writeIvfIndex(corpus, dir, nLists = 8)
+      val indexed = Similarity.ivfTopKIndexed(spark, qs, dir, k = 10, nProbe = 2)
+      // same deterministic centroids -> identical output to the
+      // recompute-everything operator
+      val a = indexed.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val b = Similarity.ivfTopK(corpus, qs, k = 10, nLists = 8, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(a == b, s"indexed $a vs recomputed $b")
+      // the scan must carry a list_id partition filter (probed lists only)
+      val plan = indexed.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
+        s"expected list_id partition pruning:\n$plan")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("pqTopK recall >= 0.8 vs brute force on clustered vectors") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
