@@ -569,6 +569,14 @@ object SparkEntry {
       Similarity.bruteTopK(e.select(col("vec_id"), col("embedding")), q, 10)
         .orderBy("query_id", "rank")
     }),
+    // --- margin-based pair mining: even-id vectors play the source
+    // language, odd-id the target; integer-scaled ratio margin
+    "embed_align" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      Similarity.marginAlign(
+        e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1))
+        .orderBy("src_id", "tgt_id")
+    }),
     // The approximate ANN paths (lsh/ivf/pq) register their PLANTED
     // top-1 form for an exact oracle (the dedup_embedding pattern): the
     // corpus gains an identical copy of each query at vec_id+100000.
@@ -2431,6 +2439,50 @@ object SparkEntry {
         |)
         |SELECT query_id, "rank", vec_id AS neighbor_id
         |FROM ranked WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+    // per-cell floor(cos*1e6) before any sum (gram-matrix recipe) makes
+    // the neighborhood sums order-free BIGINTs; margin multiplied through
+    // by 2k instead of divided — no floats emitted or compared inexactly
+    "embed_align" ->
+      """WITH s AS (
+        |  SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id % 2 = 0
+        |), t AS (
+        |  SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id % 2 = 1
+        |), scored AS (
+        |  SELECT src_id, tgt_id,
+        |    CAST(floor(list_dot_product(s.e, t.e) /
+        |      (sqrt(list_dot_product(s.e, s.e)) *
+        |       sqrt(list_dot_product(t.e, t.e))) * 1000000) AS BIGINT)
+        |      AS icos
+        |  FROM s, t
+        |), fwdk AS (
+        |  SELECT src_id, tgt_id, icos FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY src_id
+        |      ORDER BY icos DESC, tgt_id) AS r FROM scored)
+        |  WHERE r <= 4
+        |), bwdk AS (
+        |  SELECT src_id, tgt_id, icos FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY tgt_id
+        |      ORDER BY icos DESC, src_id) AS r FROM scored)
+        |  WHERE r <= 4
+        |), fs AS (
+        |  SELECT src_id, CAST(sum(icos) AS BIGINT) AS fsum
+        |  FROM fwdk GROUP BY src_id
+        |), bs AS (
+        |  SELECT tgt_id, CAST(sum(icos) AS BIGINT) AS bsum
+        |  FROM bwdk GROUP BY tgt_id
+        |), cand AS (
+        |  SELECT DISTINCT src_id, tgt_id, icos FROM (
+        |    SELECT * FROM fwdk UNION ALL SELECT * FROM bwdk)
+        |)
+        |SELECT c.src_id AS src_id, c.tgt_id AS tgt_id, c.icos AS icos,
+        |  8 * c.icos - fs.fsum - bs.bsum AS margin_x2k
+        |FROM cand c
+        |JOIN fs ON c.src_id = fs.src_id
+        |JOIN bs ON c.tgt_id = bs.tgt_id
+        |WHERE 8 * c.icos - fs.fsum - bs.bsum >= 0
+        |ORDER BY src_id, tgt_id""".stripMargin,
     // planted-copy provable top-1 (see the registration comment): each
     // query's rank-1 neighbor is its identical copy at vec_id+100000
     "ann_lsh" ->

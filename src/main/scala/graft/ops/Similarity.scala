@@ -237,6 +237,59 @@ object Similarity {
         col("vec_id").as("neighbor_id"), col("cosine"))
   }
 
+  /** Margin-based pair mining between two embedding sets — the
+    * CCMatrix/LASER bitext-mining shape: a (src, tgt) pair is aligned
+    * when its similarity stands OUT against each side's neighborhood,
+    * not merely when it is high (raw cosine can't separate "translation"
+    * from "hub vector similar to everything"). Ratio margin, made
+    * engine-exact by integer scaling and multiplying through by 2k
+    * instead of dividing:
+    * `margin_x2k = 2k·icos(x,y) − Σ_{y'∈NNk(x)} icos(x,y') −
+    * Σ_{x'∈NNk(y)} icos(x',y)` with `icos = floor(cosine·1e6)`
+    * (per-cell floor before any sum — the gram-matrix recipe — so every
+    * aggregation is an order-free BIGINT sum and the DuckDB twin matches
+    * bit-for-bit).
+    *
+    * Candidates are each side's k nearest from the other set, both
+    * directions through the two-level [[topKPerQuery]] close. This exact
+    * form broadcasts `tgt` (fits the eval/benchmark-mining contract); at
+    * CCMatrix scale feed ANN candidates (lsh/ivf top-k per side) into
+    * the same margin aggregation — the scoring is candidate-set
+    * agnostic.
+    */
+  def marginAlign(src: DataFrame, tgt: DataFrame, k: Int = 4,
+                  minMarginX2k: Long = 0L): DataFrame = {
+    require(k >= 1)
+    val s = src.select(col("vec_id").as("src_id"), col("embedding").as("s_emb"),
+      normCol(col("embedding")).as("snrm"))
+    val t = tgt.select(col("vec_id").as("tgt_id"), col("embedding").as("t_emb"),
+      normCol(col("embedding")).as("tnrm"))
+    val scored = s.crossJoin(broadcast(t))
+      .select(col("src_id"), col("tgt_id"),
+        floor(dotCol(col("s_emb"), col("t_emb"))
+          / (col("snrm") * col("tnrm")) * lit(1000000.0))
+          .cast("long").as("icos"))
+    val fwd = topKPerQuery(scored.select(col("src_id").as("query_id"),
+        col("tgt_id").as("vec_id"), col("icos").cast("double").as("icos")),
+        k, "icos", ascending = false)
+      .select(col("query_id").as("src_id"), col("vec_id").as("tgt_id"),
+        col("icos").cast("long").as("icos"))
+    val bwd = topKPerQuery(scored.select(col("tgt_id").as("query_id"),
+        col("src_id").as("vec_id"), col("icos").cast("double").as("icos")),
+        k, "icos", ascending = false)
+      .select(col("vec_id").as("src_id"), col("query_id").as("tgt_id"),
+        col("icos").cast("long").as("icos"))
+    val fs = fwd.groupBy(col("src_id")).agg(sum(col("icos")).as("fsum"))
+    val bs = bwd.groupBy(col("tgt_id")).agg(sum(col("icos")).as("bsum"))
+    fwd.unionByName(bwd).dropDuplicates("src_id", "tgt_id")
+      .join(fs, Seq("src_id"))
+      .join(bs, Seq("tgt_id"))
+      .withColumn("margin_x2k",
+        lit(2L * k) * col("icos") - col("fsum") - col("bsum"))
+      .filter(col("margin_x2k") >= minMarginX2k)
+      .select(col("src_id"), col("tgt_id"), col("icos"), col("margin_x2k"))
+  }
+
   /** Deterministic driver-side Lloyd's iteration for the IVF coarse
     * quantizer: evenly-spaced initial centroids over the (ordered) sample,
     * then `iters` assign/average rounds. Empty clusters keep their previous

@@ -101,6 +101,41 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("marginAlign ranks planted translation pairs above hub similarity") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    def noisy(base: Array[Float], eps: Float) =
+      base.map(v => v + eps * rnd.nextGaussian().toFloat).toSeq
+    // 6 src docs; tgt side = true translations (src + tiny noise) for
+    // ids 0-2, plus a HUB vector (mean-ish direction, similar to
+    // everything) and two unrelated vectors
+    val bases = Array.fill(6)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val hub = Array.tabulate(32)(j => bases.map(_(j)).sum / 6f)
+    val src = bases.zipWithIndex.map { case (b, i) => (i.toLong, b.toSeq) }
+    val tgt = Seq(
+      (100L, noisy(bases(0), 0.02f)),
+      (101L, noisy(bases(1), 0.02f)),
+      (102L, noisy(bases(2), 0.02f)),
+      (103L, hub.toSeq),
+      (104L, Array.fill(32)(rnd.nextGaussian().toFloat).toSeq),
+      (105L, Array.fill(32)(rnd.nextGaussian().toFloat).toSeq))
+    val out = Similarity.marginAlign(
+      src.toSeq.toDF("vec_id", "embedding"),
+      tgt.toDF("vec_id", "embedding"),
+      k = 3, minMarginX2k = Long.MinValue).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    // each planted pair must be its src's best margin, beating any
+    // src-hub pairing
+    for ((s, t) <- Seq((0L, 100L), (1L, 101L), (2L, 102L))) {
+      val planted = out((s, t))
+      val hubMargin = out.get((s, 103L))
+      assert(hubMargin.forall(_ < planted),
+        s"src $s: planted margin $planted must beat hub ${hubMargin}")
+      val bestForSrc = out.collect { case ((`s`, tt), m) => (m, tt) }.max
+      assert(bestForSrc._2 == t, s"src $s best pair should be $t: $bestForSrc")
+    }
+  }
+
   test("pqTopK recall >= 0.8 vs brute force on clustered vectors") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
