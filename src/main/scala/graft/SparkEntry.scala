@@ -674,6 +674,11 @@ object SparkEntry {
     "pack_batches" -> ((s, dir) =>
       Sampling.lengthBatches(rd(s, dir, "documents"), 512L)
         .orderBy("shard", "batch_id")),
+    // --- content-defined chunking: hash-determined boundaries, chunk
+    // checksums stable under early insertions
+    "dedup_chunks" -> ((s, dir) =>
+      Dedup.cdcChunks(rd(s, dir, "documents"), 32)
+        .orderBy("doc_id", "chunk_idx")),
     // --- multimodal plumbing (row 24)
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.payloadMeta(rd(s, dir, "documents")).orderBy("media_id")),
@@ -2788,6 +2793,34 @@ object SparkEntry {
         |    ELSE (max_len * n_docs - batch_tokens) * 1000000
         |      // (max_len * n_docs) END AS waste_ppm
         |FROM b ORDER BY shard, batch_id""".stripMargin,
+    // the text_keyphrases generate_series ordinality pattern; boundary
+    // cuts AFTER its token, so chunk_idx counts boundaries strictly
+    // before the position (1-PRECEDING window frame)
+    "dedup_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(t))) AS p, t FROM t
+        |), tok AS (
+        |  SELECT doc_id, p - 1 AS pos, t[p] AS tok FROM p
+        |), b AS (
+        |  SELECT doc_id, pos, tok,
+        |    CASE WHEN CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 32 = 0
+        |      THEN 1 ELSE 0 END AS boundary
+        |  FROM tok
+        |), c AS (
+        |  SELECT doc_id, pos, tok,
+        |    COALESCE(sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS chunk_idx
+        |  FROM b
+        |)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(count(*) AS BIGINT) AS n_toks,
+        |  md5(string_agg(tok, ' ' ORDER BY pos)) AS checksum
+        |FROM c GROUP BY doc_id, chunk_idx
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id AS media_id, 'text/plain' AS mime,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

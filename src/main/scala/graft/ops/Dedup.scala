@@ -772,6 +772,46 @@ object Dedup {
       .withColumn("span_tokens", col("end_pos") - col("start_pos") + 1)
   }
 
+  /** Content-defined chunking — the storage-dedup primitive (LBFS/CDC
+    * family): chunk boundaries are HASH-determined, not positional, so
+    * an insertion early in a document shifts only the chunk it lands in
+    * while every later chunk keeps its identity — exactly what
+    * fixed-width segmentation ([[paragraphDedup]]'s 10-token paragraphs)
+    * cannot do, and why storage dedup and incremental-sync systems
+    * chunk this way. Token-level variant: a boundary falls AFTER token
+    * `i` when `md5int(token_i) % divisor == 0` (md5-prefix integer —
+    * engine-portable, expected chunk length = `divisor` tokens), chunk
+    * id is the running boundary count, and each chunk's identity is the
+    * md5 of its space-joined tokens. Output per (doc_id, chunk_idx):
+    * token count + checksum; feed the checksum column to [[exact]]-style
+    * rollups for cross-corpus chunk-level dedup ratios.
+    *
+    * Scale shape: per-row tokenize + posexplode, ONE doc-keyed shuffle
+    * shared by the boundary-count window and the chunk rollup (the
+    * duplicatedSpans pattern); no global state, no pair joins.
+    */
+  def cdcChunks(docs: DataFrame, divisor: Int = 32): DataFrame = {
+    require(divisor >= 2)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    docs
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      .withColumn("boundary",
+        when(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+          % divisor === 0L, 1L).otherwise(0L))
+      // chunk of token i = boundaries strictly BEFORE i (boundary cuts
+      // after its token, so the boundary token itself closes its chunk)
+      .withColumn("chunk_idx",
+        coalesce(sum(col("boundary"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_toks"),
+        md5(array_join(transform(array_sort(collect_list(
+          struct(col("pos"), col("tok")))), s => s.getField("tok")), " "))
+          .as("checksum"))
+  }
+
   /** Prefix-filtered token-set similarity self-join (AllPairs/PPJoin
     * family): EXACT jaccard >= `tau` pairs over word-token sets, with
     * candidate generation restricted to each document's PREFIX — its

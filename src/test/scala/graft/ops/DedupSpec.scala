@@ -337,4 +337,25 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Long]("precision_ppm") == 0L)
     assert(r.getAs[Long]("recall_ppm") == 0L && r.getAs[Long]("f1_ppm") == 0L)
   }
+
+  test("cdcChunks: early insertion shifts one chunk, later chunks keep identity") {
+    val text = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val docs2 = Seq((1L, text), (2L, "INSERTED " + text)).toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(docs2, divisor = 8).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("n_toks"), r.getAs[String]("checksum")))
+    val a = chunks.filter(_._1 == 1L)
+    val b = chunks.filter(_._1 == 2L)
+    // reassembly: chunk token counts cover the doc exactly
+    assert(a.map(_._3).sum == 200L)
+    assert(b.map(_._3).sum == 201L)
+    // content-defined boundaries: every chunk of doc 1 except the first
+    // (which absorbed the insertion shift) reappears verbatim in doc 2
+    val aSums = a.map(_._4).toSet
+    val bSums = b.map(_._4).toSet
+    val shared = (aSums & bSums).size
+    assert(a.length >= 5, s"divisor 8 over 200 tokens must cut chunks: ${a.length}")
+    assert(shared >= a.length - 1,
+      s"insertion must shift at most one chunk: $shared of ${a.length} shared")
+  }
 }
