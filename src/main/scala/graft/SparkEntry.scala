@@ -1240,6 +1240,18 @@ object SparkEntry {
           (col("l_partkey") + 20000000L).as("dst")).distinct()
       Graph.labelPropagation(e, rounds = 3).orderBy("id")
     }),
+    // --- deterministic random walks over the mirrored order-part graph:
+    // the DeepWalk/node2vec training-corpus generator. One walk per seed
+    // (every 100th orderkey), 4 md5-argmin steps -> unrolled-CTE oracle.
+    "graph_walks" -> ((s, dir) => {
+      val ed = rd(s, dir, "lineitem")
+        .select(col("l_orderkey").as("src"),
+          (col("l_partkey") + 20000000L).as("dst")).distinct()
+      val e = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = ed.select(col("src").as("id")).distinct()
+        .filter(col("id") % 100 === 0)
+      Graph.randomWalks(e, seeds, steps = 4).orderBy("walk_id")
+    }),
     // --- mergeable-histogram quantiles over lineitem prices: the
     // bounded-memory 100 TB alternative to exact percentile
     "value_quantile_bins" -> ((s, dir) =>
@@ -4416,6 +4428,43 @@ object SparkEntry {
     // label-propagation twin: identical synchronous rounds; the Spark
     // side's min(struct(MaxValue - n, lbl)) argmax == ORDER BY n DESC,
     // lbl ASC row_number = 1
+    // randomWalks twin: per step, row_number over the md5-prefix hash
+    // (dst tiebreak) == Spark's min(struct(hash, dst)) argmin; a LEFT
+    // JOIN's null-extension row is the only row for a sink, so rn=1
+    // freezes the walk. Each step CTE is referenced once -> inlining
+    // stays linear.
+    "graph_walks" -> {
+      val step = (prev: String, cur: String, t: Int) =>
+        s"""$cur AS (
+           |  SELECT walk_id,
+           |    CASE WHEN dst IS NULL THEN cur ELSE dst END AS cur,
+           |    CASE WHEN dst IS NULL THEN path
+           |         ELSE path || '->' || CAST(dst AS VARCHAR) END AS path
+           |  FROM (
+           |    SELECT s.walk_id, s.cur, s.path, e.dst,
+           |      row_number() OVER (PARTITION BY s.walk_id ORDER BY
+           |        CAST('0x' || substr(md5(CAST(s.walk_id AS VARCHAR) ||
+           |          ':' || '$t' || ':' || CAST(e.dst AS VARCHAR)),
+           |          1, 8) AS BIGINT), e.dst) AS rn
+           |    FROM $prev s LEFT JOIN e0 e ON e.src = s.cur
+           |  ) WHERE rn = 1
+           |)""".stripMargin
+      s"""WITH ed AS (
+         |  SELECT DISTINCT l_orderkey AS src, l_partkey + 20000000 AS dst
+         |  FROM lineitem
+         |), e0 AS (
+         |  SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed
+         |), s0 AS (
+         |  SELECT DISTINCT src AS walk_id, src AS cur,
+         |    CAST(src AS VARCHAR) AS path
+         |  FROM ed WHERE src % 100 = 0
+         |), ${step("s0", "s1", 1)},
+         |${step("s1", "s2", 2)},
+         |${step("s2", "s3", 3)},
+         |${step("s3", "s4", 4)}
+         |SELECT walk_id, cur AS end_node, path FROM s4
+         |ORDER BY walk_id""".stripMargin
+    },
     "graph_labelprop" -> {
       val round = (prev: String, cur: String) =>
         s"""$cur AS (

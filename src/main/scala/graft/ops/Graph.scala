@@ -643,4 +643,52 @@ object Graph {
       allNodes.withColumn("scc_id", lit(null).cast("long")).limit(0))
     allNodes.join(found, Seq("id"), "left")
   }
+
+  /** Deterministic random-walk corpus generation — the data-gen primitive
+    * behind DeepWalk/node2vec-style graph embeddings (walks become the
+    * "sentences" a skip-gram model trains on). One walk starts per seed;
+    * at step t the walk at node c moves to the out-neighbor d minimizing
+    * the md5-prefix hash of `walkId:t:d` — a pseudo-uniform choice that is
+    * bit-reproducible across runs, partitionings, and engines (the
+    * md5-prefix recipe), unlike RNG-seeded sampling whose result depends
+    * on task placement. A walk that reaches a node with no out-neighbors
+    * stops growing (its path freezes); mirror the edge list first for
+    * undirected walks.
+    *
+    * Scale shape per step: one state⋈edges equi-join on the current node
+    * + a partial-aggregable `min(struct(hash, dst))` argmin keyed on the
+    * walk — never a window over all candidates, never all-pairs. State is
+    * referenced once per step → steps chain lazily with linear lineage
+    * (the [[pageRank]] rule); `steps` is small and fixed, so the whole
+    * generation is one multi-stage job. Skew note: a hub node with out-
+    * degree D contributes D candidate rows per walk currently sitting on
+    * it — bounded by walks×maxdeg, the same envelope as one adjacency
+    * expansion.
+    */
+  def randomWalks(edges: DataFrame, seeds: DataFrame,
+                  steps: Int = 4): DataFrame = {
+    require(steps >= 1, "steps must be positive")
+    val e = edges.select(col("src"), col("dst"))
+    var st = seeds.select(col("id").as("walk_id"), col("id").as("cur"),
+      col("id").cast("string").as("path"))
+    var t = 1
+    while (t <= steps) {
+      val cand = st.join(e, st("cur") === e("src"), "left")
+      val h = expr(("conv(substr(md5(concat(cast(walk_id AS string), ':', " +
+        s"'$t', ':', cast(dst AS string))), 1, 8), 16, 10)"))
+        .cast("long")
+      st = cand
+        .withColumn("hh", when(col("dst").isNotNull, h))
+        .groupBy(col("walk_id"), col("cur"), col("path"))
+        .agg(min(when(col("dst").isNotNull,
+          struct(col("hh"), col("dst")))).as("pick"))
+        .select(col("walk_id"),
+          coalesce(col("pick.dst"), col("cur")).as("cur"),
+          when(col("pick.dst").isNotNull,
+            concat(col("path"), lit("->"), col("pick.dst")))
+            .otherwise(col("path")).as("path"))
+      t += 1
+    }
+    st.select(col("walk_id"), col("cur").as("end_node"), col("path"))
+  }
 }

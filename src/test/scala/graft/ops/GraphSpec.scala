@@ -13,6 +13,29 @@ class GraphSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, 2L, 0L, 2L), (2L, 1L, 1L, 2L), (3L, 0L, 2L, 2L)))
   }
 
+  test("randomWalks picks the md5-argmin neighbor and freezes at sinks") {
+    def h(w: Long, t: Int, d: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$w:$t:$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    // 1 -> {2, 3}; 2 -> {4}; 3 -> {4}; 4 is a sink
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val r = Graph.randomWalks(edges, seeds, steps = 3).collect()
+    assert(r.length == 1)
+    val first = if (h(1L, 1, 2L) <= h(1L, 1, 3L)) 2L else 3L
+    // step 2 reaches the sink 4; step 3 freezes there
+    assert(r.head.getAs[String]("path") == s"1->$first->4")
+    assert(r.head.getAs[Long]("end_node") == 4L)
+    // one walk per seed, even for isolated seeds (they never move)
+    val iso = Graph.randomWalks(edges, Seq(Tuple1(9L)).toDF("id"), 2)
+      .collect()
+    assert(iso.head.getAs[String]("path") == "9")
+  }
+
   test("pageRank matches hand-computed fixed-point rounds") {
     // graph: 1 -> 2, 1 -> 3, 2 -> 3 (outdeg 1:2, 2:1), S = 1e12
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
