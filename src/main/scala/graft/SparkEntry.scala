@@ -1087,6 +1087,13 @@ object SparkEntry {
     // --- Flesch-style readability from three exact regex counts
     "text_readability" -> ((s, dir) =>
       TextAnalysis.readability(rd(s, dir, "documents")).orderBy("doc_id")),
+    // --- T5 span-corruption pair generation: md5-deterministic masking,
+    // run-collapse to numbered sentinels, targets close with a final
+    // sentinel. One doc-keyed shuffle (windows + groupBy share the key).
+    "text_span_mask" -> ((s, dir) =>
+      TextAnalysis.spanMask(
+        rd(s, dir, "documents").select(col("doc_id"), col("text")),
+        ratePct = 15).orderBy("doc_id")),
     // --- URL hygiene end-to-end: stage deterministic messy URLs from the
     // doc table (mixed-case scheme/host, default ports, tracking params,
     // fragments, trailing slashes), canonicalize, drop two blocklisted
@@ -4011,6 +4018,55 @@ object SparkEntry {
         |    '\s', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))
         |    AS norm_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // spanMask twin: string_agg ignores NULL pieces exactly like
+    // collect_list, so the run-collapse needs no FILTER; lag/sum windows
+    // and the md5-prefix mask decision are shared recipes
+    "text_span_mask" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(t))) AS p, t FROM t
+        |), tok AS (
+        |  SELECT doc_id, p - 1 AS pos, t[p] AS tok FROM p
+        |), mm AS (
+        |  SELECT doc_id, pos, tok,
+        |    (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |      CAST(pos AS VARCHAR)), 1, 8) AS BIGINT) % 100) < 15 AS m
+        |  FROM tok
+        |), rr AS (
+        |  SELECT doc_id, pos, tok, m,
+        |    m AND NOT COALESCE(lag(m) OVER (PARTITION BY doc_id
+        |      ORDER BY pos), false) AS rs
+        |  FROM mm
+        |), kk AS (
+        |  SELECT doc_id, pos, tok, m, rs,
+        |    sum(CASE WHEN rs THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+        |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |      ROW) - 1 AS k
+        |  FROM rr
+        |), pieces AS (
+        |  SELECT doc_id, pos, m, rs,
+        |    CASE WHEN NOT m THEN tok
+        |         WHEN rs THEN '<extra_id_' || CAST(k AS VARCHAR) || '>'
+        |    END AS inp,
+        |    CASE WHEN rs THEN '<extra_id_' || CAST(k AS VARCHAR) || '> '
+        |           || tok
+        |         WHEN m THEN tok END AS tgt
+        |  FROM kk
+        |), agg AS (
+        |  SELECT doc_id,
+        |    string_agg(inp, ' ' ORDER BY pos) AS input_text,
+        |    string_agg(tgt, ' ' ORDER BY pos) AS tgt0,
+        |    CAST(sum(CASE WHEN rs THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+        |    CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+        |  FROM pieces GROUP BY doc_id
+        |)
+        |SELECT doc_id, input_text,
+        |  CASE WHEN n_spans > 0 THEN tgt0 || ' <extra_id_' ||
+        |    CAST(n_spans AS VARCHAR) || '>' ELSE '' END AS targets,
+        |  n_spans, n_masked
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // three exact regex counts; constants forced to DOUBLE (a bare
     // decimal literal parses as DECIMAL in DuckDB and rounds differently)
     "text_readability" ->

@@ -1119,4 +1119,57 @@ object TextAnalysis {
         - lit(84.6) * (sylls.cast("double") / words.cast("double")))
         .as("flesch"))
   }
+
+  /** T5-style span-corruption pair generation — the denoising-objective
+    * data-gen step: ~`ratePct`% of tokens are masked, consecutive masked
+    * runs collapse to ONE numbered sentinel in the input, and the targets
+    * sequence lists each sentinel followed by the tokens it hid, closed
+    * by a final sentinel. Mask selection is the md5-prefix hash of
+    * `doc_id:pos` — deterministic per token across runs, partitionings,
+    * and engines (RNG sampling would tie the corpus to task placement).
+    *
+    * Scale shape: posexplode → three windows and a final groupBy ALL
+    * keyed on doc_id, so the whole operator is ONE doc-keyed shuffle
+    * (Spark reuses the window's hash partitioning for the groupBy — the
+    * twap/runs plan rule); reassembly is the array_sort(collect_list
+    * (struct))+array_join recipe evaluated once per doc. collect_list
+    * skips NULL pieces, which is exactly the run-collapse: masked
+    * non-start tokens contribute no input piece.
+    */
+  def spanMask(docs: DataFrame, ratePct: Int = 15): DataFrame = {
+    require(ratePct >= 1 && ratePct <= 99, "ratePct must be in [1,99]")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val sentinel = (k: org.apache.spark.sql.Column) =>
+      concat(lit("<extra_id_"), k.cast("string"), lit(">"))
+    val pieces = docs
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      .withColumn("m",
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("pos").cast("string"))), 1, 8), 16, 10).cast("long")
+          % 100 < ratePct)
+      .withColumn("rs",
+        col("m") && !coalesce(lag(col("m"), 1).over(w), lit(false)))
+      .withColumn("k",
+        sum(when(col("rs"), 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1L)
+      .withColumn("inp",
+        when(!col("m"), col("tok")).when(col("rs"), sentinel(col("k"))))
+      .withColumn("tgt",
+        when(col("rs"), concat(sentinel(col("k")), lit(" "), col("tok")))
+          .when(col("m"), col("tok")))
+    val joined = (c: String) => array_join(transform(array_sort(
+      collect_list(when(col(c).isNotNull, struct(col("pos"), col(c))))),
+      s => s.getField(c)), " ")
+    pieces.groupBy("doc_id")
+      .agg(joined("inp").as("input_text"), joined("tgt").as("tgt0"),
+        sum(when(col("rs"), 1L).otherwise(0L)).as("n_spans"),
+        sum(when(col("m"), 1L).otherwise(0L)).as("n_masked"))
+      .select(col("doc_id"), col("input_text"),
+        when(col("n_spans") > 0,
+          concat(col("tgt0"), lit(" "), sentinel(col("n_spans"))))
+          .otherwise(lit("")).as("targets"),
+        col("n_spans"), col("n_masked"))
+  }
 }

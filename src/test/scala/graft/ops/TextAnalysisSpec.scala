@@ -11,6 +11,50 @@ class TextAnalysisSpec extends SparkSpec {
     (2L, "spark shuffles partitions 42 times; always!")
   ).toDF("doc_id", "text")
 
+  test("spanMask collapses masked runs to numbered sentinels with a closing target sentinel") {
+    def masked(doc: Long, pos: Int, rate: Int): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$doc:$pos".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 100 < rate
+    }
+    // rate=50 so the tiny doc reliably gets at least one masked run
+    val rate = 50
+    val d = Seq((7L, "a b c d e f g h")).toDF("doc_id", "text")
+    val r = TextAnalysis.spanMask(d, ratePct = rate).collect().head
+    val toks = "a b c d e f g h".split(" ")
+    val flags = toks.indices.map(i => masked(7L, i, rate))
+    // reference simulation of the collapse
+    var k = -1
+    val inp = new StringBuilder; val tgt = new StringBuilder
+    toks.indices.foreach { i =>
+      val rs = flags(i) && (i == 0 || !flags(i - 1))
+      if (rs) { k += 1
+        if (inp.nonEmpty) inp += ' '
+        inp ++= s"<extra_id_$k>"
+        if (tgt.nonEmpty) tgt += ' '
+        tgt ++= s"<extra_id_$k> ${toks(i)}"
+      } else if (flags(i)) { tgt += ' '; tgt ++= toks(i) }
+      else { if (inp.nonEmpty) inp += ' '; inp ++= toks(i) }
+    }
+    val nSpans = k + 1
+    assert(nSpans > 0, "fixture must mask at least one run")
+    assert(r.getAs[String]("input_text") == inp.toString)
+    assert(r.getAs[String]("targets") ==
+      s"${tgt.toString} <extra_id_$nSpans>")
+    assert(r.getAs[Long]("n_spans") == nSpans)
+    assert(r.getAs[Long]("n_masked") == flags.count(identity))
+    // an unmasked doc round-trips verbatim with empty targets
+    val quiet = Seq((3L, "alpha beta")).toDF("doc_id", "text")
+    val allFlags = (0 to 1).map(i => masked(3L, i, 1))
+    if (!allFlags.exists(identity)) {
+      val q = TextAnalysis.spanMask(quiet, ratePct = 1).collect().head
+      assert(q.getAs[String]("input_text") == "alpha beta")
+      assert(q.getAs[String]("targets") == "")
+      assert(q.getAs[Long]("n_spans") == 0L)
+    }
+  }
+
   test("ngramFreq counts document frequency of bigrams with set semantics") {
     val rows = TextAnalysis.ngramFreq(docs, n = 2, topK = 100).collect()
     val byGram = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
