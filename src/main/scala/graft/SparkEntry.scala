@@ -1064,6 +1064,11 @@ object SparkEntry {
     "text_bigram_lm" -> ((s, dir) =>
       TextAnalysis.bigramLm(rd(s, dir, "documents"), 5)
         .orderBy("w1", "rank")),
+    // --- Kneser-Ney smoothed bigram LM: integer-exact scaled rational
+    // (one final double division), top-5 continuations per context
+    "text_kneser_ney" -> ((s, dir) =>
+      TextAnalysis.kneserNey(rd(s, dir, "documents"), 5)
+        .orderBy("w1", "rank")),
     // --- feature-hashing vectorizer: md5 buckets are engine-portable
     "text_hashtf" -> ((s, dir) =>
       TextAnalysis.hashTf(rd(s, dir, "documents"), 64)
@@ -3973,6 +3978,41 @@ object SparkEntry {
         |  CAST(score_scaled AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
         |    / CAST('1e6' AS DOUBLE) AS score
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // kneserNey twin: same scaled-rational BIGINT arithmetic; the only
+    // float is the final p_num/p_den division (IEEE-identical)
+    "text_kneser_ney" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), bg AS (
+        |  SELECT unnest(generate_series(1, len(t) - 1)) AS i, t
+        |  FROM toks WHERE len(t) >= 2
+        |), c AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM bg GROUP BY 1, 2
+        |), nr AS (
+        |  SELECT w2, CAST(count(*) AS BIGINT) AS n1r FROM c GROUP BY w2
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS tt FROM c
+        |), st AS (
+        |  SELECT c.w1, c.w2, c.c12, nr.n1r, tot.tt,
+        |    CAST(sum(c.c12) OVER (PARTITION BY c.w1) AS BIGINT) AS c1,
+        |    CAST(count(*) OVER (PARTITION BY c.w1) AS BIGINT) AS n1l
+        |  FROM c JOIN nr USING (w2), tot
+        |), sc AS (
+        |  SELECT w1, w2, c12, n1l, n1r,
+        |    greatest(CAST(0 AS BIGINT), c12 * 4 - 3) * tt
+        |      + 3 * n1l * n1r AS p_num,
+        |    4 * c1 * tt AS p_den
+        |  FROM st
+        |), r AS (
+        |  SELECT sc.*, row_number() OVER (PARTITION BY w1
+        |    ORDER BY p_num DESC, w2) AS rank
+        |  FROM sc
+        |)
+        |SELECT w1, CAST(rank AS BIGINT) AS rank, w2, c12, n1l, n1r,
+        |  p_num, p_den,
+        |  CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE) AS p_kn
+        |FROM r WHERE rank <= 5 ORDER BY w1, rank""".stripMargin,
     "text_bigram_lm" ->
       """WITH toks AS (
         |  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents

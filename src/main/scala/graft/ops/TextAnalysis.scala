@@ -672,6 +672,57 @@ object TextAnalysis {
         (col("c12").cast("double") / col("c1").cast("double")).as("p"))
   }
 
+  /** Interpolated Kneser–Ney smoothed bigram LM — the n-gram smoothing
+    * that actually works for language data ([[bigramLm]]'s MLE gives
+    * unseen continuations zero mass; KN discounts every observed bigram
+    * by d=3/4 and redistributes to a CONTINUATION prior — "how many
+    * contexts does w2 complete?" — the reason 'Francisco' scores low
+    * despite high frequency). With T = bigram types, n1l(w1) = distinct
+    * continuations of w1, n1r(w2) = distinct left contexts of w2:
+    *
+    *   P_KN(w2|w1) = max(c12 − 3/4, 0)/c1 + (3/4)·n1l(w1)/c1 · n1r(w2)/T
+    *
+    * Engine-exact via one common denominator: p_num = max(4·c12−3,0)·T +
+    * 3·n1l·n1r over p_den = 4·c1·T, all BIGINT, ONE final double
+    * division. (At petabyte counts p_num approaches Long range — swap the
+    * scaled pair to DECIMAL(38,0) there; the sf ladder stays exact.)
+    *
+    * Scale shape: one (w1,w2) partial-agg shuffle builds the type table;
+    * c1/n1l ride a w1 window that the top-k rank window REUSES (one
+    * exchange, the twap key-reuse rule); n1r is a w2-keyed groupBy joined
+    * back; T broadcasts as a one-row total. Output bounded to topK rows
+    * per context — vocabulary-sized, never corpus-sized.
+    */
+  def kneserNey(docs: DataFrame, topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), tokensCol(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bigrams = toks
+      .select(col("t"), posexplode(col("t")).as(Seq("p", "w1")))
+      .filter(col("p") < size(col("t")) - 1)
+      .select(col("w1"), element_at(col("t"), col("p") + 2).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val n1r = bigrams.groupBy(col("w2")).agg(count(lit(1)).as("n1r"))
+    val total = bigrams.select(count(lit(1)).as("tt"))
+    val w = Window.partitionBy("w1")
+    val rk = Window.partitionBy("w1").orderBy(desc("p_num"), col("w2"))
+    bigrams
+      .join(n1r, "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("c1", sum(col("c12")).over(w))
+      .withColumn("n1l", count(lit(1)).over(w))
+      .withColumn("p_num",
+        greatest(lit(0L), col("c12") * 4L - 3L) * col("tt")
+          + lit(3L) * col("n1l") * col("n1r"))
+      .withColumn("p_den", lit(4L) * col("c1") * col("tt"))
+      .withColumn("rank", row_number().over(rk))
+      .filter(col("rank") <= topK)
+      .select(col("w1"), col("rank").cast("long").as("rank"), col("w2"),
+        col("c12"), col("n1l"), col("n1r"), col("p_num"), col("p_den"),
+        (col("p_num").cast("double") / col("p_den").cast("double"))
+          .as("p_kn"))
+  }
+
   /** Distributed BPE tokenizer training: learn the top `merges` byte-pair
     * merges from corpus word frequencies — the tokenizer-fitting step of
     * a training-data pipeline. Classic BPE with deterministic tie-break

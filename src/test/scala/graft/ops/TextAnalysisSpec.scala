@@ -11,6 +11,23 @@ class TextAnalysisSpec extends SparkSpec {
     (2L, "spark shuffles partitions 42 times; always!")
   ).toDF("doc_id", "text")
 
+  test("kneserNey matches hand-computed discounted + continuation mass") {
+    // corpus "a b a c": bigrams (a,b):1 (b,a):1 (a,c):1 -> T=3
+    // c1(a)=2 n1l(a)=2; n1r(a)=n1r(b)=n1r(c)=1
+    // P(b|a) = max(4*1-3,0)*3 + 3*2*1 = 9 over 4*2*3 = 24
+    val d = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val rows = TextAnalysis.kneserNey(d, topK = 5).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) ->
+        (r.getAs[Long]("p_num"), r.getAs[Long]("p_den"))).toMap
+    assert(rows(("a", "b")) == (9L, 24L))
+    assert(rows(("a", "c")) == (9L, 24L))
+    // P(a|b) = max(4-3,0)*3 + 3*1*1 = 6 over 4*1*3 = 12
+    assert(rows(("b", "a")) == (6L, 12L))
+    // discounted mass within a context stays below 1; the discount
+    // bought mass for unseen continuations
+    assert(9.0 / 24 + 9.0 / 24 < 1.0)
+  }
+
   test("spanMask collapses masked runs to numbered sentinels with a closing target sentinel") {
     def masked(doc: Long, pos: Int, rate: Int): Boolean = {
       val md = java.security.MessageDigest.getInstance("MD5")
