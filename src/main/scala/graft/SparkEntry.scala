@@ -1163,6 +1163,22 @@ object SparkEntry {
         .filter(col("user_id") % 9 === 0)
       Privacy.purgeAudit(ev, del).orderBy("event_type")
     }),
+    // --- k-anonymity / l-diversity release audit over customer quasi-
+    // identifiers (nation, segment, 2000-wide balance band); sensitive =
+    // a staged md5-digit attribute (the table ships no sensitive column;
+    // the digit is deterministic in both engines). Class-space output,
+    // one partial-agg shuffle.
+    "privacy_kanon" -> ((s, dir) => {
+      val c = rd(s, dir, "customer").select(
+        col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / lit(2000.0)).cast("long").as("bal_band"),
+        (conv(substring(md5(col("c_custkey").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 5).as("sens"))
+      Privacy.kAnonymityAudit(c, Seq("nation", "segment", "bal_band"),
+        "sens", k = 5, l = 2)
+        .orderBy("nation", "segment", "bal_band")
+    }),
     // --- salted md5-prefix pseudonymization; output keyed on the
     // pseudonym only (the point), counts + checksum prove the mapping
     "privacy_pseudo" -> ((s, dir) => {
@@ -1218,6 +1234,21 @@ object SparkEntry {
     "shard_manifest" -> ((s, dir) =>
       graft.sources.Shards.manifest(rd(s, dir, "documents"),
         "doc_id", "text", 16).orderBy("shard")),
+    // --- incremental shard export: docs with doc_id%3==0 arrive AFTER
+    // the initial export; the delta anti-joins the exported keys and the
+    // stored manifest merges with the delta manifest by shard-keyed sum.
+    // Oracle = the FULL-corpus manifest: additivity is the property
+    // under test (merged == recomputed-from-scratch, byte for byte).
+    "shard_incremental" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val exported = docs.filter(col("doc_id") % 3 =!= 0)
+      val stored = graft.sources.Shards.manifest(exported, "doc_id", "text", 16)
+      val dl = graft.sources.Shards.delta(docs, "doc_id",
+        exported.select(col("doc_id")))
+      graft.sources.Shards.mergeManifests(stored,
+        graft.sources.Shards.manifest(dl, "doc_id", "text", 16))
+        .orderBy("shard")
+    }),
     // --- the WHOLE training-data pipeline as one verified composition:
     // quality gate -> exact dedup -> benchmark decontamination -> train
     // split -> shard manifest. Every stage is an already-oracled operator;
@@ -4427,6 +4458,36 @@ object SparkEntry {
         |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
         |    AS BIGINT) AS checksum
         |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
+    // mergeManifests twin: additivity means the merged manifest IS the
+    // full-corpus manifest — the oracle recomputes from scratch
+    "shard_incremental" ->
+      """WITH a AS (
+        |  SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |    AS BIGINT) % 16 AS shard, text
+        |  FROM documents
+        |)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_bytes,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
+        |    AS BIGINT) AS checksum
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
+    "privacy_kanon" ->
+      """WITH c AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |    c_mktsegment AS segment,
+        |    CAST(floor(c_acctbal / CAST('2000' AS DOUBLE)) AS BIGINT)
+        |      AS bal_band,
+        |    CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)
+        |      AS BIGINT) % 5 AS sens
+        |  FROM customer
+        |)
+        |SELECT nation, segment, bal_band,
+        |  CAST(count(*) AS BIGINT) AS class_size,
+        |  CAST(count(DISTINCT sens) AS BIGINT) AS l_diversity,
+        |  count(*) < 5 AS violates_k,
+        |  count(DISTINCT sens) < 2 AS violates_l
+        |FROM c GROUP BY nation, segment, bal_band
+        |ORDER BY nation, segment, bal_band""".stripMargin,
     "shard_manifest" ->
       """WITH a AS (
         |  SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)

@@ -56,4 +56,29 @@ object Privacy {
       expr(s"CAST(conv(substring(md5(concat('$salt', ':', " +
         "CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
       .drop("user_id")
+
+  /** k-anonymity / l-diversity audit over quasi-identifier columns — the
+    * re-identification check a release gate runs before data leaves the
+    * lake: every equivalence class (unique QID combination) must contain
+    * at least `k` rows (else its members are linkable from public
+    * attributes alone) AND at least `l` distinct values of the sensitive
+    * column (else the class leaks the sensitive value even at size ≥ k —
+    * the homogeneity attack k-anonymity misses).
+    *
+    * Output is one row per equivalence class with its size, sensitive
+    * diversity, and both violation flags — class-space-sized, never
+    * corpus-sized. ONE partial-aggregated shuffle on the QID key
+    * (count-distinct expands to a two-phase partial agg, same key);
+    * generalize QIDs (band, truncate) upstream and re-run to find the
+    * coarsening that clears the gate.
+    */
+  def kAnonymityAudit(df: DataFrame, qidCols: Seq[String],
+                      sensitiveCol: String, k: Int, l: Int): DataFrame = {
+    require(qidCols.nonEmpty && k >= 1 && l >= 1)
+    df.groupBy(qidCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("l_diversity"))
+      .withColumn("violates_k", col("class_size") < k)
+      .withColumn("violates_l", col("l_diversity") < l)
+  }
 }

@@ -60,6 +60,30 @@ object Shards {
     m
   }
 
+  /** Rows of `corpus` not yet exported — a keyed LEFT ANTI join against
+    * the exported-key set. Content-stable assignment makes incremental
+    * export exactly this: new rows land in their md5-determined shard
+    * and nothing already written ever moves. Bucket both sides on the
+    * key for the shuffle-free variant (the
+    * [[graft.ops.Dedup.incrementalExactIndexed]] pattern).
+    */
+  def delta(corpus: DataFrame, keyCol: String,
+            exportedKeys: DataFrame): DataFrame =
+    corpus.join(exportedKeys.select(col(keyCol)).distinct(),
+      Seq(keyCol), "left_anti")
+
+  /** Merge manifests by shard — row counts, byte totals, and the
+    * order-free md5-prefix checksum are all ADDITIVE, so the manifest of
+    * (old export + delta) is a shard-keyed sum of the two manifests:
+    * the corpus is never re-read to refresh its manifest. Shard-count
+    * sized input, one tiny keyed agg.
+    */
+  def mergeManifests(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("shard")
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("n_bytes")).as("n_bytes"),
+        sum(col("checksum")).as("checksum"))
+
   /** Re-derive the manifest from a written export and compare with the
     * stored one: empty result = intact; otherwise one row per damaged
     * shard. The integrity check a training job runs before trusting a

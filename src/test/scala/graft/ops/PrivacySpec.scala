@@ -1,0 +1,40 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, expr}
+
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kAnonymityAudit flags small classes and homogeneous classes") {
+    // class (1,"A"): 3 rows, 2 sensitive values -> k-violation at k=3? no
+    //   (size 3 >= 3) but l ok; class (1,"B"): 2 rows -> k-violation;
+    // class (2,"A"): 3 rows all sensitive=9 -> l-violation only
+    val rows = Seq(
+      (1L, "A", 1L), (1L, "A", 1L), (1L, "A", 2L),
+      (1L, "B", 1L), (1L, "B", 2L),
+      (2L, "A", 9L), (2L, "A", 9L), (2L, "A", 9L)
+    ).toDF("q1", "q2", "sens")
+    val audit = Privacy.kAnonymityAudit(rows, Seq("q1", "q2"), "sens",
+      k = 3, l = 2).collect()
+      .map(r => (r.getAs[Long]("q1"), r.getAs[String]("q2")) ->
+        (r.getAs[Long]("class_size"), r.getAs[Long]("l_diversity"),
+          r.getAs[Boolean]("violates_k"), r.getAs[Boolean]("violates_l")))
+      .toMap
+    assert(audit((1L, "A")) == (3L, 2L, false, false))
+    assert(audit((1L, "B")) == (2L, 2L, true, false))
+    assert(audit((2L, "A")) == (3L, 1L, false, true))
+  }
+
+  test("kAnonymityAudit: generalizing a QID clears violations") {
+    // two singleton bands violate k=2; coarsening the band merges them
+    val rows = Seq((10L, 1L), (11L, 2L)).toDF("band", "sens")
+    val fine = Privacy.kAnonymityAudit(rows, Seq("band"), "sens", 2, 1)
+      .collect()
+    assert(fine.forall(_.getAs[Boolean]("violates_k")))
+    val coarse = Privacy.kAnonymityAudit(
+      rows.withColumn("band", expr("band div 10")),
+      Seq("band"), "sens", 2, 1).collect()
+    assert(coarse.length == 1 && !coarse.head.getAs[Boolean]("violates_k"))
+  }
+}

@@ -41,6 +41,24 @@ class ShardsSpec extends SparkSpec {
     assert(bad.head.isNullAt(bad.head.fieldIndex("actual_rows")))
   }
 
+  test("delta finds only unexported keys; merged manifest == full recompute") {
+    val first = docs.filter(col("doc_id") % 3 =!= 0)
+    val d = Shards.delta(docs, "doc_id", first.select(col("doc_id")))
+    assert(d.collect().map(_.getAs[Long]("doc_id")).forall(_ % 3 == 0))
+    assert(d.count() == docs.filter(col("doc_id") % 3 === 0).count())
+    val merged = Shards.mergeManifests(
+      Shards.manifest(first, "doc_id", "text", 8),
+      Shards.manifest(d, "doc_id", "text", 8))
+      .collect().map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_bytes"),
+          r.getAs[Long]("checksum"))).toMap
+    val full = Shards.manifest(docs, "doc_id", "text", 8)
+      .collect().map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_bytes"),
+          r.getAs[Long]("checksum"))).toMap
+    assert(merged == full)
+  }
+
   test("assignment is growth-stable: adding rows never moves old rows") {
     val half = docs.filter(col("doc_id") < 75)
     val a1 = Shards.assign(half, "doc_id", 8).collect()
