@@ -1229,6 +1229,39 @@ object SparkEntry {
       val lm = TextAnalysis.bigramLm(docs.filter(col("source") === "src0"), 5)
       TextAnalysis.scoreBigramLm(docs, lm).orderBy("doc_id")
     }),
+    // --- out-of-order arrival profile: how far the per-user event-time
+    // high-water mark had passed each event, bucketed by power-of-two
+    // milliseconds — the watermark-choice table. The generator emits
+    // events already time-ordered by event_id, so the staged arrival
+    // order is an md5 permutation of the id (deterministic in both
+    // engines) — the shuffled-ingest shape the profile exists for.
+    "events_lateness" -> ((s, dir) => {
+      // unique arrival key: 32-bit md5 prefix above the original id
+      // (ids stay < 2^24 at every sf) — hash ties can't make the
+      // running-max frame order ambiguous
+      val ev = rdEvents(s, dir).select(
+        (conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") * 16777216L + col("event_id")).as("event_id"),
+        col("user_id"), col("event_type"), col("ts"))
+      Events.latenessProfile(ev).orderBy("event_type", "late_bucket")
+    }),
+    // --- zone-map pruning audit: the same column under a hash layout vs
+    // a range layout; parts_scanned per probe quantifies what the
+    // range/z rewrite buys before paying for it
+    "zonemap_audit" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem").select(col("l_orderkey"))
+      val probes = li.filter(col("l_orderkey") % 6000 === 0)
+        .select(col("l_orderkey").as("probe")).distinct()
+      val hash = li.withColumn("part",
+        conv(substring(md5(col("l_orderkey").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 32)
+      val range = li.withColumn("part", expr("l_orderkey div 2000"))
+      ZOrder.zoneMapAudit(hash, "part", "l_orderkey", probes)
+        .withColumn("layout", lit("hash"))
+        .unionByName(ZOrder.zoneMapAudit(range, "part", "l_orderkey", probes)
+          .withColumn("layout", lit("range")))
+        .orderBy("layout", "probe")
+    }),
     // --- training-shard manifest: stable md5 assignment + order-free
     // integer checksums per shard
     "shard_manifest" -> ((s, dir) =>
@@ -4458,6 +4491,63 @@ object SparkEntry {
         |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
         |    AS BIGINT) AS checksum
         |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
+    // latenessProfile twin: events at MICROsecond precision, so the
+    // nanos-side `div 1000000` becomes `// 1000` (Δns = Δus·1000 —
+    // identical truncation); bit-length via the portable
+    // length(ltrim(bin(x),'0')) with zero falling out as bucket 0
+    "events_lateness" ->
+      """WITH ev AS (
+        |  SELECT CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) * 16777216 + event_id AS event_id,
+        |    user_id, event_type, epoch_us(ts) AS us
+        |  FROM events
+        |), hw AS (
+        |  SELECT event_type,
+        |    greatest(CAST(0 AS BIGINT),
+        |      (COALESCE(max(us) OVER (PARTITION BY user_id ORDER BY
+        |        event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+        |        PRECEDING), us) - us) // 1000) AS late_ms
+        |  FROM ev
+        |), b AS (
+        |  SELECT event_type,
+        |    CAST(length(ltrim(bin(late_ms), '0')) AS BIGINT) AS late_bucket,
+        |    late_ms
+        |  FROM hw
+        |)
+        |SELECT event_type, late_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(late_ms) AS BIGINT) AS max_late_ms
+        |FROM b GROUP BY event_type, late_bucket
+        |ORDER BY event_type, late_bucket""".stripMargin,
+    // zoneMapAudit twin: zone maps + probe membership counts per layout
+    "zonemap_audit" ->
+      """WITH probes AS (
+        |  SELECT DISTINCT l_orderkey AS probe FROM lineitem
+        |  WHERE l_orderkey % 6000 = 0
+        |), hz AS (
+        |  SELECT CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
+        |      1, 8) AS BIGINT) % 32 AS part,
+        |    min(l_orderkey) AS zmin, max(l_orderkey) AS zmax
+        |  FROM lineitem GROUP BY 1
+        |), rz AS (
+        |  SELECT l_orderkey // 2000 AS part,
+        |    min(l_orderkey) AS zmin, max(l_orderkey) AS zmax
+        |  FROM lineitem GROUP BY 1
+        |), audits AS (
+        |  SELECT 'hash' AS layout, probe,
+        |    CAST(sum(CASE WHEN probe >= zmin AND probe <= zmax
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS parts_scanned,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM hz) AS parts_total
+        |  FROM probes, hz GROUP BY probe
+        |  UNION ALL
+        |  SELECT 'range' AS layout, probe,
+        |    CAST(sum(CASE WHEN probe >= zmin AND probe <= zmax
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS parts_scanned,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM rz) AS parts_total
+        |  FROM probes, rz GROUP BY probe
+        |)
+        |SELECT layout, probe, parts_scanned, parts_total FROM audits
+        |ORDER BY layout, probe""".stripMargin,
     // mergeManifests twin: additivity means the merged manifest IS the
     // full-corpus manifest — the oracle recomputes from scratch
     "shard_incremental" ->

@@ -919,4 +919,34 @@ object Events {
       .select(col("event_id"), col("event_type"), col("v100"),
         col("med2"), col("dev2"), col("mad4"))
   }
+
+  /** Out-of-order-arrival profile — the evidence a streaming watermark
+    * choice should rest on: per event, lateness = how far the stream's
+    * high-water mark (max event time among EARLIER ARRIVALS, here the
+    * `event_id` ingest order, per key) had already passed this event's
+    * own time. Rolled up into power-of-two millisecond buckets
+    * (`bit_length(ms)` via the portable `length(ltrim(bin(x),'0'))` —
+    * zero falls out as bucket 0, the in-order class), the table answers
+    * "a watermark of 2^b ms would have admitted all but these rows"
+    * without any non-portable percentile.
+    *
+    * Scale shape: one user-keyed window (running max over arrival
+    * order), then one partial-agg shuffle on the bounded
+    * (event_type, bucket) key. `ts` is nanosecond longs ([[graft]]
+    * events convention).
+    */
+  def latenessProfile(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("hwm", max(col("ts")).over(w))
+      .withColumn("late_ms", greatest(lit(0L),
+        expr("(coalesce(hwm, ts) - ts) div 1000000")))
+      .withColumn("late_bucket",
+        length(ltrim(expr("bin(late_ms)"), "0")).cast("long"))
+      .groupBy(col("event_type"), col("late_bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("late_ms")).as("max_late_ms"))
+  }
 }

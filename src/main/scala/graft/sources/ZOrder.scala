@@ -51,4 +51,33 @@ object ZOrder {
       .repartitionByRange(numPartitions, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
+
+  /** Zone-map pruning audit — measures what a LAYOUT is worth before
+    * paying for the rewrite: given rows already assigned a partition id,
+    * build the per-partition (min, max) zone map of `valCol` and count,
+    * for each probe value, how many partitions a point lookup MUST read
+    * (min ≤ v ≤ max). `parts_scanned / parts_total` is the skipping
+    * ratio parquet row-group stats would deliver; a hash layout scans
+    * ~everything, a range/z layout scans ~1 — run the audit on both
+    * and the difference is the rewrite's justification.
+    *
+    * Scale shape: the zone map is ONE partial-agg shuffle on the
+    * partition id (output = #partitions rows); probes×zonemap is a
+    * broadcast nested-loop over two BOUNDED sides (probes are a
+    * handful, the zone map is layout-sized) — the corpus itself is
+    * read exactly once.
+    */
+  def zoneMapAudit(df: DataFrame, partCol: String, valCol: String,
+                   probes: DataFrame): DataFrame = {
+    val zm = df.groupBy(col(partCol).as("part"))
+      .agg(min(col(valCol)).as("zmin"), max(col(valCol)).as("zmax"))
+    val total = zm.select(count(lit(1)).as("parts_total"))
+    probes.crossJoin(broadcast(zm))
+      .withColumn("hit",
+        (col("probe") >= col("zmin") && col("probe") <= col("zmax"))
+          .cast("long"))
+      .groupBy(col("probe"))
+      .agg(sum(col("hit")).as("parts_scanned"))
+      .crossJoin(broadcast(total))
+  }
 }

@@ -44,6 +44,9 @@ class QueryPlanSpec extends SparkSpec {
       "events_covisit", // one-row session total onto type² pair rows
       "embed_truncation", // one-row total energy onto |dims| rows
       "dq_orphans",    // two one-row audit aggregates crossed together
+      "text_kneser_ney", // one-row bigram-type total onto the type table
+      "zonemap_audit", // bounded probes × layout-sized zone map (the
+                       // corpus itself is scanned once, joins never)
       "graph_hits") // L1 normalization divides by a ONE-ROW integer total
                     // each half-round — the same single-row broadcast
 

@@ -9,6 +9,21 @@ class EventsSpec extends SparkSpec {
 
   private def ts(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
 
+  test("latenessProfile measures high-water-mark lateness in pow2 buckets") {
+    // user 1 arrival order (event_id): ts 5ms, then 2ms (3ms late ->
+    // bucket bit_length(3)=2), then 7ms (on time -> bucket 0)
+    val ev = Seq(
+      (1L, 1L, "click", 5000000L),
+      (2L, 1L, "click", 2000000L),
+      (3L, 1L, "click", 7000000L)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val r = Events.latenessProfile(ev).collect()
+      .map(x => x.getAs[Long]("late_bucket") ->
+        (x.getAs[Long]("n_events"), x.getAs[Long]("max_late_ms"))).toMap
+    assert(r(0L) == (2L, 0L)) // first arrival + the in-order one
+    assert(r(2L) == (1L, 3L)) // 3ms late -> bucket 2
+  }
+
   test("hourlyRollup handles timestamp columns") {
     val df = Seq(
       (1L, ts(10, 5), 1L, "click", 1.5),

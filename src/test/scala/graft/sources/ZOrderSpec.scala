@@ -44,4 +44,21 @@ class ZOrderSpec extends SparkSpec {
     assert(avgX <= 16.0, s"x span $avgX")
     assert(avgY <= 16.0, s"y span $avgY")
   }
+
+  test("zoneMapAudit: range layout prunes to one partition, modulo layout to all") {
+    val rows = (0L until 100L).toDF("v")
+    val probes = Seq(5L, 55L).toDF("probe")
+    def scans(df: org.apache.spark.sql.DataFrame) =
+      ZOrder.zoneMapAudit(df, "part", "v", probes).collect()
+        .map(r => r.getAs[Long]("probe") ->
+          (r.getAs[Long]("parts_scanned"), r.getAs[Long]("parts_total")))
+        .toMap
+    // modulo layout: partition p spans [p, 90+p] — probe 5 overlaps the
+    // six partitions with zmin <= 5, probe 55 overlaps all ten
+    val mod = scans(rows.withColumn("part", col("v") % 10))
+    assert(mod(5L) == (6L, 10L) && mod(55L) == (10L, 10L))
+    // range layout: exactly one partition covers each probe
+    val rng = scans(rows.withColumn("part", expr("v div 10")))
+    assert(rng(5L) == (1L, 10L) && rng(55L) == (1L, 10L))
+  }
 }
