@@ -1403,7 +1403,22 @@ object SparkEntry {
         sum(coalesce(col("is_true"), lit(0L))).as("n_true_pass"))
       probeKeys.agg(count(lit(1)).as("n_keys")).crossJoin(stats)
         .withColumn("n_false_pos", col("n_pass") - col("n_true_pass"))
-    })
+    }),
+    // --- burst-compression debounce: rapid-fire same-(user, type) chains
+    // collapse to a leader event + size/span; window and rollup share one
+    // (user, type) shuffle
+    "events_debounce" -> ((s, dir) =>
+      Events.debounceBursts(rdEvents(s, dir), 300L)
+        .orderBy("user_id", "event_type", "burst_idx")),
+    // --- session journey mining: top-20 session-opening paths (first 5
+    // event types per session in pinned arrival order)
+    "events_paths" -> ((s, dir) =>
+      Events.sessionPaths(rdEvents(s, dir)).orderBy("rank")),
+    // --- corpus concentration card: exact Gini + top-category share
+    // (integer ppm) over the source and lang mixture dimensions
+    "source_gini" -> ((s, dir) =>
+      Analytics.concentration(rd(s, dir, "documents"), Seq("source", "lang"))
+        .orderBy("dim"))
   )
 
   /** Shared BPE oracle fragments: the symbol init and one unrolled
@@ -5001,6 +5016,89 @@ object SparkEntry {
         |)
         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM keys) AS n_keys,
         |  n_pass, n_true_pass, n_pass - n_true_pass AS n_false_pos
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+    // debounceBursts twin: lag-gap burst boundaries per (user, type), the
+    // single new-burst row supplies the leader id as a conditional min
+    "events_debounce" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS secs FROM events
+        |), l AS (
+        |  SELECT *, lag(secs) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY secs, event_id) AS prev FROM e
+        |), s AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR secs - prev > 300
+        |    THEN 1 ELSE 0 END AS nb FROM l
+        |), t AS (
+        |  SELECT *, CAST(sum(nb) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY secs, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS burst_idx
+        |  FROM s
+        |)
+        |SELECT user_id, event_type, burst_idx,
+        |  min(CASE WHEN nb = 1 THEN event_id END) AS leader_event_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  max(secs) - min(secs) AS span_secs
+        |FROM t GROUP BY 1, 2, 3
+        |ORDER BY user_id, event_type, burst_idx""".stripMargin,
+    // sessionPaths twin: the sessions CTE chain, then an ordered list()
+    // slice mirrors array_sort+slice+transform, rank pinned on
+    // (n_sessions DESC, path)
+    "events_paths" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS secs FROM events
+        |), l AS (
+        |  SELECT *, lag(secs) OVER (PARTITION BY user_id
+        |    ORDER BY secs, event_id) AS prev FROM e
+        |), s AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR secs - prev > 1800
+        |    THEN 1 ELSE 0 END AS ns FROM l
+        |), t AS (
+        |  SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id
+        |    ORDER BY secs, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS session_idx
+        |  FROM s
+        |), p AS (
+        |  SELECT user_id, session_idx,
+        |    array_to_string((list(event_type ORDER BY secs, event_id))[1:5],
+        |      '>') AS path
+        |  FROM t GROUP BY 1, 2
+        |), c AS (
+        |  SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p
+        |  GROUP BY 1
+        |)
+        |SELECT path, n_sessions, rank FROM (
+        |  SELECT path, n_sessions, CAST(row_number() OVER (
+        |    ORDER BY n_sessions DESC, path) AS BIGINT) AS rank
+        |  FROM c
+        |) WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // concentration twin: per-dimension category counts, rank-weighted
+    // Gini numerator 2·Σ(i·x) − (n+1)·Σx, integer-ppm divisions
+    "source_gini" ->
+      """WITH d AS (
+        |  SELECT dim, cat, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT 'source' AS dim,
+        |      coalesce(CAST(source AS VARCHAR), '') AS cat FROM documents
+        |    UNION ALL
+        |    SELECT 'lang' AS dim,
+        |      coalesce(CAST(lang AS VARCHAR), '') AS cat FROM documents
+        |  ) GROUP BY 1, 2
+        |), r AS (
+        |  SELECT dim, n, CAST(row_number() OVER (PARTITION BY dim
+        |    ORDER BY n, cat) AS BIGINT) AS i
+        |  FROM d
+        |), a AS (
+        |  SELECT dim, CAST(count(*) AS BIGINT) AS n_categories,
+        |    CAST(sum(n) AS BIGINT) AS total,
+        |    CAST(sum(i * n) AS BIGINT) AS sum_in,
+        |    max(n) AS top_n
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT dim, n_categories, total,
+        |  (2 * sum_in - (n_categories + 1) * total) * 1000000
+        |    // (n_categories * total) AS gini_ppm,
+        |  top_n * 1000000 // total AS top_share_ppm
+        |FROM a ORDER BY dim""".stripMargin
   )
 }

@@ -306,4 +306,45 @@ object Analytics {
       .select(coalesce(col(a), lit("ALL")).as(a),
         coalesce(col(b), lit("ALL")).as(b),
         col("n_rows"), col("sum_v"), col("lvl"))
+
+  /** Concentration card for a categorical dimension — how unevenly the
+    * corpus is spread across its categories. One row per requested
+    * dimension with the exact Gini coefficient of the per-category row
+    * counts (sorted-rank formula: `G = Σ(2i − n − 1)·x_i / (n·Σx)` over
+    * counts ascending) and the largest category's share, both as
+    * integer ppm (numerator ×1e6 `div` denominator — order-free,
+    * engine-exact). This is the data-mixture governance number: a
+    * training corpus whose source Gini drifts toward 1 is quietly
+    * becoming one domain's corpus.
+    *
+    * The rank window runs over the CATEGORY table (one row per distinct
+    * value — dimension-vocabulary bounded, never corpus bounded), with
+    * (count, category) as the pinned total order so ties can't make
+    * ranks ambiguous. Scale shape: one partial-agg shuffle per
+    * dimension on the category key; the windowed reduction touches only
+    * the aggregated category rows.
+    */
+  def concentration(df: DataFrame, dimCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    dimCols.map { dc =>
+      // null categories fold to '' so the (n, cat) tie order is pinned
+      // identically under Spark's NULLS FIRST and DuckDB's NULLS LAST
+      val counts = df.groupBy(coalesce(col(dc).cast("string"), lit(""))
+          .as("cat"))
+        .agg(count(lit(1)).as("n"))
+      val ranked = counts.withColumn("i",
+        row_number().over(Window.orderBy("n", "cat")).cast("long"))
+      // Σ(2i−n−1)·x = 2·Σ(i·x) − (n+1)·Σx: the rank-weighted sum and the
+      // plain sum are both order-free BIGINTs, combined after the agg
+      ranked.agg(
+        count(lit(1)).as("n_categories"),
+        sum(col("n")).as("total"),
+        sum(col("i") * col("n")).as("sum_in"),
+        max(col("n")).as("top_n"))
+        .select(lit(dc).as("dim"), col("n_categories"), col("total"),
+          expr("""(2 * sum_in - (n_categories + 1) * total) * 1000000L
+                  div (n_categories * total)""").as("gini_ppm"),
+          expr("top_n * 1000000L div total").as("top_share_ppm"))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -949,4 +949,77 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
         max(col("late_ms")).as("max_late_ms"))
   }
+
+  /** Burst-compression debounce — collapse each burst of rapid-fire
+    * same-(user, type) events to one row. A burst is a maximal chain of
+    * events whose inter-arrival gap is at most `gapSeconds` (the
+    * sessionize boundary rule applied per event type): duplicate click
+    * storms, retry loops, and sensor chatter become a single leader
+    * event plus a size/span summary, which is the shape ingestion
+    * dedup wants ("keep the first, count the rest").
+    *
+    * The leader is the burst's first event in (secs, event_id) order;
+    * exactly one row per burst has `new_burst = 1`, so the leader id
+    * survives aggregation as a portable conditional `min` rather than
+    * an argmin struct. Scale shape: one window + one groupBy sharing
+    * the (user_id, event_type) hash partitioning — Spark reuses the
+    * window's exchange for the rollup, so the whole operator is a
+    * single shuffle keyed on (user, type).
+    */
+  def debounceBursts(events: DataFrame, gapSeconds: Long = 300L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("secs", "event_id")
+    events
+      .withColumn("secs", epochSeconds(events).cast("long"))
+      .withColumn("prev_secs", lag(col("secs"), 1).over(w))
+      .withColumn("new_burst",
+        when(col("prev_secs").isNull ||
+          col("secs") - col("prev_secs") > gapSeconds, 1L).otherwise(0L))
+      .withColumn("burst_idx", sum(col("new_burst")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("event_type"), col("burst_idx"))
+      .agg(
+        min(when(col("new_burst") === 1L, col("event_id"))).as("leader_event_id"),
+        count(lit(1)).as("n_events"),
+        (max(col("secs")) - min(col("secs"))).as("span_secs"))
+  }
+
+  /** Session journey mining — the top-`topK` most common session paths,
+    * where a path is the session's first `maxSteps` event types joined
+    * with `>` in (secs, event_id) arrival order. The classic product
+    * question "how do sessions start?" plus the training-data question
+    * "which interaction traces dominate the corpus?" in one rollup.
+    *
+    * Sessions use the [[sessionize]] gap rule. Per-session ordering is
+    * a lexicographic `array_sort` over (secs, event_id, event_type)
+    * structs — fully pinned, so the path string is deterministic.
+    * Scale shape: the session window and the per-session collect share
+    * the user-keyed exchange; the path rollup shuffles one bounded row
+    * per session, and the final rank window runs over the distinct-path
+    * table (event-type-vocabulary bounded, not corpus bounded).
+    */
+  def sessionPaths(events: DataFrame, gapSeconds: Long = 1800L,
+      maxSteps: Int = 5, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("secs", "event_id")
+    val rank = Window.orderBy(col("n_sessions").desc, col("path"))
+    events
+      .withColumn("secs", epochSeconds(events).cast("long"))
+      .withColumn("prev_secs", lag(col("secs"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_secs").isNull ||
+          col("secs") - col("prev_secs") > gapSeconds, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(expr(s"""array_join(transform(
+          slice(array_sort(collect_list(struct(secs, event_id, event_type))),
+                1, $maxSteps),
+          e -> e.event_type), '>')""").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .withColumn("rank", row_number().over(rank).cast("long"))
+      .filter(col("rank") <= topK)
+  }
 }

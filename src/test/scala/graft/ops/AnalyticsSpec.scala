@@ -146,4 +146,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("bin") == 0L)
     assert(out.head.getAs[Double]("est") == 7.5)
   }
+
+  test("concentration: uniform mixture has Gini 0, skew matches by hand") {
+    // uniform: 4 categories x 5 rows -> gini 0, top share 5/20
+    val uni = (0 until 20).map(i => ("c" + (i % 4))).toDF("src")
+    val u = Analytics.concentration(uni, Seq("src")).collect().head
+    assert(u.getAs[Long]("n_categories") == 4L)
+    assert(u.getAs[Long]("gini_ppm") == 0L)
+    assert(u.getAs[Long]("top_share_ppm") == 250000L)
+    // counts (1, 1, 2, 16): numerator (-3)(1)+(-1)(1)+(1)(2)+(3)(16) = 46
+    // -> 46e6 div (4*20) = 575000; top 16/20 = 800000
+    val skew = (Seq.fill(16)("big") ++ Seq("a", "b") ++ Seq.fill(2)("c"))
+      .toDF("src")
+    val s = Analytics.concentration(skew, Seq("src")).collect().head
+    assert(s.getAs[Long]("gini_ppm") == 575000L)
+    assert(s.getAs[Long]("top_share_ppm") == 800000L)
+  }
 }

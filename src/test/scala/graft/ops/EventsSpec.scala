@@ -506,4 +506,45 @@ class EventsSpec extends SparkSpec {
     val med = Events.madOutliers(ev, k = 0).collect()   // k=0: all nonzero dev
     assert(med.length == 4 && med.forall(_.getAs[Long]("med2") == 500L))
   }
+
+  test("debounceBursts collapses rapid-fire chains to leader + size/span") {
+    import spark.implicits._
+    // user 1 / type a: 0s,100s,250s chain (gaps <= 300) then 900s alone;
+    // type b and user 2 each their own burst
+    val ev = Seq(
+      (10L, 1L, "a", 0L), (11L, 1L, "a", 100L), (12L, 1L, "a", 250L),
+      (13L, 1L, "a", 900L), (20L, 1L, "b", 0L), (30L, 2L, "a", 0L))
+      .map { case (id, u, t, secs) => (id, u, t, secs * 1000000000L) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = Events.debounceBursts(ev, 300L).collect()
+      .map(x => ((x.getAs[Long]("user_id"), x.getAs[String]("event_type"),
+        x.getAs[Long]("burst_idx")),
+        (x.getAs[Long]("leader_event_id"), x.getAs[Long]("n_events"),
+          x.getAs[Long]("span_secs")))).toMap
+    assert(r.size == 4)
+    assert(r((1L, "a", 1L)) == ((10L, 3L, 250L)))
+    assert(r((1L, "a", 2L)) == ((13L, 1L, 0L)))
+    assert(r((1L, "b", 1L)) == ((20L, 1L, 0L)))
+    assert(r((2L, "a", 1L)) == ((30L, 1L, 0L)))
+  }
+
+  test("sessionPaths mines ordered opening paths with pinned tie ranks") {
+    import spark.implicits._
+    // two "a>b" sessions, one "a>b>c>d>e" truncation case (7 events, only
+    // first 5 types appear), one "b>a" (order matters)
+    val rows = Seq(
+      (1L, Seq("a", "b")), (2L, Seq("a", "b")),
+      (3L, Seq("a", "b", "c", "d", "e", "f", "g")),
+      (4L, Seq("b", "a")))
+    val ev = rows.flatMap { case (u, types) =>
+      types.zipWithIndex.map { case (t, i) =>
+        (u * 100 + i, u, t, i.toLong * 1000000000L)
+      }
+    }.toDF("event_id", "user_id", "event_type", "ts")
+    val r = Events.sessionPaths(ev, gapSeconds = 1800L, maxSteps = 5,
+      topK = 20).collect().sortBy(_.getAs[Long]("rank"))
+    assert(r.map(_.getAs[String]("path")).toSeq ==
+      Seq("a>b", "a>b>c>d>e", "b>a"))
+    assert(r.map(_.getAs[Long]("n_sessions")).toSeq == Seq(2L, 1L, 1L))
+  }
 }
