@@ -1418,8 +1418,50 @@ object SparkEntry {
     // (integer ppm) over the source and lang mixture dimensions
     "source_gini" -> ((s, dir) =>
       Analytics.concentration(rd(s, dir, "documents"), Seq("source", "lang"))
-        .orderBy("dim"))
+        .orderBy("dim")),
+    // --- code-vs-prose detection: four integer structural counts, one
+    // weighted ppm score, fixed threshold; zero shuffles
+    "text_code_detect" -> ((s, dir) =>
+      TextAnalysis.codeDetect(rd(s, dir, "documents")).orderBy("doc_id")),
+    // --- mojibake repair audit: the corpus passes through unchanged,
+    // the staged rows exercise every family of the replace chain
+    "text_mojibake" -> ((s, dir) => {
+      import s.implicits._
+      val staged = mojibakeStaged.toDF("doc_id", "text")
+      TextAnalysis.mojibakeRepair(
+        rd(s, dir, "documents").select(col("doc_id"), col("text"))
+          .unionByName(staged))
+        .orderBy("doc_id")
+    }),
+    // --- SFT chat-turn parsing: conversations constructed
+    // deterministically from the corpus (role lines + multi-line
+    // continuations from embedded newlines), parsed back into turns
+    "docs_sft_turns" -> ((s, dir) => {
+      val convs = rd(s, dir, "documents").filter(col("n_chars") >= 300)
+        .select(col("doc_id"), concat(
+          lit("system: be concise"), expr("chr(10)"),
+          lit("user: "), expr("substring(text, 1, 60)"), expr("chr(10)"),
+          lit("assistant: "), expr("substring(text, 61, 120)"),
+          expr("chr(10)"),
+          lit("user: continue"), expr("chr(10)"),
+          lit("assistant: "), expr("substring(text, 181, 80)")).as("conv"))
+      TextAnalysis.parseChatTurns(convs).orderBy("doc_id", "turn_idx")
+    })
   )
+
+  /** Staged mojibake rows shared by the `text_mojibake` query and its
+    * oracle VALUES list: one row per corruption family plus a clean
+    * control. Ids sit far above the corpus doc_id range.
+    */
+  private val mojibakeStaged: Seq[(Long, String)] = Seq(
+    (9000001L, "The cafÃ© opened â€“ " +
+      "itâ€™s niceâ€¦"),
+    (9000002L, "Â SeÃ±or said " +
+      "â€œholaâ€"),
+    (9000003L, "MÃ¼ller â€” garÃ§on " +
+      "Ã¨ Ã¡ Ã³ Ãº " +
+      "Ã¶ Ã¤"),
+    (9000004L, "a clean ascii control row"))
 
   /** Shared BPE oracle fragments: the symbol init and one unrolled
     * train/apply round (argmax pair + greedy-leftmost application via
@@ -5099,6 +5141,100 @@ object SparkEntry {
         |  (2 * sum_in - (n_categories + 1) * total) * 1000000
         |    // (n_categories * total) AS gini_ppm,
         |  top_n * 1000000 // total AS top_share_ppm
-        |FROM a ORDER BY dim""".stripMargin
+        |FROM a ORDER BY dim""".stripMargin,
+    // codeDetect twin: list_filter/string_split_regex mirror the HOF
+    // lambdas; the keyword check is token-set membership, never \b
+    "text_code_detect" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[{}\[\]();]', '', 'g')) AS BIGINT) AS n_punct,
+        |    CAST(len(list_filter(string_split_regex(text,
+        |      '[^A-Za-z0-9_]+'),
+        |      t -> t IN ('def', 'function', 'var', 'const', 'void',
+        |                 'elif', 'lambda', 'struct', 'enum', 'printf',
+        |                 'self', 'typedef'))) AS BIGINT) AS n_kw,
+        |    CAST(len(list_filter(string_split(text, chr(10)),
+        |      l -> ends_with(rtrim(l), ';'))) AS BIGINT) AS n_semi_lines,
+        |    CAST(len(list_filter(string_split(text, chr(10)),
+        |      l -> starts_with(l, '  ') OR starts_with(l, chr(9))))
+        |      AS BIGINT) AS n_indent_lines
+        |  FROM documents WHERE length(text) > 0
+        |), sc AS (
+        |  SELECT *, (3 * n_punct + 10 * n_kw + 4 * n_semi_lines
+        |    + n_indent_lines) * 1000000 // n_chars AS code_score_ppm
+        |  FROM c
+        |)
+        |SELECT doc_id, n_chars, n_punct, n_kw, n_semi_lines,
+        |  n_indent_lines, code_score_ppm,
+        |  CAST(CASE WHEN code_score_ppm >= 20000 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_code
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    // mojibakeRepair twin: the identical replace() chain and staged
+    // VALUES rows, generated from the same pair table
+    "text_mojibake" -> {
+      val chain = graft.ops.TextAnalysis.mojibakePairs.foldLeft("text") {
+        case (acc, (bad, good)) => s"replace($acc, '$bad', '$good')"
+      }
+      val values = mojibakeStaged.map { case (id, t) =>
+        s"(CAST($id AS BIGINT), '${t.replace("'", "''")}')"
+      }.mkString(",\n    ")
+      s"""WITH src AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    $values) v(doc_id, text)
+         |), f AS (
+         |  SELECT doc_id, text, $chain AS fixed FROM src
+         |)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN text <> fixed THEN 1 ELSE 0 END AS BIGINT)
+         |    AS changed,
+         |  CAST(length(fixed) AS BIGINT) AS n_chars_fixed,
+         |  md5(fixed) AS fixed_md5
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
+    // parseChatTurns twin: identical conv construction, unnest with
+    // positions, starts_with role flags, running-sum turn boundaries,
+    // ordered string_agg reassembly
+    "docs_sft_turns" ->
+      """WITH convs AS (
+        |  SELECT doc_id, 'system: be concise' || chr(10) ||
+        |    'user: ' || substr(text, 1, 60) || chr(10) ||
+        |    'assistant: ' || substr(text, 61, 120) || chr(10) ||
+        |    'user: continue' || chr(10) ||
+        |    'assistant: ' || substr(text, 181, 80) AS conv
+        |  FROM documents WHERE n_chars >= 300
+        |), ls AS (
+        |  SELECT doc_id, string_split(conv, chr(10)) AS l FROM convs
+        |), lines AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(l))) - 1 AS pos, l
+        |  FROM ls
+        |), r AS (
+        |  SELECT doc_id, pos, l[pos + 1] AS line FROM lines
+        |), rr AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN starts_with(line, 'system: ') THEN 'system'
+        |         WHEN starts_with(line, 'user: ') THEN 'user'
+        |         WHEN starts_with(line, 'assistant: ') THEN 'assistant'
+        |    END AS role,
+        |    CASE WHEN starts_with(line, 'system: ') THEN substr(line, 9)
+        |         WHEN starts_with(line, 'user: ') THEN substr(line, 7)
+        |         WHEN starts_with(line, 'assistant: ')
+        |           THEN substr(line, 12)
+        |         ELSE line END AS piece
+        |  FROM r
+        |), t AS (
+        |  SELECT *, CAST(sum(CASE WHEN role IS NOT NULL THEN 1 ELSE 0
+        |    END) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS turn_idx
+        |  FROM rr
+        |)
+        |SELECT doc_id, turn_idx, max(role) AS role,
+        |  CAST(length(string_agg(piece, chr(10) ORDER BY pos))
+        |    AS BIGINT) AS n_chars
+        |FROM t WHERE turn_idx > 0 GROUP BY 1, 2
+        |ORDER BY doc_id, turn_idx""".stripMargin
   )
 }

@@ -1223,4 +1223,130 @@ object TextAnalysis {
           .otherwise(lit("")).as("targets"),
         col("n_spans"), col("n_masked"))
   }
+
+  /** Code-vs-prose detection — the corpus-routing signal a code-filter
+    * (or code-UPsampler) keys on. Four pure-integer structural counts
+    * per document: code punctuation (`{}[]();`), code-specific keywords
+    * (token-set membership over a non-alphanumeric split — NOT a `\b`
+    * regex, which is Unicode-aware in Java but ASCII in RE2/DuckDB; the
+    * set deliberately excludes if/for/while/return, which are ordinary
+    * English and would tax prose),
+    * semicolon-terminated lines, and indented lines. Combined into one
+    * weighted `code_score_ppm` (integer div by char count — order-free,
+    * engine-exact) with a fixed 2% decision threshold.
+    *
+    * Zero shuffles: a narrow per-row projection that reads only
+    * (doc_id, text). The line/token lambdas are interpreted HOFs, which
+    * is fine off the hot aggregate path — each runs once per row on
+    * bounded arrays (the block-op recipe).
+    */
+  def codeDetect(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .filter(col("n_chars") > 0)
+      .withColumn("n_punct", (length(col("text")) -
+        length(regexp_replace(col("text"), "[{}\\[\\]();]", "")))
+        .cast("long"))
+      .withColumn("n_kw", expr(
+        """size(filter(split(text, '[^A-Za-z0-9_]+'),
+          t -> t IN ('def', 'function', 'var', 'const', 'void', 'elif',
+                     'lambda', 'struct', 'enum', 'printf', 'self',
+                     'typedef')))""").cast("long"))
+      .withColumn("n_semi_lines", expr(
+        "size(filter(split(text, chr(10)), l -> endswith(rtrim(l), ';')))")
+        .cast("long"))
+      .withColumn("n_indent_lines", expr(
+        """size(filter(split(text, chr(10)),
+          l -> startswith(l, '  ') OR startswith(l, chr(9))))""")
+        .cast("long"))
+      .withColumn("code_score_ppm", expr(
+        """(3 * n_punct + 10 * n_kw + 4 * n_semi_lines + n_indent_lines)
+           * 1000000L div n_chars"""))
+      .withColumn("is_code",
+        (col("code_score_ppm") >= 20000L).cast("long"))
+      .drop("text")
+
+  /** Mojibake repair table: UTF-8 bytes mis-decoded as Latin-1/cp1252
+    * once — the single most common encoding corruption in web crawls
+    * ("cafÃ©" for "café"). Longest sequences first so a
+    * 3-byte punctuation ghost is never half-eaten by a 2-byte rule;
+    * the families start on distinct lead bytes (â/Ã/Â)
+    * so the chain order within a family is the only constraint.
+    */
+  private[graft] val mojibakePairs: Seq[(String, String)] = Seq(
+    "â€™" -> "’", // right single quote
+    "â€œ" -> "“", // left double quote
+    "â€" -> "”", // right double quote
+    "â€“" -> "–", // en dash
+    "â€”" -> "—", // em dash
+    "â€¦" -> "…", // ellipsis
+    "Ã©" -> "é", "Ã¨" -> "è",
+    "Ã¡" -> "á", "Ã³" -> "ó",
+    "Ãº" -> "ú", "Ã±" -> "ñ",
+    "Ã¼" -> "ü", "Ã¶" -> "ö",
+    "Ã¤" -> "ä", "Ã§" -> "ç",
+    "Â " -> " ") // stray NBSP ghost
+
+  /** Mojibake detection + repair — ftfy's core fix as a plain replace
+    * chain (exact in any engine; no regex, no encoding round-trip).
+    * Emits a compact audit row per document: whether anything changed,
+    * the repaired length, and the repaired text's md5 (so downstream
+    * can re-key without carrying the text). Zero shuffles, narrow
+    * projection; the replace chain is codegen'd string work per row.
+    */
+  def mojibakeRepair(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    // plain replace() chain — no regex semantics on either engine
+    val fixed = expr(mojibakePairs.foldLeft(textCol) {
+      case (acc, (bad, good)) => s"replace($acc, '$bad', '$good')"
+    })
+    docs
+      .withColumn("fixed", fixed)
+      .select(col("doc_id"),
+        (col(textCol) =!= col("fixed")).cast("long").as("changed"),
+        length(col("fixed")).cast("long").as("n_chars_fixed"),
+        md5(col("fixed")).as("fixed_md5"))
+  }
+
+  /** Chat-transcript turn parser — the SFT-ingest front door. A
+    * conversation is `role: content` lines (roles system/user/
+    * assistant); any line NOT starting with a role prefix is a
+    * continuation of the current turn (multi-line answers, code blocks)
+    * — so turn boundaries are a gaps-and-islands running sum over the
+    * role-line flag, not a naive per-line split. Lines before the first
+    * role line are preamble and dropped. One doc-keyed shuffle: the
+    * line explode, the boundary window, and the per-turn reassembly all
+    * share the doc_id partitioning.
+    *
+    * Output: one row per (doc_id, turn_idx) with the role and the exact
+    * reassembled content length (pieces rejoined with the newline that
+    * split them).
+    */
+  def parseChatTurns(convs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "conv"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    convs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("role",
+        when(col("line").startsWith("system: "), "system")
+          .when(col("line").startsWith("user: "), "user")
+          .when(col("line").startsWith("assistant: "), "assistant"))
+      .withColumn("piece",
+        when(col("role") === "system", expr("substring(line, 9)"))
+          .when(col("role") === "user", expr("substring(line, 7)"))
+          .when(col("role") === "assistant", expr("substring(line, 12)"))
+          .otherwise(col("line")))
+      .withColumn("turn_idx",
+        sum(when(col("role").isNotNull, 1L).otherwise(0L)).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("turn_idx") > 0L)
+      .groupBy(col("doc_id"), col("turn_idx"))
+      .agg(
+        max(col("role")).as("role"), // exactly one role line per turn
+        length(expr("""array_join(transform(
+          array_sort(collect_list(struct(pos, piece))), s -> s.piece),
+          chr(10))""")).cast("long").as("n_chars"))
+  }
 }

@@ -552,4 +552,51 @@ class TextAnalysisSpec extends SparkSpec {
     assert(correct >= (n * 9) / 10,
       s"learned weights must separate the domains: $correct/$n correct")
   }
+
+  test("codeDetect separates planted code from prose") {
+    val code =
+      "def f(x):\n  return g(x);\nstruct A {\n  void y();\n}\nwhile (x) { printf(x); }"
+    // prose with if/for/while — ordinary English must not read as code
+    val prose = "the meadow lay quiet for a while under a pale morning " +
+      "sky and if birdsong drifted over the hedgerows nobody hurried"
+    val df = Seq((1L, code), (2L, prose)).toDF("doc_id", "text")
+    val r = TextAnalysis.codeDetect(df).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Long]("is_code") == 1L)
+    assert(r(2L).getAs[Long]("is_code") == 0L)
+    assert(r(1L).getAs[Long]("n_kw") == 4L)      // def struct void printf
+    assert(r(2L).getAs[Long]("n_kw") == 0L)
+    assert(r(2L).getAs[Long]("n_punct") == 0L)
+    assert(r(1L).getAs[Long]("n_indent_lines") == 2L)
+  }
+
+  test("mojibakeRepair fixes every family and leaves clean text alone") {
+    val rows = Seq(
+      (1L, "cafÃ© itâ€™s fine"), // Ã© + â€™
+      (2L, "Â lead ghost"),                      // Â+NBSP
+      (3L, "plain ascii"),
+      (4L, "dash â€“ here"))                // en-dash ghost
+    val out = TextAnalysis.mojibakeRepair(rows.toDF("doc_id", "text"))
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(out(1L).getAs[Long]("changed") == 1L)
+    // "café it’s fine" = 14 chars
+    assert(out(1L).getAs[Long]("n_chars_fixed") == 14L)
+    assert(out(2L).getAs[Long]("changed") == 1L)
+    assert(out(2L).getAs[Long]("n_chars_fixed") == 11L) // " lead ghost"
+    assert(out(3L).getAs[Long]("changed") == 0L)
+    assert(out(4L).getAs[Long]("changed") == 1L)
+    assert(out(4L).getAs[Long]("n_chars_fixed") == 11L) // "dash – here"
+  }
+
+  test("parseChatTurns folds continuations and drops preamble") {
+    val conv = "junk preamble\nsystem: be kind\nuser: hi\nthere\n" +
+      "assistant: hello\nworld\nagain\nuser: bye"
+    val out = TextAnalysis.parseChatTurns(
+      Seq((7L, conv)).toDF("doc_id", "conv")).collect()
+      .sortBy(_.getAs[Long]("turn_idx"))
+    assert(out.map(_.getAs[String]("role")).toSeq ==
+      Seq("system", "user", "assistant", "user"))
+    // "be kind"=7; "hi\nthere"=8; "hello\nworld\nagain"=17; "bye"=3
+    assert(out.map(_.getAs[Long]("n_chars")).toSeq == Seq(7L, 8L, 17L, 3L))
+  }
 }
