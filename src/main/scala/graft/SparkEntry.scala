@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Analytics, Cdc, Dedup, Events, Graph, Linkage, Multimodal, Privacy, Quality, Sampling, Similarity, Skew, Sketches, TextAnalysis, Web}
+import graft.ops.{Analytics, Cdc, Dedup, Events, Graph, Linkage, Multimodal, Privacy, Quality, Reco, Sampling, Similarity, Skew, Sketches, TextAnalysis, Web}
 import graft.orchestrate.{BlueGreen, Snapshots}
 import graft.sources.{GraphFrames, ZOrder}
 
@@ -1446,6 +1446,40 @@ object SparkEntry {
           lit("user: continue"), expr("chr(10)"),
           lit("assistant: "), expr("substring(text, 181, 80)")).as("conv"))
       TextAnalysis.parseChatTurns(convs).orderBy("doc_id", "turn_idx")
+    }),
+    // --- WARC-record parsing: header/payload framing at the first
+    // CRLFCRLF, prefix-matched fields, declared-vs-actual length audit
+    // (docs over 200 chars are deliberately truncated -> len_ok = 0)
+    "web_warc" -> ((s, dir) => {
+      val crlf = "\r\n"
+      val recs = rd(s, dir, "documents").select(col("doc_id"), concat(
+        lit("WARC/1.0" + crlf),
+        lit("WARC-Type: response" + crlf),
+        lit("WARC-Target-URI: https://corpus.local/"), col("source"),
+        lit("/"), col("doc_id").cast("string"), lit(crlf),
+        lit("Content-Length: "), col("n_chars").cast("string"),
+        lit(crlf + crlf),
+        expr("substring(text, 1, 200)")).as("record"))
+      Web.parseWarc(recs).orderBy("doc_id")
+    }),
+    // --- curriculum staging: ntile difficulty tiers over the pinned
+    // (n_chars, doc_id) order + md5 within-stage shuffle rank
+    "sample_curriculum" -> ((s, dir) =>
+      Sampling.curriculumOrder(
+        rd(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "n_chars", 4).orderBy("stage", "pos")),
+    // --- item-based collaborative filtering over customer->part
+    // purchases: integer path-count scores, owned items anti-joined out
+    "reco_itemcf" -> ((s, dir) => {
+      val purch = rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(rd(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("customer"),
+          col("l_partkey").as("part"))
+      Reco.itemCf(purch, "customer", "part", topK = 3, maxBasket = 100,
+        minCo = 3L).orderBy("u", "rank")
     })
   )
 
@@ -5235,6 +5269,99 @@ object SparkEntry {
         |  CAST(length(string_agg(piece, chr(10) ORDER BY pos))
         |    AS BIGINT) AS n_chars
         |FROM t WHERE turn_idx > 0 GROUP BY 1, 2
-        |ORDER BY doc_id, turn_idx""".stripMargin
+        |ORDER BY doc_id, turn_idx""".stripMargin,
+    // parseWarc twin: identical record construction, first-CRLFCRLF
+    // framing, prefix-matched header fields
+    "web_warc" ->
+      """WITH recs AS (
+        |  SELECT doc_id, 'WARC/1.0' || chr(13) || chr(10) ||
+        |    'WARC-Type: response' || chr(13) || chr(10) ||
+        |    'WARC-Target-URI: https://corpus.local/' || source || '/' ||
+        |    CAST(doc_id AS VARCHAR) || chr(13) || chr(10) ||
+        |    'Content-Length: ' || CAST(n_chars AS VARCHAR) ||
+        |    chr(13) || chr(10) || chr(13) || chr(10) ||
+        |    substr(text, 1, 200) AS record
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, record,
+        |    instr(record, chr(13) || chr(10) || chr(13) || chr(10)) AS cut
+        |  FROM recs
+        |), p AS (
+        |  SELECT doc_id, substr(record, 1, cut - 1) AS hdr,
+        |    substr(record, cut + 4) AS payload
+        |  FROM c WHERE cut > 0
+        |), h AS (
+        |  SELECT doc_id,
+        |    substr(list_filter(string_split(hdr, chr(13) || chr(10)),
+        |      l -> starts_with(l, 'WARC-Type: '))[1], 12) AS warc_type,
+        |    substr(list_filter(string_split(hdr, chr(13) || chr(10)),
+        |      l -> starts_with(l, 'WARC-Target-URI: '))[1], 18) AS uri,
+        |    CAST(substr(list_filter(string_split(hdr,
+        |      chr(13) || chr(10)),
+        |      l -> starts_with(l, 'Content-Length: '))[1], 17)
+        |      AS BIGINT) AS declared_len,
+        |    CAST(length(payload) AS BIGINT) AS payload_len
+        |  FROM p
+        |)
+        |SELECT doc_id, warc_type, uri, declared_len, payload_len,
+        |  CAST(CASE WHEN declared_len = payload_len THEN 1 ELSE 0 END
+        |    AS BIGINT) AS len_ok
+        |FROM h ORDER BY doc_id""".stripMargin,
+    // curriculumOrder twin: ntile over the pinned total order (the r6
+    // bucket-split recipe), md5 within-stage shuffle
+    "sample_curriculum" ->
+      """WITH s AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+        |      AS stage
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_chars, stage,
+        |  CAST(row_number() OVER (PARTITION BY stage
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        |    AS pos
+        |FROM s ORDER BY stage, pos""".stripMargin,
+    // itemCf twin: the same basket prune / half-matrix co-count /
+    // candidate fan / anti-join / pinned top-k chain
+    "reco_itemcf" ->
+      """WITH purch AS (
+        |  SELECT DISTINCT o_custkey AS u, l_partkey AS it
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), pruned AS (
+        |  SELECT u, it FROM (
+        |    SELECT u, it, count(*) OVER (PARTITION BY u) AS bsize
+        |    FROM purch)
+        |  WHERE bsize <= 100
+        |), sim AS (
+        |  SELECT l.it AS a, r.it AS b, CAST(count(*) AS BIGINT) AS n_co
+        |  FROM pruned l JOIN pruned r ON l.u = r.u AND l.it < r.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 3
+        |), simall AS (
+        |  SELECT a AS owned, b AS cand, n_co FROM sim
+        |  UNION ALL SELECT b AS owned, a AS cand, n_co FROM sim
+        |), simboth AS (
+        |  SELECT owned, cand, n_co FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY owned
+        |      ORDER BY n_co DESC, cand) AS nrank
+        |    FROM simall)
+        |  WHERE nrank <= 20
+        |), scored AS (
+        |  SELECT p.u AS u, s.cand AS cand,
+        |    CAST(sum(n_co) AS BIGINT) AS score,
+        |    CAST(count(*) AS BIGINT) AS n_via
+        |  FROM pruned p JOIN simboth s ON p.it = s.owned
+        |  GROUP BY 1, 2
+        |), fresh AS (
+        |  SELECT sc.u, sc.cand, sc.score, sc.n_via
+        |  FROM scored sc LEFT JOIN purch pu
+        |    ON sc.u = pu.u AND sc.cand = pu.it
+        |  WHERE pu.it IS NULL
+        |)
+        |SELECT u, rank, cand, score, n_via FROM (
+        |  SELECT u, cand, score, n_via,
+        |    CAST(row_number() OVER (PARTITION BY u
+        |      ORDER BY score DESC, n_via DESC, cand) AS BIGINT) AS rank
+        |  FROM fresh)
+        |WHERE rank <= 3 ORDER BY u, rank""".stripMargin
   )
 }

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Item-based collaborative filtering — the recommendation shape
+  * ("customers who bought X also bought Y") that a retrieval-augmented
+  * data pipeline reuses for related-document suggestion. All scores are
+  * path COUNTS (pure integers), so the ranking is engine-exact.
+  */
+object Reco {
+
+  /** Top-`topK` unowned items per user, scored by item-item
+    * co-occurrence paths:
+    *
+    *  1. item-item similarity = number of users who interacted with
+    *     BOTH items (self-join of the distinct (user, item) frame on
+    *     the user key, `a < b` half-matrix);
+    *  2. neighborhood truncation: each item keeps only its `simTopM`
+    *     strongest neighbors (pinned (n_co DESC, cand) order) — the
+    *     classic item-CF index bound that caps the candidate fan-out at
+    *     |owned| × M per user regardless of how promiscuous an item's
+    *     co-occurrence row is;
+    *  3. candidate generation = the user's owned items joined to their
+    *     surviving similar items (both half-matrix directions restored
+    *     BEFORE truncation, so the neighbor list is per-item complete);
+    *  3. score(u, cand) = Σ co-occurrence over the owned items that
+    *     reach it, `n_via` = how many owned items voted;
+    *  4. already-owned candidates removed by a keyed LEFT ANTI join;
+    *  5. per-user top-k window with the fully pinned order
+    *     (score, n_via, item).
+    *
+    * Skew/scale controls, both measured patterns from the dedup family:
+    * `maxBasket` drops power-users before the self-join (a D-item
+    * basket mints C(D,2) similarity updates — the count-over-window
+    * df-prune recipe), and `minCo` prunes the similarity long tail
+    * before candidate fan-out. Every join is a keyed equi-join; the
+    * only windows run per user / per basket key.
+    */
+  def itemCf(interactions: DataFrame, userCol: String, itemCol: String,
+      topK: Int = 3, maxBasket: Int = 100, minCo: Long = 2L,
+      simTopM: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val purch = interactions
+      .select(col(userCol).cast("long").as("u"),
+        col(itemCol).cast("long").as("it")).distinct()
+    val pruned = purch
+      .withColumn("bsize", count(lit(1)).over(Window.partitionBy("u")))
+      .filter(col("bsize") <= maxBasket)
+      .drop("bsize")
+    val sim = pruned.as("l")
+      .join(pruned.as("r"),
+        col("l.u") === col("r.u") && col("l.it") < col("r.it"))
+      .groupBy(col("l.it").as("a"), col("r.it").as("b"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= minCo)
+    val simBoth = sim.select(col("a").as("owned"), col("b").as("cand"),
+        col("n_co"))
+      .unionByName(sim.select(col("b").as("owned"), col("a").as("cand"),
+        col("n_co")))
+      .withColumn("nrank", row_number().over(
+        Window.partitionBy("owned").orderBy(desc("n_co"), asc("cand"))))
+      .filter(col("nrank") <= simTopM)
+      .drop("nrank")
+    val scored = pruned.join(simBoth, col("it") === col("owned"))
+      .groupBy(col("u"), col("cand"))
+      .agg(sum(col("n_co")).as("score"), count(lit(1)).as("n_via"))
+    val fresh = scored.join(
+      purch.select(col("u"), col("it").as("cand")),
+      Seq("u", "cand"), "left_anti")
+    fresh
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("u").orderBy(desc("score"), desc("n_via"),
+          asc("cand"))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("u"), col("rank"), col("cand"), col("score"),
+        col("n_via"))
+  }
+}

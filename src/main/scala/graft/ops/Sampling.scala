@@ -362,4 +362,32 @@ object Sampling {
       .drop("h")
       .withColumn("sample_rank", col("sample_rank").cast("long"))
   }
+
+  /** Curriculum staging — the deterministic training-order transform:
+    * documents are split into `stages` difficulty tiers by a score
+    * column (easy → hard via `ntile`, which agrees across engines given
+    * the pinned (score, doc_id) total order — the r6 bucket-split
+    * recipe), then SHUFFLED within each stage by an md5 rank so a
+    * training run reads stage 1 in random-but-reproducible order before
+    * stage 2. `(stage, pos)` is the complete curriculum order; no
+    * column depends on partitioning or engine iteration order.
+    *
+    * Scale shape: two windows — the global ntile runs over (score, id)
+    * and is the one range-exchange (Spark's Window ORDER BY without
+    * PARTITION BY is a single partition at this size; the documented
+    * huge-corpus path is a range-partitioned global sort feeding
+    * percent_rank-derived tiers), the within-stage rank shares the
+    * stage partitioning.
+    */
+  def curriculumOrder(docs: DataFrame, scoreCol: String,
+      stages: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .withColumn("stage", ntile(stages).over(
+        Window.orderBy(col(scoreCol), col("doc_id"))).cast("long"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("stage"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+        .cast("long"))
+  }
 }

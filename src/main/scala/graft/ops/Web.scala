@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Web-corpus URL hygiene — the first stage of every crawl-derived
@@ -128,5 +128,39 @@ object Web {
       .withColumn("content", array_join(col("_kept"), "\n"))
       .withColumn("n_blocks", size(col("_kept")).cast("long"))
       .drop("_clean", "_kept")
+  }
+
+  /** WARC-record parser — the crawl-archive front door ahead of
+    * [[extractMainContent]]. A record is a version line, CRLF-separated
+    * `Name: value` headers, a blank CRLF line, then the payload. The
+    * header block ends at the FIRST CRLFCRLF (payloads may contain
+    * their own blank lines); header fields are picked by prefix match
+    * over the CRLF split (no regex — prefix semantics are identical in
+    * every engine). Emits the fields a crawl pipeline routes on
+    * (type, target URI, declared length) plus the actual payload
+    * length and a declared==actual validity flag, so truncated or
+    * mis-framed records are flagged at ingest instead of corrupting
+    * downstream text ops. Zero shuffles, narrow projection.
+    */
+  def parseWarc(records: DataFrame, recordCol: String = "record"): DataFrame = {
+    val crlf2 = "\r\n\r\n"
+    def header(prefix: String): Column = {
+      val p = prefix + ": "
+      expr(s"""substring(element_at(filter(split(hdr, chr(13) || chr(10)),
+        l -> startswith(l, '$prefix: ')), 1), ${p.length + 1})""")
+    }
+    records
+      .withColumn("cut", instr(col(recordCol), crlf2))
+      .filter(col("cut") > 0)
+      .withColumn("hdr", expr(s"substring($recordCol, 1, cut - 1)"))
+      .withColumn("payload", expr(s"substring($recordCol, cut + 4)"))
+      .select(col("*"),
+        header("WARC-Type").as("warc_type"),
+        header("WARC-Target-URI").as("uri"),
+        header("Content-Length").cast("long").as("declared_len"),
+        length(col("payload")).cast("long").as("payload_len"))
+      .withColumn("len_ok",
+        (col("declared_len") === col("payload_len")).cast("long"))
+      .drop(recordCol, "cut", "hdr", "payload")
   }
 }

@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class RecoSpec extends SparkSpec {
+  import spark.implicits._
+
+  // users 1-3 all bought {10, 11}; user 4 bought {10} only — CF must
+  // recommend 11 to user 4 (3 co-purchase paths), and nothing to users
+  // who already own everything co-visible
+  private def purchases = Seq(
+    (1L, 10L), (1L, 11L),
+    (2L, 10L), (2L, 11L),
+    (3L, 10L), (3L, 11L),
+    (4L, 10L),
+    (5L, 12L)) // isolated user: no co-occurrence, no recs
+    .toDF("customer", "part")
+
+  test("itemCf recommends the co-purchased item with exact path counts") {
+    val out = Reco.itemCf(purchases, "customer", "part",
+      topK = 3, maxBasket = 100, minCo = 2L).collect()
+    assert(out.length == 1, out.mkString(";"))
+    val r = out.head
+    assert(r.getAs[Long]("u") == 4L)
+    assert(r.getAs[Long]("cand") == 11L)
+    assert(r.getAs[Long]("score") == 3L) // users 1,2,3 bridge 10->11
+    assert(r.getAs[Long]("n_via") == 1L) // via the single owned item 10
+    assert(r.getAs[Long]("rank") == 1L)
+  }
+
+  test("itemCf drops owned candidates and respects minCo") {
+    // with minCo above the co-count nothing survives
+    val none = Reco.itemCf(purchases, "customer", "part",
+      topK = 3, maxBasket = 100, minCo = 4L).collect()
+    assert(none.isEmpty)
+  }
+
+  test("itemCf basket prune removes power users from similarity") {
+    // user 9's giant basket links EVERYTHING; pruning it leaves only
+    // the organic 10-11 signal
+    val power = (100L to 140L).map(it => (9L, it)).toDF("customer", "part")
+    val df = purchases.unionByName(power)
+    val out = Reco.itemCf(df, "customer", "part",
+      topK = 3, maxBasket = 10, minCo = 2L).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("u") == 4L)
+    assertNoCrossProduct(
+      Reco.itemCf(df, "customer", "part", 3, 10, 2L), "itemCf")
+  }
+}

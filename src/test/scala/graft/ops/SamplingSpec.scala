@@ -246,4 +246,32 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("rangepartitioning"),
       s"no global sort allowed:\n$plan")
   }
+
+  test("curriculumOrder tiers by score and shuffles within stages") {
+    val docs = (1L to 20L).map(i => (i, i * 10L)).toDF("doc_id", "n_chars")
+    val out = Sampling.curriculumOrder(docs, "n_chars", 4).collect()
+    val byStage = out.groupBy(_.getAs[Long]("stage"))
+    assert(byStage.keySet == Set(1L, 2L, 3L, 4L))
+    // ntile over 20 rows: stages of 5; tiers respect the score order
+    assert(byStage.values.forall(_.length == 5))
+    val maxOf = (st: Long) => byStage(st).map(_.getAs[Long]("n_chars")).max
+    val minOf = (st: Long) => byStage(st).map(_.getAs[Long]("n_chars")).min
+    assert(maxOf(1L) < minOf(2L) && maxOf(2L) < minOf(3L) &&
+      maxOf(3L) < minOf(4L))
+    // pos is a permutation of 1..5 within each stage, and NOT the score
+    // order in at least one stage (the md5 shuffle does something)
+    assert(byStage.values.forall(
+      _.map(_.getAs[Long]("pos")).sorted.sameElements(1L to 5L)))
+    val inScoreOrder = byStage.values.count { rows =>
+      rows.sortBy(_.getAs[Long]("pos")).map(_.getAs[Long]("n_chars"))
+        .sameElements(rows.map(_.getAs[Long]("n_chars")).sorted)
+    }
+    assert(inScoreOrder < 4, "md5 shuffle must break score order somewhere")
+    // determinism: a second run yields the identical assignment
+    val again = Sampling.curriculumOrder(docs, "n_chars", 4).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("stage"),
+        r.getAs[Long]("pos"))).toSet
+    assert(again == out.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("stage"), r.getAs[Long]("pos"))).toSet)
+  }
 }

@@ -49,4 +49,27 @@ class WebSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"must not shuffle:\n$plan")
   }
+
+  test("parseWarc frames at the FIRST CRLFCRLF and validates lengths") {
+    val crlf = "\r\n"
+    val good = "WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+      "WARC-Target-URI: https://a.example/x" + crlf +
+      "Content-Length: 11" + crlf + crlf + "hello world"
+    // payload contains its own blank CRLF line — framing must not split
+    // there; declared length lies (20 vs actual 14)
+    val tricky = "WARC/1.0" + crlf + "WARC-Type: request" + crlf +
+      "WARC-Target-URI: https://b.example/y" + crlf +
+      "Content-Length: 20" + crlf + crlf + "ab" + crlf + crlf + "stuff!"
+    val out = Web.parseWarc(
+      Seq((1L, good), (2L, tricky)).toDF("doc_id", "record"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("warc_type") == "response")
+    assert(out(1L).getAs[String]("uri") == "https://a.example/x")
+    assert(out(1L).getAs[Long]("declared_len") == 11L)
+    assert(out(1L).getAs[Long]("payload_len") == 11L)
+    assert(out(1L).getAs[Long]("len_ok") == 1L)
+    assert(out(2L).getAs[String]("warc_type") == "request")
+    assert(out(2L).getAs[Long]("payload_len") == 12L) // ab\r\n\r\nstuff!
+    assert(out(2L).getAs[Long]("len_ok") == 0L)
+  }
 }
