@@ -1480,7 +1480,17 @@ object SparkEntry {
           col("l_partkey").as("part"))
       Reco.itemCf(purch, "customer", "part", topK = 3, maxBasket = 100,
         minCo = 3L).orderBy("u", "rank")
-    })
+    }),
+    // --- seasonal-naive forecast backtest: day d predicted by day d-7,
+    // exact integer MAE/bias per type, ancestor by keyed join (never a
+    // row-offset lag across day gaps)
+    "events_snaive" -> ((s, dir) =>
+      Events.seasonalNaiveBacktest(rdEvents(s, dir), 7)
+        .orderBy("event_type")),
+    // --- per-source freshness audit: staleness vs the globally
+    // freshest source + final-active-day volume share
+    "dq_freshness" -> ((s, dir) =>
+      Events.freshness(rdEvents(s, dir)).orderBy("event_type"))
   )
 
   /** Staged mojibake rows shared by the `text_mojibake` query and its
@@ -5362,6 +5372,48 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY u
         |      ORDER BY score DESC, n_via DESC, cand) AS BIGINT) AS rank
         |  FROM fresh)
-        |WHERE rank <= 3 ORDER BY u, rank""".stripMargin
+        |WHERE rank <= 3 ORDER BY u, rank""".stripMargin,
+    // seasonalNaiveBacktest twin: daily cells, (type, day - 7) ancestor
+    // join, integer MAE/bias rollup
+    "events_snaive" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), prior AS (
+        |  SELECT event_type, day + 7 AS day, n AS n_pred FROM daily
+        |), j AS (
+        |  SELECT d.event_type, d.n, p.n_pred
+        |  FROM daily d JOIN prior p
+        |    ON d.event_type = p.event_type AND d.day = p.day
+        |)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days_scored,
+        |  CAST(sum(abs(n - n_pred)) AS BIGINT) AS mae_sum,
+        |  CAST(sum(n - n_pred) AS BIGINT) AS bias_sum,
+        |  CAST(sum(n) AS BIGINT) AS actual_sum,
+        |  CAST(sum(abs(n - n_pred)) AS BIGINT) * 1000000
+        |    // CAST(sum(n) AS BIGINT) AS mae_ppm
+        |FROM j GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // freshness twin: per-type max window + rollup, global-max window
+    // over the aggregated frame
+    "dq_freshness" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS secs
+        |  FROM events
+        |), w AS (
+        |  SELECT event_type, secs,
+        |    max(secs) OVER (PARTITION BY event_type) AS tmax
+        |  FROM e
+        |), a AS (
+        |  SELECT event_type, max(secs) AS last_secs,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CASE WHEN secs > tmax - 86400 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_last_day
+        |  FROM w GROUP BY 1
+        |)
+        |SELECT event_type, last_secs, n_events, n_last_day,
+        |  max(last_secs) OVER () - last_secs AS staleness_secs
+        |FROM a ORDER BY event_type""".stripMargin
   )
 }

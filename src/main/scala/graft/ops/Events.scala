@@ -1022,4 +1022,60 @@ object Events {
       .withColumn("rank", row_number().over(rank).cast("long"))
       .filter(col("rank") <= topK)
   }
+
+  /** Seasonal-naive forecast backtest — the honesty baseline every
+    * fancier forecaster must beat: predict each day's per-type event
+    * count with the count from `period` days earlier, then score the
+    * prediction over every day whose seasonal ancestor exists. All
+    * errors are |int − int| BIGINTs, so MAE and bias are order-free and
+    * engine-exact; `mae_ppm` normalizes by the scored days' actual
+    * volume in one integer division.
+    *
+    * Day gaps are handled by construction: the ancestor is found by a
+    * keyed equi-join on (type, day − period), NOT a `lag(period)` row
+    * offset that silently mis-aligns across missing days. Scale shape:
+    * one partial-agg shuffle to (type, day) cells, then a cell-sized
+    * self-join and a per-type rollup.
+    */
+  def seasonalNaiveBacktest(events: DataFrame, period: Int = 7): DataFrame = {
+    val daily = events
+      .withColumn("secs", epochSeconds(events).cast("long"))
+      .withColumn("day", expr("secs div 86400"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val prior = daily.select(col("event_type"),
+      (col("day") + period).as("day"), col("n").as("n_pred"))
+    daily.join(prior, Seq("event_type", "day"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days_scored"),
+        sum(abs(col("n") - col("n_pred"))).as("mae_sum"),
+        sum(col("n") - col("n_pred")).as("bias_sum"),
+        sum(col("n")).as("actual_sum"))
+      .withColumn("mae_ppm",
+        expr("mae_sum * 1000000L div actual_sum"))
+  }
+
+  /** Per-source freshness audit — the staleness table a daily-ingest
+    * SLA check reads: for each event type (the "source" in this feed),
+    * its last event time, how far that lags the globally freshest
+    * source, and how much of its volume arrived in its own final active
+    * day. The per-type running max and the rollup share ONE shuffle on
+    * the type key (the twap window+groupBy recipe); the global-max
+    * window then runs over the aggregated type-cardinality frame only.
+    */
+  def freshness(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byType = Window.partitionBy("event_type")
+    events
+      .withColumn("secs", epochSeconds(events).cast("long"))
+      .withColumn("tmax", max(col("secs")).over(byType))
+      .groupBy(col("event_type"))
+      .agg(max(col("secs")).as("last_secs"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("secs") > col("tmax") - 86400L, 1L).otherwise(0L))
+          .as("n_last_day"))
+      .withColumn("staleness_secs",
+        max(col("last_secs")).over(Window.partitionBy())
+          - col("last_secs"))
+  }
 }

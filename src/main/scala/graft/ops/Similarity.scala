@@ -787,4 +787,36 @@ object Similarity {
         col("total_scaled"),
         expr("1000000L * cum div total_scaled").as("energy_ppm"))
   }
+
+  /** ANN recall evaluation — the ANN sibling of `Dedup.evalPairs`: an
+    * approximate method's top-k (`predicted`) scored against a ground
+    * truth top-k (`truth`, normally [[bruteTopK]] on the same queries).
+    * Both inputs are (query_id, rank, neighbor_id) frames. Per query:
+    * truth size, predicted size, hit count (keyed inner join — recall's
+    * intersection, never a pair scan), recall ppm; one overall
+    * micro-average row (query_id = −1) rides the same aggregation. All
+    * counts are integers, so the harness is deterministic whenever its
+    * inputs are.
+    */
+  def recallAtK(predicted: DataFrame, truth: DataFrame): DataFrame = {
+    val p = predicted.select(col("query_id"), col("neighbor_id"))
+    val t = truth.select(col("query_id"), col("neighbor_id"))
+    val hits = t.join(p, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    val perQuery = t.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"))
+      .join(p.groupBy(col("query_id")).agg(count(lit(1)).as("n_pred")),
+        Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_truth"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall_ppm", expr("n_hit * 1000000L div n_truth"))
+    val overall = perQuery.agg(sum(col("n_truth")).as("n_truth"),
+        sum(col("n_pred")).as("n_pred"), sum(col("n_hit")).as("n_hit"))
+      .select(lit(-1L).as("query_id"), col("n_truth"), col("n_pred"),
+        col("n_hit"),
+        expr("n_hit * 1000000L div n_truth").as("recall_ppm"))
+    perQuery.unionByName(overall)
+  }
 }

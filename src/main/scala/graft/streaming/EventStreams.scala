@@ -601,4 +601,48 @@ object EventStreams {
           HllRegister(key._1, key._2, top)
       }
   }
+
+  final case class BurstLeader(user_id: Long, event_type: String,
+    leader_event_id: Long, secs: Long)
+
+  /** Streaming twin of [[graft.ops.Events.debounceBursts]]' leader
+    * stream — debounce at ingest. State per (user, type) is ONE long
+    * (the last seen event time): an arriving event whose gap from it
+    * exceeds `gapSeconds` is a new burst leader and is emitted;
+    * everything else is suppressed. Within a trigger, rows are walked
+    * in (secs, event_id) order, so a single batch reproduces the batch
+    * operator's lag-gap rule exactly; across triggers the carried
+    * last-seen time continues the burst, so a chain that spans
+    * micro-batches still collapses to its first event.
+    *
+    * Contract (same as every twin here): arrivals are in event-time
+    * order across triggers. An out-of-order arrival earlier than the
+    * carried last-seen time can only be MORE suppressed than batch
+    * (its gap measures from a later event), never a spurious leader.
+    * `ts` is the [[graft]] nanos-long convention.
+    */
+  def streamingDebounce(events: DataFrame, gapSeconds: Long = 300L)(
+      implicit spark: SparkSession): Dataset[BurstLeader] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000000000").as("secs"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rs: Iterator[(Long, String, Long, Long)],
+         state: GroupState[Long]) =>
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val out = scala.collection.mutable.ArrayBuffer[BurstLeader]()
+          rs.toSeq.sortBy(r => (r._4, r._3)).foreach { r =>
+            if (last == Long.MinValue || r._4 - last > gapSeconds)
+              out += BurstLeader(key._1, key._2, r._3, r._4)
+            last = r._4
+          }
+          state.update(last)
+          out.iterator
+      }
+  }
 }

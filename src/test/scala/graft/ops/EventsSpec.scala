@@ -528,6 +528,44 @@ class EventsSpec extends SparkSpec {
     assert(r((2L, "a", 1L)) == ((30L, 1L, 0L)))
   }
 
+  test("seasonalNaiveBacktest: planted weekly cycle scores MAE 0") {
+    import spark.implicits._
+    // type a: 2 events every day 0..13 (perfect weekly repeat);
+    // type b: 1 event day 0, 3 events day 7 (error |3-1| = 2)
+    val a = for (d <- 0 until 14; i <- 0 until 2)
+      yield (d * 100L + i, 1L, "a", (d * 86400L + i) * 1000000000L)
+    val b = Seq((9000L, 2L, "b", 0L)) ++
+      (0 until 3).map(i => (9100L + i, 2L, "b", (7L * 86400L + i) * 1000000000L))
+    val ev = (a ++ b).toDF("event_id", "user_id", "event_type", "ts")
+    val r = Events.seasonalNaiveBacktest(ev, 7).collect()
+      .map(x => x.getAs[String]("event_type") -> x).toMap
+    assert(r("a").getAs[Long]("n_days_scored") == 7L)
+    assert(r("a").getAs[Long]("mae_sum") == 0L)
+    assert(r("a").getAs[Long]("bias_sum") == 0L)
+    assert(r("a").getAs[Long]("mae_ppm") == 0L)
+    assert(r("b").getAs[Long]("n_days_scored") == 1L)
+    assert(r("b").getAs[Long]("mae_sum") == 2L)
+    assert(r("b").getAs[Long]("bias_sum") == 2L)
+    assert(r("b").getAs[Long]("actual_sum") == 3L)
+    assert(r("b").getAs[Long]("mae_ppm") == 666666L)
+  }
+
+  test("freshness reports staleness vs the globally freshest source") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "a", 0L), (2L, 1L, "a", 172800L * 1000000000L),
+      (3L, 2L, "b", 100000L * 1000000000L))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = Events.freshness(ev).collect()
+      .map(x => x.getAs[String]("event_type") -> x).toMap
+    assert(r("a").getAs[Long]("last_secs") == 172800L)
+    assert(r("a").getAs[Long]("staleness_secs") == 0L)
+    assert(r("a").getAs[Long]("n_events") == 2L)
+    assert(r("a").getAs[Long]("n_last_day") == 1L) // only the last event
+    assert(r("b").getAs[Long]("staleness_secs") == 72800L)
+    assert(r("b").getAs[Long]("n_last_day") == 1L)
+  }
+
   test("sessionPaths mines ordered opening paths with pinned tie ranks") {
     import spark.implicits._
     // two "a>b" sessions, one "a>b>c>d>e" truncation case (7 events, only

@@ -309,6 +309,42 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(c01) < 0.05, s"cross $c01")
   }
 
+  test("recallAtK counts intersections per query plus a micro-average") {
+    import spark.implicits._
+    val truth = Seq((1L, 1L, 10L), (1L, 2L, 11L), (2L, 1L, 12L),
+      (2L, 2L, 13L)).toDF("query_id", "rank", "neighbor_id")
+    val pred = Seq((1L, 1L, 10L), (1L, 2L, 99L), (2L, 1L, 12L),
+      (2L, 2L, 13L)).toDF("query_id", "rank", "neighbor_id")
+    val r = Similarity.recallAtK(pred, truth).collect()
+      .map(x => x.getAs[Long]("query_id") -> x).toMap
+    assert(r(1L).getAs[Long]("n_hit") == 1L)
+    assert(r(1L).getAs[Long]("recall_ppm") == 500000L)
+    assert(r(2L).getAs[Long]("n_hit") == 2L)
+    assert(r(2L).getAs[Long]("recall_ppm") == 1000000L)
+    assert(r(-1L).getAs[Long]("n_truth") == 4L)
+    assert(r(-1L).getAs[Long]("n_hit") == 3L)
+    assert(r(-1L).getAs[Long]("recall_ppm") == 750000L)
+  }
+
+  test("recallAtK measures lsh-vs-brute recall >= 0.8 on clustered vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(10)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val vecs = for { c <- centers.indices; m <- 0 until 20 }
+      yield ((c * 20 + m).toLong,
+        centers(c).map(v => v + 0.05f * rnd.nextGaussian().toFloat).toSeq)
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val qs = corpus.filter($"vec_id" % 20 === 0).limit(4)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val overall = Similarity.recallAtK(
+      Similarity.lshTopK(corpus, qs, k = 10),
+      Similarity.bruteTopK(corpus, qs, k = 10))
+      .filter($"query_id" === -1L).collect().head
+    assert(overall.getAs[Long]("n_truth") == 40L)
+    assert(overall.getAs[Long]("recall_ppm") >= 800000L,
+      s"recall ${overall.getAs[Long]("recall_ppm")} ppm below 0.8")
+  }
+
   test("truncationEval reports exact prefix energy shares") {
     import spark.implicits._
     // front-loaded vectors: energy 4+1 in dims 1-2, tail zero

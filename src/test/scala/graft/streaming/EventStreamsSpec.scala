@@ -557,4 +557,35 @@ class EventStreamsSpec extends SparkSpec {
       assert(streamed.count() <= 256L)
     } finally q.stop()
   }
+
+  test("streamingDebounce emits exactly the batch burst leaders") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sec = 1000000000L
+    // (user_id, event_type, event_id, ts): user 1 bursts at 0/100/250s,
+    // the 250s row arrives in batch 2 — carried state must keep
+    // suppressing it; 900s opens a new burst; user 2 independent
+    val b1 = Seq((1L, "a", 10L, 0L * sec), (1L, "a", 11L, 100L * sec),
+      (2L, "a", 30L, 0L * sec))
+    val b2 = Seq((1L, "a", 12L, 250L * sec), (1L, "a", 13L, 900L * sec),
+      (1L, "b", 20L, 0L * sec))
+    val mem = MemoryStream[(Long, String, Long, Long)]
+    val out = EventStreams.streamingDebounce(
+      mem.toDF.toDF("user_id", "event_type", "event_id", "ts"))
+    val q = out.toDF.writeStream.format("memory")
+      .queryName("debounce_test").outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("debounce_test").collect()
+        .map(_.getAs[Long]("leader_event_id")).toSet
+      val batchLeaders = graft.ops.Events.debounceBursts(
+        (b1 ++ b2).toDF("user_id", "event_type", "event_id", "ts"), 300L)
+        .collect().map(_.getAs[Long]("leader_event_id")).toSet
+      assert(batchLeaders == Set(10L, 13L, 20L, 30L))
+      assert(streamed == batchLeaders,
+        s"stream $streamed != batch $batchLeaders")
+    } finally q.stop()
+  }
 }
