@@ -123,6 +123,37 @@ object SparkEntry {
         .withColumn("block", substring(col("name"), 1, 17))
       Linkage.blockedMatch(recs, maxDist = 1).orderBy("a_id", "b_id")
     }),
+    // --- deletion-neighborhood fuzzy join: customers with a planted
+    // md5-positioned typo (substitute 'x' or delete one char — both
+    // exactly distance 1; names have no literal 'x') matched back to the
+    // clean roster via SymSpell variant equi-join + levenshtein verify
+    "linkage_fuzzy" -> ((s, dir) => {
+      val c = rd(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("rec_id"), col("c_name").as("name"))
+      val h = conv(substring(md5(concat(col("rec_id").cast("string"),
+        lit(":pos"))), 1, 8), 16, 10).cast("long")
+      val o = conv(substring(md5(concat(col("rec_id").cast("string"),
+        lit(":op"))), 1, 8), 16, 10).cast("long")
+      val dirty = c.filter(col("rec_id") % 5 === 0)
+        .withColumn("pos", (h % length(col("name"))) + 1)
+        .withColumn("op", o % 2)
+        .select((col("rec_id") + 2000000L).as("rec_id"),
+          when(col("op") === 0, concat(
+            col("name").substr(lit(1), col("pos") - 1), lit("x"),
+            col("name").substr(col("pos") + 1, lit(1000000))))
+          .otherwise(concat(
+            col("name").substr(lit(1), col("pos") - 1),
+            col("name").substr(col("pos") + 1, lit(1000000)))).as("name"))
+      Linkage.symspellJoin(dirty, c).orderBy("a_id", "b_id")
+    }),
+    // --- Luby maximal independent set over the order–customer graph:
+    // fixed md5 priorities make it the unique greedy MIS; fixed 4 rounds
+    // keep it oracle-exact (leftovers reported undecided, never guessed)
+    "graph_mis" -> ((s, dir) => {
+      val e = rd(s, dir, "orders").select(col("o_orderkey").as("src"),
+        (col("o_custkey") + 10000000L).as("dst"))
+      Graph.maximalIndependentSet(e, rounds = 4).orderBy("id")
+    }),
     // --- hop-limited BFS over the order–customer graph
     "graph_bfs" -> ((s, dir) => {
       val e = rd(s, dir, "orders").select(col("o_orderkey").as("src"),
@@ -1384,6 +1415,27 @@ object SparkEntry {
       Sketches.cmsEstimate(sketch, tf, "tok", 4, 1024)
         .orderBy(desc("est"), asc("item")).limit(20)
     }),
+    // --- AMS F2 sketch over event user_ids: 7 md5-sign sums estimate the
+    // self-join size Σf² in one pass; labeled-row union (per-salt est,
+    // exact order-statistic median, exact F2 for reference) avoids any
+    // one-row-total join. The 7-row global window is post-aggregation.
+    "sketch_f2" -> ((s, dir) => {
+      val ev = rdEvents(s, dir).select(col("user_id"))
+      val sk = Sketches.amsF2(ev, "user_id", depth = 7)
+      val salts = sk.select(
+        concat(lit("est:"), col("salt").cast("string")).as("stat"),
+        col("est").as("value"))
+      val med = sk.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("est"), col("salt"))))
+        .filter(col("rn") === 4)
+        .select(lit("f2_est_median").as("stat"), col("est").as("value"))
+      val exact = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * col("n")).as("value"))
+        .select(lit("f2_exact").as("stat"), col("value"))
+      salts.unionByName(med).unionByName(exact).orderBy("stat")
+    }),
     // --- Bloom runtime filter: urgent-order keys -> 3x65536-bit filter,
     // probe the distinct lineitem keys through broadcast semi-joins
     // (probe side never shuffles); summary counts incl. false positives.
@@ -1728,6 +1780,99 @@ object SparkEntry {
         |  CAST(levenshtein(l.name, r.name) AS BIGINT) AS dist
         |FROM k l JOIN k r ON l.block = r.block AND l.rec_id < r.rec_id
         |WHERE levenshtein(l.name, r.name) <= 1
+        |ORDER BY a_id, b_id""".stripMargin,
+    // Luby twin: per-round materialized CTEs (the scc lesson — DuckDB
+    // inlines plain CTEs per reference), rn=1 window picks each node's
+    // min active-neighbor priority, explicit (h, id) tuple compare
+    "graph_mis" -> {
+      val round = (a: String, i: Int) => {
+        val (e, n, c, rm, an) = (s"e$i", s"n$i", s"c$i", s"rm$i", s"a${i + 1}")
+        s"""$e AS MATERIALIZED (
+           |  SELECT u.a, u.b FROM und u
+           |  WHERE u.a IN (SELECT id FROM $a)
+           |    AND u.b IN (SELECT id FROM $a)
+           |), $n AS MATERIALIZED (
+           |  SELECT id, nh, nid FROM (
+           |    SELECT e.a AS id, p.h AS nh, e.b AS nid,
+           |      row_number() OVER (PARTITION BY e.a ORDER BY p.h, e.b) AS rn
+           |    FROM $e e JOIN pri p ON p.id = e.b
+           |  ) w WHERE rn = 1
+           |), $c AS MATERIALIZED (
+           |  SELECT x.id FROM $a x JOIN pri p ON p.id = x.id
+           |  LEFT JOIN $n n ON n.id = x.id
+           |  WHERE n.id IS NULL OR p.h < n.nh OR (p.h = n.nh AND x.id < n.nid)
+           |), $rm AS MATERIALIZED (
+           |  SELECT DISTINCT b AS id FROM $e WHERE a IN (SELECT id FROM $c)
+           |), $an AS MATERIALIZED (
+           |  SELECT id FROM $a WHERE id NOT IN (SELECT id FROM $c)
+           |    AND id NOT IN (SELECT id FROM $rm)
+           |)""".stripMargin
+      }
+      s"""WITH ed AS (
+         |  SELECT o_orderkey AS a, o_custkey + 10000000 AS b FROM orders
+         |), und AS (
+         |  SELECT DISTINCT a, b FROM (
+         |    SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed
+         |  ) t WHERE a <> b
+         |), pri AS (
+         |  SELECT id,
+         |    CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8) AS BIGINT)
+         |      AS h
+         |  FROM (SELECT DISTINCT a AS id FROM und) s
+         |), a0 AS (SELECT id FROM pri),
+         |${round("a0", 0)},
+         |${round("a1", 1)},
+         |${round("a2", 2)},
+         |${round("a3", 3)}
+         |SELECT id, status FROM (
+         |  SELECT id, 'mis' AS status FROM c0
+         |  UNION ALL SELECT id, 'mis' FROM c1
+         |  UNION ALL SELECT id, 'mis' FROM c2
+         |  UNION ALL SELECT id, 'mis' FROM c3
+         |  UNION ALL SELECT id, 'out' FROM rm0
+         |  UNION ALL SELECT id, 'out' FROM rm1
+         |  UNION ALL SELECT id, 'out' FROM rm2
+         |  UNION ALL SELECT id, 'out' FROM rm3
+         |  UNION ALL SELECT id, 'undecided' FROM a4
+         |) u ORDER BY id""".stripMargin
+    },
+    // SymSpell twin: same md5-planted typos, deletion variants via a
+    // correlated range unnest, distinct candidates, levenshtein verify
+    "linkage_fuzzy" ->
+      """WITH c AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS rec_id, c_name AS name
+        |  FROM customer
+        |), d0 AS (
+        |  SELECT rec_id, name,
+        |    CAST('0x' || substr(md5(CAST(rec_id AS VARCHAR) || ':pos'), 1, 8)
+        |      AS BIGINT) % length(name) + 1 AS pos,
+        |    CAST('0x' || substr(md5(CAST(rec_id AS VARCHAR) || ':op'), 1, 8)
+        |      AS BIGINT) % 2 AS op
+        |  FROM c WHERE rec_id % 5 = 0
+        |), dirty AS (
+        |  SELECT rec_id + 2000000 AS rec_id,
+        |    CASE WHEN op = 0
+        |      THEN substr(name, 1, pos - 1) || 'x' || substr(name, pos + 1)
+        |      ELSE substr(name, 1, pos - 1) || substr(name, pos + 1)
+        |    END AS name
+        |  FROM d0
+        |), lv AS (
+        |  SELECT rec_id AS a_id, name AS a_name,
+        |    CASE WHEN i = length(name) THEN name
+        |         ELSE substr(name, 1, i) || substr(name, i + 2) END AS v
+        |  FROM dirty, UNNEST(range(0, length(name) + 1)) AS u(i)
+        |), rv AS (
+        |  SELECT rec_id AS b_id, name AS b_name,
+        |    CASE WHEN i = length(name) THEN name
+        |         ELSE substr(name, 1, i) || substr(name, i + 2) END AS v
+        |  FROM c, UNNEST(range(0, length(name) + 1)) AS u(i)
+        |), cand AS (
+        |  SELECT DISTINCT l.a_id, l.a_name, r.b_id, r.b_name
+        |  FROM lv l JOIN rv r ON l.v = r.v
+        |)
+        |SELECT a_id, b_id,
+        |  CAST(levenshtein(a_name, b_name) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(a_name, b_name) <= 1
         |ORDER BY a_id, b_id""".stripMargin,
     // bounded recursive CTE: UNION dedups (id, d) pairs and d < 3 caps the
     // depth, so the walk terminates; min(d) per id is the BFS distance
@@ -5070,6 +5215,38 @@ object SparkEntry {
         |SELECT item, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
         |FROM probe LEFT JOIN sk USING (depth, cell)
         |GROUP BY item ORDER BY est DESC, item LIMIT 20""".stripMargin,
+    // AMS twin: identical md5 ±1 signs rebuilt over the (key, n)
+    // vocabulary; integer sums throughout (DuckDB sum(BIGINT) is HUGEINT
+    // — cast back), median as the rn=4 order statistic of 7
+    "sketch_f2" ->
+      """WITH counts AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1
+        |), expanded AS (
+        |  SELECT k, n, i AS salt FROM counts, UNNEST(range(0, 7)) AS u(i)
+        |), signs AS (
+        |  SELECT salt, n,
+        |    1 - 2 * (CAST('0x' || substr(md5(k || ':' ||
+        |      CAST(salt AS VARCHAR)), 1, 8) AS BIGINT) % 2) AS sign
+        |  FROM expanded
+        |), sk AS (
+        |  SELECT CAST(salt AS BIGINT) AS salt,
+        |    CAST(sum(n * sign) AS BIGINT) AS s_sum
+        |  FROM signs GROUP BY 1
+        |), ests AS (
+        |  SELECT salt, s_sum * s_sum AS est FROM sk
+        |), med AS (
+        |  SELECT est AS value FROM (
+        |    SELECT est, row_number() OVER (ORDER BY est, salt) AS rn
+        |    FROM ests
+        |  ) WHERE rn = 4
+        |)
+        |SELECT 'est:' || CAST(salt AS VARCHAR) AS stat, est AS value
+        |FROM ests
+        |UNION ALL SELECT 'f2_est_median' AS stat, value FROM med
+        |UNION ALL SELECT 'f2_exact' AS stat,
+        |  CAST(sum(n * n) AS BIGINT) AS value FROM counts
+        |ORDER BY stat""".stripMargin,
     "bloom_prune" ->
       """WITH urgent AS (
         |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'

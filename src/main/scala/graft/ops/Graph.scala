@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over normalized edge lists — the algorithms the
@@ -690,5 +690,60 @@ object Graph {
       t += 1
     }
     st.select(col("walk_id"), col("cur").as("end_node"), col("path"))
+  }
+
+  /** Luby-style maximal independent set with FIXED md5 priorities: each
+    * round, an active node whose `(h(id), id)` priority beats every
+    * active neighbor's joins the set, its neighbors drop out, and the
+    * loop repeats on the shrunken active graph. Fixed priorities make
+    * the result the unique greedy MIS in priority order — deterministic
+    * and engine-reproducible — and random-looking md5 priorities give
+    * the textbook O(log n) expected round count. Fixed `rounds` keeps
+    * the operator oracle-exact (the pageRank recipe): nodes still
+    * active after the budget are reported `undecided`, never guessed.
+    *
+    * Output: one row per node appearing in `edges` —
+    * `(id, status ∈ {mis, out, undecided})`. Scale shape: per round two
+    * semi-joins restrict edges to the active set, one partial-aggregated
+    * min picks each node's best neighbor priority, and the active frame
+    * is localCheckpointed (it feeds BOTH edge-endpoint semi-joins — the
+    * self-join rule from resolveClusters/kCore).
+    */
+  def maximalIndependentSet(edges: DataFrame, rounds: Int = 6): DataFrame = {
+    require(rounds >= 1)
+    val h = (c: Column) =>
+      conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    var active = und.select(col("a").as("id")).distinct()
+    var decided: DataFrame = null
+    var r = 0
+    while (r < rounds) {
+      val act = active.localCheckpoint(true)
+      val eAct = und
+        .join(act.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(act.select(col("id").as("b")), Seq("b"), "left_semi")
+      val nbrMin = eAct.withColumn("hb", h(col("b")))
+        .groupBy(col("a").as("id"))
+        .agg(min(struct(col("hb"), col("b"))).as("m"))
+        .select(col("id"), col("m.hb").as("nh"), col("m.b").as("nid"))
+      val chosen = act.withColumn("hv", h(col("id")))
+        .join(nbrMin, Seq("id"), "left")
+        .filter(col("nh").isNull || col("hv") < col("nh") ||
+          (col("hv") === col("nh") && col("id") < col("nid")))
+        .select(col("id"))
+      val removed = eAct
+        .join(chosen.select(col("id").as("a")), Seq("a"), "left_semi")
+        .select(col("b").as("id")).distinct()
+      val dec = chosen.withColumn("status", lit("mis"))
+        .unionByName(removed.withColumn("status", lit("out")))
+        .localCheckpoint(true)
+      decided = if (decided == null) dec else decided.unionByName(dec)
+      active = act.join(dec.select("id"), Seq("id"), "left_anti")
+      r += 1
+    }
+    decided.unionByName(active.withColumn("status", lit("undecided")))
   }
 }

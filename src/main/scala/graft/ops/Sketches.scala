@@ -285,4 +285,33 @@ object Sketches {
           === bits("pos"),
         "left_semi")
     }
+
+  /** AMS second-frequency-moment (F2) sketch: `depth` independent ±1
+    * md5-sign sums, one row per salt `(salt, s_sum, est)` where
+    * `s_sum = Σ_key f_key · sign_salt(key)` and `est = s_sum²` is an
+    * unbiased F2 estimate. F2 = Σ f² is the self-join size / skew
+    * measure a planner wants BEFORE running the join, and the sketch
+    * gets it in one pass with `depth` longs of state instead of per-key
+    * counts. Take the median of `est` across salts (depth odd → an
+    * exact order statistic, no averaging) as the combined estimate.
+    *
+    * Scale shape (the CMS lesson): rows first collapse to the `(key, n)`
+    * vocabulary by partial-aggregated count, and the ×depth salt
+    * expansion runs over the VOCABULARY, not the stream; the final
+    * aggregation is `depth` groups. Everything is integer arithmetic on
+    * md5-prefix signs, so the sketch is bit-reproducible across engines.
+    */
+  def amsF2(df: DataFrame, keyCol: String, depth: Int = 7): DataFrame = {
+    require(depth >= 1 && depth % 2 == 1, s"depth must be odd: $depth")
+    df.groupBy(col(keyCol).cast("string").as("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("k"), col("n"),
+        explode(sequence(lit(0), lit(depth - 1))).as("salt"))
+      .withColumn("sign", lit(1) -
+        lit(2) * (conv(substring(md5(concat(col("k"), lit(":"),
+          col("salt").cast("string"))), 1, 8), 16, 10).cast("long") % 2))
+      .groupBy(col("salt").cast("long").as("salt"))
+      .agg(sum(col("n") * col("sign")).as("s_sum"))
+      .withColumn("est", col("s_sum") * col("s_sum"))
+  }
 }

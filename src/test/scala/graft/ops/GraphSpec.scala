@@ -351,6 +351,44 @@ class GraphSpec extends SparkSpec {
     assert(full(8L) == 8L && full(9L) == 8L)
   }
 
+  test("maximalIndependentSet: independent, maximal, every node decided") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6 plus triangle 7-8-9
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (7L, 8L), (8L, 9L), (7L, 9L))
+    val out = Graph.maximalIndependentSet(es.toDF("src", "dst"), rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet === (1L to 9L).toSet)
+    assert(!out.values.exists(_ == "undecided"))
+    val mis = out.collect { case (id, "mis") => id }.toSet
+    // independence: no edge joins two MIS nodes
+    es.foreach { case (a, b) => assert(!(mis(a) && mis(b)), s"edge $a-$b") }
+    // maximality: every excluded node has a MIS neighbor
+    val adj = (es ++ es.map(_.swap)).groupMap(_._1)(_._2)
+    out.collect { case (id, "out") => id }.foreach { id =>
+      assert(adj(id).exists(mis), s"node $id has no MIS neighbor")
+    }
+    // the triangle contributes exactly one MIS node
+    assert(Set(7L, 8L, 9L).count(mis) === 1)
+  }
+
+  test("maximalIndependentSet reports leftovers as undecided, not guessed") {
+    import spark.implicits._
+    // 1 round on a path: the losers of round 1 that were not adjacent
+    // to a winner must come back undecided rather than misclassified
+    val es = (1L until 30L).map(i => (i, i + 1))
+    val out = Graph.maximalIndependentSet(es.toDF("src", "dst"), rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val mis = out.collect { case (id, "mis") => id }.toSet
+    es.foreach { case (a, b) => assert(!(mis(a) && mis(b))) }
+    // round 1 decides winners and their neighbors only
+    val adj = (es ++ es.map(_.swap)).groupMap(_._1)(_._2)
+    out.foreach { case (id, st) =>
+      if (st == "out") assert(adj(id).exists(mis))
+      if (st == "undecided") assert(!mis(id) && !adj(id).exists(mis))
+    }
+  }
+
   test("scc halts without removal when hops cannot converge") {
     // a long cycle whose propagation diameter exceeds hops=1: the
     // verification step detects instability and nothing is assigned

@@ -28,6 +28,38 @@ class LinkageSpec extends SparkSpec {
     assert(got === Set((100L, 101L)))
   }
 
+  test("symspellJoin matches exactly the pairs within levenshtein 1") {
+    import spark.implicits._
+    val clean = Seq((1L, "customer"), (2L, "castomer"), (3L, "zzz"))
+      .toDF("rec_id", "name")
+    val dirty = Seq(
+      (10L, "custmer"),   // deletion of 'o' → dist 1 to #1 only
+      (11L, "customer"),  // dist 0 to #1 AND dist 1 to #2 (u→a sub)
+      (12L, "cstomr"),    // two deletions → dist 2 to #1: candidate, filtered
+      (13L, "qqq")        // unrelated
+    ).toDF("rec_id", "name")
+    val got = Linkage.symspellJoin(dirty, clean)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((10L, 1L, 1L), (11L, 1L, 0L), (11L, 2L, 1L)))
+  }
+
+  test("symspellJoin finds substitutions through the shared-deletion variant") {
+    import spark.implicits._
+    val clean = Seq((1L, "abcd")).toDF("rec_id", "name")
+    val dirty = Seq((10L, "abXd"), (11L, "Xbcd"), (12L, "abcX"))
+      .toDF("rec_id", "name")
+    val got = Linkage.symspellJoin(dirty, clean)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((10L, 1L, 1L), (11L, 1L, 1L), (12L, 1L, 1L)))
+  }
+
+  test("symspellJoin plans an equi-join, not a cross product") {
+    import spark.implicits._
+    val l = Seq((1L, "ab")).toDF("rec_id", "name")
+    val r = Seq((2L, "ac")).toDF("rec_id", "name")
+    assertNoCrossProduct(Linkage.symspellJoin(l, r), "symspellJoin")
+  }
+
   test("blockedMatch plans an equi-join, not a cross product") {
     import spark.implicits._
     val recs = Seq((1L, "a", "b1"), (2L, "b", "b1")).toDF("rec_id", "name", "block")
