@@ -681,6 +681,25 @@ object SparkEntry {
       Sampling.sourceMix(rd(s, dir, "documents")).orderBy("source", "lang")),
     "corpus_stats" -> ((s, dir) =>
       Sampling.corpusStats(rd(s, dir, "documents")).orderBy("lang")),
+    // --- Heaps-law vocabulary growth per 10-doc checkpoint: the
+    // first-occurrence formulation (a type is new at the bucket of its
+    // min doc_id), window only over the bounded checkpoint frame
+    "corpus_heaps" -> ((s, dir) =>
+      TextAnalysis.heapsGrowth(rd(s, dir, "documents"), 10L)
+        .orderBy("bucket")),
+    // --- preference-pair mining: best-vs-worst alpha-ratio-scored doc
+    // per source, partial-aggregable argmin/argmax extremes (no rank
+    // window over group members), integer-ppm scores
+    "pref_pairs" -> ((s, dir) => {
+      val scored = rd(s, dir, "documents")
+        .withColumn("alpha",
+          length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long"))
+        .withColumn("score",
+          expr("alpha * 1000000L div greatest(length(text), 1)"))
+        .select(col("source"), col("doc_id"), col("score"))
+      Sampling.preferencePairs(scored, "source", "doc_id", "score", 1L)
+        .orderBy("source")
+    }),
     // --- training-set assembly
     "split_assign" -> ((s, dir) =>
       Sampling.splitAssign(
@@ -871,6 +890,14 @@ object SparkEntry {
       val ev = rdEvents(s, dir).select(col("user_id"),
         expr("ts div 1000").as("ts"), col("value"))
       Events.rfm(ev).orderBy("user_id")
+    }),
+    // --- discrete-time churn lifetime table: exact KM numerators /
+    // denominators as integers, at-risk window over the bounded
+    // lifetime frame, 1-row driver pull for the horizon
+    "events_hazard" -> ((s, dir) => {
+      val ev = rdEvents(s, dir).select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"))
+      Events.hazardTable(ev, censorDays = 7L).orderBy("lifetime")
     }),
     // --- session co-visitation with integer-ppm lift vs independence
     "events_covisit" -> ((s, dir) => {
@@ -3031,6 +3058,56 @@ object SparkEntry {
         |  CAST(n_tokens AS DOUBLE) /
         |    CAST((SELECT sum(n_tokens) FROM per) AS DOUBLE) AS token_share
         |FROM per ORDER BY source, lang""".stripMargin,
+    // Heaps twin: same first-occurrence formulation; // is DuckDB
+    // integer division (both floor on non-negative doc ids)
+    "corpus_heaps" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t AS token FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |    FROM documents
+        |  ) u WHERE length(t) > 0
+        |), pb AS (
+        |  SELECT doc_id // 10 AS bucket, CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM tok GROUP BY 1
+        |), nt AS (
+        |  SELECT first_doc // 10 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS new_types
+        |  FROM (SELECT token, min(doc_id) AS first_doc FROM tok GROUP BY 1) f
+        |  GROUP BY 1
+        |), j AS (
+        |  SELECT CAST(pb.bucket AS BIGINT) AS bucket, n_tokens,
+        |    CAST(coalesce(new_types, 0) AS BIGINT) AS new_types
+        |  FROM pb LEFT JOIN nt ON pb.bucket = nt.bucket
+        |)
+        |SELECT bucket, n_tokens, new_types,
+        |  CAST(sum(n_tokens) OVER (ORDER BY bucket
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        |  CAST(sum(new_types) OVER (ORDER BY bucket
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+        |FROM j ORDER BY bucket""".stripMargin,
+    // best-vs-worst twin: rank windows are fine in the oracle (it does
+    // not need the partial-agg trick); tie-breaks match the struct
+    // argmin/argmax (score then smaller doc_id on both ends)
+    "pref_pairs" ->
+      """WITH scored AS (
+        |  SELECT source, doc_id,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |      AS BIGINT) * 1000000 // greatest(length(text), 1) AS score
+        |  FROM documents
+        |), r AS (
+        |  SELECT source, doc_id, score,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id) AS rb,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY score ASC, doc_id) AS rw
+        |  FROM scored
+        |)
+        |SELECT b.source AS source, b.doc_id AS chosen_id,
+        |  b.score AS chosen_score, w.doc_id AS rejected_id,
+        |  w.score AS rejected_score, b.score - w.score AS margin
+        |FROM r b JOIN r w ON b.source = w.source AND b.rb = 1 AND w.rw = 1
+        |WHERE b.score - w.score >= 1 AND b.doc_id <> w.doc_id
+        |ORDER BY source""".stripMargin,
     "text_ngrams" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
@@ -3568,6 +3645,33 @@ object SparkEntry {
         |ORDER BY event_type, day""".stripMargin,
     // ntile's bucket-split rule (earlier buckets take the extras) is
     // identical in DuckDB; the (metric, user_id) total order pins ties
+    // lifetime-table twin: scalar-subquery horizon, at-risk as a
+    // descending cumulative over the bounded lifetime frame, integer
+    // hazard ppm (// matches Spark div on non-negative operands)
+    "events_hazard" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+        |), pu AS (
+        |  SELECT user_id, min(day) AS first_day, max(day) AS last_day
+        |  FROM ev GROUP BY 1
+        |), lt AS (
+        |  SELECT last_day - first_day AS lifetime,
+        |    CASE WHEN last_day >= (SELECT max(last_day) FROM pu) - 6
+        |      THEN 1 ELSE 0 END AS cens
+        |  FROM pu
+        |), tbl AS (
+        |  SELECT lifetime, CAST(sum(1 - cens) AS BIGINT) AS churned,
+        |    CAST(sum(cens) AS BIGINT) AS censored
+        |  FROM lt GROUP BY 1
+        |), risk AS (
+        |  SELECT CAST(lifetime AS BIGINT) AS lifetime, churned, censored,
+        |    CAST(sum(churned + censored) OVER (ORDER BY lifetime DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+        |  FROM tbl
+        |)
+        |SELECT lifetime, n_risk, churned, censored,
+        |  churned * 1000000 // n_risk AS hazard_ppm
+        |FROM risk ORDER BY lifetime""".stripMargin,
     "events_rfm" ->
       """WITH pu AS (
         |  SELECT user_id, max(epoch_us(ts)) AS last_ts,

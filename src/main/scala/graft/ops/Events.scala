@@ -1078,4 +1078,40 @@ object Events {
         max(col("last_secs")).over(Window.partitionBy())
           - col("last_secs"))
   }
+
+  /** Discrete-time churn lifetime table (the Kaplan-Meier numerators and
+    * denominators, kept as exact integers — no order-dependent float
+    * product anywhere): per observed lifetime t, how many users churned
+    * at t, how many were censored at t (still active within `censorDays`
+    * of the horizon), and how many were at risk (lifetime ≥ t). The
+    * per-lifetime hazard is emitted as an exact `churned·10⁶ div n_risk`
+    * ppm; consumers can fold survival curves from the table however they
+    * like. Input: `(user_id, day)` event rows.
+    *
+    * Scale shape: one keyed aggregation to per-user spans, a 1-row
+    * driver pull for the horizon (the k-means-centroid class — truncates
+    * nothing, broadcasts nothing), one aggregation to the lifetime
+    * table, and the at-risk cumulative window runs over the BOUNDED
+    * lifetime frame (≤ the day span of the corpus), never over users.
+    */
+  def hazardTable(events: DataFrame, censorDays: Long = 7L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = events.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+    val horizon = perUser.agg(max(col("last_day"))).head.getLong(0)
+    val tbl = perUser
+      .select((col("last_day") - col("first_day")).as("lifetime"),
+        (col("last_day") >= horizon - (censorDays - 1)).cast("long")
+          .as("cens"))
+      .groupBy(col("lifetime"))
+      .agg(sum(lit(1L) - col("cens")).as("churned"),
+        sum(col("cens")).as("censored"))
+    tbl
+      .withColumn("n_risk", sum(col("churned") + col("censored")).over(
+        Window.orderBy(desc("lifetime"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("hazard_ppm", expr("churned * 1000000L div n_risk"))
+      .select(col("lifetime"), col("n_risk"), col("churned"),
+        col("censored"), col("hazard_ppm"))
+  }
 }

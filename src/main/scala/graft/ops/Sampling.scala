@@ -390,4 +390,31 @@ object Sampling {
           .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
         .cast("long"))
   }
+
+  /** Preference-pair mining for reward-model / DPO training: per group
+    * (prompt, source, …), pair the best-scored candidate with the
+    * worst-scored one, keeping pairs whose margin clears `minMargin`.
+    * Deterministic tie-breaks (equal score → smaller id on BOTH ends)
+    * make the pair set engine-reproducible; single-member groups and
+    * zero-margin groups emit nothing.
+    *
+    * Scale shape: no rank window over group members — both extremes are
+    * partial-aggregable `min/max(struct)` argmin/argmax (the
+    * part_best_supplier pattern), so a group of any size costs one
+    * combine per partition and the shuffle carries two structs per
+    * group.
+    */
+  def preferencePairs(scored: DataFrame, groupCol: String, idCol: String,
+                      scoreCol: String, minMargin: Long = 1L): DataFrame =
+    scored
+      .groupBy(col(groupCol))
+      .agg(
+        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("negid"))).as("b"),
+        min(struct(col(scoreCol).as("s"), col(idCol).as("id"))).as("w"))
+      .select(col(groupCol),
+        (-col("b.negid")).as("chosen_id"), col("b.s").as("chosen_score"),
+        col("w.id").as("rejected_id"), col("w.s").as("rejected_score"))
+      .withColumn("margin", col("chosen_score") - col("rejected_score"))
+      .filter(col("margin") >= minMargin &&
+        col("chosen_id") =!= col("rejected_id"))
 }

@@ -1349,4 +1349,34 @@ object TextAnalysis {
           array_sort(collect_list(struct(pos, piece))), s -> s.piece),
           chr(10))""")).cast("long").as("n_chars"))
   }
+
+  /** Heaps-law vocabulary growth: cumulative distinct token types vs
+    * cumulative token count as the corpus is consumed in doc_id order,
+    * one row per `bucketWidth`-doc checkpoint. The naive "count distinct
+    * over a growing prefix" is shuffle-hostile (one distinct per
+    * checkpoint); the equivalent first-occurrence formulation is two
+    * keyed aggregations — a type is NEW exactly at the bucket of its
+    * minimum doc_id (div is monotone, so min(doc) determines the
+    * bucket) — and the only ordered window runs over the BOUNDED
+    * checkpoint frame, never the token stream.
+    */
+  def heapsGrowth(docs: DataFrame, bucketWidth: Long = 10L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tok = docs
+      .select(col("doc_id"), explode(tokensCol(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+    val perBucket = tok
+      .groupBy(expr(s"doc_id div ${bucketWidth}L").as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val newTypes = tok
+      .groupBy(col("token")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(expr(s"first_doc div ${bucketWidth}L").as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    perBucket.join(newTypes, Seq("bucket"), "left")
+      .na.fill(0L, Seq("new_types"))
+      .select(col("bucket"), col("n_tokens"), col("new_types"),
+        sum(col("n_tokens")).over(w).as("cum_tokens"),
+        sum(col("new_types")).over(w).as("cum_types"))
+  }
 }

@@ -585,4 +585,26 @@ class EventsSpec extends SparkSpec {
       Seq("a>b", "a>b>c>d>e", "b>a"))
     assert(r.map(_.getAs[Long]("n_sessions")).toSeq == Seq(2L, 1L, 1L))
   }
+
+  test("hazardTable: churn/censor split and at-risk cumulative are exact") {
+    import spark.implicits._
+    // horizon = 10; censorDays = 3 -> censored iff last_day >= 8
+    val ev = Seq(
+      (1L, 0L), (1L, 4L),   // lifetime 4, churned
+      (2L, 2L), (2L, 6L),   // lifetime 4, churned
+      (3L, 0L), (3L, 10L),  // lifetime 10, censored
+      (4L, 9L),             // lifetime 0, censored
+      (5L, 1L), (5L, 3L)    // lifetime 2, churned
+    ).toDF("user_id", "day")
+    val out = Events.hazardTable(ev, censorDays = 3L)
+      .orderBy("lifetime").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(out === Seq(
+      (0L, 5L, 0L, 1L, 0L),
+      (2L, 4L, 1L, 0L, 250000L),
+      (4L, 3L, 2L, 0L, 666666L),
+      (10L, 1L, 0L, 1L, 0L)))
+  }
+
 }

@@ -274,4 +274,25 @@ class SamplingSpec extends SparkSpec {
     assert(again == out.map(r => (r.getAs[Long]("doc_id"),
       r.getAs[Long]("stage"), r.getAs[Long]("pos"))).toSet)
   }
+
+  test("preferencePairs picks deterministic extremes, drops degenerate groups") {
+    import spark.implicits._
+    val scored = Seq(
+      ("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 1L), // tie -> min id wins
+      ("b", 4L, 5L),                                 // singleton: dropped
+      ("c", 5L, 7L), ("c", 6L, 7L)                   // margin 0: dropped
+    ).toDF("source", "doc_id", "score")
+    val out =
+      Sampling.preferencePairs(scored, "source", "doc_id", "score", 1L)
+        .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[String]("source") === "a")
+    assert(r.getAs[Long]("chosen_id") === 1L)
+    assert(r.getAs[Long]("rejected_id") === 3L)
+    assert(r.getAs[Long]("chosen_score") === 10L)
+    assert(r.getAs[Long]("rejected_score") === 1L)
+    assert(r.getAs[Long]("margin") === 9L)
+  }
+
 }

@@ -599,4 +599,18 @@ class TextAnalysisSpec extends SparkSpec {
     // "be kind"=7; "hi\nthere"=8; "hello\nworld\nagain"=17; "bye"=3
     assert(out.map(_.getAs[Long]("n_chars")).toSeq == Seq(7L, 8L, 17L, 3L))
   }
+
+  test("heapsGrowth counts new types at first occurrence, cumulative exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b a"), (1L, "b c"),  // bucket 0: 5 tokens, types a,b,c
+      (2L, "c d d"), (3L, "a e")   // bucket 1: 5 tokens, new d,e
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.heapsGrowth(docs, bucketWidth = 2L)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(out === Seq((0L, 5L, 3L, 5L, 3L), (1L, 5L, 2L, 10L, 5L)))
+  }
+
 }
