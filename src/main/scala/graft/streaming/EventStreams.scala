@@ -645,4 +645,70 @@ object EventStreams {
           out.iterator
       }
   }
+
+  final case class SessionRow(user_id: Long, session_idx: Long,
+    session_start: Long, session_end: Long, n_events: Long)
+
+  /** Streaming twin of [[graft.ops.Events.sessionize]] — gap
+    * sessionization at ingest. A session closes when a same-user event
+    * arrives more than `gapSeconds` after the session end, or when the
+    * event-time watermark passes `session_end + gapSeconds` (idle users
+    * do not hold state forever: one open-session tuple per active user,
+    * evicted on emission). In-order arrivals reproduce the batch session
+    * set and indices exactly (spec-asserted); an out-of-order arrival
+    * inside the watermark extends the open session the way the batch
+    * operator would, but cannot reopen an already-emitted session — the
+    * horizon trade-off every streaming sessionizer makes.
+    *
+    * The timeout is clamped strictly above the current watermark (Spark
+    * rejects a timeout at or before it); if the watermark already passed
+    * the session's natural close, the session closes on the next
+    * trigger instead of killing the query.
+    */
+  def streamingSessions(events: DataFrame, gapSeconds: Long = 1800L,
+                        watermark: String = "1 hour")(
+      implicit spark: SparkSession): Dataset[SessionRow] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts_time", watermark)
+      .selectExpr("user_id", "event_id", "ts div 1000000000 AS secs",
+        "ts_time")
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long,
+         rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (idx, st0, en, n) = state.get
+            state.remove()
+            Iterator.single(SessionRow(user, idx, st0, en, n))
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+            var cur = state.getOption
+            val batch = rows.toSeq
+            batch.sortBy(r => (r._3, r._2)).foreach { case (_, _, sec, _) =>
+              cur match {
+                case None => cur = Some((1L, sec, sec, 1L))
+                case Some((idx, st0, en, n)) =>
+                  if (sec - en > gapSeconds) {
+                    out += SessionRow(user, idx, st0, en, n)
+                    cur = Some((idx + 1, sec, sec, 1L))
+                  } else {
+                    cur = Some((idx, math.min(st0, sec),
+                      math.max(en, sec), n + 1))
+                  }
+              }
+            }
+            state.update(cur.get)
+            val proposed = batch.map(_._4.getTime).max + gapSeconds * 1000L
+            val floor = state.getCurrentWatermarkMs() + 1L
+            state.setTimeoutTimestamp(math.max(proposed, floor))
+            out.iterator
+          }
+      }
+  }
+
 }

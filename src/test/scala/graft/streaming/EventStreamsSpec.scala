@@ -588,4 +588,44 @@ class EventStreamsSpec extends SparkSpec {
         s"stream $streamed != batch $batchLeaders")
     } finally q.stop()
   }
+
+  test("streamingSessions equals batch sessions; idle timeout closes state") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    def ns(sec: Long) = sec * 1000000000L
+    val mem = MemoryStream[(Long, Long, Long, Timestamp)]
+    val out = EventStreams.streamingSessions(
+      mem.toDF.toDF("user_id", "event_id", "ts", "ts_time"),
+      gapSeconds = 1800L, watermark = "10 seconds")
+    val q = out.toDF.writeStream.format("memory").queryName("sess_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // base offset keeps event times off the epoch-0 initial watermark
+      mem.addData((1L, 1L, ns(1000), t(1000)), (1L, 2L, ns(1100), t(1100)),
+        (2L, 9L, ns(1050), t(1050)))
+      q.processAllAvailable()
+      // gap-exceeding arrival closes user 1's first session in-function
+      mem.addData((1L, 3L, ns(3000), t(3000)))
+      q.processAllAvailable()
+      // watermark jump: user 1's open session and user 2's only session
+      // must close via EVENT-TIME TIMEOUT (no further events for them)
+      mem.addData((3L, 99L, ns(10000), t(10000)))
+      q.processAllAvailable()
+      mem.addData((3L, 100L, ns(20000), t(20000)))
+      q.processAllAvailable()
+      val got = spark.table("sess_test").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx"),
+          r.getAs[Long]("session_start"), r.getAs[Long]("session_end"),
+          r.getAs[Long]("n_events"))).toSet
+      assert(got === Set(
+        (1L, 1L, 1000L, 1100L, 2L),  // closed by the 3000s arrival
+        (1L, 2L, 3000L, 3000L, 1L),  // closed by timeout
+        (2L, 1L, 1050L, 1050L, 1L),  // closed by timeout
+        (3L, 1L, 10000L, 10000L, 1L) // closed by the 20000s arrival
+      ))
+    } finally q.stop()
+  }
+
 }
