@@ -681,6 +681,11 @@ object SparkEntry {
       Sampling.sourceMix(rd(s, dir, "documents")).orderBy("source", "lang")),
     "corpus_stats" -> ((s, dir) =>
       Sampling.corpusStats(rd(s, dir, "documents")).orderBy("lang")),
+    // --- skip-gram PMI-ratio association pairs (±2 window): equi-joins
+    // on (doc_id, pos+k), integer ratio (log-free PMI twin), top-40
+    "text_pmi" -> ((s, dir) =>
+      TextAnalysis.skipgramStats(rd(s, dir, "documents"), window = 2,
+        topK = 40).orderBy(desc("ratio_ppm"), asc("tok_a"), asc("tok_b"))),
     // --- Heaps-law vocabulary growth per 10-doc checkpoint: the
     // first-occurrence formulation (a type is new at the bucket of its
     // min doc_id), window only over the bounded checkpoint frame
@@ -784,6 +789,31 @@ object SparkEntry {
       val state = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"), col("value"))
       Events.joinAsOf(probe, state, "user_id", "ts", Seq("value"))
+        .orderBy("event_id")
+    }),
+    // --- feature-store point-in-time join: purchases enriched with the
+    // latest prior view value AND the cumulative click count as-of the
+    // purchase — two composed joinAsOf passes over (user,ts)-unique
+    // pre-aggregated feature states (no leakage from future rows)
+    "features_pit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = rdEvents(s, dir).withColumn("ts", expr("ts div 1000"))
+      val probe = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val viewState = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("view_value"))
+      val clickCum = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts")).agg(count(lit(1)).as("c"))
+        .withColumn("clicks_so_far", sum(col("c")).over(
+          Window.partitionBy("user_id").orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("user_id"), col("ts"), col("clicks_so_far"))
+      val f1 = Events.joinAsOf(probe, viewState, "user_id", "ts",
+          Seq("view_value"))
+        .withColumnRenamed("asof_time", "view_time")
+      Events.joinAsOf(f1, clickCum, "user_id", "ts", Seq("clicks_so_far"))
+        .withColumnRenamed("asof_time", "click_time")
         .orderBy("event_id")
     }),
     // ordered funnel over the event stream; micro-truncated times so both
@@ -1461,6 +1491,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .agg(sum(col("n") * col("n")).as("value"))
         .select(lit("f2_exact").as("stat"), col("value"))
+      salts.unionByName(med).unionByName(exact).orderBy("stat")
+    }),
+    // --- AMS inner-product join-size estimate for orders ⋈ lineitem:
+    // same signs on both sides make E[S_A·S_B] the exact equi-join
+    // output size; labeled rows as in sketch_f2
+    "sketch_joinsize" -> ((s, dir) => {
+      val o = rd(s, dir, "orders").select(col("o_orderkey").as("k"))
+      val l = rd(s, dir, "lineitem").select(col("l_orderkey").as("k"))
+      val sk = Sketches.amsJoinSize(o, "k", l, "k", depth = 7)
+      val salts = sk.select(
+        concat(lit("est:"), col("salt").cast("string")).as("stat"),
+        col("est").as("value"))
+      val med = sk.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("est"), col("salt"))))
+        .filter(col("rn") === 4)
+        .select(lit("join_est_median").as("stat"), col("est").as("value"))
+      val exact = o.groupBy(col("k")).agg(count(lit(1)).as("na"))
+        .join(l.groupBy(col("k")).agg(count(lit(1)).as("nb")), Seq("k"))
+        .agg(sum(col("na") * col("nb")).as("value"))
+        .select(lit("join_exact").as("stat"), col("value"))
       salts.unionByName(med).unionByName(exact).orderBy("stat")
     }),
     // --- Bloom runtime filter: urgent-order keys -> 3x65536-bit filter,
@@ -3058,6 +3109,40 @@ object SparkEntry {
         |  CAST(n_tokens AS DOUBLE) /
         |    CAST((SELECT sum(n_tokens) FROM per) AS DOUBLE) AS token_share
         |FROM per ORDER BY source, lang""".stripMargin,
+    // skip-gram twin: 1-indexed list positions (offsets are engine-local,
+    // never emitted), same support floors, integer ratio via //
+    "text_pmi" ->
+      """WITH dl AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, i AS pos, l[i] AS token
+        |  FROM dl, UNNEST(range(1, len(l) + 1)) AS u(i)
+        |  WHERE length(l[i]) > 0
+        |), pairs AS (
+        |  SELECT a.token AS tok_a, b.token AS tok_b
+        |  FROM tok a JOIN tok b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  UNION ALL
+        |  SELECT a.token, b.token
+        |  FROM tok a JOIN tok b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 2
+        |), pc AS (
+        |  SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS n_pair
+        |  FROM pairs GROUP BY 1, 2
+        |), uni AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS n_tok FROM tok GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n FROM tok
+        |)
+        |SELECT tok_a, tok_b, n_pair, ua.n_tok AS n_a, ub.n_tok AS n_b,
+        |  n_pair * (SELECT n FROM tot) * 1000000 // (ua.n_tok * ub.n_tok)
+        |    AS ratio_ppm
+        |FROM pc
+        |JOIN uni ua ON pc.tok_a = ua.token
+        |JOIN uni ub ON pc.tok_b = ub.token
+        |WHERE n_pair >= 3 AND ua.n_tok >= 5 AND ub.n_tok >= 5
+        |ORDER BY ratio_ppm DESC, tok_a, tok_b LIMIT 40""".stripMargin,
     // Heaps twin: same first-occurrence formulation; // is DuckDB
     // integer division (both floor on non-negative doc ids)
     "corpus_heaps" ->
@@ -3347,6 +3432,34 @@ object SparkEntry {
         |  s.ts AS asof_time, s.value AS asof_value
         |FROM probe p ASOF LEFT JOIN state s
         |  ON p.user_id = s.user_id AND s.ts <= p.ts
+        |ORDER BY event_id""".stripMargin,
+    // point-in-time twin: two chained ASOF LEFT JOINs against the same
+    // (user,ts)-unique pre-aggregated states; <= matches joinAsOf's
+    // state-sorts-first tag ordering
+    "features_pit" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts, event_type, value
+        |  FROM events
+        |), probe AS (
+        |  SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'
+        |), vs AS (
+        |  SELECT user_id, ts, max(value) AS view_value
+        |  FROM ev WHERE event_type = 'view' GROUP BY 1, 2
+        |), cc AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(c) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS clicks_so_far
+        |  FROM (
+        |    SELECT user_id, ts, CAST(count(*) AS BIGINT) AS c
+        |    FROM ev WHERE event_type = 'click' GROUP BY 1, 2
+        |  ) t
+        |)
+        |SELECT p.event_id AS event_id, p.user_id AS user_id, p.ts AS ts,
+        |  v.ts AS view_time, v.view_value AS asof_view_value,
+        |  c.ts AS click_time, c.clicks_so_far AS asof_clicks_so_far
+        |FROM probe p
+        |ASOF LEFT JOIN vs v ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ASOF LEFT JOIN cc c ON p.user_id = c.user_id AND c.ts <= p.ts
         |ORDER BY event_id""".stripMargin,
     "events_funnel" ->
       """WITH ev AS (
@@ -5350,6 +5463,47 @@ object SparkEntry {
         |UNION ALL SELECT 'f2_est_median' AS stat, value FROM med
         |UNION ALL SELECT 'f2_exact' AS stat,
         |  CAST(sum(n * n) AS BIGINT) AS value FROM counts
+        |ORDER BY stat""".stripMargin,
+    // inner-product twin: identical sign derivation on both key
+    // vocabularies, per-salt product, rn=4 median, exact Σ fA·fB row
+    "sketch_joinsize" ->
+      """WITH ca AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS k,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1
+        |), cb AS (
+        |  SELECT CAST(l_orderkey AS VARCHAR) AS k,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1
+        |), sa AS (
+        |  SELECT CAST(salt AS BIGINT) AS salt,
+        |    CAST(sum(n * (1 - 2 * (CAST('0x' || substr(md5(k || ':' ||
+        |      CAST(salt AS VARCHAR)), 1, 8) AS BIGINT) % 2)))
+        |      AS BIGINT) AS s_a
+        |  FROM (SELECT k, n, i AS salt FROM ca, UNNEST(range(0, 7)) AS u(i)) e
+        |  GROUP BY 1
+        |), sb AS (
+        |  SELECT CAST(salt AS BIGINT) AS salt,
+        |    CAST(sum(n * (1 - 2 * (CAST('0x' || substr(md5(k || ':' ||
+        |      CAST(salt AS VARCHAR)), 1, 8) AS BIGINT) % 2)))
+        |      AS BIGINT) AS s_b
+        |  FROM (SELECT k, n, i AS salt FROM cb, UNNEST(range(0, 7)) AS u(i)) e
+        |  GROUP BY 1
+        |), ests AS (
+        |  SELECT sa.salt AS salt, s_a * s_b AS est
+        |  FROM sa JOIN sb ON sa.salt = sb.salt
+        |), med AS (
+        |  SELECT est AS value FROM (
+        |    SELECT est, row_number() OVER (ORDER BY est, salt) AS rn
+        |    FROM ests
+        |  ) w WHERE rn = 4
+        |)
+        |SELECT 'est:' || CAST(salt AS VARCHAR) AS stat, est AS value
+        |FROM ests
+        |UNION ALL SELECT 'join_est_median' AS stat, value FROM med
+        |UNION ALL SELECT 'join_exact' AS stat,
+        |  CAST((SELECT sum(ca.n * cb.n) FROM ca JOIN cb ON ca.k = cb.k)
+        |    AS BIGINT) AS value
         |ORDER BY stat""".stripMargin,
     "bloom_prune" ->
       """WITH urgent AS (

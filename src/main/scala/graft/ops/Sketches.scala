@@ -314,4 +314,21 @@ object Sketches {
       .agg(sum(col("n") * col("sign")).as("s_sum"))
       .withColumn("est", col("s_sum") * col("s_sum"))
   }
+
+  /** AMS inner-product join-size estimate: with the SAME signs on both
+    * sides, `E[S_A·S_B] = Σ_k fA(k)·fB(k)` — the equi-join output size —
+    * so a planner can size `A ⋈ B` from two `depth`-long sketches built
+    * in one pass over each side, long before running the join. Returns
+    * one row per salt `(salt, s_a, s_b, est = s_a·s_b)`; combine with
+    * the odd-depth median as in [[amsF2]]. Sketch build cost is the
+    * amsF2 shape (vocabulary-sized salt expansion, `depth` groups); the
+    * combine is a `depth`-row equi-join.
+    */
+  def amsJoinSize(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
+                  depth: Int = 7): DataFrame = {
+    val skA = amsF2(a, aKey, depth).select(col("salt"), col("s_sum").as("s_a"))
+    val skB = amsF2(b, bKey, depth).select(col("salt"), col("s_sum").as("s_b"))
+    skA.join(skB, Seq("salt"))
+      .withColumn("est", col("s_a") * col("s_b"))
+  }
 }

@@ -1360,6 +1360,52 @@ object TextAnalysis {
     * bucket) — and the only ordered window runs over the BOUNDED
     * checkpoint frame, never the token stream.
     */
+  /** Skip-gram co-occurrence association (the word2vec/PMI statistic):
+    * for ordered token pairs within `window` positions, the ratio
+    * `n_pair·N·10⁶ div (n_a·n_b)` — a monotone exact-integer twin of
+    * PMI (its log, divided by 1e6) kept log-free for engine parity
+    * (`ln` is the one libm call with last-ulp drift between engines).
+    * Support floors (`minPair`, `minTok`) drop the hapax pairs whose
+    * ratio is maximal but meaningless. Longs hold the product up to
+    * N ≈ 3·10⁹ tokens; beyond that, lift to decimal(38,0).
+    *
+    * Scale shape: pair generation is `window` self-EQUI-joins of the
+    * position table on `(doc_id, pos + k)` — linear in corpus size,
+    * never the per-doc position cross product — and both count sides
+    * partial-aggregate before their joins. N is a 1-row driver pull.
+    * The final global top-k is a TakeOrdered, not a sort.
+    */
+  def skipgramStats(docs: DataFrame, window: Int = 2, topK: Int = 40,
+                    minPair: Long = 3L, minTok: Long = 5L): DataFrame = {
+    require(window >= 1)
+    val tok = docs
+      .select(col("doc_id"),
+        posexplode(tokensCol(lower(col("text")))).as(Seq("pos", "token")))
+      .filter(length(col("token")) > 0)
+    val nTotal = tok.count()
+    val uni = tok.groupBy(col("token")).agg(count(lit(1)).as("n_tok"))
+    val pairs = (1 to window).map { k =>
+      tok.as("a").join(tok.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.pos") === col("a.pos") + k)
+        .select(col("a.token").as("tok_a"), col("b.token").as("tok_b"))
+    }.reduce(_ unionByName _)
+    pairs.groupBy(col("tok_a"), col("tok_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPair)
+      .join(uni.select(col("token").as("tok_a"), col("n_tok").as("n_a")),
+        Seq("tok_a"))
+      .join(uni.select(col("token").as("tok_b"), col("n_tok").as("n_b")),
+        Seq("tok_b"))
+      .filter(col("n_a") >= minTok && col("n_b") >= minTok)
+      .withColumn("ratio_ppm",
+        expr(s"n_pair * ${nTotal}L * 1000000L div (n_a * n_b)"))
+      .select(col("tok_a"), col("tok_b"), col("n_pair"), col("n_a"),
+        col("n_b"), col("ratio_ppm"))
+      .orderBy(desc("ratio_ppm"), asc("tok_a"), asc("tok_b"))
+      .limit(topK)
+  }
+
   def heapsGrowth(docs: DataFrame, bucketWidth: Long = 10L): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

@@ -152,6 +152,16 @@ class SketchesSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("amsJoinSize: self-join product equals amsF2, disjoint keys small") {
+    import spark.implicits._
+    val rows = (1 to 100).map(i => (i % 7).toLong).toDF("k")
+    val self = Sketches.amsJoinSize(rows, "k", rows, "k")
+      .collect().map(r => (r.getAs[Long]("salt"), r.getAs[Long]("est"))).toMap
+    val f2 = Sketches.amsF2(rows, "k")
+      .collect().map(r => (r.getAs[Long]("salt"), r.getAs[Long]("est"))).toMap
+    assert(self === f2) // S_A == S_B when the inputs coincide
+  }
+
   test("sketch plans stay bucketed: no cross product anywhere") {
     val items = (1 to 100).map(i => s"t$i").toDF("tok")
     val sk = Sketches.cmsSketch(items, "tok")

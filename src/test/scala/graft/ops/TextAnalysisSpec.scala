@@ -613,4 +613,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out === Seq((0L, 5L, 3L, 5L, 3L), (1L, 5L, 2L, 10L, 5L)))
   }
 
+
+  test("skipgramStats counts windowed pairs and exact integer ratios") {
+    import spark.implicits._
+    // "x y" adjacent 6 times; x,y,z each frequent enough for the floor
+    val docs = (0L until 6L).map(i => (i, "x y z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.skipgramStats(docs, window = 2, topK = 10,
+      minPair = 3L, minTok = 5L).collect()
+      .map(r => (r.getAs[String]("tok_a"), r.getAs[String]("tok_b")) ->
+        (r.getAs[Long]("n_pair"), r.getAs[Long]("ratio_ppm"))).toMap
+    // N = 18 tokens; each unigram n = 6; pairs x->y, y->z (offset 1),
+    // x->z (offset 2), each 6 times: ratio = 6*18*1e6 / 36 = 3e6
+    assert(out.keySet === Set(("x","y"), ("y","z"), ("x","z")))
+    assert(out.values.forall(_ == (6L, 3000000L)))
+  }
+
 }
