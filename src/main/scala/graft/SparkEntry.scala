@@ -123,6 +123,28 @@ object SparkEntry {
         .withColumn("block", substring(col("name"), 1, 17))
       Linkage.blockedMatch(recs, maxDist = 1).orderBy("a_id", "b_id")
     }),
+    // --- golden-record survivorship: match pairs (blocked levenshtein
+    // over full-name blocks, planted X/Y append-variants) -> star
+    // components -> partial-aggregable merge rules (min id, most
+    // frequent name w/ lexicographic tie, max balance)
+    "entity_golden" -> ((s, dir) => {
+      val c = rd(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("rec_id"), col("c_name").as("name"),
+        col("c_acctbal").as("acctbal"))
+      val xv = c.filter(col("rec_id") < 50)
+        .select((col("rec_id") + 1000000L).as("rec_id"),
+          concat(col("name"), lit("X")).as("name"),
+          (col("acctbal") + lit(100.0)).as("acctbal"))
+      val yv = c.filter(col("rec_id") < 25)
+        .select((col("rec_id") + 2000000L).as("rec_id"),
+          concat(col("name"), lit("Y")).as("name"),
+          (col("acctbal") + lit(200.0)).as("acctbal"))
+      val recs = c.unionByName(xv).unionByName(yv)
+      val pairs = Linkage.blockedMatch(
+        recs.withColumn("block", substring(col("name"), 1, 18)), maxDist = 1)
+        .select(col("a_id"), col("b_id"))
+      Linkage.goldenRecords(recs, pairs).orderBy("cluster_id")
+    }),
     // --- deletion-neighborhood fuzzy join: customers with a planted
     // md5-positioned typo (substitute 'x' or delete one char — both
     // exactly distance 1; names have no literal 'x') matched back to the
@@ -920,6 +942,18 @@ object SparkEntry {
       val ev = rdEvents(s, dir).select(col("user_id"),
         expr("ts div 1000").as("ts"), col("value"))
       Events.rfm(ev).orderBy("user_id")
+    }),
+    // --- Warner randomized response over a sensitive high-spend bit:
+    // md5-coin flip with p=1/4 (deterministic per event id — RAPPOR
+    // memoization), debiased per-type estimate vs the true rate
+    "privacy_rr" -> ((s, dir) => {
+      val ev = rdEvents(s, dir).select(col("event_id"), col("event_type"),
+        (col("value") > 50.0).cast("long").as("bit"))
+      val priv = Privacy.randomizedResponse(ev, "event_id", "bit")
+      val est = Privacy.rrEstimate(priv, Seq("event_type"))
+      val truth = ev.groupBy(col("event_type"))
+        .agg(expr("sum(bit) * 1000000L div count(1)").as("true_yes_ppm"))
+      est.join(truth, Seq("event_type")).orderBy("event_type")
     }),
     // --- discrete-time churn lifetime table: exact KM numerators /
     // denominators as integers, at-risk window over the bounded
@@ -1859,6 +1893,58 @@ object SparkEntry {
         |FROM k l JOIN k r ON l.block = r.block AND l.rec_id < r.rec_id
         |WHERE levenshtein(l.name, r.name) <= 1
         |ORDER BY a_id, b_id""".stripMargin,
+    // survivorship twin: recursive component walk over the blocked
+    // pairs, row_number-over-aggregate argmax for the name vote
+    "entity_golden" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS rec_id, c_name AS name,
+        |    c_acctbal AS acctbal
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name || 'X',
+        |    c_acctbal + CAST('100' AS DOUBLE)
+        |  FROM customer WHERE c_custkey < 50
+        |  UNION ALL
+        |  SELECT c_custkey + 2000000, c_name || 'Y',
+        |    c_acctbal + CAST('200' AS DOUBLE)
+        |  FROM customer WHERE c_custkey < 25
+        |), b AS (
+        |  SELECT rec_id, name, acctbal, substr(name, 1, 18) AS block,
+        |    count(*) OVER (PARTITION BY substr(name, 1, 18)) AS bsz
+        |  FROM c
+        |), k AS (
+        |  SELECT * FROM b WHERE bsz <= 100
+        |), p AS (
+        |  SELECT l.rec_id AS a_id, r.rec_id AS b_id
+        |  FROM k l JOIN k r ON l.block = r.block AND l.rec_id < r.rec_id
+        |  WHERE levenshtein(l.name, r.name) <= 1
+        |), nodes AS (
+        |  SELECT a_id AS id FROM p UNION SELECT b_id FROM p
+        |), edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM p
+        |  UNION ALL SELECT b_id, a_id FROM p
+        |), walk(id, label) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
+        |), comp AS (
+        |  SELECT id, min(label) AS cluster_id FROM walk GROUP BY id
+        |), wc AS (
+        |  SELECT c.rec_id, coalesce(comp.cluster_id, c.rec_id) AS cluster_id,
+        |    c.name, c.acctbal
+        |  FROM c LEFT JOIN comp ON c.rec_id = comp.id
+        |), votes AS (
+        |  SELECT cluster_id, name FROM (
+        |    SELECT cluster_id, name, row_number() OVER (
+        |      PARTITION BY cluster_id ORDER BY count(*) DESC, name) AS rn
+        |    FROM wc GROUP BY cluster_id, name
+        |  ) v WHERE rn = 1
+        |)
+        |SELECT w.cluster_id AS cluster_id, min(w.rec_id) AS canonical_id,
+        |  min(v.name) AS canonical_name, max(w.acctbal) AS max_acctbal,
+        |  CAST(count(*) AS BIGINT) AS n_members
+        |FROM wc w JOIN votes v ON w.cluster_id = v.cluster_id
+        |GROUP BY w.cluster_id ORDER BY cluster_id""".stripMargin,
     // Luby twin: per-round materialized CTEs (the scc lesson — DuckDB
     // inlines plain CTEs per reference), rn=1 window picks each node's
     // min active-neighbor priority, explicit (h, id) tuple compare
@@ -3758,6 +3844,33 @@ object SparkEntry {
         |ORDER BY event_type, day""".stripMargin,
     // ntile's bucket-split rule (earlier buckets take the extras) is
     // identical in DuckDB; the (metric, user_id) total order pins ties
+    // randomized-response twin: identical md5 coin, clamped debias
+    // numerator keeps // and div in their agreeing non-negative range
+    "privacy_rr" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS bit
+        |  FROM events
+        |), priv AS (
+        |  SELECT event_type, bit,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+        |        || ':rr'), 1, 8) AS BIGINT) % 4 = 0
+        |      THEN 1 - bit ELSE bit END AS reported
+        |  FROM ev
+        |), est AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(reported) AS BIGINT) AS obs_yes
+        |  FROM priv GROUP BY 1
+        |), tr AS (
+        |  SELECT event_type, CAST(sum(bit) AS BIGINT) * 1000000
+        |    // CAST(count(*) AS BIGINT) AS true_yes_ppm
+        |  FROM ev GROUP BY 1
+        |)
+        |SELECT e.event_type AS event_type, n, obs_yes,
+        |  greatest(4 * obs_yes - n, 0) * 1000000 // (2 * n) AS est_yes_ppm,
+        |  true_yes_ppm
+        |FROM est e JOIN tr t ON e.event_type = t.event_type
+        |ORDER BY event_type""".stripMargin,
     // lifetime-table twin: scalar-subquery horizon, at-risk as a
     // descending cumulative over the bounded lifetime frame, integer
     // hazard ppm (// matches Spark div on non-negative operands)

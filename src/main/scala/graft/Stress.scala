@@ -282,6 +282,34 @@ object Stress {
     time("search_hard_neg")(graft.ops.TextAnalysis.hardNegatives(
       docs, queries, fakeEmb, fakeQEmb).count())
 
+    // r8-late wave: Luby MIS (rounds bound work, active set shrinks
+    // geometrically), SymSpell fuzzy join (variant buckets are
+    // alphabet-bounded — replicas get a name suffix so matches stay
+    // within-replica), skip-gram PMI (per-offset equi-joins, linear in
+    // tokens), churn hazard (two keyed aggs + bounded lifetime window)
+    time("graph_mis")(
+      graft.ops.Graph.maximalIndependentSet(gEdges, rounds = 4).count())
+    time("linkage_fuzzy") {
+      val c0 = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+        .select(col("c_custkey").cast("long").as("rec_id"),
+          col("c_name").as("name"))
+      val nc = c0.count()
+      val clean = (0 until factor).map { i =>
+        c0.select((col("rec_id") + lit(i * nc)).as("rec_id"),
+          concat(col("name"), lit(s"#$i")).as("name"))
+      }.reduce(_ union _)
+      val dirty = clean.filter(col("rec_id") % 5 === 0)
+        .select((col("rec_id") + 90000000L).as("rec_id"),
+          concat(lit("x"), col("name").substr(lit(2), lit(1000000)))
+            .as("name"))
+      graft.ops.Linkage.symspellJoin(dirty, clean).count()
+    }
+    time("text_pmi")(
+      graft.ops.TextAnalysis.skipgramStats(docs, 2, 40).count())
+    time("events_hazard")(graft.ops.Events.hazardTable(
+      ev.select(col("user_id"),
+        expr("ts div 86400000000").as("day"))).count())
+
     // bulk-load throughput through the partition-parallel sink (the
     // reference's headline metric: rows/s and MiB/s per load phase)
     val nodes = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")

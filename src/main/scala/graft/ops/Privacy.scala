@@ -81,4 +81,37 @@ object Privacy {
       .withColumn("violates_k", col("class_size") < k)
       .withColumn("violates_l", col("l_diversity") < l)
   }
+
+  /** Warner randomized response (the RAPPOR primitive): privatize a 0/1
+    * `bitCol` per row by flipping it with probability 1/4 — the flip
+    * coin is two md5 bits of the row id, so the mechanism is
+    * deterministic given the id (engine-reproducible, and a re-export
+    * reports the SAME noise — the memoization RAPPOR requires so
+    * repeated releases do not average the noise away). Plausible
+    * deniability: a reported 1 is the true bit only with probability
+    * 3/4 (ε = ln 3 local DP per release). Zero shuffles — a narrow
+    * projection that drops the true bit.
+    */
+  def randomizedResponse(rows: DataFrame, idCol: String,
+                         bitCol: String): DataFrame = {
+    val flip = (conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":rr"))), 1, 8), 16, 10).cast("long") % 4) === 0
+    rows.withColumn("reported",
+      when(flip, lit(1L) - col(bitCol)).otherwise(col(bitCol)))
+      .drop(bitCol)
+  }
+
+  /** Debiased per-group estimate from [[randomizedResponse]] output:
+    * with flip probability 1/4, E[obs] = y·3/4 + (n−y)/4, so
+    * ŷ = (4·obs − n)/2; reported as a ppm rate clamped at 0 (the
+    * estimator goes negative when the true rate is ~0 and flips
+    * dominate — and a negative numerator would also hit the one
+    * integer-division corner where Spark `div` truncates but DuckDB
+    * `//` floors). One partial-aggregated shuffle on the group key.
+    */
+  def rrEstimate(privatized: DataFrame, groupCols: Seq[String]): DataFrame =
+    privatized.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("reported")).as("obs_yes"))
+      .withColumn("est_yes_ppm",
+        expr("greatest(4 * obs_yes - n, 0L) * 1000000L div (2 * n)"))
 }

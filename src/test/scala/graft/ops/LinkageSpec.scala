@@ -65,4 +65,24 @@ class LinkageSpec extends SparkSpec {
     val recs = Seq((1L, "a", "b1"), (2L, "b", "b1")).toDF("rec_id", "name", "block")
     assertNoCrossProduct(Linkage.blockedMatch(recs), "blockedMatch")
   }
+
+  test("goldenRecords folds components with deterministic survivorship") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "acme corp", 10.0),
+      (2L, "acme corp", 30.0),
+      (3L, "acme inc", 20.0),   // linked via pair (2,3)
+      (4L, "zenith", 99.0)      // unmatched singleton
+    ).toDF("rec_id", "name", "acctbal")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val out = Linkage.goldenRecords(recs, pairs).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Long]("canonical_id"), r.getAs[String]("canonical_name"),
+          r.getAs[Double]("max_acctbal"), r.getAs[Long]("n_members"))).toMap
+    assert(out.keySet === Set(1L, 4L))
+    // most frequent name wins (acme corp x2 beats acme inc x1)
+    assert(out(1L) === ((1L, "acme corp", 30.0, 3L)))
+    assert(out(4L) === ((4L, "zenith", 99.0, 1L)))
+  }
+
 }

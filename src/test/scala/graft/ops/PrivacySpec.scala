@@ -37,4 +37,28 @@ class PrivacySpec extends SparkSpec {
       Seq("band"), "sens", 2, 1).collect()
     assert(coarse.length == 1 && !coarse.head.getAs[Boolean]("violates_k"))
   }
+
+  test("randomizedResponse flips ~1/4 deterministically; estimate debiases") {
+    import spark.implicits._
+    val rows = (1L to 2000L).map(i => (i, "g", if (i <= 600) 1L else 0L))
+      .toDF("id", "grp", "bit")
+    val priv = Privacy.randomizedResponse(rows, "id", "bit")
+    // deterministic: same ids -> identical reports across runs
+    val r1 = priv.collect().map(r => (r.getLong(0), r.getAs[Long]("reported")))
+    val r2 = Privacy.randomizedResponse(rows, "id", "bit")
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("reported")))
+    assert(r1.toSet === r2.toSet)
+    val est = Privacy.rrEstimate(priv, Seq("grp")).collect().head
+    assert(est.getAs[Long]("n") === 2000L)
+    // true rate 30%; debiased estimate within a few points for a fixed
+    // md5 coin draw (sd of the estimator ~ 2.2% at n=2000)
+    val ppm = est.getAs[Long]("est_yes_ppm")
+    assert(ppm > 200000L && ppm < 400000L, s"est $ppm")
+    // flip count is binomial(2000, 1/4): deterministic draw sits well
+    // inside 5 sigma of 500
+    val flips = priv.join(rows, "id")
+      .filter(col("reported") =!= col("bit")).count()
+    assert(flips > 400L && flips < 600L, s"flips $flips")
+  }
+
 }
