@@ -533,6 +533,23 @@ object SparkEntry {
       Dedup.resolveClusters(
         Dedup.ngramJaccard(rd(s, dir, "documents")).select("a_id", "b_id"))
         .orderBy("doc_id")),
+    // --- incremental CC: md5-split the jaccard pairs into an "old" half
+    // (resolved to labels) and a "new" batch merged via label edges —
+    // labels must come out row-identical to resolving everything at once
+    // (same oracle as dedup_clusters)
+    "dedup_clusters_incremental" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccard(rd(s, dir, "documents"))
+        .select(col("a_id"), col("b_id"))
+        .withColumn("p", conv(substring(md5(concat(
+          col("a_id").cast("string"), lit(":"),
+          col("b_id").cast("string"))), 1, 8), 16, 10).cast("long") % 2)
+        .localCheckpoint(true) // referenced by both halves: compute once
+      val labels = Dedup.resolveClustersStar(
+        pairs.filter(col("p") === 0).select(col("a_id"), col("b_id")))
+      Dedup.mergeClusters(labels,
+        pairs.filter(col("p") === 1).select(col("a_id"), col("b_id")))
+        .orderBy("doc_id")
+    }),
     // --- leakage-safe split: near-dup clusters (same pair graph as
     // dedup_clusters) assigned to train/val atomically by cluster-id md5
     "split_leakage_safe" -> ((s, dir) => {
@@ -942,6 +959,13 @@ object SparkEntry {
       val ev = rdEvents(s, dir).select(col("user_id"),
         expr("ts div 1000").as("ts"), col("value"))
       Events.rfm(ev).orderBy("user_id")
+    }),
+    // --- Markov next-event baseline: argmax transition model + top-1
+    // accuracy straight off the |types|² count frame (one lead window)
+    "events_markov_eval" -> ((s, dir) => {
+      val ev = rdEvents(s, dir).select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts"), col("event_type"))
+      Events.markovEval(ev).orderBy("prev_type")
     }),
     // --- Warner randomized response over a sensitive high-spend bit:
     // md5-coin flip with p=1/4 (deterministic per event id — RAPPOR
@@ -2909,6 +2933,8 @@ object SparkEntry {
     // min-labelled component table
     "dedup_clusters" -> clustersOracleSql,
     "dedup_clusters_star" -> clustersOracleSql,
+    // incremental merge must be row-identical to the from-scratch closure
+    "dedup_clusters_incremental" -> clustersOracleSql,
     // same components; split decided by the first md5 BYTE of the
     // cluster id (< 64 of 256 = 25% val), singletons = own id
     "split_leakage_safe" -> (clustersCteSql +
@@ -3844,6 +3870,36 @@ object SparkEntry {
         |ORDER BY event_type, day""".stripMargin,
     // ntile's bucket-split rule (earlier buckets take the extras) is
     // identical in DuckDB; the (metric, user_id) total order pins ties
+    // Markov-baseline twin: same lead ordering, rn=1 argmax model,
+    // accuracy folded from the count table
+    "events_markov_eval" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts, event_type
+        |  FROM events
+        |), tr AS (
+        |  SELECT event_type AS prev_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM ev
+        |), counts AS (
+        |  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM tr WHERE next_type IS NOT NULL GROUP BY 1, 2
+        |), model AS (
+        |  SELECT prev_type, next_type AS predicted FROM (
+        |    SELECT prev_type, next_type,
+        |      row_number() OVER (PARTITION BY prev_type
+        |        ORDER BY n DESC, next_type) AS rn
+        |    FROM counts
+        |  ) r WHERE rn = 1
+        |)
+        |SELECT c.prev_type AS prev_type, m.predicted AS predicted,
+        |  CAST(sum(CASE WHEN c.next_type = m.predicted THEN c.n ELSE 0 END)
+        |    AS BIGINT) AS n_correct,
+        |  CAST(sum(c.n) AS BIGINT) AS n_total,
+        |  CAST(sum(CASE WHEN c.next_type = m.predicted THEN c.n ELSE 0 END)
+        |    AS BIGINT) * 1000000 // CAST(sum(c.n) AS BIGINT) AS acc_ppm
+        |FROM counts c JOIN model m ON c.prev_type = m.prev_type
+        |GROUP BY 1, 2 ORDER BY prev_type""".stripMargin,
     // randomized-response twin: identical md5 coin, clamped debias
     // numerator keeps // and div in their agreeing non-negative range
     "privacy_rr" ->

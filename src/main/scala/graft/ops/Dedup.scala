@@ -580,6 +580,26 @@ object Dedup {
         coalesce(col("label"), col("id")).as("cluster_id"))
   }
 
+  /** Incremental connected components: fold `newPairs` into an existing
+    * `(doc_id, cluster_id)` labeling WITHOUT re-joining the original
+    * pair set. The labeling itself is a component-preserving edge set
+    * (each member → its cluster root, the star shape the resolver
+    * converges to), so running [[resolveClustersStar]] over
+    * label-edges ∪ new-pairs yields labels row-identical to resolving
+    * old ∪ new from scratch — at cost proportional to
+    * |labels| + |newPairs|, never the historical pair volume. The
+    * batch-ingest twin of [[incrementalMinHash]]: per batch, LSH the
+    * batch against the index, then merge only the fresh pairs here.
+    */
+  def mergeClusters(labels: DataFrame, newPairs: DataFrame,
+                    maxIter: Int = 30): DataFrame = {
+    val labelEdges = labels.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("a_id"), col("cluster_id").as("b_id"))
+    resolveClustersStar(
+      labelEdges.unionByName(newPairs.select(col("a_id"), col("b_id"))),
+      maxIter)
+  }
+
   /** Keep one representative per duplicate cluster: a document survives
     * when it is in no cluster, or when it IS its cluster's id (the lowest
     * member). The join against the (small) cluster table broadcasts.

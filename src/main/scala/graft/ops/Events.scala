@@ -1079,6 +1079,37 @@ object Events {
           - col("last_secs"))
   }
 
+  /** First-order Markov next-event model + in-sample evaluation: learn
+    * `predicted(prev) = argmax_next count(prev → next)` (deterministic
+    * min-type tie-break via the partial-aggregable
+    * `min(struct(MaxValue − n, type))` argmax) and score its top-1
+    * accuracy per previous type — the baseline every sequence model is
+    * judged against. Accuracy needs NO second pass over the stream: the
+    * transition COUNT table already holds it
+    * (`n_correct = n(prev, predicted)`), so after one lead() window on
+    * the user key everything runs on the |types|² frame. Output:
+    * `(prev_type, predicted, n_correct, n_total, acc_ppm)`.
+    */
+  def markovEval(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val counts = events
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val model = counts.groupBy(col("prev_type"))
+      .agg(min(struct((lit(Long.MaxValue) - col("n")).as("neg"),
+        col("next_type").as("t"))).as("k"))
+      .select(col("prev_type"), col("k.t").as("predicted"))
+    counts.join(model, Seq("prev_type"))
+      .groupBy(col("prev_type"), col("predicted"))
+      .agg(sum(when(col("next_type") === col("predicted"), col("n"))
+        .otherwise(0L)).as("n_correct"),
+        sum(col("n")).as("n_total"))
+      .withColumn("acc_ppm", expr("n_correct * 1000000L div n_total"))
+  }
+
   /** Discrete-time churn lifetime table (the Kaplan-Meier numerators and
     * denominators, kept as exact integers — no order-dependent float
     * product anywhere): per observed lifetime t, how many users churned

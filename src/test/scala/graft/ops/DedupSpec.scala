@@ -358,4 +358,21 @@ class DedupSpec extends SparkSpec {
     assert(shared >= a.length - 1,
       s"insertion must shift at most one chunk: $shared of ${a.length} shared")
   }
+
+  test("mergeClusters: label edges + new pairs == from-scratch components") {
+    import spark.implicits._
+    // chain 1-2-3 resolved first; new pairs 3-4 and 5-6 arrive later
+    val oldPairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val newPairs = Seq((3L, 4L), (5L, 6L)).toDF("a_id", "b_id")
+    val labels = Dedup.resolveClustersStar(oldPairs)
+    val merged = Dedup.mergeClusters(labels, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.resolveClustersStar(
+      oldPairs.unionByName(newPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === full)
+    assert(merged === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L))
+  }
+
 }

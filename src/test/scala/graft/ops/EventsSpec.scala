@@ -607,4 +607,22 @@ class EventsSpec extends SparkSpec {
       (10L, 1L, 0L, 1L, 0L)))
   }
 
+
+  test("markovEval learns the argmax transition and scores it exactly") {
+    import spark.implicits._
+    // user 1: a->b, b->a, a->b ; user 2: a->c
+    // from a: b twice, c once -> predict b; correct 2/3
+    // from b: a once -> predict a; correct 1/1
+    val ev = Seq(
+      (1L, 1L, 10L, "a"), (1L, 2L, 20L, "b"), (1L, 3L, 30L, "a"),
+      (1L, 4L, 40L, "b"), (2L, 5L, 10L, "a"), (2L, 6L, 20L, "c")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = Events.markovEval(ev).collect()
+      .map(r => r.getAs[String]("prev_type") ->
+        (r.getAs[String]("predicted"), r.getAs[Long]("n_correct"),
+          r.getAs[Long]("n_total"), r.getAs[Long]("acc_ppm"))).toMap
+    assert(out("a") === (("b", 2L, 3L, 666666L)))
+    assert(out("b") === (("a", 1L, 1L, 1000000L)))
+  }
+
 }
