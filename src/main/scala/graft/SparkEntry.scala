@@ -168,6 +168,14 @@ object SparkEntry {
             col("name").substr(col("pos") + 1, lit(1000000)))).as("name"))
       Linkage.symspellJoin(dirty, c).orderBy("a_id", "b_id")
     }),
+    // --- greedy maximal matching (Israeli–Itai local-minimum rule)
+    // over the order–customer graph: fixed md5 edge priorities, 4
+    // rounds, leftovers undecided — the one-to-one pairing primitive
+    "graph_matching" -> ((s, dir) => {
+      val e = rd(s, dir, "orders").select(col("o_orderkey").as("src"),
+        (col("o_custkey") + 10000000L).as("dst"))
+      Graph.maximalMatching(e, rounds = 4).orderBy("lo", "hi")
+    }),
     // --- Luby maximal independent set over the order–customer graph:
     // fixed md5 priorities make it the unique greedy MIS; fixed 4 rounds
     // keep it oracle-exact (leftovers reported undecided, never guessed)
@@ -1969,6 +1977,55 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_members
         |FROM wc w JOIN votes v ON w.cluster_id = v.cluster_id
         |GROUP BY w.cluster_id ORDER BY cluster_id""".stripMargin,
+    // matching twin: per-round materialized CTEs, rn=1 per-vertex min
+    // edge, an edge matches when it IS the min at both endpoints
+    "graph_matching" -> {
+      val round = (e: String, i: Int) => {
+        val (vm, m, en) = (s"vm$i", s"m$i", s"e${i + 1}")
+        s"""$vm AS MATERIALIZED (
+           |  SELECT v, h, lo, hi FROM (
+           |    SELECT v, h, lo, hi, row_number() OVER (
+           |      PARTITION BY v ORDER BY h, lo, hi) AS rn
+           |    FROM (
+           |      SELECT lo AS v, h, lo, hi FROM $e
+           |      UNION ALL SELECT hi, h, lo, hi FROM $e
+           |    ) i
+           |  ) w WHERE rn = 1
+           |), $m AS MATERIALIZED (
+           |  SELECT e.lo, e.hi FROM $e e
+           |  JOIN $vm a ON a.v = e.lo AND a.h = e.h
+           |    AND a.lo = e.lo AND a.hi = e.hi
+           |  JOIN $vm b ON b.v = e.hi AND b.h = e.h
+           |    AND b.lo = e.lo AND b.hi = e.hi
+           |), $en AS MATERIALIZED (
+           |  SELECT lo, hi, h FROM $e
+           |  WHERE lo NOT IN (SELECT lo FROM $m UNION SELECT hi FROM $m)
+           |    AND hi NOT IN (SELECT lo FROM $m UNION SELECT hi FROM $m)
+           |)""".stripMargin
+      }
+      s"""WITH ed AS (
+         |  SELECT o_orderkey AS a, o_custkey + 10000000 AS b FROM orders
+         |), e0 AS (
+         |  SELECT lo, hi,
+         |    CAST('0x' || substr(md5(CAST(lo AS VARCHAR) || ':' ||
+         |      CAST(hi AS VARCHAR)), 1, 8) AS BIGINT) AS h
+         |  FROM (
+         |    SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+         |    FROM ed WHERE a <> b
+         |  ) c
+         |),
+         |${round("e0", 0)},
+         |${round("e1", 1)},
+         |${round("e2", 2)},
+         |${round("e3", 3)}
+         |SELECT lo, hi, status FROM (
+         |  SELECT lo, hi, 'matched' AS status FROM m0
+         |  UNION ALL SELECT lo, hi, 'matched' FROM m1
+         |  UNION ALL SELECT lo, hi, 'matched' FROM m2
+         |  UNION ALL SELECT lo, hi, 'matched' FROM m3
+         |  UNION ALL SELECT lo, hi, 'undecided' FROM e4
+         |) u ORDER BY lo, hi""".stripMargin
+    },
     // Luby twin: per-round materialized CTEs (the scc lesson — DuckDB
     // inlines plain CTEs per reference), rn=1 window picks each node's
     // min active-neighbor priority, explicit (h, id) tuple compare

@@ -709,6 +709,63 @@ object Graph {
     * is localCheckpointed (it feeds BOTH edge-endpoint semi-joins — the
     * self-join rule from resolveClusters/kCore).
     */
+  /** Greedy maximal matching with fixed md5 edge priorities (the
+    * Israeli–Itai local-minimum rule): each round, an edge whose
+    * priority is the minimum at BOTH endpoints joins the matching, its
+    * endpoints leave the graph, and the loop repeats. Fixed priorities
+    * make the result the unique greedy matching in priority order;
+    * fixed `rounds` keeps it oracle-exact — surviving edges whose
+    * endpoints are both unmatched report `undecided`, never guessed.
+    * The one-to-one pairing primitive: contrastive training pairs from
+    * a near-dup graph, load balancing, dedup merge planning.
+    *
+    * Output: `(lo, hi, status ∈ {matched, undecided})` — edges dropped
+    * because an endpoint matched elsewhere are not emitted. Scale
+    * shape per round: one explode to incident rows, one
+    * partial-aggregated per-vertex min, two equi-joins, two anti-joins;
+    * the edge frame is checkpointed (it feeds both endpoint joins).
+    */
+  def maximalMatching(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    require(rounds >= 1)
+    val hp = (a: Column, b: Column) =>
+      conv(substring(md5(concat(a.cast("string"), lit(":"),
+        b.cast("string"))), 1, 8), 16, 10).cast("long")
+    var e = edges
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+      .withColumn("h", hp(col("lo"), col("hi")))
+      .localCheckpoint(true)
+    var decided = e.limit(0).select(col("lo"), col("hi"))
+      .withColumn("status", lit("matched"))
+    var r = 0
+    while (r < rounds) {
+      val inc = e.select(col("lo").as("v"), col("h"), col("lo"), col("hi"))
+        .unionByName(
+          e.select(col("hi").as("v"), col("h"), col("lo"), col("hi")))
+      val vmin = inc.groupBy(col("v"))
+        .agg(min(struct(col("h"), col("lo"), col("hi"))).as("m"))
+      val matched = e
+        .join(vmin.select(col("v").as("lo"), col("m").as("mlo")), Seq("lo"))
+        .join(vmin.select(col("v").as("hi"), col("m").as("mhi")), Seq("hi"))
+        .filter(struct(col("h"), col("lo"), col("hi")) === col("mlo") &&
+          struct(col("h"), col("lo"), col("hi")) === col("mhi"))
+        .select(col("lo"), col("hi"))
+        .localCheckpoint(true)
+      decided = decided.unionByName(
+        matched.withColumn("status", lit("matched")))
+      val mv = matched.select(col("lo").as("v"))
+        .unionByName(matched.select(col("hi").as("v"))).distinct()
+      e = e.join(mv.select(col("v").as("lo")), Seq("lo"), "left_anti")
+        .join(mv.select(col("v").as("hi")), Seq("hi"), "left_anti")
+        .select(col("lo"), col("hi"), col("h"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    decided.unionByName(
+      e.select(col("lo"), col("hi")).withColumn("status", lit("undecided")))
+  }
+
   def maximalIndependentSet(edges: DataFrame, rounds: Int = 6): DataFrame = {
     require(rounds >= 1)
     val h = (c: Column) =>

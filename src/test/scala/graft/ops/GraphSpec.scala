@@ -389,6 +389,32 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("maximalMatching: a matching, maximal, deterministic") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus triangle 6-7-8
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (6L, 7L), (7L, 8L), (6L, 8L))
+    val out = Graph.maximalMatching(es.toDF("src", "dst"), rounds = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2))
+      .toMap
+    assert(!out.values.exists(_ == "undecided"))
+    val m = out.collect { case (e, "matched") => e }.toSet
+    // a matching: no vertex twice
+    val vs = m.toSeq.flatMap { case (a, b) => Seq(a, b) }
+    assert(vs.distinct.size === vs.size)
+    // maximal: every input edge has a matched endpoint
+    val mv = vs.toSet
+    es.foreach { case (a, b) =>
+      assert(mv(a) || mv(b), s"edge $a-$b unmatched and uncovered") }
+    // the triangle contributes exactly one matched edge
+    assert(m.count { case (a, b) => a >= 6L && b >= 6L } === 1)
+    // deterministic across runs
+    val again = Graph.maximalMatching(es.toDF("src", "dst"), rounds = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2))
+      .toMap
+    assert(again === out)
+  }
+
   test("scc halts without removal when hops cannot converge") {
     // a long cycle whose propagation diameter exceeds hops=1: the
     // verification step detects instability and nothing is assigned
