@@ -728,6 +728,20 @@ object SparkEntry {
       Sampling.sourceMix(rd(s, dir, "documents")).orderBy("source", "lang")),
     "corpus_stats" -> ((s, dir) =>
       Sampling.corpusStats(rd(s, dir, "documents")).orderBy("lang")),
+    // --- sentence segmentation over staged punctuated text (the corpus
+    // ships punctuation-free, so the splitter is exercised on
+    // deterministically rebuilt 8-token sentences — the web_extract /
+    // dedup_paragraph staging precedent)
+    "docs_sentences" -> ((s, dir) => {
+      val toks = rd(s, dir, "documents").select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("t"))
+      val staged = toks.select(col("doc_id"), expr(
+        "concat(array_join(transform(sequence(1, " +
+          "cast(ceil(size(t)/8.0) as int)), " +
+          "i -> array_join(slice(t, (i-1)*8+1, 8), ' ')), '. '), '.')")
+        .as("text"))
+      TextAnalysis.sentences(staged).orderBy("doc_id", "sent_idx")
+    }),
     // --- skip-gram PMI-ratio association pairs (±2 window): equi-joins
     // on (doc_id, pos+k), integer ratio (log-free PMI twin), top-40
     "text_pmi" -> ((s, dir) =>
@@ -3278,6 +3292,36 @@ object SparkEntry {
         |  CAST(n_tokens AS DOUBLE) /
         |    CAST((SELECT sum(n_tokens) FROM per) AS DOUBLE) AS token_share
         |FROM per ORDER BY source, lang""".stripMargin,
+    // segmentation twin: same staged 8-token sentences, marker insert
+    // via RE2 '\1' backreference + chr(1) split, 1-indexed positions
+    "docs_sentences" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |), blocks AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, CAST(ceil(len(t)/8.0) AS BIGINT)))
+        |      AS i, t
+        |  FROM toks
+        |), bp AS (
+        |  SELECT doc_id, i,
+        |    array_to_string(t[(i-1)*8+1:(i-1)*8+8], ' ') AS blk
+        |  FROM blocks
+        |), staged AS (
+        |  SELECT doc_id, string_agg(blk, '. ' ORDER BY i) || '.' AS text
+        |  FROM bp GROUP BY doc_id
+        |), sp AS (
+        |  SELECT doc_id, string_split(regexp_replace(text,
+        |    '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)) AS l
+        |  FROM staged
+        |), se AS (
+        |  SELECT doc_id, i - 1 AS sent_idx, l[i] AS s
+        |  FROM sp, UNNEST(range(1, len(l) + 1)) AS u(i)
+        |)
+        |SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx, s AS sentence,
+        |  CAST(length(s) AS BIGINT) AS n_chars
+        |FROM se WHERE length(trim(s)) > 0
+        |ORDER BY doc_id, sent_idx""".stripMargin,
     // skip-gram twin: 1-indexed list positions (offsets are engine-local,
     // never emitted), same support floors, integer ratio via //
     "text_pmi" ->

@@ -1360,6 +1360,24 @@ object TextAnalysis {
     * bucket) — and the only ordered window runs over the BOUNDED
     * checkpoint frame, never the token stream.
     */
+  /** Sentence segmentation: split on terminal punctuation `[.!?]`
+    * followed by whitespace, via marker insertion — a capture-group
+    * replace plants a sentinel, then a literal split. Lookbehind is
+    * unavailable in RE2-class engines, so the marker form is the one
+    * that stays portable (and `\\s` is ASCII in both engines; `\\b`
+    * would not be). Zero shuffles — a narrow projection + generator.
+    * Blank segments are dropped but keep their position numbering.
+    * Output: `(doc_id, sent_idx, sentence, n_chars)`.
+    */
+  def sentences(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(split(
+        regexp_replace(col("text"), "([.!?])\\s+", "$1\u0001"),
+        "\u0001")).as(Seq("pos", "sentence")))
+      .filter(length(trim(col("sentence"))) > 0)
+      .select(col("doc_id"), col("pos").cast("long").as("sent_idx"),
+        col("sentence"), length(col("sentence")).cast("long").as("n_chars"))
+
   /** Skip-gram co-occurrence association (the word2vec/PMI statistic):
     * for ordered token pairs within `window` positions, the ratio
     * `n_pair·N·10⁶ div (n_a·n_b)` — a monotone exact-integer twin of

@@ -629,4 +629,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.values.forall(_ == (6L, 3000000L)))
   }
 
+
+  test("sentences splits on terminal punctuation + space, keeps positions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "First one. Second! Third? trailing."),
+      (2L, "no punctuation at all"),
+      (3L, "Multi  space.   padded. ")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.sentences(docs).orderBy("doc_id", "sent_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq === Seq(
+      (1L, 0L, "First one."), (1L, 1L, "Second!"), (1L, 2L, "Third?"),
+      (1L, 3L, "trailing."),
+      (2L, 0L, "no punctuation at all"),
+      (3L, 0L, "Multi  space."), (3L, 1L, "padded.")))
+  }
+
 }
