@@ -110,6 +110,27 @@ object SparkEntry {
       Cdc.scd2(log, "o_custkey", "o_orderpriority", "o_orderkey",
         "o_orderkey").orderBy("o_custkey", "version")
     }),
+    // --- incremental view maintenance: a per-returnflag (n, total)
+    // rollup absorbs an md5-staged delta stream (deletes h<2 of the
+    // base, inserts h>=8) — the ORACLE recomputes the aggregate from
+    // the post-change snapshot from scratch, so the IVM identity
+    // maintain(agg(S), Δ) == agg(S') is exactly what the hash checks
+    "cdc_ivm" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("pk"),
+        col("l_returnflag").as("grp"),
+        col("l_quantity").cast("long").as("v"))
+        .withColumn("h", conv(substring(md5(col("pk").cast("string")),
+          1, 8), 16, 10).cast("long") % 10)
+      val base = li.filter(col("h") < 8)
+      val agg0 = base.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+      val changes = base.filter(col("h") < 2)
+        .select(col("grp"), lit("delete").as("op"), col("v"))
+        .unionByName(li.filter(col("h") >= 8)
+          .select(col("grp"), lit("insert").as("op"), col("v")))
+      Cdc.maintainAggregate(agg0, changes).orderBy("grp")
+    }),
     // --- entity resolution: blocked fuzzy self-match over customer names
     // (planted single-typo variants of the first 50 names; blocks are the
     // 17-char name prefix, so natural last-digit neighbors match too)
@@ -875,6 +896,28 @@ object SparkEntry {
         .withColumnRenamed("asof_time", "view_time")
       Events.joinAsOf(f1, clickCum, "user_id", "ts", Seq("clicks_so_far"))
         .withColumnRenamed("asof_time", "click_time")
+        .orderBy("event_id")
+    }),
+    // --- SCD2 point-in-time enrichment: a tier change-log staged from
+    // signup events → Cdc.scd2 history → purchases pick up the version
+    // valid at their event time via joinAsOf (no leakage from later
+    // versions). The warehouse-standard "dimension as of the fact".
+    "events_scd2_join" -> ((s, dir) => {
+      val ev = rdEvents(s, dir).select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts"), col("event_type"))
+      val log = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("seq"),
+          col("event_id").as("tie"),
+          concat(lit("tier"), (conv(substring(md5(concat(
+            col("user_id").cast("string"), lit(":"),
+            col("ts").cast("string"))), 1, 8), 16, 10).cast("long") % 3)
+            .cast("string")).as("tier"))
+      val hist = Cdc.scd2(log, "user_id", "tier", "seq", "tie")
+        .select(col("user_id"), col("valid_from").as("ts"), col("tier"),
+          col("version"))
+      val probe = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      Events.joinAsOf(probe, hist, "user_id", "ts", Seq("tier", "version"))
         .orderBy("event_id")
     }),
     // ordered funnel over the event stream; micro-truncated times so both
@@ -1904,6 +1947,22 @@ object SparkEntry {
         |  o_totalprice
         |FROM orders WHERE o_orderkey % 10 <> 0
         |ORDER BY o_orderkey""".stripMargin,
+    // IVM twin: recompute the aggregate from the post-change snapshot
+    // from scratch — the identity the maintained view must hash-match
+    "cdc_ivm" ->
+      """WITH li AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS pk,
+        |    l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS v
+        |  FROM lineitem
+        |), h AS (
+        |  SELECT grp, v,
+        |    CAST('0x' || substr(md5(CAST(pk AS VARCHAR)), 1, 8) AS BIGINT)
+        |      % 10 AS h
+        |  FROM li
+        |)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS total
+        |FROM h WHERE h >= 2 GROUP BY grp ORDER BY grp""".stripMargin,
     "cdc_scd2" ->
       """WITH ch AS (
         |  SELECT o_custkey, o_orderpriority, o_orderkey,
@@ -3645,6 +3704,39 @@ object SparkEntry {
         |  s.ts AS asof_time, s.value AS asof_value
         |FROM probe p ASOF LEFT JOIN state s
         |  ON p.user_id = s.user_id AND s.ts <= p.ts
+        |ORDER BY event_id""".stripMargin,
+    // SCD2-PIT twin: identical change-log staging + collapse, ASOF LEFT
+    // JOIN against version valid_from (intervals partition time, so
+    // as-of == containment)
+    "events_scd2_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts, event_type
+        |  FROM events
+        |), log AS (
+        |  SELECT user_id, ts AS seq, event_id AS tie,
+        |    'tier' || CAST(CAST('0x' || substr(md5(
+        |      CAST(user_id AS VARCHAR) || ':' || CAST(ts AS VARCHAR)),
+        |      1, 8) AS BIGINT) % 3 AS VARCHAR) AS tier
+        |  FROM ev WHERE event_type = 'signup'
+        |), chg AS (
+        |  SELECT user_id, tier, seq FROM (
+        |    SELECT user_id, tier, seq,
+        |      lag(tier) OVER (PARTITION BY user_id ORDER BY seq, tie) AS p
+        |    FROM log
+        |  ) x WHERE p IS NULL OR p <> tier
+        |), hist AS (
+        |  SELECT user_id, tier, seq AS ts,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY seq)
+        |      AS BIGINT) AS version
+        |  FROM chg
+        |), probe AS (
+        |  SELECT event_id, user_id, ts FROM ev
+        |  WHERE event_type = 'purchase'
+        |)
+        |SELECT p.event_id AS event_id, p.user_id AS user_id, p.ts AS ts,
+        |  h.ts AS asof_time, h.tier AS asof_tier, h.version AS asof_version
+        |FROM probe p
+        |ASOF LEFT JOIN hist h ON p.user_id = h.user_id AND h.ts <= p.ts
         |ORDER BY event_id""".stripMargin,
     // point-in-time twin: two chained ASOF LEFT JOINs against the same
     // (user,ts)-unique pre-aggregated states; <= matches joinAsOf's

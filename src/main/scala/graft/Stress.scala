@@ -309,6 +309,19 @@ object Stress {
     time("events_hazard")(graft.ops.Events.hazardTable(
       ev.select(col("user_id"),
         expr("ts div 86400000000").as("day"))).count())
+    // incremental CC vs from-scratch on the 10x jaccard pair set: the
+    // merge re-resolves only label edges + the batch half
+    time("clusters_incremental") {
+      val pairs = graft.ops.Dedup.ngramJaccard(docs)
+        .select(col("a_id"), col("b_id"))
+        .withColumn("p", (col("a_id") + col("b_id")) % 2)
+        .localCheckpoint(true)
+      val labels = graft.ops.Dedup.resolveClustersStar(
+        pairs.filter(col("p") === 0).select(col("a_id"), col("b_id")))
+      graft.ops.Dedup.mergeClusters(labels,
+        pairs.filter(col("p") === 1).select(col("a_id"), col("b_id")))
+        .count()
+    }
 
     // bulk-load throughput through the partition-parallel sink (the
     // reference's headline metric: rows/s and MiB/s per load phase)

@@ -54,6 +54,32 @@ object Cdc {
         changes.filter(col("op") === "upsert").drop("op"))
   }
 
+  /** Incremental aggregate (materialized-view) maintenance: fold a
+    * delta stream into a per-group `(n, total)` aggregate WITHOUT
+    * recomputing untouched groups — the IVM identity
+    * `maintain(agg(S), Δ(S→S')) == agg(S')` that lets a 100 TB rollup
+    * absorb a daily changeset at changeset cost. `changes` carries
+    * `(grp, op ∈ insert|delete, v)` in integer units (an update is
+    * delete(old) + insert(new) — the standard delta-stream encoding);
+    * groups whose count reaches zero drop out, groups born in the delta
+    * appear. One partial-aggregated shuffle over the DELTA plus a keyed
+    * full-outer join against the aggregate table; the base fact rows
+    * are never read.
+    */
+  def maintainAggregate(agg: DataFrame, changes: DataFrame): DataFrame = {
+    val delta = changes.groupBy(col("grp"))
+      .agg(sum(when(col("op") === "insert", 1L).otherwise(-1L)).as("dn"),
+        sum(when(col("op") === "insert", col("v")).otherwise(-col("v")))
+          .as("dv"))
+    agg.join(delta, Seq("grp"), "full_outer")
+      .select(col("grp"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n"),
+        (coalesce(col("total"), lit(0L)) + coalesce(col("dv"), lit(0L)))
+          .as("total"))
+      .filter(col("n") > 0)
+  }
+
   /** Slowly-changing-dimension Type-2 history from an attribute change
     * log: `log` carries `(key, attr, seq)` observations ordered by the
     * monotonic `seq` within each key (ties broken by `tieCol`, a unique

@@ -590,6 +590,12 @@ object Dedup {
     * |labels| + |newPairs|, never the historical pair volume. The
     * batch-ingest twin of [[incrementalMinHash]]: per batch, LSH the
     * batch against the index, then merge only the fresh pairs here.
+    *
+    * Contract (inherited from the resolver's nodes-in-edges output): a
+    * SINGLETON label row (doc_id == cluster_id) contributes no edge, so
+    * it reappears in the output only if the batch pairs touch it —
+    * union untouched singletons back in downstream if the full roster
+    * is needed.
     */
   def mergeClusters(labels: DataFrame, newPairs: DataFrame,
                     maxIter: Int = 30): DataFrame = {

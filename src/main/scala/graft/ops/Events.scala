@@ -1129,7 +1129,13 @@ object Events {
     import org.apache.spark.sql.expressions.Window
     val perUser = events.groupBy(col("user_id"))
       .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
-    val horizon = perUser.agg(max(col("last_day"))).head.getLong(0)
+    // max() over zero users is NULL — surface an empty table, not an NPE
+    val horizonRow = perUser.agg(max(col("last_day"))).head
+    if (horizonRow.isNullAt(0))
+      return perUser.select(col("first_day").as("lifetime"),
+        col("first_day").as("n_risk"), col("first_day").as("churned"),
+        col("first_day").as("censored"), col("first_day").as("hazard_ppm"))
+    val horizon = horizonRow.getLong(0)
     val tbl = perUser
       .select((col("last_day") - col("first_day")).as("lifetime"),
         (col("last_day") >= horizon - (censorDays - 1)).cast("long")

@@ -73,4 +73,18 @@ class CdcSpec extends SparkSpec {
     assert(got.length == 3)
     assert(got.forall(_.getBoolean(5)))
   }
+
+  test("maintainAggregate == recompute; groups die at zero and are born") {
+    import spark.implicits._
+    val agg0 = Seq(("a", 2L, 30L), ("b", 1L, 5L)).toDF("grp", "n", "total")
+    val changes = Seq(
+      ("a", "delete", 10L), ("a", "insert", 7L),   // update: 30-10+7
+      ("b", "delete", 5L),                          // group dies
+      ("c", "insert", 4L), ("c", "insert", 6L)      // group born
+    ).toDF("grp", "op", "v")
+    val out = Cdc.maintainAggregate(agg0, changes).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map("a" -> ((2L, 27L)), "c" -> ((2L, 10L))))
+  }
+
 }
