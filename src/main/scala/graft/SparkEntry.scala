@@ -413,6 +413,15 @@ object SparkEntry {
     // E^1.5 wedges (~300M at sf0.1) — sampled counting is how dense
     // co-occurrence graphs are profiled in practice, and the operator
     // itself stays exact on whatever graph it is fed.
+    // --- 4-truss peel over the same sampled part co-occurrence graph:
+    // monotone-sound edge removal (dropped edges are provably outside
+    // the truss at any budget), early-converged survivors labeled
+    // truss, budget-exhausted ones candidate
+    "graph_ktruss" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem").filter(col("l_partkey") % 4 === 0)
+      val co = Graph.coOccurrence(li, "l_orderkey", "l_partkey")
+      Graph.kTruss(co, k = 4, rounds = 3).orderBy("lo", "hi")
+    }),
     "graph_triangles" -> ((s, dir) => {
       val li = rd(s, dir, "lineitem").filter(col("l_partkey") % 4 === 0)
       Graph.triangleCounts(
@@ -919,6 +928,14 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts"))
       Events.joinAsOf(probe, hist, "user_id", "ts", Seq("tier", "version"))
         .orderBy("event_id")
+    }),
+    // --- 3-day-windowed funnel: greedy earliest-match, each step within
+    // 3 days of the previous step's match
+    "events_funnel_windowed" -> ((s, dir) => {
+      val ev = rdEvents(s, dir).withColumn("ts", expr("ts div 1000"))
+        .select(col("user_id"), col("event_type"), col("ts"))
+      Events.funnelWindowed(ev, Seq("signup", "view", "click", "purchase"),
+        windowSize = 3L * 86400000000L).orderBy("step_idx")
     }),
     // ordered funnel over the event stream; micro-truncated times so both
     // engines compare identical integers
@@ -2678,6 +2695,55 @@ object SparkEntry {
          |  CAST(r AS DOUBLE) / 1000000000000.0 AS rank
          |FROM r5 ORDER BY id""".stripMargin
     },
+    // truss twin: unrolled peel rounds, id-ordered common-neighbor
+    // support (support values are orientation-independent), final
+    // status via a scalar emptiness check on the last drop set
+    "graph_ktruss" -> {
+      val round = (i: Int) => {
+        val (e, u, sp, d, en) = (s"e$i", s"u$i", s"s$i", s"d$i", s"e${i + 1}")
+        s"""$u AS MATERIALIZED (
+           |  SELECT lo AS a, hi AS b FROM $e
+           |  UNION ALL SELECT hi, lo FROM $e
+           |), $sp AS MATERIALIZED (
+           |  SELECT e.lo, e.hi, count(*) AS s FROM $e e
+           |  JOIN $u x ON x.a = e.lo
+           |  JOIN $u y ON y.a = e.hi AND y.b = x.b
+           |  GROUP BY e.lo, e.hi
+           |), $d AS MATERIALIZED (
+           |  SELECT e.lo, e.hi FROM $e e
+           |  LEFT JOIN $sp s ON s.lo = e.lo AND s.hi = e.hi
+           |  WHERE coalesce(s.s, 0) < 2
+           |), $en AS MATERIALIZED (
+           |  SELECT e.lo, e.hi FROM $e e
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM $d d WHERE d.lo = e.lo AND d.hi = e.hi)
+           |)""".stripMargin
+      }
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+         |  WHERE l_partkey % 4 = 0
+         |), sized AS (
+         |  SELECT g, item FROM (
+         |    SELECT g, item, count(*) OVER (PARTITION BY g) AS gsz
+         |    FROM pairs) z
+         |  WHERE gsz <= 100
+         |), e0 AS (
+         |  SELECT DISTINCT l.item AS lo, r.item AS hi
+         |  FROM sized l JOIN sized r ON l.g = r.g AND l.item < r.item
+         |),
+         |${round(0)},
+         |${round(1)},
+         |${round(2)}
+         |SELECT lo, hi, status FROM (
+         |  SELECT lo, hi, 'removed_1' AS status FROM d0
+         |  UNION ALL SELECT lo, hi, 'removed_2' FROM d1
+         |  UNION ALL SELECT lo, hi, 'removed_3' FROM d2
+         |  UNION ALL SELECT lo, hi,
+         |    CASE WHEN (SELECT count(*) FROM d2) = 0
+         |      THEN 'truss' ELSE 'candidate' END
+         |  FROM e3
+         |) z ORDER BY lo, hi""".stripMargin
+    },
     "graph_triangles" ->
       """WITH pairs AS (
         |  SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
@@ -3766,6 +3832,36 @@ object SparkEntry {
         |ASOF LEFT JOIN vs v ON p.user_id = v.user_id AND v.ts <= p.ts
         |ASOF LEFT JOIN cc c ON p.user_id = c.user_id AND c.ts <= p.ts
         |ORDER BY event_id""".stripMargin,
+    // windowed twin: same greedy join chain with the <= prev + W bound
+    "events_funnel_windowed" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts FROM events
+        |), s1 AS (
+        |  SELECT user_id, min(ts) AS step_ts FROM ev
+        |  WHERE event_type = 'signup' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS step_ts FROM ev e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > s1.step_ts
+        |    AND e.ts <= s1.step_ts + 259200000000 GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS step_ts FROM ev e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s2.step_ts
+        |    AND e.ts <= s2.step_ts + 259200000000 GROUP BY 1
+        |), s4 AS (
+        |  SELECT e.user_id, min(e.ts) AS step_ts FROM ev e
+        |  JOIN s3 ON e.user_id = s3.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s3.step_ts
+        |    AND e.ts <= s3.step_ts + 259200000000 GROUP BY 1
+        |)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step_idx, 'signup' AS step_name,
+        |    count(*) AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'view', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'click', count(*) FROM s3
+        |  UNION ALL SELECT 4, 'purchase', count(*) FROM s4
+        |) u ORDER BY step_idx""".stripMargin,
     "events_funnel" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS ts FROM events

@@ -201,6 +201,41 @@ object Events {
     }: _*)).as("r")).select(col("r.*"))
   }
 
+  /** Time-constrained funnel: like [[funnel]], but each step must land
+    * within `windowSize` time units of the PREVIOUS step's match —
+    * "signed up, then purchased within 7 days". Same single-shuffle
+    * stacked-window shape; the recursion is the GREEDY
+    * earliest-match (t_i = min step-i time in (t_{i-1}, t_{i-1} + W]),
+    * the semantics every event-analytics product documents: a user who
+    * could only convert through a LATER step-1 occurrence does not
+    * count. Deterministic, exact, and cheap — optimal re-matching is a
+    * sequence alignment this operator intentionally does not do.
+    */
+  def funnelWindowed(events: DataFrame, steps: Seq[String],
+                     windowSize: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+    val withTimes = steps.zipWithIndex.foldLeft(events) {
+      case (df, (step, i)) =>
+        val hit = if (i == 0) col("event_type") === step
+          else col("event_type") === step &&
+            col(s"_t${i - 1}").isNotNull &&
+            col("ts") > col(s"_t${i - 1}") &&
+            col("ts") <= col(s"_t${i - 1}") + windowSize
+        df.withColumn(s"_t$i", min(when(hit, col("ts"))).over(w))
+    }
+    val counts = withTimes.agg(
+      count_distinct(when(col("_t0").isNotNull, col("user_id"))).as("n0"),
+      steps.indices.drop(1).map(i =>
+        count_distinct(when(col(s"_t$i").isNotNull, col("user_id")))
+          .as(s"n$i")): _*)
+    counts.select(explode(array(steps.zipWithIndex.map { case (name, i) =>
+      struct(lit(i + 1).cast("long").as("step_idx"),
+        lit(name).as("step_name"), col(s"n$i").as("n_users"))
+    }: _*)).as("r")).select(col("r.*"))
+  }
+
   /** Cohort retention — users bucketed by their first-activity day, then
     * counted per (cohort day, day offset) on every later day they were
     * active. All counts, fully engine-exact.

@@ -230,12 +230,12 @@ object Graph {
     * orientation-independent, so an engine-exact oracle can use the
     * simple id-ordered enumeration.
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    val canon = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
+  /** Degree-ordered triangle enumeration over a canonical `(a, b)` edge
+    * list — each triangle exactly once as `(x, y, z)`. The orientation
+    * bounds wedge fan-out by the smaller endpoint's degree (the classic
+    * hub-killer); shared by [[triangleCounts]] and [[kTruss]].
+    */
+  private def triangleRows(canon: DataFrame): DataFrame = {
     val deg = canon.select(col("a").as("id"))
       .union(canon.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
@@ -251,14 +251,79 @@ object Graph {
           col("b")).otherwise(col("a")).as("v"),
         when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
           col("db")).otherwise(col("da")).as("dv"))
-    val tri = oriented.as("e1")
+    oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.u") === col("e2.u") &&
           struct(col("e1.dv"), col("e1.v")) < struct(col("e2.dv"), col("e2.v")))
       .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
       .join(oriented.select(col("u").as("y"), col("v").as("z")), Seq("y", "z"))
-    tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+  }
+
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    triangleRows(canon)
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** k-truss peel: iteratively remove edges supported by fewer than
+    * `k-2` triangles in the CURRENT graph. Removal is monotone-sound —
+    * support only falls as edges leave, so a dropped edge is provably
+    * outside the k-truss at ANY round budget. The loop stops early when
+    * a round removes nothing, at which point the survivors are EXACTLY
+    * the k-truss (`status = truss`); if the budget runs out first they
+    * are reported `candidate`, never overclaimed (the scc soundness
+    * rule). The edge analogue of [[kCore]] — the cohesive-subgraph
+    * filter community detection and spam-cluster mining start from.
+    *
+    * Scale shape per round: one degree-ordered triangle enumeration
+    * ([[triangleRows]] — wedge fan-out bounded by the smaller
+    * endpoint's degree), one keyed count to per-edge support, a
+    * left-join drop test, and an anti-join removal; the edge frame is
+    * localCheckpointed (it feeds the enumeration's three self-join
+    * branches). Output: `(lo, hi, status ∈ removed_<round> | truss |
+    * candidate)` for every input edge.
+    */
+  def kTruss(edges: DataFrame, k: Int = 4, rounds: Int = 3): DataFrame = {
+    require(k >= 3 && rounds >= 1)
+    var e = edges
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+      .localCheckpoint(true)
+    var removed = e.limit(0).withColumn("status", lit(""))
+    var r = 0
+    var lastDrop = -1L
+    while (r < rounds && lastDrop != 0) {
+      val sup = triangleRows(e.select(col("lo").as("a"), col("hi").as("b")))
+        .select(explode(array(
+          struct(least(col("x"), col("y")).as("lo"),
+            greatest(col("x"), col("y")).as("hi")),
+          struct(least(col("x"), col("z")).as("lo"),
+            greatest(col("x"), col("z")).as("hi")),
+          struct(least(col("y"), col("z")).as("lo"),
+            greatest(col("y"), col("z")).as("hi")))).as("t"))
+        .select(col("t.lo"), col("t.hi"))
+        .groupBy(col("lo"), col("hi")).agg(count(lit(1)).as("s"))
+      val dropped = e.join(sup, Seq("lo", "hi"), "left")
+        .filter(coalesce(col("s"), lit(0L)) < k - 2)
+        .select(col("lo"), col("hi"))
+        .localCheckpoint(true)
+      lastDrop = dropped.count()
+      if (lastDrop > 0) {
+        removed = removed.unionByName(
+          dropped.withColumn("status", lit(s"removed_${r + 1}")))
+        e = e.join(dropped, Seq("lo", "hi"), "left_anti")
+          .localCheckpoint(true)
+      }
+      r += 1
+    }
+    val finalStatus = if (lastDrop == 0L) "truss" else "candidate"
+    removed.unionByName(e.withColumn("status", lit(finalStatus)))
   }
 
   /** Node similarity — Jaccard over out-neighbor sets, the GDS

@@ -625,4 +625,19 @@ class EventsSpec extends SparkSpec {
     assert(out("b") === (("a", 1L, 1L, 1000000L)))
   }
 
+
+  test("funnelWindowed: steps count only within the window, greedily") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "a", 0L), (1L, "b", 50L),     // converts: b within W=100
+      (2L, "a", 0L), (2L, "b", 150L),    // b too late
+      (3L, "a", 0L), (3L, "a", 200L), (3L, "b", 250L)
+      // GREEDY: t1 = 0 (earliest a), b at 250 > 0+100 -> no conversion,
+      // even though the later a at 200 would have matched
+    ).toDF("user_id", "event_type", "ts")
+    val out = Events.funnelWindowed(ev, Seq("a", "b"), windowSize = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 1L))
+  }
+
 }

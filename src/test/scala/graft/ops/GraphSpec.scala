@@ -415,6 +415,39 @@ class GraphSpec extends SparkSpec {
     assert(again === out)
   }
 
+  test("kTruss keeps the K4 core, peels pendants, labels truss on converge") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}; a triangle {4,5,6} hanging off; a pendant 6-7
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val es = k4 ++ Seq((4L, 5L), (5L, 6L), (4L, 6L), (6L, 7L))
+    val out = Graph.kTruss(es.toDF("src", "dst"), k = 4, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2))
+      .toMap
+    // hanging triangle edges have support 1 < 2, pendant 0: removed r1
+    assert(out((4L, 5L)) === "removed_1")
+    assert(out((5L, 6L)) === "removed_1")
+    assert(out((4L, 6L)) === "removed_1")
+    assert(out((6L, 7L)) === "removed_1")
+    // K4 edges each sit in 2 triangles: the converged 4-truss
+    k4.foreach { e => assert(out(e) === "truss", s"$e") }
+  }
+
+  test("kTruss cascade respects the round budget, candidates not overclaimed") {
+    import spark.implicits._
+    // two triangles sharing edge (2,3): round 1 removes the four outer
+    // edges (support 1), round 2 removes (2,3) (support now 0)
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val one = Graph.kTruss(es.toDF("src", "dst"), k = 4, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2))
+      .toMap
+    assert(one((2L, 3L)) === "candidate") // budget exhausted, not "truss"
+    assert(one.values.count(_ == "removed_1") === 4)
+    val two = Graph.kTruss(es.toDF("src", "dst"), k = 4, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2))
+      .toMap
+    assert(two((2L, 3L)) === "removed_2")
+  }
+
   test("scc halts without removal when hops cannot converge") {
     // a long cycle whose propagation diameter exceeds hops=1: the
     // verification step detects instability and nothing is assigned
