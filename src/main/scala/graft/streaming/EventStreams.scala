@@ -711,4 +711,60 @@ object EventStreams {
       }
   }
 
+
+  final case class FunnelConversion(user_id: Long, completed_at: Long,
+    step_times: String)
+
+  /** Streaming twin of [[graft.ops.Events.funnel]]: per-user greedy
+    * step matching at ingest, emitting one row the moment a user
+    * completes the final step. State is exactly `steps.size` longs per
+    * user (the matched time per step, Long.MinValue = unmatched) — the
+    * batch recursion `t_i = min step-i time > t_{i-1}` folds greedily,
+    * and for IN-ORDER arrivals the greedy fold IS the batch recursion
+    * (an event can only match step i after the step-(i-1) match, which
+    * precedes it in event time, so it was processed first) —
+    * spec-asserted equal to the batch funnel's conversion set. An
+    * out-of-order arrival inside the watermark can only DELAY a match
+    * the batch operator would make (it never mismatches): the horizon
+    * caveat shared with [[streamingSessions]].
+    */
+  def streamingFunnel(events: DataFrame, steps: Seq[String],
+                      watermark: String = "1 hour")(
+      implicit spark: SparkSession): Dataset[FunnelConversion] = {
+    require(steps.size >= 2, "funnel needs at least two steps")
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    events
+      .withWatermark("ts_time", watermark)
+      .filter(col("event_type").isin(steps: _*))
+      .selectExpr("user_id", "event_id", "ts", "event_type", "ts_time")
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (user: Long,
+         rows: Iterator[(Long, Long, Long, String, java.sql.Timestamp)],
+         state: GroupState[Seq[Long]]) =>
+          var t = state.getOption
+            .getOrElse(Seq.fill(steps.size)(Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[FunnelConversion]
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach {
+            case (_, _, ts, tpe, _) =>
+              val i = stepIdx(tpe)
+              if (i == 0) {
+                if (t(0) == Long.MinValue) t = t.updated(0, ts)
+              } else if (t(i) == Long.MinValue &&
+                  t(i - 1) != Long.MinValue && ts > t(i - 1)) {
+                t = t.updated(i, ts)
+                if (i == steps.size - 1)
+                  out += FunnelConversion(user, ts, t.mkString("->"))
+              }
+          }
+          state.update(t)
+          out.iterator
+      }
+  }
+
 }

@@ -628,4 +628,43 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+
+  test("streamingFunnel conversions equal the batch funnel across batches") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    def ns(sec: Long) = sec * 1000000000L
+    val mem = MemoryStream[(Long, Long, Long, String, Timestamp)]
+    val out = EventStreams.streamingFunnel(
+      mem.toDF.toDF("user_id", "event_id", "ts", "event_type", "ts_time"),
+      Seq("a", "b", "c"))
+    val q = out.toDF.writeStream.format("memory").queryName("funnel_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1 completes across two batches; user 2 stalls at step b;
+      // user 3's step-b arrives BEFORE any step-a: never matches
+      mem.addData((1L, 1L, ns(1000), "a", t(1000)),
+        (2L, 2L, ns(1000), "a", t(1000)),
+        (3L, 3L, ns(1000), "b", t(1000)))
+      q.processAllAvailable()
+      mem.addData((1L, 4L, ns(1100), "b", t(1100)),
+        (1L, 5L, ns(1200), "c", t(1200)),
+        (2L, 6L, ns(1100), "b", t(1100)),
+        (3L, 7L, ns(1100), "c", t(1100)))
+      q.processAllAvailable()
+      val got = spark.table("funnel_test").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("completed_at")))
+      assert(got.toSeq === Seq((1L, ns(1200))))
+      // batch twin agrees on who converts
+      val batch = graft.ops.Events.funnel(
+        Seq((1L, "a", 1000L), (1L, "b", 1100L), (1L, "c", 1200L),
+          (2L, "a", 1000L), (2L, "b", 1100L),
+          (3L, "b", 1000L), (3L, "c", 1100L))
+          .toDF("user_id", "event_type", "ts"), Seq("a", "b", "c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(batch(3L) === 1L) // only user 1 reaches step 3
+    } finally q.stop()
+  }
+
 }
