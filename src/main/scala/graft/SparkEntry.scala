@@ -263,6 +263,26 @@ object SparkEntry {
           kRetrieve = 10, k = 5)
         .orderBy("query_id", "rank")
     }),
+    // --- MMR diversified retrieval: BM25 top-10 shortlist, rank-based
+    // integer relevance, all-integer λ=0.7 marginal-relevance selection
+    // of 5 (floored-cosine redundancy term) — deterministic RAG top-k
+    "search_mmr" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 5).select(
+        col("doc_id").as("query_id"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 5), " ")
+          .as("query_text"))
+      val e = rd(s, dir, "embeddings")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
+      val sl = TextAnalysis.bm25TopK(docs, qs, 10)
+        .withColumn("rank", row_number().over(w))
+        .withColumn("rel", (lit(10L) - col("rank")).cast("long"))
+        .join(e.select(col("vec_id").as("doc_id"),
+          col("embedding").as("d_emb")), Seq("doc_id"))
+        .select(col("query_id"), col("doc_id"), col("rel"), col("d_emb"))
+      Similarity.mmrSelect(sl, k = 5).orderBy("query_id", "pick")
+    }),
     // --- hard negatives: BM25 top-10 docs whose embedding cosine to the
     // query falls under 0.5 — lexically plausible, semantically wrong
     "search_hard_negatives" -> ((s, dir) => {
@@ -2495,6 +2515,166 @@ object SparkEntry {
         |)
         |SELECT query_id, CAST("rank" AS BIGINT) AS "rank", doc_id
         |FROM rr WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    // MMR twin: same bm25 shortlist + rank relevance, floored-cosine
+    // pairwise sims, five unrolled materialized selection steps with
+    // identical integer scores and min-doc-id ties
+    "search_mmr" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), lens AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks
+        |), tot AS (
+        |  SELECT CAST(sum(dl) AS BIGINT) AS corpus_len, count(*) AS n_docs FROM lens
+        |), q AS (
+        |  SELECT DISTINCT query_id, token FROM (
+        |    SELECT doc_id AS query_id, unnest(t[1:5]) AS token
+        |    FROM toks WHERE doc_id < 5) uq
+        |), tfa AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(t) AS token FROM toks) ut
+        |  GROUP BY 1, 2
+        |), d AS (
+        |  SELECT *, count(*) OVER (PARTITION BY token) AS df FROM tfa
+        |), sc AS (
+        |  SELECT q.query_id, d.doc_id,
+        |    CAST(sum(((1000000 // df) * 2200 * corpus_len * tf)
+        |      // (10 * corpus_len * tf + 3 * corpus_len + 9 * dl * n_docs))
+        |      AS BIGINT) AS score
+        |  FROM d JOIN q ON d.token = q.token
+        |  JOIN lens ON d.doc_id = lens.doc_id
+        |  CROSS JOIN tot
+        |  GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS "rank"
+        |  FROM sc
+        |), de AS (
+        |  SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |), sh AS (
+        |  SELECT rk.query_id, rk.doc_id, CAST(10 - rk."rank" AS BIGINT) AS rel
+        |  FROM rk JOIN de ON de.doc_id = rk.doc_id
+        |  WHERE rk."rank" <= 10
+        |), sims AS (
+        |  SELECT a.query_id, a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(floor((list_dot_product(ea.e, eb.e) /
+        |      (sqrt(list_dot_product(ea.e, ea.e)) *
+        |       sqrt(list_dot_product(eb.e, eb.e)))) * 1000000) AS BIGINT)
+        |      AS sim
+        |  FROM sh a JOIN sh b
+        |    ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+        |  JOIN de ea ON ea.doc_id = a.doc_id
+        |  JOIN de eb ON eb.doc_id = b.doc_id
+        |), sel0 AS (
+        |  SELECT CAST(NULL AS BIGINT) AS query_id,
+        |    CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS pick
+        |  WHERE false
+        |), m1 AS MATERIALIZED (
+        |  SELECT s.query_id, s.b_id AS doc_id, max(s.sim) AS maxsim
+        |  FROM sims s JOIN sel0 x
+        |    ON x.query_id = s.query_id AND x.doc_id = s.a_id
+        |  GROUP BY 1, 2
+        |), c1 AS MATERIALIZED (
+        |  SELECT sh.* FROM sh WHERE NOT EXISTS (
+        |    SELECT 1 FROM sel0 x
+        |    WHERE x.query_id = sh.query_id AND x.doc_id = sh.doc_id)
+        |), p1 AS MATERIALIZED (
+        |  SELECT query_id, doc_id, CAST(1 AS BIGINT) AS pick FROM (
+        |    SELECT c.query_id, c.doc_id, row_number() OVER (
+        |      PARTITION BY c.query_id
+        |      ORDER BY c.rel * 7 * 1000000 - 3 * coalesce(m.maxsim, 0)
+        |        DESC, c.doc_id) AS rn
+        |    FROM c1 c LEFT JOIN m1 m
+        |      ON m.query_id = c.query_id AND m.doc_id = c.doc_id
+        |  ) z WHERE rn = 1
+        |), sel1 AS MATERIALIZED (
+        |  SELECT * FROM sel0 UNION ALL SELECT * FROM p1
+        |),
+        |m2 AS MATERIALIZED (
+        |  SELECT s.query_id, s.b_id AS doc_id, max(s.sim) AS maxsim
+        |  FROM sims s JOIN sel1 x
+        |    ON x.query_id = s.query_id AND x.doc_id = s.a_id
+        |  GROUP BY 1, 2
+        |), c2 AS MATERIALIZED (
+        |  SELECT sh.* FROM sh WHERE NOT EXISTS (
+        |    SELECT 1 FROM sel1 x
+        |    WHERE x.query_id = sh.query_id AND x.doc_id = sh.doc_id)
+        |), p2 AS MATERIALIZED (
+        |  SELECT query_id, doc_id, CAST(2 AS BIGINT) AS pick FROM (
+        |    SELECT c.query_id, c.doc_id, row_number() OVER (
+        |      PARTITION BY c.query_id
+        |      ORDER BY c.rel * 7 * 1000000 - 3 * coalesce(m.maxsim, 0)
+        |        DESC, c.doc_id) AS rn
+        |    FROM c2 c LEFT JOIN m2 m
+        |      ON m.query_id = c.query_id AND m.doc_id = c.doc_id
+        |  ) z WHERE rn = 1
+        |), sel2 AS MATERIALIZED (
+        |  SELECT * FROM sel1 UNION ALL SELECT * FROM p2
+        |),
+        |m3 AS MATERIALIZED (
+        |  SELECT s.query_id, s.b_id AS doc_id, max(s.sim) AS maxsim
+        |  FROM sims s JOIN sel2 x
+        |    ON x.query_id = s.query_id AND x.doc_id = s.a_id
+        |  GROUP BY 1, 2
+        |), c3 AS MATERIALIZED (
+        |  SELECT sh.* FROM sh WHERE NOT EXISTS (
+        |    SELECT 1 FROM sel2 x
+        |    WHERE x.query_id = sh.query_id AND x.doc_id = sh.doc_id)
+        |), p3 AS MATERIALIZED (
+        |  SELECT query_id, doc_id, CAST(3 AS BIGINT) AS pick FROM (
+        |    SELECT c.query_id, c.doc_id, row_number() OVER (
+        |      PARTITION BY c.query_id
+        |      ORDER BY c.rel * 7 * 1000000 - 3 * coalesce(m.maxsim, 0)
+        |        DESC, c.doc_id) AS rn
+        |    FROM c3 c LEFT JOIN m3 m
+        |      ON m.query_id = c.query_id AND m.doc_id = c.doc_id
+        |  ) z WHERE rn = 1
+        |), sel3 AS MATERIALIZED (
+        |  SELECT * FROM sel2 UNION ALL SELECT * FROM p3
+        |),
+        |m4 AS MATERIALIZED (
+        |  SELECT s.query_id, s.b_id AS doc_id, max(s.sim) AS maxsim
+        |  FROM sims s JOIN sel3 x
+        |    ON x.query_id = s.query_id AND x.doc_id = s.a_id
+        |  GROUP BY 1, 2
+        |), c4 AS MATERIALIZED (
+        |  SELECT sh.* FROM sh WHERE NOT EXISTS (
+        |    SELECT 1 FROM sel3 x
+        |    WHERE x.query_id = sh.query_id AND x.doc_id = sh.doc_id)
+        |), p4 AS MATERIALIZED (
+        |  SELECT query_id, doc_id, CAST(4 AS BIGINT) AS pick FROM (
+        |    SELECT c.query_id, c.doc_id, row_number() OVER (
+        |      PARTITION BY c.query_id
+        |      ORDER BY c.rel * 7 * 1000000 - 3 * coalesce(m.maxsim, 0)
+        |        DESC, c.doc_id) AS rn
+        |    FROM c4 c LEFT JOIN m4 m
+        |      ON m.query_id = c.query_id AND m.doc_id = c.doc_id
+        |  ) z WHERE rn = 1
+        |), sel4 AS MATERIALIZED (
+        |  SELECT * FROM sel3 UNION ALL SELECT * FROM p4
+        |),
+        |m5 AS MATERIALIZED (
+        |  SELECT s.query_id, s.b_id AS doc_id, max(s.sim) AS maxsim
+        |  FROM sims s JOIN sel4 x
+        |    ON x.query_id = s.query_id AND x.doc_id = s.a_id
+        |  GROUP BY 1, 2
+        |), c5 AS MATERIALIZED (
+        |  SELECT sh.* FROM sh WHERE NOT EXISTS (
+        |    SELECT 1 FROM sel4 x
+        |    WHERE x.query_id = sh.query_id AND x.doc_id = sh.doc_id)
+        |), p5 AS MATERIALIZED (
+        |  SELECT query_id, doc_id, CAST(5 AS BIGINT) AS pick FROM (
+        |    SELECT c.query_id, c.doc_id, row_number() OVER (
+        |      PARTITION BY c.query_id
+        |      ORDER BY c.rel * 7 * 1000000 - 3 * coalesce(m.maxsim, 0)
+        |        DESC, c.doc_id) AS rn
+        |    FROM c5 c LEFT JOIN m5 m
+        |      ON m.query_id = c.query_id AND m.doc_id = c.doc_id
+        |  ) z WHERE rn = 1
+        |), sel5 AS MATERIALIZED (
+        |  SELECT * FROM sel4 UNION ALL SELECT * FROM p5
+        |)
+        |SELECT query_id, pick, doc_id FROM sel5
+        |ORDER BY query_id, pick""".stripMargin,
     // same bm25 shortlist; keep docs whose cosine < 0.5 (forced DOUBLE —
     // a bare 0.5 parses DECIMAL in DuckDB and diverges from Spark)
     "search_hard_negatives" ->

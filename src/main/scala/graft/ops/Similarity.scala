@@ -819,4 +819,59 @@ object Similarity {
         expr("n_hit * 1000000L div n_truth").as("recall_ppm"))
     perQuery.unionByName(overall)
   }
+
+  /** Maximal-marginal-relevance diversified selection over a BOUNDED
+    * per-query shortlist `(query_id, doc_id, rel, d_emb)` — the RAG
+    * retrieval step that trades relevance against redundancy:
+    * `pick_t = argmax λ·rel − (1−λ)·max_{s∈selected} sim(s, ·)`. All
+    * arithmetic is integer (`score = lamNum·rel·10⁶ − lamDen·sim_µ`
+    * with `sim_µ = floor(10⁶·cosine)` — the float participates only
+    * through floor, and the cosine chain is the bit-identical
+    * dot/sqrt recipe), deterministic min-doc-id tie-breaks, so the
+    * selection is engine-exact. The two-stage contract makes it cheap:
+    * the shortlist is retrieval-bounded (BM25/ANN top-n), pairwise
+    * similarities are n² per query computed ONCE, and the k driver
+    * steps (the k-means-centroid class) run joins over frames no
+    * larger than |Q|·n². Output: `(query_id, pick, doc_id)`,
+    * pick = 1..k in selection order.
+    */
+  def mmrSelect(shortlist: DataFrame, k: Int = 5, lamNum: Long = 7L,
+                lamDen: Long = 3L): DataFrame = {
+    require(k >= 1)
+    val sl = shortlist.localCheckpoint(true)
+    val sims = sl.as("a").join(sl.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        floor(cosineCol(col("a.d_emb"), col("b.d_emb")) * lit(1000000.0))
+          .cast("long").as("sim"))
+      .localCheckpoint(true)
+    var selected = sl.limit(0)
+      .select(col("query_id"), col("doc_id"))
+      .withColumn("pick", lit(0L))
+    var t = 1
+    while (t <= k) {
+      val selNow = selected.localCheckpoint(true)
+      val cand = sl.join(selNow.select(col("query_id"), col("doc_id")),
+        Seq("query_id", "doc_id"), "left_anti")
+      val maxs = sims
+        .join(selNow.select(col("query_id"), col("doc_id").as("a_id")),
+          Seq("query_id", "a_id"))
+        .groupBy(col("query_id"), col("b_id").as("doc_id"))
+        .agg(max(col("sim")).as("maxsim"))
+      val picks = cand.join(maxs, Seq("query_id", "doc_id"), "left")
+        .withColumn("score",
+          col("rel") * lit(lamNum) * lit(1000000L) -
+            lit(lamDen) * coalesce(col("maxsim"), lit(0L)))
+        .groupBy(col("query_id"))
+        .agg(min(struct((-col("score")).as("neg"),
+          col("doc_id").as("id"))).as("m"))
+        .select(col("query_id"), col("m.id").as("doc_id"),
+          lit(t.toLong).as("pick"))
+      selected = selNow.unionByName(picks)
+      t += 1
+    }
+    selected.filter(col("pick") > 0)
+  }
 }

@@ -360,4 +360,26 @@ class SimilaritySpec extends SparkSpec {
     assert(r(1) == (2L, 10000000L, 1000000L))
     assert(r(2) == (4L, 10000000L, 1000000L))
   }
+
+  test("mmrSelect trades relevance for diversity with exact integer scores") {
+    import spark.implicits._
+    // doc 1 and 2 share a direction (cos exactly 1.0), doc 3 orthogonal
+    val sl = Seq(
+      (9L, 1L, 3L, Array(1.0f, 0.0f)),
+      (9L, 2L, 2L, Array(2.0f, 0.0f)),
+      (9L, 3L, 1L, Array(0.0f, 1.0f))
+    ).toDF("query_id", "doc_id", "rel", "d_emb")
+    // lambda = 1/3: pick1 = best rel (doc 1); pick2: doc2 scores
+    // 2e6 - 2*1e6 = 0 < doc3's 1e6 -> diversity wins; pick3 = doc2
+    val out = Similarity.mmrSelect(sl, k = 3, lamNum = 1L, lamDen = 2L)
+      .collect().map(r => r.getAs[Long]("pick") -> r.getAs[Long]("doc_id"))
+      .toMap
+    assert(out === Map(1L -> 1L, 2L -> 3L, 3L -> 2L))
+    // with relevance-heavy lambda the redundant doc 2 comes second
+    val rel = Similarity.mmrSelect(sl, k = 2, lamNum = 7L, lamDen = 3L)
+      .collect().map(r => r.getAs[Long]("pick") -> r.getAs[Long]("doc_id"))
+      .toMap
+    assert(rel === Map(1L -> 1L, 2L -> 2L))
+  }
+
 }
