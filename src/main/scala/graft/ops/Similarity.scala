@@ -847,17 +847,24 @@ object Similarity {
         floor(cosineCol(col("a.d_emb"), col("b.d_emb")) * lit(1000000.0))
           .cast("long").as("sim"))
       .localCheckpoint(true)
-    var selected = sl.limit(0)
-      .select(col("query_id"), col("doc_id"))
-      .withColumn("pick", lit(0L))
+    // the selection set is at most |Q|·k rows — keep it DRIVER-side
+    // (the k-means-centroid class) and broadcast it into each step, so
+    // a step is two broadcast joins + one partial-agg argmax instead of
+    // a checkpointed-frame chain (measured 6.6s → ~2s on the sf0.1
+    // shortlist). Engine math is unchanged — only where the tiny
+    // selected set lives.
+    val spark = shortlist.sparkSession
+    import spark.implicits._
+    var selectedRows = Seq.empty[(Long, Long, Long)] // (query, doc, pick)
     var t = 1
     while (t <= k) {
-      val selNow = selected.localCheckpoint(true)
-      val cand = sl.join(selNow.select(col("query_id"), col("doc_id")),
+      val selDf = selectedRows.toDF("query_id", "doc_id", "pick")
+      val cand = sl.join(
+        broadcast(selDf.select(col("query_id"), col("doc_id"))),
         Seq("query_id", "doc_id"), "left_anti")
       val maxs = sims
-        .join(selNow.select(col("query_id"), col("doc_id").as("a_id")),
-          Seq("query_id", "a_id"))
+        .join(broadcast(selDf.select(col("query_id"),
+          col("doc_id").as("a_id"))), Seq("query_id", "a_id"))
         .groupBy(col("query_id"), col("b_id").as("doc_id"))
         .agg(max(col("sim")).as("maxsim"))
       val picks = cand.join(maxs, Seq("query_id", "doc_id"), "left")
@@ -867,11 +874,12 @@ object Similarity {
         .groupBy(col("query_id"))
         .agg(min(struct((-col("score")).as("neg"),
           col("doc_id").as("id"))).as("m"))
-        .select(col("query_id"), col("m.id").as("doc_id"),
-          lit(t.toLong).as("pick"))
-      selected = selNow.unionByName(picks)
+        .select(col("query_id"), col("m.id").as("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), t.toLong))
+      selectedRows = selectedRows ++ picks
       t += 1
     }
-    selected.filter(col("pick") > 0)
+    selectedRows.toDF("query_id", "doc_id", "pick")
+      .select(col("query_id"), col("doc_id"), col("pick"))
   }
 }
