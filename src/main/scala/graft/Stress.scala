@@ -281,6 +281,20 @@ object Stress {
       docs, queries, fakeEmb, fakeQEmb).count())
     time("search_hard_neg")(graft.ops.TextAnalysis.hardNegatives(
       docs, queries, fakeEmb, fakeQEmb).count())
+    // MMR: the BM25 stage is the corpus-sized work, the k selection
+    // steps run over the |Q|*shortlist frame regardless of corpus size
+    time("search_mmr") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("score").desc, col("doc_id").asc)
+      val sl = graft.ops.TextAnalysis.bm25TopK(docs, queries, 10)
+        .withColumn("rank", row_number().over(w))
+        .withColumn("rel", (lit(10L) - col("rank")).cast("long"))
+        .join(fakeEmb.select(col("doc_id"), col("embedding").as("d_emb")),
+          Seq("doc_id"))
+        .select(col("query_id"), col("doc_id"), col("rel"), col("d_emb"))
+      graft.ops.Similarity.mmrSelect(sl, k = 5).count()
+    }
 
     // r8-late wave: Luby MIS (rounds bound work, active set shrinks
     // geometrically), SymSpell fuzzy join (variant buckets are
