@@ -242,6 +242,20 @@ object Stress {
     // corpus), then the daily batch joins it with ZERO index-side
     // shuffle AND zero index-side signature recompute — the wall-clock
     // delta vs the plain operator is the per-ingest saving at scale
+    // a fresh session gets a fresh metastore but spark-warehouse/
+    // persists across runs: clear the stale table location or
+    // saveAsTable dies with LOCATION_ALREADY_EXISTS on the second run
+    locally {
+      val wh = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), "stress_lsh_index")
+      if (java.nio.file.Files.exists(wh)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(wh).sorted(
+          java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+    }
     time("minhash_index_write")(
       { graft.ops.Dedup.writeBandedIndex(
           docs0.filter(col("doc_id") % 5 =!= 0), "stress_lsh_index")
