@@ -804,27 +804,34 @@ object Graph {
     var decided = e.limit(0).select(col("lo"), col("hi"))
       .withColumn("status", lit("matched"))
     var r = 0
-    while (r < rounds) {
-      val inc = e.select(col("lo").as("v"), col("h"), col("lo"), col("hi"))
-        .unionByName(
-          e.select(col("hi").as("v"), col("h"), col("lo"), col("hi")))
-      val vmin = inc.groupBy(col("v"))
-        .agg(min(struct(col("h"), col("lo"), col("hi"))).as("m"))
-      val matched = e
-        .join(vmin.select(col("v").as("lo"), col("m").as("mlo")), Seq("lo"))
-        .join(vmin.select(col("v").as("hi"), col("m").as("mhi")), Seq("hi"))
-        .filter(struct(col("h"), col("lo"), col("hi")) === col("mlo") &&
-          struct(col("h"), col("lo"), col("hi")) === col("mhi"))
-        .select(col("lo"), col("hi"))
-        .localCheckpoint(true)
-      decided = decided.unionByName(
-        matched.withColumn("status", lit("matched")))
-      val mv = matched.select(col("lo").as("v"))
-        .unionByName(matched.select(col("hi").as("v"))).distinct()
-      e = e.join(mv.select(col("v").as("lo")), Seq("lo"), "left_anti")
-        .join(mv.select(col("v").as("hi")), Seq("hi"), "left_anti")
-        .select(col("lo"), col("hi"), col("h"))
-        .localCheckpoint(true)
+    var drained = false
+    // rounds past an empty edge frame are no-ops — break early, the
+    // fixed-round oracle agrees
+    while (r < rounds && !drained) {
+      drained = e.isEmpty
+      if (!drained) {
+        val inc =
+          e.select(col("lo").as("v"), col("h"), col("lo"), col("hi"))
+            .unionByName(
+              e.select(col("hi").as("v"), col("h"), col("lo"), col("hi")))
+        val vmin = inc.groupBy(col("v"))
+          .agg(min(struct(col("h"), col("lo"), col("hi"))).as("m"))
+        val matched = e
+          .join(vmin.select(col("v").as("lo"), col("m").as("mlo")), Seq("lo"))
+          .join(vmin.select(col("v").as("hi"), col("m").as("mhi")), Seq("hi"))
+          .filter(struct(col("h"), col("lo"), col("hi")) === col("mlo") &&
+            struct(col("h"), col("lo"), col("hi")) === col("mhi"))
+          .select(col("lo"), col("hi"))
+          .localCheckpoint(true)
+        decided = decided.unionByName(
+          matched.withColumn("status", lit("matched")))
+        val mv = matched.select(col("lo").as("v"))
+          .unionByName(matched.select(col("hi").as("v"))).distinct()
+        e = e.join(mv.select(col("v").as("lo")), Seq("lo"), "left_anti")
+          .join(mv.select(col("v").as("hi")), Seq("hi"), "left_anti")
+          .select(col("lo"), col("hi"), col("h"))
+          .localCheckpoint(true)
+      }
       r += 1
     }
     decided.unionByName(
@@ -842,30 +849,37 @@ object Graph {
     var active = und.select(col("a").as("id")).distinct()
     var decided: DataFrame = null
     var r = 0
-    while (r < rounds) {
+    var drained = false
+    // fixed-round contract: rounds past an empty active set are no-ops,
+    // so breaking early changes nothing (the unrolled oracle agrees)
+    while (r < rounds && !drained) {
       val act = active.localCheckpoint(true)
-      val eAct = und
-        .join(act.select(col("id").as("a")), Seq("a"), "left_semi")
-        .join(act.select(col("id").as("b")), Seq("b"), "left_semi")
-      val nbrMin = eAct.withColumn("hb", h(col("b")))
-        .groupBy(col("a").as("id"))
-        .agg(min(struct(col("hb"), col("b"))).as("m"))
-        .select(col("id"), col("m.hb").as("nh"), col("m.b").as("nid"))
-      val chosen = act.withColumn("hv", h(col("id")))
-        .join(nbrMin, Seq("id"), "left")
-        .filter(col("nh").isNull || col("hv") < col("nh") ||
-          (col("hv") === col("nh") && col("id") < col("nid")))
-        .select(col("id"))
-      val removed = eAct
-        .join(chosen.select(col("id").as("a")), Seq("a"), "left_semi")
-        .select(col("b").as("id")).distinct()
-      val dec = chosen.withColumn("status", lit("mis"))
-        .unionByName(removed.withColumn("status", lit("out")))
-        .localCheckpoint(true)
-      decided = if (decided == null) dec else decided.unionByName(dec)
-      active = act.join(dec.select("id"), Seq("id"), "left_anti")
+      drained = act.isEmpty
+      if (!drained) {
+        val eAct = und
+          .join(act.select(col("id").as("a")), Seq("a"), "left_semi")
+          .join(act.select(col("id").as("b")), Seq("b"), "left_semi")
+        val nbrMin = eAct.withColumn("hb", h(col("b")))
+          .groupBy(col("a").as("id"))
+          .agg(min(struct(col("hb"), col("b"))).as("m"))
+          .select(col("id"), col("m.hb").as("nh"), col("m.b").as("nid"))
+        val chosen = act.withColumn("hv", h(col("id")))
+          .join(nbrMin, Seq("id"), "left")
+          .filter(col("nh").isNull || col("hv") < col("nh") ||
+            (col("hv") === col("nh") && col("id") < col("nid")))
+          .select(col("id"))
+        val removed = eAct
+          .join(chosen.select(col("id").as("a")), Seq("a"), "left_semi")
+          .select(col("b").as("id")).distinct()
+        val dec = chosen.withColumn("status", lit("mis"))
+          .unionByName(removed.withColumn("status", lit("out")))
+          .localCheckpoint(true)
+        decided = if (decided == null) dec else decided.unionByName(dec)
+        active = act.join(dec.select("id"), Seq("id"), "left_anti")
+      }
       r += 1
     }
-    decided.unionByName(active.withColumn("status", lit("undecided")))
+    if (decided == null) active.withColumn("status", lit("undecided"))
+    else decided.unionByName(active.withColumn("status", lit("undecided")))
   }
 }
