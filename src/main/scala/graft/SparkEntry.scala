@@ -514,6 +514,11 @@ object SparkEntry {
     "dedup_jaccard_prefix" -> ((s, dir) =>
       Dedup.tokenJaccardPrefix(rd(s, dir, "documents"), 0.8, ngram = 3)
         .orderBy("a_id", "b_id")),
+    // directional containment over the same 3-gram shingle space — the
+    // quote/subset pairs jaccard's union denominator suppresses
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentJoin(rd(s, dir, "documents"), 0.8, ngram = 3)
+        .orderBy("a_id", "b_id")),
     // --- block-hash perceptual near-dup over binary payloads: planted
     // copies perturb only the last 3 bytes, flipping one 4-bit block
     "multimodal_phash" -> ((s, dir) => {
@@ -733,6 +738,16 @@ object SparkEntry {
         .filter(col("rank") === 1).select("query_id", "neighbor_id")
         .orderBy("query_id")
     }),
+    // IVF+PQ composite: the copy shares the query's nearest list (same
+    // centroid distances, same deterministic tie-break) so it IS among
+    // the probed candidates, where its code is the blockwise-minimal ADC
+    // (the ann_pq argument) — rank 1 after the exact re-rank
+    "ann_ivfpq" -> ((s, dir) => {
+      val (corpus, q) = plantedAnnInputs(s, dir)
+      Similarity.ivfPqTopK(corpus, q, 10)
+        .filter(col("rank") === 1).select("query_id", "neighbor_id")
+        .orderBy("query_id")
+    }),
     // --- text analysis (rows 25-28)
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokens(rd(s, dir, "documents")).orderBy("doc_id")),
@@ -803,6 +818,11 @@ object SparkEntry {
     "corpus_heaps" -> ((s, dir) =>
       TextAnalysis.heapsGrowth(rd(s, dir, "documents"), 10L)
         .orderBy("bucket")),
+    // --- Zipf rank-frequency card: log2 buckets via portable bit-length,
+    // slope from four integer sums with ONE final double division
+    "corpus_zipf" -> ((s, dir) =>
+      TextAnalysis.zipfProfile(rd(s, dir, "documents"))
+        .orderBy("rank_bucket")),
     // --- preference-pair mining: best-vs-worst alpha-ratio-scored doc
     // per source, partial-aggregable argmin/argmax extremes (no rank
     // window over group members), integer-ppm scores
@@ -1175,6 +1195,12 @@ object SparkEntry {
     "value_histogram" -> ((s, dir) =>
       Analytics.histogram(rd(s, dir, "lineitem"), "l_extendedprice", 5000.0)
         .orderBy("bin")),
+    // --- exact-moment correlation matrix over the lineitem numerics:
+    // one scan, integerized cells, pure-double Pearson close
+    "value_corr" -> ((s, dir) =>
+      Analytics.corrMatrix(rd(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_x", "col_y")),
     "value_winsorize" -> ((s, dir) => {
       Analytics.winsorize(
         rdEvents(s, dir).select(col("event_id"), col("event_type"),
@@ -3112,6 +3138,31 @@ object SparkEntry {
         |WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE)
         |  >= CAST('0.8' AS DOUBLE)
         |ORDER BY a_id, b_id""".stripMargin,
+    // directional containment C(a→b) = common / |A| over the same 3-gram
+    // space; the prefix filter is candidate pruning only, so the oracle
+    // is the plain posting join over ordered pairs
+    "dedup_containment" ->
+      """WITH raw AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), toks AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS tok
+        |  FROM raw WHERE len(t) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1
+        |), pairs AS (
+        |  SELECT l.doc_id AS a_id, r.doc_id AS b_id, count(*) AS common
+        |  FROM toks l JOIN toks r ON l.tok = r.tok AND l.doc_id <> r.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a_id, b_id,
+        |  CAST(common AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS containment
+        |FROM pairs
+        |JOIN sizes sa ON pairs.a_id = sa.doc_id
+        |WHERE CAST(common AS DOUBLE) / CAST(sa.sz AS DOUBLE)
+        |  >= CAST('0.8' AS DOUBLE)
+        |ORDER BY a_id, b_id""".stripMargin,
     "dedup_incremental" ->
       """WITH batch AS (
         |  SELECT sha256(text) AS checksum, min(doc_id) AS doc_id,
@@ -3397,6 +3448,9 @@ object SparkEntry {
       """SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
     "ann_pq" ->
+      """SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+    "ann_ivfpq" ->
       """SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
     // planted-block k-means (see registration comment): the provably
@@ -3688,6 +3742,30 @@ object SparkEntry {
         |  CAST(sum(new_types) OVER (ORDER BY bucket
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
         |FROM j ORDER BY bucket""".stripMargin,
+    // Zipf twin: bit-length log2 on both axes (portable unpadded form),
+    // exact integer regression sums, one final double division
+    "corpus_zipf" ->
+      """WITH freqs AS (
+        |  SELECT t AS token, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+        |    FROM documents
+        |  ) u WHERE length(t) > 0 GROUP BY 1
+        |), ranked AS (
+        |  SELECT CAST(length(ltrim(bin(CAST(row_number() OVER (
+        |      ORDER BY freq DESC, token) AS BIGINT)), '0')) AS BIGINT) AS lr,
+        |    CAST(length(ltrim(bin(freq), '0')) AS BIGINT) AS lf, freq
+        |  FROM freqs
+        |), sl AS (
+        |  SELECT CAST(count(*) * sum(lr * lf) - sum(lr) * sum(lf) AS DOUBLE)
+        |    / CAST(count(*) * sum(lr * lr) - sum(lr) * sum(lr) AS DOUBLE)
+        |    AS zipf_slope
+        |  FROM ranked
+        |)
+        |SELECT lr AS rank_bucket, CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum(freq) AS BIGINT) AS sum_freq, max(freq) AS max_freq,
+        |  min(freq) AS min_freq, zipf_slope
+        |FROM ranked, sl GROUP BY lr, zipf_slope
+        |ORDER BY rank_bucket""".stripMargin,
     // best-vs-worst twin: rank windows are fine in the oracle (it does
     // not need the partial-agg trick); tie-breaks match the struct
     // argmin/argmax (score then smaller doc_id on both ends)
@@ -4721,6 +4799,60 @@ object SparkEntry {
         |  count(*) AS n_rows,
         |  min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v
         |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin,
+    // corr twin: identical integerized cells (floor(x·100) BIGINT), exact
+    // integer moments (DuckDB sums to HUGEINT — same exact integers as the
+    // Spark DECIMAL(28,0) sums), then the identical pure-double Pearson:
+    // each moment casts to DOUBLE FIRST, so every ·,−,/,sqrt is the same
+    // IEEE op on the same operands
+    "value_corr" ->
+      """WITH c AS (
+        |  SELECT CAST(floor(l_quantity * 100) AS BIGINT) AS xq,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS xp,
+        |    CAST(floor(l_discount * 100) AS BIGINT) AS xd,
+        |    CAST(floor(l_tax * 100) AS BIGINT) AS xt
+        |  FROM lineitem
+        |), m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(count(*) AS BIGINT) AS nn,
+        |    CAST(sum(xq) AS DOUBLE) AS sq, CAST(sum(xp) AS DOUBLE) AS sp,
+        |    CAST(sum(xd) AS DOUBLE) AS sd, CAST(sum(xt) AS DOUBLE) AS st,
+        |    CAST(sum(xq * xq) AS DOUBLE) AS pqq,
+        |    CAST(sum(xq * xp) AS DOUBLE) AS pqp,
+        |    CAST(sum(xq * xd) AS DOUBLE) AS pqd,
+        |    CAST(sum(xq * xt) AS DOUBLE) AS pqt,
+        |    CAST(sum(xp * xp) AS DOUBLE) AS ppp,
+        |    CAST(sum(xp * xd) AS DOUBLE) AS ppd,
+        |    CAST(sum(xp * xt) AS DOUBLE) AS ppt,
+        |    CAST(sum(xd * xd) AS DOUBLE) AS pdd,
+        |    CAST(sum(xd * xt) AS DOUBLE) AS pdt,
+        |    CAST(sum(xt * xt) AS DOUBLE) AS ptt
+        |  FROM c
+        |)
+        |SELECT col_x, col_y, n, corr FROM (
+        |  SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, nn AS n,
+        |    (n * pqp - sq * sp) / (sqrt(n * pqq - sq * sq)
+        |      * sqrt(n * ppp - sp * sp)) AS corr FROM m
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_discount', nn,
+        |    (n * pqd - sq * sd) / (sqrt(n * pqq - sq * sq)
+        |      * sqrt(n * pdd - sd * sd)) FROM m
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_tax', nn,
+        |    (n * pqt - sq * st) / (sqrt(n * pqq - sq * sq)
+        |      * sqrt(n * ptt - st * st)) FROM m
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_discount', nn,
+        |    (n * ppd - sp * sd) / (sqrt(n * ppp - sp * sp)
+        |      * sqrt(n * pdd - sd * sd)) FROM m
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_tax', nn,
+        |    (n * ppt - sp * st) / (sqrt(n * ppp - sp * sp)
+        |      * sqrt(n * ptt - st * st)) FROM m
+        |  UNION ALL
+        |  SELECT 'l_discount', 'l_tax', nn,
+        |    (n * pdt - sd * st) / (sqrt(n * pdd - sd * sd)
+        |      * sqrt(n * ptt - st * st)) FROM m
+        |) ORDER BY col_x, col_y""".stripMargin,
     "value_winsorize" ->
       """WITH b AS (
         |  SELECT event_type, quantile_cont(value, 0.01) AS p_lo,

@@ -347,4 +347,50 @@ object Analytics {
           expr("top_n * 1000000L div total").as("top_share_ppm"))
     }.reduce(_.unionByName(_))
   }
+
+  /** Exact-moment Pearson correlation matrix over a set of numeric
+    * columns — the feature-drift / feature-redundancy card a training
+    * pipeline runs over every tabular snapshot. One scan computes every
+    * raw moment (n, Σx per column, Σx·y per column pair) with map-side
+    * partial aggregation; the pair rows then unfold from the single
+    * aggregated row, so the whole matrix costs one pass + a one-row
+    * shuffle regardless of corpus size.
+    *
+    * Engine-exactness: each cell is integerized FIRST
+    * (`floor(x·10^scale)` — one IEEE multiply + floor, bit-identical in
+    * any engine), so every aggregation is an order-free integer sum
+    * (DECIMAL(28,0) vs the 6·10^19 Σx² overflow at sf0.1), and the
+    * final Pearson formula runs in pure double arithmetic over those
+    * exact integers — casts of exact integers and IEEE ·,−,/,sqrt are
+    * all correctly rounded, so the DuckDB twin matches bit-for-bit.
+    * The computed quantity is the exact correlation of the
+    * 10^-scale-quantized data (not of the raw doubles) — the
+    * deterministic-surrogate trade the gram-matrix recipe established.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String],
+                 scale: Int = 2): DataFrame = {
+    require(cols.size >= 2)
+    val f = math.pow(10, scale)
+    val base = df.select(cols.map(c =>
+      floor(col(c) * f).cast("long").as(s"x_$c")): _*)
+    val aggs = Seq(count(lit(1)).cast("long").as("n")) ++
+      cols.map(c => sum(col(s"x_$c").cast("decimal(28,0)")).as(s"s_$c")) ++
+      (for { i <- cols.indices; j <- i until cols.size } yield
+        sum((col(s"x_${cols(i)}") * col(s"x_${cols(j)}"))
+          .cast("decimal(28,0)")).as(s"p_${i}_$j"))
+    val m = base.agg(aggs.head, aggs.tail: _*)
+    def d(c: String): Column = col(c).cast("double")
+    val pairRows = for { i <- cols.indices; j <- (i + 1) until cols.size }
+      yield {
+        val (a, b) = (cols(i), cols(j))
+        struct(lit(a).as("col_x"), lit(b).as("col_y"),
+          ((d("n") * d(s"p_${i}_$j") - d(s"s_$a") * d(s"s_$b")) /
+            (sqrt(d("n") * d(s"p_${i}_$i") - d(s"s_$a") * d(s"s_$a")) *
+              sqrt(d("n") * d(s"p_${j}_$j") - d(s"s_$b") * d(s"s_$b"))))
+            .as("corr"))
+      }
+    m.select(col("n"), explode(array(pairRows: _*)).as("pr"))
+      .select(col("pr.col_x").as("col_x"), col("pr.col_y").as("col_y"),
+        col("n"), col("pr.corr").as("corr"))
+  }
 }

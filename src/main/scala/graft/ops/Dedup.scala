@@ -913,6 +913,73 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** EXACT asymmetric containment self-join: all ordered pairs (a, b)
+    * with C(a→b) = |A∩B| / |A| >= `tau` over word n-gram shingle sets —
+    * the quote/subset detector jaccard cannot express (a short document
+    * fully quoted inside a long one has high containment but LOW jaccard,
+    * since the union is dominated by the long side). This is the primitive
+    * behind "is this doc mostly content we already have" curation gates
+    * and prompt/completion overlap checks.
+    *
+    * Candidate generation is one-sided prefix filtering: C(a→b) >= tau
+    * means a misses at most |A| − ceil(tau·|A|) elements of B, so one of
+    * a's `|A| − ceil(tau·|A|) + 1` globally RAREST elements must appear
+    * in B — the probe side indexes only that prefix, while the indexed
+    * side posts its FULL element set (containment puts no lower bound on
+    * which of b's elements are shared, so b cannot be prefix-pruned;
+    * that asymmetry is inherent to containment joins). Lossless at every
+    * threshold. The size filter `|B| >= ceil(tau·|A|)` drops
+    * impossible candidates before verification, and verification is the
+    * codegen'd per-pair `array_intersect` close (the jaccard_prefix
+    * recipe — never re-join the posting stream per pair).
+    *
+    * Scale shape: one tok-keyed shuffle for df (window reuses the
+    * partitioning for the index side of the join), one doc-keyed shuffle
+    * for prefix ranking, the candidate equi-join on tok, one pair-keyed
+    * shuffle to verify. Rare-first prefixes keep probe-side fanout tiny;
+    * index-side hot-token posting lists only pair with probes whose
+    * PREFIX contains the hot token — i.e. short or hot-dominated docs —
+    * so the join output stays far under df² per token. `ngram >= 2`
+    * (default 3) is load-bearing exactly as in [[tokenJaccardPrefix]]:
+    * a combinatorial shingle space keeps prefix dfs small.
+    */
+  def containmentJoin(docs: DataFrame, tau: Double = 0.8,
+                      ngram: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val elems =
+      if (ngram <= 1) array_distinct(split(trim(col("text")), "\\s+"))
+      else expr(s"graft_shingles(text, $ngram)")
+    val docSets = docs.select(col("doc_id"), elems.as("el"))
+      .select(col("doc_id"), col("el"), size(col("el")).cast("long").as("sz"))
+      .filter(col("sz") > 0)
+    val toks = docSets
+      .select(col("doc_id"), col("sz"), explode(col("el")).as("tok"))
+    val ranked = toks
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
+      .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(asc("df"), asc("tok"))))
+    val prefix = ranked
+      .filter(col("rk") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
+      .select(col("doc_id").as("a_id"), col("tok"), col("sz").as("a_sz"))
+    val cands = prefix.join(
+        toks.select(col("doc_id").as("b_id"), col("tok"),
+          col("sz").as("b_sz")), Seq("tok"))
+      .filter(col("a_id") =!= col("b_id") &&
+        col("b_sz") >= ceil(lit(tau) * col("a_sz")))
+      .select(col("a_id"), col("b_id"), col("a_sz"))
+      .distinct()
+    cands
+      .join(docSets.select(col("doc_id").as("a_id"), col("el").as("a_el")),
+        Seq("a_id"))
+      .join(docSets.select(col("doc_id").as("b_id"), col("el").as("b_el")),
+        Seq("b_id"))
+      .withColumn("containment",
+        size(array_intersect(col("a_el"), col("b_el"))).cast("double") /
+          col("a_sz").cast("double"))
+      .filter(col("containment") >= tau)
+      .select(col("a_id"), col("b_id"), col("containment"))
+  }
+
   /** Pair-level dedup quality evaluation against a ground-truth pair
     * set — the harness that turns "we ran MinHash" into "MinHash found
     * 96% of the planted duplicates at 99% precision". Both sides

@@ -661,6 +661,111 @@ object Similarity {
         col("vec_id").as("neighbor_id"), col("cosine"))
   }
 
+  /** IVF+PQ composite ANN — the standard billion-scale serving index
+    * (FAISS `IVFx,PQy`): coarse-quantize the corpus into `nLists`
+    * inverted lists, PQ-encode every vector to `m` sub-codes, and at
+    * query time scan ONLY the `nProbe` probed lists with the LUT-based
+    * ADC before an exact re-rank of the `k·refine` survivors. Composes
+    * the two paths this module already ships ([[ivfTopK]] routing +
+    * [[pqTopK]] scoring): the probe join is an equi-join on `list_id`
+    * touching nProbe/nLists of the code table, and the codes are
+    * m bytes/vector instead of the raw floats — so the per-query scan
+    * cost drops by BOTH the list fraction and the code compression,
+    * which is exactly why this composite (not flat PQ, not flat IVF) is
+    * the shape production ANN serves at 100 TB.
+    *
+    * Codes quantize the RAW vectors (not list residuals): residual
+    * encoding needs per-list codebooks or a shared book over
+    * center-subtracted vectors, and the deterministic sample fit here
+    * keeps both sides (Spark + oracle argument) reproducible. Recall at
+    * equal (m, ksub) is modestly below residual-PQ — the refine-stage
+    * exact re-rank absorbs the difference for top-k serving.
+    *
+    * Scale shape: centroids and per-query LUTs broadcast (both tiny);
+    * the corpus is touched once to assign+encode (one shuffle on
+    * list_id at write time when persisted partitionBy(list_id), cf.
+    * [[writeIvfIndex]]); query-time candidates = codes ⋈ probed lists,
+    * two-level top-(k·refine), bounded exact re-rank.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                nLists: Int = 16, nProbe: Int = 4,
+                m: Int = 8, ksub: Int = 16, refine: Int = 4,
+                trainSample: Int = 10000): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = fitCentroids(corpus, nLists, trainSample)
+    val assigned = nearestLists(centroids)(
+      corpus.select(col("vec_id"), col("embedding")), "vec_id", "embedding", 1)
+    val sample = corpus.select("vec_id", "embedding").orderBy("vec_id")
+      .limit(trainSample).collect()
+      .map(_.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { b =>
+      kmeansFit(sample.map(_.slice(b * dsub, (b + 1) * dsub)), ksub, iters = 5)
+    }
+    val bBooks = spark.sparkContext.broadcast(books)
+    val codes = assigned.select(col("vec_id"), col("embedding"), col("list_id"))
+      .as[(Long, scala.collection.Seq[Float], Int)]
+      .mapPartitions { it =>
+        val bk = bBooks.value
+        it.map { case (id, emb, list) =>
+          val cs = Array.tabulate(m) { b =>
+            var best = 0; var bd = Double.MaxValue; var c = 0
+            while (c < bk(b).length) {
+              var d = 0.0; var j = 0
+              while (j < dsub) {
+                val t = emb(b * dsub + j) - bk(b)(c)(j); d += t * t; j += 1
+              }
+              if (d < bd) { bd = d; best = c }
+              c += 1
+            }
+            best
+          }
+          (id, list, cs.toSeq)
+        }
+      }.toDF("vec_id", "list_id", "codes")
+    val probed = nearestLists(centroids)(
+      queries.select(col("query_id"), col("q_emb")), "query_id", "q_emb", nProbe)
+      .select(col("query_id"), col("list_id"))
+    val luts = queries.select(col("query_id"), col("q_emb"))
+      .as[(Long, scala.collection.Seq[Float])].collect()
+      .map { case (qid, qe) =>
+        val lut = Array.tabulate(m * ksub) { i =>
+          val b = i / ksub; val c = i % ksub
+          var d = 0.0; var j = 0
+          while (j < dsub) {
+            val t = qe(b * dsub + j) - books(b)(c)(j); d += t * t; j += 1
+          }
+          d
+        }
+        (qid, lut.toSeq)
+      }.toSeq.toDF("query_id", "lut")
+    // probe plan: (query, probed list, LUT) broadcast against the code
+    // table keyed on list_id — candidates are the probed lists only
+    val scoredAdc = codes
+      .join(broadcast(probed.join(luts, "query_id")), Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", expr(s"graft_adc(codes, lut, $ksub)"))
+    val cands = topKPerQuery(scoredAdc.select("query_id", "vec_id", "adc"),
+      k * refine, "adc", ascending = true)
+      .select("query_id", "vec_id")
+    cands
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("q_emb"))),
+        "query_id")
+      .withColumn("cosine",
+        dotCol(col("embedding"), col("q_emb")) /
+          (normCol(col("embedding")) * normCol(col("q_emb"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cosine"))
+  }
+
   /** Symmetric int8 quantization of the embedding column — the standard
     * compression step before shipping vectors to an ANN index or a
     * training shard (4× smaller than float32, 8× than float64).

@@ -1443,4 +1443,52 @@ object TextAnalysis {
         sum(col("n_tokens")).over(w).as("cum_tokens"),
         sum(col("new_types")).over(w).as("cum_types"))
   }
+
+  /** Zipf rank-frequency profile + log-log slope — the companion
+    * diagnostic to [[heapsGrowth]]: a natural corpus follows
+    * freq ∝ rank^(-s) with s ≈ 1; a strongly non-Zipfian profile flags
+    * synthetic, templated, or truncated text. One corpus scan builds the
+    * vocabulary frequency table (token-keyed partial agg); ranking and
+    * everything after run over the VOCABULARY, which is Heaps-sublinear
+    * in corpus size, so the single rank window is vocab-bounded (the
+    * [[buildVocab]] shape), not corpus-bounded.
+    *
+    * Engine-exact log-log regression without logs: both axes quantize to
+    * their integer log2 via portable bit-length
+    * (`length(ltrim(bin(x), '0'))` — identical unpadded form in Spark
+    * and DuckDB), and the least-squares slope over the per-term
+    * (log2 rank, log2 freq) points folds from four order-free integer
+    * sums; only the final slope division runs in double (one IEEE
+    * divide; integer `div` would hit the truncate-vs-floor divergence on
+    * the negative numerator). Output: one row per log2-rank bucket
+    * (n_terms, sum_freq, max_freq, min_freq) with the corpus-level
+    * slope repeated — the whole card is ~log2(vocab) rows.
+    */
+  def zipfProfile(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def log2i(c: Column): Column =
+      length(ltrim(bin(c), "0")).cast("long")
+    val ranked = docs
+      .select(explode(tokensCol(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("freq"), asc("token")))
+          .cast("long"))
+      .select(log2i(col("rank")).as("lr"), log2i(col("freq")).as("lf"),
+        col("freq"))
+    val slope = ranked.agg(
+      count(lit(1)).as("nt"), sum(col("lr")).as("sx"),
+      sum(col("lf")).as("sy"), sum(col("lr") * col("lf")).as("sxy"),
+      sum(col("lr") * col("lr")).as("sxx"))
+      .select(((col("nt") * col("sxy") - col("sx") * col("sy"))
+        .cast("double") /
+        (col("nt") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .as("zipf_slope"))
+    ranked
+      .groupBy(col("lr").as("rank_bucket"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("freq")).as("sum_freq"),
+        max(col("freq")).as("max_freq"), min(col("freq")).as("min_freq"))
+      .crossJoin(broadcast(slope))
+  }
 }

@@ -162,4 +162,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(s.getAs[Long]("gini_ppm") == 575000L)
     assert(s.getAs[Long]("top_share_ppm") == 800000L)
   }
+
+  test("corrMatrix: planted perfect, anti, and self-consistent pairs") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0),
+      (4.0, 8.0, -4.0)).toDF("x", "y", "z")
+    val out = Analytics.corrMatrix(df, Seq("x", "y", "z")).collect()
+      .map(r => (r.getAs[String]("col_x"), r.getAs[String]("col_y")) ->
+        r.getAs[Double]("corr")).toMap
+    assert(out.size == 3)
+    assert(out.forall { case (_, v) => !v.isNaN })
+    assert(math.abs(out(("x", "y")) - 1.0) < 1e-12)
+    assert(math.abs(out(("x", "z")) + 1.0) < 1e-12)
+    assert(math.abs(out(("y", "z")) + 1.0) < 1e-12)
+  }
+
 }

@@ -375,4 +375,31 @@ class DedupSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L))
   }
 
+
+  test("containmentJoin finds the quote pair jaccard suppresses") {
+    import spark.implicits._
+    val quoted = "alpha beta gamma delta epsilon"
+    val long = "x1 x2 x3 x4 " + quoted + " y1 y2 y3 y4 y5 y6 y7 y8"
+    val docs = Seq((1L, quoted), (2L, long), (3L, "unrelated words only here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentJoin(docs, tau = 0.8, ngram = 3).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        r.getAs[Double]("containment")).toMap
+    // every 3-gram of the quote appears in the long doc: C(1→2) = 1.0
+    assert(pairs.keySet === Set((1L, 2L)))
+    assert(pairs((1L, 2L)) === 1.0)
+    // while jaccard at the same threshold sees nothing
+    assert(Dedup.tokenJaccardPrefix(docs, tau = 0.8, ngram = 3)
+      .collect().isEmpty)
+  }
+
+  test("containmentJoin emits both directions for identical docs") {
+    import spark.implicits._
+    val t = "one two three four five six"
+    val docs = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val pairs = Dedup.containmentJoin(docs, tau = 0.8, ngram = 3).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(pairs === Set((1L, 2L), (2L, 1L)))
+  }
+
 }

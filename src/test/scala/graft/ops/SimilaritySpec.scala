@@ -382,4 +382,39 @@ class SimilaritySpec extends SparkSpec {
     assert(rel === Map(1L -> 1L, 2L -> 2L))
   }
 
+
+  test("ivfPqTopK recall >= 0.8 vs brute force on clustered vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(10)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val vecs = for { c <- centers.indices; m <- 0 until 20 }
+      yield ((c * 20 + m).toLong,
+        centers(c).map(v => v + 0.05f * rnd.nextGaussian().toFloat).toSeq)
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val qs = corpus.filter($"vec_id" % 20 === 0).limit(4)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val overall = Similarity.recallAtK(
+      Similarity.ivfPqTopK(corpus, qs, k = 10),
+      Similarity.bruteTopK(corpus, qs, k = 10))
+      .filter($"query_id" === -1L).collect().head
+    assert(overall.getAs[Long]("recall_ppm") >= 800000L,
+      s"ivfpq recall ${overall.getAs[Long]("recall_ppm")} ppm below 0.8")
+  }
+
+  test("ivfPqTopK surfaces a planted identical copy at rank 1") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val base = (0L until 200L).map(i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat).toSeq))
+    val corpus = (base ++ base.take(3).map { case (i, e) => (i + 1000L, e) })
+      .toDF("vec_id", "embedding")
+    val qs = base.take(3)
+      .map { case (i, e) => (i, e) }.toDF("query_id", "q_emb")
+    val top1 = Similarity.ivfPqTopK(corpus, qs, k = 5)
+      .filter($"rank" === 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    assert(top1 === Map(0L -> 1000L, 1L -> 1001L, 2L -> 1002L))
+  }
+
 }

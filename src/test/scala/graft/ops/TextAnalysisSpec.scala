@@ -646,4 +646,27 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 0L, "Multi  space."), (3L, 1L, "padded.")))
   }
 
+
+  test("zipfProfile: planted geometric corpus has slope exactly -1") {
+    import spark.implicits._
+    // 1 token x16, 2 x8, 4 x4, 8 x2, 16 x1: every term satisfies
+    // lf = 6 - lr, so the least-squares slope is exactly -1.0
+    val toks =
+      Seq.fill(16)("t0") ++
+        (1 to 2).flatMap(i => Seq.fill(8)(s"u$i")) ++
+        (1 to 4).flatMap(i => Seq.fill(4)(s"v$i")) ++
+        (1 to 8).flatMap(i => Seq.fill(2)(s"w$i")) ++
+        (1 to 16).map(i => s"x$i")
+    val docs = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val rows = TextAnalysis.zipfProfile(docs).collect()
+      .map(r => r.getAs[Long]("rank_bucket") ->
+        (r.getAs[Long]("n_terms"), r.getAs[Long]("sum_freq"),
+          r.getAs[Double]("zipf_slope"))).toMap
+    assert(rows.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(rows(1L)._1 == 1L && rows(1L)._2 == 16L)
+    assert(rows(3L)._1 == 4L && rows(3L)._2 == 16L)
+    assert(rows(5L)._1 == 16L && rows(5L)._2 == 16L)
+    assert(rows(1L)._3 == -1.0)
+  }
+
 }
