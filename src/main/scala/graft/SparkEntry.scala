@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.{Analytics, Cdc, Dedup, Events, Graph, Linkage, Multimodal, Privacy, Quality, Reco, Sampling, Similarity, Skew, Sketches, TextAnalysis, Web}
 import graft.orchestrate.{BlueGreen, Snapshots}
-import graft.sources.{GraphFrames, ZOrder}
+import graft.sources.{GraphFrames, Ingest, ZOrder}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the row each query
   * covers. Every oracle-able query aliases its columns identically on both
@@ -447,6 +447,14 @@ object SparkEntry {
       Graph.triangleCounts(
         Graph.coOccurrence(li, "l_orderkey", "l_partkey")).orderBy("id")
     }),
+    // --- link prediction (common-neighbor + resource-allocation) over
+    // the same sampled part co-occurrence graph: top-5 NEW part-part
+    // links per node, hub centers capped at deg 100 (oracle replicates)
+    "graph_linkpred" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem").filter(col("l_partkey") % 4 === 0)
+      val co = Graph.coOccurrence(li, "l_orderkey", "l_partkey")
+      Graph.linkPredict(co, topK = 5, maxDeg = 100).orderBy("src", "rank")
+    }),
     // --- end-to-end blue/green load (row 33): the reference's headline
     // path (load_with_aliases.py:216-249) as ONE verified query — stage a
     // snapshot layout from the sf tables, run abort→create→node fan-out→
@@ -454,6 +462,26 @@ object SparkEntry {
     // transport, and emit counts-by-stage + the system-statement plan.
     // Counts come back through executor-side accumulators; statements are
     // fully determined by the (existingDbs, aliases) scenario.
+    // --- text-format ingestion round trips: the oracle reads the SAME
+    // rows straight from parquet, so a hash match proves the
+    // serializer/parser pair preserves quotes, newlines, and unicode
+    // exactly (md5 over the round-tripped text vs the original)
+    "load_jsonl" -> ((s, dir) => {
+      val staged = java.nio.file.Files
+        .createTempDirectory("graft_jsonl").toString
+      Ingest.jsonlRoundTrip(rd(s, dir, "documents"), staged)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+    "load_csv" -> ((s, dir) => {
+      val staged = java.nio.file.Files
+        .createTempDirectory("graft_csv").toString
+      Ingest.csvRoundTrip(rd(s, dir, "documents"), staged)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
     "load_e2e" -> ((s, dir) => {
       import java.nio.file.Paths
       val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_load_e2e")
@@ -1803,6 +1831,11 @@ object SparkEntry {
     "events_snaive" -> ((s, dir) =>
       Events.seasonalNaiveBacktest(rdEvents(s, dir), 7)
         .orderBy("event_type")),
+    // --- day-of-week seasonal lift per type vs the independence
+    // expectation, exact integer ppm over the (type × 7) cell table
+    "events_seasonal" -> ((s, dir) =>
+      Events.seasonalProfile(rdEvents(s, dir))
+        .orderBy("event_type", "dow")),
     // --- per-source freshness audit: staleness vs the globally
     // freshest source + final-active-day volume share
     "dq_freshness" -> ((s, dir) =>
@@ -2972,6 +3005,51 @@ object SparkEntry {
         |  UNION ALL SELECT y FROM tri
         |  UNION ALL SELECT z FROM tri
         |) GROUP BY id ORDER BY id""".stripMargin,
+    // link-prediction twin: same co-occurrence graph, same hub cap, same
+    // integer RA weights (1000000 // deg == Spark div on positives)
+    "graph_linkpred" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+        |  WHERE l_partkey % 4 = 0
+        |), sized AS (
+        |  SELECT g, item FROM (
+        |    SELECT g, item, count(*) OVER (PARTITION BY g) AS gsz FROM pairs)
+        |  WHERE gsz <= 100
+        |), e AS (
+        |  SELECT DISTINCT l.item AS lo, r.item AS hi
+        |  FROM sized l JOIN sized r ON l.g = r.g AND l.item < r.item
+        |), und AS (
+        |  SELECT lo AS z, hi AS n FROM e
+        |  UNION ALL SELECT hi, lo FROM e
+        |), cent AS (
+        |  SELECT z, n, 1000000 // deg AS w FROM (
+        |    SELECT z, n, count(*) OVER (PARTITION BY z) AS deg FROM und)
+        |  WHERE deg <= 100
+        |), sc AS (
+        |  SELECT l.n AS src, r.n AS dst,
+        |    CAST(count(*) AS BIGINT) AS common_neighbors,
+        |    CAST(sum(l.w) AS BIGINT) AS ra_ppm
+        |  FROM cent l JOIN cent r ON l.z = r.z AND l.n < r.n
+        |  GROUP BY 1, 2
+        |), nonadj AS (
+        |  SELECT * FROM sc WHERE NOT EXISTS (
+        |    SELECT 1 FROM e WHERE e.lo = sc.src AND e.hi = sc.dst)
+        |), rk AS (
+        |  SELECT src, dst, CAST(row_number() OVER (PARTITION BY src
+        |    ORDER BY ra_ppm DESC, common_neighbors DESC, dst) AS BIGINT)
+        |    AS rank, common_neighbors, ra_ppm
+        |  FROM nonadj
+        |)
+        |SELECT src, dst, rank, common_neighbors, ra_ppm FROM rk
+        |WHERE rank <= 5 ORDER BY src, rank""".stripMargin,
+    // round-trip twins: the oracle never sees the staged files — a hash
+    // match IS the lossless-serialization proof
+    "load_jsonl" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "load_csv" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "bluegreen_keep2" ->
       """WITH d AS (
         |  SELECT o_custkey AS customer_id,
@@ -6600,6 +6678,25 @@ object SparkEntry {
         |  CAST(sum(abs(n - n_pred)) AS BIGINT) * 1000000
         |    // CAST(sum(n) AS BIGINT) AS mae_ppm
         |FROM j GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // seasonalProfile twin: dow from epoch days (+3 pins Monday = 0),
+    // marginals as windows over the bounded cell table, all-integer lift
+    "events_seasonal" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, dow, n_events,
+        |    sum(n_events) OVER (PARTITION BY event_type) AS type_total,
+        |    sum(n_events) OVER (PARTITION BY dow) AS dow_total,
+        |    sum(n_events) OVER () AS overall
+        |  FROM cells
+        |)
+        |SELECT event_type, CAST(dow AS BIGINT) AS dow, n_events,
+        |  CAST(1000000 * n_events * overall
+        |    // (type_total * dow_total) AS BIGINT) AS lift_ppm
+        |FROM m ORDER BY event_type, dow""".stripMargin,
     // freshness twin: per-type max window + rollup, global-max window
     // over the aggregated frame
     "dq_freshness" ->

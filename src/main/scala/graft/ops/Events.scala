@@ -1186,4 +1186,35 @@ object Events {
       .select(col("lifetime"), col("n_risk"), col("churned"),
         col("censored"), col("hazard_ppm"))
   }
+
+  /** Day-of-week seasonal profile per event type — the seasonality card
+    * behind watermark choice, anomaly baselines, and the seasonal-naive
+    * forecaster's period: each (type, dow) cell's observed count against
+    * its independence expectation `type_total · dow_total / overall`,
+    * as an exact integer lift (`1e6·n·overall div (type_total ·
+    * dow_total)` — one BIGINT `div`, no float ratio). dow 0 = Monday
+    * (epoch day 0 was a Thursday, hence the +3).
+    *
+    * Scale shape: ONE corpus-keyed partial agg to the (type × 7) cell
+    * table; every marginal then derives from windows over that bounded
+    * cell frame, never a second corpus scan. The BIGINT product
+    * `1e6 · n · overall` bounds the operator at ~10^12 events per run
+    * (9.2·10^18 / 10^6 headroom) — beyond that, pre-aggregate per day.
+    */
+  def seasonalProfile(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = events
+      .select(col("event_type"),
+        expr("((ts div 1000) div 86400000000 + 3) % 7").as("dow"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("n_events"))
+    cells
+      .withColumn("type_total",
+        sum("n_events").over(Window.partitionBy("event_type")))
+      .withColumn("dow_total",
+        sum("n_events").over(Window.partitionBy("dow")))
+      .withColumn("overall", sum("n_events").over(Window.partitionBy()))
+      .select(col("event_type"), col("dow"), col("n_events"),
+        expr("1000000L * n_events * overall div (type_total * dow_total)")
+          .as("lift_ppm"))
+  }
 }

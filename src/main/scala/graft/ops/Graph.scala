@@ -397,6 +397,62 @@ object Graph {
     * propagation the rounds are exactly `maxHops`, giving a fixed plan
     * the DuckDB oracle reproduces with a bounded recursive CTE.
     */
+  /** Link prediction over an undirected graph: for every NON-adjacent
+    * 2-hop pair, the common-neighbor count and the resource-allocation
+    * index Σ_{z∈Γ(a)∩Γ(b)} 1/deg(z) (Zhou/Lü/Zhang) — RA is the
+    * degree-discounted variant that beats raw common-neighbors on dense
+    * co-occurrence graphs, and unlike Adamic-Adar's 1/log(deg) it has an
+    * engine-exact integer form: each wedge contributes
+    * `1000000 div deg(z)` BEFORE the order-free BIGINT sum.
+    *
+    * Scale shape: wedges generate at the CENTER node (one self-join of
+    * the center-keyed adjacency), so fan-out is Σ deg(z)² — the
+    * `maxDeg` hub cap drops centers above it ENTIRELY (deterministic,
+    * oracle-expressible; a hub center contributes ≤ 1e6/maxDeg per
+    * wedge, so what the cap removes is exactly the near-zero-weight
+    * mass, the same pragmatic cut every production RA/CN system makes).
+    * Candidate scoring is one (a, b)-keyed partial agg; existing edges
+    * leave via LEFT ANTI on the canonical pair; the final per-source
+    * rank window runs over each node's own candidate set (2-hop
+    * neighborhood, hub-capped — bounded by maxDeg·avg-deg).
+    *
+    * Output: (src, dst, rank, common_neighbors, ra_ppm) — src < dst,
+    * top `topK` predictions per src by (ra, cn, dst) — plus nothing for
+    * nodes with no non-adjacent 2-hop peers.
+    */
+  def linkPredict(edges: DataFrame, topK: Int = 5,
+                  maxDeg: Int = 100): DataFrame = {
+    val adj = edges
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+    val und = adj.select(col("lo").as("z"), col("hi").as("n"))
+      .unionByName(adj.select(col("hi").as("z"), col("lo").as("n")))
+    // center-keyed adjacency with degree; ONE z-keyed shuffle feeds the
+    // count window, the hub cap, and both sides of the wedge self-join
+    val centered = und
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("z")))
+      .filter(col("deg") <= maxDeg)
+      .withColumn("w", expr("1000000L div deg"))
+    val scored = centered.as("l")
+      .join(centered.as("r"),
+        col("l.z") === col("r.z") && col("l.n") < col("r.n"))
+      .groupBy(col("l.n").as("src"), col("r.n").as("dst"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(col("l.w")).as("ra_ppm"))
+      .join(adj, col("src") === col("lo") && col("dst") === col("hi"),
+        "left_anti")
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")
+          .orderBy(desc("ra_ppm"), desc("common_neighbors"), asc("dst")))
+        .cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("src"), col("dst"), col("rank"),
+        col("common_neighbors"), col("ra_ppm"))
+  }
+
   def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int = 4): DataFrame = {
     val undirected = edges.select(col("src").as("u"), col("dst").as("v"))
       .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))

@@ -640,4 +640,22 @@ class EventsSpec extends SparkSpec {
     assert(out === Map(1L -> 3L, 2L -> 1L))
   }
 
+
+  test("seasonalProfile computes exact independence lifts per (type, dow)") {
+    import spark.implicits._
+    val day = 86400000000000L // nanos
+    // type A: 2 events day 0 (dow 3), 1 event day 1 (dow 4); type B: 1 on day 0
+    val ev = Seq(
+      (0L * day, "A"), (0L * day + 5L, "A"), (1L * day, "A"),
+      (0L * day + 7L, "B")).toDF("ts", "event_type")
+    val out = Events.seasonalProfile(ev).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("dow")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("lift_ppm"))).toMap
+    // overall 4; type totals A=3, B=1; dow totals dow3=3, dow4=1
+    assert(out === Map(
+      ("A", 3L) -> (2L, 2L * 4L * 1000000L / (3L * 3L)),
+      ("A", 4L) -> (1L, 1L * 4L * 1000000L / (3L * 1L)),
+      ("B", 3L) -> (1L, 1L * 4L * 1000000L / (1L * 3L))))
+  }
+
 }

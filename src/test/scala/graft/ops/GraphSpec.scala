@@ -457,4 +457,23 @@ class GraphSpec extends SparkSpec {
       .collect()
     assert(out.forall(_.isNullAt(1)))
   }
+
+  test("linkPredict scores 2-hop pairs by RA and excludes existing edges") {
+    import spark.implicits._
+    // path 1-2-3-4: candidates (1,3) via center 2 and (2,4) via center 3,
+    // both deg-2 centers -> ra = 500000, cn = 1
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.linkPredict(path, topK = 5).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")) ->
+        (r.getAs[Long]("common_neighbors"), r.getAs[Long]("ra_ppm"))).toMap
+    assert(out === Map((1L, 3L) -> (1L, 500000L), (2L, 4L) -> (1L, 500000L)))
+    // closing (1,3) removes it from the prediction set
+    val closed = path.union(Seq((1L, 3L)).toDF("src", "dst"))
+    val out2 = Graph.linkPredict(closed, topK = 5).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+    assert(!out2.contains((1L, 3L)))
+    // and mints the new 2-hop pairs the triangle edge creates
+    assert(out2.contains((2L, 4L)))
+  }
+
 }
