@@ -851,6 +851,10 @@ object SparkEntry {
     "corpus_zipf" -> ((s, dir) =>
       TextAnalysis.zipfProfile(rd(s, dir, "documents"))
         .orderBy("rank_bucket")),
+    // --- TextRank keywords: pageRank's fixed-point BIGINT rounds over
+    // the window-2 word co-occurrence graph, top-20 by centrality
+    "text_textrank" -> ((s, dir) =>
+      TextAnalysis.textRank(rd(s, dir, "documents")).orderBy("rk")),
     // --- preference-pair mining: best-vs-worst alpha-ratio-scored doc
     // per source, partial-aggregable argmin/argmax extremes (no rank
     // window over group members), integer-ppm scores
@@ -3793,6 +3797,53 @@ object SparkEntry {
         |JOIN uni ub ON pc.tok_b = ub.token
         |WHERE n_pair >= 3 AND ua.n_tok >= 5 AND ub.n_tok >= 5
         |ORDER BY ratio_ppm DESC, tok_a, tok_b LIMIT 40""".stripMargin,
+    // TextRank twin: the graph_pagerank round macro over the word
+    // co-occurrence edge list; MATERIALIZED on the per-round inputs so
+    // DuckDB's per-reference CTE inlining cannot recompute the token
+    // self-join every round
+    "text_textrank" -> {
+      val round = (prev: String, cur: String) =>
+        s"""$cur AS (
+           |  SELECT n.id, 150000000000 + (85 * COALESCE(c.cin, 0)) // 100 AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT ed.dst, CAST(SUM(p.r // ed.outdeg) AS BIGINT) AS cin
+           |    FROM ed JOIN $prev p ON p.id = ed.src GROUP BY ed.dst
+           |  ) c ON n.id = c.dst
+           |)""".stripMargin
+      s"""WITH dl AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l
+         |  FROM documents
+         |), tok AS (
+         |  SELECT doc_id, i AS pos, l[i] AS token
+         |  FROM dl, UNNEST(range(1, len(l) + 1)) AS u(i)
+         |  WHERE length(l[i]) > 0
+         |), co AS (
+         |  SELECT a.token AS src, b.token AS dst FROM tok a JOIN tok b
+         |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  UNION ALL
+         |  SELECT a.token, b.token FROM tok a JOIN tok b
+         |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 2
+         |), e AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM co WHERE src <> dst
+         |    UNION ALL SELECT dst, src FROM co WHERE src <> dst) z
+         |), nodes AS MATERIALIZED (
+         |  SELECT src AS id FROM e UNION SELECT dst FROM e
+         |), deg AS (
+         |  SELECT src, count(*) AS outdeg FROM e GROUP BY 1
+         |), ed AS MATERIALIZED (
+         |  SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)
+         |), r0 AS (
+         |  SELECT id, CAST(1000000000000 AS BIGINT) AS r FROM nodes
+         |), ${round("r0", "r1")},
+         |${round("r1", "r2")},
+         |${round("r2", "r3")}
+         |SELECT rk, term, rank_scaled FROM (
+         |  SELECT CAST(row_number() OVER (ORDER BY r DESC, id) AS BIGINT)
+         |    AS rk, id AS term, r AS rank_scaled
+         |  FROM r3) z
+         |WHERE rk <= 20 ORDER BY rk""".stripMargin
+    },
     // Heaps twin: same first-occurrence formulation; // is DuckDB
     // integer division (both floor on non-negative doc ids)
     "corpus_heaps" ->

@@ -1424,6 +1424,48 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** TextRank corpus keywords (Mihalcea & Tarau): PageRank over the
+    * word co-occurrence graph — two words are linked when they appear
+    * within `window` positions in any document — surfaces the terms
+    * most central to the corpus's phrase structure, which frequency
+    * rankings ([[buildVocab]]) and tf-idf ([[topTerms]]) both miss
+    * (a term can be rare yet sit on every high-traffic phrase path).
+    *
+    * Entirely compositional: pair generation is [[skipgramStats]]'s
+    * per-offset equi-join chain (never a positional range join), the
+    * graph walk is [[Graph.pageRank]]'s fixed-point BIGINT arithmetic
+    * verbatim (rounds chain lazily — linear lineage), so the oracle is
+    * the same unrolled-CTE recipe over the SQL-derived edge list. The
+    * token self-join runs over corpus positions (one doc_id-keyed
+    * shuffle reused across offsets); everything after the edge DISTINCT
+    * is vocabulary-sized — Heaps-sublinear in the corpus — including
+    * the final top-k rank window.
+    */
+  def textRank(docs: DataFrame, window: Int = 2, iters: Int = 3,
+               topK: Int = 20): DataFrame = {
+    require(window >= 1)
+    val tok = docs
+      .select(col("doc_id"),
+        posexplode(tokensCol(lower(col("text")))).as(Seq("pos", "token")))
+      .filter(length(col("token")) > 0)
+    val co = (1 to window).map { k =>
+      tok.as("a").join(tok.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.pos") === col("a.pos") + k)
+        .select(col("a.token").as("src"), col("b.token").as("dst"))
+    }.reduce(_ unionByName _)
+      .filter(col("src") =!= col("dst"))
+    val edges = co
+      .unionByName(co.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    Graph.pageRank(edges, iters)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("rank_scaled"), asc("id"))).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("rk"), col("id").as("term"), col("rank_scaled"))
+  }
+
   def heapsGrowth(docs: DataFrame, bucketWidth: Long = 10L): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

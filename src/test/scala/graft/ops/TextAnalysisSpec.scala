@@ -669,4 +669,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(1L)._3 == -1.0)
   }
 
+
+  test("textRank ranks the hub word first with monotone scores") {
+    import spark.implicits._
+    val docs = Seq((1L, "hub x1 hub x2 hub x3 hub x4"),
+      (2L, "hub y1 hub y2 hub y3")).toDF("doc_id", "text")
+    val out = TextAnalysis.textRank(docs, window = 2, iters = 3, topK = 5)
+      .orderBy("rk").collect()
+    assert(out.head.getAs[String]("term") == "hub")
+    val scores = out.map(_.getAs[Long]("rank_scaled")).toSeq
+    assert(scores == scores.sorted.reverse)
+    assert(out.map(_.getAs[Long]("rk")).toSeq == (1L to out.length.toLong))
+  }
+
 }
