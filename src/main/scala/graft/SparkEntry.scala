@@ -424,6 +424,13 @@ object SparkEntry {
         (col("o_custkey") + 10000000L).as("dst"))
       Graph.hits(e, 3).orderBy("id")
     }),
+    // --- Newman degree assortativity of the order/customer graph: one
+    // exact-moment Pearson row (strongly negative — hub-and-spoke)
+    "graph_assortativity" -> ((s, dir) => {
+      val e = rd(s, dir, "orders").select(col("o_orderkey").as("src"),
+        (col("o_custkey") + 10000000L).as("dst"))
+      Graph.assortativity(e).orderBy("n_endpoints")
+    }),
     // triangle counts over the part co-occurrence graph (parts sharing an
     // order); Spark enumerates degree-ordered, the oracle id-ordered —
     // the triangle set is orientation-independent. The registered query
@@ -3009,6 +3016,38 @@ object SparkEntry {
         |  UNION ALL SELECT y FROM tri
         |  UNION ALL SELECT z FROM tri
         |) GROUP BY id ORDER BY id""".stripMargin,
+    // assortativity twin: endpoint-degree Pearson with the corrMatrix
+    // close — each exact HUGEINT moment casts to DOUBLE first, then the
+    // identical IEEE formula
+    "graph_assortativity" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS src, o_custkey + 10000000 AS dst FROM orders
+        |), adj AS (
+        |  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+        |  FROM base WHERE src <> dst
+        |), und AS (
+        |  SELECT lo AS src, hi AS dst FROM adj
+        |  UNION ALL SELECT hi, lo FROM adj
+        |), deg AS (
+        |  SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+        |  FROM und GROUP BY 1
+        |), ep AS (
+        |  SELECT ds.deg AS x, dd.deg AS y
+        |  FROM und JOIN deg ds ON und.src = ds.id
+        |  JOIN deg dd ON und.dst = dd.id
+        |), m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nn,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy
+        |  FROM ep
+        |)
+        |SELECT nn AS n_endpoints,
+        |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx)
+        |    * sqrt(n * syy - sy * sy)) AS assortativity
+        |FROM m ORDER BY n_endpoints""".stripMargin,
     // link-prediction twin: same co-occurrence graph, same hub cap, same
     // integer RA weights (1000000 // deg == Spark div on positives)
     "graph_linkpred" ->

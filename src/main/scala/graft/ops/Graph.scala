@@ -453,6 +453,37 @@ object Graph {
         col("common_neighbors"), col("ra_ppm"))
   }
 
+  /** Degree assortativity (Newman): the Pearson correlation of the
+    * degree pair across every directed edge endpoint — positive means
+    * hubs attach to hubs (social graphs), negative means hubs attach to
+    * leaves (hub-and-spoke, bipartite order/customer shapes). THE
+    * one-number structure card that tells a partitioner whether hot
+    * keys cluster.
+    *
+    * Pure composition: degrees from one keyed agg on the mirrored edge
+    * list, two broadcast-or-shuffle joins to attach endpoint degrees,
+    * then [[Analytics.corrMatrix]] at scale=0 (degrees are already
+    * exact integers) — one scan, exact DECIMAL moments, pure-double
+    * Pearson close, so the oracle is the same formula over HUGEINT
+    * sums. Output: one row (n_endpoints, assortativity).
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val adj = edges
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+    val und = adj.select(col("lo").as("src"), col("hi").as("dst"))
+      .unionByName(adj.select(col("hi").as("src"), col("lo").as("dst")))
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val ep = und
+      .join(deg.select(col("id").as("src"), col("deg").as("deg_src")),
+        "src")
+      .join(deg.select(col("id").as("dst"), col("deg").as("deg_dst")),
+        "dst")
+    Analytics.corrMatrix(ep, Seq("deg_src", "deg_dst"), scale = 0)
+      .select(col("n").as("n_endpoints"), col("corr").as("assortativity"))
+  }
+
   def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int = 4): DataFrame = {
     val undirected = edges.select(col("src").as("u"), col("dst").as("v"))
       .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming twin of [[graft.ops.Events]]: the same hourly
   * rollup as an incremental, watermarked query. In production this reads
@@ -322,6 +322,41 @@ object EventStreams {
           }
           state.update((n, s))
           EwmaState(user, n, s)
+      }
+  }
+
+  final case class DailyTop(day: Long, rank: Long, event_type: String,
+                            n: Long)
+
+  /** Streaming twin of [[graft.ops.Events.dailyTopK]]: the per-day
+    * trending leaderboard maintained at ingest. State per day is the
+    * per-type count map — bounded by the event-type VOCABULARY, not the
+    * stream (the same bounded-key argument as the batch op's
+    * (day, type) cells) — and each trigger re-emits the day's current
+    * top-k with the batch tie-break (count desc, type asc), so in
+    * Update mode the latest emission per day always equals the batch
+    * operator over everything seen (spec-asserted across batches).
+    * Days never close here (a late event may always arrive); compose
+    * with an upstream watermark filter when day eviction is the
+    * contract.
+    */
+  def streamingDailyTopK(events: DataFrame, k: Int = 3)(
+      implicit spark: SparkSession): Dataset[DailyTop] = {
+    import spark.implicits._
+    events.select(col("day"), col("event_type")).as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        (day: Long, rows: Iterator[(Long, String)],
+         state: GroupState[Map[String, Long]]) =>
+          val m = rows.foldLeft(
+            state.getOption.getOrElse(Map.empty[String, Long])) {
+            case (acc, (_, t)) => acc.updated(t, acc.getOrElse(t, 0L) + 1L)
+          }
+          state.update(m)
+          m.toSeq.sortBy { case (t, n) => (-n, t) }.take(k).zipWithIndex
+            .map { case ((t, n), i) => DailyTop(day, i + 1L, t, n) }
+            .iterator
       }
   }
 

