@@ -1629,6 +1629,15 @@ object SparkEntry {
           (col("l_partkey") + 20000000L).as("dst")).distinct()
       Graph.labelPropagation(e, rounds = 3).orderBy("id")
     }),
+    // --- modularity of the labelprop communities over the same graph:
+    // exact integer q_num/q_den + ONE portable double division
+    "graph_modularity" -> ((s, dir) => {
+      val e = rd(s, dir, "lineitem")
+        .select(col("l_orderkey").as("src"),
+          (col("l_partkey") + 20000000L).as("dst")).distinct()
+      Graph.modularity(e, Graph.labelPropagation(e, rounds = 3))
+        .orderBy("m_edges")
+    }),
     // --- deterministic random walks over the mirrored order-part graph:
     // the DeepWalk/node2vec training-corpus generator. One walk per seed
     // (every 100th orderkey), 4 md5-argmin steps -> unrolled-CTE oracle.
@@ -6135,6 +6144,58 @@ object SparkEntry {
          |${round("l1", "l2")},
          |${round("l2", "l3")}
          |SELECT id, lbl FROM l3 ORDER BY id""".stripMargin
+    },
+    // modularity twin: the same unrolled labelprop rounds (MATERIALIZED —
+    // the close references l3 three times and DuckDB inlines per
+    // reference), then the exact integer Q close
+    "graph_modularity" -> {
+      val round = (prev: String, cur: String) =>
+        s"""$cur AS MATERIALIZED (
+           |  SELECT a AS id, lbl FROM (
+           |    SELECT e.a, l.lbl, count(*) AS n,
+           |      row_number() OVER (PARTITION BY e.a
+           |        ORDER BY count(*) DESC, l.lbl) AS rn
+           |    FROM e0 e JOIN $prev l ON e.b = l.id
+           |    GROUP BY e.a, l.lbl
+           |  ) WHERE rn = 1
+           |)""".stripMargin
+      s"""WITH ed AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS a, l_partkey + 20000000 AS b
+         |  FROM lineitem
+         |), e0 AS MATERIALIZED (
+         |  SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed
+         |), l0 AS (
+         |  SELECT DISTINCT a AS id, a AS lbl FROM e0
+         |), ${round("l0", "l1")},
+         |${round("l1", "l2")},
+         |${round("l2", "l3")},
+         |adj AS MATERIALIZED (
+         |  SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi FROM ed
+         |), mm AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS m FROM adj
+         |), intra AS (
+         |  SELECT la.lbl, CAST(count(*) AS BIGINT) AS e_in
+         |  FROM adj JOIN l3 la ON adj.lo = la.id
+         |  JOIN l3 lb ON adj.hi = lb.id
+         |  WHERE la.lbl = lb.lbl GROUP BY 1
+         |), deg AS (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT lo AS id FROM adj UNION ALL SELECT hi FROM adj) z
+         |  GROUP BY 1
+         |), dc AS (
+         |  SELECT l3.lbl, CAST(sum(deg) AS BIGINT) AS d_c
+         |  FROM l3 JOIN deg ON l3.id = deg.id GROUP BY 1
+         |), cell AS (
+         |  SELECT dc.lbl, dc.d_c, coalesce(intra.e_in, 0) AS e_in
+         |  FROM dc LEFT JOIN intra ON dc.lbl = intra.lbl
+         |)
+         |SELECT CAST(min(m) AS BIGINT) AS m_edges,
+         |  CAST(count(*) AS BIGINT) AS n_communities,
+         |  CAST(sum(4 * m * e_in - d_c * d_c) AS BIGINT) AS q_num,
+         |  CAST(min(4 * m * m) AS BIGINT) AS q_den,
+         |  CAST(sum(4 * m * e_in - d_c * d_c) AS DOUBLE)
+         |    / CAST(min(4 * m * m) AS DOUBLE) AS modularity
+         |FROM cell, mm ORDER BY m_edges""".stripMargin
     },
     // binQuantiles twin: identical IEEE divide chains; quantile literals
     // forced to DOUBLE (bare 0.9 parses as DECIMAL in DuckDB, and

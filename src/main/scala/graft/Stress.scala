@@ -351,6 +351,22 @@ object Stress {
         .count()
     }
 
+    // r9 additions: containment's one-sided prefix join on the replicated
+    // near-dup corpus (quote pairs dominate), the IVF+PQ composite
+    // (probe join touches nProbe/nLists of the code table), TextRank's
+    // corpus-position self-join + vocab-bounded pagerank rounds, and
+    // link prediction's hub-capped wedge join
+    time("dedup_containment")(
+      graft.ops.Dedup.containmentJoin(docs).count())
+    time("ann_ivfpq")(graft.ops.Similarity.ivfPqTopK(emb, q).count())
+    time("text_textrank")(graft.ops.TextAnalysis.textRank(docs).count())
+    time("graph_linkpred") {
+      val co = graft.ops.Graph.coOccurrence(
+        spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+          .filter(col("l_partkey") % 4 === 0), "l_orderkey", "l_partkey")
+      graft.ops.Graph.linkPredict(co).count()
+    }
+
     // bulk-load throughput through the partition-parallel sink (the
     // reference's headline metric: rows/s and MiB/s per load phase)
     val nodes = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")

@@ -583,6 +583,50 @@ object Graph {
     labels
   }
 
+  /** Modularity Q of a community labeling over an undirected graph —
+    * the number that turns "label propagation ran" into "the communities
+    * are real": Q = Σ_c [e_c/m − (d_c/2m)²], with e_c the intra-community
+    * edge count and d_c the community degree mass. Emitted as the exact
+    * integer pair `q_num = Σ_c (4·m·e_c − d_c²)`, `q_den = 4m²` (Q could
+    * be negative, and integer `div` on negatives is the truncate-vs-floor
+    * trap — the single double division is portable instead).
+    *
+    * Scale shape: canonical edge set checkpointed once (referenced for
+    * m, intra edges, and degrees), two label joins keyed on the node id,
+    * per-community partial aggs, a one-row total broadcast onto the
+    * community-cardinality frame. BIGINT-safe while 4m² < 2^63
+    * (m ≲ 1.5·10^9 undirected edges; shard or go DECIMAL beyond).
+    * `labels` needs (id, lbl) — [[labelPropagation]]'s contract.
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val adj = edges
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+      .localCheckpoint(true)
+    val mRow = adj.agg(count(lit(1)).as("m"))
+    val intra = adj
+      .join(labels.select(col("id").as("lo"), col("lbl").as("la")), "lo")
+      .join(labels.select(col("id").as("hi"), col("lbl").as("lb")), "hi")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("e_in"))
+    val deg = adj.select(col("lo").as("id"))
+      .unionByName(adj.select(col("hi").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val dc = labels.join(deg, "id")
+      .groupBy(col("lbl")).agg(sum(col("deg")).as("d_c"))
+    dc.join(intra, Seq("lbl"), "left").na.fill(0L, Seq("e_in"))
+      .crossJoin(broadcast(mRow))
+      .agg(min(col("m")).as("m_edges"),
+        count(lit(1)).as("n_communities"),
+        sum(expr("4L * m * e_in - d_c * d_c")).as("q_num"),
+        min(expr("4L * m * m")).as("q_den"))
+      .select(col("m_edges"), col("n_communities"), col("q_num"),
+        col("q_den"),
+        (col("q_num").cast("double") / col("q_den").cast("double"))
+          .as("modularity"))
+  }
+
   /** Per-seed hop distances: [[bfs]] generalized to keep the SEED
     * identity — level-synchronous over the undirected view with the
     * frontier keyed on `(seed, id)`, returning every `(seed, id, dist)`

@@ -495,4 +495,26 @@ class GraphSpec extends SparkSpec {
     assert(!a.isNaN)
   }
 
+
+  test("modularity of two disjoint triangles under their own labels is 1/2") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+      .toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("id", "lbl")
+    val out = Graph.modularity(e, labels).collect().head
+    // m=6; per community e_in=3, d_c=6: q_num = 2*(4*6*3 - 36) = 72,
+    // q_den = 4*36 = 144 -> Q = 0.5 exactly
+    assert(out.getAs[Long]("m_edges") == 6L)
+    assert(out.getAs[Long]("n_communities") == 2L)
+    assert(out.getAs[Long]("q_num") == 72L)
+    assert(out.getAs[Long]("q_den") == 144L)
+    assert(out.getAs[Double]("modularity") == 0.5)
+    // everything in ONE community scores exactly zero
+    val one = labels.select($"id",
+      org.apache.spark.sql.functions.lit(1L).as("lbl"))
+    assert(Graph.modularity(e, one).collect().head
+      .getAs[Long]("q_num") == 0L)
+  }
+
 }
