@@ -247,6 +247,16 @@ object SparkEntry {
           .as("query_text"))
       TextAnalysis.bm25TopK(docs, qs, 5).orderBy("query_id", "rank")
     }),
+    // --- late-interaction passage retrieval: per-term max pooling over
+    // 32-token chunks, idf-weighted exact-integer scores, same queries
+    "search_maxsim" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 5).select(
+        col("doc_id").as("query_id"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 5), " ")
+          .as("query_text"))
+      TextAnalysis.maxSimTopK(docs, qs, 5).orderBy("query_id", "rank")
+    }),
     // --- two-stage retrieval: BM25 top-10 shortlist re-ranked by exact
     // embedding cosine (vec_id == doc_id id space, as in search_hybrid)
     "search_rerank" -> ((s, dir) => {
@@ -2539,6 +2549,41 @@ object SparkEntry {
         |  FROM sc
         |)
         |SELECT query_id, CAST("rank" AS BIGINT) AS "rank", doc_id, score, n_terms
+        |FROM rk WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    // maxsim twin: chunk = (i-1) // 32 over the 1-indexed UNNEST
+    // positions == Spark's 0-based pos div 32; max pooling then the
+    // keyword-score close
+    "search_maxsim" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), q AS (
+        |  SELECT DISTINCT query_id, token FROM (
+        |    SELECT doc_id AS query_id, unnest(t[1:5]) AS token
+        |    FROM toks WHERE doc_id < 5) z
+        |), pos AS (
+        |  SELECT doc_id, (i - 1) // 32 AS chunk, t[i] AS token
+        |  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+        |), ctf AS (
+        |  SELECT doc_id, chunk, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM pos WHERE token IN (SELECT token FROM q)
+        |  GROUP BY 1, 2, 3
+        |), best AS (
+        |  SELECT doc_id, token, max(tf) AS max_tf FROM ctf GROUP BY 1, 2
+        |), d AS (
+        |  SELECT *, count(*) OVER (PARTITION BY token) AS df FROM best
+        |), sc AS (
+        |  SELECT q.query_id, d.doc_id,
+        |    CAST(sum((1000000 // df) * max_tf) AS BIGINT) AS score,
+        |    CAST(count(*) AS BIGINT) AS n_terms
+        |  FROM d JOIN q ON d.token = q.token
+        |  GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS "rank"
+        |  FROM sc
+        |)
+        |SELECT query_id, CAST("rank" AS BIGINT) AS "rank", doc_id, score,
+        |  n_terms
         |FROM rk WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
     // bm25 chain to a top-10 shortlist, then exact cosine re-rank — the
     // ann_brute float recipe (list_dot_product == graft_dot fold)

@@ -493,6 +493,50 @@ object TextAnalysis {
     topKDocs(scored, k)
   }
 
+  /** Late-interaction passage retrieval (the BERT-MaxP / ColBERT
+    * max-pooling shape, lexical form): each query term matches the BEST
+    * fixed-size passage of each document — `max` over chunk-level tf —
+    * before summing idf-weighted term scores, so one on-topic passage
+    * inside a long document wins where document-level tf dilutes it
+    * (the long-doc failure mode flat [[bm25TopK]] carries). All-integer
+    * scoring: `Σ_t (1e6 div df_t) · max_chunk tf(t, chunk)` — exact,
+    * order-free, engine-portable.
+    *
+    * Scale shape mirrors bm25: the broadcast query-token filter sits
+    * directly under the posting explode (only matching postings ever
+    * shuffle), chunk ids derive from token positions (`pos div C` — no
+    * second tokenization), max-pooling is one more partial agg on
+    * (doc, token) over the already-matched slice, df is the
+    * count-over-window on the token key, and the close is [[topKDocs]]'s
+    * two-level top-k.
+    */
+  def maxSimTopK(docs: DataFrame, queries: DataFrame, k: Int = 5,
+                 chunkTokens: Int = 32): DataFrame = {
+    require(chunkTokens >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+    val qTerms = queries
+      .select(col("query_id"),
+        explode(tokensCol(col("query_text"))).as("token"))
+      .distinct()
+    val qTokens = qTerms.select(col("token")).distinct()
+    val best = docs
+      .select(col("doc_id"),
+        posexplode(tokensCol(col("text"))).as(Seq("pos", "token")))
+      .join(broadcast(qTokens), Seq("token"))
+      .select(col("doc_id"), expr(s"pos div $chunkTokens").as("chunk"),
+        col("token"))
+      .groupBy(col("doc_id"), col("chunk"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(max(col("tf")).as("max_tf"))
+      .withColumn("df", count(lit(1)).over(w.partitionBy("token")))
+    val scored = best.join(broadcast(qTerms), Seq("token"))
+      .withColumn("term_score", expr("(1000000L div df) * max_tf"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_score")).as("score"), count(lit(1)).as("n_terms"))
+    topKDocs(scored, k)
+  }
+
   /** Stopwords used by [[keyphrases]] — inlined so the DuckDB oracle
     * carries the identical list. */
   val RakeStops: Seq[String] = Seq("the", "a", "an", "and", "or", "of",

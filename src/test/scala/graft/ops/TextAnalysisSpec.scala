@@ -682,4 +682,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("rk")).toSeq == (1L to out.length.toLong))
   }
 
+
+  test("maxSimTopK pools per-chunk tf so a dense passage beats dilution") {
+    import spark.implicits._
+    // doc 10: 'needle' 3x inside ONE 4-token chunk then padding;
+    // doc 11: 'needle' 3x spread across three chunks (max tf 1);
+    // flat tf ties them - max pooling must rank doc 10 first
+    val pad = (1 to 12).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (10L, "needle needle needle x " + pad),
+      (11L, "needle a b c needle d e f needle g h i " + pad))
+      .toDF("doc_id", "text")
+    val qs = Seq((1L, "needle")).toDF("query_id", "query_text")
+    val out = TextAnalysis.maxSimTopK(docs, qs, k = 2, chunkTokens = 4)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(10L, 11L))
+    // df = 2 docs -> weight 500000; doc 10 best-chunk tf 3, doc 11 tf 1
+    assert(out(0).getAs[Long]("score") == 1500000L)
+    assert(out(1).getAs[Long]("score") == 500000L)
+  }
+
 }
