@@ -10,6 +10,10 @@ import org.apache.spark.sql.functions._
 object Stress {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
+    // optional entry-name filter: `runMain graft.Stress 10 graph_mis ...`
+    // re-measures single entries in isolation (the VM's documented stall
+    // phases make single full-sweep readings unusable for regressions)
+    val only = args.drop(1).toSet
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
@@ -33,6 +37,7 @@ object Stress {
     println(s"stress corpus: ${docs.count()} docs, ${emb.count()} vectors")
 
     def time(label: String)(f: => Long): Unit = {
+      if (only.nonEmpty && !only(label)) return
       val t0 = System.nanoTime()
       val n = f
       println(f"$label%-22s ${(System.nanoTime() - t0) / 1e9}%8.2fs  ($n rows)")
