@@ -1866,6 +1866,14 @@ object SparkEntry {
     "events_seasonal" -> ((s, dir) =>
       Events.seasonalProfile(rdEvents(s, dir))
         .orderBy("event_type", "dow")),
+    // --- Welch means test on value over the md5 A/B split (the t next
+    // to events_ab's conversion z): exact cent moments, double close
+    "events_welch" -> ((s, dir) =>
+      Events.welchTTest(rdEvents(s, dir)).orderBy("n_a")),
+    // --- TPC-H Q6 selective revenue probe: every predicate pushed to
+    // the scan (date epoch range, integer-cent discount, qty bound)
+    "q6_selective" -> ((s, dir) =>
+      Analytics.q6(rd(s, dir, "lineitem")).orderBy("n_rows")),
     // --- per-source freshness audit: staleness vs the globally
     // freshest source + final-active-day volume share
     "dq_freshness" -> ((s, dir) =>
@@ -4409,6 +4417,64 @@ object SparkEntry {
         |     * (CAST('1' AS DOUBLE) / CAST(n_a AS DOUBLE)
         |        + CAST('1' AS DOUBLE) / CAST(n_b AS DOUBLE))) AS z_score
         |FROM w""".stripMargin,
+    // Welch twin: identical cent moments (HUGEINT sums == the Spark
+    // DECIMAL(28,0) sums), identical double expression tree
+    "events_welch" ->
+      """WITH r0 AS (
+        |  SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |      AS BIGINT) < 8 THEN 'A' ELSE 'B' END AS variant,
+        |    CAST(floor(value * 100) AS BIGINT) AS x
+        |  FROM events
+        |), cells AS (
+        |  SELECT variant, CAST(count(*) AS BIGINT) AS n, sum(x) AS s,
+        |    sum(x * x) AS ss
+        |  FROM r0 GROUP BY 1
+        |), w AS (
+        |  SELECT
+        |    CAST(coalesce(sum(CASE WHEN variant = 'A' THEN n END), 0)
+        |      AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN variant = 'A' THEN s END) AS DOUBLE) AS sa,
+        |    CAST(sum(CASE WHEN variant = 'A' THEN ss END) AS DOUBLE) AS ssa,
+        |    CAST(coalesce(sum(CASE WHEN variant = 'B' THEN n END), 0)
+        |      AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN s END) AS DOUBLE) AS sb,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN ss END) AS DOUBLE) AS ssb
+        |  FROM cells
+        |), c1 AS (
+        |  SELECT n_a, n_b, sa, sb,
+        |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+        |    (CAST(n_a AS DOUBLE) * ssa - sa * sa)
+        |      / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1)) AS va,
+        |    (CAST(n_b AS DOUBLE) * ssb - sb * sb)
+        |      / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1)) AS vb
+        |  FROM w
+        |), c2 AS (
+        |  SELECT n_a, n_b, sa, sb, na, nb,
+        |    va / na AS sea, vb / nb AS seb
+        |  FROM c1
+        |)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a > 0 THEN sa / na END AS mean_a_cents,
+        |  CASE WHEN n_b > 0 THEN sb / nb END AS mean_b_cents,
+        |  CASE WHEN n_a > 1 AND n_b > 1 AND (sea + seb) > 0
+        |    THEN (sa / na - sb / nb) / sqrt(sea + seb) END AS t_welch,
+        |  CASE WHEN n_a > 1 AND n_b > 1 AND (sea + seb) > 0
+        |    THEN (sea + seb) * (sea + seb)
+        |      / (sea * sea / (na - 1) + seb * seb / (nb - 1)) END
+        |    AS df_welch
+        |FROM c2 ORDER BY n_a""".stripMargin,
+    // Q6 twin: identical predicate set; revenue through the same
+    // DECIMAL(18,4) exact-sum recipe as q1's disc price
+    "q6_selective" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND floor(l_discount * 100) BETWEEN 5 AND 7
+        |  AND l_quantity < 24
+        |ORDER BY n_rows""".stripMargin,
     // exact OLS sufficient statistics; x centered on the type's first day
     "events_trend" ->
       """WITH ev AS (

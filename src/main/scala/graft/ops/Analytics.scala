@@ -348,6 +348,36 @@ object Analytics {
     }.reduce(_.unionByName(_))
   }
 
+  /** Selective-scan revenue probe (TPC-H Q6 shape): a tight conjunctive
+    * predicate over one fact table, one global aggregate. The POINT of
+    * this query is the plan, not the math: every predicate must reach
+    * the parquet scan as a pushed filter (date range on the epoch,
+    * quantity bound) so the scan skips row groups via min/max stats —
+    * at 100 TB this is the difference between reading a year and
+    * reading the lake. Discount matching is integer cents
+    * (`floor(d·100) BETWEEN lo AND hi`) — never float equality.
+    */
+  def q6(lineitem: DataFrame, dateLo: String = "1996-01-01",
+         dateHi: String = "1997-01-01", centLo: Long = 5L,
+         centHi: Long = 7L, maxQty: Double = 24.0): DataFrame = {
+    // literals typed to the column's own timestamp flavor so the range
+    // lands on the RAW column (a function/cast wrap would block the
+    // scan pushdown this query exists to demonstrate); the generator
+    // has shipped both NTZ and TZ encodings across rounds
+    val kind = lineitem.schema("l_shipdate").dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType => "TIMESTAMP_NTZ"
+      case _ => "TIMESTAMP"
+    }
+    lineitem
+      .filter(col("l_shipdate") >= expr(s"$kind '$dateLo 00:00:00'") &&
+        col("l_shipdate") < expr(s"$kind '$dateHi 00:00:00'") &&
+        floor(col("l_discount") * 100).between(centLo, centHi) &&
+        col("l_quantity") < maxQty)
+      .agg(count(lit(1)).as("n_rows"),
+        exactSum(col("l_extendedprice") * col("l_discount"), 4)
+          .as("revenue"))
+  }
+
   /** Exact-moment Pearson correlation matrix over a set of numeric
     * columns — the feature-drift / feature-redundancy card a training
     * pipeline runs over every tabular snapshot. One scan computes every

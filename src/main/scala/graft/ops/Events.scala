@@ -569,6 +569,58 @@ object Events {
                 lit(1.0) / col("n_b").cast("double")))).as("z_score"))
   }
 
+  /** Welch's unequal-variance t-test on the VALUE metric between the
+    * same md5 A/B user split as [[abTest]] — the means test next to the
+    * conversion z-test (an experiment readout needs both: a treatment
+    * can move spend without moving conversion). Engine-exact recipe:
+    * values integerize to cents (`floor(v·100)`), the per-variant
+    * moments (n, Σx, Σx²) are order-free DECIMAL(28,0) sums, and the
+    * Welch statistic + Satterthwaite df run in pure double over those
+    * exact integers — every operand identical in the DuckDB twin.
+    * NULL t/df when either variant has < 2 rows or both sample
+    * variances are zero (no div-by-zero under ANSI). One corpus scan,
+    * partial agg to two cells, one-row close.
+    */
+  def welchTTest(events: DataFrame): DataFrame = {
+    val rows = events.select(
+      when(expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 1)" +
+        ", 16, 10) AS BIGINT)") < 8, lit("A")).otherwise(lit("B"))
+        .as("variant"),
+      expr("CAST(floor(value * 100) AS BIGINT)").as("x"))
+    val wide = rows.groupBy("variant")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(28,0)")).as("s"),
+        sum((col("x") * col("x")).cast("decimal(28,0)")).as("ss"))
+      .groupBy()
+      .agg(
+        coalesce(sum(when(col("variant") === "A", col("n"))), lit(0L))
+          .as("n_a"),
+        sum(when(col("variant") === "A", col("s"))).as("s_a"),
+        sum(when(col("variant") === "A", col("ss"))).as("ss_a"),
+        coalesce(sum(when(col("variant") === "B", col("n"))), lit(0L))
+          .as("n_b"),
+        sum(when(col("variant") === "B", col("s"))).as("s_b"),
+        sum(when(col("variant") === "B", col("ss"))).as("ss_b"))
+    def d(c: String): Column = col(c).cast("double")
+    val va = (d("n_a") * d("ss_a") - d("s_a") * d("s_a")) /
+      (d("n_a") * (d("n_a") - lit(1.0)))
+    val vb = (d("n_b") * d("ss_b") - d("s_b") * d("s_b")) /
+      (d("n_b") * (d("n_b") - lit(1.0)))
+    val sea = va / d("n_a")
+    val seb = vb / d("n_b")
+    val defined = col("n_a") > 1 && col("n_b") > 1
+    wide.select(col("n_a"), col("n_b"),
+      when(col("n_a") > 0, d("s_a") / d("n_a")).as("mean_a_cents"),
+      when(col("n_b") > 0, d("s_b") / d("n_b")).as("mean_b_cents"),
+      when(defined && (sea + seb) > 0,
+        (d("s_a") / d("n_a") - d("s_b") / d("n_b")) / sqrt(sea + seb))
+        .as("t_welch"),
+      when(defined && (sea + seb) > 0,
+        (sea + seb) * (sea + seb) /
+          (sea * sea / (d("n_a") - lit(1.0)) +
+            seb * seb / (d("n_b") - lit(1.0)))).as("df_welch"))
+  }
+
   /** Top-k event types per day by volume — the "trending" rollup.
     * Aggregates to (day, type) cells first (shuffle cardinality is
     * days × types, never events), then ranks WITHIN each day with a
