@@ -350,12 +350,18 @@ object Analytics {
 
   /** Selective-scan revenue probe (TPC-H Q6 shape): a tight conjunctive
     * predicate over one fact table, one global aggregate. The POINT of
-    * this query is the plan, not the math: every predicate must reach
-    * the parquet scan as a pushed filter (date range on the epoch,
-    * quantity bound) so the scan skips row groups via min/max stats —
+    * this query is the plan, not the math: the date range and the
+    * quantity bound sit on RAW columns and reach the parquet scan as
+    * pushed filters, so the scan skips row groups via min/max stats —
     * at 100 TB this is the difference between reading a year and
-    * reading the lake. Discount matching is integer cents
-    * (`floor(d·100) BETWEEN lo AND hi`) — never float equality.
+    * reading the lake. The discount band is a derived expression
+    * (`floor(d·100) BETWEEN lo AND hi` — never float equality) that
+    * parquet cannot push; it evaluates post-scan over the rows the
+    * pushed predicates let through, which is the right trade (date is
+    * the selective clustered axis; discount is uniform).
+    * Precondition for oracle exactness on the TIMESTAMP (non-NTZ)
+    * branch: the session timezone must be UTC (Verify/Bench/tests pin
+    * it); NTZ literals are timezone-free either way.
     */
   def q6(lineitem: DataFrame, dateLo: String = "1996-01-01",
          dateHi: String = "1997-01-01", centLo: Long = 5L,

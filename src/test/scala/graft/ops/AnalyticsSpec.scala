@@ -177,4 +177,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(out(("y", "z")) + 1.0) < 1e-12)
   }
 
+  test("q6: hand-computed revenue and date/qty predicates pushed to the scan") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("q6").toFile.getAbsolutePath
+    Seq(
+      ("1996-06-01", 0.06, 10.0, 100.0), // in: 6.00
+      ("1996-12-31", 0.05, 23.0, 200.0), // in: 10.00
+      ("1997-01-01", 0.06, 10.0, 100.0), // out: date hi is exclusive
+      ("1996-06-01", 0.04, 10.0, 100.0), // out: discount below band
+      ("1996-06-01", 0.06, 24.0, 100.0)  // out: qty bound is strict
+    ).toDF("d", "l_discount", "l_quantity", "l_extendedprice")
+      .withColumn("l_shipdate", to_timestamp(col("d")))
+      .drop("d").write.mode("overwrite").parquet(dir)
+    val li = spark.read.parquet(dir)
+    val q = Analytics.q6(li)
+    val r = q.collect().head
+    assert(r.getAs[Long]("n_rows") == 2L)
+    assert(r.getAs[Double]("revenue") == 16.0)
+    // the POINT of this query: date range + quantity bound reach the
+    // parquet scan as pushed data filters (row-group min/max skipping)
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString("\n")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), pushed)
+    assert(pushed.contains("LessThan(l_quantity"), pushed)
+  }
+
 }

@@ -658,4 +658,41 @@ class EventsSpec extends SparkSpec {
       ("B", 3L) -> (1L, 1L * 4L * 1000000L / (1L * 3L))))
   }
 
+  test("welchTTest matches the hand-computed Welch statistic on the md5 split") {
+    import org.apache.spark.sql.functions._
+    // many users, deterministic values: recompute the same md5 split and
+    // the Welch algebra in plain Scala, then require bit-equality
+    val ev = (1L to 40L).map(u => (u, (u * 7 % 13).toDouble + u * 0.01))
+      .toDF("user_id", "value")
+    val got = Events.welchTTest(ev).collect().head
+    val split = ev.select(
+      when(expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 1)" +
+        ", 16, 10) AS BIGINT)") < 8, "A").otherwise("B").as("v"),
+      expr("CAST(floor(value * 100) AS BIGINT)").as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def m(v: String) = {
+      val xs = split.filter(_._1 == v).map(_._2)
+      (xs.length.toDouble, xs.sum.toDouble, xs.map(x => x * x).sum.toDouble)
+    }
+    val (na, sa, ssa) = m("A"); val (nb, sb, ssb) = m("B")
+    assert(na > 1 && nb > 1) // both variants populated at this n
+    val va = (na * ssa - sa * sa) / (na * (na - 1.0))
+    val vb = (nb * ssb - sb * sb) / (nb * (nb - 1.0))
+    val sea = va / na; val seb = vb / nb
+    val t = (sa / na - sb / nb) / math.sqrt(sea + seb)
+    val df = (sea + seb) * (sea + seb) /
+      (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0))
+    assert(got.getAs[Long]("n_a") == na.toLong)
+    assert(got.getAs[Long]("n_b") == nb.toLong)
+    assert(got.getAs[Double]("t_welch") == t)
+    assert(got.getAs[Double]("df_welch") == df)
+  }
+
+  test("welchTTest returns NULL t/df when a variant has fewer than 2 rows") {
+    val ev = Seq((1L, 5.0)).toDF("user_id", "value")
+    val r = Events.welchTTest(ev).collect().head
+    assert(r.isNullAt(r.fieldIndex("t_welch")))
+    assert(r.isNullAt(r.fieldIndex("df_welch")))
+  }
+
 }
