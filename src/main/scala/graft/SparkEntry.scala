@@ -483,17 +483,20 @@ object SparkEntry {
     // rows straight from parquet, so a hash match proves the
     // serializer/parser pair preserves quotes, newlines, and unicode
     // exactly (md5 over the round-tripped text vs the original)
+    // fixed staging dirs (load_e2e pattern): the round trip writes with
+    // mode overwrite, so repeat invocations reuse one directory instead
+    // of leaking a fresh tempdir copy of the corpus per Verify/Bench rep
     "load_jsonl" -> ((s, dir) => {
-      val staged = java.nio.file.Files
-        .createTempDirectory("graft_jsonl").toString
+      val staged = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_jsonl").toString
       Ingest.jsonlRoundTrip(rd(s, dir, "documents"), staged)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
           md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
     }),
     "load_csv" -> ((s, dir) => {
-      val staged = java.nio.file.Files
-        .createTempDirectory("graft_csv").toString
+      val staged = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_csv").toString
       Ingest.csvRoundTrip(rd(s, dir, "documents"), staged)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
           md5(col("text")).as("text_md5"))

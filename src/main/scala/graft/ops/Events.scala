@@ -1249,9 +1249,12 @@ object Events {
     *
     * Scale shape: ONE corpus-keyed partial agg to the (type × 7) cell
     * table; every marginal then derives from windows over that bounded
-    * cell frame, never a second corpus scan. The BIGINT product
-    * `1e6 · n · overall` bounds the operator at ~10^12 events per run
-    * (9.2·10^18 / 10^6 headroom) — beyond that, pre-aggregate per day.
+    * cell frame, never a second corpus scan. The lift product
+    * `1e6 · n · overall` runs through DECIMAL(38,0) (the corrMatrix
+    * recipe) — the DuckDB twin multiplies in HUGEINT, so BIGINT math
+    * here would silently wrap (non-ANSI) and diverge once
+    * n_cell · overall passes 9.2·10^12 (~10^7 events at realistic
+    * skew); DECIMAL keeps the engines identical to ~10^16 events.
     */
   def seasonalProfile(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1266,7 +1269,8 @@ object Events {
         sum("n_events").over(Window.partitionBy("dow")))
       .withColumn("overall", sum("n_events").over(Window.partitionBy()))
       .select(col("event_type"), col("dow"), col("n_events"),
-        expr("1000000L * n_events * overall div (type_total * dow_total)")
-          .as("lift_ppm"))
+        expr("""CAST((CAST(n_events AS DECIMAL(38,0)) * overall * 1000000)
+                div (CAST(type_total AS DECIMAL(38,0)) * dow_total)
+                AS BIGINT)""").as("lift_ppm"))
   }
 }

@@ -165,16 +165,27 @@ object Similarity {
     * 10k×dim×nLists is milliseconds — scheduling a distributed KMeans
     * job for it was pure overhead (measured ~3s/run at every SF).
     */
-  private def fitCentroids(corpus: DataFrame, nLists: Int,
-                           trainSample: Int): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val sample = corpus.select("vec_id", "embedding")
+  /** Bounded driver pull of the deterministic training sample (first
+    * `trainSample` rows by vec_id) shared by the centroid and PQ fits.
+    */
+  private def sampleVectors(corpus: DataFrame,
+                            trainSample: Int): Array[Array[Double]] =
+    corpus.select("vec_id", "embedding")
       .orderBy("vec_id").limit(trainSample).collect()
       .map(_.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray)
+
+  private def centroidsFromSample(
+      spark: org.apache.spark.sql.SparkSession,
+      sample: Array[Array[Double]], nLists: Int): DataFrame = {
+    import spark.implicits._
     kmeansFit(sample, nLists, iters = 5).zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("list_id", "centroid")
   }
+
+  private def fitCentroids(corpus: DataFrame, nLists: Int,
+                           trainSample: Int): DataFrame =
+    centroidsFromSample(corpus.sparkSession,
+      sampleVectors(corpus, trainSample), nLists)
 
   /** Assign each row to its `n` nearest coarse centroids (broadcast
     * centroid table; per-row rank over nLists broadcast-side rows).
@@ -583,14 +594,42 @@ object Similarity {
     * deterministic end to end; compose with the IVF list pruning when
     * even the code scan needs cutting.
     */
+  /** Per-query ADC lookup tables, built DISTRIBUTED: mapPartitions over
+    * the query frame with the broadcast codebooks — the query set never
+    * collects to the driver, so PQ serving is not bounded by driver
+    * memory on |Q|. LUT layout: squared distance from each query
+    * sub-vector to every sub-centroid, flattened to m·ksub so ADC is
+    * one element_at per block.
+    */
+  private def pqLuts(queries: DataFrame,
+                     bBooks: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]],
+                     m: Int, ksub: Int, dsub: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    queries.select(col("query_id"), col("q_emb"))
+      .as[(Long, scala.collection.Seq[Float])]
+      .mapPartitions { it =>
+        val bk = bBooks.value
+        it.map { case (qid, qe) =>
+          val lut = Array.tabulate(m * ksub) { i =>
+            val b = i / ksub; val c = i % ksub
+            var d = 0.0; var j = 0
+            while (j < dsub) {
+              val t = qe(b * dsub + j) - bk(b)(c)(j); d += t * t; j += 1
+            }
+            d
+          }
+          (qid, lut.toSeq)
+        }
+      }.toDF("query_id", "lut")
+  }
+
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
              m: Int = 8, ksub: Int = 16, refine: Int = 4,
              trainSample: Int = 10000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val sample = corpus.select("vec_id", "embedding").orderBy("vec_id")
-      .limit(trainSample).collect()
-      .map(_.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray)
+    val sample = sampleVectors(corpus, trainSample) // bounded: trainSample rows
     require(sample.nonEmpty, "empty corpus")
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
@@ -620,21 +659,7 @@ object Similarity {
           (id, cs.toSeq)
         }
       }.toDF("vec_id", "codes")
-    // per-query LUT: squared distance from each query sub-vector to every
-    // sub-centroid, flattened to m·ksub so ADC is one element_at per block
-    val luts = queries.select(col("query_id"), col("q_emb"))
-      .as[(Long, scala.collection.Seq[Float])].collect()
-      .map { case (qid, qe) =>
-        val lut = Array.tabulate(m * ksub) { i =>
-          val b = i / ksub; val c = i % ksub
-          var d = 0.0; var j = 0
-          while (j < dsub) {
-            val t = qe(b * dsub + j) - books(b)(c)(j); d += t * t; j += 1
-          }
-          d
-        }
-        (qid, lut.toSeq)
-      }.toSeq.toDF("query_id", "lut")
+    val luts = pqLuts(queries, bBooks, m, ksub, dsub)
     // ADC scan: native expression (one array walk per row — the
     // aggregate(transform(...)) HOF chain it replaces was interpreted
     // per element per row), then two-level top-(k·refine) so the
@@ -693,13 +718,13 @@ object Similarity {
                 trainSample: Int = 10000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = fitCentroids(corpus, nLists, trainSample)
+    // ONE bounded sample pull feeds both the coarse-centroid fit and the
+    // PQ codebook fit (it was collected twice before r10)
+    val sample = sampleVectors(corpus, trainSample) // bounded: trainSample rows
+    require(sample.nonEmpty, "empty corpus")
+    val centroids = centroidsFromSample(spark, sample, nLists)
     val assigned = nearestLists(centroids)(
       corpus.select(col("vec_id"), col("embedding")), "vec_id", "embedding", 1)
-    val sample = corpus.select("vec_id", "embedding").orderBy("vec_id")
-      .limit(trainSample).collect()
-      .map(_.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray)
-    require(sample.nonEmpty, "empty corpus")
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
@@ -730,19 +755,7 @@ object Similarity {
     val probed = nearestLists(centroids)(
       queries.select(col("query_id"), col("q_emb")), "query_id", "q_emb", nProbe)
       .select(col("query_id"), col("list_id"))
-    val luts = queries.select(col("query_id"), col("q_emb"))
-      .as[(Long, scala.collection.Seq[Float])].collect()
-      .map { case (qid, qe) =>
-        val lut = Array.tabulate(m * ksub) { i =>
-          val b = i / ksub; val c = i % ksub
-          var d = 0.0; var j = 0
-          while (j < dsub) {
-            val t = qe(b * dsub + j) - books(b)(c)(j); d += t * t; j += 1
-          }
-          d
-        }
-        (qid, lut.toSeq)
-      }.toSeq.toDF("query_id", "lut")
+    val luts = pqLuts(queries, bBooks, m, ksub, dsub)
     // probe plan: (query, probed list, LUT) broadcast against the code
     // table keyed on list_id — candidates are the probed lists only
     val scoredAdc = codes

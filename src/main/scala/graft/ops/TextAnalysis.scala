@@ -1482,8 +1482,9 @@ object TextAnalysis {
     * the same unrolled-CTE recipe over the SQL-derived edge list. The
     * token self-join runs over corpus positions (one doc_id-keyed
     * shuffle reused across offsets); everything after the edge DISTINCT
-    * is vocabulary-sized — Heaps-sublinear in the corpus — including
-    * the final top-k rank window.
+    * is vocabulary-sized — Heaps-sublinear in the corpus — and the
+    * final top-k is a TakeOrdered (the [[skipgramStats]] close), with
+    * rank numbers minted over the k survivors only.
     */
   def textRank(docs: DataFrame, window: Int = 2, iters: Int = 3,
                topK: Int = 20): DataFrame = {
@@ -1502,11 +1503,16 @@ object TextAnalysis {
     val edges = co
       .unionByName(co.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+    // global top-k as a TakeOrdered (per-partition heads + one k-row
+    // merge), NEVER a vocab-wide rank window — at 100x the vocabulary
+    // that window funnels every term into one reducer for a top-20.
+    // The rank number is then minted over the k survivors only.
     Graph.pageRank(edges, iters)
+      .orderBy(desc("rank_scaled"), asc("id"))
+      .limit(topK)
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(desc("rank_scaled"), asc("id"))).cast("long"))
-      .filter(col("rk") <= topK)
       .select(col("rk"), col("id").as("term"), col("rank_scaled"))
   }
 

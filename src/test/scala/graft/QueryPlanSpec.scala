@@ -86,6 +86,28 @@ class QueryPlanSpec extends SparkSpec {
     }
   }
 
+  // textRank's global top-20 over the vocabulary must be a TakeOrdered
+  // (per-partition heads + k-row merge); its only unpartitioned window
+  // may mint rank numbers over the k survivors, never over the whole
+  // vocab (the r9 verdict's one structural scale-killer).
+  test("text_textrank top-k is a TakeOrdered, not a vocab-wide window") {
+    val exec = SparkEntry.queries("text_textrank")(spark, sfDir)
+      .queryExecution.sparkPlan
+    val takeOrdered = exec.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(takeOrdered.nonEmpty, "expected TakeOrderedAndProject")
+    exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }.foreach { w =>
+      assert(w.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }.nonEmpty,
+        "unpartitioned window must rank a TakeOrdered-bounded input")
+    }
+  }
+
   test("no registered query plans a cross product") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
