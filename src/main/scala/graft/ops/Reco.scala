@@ -41,6 +41,13 @@ object Reco {
       topK: Int = 3, maxBasket: Int = 100, minCo: Long = 2L,
       simTopM: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // pruned feeds BOTH self-join sides AND candidate generation; Spark
+    // reuses exchanges, not common subplans, so without the checkpoint
+    // the basket window re-derives per branch (x7 sf0.1: median 7.7s →
+    // 5.1s, warm floor 4.9 → 3.7s). Checkpointing purch TOO measured
+    // WORSE (median 10.0s) — its single extra consumer (the ownership
+    // anti-join) rides the distinct's reusable exchange, and the extra
+    // eager materialization only adds a barrier.
     val purch = interactions
       .select(col(userCol).cast("long").as("u"),
         col(itemCol).cast("long").as("it")).distinct()
@@ -48,6 +55,7 @@ object Reco {
       .withColumn("bsize", count(lit(1)).over(Window.partitionBy("u")))
       .filter(col("bsize") <= maxBasket)
       .drop("bsize")
+      .localCheckpoint()
     val sim = pruned.as("l")
       .join(pruned.as("r"),
         col("l.u") === col("r.u") && col("l.it") < col("r.it"))
