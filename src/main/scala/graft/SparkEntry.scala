@@ -1663,6 +1663,19 @@ object SparkEntry {
         .filter(col("id") % 100 === 0)
       Graph.randomWalks(e, seeds, steps = 4).orderBy("walk_id")
     }),
+    // --- node2vec-biased walks over the same graph: 2nd-order
+    // return/in-out weighting via replica-min-hash (min of w iid
+    // md5 hashes == exact categorical ∝ w), unrolled-CTE oracle with
+    // UNNEST(range(w)) replica twins
+    "graph_walks_biased" -> ((s, dir) => {
+      val ed = rd(s, dir, "lineitem")
+        .select(col("l_orderkey").as("src"),
+          (col("l_partkey") + 20000000L).as("dst")).distinct()
+      val e = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = ed.select(col("src").as("id")).distinct()
+        .filter(col("id") % 100 === 0)
+      Graph.biasedWalks(e, seeds, steps = 4).orderBy("walk_id")
+    }),
     // --- mergeable-histogram quantiles over lineitem prices: the
     // bounded-memory 100 TB alternative to exact percentile
     "value_quantile_bins" -> ((s, dir) =>
@@ -6228,6 +6241,57 @@ object SparkEntry {
          |), s0 AS (
          |  SELECT DISTINCT src AS walk_id, src AS cur,
          |    CAST(src AS VARCHAR) AS path
+         |  FROM ed WHERE src % 100 = 0
+         |), ${step("s0", "s1", 1)},
+         |${step("s1", "s2", 2)},
+         |${step("s2", "s3", 3)},
+         |${step("s3", "s4", 4)}
+         |SELECT walk_id, cur AS end_node, path FROM s4
+         |ORDER BY walk_id""".stripMargin
+    },
+    // biasedWalks twin: candidates replicate via UNNEST(range(w)) (w from
+    // the return/near/far CASE; the near flag is a keyed LEFT JOIN on
+    // (prev, dst)), then the per-walk rank over (md5-prefix hash, dst)
+    // picks the winner — min of w iid hashes == categorical ∝ w, salt
+    // excluded from the tie-break exactly like Spark's min(struct).
+    // Each step references its predecessor TWICE (outer frozen-walk
+    // extension + inner candidate source) → AS MATERIALIZED or DuckDB
+    // inlines 2^steps copies (the graph_scc lesson).
+    "graph_walks_biased" -> {
+      val step = (prev: String, cur: String, t: Int) =>
+        s"""$cur AS MATERIALIZED (
+           |  SELECT walk_id,
+           |    CASE WHEN dst IS NULL THEN prev ELSE cur END AS prev,
+           |    CASE WHEN dst IS NULL THEN cur ELSE dst END AS cur,
+           |    CASE WHEN dst IS NULL THEN path
+           |         ELSE path || '->' || CAST(dst AS VARCHAR) END AS path
+           |  FROM (
+           |    SELECT s.walk_id, s.prev, s.cur, s.path, c.dst,
+           |      row_number() OVER (PARTITION BY s.walk_id
+           |        ORDER BY c.h, c.dst) AS rn
+           |    FROM $prev s LEFT JOIN (
+           |      SELECT walk_id, dst,
+           |        CAST('0x' || substr(md5(CAST(walk_id AS VARCHAR) ||
+           |          ':' || '$t' || ':' || CAST(dst AS VARCHAR) || ':' ||
+           |          CAST(salt AS VARCHAR)), 1, 8) AS BIGINT) AS h
+           |      FROM (
+           |        SELECT s2.walk_id, e.dst,
+           |          UNNEST(range(CASE WHEN e.dst = s2.prev THEN 1
+           |            WHEN n.src IS NOT NULL THEN 2 ELSE 4 END)) AS salt
+           |        FROM $prev s2 JOIN e0 e ON e.src = s2.cur
+           |        LEFT JOIN e0 n ON n.src = s2.prev AND n.dst = e.dst
+           |      )
+           |    ) c ON c.walk_id = s.walk_id
+           |  ) WHERE rn = 1
+           |)""".stripMargin
+      s"""WITH ed AS (
+         |  SELECT DISTINCT l_orderkey AS src, l_partkey + 20000000 AS dst
+         |  FROM lineitem
+         |), e0 AS (
+         |  SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed
+         |), s0 AS MATERIALIZED (
+         |  SELECT DISTINCT src AS walk_id, CAST(NULL AS BIGINT) AS prev,
+         |    src AS cur, CAST(src AS VARCHAR) AS path
          |  FROM ed WHERE src % 100 = 0
          |), ${step("s0", "s1", 1)},
          |${step("s1", "s2", 2)},

@@ -888,6 +888,79 @@ object Graph {
     st.select(col("walk_id"), col("cur").as("end_node"), col("path"))
   }
 
+  /** node2vec-biased walk corpus (Grover & Leskovec's 2nd-order walks):
+    * the return/in-out bias that tunes walks between BFS-like
+    * (community structure) and DFS-like (structural roles) exploration,
+    * which [[randomWalks]]' 1st-order uniform step cannot express. At
+    * node c having arrived from p, a candidate d weighs `wReturn` if
+    * d == p, `wNear` if (p, d) is an edge (distance 1 from p), else
+    * `wFar` — integer weights standing in for node2vec's 1/p, 1, 1/q
+    * (defaults (1, 2, 4) == p=2, q=0.5 scaled by 2; the first step has
+    * no predecessor and is uniform).
+    *
+    * Deterministic weighted sampling via REPLICA MIN-HASH: each
+    * candidate explodes into w salted rows and the walk takes the
+    * candidate holding the minimal md5-prefix hash — the min of w iid
+    * uniforms beats the min of w' iid uniforms with probability
+    * w/(w+w'), so the choice is EXACTLY categorical ∝ w in
+    * distribution, yet bit-reproducible across runs, partitionings,
+    * and engines (the md5-prefix recipe; DuckDB twin = the same
+    * replicas via `UNNEST(range(w))` + a per-walk rank). Frozen walks
+    * (no out-neighbor) keep their position AND predecessor.
+    *
+    * Scale shape per step: the state⋈edges adjacency equi-join, ONE
+    * extra keyed equi-join against the edge list on (prev, dst) for
+    * the distance-1 flag, a ≤max(w)-factor explode, and the same
+    * partial-aggregable `min(struct(hash, dst))` argmin keyed on the
+    * walk — never a window over candidates. State is referenced once
+    * per step → lazy chaining with linear lineage (the [[pageRank]]
+    * rule); the static edge frame is referenced twice per step through
+    * its own reusable exchange.
+    */
+  def biasedWalks(edges: DataFrame, seeds: DataFrame, steps: Int = 4,
+                  wReturn: Int = 1, wNear: Int = 2,
+                  wFar: Int = 4): DataFrame = {
+    require(steps >= 1, "steps must be positive")
+    require(wReturn >= 1 && wNear >= 1 && wFar >= 1,
+      "weights must be positive integers")
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val near = e.select(col("src").as("p_src"), col("dst").as("p_dst"))
+    var st = seeds.select(col("id").as("walk_id"),
+      lit(null).cast("long").as("prev"), col("id").as("cur"),
+      col("id").cast("string").as("path"))
+    var t = 1
+    while (t <= steps) {
+      val cand = st.join(e, st("cur") === e("src"), "left")
+      val flagged = cand.join(near,
+        cand("prev") === near("p_src") && cand("dst") === near("p_dst"),
+        "left")
+        .select(col("walk_id"), col("prev"), col("cur"), col("path"),
+          col("dst"),
+          when(col("dst").isNull, lit(1))
+            .when(col("dst") === col("prev"), lit(wReturn))
+            .when(col("p_src").isNotNull, lit(wNear))
+            .otherwise(lit(wFar)).as("w"))
+      val h = expr(("conv(substr(md5(concat(cast(walk_id AS string), ':', " +
+        s"'$t', ':', cast(dst AS string), ':', cast(salt AS string)" +
+        ")), 1, 8), 16, 10)")).cast("long")
+      st = flagged
+        .withColumn("salt", explode(expr("sequence(0, w - 1)")))
+        .withColumn("hh", when(col("dst").isNotNull, h))
+        .groupBy(col("walk_id"), col("prev"), col("cur"), col("path"))
+        .agg(min(when(col("dst").isNotNull,
+          struct(col("hh"), col("dst")))).as("pick"))
+        .select(col("walk_id"),
+          when(col("pick.dst").isNotNull, col("cur"))
+            .otherwise(col("prev")).as("prev"),
+          coalesce(col("pick.dst"), col("cur")).as("cur"),
+          when(col("pick.dst").isNotNull,
+            concat(col("path"), lit("->"), col("pick.dst")))
+            .otherwise(col("path")).as("path"))
+      t += 1
+    }
+    st.select(col("walk_id"), col("cur").as("end_node"), col("path"))
+  }
+
   /** Luby-style maximal independent set with FIXED md5 priorities: each
     * round, an active node whose `(h(id), id)` priority beats every
     * active neighbor's joins the set, its neighbors drop out, and the

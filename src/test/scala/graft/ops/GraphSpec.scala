@@ -36,6 +36,44 @@ class GraphSpec extends SparkSpec {
     assert(iso.head.getAs[String]("path") == "9")
   }
 
+  test("biasedWalks follows a forced chain and freezes at the sink") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.biasedWalks(e, Seq(Tuple1(1L)).toDF("id"), steps = 5)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("end_node") == 4L)
+    assert(out.head.getAs[String]("path") == "1->2->3->4")
+  }
+
+  test("biasedWalks step-2 pick equals the weighted replica-min-hash") {
+    def h(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    // step 1 forced 1->2; at 2 with prev=1 the candidates are the
+    // return edge back to 1 (wReturn=1 -> one replica) and the far
+    // node 3 (no (1,3) edge -> wFar=4 -> four replicas)
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
+    val reps = Seq((1L, 0), (3L, 0), (3L, 1), (3L, 2), (3L, 3))
+    val expected = reps.map { case (d, s) => (h(s"1:2:$d:$s"), d) }.min._2
+    val out = Graph.biasedWalks(e, Seq(Tuple1(1L)).toDF("id"), steps = 2)
+      .collect().head
+    assert(out.getAs[Long]("end_node") == expected)
+    assert(out.getAs[String]("path") == s"1->2->$expected")
+    // with the (1,3) edge present, 3 becomes a near candidate (wNear=2):
+    // only two replicas enter the pool
+    val e2 = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    // step 1 now has candidates {2, 3}, both far (prev null): re-derive
+    val s1 = Seq((2L, 0), (2L, 1), (2L, 2), (2L, 3),
+      (3L, 0), (3L, 1), (3L, 2), (3L, 3))
+      .map { case (d, s) => (h(s"1:1:$d:$s"), d) }.min._2
+    val out2 = Graph.biasedWalks(e2, Seq(Tuple1(1L)).toDF("id"), steps = 1)
+      .collect().head
+    assert(out2.getAs[Long]("end_node") == s1)
+  }
+
   test("pageRank matches hand-computed fixed-point rounds") {
     // graph: 1 -> 2, 1 -> 3, 2 -> 3 (outdeg 1:2, 2:1), S = 1e12
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
