@@ -211,12 +211,16 @@ object TextAnalysis {
   def qualityFilter(docs: DataFrame,
                     minTokens: Long = 10L, maxTokens: Long = 1000L,
                     minStopword: Double = 0.02, maxTopNgram: Double = 0.20,
-                    minTtr: Double = 0.30): DataFrame = {
+                    minTtr: Double = 0.30,
+                    carry: Seq[String] = Nil): DataFrame = {
+    // `carry` appends pass-through columns (e.g. text for a downstream
+    // streaming stage that cannot join back) without changing the
+    // default output the oracle hashes
     docs
       .withColumn("ts",
         expr(s"graft_tokstats(text, '${EnglishStopwords.mkString(",")}')"))
       .withColumn("st", expr("graft_repstats(text, 2)"))
-      .select(
+      .select(Seq(
         col("doc_id"),
         col("ts.n_tokens").as("n_tokens"),
         (col("ts.n_stop").cast("double") /
@@ -225,7 +229,7 @@ object TextAnalysis {
           col("ts.n_tokens").cast("double")).as("type_token_ratio"),
         coalesce(
           col("st.top_count").cast("double") / col("st.n_ngrams").cast("double"),
-          lit(0.0)).as("top_ngram_frac"))
+          lit(0.0)).as("top_ngram_frac")) ++ carry.map(col): _*)
       .withColumn("reason",
         when(col("n_tokens") < minTokens, "too_short")
           .when(col("n_tokens") > maxTokens, "too_long")
@@ -234,8 +238,9 @@ object TextAnalysis {
           .when(col("type_token_ratio") < minTtr, "low_diversity")
           .otherwise("ok"))
       .withColumn("keep", col("reason") === "ok")
-      .select("doc_id", "n_tokens", "stopword_ratio", "type_token_ratio",
-        "top_ngram_frac", "keep", "reason")
+      .select(Seq("doc_id", "n_tokens", "stopword_ratio",
+        "type_token_ratio", "top_ngram_frac", "keep", "reason")
+        .map(col) ++ carry.map(col): _*)
   }
 
   /** PII detection + redaction: count and replace emails, phone-like

@@ -469,6 +469,42 @@ object EventStreams {
       }
   }
 
+  /** The streaming twin of the batch `pipeline_e2e` composition: ONE
+    * document ingest stream fanned into the two stateful legs a
+    * training-data pipeline runs at the front door —
+    *
+    *  1. `kept`: watermarked exact dedup → quality gate → deterministic
+    *     md5 split ([[streamingTextPipeline]] + the batch
+    *     `Sampling.splitAssign` applied UNCHANGED — split is stateless,
+    *     so batch backfill and streaming ingest share the code path);
+    *  2. `pairs`: near-dup pair mining ([[streamingNearDup]]) over the
+    *     quality-passing slice of the SAME stream (the gate re-runs
+    *     with `carry = text` — a narrow stateless projection — because
+    *     joining leg 1's output back to the source would be a
+    *     stream-stream join).
+    *
+    * The legs FAN OUT rather than chain serially: Spark's streaming
+    * checker constrains `flatMapGroupsWithState` composed downstream of
+    * another stateful operator, and near-dup mining is
+    * dedup-insensitive anyway (an exact duplicate surfaces as a
+    * sim≈1.0 pair — which the batch twin `minHashLsh` also emits), so
+    * the fan-out output pair equals the serial batch pipeline while
+    * each leg keeps exactly one bounded-state stateful operator.
+    * EventStreamsSpec asserts stream == batch on a staged corpus for
+    * both legs.
+    */
+  def streamingIngestPipeline(docs: DataFrame, watermark: String = "1 hour",
+                              numHashes: Int = 32, bands: Int = 8,
+                              tau: Double = 0.5)(
+      implicit spark: SparkSession): (DataFrame, Dataset[NearDupPair]) = {
+    val kept = graft.ops.Sampling.splitAssign(
+      streamingTextPipeline(docs, watermark), "doc_id")
+    val qualityDocs = graft.ops.TextAnalysis
+      .qualityFilter(docs, carry = Seq("text"))
+      .filter(col("keep")).select(col("doc_id"), col("text"))
+    (kept, streamingNearDup(qualityDocs, numHashes, bands, tau))
+  }
+
   final case class AttributionCredit(conv_id: Long, touch_type: String,
                                      n_pairs: Long, n_touches: Long,
                                      first_touch_wins: Long,

@@ -190,6 +190,73 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingIngestPipeline: both legs equal the batch pipeline on one corpus") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    // doc 1 good; doc 2 exact dup of 1 (dedup leg drops it; pair leg
+    // emits the sim-1.0 pair); doc 3 near-dup of 1; doc 4 good distinct;
+    // doc 5 fails the quality gate (too short) and must reach NEITHER leg
+    val corpus = Seq(
+      (1L, base),
+      (2L, base),
+      (3L, base + " tomorrow"),
+      (4L, "the spark catalyst engine is fast and it shuffles data over many nodes"),
+      (5L, "too short"))
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val (kept, pairs) = EventStreams.streamingIngestPipeline(
+      mem.toDF.toDF("ts", "doc_id", "text"))
+    val q1 = kept.writeStream.format("memory").queryName("ingest_kept")
+      .outputMode(OutputMode.Append()).start()
+    val q2 = pairs.toDF.writeStream.format("memory").queryName("ingest_pairs")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two micro-batches so the dedup/bucket state carries across
+      mem.addData(corpus.take(2).map { case (id, t) => (ts(id.toInt), id, t) }: _*)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      mem.addData(corpus.drop(2).map { case (id, t) => (ts(id.toInt), id, t) }: _*)
+      q1.processAllAvailable(); q2.processAllAvailable()
+
+      val docsDF = corpus.toDF("doc_id", "text")
+      // batch twin of leg 1: first doc per canonical fingerprint (the
+      // streamingDedup rule; arrival order == doc_id order here), then
+      // the same quality gate and the same stateless split
+      val firstPerFp = docsDF
+        .withColumn("fp",
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+        .groupBy("fp").agg(min("doc_id").as("doc_id"))
+      val batchKept = graft.ops.Sampling.splitAssign(
+        graft.ops.TextAnalysis.qualityFilter(
+          docsDF.join(firstPerFp.select("doc_id"), "doc_id"))
+          .filter(col("keep")), "doc_id")
+        .select("doc_id", "split").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val streamKept = spark.table("ingest_kept")
+        .select("doc_id", "split").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamKept == batchKept, s"kept: $streamKept vs $batchKept")
+      assert(streamKept.map(_._1) == Set(1L, 3L, 4L))
+
+      // batch twin of leg 2: minHashLsh over the quality-passing slice
+      val qualityDocs = docsDF.join(
+        graft.ops.TextAnalysis.qualityFilter(docsDF)
+          .filter(col("keep")).select("doc_id"), "doc_id")
+      val batchPairs = graft.ops.Dedup.minHashLsh(qualityDocs)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val streamPairs = spark.table("ingest_pairs")
+        .select("a_id", "b_id").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamPairs == batchPairs, s"pairs: $streamPairs vs $batchPairs")
+      assert(streamPairs.contains((1L, 2L)), "exact dup surfaces as a pair")
+      assert(!streamPairs.exists(p => p._1 == 5L || p._2 == 5L),
+        "gate-failing doc reaches neither leg")
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("streamingNearDup distinct pairs equal batch minHashLsh over all seen") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
