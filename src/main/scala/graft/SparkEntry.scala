@@ -413,6 +413,16 @@ object SparkEntry {
         (col("o_custkey") + 10000000L).as("dst"))
       Graph.pageRank(e, 5).orderBy("id")
     }),
+    // --- weighted PageRank over the order-part graph with lineitem
+    // multiplicity as the edge weight: mass splits proportional to w via
+    // the exact overflow-free floor(r*w/W) decomposition
+    "graph_pagerank_weighted" -> ((s, dir) => {
+      val e = rd(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("src"),
+          (col("l_partkey") + 20000000L).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      Graph.weightedPageRank(e, 5).orderBy("id")
+    }),
     // strongly connected components over a staged 400-node graph of
     // 4-cycles with one cross link: min-label FW-BW peel, 2 rounds of
     // 4 hops resolves everything (block {4..7} needs the second peel
@@ -1101,6 +1111,11 @@ object SparkEntry {
           "WHEN l_linenumber = 6 THEN NULL ELSE l_orderkey END").as("fk"))
       Quality.orphans(fact, "fk", rd(s, dir, "orders"), "o_orderkey")
     }),
+    // --- functional-dependency audit: nationkey -> mktsegment is
+    // violated for every nation; per-violating-key profile card
+    "dq_fd" -> ((s, dir) =>
+      Quality.fdViolations(rd(s, dir, "customer"),
+        "c_nationkey", "c_mktsegment").orderBy("k")),
     // --- funnel timing: first-signup -> first-subsequent-purchase
     // latency, one-row rollup with doubled-exact median
     "events_conversion_lag" -> ((s, dir) => {
@@ -1675,6 +1690,17 @@ object SparkEntry {
       val seeds = ed.select(col("src").as("id")).distinct()
         .filter(col("id") % 100 === 0)
       Graph.biasedWalks(e, seeds, steps = 4).orderBy("walk_id")
+    }),
+    // --- the DeepWalk training corpus end to end: walks -> skip-gram
+    // (center, context) pair counts over walk positions
+    "graph_walk_corpus" -> ((s, dir) => {
+      val ed = rd(s, dir, "lineitem")
+        .select(col("l_orderkey").as("src"),
+          (col("l_partkey") + 20000000L).as("dst")).distinct()
+      val e = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = ed.select(col("src").as("id")).distinct()
+        .filter(col("id") % 100 === 0)
+      Graph.walkCorpus(e, seeds, steps = 4, window = 2).orderBy("a", "b")
     }),
     // --- mergeable-histogram quantiles over lineitem prices: the
     // bounded-memory 100 TB alternative to exact percentile
@@ -3012,6 +3038,40 @@ object SparkEntry {
          |  SELECT src, count(*) AS outdeg FROM e GROUP BY 1
          |), ed AS (
          |  SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)
+         |), r0 AS (
+         |  SELECT id, CAST(1000000000000 AS BIGINT) AS r FROM nodes
+         |), ${round("r0", "r1")},
+         |${round("r1", "r2")},
+         |${round("r2", "r3")},
+         |${round("r3", "r4")},
+         |${round("r4", "r5")}
+         |SELECT id, r AS rank_scaled,
+         |  CAST(r AS DOUBLE) / 1000000000000.0 AS rank
+         |FROM r5 ORDER BY id""".stripMargin
+    },
+    // weighted pagerank twin: same unrolled rounds with the exact
+    // overflow-free contribution w*(r//W) + ((r%W)*w)//W — identical
+    // positive-operand floor semantics in both engines
+    "graph_pagerank_weighted" -> {
+      val round = (prev: String, cur: String) =>
+        s"""$cur AS (
+           |  SELECT n.id, 150000000000 + (85 * COALESCE(c.cin, 0)) // 100 AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT ed.dst, CAST(SUM(ed.w * (p.r // ed.wout) +
+           |      ((p.r % ed.wout) * ed.w) // ed.wout) AS BIGINT) AS cin
+           |    FROM ed JOIN $prev p ON p.id = ed.src GROUP BY ed.dst
+           |  ) c ON n.id = c.dst
+           |)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT l_orderkey AS src, l_partkey + 20000000 AS dst,
+         |    CAST(count(*) AS BIGINT) AS w
+         |  FROM lineitem GROUP BY 1, 2
+         |), nodes AS (
+         |  SELECT src AS id FROM e UNION SELECT dst FROM e
+         |), wo AS (
+         |  SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM e GROUP BY 1
+         |), ed AS (
+         |  SELECT e.src, e.dst, e.w, wo.wout FROM e JOIN wo USING (src)
          |), r0 AS (
          |  SELECT id, CAST(1000000000000 AS BIGINT) AS r FROM nodes
          |), ${round("r0", "r1")},
@@ -4629,6 +4689,18 @@ object SparkEntry {
         |  CAST(1000000 * orphan_rows // greatest(1, fact_rows) AS BIGINT)
         |    AS orphan_ppm
         |FROM t CROSS JOIN o""".stripMargin,
+    // fd twin: the two-level exact-distinct plan verbatim
+    "dq_fd" ->
+      """WITH kv AS (
+        |  SELECT c_nationkey AS k, c_mktsegment AS v,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY 1, 2
+        |)
+        |SELECT k, CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_values,
+        |  min(v) AS v_min, max(v) AS v_max
+        |FROM kv GROUP BY k HAVING count(*) > 1
+        |ORDER BY k""".stripMargin,
     "events_conversion_lag" ->
       """WITH f AS (
         |  SELECT user_id, min(epoch_us(ts)) AS from_ts
@@ -6248,6 +6320,53 @@ object SparkEntry {
          |${step("s3", "s4", 4)}
          |SELECT walk_id, cur AS end_node, path FROM s4
          |ORDER BY walk_id""".stripMargin
+    },
+    // walkCorpus twin: the graph_walks step CTEs, then positions from the
+    // zipped dual-UNNEST (string_split tokens + range(len) — equal-length
+    // UNNESTs zip positionally), per-offset pair join, pair-count close.
+    // toks MUST be MATERIALIZED: it is referenced twice (both join
+    // sides), and inlining it would duplicate the whole walk chain per
+    // side (the graph_scc 2^n lesson).
+    "graph_walk_corpus" -> {
+      val step = (prev: String, cur: String, t: Int) =>
+        s"""$cur AS (
+           |  SELECT walk_id,
+           |    CASE WHEN dst IS NULL THEN cur ELSE dst END AS cur,
+           |    CASE WHEN dst IS NULL THEN path
+           |         ELSE path || '->' || CAST(dst AS VARCHAR) END AS path
+           |  FROM (
+           |    SELECT s.walk_id, s.cur, s.path, e.dst,
+           |      row_number() OVER (PARTITION BY s.walk_id ORDER BY
+           |        CAST('0x' || substr(md5(CAST(s.walk_id AS VARCHAR) ||
+           |          ':' || '$t' || ':' || CAST(e.dst AS VARCHAR)),
+           |          1, 8) AS BIGINT), e.dst) AS rn
+           |    FROM $prev s LEFT JOIN e0 e ON e.src = s.cur
+           |  ) WHERE rn = 1
+           |)""".stripMargin
+      s"""WITH ed AS (
+         |  SELECT DISTINCT l_orderkey AS src, l_partkey + 20000000 AS dst
+         |  FROM lineitem
+         |), e0 AS (
+         |  SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed
+         |), s0 AS (
+         |  SELECT DISTINCT src AS walk_id, src AS cur,
+         |    CAST(src AS VARCHAR) AS path
+         |  FROM ed WHERE src % 100 = 0
+         |), ${step("s0", "s1", 1)},
+         |${step("s1", "s2", 2)},
+         |${step("s2", "s3", 3)},
+         |${step("s3", "s4", 4)},
+         |toks AS MATERIALIZED (
+         |  SELECT walk_id, CAST(tok AS BIGINT) AS node, pos FROM (
+         |    SELECT walk_id,
+         |      UNNEST(string_split(path, '->')) AS tok,
+         |      UNNEST(range(len(string_split(path, '->')))) AS pos
+         |    FROM s4)
+         |)
+         |SELECT a.node AS a, b.node AS b, CAST(count(*) AS BIGINT) AS n
+         |FROM toks a JOIN toks b ON b.walk_id = a.walk_id
+         |  AND (b.pos = a.pos + 1 OR b.pos = a.pos + 2)
+         |GROUP BY 1, 2 ORDER BY a, b""".stripMargin
     },
     // biasedWalks twin: candidates replicate via UNNEST(range(w)) (w from
     // the return/near/far CASE; the near flag is a keyed LEFT JOIN on

@@ -85,6 +85,84 @@ object Graph {
       (col("r").cast("double") / lit(Scale.toDouble)).as("rank"))
   }
 
+  /** DeepWalk-style embedding training corpus END TO END: random walks
+    * become "sentences", and the skip-gram (center, context) pair
+    * counts over them are exactly what a word2vec-family trainer (or
+    * the NetMF matrix factorization view) consumes. Composes
+    * [[randomWalks]] with the per-offset equi-join pair generation of
+    * `TextAnalysis.skipgramStats` — pairs are (earlier node, later
+    * node) within `window` walk positions, counted.
+    *
+    * Scale shape: the walk frame tokenizes once and is
+    * localCheckpointed (it feeds all `window` offset joins — the
+    * reco_itemcf multi-reference lesson); each offset is a keyed
+    * (walk_id, pos+k) equi-join — linear in total walk length, never a
+    * per-walk position cross product; the close is one partial-agg
+    * count on the (a, b) pair key, bounded by the co-occurrence
+    * structure, not the corpus.
+    */
+  def walkCorpus(edges: DataFrame, seeds: DataFrame, steps: Int = 4,
+                 window: Int = 2): DataFrame = {
+    require(window >= 1)
+    val toks = randomWalks(edges, seeds, steps)
+      .select(col("walk_id"),
+        posexplode(split(col("path"), "->")).as(Seq("pos", "tok")))
+      .select(col("walk_id"), col("pos"), col("tok").cast("long").as("node"))
+      .localCheckpoint()
+    (1 to window).map { k =>
+      toks.as("a").join(toks.as("b"),
+        col("a.walk_id") === col("b.walk_id") &&
+          col("b.pos") === col("a.pos") + k)
+        .select(col("a.node").as("a"), col("b.node").as("b"))
+    }.reduce(_ unionByName _)
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+  }
+
+  /** Weighted PageRank: transition mass splits ∝ integer edge weights
+    * (co-occurrence counts, interaction frequencies) instead of
+    * uniformly over out-neighbors — the GDS `relationshipWeightProperty`
+    * variant the unweighted walk cannot express (a 100-count edge and a
+    * 1-count edge carry the same mass unweighted). Identical fixed-point
+    * BIGINT topology to [[pageRank]]; the per-edge contribution
+    * `floor(r·w / W)` (W = Σ out-weights) computes WITHOUT the r·w
+    * overflow as `w·(r div W) + ((r mod W)·w) div W` — exact because
+    * r = (r div W)·W + (r mod W), and BIGINT-safe whenever
+    * (r mod W)·w < 9.2·10^18, i.e. W·w_max < 9.2·10^18 (w_max ~ 10^6
+    * edges of weight ~ 10^6 per node) — far past any real degree
+    * distribution, where naive r·w overflows at w ≈ 10^6 already.
+    * Expects `(src, dst, w)` with positive integer weights; rounds
+    * chain lazily (ranks referenced once per round), static frames
+    * checkpoint once.
+    */
+  def weightedPageRank(edges: DataFrame, iters: Int = 5,
+                       checkpointEvery: Int = 10): DataFrame = {
+    val base = 15L * Scale / 100L
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true) // referenced twice per round: compute once
+    val wout = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val edgesW = e.join(wout, "src").localCheckpoint(true)
+    var ranks = nodes.withColumn("r", lit(Scale))
+    var i = 0
+    while (i < iters) {
+      val contribs = edgesW
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"),
+          expr("w * (r div wout) + ((r % wout) * w) div wout").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cin"))
+      ranks = nodes
+        .join(contribs, nodes("id") === contribs("dst"), "left")
+        .select(col("id"),
+          (lit(base) + expr("(85 * coalesce(cin, 0L)) div 100")).as("r"))
+      i += 1
+      if (i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint(true)
+    }
+    ranks.select(col("id"), col("r").as("rank_scaled"),
+      (col("r").cast("double") / lit(Scale.toDouble)).as("rank"))
+  }
+
   /** Personalized PageRank: the teleport mass returns to a SEED set
     * instead of spreading uniformly — "importance relative to these
     * entities", the graph-expansion score behind related-item and

@@ -166,4 +166,27 @@ object Quality {
         expr("1000000L * orphan_rows div greatest(1L, fact_rows)")
           .as("orphan_ppm"))
   }
+
+  /** Functional-dependency audit: does `keyCol → depCol` hold? Emits
+    * one row per VIOLATING key (more than one distinct dependent
+    * value) with its row count, distinct-value count, and the min/max
+    * witnesses — the schema-contract check behind denormalization,
+    * dimension conformance, and join-key selection (a violated FD
+    * means the "lookup" join fans out). NULL dependents count as a
+    * value (a key mapping to both NULL and x is a violation).
+    *
+    * Scale shape: two partial-aggregated shuffles — corpus → (key,
+    * value) cells, cells → per-key profile — so the wide table never
+    * shuffles twice and output is bounded by the violating-key count.
+    * `countDistinct` is deliberately avoided (no partial aggregation);
+    * the two-level groupBy IS the scalable exact-distinct plan.
+    */
+  def fdViolations(df: DataFrame, keyCol: String,
+                   depCol: String): DataFrame =
+    df.groupBy(col(keyCol).as("k"), col(depCol).as("v"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("k"))
+      .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_values"),
+        min(col("v")).as("v_min"), max(col("v")).as("v_max"))
+      .filter(col("n_values") > 1)
 }

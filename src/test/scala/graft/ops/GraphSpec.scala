@@ -36,6 +36,39 @@ class GraphSpec extends SparkSpec {
     assert(iso.head.getAs[String]("path") == "9")
   }
 
+  test("walkCorpus emits windowed skip-gram pairs over walk positions") {
+    // forced chain 1->2->3->4: window-2 pairs are the 3 adjacent + 2
+    // distance-2 pairs, each counted once
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.walkCorpus(e, Seq(Tuple1(1L)).toDF("id"),
+      steps = 3, window = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 2L) -> 1L, (2L, 3L) -> 1L, (3L, 4L) -> 1L,
+      (1L, 3L) -> 1L, (2L, 4L) -> 1L))
+  }
+
+  test("weightedPageRank matches hand-computed weighted contributions") {
+    // 1 -> 2 (w=3), 1 -> 3 (w=1): W1 = 4; one round from r0 = 1e12:
+    //  c(2) = 3*(1e12 div 4) = 750e9 -> r = 150e9 + 85*750e9 div 100
+    //  c(3) = 1*(1e12 div 4) = 250e9 -> r = 150e9 + 85*250e9 div 100
+    val e = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val r = Graph.weightedPageRank(e, iters = 1).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) == 150000000000L)
+    assert(r(2L) == 150000000000L + 85L * 750000000000L / 100L)
+    assert(r(3L) == 150000000000L + 85L * 250000000000L / 100L)
+  }
+
+  test("weightedPageRank with unit weights equals unweighted pageRank") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val unweighted = Graph.pageRank(e, 4).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val weighted = Graph.weightedPageRank(
+      e.withColumn("w", org.apache.spark.sql.functions.lit(1L)), 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(weighted == unweighted)
+  }
+
   test("biasedWalks follows a forced chain and freezes at the sink") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
     val out = Graph.biasedWalks(e, Seq(Tuple1(1L)).toDF("id"), steps = 5)

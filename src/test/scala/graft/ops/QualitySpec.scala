@@ -90,4 +90,18 @@ class QualitySpec extends SparkSpec {
       r.getAs[Long]("orphan_keys") == 0L &&
       r.getAs[Long]("orphan_ppm") == 0L)
   }
+
+  test("fdViolations emits only violating keys with witness bounds") {
+    val df = Seq(
+      (1L, "a"), (1L, "a"),           // key 1 holds the FD -> absent
+      (2L, "a"), (2L, "b"), (2L, "b"),// key 2 violates: 2 values, 3 rows
+      (3L, null.asInstanceOf[String]), (3L, "c") // NULL counts as a value
+    ).toDF("k0", "v0")
+    val out = Quality.fdViolations(df, "k0", "v0").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3)), Option(r.getString(4))))
+    assert(out.toSeq == Seq(
+      (2L, 3L, 2L, Some("a"), Some("b")),
+      (3L, 2L, 2L, Some("c"), Some("c"))))
+  }
 }
