@@ -551,6 +551,9 @@ object SparkEntry {
     // --- dedup family (rows 17-21)
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(rd(s, dir, "documents")).orderBy("doc_id")),
+    // --- soft dedup: every copy kept at weight 1/n_copies
+    "dedup_weights" -> ((s, dir) =>
+      Dedup.duplicationWeights(rd(s, dir, "documents")).orderBy("doc_id")),
     // --- target-mix sampling rates (no-upsampling scale election)
     "mix_rates" -> ((s, dir) =>
       Sampling.ratesForTarget(rd(s, dir, "documents"),
@@ -813,6 +816,10 @@ object SparkEntry {
       TextAnalysis.quality(rd(s, dir, "documents")).orderBy("doc_id")),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(rd(s, dir, "documents")).orderBy("doc_id")),
+    // --- unicode-script/charset profile: writing-system card
+    "text_scripts" -> ((s, dir) =>
+      TextAnalysis.scriptProfile(rd(s, dir, "documents"))
+        .orderBy("doc_id")),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(rd(s, dir, "documents")).orderBy("doc_id")),
     "text_ngrams" -> ((s, dir) =>
@@ -909,6 +916,10 @@ object SparkEntry {
     "label_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(rd(s, dir, "embeddings"))
         .orderBy("label", "dim")),
+    // --- embedding QC: integer-exact distance-to-centroid outlier sweep
+    "embed_outliers" -> ((s, dir) =>
+      Similarity.embeddingOutliers(rd(s, dir, "embeddings"))
+        .orderBy("vec_id")),
     "mixture_resample" -> ((s, dir) =>
       Sampling.mixtureResample(
         rd(s, dir, "documents").select(col("doc_id"), col("source")),
@@ -3266,6 +3277,12 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id, sha256(text) AS checksum,
         | count(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
+    "dedup_weights" ->
+      """SELECT doc_id,
+        |  count(*) OVER (PARTITION BY sha256(text)) AS n_copies,
+        |  CAST(1000000 // count(*) OVER (PARTITION BY sha256(text))
+        |    AS BIGINT) AS weight_ppm
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // mix_rates twin: shares forced to DOUBLE (bare decimals parse as
     // DECIMAL in DuckDB and the min/divide chain would diverge)
     "mix_rates" ->
@@ -3773,6 +3790,34 @@ object SparkEntry {
       """SELECT doc_id,
         | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // scripts twin: identical codepoint intervals in RE2 \x{...}
+    // spelling; length() counts codepoints in both engines
+    "text_scripts" ->
+      """WITH c AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[A-Za-z\x{00C0}-\x{024F}]', '', 'g')) AS BIGINT) AS n_latin,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}]',
+        |      '', 'g')) AS BIGINT) AS n_cjk,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[0-9]', '', 'g')) AS BIGINT) AS n_digit
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_chars, n_latin, n_cyrillic, n_cjk, n_digit,
+        |  CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk
+        |         AND n_latin > 0 THEN 'latin'
+        |       WHEN n_cyrillic >= n_cjk AND n_cyrillic > 0 THEN 'cyrillic'
+        |       WHEN n_cjk > 0 THEN 'cjk' ELSE 'none' END AS script,
+        |  CAST(CASE WHEN n_latin > 0 THEN 1 ELSE 0 END +
+        |    CASE WHEN n_cyrillic > 0 THEN 1 ELSE 0 END +
+        |    CASE WHEN n_cjk > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_scripts,
+        |  (CASE WHEN n_latin > 0 THEN 1 ELSE 0 END +
+        |    CASE WHEN n_cyrillic > 0 THEN 1 ELSE 0 END +
+        |    CASE WHEN n_cjk > 0 THEN 1 ELSE 0 END) > 1 AS mixed
+        |FROM c ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
@@ -4138,6 +4183,36 @@ object SparkEntry {
         |  CAST(CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
         |    / (CAST(count(*) AS DOUBLE) * 1000000.0) AS centroid
         |FROM cells GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    // outlier twin: same integer surrogates (floor(v*1e6) components,
+    // floored integer centroid, exact integer d2); the outlier product
+    // lifts to HUGEINT where Spark compares through DECIMAL(38,0) —
+    // both exact integers, identical verdicts
+    "embed_outliers" ->
+      """WITH comps AS (
+        |  SELECT vec_id, label, CAST(dim AS BIGINT) AS dim,
+        |    CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) AS v6
+        |  FROM (
+        |    SELECT vec_id, label,
+        |      unnest(generate_series(1, len(embedding))) AS dim,
+        |      unnest(embedding) AS v
+        |    FROM embeddings)
+        |), cent AS (
+        |  SELECT label, dim, CAST((sum(v6) + 1000000000 * count(*))
+        |    // count(*) - 1000000000 AS BIGINT) AS c6
+        |  FROM comps GROUP BY 1, 2
+        |), d AS (
+        |  SELECT c.vec_id, c.label,
+        |    CAST(sum((c.v6 - t.c6) * (c.v6 - t.c6)) AS BIGINT) AS d2
+        |  FROM comps c JOIN cent t USING (label, dim)
+        |  GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS n, sum(d2) AS sum_d2
+        |  FROM d GROUP BY 1
+        |)
+        |SELECT d.vec_id, d.label, d.d2,
+        |  CAST(d.d2 AS HUGEINT) * s.n > 4 * CAST(s.sum_d2 AS HUGEINT)
+        |    AS is_outlier
+        |FROM d JOIN stats s USING (label) ORDER BY vec_id""".stripMargin,
     // thresholds are the registered rates mapped to 8 hex digits:
     // 0.0 -> 00000000 (keeps none under strict <), 0.25 -> 40000000,
     // 0.5 -> 80000000; default rate 1.0 keeps everything

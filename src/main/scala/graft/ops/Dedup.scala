@@ -36,6 +36,25 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("checksum"), col("n_copies"))
 
+  /** Soft-dedup training weights: every copy survives but carries
+    * weight 1/n_copies, so each distinct content contributes total mass
+    * 1 to the training mix — the de-duplication alternative when hard
+    * dropping would lose provenance/source diversity (the copies may
+    * differ in metadata even when text is identical). Integer ppm
+    * (`1e6 div n`) keeps the weight engine-exact. One checksum-keyed
+    * window whose partitions are duplicate-cluster-sized; the corpus
+    * shuffles once on the content hash.
+    */
+  def duplicationWeights(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .withColumn("checksum", sha2(col("text"), 256))
+      .withColumn("n_copies",
+        count(lit(1)).over(Window.partitionBy("checksum")))
+      .select(col("doc_id"), col("n_copies"),
+        expr("1000000L div n_copies").as("weight_ppm"))
+  }
+
   /** Per-group duplication profile: doc/unique/duplicate counts and the
     * within-group duplicate rate — the "which source is flooding us with
     * copies" report that decides per-source sampling weights. Duplicates

@@ -484,6 +484,55 @@ object Similarity {
         (col("sum_scaled").cast("double") /
           (col("n").cast("double") * 1000000.0)).as("centroid"))
 
+  /** Embedding QC: per-vector squared distance to its label centroid,
+    * flagged when it exceeds `k2`× the label's mean squared distance —
+    * the mislabeled/corrupted-vector sweep a training pipeline runs
+    * before contrastive mining or nearest-centroid labeling trusts the
+    * labels. ENTIRELY integer-exact: components scale to
+    * `floor(v·10^6)` BIGINTs, the centroid is the floored integer mean
+    * `Σv6 div n` (a deterministic surrogate of the real mean — same
+    * trade as the gram-matrix recipe), d² sums integer squares
+    * (order-free), and the outlier test `d²·n > k2·Σd²` compares exact
+    * integers through DECIMAL(38,0) (the per-label Σd² and the product
+    * both pass BIGINT at ~10^6 vectors). BIGINT bound on d² itself:
+    * dims·(2·|v6|max)² < 9.2·10^18 → |v| ≤ ~180 at 64 dims, far past
+    * any normalized embedding.
+    *
+    * Scale shape: the component frame aggregates once onto the bounded
+    * (label, dim) key space; the label×dim centroid table then
+    * BROADCASTS back over a second narrow component pass (re-deriving
+    * the posexplode is cheaper than checkpointing corpus×dims rows),
+    * so the corpus never shuffles on anything wider than vec_id for
+    * the per-vector d² rollup; label stats ride a second broadcast.
+    */
+  def embeddingOutliers(embeddings: DataFrame, k2: Long = 4L): DataFrame = {
+    def comps = embeddings
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("p", "v")))
+      .select(col("vec_id"), col("label"), col("p").cast("long").as("dim"),
+        floor(col("v").cast("double") * lit(1000000.0)).cast("long")
+          .as("v6"))
+    // floored integer mean with the POSITIVE-OFFSET trick: Σv6 is
+    // negative for negative-mean dims, and negative operands are the
+    // one place Spark `div` (truncate) and DuckDB `//` (floor)
+    // disagree — shifting by +10^9 per row makes the numerator
+    // positive (exact while |mean v6| < 10^9, i.e. |v| < 1000), where
+    // truncate == floor, then shifts back
+    val cent = comps.groupBy(col("label"), col("dim"))
+      .agg(expr("(sum(v6) + 1000000000L * count(1)) div count(1)" +
+        " - 1000000000L").as("c6"))
+    val d2 = comps.join(broadcast(cent), Seq("label", "dim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum((col("v6") - col("c6")) * (col("v6") - col("c6"))).as("d2"))
+    val stats = d2.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("d2").cast("decimal(38,0)")).as("sum_d2"))
+    d2.join(broadcast(stats), "label")
+      .select(col("vec_id"), col("label"), col("d2"),
+        (col("d2").cast("decimal(38,0)") * col("n") >
+          lit(k2) * col("sum_d2")).as("is_outlier"))
+  }
+
   /** Per-dimension corpus standardization (z-scores) in long form — the
     * feature-normalization pass before clustering, linear probes, or
     * distance metrics that assume comparable scales per dimension.

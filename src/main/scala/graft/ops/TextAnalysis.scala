@@ -108,6 +108,45 @@ object TextAnalysis {
     )
   }
 
+  /** Unicode-script/charset profile per document — the writing-system
+    * card that complements [[langId]]'s marker voting (lang-id models
+    * assume a script; a mixed-script or script-less doc is a spam /
+    * mojibake / OCR-noise signal BEFORE language is even meaningful).
+    * Counts characters in the Latin (incl. the Latin-1/Extended
+    * accented block), Cyrillic, CJK (Han + kana + Hangul), and digit
+    * classes via `length(text) − length(regexp_replace(class, ''))` —
+    * one regex pass per class, no tokenization, no shuffle — then
+    * elects the dominant script with a fixed tie order (latin >
+    * cyrillic > cjk > none) and flags multi-script docs. Counts are by
+    * codepoint in BOTH engines (Spark UTF8String chars == DuckDB
+    * codepoints, supplementary chars count 1); class ranges are plain
+    * codepoint intervals, so Java-regex and RE2 agree exactly despite
+    * the different escape spelling.
+    */
+  def scriptProfile(docs: DataFrame): DataFrame = {
+    def cnt(pat: String): Column =
+      (length(col("text")) -
+        length(regexp_replace(col("text"), pat, ""))).cast("long")
+    docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      cnt("[A-Za-z\\u00C0-\\u024F]").as("n_latin"),
+      cnt("[\\u0400-\\u04FF]").as("n_cyrillic"),
+      cnt("[\\u4E00-\\u9FFF\\u3040-\\u30FF\\uAC00-\\uD7AF]").as("n_cjk"),
+      cnt("[0-9]").as("n_digit"))
+      .withColumn("script",
+        when(col("n_latin") >= col("n_cyrillic") &&
+          col("n_latin") >= col("n_cjk") && col("n_latin") > 0, "latin")
+          .when(col("n_cyrillic") >= col("n_cjk") &&
+            col("n_cyrillic") > 0, "cyrillic")
+          .when(col("n_cjk") > 0, "cjk")
+          .otherwise("none"))
+      .withColumn("n_scripts",
+        (when(col("n_latin") > 0, 1L).otherwise(0L) +
+          when(col("n_cyrillic") > 0, 1L).otherwise(0L) +
+          when(col("n_cjk") > 0, 1L).otherwise(0L)))
+      .withColumn("mixed", col("n_scripts") > 1)
+  }
+
   /** Corpus-wide n-gram document frequencies: how many documents contain
     * each word n-gram (set semantics per doc via the shingle expression).
     * One explode + one partially-aggregated count; top-k with a

@@ -402,4 +402,14 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L), (2L, 1L)))
   }
 
+  test("duplicationWeights gives each copy 1/n of the content's mass") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa"), (2L, "aa"), (3L, "aa"), (4L, "bb"))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicationWeights(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((3L, 333333L)) && out(2L) == ((3L, 333333L)) &&
+      out(3L) == ((3L, 333333L)))
+    assert(out(4L) == ((1L, 1000000L)))
+  }
 }

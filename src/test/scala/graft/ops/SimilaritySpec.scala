@@ -417,4 +417,28 @@ class SimilaritySpec extends SparkSpec {
     assert(top1 === Map(0L -> 1000L, 1L -> 1001L, 2L -> 1002L))
   }
 
+  test("embeddingOutliers flags the planted far vector, integer-exact") {
+    import spark.implicits._
+    // label 0: eight near-origin vectors + one far outlier (with few
+    // points the outlier dominates the mean and d2 <= k2*mean always
+    // holds; 8 inliers put the outlier at ~9x the mean)
+    val inliers = (1L to 8L).map(i =>
+      (i, Seq((i % 3).toFloat * 0.1f, (i % 2).toFloat * 0.1f), 0))
+    val rows = (inliers.toSeq ++ Seq(
+      (9L, Seq(9.0f, 9.0f), 0),
+      (10L, Seq(1.0f, 1.0f), 1))) // singleton label: d2 = 0, not outlier
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingOutliers(rows).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(9L)._2, "far vector flagged")
+    (1L to 8L).foreach(i => assert(!out(i)._2, s"inlier $i not flagged"))
+    assert(out(10L) == ((0L, false)))
+    // hand check vec 1's distance against the floored integer centroid
+    val v6 = (1L to 8L).map(i =>
+      ((i % 3) * 100000L, (i % 2) * 100000L)) :+ (9000000L, 9000000L)
+    val c = (v6.map(_._1).sum / 9L, v6.map(_._2).sum / 9L)
+    val d1 = (v6.head._1 - c._1) * (v6.head._1 - c._1) +
+      (v6.head._2 - c._2) * (v6.head._2 - c._2)
+    assert(out(1L)._1 == d1)
+  }
 }

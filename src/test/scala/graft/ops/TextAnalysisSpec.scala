@@ -702,4 +702,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1).getAs[Long]("score") == 500000L)
   }
 
+  test("scriptProfile counts classes and elects the dominant script") {
+    val docs = Seq(
+      (1L, "hello world 42"),
+      (2L, "\u043f\u0440\u0438\u0432\u0435\u0442 world"), // 6 cyrillic + 5 latin
+      (3L, "\u4f60\u597d"),                                   // 2 cjk
+      (4L, "12345 !!!"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.scriptProfile(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getString(6), r.getBoolean(8))).toMap
+    assert(out(1L) == ((10L, 0L, 0L, 2L, "latin", false)))
+    assert(out(2L) == ((5L, 6L, 0L, 0L, "cyrillic", true)))
+    assert(out(3L) == ((0L, 0L, 2L, 0L, "cjk", false)))
+    assert(out(4L) == ((0L, 0L, 0L, 5L, "none", false)))
+  }
 }
