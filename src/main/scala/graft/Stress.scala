@@ -372,6 +372,42 @@ object Stress {
       graft.ops.Graph.linkPredict(co).count()
     }
 
+    // r10 additions: biased walks (replica explode ≤ wFar per candidate
+    // + the (prev,dst) distance-1 join), weighted pagerank (same round
+    // topology as pagerank, weighted-degree frame), the walk→skip-gram
+    // corpus composition, soft-dedup weights (checksum window), the
+    // script profile (pure narrow regex passes — the per-row floor),
+    // and embedding outlier QC (bounded (label,dim) agg + broadcasts)
+    val wEdges = {
+      val ed = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .select(col("l_orderkey").as("src"),
+          (col("l_partkey") + 20000000L).as("dst"))
+      ed.distinct()
+    }
+    val wSeeds = wEdges.select(col("src").as("id")).distinct()
+      .filter(col("id") % 100 === 0)
+    val wMirror = wEdges.union(
+      wEdges.select(col("dst").as("src"), col("src").as("dst")))
+    time("graph_walks_biased")(
+      graft.ops.Graph.biasedWalks(wMirror, wSeeds, steps = 4).count())
+    time("graph_pagerank_weighted") {
+      val we = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .groupBy(col("l_orderkey").as("src"),
+          (col("l_partkey") + 20000000L).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.ops.Graph.weightedPageRank(we, 5).count()
+    }
+    time("graph_walk_corpus")(
+      graft.ops.Graph.walkCorpus(wMirror, wSeeds).count())
+    time("dedup_weights")(
+      graft.ops.Dedup.duplicationWeights(docs).count())
+    time("text_scripts")(
+      graft.ops.TextAnalysis.scriptProfile(docs).count())
+    time("embed_outliers") {
+      val embL = emb.withColumn("label", (col("vec_id") % 16).cast("int"))
+      graft.ops.Similarity.embeddingOutliers(embL).count()
+    }
+
     // bulk-load throughput through the partition-parallel sink (the
     // reference's headline metric: rows/s and MiB/s per load phase)
     val nodes = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
