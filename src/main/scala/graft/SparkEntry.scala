@@ -820,6 +820,27 @@ object SparkEntry {
     "text_scripts" -> ((s, dir) =>
       TextAnalysis.scriptProfile(rd(s, dir, "documents"))
         .orderBy("doc_id")),
+    // --- tokenizer bytes-per-token efficiency by source
+    "text_compression" -> ((s, dir) =>
+      TextAnalysis.compressionCard(rd(s, dir, "documents"))
+        .orderBy("source")),
+    // --- half-life-decayed popularity: exact bit-shift weights
+    "events_decay" -> ((s, dir) => {
+      val ev = rdEvents(s, dir).select(col("event_type"),
+        expr("(ts div 1000) div 86400000000").as("day"))
+      Events.decayedPopularity(ev).orderBy("event_type")
+    }),
+    // --- GraphSAGE-style 2-layer neighborhood aggregation over the
+    // mirrored order-part graph with degree as the node feature
+    "graph_neighbor_agg" -> ((s, dir) => {
+      val ed = rd(s, dir, "lineitem")
+        .select(col("l_orderkey").as("src"),
+          (col("l_partkey") + 20000000L).as("dst")).distinct()
+      val e = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+      val feats = e.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("f"))
+      Graph.neighborAgg(e, feats).orderBy("id")
+    }),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(rd(s, dir, "documents")).orderBy("doc_id")),
     "text_ngrams" -> ((s, dir) =>
@@ -4183,6 +4204,60 @@ object SparkEntry {
         |  CAST(CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
         |    / (CAST(count(*) AS DOUBLE) * 1000000.0) AS centroid
         |FROM cells GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    // compression twin: strlen == octet length for VARCHAR in DuckDB
+    "text_compression" ->
+      """WITH t AS (
+        |  SELECT source, CAST(strlen(text) AS BIGINT) AS b,
+        |    CAST(len(regexp_extract_all(text, '\p{L}+')) +
+        |      len(regexp_extract_all(text, '\p{N}+')) +
+        |      len(regexp_extract_all(text, '[^\s\p{L}\p{N}]'))
+        |      AS BIGINT) AS t
+        |  FROM documents
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(b) AS BIGINT) AS n_bytes,
+        |  CAST(sum(t) AS BIGINT) AS n_tokens,
+        |  CAST(1000000 * sum(b) // greatest(1, sum(t)) AS BIGINT)
+        |    AS bytes_per_token_ppm
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    // decay twin: identical bit-shift weight, window over bounded cells
+    "events_decay" ->
+      """WITH cells AS (
+        |  SELECT event_type, (epoch_us(ts) // 1000000) // 86400 AS day0,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), aged AS (
+        |  SELECT event_type, n,
+        |    least(max(day0) OVER () - day0, 19) AS age
+        |  FROM cells
+        |)
+        |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(sum(n * (1000000 // (1 << CAST(age AS INT)))) AS BIGINT)
+        |    AS decayed_e6
+        |FROM aged GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // neighbor-agg twin: hop-2 composes on the MATERIALIZED hop-1 frame
+    // (referenced twice: output + the hop-2 join)
+    "graph_neighbor_agg" ->
+      """WITH ed AS (
+        |  SELECT DISTINCT l_orderkey AS src, l_partkey + 20000000 AS dst
+        |  FROM lineitem
+        |), e0 AS (
+        |  SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed
+        |), feats AS (
+        |  SELECT src AS id, CAST(count(*) AS BIGINT) AS f
+        |  FROM e0 GROUP BY 1
+        |), h1 AS MATERIALIZED (
+        |  SELECT e.src AS id, CAST(count(*) AS BIGINT) AS deg,
+        |    CAST(sum(f.f) AS BIGINT) AS h1_sum,
+        |    min(f.f) AS h1_min, max(f.f) AS h1_max
+        |  FROM e0 e JOIN feats f ON f.id = e.dst GROUP BY 1
+        |), h2 AS (
+        |  SELECT e.src AS id, CAST(sum(h.h1_sum) AS BIGINT) AS h2_sum
+        |  FROM e0 e JOIN h1 h ON h.id = e.dst GROUP BY 1
+        |)
+        |SELECT h1.id, h1.deg, h1.h1_sum, h1.h1_min, h1.h1_max, h2.h2_sum
+        |FROM h1 LEFT JOIN h2 ON h2.id = h1.id
+        |ORDER BY h1.id""".stripMargin,
     // outlier twin: same integer surrogates (floor(v*1e6) components,
     // floored integer centroid, exact integer d2); the outlier product
     // lifts to HUGEINT where Spark compares through DECIMAL(38,0) —

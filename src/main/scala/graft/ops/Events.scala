@@ -1239,6 +1239,33 @@ object Events {
         col("censored"), col("hazard_ppm"))
   }
 
+  /** Half-life-decayed popularity per event type — the recency-weighted
+    * ranking signal (trending items, freshness-aware retrieval priors)
+    * where a plain count never forgets. Exponential decay is normally
+    * `exp(-λ·age)` — NOT engine-portable (libm) — so the half-life is
+    * pinned to one day and the weight is the EXACT integer
+    * `1e6 div 2^min(age_days, cap)`: a bit shift both engines compute
+    * identically, with the cap keeping the shift in range (and weight
+    * ≥ 1 at cap 19 — older events still count, they just stop
+    * distinguishing). Expects `(event_type, day)`.
+    *
+    * Scale shape: one corpus partial-agg to (type, day) cells; the
+    * global max-day window and the decay close run over that bounded
+    * cell frame only, never a second corpus pass.
+    */
+  def decayedPopularity(events: DataFrame, capDays: Long = 19L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    events
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+      .withColumn("max_day", max("day").over(Window.partitionBy()))
+      .withColumn("age",
+        least(col("max_day") - col("day"), lit(capDays)))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(expr("n * (1000000L div shiftleft(1L, CAST(age AS INT)))"))
+          .as("decayed_e6"))
+  }
+
   /** Day-of-week seasonal profile per event type — the seasonality card
     * behind watermark choice, anomaly baselines, and the seasonal-naive
     * forecaster's period: each (type, dow) cell's observed count against

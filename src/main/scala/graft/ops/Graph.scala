@@ -85,6 +85,38 @@ object Graph {
       (col("r").cast("double") / lit(Scale.toDouble)).as("rank"))
   }
 
+  /** GraphSAGE-style neighborhood feature aggregation: per node, the
+    * count/sum/min/max over 1-hop neighbor features and the
+    * PATH-WEIGHTED 2-hop sum (Σ over neighbors of their own 1-hop
+    * sums — exactly a 2-layer GNN sum-aggregator's receptive field,
+    * path multiplicity included) — the tabular feature-engineering
+    * pass that turns a graph into trainable per-node columns without
+    * ever materializing neighborhoods.
+    *
+    * The 2-hop layer composes on the AGGREGATED hop-1 frame (one more
+    * node-keyed equi-join), so cost is |E| per layer — never the
+    * neighbor-of-neighbor explosion Σdeg² that a literal 2-hop
+    * enumeration pays on hub nodes. Integer features make every
+    * aggregate order-free exact. hop-1 is referenced twice (output +
+    * the hop-2 join) and is node-sized → localCheckpoint, the
+    * reco_itemcf rule. Expects edges `(src, dst)` (mirror first for
+    * undirected) and features `(id, f)`.
+    */
+  def neighborAgg(edges: DataFrame, feats: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val h1 = e
+      .join(feats.select(col("id").as("dst"), col("f")), "dst")
+      .groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"), sum(col("f")).as("h1_sum"),
+        min(col("f")).as("h1_min"), max(col("f")).as("h1_max"))
+      .localCheckpoint()
+    val h2 = e
+      .join(h1.select(col("id").as("dst"), col("h1_sum").as("nh")), "dst")
+      .groupBy(col("src").as("id"))
+      .agg(sum(col("nh")).as("h2_sum"))
+    h1.join(h2, Seq("id"), "left")
+  }
+
   /** DeepWalk-style embedding training corpus END TO END: random walks
     * become "sentences", and the skip-gram (center, context) pair
     * counts over them are exactly what a word2vec-family trainer (or

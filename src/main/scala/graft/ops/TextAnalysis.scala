@@ -208,6 +208,30 @@ object TextAnalysis {
         + regexp_count(col("text"), lit(other))).cast("long").as("n_bpe_toks"))
   }
 
+  /** Tokenizer compression card: bytes-per-token by source — the
+    * standard tokenizer-efficiency metric (a tokenizer that spends 6
+    * bytes/token on code but 3.2 on prose changes the EFFECTIVE mix of
+    * a byte-budgeted corpus, and a source whose ratio shifts between
+    * snapshots has a charset/format regression). Tokens are the
+    * [[bpeTokens]] regex classes; bytes are octet length (UTF-8), so
+    * multibyte-script sources read honestly. One narrow pass +
+    * one partial-aggregated shuffle on the bounded source key; the
+    * ratio is an exact integer ppm.
+    */
+  def compressionCard(docs: DataFrame): DataFrame = {
+    val toks = expr("regexp_count(text, '\\\\p{L}+') + " +
+      "regexp_count(text, '\\\\p{N}+') + " +
+      "regexp_count(text, '[^\\\\s\\\\p{L}\\\\p{N}]')")
+    docs
+      .select(col("source"), octet_length(col("text")).cast("long").as("b"),
+        toks.cast("long").as("t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("b")).as("n_bytes"),
+        sum(col("t")).as("n_tokens"),
+        expr("1000000L * sum(b) div greatest(1L, sum(t))")
+          .as("bytes_per_token_ppm"))
+  }
+
   /** Benchmark-contamination check: the fraction of each document's
     * distinct word n-grams that also appear in a benchmark (eval-set)
     * corpus — the standard pre-training decontamination measurement.

@@ -695,4 +695,15 @@ class EventsSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("df_welch")))
   }
 
+  test("decayedPopularity halves weight per day of age, capped") {
+    val ev = Seq(("A", 0L), ("A", 0L), ("A", 1L), ("B", 1L), ("C", -30L))
+      .toDF("event_type", "day")
+    val out = Events.decayedPopularity(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // max day 1: A = 2*500000 (age 1) + 1*1000000 = 2000000
+    assert(out("A") == ((3L, 2000000L)))
+    assert(out("B") == ((1L, 1000000L)))
+    // age 31 capped to 19 -> weight 1000000 div 2^19 = 1
+    assert(out("C") == ((1L, 1L)))
+  }
 }

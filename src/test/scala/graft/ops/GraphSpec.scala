@@ -588,4 +588,15 @@ class GraphSpec extends SparkSpec {
       .getAs[Long]("q_num") == 0L)
   }
 
+  test("neighborAgg: 1-hop stats and path-weighted 2-hop sums") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val feats = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "f")
+    val out = Graph.neighborAgg(e, feats).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), Option(r.get(5)).map(_.asInstanceOf[Long]))).toMap
+    // node 1: neighbors {2, 3}; 2-hop = h1_sum(2) only (3 has no h1 row)
+    assert(out(1L) == ((2L, 50L, 20L, 30L, Some(30L))))
+    assert(out(2L) == ((1L, 30L, 30L, 30L, None)))
+    assert(!out.contains(3L), "sink has no outgoing aggregation row")
+  }
 }

@@ -717,4 +717,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == ((0L, 0L, 2L, 0L, "cjk", false)))
     assert(out(4L) == ((0L, 0L, 0L, 5L, "none", false)))
   }
+
+  test("compressionCard computes exact bytes-per-token by source") {
+    val docs = Seq(
+      (1L, "ab cd", "s1"),  // 5 bytes, 2 word tokens
+      (2L, "a 1!", "s1"),   // 4 bytes, 3 tokens (word + num + other)
+      (3L, "xyz", "s2"))    // 3 bytes, 1 token
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.compressionCard(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("s1") == ((2L, 9L, 5L, 9L * 1000000L / 5L)))
+    assert(out("s2") == ((1L, 3L, 1L, 3000000L)))
+  }
 }
