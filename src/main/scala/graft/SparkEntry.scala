@@ -474,6 +474,12 @@ object SparkEntry {
       Graph.triangleCounts(
         Graph.coOccurrence(li, "l_orderkey", "l_partkey")).orderBy("id")
     }),
+    // --- per-node clustering coefficient over the same graph
+    "graph_clustering" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem").filter(col("l_partkey") % 4 === 0)
+      Graph.clusteringCoefficient(
+        Graph.coOccurrence(li, "l_orderkey", "l_partkey")).orderBy("id")
+    }),
     // --- link prediction (common-neighbor + resource-allocation) over
     // the same sampled part co-occurrence graph: top-5 NEW part-part
     // links per node, hub centers capped at deg 100 (oracle replicates)
@@ -1291,6 +1297,11 @@ object SparkEntry {
     "basket_rules" -> ((s, dir) =>
       Analytics.basketRules(rd(s, dir, "lineitem"), "l_orderkey", "l_partkey",
         minPairCount = 2L).orderBy("item_a", "item_b")),
+    // --- A-priori level 3: frequent triples with downward-closure prune
+    "basket_triples" -> ((s, dir) =>
+      Analytics.basketTriples(rd(s, dir, "lineitem"), "l_orderkey",
+        "l_partkey", minCount = 2L)
+        .orderBy("item_a", "item_b", "item_c")),
     "value_histogram" -> ((s, dir) =>
       Analytics.histogram(rd(s, dir, "lineitem"), "l_extendedprice", 5000.0)
         .orderBy("bin")),
@@ -3186,6 +3197,68 @@ object SparkEntry {
         |  UNION ALL SELECT y FROM tri
         |  UNION ALL SELECT z FROM tri
         |) GROUP BY id ORDER BY id""".stripMargin,
+    // clustering twin: id-ordered triangle enumeration (the set is
+    // orientation-independent) + canonical degrees + integer ppm close
+    "graph_clustering" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+        |  WHERE l_partkey % 4 = 0
+        |), sized AS (
+        |  SELECT g, item FROM (
+        |    SELECT g, item, count(*) OVER (PARTITION BY g) AS gsz FROM pairs)
+        |  WHERE gsz <= 100
+        |), e AS MATERIALIZED (
+        |  SELECT DISTINCT l.item AS a, r.item AS b
+        |  FROM sized l JOIN sized r ON l.g = r.g AND l.item < r.item
+        |), deg AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1
+        |), tri AS MATERIALIZED (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |), tc AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        |    SELECT x AS id FROM tri
+        |    UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri) GROUP BY 1
+        |)
+        |SELECT d.id, d.deg,
+        |  COALESCE(tc.n_triangles, 0) AS n_triangles,
+        |  CAST(CASE WHEN d.deg >= 2 THEN 2000000 *
+        |    COALESCE(tc.n_triangles, 0) // (d.deg * (d.deg - 1))
+        |    ELSE 0 END AS BIGINT) AS cc_ppm
+        |FROM deg d LEFT JOIN tc ON tc.id = d.id
+        |ORDER BY d.id""".stripMargin,
+    // triples twin: same downward-closure prune as EXISTS semi-joins
+    "basket_triples" ->
+      """WITH p0 AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+        |), b AS MATERIALIZED (
+        |  SELECT g, item FROM (
+        |    SELECT g, item, count(*) OVER (PARTITION BY g) AS gsz FROM p0)
+        |  WHERE gsz <= 100
+        |), fpairs AS MATERIALIZED (
+        |  SELECT l.item AS pa, r.item AS pb
+        |  FROM b l JOIN b r ON l.g = r.g AND l.item < r.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), freq AS (
+        |  SELECT pa AS item FROM fpairs UNION SELECT pb FROM fpairs
+        |), pb2 AS MATERIALIZED (
+        |  SELECT b.g, b.item FROM b JOIN freq USING (item)
+        |)
+        |SELECT x.item AS item_a, y.item AS item_b, z.item AS item_c,
+        |  CAST(count(*) AS BIGINT) AS n_support
+        |FROM pb2 x
+        |JOIN pb2 y ON x.g = y.g AND x.item < y.item
+        |JOIN pb2 z ON x.g = z.g AND y.item < z.item
+        |WHERE EXISTS (SELECT 1 FROM fpairs
+        |  WHERE pa = x.item AND pb = y.item)
+        |  AND EXISTS (SELECT 1 FROM fpairs
+        |  WHERE pa = y.item AND pb = z.item)
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        |ORDER BY item_a, item_b, item_c""".stripMargin,
     // assortativity twin: endpoint-degree Pearson with the corrMatrix
     // close — each exact HUGEINT moment casts to DOUBLE first, then the
     // identical IEEE formula

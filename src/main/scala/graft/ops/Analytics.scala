@@ -145,6 +145,59 @@ object Analytics {
           .as("conf_b_to_a"))
   }
 
+  /** A-priori frequent 3-itemsets: the level-3 step market-basket
+    * mining runs after [[basketRules]]' pairs — triples of items
+    * co-purchased in ≥ `minCount` baskets, with the classic downward-
+    * closure PRUNE: a triple is enumerated only when ALL THREE of its
+    * item pairs are already frequent, so the per-basket C(D,3) blowup
+    * never materializes for items outside the frequent-pair graph.
+    *
+    * Scale shape: the basket frame prunes to items appearing in a
+    * frequent pair (semi-join), baskets over `maxGroupSize` drop (the
+    * C(D,2) window guard from the pair level), the triple enumeration
+    * is two basket-keyed self-joins with `a < b < c`, and the closure
+    * check is one more keyed semi-join of the (b, c) leg against the
+    * frequent-pair set BEFORE counting. The pruned basket frame feeds
+    * three self-join sides → localCheckpoint (the reco rule).
+    */
+  def basketTriples(baskets: DataFrame, groupCol: String, itemCol: String,
+                    minCount: Long = 3L,
+                    maxGroupSize: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = baskets.select(col(groupCol).as("g"), col(itemCol).as("item"))
+      .distinct()
+      .withColumn("gsz", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("gsz") <= maxGroupSize)
+      .drop("gsz")
+    val pairs = b.as("l")
+      .join(b.as("r"),
+        col("l.g") === col("r.g") && col("l.item") < col("r.item"))
+      .groupBy(col("l.item").as("pa"), col("r.item").as("pb"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+      .select(col("pa"), col("pb"))
+      .localCheckpoint()
+    val freq = pairs.select(col("pa").as("item"))
+      .union(pairs.select(col("pb").as("item"))).distinct()
+    val pb = b.join(freq, "item").localCheckpoint()
+    pb.as("x")
+      .join(pb.as("y"), col("x.g") === col("y.g") &&
+        col("x.item") < col("y.item"))
+      // downward closure on the (a, b) leg
+      .join(pairs, col("x.item") === col("pa") &&
+        col("y.item") === col("pb"), "left_semi")
+      .join(pb.as("z"), col("x.g") === col("z.g") &&
+        col("y.item") < col("z.item"))
+      // closure on the (b, c) leg; (a, c) follows from counting, but
+      // pruning it here bounds the candidate stream before the shuffle
+      .join(pairs, col("y.item") === col("pa") &&
+        col("z.item") === col("pb"), "left_semi")
+      .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"),
+        col("z.item").as("item_c"))
+      .agg(count(lit(1)).as("n_support"))
+      .filter(col("n_support") >= minCount)
+  }
+
   /** Fixed-width histogram of a numeric column: bin id, row count, and
     * the exact value bounds observed in each bin — the distribution
     * profile behind data-quality dashboards and partition-skew checks.

@@ -369,6 +369,36 @@ object Graph {
       .join(oriented.select(col("u").as("y"), col("v").as("z")), Seq("y", "z"))
   }
 
+  /** Local clustering coefficient per node: `2·T(v) / (deg·(deg−1))`
+    * as an exact integer ppm — how tightly each node's neighborhood
+    * closes (the community-ness / spam-farm-ness signal per node,
+    * where [[triangleCounts]] alone leaves the degree normalization to
+    * the reader). Composes the degree-ordered triangle enumeration
+    * (wedge fan-out bounded by the smaller endpoint's degree) with the
+    * canonical degree table; nodes with deg < 2 report 0. All operands
+    * positive → `div` is floor in both engines.
+    */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = canon.select(col("a").as("id"))
+      .union(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val tri = triangleRows(canon)
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+    deg.join(tri, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2,
+          expr("2000000L * coalesce(n_triangles, 0L)" +
+            " div (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("cc_ppm"))
+  }
+
   def triangleCounts(edges: DataFrame): DataFrame = {
     val canon = edges
       .select(least(col("src"), col("dst")).as("a"),

@@ -204,4 +204,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(pushed.contains("LessThan(l_quantity"), pushed)
   }
 
+  test("basketTriples counts supported triples, closure-pruned") {
+    val b = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"), (2L, "c"),
+      (3L, "a"), (3L, "b"),
+      // (x,y) and (y,z) frequent but (x,z) never co-occurs twice:
+      // the (a=x,b=y,c=z) candidate dies at support, and the closure
+      // prune drops it before counting anyway
+      (4L, "x"), (4L, "y"), (5L, "x"), (5L, "y"),
+      (6L, "y"), (6L, "z"), (7L, "y"), (7L, "z"),
+      (8L, "x"), (8L, "y"), (8L, "z"))
+      .toDF("basket", "item")
+    val out = Analytics.basketTriples(b, "basket", "item", minCount = 2L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    assert(out == Map(("a", "b", "c") -> 2L))
+  }
 }

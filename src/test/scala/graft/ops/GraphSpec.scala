@@ -599,4 +599,16 @@ class GraphSpec extends SparkSpec {
     assert(out(2L) == ((1L, 30L, 30L, 30L, None)))
     assert(!out.contains(3L), "sink has no outgoing aggregation row")
   }
+
+  test("clusteringCoefficient: triangle closes fully, pendant scores 0") {
+    // triangle 1-2-3 plus pendant edge 3-4
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.clusteringCoefficient(e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) == ((2L, 1L, 1000000L)))
+    assert(out(2L) == ((2L, 1L, 1000000L)))
+    assert(out(3L) == ((3L, 1L, 2000000L / 6L))) // 2T/(3*2) = 1/3
+    assert(out(4L) == ((1L, 0L, 0L)))
+  }
 }
