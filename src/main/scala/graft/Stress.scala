@@ -408,6 +408,23 @@ object Stress {
       graft.ops.Similarity.embeddingOutliers(embL).count()
     }
 
+    time("text_compression")(
+      graft.ops.TextAnalysis.compressionCard(docs).count())
+    time("graph_clustering") {
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .filter(col("l_partkey") % 4 === 0)
+      graft.ops.Graph.clusteringCoefficient(
+        graft.ops.Graph.coOccurrence(li, "l_orderkey", "l_partkey")).count()
+    }
+    time("basket_triples")(graft.ops.Analytics.basketTriples(
+      spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet"),
+      "l_orderkey", "l_partkey", minCount = 2L).count())
+    time("graph_neighbor_agg") {
+      val feats = wMirror.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("f"))
+      graft.ops.Graph.neighborAgg(wMirror, feats).count()
+    }
+
     // bulk-load throughput through the partition-parallel sink (the
     // reference's headline metric: rows/s and MiB/s per load phase)
     val nodes = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
