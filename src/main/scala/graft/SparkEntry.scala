@@ -826,6 +826,20 @@ object SparkEntry {
     "text_scripts" -> ((s, dir) =>
       TextAnalysis.scriptProfile(rd(s, dir, "documents"))
         .orderBy("doc_id")),
+    // --- langid confusion matrix vs the labeled lang column
+    "text_langid_eval" -> ((s, dir) =>
+      TextAnalysis.langIdEval(rd(s, dir, "documents"))
+        .orderBy("lang", "predicted_lang")),
+    // --- degree-distribution power-law card over the order-part graph
+    "graph_degree_dist" -> ((s, dir) => {
+      val ed = rd(s, dir, "lineitem")
+        .select(col("l_orderkey").as("src"),
+          (col("l_partkey") + 20000000L).as("dst")).distinct()
+      Graph.degreeDistribution(ed).orderBy("deg_bucket")
+    }),
+    // --- embedding anisotropy via the sum identity (no pair scan)
+    "embed_isotropy" -> ((s, dir) =>
+      Similarity.isotropyCard(rd(s, dir, "embeddings"))),
     // --- tokenizer bytes-per-token efficiency by source
     "text_compression" -> ((s, dir) =>
       TextAnalysis.compressionCard(rd(s, dir, "documents"))
@@ -3884,6 +3898,101 @@ object SparkEntry {
       """SELECT doc_id,
         | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // langid-eval twin: the langid CTE joined back to truth labels,
+    // window over the bounded confusion cells
+    "text_langid_eval" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(toks, x -> list_contains(['the','and','of','is','to'], x))) AS BIGINT) AS hits_en,
+        |    CAST(len(list_filter(toks, x -> list_contains(['der','und','die','das','ist'], x))) AS BIGINT) AS hits_de,
+        |    CAST(len(list_filter(toks, x -> list_contains(['el','los','que','es','una'], x))) AS BIGINT) AS hits_es,
+        |    CAST(len(list_filter(toks, x -> list_contains(['le','les','des','est','une'], x))) AS BIGINT) AS hits_fr,
+        |    CAST(len(list_filter(toks, x -> list_contains(['de5','shi4','le5','zai4','he2'], x))) AS BIGINT) AS hits_zh
+        |  FROM t
+        |), g AS (
+        |  SELECT *, greatest(hits_en, hits_de, hits_es, hits_fr, hits_zh) AS best FROM h
+        |), pred AS (
+        |  SELECT doc_id,
+        |    CASE WHEN hits_en = best AND best > 0 THEN 'en'
+        |         WHEN hits_de = best AND best > 0 THEN 'de'
+        |         WHEN hits_es = best AND best > 0 THEN 'es'
+        |         WHEN hits_fr = best AND best > 0 THEN 'fr'
+        |         WHEN hits_zh = best AND best > 0 THEN 'zh'
+        |         ELSE 'und' END AS predicted_lang
+        |  FROM g
+        |), cells AS (
+        |  SELECT d.lang, p.predicted_lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT lang, predicted_lang, n,
+        |  CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+        |  CAST(1000000 * n // sum(n) OVER (PARTITION BY lang) AS BIGINT)
+        |    AS cell_ppm
+        |FROM cells ORDER BY lang, predicted_lang""".stripMargin,
+    // degree-dist twin: same bit-length log2 axes, four integer sums,
+    // ONE double division (NULL slope when degenerate)
+    "graph_degree_dist" ->
+      """WITH ed AS (
+        |  SELECT DISTINCT l_orderkey AS src, l_partkey + 20000000 AS dst
+        |  FROM lineitem
+        |), deg AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT src AS id FROM ed UNION ALL SELECT dst FROM ed)
+        |  GROUP BY 1
+        |), buckets AS MATERIALIZED (
+        |  SELECT CAST(length(ltrim(bin(deg), '0')) AS BIGINT) AS deg_bucket,
+        |    CAST(count(*) AS BIGINT) AS n_nodes,
+        |    min(deg) AS min_deg, max(deg) AS max_deg
+        |  FROM deg GROUP BY 1
+        |), pts AS (
+        |  SELECT deg_bucket AS x,
+        |    CAST(length(ltrim(bin(n_nodes), '0')) AS BIGINT) AS y
+        |  FROM buckets
+        |), sl AS (
+        |  SELECT CASE WHEN count(*) * sum(x * x) - sum(x) * sum(x) <> 0
+        |    THEN CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE) /
+        |      CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)
+        |    END AS powerlaw_slope
+        |  FROM pts
+        |)
+        |SELECT b.deg_bucket, b.n_nodes, b.min_deg, b.max_deg,
+        |  sl.powerlaw_slope
+        |FROM buckets b CROSS JOIN sl ORDER BY b.deg_bucket""".stripMargin,
+    // isotropy twin: HUGEINT sums, identical cast-then-divide chain
+    "embed_isotropy" ->
+      """WITH comps AS (
+        |  SELECT vec_id,
+        |    CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) AS v6,
+        |    dim
+        |  FROM (
+        |    SELECT vec_id,
+        |      unnest(generate_series(1, len(embedding))) AS dim,
+        |      unnest(embedding) AS v
+        |    FROM embeddings)
+        |), perdim AS (
+        |  SELECT dim, sum(v6) AS s FROM comps GROUP BY 1
+        |), a AS (
+        |  SELECT sum(s * s) AS ssum FROM perdim
+        |), b AS (
+        |  SELECT sum(CAST(v6 AS HUGEINT) * v6) AS sq FROM comps
+        |), c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+        |)
+        |SELECT n,
+        |  CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 1e12 AS mean_norm2,
+        |  CASE WHEN n > 1 THEN
+        |    CAST(ssum - sq AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 1e12
+        |  END AS mean_dot,
+        |  CASE WHEN CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 1e12 > 0 THEN
+        |    (CAST(ssum - sq AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 1e12) /
+        |    (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 1e12)
+        |  END AS anisotropy
+        |FROM c CROSS JOIN a CROSS JOIN b""".stripMargin,
     // scripts twin: identical codepoint intervals in RE2 \x{...}
     // spelling; length() counts codepoints in both engines
     "text_scripts" ->

@@ -85,6 +85,40 @@ object Graph {
       (col("r").cast("double") / lit(Scale.toDouble)).as("rank"))
   }
 
+  /** Degree-distribution power-law card: node counts per log2-degree
+    * bucket plus the least-squares slope of log2(count) vs
+    * log2(degree) — is this graph scale-free, and is its hub tail
+    * growing between snapshots? (The skew forecast that decides salting
+    * and hub caps BEFORE a join melts down.) Both axes quantize via the
+    * portable bit-length log2 (`length(ltrim(bin(x), '0'))`), the slope
+    * derives from four order-free integer sums with ONE final double
+    * division (the zipfProfile recipe — a negative-numerator `div`
+    * would hit the truncate-vs-floor trap), and the one-row slope
+    * broadcasts onto the bounded bucket rows. Degenerate single-bucket
+    * graphs report a NULL slope (0/0), never a wrong one.
+    */
+  def degreeDistribution(edges: DataFrame): DataFrame = {
+    def log2i(c: Column): Column = length(ltrim(bin(c), "0")).cast("long")
+    val deg = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val buckets = deg
+      .groupBy(log2i(col("deg")).as("deg_bucket"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"))
+    val pts = buckets.select(col("deg_bucket").as("x"),
+      log2i(col("n_nodes")).as("y"))
+    val slope = pts.agg(
+      count(lit(1)).as("nb"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+      .select(when(col("nb") * col("sxx") - col("sx") * col("sx") =!= 0,
+        (col("nb") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("nb") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .as("powerlaw_slope"))
+    buckets.crossJoin(broadcast(slope))
+  }
+
   /** GraphSAGE-style neighborhood feature aggregation: per node, the
     * count/sum/min/max over 1-hop neighbor features and the
     * PATH-WEIGHTED 2-hop sum (Σ over neighbors of their own 1-hop

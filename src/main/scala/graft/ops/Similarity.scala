@@ -484,6 +484,42 @@ object Similarity {
         (col("sum_scaled").cast("double") /
           (col("n").cast("double") * 1000000.0)).as("centroid"))
 
+  /** Embedding anisotropy card: the mean pairwise dot product and its
+    * ratio to the mean squared norm, computed WITHOUT any pair
+    * enumeration via the identity Σ_{i≠j} vᵢ·vⱼ = ‖Σv‖² − Σ‖v‖² — the
+    * collapse/anisotropy check (embeddings crowding a narrow cone make
+    * cosine retrieval meaningless) that a naive implementation pays
+    * C(n,2) for and this one pays ONE aggregation pass. Integer-exact
+    * core: components scale to floor(v·10^6), per-dim sums and the
+    * squared-norm sum accumulate in DECIMAL(38,0) (order-free; ‖Σv6‖²
+    * reaches ~10^25 at a million vectors), and the three outputs are
+    * exact-integer-to-double casts with identical IEEE divisions in
+    * both engines. One row out.
+    */
+  def isotropyCard(embeddings: DataFrame): DataFrame = {
+    def comps = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "v")))
+      .select(col("vec_id"), col("p").cast("long").as("dim"),
+        floor(col("v").cast("double") * lit(1000000.0)).cast("long")
+          .as("v6"))
+    val ssum = comps.groupBy(col("dim"))
+      .agg(sum(col("v6").cast("decimal(38,0)")).as("s"))
+      .agg(sum(col("s") * col("s")).as("ssum"))
+    val sq = comps.agg(
+      sum((col("v6") * col("v6")).cast("decimal(38,0)")).as("sq"))
+    val n = embeddings.agg(count(lit(1)).as("n"))
+    n.crossJoin(broadcast(ssum)).crossJoin(broadcast(sq))
+      .select(col("n"),
+        (col("sq").cast("double") / col("n").cast("double") / lit(1e12))
+          .as("mean_norm2"),
+        when(col("n") > 1,
+          (col("ssum") - col("sq")).cast("double") /
+            (col("n").cast("double") * (col("n") - 1).cast("double")) /
+            lit(1e12)).as("mean_dot"))
+      .withColumn("anisotropy",
+        when(col("mean_norm2") > 0, col("mean_dot") / col("mean_norm2")))
+  }
+
   /** Embedding QC: per-vector squared distance to its label centroid,
     * flagged when it exceeds `k2`× the label's mean squared distance —
     * the mislabeled/corrupted-vector sweep a training pipeline runs

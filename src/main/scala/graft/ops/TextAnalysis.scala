@@ -108,6 +108,24 @@ object TextAnalysis {
     )
   }
 
+  /** Language-ID evaluation against the corpus's labeled `lang` column:
+    * the confusion matrix (truth × prediction counts) plus per-truth
+    * recall in exact ppm — the eval card that turns [[langId]] from a
+    * heuristic into a measured component (and catches drift when the
+    * marker lists or the corpus mix change). One doc-keyed join of the
+    * prediction frame back to the labels, one partial agg to the
+    * bounded |langs|² cell table, and a window over THAT frame only.
+    */
+  def langIdEval(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    langId(docs).select(col("doc_id"), col("predicted_lang"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lang_total", sum("n").over(Window.partitionBy("lang")))
+      .withColumn("cell_ppm", expr("1000000L * n div lang_total"))
+  }
+
   /** Unicode-script/charset profile per document — the writing-system
     * card that complements [[langId]]'s marker voting (lang-id models
     * assume a script; a mixed-script or script-less doc is a spam /

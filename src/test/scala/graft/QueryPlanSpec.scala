@@ -25,6 +25,8 @@ class QueryPlanSpec extends SparkSpec {
     Set("ann_brute", "ann_ivf", "ann_pq", "label_knn", "embed_cluster",
       "ann_ivfpq", // same nLists-row centroid broadcast as ann_ivf
       "corpus_zipf", // one-row slope aggregate onto ~log2(vocab) rows
+      "graph_degree_dist", // one-row slope onto ~log2(maxdeg) bucket rows
+      "embed_isotropy", // three one-row aggregates crossed (1x1x1)
       "graph_modularity", // one-row edge total onto the community frame
       "embed_align", // exact pair mining broadcasts the bounded tgt set
                      // (ANN candidates replace the cross at scale)

@@ -611,4 +611,20 @@ class GraphSpec extends SparkSpec {
     assert(out(3L) == ((3L, 1L, 2000000L / 6L))) // 2T/(3*2) = 1/3
     assert(out(4L) == ((1L, 0L, 0L)))
   }
+
+  test("degreeDistribution buckets by bit-length with a defined slope") {
+    // star: hub degree 8 (bucket 4), 8 leaves degree 1 (bucket 1)
+    val e = (1L to 8L).map(i => (0L, i)).toDF("src", "dst")
+    val out = Graph.degreeDistribution(e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(4L)._1 == 1L && out(4L)._2 == 8L) // the hub
+    assert(out(1L)._1 == 8L && out(1L)._3 == 1L) // the leaves
+    // pts: (1, 4) leaves->log2(8)+1=4, (4, 1) hub; slope = -1 exactly
+    assert(out(1L)._4 == Some(-1.0))
+    // degenerate: a single bucket reports NULL, not a fake slope
+    val uni = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val u = Graph.degreeDistribution(uni).collect()
+    assert(u.forall(r => r.isNullAt(4)))
+  }
 }

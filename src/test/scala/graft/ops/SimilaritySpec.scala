@@ -441,4 +441,20 @@ class SimilaritySpec extends SparkSpec {
       (v6.head._2 - c._2) * (v6.head._2 - c._2)
     assert(out(1L)._1 == d1)
   }
+
+  test("isotropyCard matches the pairwise-sum identity by hand") {
+    import spark.implicits._
+    // v1 = (1, 0), v2 = (0, 1): dot = 0 -> mean_dot 0, anisotropy 0
+    val ortho = Seq((1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.0f, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val o = Similarity.isotropyCard(ortho).collect().head
+    assert(o.getAs[Long]("n") == 2L)
+    assert(o.getAs[Double]("mean_norm2") == 1.0)
+    assert(o.getAs[Double]("mean_dot") == 0.0)
+    // collapsed cone: identical unit vectors -> anisotropy 1
+    val same = Seq((1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val s = Similarity.isotropyCard(same).collect().head
+    assert(s.getAs[Double]("anisotropy") == 1.0)
+  }
 }

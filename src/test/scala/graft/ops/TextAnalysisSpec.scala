@@ -730,4 +730,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("s1") == ((2L, 9L, 5L, 9L * 1000000L / 5L)))
     assert(out("s2") == ((1L, 3L, 1L, 3000000L)))
   }
+
+  test("langIdEval builds the confusion matrix with exact recall ppm") {
+    val docs = Seq(
+      (1L, "the cat and the dog of the house is it", "en"),
+      (2L, "der hund und die katze das ist gut", "de"),
+      (3L, "el gato los perros que es una casa", "es"),
+      (4L, "zzz qqq xxx", "en")) // no markers -> und
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langIdEval(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(("en", "en")) == ((1L, 2L, 500000L)))
+    assert(out(("en", "und")) == ((1L, 2L, 500000L)))
+    assert(out(("de", "de")) == ((1L, 1L, 1000000L)))
+    assert(out(("es", "es")) == ((1L, 1L, 1000000L)))
+  }
 }
