@@ -1311,6 +1311,9 @@ object SparkEntry {
     "basket_rules" -> ((s, dir) =>
       Analytics.basketRules(rd(s, dir, "lineitem"), "l_orderkey", "l_partkey",
         minPairCount = 2L).orderBy("item_a", "item_b")),
+    // --- TPC-H Q17 shape: correlated avg decorrelated to one join
+    "q17_small_qty" -> ((s, dir) =>
+      Analytics.q17(rd(s, dir, "lineitem"))),
     // --- A-priori level 3: frequent triples with downward-closure prune
     "basket_triples" -> ((s, dir) =>
       Analytics.basketTriples(rd(s, dir, "lineitem"), "l_orderkey",
@@ -1434,6 +1437,13 @@ object SparkEntry {
     // --- key-distribution profile: the decide-before-salting query
     "skew_profile" -> ((s, dir) =>
       Skew.keyProfile(rd(s, dir, "lineitem"), "l_partkey", 20)),
+    // --- pre-flight exact join-output-size guard for the partkey
+    // self-join (the nodesim/itemcf dry run): top contributors + bill
+    "join_guard" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem")
+      Skew.joinCardinality(li, "l_partkey", li, "l_partkey")
+        .orderBy("kind", "k")
+    }),
     // --- rolling 7-day distinct users (sliding distinct via explode)
     "events_rolling_users" -> ((s, dir) => {
       val ev = rdEvents(s, dir).select(col("user_id"),
@@ -3245,6 +3255,43 @@ object SparkEntry {
         |    ELSE 0 END AS BIGINT) AS cc_ppm
         |FROM deg d LEFT JOIN tc ON tc.id = d.id
         |ORDER BY d.id""".stripMargin,
+    // join-guard twin: identical key-count join + deterministic top-k
+    "join_guard" ->
+      """WITH la AS (
+        |  SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS n_left
+        |  FROM lineitem GROUP BY 1
+        |), ra AS (
+        |  SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS n_right
+        |  FROM lineitem GROUP BY 1
+        |), j AS MATERIALIZED (
+        |  SELECT la.k, la.n_left, ra.n_right,
+        |    la.n_left * ra.n_right AS contrib
+        |  FROM la JOIN ra ON ra.k = la.k
+        |), top AS (
+        |  SELECT 'key' AS kind, k, n_left, n_right, contrib
+        |  FROM j ORDER BY contrib DESC, k LIMIT 10
+        |), tot AS (
+        |  SELECT 'total' AS kind, CAST(NULL AS BIGINT) AS k,
+        |    CAST(sum(n_left) AS BIGINT) AS n_left,
+        |    CAST(sum(n_right) AS BIGINT) AS n_right,
+        |    CAST(sum(contrib) AS BIGINT) AS contrib
+        |  FROM j
+        |)
+        |SELECT * FROM top UNION ALL SELECT * FROM tot
+        |ORDER BY kind, k""".stripMargin,
+    // q17 twin: the same explicit decorrelation + integer comparison
+    "q17_small_qty" ->
+      """WITH pp AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_li,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(7 AS DOUBLE) AS avg_yearly
+        |FROM lineitem l JOIN pp ON pp.l_partkey = l.l_partkey
+        |WHERE CAST(l.l_quantity AS BIGINT) * 10 * pp.n_li
+        |  < 2 * pp.sum_qty""".stripMargin,
     // triples twin: same downward-closure prune as EXISTS semi-joins
     "basket_triples" ->
       """WITH p0 AS (

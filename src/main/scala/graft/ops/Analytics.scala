@@ -145,6 +145,31 @@ object Analytics {
           .as("conf_b_to_a"))
   }
 
+  /** Small-quantity-order revenue probe (TPC-H Q17 shape): the classic
+    * CORRELATED-AGGREGATE query — sum the revenue of lineitems whose
+    * quantity is below 20% of their part's average quantity — that
+    * separates engines which decorrelate (per-part averages computed
+    * ONCE and joined back) from engines that re-run the subquery per
+    * row. Here the decorrelation is explicit: one partial-agg pass to
+    * per-part (n, Σqty), then a keyed join and the integer-exact
+    * comparison `qty·10·n < 2·Σqty` (both sides BIGINT — quantities
+    * are integral; no float threshold, no division), then one global
+    * aggregate. The avg-threshold division never happens at all.
+    */
+  def q17(lineitem: DataFrame): DataFrame = {
+    val perPart = lineitem
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_li"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+    lineitem
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        col("l_extendedprice"))
+      .join(perPart, "l_partkey")
+      .filter(expr("qty * 10 * n_li < 2 * sum_qty"))
+      .agg(count(lit(1)).as("n_rows"),
+        (exactSum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+  }
+
   /** A-priori frequent 3-itemsets: the level-3 step market-basket
     * mining runs after [[basketRules]]' pairs — triples of items
     * co-purchased in ≥ `minCount` baskets, with the classic downward-

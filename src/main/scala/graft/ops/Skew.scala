@@ -14,6 +14,40 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Pre-flight join-cardinality guard: the EXACT output size of
+    * `left ⋈ right` on an equi-key — Σ_k n_left(k)·n_right(k) — plus
+    * the top contributing keys, computed from key-count tables WITHOUT
+    * running the join (cost = two partial aggs + a key-cardinality
+    * join, never the output size). The dry-run a pipeline runs before
+    * a self-join or enrichment that might explode on a hot key: the
+    * top rows name exactly which keys to salt/cap ([[saltedJoin]] /
+    * the maxBasket-style guards), and the total row is the bill.
+    *
+    * One output frame: `kind = 'key'` rows (top `topK` contributors,
+    * fully ordered) + one `kind = 'total'` row (key NULL). Both
+    * branches aggregate the SAME key-count join subtree inside one
+    * plan, so its exchanges are reused, not recomputed.
+    */
+  def joinCardinality(left: DataFrame, leftKey: String,
+                      right: DataFrame, rightKey: String,
+                      topK: Int = 10): DataFrame = {
+    val la = left.groupBy(col(leftKey).as("k"))
+      .agg(count(lit(1)).as("n_left"))
+    val ra = right.groupBy(col(rightKey).as("k"))
+      .agg(count(lit(1)).as("n_right"))
+    val j = la.join(ra, "k")
+      .withColumn("contrib", col("n_left") * col("n_right"))
+    val top = j.orderBy(desc("contrib"), asc("k")).limit(topK)
+      .select(lit("key").as("kind"), col("k"), col("n_left"),
+        col("n_right"), col("contrib"))
+    val total = j.agg(sum(col("n_left")).as("n_left"),
+      sum(col("n_right")).as("n_right"),
+      sum(col("contrib")).as("contrib"))
+      .select(lit("total").as("kind"), lit(null).cast("long").as("k"),
+        col("n_left"), col("n_right"), col("contrib"))
+    top.unionByName(total)
+  }
+
   /** Inner-join `large` with `small` on `key`, salting the large side.
     * `small` is replicated `salts` times — keep it broadcast-sized or the
     * replication cost outweighs the skew win.

@@ -222,4 +222,16 @@ class AnalyticsSpec extends SparkSpec {
         r.getLong(3)).toMap
     assert(out == Map(("a", "b", "c") -> 2L))
   }
+
+  test("q17 keeps only rows below 20 percent of the part's average qty") {
+    val li = Seq(
+      (1L, 1.0, 100.0),   // part 1: qtys 1, 50, 49 -> avg 100/3; 0.2*avg = 6.67
+      (1L, 50.0, 200.0),  //   qty 1 qualifies (1 < 6.67); 50/49 do not
+      (1L, 49.0, 300.0),
+      (2L, 10.0, 400.0)   // part 2: avg 10, threshold 2 -> nothing
+    ).toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val r = Analytics.q17(li).collect().head
+    assert(r.getAs[Long]("n_rows") == 1L)
+    assert(r.getAs[Double]("avg_yearly") == 100.0 / 7.0)
+  }
 }

@@ -39,4 +39,18 @@ class SkewSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(out.toSeq == Seq((7L, 6L, 10L, 0.6), (8L, 3L, 10L, 0.3)))
   }
+
+  test("joinCardinality predicts the exact join bill with top contributors") {
+    import spark.implicits._
+    val l = Seq(1L, 1L, 1L, 2L, 3L).toDF("k0")     // counts: 1->3, 2->1, 3->1
+    val r = Seq(1L, 1L, 2L, 4L).toDF("k1")          // counts: 1->2, 2->1, 4->1
+    val out = Skew.joinCardinality(l, "k0", r, "k1", topK = 1).collect()
+    val total = out.find(_.getString(0) == "total").get
+    // matched keys: 1 (3*2=6), 2 (1*1=1) -> bill 7
+    assert(total.getLong(4) == 7L)
+    val top = out.find(_.getString(0) == "key").get
+    assert(top.getLong(1) == 1L && top.getLong(4) == 6L)
+    // the bill equals the actual join size
+    assert(l.join(r, $"k0" === $"k1").count() == 7L)
+  }
 }
