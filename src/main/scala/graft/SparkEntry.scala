@@ -1314,6 +1314,10 @@ object SparkEntry {
     // --- TPC-H Q17 shape: correlated avg decorrelated to one join
     "q17_small_qty" -> ((s, dir) =>
       Analytics.q17(rd(s, dir, "lineitem"))),
+    // --- TPC-H Q18 shape: HAVING survivors drive keyed joins back
+    "q18_big_orders" -> ((s, dir) =>
+      Analytics.q18(rd(s, dir, "lineitem"), rd(s, dir, "orders"),
+        rd(s, dir, "customer"))),
     // --- A-priori level 3: frequent triples with downward-closure prune
     "basket_triples" -> ((s, dir) =>
       Analytics.basketTriples(rd(s, dir, "lineitem"), "l_orderkey",
@@ -3279,6 +3283,20 @@ object SparkEntry {
         |)
         |SELECT * FROM top UNION ALL SELECT * FROM tot
         |ORDER BY kind, k""".stripMargin,
+    // q18 twin: same HAVING-then-join shape; deterministic top-k order
+    // reproduced via the same (qty DESC, orderkey) sort + LIMIT
+    "q18_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) >= 250
+        |)
+        |SELECT o.o_custkey AS c_custkey, c.c_name,
+        |  b.l_orderkey AS o_orderkey, b.total_qty, o.o_totalprice
+        |FROM big b
+        |JOIN orders o ON o.o_orderkey = b.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY b.total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
     // q17 twin: the same explicit decorrelation + integer comparison
     "q17_small_qty" ->
       """WITH pp AS (

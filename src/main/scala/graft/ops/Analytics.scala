@@ -170,6 +170,34 @@ object Analytics {
         (exactSum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
   }
 
+  /** Large-volume-order report (TPC-H Q18 shape): the classic
+    * HAVING-subquery pattern — orders whose total lineitem quantity
+    * reaches `minQty`, with the customer attached and the top rows by
+    * volume. The "subquery" is one partial-aggregated groupBy whose
+    * survivors (a tiny fraction) then drive KEYED joins back to orders
+    * and customer — the fact table is touched once for the aggregate
+    * and never again; the global top-k is a TakeOrdered. Quantities
+    * sum as BIGINT (integral in the data model), so the threshold and
+    * ordering are engine-exact.
+    */
+  def q18(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+          minQty: Long = 250L, topK: Int = 100): DataFrame = {
+    val big = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") >= minQty)
+    big
+      .join(orders.select(col("o_orderkey").as("l_orderkey"),
+        col("o_custkey"), col("o_totalprice")), "l_orderkey")
+      .join(customer.select(col("c_custkey").as("o_custkey"),
+        col("c_name")), "o_custkey")
+      .select(col("o_custkey").as("c_custkey"), col("c_name"),
+        col("l_orderkey").as("o_orderkey"), col("total_qty"),
+        col("o_totalprice"))
+      .orderBy(desc("total_qty"), asc("o_orderkey"))
+      .limit(topK)
+  }
+
   /** A-priori frequent 3-itemsets: the level-3 step market-basket
     * mining runs after [[basketRules]]' pairs — triples of items
     * co-purchased in ≥ `minCount` baskets, with the classic downward-

@@ -505,6 +505,38 @@ object EventStreams {
     (kept, streamingNearDup(qualityDocs, numHashes, bands, tau))
   }
 
+  /** Streaming twin of [[graft.ops.Events.ohlcBars]]: per-user daily
+    * OHLC bars as a WATERMARK-EVICTABLE windowed aggregation — the day
+    * bucket is a `window(ts_time, "1 day")` (not a derived groupBy
+    * column, which Spark would keep in state forever; only event-time
+    * windows age out), and every OHLC field is a declarative aggregate
+    * (min/max over (ts, event_id, value) structs for open/close — no
+    * custom state needed), so the bar is incrementally maintained and
+    * finalized by the watermark. Emits the batch operator's exact
+    * schema; the latest Update-mode emission per (user, day) equals
+    * [[graft.ops.Events.ohlcBars]] over everything seen.
+    * Input: (user_id, ts: long microseconds, event_id, value,
+    * ts_time: timestamp carrying the watermark).
+    */
+  def streamingOhlc(events: DataFrame,
+                    watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts_time", watermark)
+      .select(col("user_id"), col("ts"), col("event_id"), col("ts_time"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("v100"))
+      .groupBy(col("user_id"), window(col("ts_time"), "1 day"))
+      .agg(count(lit(1)).as("n_events"),
+        min(struct(col("ts"), col("event_id"), col("v100")))
+          .getField("v100").as("open_c"),
+        max(col("v100")).as("high_c"),
+        min(col("v100")).as("low_c"),
+        max(struct(col("ts"), col("event_id"), col("v100")))
+          .getField("v100").as("close_c"),
+        sum(col("v100")).as("sum_c"))
+      .select(col("user_id"),
+        expr("unix_micros(window.start) div 86400000000").as("day"),
+        col("n_events"), col("open_c"), col("high_c"), col("low_c"),
+        col("close_c"), col("sum_c"))
+
   final case class AttributionCredit(conv_id: Long, touch_type: String,
                                      n_pairs: Long, n_touches: Long,
                                      first_touch_wins: Long,

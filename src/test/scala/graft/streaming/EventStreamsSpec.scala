@@ -772,4 +772,41 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingOhlc latest emissions equal the batch daily bars") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val us = 86400000000L
+    // (user_id, ts us, event_id, value, ts_time); two batches so day-0
+    // bars update incrementally across triggers
+    def row(u: Long, t: Long, e: Long, v: Double) =
+      (u, t, e, v, new Timestamp(t / 1000L))
+    val b1 = Seq(row(1L, 10L, 1L, 1.50), row(1L, 20L, 2L, 3.25))
+    val b2 = Seq(row(1L, 5L, 3L, 0.75),              // new day-0 open
+      row(1L, us + 7L, 4L, 9.00), row(2L, 30L, 5L, 2.00))
+    val mem = MemoryStream[(Long, Long, Long, Double, Timestamp)]
+    val out = EventStreams.streamingOhlc(
+      mem.toDF.toDF("user_id", "ts", "event_id", "value", "ts_time"))
+    val q = out.writeStream.format("memory").queryName("ohlc_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val latest = spark.table("ohlc_test").collect()
+        .groupBy(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day")))
+        .view.mapValues(_.maxBy(_.getAs[Long]("n_events"))).toMap
+      val batch = graft.ops.Events.ohlcBars(
+        (b1 ++ b2).map(t => (t._1, t._2, t._3, t._4))
+          .toDF("user_id", "ts", "event_id", "value")).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day")) -> r)
+        .toMap
+      assert(batch.keySet == latest.keySet)
+      for ((k, b) <- batch; s = latest(k)) {
+        for (c <- Seq("n_events", "open_c", "high_c", "low_c", "close_c",
+          "sum_c"))
+          assert(s.getAs[Long](c) == b.getAs[Long](c), s"$k $c")
+      }
+      // the day-0 open flipped to the late-arriving earlier event
+      assert(latest((1L, 0L)).getAs[Long]("open_c") == 75L)
+    } finally q.stop()
+  }
 }
