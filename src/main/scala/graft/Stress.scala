@@ -425,6 +425,18 @@ object Stress {
       graft.ops.Graph.neighborAgg(wMirror, feats).count()
     }
 
+    time("join_guard") {
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      graft.ops.Skew.joinCardinality(li, "l_partkey", li, "l_partkey")
+        .count()
+    }
+    time("embed_isotropy")(
+      graft.ops.Similarity.isotropyCard(emb).count())
+    time("text_langid_eval") {
+      val labeled = docs.withColumn("lang", lit("en"))
+      graft.ops.TextAnalysis.langIdEval(labeled).count()
+    }
+
     // bulk-load throughput through the partition-parallel sink (the
     // reference's headline metric: rows/s and MiB/s per load phase)
     val nodes = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
