@@ -1318,6 +1318,16 @@ object SparkEntry {
     "q18_big_orders" -> ((s, dir) =>
       Analytics.q18(rd(s, dir, "lineitem"), rd(s, dir, "orders"),
         rd(s, dir, "customer"))),
+    // --- TPC-H Q21 shape: double-correlated EXISTS decorrelated to
+    // per-order supplier aggregates (sole late shipper blame)
+    "q21_blame" -> ((s, dir) =>
+      Analytics.q21(rd(s, dir, "lineitem"), rd(s, dir, "orders"))),
+    // --- train/eval vocabulary coverage card (even/odd doc split)
+    "vocab_overlap" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      TextAnalysis.vocabOverlap(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+    }),
     // --- A-priori level 3: frequent triples with downward-closure prune
     "basket_triples" -> ((s, dir) =>
       Analytics.basketTriples(rd(s, dir, "lineitem"), "l_orderkey",
@@ -3283,6 +3293,61 @@ object SparkEntry {
         |)
         |SELECT * FROM top UNION ALL SELECT * FROM tot
         |ORDER BY kind, k""".stripMargin,
+    // q21 twin: identical decorrelation — per-(order, supplier) any-late
+    // cells, per-order counts, plain-filter blame predicate
+    "q21_blame" ->
+      """WITH cells AS (
+        |  SELECT l.l_orderkey, l.l_suppkey,
+        |    CAST(max(CASE WHEN epoch_us(l.l_shipdate) // 86400000000
+        |      - epoch_us(o.o_orderdate) // 86400000000 > 90
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS supp_late
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1, 2
+        |), per_order AS (
+        |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_supp,
+        |    CAST(sum(supp_late) AS BIGINT) AS n_late
+        |  FROM cells GROUP BY 1
+        |)
+        |SELECT c.l_suppkey, CAST(count(*) AS BIGINT) AS n_blamed_orders
+        |FROM cells c JOIN per_order p ON p.l_orderkey = c.l_orderkey
+        |WHERE c.supp_late = 1 AND p.n_supp >= 2 AND p.n_late = 1
+        |GROUP BY 1 ORDER BY n_blamed_orders DESC, l_suppkey
+        |LIMIT 50""".stripMargin,
+    // vocab-overlap twin: the same vocab sets + occurrence anti-join
+    "vocab_overlap" ->
+      """WITH tr AS (
+        |  SELECT DISTINCT unnest(string_split_regex(trim(lower(text)),
+        |    '\s+')) AS token
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), ev AS (
+        |  SELECT DISTINCT unnest(string_split_regex(trim(lower(text)),
+        |    '\s+')) AS token
+        |  FROM documents WHERE doc_id % 2 = 1
+        |), evt AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |    AS token
+        |  FROM documents WHERE doc_id % 2 = 1
+        |), trv AS (SELECT token FROM tr WHERE token <> ''),
+        |evv AS (SELECT token FROM ev WHERE token <> ''),
+        |evo AS (SELECT token FROM evt WHERE token <> ''),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_train_types FROM trv),
+        |b AS (SELECT CAST(count(*) AS BIGINT) AS n_eval_types FROM evv),
+        |i AS (SELECT CAST(count(*) AS BIGINT) AS n_shared_types
+        |  FROM evv JOIN trv USING (token)),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_eval_tokens FROM evo),
+        |o AS (SELECT CAST(count(*) AS BIGINT) AS n_oov_tokens
+        |  FROM evo WHERE NOT EXISTS (
+        |    SELECT 1 FROM trv WHERE trv.token = evo.token))
+        |SELECT n_train_types, n_eval_types, n_shared_types,
+        |  n_eval_tokens, n_oov_tokens,
+        |  CAST(1000000 * n_shared_types // greatest(1,
+        |    n_train_types + n_eval_types - n_shared_types) AS BIGINT)
+        |    AS type_jaccard_ppm,
+        |  CAST(1000000 * (n_eval_types - n_shared_types)
+        |    // greatest(1, n_eval_types) AS BIGINT) AS oov_type_ppm,
+        |  CAST(1000000 * n_oov_tokens // greatest(1, n_eval_tokens)
+        |    AS BIGINT) AS oov_token_ppm
+        |FROM a CROSS JOIN b CROSS JOIN i CROSS JOIN t CROSS JOIN o""".stripMargin,
     // q18 twin: same HAVING-then-join shape; deterministic top-k order
     // reproduced via the same (qty DESC, orderkey) sort + LIMIT
     "q18_big_orders" ->

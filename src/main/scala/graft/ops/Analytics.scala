@@ -198,6 +198,45 @@ object Analytics {
       .limit(topK)
   }
 
+  /** Sole-late-supplier blame report (TPC-H Q21 shape): suppliers who
+    * were the ONLY late shipper in a multi-supplier order — the classic
+    * DOUBLE-CORRELATED pattern (EXISTS another supplier ∧ NOT EXISTS
+    * another LATE supplier) decorrelated into per-order supplier
+    * aggregates: one pass to per-(order, supplier) any-late cells, one
+    * pass to per-order (n_suppliers, n_late_suppliers), and the blame
+    * predicate becomes a plain filter `n_supp ≥ 2 ∧ n_late = 1 ∧
+    * this supplier late` — no correlated subquery ever executes.
+    * Lateness is integer epoch-day arithmetic (ship − order > lateDays)
+    * — exact in both engines, no interval/calendar semantics. Output:
+    * per-supplier blame counts, top-k with a pinned order.
+    */
+  def q21(lineitem: DataFrame, orders: DataFrame, lateDays: Long = 90L,
+          topK: Int = 50): DataFrame = {
+    // cells feed BOTH the per-order rollup and the blame join — the
+    // reco rule: checkpoint the frame whose re-derivation (join +
+    // groupBy) multiplies past the exchange boundary
+    val cells = lineitem
+      .join(orders.select(col("o_orderkey").as("l_orderkey"),
+        col("o_orderdate")), "l_orderkey")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        when(expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000" +
+          " - unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000") >
+          lateDays, 1L).otherwise(0L).as("late"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("supp_late"))
+      .localCheckpoint()
+    val perOrder = cells.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("supp_late")).as("n_late"))
+    cells
+      .join(perOrder, "l_orderkey")
+      .filter(col("supp_late") === 1L && col("n_supp") >= 2L &&
+        col("n_late") === 1L)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_blamed_orders"))
+      .orderBy(desc("n_blamed_orders"), asc("l_suppkey"))
+      .limit(topK)
+  }
+
   /** A-priori frequent 3-itemsets: the level-3 step market-basket
     * mining runs after [[basketRules]]' pairs — triples of items
     * co-purchased in ≥ `minCount` baskets, with the classic downward-

@@ -108,6 +108,40 @@ object TextAnalysis {
     )
   }
 
+  /** Train/eval vocabulary-overlap card: type Jaccard, OOV type rate,
+    * and OOV TOKEN-OCCURRENCE rate of an eval corpus against a training
+    * corpus — the coverage check before trusting perplexity or any
+    * token-level eval (a 2% OOV-type rate can still be a 20%
+    * OOV-occurrence rate when the misses are frequent terms). All
+    * exact integer ppm. Scale shape: two vocab DISTINCTs (token-keyed
+    * shuffles), one inner + one LEFT ANTI join against the train vocab
+    * (checkpointed — it feeds three branches), and five one-row
+    * aggregates crossed at the close.
+    */
+  def vocabOverlap(trainDocs: DataFrame, evalDocs: DataFrame): DataFrame = {
+    def toks(d: DataFrame) =
+      d.select(explode(tokensCol(lower(col("text")))).as("token"))
+        .filter(length(col("token")) > 0)
+    val va = toks(trainDocs).distinct().localCheckpoint()
+    val vb = toks(evalDocs).distinct()
+    val evalToks = toks(evalDocs)
+    va.agg(count(lit(1)).as("n_train_types"))
+      .crossJoin(vb.agg(count(lit(1)).as("n_eval_types")))
+      .crossJoin(vb.join(va, "token").agg(count(lit(1)).as("n_shared_types")))
+      .crossJoin(evalToks.agg(count(lit(1)).as("n_eval_tokens")))
+      .crossJoin(evalToks.join(va, Seq("token"), "left_anti")
+        .agg(count(lit(1)).as("n_oov_tokens")))
+      .select(col("n_train_types"), col("n_eval_types"),
+        col("n_shared_types"), col("n_eval_tokens"), col("n_oov_tokens"),
+        expr("1000000L * n_shared_types div greatest(1L," +
+          " n_train_types + n_eval_types - n_shared_types)")
+          .as("type_jaccard_ppm"),
+        expr("1000000L * (n_eval_types - n_shared_types)" +
+          " div greatest(1L, n_eval_types)").as("oov_type_ppm"),
+        expr("1000000L * n_oov_tokens div greatest(1L, n_eval_tokens)")
+          .as("oov_token_ppm"))
+  }
+
   /** Language-ID evaluation against the corpus's labeled `lang` column:
     * the confusion matrix (truth × prediction counts) plus per-truth
     * recall in exact ppm — the eval card that turns [[langId]] from a

@@ -537,6 +537,34 @@ object EventStreams {
         col("n_events"), col("open_c"), col("high_c"), col("low_c"),
         col("close_c"), col("sum_c"))
 
+  /** Stream-STREAM interval join — the Structured Streaming capability
+    * the rest of this module's single-input stateful ops don't
+    * exercise: impressions and clicks arrive as two live streams and
+    * pair on user within `[imp_time, imp_time + horizon]`. Spark
+    * retains each side's rows in state only until the other side's
+    * watermark passes the join-condition horizon (both watermarks are
+    * REQUIRED for state cleanup on an inner time-bound join), so state
+    * is bounded by horizon × arrival rate per side, never stream
+    * length. Emits one row per (impression, in-window click) with the
+    * exact microsecond lag — the matched pairs a downstream
+    * attribution/labeling stage consumes. Inputs:
+    * impressions (imp_id, user_id, imp_us, imp_time),
+    * clicks (click_id, user_id, click_us, click_time).
+    */
+  def streamingClickMatch(impressions: DataFrame, clicks: DataFrame,
+                          horizon: String = "30 minutes",
+                          watermark: String = "10 minutes"): DataFrame = {
+    val imp = impressions.withWatermark("imp_time", watermark)
+    val clk = clicks.withColumnRenamed("user_id", "click_user")
+      .withWatermark("click_time", watermark)
+    imp.join(clk,
+      expr(s"""click_user = user_id AND
+               click_time >= imp_time AND
+               click_time <= imp_time + INTERVAL $horizon"""))
+      .select(col("user_id"), col("imp_id"), col("click_id"),
+        (col("click_us") - col("imp_us")).as("lag_us"))
+  }
+
   final case class AttributionCredit(conv_id: Long, touch_type: String,
                                      n_pairs: Long, n_touches: Long,
                                      first_touch_wins: Long,

@@ -27,6 +27,7 @@ class QueryPlanSpec extends SparkSpec {
       "corpus_zipf", // one-row slope aggregate onto ~log2(vocab) rows
       "graph_degree_dist", // one-row slope onto ~log2(maxdeg) bucket rows
       "embed_isotropy", // three one-row aggregates crossed (1x1x1)
+      "vocab_overlap",  // five one-row aggregates crossed at the close
       "graph_modularity", // one-row edge total onto the community frame
       "embed_align", // exact pair mining broadcasts the bounded tgt set
                      // (ANN candidates replace the cross at scale)

@@ -234,4 +234,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_rows") == 1L)
     assert(r.getAs[Double]("avg_yearly") == 100.0 / 7.0)
   }
+
+  test("q21 blames only the sole late supplier of multi-supplier orders") {
+    import org.apache.spark.sql.functions._
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2026-01-${d + 1}%02d 00:00:00")
+    def t2(d: Int) = java.sql.Timestamp.valueOf(f"2026-07-${d + 1}%02d 00:00:00")
+    // order 1: supp 10 late, supp 20 on time -> blame 10
+    // order 2: supps 10 and 20 BOTH late -> nobody blamed
+    // order 3: single supplier late -> not blamed (no co-suppliers)
+    val li = Seq(
+      (1L, 10L, t2(0)), (1L, 20L, t(2)),
+      (2L, 10L, t2(0)), (2L, 20L, t2(0)),
+      (3L, 10L, t2(0)))
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val o = Seq((1L, t(0)), (2L, t(0)), (3L, t(0)))
+      .toDF("o_orderkey", "o_orderdate")
+    val out = Analytics.q21(li, o).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(10L -> 1L))
+  }
 }

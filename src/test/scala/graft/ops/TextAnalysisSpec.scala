@@ -746,4 +746,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(("de", "de")) == ((1L, 1L, 1000000L)))
     assert(out(("es", "es")) == ((1L, 1L, 1000000L)))
   }
+
+  test("vocabOverlap: type jaccard and occurrence-weighted OOV rates") {
+    val train = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val eval0 = Seq((2L, "a a a zz b")).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabOverlap(train, eval0).collect().head
+    assert(r.getAs[Long]("n_train_types") == 4L)
+    assert(r.getAs[Long]("n_eval_types") == 3L)  // a, zz, b
+    assert(r.getAs[Long]("n_shared_types") == 2L)
+    assert(r.getAs[Long]("n_eval_tokens") == 5L)
+    assert(r.getAs[Long]("n_oov_tokens") == 1L)  // the single zz
+    assert(r.getAs[Long]("type_jaccard_ppm") == 1000000L * 2L / 5L)
+    assert(r.getAs[Long]("oov_type_ppm") == 333333L)
+    assert(r.getAs[Long]("oov_token_ppm") == 200000L)
+  }
 }

@@ -809,4 +809,33 @@ class EventStreamsSpec extends SparkSpec {
       assert(latest((1L, 0L)).getAs[Long]("open_c") == 75L)
     } finally q.stop()
   }
+
+  test("streamingClickMatch pairs streams within the horizon only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    def us(m: Int) = ts(m).getTime * 1000L
+    val imps = MemoryStream[(Long, Long, Long, Timestamp)]
+    val clks = MemoryStream[(Long, Long, Long, Timestamp)]
+    val out = EventStreams.streamingClickMatch(
+      imps.toDF.toDF("imp_id", "user_id", "imp_us", "imp_time"),
+      clks.toDF.toDF("click_id", "user_id", "click_us", "click_time"))
+    val q = out.writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: impressions only — nothing can match yet
+      imps.addData((1L, 7L, us(0), ts(0)), (2L, 8L, us(5), ts(5)))
+      q.processAllAvailable()
+      assert(spark.table("ssjoin_test").count() == 0)
+      // batch 2: clicks — user 7 in-window, user 8 beyond 30 min,
+      // user 9 has no impression
+      clks.addData((10L, 7L, us(20), ts(20)), (11L, 8L, us(40), ts(40)),
+        (12L, 9L, us(1), ts(1)))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq == Seq((7L, 1L, 10L, 20L * 60L * 1000000L)),
+        s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
 }
