@@ -1322,6 +1322,15 @@ object SparkEntry {
     // per-order supplier aggregates (sole late shipper blame)
     "q21_blame" -> ((s, dir) =>
       Analytics.q21(rd(s, dir, "lineitem"), rd(s, dir, "orders"))),
+    // --- TPC-H Q13 shape: pre-aggregated fact side, outer join, double agg
+    "q13_custdist" -> ((s, dir) =>
+      Analytics.q13(rd(s, dir, "customer"), rd(s, dir, "orders"))),
+    // --- TPC-H Q22 shape: one-row scalar-avg broadcast + keyed anti join
+    "q22_idle" -> ((s, dir) =>
+      Analytics.q22(rd(s, dir, "customer"), rd(s, dir, "orders"))),
+    // --- TPC-H Q15 shape: exact-integer revenue view + scalar MAX equi-join
+    "q15_top_supplier" -> ((s, dir) =>
+      Analytics.q15(rd(s, dir, "lineitem"), rd(s, dir, "supplier"))),
     // --- train/eval vocabulary coverage card (even/odd doc split)
     "vocab_overlap" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
@@ -3313,6 +3322,59 @@ object SparkEntry {
         |WHERE c.supp_late = 1 AND p.n_supp >= 2 AND p.n_late = 1
         |GROUP BY 1 ORDER BY n_blamed_orders DESC, l_suppkey
         |LIMIT 50""".stripMargin,
+    // q13 twin: same decorrelated form — per-customer counts first,
+    // then the outer join and the distribution rollup
+    "q13_custdist" ->
+      """WITH per AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders WHERE o_orderpriority <> '1-URGENT' GROUP BY 1
+        |)
+        |SELECT CAST(COALESCE(p.n_orders, 0) AS BIGINT) AS c_count,
+        |  CAST(count(*) AS BIGINT) AS custdist
+        |FROM customer c LEFT JOIN per p ON p.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // q22 twin: integer cross-multiply vs the one-row positive-balance
+    // moments; NOT EXISTS on the recent-order set
+    "q22_idle" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c
+        |  FROM customer
+        |), g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pos,
+        |    CAST(sum(bal_c) AS BIGINT) AS sum_pos
+        |  FROM c WHERE bal_c > 0
+        |), recent AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE epoch_us(o_orderdate) // 86400000000 >=
+        |    epoch_us(TIMESTAMP '2001-01-01') // 86400000000
+        |)
+        |SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(c.bal_c) AS BIGINT) AS total_bal_c
+        |FROM c CROSS JOIN g
+        |WHERE c.bal_c * g.n_pos > g.sum_pos
+        |  AND NOT EXISTS (SELECT 1 FROM recent r
+        |    WHERE r.o_custkey = c.c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q15 twin: identical exact-e4 revenue view, scalar MAX subquery
+    "q15_top_supplier" ->
+      """WITH per AS MATERIALIZED (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |        AS BIGINT)
+        |      * (100 - CAST(CAST(l_discount AS DECIMAL(9,2)) * 100
+        |        AS BIGINT))) AS BIGINT) AS total_rev_e4
+        |  FROM lineitem
+        |  WHERE epoch_us(l_shipdate) // 86400000000 >=
+        |      epoch_us(TIMESTAMP '1996-01-01') // 86400000000
+        |    AND epoch_us(l_shipdate) // 86400000000 <
+        |      epoch_us(TIMESTAMP '1996-04-01') // 86400000000
+        |  GROUP BY 1
+        |)
+        |SELECT s.s_suppkey, s.s_name, p.total_rev_e4
+        |FROM per p JOIN supplier s ON s.s_suppkey = p.l_suppkey
+        |WHERE p.total_rev_e4 = (SELECT max(total_rev_e4) FROM per)
+        |ORDER BY s_suppkey""".stripMargin,
     // vocab-overlap twin: the same vocab sets + occurrence anti-join
     "vocab_overlap" ->
       """WITH tr AS (

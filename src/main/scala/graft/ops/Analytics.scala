@@ -529,6 +529,94 @@ object Analytics {
           .as("revenue"))
   }
 
+  /** Customer order-count distribution (TPC-H Q13 shape): how many
+    * customers placed 0, 1, 2, … orders — the classic LEFT-OUTER-JOIN +
+    * double-aggregation query. The textbook form joins |customer| ×
+    * |orders| rows wide and counts after; here the fact side is
+    * pre-aggregated to per-customer counts FIRST (one partial-agg
+    * shuffle on `o_custkey`), so the outer join moves |customers| count
+    * rows instead of |orders| order rows — at 100 TB that is the whole
+    * query. Zero-order customers fall out of the LEFT join's null via
+    * `coalesce(0)`; the final distribution groupBy runs over at most
+    * max-orders-per-customer distinct keys.
+    */
+  def q13(customer: DataFrame, orders: DataFrame,
+          excludePriority: String = "1-URGENT"): DataFrame = {
+    val perCust = orders
+      .filter(col("o_orderpriority") =!= excludePriority)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    customer.select(col("c_custkey").as("o_custkey"))
+      .join(perCust, Seq("o_custkey"), "left")
+      .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  /** Idle high-balance customers by nation (TPC-H Q22 shape): customers
+    * whose balance exceeds the global average of positive balances AND
+    * who placed no order since `idleSince` — the classic scalar-subquery
+    * + NOT-EXISTS pair. The scalar subquery decorrelates to a ONE-ROW
+    * (n_pos, Σbal) aggregate broadcast onto the customer scan, and the
+    * threshold is the integer cross-multiply `bal·n > Σbal` (balances in
+    * exact cents — no float average, no division; bal ≤ 10^6 cents ×
+    * n ≤ 10^12 customers stays inside BIGINT). NOT EXISTS is a LEFT ANTI
+    * join keyed on custkey, with the date predicate pushed INTO the anti
+    * side's scan — at scale the orders side filters then pre-shuffles on
+    * its join key and nothing is ever re-scanned per customer.
+    */
+  def q22(customer: DataFrame, orders: DataFrame,
+          idleSince: String = "2001-01-01"): DataFrame = {
+    val cut = java.time.LocalDate.parse(idleSince).toEpochDay
+    val recent = orders
+      .filter(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))" +
+        " div 86400000000") >= lit(cut))
+      .select(col("o_custkey").as("c_custkey"))
+    val c = customer.select(col("c_custkey"), col("c_nationkey"),
+      (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("bal_c"))
+    // bounded: one-row global positive-balance moments
+    val glob = c.filter(col("bal_c") > 0)
+      .agg(count(lit(1)).as("n_pos"), sum(col("bal_c")).as("sum_pos"))
+    c.crossJoin(broadcast(glob))
+      .filter(col("bal_c") * col("n_pos") > col("sum_pos"))
+      .join(recent, Seq("c_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("bal_c")).as("total_bal_c"))
+      .orderBy("c_nationkey")
+  }
+
+  /** Top-revenue supplier (TPC-H Q15 shape): the supplier(s) whose
+    * revenue over a shipping quarter equals the global maximum — the
+    * classic view + scalar-MAX-subquery query. Revenue is exact integer
+    * e4 units (`cents(extendedprice) · (100 − cents(discount))` — both
+    * factors exact by the decimal-cents recipe), so the MAX-equality
+    * predicate is portable integer comparison, never float. The
+    * per-supplier rollup is one partial-aggregated shuffle; its one-row
+    * MAX broadcasts back as an equi-join on the revenue value (a
+    * broadcast hash join, not a nested loop), and the aggregated frame
+    * feeds both sides → `localCheckpoint` (the reuses-exchanges rule).
+    * Date bounds are integer epoch-day arithmetic on the scan.
+    */
+  def q15(lineitem: DataFrame, supplier: DataFrame,
+          dayLo: String = "1996-01-01", dayHi: String = "1996-04-01"): DataFrame = {
+    val epDay = expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000")
+    val lo = java.time.LocalDate.parse(dayLo).toEpochDay
+    val hi = java.time.LocalDate.parse(dayHi).toEpochDay
+    val rev = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long") *
+      (lit(100L) - (col("l_discount").cast("decimal(9,2)") * 100).cast("long"))
+    val per = lineitem
+      .filter(epDay >= lit(lo) && epDay < lit(hi))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(rev).as("total_rev_e4"))
+      .localCheckpoint()
+    val mx = per.agg(max(col("total_rev_e4")).as("mx"))
+    per.join(broadcast(mx), col("total_rev_e4") === col("mx")).drop("mx")
+      .join(broadcast(supplier.select(col("s_suppkey").as("l_suppkey"),
+        col("s_name"))), "l_suppkey")
+      .select(col("l_suppkey").as("s_suppkey"), col("s_name"),
+        col("total_rev_e4"))
+      .orderBy("s_suppkey")
+  }
+
   /** Exact-moment Pearson correlation matrix over a set of numeric
     * columns — the feature-drift / feature-redundancy card a training
     * pipeline runs over every tabular snapshot. One scan computes every

@@ -38,6 +38,7 @@ class QueryPlanSpec extends SparkSpec {
       // the constant-key equi-join is folded back to a BNLJ by constant
       // propagation, but the broadcast side is set-count-sized
       "events_audience_overlap",
+      "q22_idle",  // one-row positive-balance moments onto the customer scan
       "mix_rates",  // one-row scale aggregate crossed onto |sources| rows
       "mix_temperature", // same one-row scale-election broadcast
       "text_bm25", // one-row (corpus_len, n_docs) total crossed onto the
