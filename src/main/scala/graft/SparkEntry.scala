@@ -1331,6 +1331,16 @@ object SparkEntry {
     // --- TPC-H Q15 shape: exact-integer revenue view + scalar MAX equi-join
     "q15_top_supplier" -> ((s, dir) =>
       Analytics.q15(rd(s, dir, "lineitem"), rd(s, dir, "supplier"))),
+    // --- interval-stacking peak concurrency (capacity-planning sweep)
+    "events_concurrency" -> ((s, dir) =>
+      Events.peakConcurrency(rdEvents(s, dir))),
+    // --- Benford first-digit audit over order totals
+    "dq_benford" -> ((s, dir) =>
+      Quality.benford(rd(s, dir, "orders"), "o_totalprice")),
+    // --- positional phrase search: exact consecutive-token lookup
+    "search_phrase" -> ((s, dir) =>
+      TextAnalysis.phraseSearch(rd(s, dir, "documents"),
+        Seq("table", "hash"))),
     // --- train/eval vocabulary coverage card (even/odd doc split)
     "vocab_overlap" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
@@ -3322,6 +3332,79 @@ object SparkEntry {
         |WHERE c.supp_late = 1 AND p.n_supp >= 2 AND p.n_late = 1
         |GROUP BY 1 ORDER BY n_blamed_orders DESC, l_suppkey
         |LIMIT 50""".stripMargin,
+    // concurrency twin: identical +1/−1 boundary sweep with the same
+    // pinned unique ordering and explicit ROWS frame
+    "events_concurrency" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(min(epoch_us(ts)) AS BIGINT) AS s,
+        |    CAST(max(epoch_us(ts)) AS BIGINT) AS e
+        |  FROM events GROUP BY 1, 2
+        |), b AS (
+        |  SELECT day, s AS t, CAST(1 AS BIGINT) AS delta, user_id FROM iv
+        |  UNION ALL
+        |  SELECT day, e + 1 AS t, CAST(-1 AS BIGINT) AS delta, user_id
+        |  FROM iv
+        |), r AS (
+        |  SELECT day, t,
+        |    sum(delta) OVER (PARTITION BY day
+        |      ORDER BY t ASC, delta DESC, user_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        |  FROM b
+        |), p AS (
+        |  SELECT day, t, running,
+        |    max(running) OVER (PARTITION BY day) AS peak
+        |  FROM r
+        |)
+        |SELECT CAST(day AS BIGINT) AS day,
+        |  CAST(max(peak) AS BIGINT) AS peak_concurrent,
+        |  CAST(min(t) AS BIGINT) AS peak_at_us
+        |FROM p WHERE running = peak GROUP BY 1 ORDER BY 1""".stripMargin,
+    // benford twin: same cents integerization, first-digit ladder, and
+    // ppm integer shares; expected ppm from the shared integer constants
+    "dq_benford" -> {
+      val ladder = (1 to 16).map { k =>
+        val b = math.pow(10, k).toLong
+        s"WHEN cents < $b THEN cents // ${b / 10}"
+      }.mkString("CASE ", " ", " END")
+      val expCase = graft.ops.Quality.benfordPpm.zipWithIndex
+        .map { case (p, i) => s"WHEN ${i + 1} THEN $p" }
+        .mkString("CASE digit ", " ", " END")
+      s"""WITH v AS (
+         |  SELECT abs(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |    AS BIGINT)) AS cents
+         |  FROM orders
+         |), d AS (
+         |  SELECT $ladder AS digit FROM v WHERE cents > 0
+         |), g AS (
+         |  SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY 1
+         |), t AS (
+         |  SELECT digit, n_obs,
+         |    CAST(sum(n_obs) OVER () AS BIGINT) AS total
+         |  FROM g
+         |)
+         |SELECT CAST(digit AS BIGINT) AS digit, n_obs,
+         |  CAST(1000000 * n_obs // total AS BIGINT) AS obs_ppm,
+         |  CAST($expCase AS BIGINT) AS exp_ppm,
+         |  CAST(1000000 * n_obs // total - $expCase AS BIGINT) AS dev_ppm
+         |FROM t ORDER BY digit""".stripMargin
+    },
+    // phrase twin: 1-indexed positions via the correlated UNNEST(range)
+    // recipe; adjacency as position arithmetic on the join
+    "search_phrase" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS a
+        |  FROM documents
+        |), pos AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, a[i] AS tok
+        |  FROM toks, UNNEST(range(1, len(a) + 1)) AS u(i)
+        |  WHERE a[i] IN ('table', 'hash')
+        |)
+        |SELECT x.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+        |FROM pos x JOIN pos y
+        |  ON y.doc_id = x.doc_id AND y.pos = x.pos + 1
+        |WHERE x.tok = 'table' AND y.tok = 'hash'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q13 twin: same decorrelated form — per-customer counts first,
     // then the outer join and the distribution rollup
     "q13_custdist" ->

@@ -1300,4 +1300,47 @@ object Events {
                 div (CAST(type_total AS DECIMAL(38,0)) * dow_total)
                 AS BIGINT)""").as("lift_ppm"))
   }
+
+  /** Peak concurrency per day — the interval-stacking sweep behind
+    * capacity planning and concurrent-session licensing: each user's
+    * activity interval for a day is [first event, last event]; the peak
+    * is the classic +1/−1 boundary walk. Input: events with `ts` in
+    * NANOSECOND longs (the rdEvents contract).
+    *
+    * Determinism: the sweep orders by the UNIQUE tuple (t, delta DESC,
+    * user_id) — starts sort before ends at the same microsecond, ends
+    * are pushed one µs past the last event (a user active at exactly t
+    * still counts at t), and the explicit ROWS frame keeps both engines
+    * off RANGE tie-peering. Peak time reported is the EARLIEST instant
+    * attaining the peak.
+    *
+    * Scale shape: one partial-aggregated groupBy to per-(user, day)
+    * intervals, a 2× boundary fan-out, then BOTH windows and the final
+    * rollup partition on `day` — one exchange carries the sweep, the
+    * peak election, and the close (the twap shared-partitioning rule).
+    * Per-day state is bounded by daily active users, never corpus size.
+    */
+  def peakConcurrency(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = events
+      .select(col("user_id"), expr("ts div 1000").as("us"))
+      .withColumn("day", expr("us div 86400000000"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(min(col("us")).as("s"), max(col("us")).as("e"))
+    val bounds = iv.select(col("day"), col("s").as("t"),
+        lit(1L).as("delta"), col("user_id"))
+      .unionByName(iv.select(col("day"), (col("e") + 1).as("t"),
+        lit(-1L).as("delta"), col("user_id")))
+    val sweep = Window.partitionBy("day")
+      .orderBy(col("t").asc, col("delta").desc, col("user_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds
+      .withColumn("running", sum(col("delta")).over(sweep))
+      .withColumn("peak", max(col("running")).over(Window.partitionBy("day")))
+      .filter(col("running") === col("peak"))
+      .groupBy(col("day"))
+      .agg(max(col("peak")).as("peak_concurrent"),
+        min(col("t")).as("peak_at_us"))
+      .orderBy("day")
+  }
 }

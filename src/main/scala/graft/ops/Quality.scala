@@ -189,4 +189,52 @@ object Quality {
       .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_values"),
         min(col("v")).as("v_min"), max(col("v")).as("v_max"))
       .filter(col("n_values") > 1)
+
+  /** Benford's-law first-digit ppm values, floor(log10(1+1/d)·10^6) for
+    * d = 1…9 — integer constants shared verbatim with the oracle twin
+    * (computed once; never a runtime libm call in either engine).
+    */
+  val benfordPpm: Seq[Long] =
+    Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L, 57991L, 51152L,
+      45757L)
+
+  /** Benford first-digit audit — the fraud/synthetic-data smoke test run
+    * over every monetary or count column before trusting a new drop:
+    * observed first-significant-digit shares vs the Benford expectation,
+    * per digit, in exact ppm. The value is integerized to cents FIRST
+    * (the decimal-cents recipe), then the first digit falls out of a
+    * constant CASE ladder over the magnitude (`v < 10 → v, v < 100 →
+    * v div 10, …` — no log10, no float formatting, portable to any
+    * engine); zero/NULL cents are excluded (they have no significant
+    * digit). One partial-aggregated groupBy on a NINE-key domain, then
+    * the share window runs over ≤ 9 rows — bounded at any corpus size.
+    * Expected shares are the [[benfordPpm]] integer literals; the
+    * deviation column is a plain integer difference.
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = abs((col(valueCol).cast("decimal(18,2)") * 100)
+      .cast("long"))
+    // first-digit CASE ladder: price columns are bounded by 10^16 cents;
+    // each rung is an exact integer division
+    val ladder = (1 to 16).map { k =>
+      val b = math.pow(10, k).toLong
+      s"WHEN cents < ${b}L THEN cents div ${b / 10}L"
+    }.mkString("CASE ", " ", " END")
+    val exp = benfordPpm.zipWithIndex.tail.foldLeft(
+      when(col("digit") === 1, lit(benfordPpm.head))) {
+      case (acc, (p, i)) => acc.when(col("digit") === (i + 1), lit(p))
+    }
+    df.select(cents.as("cents")).filter(col("cents") > 0)
+      .withColumn("digit", expr(ladder))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      // bounded: the window runs over at most 9 aggregated rows
+      .withColumn("total", sum(col("n_obs")).over(Window.partitionBy()))
+      .withColumn("obs_ppm", expr("1000000L * n_obs div total"))
+      .withColumn("exp_ppm", exp)
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .select(col("digit"), col("n_obs"), col("obs_ppm"), col("exp_ppm"),
+        col("dev_ppm"))
+      .orderBy("digit")
+  }
 }

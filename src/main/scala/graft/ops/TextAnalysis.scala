@@ -1703,4 +1703,41 @@ object TextAnalysis {
         max(col("freq")).as("max_freq"), min(col("freq")).as("min_freq"))
       .crossJoin(broadcast(slope))
   }
+
+  /** Positional phrase search — exact n-gram lookup over a positional
+    * inverted index (the retrieval primitive tf-idf/BM25 bag-of-words
+    * scoring cannot express): documents containing the query tokens at
+    * CONSECUTIVE positions, with occurrence counts. Tokenization is the
+    * corpus-standard lowercase whitespace split, positions 1-indexed.
+    *
+    * Scale shape: the posting stream is filtered to the query's own
+    * tokens BEFORE any shuffle (for a k-term phrase the selectivity is
+    * that of its rarest term), then checkpointed ONCE — each additional
+    * phrase term is an equi-join on (doc, aligned position) against that
+    * bounded slice, never a re-tokenization of the corpus (the
+    * reuses-exchanges rule: k references otherwise re-derive the
+    * explode k times). Adjacency is position arithmetic on the join key
+    * — no windows, no per-doc state.
+    */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String],
+                   textCol: String = "text"): DataFrame = {
+    require(phrase.size >= 2, "phrase needs at least two tokens")
+    val pos = docs
+      .select(col("doc_id"),
+        posexplode(split(trim(lower(col(textCol))), "\\s+"))
+          .as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("tok"))
+      .filter(col("tok").isin(phrase.distinct: _*))
+      .localCheckpoint()
+    val base = pos.filter(col("tok") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    phrase.tail.zipWithIndex.foldLeft(base) { case (acc, (w, i)) =>
+      acc.join(pos.filter(col("tok") === w)
+        .select(col("doc_id"), (col("pos") - (i + 1)).as("pos")),
+        Seq("doc_id", "pos"))
+    }
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
+      .orderBy("doc_id")
+  }
 }
