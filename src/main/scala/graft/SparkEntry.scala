@@ -1331,6 +1331,26 @@ object SparkEntry {
     // --- TPC-H Q15 shape: exact-integer revenue view + scalar MAX equi-join
     "q15_top_supplier" -> ((s, dir) =>
       Analytics.q15(rd(s, dir, "lineitem"), rd(s, dir, "supplier"))),
+    // --- TPC-H Q14 shape: conditional-aggregation promo share
+    "q14_promo" -> ((s, dir) =>
+      Analytics.q14(rd(s, dir, "lineitem"), rd(s, dir, "part"))),
+    // --- TPC-H Q10 shape: returned-item top-k with scan-side filters
+    "q10_returns" -> ((s, dir) =>
+      Analytics.q10(rd(s, dir, "customer"), rd(s, dir, "orders"),
+        rd(s, dir, "lineitem"), rd(s, dir, "nation"))),
+    // --- TPC-H Q19 shape: OR-of-ANDs with explicit scan envelope
+    "q19_disjunctive" -> ((s, dir) =>
+      Analytics.q19(rd(s, dir, "lineitem"), rd(s, dir, "part"))),
+    // --- TPC-H Q7 shape: bilateral nation volume, pre-filtered dims
+    "q7_volume" -> ((s, dir) =>
+      Analytics.q7(rd(s, dir, "lineitem"), rd(s, dir, "orders"),
+        rd(s, dir, "customer"), rd(s, dir, "supplier"),
+        rd(s, dir, "nation"))),
+    // --- TPC-H Q8 shape: share-of-group via one conditional agg
+    "q8_share" -> ((s, dir) =>
+      Analytics.q8(rd(s, dir, "lineitem"), rd(s, dir, "orders"),
+        rd(s, dir, "customer"), rd(s, dir, "supplier"),
+        rd(s, dir, "nation"), rd(s, dir, "region"), rd(s, dir, "part"))),
     // --- interval-stacking peak concurrency (capacity-planning sweep)
     "events_concurrency" -> ((s, dir) =>
       Events.peakConcurrency(rdEvents(s, dir))),
@@ -3458,6 +3478,123 @@ object SparkEntry {
         |FROM per p JOIN supplier s ON s.s_suppkey = p.l_suppkey
         |WHERE p.total_rev_e4 = (SELECT max(total_rev_e4) FROM per)
         |ORDER BY s_suppkey""".stripMargin,
+    // q14 twin: same one-pass conditional aggregation + exact ppm share
+    "q14_promo" ->
+      """WITH l AS (
+        |  SELECT l_partkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      * (100 - CAST(CAST(l_discount AS DECIMAL(9,2)) * 100
+        |        AS BIGINT)) AS rev
+        |  FROM lineitem
+        |  WHERE epoch_us(l_shipdate) // 86400000000 >=
+        |      epoch_us(TIMESTAMP '1996-03-01') // 86400000000
+        |    AND epoch_us(l_shipdate) // 86400000000 <
+        |      epoch_us(TIMESTAMP '1996-04-01') // 86400000000
+        |)
+        |SELECT
+        |  CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN l.rev ELSE 0 END)
+        |    AS BIGINT) AS promo_rev_e4,
+        |  CAST(sum(l.rev) AS BIGINT) AS total_rev_e4,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(1000000 * sum(CASE WHEN p.p_type = 'PROMO' THEN l.rev
+        |    ELSE 0 END) // sum(l.rev) AS BIGINT) AS promo_ppm
+        |FROM l JOIN part p ON p.p_partkey = l.l_partkey""".stripMargin,
+    // q10 twin: identical scan-side filters, dims joined after the
+    // orderkey join, deterministic top-k tie-break
+    "q10_returns" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey FROM orders
+        |  WHERE epoch_us(o_orderdate) // 86400000000 >=
+        |      epoch_us(TIMESTAMP '1996-01-01') // 86400000000
+        |    AND epoch_us(o_orderdate) // 86400000000 <
+        |      epoch_us(TIMESTAMP '1996-04-01') // 86400000000
+        |)
+        |SELECT c.c_custkey, c.c_name, n.n_name,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)
+        |    * (100 - CAST(CAST(l_discount AS DECIMAL(9,2)) * 100
+        |      AS BIGINT))) AS BIGINT) AS lost_rev_e4,
+        |  CAST(count(*) AS BIGINT) AS n_returns
+        |FROM lineitem l
+        |JOIN o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY lost_rev_e4 DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    // q19 twin: the raw OR-of-ANDs — the envelope the Spark side pushes
+    // is semantically implied, so both forms agree
+    "q19_disjunctive" ->
+      """SELECT
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)
+        |    * (100 - CAST(CAST(l_discount AS DECIMAL(9,2)) * 100
+        |      AS BIGINT))) AS BIGINT) AS revenue_e4,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+        |    AND l.l_quantity BETWEEN 1 AND 11)
+        |  OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+        |    AND l.l_quantity BETWEEN 10 AND 20)
+        |  OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+        |    AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    // q7 twin: nation-filtered dim CTEs, the same direction disjunction
+    "q7_volume" ->
+      """WITH supp AS (
+        |  SELECT s_suppkey, n_name AS supp_nation
+        |  FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |  WHERE n.n_name IN ('NATION_1', 'NATION_2')
+        |), cust AS (
+        |  SELECT c_custkey, n_name AS cust_nation
+        |  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  WHERE n.n_name IN ('NATION_1', 'NATION_2')
+        |)
+        |SELECT supp.supp_nation, cust.cust_nation,
+        |  CAST(year(CAST(l.l_shipdate AS TIMESTAMP)) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)
+        |    * (100 - CAST(CAST(l_discount AS DECIMAL(9,2)) * 100
+        |      AS BIGINT))) AS BIGINT) AS revenue_e4,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem l
+        |JOIN supp ON supp.s_suppkey = l.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN cust ON cust.c_custkey = o.o_custkey
+        |WHERE supp.supp_nation <> cust.cust_nation
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // q8 twin: one conditional aggregation over the star, exact ppm
+    "q8_share" ->
+      """WITH pt AS (
+        |  SELECT p_partkey FROM part WHERE p_type = 'PROMO'
+        |), supp AS (
+        |  SELECT s_suppkey, n_name AS supp_nation
+        |  FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |), cust AS (
+        |  SELECT c_custkey
+        |  FROM customer c
+        |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  JOIN region r ON r.r_regionkey = n.n_regionkey
+        |  WHERE r.r_name = 'EUROPE'
+        |), j AS (
+        |  SELECT year(CAST(o.o_orderdate AS TIMESTAMP)) AS o_year,
+        |    supp.supp_nation,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      * (100 - CAST(CAST(l_discount AS DECIMAL(9,2)) * 100
+        |        AS BIGINT)) AS rev
+        |  FROM lineitem l
+        |  JOIN pt ON pt.p_partkey = l.l_partkey
+        |  JOIN supp ON supp.s_suppkey = l.l_suppkey
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN cust ON cust.c_custkey = o.o_custkey
+        |)
+        |SELECT CAST(o_year AS BIGINT) AS o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END)
+        |    AS BIGINT) AS nation_rev_e4,
+        |  CAST(sum(rev) AS BIGINT) AS total_rev_e4,
+        |  CAST(1000000 * sum(CASE WHEN supp_nation = 'NATION_3' THEN rev
+        |    ELSE 0 END) // sum(rev) AS BIGINT) AS share_ppm
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // vocab-overlap twin: the same vocab sets + occurrence anti-join
     "vocab_overlap" ->
       """WITH tr AS (

@@ -662,4 +662,171 @@ object Analytics {
       .select(col("pr.col_x").as("col_x"), col("pr.col_y").as("col_y"),
         col("n"), col("pr.corr").as("corr"))
   }
+
+  /** Exact integer e4 revenue: cents(extendedprice) · (100 − cents(disc))
+    * — both factors exact by the decimal-cents recipe, so any sum of it
+    * is order-free and engine-portable (the q15 recipe, shared here by
+    * the q7/q8/q10/q14/q19 probes).
+    */
+  private def revE4: Column =
+    (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long") *
+      (lit(100L) - (col("l_discount").cast("decimal(9,2)") * 100).cast("long"))
+
+  private def shipEpochDay: Column =
+    expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000")
+
+  /** Promotion revenue share (TPC-H Q14 shape): the conditional-
+    * aggregation probe — one pass computes promo and total revenue with
+    * `sum(CASE WHEN …)`, never two scans or a self-join. The part dim
+    * carries only (key, is_promo boolean) into the broadcast, and the
+    * share is an exact integer ppm division over the e4 revenues. The
+    * month bound is epoch-day arithmetic on the lineitem scan; at 100 TB
+    * that partition-prunes a date-laid-out lake before the join.
+    */
+  def q14(lineitem: DataFrame, part: DataFrame,
+          dayLo: String = "1996-03-01", dayHi: String = "1996-04-01"): DataFrame = {
+    val lo = java.time.LocalDate.parse(dayLo).toEpochDay
+    val hi = java.time.LocalDate.parse(dayHi).toEpochDay
+    lineitem
+      .filter(shipEpochDay >= lit(lo) && shipEpochDay < lit(hi))
+      .join(broadcast(part.select(col("p_partkey").as("l_partkey"),
+        (col("p_type") === "PROMO").as("is_promo"))), Seq("l_partkey"))
+      .agg(
+        sum(when(col("is_promo"), revE4).otherwise(0L)).as("promo_rev_e4"),
+        sum(revE4).as("total_rev_e4"),
+        count(lit(1)).as("n_items"))
+      .withColumn("promo_ppm",
+        expr("1000000L * promo_rev_e4 div total_rev_e4"))
+  }
+
+  /** Returned-item reporting (TPC-H Q10 shape): top-k customers by
+    * revenue lost to returns in an order quarter. The plan every
+    * engine should pick: both FACT filters (returnflag on lineitem,
+    * date on orders) land on their scans BEFORE the orderkey shuffle
+    * join — the only big exchange — then customer and nation enrich via
+    * broadcast, and the top-k is a TakeOrdered, never a global sort.
+    */
+  def q10(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+          nation: DataFrame, dayLo: String = "1996-01-01",
+          dayHi: String = "1996-04-01", k: Int = 20): DataFrame = {
+    val lo = java.time.LocalDate.parse(dayLo).toEpochDay
+    val hi = java.time.LocalDate.parse(dayHi).toEpochDay
+    val oDay = expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+    lineitem
+      .filter(col("l_returnflag") === "R")
+      .join(orders.filter(oDay >= lit(lo) && oDay < lit(hi))
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+        Seq("l_orderkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_name"),
+        col("c_nationkey"))), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("c_nationkey"),
+        col("n_name"))), Seq("c_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(revE4).as("lost_rev_e4"), count(lit(1)).as("n_returns"))
+      .orderBy(desc("lost_rev_e4"), asc("c_custkey"))
+      .limit(k)
+  }
+
+  /** Disjunctive-predicate probe (TPC-H Q19 shape): revenue over an
+    * OR-of-ANDs of (brand, size band, quantity band) — the query
+    * optimizers historically mishandled by either never pushing
+    * anything or exploding to a union. The scale move spelled out here:
+    * the disjunction's JOIN-INDEPENDENT ENVELOPE (`l_quantity` within
+    * the union of all bands) is applied to the lineitem scan BEFORE the
+    * join — Catalyst does not derive envelopes from cross-table ORs, so
+    * the operator states it; at 100 TB that is the difference between
+    * joining every row and joining the qualifying sliver. Each band's
+    * residual lands post-join on the broadcast-enriched row.
+    */
+  def q19(lineitem: DataFrame, part: DataFrame,
+          bands: Seq[(String, Int, Long)] = Seq(
+            ("Brand#1", 5, 1L), ("Brand#2", 10, 10L), ("Brand#3", 15, 20L)),
+          qtySpan: Long = 10L): DataFrame = {
+    val qtyLo = bands.map(_._3).min
+    val qtyHi = bands.map(_._3).max + qtySpan
+    val residual = bands.map { case (brand, sizeHi, bandLo) =>
+      col("p_brand") === brand &&
+        col("p_size").between(1, sizeHi) &&
+        col("l_quantity").between(bandLo.toDouble, (bandLo + qtySpan).toDouble)
+    }.reduce(_ || _)
+    lineitem
+      // join-independent envelope of the disjunction, pushed to the scan
+      .filter(col("l_quantity").between(qtyLo.toDouble, qtyHi.toDouble))
+      .join(broadcast(part.select(col("p_partkey").as("l_partkey"),
+        col("p_brand"), col("p_size"))), Seq("l_partkey"))
+      .filter(residual)
+      .agg(sum(revE4).as("revenue_e4"), count(lit(1)).as("n_items"))
+  }
+
+  /** Bilateral shipping volume (TPC-H Q7 shape): revenue flowing between
+    * two nations per direction per year. Both dims are PRE-FILTERED to
+    * the two nations before broadcasting, so fact rows for any other
+    * supplier/customer drop AT THE JOIN — the broadcast carries
+    * thousands of keys, not the full dim. One orderkey shuffle join is
+    * the only big exchange; the (supp_nation, cust_nation) disjunction
+    * is a residual on the enriched row, and the rollup groups on a
+    * 2×2×years key domain.
+    */
+  def q7(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+         supplier: DataFrame, nation: DataFrame,
+         nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    val nat = nation.filter(col("n_name").isin(nationA, nationB))
+    val supp = supplier.join(broadcast(nat),
+      col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("l_suppkey"), col("n_name").as("supp_nation"))
+    val cust = customer.join(broadcast(nat),
+      col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("o_custkey"), col("n_name").as("cust_nation"))
+    lineitem
+      .join(broadcast(supp), Seq("l_suppkey"))
+      .join(orders.select(col("o_orderkey").as("l_orderkey"),
+        col("o_custkey")), Seq("l_orderkey"))
+      .join(broadcast(cust), Seq("o_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .withColumn("l_year",
+        year(col("l_shipdate").cast("timestamp")).cast("long"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(revE4).as("revenue_e4"), count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** National market share (TPC-H Q8 shape): of all revenue for one part
+    * type sold to customers of one region, the share supplied by one
+    * nation, per order year — the share-of-group probe. Solved with ONE
+    * conditional aggregation (`sum(CASE WHEN supp_nation …)`) over the
+    * star join, never a second pass or a windowed re-scan; the share is
+    * exact integer ppm. Part (type-filtered) and the customer→nation→
+    * region chain broadcast; the orderkey shuffle is the only big
+    * exchange.
+    */
+  def q8(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+         supplier: DataFrame, nation: DataFrame, region: DataFrame,
+         part: DataFrame, targetNation: String = "NATION_3",
+         targetRegion: String = "EUROPE", partType: String = "PROMO"): DataFrame = {
+    val pt = part.filter(col("p_type") === partType)
+      .select(col("p_partkey").as("l_partkey"))
+    val supp = supplier.join(broadcast(nation),
+      col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("l_suppkey"), col("n_name").as("supp_nation"))
+    val cust = customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === targetRegion)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey").as("o_custkey"))
+    lineitem
+      .join(broadcast(pt), Seq("l_partkey"))
+      .join(broadcast(supp), Seq("l_suppkey"))
+      .join(orders.select(col("o_orderkey").as("l_orderkey"),
+        col("o_custkey"), col("o_orderdate")), Seq("l_orderkey"))
+      .join(broadcast(cust), Seq("o_custkey"))
+      .withColumn("o_year",
+        year(col("o_orderdate").cast("timestamp")).cast("long"))
+      .groupBy(col("o_year"))
+      .agg(sum(when(col("supp_nation") === targetNation, revE4)
+        .otherwise(0L)).as("nation_rev_e4"),
+        sum(revE4).as("total_rev_e4"))
+      .withColumn("share_ppm",
+        expr("1000000L * nation_rev_e4 div total_rev_e4"))
+      .orderBy("o_year")
+  }
 }
