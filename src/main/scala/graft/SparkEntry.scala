@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Analytics, Cdc, Dedup, Events, Graph, Linkage, Multimodal, Privacy, Quality, Reco, Sampling, Similarity, Skew, Sketches, TextAnalysis, Web}
+import graft.ops.{Analytics, Cdc, Dedup, Eval, Events, Graph, Linkage, Multimodal, Privacy, Quality, Reco, Sampling, Similarity, Skew, Sketches, TextAnalysis, Web}
 import graft.orchestrate.{BlueGreen, Snapshots}
 import graft.sources.{GraphFrames, Ingest, ZOrder}
 
@@ -1351,6 +1351,22 @@ object SparkEntry {
       Analytics.q8(rd(s, dir, "lineitem"), rd(s, dir, "orders"),
         rd(s, dir, "customer"), rd(s, dir, "supplier"),
         rd(s, dir, "nation"), rd(s, dir, "region"), rd(s, dir, "part"))),
+    // --- exact ROC AUC (Mann–Whitney identity): does length predict EN?
+    "eval_auc" -> ((s, dir) =>
+      Eval.aucExact(rd(s, dir, "documents")
+        .select(col("n_chars").as("score"),
+          (col("lang") === "en").as("label")))),
+    // --- threshold confusion card over the same scored corpus
+    "eval_confusion" -> ((s, dir) =>
+      Eval.confusionCard(rd(s, dir, "documents")
+        .select(col("n_chars").as("score"),
+          (col("lang") === "en").as("label")), 300L)),
+    // --- two-sample KS distance between click and view value dists
+    "events_ks" -> ((s, dir) =>
+      Eval.ksTest(rdEvents(s, dir), "click", "view")),
+    // --- daily-count autocorrelation per event type, lags 0..7
+    "events_acf" -> ((s, dir) =>
+      Eval.acf(rdEvents(s, dir))),
     // --- interval-stacking peak concurrency (capacity-planning sweep)
     "events_concurrency" -> ((s, dir) =>
       Events.peakConcurrency(rdEvents(s, dir))),
@@ -3595,6 +3611,127 @@ object SparkEntry {
         |  CAST(1000000 * sum(CASE WHEN supp_nation = 'NATION_3' THEN rev
         |    ELSE 0 END) // sum(rev) AS BIGINT) AS share_ppm
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // auc twin: identical per-score compression + rank-sum identity
+    "eval_auc" ->
+      """WITH pers AS (
+        |  SELECT n_chars AS s,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS p_s,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS n_s
+        |  FROM documents GROUP BY 1
+        |), w AS (
+        |  SELECT p_s, n_s,
+        |    COALESCE(sum(n_s) OVER (ORDER BY s ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS neg_below
+        |  FROM pers
+        |)
+        |SELECT CAST(sum(p_s) AS BIGINT) AS n_pos,
+        |  CAST(sum(n_s) AS BIGINT) AS n_neg,
+        |  CAST(count(*) AS BIGINT) AS n_scores,
+        |  CAST(sum(p_s * (2 * neg_below + n_s)) * 1000000
+        |    // (2 * sum(p_s) * sum(n_s)) AS BIGINT) AS auc_ppm
+        |FROM w""".stripMargin,
+    // confusion twin: one conditional aggregation, guarded ppm divisions
+    "eval_confusion" ->
+      """WITH t AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN lang = 'en' AND n_chars >= 300
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN lang <> 'en' AND n_chars >= 300
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN lang = 'en' AND n_chars < 300
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN lang <> 'en' AND n_chars < 300
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM documents
+        |)
+        |SELECT tp, fp, fn, tn,
+        |  CASE WHEN tp + fp = 0 THEN NULL
+        |    ELSE CAST(1000000 * tp // (tp + fp) AS BIGINT)
+        |    END AS precision_ppm,
+        |  CASE WHEN tp + fn = 0 THEN NULL
+        |    ELSE CAST(1000000 * tp // (tp + fn) AS BIGINT)
+        |    END AS recall_ppm,
+        |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+        |    ELSE CAST(1000000 * 2 * tp // (2 * tp + fp + fn) AS BIGINT)
+        |    END AS f1_ppm,
+        |  CAST(1000000 * (tp + tn) // (tp + fp + fn + tn) AS BIGINT)
+        |    AS accuracy_ppm
+        |FROM t""".stripMargin,
+    // ks twin: same quantization, cumulative windows over the distinct-
+    // value domain, smallest-argmax location
+    "events_ks" ->
+      """WITH perv AS (
+        |  SELECT CAST(floor(value * 1e6) AS BIGINT) AS v6,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+        |), c AS (
+        |  SELECT v6,
+        |    sum(a) OVER w AS ca, sum(b) OVER w AS cb,
+        |    sum(a) OVER () AS n1, sum(b) OVER () AS n2
+        |  FROM perv
+        |  WINDOW w AS (ORDER BY v6 ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), d AS (
+        |  SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |    abs(ca * n2 - cb * n1) AS dev, v6,
+        |    max(abs(ca * n2 - cb * n1)) OVER () AS mx
+        |  FROM c
+        |)
+        |SELECT n1, n2, CAST(max(dev) AS BIGINT) AS d_num,
+        |  CAST(max(dev) * 1000000 // (n1 * n2) AS BIGINT) AS d_ppm,
+        |  CAST(min(v6) AS BIGINT) AS ks_at_v6
+        |FROM d WHERE dev = mx GROUP BY 1, 2""".stripMargin,
+    // acf twin: gap-filled grid via generate_series, the same n²-scaled
+    // integer moments, lag pairing as the (type, day+lag) equi-join,
+    // positive-offset floor division
+    "events_acf" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), span AS (
+        |  SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY 1
+        |), grid AS (
+        |  SELECT g.event_type, g.day, COALESCE(d.x, 0) AS x
+        |  FROM (SELECT s.event_type, CAST(u.day AS BIGINT) AS day
+        |        FROM span s,
+        |          UNNEST(generate_series(s.d0, s.d1)) AS u(day)) g
+        |  LEFT JOIN daily d
+        |    ON d.event_type = g.event_type AND d.day = g.day
+        |), mom AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s
+        |  FROM grid GROUP BY 1
+        |), c AS (
+        |  SELECT g.event_type, g.day, m.n * g.x - m.s AS c, m.n
+        |  FROM grid g JOIN mom m ON m.event_type = g.event_type
+        |), den AS (
+        |  SELECT event_type, sum(c * c) AS den,
+        |    CAST(max(n) AS BIGINT) AS n_days
+        |  FROM c GROUP BY 1
+        |), gl AS (
+        |  SELECT c.event_type, c.day, c.c, CAST(l.lag AS BIGINT) AS lag
+        |  FROM c, UNNEST(range(0, 8)) AS l(lag)
+        |), pairs AS (
+        |  SELECT a.event_type, a.lag, sum(a.c * b.c) AS num,
+        |    CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM gl a JOIN gl b
+        |    ON b.event_type = a.event_type AND b.lag = a.lag
+        |      AND b.day = a.day + a.lag
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.event_type, p.lag, d.n_days, p.n_pairs,
+        |  CAST((p.num * 1000000 + d.den * 1000000) // d.den - 1000000
+        |    AS BIGINT) AS acf_ppm
+        |FROM pairs p JOIN den d ON d.event_type = p.event_type
+        |ORDER BY 1, 2""".stripMargin,
     // vocab-overlap twin: the same vocab sets + occurrence anti-join
     "vocab_overlap" ->
       """WITH tr AS (

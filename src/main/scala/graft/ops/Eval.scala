@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model/filter evaluation cards — the exact-integer statistics a
+  * training pipeline runs to judge a quality classifier, a dedup gate,
+  * or a drift monitor before letting it touch 100 TB of data. Every
+  * statistic here is rank/count algebra (no libm), so each query is
+  * hash-exact against the SQL oracle.
+  */
+object Eval {
+
+  /** Exact ROC AUC via the Mann–Whitney rank-sum identity — THE metric
+    * for a corpus quality classifier, computed without materializing
+    * pairs or a global sort of rows. AUC = P(score⁺ > score⁻) +
+    * ½P(score⁺ = score⁻); per distinct score s with (p_s, n_s) class
+    * counts, the doubled pair count is Σ p_s·(2·negBelow(s) + n_s), and
+    * AUC = that / (2·P·N) — ties handled exactly, no midranks, no
+    * floats until the final ppm division (DECIMAL(38,0) cross-multiply,
+    * overflow-free at any corpus size).
+    *
+    * Scale shape: ONE partial-aggregated groupBy on the score compresses
+    * the corpus to its distinct-score domain; the cumulative window then
+    * runs over that aggregated frame (scores are integerized by the
+    * caller — quantize to the granularity that bounds the domain), never
+    * over rows. `scoreCol` must be integral, `labelCol` boolean.
+    */
+  def aucExact(df: DataFrame, scoreCol: String = "score",
+               labelCol: String = "label"): DataFrame = {
+    val perScore = df
+      .groupBy(col(scoreCol).as("s"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("p_s"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("n_s"))
+    val below = Window.orderBy(col("s").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perScore
+      .withColumn("neg_below", coalesce(sum(col("n_s")).over(below), lit(0L)))
+      .agg(
+        sum(col("p_s")).as("n_pos"),
+        sum(col("n_s")).as("n_neg"),
+        count(lit(1)).as("n_scores"),
+        sum(col("p_s") * (lit(2L) * col("neg_below") + col("n_s")))
+          .as("num2"))
+      .withColumn("auc_ppm",
+        expr("""CAST(CAST(num2 AS DECIMAL(38,0)) * 1000000
+                div (2 * n_pos * n_neg) AS BIGINT)"""))
+      .drop("num2")
+  }
+
+  /** Threshold confusion card: TP/FP/FN/TN plus precision, recall, F1
+    * and accuracy in exact ppm — ONE conditional aggregation over the
+    * scored corpus, nothing else. Zero-denominator cells surface as
+    * NULL (portably — never a divide-by-zero, which one engine nulls
+    * and the other throws). `scoreCol` integral, `labelCol` boolean;
+    * predicted positive ⇔ score ≥ threshold.
+    */
+  def confusionCard(df: DataFrame, threshold: Long,
+                    scoreCol: String = "score",
+                    labelCol: String = "label"): DataFrame = {
+    val pred = col(scoreCol) >= threshold
+    val lab = col(labelCol)
+    def n(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    df.agg(
+      n(lab && pred).as("tp"), n(!lab && pred).as("fp"),
+      n(lab && !pred).as("fn"), n(!lab && !pred).as("tn"))
+      .withColumn("precision_ppm", expr(
+        "CASE WHEN tp + fp = 0 THEN NULL" +
+          " ELSE 1000000L * tp div (tp + fp) END"))
+      .withColumn("recall_ppm", expr(
+        "CASE WHEN tp + fn = 0 THEN NULL" +
+          " ELSE 1000000L * tp div (tp + fn) END"))
+      .withColumn("f1_ppm", expr(
+        "CASE WHEN 2 * tp + fp + fn = 0 THEN NULL" +
+          " ELSE 1000000L * 2 * tp div (2 * tp + fp + fn) END"))
+      .withColumn("accuracy_ppm", expr(
+        "1000000L * (tp + tn) div (tp + fp + fn + tn)"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance between the value
+    * distributions of two event types — the distribution-drift test
+    * with an EXACT rational answer: D = max over thresholds of
+    * |F₁(v) − F₂(v)| = max |c₁(v)·n₂ − c₂(v)·n₁| / (n₁·n₂), all
+    * integer until the final ppm division. Values are quantized to 1e-6
+    * first (one IEEE multiply + floor, bit-identical in any engine) —
+    * the computed D is exact FOR THE QUANTIZED DATA, the deterministic-
+    * surrogate trade every float operator here makes.
+    *
+    * Scale shape: the corpus compresses to per-(quantized value) class
+    * counts in one partial-aggregated groupBy; the cumulative windows
+    * run over that distinct-value domain. Reported location is the
+    * SMALLEST value attaining the max (deterministic argmax).
+    */
+  def ksTest(events: DataFrame, typeA: String, typeB: String,
+             valueCol: String = "value"): DataFrame = {
+    val v6 = floor(col(valueCol) * 1e6).cast("long")
+    val perV = events
+      .filter(col("event_type").isin(typeA, typeB))
+      .select(col("event_type").as("t"), v6.as("v6"))
+      .groupBy(col("v6"))
+      .agg(sum(when(col("t") === typeA, 1L).otherwise(0L)).as("a"),
+        sum(when(col("t") === typeB, 1L).otherwise(0L)).as("b"))
+    val run = Window.orderBy(col("v6").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.orderBy(col("v6").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val dev = perV
+      .withColumn("ca", sum(col("a")).over(run))
+      .withColumn("cb", sum(col("b")).over(run))
+      .withColumn("n1", sum(col("a")).over(whole))
+      .withColumn("n2", sum(col("b")).over(whole))
+      .withColumn("dev", abs(col("ca") * col("n2") - col("cb") * col("n1")))
+      .withColumn("mx", max(col("dev")).over(whole))
+    dev.filter(col("dev") === col("mx"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(col("dev")).as("d_num"), min(col("v6")).as("ks_at_v6"))
+      .withColumn("d_ppm",
+        expr("""CAST(CAST(d_num AS DECIMAL(38,0)) * 1000000
+                div (n1 * n2) AS BIGINT)"""))
+      .select(col("n1"), col("n2"), col("d_num"), col("d_ppm"),
+        col("ks_at_v6"))
+  }
+
+  /** Daily-count autocorrelation function per event type, lags
+    * 0…`maxLag` — the seasonality/burst-memory card behind forecast
+    * model selection. The series is the GAP-FILLED daily event count
+    * (missing days are real zeros, not skipped — ACF over an irregular
+    * grid is not an ACF), and the estimator is the standard
+    * fixed-denominator form r_k = Σₜ(xₜ−x̄)(xₜ₊ₖ−x̄) / Σₜ(xₜ−x̄)²,
+    * computed EXACTLY by scaling through n²: numerator terms
+    * (n·xₜ−S)(n·xₜ₊ₖ−S) are products of integers (|n·x| must stay under
+    * ~3e9 for BIGINT products — days·daily-max, generous for any real
+    * series; sums ride DECIMAL(38,0)). The ppm close rides the
+    * positive-offset recipe ((num·1e6 + den·1e6) div den − 1e6) so the
+    * possibly-NEGATIVE ratio floors identically in both engines.
+    *
+    * Scale shape: the corpus compresses to per-(type, day) counts in
+    * one partial-aggregated groupBy; the grid, the lag pairing (an
+    * equi-join on (type, day+k) — portable, unlike per-k lead windows),
+    * and the moment rollup all run over the days×types×lags domain.
+    */
+  def acf(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val daily = events
+      .select(col("event_type"), expr("ts div 1000").as("us"))
+      .withColumn("day", expr("us div 86400000000"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x"))
+    val grid = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("x"), lit(0L)).as("x"))
+      .localCheckpoint() // feeds moments + both lag-join sides
+    val mom = grid.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val g = grid.join(broadcast(mom), Seq("event_type"))
+      .select(col("event_type"), col("day"),
+        (col("n") * col("x") - col("s")).as("c"), col("n"))
+    val den = g.groupBy(col("event_type"))
+      .agg(sum((col("c") * col("c")).cast("decimal(38,0)")).as("den"),
+        max(col("n")).as("n_days"))
+    val lags = (0 to maxLag).map(k => lit(k.toLong)).toArray
+    // each row fans to maxLag+1 (day, lag) keys; the right side re-keys
+    // the same fan-out to (day+lag → day), so the equi-join pairs
+    // (x_t, x_{t+k}) — both sides re-derive off the checkpointed grid
+    val gl = g.select(col("event_type"), col("day"), col("c"),
+      explode(array(lags: _*)).as("lag"))
+    val pairs = gl
+      .join(gl.select(col("event_type"),
+        (col("day") - col("lag")).as("day"), col("lag"),
+        col("c").as("c_lead")),
+        Seq("event_type", "day", "lag"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(sum((col("c") * col("c_lead")).cast("decimal(38,0)")).as("num"),
+        count(lit(1)).as("n_pairs"))
+    pairs.join(broadcast(den), Seq("event_type"))
+      .withColumn("acf_ppm", expr(
+        """CAST((num * 1000000 + den * 1000000) div den - 1000000
+           AS BIGINT)"""))
+      .select(col("event_type"), col("lag"), col("n_days"), col("n_pairs"),
+        col("acf_ppm"))
+      .orderBy("event_type", "lag")
+  }
+}
