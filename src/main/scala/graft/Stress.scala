@@ -437,6 +437,46 @@ object Stress {
       graft.ops.TextAnalysis.langIdEval(labeled).count()
     }
 
+    // round-10-late batch: TPC-H star probes over a factor-replicated
+    // lineitem/orders pair — the SAME orderkey shift on both sides keeps
+    // the join cardinality real (every fact row still finds one order)
+    val li0 = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    val ord0 = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+    val okSpan = 100000000L
+    val li10 = (0 until factor).map(i =>
+      li0.withColumn("l_orderkey", col("l_orderkey") + lit(i * okSpan)))
+      .reduce(_ union _)
+    val ord10 = (0 until factor).map(i =>
+      ord0.withColumn("o_orderkey", col("o_orderkey") + lit(i * okSpan)))
+      .reduce(_ union _)
+    val cust = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+    val supp = spark.read.parquet("/root/testdata/sf0.1/supplier.parquet")
+    val nat = spark.read.parquet("/root/testdata/sf0.1/nation.parquet")
+    val reg = spark.read.parquet("/root/testdata/sf0.1/region.parquet")
+    val prt = spark.read.parquet("/root/testdata/sf0.1/part.parquet")
+    time("q10_returns")(
+      graft.ops.Analytics.q10(cust, ord10, li10, nat).count())
+    time("q7_volume")(
+      graft.ops.Analytics.q7(li10, ord10, cust, supp, nat).count())
+    time("q8_share")(
+      graft.ops.Analytics.q8(li10, ord10, cust, supp, nat, reg, prt).count())
+    time("q19_disjunctive")(graft.ops.Analytics.q19(li10, prt).count())
+    time("dq_benford")(
+      graft.ops.Quality.benford(li10, "l_extendedprice").count())
+    // ev carries MICROsecond ts (the div-1000 at replication); restore
+    // the nanos contract for the operators that normalize internally
+    val evN = ev.withColumn("ts", col("ts") * 1000L)
+    time("events_concurrency")(
+      graft.ops.Events.peakConcurrency(evN).count())
+    time("events_ks")(graft.ops.Eval.ksTest(ev, "click", "view").count())
+    time("events_acf")(graft.ops.Eval.acf(evN).count())
+    time("eval_auc")(graft.ops.Eval.aucExact(
+      docs.select(length(col("text")).cast("long").as("score"),
+        (col("lang") === "en").as("label"))).count())
+    time("search_phrase")(
+      graft.ops.TextAnalysis.phraseSearch(docs, Seq("table", "hash"))
+        .count())
+
     // bulk-load throughput through the partition-parallel sink (the
     // reference's headline metric: rows/s and MiB/s per load phase)
     val nodes = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")

@@ -777,11 +777,15 @@ object Analytics {
     val cust = customer.join(broadcast(nat),
       col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey").as("o_custkey"), col("n_name").as("cust_nation"))
+    // cust lands on the ORDERS SCAN (broadcast, zero extra shuffle):
+    // only ~|2 nations|/|nations| of orders ever reach the orderkey
+    // shuffle — at 10× stress this is the difference between shuffling
+    // the full orders table and 8% of it
+    val ord = orders.select(col("o_orderkey").as("l_orderkey"),
+      col("o_custkey")).join(broadcast(cust), Seq("o_custkey"))
     lineitem
       .join(broadcast(supp), Seq("l_suppkey"))
-      .join(orders.select(col("o_orderkey").as("l_orderkey"),
-        col("o_custkey")), Seq("l_orderkey"))
-      .join(broadcast(cust), Seq("o_custkey"))
+      .join(ord, Seq("l_orderkey"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .withColumn("l_year",
         year(col("l_shipdate").cast("timestamp")).cast("long"))
@@ -813,12 +817,16 @@ object Analytics {
       .join(broadcast(region.filter(col("r_name") === targetRegion)),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("c_custkey").as("o_custkey"))
+    // the region filter lands on the ORDERS SCAN via the broadcast cust
+    // semi-set — orders shrink to the region's share BEFORE the orderkey
+    // shuffle (the q7 move; measured 16.6s → single-digit at 10× stress)
+    val ord = orders.select(col("o_orderkey").as("l_orderkey"),
+      col("o_custkey"), col("o_orderdate"))
+      .join(broadcast(cust), Seq("o_custkey"))
     lineitem
       .join(broadcast(pt), Seq("l_partkey"))
       .join(broadcast(supp), Seq("l_suppkey"))
-      .join(orders.select(col("o_orderkey").as("l_orderkey"),
-        col("o_custkey"), col("o_orderdate")), Seq("l_orderkey"))
-      .join(broadcast(cust), Seq("o_custkey"))
+      .join(ord, Seq("l_orderkey"))
       .withColumn("o_year",
         year(col("o_orderdate").cast("timestamp")).cast("long"))
       .groupBy(col("o_year"))
