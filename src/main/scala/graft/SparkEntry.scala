@@ -1361,6 +1361,23 @@ object SparkEntry {
       Eval.confusionCard(rd(s, dir, "documents")
         .select(col("n_chars").as("score"),
           (col("lang") === "en").as("label")), 300L)),
+    // --- per-source exact AUC: the partitioned (scale-safe) AUC form
+    "eval_auc_by_source" -> ((s, dir) =>
+      Eval.aucByGroup(rd(s, dir, "documents")
+        .select(col("source"), col("n_chars").as("score"),
+          (col("lang") === "en").as("label")), "source")),
+    // --- binned reliability (calibration) card over the same score
+    "eval_calibration" -> ((s, dir) =>
+      Eval.calibrationCard(rd(s, dir, "documents")
+        .select(col("n_chars").as("score"),
+          (col("lang") === "en").as("label")))),
+    // --- 2-D skyline: cheapest-and-smallest Pareto front over parts
+    "part_skyline" -> ((s, dir) =>
+      Analytics.skyline2d(rd(s, dir, "part")
+        .select(col("p_partkey"),
+          (col("p_retailprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("price_c"), col("p_size")),
+        "p_partkey", "price_c", "p_size")),
     // --- two-sample KS distance between click and view value dists
     "events_ks" -> ((s, dir) =>
       Eval.ksTest(rdEvents(s, dir), "click", "view")),
@@ -3660,6 +3677,64 @@ object SparkEntry {
         |  CAST(1000000 * (tp + tn) // (tp + fp + fn + tn) AS BIGINT)
         |    AS accuracy_ppm
         |FROM t""".stripMargin,
+    // grouped-auc twin: every window partitioned by source
+    "eval_auc_by_source" ->
+      """WITH pers AS (
+        |  SELECT source AS g, n_chars AS s,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS p_s,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS n_s
+        |  FROM documents GROUP BY 1, 2
+        |), w AS (
+        |  SELECT g, p_s, n_s,
+        |    COALESCE(sum(n_s) OVER (PARTITION BY g ORDER BY s ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS neg_below
+        |  FROM pers
+        |)
+        |SELECT g AS source, CAST(sum(p_s) AS BIGINT) AS n_pos,
+        |  CAST(sum(n_s) AS BIGINT) AS n_neg,
+        |  CASE WHEN sum(p_s) = 0 OR sum(n_s) = 0 THEN NULL
+        |    ELSE CAST(sum(p_s * (2 * neg_below + n_s)) * 1000000
+        |      // (2 * sum(p_s) * sum(n_s)) AS BIGINT) END AS auc_ppm
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    // calibration twin: identical one-row span + integer bin id
+    "eval_calibration" ->
+      """WITH src AS (
+        |  SELECT n_chars AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |), span AS (
+        |  SELECT CAST(min(s) AS BIGINT) AS s_min,
+        |    CAST(max(s) AS BIGINT) AS s_max
+        |  FROM src
+        |), b AS (
+        |  SELECT (s - s_min) * 10 // (s_max - s_min + 1) AS bin, s, y
+        |  FROM src CROSS JOIN span
+        |)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(y) AS BIGINT) AS n_pos,
+        |  CAST(1000000 * sum(y) // count(*) AS BIGINT) AS pos_rate_ppm,
+        |  CAST(sum(s) // count(*) AS BIGINT) AS mean_score,
+        |  CAST(min(s) AS BIGINT) AS s_lo, CAST(max(s) AS BIGINT) AS s_hi
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // skyline twin: the literal O(n²) NOT-EXISTS dominance definition —
+    // the semantic ground truth the grid-pruned sweep must reproduce
+    "part_skyline" ->
+      """WITH pts AS (
+        |  SELECT p_partkey AS pkey,
+        |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS x,
+        |    CAST(p_size AS BIGINT) AS y
+        |  FROM part
+        |)
+        |SELECT q.pkey, q.x, q.y FROM pts q
+        |WHERE NOT EXISTS (SELECT 1 FROM pts p
+        |  WHERE p.x <= q.x AND p.y <= q.y
+        |    AND (p.x < q.x OR p.y < q.y))
+        |ORDER BY q.x, q.y, q.pkey""".stripMargin,
     // ks twin: same quantization, cumulative windows over the distinct-
     // value domain, smallest-argmax location
     "events_ks" ->

@@ -837,4 +837,56 @@ object Analytics {
         expr("1000000L * nation_rev_e4 div total_rev_e4"))
       .orderBy("o_year")
   }
+
+  /** 2-D skyline (Pareto front, minimize both axes) — "no other row is
+    * at most as expensive AND at most as large, strictly better in one":
+    * the multi-objective shortlist query (cheapest-per-size-class
+    * suppliers, best quality-per-cost corpora) that naive SQL writes as
+    * an O(n²) NOT EXISTS. Distributed shape: a GRID PRUNE first — bucket
+    * x into ≤`buckets` ranges off a one-row (min, max) broadcast,
+    * per-bucket min-y in one partial-agg groupBy, strict-prefix
+    * cumulative min over the ≤buckets frontier rows — keeps only points
+    * below every strictly-lower bucket's best y. Dominance is transitive,
+    * so every skyline point survives the prune and every pruned point is
+    * provably dominated; the EXACT sweep (strict-x-range window + same-x
+    * min) then runs over the bounded survivor set, never the corpus. The
+    * survivor bound is ~O(buckets + |skyline| + per-bucket prefix
+    * minima); a corpus concentrated in ONE x-bucket degrades toward the
+    * global sort — widen `buckets` with the x-range, it only costs
+    * frontier rows. Tie semantics: duplicate (x, y) points are mutual
+    * non-dominators and ALL belong to the skyline.
+    */
+  def skyline2d(df: DataFrame, keyCol: String, xCol: String, yCol: String,
+                buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.select(col(keyCol).as("pkey"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    // bounded: one-row global x-range for the grid
+    val span = pts.agg(min(col("x")).as("x_min"), max(col("x")).as("x_max"))
+    val bucketed = pts.crossJoin(broadcast(span))
+      .withColumn("bx", expr(
+        s"(x - x_min) * ${buckets}L div (x_max - x_min + 1)"))
+    val wPrev = Window.orderBy(col("bx").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ≤buckets rows: the strict-prefix frontier
+    val frontier = bucketed.groupBy(col("bx"))
+      .agg(min(col("y")).as("by_min"))
+      .withColumn("y_before", min(col("by_min")).over(wPrev))
+      .select(col("bx"), col("y_before"))
+    val survivors = bucketed.join(broadcast(frontier), Seq("bx"))
+      .filter(col("y_before").isNull || col("y") < col("y_before"))
+      .select(col("pkey"), col("x"), col("y"))
+    // exact dominance over the bounded survivors: strictly-smaller-x
+    // best y (RANGE frame excludes same-x peers) + same-x strict min
+    val prevX = Window.orderBy(col("x"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val atX = Window.partitionBy(col("x"))
+    survivors
+      .withColumn("min_y_lt_x", min(col("y")).over(prevX))
+      .withColumn("min_y_at_x", min(col("y")).over(atX))
+      .filter((col("min_y_lt_x").isNull || col("y") < col("min_y_lt_x")) &&
+        col("y") === col("min_y_at_x"))
+      .select(col("pkey"), col("x"), col("y"))
+      .orderBy("x", "y", "pkey")
+  }
 }

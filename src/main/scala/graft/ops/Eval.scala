@@ -79,6 +79,69 @@ object Eval {
         "1000000L * (tp + tn) div (tp + fp + fn + tn)"))
   }
 
+  /** Per-group exact AUC — the per-domain/per-source quality audit, and
+    * the form that actually scales: every window PARTITIONS on the
+    * group, so no global ordering exists anywhere in the plan (the
+    * global [[aucExact]] is the one-metric special case; this is what
+    * a 100 TB multi-source corpus should run). Groups missing a class
+    * surface as NULL AUC portably (never ÷0).
+    */
+  def aucByGroup(df: DataFrame, groupCol: String,
+                 scoreCol: String = "score",
+                 labelCol: String = "label"): DataFrame = {
+    val perScore = df
+      .groupBy(col(groupCol).as("g"), col(scoreCol).as("s"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("p_s"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("n_s"))
+    val below = Window.partitionBy("g").orderBy(col("s").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perScore
+      .withColumn("neg_below", coalesce(sum(col("n_s")).over(below), lit(0L)))
+      .groupBy(col("g"))
+      .agg(
+        sum(col("p_s")).as("n_pos"),
+        sum(col("n_s")).as("n_neg"),
+        sum(col("p_s") * (lit(2L) * col("neg_below") + col("n_s")))
+          .as("num2"))
+      .withColumn("auc_ppm", expr(
+        """CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+           ELSE CAST(CAST(num2 AS DECIMAL(38,0)) * 1000000
+             div (2 * n_pos * n_neg) AS BIGINT) END"""))
+      .select(col("g").as(groupCol), col("n_pos"), col("n_neg"),
+        col("auc_ppm"))
+      .orderBy(groupCol)
+  }
+
+  /** Binned reliability (calibration) card: equal-width score bins with
+    * observed positive rate and mean score per bin — the diagram behind
+    * "is the quality score a probability or just a ranking". Bin edges
+    * derive from a ONE-ROW (min, max) aggregate broadcast onto the
+    * stream (the skew_profile single-row-cross pattern); the bin id is
+    * one exact integer expression, so the whole card is one extra
+    * partial-aggregated groupBy over ≤ nBins keys. Mean score rides the
+    * plain floor division (scores are non-negative offsets from minS).
+    */
+  def calibrationCard(df: DataFrame, nBins: Int = 10,
+                      scoreCol: String = "score",
+                      labelCol: String = "label"): DataFrame = {
+    val src = df.select(col(scoreCol).as("s"),
+      when(col(labelCol), 1L).otherwise(0L).as("y"))
+    // bounded: one-row global score range
+    val span = src.agg(min(col("s")).as("s_min"), max(col("s")).as("s_max"))
+    src.crossJoin(broadcast(span))
+      .withColumn("bin", expr(
+        s"(s - s_min) * ${nBins}L div (s_max - s_min + 1)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("s")).as("s_sum"), min(col("s")).as("s_lo"),
+        max(col("s")).as("s_hi"))
+      .withColumn("pos_rate_ppm", expr("1000000L * n_pos div n"))
+      .withColumn("mean_score", expr("s_sum div n"))
+      .select(col("bin"), col("n"), col("n_pos"), col("pos_rate_ppm"),
+        col("mean_score"), col("s_lo"), col("s_hi"))
+      .orderBy("bin")
+  }
+
   /** Two-sample Kolmogorov–Smirnov distance between the value
     * distributions of two event types — the distribution-drift test
     * with an EXACT rational answer: D = max over thresholds of

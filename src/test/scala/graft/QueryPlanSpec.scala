@@ -54,6 +54,9 @@ class QueryPlanSpec extends SparkSpec {
       "text_kneser_ney", // one-row bigram-type total onto the type table
       "zonemap_audit", // bounded probes × layout-sized zone map (the
                        // corpus itself is scanned once, joins never)
+      "eval_calibration", // one-row (min, max) score span onto the stream
+      "part_skyline", // one-row x-range for the grid prune; the frontier
+                      // join itself is a keyed broadcast HASH join
       "graph_hits") // L1 normalization divides by a ONE-ROW integer total
                     // each half-round — the same single-row broadcast
 

@@ -46,6 +46,53 @@ class EvalSpec extends SparkSpec {
     assert(none.getAs[Long]("recall_ppm") == 0L)
   }
 
+  test("aucByGroup partitions per group and NULLs one-class groups") {
+    val df = Seq(
+      ("g1", 1L, false), ("g1", 2L, false), ("g1", 2L, true),
+      ("g1", 3L, true),
+      ("g2", 7L, true), ("g2", 9L, true)) // no negatives → NULL AUC
+      .toDF("source", "score", "label")
+    val r = Eval.aucByGroup(df, "source").collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    assert(r("g1").getAs[Long]("auc_ppm") == 875000L)
+    assert(r("g2").isNullAt(r("g2").fieldIndex("auc_ppm")))
+  }
+
+  test("calibrationCard bins exactly and reports exact per-bin rates") {
+    val df = (0L to 9L).map(s => (s, s % 2 == 0)).toDF("score", "label")
+    val r = Eval.calibrationCard(df, nBins = 2).collect()
+      .map(x => x.getAs[Long]("bin") -> x).toMap
+    assert(r(0L).getAs[Long]("n") == 5L)
+    assert(r(0L).getAs[Long]("pos_rate_ppm") == 600000L) // 0,2,4 of 0..4
+    assert(r(0L).getAs[Long]("mean_score") == 2L)
+    assert(r(1L).getAs[Long]("pos_rate_ppm") == 400000L) // 6,8 of 5..9
+    assert(r(1L).getAs[Long]("mean_score") == 7L)
+    assert(r(0L).getAs[Long]("s_lo") == 0L &&
+      r(1L).getAs[Long]("s_hi") == 9L)
+  }
+
+  test("skyline2d matches brute-force dominance incl. duplicate points") {
+    val pts = Seq((1L, 1L, 5L), (2L, 2L, 3L), (3L, 3L, 3L), (4L, 3L, 8L),
+      (5L, 5L, 1L), (6L, 5L, 1L)).toDF("pkey", "x", "y")
+    // (3,3,3) and (3,8) dominated by (2,3); duplicates (5,1) both kept
+    val got = Analytics.skyline2d(pts, "pkey", "x", "y", buckets = 2)
+      .collect().map(_.getAs[Long]("pkey")).toSet
+    assert(got == Set(1L, 2L, 5L, 6L))
+    // brute-force cross-check on a pseudo-random cloud, tiny bucket
+    // count to force cross-bucket pruning
+    val cloud = (1L to 60L)
+      .map(k => (k, (k * 7919L) % 40L, (k * 104729L) % 40L))
+    val cdf = cloud.toDF("pkey", "x", "y")
+    val expect = cloud.filter { case (_, x, y) =>
+      !cloud.exists { case (_, px, py) =>
+        px <= x && py <= y && (px < x || py < y)
+      }
+    }.map(_._1).toSet
+    val got2 = Analytics.skyline2d(cdf, "pkey", "x", "y", buckets = 4)
+      .collect().map(_.getAs[Long]("pkey")).toSet
+    assert(got2 == expect)
+  }
+
   test("ksTest finds the exact max CDF gap at its smallest location") {
     // A = {1, 2}, B = {2, 9}: dev(v) = |c1·n2 − c2·n1| = 2, 2, 0
     // → D = 2/(2·2) = 0.5, first attained at v = 1
