@@ -769,6 +769,11 @@ object SparkEntry {
       Similarity.bruteTopK(e.select(col("vec_id"), col("embedding")), q, 10)
         .orderBy("query_id", "rank")
     }),
+    // --- hubness audit: k-occurrence distribution over a deterministic
+    // id-sample probe of the corpus against itself
+    "embed_hubness" -> ((s, dir) =>
+      Similarity.hubnessCard(rd(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")))),
     // --- margin-based pair mining: even-id vectors play the source
     // language, odd-id the target; integer-scaled ratio margin
     "embed_align" -> ((s, dir) => {
@@ -4403,6 +4408,40 @@ object SparkEntry {
         |)
         |SELECT query_id, "rank", vec_id AS neighbor_id
         |FROM ranked WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+    // hubness twin: the ann_brute scoring chain (sequential-fold dot ==
+    // list_dot_product, IEEE sqrt/div, rank-only emission) + the
+    // k-occurrence rollup and the two-total zero row
+    "embed_hubness" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id % 17 = 0
+        |), c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings
+        |), scored AS (
+        |  SELECT q.query_id, c.vec_id,
+        |    list_dot_product(ce, qe) /
+        |      (sqrt(list_dot_product(ce, ce)) *
+        |       sqrt(list_dot_product(qe, qe))) AS cosine
+        |  FROM c, q WHERE c.vec_id <> q.query_id
+        |), ranked AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id ASC) AS r
+        |  FROM scored
+        |), occ AS (
+        |  SELECT vec_id, CAST(count(*) AS BIGINT) AS k_occ
+        |  FROM ranked WHERE r <= 10 GROUP BY 1
+        |), hist AS (
+        |  SELECT k_occ, CAST(count(*) AS BIGINT) AS n_vectors
+        |  FROM occ GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM embeddings
+        |), hit AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM occ)
+        |SELECT CAST(0 AS BIGINT) AS k_occ,
+        |  n_corpus - n_hit AS n_vectors
+        |FROM tot, hit
+        |UNION ALL SELECT k_occ, n_vectors FROM hist
+        |ORDER BY k_occ""".stripMargin,
     // per-cell floor(cos*1e6) before any sum (gram-matrix recipe) makes
     // the neighborhood sums order-free BIGINTs; margin multiplied through
     // by 2k instead of divided — no floats emitted or compared inexactly

@@ -476,6 +476,16 @@ object Stress {
     time("search_phrase")(
       graft.ops.TextAnalysis.phraseSearch(docs, Seq("table", "hash"))
         .count())
+    time("embed_hubness")(
+      graft.ops.Similarity.hubnessCard(emb).count())
+    // skyline over the replicated fact table: 60M (price, qty) points
+    // must collapse through the 64-bucket grid prune before the sweep
+    time("part_skyline")(graft.ops.Analytics.skyline2d(
+      li10.select(col("l_orderkey").as("pkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("x"),
+        col("l_quantity").cast("long").as("y")),
+      "pkey", "x", "y").count())
 
     // bulk-load throughput through the partition-parallel sink (the
     // reference's headline metric: rows/s and MiB/s per load phase)

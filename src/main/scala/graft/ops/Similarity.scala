@@ -1085,4 +1085,33 @@ object Similarity {
     selectedRows.toDF("query_id", "doc_id", "pick")
       .select(col("query_id"), col("doc_id"), col("pick"))
   }
+
+  /** Hubness audit — the k-occurrence distribution: how often each
+    * vector appears in OTHER vectors' exact top-k. High-dimensional
+    * embedding spaces grow "hubs" (a few vectors near everything) and
+    * "anti-hubs" (never retrieved); a heavy right tail here predicts
+    * degraded ANN recall and near-dup false merges before any index is
+    * built. Queries are a DETERMINISTIC id-sample of the corpus itself
+    * (`vec_id % sampleMod == 0` — portable, no hash needed), so the
+    * probe cost is (|V|/sampleMod)·|V| exact scores through the
+    * [[bruteTopK]] single-scan partial-top-k path, never corpus². The
+    * zero-occurrence mass (vectors never retrieved) is reported as the
+    * k_occ = 0 row — computed from two one-row totals, not a corpus
+    * anti-join. Output: k_occ → n_vectors, ascending.
+    */
+  def hubnessCard(corpus: DataFrame, k: Int = 10,
+                  sampleMod: Int = 17): DataFrame = {
+    val q = corpus.filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val occ = bruteTopK(corpus, q, k)
+      .groupBy(col("neighbor_id")).agg(count(lit(1)).as("k_occ"))
+    val hist = occ.groupBy(col("k_occ")).agg(count(lit(1)).as("n_vectors"))
+    // bounded: two one-row totals make the zero-occurrence row
+    val nAll = corpus.agg(count(lit(1)).as("n_corpus"))
+    val nHit = occ.agg(count(lit(1)).as("n_hit"))
+    val zero = nAll.crossJoin(broadcast(nHit))
+      .select(lit(0L).as("k_occ"),
+        (col("n_corpus") - col("n_hit")).as("n_vectors"))
+    zero.unionByName(hist).orderBy("k_occ")
+  }
 }

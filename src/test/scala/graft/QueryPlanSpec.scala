@@ -55,6 +55,8 @@ class QueryPlanSpec extends SparkSpec {
       "zonemap_audit", // bounded probes × layout-sized zone map (the
                        // corpus itself is scanned once, joins never)
       "eval_calibration", // one-row (min, max) score span onto the stream
+      "embed_hubness", // the ann_brute probe BNLJ + a one-row-total cross
+                       // for the zero-occurrence row
       "part_skyline", // one-row x-range for the grid prune; the frontier
                       // join itself is a keyed broadcast HASH join
       "graph_hits") // L1 normalization divides by a ONE-ROW integer total
