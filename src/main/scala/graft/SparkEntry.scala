@@ -1346,6 +1346,15 @@ object SparkEntry {
     // --- TPC-H Q19 shape: OR-of-ANDs with explicit scan envelope
     "q19_disjunctive" -> ((s, dir) =>
       Analytics.q19(rd(s, dir, "lineitem"), rd(s, dir, "part"))),
+    // --- TPC-H Q4 shape: the canonical LEFT SEMI (EXISTS) probe
+    "q4_semi" -> ((s, dir) =>
+      Analytics.q4(rd(s, dir, "orders"), rd(s, dir, "lineitem"))),
+    // --- double-sweep diameter estimate over the order–customer graph
+    "graph_diameter" -> ((s, dir) => {
+      val e = rd(s, dir, "orders").select(col("o_orderkey").as("src"),
+        (col("o_custkey") + 10000000L).as("dst"))
+      Graph.diameterSweep(e, 4)
+    }),
     // --- TPC-H Q7 shape: bilateral nation volume, pre-filtered dims
     "q7_volume" -> ((s, dir) =>
       Analytics.q7(rd(s, dir, "lineitem"), rd(s, dir, "orders"),
@@ -3577,6 +3586,54 @@ object SparkEntry {
         |    AND l.l_quantity BETWEEN 10 AND 20)
         |  OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
         |    AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    // q4 twin: the literal EXISTS form — DuckDB plans the same semi join
+    "q4_semi" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders o
+        |WHERE epoch_us(o_orderdate) // 86400000000 >=
+        |    epoch_us(TIMESTAMP '1996-01-01') // 86400000000
+        |  AND epoch_us(o_orderdate) // 86400000000 <
+        |    epoch_us(TIMESTAMP '1996-04-01') // 86400000000
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // diameter twin: two chained bounded recursive walks; both argmax
+    // elections pinned by (dist DESC, id) LIMIT 1
+    "graph_diameter" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT o_orderkey AS src, o_custkey + 10000000 AS dst
+        |  FROM orders
+        |), u AS (
+        |  SELECT src AS u, dst AS v FROM e
+        |  UNION ALL SELECT dst, src FROM e
+        |), seed AS (
+        |  SELECT min(n) AS id FROM (
+        |    SELECT src AS n FROM e UNION ALL SELECT dst FROM e) t
+        |), walk1(id, d) AS (
+        |  SELECT id, 0 FROM seed
+        |  UNION
+        |  SELECT u.v, w.d + 1 FROM walk1 w JOIN u ON u.u = w.id
+        |  WHERE w.d < 4
+        |), dist1 AS MATERIALIZED (
+        |  SELECT id, min(d) AS dist FROM walk1 GROUP BY 1
+        |), far1 AS (
+        |  SELECT id FROM dist1 ORDER BY dist DESC, id LIMIT 1
+        |), walk2(id, d) AS (
+        |  SELECT id, 0 FROM far1
+        |  UNION
+        |  SELECT u.v, w.d + 1 FROM walk2 w JOIN u ON u.u = w.id
+        |  WHERE w.d < 4
+        |), dist2 AS MATERIALIZED (
+        |  SELECT id, min(d) AS dist FROM walk2 GROUP BY 1
+        |), far2 AS (
+        |  SELECT id, dist FROM dist2 ORDER BY dist DESC, id LIMIT 1
+        |)
+        |SELECT (SELECT id FROM seed) AS seed_id,
+        |  (SELECT id FROM far1) AS u_id,
+        |  (SELECT id FROM far2) AS v_id,
+        |  CAST((SELECT dist FROM far2) AS BIGINT) AS diameter_lb,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM dist2) AS n_reached_u"""
+        .stripMargin,
     // q7 twin: nation-filtered dim CTEs, the same direction disjunction
     "q7_volume" ->
       """WITH supp AS (

@@ -838,6 +838,31 @@ object Analytics {
       .orderBy("o_year")
   }
 
+  /** Order-priority EXISTS probe (TPC-H Q4 shape): orders in a date
+    * range with at least one returned lineitem, counted per priority —
+    * the canonical LEFT SEMI join. The one plan every engine should
+    * pick: the EXISTS never counts duplicates (semi stops at first
+    * match — no distinct, no post-join dedup), the date bound lands on
+    * the orders scan, the flag filter on the lineitem scan, and the
+    * probe side never grows the row count. (Classic Q4 tests
+    * commit-vs-receipt lateness; this corpus carries no commit dates,
+    * so the returned-flag plays the EXISTS predicate.)
+    */
+  def q4(orders: DataFrame, lineitem: DataFrame,
+         dayLo: String = "1996-01-01", dayHi: String = "1996-04-01"): DataFrame = {
+    val lo = java.time.LocalDate.parse(dayLo).toEpochDay
+    val hi = java.time.LocalDate.parse(dayHi).toEpochDay
+    val oDay = expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+    orders
+      .filter(oDay >= lit(lo) && oDay < lit(hi))
+      .join(lineitem.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o_orderkey")),
+        Seq("o_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
   /** 2-D skyline (Pareto front, minimize both axes) — "no other row is
     * at most as expensive AND at most as large, strictly better in one":
     * the multi-objective shortlist query (cheapest-per-size-class

@@ -677,6 +677,38 @@ object Graph {
     known
   }
 
+  /** Hop-budgeted diameter estimate via the classic DOUBLE SWEEP: BFS
+    * from a deterministic seed (the minimum node id), re-BFS from the
+    * farthest node found, report that eccentricity — on real graphs the
+    * sweep's bound is usually the exact diameter, at the cost of two
+    * BFS passes instead of all-pairs (which is not a 100 TB operation).
+    * Both argmax elections are deterministic (max dist, then min id),
+    * and the hop budget caps every pass, so the result is a certified
+    * LOWER bound: `diameter_lb` hops between `u_id` and `v_id`,
+    * exact-oracle-reproducible by two chained bounded recursive CTEs.
+    *
+    * Scale shape: two [[bfs]] runs (frontier-sized keyed shuffles per
+    * level) plus three ONE-ROW elections assembled by single-row
+    * broadcasts — nothing corpus-sized beyond the BFS itself.
+    */
+  def diameterSweep(edges: DataFrame, maxHops: Int = 4): DataFrame = {
+    val nodes = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id")))
+    // bounded: one-row deterministic seed election
+    val seed0 = nodes.agg(min(col("id")).as("id")).localCheckpoint(true)
+    val d1 = bfs(edges, seed0, maxHops)
+    // bounded: one-row farthest-from-seed election
+    val u = d1.orderBy(desc("dist"), asc("id")).limit(1)
+      .select(col("id")).localCheckpoint(true)
+    val d2 = bfs(edges, u, maxHops)
+    val far = d2.orderBy(desc("dist"), asc("id")).limit(1)
+    seed0.select(col("id").as("seed_id"))
+      .crossJoin(broadcast(u.select(col("id").as("u_id"))))
+      .crossJoin(broadcast(far.select(col("id").as("v_id"),
+        col("dist").as("diameter_lb"))))
+      .crossJoin(broadcast(d2.agg(count(lit(1)).as("n_reached_u"))))
+  }
+
   /** k-core decomposition: iteratively peel nodes of degree < k from an
     * UNDIRECTED view of the edge list until only the k-core remains —
     * the density filter behind "drop weakly-connected entities before

@@ -57,6 +57,8 @@ class QueryPlanSpec extends SparkSpec {
       "eval_calibration", // one-row (min, max) score span onto the stream
       "embed_hubness", // the ann_brute probe BNLJ + a one-row-total cross
                        // for the zero-occurrence row
+      "graph_diameter", // three ONE-ROW election frames crossed at the
+                        // close; the BFS itself is keyed joins only
       "part_skyline", // one-row x-range for the grid prune; the frontier
                       // join itself is a keyed broadcast HASH join
       "graph_hits") // L1 normalization divides by a ONE-ROW integer total

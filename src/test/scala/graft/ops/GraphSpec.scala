@@ -627,4 +627,22 @@ class GraphSpec extends SparkSpec {
     val u = Graph.degreeDistribution(uni).collect()
     assert(u.forall(r => r.isNullAt(4)))
   }
+
+  test("diameterSweep finds the exact diameter of a path with a branch") {
+    // path 1-2-3-4-5 plus branch 3-6: seed = min id = 1; farthest from
+    // 1 is 5 at dist 4 (6 ties at... 6 is dist 3) → u = 5; from 5 the
+    // farthest is 1 at dist 4 → diameter 4, v = 1, all 6 reached
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 6L))
+      .toDF("src", "dst")
+    val r = Graph.diameterSweep(e, maxHops = 4).collect()(0)
+    assert(r.getAs[Long]("seed_id") == 1L)
+    assert(r.getAs[Long]("u_id") == 5L)
+    assert(r.getAs[Long]("v_id") == 1L)
+    assert(r.getAs[Long]("diameter_lb") == 4L)
+    assert(r.getAs[Long]("n_reached_u") == 6L)
+    // hop budget certifies only a lower bound: budget 2 from the same
+    // graph reports ecc 2 (the farthest it can SEE deterministically)
+    val b = Graph.diameterSweep(e, maxHops = 2).collect()(0)
+    assert(b.getAs[Long]("diameter_lb") == 2L)
+  }
 }
