@@ -247,6 +247,15 @@ object SparkEntry {
           .as("query_text"))
       TextAnalysis.bm25TopK(docs, qs, 5).orderBy("query_id", "rank")
     }),
+    // --- retrieval eval card: bm25 vs the all-terms-present gold set
+    "eval_retrieval" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 5).select(
+        col("doc_id").as("query_id"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 5), " ")
+          .as("query_text"))
+      TextAnalysis.retrievalEval(docs, qs, 5)
+    }),
     // --- late-interaction passage retrieval: per-term max pooling over
     // 32-token chunks, idf-weighted exact-integer scores, same queries
     "search_maxsim" -> ((s, dir) => {
@@ -2767,6 +2776,74 @@ object SparkEntry {
         |)
         |SELECT query_id, CAST("rank" AS BIGINT) AS "rank", doc_id, score, n_terms
         |FROM rk WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    // retrieval-eval twin: the bm25 scoring chain + the all-terms gold
+    // set (HAVING count == per-query term count) + integer ppm metrics
+    "eval_retrieval" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |), lens AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks
+        |), tot AS (
+        |  SELECT CAST(sum(dl) AS BIGINT) AS corpus_len, count(*) AS n_docs
+        |  FROM lens
+        |), q AS (
+        |  SELECT DISTINCT query_id, token FROM (
+        |    SELECT doc_id AS query_id, unnest(t[1:5]) AS token
+        |    FROM toks WHERE doc_id < 5)
+        |), nq AS (
+        |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_q_terms
+        |  FROM q GROUP BY 1
+        |), tfa AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(t) AS token FROM toks)
+        |  GROUP BY 1, 2
+        |), d AS (
+        |  SELECT *, count(*) OVER (PARTITION BY token) AS df FROM tfa
+        |), sc AS (
+        |  SELECT q.query_id, d.doc_id,
+        |    CAST(sum(((1000000 // df) * 2200 * corpus_len * tf)
+        |      // (10 * corpus_len * tf + 3 * corpus_len + 9 * dl * n_docs))
+        |      AS BIGINT) AS score
+        |  FROM d JOIN q ON d.token = q.token
+        |  JOIN lens ON d.doc_id = lens.doc_id
+        |  CROSS JOIN tot
+        |  GROUP BY 1, 2
+        |), pred AS (
+        |  SELECT query_id, doc_id, CAST(r AS BIGINT) AS r FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS r
+        |    FROM sc) WHERE r <= 5
+        |), post AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id, unnest(t) AS token FROM toks)
+        |), gold AS (
+        |  SELECT q.query_id, p.doc_id
+        |  FROM post p
+        |  JOIN q ON q.token = p.token
+        |  JOIN nq ON nq.query_id = q.query_id
+        |  GROUP BY 1, 2
+        |  HAVING CAST(count(*) AS BIGINT) = min(nq.n_q_terms)
+        |), ng AS (
+        |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_gold
+        |  FROM gold GROUP BY 1
+        |), h AS (
+        |  SELECT p.query_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |    CAST(min(p.r) AS BIGINT) AS first_rank
+        |  FROM pred p JOIN gold g
+        |    ON g.query_id = p.query_id AND g.doc_id = p.doc_id
+        |  GROUP BY 1
+        |)
+        |SELECT ng.query_id, ng.n_gold,
+        |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(1000000 * COALESCE(h.n_hits, 0) // 5 AS BIGINT)
+        |    AS precision_ppm,
+        |  CAST(1000000 * COALESCE(h.n_hits, 0) // ng.n_gold AS BIGINT)
+        |    AS recall_ppm,
+        |  CAST(CASE WHEN h.first_rank IS NULL THEN 0
+        |    ELSE 1000000 // h.first_rank END AS BIGINT) AS mrr_ppm
+        |FROM ng LEFT JOIN h ON h.query_id = ng.query_id
+        |ORDER BY ng.query_id""".stripMargin,
     // maxsim twin: chunk = (i-1) // 32 over the 1-indexed UNNEST
     // positions == Spark's 0-based pos div 32; max pooling then the
     // keyword-score close

@@ -1740,4 +1740,55 @@ object TextAnalysis {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
       .orderBy("doc_id")
   }
+
+  /** Retrieval-quality card: precision/recall@k and MRR of [[bm25TopK]]
+    * against an ALL-TERMS-PRESENT gold set (a document is relevant to a
+    * query iff every query term occurs in it — the strictest lexical
+    * relevance, itself exactly computable). Everything is integer ppm:
+    * MRR's reciprocal is the floor-quantized `1e6 div first_gold_rank`
+    * (0 when no gold doc is retrieved), so the whole eval —
+    * ranking INCLUDED — is hash-oracled, not approximately checked.
+    *
+    * Scale shape: the gold set reuses the bm25 skeleton (broadcast
+    * query-term filter directly under the posting explode — only
+    * matching postings shuffle), relevance is one (query, doc) partial
+    * agg checked against the per-query term count, and the metric close
+    * joins k·|Q| predicted rows against the gold set keyed on
+    * (query, doc).
+    */
+  def retrievalEval(docs: DataFrame, queries: DataFrame,
+                    k: Int = 5): DataFrame = {
+    val qTerms = queries
+      .select(col("query_id"), explode(tokensCol(col("query_text")))
+        .as("token"))
+      .distinct()
+    val nTerms = qTerms.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_q_terms"))
+    val gold = docs
+      .select(col("doc_id"), explode(tokensCol(col("text"))).as("token"))
+      .distinct()
+      .join(broadcast(qTerms), Seq("token"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"))
+      .join(broadcast(nTerms), Seq("query_id"))
+      .filter(col("n_matched") === col("n_q_terms"))
+      .select(col("query_id"), col("doc_id"))
+      .localCheckpoint() // feeds the per-query total AND the hit join
+    val pred = bm25TopK(docs, queries, k)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val hits = pred.join(gold, Seq("query_id", "doc_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("rank")).as("first_rank"))
+    gold.groupBy(col("query_id")).agg(count(lit(1)).as("n_gold"))
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("precision_ppm", expr(s"1000000L * n_hits div ${k}L"))
+      .withColumn("recall_ppm", expr("1000000L * n_hits div n_gold"))
+      .withColumn("mrr_ppm", expr(
+        "CASE WHEN first_rank IS NULL THEN 0L" +
+          " ELSE 1000000L div first_rank END"))
+      .select(col("query_id"), col("n_gold"), col("n_hits"),
+        col("precision_ppm"), col("recall_ppm"), col("mrr_ppm"))
+      .orderBy("query_id")
+  }
 }
