@@ -1407,6 +1407,9 @@ object SparkEntry {
     // --- daily-count autocorrelation per event type, lags 0..7
     "events_acf" -> ((s, dir) =>
       Eval.acf(rdEvents(s, dir))),
+    // --- CUPED variance-reduced A/B over the md5 user split
+    "events_cuped" -> ((s, dir) =>
+      Events.cuped(rdEvents(s, dir))),
     // --- interval-stacking peak concurrency (capacity-planning sweep)
     "events_concurrency" -> ((s, dir) =>
       Events.peakConcurrency(rdEvents(s, dir))),
@@ -3476,6 +3479,80 @@ object SparkEntry {
         |WHERE c.supp_late = 1 AND p.n_supp >= 2 AND p.n_late = 1
         |GROUP BY 1 ORDER BY n_blamed_orders DESC, l_suppkey
         |LIMIT 50""".stripMargin,
+    // cuped twin: same midpoint split, md5 variant, HUGEINT moments,
+    // sign-split floor divisions for θ and every mean
+    "events_cuped" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), span AS (
+        |  SELECT (min(day) + max(day) + 1) // 2 AS mid FROM ev
+        |), pu AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN day < mid THEN cents ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN day >= mid THEN cents ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM ev CROSS JOIN span GROUP BY 1
+        |), v AS (
+        |  SELECT x, y,
+        |    CASE WHEN CAST('0x' ||
+        |      substr(md5(CAST(user_id AS VARCHAR)), 1, 1) AS BIGINT) < 8
+        |      THEN 'A' ELSE 'B' END AS variant
+        |  FROM pu
+        |), mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+        |  FROM v
+        |), th AS (
+        |  SELECT CASE WHEN n * sxx - sx * sx = 0 THEN 0
+        |    WHEN n * sxy - sx * sy >= 0
+        |      THEN CAST((n * sxy - sx * sy) * 1000000
+        |        // (n * sxx - sx * sx) AS BIGINT)
+        |    ELSE -CAST((-(n * sxy - sx * sy)) * 1000000
+        |      // (n * sxx - sx * sx) AS BIGINT)
+        |    END AS theta_ppm
+        |  FROM mom
+        |), adj AS (
+        |  SELECT variant, 1000000 * y - theta_ppm * x AS adj_e6, y
+        |  FROM v CROSS JOIN th
+        |), w AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b,
+        |    sum(CASE WHEN variant = 'A' THEN adj_e6 ELSE 0 END)
+        |      AS s_adj_a,
+        |    sum(CASE WHEN variant = 'B' THEN adj_e6 ELSE 0 END)
+        |      AS s_adj_b,
+        |    CAST(sum(CASE WHEN variant = 'A' THEN y ELSE 0 END)
+        |      AS BIGINT) AS s_y_a,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN y ELSE 0 END)
+        |      AS BIGINT) AS s_y_b
+        |  FROM adj
+        |), m AS (
+        |  SELECT th.theta_ppm, w.n_a, w.n_b,
+        |    CASE WHEN w.n_a = 0 THEN NULL
+        |      WHEN w.s_adj_a >= 0 THEN CAST(w.s_adj_a // w.n_a AS BIGINT)
+        |      ELSE -CAST((-w.s_adj_a) // w.n_a AS BIGINT)
+        |      END AS mean_adj_a_e6,
+        |    CASE WHEN w.n_b = 0 THEN NULL
+        |      WHEN w.s_adj_b >= 0 THEN CAST(w.s_adj_b // w.n_b AS BIGINT)
+        |      ELSE -CAST((-w.s_adj_b) // w.n_b AS BIGINT)
+        |      END AS mean_adj_b_e6,
+        |    CASE WHEN w.n_a = 0 THEN NULL
+        |      ELSE CAST(w.s_y_a // w.n_a AS BIGINT) END AS mean_y_a_c,
+        |    CASE WHEN w.n_b = 0 THEN NULL
+        |      ELSE CAST(w.s_y_b // w.n_b AS BIGINT) END AS mean_y_b_c
+        |  FROM w CROSS JOIN th
+        |)
+        |SELECT theta_ppm, n_a, n_b, mean_adj_a_e6, mean_adj_b_e6,
+        |  mean_adj_a_e6 - mean_adj_b_e6 AS adj_lift_e6,
+        |  mean_y_a_c, mean_y_b_c,
+        |  mean_y_a_c - mean_y_b_c AS raw_lift_c
+        |FROM m""".stripMargin,
     // concurrency twin: identical +1/−1 boundary sweep with the same
     // pinned unique ordering and explicit ROWS frame
     "events_concurrency" ->

@@ -1320,6 +1320,90 @@ object Events {
     * peak election, and the close (the twap shared-partitioning rule).
     * Per-day state is bounded by daily active users, never corpus size.
     */
+  /** CUPED variance-reduced A/B readout — the standard experimentation
+    * upgrade over a raw means test: each user's POST-period spend is
+    * adjusted by their own PRE-period spend (`y′ = y − θ·x`, θ =
+    * cov(x,y)/var(x) pooled), removing the between-user variance the
+    * pre-period already explains. Engine-exact surrogate chain: values
+    * integerize to cents, the period split is the data-derived midpoint
+    * day ((d0+d1+1) div 2, one-row broadcast), θ is FLOOR-QUANTIZED to
+    * ppm with an explicit sign-split (`CASE WHEN cov ≥ 0 …` — truncation
+    * toward zero defined identically in both engines; negative covs are
+    * real), each user's adjustment `1e6·y − θ_ppm·x` is exact BIGINT,
+    * and every emitted mean is the same sign-split floor division. The
+    * computed estimate is CUPED with θ quantized to 1e-6 — the
+    * deterministic-surrogate trade the whole eval family makes; the
+    * variance reduction is unaffected at that granularity.
+    *
+    * Scale shape: one scan → per-user conditional sums (one partial-agg
+    * shuffle on user), a ONE-ROW moment close for θ, a one-row broadcast
+    * back, one ≤2-key rollup. The per-user frame feeds the θ moments AND
+    * the adjusted rollup → localCheckpoint (the reuses-exchanges rule).
+    * Moment products ride DECIMAL(38,0) (the welch/corrMatrix recipe).
+    */
+  def cuped(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), expr("ts div 1000").as("us"),
+      floor(col("value") * 100).cast("long").as("cents"))
+      .withColumn("day", expr("us div 86400000000"))
+    // bounded: one-row day span for the midpoint split
+    val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val perUser = ev.crossJoin(broadcast(span))
+      .withColumn("mid", expr("(d0 + d1 + 1) div 2"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("day") < col("mid"), col("cents")).otherwise(0L))
+          .as("x"),
+        sum(when(col("day") >= col("mid"), col("cents")).otherwise(0L))
+          .as("y"))
+      .withColumn("variant", when(expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 1), 16, 10)" +
+          " AS BIGINT)") < 8, lit("A")).otherwise(lit("B")))
+      .localCheckpoint()
+    // bounded: one-row pooled moments → floor-quantized θ
+    val theta = perUser.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+      .withColumn("cov_n", expr("n * sxy - sx * sy"))
+      .withColumn("var_n", expr("n * sxx - sx * sx"))
+      .withColumn("theta_ppm", expr(
+        """CASE WHEN var_n = 0 THEN 0L
+           WHEN cov_n >= 0 THEN CAST(cov_n * 1000000 div var_n AS BIGINT)
+           ELSE -CAST((-cov_n) * 1000000 div var_n AS BIGINT) END"""))
+      .select(col("theta_ppm"))
+    def cellDec(v: String, c: String) = coalesce(
+      sum(when(col("variant") === v, col(c).cast("decimal(38,0)"))),
+      lit(0L).cast("decimal(38,0)"))
+    def cell(v: String, c: String) =
+      coalesce(sum(when(col("variant") === v, col(c))), lit(0L))
+    val wide = perUser.crossJoin(broadcast(theta))
+      .withColumn("adj_e6", expr("1000000L * y - theta_ppm * x"))
+      .groupBy()
+      .agg(max(col("theta_ppm")).as("theta_ppm"),
+        coalesce(sum(when(col("variant") === "A", 1L)), lit(0L)).as("n_a"),
+        coalesce(sum(when(col("variant") === "B", 1L)), lit(0L)).as("n_b"),
+        cellDec("A", "adj_e6").as("s_adj_a"),
+        cellDec("B", "adj_e6").as("s_adj_b"),
+        cell("A", "y").as("s_y_a"), cell("B", "y").as("s_y_b"))
+    def signDiv(s: String, n: String) = expr(
+      s"""CASE WHEN $n = 0 THEN NULL
+          WHEN $s >= 0 THEN CAST($s div $n AS BIGINT)
+          ELSE -CAST((-$s) div $n AS BIGINT) END""")
+    wide
+      .withColumn("mean_adj_a_e6", signDiv("s_adj_a", "n_a"))
+      .withColumn("mean_adj_b_e6", signDiv("s_adj_b", "n_b"))
+      .withColumn("mean_y_a_c", signDiv("s_y_a", "n_a"))
+      .withColumn("mean_y_b_c", signDiv("s_y_b", "n_b"))
+      .withColumn("adj_lift_e6",
+        col("mean_adj_a_e6") - col("mean_adj_b_e6"))
+      .withColumn("raw_lift_c", col("mean_y_a_c") - col("mean_y_b_c"))
+      .select(col("theta_ppm"), col("n_a"), col("n_b"),
+        col("mean_adj_a_e6"), col("mean_adj_b_e6"), col("adj_lift_e6"),
+        col("mean_y_a_c"), col("mean_y_b_c"), col("raw_lift_c"))
+  }
+
   def peakConcurrency(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val iv = events

@@ -59,6 +59,8 @@ class QueryPlanSpec extends SparkSpec {
                        // for the zero-occurrence row
       "graph_diameter", // three ONE-ROW election frames crossed at the
                         // close; the BFS itself is keyed joins only
+      "events_cuped", // one-row day-span and one-row θ broadcasts onto
+                      // the stream / per-user frame
       "part_skyline", // one-row x-range for the grid prune; the frontier
                       // join itself is a keyed broadcast HASH join
       "graph_hits") // L1 normalization divides by a ONE-ROW integer total
