@@ -45,6 +45,8 @@ class QueryPlanSpec extends SparkSpec {
                    // matched posting slice
       "search_hybrid", // fuses the bm25 chain (same one-row total) with
                        // the ann_brute broadcast query set
+      "eval_retrieval", // the same bm25-chain one-row (corpus_len,
+                        // n_docs) total under the metric close
       "search_rerank", // contains the bm25 chain's one-row totals
       "search_hard_negatives", // same bm25 chain
       "events_rfm",    // one-row corpus-max instant onto |users| rows
