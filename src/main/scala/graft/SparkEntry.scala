@@ -1426,6 +1426,60 @@ object SparkEntry {
       TextAnalysis.vocabOverlap(docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1))
     }),
+    // --- TPC-H Q12 shape: fact-fact join + conditional priority split
+    "q12_shipmode" -> ((s, dir) =>
+      Analytics.q12(rd(s, dir, "lineitem"), rd(s, dir, "orders"))),
+    // --- cumulative gains / lift deciles over the doc quality score
+    "eval_gains" -> ((s, dir) =>
+      Eval.gainsCard(rd(s, dir, "documents")
+        .select(col("n_chars").as("score"),
+          (col("lang") === "en").as("label")))),
+    // --- chi-square independence: event mix vs day-of-week
+    "events_chi2" -> ((s, dir) =>
+      Eval.chi2Independence(rdEvents(s, dir)
+        .select(col("event_type"),
+          expr("ts div 86400000000000 % 7").as("dow")),
+        "event_type", "dow")),
+    // --- exact weighted k-sample without replacement (A-ES via
+    // replica min-hash; weight = 1 + chars/64)
+    "sample_weighted" -> ((s, dir) =>
+      Sampling.weightedSample(rd(s, dir, "documents")
+        .withColumn("w", expr("1L + n_chars div 64")),
+        "doc_id", "w", 64)),
+    // --- leave-one-out target encoding of source against the EN label
+    "docs_target_encode" -> ((s, dir) =>
+      Sampling.targetEncodeLOO(rd(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          (col("lang") === "en").as("y_lab")),
+        "source", "y_lab", "doc_id")
+        .orderBy("doc_id")),
+    // --- binomial-mechanism DP count release per event type
+    "privacy_dp_counts" -> ((s, dir) =>
+      Privacy.dpCounts(rdEvents(s, dir).select(col("event_type")),
+        Seq("event_type")).orderBy("event_type")),
+    // --- TPC-H Q9 shape: signed profit star over a name-filtered slice
+    "q9_profit" -> ((s, dir) =>
+      Analytics.q9(rd(s, dir, "lineitem"), rd(s, dir, "orders"),
+        rd(s, dir, "supplier"), rd(s, dir, "nation"),
+        rd(s, dir, "part"))),
+    // --- Poisson overdispersion (variance-to-mean) card per event type
+    "events_dispersion" -> ((s, dir) =>
+      Events.dispersionCard(rdEvents(s, dir))),
+    // --- Theil–Sen robust daily-trend slope per event type
+    "events_theilsen" -> ((s, dir) =>
+      Events.theilSen(rdEvents(s, dir))),
+    // --- Simpson user-concentration / effective-user card per type
+    "events_simpson" -> ((s, dir) =>
+      Events.simpsonCard(rdEvents(s, dir))),
+    // --- ORC ingestion round trip (fixed staging dir, load_jsonl rules)
+    "load_orc" -> ((s, dir) => {
+      val staged = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_orc").toString
+      Ingest.orcRoundTrip(rd(s, dir, "documents"), staged)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
     // --- A-priori level 3: frequent triples with downward-closure prune
     "basket_triples" -> ((s, dir) =>
       Analytics.basketTriples(rd(s, dir, "lineitem"), "l_orderkey",
@@ -4190,6 +4244,242 @@ object SparkEntry {
     "load_csv" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "load_orc" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q12 twin: same date band, same conditional priority split
+    "q12_shipmode" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) // 86400000000 >=
+        |    epoch_us(TIMESTAMP '1996-01-01') // 86400000000
+        |  AND epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) // 86400000000 <
+        |    epoch_us(TIMESTAMP '1996-07-01') // 86400000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // gains twin: same per-score compression, same group-edge bins
+    "eval_gains" ->
+      """WITH pers AS (
+        |  SELECT n_chars AS s, CAST(count(*) AS BIGINT) AS n_s,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS p_s
+        |  FROM documents GROUP BY 1
+        |), c AS (
+        |  SELECT sum(n_s) OVER (ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+        |    sum(p_s) OVER (ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+        |    sum(n_s) OVER () AS tot_n,
+        |    sum(p_s) OVER () AS tot_pos
+        |  FROM pers
+        |), b AS (
+        |  SELECT (cum_n * 10 + tot_n - 1) // tot_n AS bin,
+        |    max(cum_n) AS rows_cum, max(cum_pos) AS pos_cum,
+        |    max(tot_n) AS n, max(tot_pos) AS n_pos
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |  CAST(rows_cum AS BIGINT) AS rows_cum,
+        |  CAST(pos_cum AS BIGINT) AS pos_cum,
+        |  CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(CAST(pos_cum AS HUGEINT) * 1000000 // n_pos AS BIGINT)
+        |    AS capture_ppm,
+        |  CAST(CAST(pos_cum AS HUGEINT) * 1000000 * n
+        |    // (CAST(n_pos AS HUGEINT) * rows_cum) AS BIGINT) AS lift_ppm
+        |FROM b ORDER BY bin""".stripMargin,
+    // chi2 twin: identical cell/margin windows + HUGEINT residuals
+    "events_chi2" ->
+      """WITH src AS (
+        |  SELECT event_type AS a,
+        |    epoch_us(ts) // 86400000000 % 7 AS b
+        |  FROM events
+        |), cells AS (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM src GROUP BY 1, 2
+        |), m AS (
+        |  SELECT o,
+        |    sum(o) OVER (PARTITION BY a) AS r,
+        |    sum(o) OVER (PARTITION BY b) AS c,
+        |    sum(o) OVER () AS n, a, b
+        |  FROM cells
+        |), con AS (
+        |  SELECT a, b, n,
+        |    CAST((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+        |        * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+        |        * 1000000
+        |      // (CAST(n AS HUGEINT) * r * c) AS BIGINT) AS contrib_e6
+        |  FROM m
+        |), agg AS (
+        |  SELECT CAST(max(n) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT a) AS BIGINT) AS ra,
+        |    CAST(count(DISTINCT b) AS BIGINT) AS cb,
+        |    CAST(sum(contrib_e6) AS BIGINT) AS chi2_e6
+        |  FROM con
+        |)
+        |SELECT n, ra, cb, chi2_e6,
+        |  CAST((ra - 1) * (cb - 1) AS BIGINT) AS dof,
+        |  CAST(floor(sqrt((CAST(chi2_e6 AS DOUBLE)
+        |      / CAST('1000000' AS DOUBLE))
+        |      / CAST(n * (least(ra, cb) - 1) AS DOUBLE))
+        |    * CAST('1000000' AS DOUBLE)) AS BIGINT) AS cramer_ppm
+        |FROM agg""".stripMargin,
+    // A-ES twin: UNNEST(range(w)) replicas, same md5 minima, same top-k
+    "sample_weighted" ->
+      """WITH w AS (
+        |  SELECT doc_id, 1 + n_chars // 64 AS w FROM documents
+        |), reps AS (
+        |  SELECT doc_id, w,
+        |    min(md5(CAST(doc_id AS VARCHAR) || ':'
+        |      || CAST(t.r AS VARCHAR))) AS h
+        |  FROM w, UNNEST(range(w.w)) AS t(r)
+        |  GROUP BY 1, 2
+        |), top AS (
+        |  SELECT doc_id, w, h FROM reps ORDER BY h, doc_id LIMIT 64
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT)
+        |    AS draw,
+        |  doc_id AS id, CAST(w AS BIGINT) AS w, h
+        |FROM top ORDER BY draw""".stripMargin,
+    // LOO twin: same per-category totals, same ppm residual mean
+    "docs_target_encode" ->
+      """WITH y AS (
+        |  SELECT doc_id, source,
+        |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+        |  FROM documents
+        |), k AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_k,
+        |    CAST(sum(y) AS BIGINT) AS sum_k
+        |  FROM y GROUP BY 1
+        |)
+        |SELECT y.doc_id AS doc_id, y.source AS source, y.y AS y, k.n_k,
+        |  CAST(CASE WHEN n_k <= 1 THEN NULL
+        |    ELSE 1000000 * (sum_k - y.y) // (n_k - 1) END AS BIGINT)
+        |    AS loo_ppm
+        |FROM y JOIN k ON k.source = y.source
+        |ORDER BY doc_id""".stripMargin,
+    // q9 twin: same cents cost stand-in, same signed e4 amounts
+    "q9_profit" ->
+      """WITH pt AS (
+        |  SELECT p_partkey,
+        |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      // 5 AS cost_c
+        |  FROM part WHERE p_name LIKE '%red%'
+        |), supp AS (
+        |  SELECT s_suppkey, n_name AS nation
+        |  FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |)
+        |SELECT supp.nation AS nation,
+        |  CAST(year(CAST(o.o_orderdate AS TIMESTAMP)) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)
+        |      * (100 - CAST(CAST(l_discount AS DECIMAL(9,2)) * 100
+        |        AS BIGINT))
+        |      - pt.cost_c * 100 * CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |    AS profit_e4,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem l
+        |JOIN pt ON pt.p_partkey = l.l_partkey
+        |JOIN supp ON supp.s_suppkey = l.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // dispersion twin: same gap-filled grid, same HUGEINT moments
+    "events_dispersion" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), span AS (
+        |  SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY 1
+        |), grid AS (
+        |  SELECT g.event_type, g.day, COALESCE(d.x, 0) AS x
+        |  FROM (SELECT s.event_type, CAST(u.day AS BIGINT) AS day
+        |        FROM span s,
+        |          UNNEST(generate_series(s.d0, s.d1)) AS u(day)) g
+        |  LEFT JOIN daily d
+        |    ON d.event_type = g.event_type AND d.day = g.day
+        |), agg AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(x) AS BIGINT) AS n_events,
+        |    sum(CAST(x AS HUGEINT) * x) AS s2
+        |  FROM grid GROUP BY 1
+        |)
+        |SELECT event_type, n_days, n_events,
+        |  CAST(100 * n_events // n_days AS BIGINT) AS mean_e2,
+        |  CAST((CAST(n_days AS HUGEINT) * s2
+        |      - CAST(n_events AS HUGEINT) * n_events) * 1000000
+        |    // (CAST(n_days - 1 AS HUGEINT) * n_events) AS BIGINT)
+        |    AS dispersion_ppm
+        |FROM agg ORDER BY event_type""".stripMargin,
+    // theil-sen twin: same grid, same IEEE-slope order + lower median
+    "events_theilsen" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), span AS (
+        |  SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY 1
+        |), grid AS (
+        |  SELECT g.event_type, g.day, COALESCE(d.x, 0) AS x
+        |  FROM (SELECT s.event_type, CAST(u.day AS BIGINT) AS day
+        |        FROM span s,
+        |          UNNEST(generate_series(s.d0, s.d1)) AS u(day)) g
+        |  LEFT JOIN daily d
+        |    ON d.event_type = g.event_type AND d.day = g.day
+        |), pairs AS (
+        |  SELECT a.event_type, a.day AS d1, b.day AS d2,
+        |    b.x - a.x AS dy, b.day - a.day AS dx
+        |  FROM grid a
+        |  JOIN grid b ON b.event_type = a.event_type AND b.day > a.day
+        |), r AS (
+        |  SELECT event_type, d1, d2, dy, dx,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n_pairs,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE), d1, d2)
+        |      AS BIGINT) AS rn
+        |  FROM pairs
+        |)
+        |SELECT event_type, n_pairs, CAST(dy AS BIGINT) AS dy,
+        |  CAST(dx AS BIGINT) AS dx,
+        |  CAST(CASE WHEN dy >= 0 THEN 1000000 * dy // dx
+        |    ELSE -((1000000 * -dy) // dx) END AS BIGINT) AS slope_ppm
+        |FROM r WHERE rn = (n_pairs + 1) // 2
+        |ORDER BY event_type""".stripMargin,
+    // simpson twin: same per-user compression, same HUGEINT ratios
+    "events_simpson" ->
+      """WITH pu AS (
+        |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_u
+        |  FROM events GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT event_type, CAST(sum(n_u) AS BIGINT) AS n_events,
+        |    CAST(count(*) AS BIGINT) AS n_users,
+        |    sum(CAST(n_u AS HUGEINT) * n_u) AS s2
+        |  FROM pu GROUP BY 1
+        |)
+        |SELECT event_type, n_events, n_users,
+        |  CAST(s2 * 1000000 // (CAST(n_events AS HUGEINT) * n_events)
+        |    AS BIGINT) AS simpson_ppm,
+        |  CAST(CAST(n_events AS HUGEINT) * n_events * 100 // s2
+        |    AS BIGINT) AS eff_users_e2
+        |FROM agg ORDER BY event_type""".stripMargin,
+    // binomial-mechanism twin: same md5 coins, same clamped release
+    "privacy_dp_counts" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+        |  FROM events GROUP BY 1
+        |), h AS (
+        |  SELECT event_type, n_true, md5('dp:' || event_type) AS h FROM g
+        |)
+        |SELECT event_type,
+        |  CAST(greatest(n_true
+        |    + bit_count(CAST('0x' || substr(h, 1, 8) AS BIGINT))
+        |    + bit_count(CAST('0x' || substr(h, 9, 8) AS BIGINT))
+        |    - 32, 0) AS BIGINT) AS released
+        |FROM h ORDER BY event_type""".stripMargin,
     "bluegreen_keep2" ->
       """WITH d AS (
         |  SELECT o_custkey AS customer_id,

@@ -863,6 +863,77 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
+  /** Shipping-priority split (TPC-H Q12 shape): per line status in a
+    * ship-date window, how many lines belong to critical-priority
+    * orders vs the rest — the canonical fact-fact join feeding a
+    * CONDITIONAL COUNT pair (`sum(CASE WHEN priority critical …)`), one
+    * pass, never two filtered scans. Plan shape under test: the date
+    * band lands on the lineitem SCAN before the only big exchange (the
+    * orderkey shuffle join — at 100 TB on a date-laid-out lake it
+    * partition-prunes), orders carries just (key, priority) through the
+    * shuffle, and the output domain is |statuses| rows. (Classic Q12
+    * splits by ship mode and bounds receipt-vs-commit lateness; this
+    * corpus carries neither column, so line status plays the group key
+    * and the ship-date band the scan filter — the join/conditional-agg
+    * skeleton is the probe.)
+    */
+  def q12(lineitem: DataFrame, orders: DataFrame,
+          dayLo: String = "1996-01-01", dayHi: String = "1996-07-01",
+          critical: Seq[String] = Seq("1-URGENT", "2-HIGH")): DataFrame = {
+    val lo = java.time.LocalDate.parse(dayLo).toEpochDay
+    val hi = java.time.LocalDate.parse(dayHi).toEpochDay
+    lineitem
+      .filter(shipEpochDay >= lit(lo) && shipEpochDay < lit(hi))
+      .select(col("l_orderkey").as("o_orderkey"), col("l_linestatus"))
+      .join(orders.select(col("o_orderkey"), col("o_orderpriority")),
+        Seq("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin(critical: _*), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin(critical: _*), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** Product-profit star (TPC-H Q9 shape): profit per supplier nation
+    * per order year over a part-name-filtered slice — the SIGNED
+    * measure probe (profit = revenue − cost can go negative, so every
+    * sum must be order-free-exact, not just approximately stable).
+    * Amount is exact integer e4: the shared revE4 minus cost·qty with
+    * cost in exact cents. The name-filtered part set and the
+    * supplier→nation chain broadcast ONTO THE LINEITEM SCAN — the
+    * fact stream shrinks to the matching slice before the orderkey
+    * shuffle (the only big exchange; the q8 move), and orders carries
+    * just (key, year). (Classic Q9 prices cost from partsupp; this
+    * corpus has no partsupp table, so a fixed 20%-of-retail stand-in
+    * cost — exact cents via integer division — keeps the plan and the
+    * signed-measure semantics intact.)
+    */
+  def q9(lineitem: DataFrame, orders: DataFrame, supplier: DataFrame,
+         nation: DataFrame, part: DataFrame,
+         namePattern: String = "red"): DataFrame = {
+    val pt = part.filter(col("p_name").contains(namePattern))
+      .select(col("p_partkey").as("l_partkey"),
+        expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+          " div 5").as("cost_c"))
+    val supp = supplier.join(broadcast(nation),
+      col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("l_suppkey"), col("n_name").as("nation"))
+    val ord = orders.select(col("o_orderkey").as("l_orderkey"),
+      year(col("o_orderdate").cast("timestamp")).cast("long").as("o_year"))
+    lineitem
+      .join(broadcast(pt), Seq("l_partkey"))
+      .join(broadcast(supp), Seq("l_suppkey"))
+      .join(ord, Seq("l_orderkey"))
+      .withColumn("amount_e4",
+        revE4 - col("cost_c") * 100L * col("l_quantity").cast("long"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(sum(col("amount_e4")).as("profit_e4"),
+        count(lit(1)).as("n_items"))
+      .orderBy("nation", "o_year")
+  }
+
   /** 2-D skyline (Pareto front, minimize both axes) — "no other row is
     * at most as expensive AND at most as large, strictly better in one":
     * the multi-objective shortlist query (cheapest-per-size-class

@@ -248,4 +248,99 @@ object Eval {
         col("acf_ppm"))
       .orderBy("event_type", "lag")
   }
+  /** Cumulative gains / lift card at score-group granularity — the
+    * "top-decile capture" readout a targeting or data-selection model
+    * ships with: rank the corpus by score descending, cut at each
+    * cumulative nBins-tile boundary, and report what fraction of all
+    * positives the prefix captures (capture) and how much better than
+    * random that is (lift). Cuts land on DISTINCT-SCORE group edges
+    * (no arbitrary intra-tie split — ties are never divided, so the
+    * card is deterministic and engine-portable by construction; a
+    * score group straddling a boundary rolls wholly into the later
+    * bin). Both ratios are exact integer ppm via DECIMAL(38,0)
+    * cross-multiplication — overflow-free at any corpus size.
+    *
+    * Scale shape: the [[aucExact]] skeleton — ONE partial-aggregated
+    * groupBy compresses rows to the distinct-score domain, and both
+    * cumulative windows share one ordering over that aggregated frame
+    * (a single WindowExec), never over corpus rows.
+    */
+  def gainsCard(df: DataFrame, nBins: Int = 10,
+                scoreCol: String = "score",
+                labelCol: String = "label"): DataFrame = {
+    val perScore = df
+      .groupBy(col(scoreCol).as("s"))
+      .agg(count(lit(1)).as("n_s"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("p_s"))
+    val cum = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perScore
+      .withColumn("cum_n", sum(col("n_s")).over(cum))
+      .withColumn("cum_pos", sum(col("p_s")).over(cum))
+      .withColumn("tot_n", sum(col("n_s")).over(tot))
+      .withColumn("tot_pos", sum(col("p_s")).over(tot))
+      .withColumn("bin",
+        expr(s"(cum_n * ${nBins}L + tot_n - 1) div tot_n"))
+      .groupBy(col("bin"))
+      .agg(max(col("cum_n")).as("rows_cum"),
+        max(col("cum_pos")).as("pos_cum"),
+        max(col("tot_n")).as("n"), max(col("tot_pos")).as("n_pos"))
+      .withColumn("capture_ppm", expr(
+        """CAST(CAST(pos_cum AS DECIMAL(38,0)) * 1000000
+           div n_pos AS BIGINT)"""))
+      .withColumn("lift_ppm", expr(
+        """CAST(CAST(pos_cum AS DECIMAL(38,0)) * 1000000 * n
+           div (CAST(n_pos AS DECIMAL(38,0)) * rows_cum) AS BIGINT)"""))
+      .orderBy("bin")
+  }
+
+  /** Chi-square test of independence over a two-way contingency table —
+    * "is event mix independent of day-of-week", the categorical drift /
+    * association audit. Exact integer identity: with cell count O,
+    * margins R, C and total N, each cell contributes
+    * (O·N − R·C)² / (N·R·C); the statistic is reported as chi2_e6
+    * (×10⁶, floor-divided per cell through DECIMAL(38,0) — portable
+    * and reduction-order-free), with Cramér's V in ppm off the one
+    * final IEEE sqrt (portable; both engines run the identical op
+    * sequence). Exactness bound: the squared residual times 10⁶ must
+    * fit DECIMAL(38,0), which holds through N ≈ 5·10⁷ observations —
+    * beyond that, pre-aggregate (e.g. per day) before testing.
+    *
+    * Scale shape: ONE partial-aggregated groupBy compresses the corpus
+    * to |A|×|B| cells; margins are windows OVER THE CELL FRAME (each
+    * partition ≤ the opposite domain's cardinality), so nothing
+    * corpus-sized ever moves after the first agg.
+    */
+  def chi2Independence(df: DataFrame, aCol: String,
+                       bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val wa = Window.partitionBy("a")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wb = Window.partitionBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells
+      .withColumn("r", sum(col("o")).over(wa))
+      .withColumn("c", sum(col("o")).over(wb))
+      .withColumn("n", sum(col("o")).over(wAll))
+      .withColumn("contrib_e6", expr(
+        """CAST((CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)
+             * (CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)
+             * 1000000
+           div (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)"""))
+      .agg(max(col("n")).as("n"),
+        countDistinct(col("a")).as("ra"),
+        countDistinct(col("b")).as("cb"),
+        sum(col("contrib_e6")).as("chi2_e6"))
+      .withColumn("dof", expr("(ra - 1) * (cb - 1)"))
+      .withColumn("cramer_ppm", expr(
+        """CAST(floor(sqrt((CAST(chi2_e6 AS DOUBLE)
+             / CAST('1000000' AS DOUBLE))
+             / CAST(n * (least(ra, cb) - 1) AS DOUBLE))
+           * CAST('1000000' AS DOUBLE)) AS BIGINT)"""))
+  }
 }

@@ -1427,4 +1427,126 @@ object Events {
         min(col("t")).as("peak_at_us"))
       .orderBy("day")
   }
+
+  /** Gap-filled per-type daily count grid — the shared frame behind the
+    * seasonality/trend cards ([[dispersionCard]], [[theilSen]]; the
+    * same shape `Eval.acf` builds inline): missing days are REAL zeros,
+    * not absent rows, or every variance/slope statistic silently
+    * shrinks its denominator. One partial-aggregated groupBy to the
+    * (type, day) domain, a bounded span explode per type, one keyed
+    * left join back.
+    */
+  private def dailyGrid(events: DataFrame): DataFrame = {
+    val daily = events
+      .withColumn("day", expr("ts div 86400000000000"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x"))
+    daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("x"), lit(0L)).as("x"))
+  }
+
+  /** Poisson overdispersion card: the variance-to-mean ratio of daily
+    * event counts per type — the "is this arrival process actually
+    * Poisson" audit (VMR ≈ 1 ⇒ Poisson; ≫ 1 ⇒ bursty/clumped, the
+    * signature of bots, incidents, and campaign traffic; ≪ 1 ⇒
+    * suspiciously regular). Exact integer identity over the gap-filled
+    * grid: VMR = s²/x̄ = (n·Σx² − (Σx)²) / ((n−1)·Σx), reported as ppm
+    * through DECIMAL(38,0) (order-free, portable; the numerator is
+    * non-negative by Cauchy–Schwarz). Single-day spans surface NULL
+    * portably (zero denominator).
+    *
+    * Scale shape: the [[dailyGrid]] compression then ONE groupBy to
+    * |types| rows — corpus rows move once, into the first partial agg.
+    */
+  def dispersionCard(events: DataFrame): DataFrame =
+    dailyGrid(events)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("n_events"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("s2"))
+      .withColumn("mean_e2", expr("100L * n_events div n_days"))
+      .withColumn("dispersion_ppm", expr(
+        """CAST((CAST(n_days AS DECIMAL(38,0)) * s2
+             - CAST(n_events AS DECIMAL(38,0)) * n_events) * 1000000
+           div (CAST(n_days - 1 AS DECIMAL(38,0)) * n_events)
+           AS BIGINT)"""))
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        col("mean_e2"), col("dispersion_ppm"))
+      .orderBy("event_type")
+
+  /** Theil–Sen robust trend: the MEDIAN of all pairwise daily-count
+    * slopes per type — the outlier-proof complement to the OLS
+    * [[trendSlope]] (one incident day drags a least-squares fit; the
+    * pairwise median shrugs it off, breakdown point ~29%). Median
+    * election is deterministic and engine-portable: pairs order by the
+    * IEEE slope dy/dx (identical double op in both engines) with
+    * (d1, d2) tie-breaks, and the LOWER median row is picked by rank;
+    * the reported slope_ppm comes from the picked pair via the
+    * sign-split CASE (negative slopes are real — truncation toward
+    * zero defined identically in both engines, the cuped θ recipe).
+    *
+    * Scale shape: the pair self-join is per-type over the BOUNDED
+    * daily grid (d days → d(d−1)/2 pairs — ~10⁵ rows for a year, a
+    * rounding error next to the corpus scan that built the grid); the
+    * rank window partitions on type. For multi-year spans, cap the
+    * window or pre-aggregate to weeks before pairing.
+    */
+  def theilSen(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = dailyGrid(events)
+    val pairs = g.select(col("event_type"), col("day").as("d1"),
+        col("x").as("x1"))
+      .join(g.select(col("event_type"), col("day").as("d2"),
+        col("x").as("x2")), Seq("event_type"))
+      .filter(col("d2") > col("d1"))
+      .select(col("event_type"), col("d1"), col("d2"),
+        (col("x2") - col("x1")).as("dy"), (col("d2") - col("d1")).as("dx"))
+    val byType = Window.partitionBy("event_type")
+    val bySlope = byType.orderBy(
+      (col("dy").cast("double") / col("dx").cast("double")).asc,
+      col("d1").asc, col("d2").asc)
+    pairs
+      .withColumn("n_pairs", count(lit(1)).over(
+        byType.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("rn", row_number().over(bySlope).cast("long"))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .withColumn("slope_ppm", expr(
+        """CASE WHEN dy >= 0 THEN 1000000L * dy div dx
+           ELSE -((1000000L * -dy) div dx) END"""))
+      .select(col("event_type"), col("n_pairs"), col("dy"), col("dx"),
+        col("slope_ppm"))
+      .orderBy("event_type")
+  }
+
+  /** Simpson user-concentration card: per event type, the probability
+    * two random events came from the SAME user (λ = Σ n_u² / N²) and
+    * its inverse — the effective number of users. The bot/abuse audit
+    * in one exact rational: a type with 10⁵ events but an effective
+    * user count of 3 is a scraper, not a feature. No logs (Shannon
+    * entropy is not oracle-portable); Simpson is pure count algebra
+    * through DECIMAL(38,0).
+    *
+    * Scale shape: groupBy (type, user) partial agg, then groupBy type
+    * — two keyed shuffles, both combine map-side.
+    */
+  def simpsonCard(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_u"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_u")).as("n_events"), count(lit(1)).as("n_users"),
+        sum((col("n_u") * col("n_u")).cast("decimal(38,0)")).as("s2"))
+      .withColumn("simpson_ppm", expr(
+        """CAST(s2 * 1000000
+           div (CAST(n_events AS DECIMAL(38,0)) * n_events) AS BIGINT)"""))
+      .withColumn("eff_users_e2", expr(
+        """CAST(CAST(n_events AS DECIMAL(38,0)) * n_events * 100
+           div s2 AS BIGINT)"""))
+      .select(col("event_type"), col("n_events"), col("n_users"),
+        col("simpson_ppm"), col("eff_users_e2"))
+      .orderBy("event_type")
 }

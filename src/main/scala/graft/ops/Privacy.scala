@@ -114,4 +114,38 @@ object Privacy {
       .agg(count(lit(1)).as("n"), sum(col("reported")).as("obs_yes"))
       .withColumn("est_yes_ppm",
         expr("greatest(4 * obs_yes - n, 0L) * 1000000L div (2 * n)"))
+
+  /** Central-DP noisy count release via the BINOMIAL MECHANISM (Dwork
+    * et al. 2006): each released group count carries additive
+    * Binomial(64, ½) − 32 noise (σ = 4) — the discrete, finite-support
+    * mechanism that needs no libm sampling and so stays exact in both
+    * engines. The 64 coins are md5 bits of the salted group key:
+    * deterministic given (salt, key), so a re-export releases the SAME
+    * noise (the memoization rule — fresh noise per release would
+    * average away under repeated queries). A production deployment
+    * derives the salt from a SECRET key (the noise must be
+    * unpredictable to the analyst); the fixed salt here is what makes
+    * the release testable. Released counts clamp at 0 (the one
+    * negative-operand div/floor divergence corner, and counts below 0
+    * leak sign information anyway).
+    *
+    * Scale: one partial-aggregated groupBy to the group domain; the
+    * noise is a per-GROUP expression over two 32-bit md5 words —
+    * nothing row-sized ever re-moves.
+    */
+  def dpCounts(df: DataFrame, groupCols: Seq[String],
+               salt: String = "dp"): DataFrame = {
+    val keyed = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_true"))
+    val key = concat(lit(salt + ":"),
+      concat_ws("", groupCols.map(c => col(c).cast("string")): _*))
+    keyed
+      .withColumn("h", md5(key))
+      .withColumn("noise",
+        (bit_count(conv(substring(col("h"), 1, 8), 16, 10).cast("long")) +
+          bit_count(conv(substring(col("h"), 9, 8), 16, 10).cast("long")) -
+          lit(32)).cast("long"))
+      .withColumn("released", greatest(col("n_true") + col("noise"), lit(0L)))
+      .select(groupCols.map(col) :+ col("released"): _*)
+  }
 }

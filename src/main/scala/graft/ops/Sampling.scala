@@ -417,4 +417,68 @@ object Sampling {
       .withColumn("margin", col("chosen_score") - col("rejected_score"))
       .filter(col("margin") >= minMargin &&
         col("chosen_id") =!= col("rejected_id"))
+
+  /** EXACT weighted sampling WITHOUT replacement (k draws): the
+    * Efraimidis–Spirakis A-ES scheme, derandomized to the replica-
+    * min-hash recipe. Each row with integer weight w materializes w
+    * salted md5 replicas and keeps its minimum hash; the k globally
+    * smallest minima ARE the weighted sample — P(row first) = w/Σw
+    * exactly, then recursively over survivors, because min of w iid
+    * uniforms ~ the u^(1/w) A-ES key (identical law by the reflection
+    * u ↦ 1−u). md5 in place of RNG makes the draw reproducible across
+    * runs, engines, and cluster sizes — and oracle-exact.
+    *
+    * Scale shape: the explode is Σw rows of (id, hash) pairs — bound
+    * `weightCol` (quantize: weight 1 + chars/64, not raw chars) so Σw
+    * stays a small multiple of the corpus; per-row min collapses in
+    * the partial agg, and the global k smallest is a TakeOrdered
+    * (per-partition heads + k-row merge), never a global sort.
+    * `weightCol` must be integral ≥ 1.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = df
+      .select(col(idCol).as("id"), col(weightCol).cast("long").as("w"))
+      .withColumn("r", explode(expr("sequence(0L, w - 1L)")))
+      .withColumn("h", md5(concat(col("id").cast("string"), lit(":"),
+        col("r").cast("string"))))
+      .groupBy(col("id"), col("w"))
+      .agg(min(col("h")).as("h"))
+      .orderBy(col("h").asc, col("id").asc)
+      .limit(k)
+    hashed
+      .withColumn("draw",
+        row_number().over(Window.orderBy(col("h").asc, col("id").asc))
+          .cast("long"))
+      .select(col("draw"), col("id"), col("w"), col("h"))
+  }
+
+  /** Leave-one-out target encoding: replace a categorical feature with
+    * the mean label of OTHER rows sharing its value — the standard
+    * high-cardinality-categorical encoder, in the leakage-safe LOO form
+    * (a row never sees its own label; naive per-category means leak the
+    * target and inflate every downstream validation score). Exact
+    * integer ppm: (Σ_k − y_i) · 10⁶ div (n_k − 1); singleton categories
+    * surface NULL portably (no global-prior imputation — downstream
+    * picks its own fallback).
+    *
+    * Scale shape: one partial-aggregated groupBy to the category
+    * domain, broadcast back onto the stream — corpus rows never
+    * shuffle. (For category domains too big to broadcast, the same
+    * two-frame plan holds with a shuffled hash join on the category.)
+    */
+  def targetEncodeLOO(df: DataFrame, catCol: String, labelCol: String,
+                      idCol: String): DataFrame = {
+    val y = when(col(labelCol), 1L).otherwise(0L)
+    val perCat = df.groupBy(col(catCol))
+      .agg(count(lit(1)).as("n_k"), sum(y).as("sum_k"))
+    df.select(col(idCol), col(catCol), y.as("y"))
+      .join(broadcast(perCat), Seq(catCol))
+      .withColumn("loo_ppm", expr(
+        """CASE WHEN n_k <= 1 THEN NULL
+           ELSE 1000000L * (sum_k - y) div (n_k - 1) END"""))
+      .select(col(idCol), col(catCol), col("y"), col("n_k"),
+        col("loo_ppm"))
+  }
 }

@@ -57,4 +57,21 @@ object Ingest {
       .option("nullValue", "\u0000")
       .csv(stagingDir)
   }
+
+  /** Dump `df` as ORC and read it back under the explicit schema — the
+    * OTHER columnar lake format (Hive-lineage warehouses interchange in
+    * ORC the way crawl feeds interchange in JSONL). Unlike the text
+    * round trips above there is no escaping obligation; the proof here
+    * is type fidelity — ORC's own writer/reader pair must preserve
+    * strings and integers bit-for-bit against the parquet source of
+    * truth, or a lake migration silently corrupts every checksum.
+    * Scale: ORC stripes are splittable and carry min/max indexes, so
+    * read-side predicate pushdown and column pruning behave like
+    * parquet — full scan parallelism, zero shuffles in either
+    * direction.
+    */
+  def orcRoundTrip(df: DataFrame, stagingDir: String): DataFrame = {
+    df.write.mode("overwrite").orc(stagingDir)
+    df.sparkSession.read.schema(df.schema).orc(stagingDir)
+  }
 }

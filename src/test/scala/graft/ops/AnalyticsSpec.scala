@@ -253,4 +253,43 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(10L -> 1L))
   }
+
+  test("q12 splits critical vs other priorities inside the date band") {
+    import org.apache.spark.sql.functions._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"1996-$m%02d-15 00:00:00")
+    // order 1 urgent, order 2 low, order 3 high; line for order 3 ships
+    // outside the band and must not count
+    val li = Seq(
+      (1L, "O", t(2)), (1L, "F", t(3)), (2L, "O", t(2)), (3L, "O", t(8)))
+      .toDF("l_orderkey", "l_linestatus", "l_shipdate")
+    val o = Seq((1L, "1-URGENT"), (2L, "5-LOW"), (3L, "2-HIGH"))
+      .toDF("o_orderkey", "o_orderpriority")
+    val out = Analytics.q12(li, o).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map("O" -> ((1L, 1L)), "F" -> ((1L, 0L))))
+  }
+
+  test("q9 computes signed e4 profit on the name-filtered slice only") {
+    import org.apache.spark.sql.functions._
+    // part 1 matches 'red', cost cents = 1000/5 = 200; part 2 excluded
+    val pt = Seq((1L, "red widget", 10.00), (2L, "blue bolt", 99.0))
+      .toDF("p_partkey", "p_name", "p_retailprice")
+    // rev = 10000c * 90 = 900000 e4; cost = 200c*100*qty2 = 40000 e4
+    val li = Seq((1L, 1L, 10L, 2.0, 100.0, 0.10),
+      (2L, 2L, 10L, 1.0, 50.0, 0.0))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+    val o = Seq((1L, java.sql.Timestamp.valueOf("1996-03-01 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("1997-03-01 00:00:00")))
+      .toDF("o_orderkey", "o_orderdate")
+    val su = Seq((10L, 7)).toDF("s_suppkey", "s_nationkey")
+    val na = Seq((7, "N1")).toDF("n_nationkey", "n_name")
+    val out = Analytics.q9(li, o, su, na, pt).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("nation") == "N1")
+    assert(r.getAs[Long]("o_year") == 1996L)
+    assert(r.getAs[Long]("profit_e4") == 860000L)
+    assert(r.getAs[Long]("n_items") == 1L)
+  }
 }

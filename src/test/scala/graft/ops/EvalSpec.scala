@@ -125,4 +125,53 @@ class EvalSpec extends SparkSpec {
     assert(r(("b", 1L))._3 == -500000L)
     assert(r(("b", 2L))._3 == 0L)
   }
+
+  test("gainsCard cuts on score-group edges with exact capture and lift") {
+    // desc groups: s=4 (2 rows, 1 pos), s=3 (1 row, 1 pos),
+    //   s=2 (2 rows, 0 pos), s=1 (1 row, 1 pos); n=6, pos=3, nBins=2
+    // ceil-edge bins: cum 2→1, 3→1, 5→2, 6→2
+    val df = Seq((4L, true), (4L, false), (3L, true), (2L, false),
+      (2L, false), (1L, true)).toDF("score", "label")
+    val r = Eval.gainsCard(df, nBins = 2).collect()
+      .map(x => x.getAs[Long]("bin") ->
+        (x.getAs[Long]("rows_cum"), x.getAs[Long]("pos_cum"),
+          x.getAs[Long]("capture_ppm"), x.getAs[Long]("lift_ppm"))).toMap
+    assert(r(1L) == ((3L, 2L, 666666L, 1333333L)))
+    assert(r(2L) == ((6L, 3L, 1000000L, 1000000L)))
+  }
+
+  test("gainsCard never splits a tie group across bins") {
+    // ALL rows share one score → exactly one bin (the last), whole corpus
+    val flat = Seq((7L, true), (7L, false), (7L, false), (7L, true))
+      .toDF("score", "label")
+    val rows = Eval.gainsCard(flat, nBins = 4).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("bin") == 4L)
+    assert(rows.head.getAs[Long]("rows_cum") == 4L)
+  }
+
+  test("chi2Independence matches the hand-computed 2x2 statistic") {
+    // cells x/0=3, x/1=1, y/0=1, y/1=3: every |O·N−R·C| = 8,
+    // contrib = 10^6·64/(8·4·4) = 500000 each → chi2 = 2.0, dof 1,
+    // V = sqrt(2/(8·1)) = 0.5
+    val rows = Seq.fill(3)(("x", 0L)) ++ Seq(("x", 1L), ("y", 0L)) ++
+      Seq.fill(3)(("y", 1L))
+    val r = Eval.chi2Independence(rows.toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(r.getAs[Long]("n") == 8L)
+    assert(r.getAs[Long]("ra") == 2L && r.getAs[Long]("cb") == 2L)
+    assert(r.getAs[Long]("chi2_e6") == 2000000L)
+    assert(r.getAs[Long]("dof") == 1L)
+    assert(r.getAs[Long]("cramer_ppm") == 500000L)
+  }
+
+  test("chi2Independence is zero for an exactly independent table") {
+    // perfect independence: O = R·C/N for every cell → residuals 0
+    val rows = for { a <- Seq("x", "y"); b <- 0L to 1L; _ <- 1 to 2 }
+      yield (a, b)
+    val r = Eval.chi2Independence(rows.toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(r.getAs[Long]("chi2_e6") == 0L)
+    assert(r.getAs[Long]("cramer_ppm") == 0L)
+  }
 }

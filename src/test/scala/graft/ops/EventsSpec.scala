@@ -706,4 +706,44 @@ class EventsSpec extends SparkSpec {
     // age 31 capped to 19 -> weight 1000000 div 2^19 = 1
     assert(out("C") == ((1L, 1L)))
   }
+
+  test("dispersionCard computes exact VMR over the gap-filled grid") {
+    val day = 86400000000000L // nanos
+    // days 0,2,3 with counts 1,2,3; day 1 is a REAL zero via the grid:
+    // x=[1,0,2,3], n=4, S1=6, S2=14 -> VMR = (4*14-36)/(3*6) = 10/9
+    val ev = (Seq.fill(1)(0L) ++ Seq.fill(2)(2 * day) ++
+      Seq.fill(3)(3 * day)).map(("a", _)).toDF("event_type", "ts")
+    val r = Events.dispersionCard(ev).collect().head
+    assert(r.getAs[Long]("n_days") == 4L)
+    assert(r.getAs[Long]("n_events") == 6L)
+    assert(r.getAs[Long]("mean_e2") == 150L)
+    assert(r.getAs[Long]("dispersion_ppm") == 1111111L)
+  }
+
+  test("theilSen picks the lower-median pairwise slope, sign-exact") {
+    val day = 86400000000000L
+    // up: counts 1,2,4 on days 0,1,2 -> slopes 1, 1.5, 2 -> median 3/2
+    val up = (Seq.fill(1)(0L) ++ Seq.fill(2)(day) ++ Seq.fill(4)(2 * day))
+      .map(("up", _))
+    // down: counts 4,2,1 -> slopes -2, -1.5, -1 -> median -3/2
+    val down = (Seq.fill(4)(0L) ++ Seq.fill(2)(day) ++ Seq.fill(1)(2 * day))
+      .map(("down", _))
+    val out = Events.theilSen((up ++ down).toDF("event_type", "ts"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("dy"),
+          r.getAs[Long]("dx"), r.getAs[Long]("slope_ppm"))).toMap
+    assert(out("up") == ((3L, 3L, 2L, 1500000L)))
+    assert(out("down") == ((3L, -3L, 2L, -1500000L)))
+  }
+
+  test("simpsonCard reports exact concentration and effective users") {
+    // user 1 x3 events, user 2 x1: lambda = (9+1)/16, eff = 16/10
+    val ev = (Seq.fill(3)(1L) ++ Seq(2L)).map(u => ("a", u, 0L))
+      .toDF("event_type", "user_id", "ts")
+    val r = Events.simpsonCard(ev).collect().head
+    assert(r.getAs[Long]("n_events") == 4L)
+    assert(r.getAs[Long]("n_users") == 2L)
+    assert(r.getAs[Long]("simpson_ppm") == 625000L)
+    assert(r.getAs[Long]("eff_users_e2") == 160L)
+  }
 }

@@ -61,4 +61,25 @@ class PrivacySpec extends SparkSpec {
     assert(flips > 400L && flips < 600L, s"flips $flips")
   }
 
+  test("dpCounts adds the deterministic binomial coins and clamps at 0") {
+    import spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def noise(key: String): Long = {
+      val h = md5hex("dp:" + key)
+      java.lang.Long.bitCount(java.lang.Long.parseLong(h.substring(0, 8), 16)) +
+        java.lang.Long.bitCount(java.lang.Long.parseLong(h.substring(8, 16), 16)) -
+        32L
+    }
+    val df = (Seq.fill(100)("click") ++ Seq.fill(2)("view"))
+      .toDF("event_type")
+    val out = Privacy.dpCounts(df, Seq("event_type")).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        r.getAs[Long]("released")).toMap
+    assert(out("click") === math.max(0L, 100L + noise("click")))
+    assert(out("view") === math.max(0L, 2L + noise("view")))
+    // binomial(64, 1/2) - 32 noise is bounded by ±32 by construction
+    assert(math.abs(noise("click")) <= 32L)
+  }
+
 }

@@ -295,4 +295,35 @@ class SamplingSpec extends SparkSpec {
     assert(r.getAs[Long]("margin") === 9L)
   }
 
+  test("weightedSample draws the exact A-ES prefix of replica minima") {
+    import spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = Seq((1L, 3L), (2L, 1L), (3L, 5L), (4L, 2L))
+    val expected = rows.map { case (id, w) =>
+      (id, w, (0L until w).map(r => md5hex(s"$id:$r")).min)
+    }.sortBy(t => (t._3, t._1)).take(3)
+      .zipWithIndex.map { case ((id, w, h), i) => (i + 1L, id, w, h) }
+    val out = Sampling.weightedSample(rows.toDF("doc_id", "w"),
+      "doc_id", "w", 3).collect()
+      .map(r => (r.getAs[Long]("draw"), r.getAs[Long]("id"),
+        r.getAs[Long]("w"), r.getAs[String]("h"))).toSeq
+    assert(out === expected)
+  }
+
+  test("targetEncodeLOO excludes the row's own label, NULLs singletons") {
+    import spark.implicits._
+    // cat A: labels (T, F, T) -> LOO for the Ts is 1/2, for the F is 1
+    val df = Seq((1L, "A", true), (2L, "A", false), (3L, "A", true),
+      (4L, "B", true)).toDF("id", "cat", "lab")
+    val out = Sampling.targetEncodeLOO(df, "cat", "lab", "id").collect()
+      .map(r => r.getAs[Long]("id") ->
+        (if (r.isNullAt(r.fieldIndex("loo_ppm"))) None
+         else Some(r.getAs[Long]("loo_ppm")))).toMap
+    assert(out(1L) === Some(500000L))
+    assert(out(2L) === Some(1000000L))
+    assert(out(3L) === Some(500000L))
+    assert(out(4L) === None)
+  }
+
 }

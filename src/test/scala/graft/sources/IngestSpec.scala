@@ -29,4 +29,14 @@ class IngestSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("ingest_csv").toString
     assert(asMap(Ingest.csvRoundTrip(nasty, dir)) === asMap(nasty))
   }
+
+  test("orcRoundTrip preserves every adversarial string and the schema") {
+    val dir = java.nio.file.Files.createTempDirectory("ingest_orc").toString
+    val back = Ingest.orcRoundTrip(nasty, dir)
+    // file sources relax every field to nullable on read (the scan can't
+    // prove absence of nulls) — fidelity here means names + types
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      nasty.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(asMap(back) === asMap(nasty))
+  }
 }
