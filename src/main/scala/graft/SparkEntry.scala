@@ -2152,7 +2152,32 @@ object SparkEntry {
     // --- per-source freshness audit: staleness vs the globally
     // freshest source + final-active-day volume share
     "dq_freshness" -> ((s, dir) =>
-      Events.freshness(rdEvents(s, dir)).orderBy("event_type"))
+      Events.freshness(rdEvents(s, dir)).orderBy("event_type")),
+    // --- isotonic calibration via the minimax (PAVA closed-form)
+    // identity over quantized score bins: floor commutes with min/max,
+    // so the ppm fit is exact; bounded bins² broadcast pair frame
+    "eval_isotonic" -> ((s, dir) =>
+      Eval.isotonicCard(rd(s, dir, "documents")
+        .select(col("n_chars").as("score"),
+          (col("lang") === "en").as("label")))),
+    // --- Holt level+trend smoothing (α=β=½ bit-shift recursion with
+    // positive-offset floors) over the daily grid; recursive-CTE twin
+    "events_holt" -> ((s, dir) =>
+      Events.holtForecast(rdEvents(s, dir))),
+    // --- sequential rules A-before-B per user: first(A) < last(B)
+    // decides existence, exact ppm confidence
+    "events_seqrules" -> ((s, dir) =>
+      Events.seqRules(rdEvents(s, dir))),
+    // --- rendezvous-hash resharding audit: the 8 → 9 move matrix
+    // (only the new shard gains rows; stability is the point)
+    "shard_rebalance" -> ((s, dir) =>
+      graft.sources.Shards.rebalancePlan(rd(s, dir, "documents"),
+        "doc_id", 8, 9)),
+    // --- TPC-H Q16 shape: distinct suppliers per surviving part class
+    // through the lineitem bridge, bad suppliers anti-joined out
+    "q16_parts" -> ((s, dir) =>
+      Analytics.q16(rd(s, dir, "lineitem"), rd(s, dir, "part"),
+        rd(s, dir, "supplier")))
   )
 
   /** Staged mojibake rows shared by the `text_mojibake` query and its
@@ -8660,6 +8685,147 @@ object SparkEntry {
         |)
         |SELECT event_type, last_secs, n_events, n_last_day,
         |  max(last_secs) OVER () - last_secs AS staleness_secs
-        |FROM a ORDER BY event_type""".stripMargin
+        |FROM a ORDER BY event_type""".stripMargin,
+    // isotonic minimax: bins² pair frame, suffix-min over k within j,
+    // max over j at each i — floor-ppm means commute with min/max
+    "eval_isotonic" ->
+      """WITH bins AS (
+        |  SELECT n_chars // 16 AS s, CAST(count(*) AS BIGINT) AS n_s,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS p_s
+        |  FROM documents GROUP BY 1
+        |), idx AS (
+        |  SELECT s, n_s, p_s,
+        |    CAST(sum(n_s) OVER (ORDER BY s) AS BIGINT) AS cum_n,
+        |    CAST(sum(p_s) OVER (ORDER BY s) AS BIGINT) AS cum_p
+        |  FROM bins
+        |), pairs AS (
+        |  SELECT l.s AS j, r.s AS k,
+        |    1000000 * (r.cum_p - (l.cum_p - l.p_s))
+        |      // (r.cum_n - (l.cum_n - l.n_s)) AS mean_ppm
+        |  FROM idx l JOIN idx r ON l.s <= r.s
+        |), sm AS (
+        |  SELECT j, k,
+        |    min(mean_ppm) OVER (PARTITION BY j ORDER BY k DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS minmean
+        |  FROM pairs
+        |), iso AS (
+        |  SELECT k AS s, CAST(max(minmean) AS BIGINT) AS iso_ppm
+        |  FROM sm GROUP BY 1
+        |)
+        |SELECT b.s AS s, b.n_s AS n_s, b.p_s AS p_s, i.iso_ppm AS iso_ppm
+        |FROM bins b JOIN iso i ON b.s = i.s ORDER BY s""".stripMargin,
+    // holt twin: gap-filled grid + LINEAR recursive CTE (each round
+    // references the previous once — no blowup); the positive-offset
+    // halvings floor identically in both engines
+    "events_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), span AS (
+        |  SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY 1
+        |), grid AS (
+        |  SELECT g.event_type, g.day, COALESCE(d.x, 0) AS x,
+        |    CAST(row_number() OVER (PARTITION BY g.event_type
+        |      ORDER BY g.day) AS BIGINT) AS i,
+        |    CAST(count(*) OVER (PARTITION BY g.event_type) AS BIGINT) AS n
+        |  FROM (SELECT s.event_type, CAST(u.day AS BIGINT) AS day
+        |        FROM span s,
+        |          UNNEST(generate_series(s.d0, s.d1)) AS u(day)) g
+        |  LEFT JOIN daily d
+        |    ON d.event_type = g.event_type AND d.day = g.day
+        |), rec AS (
+        |  SELECT event_type, i, n, x * 1000000 AS l,
+        |    CAST(0 AS BIGINT) AS t
+        |  FROM grid WHERE i = 1
+        |  UNION ALL
+        |  SELECT g.event_type, g.i, g.n,
+        |    (g.x * 1000000 + r.l + r.t + 2251799813685248) // 2
+        |      - 1125899906842624 AS l,
+        |    (r.t + ((g.x * 1000000 + r.l + r.t + 2251799813685248) // 2
+        |        - 1125899906842624) - r.l + 2251799813685248) // 2
+        |      - 1125899906842624 AS t
+        |  FROM rec r JOIN grid g
+        |    ON g.event_type = r.event_type AND g.i = r.i + 1
+        |)
+        |SELECT event_type, n AS n_days, CAST(l AS BIGINT) AS level_e6,
+        |  CAST(t AS BIGINT) AS trend_e6,
+        |  CAST(l + 7 * t AS BIGINT) AS fc7_e6
+        |FROM rec WHERE i = n ORDER BY event_type""".stripMargin,
+    // sequential rules: one (first, last) span per (user, type) decides
+    // existence; microsecond strictness == nanosecond strictness
+    "events_seqrules" ->
+      """WITH spans AS (
+        |  SELECT user_id, event_type, min(ts) AS f, max(ts) AS l
+        |  FROM events GROUP BY 1, 2
+        |), nu AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS nu
+        |  FROM spans GROUP BY 1
+        |), rules AS (
+        |  SELECT a.event_type AS a, b.event_type AS b,
+        |    CAST(count(*) AS BIGINT) AS support
+        |  FROM spans a JOIN spans b ON a.user_id = b.user_id
+        |    AND a.event_type <> b.event_type AND a.f < b.l
+        |  GROUP BY 1, 2
+        |)
+        |SELECT r.a AS a, r.b AS b, r.support AS support,
+        |  na.nu AS users_a, nb.nu AS users_b,
+        |  CAST(1000000 * r.support // na.nu AS BIGINT) AS confidence_ppm
+        |FROM rules r
+        |JOIN nu na ON na.event_type = r.a
+        |JOIN nu nb ON nb.event_type = r.b
+        |ORDER BY a, b""".stripMargin,
+    // rendezvous twin: UNNEST(range(n)) salted hashes, min-hash winner
+    // re-derived by equality (md5 collisions impossible in practice;
+    // the min(shard) tie-break mirrors the struct least)
+    "shard_rebalance" ->
+      """WITH oldh AS (
+        |  SELECT doc_id, t.s AS shard,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(t.s AS VARCHAR))
+        |      AS h
+        |  FROM documents, UNNEST(range(8)) AS t(s)
+        |), oldpick AS (
+        |  SELECT a.doc_id, CAST(min(a.shard) AS BIGINT) AS old_shard
+        |  FROM oldh a
+        |  JOIN (SELECT doc_id, min(h) AS mh FROM oldh GROUP BY 1) m
+        |    ON a.doc_id = m.doc_id AND a.h = m.mh
+        |  GROUP BY 1
+        |), newh AS (
+        |  SELECT doc_id, t.s AS shard,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(t.s AS VARCHAR))
+        |      AS h
+        |  FROM documents, UNNEST(range(9)) AS t(s)
+        |), newpick AS (
+        |  SELECT a.doc_id, CAST(min(a.shard) AS BIGINT) AS new_shard
+        |  FROM newh a
+        |  JOIN (SELECT doc_id, min(h) AS mh FROM newh GROUP BY 1) m
+        |    ON a.doc_id = m.doc_id AND a.h = m.mh
+        |  GROUP BY 1
+        |), cells AS (
+        |  SELECT o.old_shard, n.new_shard,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM oldpick o JOIN newpick n ON o.doc_id = n.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT old_shard, new_shard, old_shard <> new_shard AS moved,
+        |  n_rows,
+        |  CAST(1000000 * n_rows // sum(n_rows) OVER () AS BIGINT)
+        |    AS share_ppm
+        |FROM cells ORDER BY old_shard, new_shard""".stripMargin,
+    "q16_parts" ->
+      """SELECT p.p_brand AS p_brand, p.p_type AS p_type,
+        |  CAST(p.p_size AS BIGINT) AS p_size,
+        |  CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand <> 'Brand#45' AND p.p_type <> 'PROMO'
+        |  AND p.p_size IN (1, 14, 23, 45, 19, 3, 36, 9)
+        |  AND l.l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
   )
 }

@@ -487,6 +487,41 @@ object Stress {
         col("l_quantity").cast("long").as("y")),
       "pkey", "x", "y").count())
 
+    // round-10 final batch: Q12/Q9 star probes over the replicated
+    // lineitem/orders pair; eval/event cards over the 10x event stream
+    time("q12_shipmode")(graft.ops.Analytics.q12(li10, ord10).count())
+    time("q9_profit")(
+      graft.ops.Analytics.q9(li10, ord10, supp, nat, prt).count())
+    time("eval_gains")(graft.ops.Eval.gainsCard(
+      docs.select(length(col("text")).cast("long").as("score"),
+        (col("lang") === "en").as("label"))).count())
+    time("events_chi2")(graft.ops.Eval.chi2Independence(
+      evN.select(col("event_type"),
+        expr("ts div 86400000000000 % 7").as("dow")),
+      "event_type", "dow").count())
+    // Σw explode: ~30 salted rows per doc at w = 1 + chars/64
+    time("sample_weighted")(graft.ops.Sampling.weightedSample(
+      docs.withColumn("w", expr("1L + length(text) div 64")),
+      "doc_id", "w", 64).count())
+    time("docs_target_encode")(graft.ops.Sampling.targetEncodeLOO(
+      docs.select(col("doc_id"), col("source"),
+        (col("lang") === "en").as("y_lab")),
+      "source", "y_lab", "doc_id").count())
+    time("privacy_dp_counts")(graft.ops.Privacy.dpCounts(
+      evN.select(col("event_type")), Seq("event_type")).count())
+    time("events_dispersion")(
+      graft.ops.Events.dispersionCard(evN).count())
+    time("events_theilsen")(graft.ops.Events.theilSen(evN).count())
+    time("events_simpson")(graft.ops.Events.simpsonCard(evN).count())
+    time("eval_isotonic")(graft.ops.Eval.isotonicCard(
+      docs.select(length(col("text")).cast("long").as("score"),
+        (col("lang") === "en").as("label"))).count())
+    time("events_holt")(graft.ops.Events.holtForecast(evN).count())
+    time("events_seqrules")(graft.ops.Events.seqRules(evN).count())
+    time("shard_rebalance")(graft.sources.Shards.rebalancePlan(
+      docs, "doc_id", 8, 9).count())
+    time("q16_parts")(graft.ops.Analytics.q16(li10, prt, supp).count())
+
     // bulk-load throughput through the partition-parallel sink (the
     // reference's headline metric: rows/s and MiB/s per load phase)
     val nodes = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")

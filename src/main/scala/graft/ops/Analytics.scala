@@ -985,4 +985,42 @@ object Analytics {
       .select(col("pkey"), col("x"), col("y"))
       .orderBy("x", "y", "pkey")
   }
+
+  /** Supplier-diversity probe (TPC-H Q16 shape): distinct suppliers per
+    * surviving (brand, type, size) part class, with a brand/type/size
+    * exclusion list and a bad-supplier anti-join — the COUNT(DISTINCT)
+    * -over-a-reconstructed-bridge plan shape. (Classic Q16 reads
+    * partsupp and excludes complaint suppliers by comment; this corpus
+    * has neither, so the part↔supplier bridge is the DISTINCT
+    * (l_partkey, l_suppkey) projection of lineitem and the stand-in
+    * exclusion is s_acctbal < 0 — same plan, same semantics.)
+    *
+    * Scale shape: the filtered part class list broadcasts ONTO THE
+    * LINEITEM SCAN (fact shrinks to matching parts before anything
+    * shuffles); the excluded suppliers are a broadcast LEFT ANTI (fact
+    * side never shuffles for it); the distinct-supplier count is the
+    * standard two-stage agg — partial distinct on (class, suppkey),
+    * then the class rollup. One orderkey-free shuffle pair, both
+    * map-side combining.
+    */
+  def q16(lineitem: DataFrame, part: DataFrame, supplier: DataFrame,
+          excludeBrand: String = "Brand#45",
+          excludeType: String = "PROMO",
+          sizes: Seq[Int] = Seq(1, 14, 23, 45, 19, 3, 36, 9)): DataFrame = {
+    val pt = part
+      .filter(col("p_brand") =!= excludeBrand &&
+        col("p_type") =!= excludeType &&
+        col("p_size").isin(sizes: _*))
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"),
+        col("p_type"), col("p_size").cast("long").as("p_size"))
+    val bad = supplier.filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("l_suppkey"))
+    lineitem.select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(pt), Seq("l_partkey"))
+      .join(broadcast(bad), Seq("l_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
 }

@@ -343,4 +343,53 @@ object Eval {
              / CAST(n * (least(ra, cb) - 1) AS DOUBLE))
            * CAST('1000000' AS DOUBLE)) AS BIGINT)"""))
   }
+
+  /** Isotonic (monotone) calibration curve via the minimax identity —
+    * the non-parametric recalibration step between a scorer and a
+    * threshold decision: fitted_i = max_{j≤i} min_{k≥i} mean(y[j..k]),
+    * the closed form of the PAVA solution, which needs no sequential
+    * pooling loop and so distributes. Exactness: means are ppm
+    * floor-divisions of prefix-sum differences (all-BIGINT; the product
+    * 10⁶·Σy fits through corpora of 9·10¹² rows), and because floor is
+    * nondecreasing it commutes with both the min and the max — the
+    * output IS floor(10⁶ · isotonic fit), not an approximation of it.
+    *
+    * Scale shape: one partial-aggregated groupBy compresses the corpus
+    * to ≤`maxBins` quantized score bins (`quant` is the deterministic-
+    * surrogate knob, the ksTest trade), then the j≤k pair frame is
+    * bins², built by broadcasting the bounded bin frame against itself
+    * (whitelisted bounded BNLJ, the ann_brute class); two windows
+    * (suffix-min over k within j, then max over j within i) finish it.
+    * Nothing corpus-sized moves after the first agg.
+    */
+  def isotonicCard(df: DataFrame, quant: Long = 16L,
+                   scoreCol: String = "score",
+                   labelCol: String = "label"): DataFrame = {
+    val bins = df
+      .groupBy(expr(s"CAST($scoreCol AS BIGINT) div ${quant}L").as("s"))
+      .agg(count(lit(1)).as("n_s"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("p_s"))
+    val cum = Window.orderBy(col("s").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val idx = bins
+      .withColumn("cum_n", sum(col("n_s")).over(cum))
+      .withColumn("cum_p", sum(col("p_s")).over(cum))
+    val left = broadcast(idx.select(col("s").as("j"),
+      (col("cum_n") - col("n_s")).as("n_before_j"),
+      (col("cum_p") - col("p_s")).as("p_before_j")))
+    val pairs = left
+      .join(idx.select(col("s").as("k"), col("cum_n").as("n_k"),
+        col("cum_p").as("p_k")), col("j") <= col("k"))
+      .withColumn("mean_ppm", expr(
+        "1000000L * (p_k - p_before_j) div (n_k - n_before_j)"))
+    val sufMin = Window.partitionBy(col("j")).orderBy(col("k").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    pairs
+      .withColumn("minmean_ppm", min(col("mean_ppm")).over(sufMin))
+      .groupBy(col("k").as("s"))
+      .agg(max(col("minmean_ppm")).as("iso_ppm"))
+      .join(bins, Seq("s"))
+      .select(col("s"), col("n_s"), col("p_s"), col("iso_ppm"))
+      .orderBy("s")
+  }
 }

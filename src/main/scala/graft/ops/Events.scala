@@ -1549,4 +1549,84 @@ object Events {
       .select(col("event_type"), col("n_events"), col("n_users"),
         col("simpson_ppm"), col("eff_users_e2"))
       .orderBy("event_type")
+
+  /** Holt double-exponential (level + trend) smoothing over the daily
+    * grid per type, α = β = ½ — the trend-aware successor to the
+    * one-parameter [[ewma]]: l_t = (x_t·10⁶ + l_{t−1} + t_{t−1}) div 2,
+    * t_t = (t_{t−1} + l_t − l_{t−1}) div 2, seeded l_0 = x_0·10⁶,
+    * t_0 = 0. Halving at α = ½ is a bit-shift, so the whole recursion
+    * is exact integer — engine-reproducible with a recursive-CTE twin —
+    * once each halving rides the positive-offset recipe
+    * ((a + 2K) div 2 − K with K = 2⁵⁰: a negative trend must FLOOR in
+    * both engines, and bare div truncates). State stays in BIGINT for
+    * daily counts through ~10¹⁴ (offset headroom bound).
+    *
+    * Scale shape: the [[dailyGrid]] corpus compression, then ONE
+    * groupBy to |types| rows whose sorted day array (bounded: the
+    * retention window, ~10²–10³ elements) folds through an interpreted
+    * `aggregate` lambda — per-GROUP cost, not per-row, so interpreted
+    * is fine (the VectorFunctions rule targets per-row hot loops).
+    * Forecast h days out is level + h·trend, linear in the state.
+    */
+  def holtForecast(events: DataFrame, horizon: Int = 7): DataFrame =
+    dailyGrid(events)
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("x"))))
+        .as("days"))
+      .withColumn("xs", expr("transform(days, d -> d.x)"))
+      .withColumn("fit", expr(
+        """aggregate(
+             slice(xs, 2, size(xs) - 1),
+             named_struct('l', xs[0] * 1000000L, 't', 0L),
+             (acc, x) -> named_struct(
+               'l', (x * 1000000L + acc.l + acc.t + 2251799813685248L)
+                      div 2 - 1125899906842624L,
+               't', (acc.t
+                      + ((x * 1000000L + acc.l + acc.t
+                          + 2251799813685248L) div 2 - 1125899906842624L)
+                      - acc.l + 2251799813685248L)
+                      div 2 - 1125899906842624L))"""))
+      .select(col("event_type"), size(col("xs")).cast("long").as("n_days"),
+        col("fit.l").as("level_e6"), col("fit.t").as("trend_e6"),
+        (col("fit.l") + lit(horizon.toLong) * col("fit.t"))
+          .as(s"fc${horizon}_e6"))
+      .orderBy("event_type")
+
+  /** Sequential association rules A→B: how many users did A strictly
+    * before B — the ordered complement of [[covisitation]] (co-presence
+    * ignores direction; onboarding/funnel design needs it). ∃ a
+    * before b ⟺ first(A) < last(B), so ONE (first_ts, last_ts) pair
+    * per (user, type) decides every rule — no per-occurrence pairing.
+    * Confidence = users(A→B)/users(A) and lift against users(B), both
+    * exact ppm.
+    *
+    * Scale shape: one partial-aggregated groupBy to the (user, type)
+    * domain (≤ |types| rows per user), a user-keyed self-join whose
+    * per-user output is ≤ |types|² (bounded fanout — type vocabulary,
+    * not corpus, controls it), then a groupBy on the (a, b) domain.
+    * Corpus rows shuffle once, into the first agg.
+    */
+  def seqRules(events: DataFrame): DataFrame = {
+    val spans = events.groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+    val nUsers = spans.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("nu"))
+    val rules = spans.select(col("user_id"), col("event_type").as("a"),
+        col("first_ts"))
+      .join(spans.select(col("user_id"), col("event_type").as("b"),
+        col("last_ts")), Seq("user_id"))
+      .filter(col("a") =!= col("b") && col("first_ts") < col("last_ts"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("support"))
+    rules
+      .join(broadcast(nUsers.select(col("event_type").as("a"),
+        col("nu").as("users_a"))), Seq("a"))
+      .join(broadcast(nUsers.select(col("event_type").as("b"),
+        col("nu").as("users_b"))), Seq("b"))
+      .withColumn("confidence_ppm",
+        expr("1000000L * support div users_a"))
+      .select(col("a"), col("b"), col("support"), col("users_a"),
+        col("users_b"), col("confidence_ppm"))
+      .orderBy("a", "b")
+  }
 }

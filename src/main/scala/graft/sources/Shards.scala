@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-shard export: assign every row a stable shard, write the
@@ -103,5 +103,52 @@ object Shards {
         col("s.n_rows").as("manifest_rows"), col("a.n_rows").as("actual_rows"),
         col("s.checksum").as("manifest_checksum"),
         col("a.checksum").as("actual_checksum"))
+  }
+
+  /** Rendezvous (highest-random-weight) shard id in [0, n): the shard
+    * whose salted hash of the key is smallest. Unlike `md5 mod n`
+    * ([[assign]]), growing n → n+1 moves ONLY the keys the new shard
+    * wins (expected 1/(n+1) of the corpus) — every surviving
+    * assignment is untouched, so a resharding re-export rewrites one
+    * new directory instead of all of them. Pure per-row expression:
+    * a `least` over n (hash, shard) structs, codegen'd (no HOF lambda
+    * — the per-row hot-loop rule), O(n) hashes per row; for shard
+    * counts in the hundreds, jump-consistent-hash is the O(log n)
+    * successor, same seam.
+    */
+  def rendezvousShard(keyCol: String, n: Int): Column = {
+    require(n >= 1, "need at least one shard")
+    val candidates = (0 until n).map(s =>
+      struct(md5(concat(col(keyCol).cast("string"), lit(s":$s"))).as("h"),
+        lit(s.toLong).as("sid")))
+    (if (n == 1) candidates.head else least(candidates: _*)).getField("sid")
+  }
+
+  /** Rebalance plan for growing `nOld` → `nNew` shards under rendezvous
+    * assignment: the (old_shard, new_shard) movement matrix with
+    * per-cell counts and the per-cell share of the corpus in ppm.
+    * Stable cells (old == new) dominate; for nNew = nOld + 1 every
+    * moved row lands on the NEW shard — the matrix is the audit that
+    * proves the resharding touches the minimum data before anything
+    * is rewritten.
+    *
+    * Scale shape: two per-row codegen'd expressions and one
+    * partial-aggregated groupBy on ≤ nOld·nNew cells — one bounded
+    * shuffle, nothing else moves.
+    */
+  def rebalancePlan(df: DataFrame, keyCol: String,
+                    nOld: Int, nNew: Int): DataFrame = {
+    val assigned = df.select(
+      rendezvousShard(keyCol, nOld).as("old_shard"),
+      rendezvousShard(keyCol, nNew).as("new_shard"))
+    assigned
+      .groupBy(col("old_shard"), col("new_shard"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("moved", col("old_shard") =!= col("new_shard"))
+      .withColumn("share_ppm",
+        expr("1000000L * n_rows div sum(n_rows) OVER ()"))
+      .select(col("old_shard"), col("new_shard"), col("moved"),
+        col("n_rows"), col("share_ppm"))
+      .orderBy("old_shard", "new_shard")
   }
 }

@@ -65,8 +65,11 @@ class QueryPlanSpec extends SparkSpec {
                       // the stream / per-user frame
       "part_skyline", // one-row x-range for the grid prune; the frontier
                       // join itself is a keyed broadcast HASH join
-      "graph_hits") // L1 normalization divides by a ONE-ROW integer total
+      "graph_hits", // L1 normalization divides by a ONE-ROW integer total
                     // each half-round — the same single-row broadcast
+      "eval_isotonic") // the minimax j≤k pair frame: bins² over the
+                       // BOUNDED quantized score domain, broadcast by
+                       // construction (the ann_brute class)
 
   // dedup_clusters executes its iterative joins eagerly behind
   // localCheckpoint while fn() builds the frame, so this sweep only sees

@@ -292,4 +292,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("profit_e4") == 860000L)
     assert(r.getAs[Long]("n_items") == 1L)
   }
+
+  test("q16 counts distinct suppliers per class with exclusions") {
+    import org.apache.spark.sql.functions._
+    // part 1 survives; part 2 excluded brand; part 3 excluded size
+    val pt = Seq((1L, "Brand#1", "SMALL", 14),
+      (2L, "Brand#45", "SMALL", 14), (3L, "Brand#1", "SMALL", 2))
+      .toDF("p_partkey", "p_brand", "p_type", "p_size")
+    // suppliers 10, 11 ok; 12 has the negative-balance complaint mark
+    val su = Seq((10L, 5.0), (11L, 1.0), (12L, -3.0))
+      .toDF("s_suppkey", "s_acctbal")
+    // part 1 ships from 10 (twice — distinct must dedup), 11, and the
+    // excluded 12; parts 2/3 ship but never count
+    val li = Seq((1L, 10L), (1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (3L, 11L))
+      .toDF("l_partkey", "l_suppkey")
+    val out = Analytics.q16(li, pt, su).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("p_brand") == "Brand#1")
+    assert(r.getAs[Long]("p_size") == 14L)
+    assert(r.getAs[Long]("supplier_cnt") == 2L)
+  }
 }

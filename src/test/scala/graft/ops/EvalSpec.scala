@@ -174,4 +174,58 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Long]("chi2_e6") == 0L)
     assert(r.getAs[Long]("cramer_ppm") == 0L)
   }
+
+  test("isotonicCard leaves already-monotone bins untouched") {
+    // quant 16: scores 0/16/32 → bins 0,1,2 with means .25, .5, .75
+    val rows =
+      Seq.fill(1)((0L, true)) ++ Seq.fill(3)((0L, false)) ++
+        Seq.fill(2)((16L, true)) ++ Seq.fill(2)((16L, false)) ++
+        Seq.fill(3)((32L, true)) ++ Seq.fill(1)((32L, false))
+    val r = Eval.isotonicCard(rows.toDF("score", "label")).collect()
+      .map(x => x.getAs[Long]("s") -> x.getAs[Long]("iso_ppm")).toMap
+    assert(r == Map(0L -> 250000L, 1L -> 500000L, 2L -> 750000L))
+  }
+
+  test("isotonicCard pools adjacent violators to their weighted mean") {
+    // bin0 mean .8, bin1 mean .2 → PAVA pools both to 5/10 = .5
+    val rows =
+      Seq.fill(4)((0L, true)) ++ Seq.fill(1)((0L, false)) ++
+        Seq.fill(1)((16L, true)) ++ Seq.fill(4)((16L, false))
+    val r = Eval.isotonicCard(rows.toDF("score", "label")).collect()
+      .map(x => x.getAs[Long]("s") -> x.getAs[Long]("iso_ppm")).toMap
+    assert(r == Map(0L -> 500000L, 1L -> 500000L))
+  }
+
+  test("isotonicCard equals sequential PAVA and is monotone") {
+    // pseudo-random bins; reference = classic pool-adjacent-violators
+    // with exact rational block means (cross-multiplied merge test),
+    // floored to ppm only at the end — the minimax identity must agree
+    val rows = for {
+      bin <- 0 until 12
+      j <- 0 until (1 + bin % 4)
+    } yield (bin.toLong * 16, ((bin * 31 + j * 17) % 5) < 2)
+    val binStats = rows.groupBy(_._1 / 16).toSeq.sortBy(_._1)
+      .map { case (_, rs) =>
+        (rs.size.toLong, rs.count(_._2).toLong)
+      }
+    // PAVA: merge a block into its left neighbor while the left mean
+    // is >= the right mean (p1/n1 >= p2/n2 ⟺ p1·n2 >= p2·n1)
+    val blocks = collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+    binStats.foreach { case (n, p) =>
+      var (cn, cp, cc) = (n, p, 1)
+      while (blocks.nonEmpty &&
+        blocks.last._2 * cn >= cp * blocks.last._1) {
+        val (ln, lp, lc) = blocks.remove(blocks.size - 1)
+        cn += ln; cp += lp; cc += lc
+      }
+      blocks += ((cn, cp, cc))
+    }
+    val expected = blocks.flatMap { case (n, p, c) =>
+      Seq.fill(c)(Math.floorDiv(1000000L * p, n))
+    }.toSeq
+    val got = Eval.isotonicCard(rows.toDF("score", "label"))
+      .orderBy("s").collect().map(_.getAs[Long]("iso_ppm")).toSeq
+    assert(got == expected)
+    assert(got == got.sorted, "fit must be monotone non-decreasing")
+  }
 }

@@ -746,4 +746,54 @@ class EventsSpec extends SparkSpec {
     assert(r.getAs[Long]("simpson_ppm") == 625000L)
     assert(r.getAs[Long]("eff_users_e2") == 160L)
   }
+
+  test("holtForecast matches the hand-traced bit-shift recursion") {
+    val day = 86400000000000L
+    // daily counts 2, 4, 6: l = 2e6→3e6→4.75e6, t = 0→.5e6→1.125e6
+    val ev = (Seq.fill(2)(0L) ++ Seq.fill(4)(1L) ++ Seq.fill(6)(2L))
+      .zipWithIndex.map { case (d, i) => (i.toLong, 1L, "a", d * day + i) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = Events.holtForecast(ev).collect().head
+    assert(r.getAs[Long]("n_days") == 3L)
+    assert(r.getAs[Long]("level_e6") == 4750000L)
+    assert(r.getAs[Long]("trend_e6") == 1125000L)
+    assert(r.getAs[Long]("fc7_e6") == 4750000L + 7L * 1125000L)
+  }
+
+  test("holtForecast fills gap days with zeros and floors negatives") {
+    val day = 86400000000000L
+    // d0=5 events, d1 missing → 0, d2=1; reference fold with
+    // Math.floorDiv proves the positive-offset halving IS floor division
+    val ev = ((1 to 5).map(i => (i.toLong, 1L, "a", 0L * day + i)) ++
+      Seq((9L, 1L, "a", 2L * day + 1)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    var l = 5000000L
+    var t = 0L
+    for (x <- Seq(0L, 1L)) {
+      val lNew = Math.floorDiv(x * 1000000L + l + t, 2L)
+      t = Math.floorDiv(t + lNew - l, 2L)
+      l = lNew
+    }
+    assert(t < 0, "fixture must exercise a negative trend")
+    val r = Events.holtForecast(ev).collect().head
+    assert(r.getAs[Long]("n_days") == 3L)
+    assert(r.getAs[Long]("level_e6") == l)
+    assert(r.getAs[Long]("trend_e6") == t)
+  }
+
+  test("seqRules counts users with A strictly before B") {
+    // user 1: a@100, b@200 → only a→b; user 2: b@100, a@200, b@300 →
+    // both directions (first(a)=200 < last(b)=300; first(b)=100 < 200)
+    val ev = Seq(
+      (1L, 1L, "a", 100L), (2L, 1L, "b", 200L),
+      (3L, 2L, "b", 100L), (4L, 2L, "a", 200L), (5L, 2L, "b", 300L)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val r = Events.seqRules(ev).collect()
+      .map(x => (x.getAs[String]("a"), x.getAs[String]("b")) ->
+        (x.getAs[Long]("support"), x.getAs[Long]("users_a"),
+          x.getAs[Long]("confidence_ppm"))).toMap
+    assert(r.size == 2)
+    assert(r(("a", "b")) == ((2L, 2L, 1000000L)))
+    assert(r(("b", "a")) == ((1L, 2L, 500000L)))
+  }
 }

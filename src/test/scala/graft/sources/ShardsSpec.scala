@@ -67,4 +67,30 @@ class ShardsSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shard")).toMap
     assert(a1.forall { case (id, s) => a2(id) == s })
   }
+
+  test("rendezvousShard matches a brute-force MessageDigest argmin") {
+    val got = docs.limit(50)
+      .select(col("doc_id"), Shards.rendezvousShard("doc_id", 5).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    got.foreach { case (id, s) =>
+      val want = (0 until 5).minBy(k => hex(s"$id:$k"))
+      assert(s == want.toLong, s"doc $id")
+    }
+  }
+
+  test("rebalancePlan 8→9 moves rows ONLY onto the new shard") {
+    val plan = Shards.rebalancePlan(docs, "doc_id", 8, 9).collect()
+    val total = plan.map(_.getAs[Long]("n_rows")).sum
+    assert(total == docs.count())
+    plan.filter(_.getAs[Boolean]("moved")).foreach { r =>
+      assert(r.getAs[Long]("new_shard") == 8L,
+        "a rendezvous grow step may only populate the added shard")
+    }
+    val movedShare = plan.filter(_.getAs[Boolean]("moved"))
+      .map(_.getAs[Long]("n_rows")).sum.toDouble / total
+    // expected 1/9 of the corpus; generous band for a 150-doc sample
+    assert(movedShare > 0.01 && movedShare < 0.4)
+  }
 }
