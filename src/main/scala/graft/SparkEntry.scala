@@ -2177,7 +2177,25 @@ object SparkEntry {
     // through the lineitem bridge, bad suppliers anti-joined out
     "q16_parts" -> ((s, dir) =>
       Analytics.q16(rd(s, dir, "lineitem"), rd(s, dir, "part"),
-        rd(s, dir, "supplier")))
+        rd(s, dir, "supplier"))),
+    // --- Neyman stratified allocation of a 1000-row budget by source
+    // (weights floored to integers so the cross-stratum sum is
+    // order-free; per-stratum sqrt is one IEEE op off exact moments)
+    "sample_neyman" -> ((s, dir) =>
+      Sampling.neymanAllocation(rd(s, dir, "documents"),
+        "source", "n_chars", 1000L)),
+    // --- leave-one-source-out ablation: corpus metrics recomputed
+    // without each source from one set of sums
+    "docs_ablation" -> ((s, dir) =>
+      Sampling.sourceAblation(rd(s, dir, "documents"))),
+    // --- off-policy bandit replay: md5-coin split, greedy per-dow
+    // policy from train rewards, replay-matched eval means
+    "eval_policy_replay" -> ((s, dir) =>
+      Eval.policyReplay(rdEvents(s, dir))),
+    // --- per-user behavioral fingerprint: median gap + gap VMR along
+    // the deterministic (ts, event_id) order
+    "events_bots" -> ((s, dir) =>
+      Events.botCard(rdEvents(s, dir)))
   )
 
   /** Staged mojibake rows shared by the `text_mojibake` query and its
@@ -8826,6 +8844,127 @@ object SparkEntry {
         |  AND l.l_suppkey NOT IN (
         |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         |GROUP BY 1, 2, 3
-        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    // integer weights before the cross-stratum sum; HUGEINT→DOUBLE and
+    // DECIMAL(38,0)→DOUBLE round the same integer value identically
+    "sample_neyman" ->
+      """WITH stats AS (
+        |  SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_h,
+        |    CAST(sum(n_chars) AS BIGINT) AS s1,
+        |    sum(CAST(n_chars AS HUGEINT) * n_chars) AS s2
+        |  FROM documents GROUP BY 1
+        |), w AS (
+        |  SELECT stratum, n_h,
+        |    CASE WHEN n_h <= 1 THEN 0 ELSE
+        |      CAST(floor(n_h * sqrt(
+        |        CAST(CAST(n_h AS HUGEINT) * s2
+        |             - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+        |        / CAST(CAST(n_h AS HUGEINT) * (n_h - 1) AS DOUBLE)))
+        |      AS BIGINT) END AS w_h
+        |  FROM stats
+        |)
+        |SELECT stratum, n_h, w_h,
+        |  CASE WHEN sum(w_h) OVER () = 0 THEN 0
+        |    ELSE CAST(1000 * w_h // sum(w_h) OVER () AS BIGINT) END
+        |    AS alloc
+        |FROM w ORDER BY stratum""".stripMargin,
+    "docs_ablation" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sx,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS sen
+        |  FROM documents GROUP BY 1
+        |), t AS (
+        |  SELECT source, n_docs, sx, sen,
+        |    CAST(sum(n_docs) OVER () AS BIGINT) AS tot_n,
+        |    CAST(sum(sx) OVER () AS BIGINT) AS tot_x,
+        |    CAST(sum(sen) OVER () AS BIGINT) AS tot_en
+        |  FROM per
+        |)
+        |SELECT source, n_docs,
+        |  CAST(100 * tot_x // tot_n AS BIGINT) AS mean_chars_e2,
+        |  CASE WHEN tot_n = n_docs THEN NULL
+        |    ELSE CAST(100 * (tot_x - sx) // (tot_n - n_docs) AS BIGINT)
+        |    END AS mean_without_e2,
+        |  CASE WHEN tot_n = n_docs THEN NULL
+        |    ELSE CAST(1000000 * (tot_en - sen) // (tot_n - n_docs)
+        |      AS BIGINT) END AS en_ppm_without,
+        |  CASE WHEN tot_n = n_docs THEN NULL
+        |    ELSE CAST(100 * (tot_x - sx) // (tot_n - n_docs)
+        |      - 100 * tot_x // tot_n AS BIGINT) END AS delta_mean_e2
+        |FROM t ORDER BY source""".stripMargin,
+    // replay twin: row_number argmax == the complement-struct-min
+    "eval_policy_replay" ->
+      """WITH base AS (
+        |  SELECT epoch_us(ts) // 86400000000 % 7 AS dow, event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents,
+        |    substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8'
+        |      AS is_train
+        |  FROM events
+        |), arms AS (
+        |  SELECT dow, event_type, CAST(sum(cents) AS BIGINT) AS r
+        |  FROM base WHERE is_train GROUP BY 1, 2
+        |), pol AS (
+        |  SELECT dow, event_type AS chosen_type
+        |  FROM (SELECT dow, event_type,
+        |          row_number() OVER (PARTITION BY dow
+        |            ORDER BY r DESC, event_type) AS rn
+        |        FROM arms) WHERE rn = 1
+        |), ev AS (
+        |  SELECT b.dow AS dow, p.chosen_type AS chosen_type,
+        |    CAST(count(*) AS BIGINT) AS n_eval,
+        |    CAST(sum(CASE WHEN b.event_type = p.chosen_type
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |    CAST(sum(CASE WHEN b.event_type = p.chosen_type
+        |      THEN b.cents ELSE 0 END) AS BIGINT) AS matched_c,
+        |    CAST(sum(b.cents) AS BIGINT) AS all_c
+        |  FROM base b JOIN pol p ON p.dow = b.dow
+        |  WHERE NOT b.is_train GROUP BY 1, 2
+        |)
+        |SELECT dow, chosen_type, n_eval, n_matched,
+        |  CAST(1000000 * n_matched // n_eval AS BIGINT) AS match_ppm,
+        |  CASE WHEN n_matched = 0 THEN NULL
+        |    ELSE CAST(matched_c // n_matched AS BIGINT) END
+        |    AS replay_mean_e2,
+        |  CAST(all_c // n_eval AS BIGINT) AS base_mean_e2
+        |FROM ev ORDER BY dow""".stripMargin,
+    // bot fingerprint twin: identical (ts, event_id) gap order, lower
+    // median by rank, dispersion identity over per-user gaps
+    "events_bots" ->
+      """WITH d AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS t,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |      AS d
+        |  FROM events
+        |), agg AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |    CAST(max(t) - min(t) AS BIGINT) AS span_us,
+        |    CAST(count(d) AS BIGINT) AS n_d,
+        |    CAST(sum(d) AS BIGINT) AS sd,
+        |    sum(CAST(d AS HUGEINT) * d) AS sd2
+        |  FROM d GROUP BY 1
+        |), med AS (
+        |  SELECT user_id, d AS median_gap_us FROM (
+        |    SELECT user_id, d,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY d, event_id) AS rn,
+        |      count(*) OVER (PARTITION BY user_id) AS nd
+        |    FROM d WHERE d IS NOT NULL)
+        |  WHERE rn = (nd + 1) // 2
+        |)
+        |SELECT a.user_id AS user_id, a.n_events AS n_events,
+        |  a.n_types AS n_types, a.span_us AS span_us,
+        |  m.median_gap_us AS median_gap_us,
+        |  CASE WHEN a.n_d <= 1 OR a.sd = 0 THEN NULL ELSE
+        |    CAST((CAST(a.n_d AS HUGEINT) * a.sd2
+        |        - CAST(a.sd AS HUGEINT) * a.sd) * 1000000
+        |      // (CAST(a.n_d - 1 AS HUGEINT) * a.sd) AS BIGINT) END
+        |    AS gap_vmr_ppm
+        |FROM agg a LEFT JOIN med m ON m.user_id = a.user_id
+        |WHERE a.n_events >= 3
+        |ORDER BY user_id""".stripMargin
   )
 }

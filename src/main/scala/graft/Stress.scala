@@ -521,6 +521,15 @@ object Stress {
     time("shard_rebalance")(graft.sources.Shards.rebalancePlan(
       docs, "doc_id", 8, 9).count())
     time("q16_parts")(graft.ops.Analytics.q16(li10, prt, supp).count())
+    time("sample_neyman")(graft.ops.Sampling.neymanAllocation(
+      docs.withColumn("n_chars", length(col("text")).cast("long")),
+      "source", "n_chars", 1000L).count())
+    time("docs_ablation")(graft.ops.Sampling.sourceAblation(
+      docs.withColumn("n_chars", length(col("text")).cast("long")))
+      .count())
+    time("eval_policy_replay")(
+      graft.ops.Eval.policyReplay(evN).count())
+    time("events_bots")(graft.ops.Events.botCard(evN).count())
 
     // bulk-load throughput through the partition-parallel sink (the
     // reference's headline metric: rows/s and MiB/s per load phase)

@@ -392,4 +392,53 @@ object Eval {
       .select(col("s"), col("n_s"), col("p_s"), col("iso_ppm"))
       .orderBy("s")
   }
+
+  /** Off-policy bandit evaluation by replay: learn a greedy per-context
+    * policy (dow → highest-total-reward event type) on an md5-coin
+    * train split, then score it on the held-out logs by REPLAY — only
+    * logged events whose arm matches the policy's choice count, the
+    * unbiased-under-uniform-logging estimator (Li et al.'s replay
+    * method) and the standard "would this targeting rule have paid off"
+    * readout before an online test. Exact end to end: rewards are
+    * floored cents, the argmax is the deterministic
+    * complement-struct-min (DuckDB twin: row_number ORDER BY reward
+    * DESC, arm), the split is the portable md5-hex threshold, and means
+    * are integer cent divisions (values non-negative, no div corner).
+    *
+    * Scale shape: the policy is a two-stage bounded agg (|dow|×|arms|
+    * cells → |dow| rows) broadcast back onto the held-out stream — one
+    * partial-agg shuffle each side, nothing corpus-sized re-moves.
+    */
+  def policyReplay(events: DataFrame): DataFrame = {
+    val base = events.select(
+      expr("ts div 86400000000000 % 7").as("dow"),
+      col("event_type"),
+      expr("CAST(floor(value * 100) AS BIGINT)").as("cents"),
+      (substring(md5(col("event_id").cast("string")), 1, 1) < lit("8"))
+        .as("is_train"))
+    val policy = base.filter(col("is_train"))
+      .groupBy(col("dow"), col("event_type"))
+      .agg(sum(col("cents")).as("r"))
+      .groupBy(col("dow"))
+      .agg(min(struct((lit(1L << 62) - col("r")).as("c"),
+        col("event_type").as("t"))).as("best"))
+      .select(col("dow"), col("best.t").as("chosen_type"))
+    base.filter(!col("is_train"))
+      .join(broadcast(policy), Seq("dow"))
+      .groupBy(col("dow"), col("chosen_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("event_type") === col("chosen_type"), 1L)
+          .otherwise(0L)).as("n_matched"),
+        sum(when(col("event_type") === col("chosen_type"), col("cents"))
+          .otherwise(0L)).as("matched_c"),
+        sum(col("cents")).as("all_c"))
+      .withColumn("match_ppm", expr("1000000L * n_matched div n_eval"))
+      .withColumn("replay_mean_e2", expr(
+        "CASE WHEN n_matched = 0 THEN NULL ELSE matched_c div n_matched END"))
+      .withColumn("base_mean_e2", expr("all_c div n_eval"))
+      .select(col("dow"), col("chosen_type"), col("n_eval"),
+        col("n_matched"), col("match_ppm"), col("replay_mean_e2"),
+        col("base_mean_e2"))
+      .orderBy("dow")
+  }
 }

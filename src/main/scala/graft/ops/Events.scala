@@ -1629,4 +1629,55 @@ object Events {
         col("users_b"), col("confidence_ppm"))
       .orderBy("a", "b")
   }
+
+  /** Per-user behavioral fingerprint — the bot/scraper triage card: a
+    * human clicks few things at irregular gaps, a bot hits many at
+    * metronome cadence. Per user: event and type counts, active span,
+    * the LOWER-MEDIAN inter-arrival gap (order statistic — portable
+    * where p50 interpolation is not), and the gap variance-to-mean
+    * ratio in ppm (the [[dispersionCard]] identity over per-user gaps:
+    * VMR → 0 is the metronome signature, large VMR is bursty-human).
+    * Gaps are µs differences along the (ts, event_id) total order —
+    * the tie-break makes the gap SEQUENCE itself deterministic, not
+    * just its statistics. Exact integer throughout (DECIMAL(38,0)
+    * second moments; gaps ≤ ~10¹⁴ µs square inside it).
+    *
+    * Scale shape: one user-keyed window pass mints gaps, one groupBy to
+    * the user domain, one rank window for the median — everything after
+    * the first shuffle is keyed on user_id and the card is |users|
+    * rows. Zero-gap guard: a user whose events all share one timestamp
+    * has Σd = 0 → NULL VMR portably.
+    */
+  def botCard(events: DataFrame, minEvents: Long = 3L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq = Window.partitionBy("user_id")
+      .orderBy(col("t"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000").as("t"))
+      .withColumn("d", col("t") - lag(col("t"), 1).over(seq))
+    val agg = gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        (max(col("t")) - min(col("t"))).as("span_us"),
+        count(col("d")).as("n_d"), sum(col("d")).as("sd"),
+        // cast BEFORE squaring: µs gaps reach 10¹¹ and d² overflows LONG
+        sum(col("d").cast("decimal(38,0)") * col("d")).as("sd2"))
+    val med = gaps.filter(col("d").isNotNull)
+      .withColumn("rn", row_number().over(Window.partitionBy("user_id")
+        .orderBy(col("d"), col("event_id"))).cast("long"))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy("user_id")))
+      .filter(col("rn") === expr("(nd + 1) div 2"))
+      .select(col("user_id"), col("d").as("median_gap_us"))
+    agg.join(med, Seq("user_id"), "left")
+      .filter(col("n_events") >= minEvents)
+      .withColumn("gap_vmr_ppm", expr(
+        """CASE WHEN n_d <= 1 OR sd = 0 THEN NULL ELSE
+           CAST((CAST(n_d AS DECIMAL(38,0)) * sd2
+               - CAST(sd AS DECIMAL(38,0)) * sd) * 1000000
+             div (CAST(n_d - 1 AS DECIMAL(38,0)) * sd) AS BIGINT) END"""))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        col("span_us"), col("median_gap_us"), col("gap_vmr_ppm"))
+      .orderBy("user_id")
+  }
 }

@@ -481,4 +481,80 @@ object Sampling {
       .select(col(idCol), col(catCol), col("y"), col("n_k"),
         col("loo_ppm"))
   }
+
+  /** Neyman-optimal stratified sample allocation: stratum h of a fixed
+    * budget n gets n·N_h·S_h / Σ N_h·S_h — proportional-to-size×spread,
+    * the variance-minimizing design for estimating a corpus mean from a
+    * bounded labeling/eval budget (a high-variance stratum needs more
+    * probes than its row share). Engine-portable determinism: the
+    * stratum variance is ONE double division of exact DECIMAL(38,0)
+    * moments ((n·Σx² − (Σx)²)/(n(n−1)) — both operands exact, the
+    * division IEEE-rounds identically), S_h its IEEE sqrt, and the
+    * weight is FLOORED to an integer before the cross-stratum sum —
+    * integer sums are order-free where a double Σ N_h·S_h would depend
+    * on reduction order. Singleton strata carry zero spread weight.
+    *
+    * Scale shape: one partial-aggregated groupBy to the stratum domain,
+    * one one-row weight total broadcast back — corpus rows move once.
+    */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: String,
+                       budget: Long): DataFrame = {
+    val stats = df
+      .select(col(stratumCol).as("stratum"),
+        col(valueCol).cast("long").as("x"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_h"), sum(col("x")).as("s1"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("s2"))
+      .withColumn("w_h", expr(
+        """CASE WHEN n_h <= 1 THEN 0L ELSE
+           CAST(floor(n_h * sqrt(
+             CAST(CAST(n_h AS DECIMAL(38,0)) * s2
+                  - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)
+             / CAST(CAST(n_h AS DECIMAL(38,0)) * (n_h - 1) AS DOUBLE)))
+           AS BIGINT) END"""))
+    stats
+      .withColumn("alloc", expr(
+        s"""CASE WHEN sum(w_h) OVER () = 0 THEN 0L
+            ELSE ${budget}L * w_h div sum(w_h) OVER () END"""))
+      .select(col("stratum"), col("n_h"), col("w_h"), col("alloc"))
+      .orderBy("stratum")
+  }
+
+  /** Leave-one-source-out ablation card: every per-source row reports
+    * the corpus metric RECOMPUTED WITHOUT that source — the cheap first
+    * pass of a data-mixture ablation (which source is dragging mean
+    * quality / shifting the language mix), exact from one set of global
+    * and per-source sums (ΣT − Σ_h over N_T − N_h), no per-source
+    * rescan. Deltas subtract independently-floored quantities, so every
+    * reported value is exactly reproducible.
+    *
+    * Scale shape: ONE partial-aggregated groupBy to the source domain;
+    * the global row is a window over that bounded frame. Corpus rows
+    * move once.
+    */
+  def sourceAblation(docs: DataFrame): DataFrame = {
+    val per = docs
+      .select(col("source"), col("n_chars").cast("long").as("x"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("en"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("x")).as("sx"),
+        sum(col("en")).as("sen"))
+    per
+      .withColumn("tot_n", expr("sum(n_docs) OVER ()"))
+      .withColumn("tot_x", expr("sum(sx) OVER ()"))
+      .withColumn("tot_en", expr("sum(sen) OVER ()"))
+      .withColumn("mean_chars_e2", expr("100L * tot_x div tot_n"))
+      .withColumn("mean_without_e2", expr(
+        """CASE WHEN tot_n = n_docs THEN NULL
+           ELSE 100L * (tot_x - sx) div (tot_n - n_docs) END"""))
+      .withColumn("en_ppm_without", expr(
+        """CASE WHEN tot_n = n_docs THEN NULL
+           ELSE 1000000L * (tot_en - sen) div (tot_n - n_docs) END"""))
+      .withColumn("delta_mean_e2",
+        col("mean_without_e2") - col("mean_chars_e2"))
+      .select(col("source"), col("n_docs"), col("mean_chars_e2"),
+        col("mean_without_e2"), col("en_ppm_without"),
+        col("delta_mean_e2"))
+      .orderBy("source")
+  }
 }

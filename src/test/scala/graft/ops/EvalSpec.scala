@@ -228,4 +228,39 @@ class EvalSpec extends SparkSpec {
     assert(got == expected)
     assert(got == got.sorted, "fit must be monotone non-decreasing")
   }
+
+  test("policyReplay learns the greedy arm on train, scores by replay") {
+    val day = 86400000000000L
+    // dow 0 only; arm "hi" pays 3.00, arm "lo" pays 1.00; ids 1..40
+    // alternate arms — expected values recomputed with the same md5 coin
+    val events = (1 to 40).map { i =>
+      val arm = if (i % 2 == 0) "hi" else "lo"
+      val v = if (arm == "hi") 3.0 else 1.0
+      (i.toLong, 1L, arm, (i % 7) * day + i, v)
+    }
+    def isTrain(id: Long) = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      h.charAt(0) < '8'
+    }
+    val df = events.toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = Eval.policyReplay(df).collect()
+    // per dow, recompute expectation from the same split
+    val byDow = events.groupBy(e => (e._4 / day) % 7)
+    out.foreach { r =>
+      val dow = r.getAs[Long]("dow")
+      val (train, eval) = byDow(dow).partition(e => isTrain(e._1))
+      val rewards = train.groupBy(_._3)
+        .map { case (a, es) => a -> es.map(e => (e._5 * 100).toLong).sum }
+      val chosen = rewards.toSeq.sortBy { case (a, rw) => (-rw, a) }.head._1
+      assert(r.getAs[String]("chosen_type") == chosen, s"dow $dow")
+      assert(r.getAs[Long]("n_eval") == eval.size.toLong)
+      val matched = eval.filter(_._3 == chosen)
+      assert(r.getAs[Long]("n_matched") == matched.size.toLong)
+      if (matched.nonEmpty)
+        assert(r.getAs[Long]("replay_mean_e2") ==
+          matched.map(e => (e._5 * 100).toLong).sum / matched.size)
+    }
+  }
 }

@@ -796,4 +796,24 @@ class EventsSpec extends SparkSpec {
     assert(r(("a", "b")) == ((2L, 2L, 1000000L)))
     assert(r(("b", "a")) == ((1L, 2L, 500000L)))
   }
+
+  test("botCard: metronome user has VMR 0, bursty user does not") {
+    // ts in ns; gaps computed in µs. user 1: gaps 10,10,10 µs → VMR 0;
+    // user 2: gaps 10,40 → VMR (2·1700−2500)·1e6/(1·50) = 18e6;
+    // user 3 has 2 events → filtered by minEvents=3
+    val ev = Seq(
+      (1L, 1L, "a", 0L), (2L, 1L, "a", 10000L),
+      (3L, 1L, "b", 20000L), (4L, 1L, "a", 30000L),
+      (5L, 2L, "a", 0L), (6L, 2L, "a", 10000L), (7L, 2L, "a", 50000L),
+      (8L, 3L, "a", 0L), (9L, 3L, "a", 1000L)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val r = Events.botCard(ev).collect()
+      .map(x => x.getAs[Long]("user_id") ->
+        (x.getAs[Long]("n_events"), x.getAs[Long]("n_types"),
+          x.getAs[Long]("median_gap_us"), x.getAs[Long]("gap_vmr_ppm")))
+      .toMap
+    assert(r.keySet == Set(1L, 2L))
+    assert(r(1L) == ((4L, 2L, 10L, 0L)))
+    assert(r(2L) == ((3L, 1L, 10L, 18000000L)))
+  }
 }

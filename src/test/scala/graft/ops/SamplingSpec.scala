@@ -326,4 +326,33 @@ class SamplingSpec extends SparkSpec {
     assert(out(4L) === None)
   }
 
+  test("neymanAllocation weights by N_h·S_h, zero for constant strata") {
+    import spark.implicits._
+    // stratum a: constant values → S=0 → no budget; stratum b: {0, 20}
+    // has sample variance 200, S = sqrt(200), w = floor(2·S) = 28
+    val df = Seq(("a", 10L), ("a", 10L), ("a", 10L),
+      ("b", 0L), ("b", 20L), ("c", 7L)).toDF("src", "v")
+    val out = Sampling.neymanAllocation(df, "src", "v", 100L).collect()
+      .map(r => r.getAs[String]("stratum") ->
+        (r.getAs[Long]("w_h"), r.getAs[Long]("alloc"))).toMap
+    assert(out("a") == (0L, 0L))
+    assert(out("c") == (0L, 0L), "singleton stratum carries no spread")
+    assert(out("b")._1 == math.floor(2.0 * math.sqrt(200.0)).toLong)
+    assert(out("b")._2 == 100L, "the only spread stratum takes it all")
+  }
+
+  test("sourceAblation recomputes metrics without each source") {
+    import spark.implicits._
+    val df = Seq((1L, "a", "en", 100L), (2L, "a", "en", 200L),
+      (3L, "b", "de", 300L), (4L, "b", "de", 400L))
+      .toDF("doc_id", "source", "lang", "n_chars")
+    val out = Sampling.sourceAblation(df).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("mean_chars_e2"), r.getAs[Long]("mean_without_e2"),
+          r.getAs[Long]("en_ppm_without"), r.getAs[Long]("delta_mean_e2")))
+      .toMap
+    // global mean 250 → 25000 e2; without a: 350; without b: 150
+    assert(out("a") == (25000L, 35000L, 0L, 10000L))
+    assert(out("b") == (25000L, 15000L, 1000000L, -10000L))
+  }
 }
