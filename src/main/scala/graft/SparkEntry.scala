@@ -2195,7 +2195,23 @@ object SparkEntry {
     // --- per-user behavioral fingerprint: median gap + gap VMR along
     // the deterministic (ts, event_id) order
     "events_bots" -> ((s, dir) =>
-      Events.botCard(rdEvents(s, dir)))
+      Events.botCard(rdEvents(s, dir))),
+    // --- Markov removal-effect attribution: bounded transition table,
+    // 12 fixed e6 absorption rounds, one scenario per channel
+    "events_attrib_markov" -> ((s, dir) =>
+      Events.markovAttribution(rdEvents(s, dir))),
+    // --- TPC-H Q11 shape: parts above 7 bp of total revenue, the
+    // HAVING-vs-scalar-subquery probe (cross-multiplied, no division)
+    "q11_important" -> ((s, dir) =>
+      Analytics.q11(rd(s, dir, "lineitem"))),
+    // --- time-travel snapshot election: newest snapshot at-or-before
+    // 1996-07-01, customers born later drop out
+    "snapshot_asof" -> ((s, dir) => {
+      val snaps = rd(s, dir, "orders").select(
+        col("o_custkey").as("customer_id"),
+        unix_timestamp(col("o_orderdate")).as("snapshot_ts"))
+      Snapshots.asOfPerCustomer(snaps, 836179200L).orderBy("customer_id")
+    })
   )
 
   /** Staged mojibake rows shared by the `text_mojibake` query and its
@@ -8965,6 +8981,115 @@ object SparkEntry {
         |    AS gap_vmr_ppm
         |FROM agg a LEFT JOIN med m ON m.user_id = a.user_id
         |WHERE a.n_events >= 3
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+    "events_attrib_markov" -> markovOracle,
+    "q11_important" ->
+      """WITH per AS MATERIALIZED (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |        AS BIGINT)
+        |      * (100 - CAST(CAST(l_discount AS DECIMAL(9,2)) * 100
+        |        AS BIGINT))) AS BIGINT) AS rev_e4
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT l_partkey, rev_e4 FROM per
+        |WHERE CAST(rev_e4 AS HUGEINT) * 10000
+        |  > (SELECT CAST(sum(rev_e4) AS HUGEINT) FROM per) * 7
+        |ORDER BY rev_e4 DESC, l_partkey""".stripMargin,
+    "snapshot_asof" ->
+      """SELECT o_custkey AS customer_id,
+        |  max(CASE WHEN epoch(o_orderdate) <= 836179200
+        |    THEN CAST(epoch(o_orderdate) AS BIGINT) END) AS asof_ts,
+        |  CAST(sum(CASE WHEN epoch(o_orderdate) <= 836179200
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_at_asof,
+        |  CAST(sum(CASE WHEN epoch(o_orderdate) > 836179200
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+        |FROM orders GROUP BY 1
+        |HAVING max(CASE WHEN epoch(o_orderdate) <= 836179200
+        |  THEN CAST(epoch(o_orderdate) AS BIGINT) END) IS NOT NULL
+        |ORDER BY customer_id""".stripMargin
   )
+
+  /** Unrolled-CTE twin of [[graft.ops.Events.markovAttribution]]: the
+    * bounded transition table, one redirected copy per scenario, and 12
+    * FIXED absorption rounds (v1..v12, each MATERIALIZED — the pageRank
+    * fixed-round recipe: extra rounds past convergence are no-ops, so
+    * the unroll matches the Scala loop register for register).
+    */
+  private def markovOracle: String = {
+    val head =
+      """WITH ranked AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 'conv'
+        |         ELSE event_type END AS state,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS rn
+        |  FROM events
+        |), fc AS (
+        |  SELECT user_id, min(rn) AS conv_rn FROM ranked
+        |  WHERE state = 'conv' GROUP BY 1
+        |), journey AS (
+        |  SELECT r.user_id, r.state, r.rn
+        |  FROM ranked r LEFT JOIN fc ON fc.user_id = r.user_id
+        |  WHERE fc.conv_rn IS NULL OR r.rn <= fc.conv_rn
+        |), steps AS (
+        |  SELECT user_id, state AS f,
+        |    COALESCE(lead(state) OVER (PARTITION BY user_id
+        |      ORDER BY rn), 'null') AS t
+        |  FROM journey
+        |), trans AS MATERIALIZED (
+        |  SELECT f, t, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+        |    SELECT f, t, count(*) AS cnt FROM steps
+        |    WHERE f <> 'conv' GROUP BY 1, 2
+        |    UNION ALL
+        |    SELECT 'start' AS f, state AS t, count(*) AS cnt
+        |    FROM journey WHERE rn = 1 GROUP BY 1, 2) u
+        |  GROUP BY 1, 2
+        |), scenarios AS (
+        |  SELECT * FROM (VALUES ('full'), ('click'), ('error'),
+        |    ('signup'), ('view')) sc(sc)
+        |), strans AS MATERIALIZED (
+        |  SELECT s.sc, tr.f,
+        |    CASE WHEN tr.t = s.sc THEN 'null' ELSE tr.t END AS t,
+        |    CAST(sum(tr.cnt) AS BIGINT) AS cnt
+        |  FROM scenarios s, trans tr GROUP BY 1, 2, 3
+        |), outs AS MATERIALIZED (
+        |  SELECT sc, f, CAST(sum(cnt) AS BIGINT) AS outc
+        |  FROM strans GROUP BY 1, 2
+        |), states AS MATERIALIZED (
+        |  SELECT DISTINCT sc, f AS s FROM strans
+        |  UNION
+        |  SELECT DISTINCT sc, t AS s FROM strans
+        |), v0 AS MATERIALIZED (
+        |  SELECT sc, s, CASE WHEN s = 'conv' THEN CAST(1000000 AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS v
+        |  FROM states
+        |)""".stripMargin
+    val rounds = (1 to 12).map { k =>
+      s"""v$k AS MATERIALIZED (
+         |  SELECT s.sc, s.s,
+         |    CASE WHEN s.s = 'conv' THEN CAST(1000000 AS BIGINT)
+         |         WHEN s.s = 'null' THEN CAST(0 AS BIGINT)
+         |         ELSE CAST(COALESCE(a.num // a.outc, 0) AS BIGINT) END AS v
+         |  FROM states s
+         |  LEFT JOIN (
+         |    SELECT tr.sc, tr.f, CAST(sum(tr.cnt * pv.v) AS BIGINT) AS num,
+         |      max(o.outc) AS outc
+         |    FROM strans tr
+         |    JOIN v${k - 1} pv ON pv.sc = tr.sc AND pv.s = tr.t
+         |    JOIN outs o ON o.sc = tr.sc AND o.f = tr.f
+         |    GROUP BY 1, 2
+         |  ) a ON a.sc = s.sc AND a.f = s.s
+         |)""".stripMargin
+    }.mkString(", ")
+    val tail =
+      """SELECT c.sc AS channel, f.v AS v_full_ppm, c.v AS v_removed_ppm,
+        |  CAST(greatest(1000000 * (f.v - c.v), 0)
+        |    // greatest(f.v, 1) AS BIGINT) AS removal_ppm
+        |FROM v12 c, v12 f
+        |WHERE f.sc = 'full' AND f.s = 'start'
+        |  AND c.s = 'start' AND c.sc <> 'full'
+        |ORDER BY channel""".stripMargin
+    s"$head, $rounds\n$tail"
+  }
 }

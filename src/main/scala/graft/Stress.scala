@@ -530,6 +530,13 @@ object Stress {
     time("eval_policy_replay")(
       graft.ops.Eval.policyReplay(evN).count())
     time("events_bots")(graft.ops.Events.botCard(evN).count())
+    time("events_attrib_markov")(
+      graft.ops.Events.markovAttribution(evN).count())
+    time("q11_important")(graft.ops.Analytics.q11(li10).count())
+    time("snapshot_asof")(graft.orchestrate.Snapshots.asOfPerCustomer(
+      ord10.select(col("o_custkey").as("customer_id"),
+        unix_timestamp(col("o_orderdate")).as("snapshot_ts")),
+      836179200L).count())
 
     // bulk-load throughput through the partition-parallel sink (the
     // reference's headline metric: rows/s and MiB/s per load phase)

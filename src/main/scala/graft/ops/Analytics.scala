@@ -1023,4 +1023,33 @@ object Analytics {
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
         col("p_size"))
   }
+
+  /** Important-stock probe (TPC-H Q11 shape): parts whose revenue share
+    * exceeds `bp`/10000 (basis points) of the grand total — the HAVING-against-a-
+    * scalar-subquery plan shape. Exact integer threshold: the share
+    * test cross-multiplies (1000·rev_e4 > permille·total_e4) through
+    * DECIMAL(38,0), so no division ever happens and the cut is
+    * bit-reproducible (10000·rev_e4 > bp·total_e4). (Classic Q11
+    * values partsupp stock; this corpus
+    * prices the part's lineitem revenue — same plan: one keyed partial
+    * agg, one ONE-ROW total broadcast back, a filter, a sort.)
+    *
+    * Scale shape: the groupBy compresses the fact table to the part
+    * domain before the one-row total crosses back — nothing
+    * corpus-sized moves twice; the final sort is over the filtered
+    * survivor list only.
+    */
+  def q11(lineitem: DataFrame, bp: Long = 7L): DataFrame = {
+    val perPart = lineitem
+      .select(col("l_partkey"), revE4.as("rev_e4"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("rev_e4")).as("rev_e4"))
+    perPart
+      .withColumn("total_e4", expr("sum(rev_e4) OVER ()"))
+      .filter(expr(
+        s"""CAST(rev_e4 AS DECIMAL(38,0)) * 10000
+            > CAST(total_e4 AS DECIMAL(38,0)) * ${bp}L"""))
+      .select(col("l_partkey"), col("rev_e4"))
+      .orderBy(col("rev_e4").desc, col("l_partkey"))
+  }
 }

@@ -1680,4 +1680,87 @@ object Events {
         col("span_us"), col("median_gap_us"), col("gap_vmr_ppm"))
       .orderBy("user_id")
   }
+
+  /** Markov removal-effect attribution — the data-driven successor to
+    * the heuristic credits in [[attribution]]: model each user journey
+    * (events ordered by (ts, event_id), truncated at the FIRST
+    * conversion) as a first-order chain start → channels → conv/null,
+    * and credit channel c by how much the absorption probability into
+    * conv drops when every transition into c is redirected to null
+    * (Anderl et al.'s removal effect). Deterministic and exact: the
+    * transition table is the bounded (|channels|+2)² frame, collected
+    * to the driver (the k-means-centroid bounded-pull class, ≤ dozens
+    * of rows), and absorption runs `rounds` FIXED iterations of
+    * v'(s) = (Σ_t cnt(s,t)·v_e6(t)) div out(s) in e6 fixed point —
+    * non-negative operands, so Scala `/` == SQL div == floor, and the
+    * unrolled-CTE oracle reproduces every register. Extra rounds past
+    * convergence are no-ops (the pageRank fixed-round recipe).
+    *
+    * Scale shape: journeys never materialize — one user-keyed window
+    * pass mints consecutive-pair transitions, one groupBy to the
+    * bounded (from, to) domain; everything after is driver arithmetic
+    * on ≤ 49 rows. Removal effects are clamped at 0 (per-round floors
+    * could nudge a no-op removal a ppm negative).
+    */
+  def markovAttribution(events: DataFrame,
+                        convType: String = "purchase",
+                        channels: Seq[String] =
+                          Seq("click", "error", "signup", "view"),
+                        rounds: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ranked = events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("event_type") === convType, lit("conv"))
+          .otherwise(col("event_type")).as("state"))
+      .withColumn("rn", row_number().over(ord).cast("long"))
+    val firstConv = ranked.filter(col("state") === "conv")
+      .groupBy(col("user_id")).agg(min(col("rn")).as("conv_rn"))
+    // user-keyed join (users-sized build side — NOT broadcast; the
+    // window above already partitioned on user_id, so this reuses it)
+    val journey = ranked
+      .join(firstConv, Seq("user_id"), "left")
+      .filter(col("conv_rn").isNull || col("rn") <= col("conv_rn"))
+    val steps = journey
+      .withColumn("nxt", lead(col("state"), 1).over(ord))
+      .filter(col("state") =!= "conv")
+      .select(col("state").as("from"),
+        coalesce(col("nxt"), lit("null")).as("to"))
+    val starts = journey.filter(col("rn") === 1L)
+      .select(lit("start").as("from"), col("state").as("to"))
+    val trans = steps.union(starts)
+      .groupBy(col("from"), col("to")).agg(count(lit(1)).as("cnt"))
+      .collect()                       // bounded: (|channels|+2)² cells
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def absorb(redirect: Option[String]): Long = {
+      val t = trans.map { case (f, to, c) =>
+        (f, if (redirect.contains(to)) "null" else to, c)
+      }
+      val out = t.groupBy(_._1).map { case (f, rs) => f -> rs.map(_._3).sum }
+      val states = (t.map(_._1) ++ t.map(_._2)).distinct
+      var v = states.map(s => s -> (if (s == "conv") 1000000L else 0L)).toMap
+      for (_ <- 1 to rounds) {
+        val nv = states.map { s =>
+          s -> (if (s == "conv") 1000000L else if (s == "null") 0L
+          else {
+            val num = t.filter(_._1 == s).map { case (_, to, c) =>
+              c * v(to)
+            }.sum
+            if (out.getOrElse(s, 0L) == 0L) 0L else num / out(s)
+          })
+        }.toMap
+        v = nv
+      }
+      v.getOrElse("start", 0L)
+    }
+    val full = absorb(None)
+    val spark = events.sparkSession
+    import spark.implicits._
+    channels.sorted.map { c =>
+      val removed = absorb(Some(c))
+      (c, full, removed, math.max(1000000L * (full - removed), 0L) /
+        math.max(full, 1L))
+    }.toDF("channel", "v_full_ppm", "v_removed_ppm", "removal_ppm")
+      .orderBy("channel")
+  }
 }

@@ -63,6 +63,26 @@ object Snapshots {
       .agg(max(col("snapshot_ts")).as("latest_ts"),
         count(lit(1)).as("n_snapshots"))
 
+  /** Time-travel variant of [[latestPerCustomer]]: the newest snapshot
+    * at or before `asOf` — "what did the lake serve last Tuesday", the
+    * reproducibility primitive for re-running a load or an audit
+    * against the exact inputs a past run saw. Customers whose first
+    * snapshot postdates `asOf` drop out (they did not exist then); the
+    * count of later snapshots is reported so the caller can see how
+    * far history has moved on. Same partial-agg shape — conditional
+    * max/count, one keyed shuffle, map-side combining.
+    */
+  def asOfPerCustomer(snapshots: DataFrame, asOf: Long): DataFrame =
+    snapshots
+      .groupBy(col("customer_id"))
+      .agg(max(when(col("snapshot_ts") <= asOf, col("snapshot_ts")))
+        .as("asof_ts"),
+        sum(when(col("snapshot_ts") <= asOf, 1L).otherwise(0L))
+          .as("n_at_asof"),
+        sum(when(col("snapshot_ts") > asOf, 1L).otherwise(0L))
+          .as("n_after"))
+      .filter(col("asof_ts").isNotNull)
+
   def toDF(spark: SparkSession, snaps: Seq[Snapshot]): DataFrame = {
     import spark.implicits._
     snaps.toDF()

@@ -65,4 +65,17 @@ class DemoWorkflowSpec extends SparkSpec {
     cat.execute("DROP DATABASE `c1-100` IF EXISTS")
     assert(cat.showDatabases.isEmpty && cat.showAliases.isEmpty)
   }
+
+  test("asOfPerCustomer elects the newest snapshot at or before T") {
+    val snaps = Seq(("c1", 100L), ("c1", 200L), ("c1", 300L),
+      ("c2", 250L), ("c3", 400L))
+      .toDF("customer_id", "snapshot_ts")
+    val out = Snapshots.asOfPerCustomer(snaps, 250L).collect()
+      .map(r => r.getAs[String]("customer_id") ->
+        (r.getAs[Long]("asof_ts"), r.getAs[Long]("n_at_asof"),
+          r.getAs[Long]("n_after"))).toMap
+    assert(out == Map(
+      "c1" -> ((200L, 2L, 1L)),   // 300 exists but postdates T
+      "c2" -> ((250L, 1L, 0L)))) // inclusive bound; c3 born after T
+  }
 }

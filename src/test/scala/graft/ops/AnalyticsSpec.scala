@@ -314,4 +314,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("p_size") == 14L)
     assert(r.getAs[Long]("supplier_cnt") == 2L)
   }
+
+  test("q11 keeps only parts above the cross-multiplied share bound") {
+    import org.apache.spark.sql.functions._
+    // rev units: part 1 → 10 rows, parts 2/3 → 1 row each (e4 = 10000
+    // per row at price 1.00, discount 0). At 5000 bp (50%) only part 1
+    // (10/12 ≈ 83%) survives.
+    val li = ((1 to 10).map(_ => 1L) ++ Seq(2L, 3L))
+      .map(p => (p, 1.00, 0.0))
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+    val out = Analytics.q11(li, bp = 5000L).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("l_partkey") == 1L)
+    assert(out.head.getAs[Long]("rev_e4") == 100000L)
+  }
 }

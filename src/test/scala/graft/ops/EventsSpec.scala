@@ -816,4 +816,38 @@ class EventsSpec extends SparkSpec {
     assert(r(1L) == ((4L, 2L, 10L, 0L)))
     assert(r(2L) == ((3L, 1L, 10L, 18000000L)))
   }
+
+  test("markovAttribution credits the channel that feeds conversion") {
+    // u1: click → purchase; u2: view → (no conversion).
+    // chain: start→{click, view} ½ each; click→conv; view→null.
+    // v(start) = 500000. Removing click: start→click redirects to null
+    // → v = 0 → removal 1e6. Removing view changes nothing → 0.
+    val ev = Seq(
+      (1L, 1L, "click", 100L), (2L, 1L, "purchase", 200L),
+      (3L, 2L, "view", 100L)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Events.markovAttribution(ev,
+      channels = Seq("click", "view")).collect()
+      .map(x => x.getAs[String]("channel") ->
+        (x.getAs[Long]("v_full_ppm"), x.getAs[Long]("v_removed_ppm"),
+          x.getAs[Long]("removal_ppm"))).toMap
+    assert(out("click") == ((500000L, 0L, 1000000L)))
+    assert(out("view") == ((500000L, 500000L, 0L)))
+  }
+
+  test("markovAttribution truncates journeys at the FIRST conversion") {
+    // events after the first purchase must not mint transitions:
+    // without truncation purchase→click would exist and click would
+    // absorb credit it never earned
+    val ev = Seq(
+      (1L, 1L, "view", 100L), (2L, 1L, "purchase", 200L),
+      (3L, 1L, "click", 300L), (4L, 1L, "purchase", 400L)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Events.markovAttribution(ev,
+      channels = Seq("click", "view")).collect()
+      .map(x => x.getAs[String]("channel") ->
+        x.getAs[Long]("removal_ppm")).toMap
+    assert(out("view") == 1000000L, "view is the only path to conv")
+    assert(out("click") == 0L, "post-conversion click earns nothing")
+  }
 }
