@@ -2211,6 +2211,15 @@ object SparkEntry {
         col("o_custkey").as("customer_id"),
         unix_timestamp(col("o_orderdate")).as("snapshot_ts"))
       Snapshots.asOfPerCustomer(snaps, 836179200L).orderBy("customer_id")
+    }),
+    // --- k-source Brandes betweenness over the order–customer graph:
+    // exact BIGINT path counts forward, e6 dependency floors backward
+    "graph_betweenness" -> ((s, dir) => {
+      val e = rd(s, dir, "orders").select(col("o_orderkey").as("src"),
+        (col("o_custkey") + 10000000L).as("dst"))
+      val seeds = rd(s, dir, "orders").filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey").as("id"))
+      Graph.betweenness(e, seeds, 3)
     })
   )
 
@@ -8983,6 +8992,7 @@ object SparkEntry {
         |WHERE a.n_events >= 3
         |ORDER BY user_id""".stripMargin,
     "events_attrib_markov" -> markovOracle,
+    "graph_betweenness" -> betweennessOracle,
     "q11_important" ->
       """WITH per AS MATERIALIZED (
         |  SELECT l_partkey,
@@ -9009,6 +9019,64 @@ object SparkEntry {
         |  THEN CAST(epoch(o_orderdate) AS BIGINT) END) IS NOT NULL
         |ORDER BY customer_id""".stripMargin
   )
+
+  /** Unrolled-CTE twin of [[graft.ops.Graph.betweenness]] at maxHops=3:
+    * forward level-BFS hops f1..f3 (σ summed over depth-(h−1) parents,
+    * NOT EXISTS against the accumulated known set), backward dependency
+    * frames b3..b1 (per-edge e6 floor terms), endpoint depth-0 rows
+    * excluded by construction.
+    */
+  private def betweennessOracle: String = {
+    val head =
+      """WITH ed AS MATERIALIZED (
+        |  SELECT u, v FROM (
+        |    SELECT o_orderkey AS u, o_custkey + 10000000 AS v FROM orders
+        |    UNION
+        |    SELECT o_custkey + 10000000 AS u, o_orderkey AS v
+        |    FROM orders) t
+        |), f0 AS MATERIALIZED (
+        |  SELECT DISTINCT o_orderkey AS s, o_orderkey AS v,
+        |    CAST(0 AS BIGINT) AS dist, CAST(1 AS BIGINT) AS sig
+        |  FROM orders WHERE o_orderkey < 100
+        |), kn0 AS (SELECT s, v FROM f0)""".stripMargin
+    val fwd = (1 to 3).map { h =>
+      s"""f$h AS MATERIALIZED (
+         |  SELECT f.s AS s, e.v AS v, CAST($h AS BIGINT) AS dist,
+         |    CAST(sum(f.sig) AS BIGINT) AS sig
+         |  FROM f${h - 1} f JOIN ed e ON e.u = f.v
+         |  WHERE NOT EXISTS (SELECT 1 FROM kn${h - 1} k
+         |    WHERE k.s = f.s AND k.v = e.v)
+         |  GROUP BY 1, 2
+         |), kn$h AS MATERIALIZED (
+         |  SELECT s, v FROM kn${h - 1} UNION ALL SELECT s, v FROM f$h
+         |)""".stripMargin
+    }.mkString(", ")
+    val b3 = """b3 AS MATERIALIZED (
+        |  SELECT s, v, dist, sig, CAST(0 AS BIGINT) AS delta FROM f3
+        |)""".stripMargin
+    val bwd = (2 to 1 by -1).map { h =>
+      s"""b$h AS MATERIALIZED (
+         |  SELECT f.s, f.v, f.dist, f.sig,
+         |    CAST(COALESCE(c.delta, 0) AS BIGINT) AS delta
+         |  FROM f$h f LEFT JOIN (
+         |    SELECT f2.s, f2.v,
+         |      CAST(sum(f2.sig * (1000000 + ch.delta) // ch.sig)
+         |        AS BIGINT) AS delta
+         |    FROM f$h f2 JOIN ed e ON e.u = f2.v
+         |    JOIN b${h + 1} ch ON ch.s = f2.s AND ch.v = e.v
+         |    GROUP BY 1, 2
+         |  ) c ON c.s = f.s AND c.v = f.v
+         |)""".stripMargin
+    }.mkString(", ")
+    val tail =
+      """SELECT v AS id, CAST(sum(delta) AS BIGINT) AS betweenness_e6,
+        |  CAST(count(*) AS BIGINT) AS n_sources
+        |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2
+        |      UNION ALL SELECT * FROM b3) t
+        |GROUP BY 1 HAVING sum(delta) > 0
+        |ORDER BY betweenness_e6 DESC, id""".stripMargin
+    s"$head, $fwd, $b3, $bwd\n$tail"
+  }
 
   /** Unrolled-CTE twin of [[graft.ops.Events.markovAttribution]]: the
     * bounded transition table, one redirected copy per scenario, and 12

@@ -537,6 +537,13 @@ object Stress {
       ord10.select(col("o_custkey").as("customer_id"),
         unix_timestamp(col("o_orderdate")).as("snapshot_ts")),
       836179200L).count())
+    // k-source Brandes over the 10x order–customer graph (600k nodes);
+    // 25 pivots advance together on (seed, node)-keyed frames
+    time("graph_betweenness")(graft.ops.Graph.betweenness(
+      ord10.select(col("o_orderkey").as("src"),
+        (col("o_custkey") + 10000000L).as("dst")),
+      ord10.filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey").as("id")), 3).count())
 
     // bulk-load throughput through the partition-parallel sink (the
     // reference's headline metric: rows/s and MiB/s per load phase)

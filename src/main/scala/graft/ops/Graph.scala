@@ -1292,4 +1292,84 @@ object Graph {
     if (decided == null) active.withColumn("status", lit("undecided"))
     else decided.unionByName(active.withColumn("status", lit("undecided")))
   }
+
+  /** k-source Brandes betweenness (hop-bounded): run Brandes'
+    * shortest-path counting from a bounded pivot set and accumulate
+    * each node's dependency — the sampled estimator for "which nodes
+    * do paths funnel through" that exact betweenness (all-sources,
+    * O(V·E)) cannot afford at scale; pivot sampling is the standard
+    * trade (Brandes–Pich). Deterministic and oracle-exact: the forward
+    * level-BFS counts shortest paths σ in exact BIGINT (every parent
+    * at depth h−1 contributes its σ to each depth-h child, one
+    * partial-agg groupBy per hop), and the backward pass accumulates
+    * δ(v) = Σ_children floor(σ_v·(10⁶+δ_w)/σ_w) in e6 fixed point —
+    * one floor per edge term, non-negative operands, identical in SQL.
+    * All sources advance TOGETHER: every frame is keyed (seed, node),
+    * so a hop is one keyed join + one partial agg regardless of |S|.
+    *
+    * Scale shape: 2·maxHops bounded rounds, each localCheckpointed
+    * (the per-depth frames feed BOTH the next hop and the backward
+    * pass — the kCore double-reference rule); edges dedup once up
+    * front (σ counts simple paths, not multi-edges). σ fits BIGINT
+    * through ~10¹² parallel shortest paths per (seed, node) — beyond
+    * that (dense small-world graphs at high hop budgets) lower
+    * maxHops. Betweenness excludes endpoints (δ at the seed itself is
+    * dropped), summed across seeds as an order-free integer.
+    */
+  def betweenness(edges: DataFrame, seeds: DataFrame,
+                  maxHops: Int = 3): DataFrame = {
+    val und = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+      .distinct().localCheckpoint(true)
+    val f0 = seeds.select(col("id").as("s")).distinct()
+      .select(col("s"), col("s").as("v"), lit(0L).as("dist"),
+        lit(1L).as("sig")).localCheckpoint(true)
+    var known = f0
+    var frontier = f0
+    var levels = List(f0)           // depth-indexed, head = deepest
+    var hop = 1
+    while (hop <= maxHops && !frontier.isEmpty) {
+      val fresh = frontier
+        .select(col("s"), col("v").as("u"), col("sig"))
+        .join(und, Seq("u"))
+        .groupBy(col("s"), col("v"))
+        .agg(sum(col("sig")).as("sig"))
+        .join(known.select(col("s"), col("v")), Seq("s", "v"), "left_anti")
+        .select(col("s"), col("v"), lit(hop.toLong).as("dist"), col("sig"))
+        .localCheckpoint(true)
+      known = known.unionByName(fresh)
+      levels = fresh :: levels
+      frontier = fresh
+      hop += 1
+    }
+    // backward dependency accumulation, deepest level has delta 0
+    var below = levels.head.withColumn("delta", lit(0L))
+      .localCheckpoint(true)
+    var acc = below
+    levels.tail.foreach { lvl =>
+      val contrib = lvl
+        .select(col("s"), col("v"), col("sig"))
+        .withColumnRenamed("v", "u")
+        .join(und, Seq("u"))
+        .join(below.select(col("s"), col("v"),
+          col("sig").as("csig"), col("delta").as("cdelta")),
+          Seq("s", "v"))
+        .groupBy(col("s"), col("u").as("gv"))
+        .agg(sum(expr("sig * (1000000L + cdelta) div csig")).as("delta"))
+        .withColumnRenamed("gv", "v")
+      val withDelta = lvl
+        .join(contrib, Seq("s", "v"), "left")
+        .select(col("s"), col("v"), col("dist"), col("sig"),
+          coalesce(col("delta"), lit(0L)).as("delta"))
+        .localCheckpoint(true)
+      below = withDelta
+      acc = acc.unionByName(withDelta)
+    }
+    acc.filter(col("dist") > 0L)
+      .groupBy(col("v").as("id"))
+      .agg(sum(col("delta")).as("betweenness_e6"),
+        count(lit(1)).as("n_sources"))
+      .filter(col("betweenness_e6") > 0L)
+      .orderBy(col("betweenness_e6").desc, col("id"))
+  }
 }

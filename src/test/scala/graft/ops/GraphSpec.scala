@@ -645,4 +645,41 @@ class GraphSpec extends SparkSpec {
     val b = Graph.diameterSweep(e, maxHops = 2).collect()(0)
     assert(b.getAs[Long]("diameter_lb") == 2L)
   }
+
+  test("betweenness: path graph puts all dependency on the middle") {
+    import spark.implicits._
+    // s — a — b from seed s: σ(a)=σ(b)=1, δ(b)=0,
+    // δ(a) = floor(1·(1e6+0)/1) = 1e6; b filtered (zero betweenness)
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val r = Graph.betweenness(e, seeds, maxHops = 3).collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[Long]("betweenness_e6"))
+      .toMap
+    assert(r == Map(2L -> 1000000L))
+  }
+
+  test("betweenness: diamond splits dependency across both middles") {
+    import spark.implicits._
+    // s—a—t and s—b—t: σ(t)=2, δ(a)=δ(b)=floor(1·1e6/2)=500000
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val r = Graph.betweenness(e, seeds, maxHops = 3).collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[Long]("betweenness_e6"))
+      .toMap
+    assert(r == Map(2L -> 500000L, 3L -> 500000L))
+  }
+
+  test("betweenness sums dependencies across seeds, excludes endpoints") {
+    import spark.implicits._
+    // path 1—2—3 with seeds {1, 3}: node 2 earns 1e6 from each side
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L, 3L).toDF("id")
+    val r = Graph.betweenness(e, seeds, maxHops = 3).collect()
+      .map(x => x.getAs[Long]("id") ->
+        (x.getAs[Long]("betweenness_e6"), x.getAs[Long]("n_sources")))
+      .toMap
+    // endpoints appear as dist>0 nodes of the OTHER seed with δ=0 and
+    // are dropped by the positive filter; the middle carries both
+    assert(r == Map(2L -> ((2000000L, 2L))))
+  }
 }
