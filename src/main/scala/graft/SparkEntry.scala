@@ -2220,6 +2220,32 @@ object SparkEntry {
       val seeds = rd(s, dir, "orders").filter(col("o_orderkey") < 100)
         .select(col("o_orderkey").as("id"))
       Graph.betweenness(e, seeds, 3)
+    }),
+    // --- TPC-H Q20 shape: suppliers shipping >half of a red part's
+    // 1996 volume — nested semi-join + decorrelated correlated agg
+    "q20_dominant" -> ((s, dir) =>
+      Analytics.q20(rd(s, dir, "lineitem"), rd(s, dir, "part"),
+        rd(s, dir, "supplier"))),
+    // --- interval-union coverage per user: merge [ts, ts+value s)
+    // islands, report covered/span/utilization in exact µs
+    "events_coverage" -> ((s, dir) =>
+      Events.intervalCoverage(rdEvents(s, dir))),
+    // --- robots-style longest-prefix path rules over synthetic paths;
+    // allow beats deny on equal length, default-allow unmatched
+    "web_robots" -> ((s, dir) => {
+      import s.implicits._
+      val urls = rd(s, dir, "documents").select(
+        col("doc_id").as("url_id"),
+        expr("""concat('/',
+          |CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'public'
+          |  WHEN 1 THEN 'private' WHEN 2 THEN 'tmp' ELSE 'data' END,
+          |'/',
+          |CASE WHEN doc_id % 8 = 1 THEN 'share/' ELSE '' END,
+          |CAST(doc_id % 16 AS STRING))""".stripMargin).as("path"))
+      val rules = Seq(("/", true), ("/private/", false),
+        ("/tmp/", false), ("/private/share/", true))
+        .toDF("prefix", "allow")
+      Web.robotsFilter(urls, rules)
     })
   )
 
@@ -8993,6 +9019,82 @@ object SparkEntry {
         |ORDER BY user_id""".stripMargin,
     "events_attrib_markov" -> markovOracle,
     "graph_betweenness" -> betweennessOracle,
+    "q20_dominant" ->
+      """WITH sp AS (
+        |  SELECT l_suppkey, l_partkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sp
+        |  FROM lineitem
+        |  WHERE epoch_us(l_shipdate) // 86400000000 >=
+        |      epoch_us(TIMESTAMP '1996-01-01') // 86400000000
+        |    AND epoch_us(l_shipdate) // 86400000000 <
+        |      epoch_us(TIMESTAMP '1997-01-01') // 86400000000
+        |    AND l_partkey IN (
+        |      SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+        |  GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT l_partkey, CAST(sum(qty_sp) AS BIGINT) AS qty_p
+        |  FROM sp GROUP BY 1
+        |), dom AS (
+        |  SELECT sp.l_suppkey, CAST(count(*) AS BIGINT) AS n_dominated
+        |  FROM sp JOIN tot ON tot.l_partkey = sp.l_partkey
+        |  WHERE sp.qty_sp * 2 > tot.qty_p
+        |  GROUP BY 1
+        |)
+        |SELECT d.l_suppkey AS s_suppkey, s.s_name AS s_name,
+        |  d.n_dominated AS n_dominated
+        |FROM dom d JOIN supplier s ON s.s_suppkey = d.l_suppkey
+        |ORDER BY n_dominated DESC, s_suppkey""".stripMargin,
+    "events_coverage" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS e
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, event_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM iv
+        |), g AS (
+        |  SELECT user_id, s, e,
+        |    CAST(sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY s, e, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS island
+        |  FROM f
+        |), isl AS (
+        |  SELECT user_id, island, min(s) AS i_start, max(e) AS i_end,
+        |    CAST(count(*) AS BIGINT) AS n_iv
+        |  FROM g GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(sum(n_iv) AS BIGINT) AS n_events,
+        |  CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(i_end - i_start) AS BIGINT) AS covered_us,
+        |  CAST(max(i_end) - min(i_start) AS BIGINT) AS span_us,
+        |  CAST(1000000 * sum(i_end - i_start)
+        |    // (max(i_end) - min(i_start)) AS BIGINT) AS utilization_ppm
+        |FROM isl GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "web_robots" ->
+      """WITH urls AS (
+        |  SELECT doc_id AS url_id,
+        |    '/' || CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'public'
+        |      WHEN 1 THEN 'private' WHEN 2 THEN 'tmp' ELSE 'data' END
+        |    || '/' || CASE WHEN doc_id % 8 = 1 THEN 'share/' ELSE '' END
+        |    || CAST(doc_id % 16 AS VARCHAR) AS path
+        |  FROM documents
+        |), rules AS (
+        |  SELECT * FROM (VALUES ('/', true), ('/private/', false),
+        |    ('/tmp/', false), ('/private/share/', true))
+        |    r(prefix, allow)
+        |), m AS (
+        |  SELECT u.url_id, u.path, r.prefix, r.allow,
+        |    row_number() OVER (PARTITION BY u.url_id
+        |      ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix)
+        |      AS rk
+        |  FROM urls u LEFT JOIN rules r ON starts_with(u.path, r.prefix)
+        |)
+        |SELECT url_id, path, COALESCE(prefix, '') AS rule_prefix,
+        |  COALESCE(allow, true) AS allowed
+        |FROM m WHERE rk = 1 ORDER BY url_id""".stripMargin,
     "q11_important" ->
       """WITH per AS MATERIALIZED (
         |  SELECT l_partkey,

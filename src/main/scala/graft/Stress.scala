@@ -544,6 +544,21 @@ object Stress {
         (col("o_custkey") + 10000000L).as("dst")),
       ord10.filter(col("o_orderkey") < 100)
         .select(col("o_orderkey").as("id")), 3).count())
+    time("q20_dominant")(
+      graft.ops.Analytics.q20(li10, prt, supp).count())
+    time("events_coverage")(
+      graft.ops.Events.intervalCoverage(evN).count())
+    locally {
+      import spark.implicits._
+      time("web_robots")(graft.ops.Web.robotsFilter(
+        docs.select(col("doc_id").as("url_id"),
+          expr("""concat('/',
+            |CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'public'
+            |  WHEN 1 THEN 'private' WHEN 2 THEN 'tmp' ELSE 'data' END,
+            |'/', CAST(doc_id % 16 AS STRING))""".stripMargin).as("path")),
+        Seq(("/", true), ("/private/", false), ("/tmp/", false))
+          .toDF("prefix", "allow")).count())
+    }
 
     // bulk-load throughput through the partition-parallel sink (the
     // reference's headline metric: rows/s and MiB/s per load phase)

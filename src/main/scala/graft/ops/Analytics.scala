@@ -1039,6 +1039,49 @@ object Analytics {
     * corpus-sized moves twice; the final sort is over the filtered
     * survivor list only.
     */
+  /** Dominant-supplier probe (TPC-H Q20 shape): suppliers who shipped
+    * MORE THAN HALF of some name-filtered part's total volume inside a
+    * date band — the nested-semi-join-with-correlated-aggregate plan
+    * that separates decorrelating engines from per-row re-executors.
+    * Decorrelation is explicit: per-(supplier, part) quantities
+    * aggregate ONCE, per-part totals RE-AGGREGATE from that frame (no
+    * second scan), and the half test cross-multiplies (2·qty_sp >
+    * qty_p, exact BIGINT — quantities are integral). (Classic Q20
+    * thresholds partsupp availqty; this corpus has no partsupp, so
+    * "stocks more than half" becomes "shipped more than half" — the
+    * identical join/agg shape.)
+    *
+    * Scale shape: the name-filtered part list broadcasts ONTO the
+    * lineitem scan (with the date band) before anything shuffles; one
+    * (supp, part) partial agg, one part-keyed re-agg joined back, one
+    * supplier rollup, one broadcast name join.
+    */
+  def q20(lineitem: DataFrame, part: DataFrame, supplier: DataFrame,
+          namePattern: String = "red",
+          dayLo: String = "1996-01-01", dayHi: String = "1997-01-01")
+  : DataFrame = {
+    val lo = java.time.LocalDate.parse(dayLo).toEpochDay
+    val hi = java.time.LocalDate.parse(dayHi).toEpochDay
+    val pt = part.filter(col("p_name").contains(namePattern))
+      .select(col("p_partkey").as("l_partkey"))
+    val sp = lineitem
+      .filter(shipEpochDay >= lit(lo) && shipEpochDay < lit(hi))
+      .join(broadcast(pt), Seq("l_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty_sp"))
+    val totals = sp.groupBy(col("l_partkey"))
+      .agg(sum(col("qty_sp")).as("qty_p"))
+    sp.join(totals, Seq("l_partkey"))
+      .filter(col("qty_sp") * 2L > col("qty_p"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_dominated"))
+      .join(broadcast(supplier.select(col("s_suppkey").as("l_suppkey"),
+        col("s_name"))), Seq("l_suppkey"))
+      .select(col("l_suppkey").as("s_suppkey"), col("s_name"),
+        col("n_dominated"))
+      .orderBy(col("n_dominated").desc, col("s_suppkey"))
+  }
+
   def q11(lineitem: DataFrame, bp: Long = 7L): DataFrame = {
     val perPart = lineitem
       .select(col("l_partkey"), revE4.as("rev_e4"))

@@ -1763,4 +1763,50 @@ object Events {
     }.toDF("channel", "v_full_ppm", "v_removed_ppm", "removal_ppm")
       .orderBy("channel")
   }
+
+  /** Interval-union coverage per user: merge overlapping activity
+    * intervals [ts, ts + value seconds) and report covered time,
+    * island count, and utilization — the classic gaps-and-islands
+    * sweep ([[eventRuns]]' continuous-time sibling; utilization /
+    * billing / uptime all reduce to it). A row opens a NEW island iff
+    * its start clears the running max end of every predecessor in the
+    * (start, end, event_id) total order — that tie-pinned order makes
+    * the island ASSIGNMENT deterministic, not just the totals. All
+    * integer µs: durations are floor(value·10⁶) (one IEEE multiply +
+    * floor, portable).
+    *
+    * Scale shape: both windows and the final groupBy key on user_id —
+    * one shuffle, then per-user linear sweeps; island stats aggregate
+    * (user, island) partially before the user rollup.
+    */
+  def intervalCoverage(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = events.select(col("user_id"), col("event_id"),
+      expr("ts div 1000").as("s"),
+      expr("ts div 1000 + CAST(floor(value * 1000000) AS BIGINT)")
+        .as("e"))
+    val ord = Window.partitionBy("user_id")
+      .orderBy(col("s"), col("e"), col("event_id"))
+    val flagged = iv
+      .withColumn("prev_max_e",
+        max(col("e")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_new",
+        when(col("prev_max_e").isNull ||
+          col("s") > col("prev_max_e"), 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("is_new")).over(ord.rowsBetween(
+          Window.unboundedPreceding, 0)))
+    flagged
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("s")).as("i_start"), max(col("e")).as("i_end"),
+        count(lit(1)).as("n_iv"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n_iv")).as("n_events"),
+        count(lit(1)).as("n_islands"),
+        sum(col("i_end") - col("i_start")).as("covered_us"),
+        (max(col("i_end")) - min(col("i_start"))).as("span_us"))
+      .withColumn("utilization_ppm",
+        expr("1000000L * covered_us div span_us"))
+      .orderBy("user_id")
+  }
 }

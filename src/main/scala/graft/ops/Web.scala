@@ -163,4 +163,35 @@ object Web {
         (col("declared_len") === col("payload_len")).cast("long"))
       .drop(recordCol, "cut", "hdr", "payload")
   }
+
+  /** Robots-style longest-prefix path rules: every URL gets the verdict
+    * of the MOST SPECIFIC matching rule (longest prefix; allow beats
+    * deny on equal length — the REP tie-break), default-allow when
+    * nothing matches. The crawl-pipeline gate that [[filterBlocked]]'s
+    * whole-domain blocklist can't express: "/private/ is off limits
+    * except /private/share/".
+    *
+    * Scale shape: the rule table is a policy artifact (dozens–
+    * thousands of rows) broadcast against the URL stream — the match
+    * is a prefix theta-join (whitelisted bounded broadcast, the
+    * ann_brute class), and the per-URL election is one rank window
+    * keyed on the URL. Prefixes are matched with `startswith` (literal
+    * semantics — no LIKE/regex metacharacter hazards in either
+    * engine).
+    */
+  def robotsFilter(urls: DataFrame, rules: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val matched = urls
+      .join(broadcast(rules.select(col("prefix"), col("allow"))),
+        expr("startswith(path, prefix)"), "left")
+    val pick = Window.partitionBy("url_id").orderBy(
+      length(col("prefix")).desc, col("allow").desc, col("prefix").asc)
+    matched
+      .withColumn("rk", row_number().over(pick))
+      .filter(col("rk") === 1)
+      .select(col("url_id"), col("path"),
+        coalesce(col("prefix"), lit("")).as("rule_prefix"),
+        coalesce(col("allow"), lit(true)).as("allowed"))
+      .orderBy("url_id")
+  }
 }

@@ -67,9 +67,11 @@ class QueryPlanSpec extends SparkSpec {
                       // join itself is a keyed broadcast HASH join
       "graph_hits", // L1 normalization divides by a ONE-ROW integer total
                     // each half-round — the same single-row broadcast
-      "eval_isotonic") // the minimax j≤k pair frame: bins² over the
+      "eval_isotonic", // the minimax j≤k pair frame: bins² over the
                        // BOUNDED quantized score domain, broadcast by
                        // construction (the ann_brute class)
+      "web_robots") // the rule table is a bounded policy artifact
+                    // broadcast against the URL stream (prefix theta)
 
   // dedup_clusters executes its iterative joins eagerly behind
   // localCheckpoint while fn() builds the frame, so this sweep only sees

@@ -328,4 +328,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("l_partkey") == 1L)
     assert(out.head.getAs[Long]("rev_e4") == 100000L)
   }
+
+  test("q20 keeps suppliers shipping strictly more than half a part") {
+    import org.apache.spark.sql.functions._
+    val ts = java.sql.Timestamp.valueOf("1996-06-01 00:00:00")
+    val pt = Seq((1L, "red widget"), (2L, "blue bolt"))
+      .toDF("p_partkey", "p_name")
+    val su = Seq((10L, "S10"), (11L, "S11"), (12L, "S12"))
+      .toDF("s_suppkey", "s_name")
+    // part 1: supplier 10 ships 6 of 10 (dominant), 11 ships 4;
+    // part 2 never counts (name excluded); exact-half must NOT pass
+    val li = Seq(
+      (1L, 10L, 6.0, ts), (1L, 11L, 4.0, ts),
+      (2L, 12L, 9.0, ts))
+      .toDF("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+    val out = Analytics.q20(li, pt, su).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("s_suppkey") == 10L)
+    assert(out.head.getAs[Long]("n_dominated") == 1L)
+    // exact half: 5 vs 5 → nobody dominates
+    val liHalf = Seq((1L, 10L, 5.0, ts), (1L, 11L, 5.0, ts))
+      .toDF("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+    assert(Analytics.q20(liHalf, pt, su).isEmpty)
+  }
 }

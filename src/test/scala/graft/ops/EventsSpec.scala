@@ -850,4 +850,30 @@ class EventsSpec extends SparkSpec {
     assert(out("view") == 1000000L, "view is the only path to conv")
     assert(out("click") == 0L, "post-conversion click earns nothing")
   }
+
+  test("intervalCoverage merges overlaps and counts islands exactly") {
+    // user 1 (ts ns, value s): [0,5s), [3s,8s) overlap → one island
+    // [0,8s); [10s,11s) separate. covered 9s, span 11s.
+    val ev = Seq(
+      (1L, 1L, 0L, 5.0),
+      (2L, 1L, 3L * 1000000000L, 5.0),
+      (3L, 1L, 10L * 1000000000L, 1.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val r = Events.intervalCoverage(ev).collect().head
+    assert(r.getAs[Long]("n_events") == 3L)
+    assert(r.getAs[Long]("n_islands") == 2L)
+    assert(r.getAs[Long]("covered_us") == 9000000L)
+    assert(r.getAs[Long]("span_us") == 11000000L)
+    assert(r.getAs[Long]("utilization_ppm") == 1000000L * 9L / 11L)
+  }
+
+  test("intervalCoverage: touching endpoints merge (half-open meets)") {
+    // [0,5s) then [5s,6s): start == running max end → NOT a new island
+    // under the s > prev_max_e rule (adjacency counts as continuous)
+    val ev = Seq((1L, 1L, 0L, 5.0), (2L, 1L, 5L * 1000000000L, 1.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val r = Events.intervalCoverage(ev).collect().head
+    assert(r.getAs[Long]("n_islands") == 1L)
+    assert(r.getAs[Long]("covered_us") == 6000000L)
+  }
 }

@@ -72,4 +72,30 @@ class WebSpec extends SparkSpec {
     assert(out(2L).getAs[Long]("payload_len") == 12L) // ab\r\n\r\nstuff!
     assert(out(2L).getAs[Long]("len_ok") == 0L)
   }
+
+  test("robotsFilter: longest prefix wins, allow beats deny on ties") {
+    val urls = Seq(
+      (1L, "/public/a"),          // matches only '/'
+      (2L, "/private/a"),         // '/private/' deny beats '/'
+      (3L, "/private/share/a"),   // longest '/private/share/' re-allows
+      (4L, "nohit")               // no rule at all → default allow
+    ).toDF("url_id", "path")
+    val rules = Seq(("/", true), ("/private/", false),
+      ("/private/share/", true)).toDF("prefix", "allow")
+    val out = Web.robotsFilter(urls, rules).collect()
+      .map(r => r.getAs[Long]("url_id") ->
+        (r.getAs[String]("rule_prefix"), r.getAs[Boolean]("allowed")))
+      .toMap
+    assert(out(1L) == (("/", true)))
+    assert(out(2L) == (("/private/", false)))
+    assert(out(3L) == (("/private/share/", true)))
+    assert(out(4L) == (("", true)))
+  }
+
+  test("robotsFilter: equal-length conflicting rules resolve to allow") {
+    val urls = Seq((1L, "/x/a")).toDF("url_id", "path")
+    val rules = Seq(("/x/", false), ("/x/", true)).toDF("prefix", "allow")
+    val out = Web.robotsFilter(urls, rules).collect().head
+    assert(out.getAs[Boolean]("allowed"))
+  }
 }
