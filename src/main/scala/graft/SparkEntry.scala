@@ -2168,6 +2168,10 @@ object SparkEntry {
     // decides existence, exact ppm confidence
     "events_seqrules" -> ((s, dir) =>
       Events.seqRules(rdEvents(s, dir))),
+    // --- Holt-vs-naive one-step backtest: the model gate next to the
+    // fit, same bit-shift recursion scoring before each update
+    "events_holt_eval" -> ((s, dir) =>
+      Events.holtBacktest(rdEvents(s, dir))),
     // --- rendezvous-hash resharding audit: the 8 → 9 move matrix
     // (only the new shard gains rows; stability is the point)
     "shard_rebalance" -> ((s, dir) =>
@@ -8824,6 +8828,51 @@ object SparkEntry {
         |  CAST(t AS BIGINT) AS trend_e6,
         |  CAST(l + 7 * t AS BIGINT) AS fc7_e6
         |FROM rec WHERE i = n ORDER BY event_type""".stripMargin,
+    // the holt recursion with three backtest registers (prev x, abs
+    // one-step error sums for holt and the naive baseline)
+    "events_holt_eval" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), span AS (
+        |  SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY 1
+        |), grid AS (
+        |  SELECT g.event_type, g.day, COALESCE(d.x, 0) AS x,
+        |    CAST(row_number() OVER (PARTITION BY g.event_type
+        |      ORDER BY g.day) AS BIGINT) AS i,
+        |    CAST(count(*) OVER (PARTITION BY g.event_type) AS BIGINT) AS n
+        |  FROM (SELECT s.event_type, CAST(u.day AS BIGINT) AS day
+        |        FROM span s,
+        |          UNNEST(generate_series(s.d0, s.d1)) AS u(day)) g
+        |  LEFT JOIN daily d
+        |    ON d.event_type = g.event_type AND d.day = g.day
+        |), rec AS (
+        |  SELECT event_type, i, n, x * 1000000 AS l,
+        |    CAST(0 AS BIGINT) AS t, x AS px,
+        |    CAST(0 AS BIGINT) AS sh, CAST(0 AS BIGINT) AS sn
+        |  FROM grid WHERE i = 1
+        |  UNION ALL
+        |  SELECT g.event_type, g.i, g.n,
+        |    (g.x * 1000000 + r.l + r.t + 2251799813685248) // 2
+        |      - 1125899906842624 AS l,
+        |    (r.t + ((g.x * 1000000 + r.l + r.t + 2251799813685248) // 2
+        |        - 1125899906842624) - r.l + 2251799813685248) // 2
+        |      - 1125899906842624 AS t,
+        |    g.x AS px,
+        |    r.sh + abs(g.x * 1000000 - (r.l + r.t)) AS sh,
+        |    r.sn + abs(g.x - r.px) * 1000000 AS sn
+        |  FROM rec r JOIN grid g
+        |    ON g.event_type = r.event_type AND g.i = r.i + 1
+        |)
+        |SELECT event_type, n AS n_days,
+        |  CAST(sh // (n - 1) AS BIGINT) AS mae_holt_e6,
+        |  CAST(sn // (n - 1) AS BIGINT) AS mae_naive_e6,
+        |  CASE WHEN sh < sn THEN 'holt' WHEN sn < sh THEN 'naive'
+        |    ELSE 'tie' END AS winner
+        |FROM rec WHERE i = n AND n >= 2
+        |ORDER BY event_type""".stripMargin,
     // sequential rules: one (first, last) span per (user, type) decides
     // existence; microsecond strictness == nanosecond strictness
     "events_seqrules" ->

@@ -1592,6 +1592,49 @@ object Events {
           .as(s"fc${horizon}_e6"))
       .orderBy("event_type")
 
+  /** Holt-vs-naive one-step backtest — the model-selection readout next
+    * to [[holtForecast]]: walk the same α=β=½ recursion and, BEFORE
+    * each update, score yesterday's one-step forecasts against today's
+    * actual — Holt predicts l+t, the naive baseline predicts x_{t−1} —
+    * then report both MAEs (e6) and the winner. Same exactness story as
+    * the fit itself (positive-offset bit-shift halvings, abs of integer
+    * differences), so the comparison is engine-reproducible: a model
+    * gate that flips with the reduction order is worse than no gate.
+    *
+    * Scale shape: identical to [[holtForecast]] — dailyGrid compression
+    * then one per-GROUP bounded fold.
+    */
+  def holtBacktest(events: DataFrame): DataFrame =
+    dailyGrid(events)
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("x"))))
+        .as("days"))
+      .withColumn("xs", expr("transform(days, d -> d.x)"))
+      .withColumn("fit", expr(
+        """aggregate(
+             slice(xs, 2, size(xs) - 1),
+             named_struct('l', xs[0] * 1000000L, 't', 0L,
+               'px', xs[0], 'sh', 0L, 'sn', 0L),
+             (acc, x) -> named_struct(
+               'l', (x * 1000000L + acc.l + acc.t + 2251799813685248L)
+                      div 2 - 1125899906842624L,
+               't', (acc.t
+                      + ((x * 1000000L + acc.l + acc.t
+                          + 2251799813685248L) div 2 - 1125899906842624L)
+                      - acc.l + 2251799813685248L)
+                      div 2 - 1125899906842624L,
+               'px', x,
+               'sh', acc.sh + abs(x * 1000000L - (acc.l + acc.t)),
+               'sn', acc.sn + abs(x - acc.px) * 1000000L))"""))
+      .filter(size(col("xs")) >= 2)
+      .select(col("event_type"), size(col("xs")).cast("long").as("n_days"),
+        expr("fit.sh div (size(xs) - 1)").as("mae_holt_e6"),
+        expr("fit.sn div (size(xs) - 1)").as("mae_naive_e6"),
+        expr("""CASE WHEN fit.sh < fit.sn THEN 'holt'
+                WHEN fit.sn < fit.sh THEN 'naive'
+                ELSE 'tie' END""").as("winner"))
+      .orderBy("event_type")
+
   /** Sequential association rules A→B: how many users did A strictly
     * before B — the ordered complement of [[covisitation]] (co-presence
     * ignores direction; onboarding/funnel design needs it). ∃ a

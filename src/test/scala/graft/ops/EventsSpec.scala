@@ -781,6 +781,21 @@ class EventsSpec extends SparkSpec {
     assert(r.getAs[Long]("trend_e6") == t)
   }
 
+  test("holtBacktest scores one-step errors before each update") {
+    val day = 86400000000000L
+    // counts 2, 4, 6: holt errs |4e6−2e6| + |6e6−3.5e6| = 4.5e6 → mae
+    // 2.25e6; naive errs 2e6 + 2e6 = 4e6 → mae 2e6 → naive wins (the
+    // α=½ lag loses to last-value on a clean linear ramp)
+    val ev = (Seq.fill(2)(0L) ++ Seq.fill(4)(1L) ++ Seq.fill(6)(2L))
+      .zipWithIndex.map { case (d, i) => (i.toLong, 1L, "a", d * day + i) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = Events.holtBacktest(ev).collect().head
+    assert(r.getAs[Long]("n_days") == 3L)
+    assert(r.getAs[Long]("mae_holt_e6") == 2250000L)
+    assert(r.getAs[Long]("mae_naive_e6") == 2000000L)
+    assert(r.getAs[String]("winner") == "naive")
+  }
+
   test("seqRules counts users with A strictly before B") {
     // user 1: a@100, b@200 → only a→b; user 2: b@100, a@200, b@300 →
     // both directions (first(a)=200 < last(b)=300; first(b)=100 < 200)
