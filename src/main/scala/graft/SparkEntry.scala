@@ -2234,6 +2234,28 @@ object SparkEntry {
     // islands, report covered/span/utilization in exact µs
     "events_coverage" -> ((s, dir) =>
       Events.intervalCoverage(rdEvents(s, dir))),
+    // --- cohort LTV matrix: first-event-week cohorts × week-age,
+    // cumulative cents and per-member read, exact end to end
+    "events_cohort_ltv" -> ((s, dir) =>
+      Events.cohortLtv(rdEvents(s, dir))),
+    // --- dedup threshold calibration: planted perturbed copies with
+    // id-varying damage, exact-jaccard scored pairs, all-integer F1
+    // sweep with a deterministic best election
+    "dedup_threshold_sweep" -> ((s, dir) => {
+      val base = rd(s, dir, "documents").filter(col("doc_id") < 2000)
+        .select(col("doc_id"), col("text"))
+      val planted = base.filter(col("doc_id") < 40).select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        expr("""concat(substring(text, 1,
+          |greatest(length(text) - (CAST(doc_id % 12 AS INT) * 15 + 3),
+          |  0)), 'XXX')""".stripMargin).as("text"))
+      val scored = Dedup.tokenJaccardPrefix(base.unionByName(planted),
+        tau = 0.3, ngram = 3)
+      val truth = base.filter(col("doc_id") < 40)
+        .select(col("doc_id").as("a_id"),
+          (col("doc_id") + 100000L).as("b_id"))
+      Dedup.thresholdSweep(scored, truth)
+    }),
     // --- robots-style longest-prefix path rules over synthetic paths;
     // allow beats deny on equal length, default-allow unmatched
     "web_robots" -> ((s, dir) => {
@@ -9122,6 +9144,94 @@ object SparkEntry {
         |  CAST(1000000 * sum(i_end - i_start)
         |    // (max(i_end) - min(i_start)) AS BIGINT) AS utilization_ppm
         |FROM isl GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "events_cohort_ltv" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS week,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1
+        |), sz AS (
+        |  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+        |  FROM c GROUP BY 1
+        |), cells AS (
+        |  SELECT c.cohort_week, e.week - c.cohort_week AS age_weeks,
+        |    CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active,
+        |    CAST(sum(e.cents) AS BIGINT) AS rev_c
+        |  FROM e JOIN c ON c.user_id = e.user_id
+        |  GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT cohort_week, age_weeks, n_active, rev_c,
+        |    CAST(sum(rev_c) OVER (PARTITION BY cohort_week
+        |      ORDER BY age_weeks) AS BIGINT) AS cum_rev_c
+        |  FROM cells
+        |)
+        |SELECT k.cohort_week AS cohort_week, k.age_weeks AS age_weeks,
+        |  s.cohort_size AS cohort_size, k.n_active AS n_active,
+        |  k.rev_c AS rev_c, k.cum_rev_c AS cum_rev_c,
+        |  CAST(k.cum_rev_c // s.cohort_size AS BIGINT)
+        |    AS ltv_per_user_e2
+        |FROM cum k JOIN sz s ON s.cohort_week = k.cohort_week
+        |ORDER BY cohort_week, age_weeks""".stripMargin,
+    "dedup_threshold_sweep" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 2000
+        |), corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    substr(text, 1, greatest(length(text)
+        |      - (CAST(doc_id % 12 AS INT) * 15 + 3), 0)) || 'XXX'
+        |  FROM base WHERE doc_id < 40
+        |), raw AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM corpus
+        |), toks AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS tok
+        |  FROM raw WHERE len(t) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1
+        |), pairs AS (
+        |  SELECT l.doc_id AS a_id, r.doc_id AS b_id, count(*) AS common
+        |  FROM toks l JOIN toks r ON l.tok = r.tok AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT a_id, b_id,
+        |    CAST(common AS DOUBLE)
+        |      / CAST(sa.sz + sb.sz - common AS DOUBLE) AS j
+        |  FROM pairs JOIN sizes sa ON pairs.a_id = sa.doc_id
+        |  JOIN sizes sb ON pairs.b_id = sb.doc_id
+        |  WHERE CAST(common AS DOUBLE)
+        |    / CAST(sa.sz + sb.sz - common AS DOUBLE)
+        |    >= CAST('0.3' AS DOUBLE)
+        |), truth AS (
+        |  SELECT doc_id AS a_id, doc_id + 100000 AS b_id
+        |  FROM base WHERE doc_id < 40
+        |), fj AS (
+        |  SELECT s.j, t.a_id IS NOT NULL AS is_true
+        |  FROM scored s FULL JOIN truth t
+        |    ON s.a_id = t.a_id AND s.b_id = t.b_id
+        |), sweep AS (
+        |  SELECT CAST(u.thr AS BIGINT) AS thr_e2,
+        |    CAST(sum(CASE WHEN f.j IS NOT NULL AND f.j >= u.thr / 100.0
+        |      AND f.is_true THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN f.j IS NOT NULL AND f.j >= u.thr / 100.0
+        |      AND NOT f.is_true THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN (f.j IS NULL OR f.j < u.thr / 100.0)
+        |      AND f.is_true THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM fj f, UNNEST([30, 40, 50, 60, 70, 80, 90]) AS u(thr)
+        |  GROUP BY 1
+        |)
+        |SELECT thr_e2, tp, fp, fn,
+        |  CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(2000000 * tp // (2 * tp + fp + fn) AS BIGINT) END
+        |    AS f1_ppm,
+        |  rank() OVER (ORDER BY CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+        |    ELSE 2000000 * tp // (2 * tp + fp + fn) END DESC, thr_e2)
+        |    = 1 AS is_best
+        |FROM sweep ORDER BY thr_e2""".stripMargin,
     "web_robots" ->
       """WITH urls AS (
         |  SELECT doc_id AS url_id,

@@ -518,6 +518,7 @@ object Stress {
         (col("lang") === "en").as("label"))).count())
     time("events_holt")(graft.ops.Events.holtForecast(evN).count())
     time("events_holt_eval")(graft.ops.Events.holtBacktest(evN).count())
+    time("events_cohort_ltv")(graft.ops.Events.cohortLtv(evN).count())
     time("events_seqrules")(graft.ops.Events.seqRules(evN).count())
     time("shard_rebalance")(graft.sources.Shards.rebalancePlan(
       docs, "doc_id", 8, 9).count())

@@ -1036,4 +1036,53 @@ object Dedup {
           " ELSE 2L * precision_ppm * recall_ppm" +
           " div (precision_ppm + recall_ppm) END"))
   }
+
+  /** Threshold calibration sweep: given scored candidate pairs and a
+    * planted-gold truth set, report tp/fp/fn and exact F1 at each
+    * candidate threshold, and elect the best — the auto-tuning step
+    * between "we can score pairs" and "we picked 0.8 because the last
+    * team did". All integer: F1 as 2tp·10⁶ div (2tp+fp+fn) per
+    * threshold, election by max f1_ppm with the LOWEST threshold as
+    * tie-break (prefer recall at equal F1) — no float ever emitted or
+    * compared except the score-vs-threshold cut itself, which is one
+    * IEEE division + comparison identical in both engines. Pairs the
+    * scorer never surfaced count as fn at every threshold (the sweep
+    * inherits the generator's recall ceiling — that is the point).
+    *
+    * Scale shape: one full-outer join of scored pairs against truth
+    * (pair-keyed), a bounded explode (|thresholds| per pair), one
+    * partial-agg groupBy to |thresholds| rows; the election window
+    * runs over those rows only.
+    */
+  def thresholdSweep(scored: DataFrame, truth: DataFrame,
+                     thresholdsE2: Seq[Int] =
+                       Seq(30, 40, 50, 60, 70, 80, 90)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = truth.select(col("a_id"), col("b_id"))
+      .withColumn("is_true", lit(true))
+    val joined = scored.select(col("a_id"), col("b_id"), col("jaccard"))
+      .join(t, Seq("a_id", "b_id"), "full")
+      .withColumn("thr_e2",
+        explode(lit(thresholdsE2.map(_.toLong).toArray)))
+      .withColumn("hit",
+        col("jaccard").isNotNull &&
+          col("jaccard") >= col("thr_e2").cast("double") / lit(100.0))
+    joined
+      .groupBy(col("thr_e2"))
+      .agg(
+        sum(when(col("hit") && col("is_true").isNotNull, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("hit") && col("is_true").isNull, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(!col("hit") && col("is_true").isNotNull, 1L)
+          .otherwise(0L)).as("fn"))
+      .withColumn("f1_ppm", expr(
+        """CASE WHEN 2 * tp + fp + fn = 0 THEN 0L
+           ELSE 2000000L * tp div (2 * tp + fp + fn) END"""))
+      .withColumn("is_best", rank().over(
+        Window.orderBy(col("f1_ppm").desc, col("thr_e2").asc)) === 1)
+      .select(col("thr_e2"), col("tp"), col("fp"), col("fn"),
+        col("f1_ppm"), col("is_best"))
+      .orderBy("thr_e2")
+  }
 }

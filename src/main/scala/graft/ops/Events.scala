@@ -1592,6 +1592,45 @@ object Events {
           .as(s"fc${horizon}_e6"))
       .orderBy("event_type")
 
+  /** Cohort LTV matrix: per signup cohort (first-event week) and
+    * week-age, active users, period revenue, CUMULATIVE revenue, and
+    * cumulative revenue per cohort member — the money sibling of
+    * [[cohortRetention]] (retention counts heads; LTV answers whether
+    * the heads pay for acquisition). Exact cents end to end
+    * (floor(value·100) once per event; one integer division per cell
+    * for the per-user read).
+    *
+    * Scale shape: one user-keyed partial agg mints cohorts, the event
+    * stream joins it keyed on user (reusing the agg's partitioning),
+    * one (cohort, age) groupBy compresses to the bounded matrix, and
+    * the cumulative window + per-cohort size broadcast run over that
+    * bounded frame only.
+    */
+  def cohortLtv(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events.select(col("user_id"),
+      expr("ts div 604800000000000").as("week"),
+      expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+    val cohorts = e.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val sizes = cohorts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val cum = Window.partitionBy("cohort_week").orderBy("age_weeks")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    e.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("age_weeks"))
+      .agg(countDistinct(col("user_id")).as("n_active"),
+        sum(col("cents")).as("rev_c"))
+      .withColumn("cum_rev_c", sum(col("rev_c")).over(cum))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .withColumn("ltv_per_user_e2", expr("cum_rev_c div cohort_size"))
+      .select(col("cohort_week"), col("age_weeks"), col("cohort_size"),
+        col("n_active"), col("rev_c"), col("cum_rev_c"),
+        col("ltv_per_user_e2"))
+      .orderBy("cohort_week", "age_weeks")
+  }
+
   /** Holt-vs-naive one-step backtest — the model-selection readout next
     * to [[holtForecast]]: walk the same α=β=½ recursion and, BEFORE
     * each update, score yesterday's one-step forecasts against today's

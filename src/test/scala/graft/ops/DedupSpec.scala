@@ -412,4 +412,22 @@ class DedupSpec extends SparkSpec {
       out(3L) == ((3L, 333333L)))
     assert(out(4L) == ((1L, 1000000L)))
   }
+
+  test("thresholdSweep counts tp/fp/fn per cut and elects the best") {
+    // scored: true pair at .9, true pair at .5, false pair at .6;
+    // truth additionally holds (7,8) that the scorer never surfaced
+    val scored = Seq((1L, 2L, 0.9), (3L, 4L, 0.5), (5L, 6L, 0.6))
+      .toDF("a_id", "b_id", "jaccard")
+    val truth = Seq((1L, 2L), (3L, 4L), (7L, 8L)).toDF("a_id", "b_id")
+    val out = Dedup.thresholdSweep(scored, truth, Seq(40, 60, 80))
+      .collect()
+      .map(r => r.getAs[Long]("thr_e2") ->
+        (r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"),
+          r.getAs[Long]("f1_ppm"), r.getAs[Boolean]("is_best"))).toMap
+    // t=.4: tp 2, fp 1, fn 1 → F1 = 4/6; t=.6: tp 1, fp 1, fn 2 →
+    // F1 = 2/5; t=.8: tp 1, fp 0, fn 2 → F1 = 2/4
+    assert(out(40L) == ((2L, 1L, 1L, 666666L, true)))
+    assert(out(60L) == ((1L, 1L, 2L, 400000L, false)))
+    assert(out(80L) == ((1L, 0L, 2L, 500000L, false)))
+  }
 }

@@ -781,6 +781,25 @@ class EventsSpec extends SparkSpec {
     assert(r.getAs[Long]("trend_e6") == t)
   }
 
+  test("cohortLtv builds the cumulative cents matrix per cohort") {
+    val wk = 604800000000000L
+    // user 1 joins week 0: spends 1.00 (w0), 2.00 (w1);
+    // user 2 joins week 0: spends 4.00 (w0); user 3 joins week 1: 8.00
+    val ev = Seq(
+      (1L, 1L, 0L * wk + 1, 1.0), (2L, 1L, 1L * wk + 1, 2.0),
+      (3L, 2L, 0L * wk + 2, 4.0), (4L, 3L, 1L * wk + 3, 8.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val r = Events.cohortLtv(ev).collect()
+      .map(x => (x.getAs[Long]("cohort_week"), x.getAs[Long]("age_weeks")) ->
+        (x.getAs[Long]("cohort_size"), x.getAs[Long]("n_active"),
+          x.getAs[Long]("cum_rev_c"), x.getAs[Long]("ltv_per_user_e2")))
+      .toMap
+    assert(r((0L, 0L)) == ((2L, 2L, 500L, 250L)))
+    assert(r((0L, 1L)) == ((2L, 1L, 700L, 350L)))
+    assert(r((1L, 0L)) == ((1L, 1L, 800L, 800L)))
+    assert(r.size == 3)
+  }
+
   test("holtBacktest scores one-step errors before each update") {
     val day = 86400000000000L
     // counts 2, 4, 6: holt errs |4e6−2e6| + |6e6−3.5e6| = 4.5e6 → mae
