@@ -2238,6 +2238,12 @@ object SparkEntry {
     // cumulative cents and per-member read, exact end to end
     "events_cohort_ltv" -> ((s, dir) =>
       Events.cohortLtv(rdEvents(s, dir))),
+    // --- candidate-key audit over events: which combos are usable
+    // upsert/CDC identities (distinct == rows, no null components)
+    "dq_keys" -> ((s, dir) =>
+      Quality.keyAudit(rdEvents(s, dir), Seq(
+        Seq("event_id"), Seq("user_id"),
+        Seq("user_id", "ts"), Seq("event_type", "ts")))),
     // --- dedup threshold calibration: planted perturbed copies with
     // id-varying damage, exact-jaccard scored pairs, all-integer F1
     // sweep with a deterministic best election
@@ -9144,6 +9150,34 @@ object SparkEntry {
         |  CAST(1000000 * sum(i_end - i_start)
         |    // (max(i_end) - min(i_start)) AS BIGINT) AS utilization_ppm
         |FROM isl GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "dq_keys" ->
+      """SELECT combo, n_rows, n_distinct, n_null_rows,
+        |  n_distinct = n_rows AND n_null_rows = 0 AS is_key
+        |FROM (
+        |  SELECT 'event_id' AS combo, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        |    CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_null_rows
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'user_id', CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT user_id) AS BIGINT),
+        |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'user_id+ts', CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT (user_id, ts)) AS BIGINT),
+        |    CAST(sum(CASE WHEN user_id IS NULL OR ts IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'event_type+ts', CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT (event_type, ts)) AS BIGINT),
+        |    CAST(sum(CASE WHEN event_type IS NULL OR ts IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM events
+        |) t ORDER BY combo""".stripMargin,
     "events_cohort_ltv" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) // 604800000000 AS week,

@@ -519,6 +519,25 @@ object Stress {
     time("events_holt")(graft.ops.Events.holtForecast(evN).count())
     time("events_holt_eval")(graft.ops.Events.holtBacktest(evN).count())
     time("events_cohort_ltv")(graft.ops.Events.cohortLtv(evN).count())
+    time("dq_keys")(graft.ops.Quality.keyAudit(evN, Seq(
+      Seq("event_id"), Seq("user_id"), Seq("user_id", "ts"))).count())
+    // threshold sweep over a bounded slice + planted variable-damage
+    // copies (the pair generator at tau .3 is the cost driver)
+    time("dedup_threshold_sweep") {
+      val base = docs.filter(col("doc_id") < 20000)
+        .select(col("doc_id"), col("text"))
+      val planted = base.filter(col("doc_id") < 400).select(
+        (col("doc_id") + 10000000L).as("doc_id"),
+        expr("""concat(substring(text, 1,
+          |greatest(length(text) - (CAST(doc_id % 12 AS INT) * 15 + 3),
+          |  0)), 'XXX')""".stripMargin).as("text"))
+      val truth = base.filter(col("doc_id") < 400)
+        .select(col("doc_id").as("a_id"),
+          (col("doc_id") + 10000000L).as("b_id"))
+      graft.ops.Dedup.thresholdSweep(
+        graft.ops.Dedup.tokenJaccardPrefix(base.unionByName(planted),
+          tau = 0.3, ngram = 3), truth).count()
+    }
     time("events_seqrules")(graft.ops.Events.seqRules(evN).count())
     time("shard_rebalance")(graft.sources.Shards.rebalancePlan(
       docs, "doc_id", 8, 9).count())

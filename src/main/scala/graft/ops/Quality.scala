@@ -237,4 +237,30 @@ object Quality {
         col("dev_ppm"))
       .orderBy("digit")
   }
+
+  /** Candidate-key audit: for each proposed column combination, row
+    * count, distinct-combination count, rows with a NULL component,
+    * and whether the combo is a usable key (distinct == rows, no
+    * nulls) — the check that runs BEFORE a merge/upsert or CDC
+    * pipeline trusts "the id column is unique" ([[fdViolations]]'s
+    * sibling: FD audits value agreement, this audits identity).
+    *
+    * Scale shape: one aggregation per combo (the [[Analytics.profile]]
+    * pattern — each pass scans only that combo's columns, so total IO
+    * equals one multi-column pass of a columnar source and no Expand
+    * fan-out for multi-distinct); each is a partial-agg groupBy-free
+    * global aggregate.
+    */
+  def keyAudit(df: DataFrame, combos: Seq[Seq[String]]): DataFrame =
+    combos.map { cs =>
+      val anyNull = cs.map(col(_).isNull).reduce(_ || _)
+      df.select(cs.map(col): _*).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(struct(cs.map(col): _*)).as("n_distinct"),
+        sum(when(anyNull, 1L).otherwise(0L)).as("n_null_rows"))
+        .select(lit(cs.mkString("+")).as("combo"), col("n_rows"),
+          col("n_distinct"), col("n_null_rows"),
+          (col("n_distinct") === col("n_rows") &&
+            col("n_null_rows") === 0L).as("is_key"))
+    }.reduce(_ unionByName _).orderBy("combo")
 }

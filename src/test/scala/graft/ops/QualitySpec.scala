@@ -104,4 +104,20 @@ class QualitySpec extends SparkSpec {
       (2L, 3L, 2L, Some("a"), Some("b")),
       (3L, 2L, 2L, Some("c"), Some("c"))))
   }
+
+  test("keyAudit verdicts: unique key, dup single column, null combo") {
+    import spark.implicits._
+    val df = Seq((1L, Some(10L), "a"), (2L, Some(10L), "b"),
+      (3L, None: Option[Long], "c"))
+      .toDF("id", "grp", "tag")
+    val out = Quality.keyAudit(df,
+      Seq(Seq("id"), Seq("grp"), Seq("grp", "tag"))).collect()
+      .map(r => r.getAs[String]("combo") ->
+        (r.getAs[Long]("n_distinct"), r.getAs[Long]("n_null_rows"),
+          r.getAs[Boolean]("is_key"))).toMap
+    assert(out("id") == ((3L, 0L, true)))
+    assert(out("grp") == ((2L, 1L, false)), "dup 10 + a null row")
+    assert(out("grp+tag") == ((3L, 1L, false)),
+      "distinct but a NULL component disqualifies a key")
+  }
 }
