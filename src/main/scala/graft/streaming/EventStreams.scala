@@ -290,6 +290,40 @@ object EventStreams {
       }
   }
 
+  final case class SpanState(user_id: Long, event_type: String,
+                             first_ts: Long, last_ts: Long)
+
+  /** Streaming twin of the (user, type) activity spans behind
+    * [[graft.ops.Events.seqRules]]: one (first_ts, last_ts) pair per
+    * live (user, type) key carried in mapGroupsWithState — state is
+    * the bounded |users|×|types| frame, two longs each. min/max folds
+    * are order-INsensitive, so out-of-order and cross-batch arrival
+    * can never disturb the state (no watermark needed for
+    * correctness; add an event-time timeout to EVICT dead users when
+    * the key space grows unboundedly). Sequential A-before-B rules
+    * are a pure bounded aggregation over spans, so span equality with
+    * the batch groupBy IS rule equality — the spec asserts it.
+    */
+  def streamingSeqSpans(events: DataFrame)(
+      implicit spark: SparkSession): Dataset[SpanState] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("event_type"), col("ts"))
+      .as[(Long, String, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[(Long, String, Long)],
+         state: GroupState[(Long, Long)]) =>
+          var (f, l) = state.getOption
+            .getOrElse((Long.MaxValue, Long.MinValue))
+          rows.foreach { r =>
+            if (r._3 < f) f = r._3
+            if (r._3 > l) l = r._3
+          }
+          state.update((f, l))
+          SpanState(key._1, key._2, f, l)
+      }
+  }
+
   final case class EwmaState(user_id: Long, n_events: Long,
                              ewma_scaled: Long)
 

@@ -157,6 +157,42 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingSeqSpans equals the batch spans under disorder") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // second batch arrives OUT OF ORDER (earlier ts for user 1's
+    // click) — min/max state must still land on the batch groupBy
+    val all = Seq((1L, "click", 200L), (1L, "buy", 300L),
+      (2L, "click", 100L), (1L, "click", 50L), (2L, "click", 400L))
+    val mem = MemoryStream[(Long, String, Long)]
+    val out = EventStreams.streamingSeqSpans(
+      mem.toDF.toDF("user_id", "event_type", "ts"))
+    val q = out.toDF.writeStream
+      .format("memory").queryName("spans_test")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      mem.addData(all.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(all.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("spans_test").collect()
+        .groupBy(r => (r.getAs[Long]("user_id"),
+          r.getAs[String]("event_type")))
+        .view.mapValues(rs => (rs.map(_.getAs[Long]("first_ts")).min,
+          rs.map(_.getAs[Long]("last_ts")).max)).toMap
+      val batch = all.toDF("user_id", "event_type", "ts")
+        .groupBy("user_id", "event_type")
+        .agg(org.apache.spark.sql.functions.min("ts").as("f"),
+          org.apache.spark.sql.functions.max("ts").as("l"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      assert(streamed == batch,
+        "span state must equal the batch groupBy — rule equality follows")
+    } finally q.stop()
+  }
+
   test("streamingChangePoint equals the batch CUSUM over everything seen") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
