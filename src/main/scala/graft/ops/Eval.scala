@@ -41,8 +41,12 @@ object Eval {
         sum(col("p_s")).as("n_pos"),
         sum(col("n_s")).as("n_neg"),
         count(lit(1)).as("n_scores"),
-        sum(col("p_s") * (lit(2L) * col("neg_below") + col("n_s")))
-          .as("num2"))
+        // cast the per-score product BEFORE the sum: the accumulator
+        // approaches 2·P·N, which wraps BIGINT silently once P·N nears
+        // 9.2e18 (~3e9 pos × 3e9 neg); DECIMAL(38,0) matches the
+        // oracle's HUGEINT math at any corpus size (ADVICE r10)
+        sum((col("p_s") * (lit(2L) * col("neg_below") + col("n_s")))
+          .cast("decimal(38,0)")).as("num2"))
       .withColumn("auc_ppm",
         expr("""CAST(CAST(num2 AS DECIMAL(38,0)) * 1000000
                 div (2 * n_pos * n_neg) AS BIGINT)"""))

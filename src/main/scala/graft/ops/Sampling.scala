@@ -440,6 +440,11 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val hashed = df
       .select(col(idCol).as("id"), col(weightCol).cast("long").as("w"))
+      // fail closed on malformed weights: sequence(0, w-1) DESCENDS for
+      // w <= 0 (two replicas for w = 0!) while the DuckDB twin's
+      // range(w) yields zero rows — drop non-positive weights so both
+      // engines agree that such a row can never win a draw (ADVICE r10)
+      .filter(col("w") >= 1L)
       .withColumn("r", explode(expr("sequence(0L, w - 1L)")))
       .withColumn("h", md5(concat(col("id").cast("string"), lit(":"),
         col("r").cast("string"))))

@@ -43,7 +43,10 @@ object Skew {
     val total = j.agg(sum(col("n_left")).as("n_left"),
       sum(col("n_right")).as("n_right"),
       sum(col("contrib")).as("contrib"))
-      .select(lit("total").as("kind"), lit(null).cast("long").as("k"),
+      .select(lit("total").as("kind"),
+        // null typed as the PROBED key's type, not a hardcoded long —
+        // unionByName would reject a string-keyed probe (ADVICE r10)
+        lit(null).cast(left.schema(leftKey).dataType).as("k"),
         col("n_left"), col("n_right"), col("contrib"))
     top.unionByName(total)
   }

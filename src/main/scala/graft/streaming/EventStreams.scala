@@ -299,28 +299,63 @@ object EventStreams {
     * the bounded |users|×|types| frame, two longs each. min/max folds
     * are order-INsensitive, so out-of-order and cross-batch arrival
     * can never disturb the state (no watermark needed for
-    * correctness; add an event-time timeout to EVICT dead users when
-    * the key space grows unboundedly). Sequential A-before-B rules
-    * are a pure bounded aggregation over spans, so span equality with
-    * the batch groupBy IS rule equality — the spec asserts it.
+    * correctness). Sequential A-before-B rules are a pure bounded
+    * aggregation over spans, so span equality with the batch groupBy
+    * IS rule equality — the spec asserts it.
+    *
+    * `evictAfterMs` (ADVICE r10): on a live stream the (user, type)
+    * key space can grow without bound — pass Some(ms) to evict a key
+    * once the watermark passes last_ts + ms (the stream must carry a
+    * `withWatermark` on `eventTimeCol` upstream; the column is kept
+    * through the projection because pruning it would prune the
+    * watermark attribute the event-time timeout is checked against).
+    * The evicted key's final span is emitted once more on timeout,
+    * then its two longs are freed. The timeout timestamp is clamped
+    * STRICTLY above the current watermark (the r8 rule — Spark
+    * throws on a stale target).
     */
-  def streamingSeqSpans(events: DataFrame)(
+  def streamingSeqSpans(events: DataFrame,
+                        evictAfterMs: Option[Long] = None,
+                        eventTimeCol: String = "ts_time")(
       implicit spark: SparkSession): Dataset[SpanState] = {
     import spark.implicits._
-    events.select(col("user_id"), col("event_type"), col("ts"))
-      .as[(Long, String, Long)]
+    val timeoutConf =
+      if (evictAfterMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    // project the watermarked attribute UNCAST: an Alias over an
+    // AttributeReference keeps the event-time watermark metadata the
+    // timeout check looks for; wrapping it in a Cast strips it
+    val eventTime =
+      if (evictAfterMs.isDefined) col(eventTimeCol)
+      else lit(null).cast("timestamp")
+    events
+      .select(col("user_id"), col("event_type"), col("ts"),
+        eventTime.as("et"))
+      .as[(Long, String, Long, java.sql.Timestamp)]
       .groupByKey(r => (r._1, r._2))
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (key: (Long, String), rows: Iterator[(Long, String, Long)],
+      .mapGroupsWithState(timeoutConf) {
+        (key: (Long, String),
+         rows: Iterator[(Long, String, Long, java.sql.Timestamp)],
          state: GroupState[(Long, Long)]) =>
-          var (f, l) = state.getOption
-            .getOrElse((Long.MaxValue, Long.MinValue))
-          rows.foreach { r =>
-            if (r._3 < f) f = r._3
-            if (r._3 > l) l = r._3
+          if (state.hasTimedOut) {
+            val (f, l) = state.get
+            state.remove()
+            SpanState(key._1, key._2, f, l)
+          } else {
+            var (f, l) = state.getOption
+              .getOrElse((Long.MaxValue, Long.MinValue))
+            rows.foreach { r =>
+              if (r._3 < f) f = r._3
+              if (r._3 > l) l = r._3
+            }
+            state.update((f, l))
+            evictAfterMs.foreach { ms =>
+              // ts is nanos; timeouts are event-time ms
+              state.setTimeoutTimestamp(math.max(l / 1000000L + ms,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            SpanState(key._1, key._2, f, l)
           }
-          state.update((f, l))
-          SpanState(key._1, key._2, f, l)
       }
   }
 

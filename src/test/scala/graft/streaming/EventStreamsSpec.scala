@@ -193,6 +193,49 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingSeqSpans evicts dead keys past the watermark (evictAfterMs)") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // event times offset from epoch (the r8 rule: epoch-0 rows sit ON
+    // the initial watermark and drop); ts nanos aligned to ts_time so
+    // the timeout target (last_ts/1e6 + evictAfterMs) is meaningful
+    def t(sec: Int) = Timestamp.valueOf(f"2026-01-01 10:00:$sec%02d")
+    def nanos(sec: Int) = t(sec).getTime * 1000000L
+    val mem = MemoryStream[(Long, String, Long, Timestamp)]
+    val out = EventStreams.streamingSeqSpans(
+      mem.toDF.toDF("user_id", "event_type", "ts", "ts_time")
+        .withWatermark("ts_time", "0 seconds"),
+      evictAfterMs = Some(1000L))
+    val q = out.toDF.writeStream
+      .format("memory").queryName("spans_evict_test")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      mem.addData((1L, "click", nanos(1), t(1)), (1L, "click", nanos(2), t(2)))
+      q.processAllAvailable()
+      // advance the watermark far past user 1's last_ts + 1s via key 2,
+      // then one more trigger — timeouts fire on the batch AFTER the
+      // watermark advances
+      mem.addData((2L, "view", nanos(30), t(30)))
+      q.processAllAvailable()
+      mem.addData((2L, "view", nanos(31), t(31)))
+      q.processAllAvailable()
+      // user 1 returns AFTER eviction: span must start fresh
+      mem.addData((1L, "click", nanos(40), t(40)))
+      q.processAllAvailable()
+      val u1 = spark.table("spans_evict_test").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+        .map(r => (r.getAs[Long]("first_ts"), r.getAs[Long]("last_ts")))
+        .toSet
+      assert(u1.contains((nanos(1), nanos(2))), "pre-eviction span emitted")
+      assert(u1.contains((nanos(40), nanos(40))),
+        "post-eviction span must start fresh — two longs were freed")
+      assert(!u1.contains((nanos(1), nanos(40))),
+        "evicted state must not leak into the returning key")
+    } finally q.stop()
+  }
+
   test("streamingChangePoint equals the batch CUSUM over everything seen") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
