@@ -1876,6 +1876,54 @@ object SparkEntry {
       graft.sources.Shards.manifest(train, "doc_id", "text", 8)
         .orderBy("shard")
     }),
+    // --- pipeline v2 (VERDICT r10 item #5): the SOFT-dedup variant of
+    // the crawl->training-shards composition at the full-pipeline
+    // grain. quality gate -> benchmark decontamination -> near-dup
+    // cluster resolution feeding a leakage-safe train/val split (no
+    // near-dup pair may straddle the boundary) -> duplication weights
+    // (copies kept at mass 1/n instead of hard-dropped) -> curriculum
+    // staging -> sharded export. The per-(stage, shard) close binds
+    // every stage into one hash: row/byte/checksum prove the export,
+    // weight_mass_ppm proves soft dedup, n_clusters proves the
+    // component resolution, sum_pos proves the within-stage curriculum
+    // rank. clean and train feed 3+ consumers each (jaccard self-join
+    // doubles one of them) -> localCheckpoint both (the reco lesson:
+    // checkpoint the frame whose re-derivation multiplies past an
+    // exchange).
+    "pipeline_e2e_v2" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val kept = docs.join(TextAnalysis.qualityFilter(docs)
+        .filter(col("keep")).select("doc_id"), "doc_id")
+      val contaminated = TextAnalysis.contamination(
+        kept, docs.filter(col("doc_id") < 20))
+        .filter(col("contamination") >= 0.5).select("doc_id")
+      val clean = kept.join(contaminated, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      val pairs = Dedup.ngramJaccard(clean).select("a_id", "b_id")
+      val split = Sampling.leakageSafeSplit(clean, pairs)
+      val train = clean
+        .join(split.filter(col("split") === "train")
+          .select(col("doc_id"), col("cluster_id")), "doc_id")
+        .localCheckpoint(true)
+      val weights = Dedup.duplicationWeights(train)
+        .select(col("doc_id"), col("weight_ppm"))
+      val cur = Sampling.curriculumOrder(
+        train.select(col("doc_id"), col("n_chars")), "n_chars", 4)
+        .select(col("doc_id"), col("stage"), col("pos"))
+      graft.sources.Shards.assign(
+        train.select(col("doc_id"), col("text"), col("cluster_id")),
+        "doc_id", 8)
+        .join(weights, "doc_id").join(cur, "doc_id")
+        .groupBy(col("stage"), col("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(length(col("text")).cast("long")).as("n_bytes"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10)
+            .cast("long")).as("checksum"),
+          sum(col("weight_ppm")).as("weight_mass_ppm"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          sum(col("pos")).as("sum_pos"))
+        .orderBy("stage", "shard")
+    }),
     // --- gaps-and-islands: consecutive same-type event runs per user
     "events_runs" -> ((s, dir) => {
       val ev = rdEvents(s, dir).select(col("event_id"), col("user_id"),
@@ -7722,6 +7770,135 @@ object SparkEntry {
         |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
         |    AS BIGINT) AS checksum
         |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
+    // pipeline v2 twin: the v1 quality-gate CTEs, contamination over the
+    // KEPT slice, the clusters walk sourced from `clean`, the
+    // leakage-safe cluster-md5 split, soft-dedup 1e6 // n_copies
+    // weights, the pinned-order ntile curriculum and the shard-md5
+    // export close. Multiply-referenced frames are MATERIALIZED (the r6
+    // inlining-blowup rule — `walk` references `clean` through two CTE
+    // layers and DuckDB would otherwise recompute the quality gate per
+    // reference).
+    "pipeline_e2e_v2" ->
+      """WITH RECURSIVE t AS MATERIALIZED (
+        |  SELECT doc_id, text, n_chars,
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) AS type_token_ratio
+        |  FROM t
+        |), ng AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS gram
+        |  FROM t WHERE len(toks) >= 2
+        |), per AS (
+        |  SELECT doc_id, gram, count(*) AS c FROM ng GROUP BY 1, 2
+        |), rep AS (
+        |  SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+        |    AS top_ngram_frac
+        |  FROM per GROUP BY 1
+        |), keepers AS (
+        |  SELECT b.doc_id FROM base b
+        |  LEFT JOIN rep r ON b.doc_id = r.doc_id
+        |  WHERE b.n_tokens >= 10 AND b.n_tokens <= 1000
+        |    AND b.stopword_ratio >= 0.02
+        |    AND coalesce(r.top_ngram_frac, 0.0) <= 0.20
+        |    AND b.type_token_ratio >= 0.30
+        |), kept AS MATERIALIZED (
+        |  SELECT t.doc_id, t.text, t.n_chars, t.toks
+        |  FROM t JOIN keepers USING (doc_id)
+        |), sh3 AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+        |  FROM kept WHERE len(toks) >= 3
+        |), bench AS (
+        |  SELECT DISTINCT unnest(list_distinct(
+        |    list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+        |  FROM t WHERE doc_id < 20 AND len(toks) >= 3
+        |), cont AS (
+        |  SELECT s.doc_id FROM sh3 s LEFT JOIN bench b ON s.gram = b.gram
+        |  GROUP BY s.doc_id
+        |  HAVING CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE) >= 0.5
+        |), clean AS MATERIALIZED (
+        |  SELECT doc_id, text, n_chars, toks FROM kept
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+        |), shc AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |  FROM clean WHERE len(toks) >= 3
+        |), pruned AS MATERIALIZED (
+        |  SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+        |    FROM shc) WHERE df <= 25
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS set_size FROM pruned GROUP BY doc_id
+        |), cand AS (
+        |  SELECT l.doc_id AS a_id, r.doc_id AS b_id, count(*) AS common
+        |  FROM pruned l JOIN pruned r
+        |    ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2
+        |), p AS (
+        |  SELECT a_id, b_id FROM cand
+        |  JOIN sizes sa ON cand.a_id = sa.doc_id
+        |  JOIN sizes sb ON cand.b_id = sb.doc_id
+        |  WHERE CAST(common AS DOUBLE)
+        |    / CAST(sa.set_size + sb.set_size - common AS DOUBLE) >= 0.5
+        |), nodes AS (
+        |  SELECT a_id AS id FROM p UNION SELECT b_id FROM p
+        |), edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM p
+        |  UNION ALL SELECT b_id, a_id FROM p
+        |), walk(id, label) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id
+        |), comp AS (
+        |  SELECT id, min(label) AS cluster_id FROM walk GROUP BY id
+        |), train AS MATERIALIZED (
+        |  SELECT c.doc_id, c.text, c.n_chars,
+        |    coalesce(comp.cluster_id, c.doc_id) AS cluster_id
+        |  FROM clean c LEFT JOIN comp ON c.doc_id = comp.id
+        |  WHERE CAST('0x' || substr(md5(
+        |      CAST(coalesce(comp.cluster_id, c.doc_id) AS VARCHAR)), 1, 2)
+        |    AS BIGINT) >= 64
+        |), w AS (
+        |  SELECT doc_id, CAST(1000000 // count(*)
+        |    OVER (PARTITION BY sha256(text)) AS BIGINT) AS weight_ppm
+        |  FROM train
+        |), cur AS (
+        |  SELECT doc_id, stage,
+        |    CAST(row_number() OVER (PARTITION BY stage
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        |      AS pos
+        |  FROM (SELECT doc_id,
+        |          CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+        |            AS stage
+        |        FROM train)
+        |), a AS (
+        |  SELECT tr.doc_id, tr.text, tr.cluster_id,
+        |    CAST('0x' || substr(md5(CAST(tr.doc_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) % 8 AS shard
+        |  FROM train tr
+        |)
+        |SELECT cur.stage, a.shard,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(length(a.text)) AS BIGINT) AS n_bytes,
+        |  CAST(sum(CAST('0x' || substr(md5(a.text), 1, 8) AS BIGINT))
+        |    AS BIGINT) AS checksum,
+        |  CAST(sum(w.weight_ppm) AS BIGINT) AS weight_mass_ppm,
+        |  CAST(count(DISTINCT a.cluster_id) AS BIGINT) AS n_clusters,
+        |  CAST(sum(cur.pos) AS BIGINT) AS sum_pos
+        |FROM a JOIN w ON a.doc_id = w.doc_id
+        |JOIN cur ON a.doc_id = cur.doc_id
+        |GROUP BY 1, 2 ORDER BY stage, shard""".stripMargin,
     // latenessProfile twin: events at MICROsecond precision, so the
     // nanos-side `div 1000000` becomes `// 1000` (Δns = Δus·1000 —
     // identical truncation); bit-length via the portable
