@@ -384,6 +384,15 @@ object SparkEntry {
           "ELSE x END)").as("embedding"))
       Similarity.kmeansCluster(planted, 16).orderBy("vec_id")
     }),
+    // --- fully distributed Lloyd's (no driver sample): zero-shuffle
+    // literal-centroid argmin per round + one k·dim integer-cell
+    // shuffle; integer-exact updates make the whole FIT oracle-exact —
+    // the DuckDB twin unrolls the same 3 rounds over the raw corpus
+    // (no planted structure needed, unlike embed_cluster's shortcut)
+    "embed_cluster_dist" -> ((s, dir) =>
+      Similarity.kmeansClusterDistributed(
+        rd(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        k = 8, iters = 3).orderBy("vec_id")),
     // --- reference surface: graph source normalization (SURVEY §2 rows 1-4)
     "normalize_nodes" -> ((s, dir) => {
       val nodes = rd(s, dir, "customer").select(
@@ -2394,6 +2403,75 @@ object SparkEntry {
        |    CASE WHEN sel = 1 THEN sym || nxt ELSE sym END AS sym
        |  FROM r$i WHERE coalesce(prev_sel, 0) = 0
        |)""".stripMargin
+
+  /** Generated DuckDB twin of [[graft.ops.Similarity.kmeansClusterDistributed]]
+    * (the markov/pageRank build-the-unroll-with-a-loop recipe): init =
+    * the k evenly-spaced vectors over the vec_id order, then per round
+    * an assignment (row_number over (dist, cluster) — the twin of
+    * Spark's least(struct)) and the integer centroid update
+    * (`floor(x·1e6)` BIGINT sums, `(Σ + K·n) // n − K` positive-offset
+    * floor mean, ONE double division per cell). Distances close as
+    * `dot(c,c) − 2·dot(e,c)` with `list_dot_product` == the
+    * `graft_dot` sequential fold (the ann_brute recipe); Spark's
+    * centroid literals are Double.toString round-trips, so both
+    * engines assign against bit-identical centroids.
+    */
+  private def kmeansDistOracleSql(k: Int, iters: Int, dim: Int): String = {
+    val off = "10000000"
+    def round(r: Int): String =
+      s"""d$r AS (
+         |  SELECT e.vec_id, e.emb, c.cluster,
+         |    list_dot_product(c.cen, c.cen)
+         |      - 2 * list_dot_product(e.emb, c.cen) AS dist
+         |  FROM emb e, c$r c
+         |), a$r AS MATERIALIZED (
+         |  SELECT vec_id, emb, cluster FROM (
+         |    SELECT vec_id, emb, cluster,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster)
+         |        AS rn FROM d$r) WHERE rn = 1
+         |), u$r AS (
+         |  SELECT cluster, g.d,
+         |    CAST(sum(CAST(floor(emb[g.d] * CAST('1e6' AS DOUBLE)) AS BIGINT))
+         |      AS BIGINT) AS s,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM a$r, generate_series(1, $dim) AS g(d)
+         |  GROUP BY cluster, g.d
+         |), c${r + 1} AS MATERIALIZED (
+         |  SELECT p.cluster, coalesce(u.cen, p.cen) AS cen
+         |  FROM c$r p LEFT JOIN (
+         |    SELECT cluster, list(CAST((s + $off * n) // n - $off AS DOUBLE)
+         |      / CAST('1e6' AS DOUBLE) ORDER BY d) AS cen
+         |    FROM u$r GROUP BY cluster) u ON p.cluster = u.cluster
+         |)""".stripMargin
+    val rounds = (0 until iters).map(round).mkString(", ", ", ", "")
+    s"""WITH emb AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+       |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM emb),
+       |ord AS (
+       |  SELECT vec_id, emb, row_number() OVER (ORDER BY vec_id) - 1 AS rn
+       |  FROM emb
+       |), c0 AS MATERIALIZED (
+       |  SELECT t.c AS cluster, o.emb AS cen
+       |  FROM (SELECT unnest(generate_series(0, ${k - 1})) AS c) t
+       |  CROSS JOIN nn
+       |  JOIN ord o ON o.rn = (t.c * nn.n) // $k
+       |)$rounds, dF AS (
+       |  SELECT e.vec_id, c.cluster,
+       |    list_dot_product(c.cen, c.cen)
+       |      - 2 * list_dot_product(e.emb, c.cen) AS dist
+       |  FROM emb e, c$iters c
+       |), aF AS MATERIALIZED (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT vec_id, cluster,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster)
+       |        AS rn FROM dF) WHERE rn = 1
+       |)
+       |SELECT a.vec_id, a.cluster, z.cluster_size
+       |FROM aF a JOIN (
+       |  SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM aF GROUP BY cluster) z USING (cluster)
+       |ORDER BY vec_id""".stripMargin
+  }
 
   /** DuckDB oracle SQL. Hash-seeded ops (minhash/simhash/LSH) are
     * intentionally absent → driver records a rows-only check; their
@@ -5177,6 +5255,7 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
     // planted-block k-means (see registration comment): the provably
     // exact assignment is the block id g = (vec_id·16 + 15) div n
+    "embed_cluster_dist" -> kmeansDistOracleSql(k = 8, iters = 3, dim = 64),
     "embed_cluster" ->
       """WITH n AS (SELECT count(*) AS cnt FROM embeddings)
         |SELECT vec_id,

@@ -957,6 +957,91 @@ object Similarity {
       .select(col("vec_id"), col("cluster"), col("cluster_size"))
   }
 
+  /** Fully DISTRIBUTED Lloyd's k-means (VERDICT r10 item #8): no driver
+    * sample ever holds the data — each round is one corpus scan whose
+    * assignment is a zero-shuffle codegen'd argmin over k LITERAL
+    * centroids (`least()` over (dist, cluster) structs, the rendezvous
+    * recipe), followed by ONE partial-aggregated shuffle of k·dim
+    * integer cells; only those ≤ k·dim cells reach the driver per round
+    * (the bounded-pull class). This is the 100 TB shape:
+    * iteration cost = iters × (scan + k·dim-cell shuffle), with no
+    * 10k-sample fit asterisk.
+    *
+    * Exactness: centroid updates are the order-free integer recipe —
+    * per-cell `floor(x·10⁶)` BIGINT sums, positive-offset floor mean
+    * `(Σ + K·n) div n − K` (K = 10⁷; requires |x| < 10), one double
+    * division per cell — so the fit is bit-reproducible across runs,
+    * partitionings, and engines, and the DuckDB twin unrolls the same
+    * rounds (`embed_cluster_dist`). Distances close in portable IEEE:
+    * `dot(c,c) − 2·dot(e,c)` with both dots the sequential fold
+    * `graft_dot` == `list_dot_product` share. Init = the k
+    * evenly-spaced vectors over the vec_id order (kmeansFit's rule);
+    * the init rank window is one global sort producing k rows — at
+    * huge scale swap for a deterministic hash sample, the rounds are
+    * unchanged. Empty clusters keep their previous centroid.
+    *
+    * Same output contract as [[kmeansCluster]]: (vec_id, cluster,
+    * cluster_size); the spec asserts both produce identical
+    * assignments on a separated corpus (the 10⁻⁶ quantization cannot
+    * flip a non-degenerate boundary).
+    */
+  def kmeansClusterDistributed(corpus: DataFrame, k: Int = 16,
+                               iters: Int = 5): DataFrame = {
+    require(k >= 2 && iters >= 1)
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    require(n >= k, s"need at least $k vectors")
+    val positions = (0 until k).map(c => (c.toLong * n) / k)
+    // bounded: exactly k init rows (evenly-spaced ranks over vec_id)
+    var cents: Array[Array[Double]] = emb
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("vec_id"))).cast("long") - 1L)
+      .filter(col("rn").isin(positions: _*))
+      .orderBy("rn").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble).toArray)
+
+    def assignCol(cs: Array[Array[Double]]): Column = {
+      val structs = cs.zipWithIndex.map { case (cen, c) =>
+        val cenLit = cen.map(v => s"CAST('$v' AS DOUBLE)")
+          .mkString("array(", ", ", ")")
+        var cc = 0.0
+        var i = 0
+        while (i < cen.length) { cc += cen(i) * cen(i); i += 1 }
+        struct(
+          (lit(cc) - lit(2) * expr(s"graft_dot(embedding, $cenLit)"))
+            .as("d"),
+          lit(c).as("c"))
+      }
+      least(structs: _*).getField("c")
+    }
+
+    for (_ <- 0 until iters) {
+      // bounded: k·dim cells per round (the k-means-centroid class)
+      val cells = emb
+        .withColumn("cluster", assignCol(cents))
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy(col("cluster"), col("d"))
+        .agg(sum(expr(
+          "CAST(floor(CAST(x AS DOUBLE) * 1000000.0d) AS BIGINT)")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      cells.foreach { r =>
+        val ms = (r.getAs[Long]("s") + 10000000L * r.getAs[Long]("n")) /
+          r.getAs[Long]("n") - 10000000L
+        next(r.getAs[Int]("cluster"))(r.getAs[Int]("d")) = ms.toDouble / 1e6
+      }
+      cents = next
+    }
+    val fin = emb.select(col("vec_id"),
+      assignCol(cents).cast("long").as("cluster"))
+    val sizes = fin.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+    fin.join(broadcast(sizes), Seq("cluster"))
+      .select(col("vec_id"), col("cluster"), col("cluster_size"))
+  }
+
   /** Truncated-dimension energy profile — the Matryoshka diagnostic:
     * for each prefix length `d`, how much of the corpus's total squared
     * norm the first `d` coordinates carry. A front-loaded profile says

@@ -359,6 +359,51 @@ object EventStreams {
       }
   }
 
+  final case class AsOfEnriched(user_id: Long, probe_id: Long, ts: Long,
+                                asof_time: java.lang.Long,
+                                asof_v: java.lang.Long)
+
+  /** Streaming twin of [[graft.ops.Events.joinAsOf]] — point-in-time
+    * enrichment AT INGEST, the feature-store read path moved into the
+    * stream. The union-tag contract mirrors the batch operator's
+    * internal union: ONE stream carries both state updates
+    * (tag 0: (user_id, ts, v)) and probes (tag 1: (user_id, ts,
+    * probe_id)); each probe is emitted once, enriched with the latest
+    * state row at or before its ts (inclusive <=, like the batch op
+    * and DuckDB ASOF). State per key is ONE (time, value) pair — the
+    * last state row seen — so executor state is bounded by |keys|
+    * forever, never by stream length. Within a micro-batch rows fold
+    * in (ts, tag) order (a state row beats a probe at the same ts —
+    * exactly the batch window's `orderBy(ts, _tag)` with state tag 0);
+    * ACROSS batches exactness holds when batches arrive in event-time
+    * order — the streamingEwma contract — and the spec asserts
+    * stream == batch on a staged two-batch stream. Probes with no
+    * prior state surface NULL asof columns, same as the batch op.
+    */
+  def streamingAsOfEnrich(rows: DataFrame)(
+      implicit spark: SparkSession): Dataset[AsOfEnriched] = {
+    import spark.implicits._
+    rows.select(col("user_id"), col("ts"), col("tag"), col("v"),
+        col("probe_id"))
+      .as[(Long, Long, Int, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rs: Iterator[(Long, Long, Int, Long, Long)],
+         state: GroupState[(Long, Long)]) =>
+          var cur = state.getOption
+          val out = Vector.newBuilder[AsOfEnriched]
+          rs.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+            if (r._3 == 0) cur = Some((r._2, r._4))
+            else out += AsOfEnriched(user, r._5, r._2,
+              cur.map(c => java.lang.Long.valueOf(c._1)).orNull,
+              cur.map(c => java.lang.Long.valueOf(c._2)).orNull)
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   final case class EwmaState(user_id: Long, n_events: Long,
                              ewma_scaled: Long)
 

@@ -178,6 +178,31 @@ class SimilaritySpec extends SparkSpec {
     assert(sizes === counted)
   }
 
+  test("kmeansClusterDistributed equals the driver-fit assignments " +
+    "on a separated corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat * 3f))
+    val vecs = for { c <- centers.indices; m <- 0 until 50 } yield
+      ((c * 50 + m).toLong,
+        centers(c).map(v => v + 0.1f * rnd.nextGaussian().toFloat).toSeq)
+    val corpus = vecs.toDF("vec_id", "embedding")
+    // same init rule, same rounds; the distributed fit's 1e-6 centroid
+    // quantization cannot flip an assignment on well-separated groups,
+    // so the two operators must agree row for row — the "driver fits
+    // the model" asterisk removed without changing answers
+    val driver = Similarity.kmeansCluster(corpus, k = 4, trainSample = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dist = Similarity.kmeansClusterDistributed(corpus, k = 4, iters = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dist == driver,
+      "distributed Lloyd must reproduce the driver-fit clustering")
+    // determinism across invocations (integer updates, md5-free argmin)
+    val again = Similarity.kmeansClusterDistributed(corpus, k = 4, iters = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == dist)
+  }
+
   test("labelCentroids averages per (label, dim) in order-free fixed point") {
     import spark.implicits._
     val e = Seq(

@@ -193,6 +193,48 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingAsOfEnrich equals the batch joinAsOf on a staged stream") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // (user_id, ts, tag, v, probe_id); tag 0 = state update, 1 = probe.
+    // Covers: probe before any state (NULLs), same-ts state+probe
+    // (inclusive <= — state wins), state carried across batches.
+    val b1 = Seq((1L, 10L, 0, 100L, 0L), (1L, 20L, 1, 0L, 901L),
+      (2L, 15L, 1, 0L, 902L))
+    val b2 = Seq((1L, 30L, 0, 200L, 0L), (1L, 30L, 1, 0L, 903L),
+      (2L, 40L, 0, 300L, 0L), (2L, 50L, 1, 0L, 904L))
+    val mem = MemoryStream[(Long, Long, Int, Long, Long)]
+    val out = EventStreams.streamingAsOfEnrich(
+      mem.toDF.toDF("user_id", "ts", "tag", "v", "probe_id"))
+    val q = out.toDF.writeStream.format("memory").queryName("asof_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      def snap(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+        r.getAs[Long]("probe_id") ->
+          ((Option(r.getAs[java.lang.Long]("asof_time")),
+            Option(r.getAs[java.lang.Long]("asof_v"))))
+      }.toMap
+      val streamed = snap(spark.table("asof_test").collect())
+      val all = b1 ++ b2
+      val batch = snap(graft.ops.Events.joinAsOf(
+        all.filter(_._3 == 1).map(r => (r._1, r._2, r._5))
+          .toDF("user_id", "ts", "probe_id"),
+        all.filter(_._3 == 0).map(r => (r._1, r._2, r._4))
+          .toDF("user_id", "ts", "v"),
+        "user_id", "ts", Seq("v")).collect())
+      assert(streamed == batch,
+        "stream enrichment must equal the batch as-of join")
+      assert(streamed(903L)._2.flatMap(v => Option(v.longValue))
+        .contains(200L), "same-ts state row is visible (inclusive <=)")
+      assert(streamed(902L)._1.isEmpty, "no prior state surfaces NULL")
+      assert(streamed(904L)._2.flatMap(v => Option(v.longValue))
+        .contains(300L), "state carried across the batch boundary")
+    } finally q.stop()
+  }
+
   test("streamingSeqSpans evicts dead keys past the watermark (evictAfterMs)") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
