@@ -720,6 +720,25 @@ object SparkEntry {
     // lexicographic keeper, so the donor's first paragraph is dropped —
     // both the construction and the keeper rule are plain SQL, making the
     // oracle exact.
+    // --- CROSS-doc repeated-substring spans (dedup_spans counts any
+    // repetition incl. within-doc; this df counts DISTINCT docs — the
+    // leakage/contamination flavor): docs < 30 get the first 20 tokens
+    // of doc_id+200 appended — both sides of each copy must surface as
+    // ONE maximal span (interval-union islands), plus whatever 8-grams
+    // the corpus shares coincidentally
+    "dedup_spans_xdoc" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val donors = docs.filter(col("doc_id") >= 200 && col("doc_id") < 230)
+        .select((col("doc_id") - 200).as("doc_id"),
+          expr("array_join(slice(split(trim(text), '\\\\s+'), 1, 20), ' ')")
+            .as("passage"))
+      val planted = docs.join(donors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("passage").isNotNull,
+            concat(col("text"), lit(" "), col("passage")))
+            .otherwise(col("text")).as("text"))
+      Dedup.repeatedSpans(planted).orderBy("doc_id", "span_start")
+    }),
     "dedup_paragraph" -> ((s, dir) => {
       val toks = rd(s, dir, "documents").select(col("doc_id"),
         split(trim(col("text")), "\\s+").as("t"))
@@ -2052,6 +2071,22 @@ object SparkEntry {
     // self-join size Σf² in one pass; labeled-row union (per-salt est,
     // exact order-statistic median, exact F2 for reference) avoids any
     // one-row-total join. The 7-row global window is post-aggregation.
+    // --- mergeable bottom-k quantile sketch over exact price cents:
+    // md5-derandomized sample membership makes the estimates
+    // engine-exact where approxQuantile's GK merge is order-dependent.
+    // The synthetic lineitem repeats (orderkey, linenumber), so the
+    // cents fold into the row id — remaining id ties are full-row
+    // duplicates, interchangeable under every order the sketch takes
+    "sketch_quantiles" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem").select(
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        expr("""concat(CAST(l_orderkey AS STRING), ':',
+          |CAST(l_linenumber AS STRING), ':',
+          |CAST(CAST(floor(l_extendedprice * 100) AS BIGINT) AS STRING))"""
+          .stripMargin).as("rid"))
+      Sketches.quantileSketch(li, "cents", "rid", k = 1024)
+        .orderBy("q_ppm")
+    }),
     "sketch_f2" -> ((s, dir) => {
       val ev = rdEvents(s, dir).select(col("user_id"))
       val sk = Sketches.amsF2(ev, "user_id", depth = 7)
@@ -5040,6 +5075,46 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_shared
         |FROM pruned l JOIN pruned r ON l.fp = r.fp AND l.doc_id < r.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY a_id, b_id""".stripMargin),
+    // repeatedSpans twin: same planted passages, correlated
+    // UNNEST(range) 1-indexed gram positions, distinct-doc gram df,
+    // running-max-end interval-union islands — identical span algebra
+    "dedup_spans_xdoc" ->
+      """WITH don AS (
+        |  SELECT doc_id - 200 AS doc_id,
+        |    array_to_string((string_split_regex(trim(text), '\s+'))[1:20],
+        |      ' ') AS passage
+        |  FROM documents WHERE doc_id >= 200 AND doc_id < 230
+        |), t AS (
+        |  SELECT r.doc_id, string_split_regex(trim(
+        |    CASE WHEN d.passage IS NOT NULL THEN r.text || ' ' || d.passage
+        |         ELSE r.text END), '\s+') AS t
+        |  FROM documents r LEFT JOIN don d USING (doc_id)
+        |), g AS MATERIALIZED (
+        |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+        |    array_to_string(t[u.i:u.i + 7], ' ') AS gram
+        |  FROM t, UNNEST(range(1, len(t) - 6)) AS u(i)
+        |  WHERE len(t) >= 8
+        |), rg AS (
+        |  SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM g)
+        |  GROUP BY gram HAVING count(*) >= 2
+        |), rp AS (
+        |  SELECT doc_id, pos,
+        |    max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM g JOIN rg USING (gram)
+        |), sp AS (
+        |  SELECT doc_id, pos,
+        |    sum(CASE WHEN prev_end IS NULL OR prev_end + 1 < pos
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM rp
+        |)
+        |SELECT doc_id,
+        |  CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 7 AS BIGINT) AS span_end,
+        |  CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS n_tokens
+        |FROM sp GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin,
     "dedup_paragraph" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
@@ -8606,6 +8681,33 @@ object SparkEntry {
         |SELECT item, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
         |FROM probe LEFT JOIN sk USING (depth, cell)
         |GROUP BY item ORDER BY est DESC, item LIMIT 20""".stripMargin,
+    // quantileSketch twin: identical md5 bottom-k membership, (value,
+    // id) rank order, ceil(q·k') rank election; cents via floor(p*100)
+    // on the DOUBLE column (integer 100 — never a bare decimal literal)
+    "sketch_quantiles" ->
+      """WITH li AS (
+        |  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+        |    CAST(l_orderkey AS VARCHAR) || ':' ||
+        |      CAST(l_linenumber AS VARCHAR) || ':' ||
+        |      CAST(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |        AS VARCHAR) AS id
+        |  FROM lineitem
+        |), s AS (
+        |  SELECT v, id FROM li
+        |  ORDER BY md5('qs:' || id) ASC, id ASC
+        |  LIMIT 1024
+        |), r AS MATERIALIZED (
+        |  SELECT v, row_number() OVER (ORDER BY v, id) AS r FROM s
+        |), ns AS (SELECT CAST(max(r) AS BIGINT) AS n_sample FROM r),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM lineitem),
+        |q AS (SELECT CAST(unnest([100000, 250000, 500000, 750000,
+        |  900000]) AS BIGINT) AS q_ppm)
+        |SELECT q.q_ppm, CAST(r.v AS BIGINT) AS est, ns.n_sample,
+        |  nt.n_total
+        |FROM q CROSS JOIN ns CROSS JOIN nt
+        |JOIN r ON r.r = greatest(1,
+        |  (q.q_ppm * ns.n_sample + 999999) // 1000000)
+        |ORDER BY q_ppm""".stripMargin,
     // AMS twin: identical md5 ±1 signs rebuilt over the (key, n)
     // vocabulary; integer sums throughout (DuckDB sum(BIGINT) is HUGEINT
     // — cast back), median as the rn=4 order statistic of 7

@@ -36,6 +36,63 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("checksum"), col("n_copies"))
 
+  /** CROSS-document repeated-substring spans — the leakage/contamination
+    * flavor of [[duplicatedSpans]] (ExactSubstr family,
+    * arXiv:2107.06499): every maximal token span whose w-grams each
+    * occur in ≥ `minDocs` DISTINCT documents. Where duplicatedSpans
+    * counts ANY repetition (a chorus repeated within one song is
+    * flagged), this op's df counts distinct docs — within-doc repeats
+    * are the document's own structure and leak nothing; only
+    * cross-document copying matters for train/eval splits and
+    * benchmark contamination. Overlapping/adjacent repeated gram
+    * intervals merge by the running-max-end island rule (a copied
+    * 20-token passage is ONE span per side, and two overlapping
+    * passages shared with DIFFERENT partners still merge). Positions
+    * are 1-based token indices, span ends inclusive.
+    *
+    * Scale shape — deliberately JOIN-FREE at the pair level: posting
+    * explode (one row per token position), ONE shuffle keyed on the
+    * gram for the distinct-doc count, a semi-join back on the same key
+    * (ReusedExchange), then a per-doc islands window. Cost is linear in
+    * corpus tokens regardless of how many documents share a passage —
+    * where pair-level dedup is quadratic in the duplication factor
+    * (the minHashLshStar lesson), span detection never pairs documents
+    * at all.
+    */
+  def repeatedSpans(docs: DataFrame, w: Int = 8,
+                    minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 2 && minDocs >= 2)
+    val grams = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(t) - ${w - 1}),
+           |  i -> struct(CAST(i AS BIGINT) AS pos,
+           |    array_join(slice(t, i, $w), ' ') AS gram))""".stripMargin))
+        .as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+    val repeatedGrams = grams.select(col("gram"), col("doc_id")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select(col("gram"))
+    // interval union (the duplicatedSpans island rule): a new span
+    // starts when this gram begins past the running max end + 1
+    val w1 = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    grams.join(repeatedGrams, Seq("gram"), "left_semi")
+      .withColumn("prev_end", max(col("pos") + lit((w - 1).toLong))
+        .over(w1.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("island",
+        when(col("prev_end").isNull || col("prev_end") + 1 < col("pos"), 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("island")).over(w1))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit((w - 1).toLong)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("n_tokens"))
+  }
+
   /** Soft-dedup training weights: every copy survives but carries
     * weight 1/n_copies, so each distinct content contributes total mass
     * 1 to the training mix — the de-duplication alternative when hard

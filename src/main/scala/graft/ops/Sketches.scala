@@ -331,4 +331,51 @@ object Sketches {
     skA.join(skB, Seq("salt"))
       .withColumn("est", col("s_a") * col("s_b"))
   }
+
+  /** Mergeable quantile sketch via a DERANDOMIZED bottom-k row sample:
+    * keep the k rows with the smallest `md5("qs:" || id)` — a uniform
+    * sample whose membership is a pure function of the row id, so (a)
+    * it is bit-reproducible across runs/partitionings/engines (the
+    * replica-min-hash family, and unlike Spark's approxQuantile whose
+    * GK merge is accumulation-order-dependent), and (b) it MERGES: the
+    * bottom-k of a union is computable from the per-shard bottom-k's,
+    * the property that lets per-partition/per-day sketches roll up
+    * without rescanning. Estimates: quantile q ≈ the ceil(q·k')-th
+    * order statistic of the sampled values (k' = |sample|), with the
+    * deterministic (value, id) tie order.
+    *
+    * Scale shape: the sample is a TakeOrdered over the md5 column —
+    * per-partition k-row heads merged once on the driver side of the
+    * plan, never a global sort; the quantile close runs on the k-row
+    * frame. One full scan total (plus the count for n_total, a
+    * column-pruned second scan — pass a known total to skip it).
+    * Error: standard bottom-k sampling bounds, ~1/√k on the rank.
+    *
+    * Output: one row per requested ppm quantile
+    * (q_ppm, est, n_sample, n_total).
+    */
+  def quantileSketch(df: DataFrame, valueCol: String, idCol: String,
+                     k: Int = 1024,
+                     qsPpm: Seq[Long] = Seq(100000L, 250000L, 500000L,
+                       750000L, 900000L)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2 && qsPpm.nonEmpty)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tagged = df.select(col(valueCol).cast("long").as("v"),
+        col(idCol).cast("string").as("id"))
+      .withColumn("h", md5(concat(lit("qs:"), col("id"))))
+    val sample = tagged.orderBy(col("h").asc, col("id").asc).limit(k)
+    val ranked = sample.withColumn("r", row_number().over(
+      Window.orderBy(col("v"), col("id"))).cast("long"))
+    val nSample = ranked.agg(max(col("r")).as("n_sample"))
+    val nTotal = df.agg(count(lit(1)).as("n_total"))
+    qsPpm.toDF("q_ppm")
+      .crossJoin(broadcast(nSample))
+      .crossJoin(broadcast(nTotal))
+      .withColumn("r", greatest(lit(1L),
+        expr("(q_ppm * n_sample + 999999) div 1000000")))
+      .join(ranked.select(col("r"), col("v").as("est")), Seq("r"))
+      .select(col("q_ppm"), col("est"), col("n_sample"), col("n_total"))
+  }
 }

@@ -413,6 +413,47 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == ((1L, 1000000L)))
   }
 
+  test("repeatedSpans merges shared grams into maximal cross-doc spans") {
+    import spark.implicits._
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val shared = words("s", 12)   // 12 shared tokens -> 5 grams (w=8)
+    val shared2 = words("z", 9)   // 9 shared tokens -> 2 grams
+    val docs = Seq(
+      // doc 1: shared passage at positions 4..15, second at 21..29
+      (1L, words("a", 3) + " " + shared + " " + words("b", 5) + " " + shared2),
+      // doc 2: the same passages at different offsets
+      (2L, shared + " " + words("c", 6) + " " + shared2),
+      // doc 3: a WITHIN-doc repeat only (8 tokens twice) — not flagged,
+      // the df bar counts DISTINCT docs
+      (3L, words("r", 8) + " " + words("r", 8)),
+      (4L, words("d", 10)),
+      // docs 5/6/7: doc 5's grams at positions 1 and 4 are shared with
+      // DIFFERENT partners (positions 2-3 unique) — the overlapping
+      // intervals [1,8] and [4,11] must union into ONE span [1,11]
+      (5L, words("p", 3) + " " + words("q", 5) + " " + words("u", 3)),
+      (6L, words("p", 3) + " " + words("q", 5)),
+      (7L, words("q", 5) + " " + words("u", 3))).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // doc 1: tokens 4..15 (one maximal span from gram positions 4..8)
+    // and 21..29 (gram positions 21..22)
+    assert(out.contains((1L, 4L, 15L, 12L)))
+    assert(out.contains((1L, 21L, 29L, 9L)))
+    // doc 2: same passages at its own offsets
+    assert(out.contains((2L, 1L, 12L, 12L)))
+    assert(out.contains((2L, 19L, 27L, 9L)))
+    assert(!out.exists(_._1 == 3L), "within-doc repeats are not cross-doc")
+    assert(!out.exists(_._1 == 4L))
+    // overlapping intervals shared with different partners: one span
+    assert(out.contains((5L, 1L, 11L, 11L)),
+      s"overlapping [1,8] and [4,11] must union: ${out.filter(_._1 == 5L)}")
+    assert(out.contains((6L, 1L, 8L, 8L)))
+    assert(out.contains((7L, 1L, 8L, 8L)))
+    assert(out.size == 7, s"exactly the seven planted spans: $out")
+  }
+
   test("thresholdSweep counts tp/fp/fn per cut and elects the best") {
     // scored: true pair at .9, true pair at .5, false pair at .6;
     // truth additionally holds (7,8) that the scorer never surfaced

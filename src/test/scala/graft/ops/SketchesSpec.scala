@@ -162,6 +162,35 @@ class SketchesSpec extends SparkSpec {
     assert(self === f2) // S_A == S_B when the inputs coincide
   }
 
+  test("quantileSketch: exact order stats when k >= n; mergeable bottom-k") {
+    import spark.implicits._
+    val rows = (1L to 10L).map(i => (i * 11L, s"id$i")).toDF("v", "id")
+    val out = Sketches.quantileSketch(rows, "v", "id", k = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // k >= n: the sample IS the data, so quantiles are exact order
+    // statistics at rank ceil(q*10)
+    assert(out(500000L) == 55L)   // rank 5
+    assert(out(100000L) == 11L)   // rank 1
+    assert(out(900000L) == 99L)   // rank 9
+    // mergeability: the sketch of a union equals the sketch rebuilt
+    // from the two shards' bottom-k samples (same md5 membership)
+    val big = (1L to 200L).map(i => (i * 7L % 101L, s"k$i")).toDF("v", "id")
+    val shardA = big.filter($"id" < "k5")  // string split, deterministic
+    val shardB = big.filter($"id" >= "k5")
+    def sample(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("h", org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("qs:"), $"id")))
+      .orderBy("h", "id").limit(32).select("v", "id")
+    val merged = Sketches.quantileSketch(
+      sample(shardA).unionByName(sample(shardB)), "v", "id", k = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = Sketches.quantileSketch(big, "v", "id", k = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == direct,
+      "bottom-k of the shard bottom-k union must equal the direct sketch")
+  }
+
   test("sketch plans stay bucketed: no cross product anywhere") {
     val items = (1 to 100).map(i => s"t$i").toDF("tok")
     val sk = Sketches.cmsSketch(items, "tok")
