@@ -70,6 +70,10 @@ class QueryPlanSpec extends SparkSpec {
       "eval_isotonic", // the minimax j≤k pair frame: bins² over the
                        // BOUNDED quantized score domain, broadcast by
                        // construction (the ann_brute class)
+      "sketch_quantiles", // two one-row aggregates (n_sample, n_total)
+                          // crossed onto the |qs|-row quantile frame;
+                          // the corpus contributes only the TakeOrdered
+                          // k-row sample
       "web_robots") // the rule table is a bounded policy artifact
                     // broadcast against the URL stream (prefix theta)
 
