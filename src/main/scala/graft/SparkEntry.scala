@@ -487,6 +487,30 @@ object SparkEntry {
       val co = Graph.coOccurrence(li, "l_orderkey", "l_partkey")
       Graph.kTruss(co, k = 4, rounds = 3).orderBy("lo", "hi")
     }),
+    // --- time-respecting earliest arrival over the order–part contact
+    // graph (edge ts = shipdate): which parts/orders could a
+    // contamination starting at orders < 100 reach, and when — a
+    // static BFS overcounts by using edges that fired too early
+    "graph_temporal_reach" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem").select(col("l_orderkey").as("o"),
+        (col("l_partkey") + 20000000L).as("p"),
+        unix_timestamp(col("l_shipdate")).as("ts"))
+      val e = li.select(col("o").as("src"), col("p").as("dst"), col("ts"))
+        .unionByName(
+          li.select(col("p").as("src"), col("o").as("dst"), col("ts")))
+      val seeds = rd(s, dir, "lineitem")
+        .select(col("l_orderkey").as("id")).filter(col("id") < 100)
+      Graph.temporalReachability(e, seeds, maxHops = 4).orderBy("id")
+    }),
+    // --- Jones–Plassmann greedy coloring over the same sampled part
+    // co-occurrence graph: md5-priority local maxima take the mex of
+    // their colored neighbourhood each round; budget leftovers NULL
+    "graph_coloring" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem").filter(col("l_partkey") % 4 === 0)
+      Graph.greedyColoring(
+        Graph.coOccurrence(li, "l_orderkey", "l_partkey"), rounds = 6)
+        .orderBy("id")
+    }),
     "graph_triangles" -> ((s, dir) => {
       val li = rd(s, dir, "lineitem").filter(col("l_partkey") % 4 === 0)
       Graph.triangleCounts(
@@ -2438,6 +2462,64 @@ object SparkEntry {
        |    CASE WHEN sel = 1 THEN sym || nxt ELSE sym END AS sym
        |  FROM r$i WHERE coalesce(prev_sel, 0) = 0
        |)""".stripMargin
+
+  /** Generated DuckDB twin of [[graft.ops.Graph.greedyColoring]] over
+    * the sampled part co-occurrence graph: per unrolled round, the
+    * uncolored-local-max election is a correlated NOT EXISTS on
+    * (priority, id) — the relational form of Spark's
+    * `max(struct(pri, id))` comparison — and the mex is the bounded
+    * `UNNEST(range(0, m+1))` candidate anti-join (pigeonhole: mex ≤
+    * #used colors). Budget leftovers stay NULL on both sides.
+    */
+  private def coloringOracleSql(rounds: Int): String = {
+    def round(r: Int): String =
+      s"""nb$r AS MATERIALIZED (
+         |  SELECT u.a AS id, u.b AS nbr, s.pri AS n_pri, s.color AS n_color
+         |  FROM und u JOIN s$r s ON u.b = s.id
+         |), win$r AS (
+         |  SELECT s.id FROM s$r s WHERE s.color IS NULL AND NOT EXISTS (
+         |    SELECT 1 FROM nb$r n WHERE n.id = s.id AND n.n_color IS NULL
+         |      AND (n.n_pri > s.pri OR (n.n_pri = s.pri AND n.nbr > s.id)))
+         |), used$r AS MATERIALIZED (
+         |  SELECT DISTINCT id, n_color AS c FROM nb$r
+         |  WHERE n_color IS NOT NULL
+         |), mex$r AS (
+         |  SELECT c.id, CAST(min(c.k) AS BIGINT) AS mex FROM (
+         |    SELECT m.id, u.k FROM (
+         |      SELECT id, count(*) AS m FROM used$r GROUP BY id) m,
+         |      UNNEST(range(0, m.m + 1)) AS u(k)) c
+         |  LEFT JOIN used$r u ON c.id = u.id AND c.k = u.c
+         |  WHERE u.c IS NULL GROUP BY c.id
+         |), s${r + 1} AS MATERIALIZED (
+         |  SELECT s.id, s.pri,
+         |    CASE WHEN s.color IS NOT NULL THEN s.color
+         |         WHEN w.id IS NOT NULL THEN coalesce(m.mex, 0) END AS color
+         |  FROM s$r s LEFT JOIN win$r w ON s.id = w.id
+         |  LEFT JOIN mex$r m ON s.id = m.id
+         |)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+       |  WHERE l_partkey % 4 = 0
+       |), sized AS (
+       |  SELECT g, item FROM (
+       |    SELECT g, item, count(*) OVER (PARTITION BY g) AS gsz
+       |    FROM pairs) z
+       |  WHERE gsz <= 100
+       |), e0 AS (
+       |  SELECT DISTINCT l.item AS lo, r.item AS hi
+       |  FROM sized l JOIN sized r ON l.g = r.g AND l.item < r.item
+       |), und AS MATERIALIZED (
+       |  SELECT lo AS a, hi AS b FROM e0 UNION ALL SELECT hi, lo FROM e0
+       |), s0 AS MATERIALIZED (
+       |  SELECT id,
+       |    CAST('0x' || substr(md5('col:' || CAST(id AS VARCHAR)), 1, 8)
+       |      AS BIGINT) AS pri,
+       |    CAST(NULL AS BIGINT) AS color
+       |  FROM (SELECT DISTINCT a AS id FROM und)
+       |), ${(0 until rounds).map(round).mkString(",\n")}
+       |SELECT id, CAST(color AS BIGINT) AS color
+       |FROM s$rounds ORDER BY id""".stripMargin
+  }
 
   /** Generated DuckDB twin of [[graft.ops.Similarity.kmeansClusterDistributed]]
     * (the markov/pageRank build-the-unroll-with-a-loop recipe): init =
@@ -5331,6 +5413,35 @@ object SparkEntry {
     // planted-block k-means (see registration comment): the provably
     // exact assignment is the block id g = (vec_id·16 + 15) div n
     "embed_cluster_dist" -> kmeansDistOracleSql(k = 8, iters = 3, dim = 64),
+    "graph_coloring" -> coloringOracleSql(rounds = 6),
+    // temporalReachability twin: unrolled hops, each a usable-edge min
+    // relax (e.ts >= p.ea residual on the src equi-join) + a FULL OUTER
+    // least() merge — least skips NULLs identically in both engines
+    "graph_temporal_reach" -> {
+      val hop = (r: Int) =>
+        s"""x$r AS (
+           |  SELECT e.dst AS id, CAST(min(e.ts) AS BIGINT) AS cand
+           |  FROM e JOIN s$r p ON e.src = p.id AND e.ts >= p.ea
+           |  GROUP BY e.dst
+           |), s${r + 1} AS MATERIALIZED (
+           |  SELECT coalesce(s.id, x.id) AS id,
+           |    CAST(least(s.ea, x.cand) AS BIGINT) AS ea
+           |  FROM s$r s FULL OUTER JOIN x$r x ON s.id = x.id
+           |)""".stripMargin
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT l_orderkey AS src, l_partkey + 20000000 AS dst,
+         |    CAST(epoch(l_shipdate) AS BIGINT) AS ts
+         |  FROM lineitem
+         |  UNION
+         |  SELECT l_partkey + 20000000, l_orderkey,
+         |    CAST(epoch(l_shipdate) AS BIGINT)
+         |  FROM lineitem
+         |), s0 AS (
+         |  SELECT DISTINCT l_orderkey AS id, CAST(0 AS BIGINT) AS ea
+         |  FROM lineitem WHERE l_orderkey < 100
+         |), ${(0 until 4).map(hop).mkString(",\n")}
+         |SELECT id, ea FROM s4 ORDER BY id""".stripMargin
+    },
     "embed_cluster" ->
       """WITH n AS (SELECT count(*) AS cnt FROM embeddings)
         |SELECT vec_id,

@@ -350,6 +350,110 @@ object Graph {
       .distinct()
   }
 
+  /** Time-respecting earliest-arrival reachability over a TEMPORAL edge
+    * list (src, dst, ts): a path is valid only if its edge timestamps
+    * never decrease past each node's arrival time — the
+    * epidemiology/influence/contact-tracing semantics a static BFS
+    * gets WRONG (a static path may use an edge that fired before the
+    * walker arrived). Per hop, ea(v) relaxes to min(ea(v), min ts of
+    * an in-edge usable at or after ea(u)) — a Bellman–Ford-style
+    * integer `least()` merge, so the frame is exact and
+    * engine-portable. Seeds start at `startTs`; nodes never reached
+    * within `maxHops` are absent (the hop budget certifies an UPPER
+    * bound on arrival, mirroring diameterSweep's lower-bound
+    * convention).
+    *
+    * Scale shape: per hop, ONE edges⋈state equi-join keyed on src with
+    * the time filter as a residual, a partial-aggregated min per dst,
+    * and a full-outer `least` merge; state is the REACHED set only.
+    * The merge references state twice (join + coalesce side) →
+    * localCheckpoint every hop (the kCore rule).
+    */
+  def temporalReachability(edges: DataFrame, seeds: DataFrame,
+                           maxHops: Int = 4,
+                           startTs: Long = 0L): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("ts").cast("long"))
+      .distinct().localCheckpoint(true)
+    var state = seeds.select(col("id")).distinct()
+      .withColumn("ea", lit(startTs))
+      .localCheckpoint(true)
+    for (_ <- 0 until maxHops) {
+      val relax = e.join(state.withColumnRenamed("id", "src"), Seq("src"))
+        .filter(col("ts") >= col("ea"))
+        .groupBy(col("dst"))
+        .agg(min(col("ts")).as("cand"))
+        .select(col("dst").as("id"), col("cand"))
+      state = state.join(relax, Seq("id"), "full_outer")
+        .select(col("id"), least(col("ea"), col("cand")).as("ea"))
+        .localCheckpoint(true)
+    }
+    state
+  }
+
+  /** Jones–Plassmann greedy graph coloring with fixed md5 priorities —
+    * the parallel-coloring classic (register allocation, conflict-free
+    * scheduling, SGD partitioning over a conflict graph). Per round,
+    * every UNcolored node that holds the highest (md5-priority, id)
+    * among its uncolored neighbours takes the smallest color absent
+    * from its already-colored neighbourhood (the mex); everyone else
+    * waits. Fixed priorities + fixed `rounds` make the run
+    * deterministic AND oracle-exact (the Luby-MIS r8 recipe), and
+    * nodes still uncolored at the budget surface `color = NULL` —
+    * labeled undecided, never guessed. Colored nodes form a PROPER
+    * partial coloring by construction: two adjacent winners can never
+    * tie on (priority, id).
+    *
+    * Scale shape: per round, one adjacency⋈state join keyed on the
+    * node (neighbour colors + the uncolored-max election ride the same
+    * frame), a mex via a bounded explode (pigeonhole: mex ≤ #used
+    * colors, so `sequence(0, m)` is neighbourhood-bounded — no HOF
+    * fold in the hot path), and the state update. State references the
+    * adjacency twice per round → localCheckpoint every round (the
+    * kCore rule).
+    */
+  def greedyColoring(edges: DataFrame, rounds: Int = 6): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    def pri(c: Column): Column =
+      conv(substring(md5(concat(lit("col:"), c.cast("string"))), 1, 8),
+        16, 10).cast("long")
+    var state = und.select(col("src").as("id")).distinct()
+      .withColumn("pri", pri(col("id")))
+      .withColumn("color", lit(null).cast("long"))
+      .localCheckpoint(true)
+    for (_ <- 0 until rounds) {
+      val nbrs = und.join(
+        state.select(col("id").as("dst"), col("pri").as("n_pri"),
+          col("color").as("n_color")), Seq("dst"))
+        .select(col("src").as("id"), col("dst").as("nbr"),
+          col("n_pri"), col("n_color"))
+        .localCheckpoint(true) // feeds the election, used set, and mex
+      val maxUnc = nbrs.filter(col("n_color").isNull)
+        .groupBy(col("id"))
+        .agg(max(struct(col("n_pri").as("p"), col("nbr").as("i"))).as("mx"))
+      val used = nbrs.filter(col("n_color").isNotNull)
+        .select(col("id"), col("n_color").as("c")).distinct()
+      val mex = used.groupBy(col("id")).agg(count(lit(1)).as("m"))
+        .select(col("id"), explode(expr("sequence(0L, m)")).as("k"))
+        .join(used.withColumnRenamed("c", "k"), Seq("id", "k"), "left_anti")
+        .groupBy(col("id")).agg(min(col("k")).as("mex"))
+      state = state
+        .join(maxUnc, Seq("id"), "left")
+        .join(mex, Seq("id"), "left")
+        .withColumn("color",
+          when(col("color").isNotNull, col("color"))
+            .when(col("mx").isNull ||
+              struct(col("pri").as("p"), col("id").as("i")) > col("mx"),
+              coalesce(col("mex"), lit(0L)))
+            .otherwise(lit(null).cast("long")))
+        .select(col("id"), col("pri"), col("color"))
+        .localCheckpoint(true)
+    }
+    state.select(col("id"), col("color"))
+  }
+
   /** All C(n,2) ordered (src < dst) pairs of a sorted array column. The
     * aggregation buffer feeding this must be capped upstream (hot-group /
     * hub pruning) so no group collects unbounded items.

@@ -486,6 +486,41 @@ class GraphSpec extends SparkSpec {
     assert(again === out)
   }
 
+  test("temporalReachability respects time: stale edges do not propagate") {
+    import spark.implicits._
+    // 1 -(t=10)-> 2 -(t=5)-> 3 : a static BFS reaches 3, but the 2->3
+    // edge fired BEFORE the walker arrived at 2 — temporally unreachable
+    // 2 -(t=15)-> 4 : reached at 15
+    val edges = Seq((1L, 2L, 10L), (2L, 3L, 5L), (2L, 4L, 15L))
+      .toDF("src", "dst", "ts")
+    val seeds = Seq(1L).toDF("id")
+    val out = Graph.temporalReachability(edges, seeds, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 10L, 4L -> 15L),
+      s"expected time-respecting arrivals, got $out")
+    assert(!out.contains(3L), "the stale 2->3 edge must not propagate")
+  }
+
+  test("greedyColoring yields a proper coloring; budget leftovers NULL") {
+    import spark.implicits._
+    // triangle (needs 3 colors) plus a pendant off node 3
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.greedyColoring(edges, rounds = 6).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out.size == 4)
+    assert(out.values.forall(_.isDefined),
+      "a 4-node graph must fully color within 6 rounds")
+    for ((a, b) <- Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+      assert(out(a).get != out(b).get, s"edge ($a,$b) shares a color")
+    assert(Set(out(1L).get, out(2L).get, out(3L).get).size == 3,
+      "the triangle takes three distinct colors")
+    // a 1-round budget cannot color a node that loses its priority
+    // election — leftovers surface as NULL, never a guessed color
+    val one = Graph.greedyColoring(edges, rounds = 1).collect()
+    assert(one.exists(_.isNullAt(1)), "round budget leaves undecided NULLs")
+  }
+
   test("kTruss keeps the K4 core, peels pendants, labels truss on converge") {
     import spark.implicits._
     // K4 on {1,2,3,4}; a triangle {4,5,6} hanging off; a pendant 6-7
