@@ -763,6 +763,21 @@ object SparkEntry {
             .otherwise(col("text")).as("text"))
       Dedup.repeatedSpans(planted).orderBy("doc_id", "span_start")
     }),
+    // --- the removal TRANSFORM over the same planted corpus: cut every
+    // cross-doc repeated span, return cleaned text + kept/dropped counts
+    "dedup_spans_remove" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val donors = docs.filter(col("doc_id") >= 200 && col("doc_id") < 230)
+        .select((col("doc_id") - 200).as("doc_id"),
+          expr("array_join(slice(split(trim(text), '\\\\s+'), 1, 20), ' ')")
+            .as("passage"))
+      val planted = docs.join(donors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("passage").isNotNull,
+            concat(col("text"), lit(" "), col("passage")))
+            .otherwise(col("text")).as("text"))
+      Dedup.removeRepeatedSpans(planted).orderBy("doc_id")
+    }),
     "dedup_paragraph" -> ((s, dir) => {
       val toks = rd(s, dir, "documents").select(col("doc_id"),
         split(trim(col("text")), "\\s+").as("t"))
@@ -5197,6 +5212,57 @@ object SparkEntry {
         |  CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS n_tokens
         |FROM sp GROUP BY doc_id, grp
         |ORDER BY doc_id, span_start""".stripMargin,
+    // removeRepeatedSpans twin: same planted corpus and gram df, then
+    // the union-tag coverage sweep (gram rows carry interval ends, a
+    // token is dropped iff the running max end reaches it) and a
+    // FILTERed ordered list rebuild (DuckDB list() keeps NULLs where
+    // Spark collect_list skips them — FILTER makes them agree)
+    "dedup_spans_remove" ->
+      """WITH don AS (
+        |  SELECT doc_id - 200 AS doc_id,
+        |    array_to_string((string_split_regex(trim(text), '\s+'))[1:20],
+        |      ' ') AS passage
+        |  FROM documents WHERE doc_id >= 200 AND doc_id < 230
+        |), t AS MATERIALIZED (
+        |  SELECT r.doc_id, string_split_regex(trim(
+        |    CASE WHEN d.passage IS NOT NULL THEN r.text || ' ' || d.passage
+        |         ELSE r.text END), '\s+') AS t
+        |  FROM documents r LEFT JOIN don d USING (doc_id)
+        |), toks AS (
+        |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos, t[u.i] AS tok
+        |  FROM t, UNNEST(range(1, len(t) + 1)) AS u(i)
+        |), g AS MATERIALIZED (
+        |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+        |    array_to_string(t[u.i:u.i + 7], ' ') AS gram
+        |  FROM t, UNNEST(range(1, len(t) - 6)) AS u(i)
+        |  WHERE len(t) >= 8
+        |), rg AS (
+        |  SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM g)
+        |  GROUP BY gram HAVING count(*) >= 2
+        |), uni AS (
+        |  SELECT doc_id, pos, 1 AS tag, CAST(NULL AS BIGINT) AS e, tok
+        |  FROM toks
+        |  UNION ALL
+        |  SELECT g.doc_id, g.pos, 0, g.pos + 7, NULL
+        |  FROM g JOIN rg USING (gram)
+        |), sw AS (
+        |  SELECT doc_id, pos, tag, tok,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY pos, tag
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cov_end
+        |  FROM uni
+        |), k AS (
+        |  SELECT doc_id, pos, tok,
+        |    (cov_end IS NULL OR cov_end < pos) AS kept
+        |  FROM sw WHERE tag = 1
+        |)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(
+        |    list(tok ORDER BY pos) FILTER (WHERE kept), ' '), '')
+        |    AS clean_text,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_dropped
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_paragraph" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents

@@ -692,6 +692,75 @@ object Stress {
         maxBasket = 100, minCo = 3L).count()
     }
 
+    // round-11 late batch: the session's new operators. The span ops
+    // are the headline: on this duplicate-heavy replica corpus the
+    // PAIR-level dedups go quadratic in the duplication factor, while
+    // span detection/removal never pairs documents — cost stays linear
+    // in corpus tokens (the ExactSubstr scale argument).
+    time("dedup_spans_xdoc")(
+      graft.ops.Dedup.repeatedSpans(docs).count())
+    time("dedup_spans_remove")(
+      graft.ops.Dedup.removeRepeatedSpans(docs).count())
+    time("graph_coloring") {
+      val li = liGraph10.filter(col("l_partkey") % okSpan % 4 === 0)
+      graft.ops.Graph.greedyColoring(
+        graft.ops.Graph.coOccurrence(li, "l_orderkey", "l_partkey"),
+        rounds = 6).count()
+    }
+    // shared parts + shifted orders: the temporal frontier fans into
+    // every replica (the diameter-style 10x frontier stress)
+    time("graph_temporal_reach") {
+      val li = li10.select(col("l_orderkey").as("o"),
+        (col("l_partkey") + 20000000L).as("p"),
+        unix_timestamp(col("l_shipdate")).as("ts"))
+      val e = li.select(col("o").as("src"), col("p").as("dst"), col("ts"))
+        .unionByName(
+          li.select(col("p").as("src"), col("o").as("dst"), col("ts")))
+      graft.ops.Graph.temporalReachability(e,
+        li10.select(col("l_orderkey").as("id")).filter(col("id") < 100),
+        maxHops = 4).count()
+    }
+    time("embed_cluster_dist")(
+      graft.ops.Similarity.kmeansClusterDistributed(emb, 8, 3).count())
+    time("sketch_quantiles") {
+      val li = li10.select(
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        expr("""concat(CAST(l_orderkey AS STRING), ':',
+          |CAST(l_linenumber AS STRING), ':',
+          |CAST(CAST(floor(l_extendedprice * 100) AS BIGINT) AS STRING))"""
+          .stripMargin).as("rid"))
+      graft.ops.Sketches.quantileSketch(li, "cents", "rid", 1024).count()
+    }
+    time("pipeline_e2e_v2") {
+      val kept = docs.join(graft.ops.TextAnalysis.qualityFilter(docs)
+        .filter(col("keep")).select("doc_id"), "doc_id")
+      val contaminated = graft.ops.TextAnalysis.contamination(
+        kept, docs.filter(col("doc_id") < 20))
+        .filter(col("contamination") >= 0.5).select("doc_id")
+      val clean = kept.join(contaminated, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      val pairs = graft.ops.Dedup.ngramJaccard(clean)
+        .select("a_id", "b_id")
+      val split = graft.ops.Sampling.leakageSafeSplit(clean, pairs)
+      val train = clean
+        .join(split.filter(col("split") === "train")
+          .select(col("doc_id"), col("cluster_id")), "doc_id")
+        .localCheckpoint(true)
+      val weights = graft.ops.Dedup.duplicationWeights(train)
+        .select(col("doc_id"), col("weight_ppm"))
+      val cur = graft.ops.Sampling.curriculumOrder(
+        train.withColumn("n_chars", length(col("text")).cast("long"))
+          .select(col("doc_id"), col("n_chars")), "n_chars", 4)
+        .select(col("doc_id"), col("stage"), col("pos"))
+      graft.sources.Shards.assign(
+        train.select(col("doc_id"), col("text"), col("cluster_id")),
+        "doc_id", 8)
+        .join(weights, "doc_id").join(cur, "doc_id")
+        .groupBy(col("stage"), col("shard"))
+        .agg(count(lit(1)).as("n_rows"))
+        .count()
+    }
+
     // bulk-load throughput through the partition-parallel sink (the
     // reference's headline metric: rows/s and MiB/s per load phase)
     val nodes = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")

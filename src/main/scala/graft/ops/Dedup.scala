@@ -93,6 +93,68 @@ object Dedup {
         (col("span_end") - col("span_start") + 1L).as("n_tokens"))
   }
 
+  /** The span-removal TRANSFORM composing [[repeatedSpans]] — C4-style:
+    * cut every cross-document repeated span out of the text and return
+    * the cleaned documents plus kept/dropped token counts. A token is
+    * dropped iff some repeated w-gram starting at or before it still
+    * covers it — decided by a running max of gram-interval ends over
+    * the per-doc position order (the interval-coverage sweep), so the
+    * whole removal is ONE doc-keyed window after the same
+    * gram-df/semi-join pipeline as the detector: no span table is
+    * joined back, no per-span fan-out. Docs shorter than w tokens pass
+    * through untouched.
+    */
+  def removeRepeatedSpans(docs: DataFrame, w: Int = 8,
+                          minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 2 && minDocs >= 2)
+    val toks = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .select(col("doc_id"),
+        posexplode(col("t")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("tok"))
+    val grams = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(t) - ${w - 1}),
+           |  i -> struct(CAST(i AS BIGINT) AS pos,
+           |    array_join(slice(t, i, $w), ' ') AS gram))""".stripMargin))
+        .as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+    val repeatedGrams = grams.select(col("gram"), col("doc_id")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select(col("gram"))
+    // union-tag sweep: gram rows (tag 0) carry their interval end; a
+    // token (tag 1) is covered iff the running max end at its position
+    // reaches it. At equal pos the gram sorts first (its interval
+    // includes its own start token).
+    val marks = grams.join(repeatedGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos"), lit(0).as("tag"),
+        (col("pos") + lit((w - 1).toLong)).as("end"),
+        lit(null).cast("string").as("tok"))
+    val sweep = Window.partitionBy(col("doc_id"))
+      .orderBy(col("pos"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .select(col("doc_id"), col("pos"), lit(1).as("tag"),
+        lit(null).cast("long").as("end"), col("tok"))
+      .unionByName(marks)
+      .withColumn("cov_end", max(col("end")).over(sweep))
+      .filter(col("tag") === 1)
+      .withColumn("kept",
+        col("cov_end").isNull || col("cov_end") < col("pos"))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN kept THEN " +
+            "struct(pos, tok) END)), s -> s.tok)"), " ").as("clean_text"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"))
+  }
+
   /** Soft-dedup training weights: every copy survives but carries
     * weight 1/n_copies, so each distinct content contributes total mass
     * 1 to the training mix — the de-duplication alternative when hard

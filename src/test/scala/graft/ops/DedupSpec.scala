@@ -454,6 +454,28 @@ class DedupSpec extends SparkSpec {
     assert(out.size == 7, s"exactly the seven planted spans: $out")
   }
 
+  test("removeRepeatedSpans cuts exactly the detected spans") {
+    import spark.implicits._
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val shared = words("s", 12)
+    val shared2 = words("z", 9)
+    val docs = Seq(
+      (1L, words("a", 3) + " " + shared + " " + words("b", 5) + " " + shared2),
+      (2L, shared + " " + words("c", 6) + " " + shared2),
+      (3L, words("r", 8) + " " + words("r", 8)),
+      (4L, words("d", 10))).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((words("a", 3) + " " + words("b", 5), 8L, 21L)),
+      s"doc 1 keeps only its private tokens: ${out(1L)}")
+    assert(out(2L) == ((words("c", 6), 6L, 21L)))
+    assert(out(3L) == ((words("r", 8) + " " + words("r", 8), 16L, 0L)),
+      "within-doc repeats are never cut")
+    assert(out(4L) == ((words("d", 10), 10L, 0L)))
+  }
+
   test("thresholdSweep counts tp/fp/fn per cut and elects the best") {
     // scored: true pair at .9, true pair at .5, false pair at .6;
     // truth additionally holds (7,8) that the scorer never surfaced
