@@ -404,6 +404,56 @@ object EventStreams {
       }
   }
 
+  final case class GroupQuantiles(group: String, q_ppm: Long, est: Long,
+                                  n_sample: Long)
+
+  /** Streaming twin of [[graft.ops.Sketches.quantileSketch]], per
+    * group: the md5 bottom-k sample is MERGEABLE (bottom-k of a union
+    * derives from bottom-k's of the parts), so the carried state is
+    * exactly the k smallest (hash, id, value) triples per group — k
+    * rows forever, never stream-length state — and each trigger's
+    * emission equals the batch sketch over everything seen
+    * (spec-asserted). The same derandomized membership (md5("qs:" ||
+    * id), the batch op's hash verbatim) makes batch and stream land on
+    * identical samples, so this is the batch/stream feature-parity
+    * story for approximate quantiles at ingest: p50/p90 dashboards
+    * that agree with the nightly batch job to the bit.
+    *
+    * Input columns: `group` (string), `v` (long-castable value), `id`
+    * (string row id — unique, or ties are full duplicates as in the
+    * batch op).
+    */
+  def streamingQuantileSketch(rows: DataFrame, k: Int = 256,
+                              qsPpm: Seq[Long] = Seq(250000L, 500000L,
+                                750000L))(
+      implicit spark: SparkSession): Dataset[GroupQuantiles] = {
+    import spark.implicits._
+    require(k >= 2 && qsPpm.nonEmpty)
+    rows.select(col("group"), col("v").cast("long").as("v"),
+        col("id").cast("string").as("id"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        (g: String, rs: Iterator[(String, Long, String)],
+         state: GroupState[Seq[(String, String, Long)]]) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def hex(s: String): String =
+            md.digest(s.getBytes("UTF-8"))
+              .map(b => f"$b%02x").mkString
+          val merged = (state.getOption.getOrElse(Seq.empty) ++
+            rs.map(r => (hex("qs:" + r._3), r._3, r._2)))
+            .sortBy(t => (t._1, t._2)).take(k)
+          state.update(merged)
+          val sample = merged.map(t => (t._3, t._2)).sorted
+          val n = sample.length.toLong
+          qsPpm.iterator.map { q =>
+            val r = math.max(1L, (q * n + 999999L) / 1000000L)
+            GroupQuantiles(g, q, sample((r - 1).toInt)._1, n)
+          }
+      }
+  }
+
   final case class EwmaState(user_id: Long, n_events: Long,
                              ewma_scaled: Long)
 

@@ -235,6 +235,37 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingQuantileSketch emission equals the batch sketch over all seen") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // (group, v, id): one group, 60 rows split across two batches
+    val all = (1 to 60).map(i => ("g", (i * 37 % 101).toLong, s"row$i"))
+    val mem = MemoryStream[(String, Long, String)]
+    val out = EventStreams.streamingQuantileSketch(
+      mem.toDF.toDF("group", "v", "id"), k = 32)
+    val q = out.toDF.writeStream.format("memory").queryName("qsk_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(all.take(25): _*)
+      q.processAllAvailable()
+      mem.addData(all.drop(25): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("qsk_test").collect()
+        .groupBy(_.getAs[Long]("q_ppm"))
+        .view.mapValues(_.maxBy(_.getAs[Long]("n_sample")))
+        .map { case (qp, r) => qp -> (r.getAs[Long]("est"),
+          r.getAs[Long]("n_sample")) }.toMap
+      val batch = graft.ops.Sketches.quantileSketch(
+        all.toDF("group", "v", "id"), "v", "id", k = 32,
+        qsPpm = Seq(250000L, 500000L, 750000L))
+        .collect().map(r => r.getAs[Long]("q_ppm") ->
+          (r.getAs[Long]("est"), r.getAs[Long]("n_sample"))).toMap
+      assert(streamed == batch,
+        "latest stream emission must equal the batch bottom-k sketch")
+    } finally q.stop()
+  }
+
   test("streamingSeqSpans evicts dead keys past the watermark (evictAfterMs)") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
