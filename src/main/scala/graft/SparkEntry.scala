@@ -1533,6 +1533,11 @@ object SparkEntry {
     "events_dispersion" -> ((s, dir) =>
       Events.dispersionCard(rdEvents(s, dir))),
     // --- Theil–Sen robust daily-trend slope per event type
+    // --- per-type OLS trend card: slope/intercept/r2 in exact ppm from
+    // five DECIMAL(38,0) moments over the zero-filled daily grid; the
+    // dashboard complement to the robust theilsen slope
+    "events_ols" -> ((s, dir) =>
+      Events.olsTrend(rdEvents(s, dir)).orderBy("event_type")),
     "events_theilsen" -> ((s, dir) =>
       Events.theilSen(rdEvents(s, dir))),
     // --- Simpson user-concentration / effective-user card per type
@@ -4798,6 +4803,61 @@ object SparkEntry {
         |    AS dispersion_ppm
         |FROM agg ORDER BY event_type""".stripMargin,
     // theil-sen twin: same grid, same IEEE-slope order + lower median
+    // olsTrend twin: HUGEINT moments over the same zero-filled grid,
+    // sign-split floor-ppm slope/intercept (positive numerators before
+    // // so truncate == floor on both engines), all-positive r2 terms
+    "events_ols" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), span AS (
+        |  SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY 1
+        |), grid AS (
+        |  SELECT g.event_type, g.day, COALESCE(d.x, 0) AS x
+        |  FROM (SELECT s.event_type, CAST(u.day AS BIGINT) AS day
+        |        FROM span s,
+        |          UNNEST(generate_series(s.d0, s.d1)) AS u(day)) g
+        |  LEFT JOIN daily d
+        |    ON d.event_type = g.event_type AND d.day = g.day
+        |), wx AS (
+        |  SELECT g.event_type, g.day - s.d0 AS xd, g.x AS y
+        |  FROM grid g JOIN span s ON g.event_type = s.event_type
+        |), m AS (
+        |  SELECT event_type,
+        |    CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(xd) AS HUGEINT) AS sx,
+        |    CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(xd * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(xd * xd) AS HUGEINT) AS sxx,
+        |    CAST(sum(y * y) AS HUGEINT) AS syy
+        |  FROM wx GROUP BY 1
+        |), dd AS (
+        |  SELECT event_type, n, sx, sy,
+        |    n * sxy - sx * sy AS dxy,
+        |    n * sxx - sx * sx AS dxx,
+        |    n * syy - sy * sy AS dyy
+        |  FROM m
+        |), sl AS (
+        |  SELECT *, CASE WHEN dxx = 0 THEN NULL
+        |    WHEN dxy >= 0 THEN CAST(1000000 * dxy // dxx AS BIGINT)
+        |    ELSE CAST(-((1000000 * -dxy) // dxx) AS BIGINT) END
+        |    AS slope_ppm
+        |  FROM dd
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days, slope_ppm,
+        |  CASE WHEN dxx = 0 THEN NULL
+        |    WHEN 1000000 * sy - CAST(slope_ppm AS HUGEINT) * sx >= 0
+        |      THEN CAST((1000000 * sy - CAST(slope_ppm AS HUGEINT) * sx)
+        |        // n AS BIGINT)
+        |    ELSE CAST(-((-(1000000 * sy - CAST(slope_ppm AS HUGEINT)
+        |      * sx)) // n) AS BIGINT)
+        |  END AS intercept_ppm,
+        |  CASE WHEN dxx = 0 OR dyy = 0 THEN NULL
+        |    ELSE CAST(1000000 * dxy * dxy // (dxx * dyy) AS BIGINT)
+        |  END AS r2_ppm
+        |FROM sl ORDER BY event_type""".stripMargin,
     "events_theilsen" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,

@@ -1523,6 +1523,63 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Per-type OLS trend card over the zero-filled daily grid — the
+    * everyday least-squares complement to [[theilSen]]'s robust slope
+    * (OLS is the one dashboards plot; Theil–Sen is the one outliers
+    * can't bend — ship both, compare). Everything closes from FIVE
+    * order-free integer moments (n, Σx, Σy, Σxy, Σxx, Σyy in
+    * DECIMAL(38,0) — the corrMatrix recipe): slope and intercept
+    * floor-quantized to ppm with EXPLICIT sign-split CASEs (negative
+    * trends are real; Spark `div` truncates where DuckDB `//` floors —
+    * the cuped θ recipe), r² in ppm from all-positive squared terms (no
+    * split needed). Degenerate spans (one day — zero x-variance)
+    * surface NULL slope/intercept/r² portably. x = day offset from the
+    * type's first day (keeps Σxx small and the intercept meaningful:
+    * the fitted level at day 0).
+    *
+    * Scale shape: the corpus collapses to the (type, day) grid in one
+    * partial-agg groupBy; the moment close is a second |types|-keyed
+    * aggregation; output = |types| rows.
+    */
+  def olsTrend(events: DataFrame): DataFrame = {
+    val g = dailyGrid(events)
+    val withX = g
+      .withColumn("d0", min(col("day")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+      .select(col("event_type"), (col("day") - col("d0")).as("xd"),
+        col("x").as("y"))
+    withX
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("xd").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("xd") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("xd") * col("xd")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+      .withColumn("dxy", expr("n * sxy - sx * sy"))
+      .withColumn("dxx", expr("n * sxx - sx * sx"))
+      .withColumn("dyy", expr("n * syy - sy * sy"))
+      .withColumn("slope_ppm", expr(
+        """CASE WHEN dxx = 0 THEN NULL
+           |     WHEN dxy >= 0 THEN CAST(1000000 * dxy div dxx AS BIGINT)
+           |     ELSE CAST(-((1000000 * -dxy) div dxx) AS BIGINT)
+           |END""".stripMargin))
+      .withColumn("icept_num", expr(
+        "CASE WHEN dxx = 0 THEN NULL " +
+          "ELSE 1000000 * sy - CAST(slope_ppm AS DECIMAL(38,0)) * sx END"))
+      .withColumn("intercept_ppm", expr(
+        """CASE WHEN dxx = 0 THEN NULL
+           |     WHEN icept_num >= 0 THEN CAST(icept_num div n AS BIGINT)
+           |     ELSE CAST(-((-icept_num) div n) AS BIGINT)
+           |END""".stripMargin))
+      .withColumn("r2_ppm", expr(
+        """CASE WHEN dxx = 0 OR dyy = 0 THEN NULL
+           |ELSE CAST(1000000 * dxy * dxy div (dxx * dyy) AS BIGINT)
+           |END""".stripMargin))
+      .select(col("event_type"), col("n").cast("long").as("n_days"),
+        col("slope_ppm"), col("intercept_ppm"), col("r2_ppm"))
+  }
+
   /** Simpson user-concentration card: per event type, the probability
     * two random events came from the SAME user (λ = Σ n_u² / N²) and
     * its inverse — the effective number of users. The bot/abuse audit

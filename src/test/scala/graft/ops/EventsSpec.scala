@@ -720,6 +720,29 @@ class EventsSpec extends SparkSpec {
     assert(r.getAs[Long]("dispersion_ppm") == 1111111L)
   }
 
+  test("olsTrend fits a perfect line exactly; degenerate span NULLs") {
+    import spark.implicits._
+    val day = 86400000000000L
+    // type "a": daily counts 3,5,7,9 over days 0..3 — y = 2x + 3 exactly
+    val a = for (d <- 0 to 3; i <- 0 until (2 * d + 3))
+      yield (d * day + i, "a")
+    // type "b": one day only — zero x-variance, everything NULL
+    val b = Seq((0L + 1L, "b"), (0L + 2L, "b"))
+    val out = Events.olsTrend((a ++ b).toDF("ts", "event_type"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ra = out("a")
+    assert(ra.getAs[Long]("n_days") == 4L)
+    assert(ra.getAs[Long]("slope_ppm") == 2000000L)
+    assert(ra.getAs[Long]("intercept_ppm") == 3000000L)
+    assert(ra.getAs[Long]("r2_ppm") == 1000000L, "perfect fit r2 = 1")
+    val rb = out("b")
+    assert(rb.getAs[Long]("n_days") == 1L)
+    assert(rb.isNullAt(rb.fieldIndex("slope_ppm")) &&
+      rb.isNullAt(rb.fieldIndex("intercept_ppm")) &&
+      rb.isNullAt(rb.fieldIndex("r2_ppm")),
+      "one-day span surfaces NULLs, never a divide-by-zero")
+  }
+
   test("theilSen picks the lower-median pairwise slope, sign-exact") {
     val day = 86400000000000L
     // up: counts 1,2,4 on days 0,1,2 -> slopes 1, 1.5, 2 -> median 3/2
