@@ -2057,6 +2057,14 @@ object SparkEntry {
     }),
     // --- mergeable-histogram quantiles over lineitem prices: the
     // bounded-memory 100 TB alternative to exact percentile
+    // --- EXACT distributed order-statistic selection over price cents:
+    // <= 4 bucket-count scans regardless of row count, no value
+    // buffering — the exact answer next to the binned and sampled
+    // approximations
+    "value_exact_select" -> ((s, dir) =>
+      Analytics.exactSelect(rd(s, dir, "lineitem")
+        .select(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+          .as("cents")), "cents").orderBy("q_ppm")),
     "value_quantile_bins" -> ((s, dir) =>
       Analytics.binQuantiles(rd(s, dir, "lineitem"), "l_extendedprice",
         bins = 64, qs = Seq(0.5, 0.9, 0.99)).orderBy("q")),
@@ -8685,6 +8693,23 @@ object SparkEntry {
          |FROM cell, mm ORDER BY m_edges""".stripMargin
     },
     // binQuantiles twin: identical IEEE divide chains; quantile literals
+    // exactSelect twin: the k-th smallest (selection — a value FROM the
+    // data, no interpolation) via one ranked pass; same ceil(q·n) rank
+    "value_exact_select" ->
+      """WITH v AS (
+        |  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem
+        |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        |q AS (SELECT CAST(unnest([500000, 900000]) AS BIGINT) AS q_ppm),
+        |r AS (
+        |  SELECT q.q_ppm,
+        |    greatest(1, (q.q_ppm * nn.n + 999999) // 1000000) AS k, nn.n
+        |  FROM q CROSS JOIN nn
+        |), o AS (
+        |  SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v
+        |)
+        |SELECT r.q_ppm, CAST(o.v AS BIGINT) AS value, r.n
+        |FROM r JOIN o ON o.rn = r.k ORDER BY q_ppm""".stripMargin,
     // forced to DOUBLE (bare 0.9 parses as DECIMAL in DuckDB, and
     // decimal ceil(q*n) would diverge from the double path)
     "value_quantile_bins" ->

@@ -123,6 +123,23 @@ class AnalyticsSpec extends SparkSpec {
       ("ALL", "ALL", 3L, 7.0, 3L)))
   }
 
+  test("exactSelect finds exact order statistics, wide ranges refine") {
+    import spark.implicits._
+    val vals = Seq(5L, 1L, 9L, 3L, 7L).toDF("v")
+    val out = Analytics
+      .exactSelect(vals, "v", Seq(100000L, 500000L, 900000L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(100000L) == 1L, "k = 1")
+    assert(out(500000L) == 5L, "k = ceil(2.5) = 3")
+    assert(out(900000L) == 9L, "k = ceil(4.5) = 5")
+    // a ~1e12 value range forces multiple bucket-refinement levels; the
+    // selected value must still be EXACTLY the k-th smallest
+    val wide = (1 to 1000).map(i => i.toLong * 1000000007L).toDF("v")
+    val w = Analytics.exactSelect(wide, "v", Seq(500000L)).collect()(0)
+    assert(w.getLong(1) == 500L * 1000000007L)
+    assert(w.getLong(2) == 1000L)
+  }
+
   test("binQuantiles lands within one bin width of the exact quantile") {
     val df = (1 to 1000).map(_.toDouble).toDF("v")
     val out = Analytics.binQuantiles(df, "v", bins = 100,
