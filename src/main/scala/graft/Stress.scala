@@ -731,6 +731,11 @@ object Stress {
           .stripMargin).as("rid"))
       graft.ops.Sketches.quantileSketch(li, "cents", "rid", 1024).count()
     }
+    // exact selection: <= 4 bucket-count scans whatever the row count —
+    // the per-level driver pull is 2^16 cells, never values
+    time("value_exact_select")(graft.ops.Analytics.exactSelect(
+      li10.select(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+        .as("cents")), "cents").count())
     time("pipeline_e2e_v2") {
       val kept = docs.join(graft.ops.TextAnalysis.qualityFilter(docs)
         .filter(col("keep")).select("doc_id"), "doc_id")
