@@ -502,6 +502,26 @@ object SparkEntry {
         .select(col("l_orderkey").as("id")).filter(col("id") < 100)
       Graph.temporalReachability(e, seeds, maxHops = 4).orderBy("id")
     }),
+    // --- Borůvka minimum spanning forest over the co-occurrence
+    // SIMILARITY graph (w = 1e6 − pair count, so the min-w forest is
+    // the single-linkage dendrogram's merge order); every chosen edge
+    // is certified in the unique MST at any round budget
+    "graph_mst" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem").filter(col("l_partkey") % 4 === 0)
+      val b = li.select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
+        .distinct()
+        .withColumn("gsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("g")))
+        .filter(col("gsz") <= 100).drop("gsz")
+      val ew = b.as("l")
+        .join(b.as("r"), col("l.g") === col("r.g") &&
+          col("l.item") < col("r.item"))
+        .groupBy(col("l.item").as("src"), col("r.item").as("dst"))
+        .agg((lit(1000000L) - count(lit(1))).as("w"))
+        .filter(col("w") <= 999998L) // pair count >= 2
+      Graph.boruvkaForest(ew, rounds = 3, mergeCap = 6)
+        .orderBy("round", "lo", "hi")
+    }),
     // --- Jones–Plassmann greedy coloring over the same sampled part
     // co-occurrence graph: md5-priority local maxima take the mex of
     // their colored neighbourhood each round; budget leftovers NULL
@@ -2490,6 +2510,69 @@ object SparkEntry {
        |    CASE WHEN sel = 1 THEN sym || nxt ELSE sym END AS sym
        |  FROM r$i WHERE coalesce(prev_sel, 0) = 0
        |)""".stripMargin
+
+  /** Generated DuckDB twin of [[graft.ops.Graph.boruvkaForest]] over the
+    * weighted co-occurrence graph: per unrolled round, the component
+    * election is a row_number over the (w, lo, hi) total order under a
+    * lateral UNNEST([la, lb]) fan (the twin of Spark's explode +
+    * min(struct)), and the merge is `mergeCap` fixed min-label steps —
+    * Spark stops at convergence, the extra SQL steps are no-ops (the
+    * fixed-round recipe), and Spark's require(converged) bounds the cap.
+    */
+  private def boruvkaOracleSql(rounds: Int, mergeCap: Int): String = {
+    def mergeStep(r: Int, t: Int): String =
+      s"""m${r}_${t + 1} AS MATERIALIZED (
+         |  SELECT m.c, least(min(m.root), min(n.root)) AS root
+         |  FROM m${r}_$t m
+         |  LEFT JOIN mg$r g ON g.a = m.c
+         |  LEFT JOIN m${r}_$t n ON n.c = g.b
+         |  GROUP BY m.c
+         |)""".stripMargin
+    def round(r: Int): String =
+      s"""st$r AS (
+         |  SELECT e.lo, e.hi, e.w, a.lab AS la, b.lab AS lb
+         |  FROM ew e JOIN l$r a ON e.lo = a.id JOIN l$r b ON e.hi = b.id
+         |  WHERE a.lab <> b.lab
+         |), ch$r AS MATERIALIZED (
+         |  SELECT DISTINCT w, lo, hi, la, lb FROM (
+         |    SELECT u.c, e.w, e.lo, e.hi, e.la, e.lb,
+         |      row_number() OVER (PARTITION BY u.c
+         |        ORDER BY e.w, e.lo, e.hi) AS rn
+         |    FROM st$r e, UNNEST([e.la, e.lb]) AS u(c)) z
+         |  WHERE rn = 1
+         |), mg$r AS (
+         |  SELECT la AS a, lb AS b FROM ch$r
+         |  UNION ALL SELECT lb, la FROM ch$r
+         |), m${r}_0 AS (
+         |  SELECT DISTINCT lab AS c, lab AS root FROM l$r
+         |), ${(0 until mergeCap).map(mergeStep(r, _)).mkString(",\n")},
+         |l${r + 1} AS MATERIALIZED (
+         |  SELECT l.id, m.root AS lab
+         |  FROM l$r l JOIN m${r}_$mergeCap m ON l.lab = m.c
+         |)""".stripMargin
+    val finalSel = (0 until rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, lo, hi, w FROM ch$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+       |  WHERE l_partkey % 4 = 0
+       |), sized AS (
+       |  SELECT g, item FROM (
+       |    SELECT g, item, count(*) OVER (PARTITION BY g) AS gsz
+       |    FROM pairs) z
+       |  WHERE gsz <= 100
+       |), ew AS MATERIALIZED (
+       |  SELECT l.item AS lo, r.item AS hi,
+       |    CAST(1000000 - count(*) AS BIGINT) AS w
+       |  FROM sized l JOIN sized r ON l.g = r.g AND l.item < r.item
+       |  GROUP BY 1, 2 HAVING count(*) >= 2
+       |), l0 AS MATERIALIZED (
+       |  SELECT id, id AS lab FROM (
+       |    SELECT lo AS id FROM ew UNION SELECT hi FROM ew)
+       |), ${(0 until rounds).map(round).mkString(",\n")}
+       |$finalSel
+       |ORDER BY round, lo, hi""".stripMargin
+  }
 
   /** Generated DuckDB twin of [[graft.ops.Graph.greedyColoring]] over
     * the sampled part co-occurrence graph: per unrolled round, the
@@ -5548,6 +5631,7 @@ object SparkEntry {
     // exact assignment is the block id g = (vec_id·16 + 15) div n
     "embed_cluster_dist" -> kmeansDistOracleSql(k = 8, iters = 3, dim = 64),
     "graph_coloring" -> coloringOracleSql(rounds = 6),
+    "graph_mst" -> boruvkaOracleSql(rounds = 3, mergeCap = 6),
     // temporalReachability twin: unrolled hops, each a usable-edge min
     // relax (e.ts >= p.ea residual on the src equi-join) + a FULL OUTER
     // least() merge — least skips NULLs identically in both engines

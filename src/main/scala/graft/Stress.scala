@@ -731,6 +731,22 @@ object Stress {
           .stripMargin).as("rid"))
       graft.ops.Sketches.quantileSketch(li, "cents", "rid", 1024).count()
     }
+    // Borůvka forest over the 10x disjoint weighted co-occurrence graph
+    time("graph_mst") {
+      val li = liGraph10.filter(col("l_partkey") % okSpan % 4 === 0)
+      val b = li.select(col("l_orderkey").as("g"),
+        col("l_partkey").as("item")).distinct()
+        .withColumn("gsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("g")))
+        .filter(col("gsz") <= 100).drop("gsz")
+      val ew = b.as("l")
+        .join(b.as("r"), col("l.g") === col("r.g") &&
+          col("l.item") < col("r.item"))
+        .groupBy(col("l.item").as("src"), col("r.item").as("dst"))
+        .agg((lit(1000000L) - count(lit(1))).as("w"))
+        .filter(col("w") <= 999998L)
+      graft.ops.Graph.boruvkaForest(ew, rounds = 3, mergeCap = 8).count()
+    }
     // exact selection: <= 4 bucket-count scans whatever the row count —
     // the per-level driver pull is 2^16 cells, never values
     time("value_exact_select")(graft.ops.Analytics.exactSelect(

@@ -350,6 +350,90 @@ object Graph {
       .distinct()
   }
 
+  /** Borůvka minimum spanning forest — the distributed MST classic and
+    * the backbone of single-linkage clustering (feed similarity-graph
+    * edges with w = −strength and the forest IS the dendrogram's merge
+    * order). Per round, every component elects its minimum outgoing
+    * edge under the TOTAL order (w, lo, hi) — ties broken, so the MST
+    * is unique and the safety lemma certifies every chosen edge is in
+    * it AT ANY ROUND BUDGET (monotone-sound, the kTruss convention);
+    * `rounds` halves the component count each time, so R rounds finish
+    * any graph with ≤ 2^R initial components per tree. Within a round
+    * the chosen-edge merge groups collapse by min-label propagation
+    * run to CONVERGENCE (capped + require()d — a partially merged
+    * label would let the next round elect an intra-component edge and
+    * break the certificate).
+    *
+    * Scale shape: per round, two label-keyed joins stamp edge
+    * endpoints, one partial-agg min(struct) elects per component, and
+    * the merge propagation runs over the COMPONENT graph (≤ one node
+    * per component — shrinks 2× per round); labels localCheckpoint
+    * every round (multi-consumer, the kCore rule). Returns the chosen
+    * forest edges (round, lo, hi, w).
+    */
+  def boruvkaForest(edges: DataFrame, rounds: Int = 3,
+                    mergeCap: Int = 6): DataFrame = {
+    val spark = edges.sparkSession
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"), col("w").cast("long"))
+      .filter(col("lo") =!= col("hi"))
+      .groupBy(col("lo"), col("hi")).agg(min(col("w")).as("w"))
+      .localCheckpoint(true)
+    var labels = canon.select(col("lo").as("id"))
+      .union(canon.select(col("hi").as("id"))).distinct()
+      .withColumn("lab", col("id"))
+      .localCheckpoint(true)
+    var forest: DataFrame = null
+    for (r <- 0 until rounds) {
+      val stamped = canon
+        .join(labels.select(col("id").as("lo"), col("lab").as("la")), Seq("lo"))
+        .join(labels.select(col("id").as("hi"), col("lab").as("lb")), Seq("hi"))
+        .filter(col("la") =!= col("lb"))
+      val chosen = stamped
+        .select(explode(array(col("la"), col("lb"))).as("c"),
+          struct(col("w"), col("lo"), col("hi"),
+            col("la"), col("lb")).as("e"))
+        .groupBy(col("c")).agg(min(col("e")).as("e"))
+        .select(col("e.w").as("w"), col("e.lo").as("lo"),
+          col("e.hi").as("hi"), col("e.la").as("la"), col("e.lb").as("lb"))
+        .distinct()
+        .localCheckpoint(true) // feeds the forest AND the merge graph
+      val newEdges = chosen.select(lit(r.toLong).as("round"),
+        col("lo"), col("hi"), col("w"))
+      forest = if (forest == null) newEdges else forest.unionByName(newEdges)
+      // merge group labels: min-label propagation over the chosen-edge
+      // component graph, run to convergence (component-count-sized)
+      val mg = chosen.select(col("la").as("a"), col("lb").as("b"))
+        .union(chosen.select(col("lb").as("a"), col("la").as("b")))
+      var m = labels.select(col("lab").as("c")).distinct()
+        .withColumn("root", col("c"))
+      var converged = false
+      var step = 0
+      while (!converged && step < mergeCap) {
+        val next = m
+          .join(mg.withColumnRenamed("a", "c"), Seq("c"), "left")
+          .join(m.select(col("c").as("b"), col("root").as("nroot")),
+            Seq("b"), "left")
+          .groupBy(col("c"))
+          .agg(least(min(col("root")), min(col("nroot"))).as("root"))
+          .localCheckpoint(true)
+        converged = next.alias("n")
+          .join(m.alias("p"), col("n.c") === col("p.c"))
+          .filter(col("n.root") =!= col("p.root")).isEmpty
+        m = next
+        step += 1
+      }
+      require(converged,
+        s"boruvkaForest: merge propagation exceeded $mergeCap steps")
+      labels = labels
+        .join(m.select(col("c").as("lab"), col("root")), Seq("lab"))
+        .select(col("id"), col("root").as("lab"))
+        .localCheckpoint(true)
+    }
+    forest.select(col("round"), col("lo"), col("hi"), col("w"))
+  }
+
   /** Time-respecting earliest-arrival reachability over a TEMPORAL edge
     * list (src, dst, ts): a path is valid only if its edge timestamps
     * never decrease past each node's arrival time — the

@@ -486,6 +486,30 @@ class GraphSpec extends SparkSpec {
     assert(again === out)
   }
 
+  test("boruvkaForest finds the unique MST of a weighted square") {
+    import spark.implicits._
+    // square 1-2-3-4 with diagonal 1-3: the unique MST is
+    // {(1,2,w1), (3,4,w2), (1,3,w3)} — the w4 and w5 edges close cycles
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 5L), (3L, 4L, 2L),
+      (4L, 1L, 4L), (1L, 3L, 3L)).toDF("src", "dst", "w")
+    val rows = Graph.boruvkaForest(edges, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(t => (t._2, t._3, t._4)).toSet ==
+      Set((1L, 2L, 1L), (3L, 4L, 2L), (1L, 3L, 3L)),
+      s"unique MST expected, got ${rows.mkString(", ")}")
+    // round structure: both component minima in round 0, bridge round 1
+    assert(rows.toSet == Set((0L, 1L, 2L, 1L), (0L, 3L, 4L, 2L),
+      (1L, 1L, 3L, 3L)))
+    // a long chain exercises the within-round merge-to-convergence:
+    // every node's min edge points right/left, one merge group of 6
+    val chain = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L),
+      (4L, 5L, 4L), (5L, 6L, 5L)).toDF("src", "dst", "w")
+    val ch = Graph.boruvkaForest(chain, rounds = 3).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(ch == Set((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L),
+      (4L, 5L, 4L), (5L, 6L, 5L)), "a tree's MST is itself")
+  }
+
   test("temporalReachability respects time: stale edges do not propagate") {
     import spark.implicits._
     // 1 -(t=10)-> 2 -(t=5)-> 3 : a static BFS reaches 3, but the 2->3
