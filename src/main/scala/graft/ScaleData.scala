@@ -42,8 +42,23 @@ object ScaleData {
     def rep(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(i => f(df, i)).reduce(_ unionByName _)
 
+    // Replica shifts must exceed max(id), not row count: sparse or
+    // offset id domains would otherwise collide across replicas and
+    // silently corrupt the scaled corpus (ADVICE r11). Fixed spans are
+    // checked against the actual key maxima; per-table spans below are
+    // derived from max(id) + 1.
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c)).cast("long")).head.getLong(0) // bounded: one row
+    def span(df: DataFrame, c: String): Long = maxOf(df, c) + 1L
+
     val okSpan = 100000000L
     val ckSpan = 10000000L
+    require(maxOf(rd("lineitem"), "l_orderkey") < okSpan &&
+      maxOf(rd("orders"), "o_orderkey") < okSpan,
+      "orderkey domain exceeds okSpan — replicas would collide")
+    require(maxOf(rd("orders"), "o_custkey") < ckSpan &&
+      maxOf(rd("customer"), "c_custkey") < ckSpan,
+      "custkey domain exceeds ckSpan — replicas would collide")
     wr(rep(rd("lineitem")) { (d, i) =>
       d.withColumn("l_orderkey", col("l_orderkey") + lit(i * okSpan))
     }, "lineitem")
@@ -58,7 +73,7 @@ object ScaleData {
       wr(rd(t), t)
 
     val docs0 = rd("documents")
-    val nd = docs0.count()
+    val nd = span(docs0, "doc_id")
     wr(rep(docs0) { (d, i) =>
       val base = d.withColumn("doc_id", col("doc_id") + lit(i * nd))
       if (i == 0) base
@@ -67,16 +82,17 @@ object ScaleData {
     }, "documents")
 
     val emb0 = rd("embeddings")
-    val ne = emb0.count()
+    val ne = span(emb0, "vec_id")
     wr(rep(emb0) { (d, i) =>
       d.withColumn("vec_id", col("vec_id") + lit(i * ne))
     }, "embeddings")
 
     val ev0 = rd("events")
-    val nEv = ev0.count()
+    val nEv = span(ev0, "event_id")
+    val uSpan = span(ev0, "user_id").max(1000000L)
     wr(rep(ev0) { (d, i) =>
       d.withColumn("event_id", col("event_id") + lit(i * nEv))
-        .withColumn("user_id", col("user_id") + lit(i * 1000000L))
+        .withColumn("user_id", col("user_id") + lit(i * uSpan))
     }, "events")
 
     println(s"[scale] wrote ${factor}x corpus to $out")

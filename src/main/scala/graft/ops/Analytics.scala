@@ -341,7 +341,10 @@ object Analytics {
     */
   def exactSelect(df: DataFrame, valueCol: String,
                   qsPpm: Seq[Long] = Seq(500000L, 900000L)): DataFrame = {
-    require(qsPpm.nonEmpty)
+    // q > 1e6 would push the rank past the in-range count and walk lo
+    // below the valid range (ADVICE r11) — fail loudly at entry instead
+    require(qsPpm.nonEmpty && qsPpm.forall(q => q >= 1L && q <= 1000000L),
+      "qsPpm must be in [1, 1000000]")
     val spark = df.sparkSession
     import spark.implicits._
     val v = df.select(col(valueCol).cast("long").as("v"))
@@ -353,10 +356,20 @@ object Analytics {
       var k = math.max(1L, (q * n + 999999L) / 1000000L) // rank among [lo,hi]
       var lo = bounds.getAs[Long]("lo")
       var hi = bounds.getAs[Long]("hi")
+      // full-range domains (lo < 0 <= hi spanning > 2^63) overflow both
+      // the span arithmetic AND the per-row (v - lo) bucket expression:
+      // split once at 0 (one bounded count) so every later level has
+      // hi - lo < 2^63 and v - lo fits a BIGINT (ADVICE r11)
+      if (lo < 0L && hi >= 0L &&
+          (BigInt(hi) - BigInt(lo) + 1) > BigInt(Long.MaxValue)) {
+        val nNeg = v.filter(col("v") < 0L).count() // bounded: one scalar
+        if (k <= nNeg) hi = -1L else { k -= nNeg; lo = 0L }
+      }
       while (lo < hi) {
-        val span = hi - lo + 1
-        val width = math.max(1L, span / 65536L +
-          (if (span % 65536L == 0) 0L else 1L))
+        // BigInt span: hi - lo + 1 == 2^63 (e.g. [-2^62, 2^62-1] after
+        // the split above) still wraps a Long — width math stays exact
+        val span = BigInt(hi) - BigInt(lo) + 1
+        val width = ((span + 65535) / 65536).max(1).toLong
         // bounded: <= 65536 bucket-count rows per level
         val hist = v.filter(col("v") >= lo && col("v") <= hi)
           .groupBy(expr(s"(v - ${lo}L) div ${width}L").as("b"))
@@ -368,9 +381,13 @@ object Analytics {
         hist.iterator.takeWhile(_ => bucket < 0).foreach { case (b, c) =>
           if (acc + c >= k) bucket = b else acc += c
         }
+        assert(bucket >= 0L,
+          s"exactSelect: rank $k not found in [$lo, $hi] — in-range count " +
+            s"shrank below the target rank")
         k -= acc
         val newLo = lo + bucket * width
-        hi = math.min(hi, newLo + width - 1)
+        hi = math.min(hi, if (newLo > hi - (width - 1)) hi
+                          else newLo + width - 1)
         lo = newLo
       }
       (q, lo)

@@ -41,15 +41,17 @@ object Eval {
         sum(col("p_s")).as("n_pos"),
         sum(col("n_s")).as("n_neg"),
         count(lit(1)).as("n_scores"),
-        // cast the per-score product BEFORE the sum: the accumulator
-        // approaches 2·P·N, which wraps BIGINT silently once P·N nears
-        // 9.2e18 (~3e9 pos × 3e9 neg); DECIMAL(38,0) matches the
-        // oracle's HUGEINT math at any corpus size (ADVICE r10)
-        sum((col("p_s") * (lit(2L) * col("neg_below") + col("n_s")))
-          .cast("decimal(38,0)")).as("num2"))
+        // promote to DECIMAL(38,0) BEFORE the multiply, not just before
+        // the sum: the per-score product p_s·(2·neg_below+n_s) itself
+        // nears 2·P·N and would overflow BIGINT (ANSI throws) once
+        // P·N ~ 9.2e18 (~3e9 pos × 3e9 neg); decimal operands keep the
+        // whole chain in the oracle's HUGEINT range (ADVICE r10/r11)
+        sum(col("p_s").cast("decimal(38,0)") *
+          (lit(2L) * col("neg_below").cast("decimal(38,0)") + col("n_s")))
+          .as("num2"))
       .withColumn("auc_ppm",
         expr("""CAST(CAST(num2 AS DECIMAL(38,0)) * 1000000
-                div (2 * n_pos * n_neg) AS BIGINT)"""))
+                div (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg) AS BIGINT)"""))
       .drop("num2")
   }
 
@@ -105,12 +107,16 @@ object Eval {
       .agg(
         sum(col("p_s")).as("n_pos"),
         sum(col("n_s")).as("n_neg"),
-        sum(col("p_s") * (lit(2L) * col("neg_below") + col("n_s")))
+        // same decimal-before-multiply promotion as [[aucExact]]: a
+        // single hot group can hold the whole corpus, so the per-group
+        // product has the identical ~2·P·N overflow ceiling
+        sum(col("p_s").cast("decimal(38,0)") *
+          (lit(2L) * col("neg_below").cast("decimal(38,0)") + col("n_s")))
           .as("num2"))
       .withColumn("auc_ppm", expr(
         """CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
            ELSE CAST(CAST(num2 AS DECIMAL(38,0)) * 1000000
-             div (2 * n_pos * n_neg) AS BIGINT) END"""))
+             div (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg) AS BIGINT) END"""))
       .select(col("g").as(groupCol), col("n_pos"), col("n_neg"),
         col("auc_ppm"))
       .orderBy(groupCol)

@@ -373,6 +373,10 @@ object Graph {
     */
   def boruvkaForest(edges: DataFrame, rounds: Int = 3,
                     mergeCap: Int = 6): DataFrame = {
+    // rounds = 0 never initializes the forest frame (NPE at the final
+    // select); guard like the sibling iterative ops (ADVICE r11)
+    require(rounds >= 1 && mergeCap >= 1,
+      "boruvkaForest needs rounds >= 1 and mergeCap >= 1")
     val spark = edges.sparkSession
     val canon = edges
       .select(least(col("src"), col("dst")).as("lo"),
