@@ -11,6 +11,40 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // VM speed canary (VERDICT r11 item 6): two rounds were spent
+    // adjudicating cross-round bench drift by hand before PLANS r11
+    // recorded host-speed readings manually. Stamp them into every
+    // bench artifact instead so cross-round ratios normalize without
+    // re-running the protocol: (a) single-thread SHA-256 throughput
+    // over a fixed in-heap buffer (CPU+JIT), (b) a fixed integer
+    // xorshift loop (pure ALU). Both deterministic, ~1.5s total,
+    // measured BEFORE the Spark warmup so GC/codegen noise can't bleed
+    // in. Interpretation: readings are proportional to host speed —
+    // divide per-query seconds by (canary_ref/canary_now) when
+    // comparing rounds taken on different VM weather.
+    val canary: (Double, Double) = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val buf = new Array[Byte](1 << 20)
+      java.util.Arrays.fill(buf, 0x5a.toByte)
+      md.digest(buf) // JIT warm
+      val n = 512
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < n) { md.update(buf); i += 1 }
+      md.digest()
+      val shaMbps = n.toDouble / ((System.nanoTime() - t0) / 1e9)
+      var x = 88172645463325252L
+      val t1 = System.nanoTime()
+      var j = 0L
+      while (j < 200000000L) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; j += 1
+      }
+      val loopSec = (System.nanoTime() - t1) / 1e9
+      if (x == 0) System.err.println("[bench] canary xorshift degenerate")
+      (shaMbps, loopSec)
+    }
+    System.err.println(
+      f"[bench] canary: sha256 ${canary._1}%.0f MB/s, loop ${canary._2}%.3f s")
     // JIT/codegen warmup so the first timed query isn't charged for
     // session spin-up (scan + shuffle + window machinery)
     try {
@@ -56,8 +90,10 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = byName.collect { case (k, v) if v < 0 => graft.util.Json.quote(k) }
     val total = byName.map(_._2).filter(_ >= 0).sum
+    val canaryJson =
+      f"""{"sha256_mbps":${canary._1}%.0f,"loop_sec":${canary._2}%.3f}"""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"reps":$reps,"canary":$canaryJson,"sf":"$sfDir"}"""
     // The driver's stdout tail capture truncated r4's 92-query line —
     // ALWAYS also persist the full JSON to a committed file so every
     // round's timings stay machine-readable regardless of log capture.
@@ -85,7 +121,7 @@ object Bench {
       if (used + entry.length + 1 <= budget) { kept += entry; used += entry.length + 1 }
     }
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${byName.length},"n_failed":${failed.length},"reps":$reps,"sf":"$sfDir","full":"bench_latest.json","queries":${kept.mkString("{", ",", "}")}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${byName.length},"n_failed":${failed.length},"reps":$reps,"canary":$canaryJson,"sf":"$sfDir","full":"bench_latest.json","queries":${kept.mkString("{", ",", "}")}}"""
     println(compact)
     spark.stop()
   }
