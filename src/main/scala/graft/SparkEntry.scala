@@ -83,6 +83,20 @@ object SparkEntry {
     (corpus, q)
   }
 
+  /** Recursive delete for query-staged temp layouts (index builds that
+    * must reset between bench repetitions). Local-FS only by design —
+    * staged dirs live under /tmp.
+    */
+  private def rmTree(path: String): Unit = {
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- CDC between snapshot generations (snapshot watcher's data twin)
     "cdc_diff" -> ((s, dir) => {
@@ -913,6 +927,27 @@ object SparkEntry {
     "ann_ivfpq" -> ((s, dir) => {
       val (corpus, q) = plantedAnnInputs(s, dir)
       Similarity.ivfPqTopK(corpus, q, 10)
+        .filter(col("rank") === 1).select("query_id", "neighbor_id")
+        .orderBy("query_id")
+    }),
+    // Incremental IVF maintenance e2e: build the index from the BASE
+    // corpus only, ivfAppend the planted copies as a later batch (no
+    // corpus re-shuffle — only the batch is assigned), query the
+    // appended layout. Centroids come from the base fit, but the planted
+    // argument is unchanged: copy ≡ query vector, so the copy's n=1
+    // assignment list IS the query's top probe list under the same
+    // deterministic tie-break, the copy is a candidate, and exact
+    // re-ranking puts it at rank 1. The index dir is reset per run so a
+    // bench x3 re-run can't double-append.
+    "ann_ivf_incremental" -> ((s, dir) => {
+      val (corpus, q) = plantedAnnInputs(s, dir)
+      val base = corpus.filter(col("vec_id") < 100000L)
+      val batch = corpus.filter(col("vec_id") >= 100000L)
+      val path = "/tmp/graft_ann_ivf_inc"
+      rmTree(path)
+      Similarity.writeIvfIndex(base, path)
+      Similarity.ivfAppend(s, batch, path)
+      Similarity.ivfTopKIndexed(s, q, path, 10)
         .filter(col("rank") === 1).select("query_id", "neighbor_id")
         .orderBy("query_id")
     }),
@@ -5625,6 +5660,11 @@ object SparkEntry {
       """SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
     "ann_ivfpq" ->
+      """SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+    // append-path IVF: same planted-copy provable top-1 (centroids fit
+    // on the base corpus; the copy still shares the query's probe list)
+    "ann_ivf_incremental" ->
       """SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
     // planted-block k-means (see registration comment): the provably

@@ -220,6 +220,35 @@ object Similarity {
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Incremental IVF index maintenance — the embedding-side twin of the
+    * bucketed checksum index behind `dedup_incremental`: assign ONLY the
+    * new batch to the EXISTING coarse centroids (read back from the
+    * index layout, broadcast) and append its rows into the
+    * `partitionBy(list_id)` directory tree. The standing corpus is never
+    * re-read, never re-shuffled — daily ingest touches |batch| rows
+    * regardless of index size, which is the difference between O(batch)
+    * and O(100 TB) per refresh.
+    *
+    * Equivalence contract (SimilaritySpec): because assignment is a pure
+    * deterministic function of (vector, centroids), append-then-query
+    * equals rebuild-from-scratch EXACTLY whenever the rebuild would fit
+    * the same centroids (its training sample — the `trainSample` lowest
+    * vec_ids — already lives in the base corpus). Centroid drift under
+    * heavy append is real at scale; the honest operating rule is the
+    * same as any IVF deployment's: append between scheduled re-trains,
+    * and the re-train is [[writeIvfIndex]] itself.
+    */
+  def ivfAppend(spark: org.apache.spark.sql.SparkSession,
+                batch: DataFrame, path: String): Unit = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    nearestLists(centroids)(
+      batch.select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", normCol(col("embedding"))),
+      "vec_id", "embedding", 1)
+      .write.mode("append").partitionBy("list_id")
+      .parquet(s"$path/index")
+  }
+
   /** IVF top-k against a [[writeIvfIndex]] layout. Identical math to
     * [[ivfTopK]] (same deterministic centroids → same probe sets → same
     * candidates); the probe-list set is a bounded `<= |Q|·nProbe` driver

@@ -101,6 +101,48 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfAppend equals a from-scratch rebuild and keeps partition pruning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(10)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val vecs = for { c <- centers.indices; m <- 0 until 30 } yield
+      ((c * 30 + m).toLong,
+        centers(c).map(v => v + 0.05f * rnd.nextGaussian().toFloat).toSeq)
+    val corpus = vecs.toDF("vec_id", "embedding")
+    // base holds the trainSample lowest vec_ids, so the from-scratch
+    // rebuild fits the SAME centroids the append path reuses — the
+    // equality below is exact, not approximate
+    val base = corpus.filter($"vec_id" < 240)
+    val batch = corpus.filter($"vec_id" >= 240)
+    val qs = corpus.filter($"vec_id" % 30 === 0).limit(4)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val dirA = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_ivf_full").toString
+    try {
+      Similarity.writeIvfIndex(base, dirA, nLists = 8, trainSample = 200)
+      Similarity.ivfAppend(spark, batch, dirA)
+      Similarity.writeIvfIndex(corpus, dirB, nLists = 8, trainSample = 200)
+      val inc = Similarity.ivfTopKIndexed(spark, qs, dirA, k = 10, nProbe = 2)
+      val a = inc.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val b = Similarity.ivfTopKIndexed(spark, qs, dirB, k = 10, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(a == b, s"append-then-query $a vs rebuilt $b")
+      // appended files land inside the list_id directory tree, so the
+      // probe scan still prunes to the probed lists only
+      val plan = inc.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
+        s"expected list_id partition pruning after append:\n$plan")
+      // the appended rows are really there (index grew by |batch|)
+      val nIdx = spark.read.parquet(s"$dirA/index").count()
+      assert(nIdx == corpus.count(), s"index rows $nIdx != corpus size")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dirA)).deleteRecursively()
+      new Directory(new java.io.File(dirB)).deleteRecursively()
+    }
+  }
+
   test("marginAlign ranks planted translation pairs above hub similarity") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
