@@ -1983,6 +1983,21 @@ object SparkEntry {
         graft.sources.Shards.manifest(dl, "doc_id", "text", 16))
         .orderBy("shard")
     }),
+    // --- range-partitioned (total-order) shard plan: boundaries from
+    // the md5-derandomized bottom-k sketch at i/16 quantiles, assignment
+    // by boundary count, manifest with per-shard (lo, hi] + observed
+    // zone map. Same cents+rid integerization as sketch_quantiles (the
+    // value folds into the row id so sample ties are full duplicates).
+    "shard_range" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem").select(
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        expr("""concat(CAST(l_orderkey AS STRING), ':',
+          |CAST(l_linenumber AS STRING), ':',
+          |CAST(CAST(floor(l_extendedprice * 100) AS BIGINT) AS STRING))"""
+          .stripMargin).as("rid"))
+      val bs = graft.sources.Shards.rangeBoundaries(li, "cents", "rid", 16)
+      graft.sources.Shards.rangeManifest(li, "cents", bs).orderBy("shard")
+    }),
     // --- the WHOLE training-data pipeline as one verified composition:
     // quality gate -> exact dedup -> benchmark decontamination -> train
     // split -> shard manifest. Every stage is an already-oracled operator;
@@ -8492,6 +8507,43 @@ object SparkEntry {
         |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
         |    AS BIGINT) AS checksum
         |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
+    // range-shard twin: rebuild the md5 bottom-k sample, cut it at the
+    // i/16 quantile ranks, assign by boundary count, join the bounds
+    "shard_range" ->
+      """WITH li AS (
+        |  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+        |    CAST(l_orderkey AS VARCHAR) || ':' ||
+        |      CAST(l_linenumber AS VARCHAR) || ':' ||
+        |      CAST(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |        AS VARCHAR) AS id
+        |  FROM lineitem
+        |), s AS (
+        |  SELECT v, id FROM li
+        |  ORDER BY md5('qs:' || id) ASC, id ASC
+        |  LIMIT 1024
+        |), r AS MATERIALIZED (
+        |  SELECT v, row_number() OVER (ORDER BY v, id) AS r FROM s
+        |), ns AS (SELECT CAST(max(r) AS BIGINT) AS n_sample FROM r),
+        |bq AS (SELECT CAST(unnest(range(1, 16)) AS BIGINT) AS i),
+        |b AS MATERIALIZED (
+        |  SELECT bq.i, CAST(r.v AS BIGINT) AS est
+        |  FROM bq CROSS JOIN ns
+        |  JOIN r ON r.r = greatest(1,
+        |    (((bq.i * 1000000) // 16) * ns.n_sample + 999999) // 1000000)
+        |), a AS (
+        |  SELECT li.v,
+        |    (SELECT count(*) FROM b WHERE b.est <= li.v) AS shard
+        |  FROM li
+        |), g AS (
+        |  SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
+        |  FROM a GROUP BY shard
+        |)
+        |SELECT g.shard,
+        |  (SELECT est FROM b WHERE b.i = g.shard) AS lo,
+        |  (SELECT est FROM b WHERE b.i = g.shard + 1) AS hi,
+        |  g.n_rows, g.min_v, g.max_v
+        |FROM g ORDER BY shard""".stripMargin,
     "privacy_kanon" ->
       """WITH c AS (
         |  SELECT CAST(c_nationkey AS BIGINT) AS nation,

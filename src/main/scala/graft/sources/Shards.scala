@@ -105,6 +105,88 @@ object Shards {
         col("a.checksum").as("actual_checksum"))
   }
 
+  /** Balanced range-shard boundaries from the mergeable bottom-k
+    * quantile sketch ([[graft.ops.Sketches.quantileSketch]]): the
+    * (i/nShards)-quantile estimates, i = 1..nShards-1, as a sorted
+    * array. Hash sharding ([[assign]]/[[rendezvousShard]]) is stable but
+    * ORDER-FREE — a reader wanting ordered scans, merge joins, or range
+    * pruning on the shard key gets nothing from it; range sharding
+    * gives each shard a contiguous (lo, hi] value slice with
+    * sketch-balanced row counts (~1/√k rank error on each cut).
+    *
+    * Deterministic end to end: the sketch sample is md5-derandomized,
+    * so the SAME corpus always yields the SAME boundaries in any engine
+    * — the `shard_range` oracle rebuilds them in DuckDB and matches
+    * bit-for-bit. One scan for the sketch; the boundary pull is
+    * nShards-1 rows.
+    */
+  def rangeBoundaries(df: DataFrame, valueCol: String, idCol: String,
+                      nShards: Int, k: Int = 1024): Seq[Long] = {
+    require(nShards >= 2, "range sharding needs at least two shards")
+    val qs = (1 until nShards).map(i => i.toLong * 1000000L / nShards)
+    graft.ops.Sketches.quantileSketch(df, valueCol, idCol, k, qs)
+      .select(col("q_ppm"), col("est"))
+      .collect() // bounded: nShards-1 boundary rows
+      .sortBy(_.getLong(0)).map(_.getLong(1)).toSeq
+  }
+
+  /** Range-shard id for `valueCol` given sorted boundaries: the count
+    * of boundaries <= v — shard s holds values in [b(s-1), b(s)) with
+    * b(-1) = -inf, b(nShards-1) = +inf. A folded chain of codegen'd
+    * comparisons (no HOF lambda, no join) over nShards-1 literals;
+    * duplicate boundaries (a skewed value domain) simply leave the
+    * shards between equal cuts empty, honestly.
+    */
+  def rangeShardCol(valueCol: String, boundaries: Seq[Long]): Column =
+    boundaries.map(b =>
+        when(col(valueCol) >= lit(b), 1L).otherwise(0L))
+      .reduceOption(_ + _).getOrElse(lit(0L))
+
+  /** Per-shard range manifest: (shard, lo, hi, n_rows, min_v, max_v)
+    * where (lo, hi) are the assigned boundary slice (NULL-open at the
+    * ends) and min_v/max_v the values actually observed — the reader's
+    * zone map. One partial-aggregated groupBy on <= nShards keys plus a
+    * broadcast join against the nShards-row bounds table.
+    */
+  def rangeManifest(df: DataFrame, valueCol: String,
+                    boundaries: Seq[Long]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = boundaries.length + 1
+    val bounds = (0 until n).map { s =>
+      (s.toLong,
+        if (s == 0) None else Some(boundaries(s - 1)),
+        if (s == n - 1) None else Some(boundaries(s)))
+    }.toDF("shard", "lo", "hi")
+    df.select(col(valueCol).cast("long").as("v"))
+      .withColumn("shard", rangeShardCol("v", boundaries))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      .join(broadcast(bounds), Seq("shard"), "left")
+      .select(col("shard"), col("lo"), col("hi"),
+        col("n_rows"), col("min_v"), col("max_v"))
+  }
+
+  /** Write the range-sharded export (`path/shard=K/...`) plus its range
+    * manifest at `path/_manifest`, returning the manifest. Same
+    * one-shuffle layout contract as [[write]], but shard directories
+    * are value-contiguous: downstream ordered scans and merge joins
+    * read shards in key order, and a range predicate prunes whole
+    * directories via the manifest's (lo, hi].
+    */
+  def writeRange(df: DataFrame, path: String, valueCol: String,
+                 idCol: String, nShards: Int, k: Int = 1024): DataFrame = {
+    val boundaries = rangeBoundaries(df, valueCol, idCol, nShards, k)
+    df.withColumn("shard",
+        rangeShardCol(valueCol, boundaries).cast("long"))
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    val m = rangeManifest(df, valueCol, boundaries)
+    m.coalesce(1).write.mode("overwrite").parquet(s"$path/_manifest")
+    m
+  }
+
   /** Rendezvous (highest-random-weight) shard id in [0, n): the shard
     * whose salted hash of the key is smallest. Unlike `md5 mod n`
     * ([[assign]]), growing n → n+1 moves ONLY the keys the new shard

@@ -29,6 +29,43 @@ class ShardsSpec extends SparkSpec {
     assert(Shards.verify(spark, path, "doc_id", "text", 4).isEmpty)
   }
 
+  test("range shards are value-contiguous, balanced, and round-trip") {
+    val vals = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"))
+    val nShards = 8
+    val bs = Shards.rangeBoundaries(vals, "n_chars", "doc_id", nShards)
+    assert(bs.length == nShards - 1 && bs == bs.sorted,
+      s"boundaries must be sorted: $bs")
+    val path = Files.createTempDirectory("graft_range").toString
+    val m = Shards.writeRange(vals, path, "n_chars", "doc_id", nShards)
+    val rows = m.collect().sortBy(_.getLong(0))
+    // total preserved; every shard's observed zone sits inside its slice
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == vals.count())
+    rows.foreach { r =>
+      val (lo, hi) = (Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))
+      val (mn, mx) = (r.getAs[Long]("min_v"), r.getAs[Long]("max_v"))
+      lo.foreach(b => assert(mn >= b, s"shard ${r.getLong(0)}: min $mn < lo $b"))
+      hi.foreach(b => assert(mx < b, s"shard ${r.getLong(0)}: max $mx >= hi $b"))
+    }
+    // contiguity: zone maps of consecutive shards never overlap
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("max_v") <= b.getAs[Long]("min_v"),
+          "consecutive shard zones overlap")
+      case _ => ()
+    }
+    // sketch balance: no shard holds more than 3x its fair share
+    val fair = vals.count().toDouble / nShards
+    assert(rows.map(_.getAs[Long]("n_rows")).max <= 3 * fair,
+      "a range shard is pathologically unbalanced")
+    // round-trip: the written layout reproduces the manifest counts
+    val back = spark.read.parquet(path)
+      .groupBy("shard").count().collect()
+      .map(r => r.getAs[Number]("shard").longValue() -> r.getLong(1)).toMap
+    assert(back == rows.map(r => r.getLong(0) -> r.getAs[Long]("n_rows")).toMap)
+  }
+
   test("verify flags a damaged shard") {
     val path = Files.createTempDirectory("graft_shards_dmg").toString
     Shards.write(docs, path, "doc_id", "text", 4)
