@@ -1486,6 +1486,16 @@ object SparkEntry {
         (col("o_custkey") + 10000000L).as("dst"))
       Graph.diameterSweep(e, 4)
     }),
+    // --- HyperANF ball-growth card over the mirrored order-part graph:
+    // per-node HLL reachability estimates at hops 0..2, every register
+    // and scaled sum an exact md5-derived BIGINT (the sketch_hll_users
+    // arithmetic propagated along edges)
+    "graph_anf" -> ((s, dir) => {
+      val ed = rd(s, dir, "lineitem").select(col("l_orderkey").as("src"),
+        (col("l_partkey") + 20000000L).as("dst")).distinct()
+      val e = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.hyperAnf(e, maxHops = 2, b = 6).orderBy("hop", "id")
+    }),
     // --- TPC-H Q7 shape: bilateral nation volume, pre-filtered dims
     "q7_volume" -> ((s, dir) =>
       Analytics.q7(rd(s, dir, "lineitem"), rd(s, dir, "orders"),
@@ -2569,6 +2579,60 @@ object SparkEntry {
     * Spark stops at convergence, the extra SQL steps are no-ops (the
     * fixed-round recipe), and Spark's require(converged) bounds the cap.
     */
+  /** HyperANF twin: rebuild the md5 HLL registers per node, propagate
+    * them along the mirrored order-part edges for `maxHops` max-merge
+    * rounds (MATERIALIZED — each round references the previous twice),
+    * and emit the per-(hop, node) engine-exact register aggregates plus
+    * the one-division estimate (Scala-folded alpha literal).
+    */
+  private def anfOracleSql(maxHops: Int, b: Int): String = {
+    val payloadMod = 1L << (60 - b)
+    val maxRho = 60 - b + 1
+    val m = 1 << b
+    val alphaScaled =
+      0.7213 / (1.0 + 1.079 / m) * m * m * math.pow(2.0, maxRho)
+    val rounds = (1 to maxHops).map { r =>
+      s"""s$r AS MATERIALIZED (
+         |  SELECT id, bucket, CAST(max(rho_max) AS BIGINT) AS rho_max FROM (
+         |    SELECT e.src AS id, s.bucket, s.rho_max
+         |    FROM e JOIN s${r - 1} s ON e.dst = s.id
+         |    UNION ALL
+         |    SELECT id, bucket, rho_max FROM s${r - 1}
+         |  ) GROUP BY id, bucket
+         |)""".stripMargin
+    }.mkString(",\n")
+    val cards = (0 to maxHops).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS hop, id,
+         |  CAST(count(*) AS BIGINT) AS n_registers,
+         |  CAST(sum(1::BIGINT << CAST($maxRho - rho_max AS INTEGER)) +
+         |    ($m - count(*)) * (1::BIGINT << $maxRho) AS BIGINT)
+         |    AS sum_scaled,
+         |  CAST('$alphaScaled' AS DOUBLE) /
+         |    CAST(sum(1::BIGINT << CAST($maxRho - rho_max AS INTEGER)) +
+         |      ($m - count(*)) * (1::BIGINT << $maxRho) AS DOUBLE) AS est
+         |FROM s$r GROUP BY id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT l_orderkey AS src, l_partkey + 20000000 AS dst FROM lineitem
+       |  UNION
+       |  SELECT l_partkey + 20000000, l_orderkey FROM lineitem
+       |), n AS (SELECT DISTINCT src AS id FROM e),
+       |h AS (
+       |  SELECT id, CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15)
+       |    AS BIGINT) AS h
+       |  FROM n
+       |), s0 AS MATERIALIZED (
+       |  SELECT id, h // $payloadMod AS bucket,
+       |    CAST($maxRho - length(ltrim(bin(h % $payloadMod), '0'))
+       |      AS BIGINT) AS rho_max
+       |  FROM h
+       |),
+       |$rounds
+       |SELECT * FROM (
+       |$cards
+       |) ORDER BY hop, id""".stripMargin
+  }
+
   private def boruvkaOracleSql(rounds: Int, mergeCap: Int): String = {
     def mergeStep(r: Int, t: Int): String =
       s"""m${r}_${t + 1} AS MATERIALIZED (
@@ -5686,6 +5750,7 @@ object SparkEntry {
     // exact assignment is the block id g = (vec_id·16 + 15) div n
     "embed_cluster_dist" -> kmeansDistOracleSql(k = 8, iters = 3, dim = 64),
     "graph_coloring" -> coloringOracleSql(rounds = 6),
+    "graph_anf" -> anfOracleSql(maxHops = 2, b = 6),
     "graph_mst" -> boruvkaOracleSql(rounds = 3, mergeCap = 6),
     // temporalReachability twin: unrolled hops, each a usable-edge min
     // relax (e.ts >= p.ea residual on the src equi-join) + a FULL OUTER

@@ -901,6 +901,77 @@ object Graph {
       .crossJoin(broadcast(d2.agg(count(lit(1)).as("n_reached_u"))))
   }
 
+  /** HyperANF neighborhood function (Boldi–Rosa–Vigna): per-node
+    * HyperLogLog estimates of |ball(v, h)| — how many distinct nodes are
+    * reachable within h hops — for every hop 0..maxHops. This is the
+    * effective-diameter / ball-growth answer [[diameterSweep]] cannot
+    * give at 100×: the sweep's exact BFS passes ARE its cost ceiling,
+    * while ANF carries a FIXED 2^b-register sketch per node, so each hop
+    * is one |E|-keyed register propagation regardless of how large the
+    * balls themselves grow (|ball| can reach |V|; the state never does).
+    *
+    * Register recipe is [[Sketches.hllRegisters]]'s verbatim (md5-prefix
+    * 60-bit hash, top-b bucket bits, portable `ltrim(bin(..))` rho), so
+    * the sketch of ball(v, h) is IDENTICAL to the sketch HLL would build
+    * over the exact ball membership — GraphSpec asserts that equality
+    * against hand BFS balls — and every register, count, and scaled sum
+    * is an exact BIGINT the DuckDB oracle rebuilds (the engine-exact
+    * hllEstimate arithmetic: per-register 2^(maxRho-rho) contributions,
+    * empty registers 2^maxRho, ONE double division by a Scala-folded
+    * literal for `est`).
+    *
+    * Per hop: state(v) := max-merge of state(v) and state(u) over edges
+    * v→u (pass a mirrored edge list for undirected semantics). The round
+    * references its state twice (join + union), so every round
+    * `localCheckpoint`s — the kCore lesson. Output: one row per
+    * (hop, id) with `(n_registers, sum_scaled, est)`.
+    */
+  def hyperAnf(edges: DataFrame, maxHops: Int = 3, b: Int = 6): DataFrame = {
+    require(maxHops >= 1 && b >= 4 && b <= 16,
+      "hyperAnf needs maxHops >= 1 and register bits in [4, 16]")
+    val payloadBits = 60 - b
+    val payloadMod = 1L << payloadBits
+    val maxRho = payloadBits + 1
+    val m = 1 << b
+    val alphaScaled = // alpha_m * m^2 * 2^maxRho, folded once in Scala
+      0.7213 / (1.0 + 1.079 / m) * m * m * math.pow(2.0, maxRho)
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    var state = nodes
+      .withColumn("h", conv(substring(md5(col("id").cast("string")), 1, 15),
+        16, 10).cast("long"))
+      .select(col("id"), expr(s"h div ${payloadMod}L").as("bucket"),
+        (lit(maxRho) -
+          length(ltrim(bin(expr(s"h % ${payloadMod}L")), "0")))
+          .cast("long").as("rho_max"))
+      .localCheckpoint(true)
+    def card(st: DataFrame, hop: Int): DataFrame =
+      st.groupBy("id")
+        .agg(count(lit(1)).as("n_registers"),
+          sum(expr(s"shiftleft(cast(1 as bigint), $maxRho - rho_max)"))
+            .as("present_scaled"))
+        .select(lit(hop.toLong).as("hop"), col("id"), col("n_registers"),
+          (col("present_scaled") +
+            (lit(m.toLong) - col("n_registers")) * lit(1L << maxRho))
+            .as("sum_scaled"))
+        .withColumn("est", lit(alphaScaled) / col("sum_scaled").cast("double"))
+    val perHop = scala.collection.mutable.ArrayBuffer(card(state, 0))
+    var i = 1
+    while (i <= maxHops) {
+      state = e.join(state, e("dst") === state("id"))
+        .select(e("src").as("id"), state("bucket"), state("rho_max"))
+        .union(state.select(col("id"), col("bucket"), col("rho_max")))
+        .groupBy(col("id"), col("bucket"))
+        .agg(max(col("rho_max")).as("rho_max"))
+        .localCheckpoint(true)
+      perHop += card(state, i)
+      i += 1
+    }
+    perHop.reduce(_ unionByName _)
+  }
+
   /** k-core decomposition: iteratively peel nodes of degree < k from an
     * UNDIRECTED view of the edge list until only the k-core remains —
     * the density filter behind "drop weakly-connected entities before

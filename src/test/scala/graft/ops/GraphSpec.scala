@@ -687,6 +687,46 @@ class GraphSpec extends SparkSpec {
     assert(u.forall(r => r.isNullAt(4)))
   }
 
+  test("hyperAnf registers equal HLL over exact BFS balls") {
+    import org.apache.spark.sql.functions.{count, expr, lit, sum}
+    // path 1-2-3 feeding a triangle 4-5-6 through edge 3-4
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 4L))
+    val e = und.toDF("src", "dst")
+    val mirrored = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val anf = Graph.hyperAnf(mirrored, maxHops = 2, b = 6)
+    // exact balls by hand BFS
+    val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def ball(v: Long, h: Int): Set[Long] =
+      if (h == 0) Set(v)
+      else {
+        val prev = ball(v, h - 1)
+        prev ++ prev.flatMap(adj.getOrElse(_, Set.empty[Long]))
+      }
+    val pairs = for {
+      v <- 1L to 6L; h <- 0 to 2; u <- ball(v, h.toInt)
+    } yield (v, h.toLong, u)
+    // the exact-membership HLL: same md5 recipe over the true ball sets
+    val exact = Sketches
+      .hllRegisters(pairs.toDF("id", "hop", "member"), "member",
+        Seq("id", "hop"), b = 6)
+      .groupBy("id", "hop")
+      .agg(count(lit(1)).as("n_registers"),
+        sum(expr("shiftleft(cast(1 as bigint), 55 - rho_max)")).as("present"))
+      .withColumn("sum_scaled", col("present") +
+        (lit(64L) - col("n_registers")) * lit(1L << 55))
+      .select("hop", "id", "n_registers", "sum_scaled")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val got = anf.select("hop", "id", "n_registers", "sum_scaled")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == exact,
+      s"ANF propagation diverged from exact-ball HLL:\n got=$got\n exp=$exact")
+  }
+
   test("diameterSweep finds the exact diameter of a path with a branch") {
     // path 1-2-3-4-5 plus branch 3-6: seed = min id = 1; farthest from
     // 1 is 5 at dist 4 (6 ties at... 6 is dist 3) → u = 5; from 5 the
