@@ -1486,6 +1486,14 @@ object SparkEntry {
         (col("o_custkey") + 10000000L).as("dst"))
       Graph.diameterSweep(e, 4)
     }),
+    // --- Louvain one-level: deterministic exact-gain local moves over
+    // the order-part graph (labelprop spreads labels; this one OPTIMIZES
+    // modularity — the integer 2m²-scaled gain with JP-scheduled moves)
+    "graph_louvain" -> ((s, dir) => {
+      val ed = rd(s, dir, "lineitem").select(col("l_orderkey").as("src"),
+        (col("l_partkey") + 20000000L).as("dst"))
+      Graph.louvainOneLevel(ed, rounds = 10).orderBy("id")
+    }),
     // --- HyperANF ball-growth card over the mirrored order-part graph:
     // per-node HLL reachability estimates at hops 0..2, every register
     // and scaled sum an exact md5-derived BIGINT (the sketch_hll_users
@@ -2579,6 +2587,73 @@ object SparkEntry {
     * Spark stops at convergence, the extra SQL steps are no-ops (the
     * fixed-round recipe), and Spark's require(converged) bounds the cap.
     */
+  /** Louvain one-level twin: replay the deterministic local-move rounds
+    * — per round, the community-mass agg, neighbor-community counts,
+    * the integer gain score s(c) = 2m·e(i,c) − k·(tot_c − [c=own]·k)
+    * with the stay-then-min-c tie-break, and the strict-local-max md5
+    * priority schedule (hex strings compare identically) — as unrolled
+    * MATERIALIZED CTEs over the mirrored order-part graph.
+    */
+  private def louvainOracleSql(rounds: Int): String = {
+    val roundSql = (0 until rounds).map { r =>
+      s"""t$r AS (
+         |  SELECT l.lbl AS c, CAST(sum(d.k) AS BIGINT) AS tot
+         |  FROM l$r l JOIN deg d ON l.id = d.id GROUP BY l.lbl
+         |), ei$r AS (
+         |  SELECT e.src AS id, l.lbl AS c, CAST(count(*) AS BIGINT) AS eic
+         |  FROM e JOIN l$r l ON e.dst = l.id GROUP BY e.src, l.lbl
+         |), cd$r AS (
+         |  SELECT id, c, CAST(max(eic) AS BIGINT) AS eic FROM (
+         |    SELECT id, c, eic FROM ei$r
+         |    UNION ALL SELECT id, lbl AS c, 0 AS eic FROM l$r
+         |  ) GROUP BY id, c
+         |), sc$r AS (
+         |  SELECT cd.id, cd.c,
+         |    mm.m2 * cd.eic - d.k *
+         |      (t.tot - CASE WHEN cd.c = o.lbl THEN d.k ELSE 0 END) AS s,
+         |    CASE WHEN cd.c = o.lbl THEN 0 ELSE 1 END AS stay
+         |  FROM cd$r cd
+         |  JOIN l$r o ON cd.id = o.id
+         |  JOIN deg d ON cd.id = d.id
+         |  JOIN t$r t ON cd.c = t.c
+         |  CROSS JOIN mm
+         |), b$r AS (
+         |  SELECT id, c FROM (
+         |    SELECT id, c, row_number() OVER (PARTITION BY id
+         |      ORDER BY s DESC, stay, c) AS rn
+         |    FROM sc$r) z
+         |  WHERE rn = 1
+         |), p$r AS (
+         |  SELECT id, md5('lv$r:' || CAST(id AS VARCHAR)) AS p FROM deg
+         |), nm$r AS (
+         |  SELECT e.src AS id, max(pd.p) AS pmax
+         |  FROM e JOIN p$r pd ON e.dst = pd.id GROUP BY e.src
+         |), mv$r AS (
+         |  SELECT p.id FROM p$r p JOIN nm$r n ON p.id = n.id
+         |  WHERE p.p > n.pmax
+         |), l${r + 1} AS MATERIALIZED (
+         |  SELECT l.id,
+         |    CASE WHEN m.id IS NOT NULL THEN coalesce(b.c, l.lbl)
+         |         ELSE l.lbl END AS lbl
+         |  FROM l$r l
+         |  LEFT JOIN b$r b ON l.id = b.id
+         |  LEFT JOIN mv$r m ON l.id = m.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH und AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS lo, l_partkey + 20000000 AS hi
+       |  FROM lineitem
+       |), e AS MATERIALIZED (
+       |  SELECT lo AS src, hi AS dst FROM und
+       |  UNION ALL SELECT hi, lo FROM und
+       |), deg AS MATERIALIZED (
+       |  SELECT src AS id, CAST(count(*) AS BIGINT) AS k FROM e GROUP BY src
+       |), mm AS (SELECT 2 * CAST(count(*) AS BIGINT) AS m2 FROM und),
+       |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM deg),
+       |$roundSql
+       |SELECT id, lbl FROM l$rounds ORDER BY id""".stripMargin
+  }
+
   /** HyperANF twin: rebuild the md5 HLL registers per node, propagate
     * them along the mirrored order-part edges for `maxHops` max-merge
     * rounds (MATERIALIZED — each round references the previous twice),
@@ -5751,6 +5826,7 @@ object SparkEntry {
     "embed_cluster_dist" -> kmeansDistOracleSql(k = 8, iters = 3, dim = 64),
     "graph_coloring" -> coloringOracleSql(rounds = 6),
     "graph_anf" -> anfOracleSql(maxHops = 2, b = 6),
+    "graph_louvain" -> louvainOracleSql(rounds = 10),
     "graph_mst" -> boruvkaOracleSql(rounds = 3, mergeCap = 6),
     // temporalReachability twin: unrolled hops, each a usable-edge min
     // relax (e.ts >= p.ea residual on the src equi-join) + a FULL OUTER

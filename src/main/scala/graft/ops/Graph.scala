@@ -1052,6 +1052,92 @@ object Graph {
     labels
   }
 
+  /** One level of Louvain modularity optimization — deterministic local
+    * moves, fixed `rounds`. [[labelPropagation]] spreads majority labels
+    * with no objective; this op MOVES nodes to the neighbor community
+    * with the best exact modularity gain, the optimization step behind
+    * every production community pipeline. Gain is kept in integers by
+    * scaling ΔQ by 2m²: for node i with degree k_i, community candidate
+    * c scores `s(c) = 2m·e(i,c) − k_i·(tot_c − [c = own]·k_i)` and
+    * ΔQ(own→c)·2m² = s(c) − s(own), so the argmax over s (tie-break:
+    * prefer staying, then min community id) IS the best strict-gain
+    * move with zero float arithmetic.
+    *
+    * Scheduling: per round, only nodes whose per-round salted md5
+    * priority is a STRICT LOCAL MAXIMUM among their neighbors may move
+    * (the Luby/Jones–Plassmann convention) — adjacent nodes never move
+    * simultaneously, so the label-swap oscillation of synchronous
+    * sweeps cannot occur, every round is deterministic, and the DuckDB
+    * oracle replays it exactly (md5 hex strings compare identically in
+    * both engines). Fixed rounds keep the unrolled-CTE oracle finite;
+    * leftovers simply keep their label — the honest Luby/JP contract.
+    *
+    * Scale shape per round: one community-mass agg, one |E|-keyed
+    * neighbor-community count, one priority join, one per-node window
+    * partitioned on id (never global). Labels are referenced several
+    * times per round → localCheckpoint every round (the kCore lesson).
+    * BIGINT-safe while 2m·k_i < 2^63.
+    */
+  def louvainOneLevel(edges: DataFrame, rounds: Int = 10): DataFrame = {
+    require(rounds >= 1)
+    val und = edges.select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+      .localCheckpoint(true)
+    val e = und.select(col("lo").as("src"), col("hi").as("dst"))
+      .union(und.select(col("hi").as("src"), col("lo").as("dst")))
+      .localCheckpoint(true)
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("k"))
+      .localCheckpoint(true)
+    val m2 = 2L * und.count() // bounded: one scalar, 2m
+    var labels = deg.select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val tot = labels.join(deg, "id")
+        .groupBy(col("lbl").as("c")).agg(sum(col("k")).as("tot"))
+      val eic = e
+        .join(labels.select(col("id").as("dst"), col("lbl").as("c")), "dst")
+        .groupBy(col("src").as("id"), col("c"))
+        .agg(count(lit(1)).as("eic"))
+      val own = labels.select(col("id"), col("lbl").as("own"))
+      // the own community is always a candidate, even with no
+      // intra-community edge (e(i, own−i) = 0)
+      val cands = eic
+        .unionByName(own.select(col("id"), col("own").as("c"))
+          .withColumn("eic", lit(0L)))
+        .groupBy(col("id"), col("c")).agg(max(col("eic")).as("eic"))
+        .join(own, "id").join(deg, "id").join(tot, "c")
+        .withColumn("s", lit(m2) * col("eic") - col("k") *
+          (col("tot") - when(col("c") === col("own"), col("k"))
+            .otherwise(lit(0L))))
+        .withColumn("stay",
+          when(col("c") === col("own"), lit(0)).otherwise(lit(1)))
+      val best = cands.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+            .orderBy(desc("s"), asc("stay"), asc("c"))))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("c").as("new_lbl"))
+      // strict local-max salted priority: adjacent nodes never co-move
+      val pri = deg.select(col("id"),
+        md5(concat(lit(s"lv$r:"), col("id").cast("string"))).as("p"))
+      val nbrMax = e
+        .join(pri.select(col("id").as("dst"), col("p").as("pd")), "dst")
+        .groupBy(col("src").as("id")).agg(max(col("pd")).as("pmax"))
+      val movers = pri.join(nbrMax, "id")
+        .filter(col("p") > col("pmax"))
+        .select(col("id")).withColumn("mv", lit(true))
+      labels = labels.join(best, Seq("id"), "left")
+        .join(movers, Seq("id"), "left")
+        .select(col("id"),
+          when(col("mv").isNotNull && col("new_lbl").isNotNull,
+            col("new_lbl")).otherwise(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    labels
+  }
+
   /** Modularity Q of a community labeling over an undirected graph —
     * the number that turns "label propagation ran" into "the communities
     * are real": Q = Σ_c [e_c/m − (d_c/2m)²], with e_c the intra-community

@@ -687,6 +687,32 @@ class GraphSpec extends SparkSpec {
     assert(u.forall(r => r.isNullAt(4)))
   }
 
+  test("louvainOneLevel separates bridged triangles and beats labelprop Q") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val lv = Graph.louvainOneLevel(edges, rounds = 10)
+    val labs = lv.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labs(1L) == labs(2L) && labs(2L) == labs(3L),
+      s"left triangle split: $labs")
+    assert(labs(4L) == labs(5L) && labs(5L) == labs(6L),
+      s"right triangle split: $labs")
+    assert(labs(1L) != labs(4L), s"triangles merged across the bridge: $labs")
+    // the optimization step must not score below the no-objective spread
+    val lp = Graph.labelPropagation(edges, rounds = 3)
+    val qLv = Graph.modularity(edges, lv)
+      .collect()(0).getAs[Double]("modularity")
+    val qLp = Graph.modularity(edges, lp)
+      .collect()(0).getAs[Double]("modularity")
+    assert(qLv >= qLp, s"louvain Q $qLv below labelprop Q $qLp")
+    // two-triangle optimum for this fixture: Q = 2*(3/7 - (7/14)^2) ... the
+    // exact integer pair is asserted via the known best labeling instead
+    val bestQ = Graph.modularity(edges,
+      Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+        .toDF("id", "lbl")).collect()(0).getAs[Double]("modularity")
+    assert(math.abs(qLv - bestQ) < 1e-12,
+      s"louvain Q $qLv != two-triangle optimum $bestQ")
+  }
+
   test("hyperAnf registers equal HLL over exact BFS balls") {
     import org.apache.spark.sql.functions.{count, expr, lit, sum}
     // path 1-2-3 feeding a triangle 4-5-6 through edge 3-4
