@@ -606,6 +606,21 @@ object Stress {
       graft.ops.Graph.modularity(
         e, graft.ops.Graph.labelPropagation(e, rounds = 3)).count()
     }
+    // round-12 batch (VERDICT r11 item #1): the 100x iterative-graph
+    // readings need the DISJOINT-replica structure-constant curve next
+    // to the shared-dim densified curve the /tmp/sf10 suite bench gives
+    // (facts over fixed dims multiply part degrees by the factor; these
+    // keep per-replica structure identical so cost tracks |E|).
+    time("graph_pagerank_disjoint") {
+      val e = liGraph10.select(col("l_orderkey").as("src"),
+        (col("l_partkey") + 20000000L).as("dst"))
+      graft.ops.Graph.pageRank(e, 5).count()
+    }
+    time("graph_kcore_disjoint") {
+      val e = liGraph10.select(col("l_orderkey").as("src"),
+        (col("l_partkey") + 20000000L).as("dst"))
+      graft.ops.Graph.kCore(e, 4, 5).count()
+    }
     time("graph_ktruss") {
       val li = liGraph10.filter(col("l_partkey") % okSpan % 4 === 0)
       graft.ops.Graph.kTruss(

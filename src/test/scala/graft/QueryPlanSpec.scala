@@ -24,6 +24,9 @@ class QueryPlanSpec extends SparkSpec {
   private val broadcastNlAllowed =
     Set("ann_brute", "ann_ivf", "ann_pq", "label_knn", "embed_cluster",
       "ann_ivfpq", // same nLists-row centroid broadcast as ann_ivf
+      "ann_ivf_incremental", // same bounded centroid broadcast, read
+                             // back from the index layout for the
+                             // append-path probe assignment
       "corpus_zipf", // one-row slope aggregate onto ~log2(vocab) rows
       "graph_degree_dist", // one-row slope onto ~log2(maxdeg) bucket rows
       "embed_isotropy", // three one-row aggregates crossed (1x1x1)
