@@ -1492,7 +1492,7 @@ object SparkEntry {
     "graph_louvain" -> ((s, dir) => {
       val ed = rd(s, dir, "lineitem").select(col("l_orderkey").as("src"),
         (col("l_partkey") + 20000000L).as("dst"))
-      Graph.louvainOneLevel(ed, rounds = 10).orderBy("id")
+      Graph.louvainOneLevel(ed, rounds = 6).orderBy("id")
     }),
     // --- HyperANF ball-growth card over the mirrored order-part graph:
     // per-node HLL reachability estimates at hops 0..2, every register
@@ -5826,7 +5826,7 @@ object SparkEntry {
     "embed_cluster_dist" -> kmeansDistOracleSql(k = 8, iters = 3, dim = 64),
     "graph_coloring" -> coloringOracleSql(rounds = 6),
     "graph_anf" -> anfOracleSql(maxHops = 2, b = 6),
-    "graph_louvain" -> louvainOracleSql(rounds = 10),
+    "graph_louvain" -> louvainOracleSql(rounds = 6),
     "graph_mst" -> boruvkaOracleSql(rounds = 3, mergeCap = 6),
     // temporalReachability twin: unrolled hops, each a usable-edge min
     // relax (e.ts >= p.ea residual on the src equi-join) + a FULL OUTER
