@@ -911,14 +911,23 @@ object Graph {
     * balls themselves grow (|ball| can reach |V|; the state never does).
     *
     * Register recipe is [[Sketches.hllRegisters]]'s verbatim (md5-prefix
-    * 60-bit hash, top-b bucket bits, portable `ltrim(bin(..))` rho), so
-    * the sketch of ball(v, h) is IDENTICAL to the sketch HLL would build
-    * over the exact ball membership — GraphSpec asserts that equality
-    * against hand BFS balls — and every register, count, and scaled sum
-    * is an exact BIGINT the DuckDB oracle rebuilds (the engine-exact
-    * hllEstimate arithmetic: per-register 2^(maxRho-rho) contributions,
-    * empty registers 2^maxRho, ONE double division by a Scala-folded
-    * literal for `est`).
+    * 60-bit hash, top-b bucket bits, portable rho), so the sketch of
+    * ball(v, h) is IDENTICAL to the sketch HLL would build over the
+    * exact ball membership — GraphSpec asserts that equality against
+    * hand BFS balls — and every register, count, and scaled sum is an
+    * exact BIGINT the DuckDB oracle rebuilds in ROW form (the
+    * engine-exact hllEstimate arithmetic: per-register 2^(maxRho-rho)
+    * contributions, empty registers 2^maxRho, ONE double division by a
+    * Scala-folded literal for `est`).
+    *
+    * State is PACKED: one m-byte BINARY register vector per node
+    * (`graft_hllinit` / `graft_hllmax` / `graft_hllcard` natives), so a
+    * hop's propagation join moves |E| fixed-width ROWS — the true
+    * HyperANF cost model — where the row-per-register frame would move
+    * |E|·m rows (measured prohibitive on dense graphs: a 100×-densified
+    * part node carries all 64 registers on every one of its edges). The
+    * bytewise-max aggregate is partial-aggregable, so each exchange
+    * carries one row per (node, partition).
     *
     * Per hop: state(v) := max-merge of state(v) and state(u) over edges
     * v→u (pass a mirrored edge list for undirected semantics). The round
@@ -942,29 +951,29 @@ object Graph {
     var state = nodes
       .withColumn("h", conv(substring(md5(col("id").cast("string")), 1, 15),
         16, 10).cast("long"))
-      .select(col("id"), expr(s"h div ${payloadMod}L").as("bucket"),
-        (lit(maxRho) -
-          length(ltrim(bin(expr(s"h % ${payloadMod}L")), "0")))
-          .cast("long").as("rho_max"))
+      // NOTE: Spark SQL's two-arg ltrim is the legacy (trimStr, str)
+      // order — the REVERSE of the DataFrame API — so the portable
+      // zero-strip must be written TRIM(LEADING ... FROM ...) in SQL text
+      .select(col("id"), expr(
+        s"""graft_hllinit(h div ${payloadMod}L,
+           |$maxRho - length(trim(LEADING '0' FROM bin(h % ${payloadMod}L))),
+           |$m)""".stripMargin).as("regs"))
       .localCheckpoint(true)
     def card(st: DataFrame, hop: Int): DataFrame =
-      st.groupBy("id")
-        .agg(count(lit(1)).as("n_registers"),
-          sum(expr(s"shiftleft(cast(1 as bigint), $maxRho - rho_max)"))
-            .as("present_scaled"))
-        .select(lit(hop.toLong).as("hop"), col("id"), col("n_registers"),
-          (col("present_scaled") +
-            (lit(m.toLong) - col("n_registers")) * lit(1L << maxRho))
-            .as("sum_scaled"))
+      st.select(lit(hop.toLong).as("hop"), col("id"),
+          expr("graft_hllcard(regs)").as("c"))
+        .select(col("hop"), col("id"),
+          col("c.n_registers").as("n_registers"),
+          col("c.sum_scaled").as("sum_scaled"))
         .withColumn("est", lit(alphaScaled) / col("sum_scaled").cast("double"))
     val perHop = scala.collection.mutable.ArrayBuffer(card(state, 0))
     var i = 1
     while (i <= maxHops) {
-      state = e.join(state, e("dst") === state("id"))
-        .select(e("src").as("id"), state("bucket"), state("rho_max"))
-        .union(state.select(col("id"), col("bucket"), col("rho_max")))
-        .groupBy(col("id"), col("bucket"))
-        .agg(max(col("rho_max")).as("rho_max"))
+      state = e.join(state.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("regs"))
+        .union(state.select(col("id"), col("regs")))
+        .groupBy(col("id"))
+        .agg(expr("graft_hllmax(regs)").as("regs"))
         .localCheckpoint(true)
       perHop += card(state, i)
       i += 1

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{AdcDistance, BandBuckets, SignedProjection, LongArrayAgreement, MatVecCenter, MinHashSignature, OuterProduct, RepetitionStats, SignBuckets, SimHash64, TokenStats, VectorDot, Winnow, WordNgrams, WordShingles}
+import graft.functions.{AdcDistance, BandBuckets, HllCard, HllInit, HllMaxAgg, SignedProjection, LongArrayAgreement, MatVecCenter, MinHashSignature, OuterProduct, RepetitionStats, SignBuckets, SimHash64, TokenStats, VectorDot, Winnow, WordNgrams, WordShingles}
 
 /** Session extensions registering graft's native expressions as SQL
   * functions. Enable with
@@ -111,5 +111,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SignedProjection].getName, "graft_rproject"),
       (children: Seq[Expression]) =>
         SignedProjection(children.head, intLit(children(1), "dOut"))))
+    // packed HLL register vectors (HyperANF propagation shape):
+    // init one contribution, max-merge as a partial-aggregable
+    // aggregate, read the exact estimate precursors back out
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hllinit"),
+      new ExpressionInfo(classOf[HllInit].getName, "graft_hllinit"),
+      (children: Seq[Expression]) =>
+        HllInit(children.head, children(1), intLit(children(2), "m"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hllmax"),
+      new ExpressionInfo(classOf[HllMaxAgg].getName, "graft_hllmax"),
+      (children: Seq[Expression]) => HllMaxAgg(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hllcard"),
+      new ExpressionInfo(classOf[HllCard].getName, "graft_hllcard"),
+      (children: Seq[Expression]) => HllCard(children.head)))
   }
 }
