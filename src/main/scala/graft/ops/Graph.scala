@@ -1011,13 +1011,27 @@ object Graph {
       .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
       .localCheckpoint(true)
     var i = 0
-    while (i < rounds) {
+    var converged = false
+    while (i < rounds && !converged) {
+      // checkpoint the (small, shrinking) drop set: the two anti-join
+      // branches would otherwise each recompute the full degree agg
+      // over the graph-sized edge frame — at 100x that one duplicate
+      // pass per round was a measured cost driver
       val drop = e.groupBy(col("a")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") < k).select(col("a").as("n"))
-      e = e.join(drop, col("a") === col("n"), "left_anti")
-        .join(drop, col("b") === col("n"), "left_anti")
         .localCheckpoint(true)
-      i += 1
+      if (drop.isEmpty) {
+        // converged: every remaining round is a no-op — skip its joins
+        // AND its graph-sized checkpoint. Oracle-exact by the k-truss
+        // precedent: post-convergence rounds change nothing, so early
+        // exit equals the fixed SQL unroll
+        converged = true
+      } else {
+        e = e.join(drop, col("a") === col("n"), "left_anti")
+          .join(drop, col("b") === col("n"), "left_anti")
+          .localCheckpoint(true)
+        i += 1
+      }
     }
     e.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
   }
