@@ -1504,6 +1504,15 @@ object SparkEntry {
       val e = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
       Graph.hyperAnf(e, maxHops = 2, b = 6).orderBy("hop", "id")
     }),
+    // --- effective-radius histogram from the same ANF chain: per node
+    // the smallest hop holding >= 90% of the final ball (exact integer
+    // predicate on the scaled sums), counted per radius
+    "graph_anf_radius" -> ((s, dir) => {
+      val ed = rd(s, dir, "lineitem").select(col("l_orderkey").as("src"),
+        (col("l_partkey") + 20000000L).as("dst")).distinct()
+      val e = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.effectiveRadius(e, maxHops = 2, b = 6).orderBy("eff_hops")
+    }),
     // --- TPC-H Q7 shape: bilateral nation volume, pre-filtered dims
     "q7_volume" -> ((s, dir) =>
       Analytics.q7(rd(s, dir, "lineitem"), rd(s, dir, "orders"),
@@ -2660,12 +2669,12 @@ object SparkEntry {
     * and emit the per-(hop, node) engine-exact register aggregates plus
     * the one-division estimate (Scala-folded alpha literal).
     */
-  private def anfOracleSql(maxHops: Int, b: Int): String = {
+  /** Shared ANF register-propagation WITH chain: mirrored order-part
+    * edges, md5 register init, `maxHops` MATERIALIZED max-merge rounds.
+    */
+  private def anfStateCtes(maxHops: Int, b: Int): String = {
     val payloadMod = 1L << (60 - b)
     val maxRho = 60 - b + 1
-    val m = 1 << b
-    val alphaScaled =
-      0.7213 / (1.0 + 1.079 / m) * m * m * math.pow(2.0, maxRho)
     val rounds = (1 to maxHops).map { r =>
       s"""s$r AS MATERIALIZED (
          |  SELECT id, bucket, CAST(max(rho_max) AS BIGINT) AS rho_max FROM (
@@ -2676,18 +2685,7 @@ object SparkEntry {
          |  ) GROUP BY id, bucket
          |)""".stripMargin
     }.mkString(",\n")
-    val cards = (0 to maxHops).map { r =>
-      s"""SELECT CAST($r AS BIGINT) AS hop, id,
-         |  CAST(count(*) AS BIGINT) AS n_registers,
-         |  CAST(sum(1::BIGINT << CAST($maxRho - rho_max AS INTEGER)) +
-         |    ($m - count(*)) * (1::BIGINT << $maxRho) AS BIGINT)
-         |    AS sum_scaled,
-         |  CAST('$alphaScaled' AS DOUBLE) /
-         |    CAST(sum(1::BIGINT << CAST($maxRho - rho_max AS INTEGER)) +
-         |      ($m - count(*)) * (1::BIGINT << $maxRho) AS DOUBLE) AS est
-         |FROM s$r GROUP BY id""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH e AS MATERIALIZED (
+    s"""e AS MATERIALIZED (
        |  SELECT l_orderkey AS src, l_partkey + 20000000 AS dst FROM lineitem
        |  UNION
        |  SELECT l_partkey + 20000000, l_orderkey FROM lineitem
@@ -2702,11 +2700,54 @@ object SparkEntry {
        |      AS BIGINT) AS rho_max
        |  FROM h
        |),
-       |$rounds
-       |SELECT * FROM (
-       |$cards
-       |) ORDER BY hop, id""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  /** Per-(hop, id) card select over s$r: exact register aggregates. */
+  private def anfCardSelects(maxHops: Int, b: Int): String = {
+    val maxRho = 60 - b + 1
+    val m = 1 << b
+    val alphaScaled =
+      0.7213 / (1.0 + 1.079 / m) * m * m * math.pow(2.0, maxRho)
+    (0 to maxHops).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS hop, id,
+         |  CAST(count(*) AS BIGINT) AS n_registers,
+         |  CAST(sum(1::BIGINT << CAST($maxRho - rho_max AS INTEGER)) +
+         |    ($m - count(*)) * (1::BIGINT << $maxRho) AS BIGINT)
+         |    AS sum_scaled,
+         |  CAST('$alphaScaled' AS DOUBLE) /
+         |    CAST(sum(1::BIGINT << CAST($maxRho - rho_max AS INTEGER)) +
+         |      ($m - count(*)) * (1::BIGINT << $maxRho) AS DOUBLE) AS est
+         |FROM s$r GROUP BY id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
+  private def anfOracleSql(maxHops: Int, b: Int): String =
+    s"""WITH ${anfStateCtes(maxHops, b)}
+       |SELECT * FROM (
+       |${anfCardSelects(maxHops, b)}
+       |) ORDER BY hop, id""".stripMargin
+
+  /** Effective-radius twin: same propagation chain, the exact integer
+    * 90%-of-final-ball predicate (d <= sum(h) // 10), min hop per node,
+    * node counts per radius.
+    */
+  private def anfRadiusOracleSql(maxHops: Int, b: Int): String =
+    s"""WITH ${anfStateCtes(maxHops, b)},
+       |allhops AS (
+       |  SELECT hop, id, sum_scaled FROM (
+       |${anfCardSelects(maxHops, b)}
+       |  )
+       |), fin AS (
+       |  SELECT id, sum_scaled AS sf FROM allhops WHERE hop = $maxHops
+       |), eff AS (
+       |  SELECT a.id, CAST(min(a.hop) AS BIGINT) AS eff_hops
+       |  FROM allhops a JOIN fin f ON a.id = f.id
+       |  WHERE a.sum_scaled - f.sf <= a.sum_scaled // 10
+       |  GROUP BY a.id
+       |)
+       |SELECT eff_hops, CAST(count(*) AS BIGINT) AS n_nodes
+       |FROM eff GROUP BY eff_hops ORDER BY eff_hops""".stripMargin
 
   private def boruvkaOracleSql(rounds: Int, mergeCap: Int): String = {
     def mergeStep(r: Int, t: Int): String =
@@ -5826,6 +5867,7 @@ object SparkEntry {
     "embed_cluster_dist" -> kmeansDistOracleSql(k = 8, iters = 3, dim = 64),
     "graph_coloring" -> coloringOracleSql(rounds = 6),
     "graph_anf" -> anfOracleSql(maxHops = 2, b = 6),
+    "graph_anf_radius" -> anfRadiusOracleSql(maxHops = 2, b = 6),
     "graph_louvain" -> louvainOracleSql(rounds = 6),
     "graph_mst" -> boruvkaOracleSql(rounds = 3, mergeCap = 6),
     // temporalReachability twin: unrolled hops, each a usable-edge min

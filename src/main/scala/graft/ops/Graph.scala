@@ -981,6 +981,29 @@ object Graph {
     perHop.reduce(_ unionByName _)
   }
 
+  /** Effective-radius histogram from [[hyperAnf]] — the number ANF is
+    * actually run for: per node, the smallest hop h whose estimated
+    * ball already holds ≥ 90% of the hop-H ball (est(h) ≥ 0.9·est(H)),
+    * then the node count per radius. The 90% test is EXACT integer
+    * arithmetic on the scaled register sums: est ∝ 1/sum_scaled and
+    * sums shrink as balls grow, so with d = sum(h) − sum(H) ≥ 0 the
+    * predicate 10·d ≤ sum(h) is written overflow-free as
+    * `d <= sum(h) div 10` (d integer ⇒ the forms are equivalent; both
+    * engines floor positive division identically).
+    */
+  def effectiveRadius(edges: DataFrame, maxHops: Int = 2,
+                      b: Int = 6): DataFrame = {
+    val anf = hyperAnf(edges, maxHops, b)
+      .select(col("hop"), col("id"), col("sum_scaled"))
+      .localCheckpoint(true) // referenced twice (final frame + all hops)
+    val fin = anf.filter(col("hop") === maxHops.toLong)
+      .select(col("id"), col("sum_scaled").as("sf"))
+    anf.join(fin, "id")
+      .filter(col("sum_scaled") - col("sf") <= expr("sum_scaled div 10"))
+      .groupBy(col("id")).agg(min(col("hop")).as("eff_hops"))
+      .groupBy(col("eff_hops")).agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** k-core decomposition: iteratively peel nodes of degree < k from an
     * UNDIRECTED view of the edge list until only the k-core remains —
     * the density filter behind "drop weakly-connected entities before

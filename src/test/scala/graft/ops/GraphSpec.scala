@@ -753,6 +753,20 @@ class GraphSpec extends SparkSpec {
       s"ANF propagation diverged from exact-ball HLL:\n got=$got\n exp=$exact")
   }
 
+  test("effectiveRadius: star center converges at hop 1, leaves at 2") {
+    // 30-leaf star: the center's hop-1 ball IS the graph (eff 1); a
+    // leaf's hop-1 ball is {self, center} — far outside 90% of its
+    // hop-2 ball (the whole graph), so leaves read eff 2. Margins are
+    // tens of 2^55 against a sum/10 threshold — register collisions
+    // cannot flip them.
+    val edges = (2L to 31L).map(i => (1L, i)).toDF("src", "dst")
+    val mirrored = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val hist = Graph.effectiveRadius(mirrored, maxHops = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist == Map(1L -> 1L, 2L -> 30L), s"unexpected histogram: $hist")
+  }
+
   test("diameterSweep finds the exact diameter of a path with a branch") {
     // path 1-2-3-4-5 plus branch 3-6: seed = min id = 1; farthest from
     // 1 is 5 at dist 4 (6 ties at... 6 is dist 3) → u = 5; from 5 the
