@@ -2382,6 +2382,10 @@ object SparkEntry {
     "events_seasonal" -> ((s, dir) =>
       Events.seasonalProfile(rdEvents(s, dir))
         .orderBy("event_type", "dow")),
+    // --- classical trend/seasonal/remainder decomposition of the
+    // daily count series, exact integer ppm throughout
+    "events_decompose" -> ((s, dir) =>
+      Events.seasonalDecompose(rdEvents(s, dir)).orderBy("day")),
     // --- Welch means test on value over the md5 A/B split (the t next
     // to events_ab's conversion z): exact cent moments, double close
     "events_welch" -> ((s, dir) =>
@@ -9746,6 +9750,40 @@ object SparkEntry {
         |  CAST(1000000 * n_events * overall
         |    // (type_total * dow_total) AS BIGINT) AS lift_ppm
         |FROM m ORDER BY event_type, dow""".stripMargin,
+    // decompose twin: centered 7-row moving sum on the daily frame,
+    // positive-offset day-of-week integer mean of the detrended series
+    // (detrended goes negative; the offset keeps // == div)
+    "events_decompose" ->
+      s"""WITH d AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1
+        |), t AS (
+        |  SELECT day, n,
+        |    count(*) OVER w AS n7,
+        |    CAST(sum(n) OVER w AS BIGINT) AS sum7
+        |  FROM d
+        |  WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |), t2 AS (
+        |  SELECT day, n,
+        |    CASE WHEN n7 = 7
+        |      THEN CAST(1000000 * sum7 // 7 AS BIGINT) END AS trend_ppm
+        |  FROM t
+        |), t3 AS (
+        |  SELECT day, n, trend_ppm,
+        |    1000000 * n - trend_ppm AS detr_ppm
+        |  FROM t2
+        |), seas AS (
+        |  SELECT day % 7 AS dow,
+        |    CAST((sum(detr_ppm) + ${1L << 50} * count(*)) // count(*)
+        |      - ${1L << 50} AS BIGINT) AS seasonal_ppm
+        |  FROM t3 WHERE detr_ppm IS NOT NULL GROUP BY 1
+        |)
+        |SELECT t3.day, t3.n, t3.trend_ppm, seas.seasonal_ppm,
+        |  CAST(t3.detr_ppm - seas.seasonal_ppm AS BIGINT) AS remainder_ppm
+        |FROM t3 LEFT JOIN seas ON t3.day % 7 = seas.dow
+        |ORDER BY day""".stripMargin,
     // freshness twin: per-type max window + rollup, global-max window
     // over the aggregated frame
     "dq_freshness" ->

@@ -1301,6 +1301,44 @@ object Events {
                 AS BIGINT)""").as("lift_ppm"))
   }
 
+  /** Classical seasonal decomposition of the daily count series —
+    * trend / weekly-seasonal / remainder, the decompose() every
+    * monitoring stack runs before alerting on raw counts. All exact
+    * integer ppm: trend is the centered 7-row moving sum over the daily
+    * frame (`1e6·sum7 div 7`, NULL until the window is full — rows-based
+    * by design; gap-fill first for calendar-strict series), the weekly
+    * component is the day-of-week mean of the detrended series via the
+    * positive-offset integer mean (`(Σv + K·n) div n − K`, K = 2^50 —
+    * detrended values go negative and bare `div` truncates toward zero
+    * where DuckDB `//` floors), and the remainder is a subtraction.
+    *
+    * Scale shape: one partial-aggregated groupBy to the daily frame,
+    * then every window/join runs on ≤ #days rows — the corpus is
+    * touched once.
+    */
+  def seasonalDecompose(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(expr("(ts div 1000) div 86400000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("day").rowsBetween(-3, 3)
+    val t = daily
+      .withColumn("n7", count(lit(1)).over(w))
+      .withColumn("sum7", sum(col("n")).over(w))
+      .withColumn("trend_ppm",
+        when(col("n7") === 7, expr("1000000L * sum7 div 7")))
+      .withColumn("detr_ppm", lit(1000000L) * col("n") - col("trend_ppm"))
+    val k = 1L << 50
+    val seas = t.filter(col("detr_ppm").isNotNull)
+      .groupBy((col("day") % 7).as("dow"))
+      .agg(count(lit(1)).as("cnt"), sum(col("detr_ppm")).as("s"))
+      .select(col("dow"),
+        expr(s"(s + ${k}L * cnt) div cnt - ${k}L").as("seasonal_ppm"))
+    t.join(seas, col("day") % 7 === col("dow"), "left")
+      .select(col("day"), col("n"), col("trend_ppm"), col("seasonal_ppm"),
+        (col("detr_ppm") - col("seasonal_ppm")).as("remainder_ppm"))
+  }
+
   /** Peak concurrency per day — the interval-stacking sweep behind
     * capacity planning and concurrent-session licensing: each user's
     * activity interval for a day is [first event, last event]; the peak
