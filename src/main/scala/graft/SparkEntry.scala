@@ -1504,6 +1504,13 @@ object SparkEntry {
       val e = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
       Graph.hyperAnf(e, maxHops = 2, b = 6).orderBy("hop", "id")
     }),
+    // --- per-node coreness via the distributed h-index iteration
+    // (kCore filters at one k; this is the full decomposition number)
+    "graph_coreness" -> ((s, dir) => {
+      val ed = rd(s, dir, "lineitem").select(col("l_orderkey").as("src"),
+        (col("l_partkey") + 20000000L).as("dst"))
+      Graph.coreness(ed, rounds = 6).orderBy("id")
+    }),
     // --- effective-radius histogram from the same ANF chain: per node
     // the smallest hop holding >= 90% of the final ball (exact integer
     // predicate on the scaled sums), counted per radius
@@ -2731,6 +2738,36 @@ object SparkEntry {
        |SELECT * FROM (
        |${anfCardSelects(maxHops, b)}
        |) ORDER BY hop, id""".stripMargin
+
+  /** Coreness twin: unrolled h-index rounds from the degree init over
+    * the mirrored order-part graph — the ranking needs NO tie-break
+    * (the h-index depends only on the sorted multiset).
+    */
+  private def corenessOracleSql(rounds: Int): String = {
+    val roundSql = (0 until rounds).map { r =>
+      s"""h$r AS (
+         |  SELECT id, CAST(max(least(rn, val)) AS BIGINT) AS h FROM (
+         |    SELECT e.src AS id, c.val,
+         |      row_number() OVER (PARTITION BY e.src ORDER BY c.val DESC)
+         |        AS rn
+         |    FROM e JOIN c$r c ON e.dst = c.id
+         |  ) GROUP BY id
+         |), c${r + 1} AS MATERIALIZED (
+         |  SELECT c.id, CAST(least(c.val, h.h) AS BIGINT) AS val
+         |  FROM c$r c JOIN h$r h ON c.id = h.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT l_orderkey AS src, l_partkey + 20000000 AS dst FROM lineitem
+       |  UNION
+       |  SELECT l_partkey + 20000000, l_orderkey FROM lineitem
+       |), c0 AS MATERIALIZED (
+       |  SELECT src AS id, CAST(count(*) AS BIGINT) AS val
+       |  FROM e GROUP BY src
+       |),
+       |$roundSql
+       |SELECT id, val AS core_ub FROM c$rounds ORDER BY id""".stripMargin
+  }
 
   /** Effective-radius twin: same propagation chain, the exact integer
     * 90%-of-final-ball predicate (d <= sum(h) // 10), min hop per node,
@@ -5872,6 +5909,7 @@ object SparkEntry {
     "graph_coloring" -> coloringOracleSql(rounds = 6),
     "graph_anf" -> anfOracleSql(maxHops = 2, b = 6),
     "graph_anf_radius" -> anfRadiusOracleSql(maxHops = 2, b = 6),
+    "graph_coreness" -> corenessOracleSql(rounds = 6),
     "graph_louvain" -> louvainOracleSql(rounds = 6),
     "graph_mst" -> boruvkaOracleSql(rounds = 3, mergeCap = 6),
     // temporalReachability twin: unrolled hops, each a usable-edge min

@@ -1059,6 +1059,50 @@ object Graph {
     e.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
   }
 
+  /** Per-node coreness (k-core decomposition NUMBER) via the
+    * distributed h-index iteration (Montresor et al.): start from
+    * degree and repeatedly set c(v) to the h-index of its neighbors'
+    * values — the largest h with ≥ h neighbors at value ≥ h. The
+    * sequence is monotone nonincreasing from the degree init and its
+    * fixed point is exactly the coreness; a FIXED `rounds` budget
+    * reports `core_ub`, a certified UPPER bound that equals coreness
+    * once converged (the kCore/k-truss honest-leftovers convention,
+    * and the fixed unroll keeps the DuckDB oracle finite).
+    * [[kCore]] answers "who survives at k"; this answers "every node's
+    * k" in one pass family.
+    *
+    * Engine-exact with NO tie-break: the h-index `max(least(rn, val))`
+    * over the value-desc ranking depends only on the sorted multiset,
+    * so equal-value orderings cannot change it. Per round: one
+    * |E|-keyed join + one window PARTITIONED on the node id + one
+    * nonincreasing merge; state is referenced twice per round →
+    * localCheckpoint each round.
+    */
+  def coreness(edges: DataFrame, rounds: Int = 6): DataFrame = {
+    require(rounds >= 1)
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var c = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("val"))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val nb = und.join(c.select(col("id").as("b"), col("val")), "b")
+        .select(col("a").as("id"), col("val"))
+      val h = nb.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("id").orderBy(desc("val"))))
+        .groupBy(col("id"))
+        .agg(max(least(col("rn").cast("long"), col("val"))).as("h"))
+      c = c.join(h, "id")
+        .select(col("id"), least(col("val"), col("h")).as("val"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    c.select(col("id"), col("val").as("core_ub"))
+  }
+
   /** Label-propagation community detection, made DETERMINISTIC (classic
     * LPA is order-dependent): every node starts with its own id as the
     * label, and each synchronous round adopts the most frequent label

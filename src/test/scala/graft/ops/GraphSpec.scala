@@ -753,6 +753,25 @@ class GraphSpec extends SparkSpec {
       s"ANF propagation diverged from exact-ball HLL:\n got=$got\n exp=$exact")
   }
 
+  test("coreness: h-index iteration hits exact core numbers") {
+    // triangle {1,2,3} with a tail 3-4-5: core numbers 2,2,2,1,1;
+    // add a 4-clique {6,7,8,9} sharing node 3 via edge 3-6: clique
+    // nodes are core 3, node 3 stays 2 (its triangle support)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (3L, 6L), (6L, 7L), (6L, 8L), (6L, 9L), (7L, 8L), (7L, 9L),
+      (8L, 9L)).toDF("src", "dst")
+    val got = Graph.coreness(edges, rounds = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 1L,
+      6L -> 3L, 7L -> 3L, 8L -> 3L, 9L -> 3L), s"core numbers: $got")
+    // one round is only an upper bound (degree-init not yet settled):
+    // the tail's node 4 still reads its degree-capped h-index
+    val ub = Graph.coreness(edges, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ub.forall { case (id, v) => v >= got(id) },
+      "early rounds must stay an upper bound")
+  }
+
   test("effectiveRadius: star center converges at hop 1, leaves at 2") {
     // 30-leaf star: the center's hop-1 ball IS the graph (eff 1); a
     // leaf's hop-1 ball is {self, center} — far outside 90% of its
