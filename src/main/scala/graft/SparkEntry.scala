@@ -2169,6 +2169,14 @@ object SparkEntry {
       Analytics.exactSelect(rd(s, dir, "lineitem")
         .select(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
           .as("cents")), "cents").orderBy("q_ppm")),
+    // --- EXACT WEIGHTED order statistics: price cents weighted by
+    // quantity — the duplication-weighted corpus median primitive
+    "value_weighted_select" -> ((s, dir) =>
+      Analytics.exactSelectWeighted(rd(s, dir, "lineitem")
+        .select(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+          .as("cents"),
+          col("l_quantity").cast("long").as("qty")),
+        "cents", "qty").orderBy("q_ppm")),
     "value_quantile_bins" -> ((s, dir) =>
       Analytics.binQuantiles(rd(s, dir, "lineitem"), "l_extendedprice",
         bins = 64, qs = Seq(0.5, 0.9, 0.99)).orderBy("q")),
@@ -9111,6 +9119,28 @@ object SparkEntry {
         |)
         |SELECT r.q_ppm, CAST(o.v AS BIGINT) AS value, r.n
         |FROM r JOIN o ON o.rn = r.k ORDER BY q_ppm""".stripMargin,
+    // weighted-selection twin: cumulative weight over ORDER BY v with
+    // RANGE peers (ties carry their full group weight), smallest v
+    // whose cumweight reaches the weighted rank
+    "value_weighted_select" ->
+      """WITH v AS (
+        |  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+        |    CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem
+        |), ww AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM v),
+        |q AS (SELECT CAST(unnest([500000, 900000]) AS BIGINT) AS q_ppm),
+        |r AS (
+        |  SELECT q.q_ppm,
+        |    greatest(1, (q.q_ppm * ww.wt + 999999) // 1000000) AS k, ww.wt
+        |  FROM q CROSS JOIN ww
+        |), c AS (
+        |  SELECT v, CAST(sum(w) OVER (ORDER BY v) AS BIGINT) AS cw FROM v
+        |)
+        |SELECT r.q_ppm,
+        |  (SELECT CAST(min(c.v) AS BIGINT) FROM c WHERE c.cw >= r.k)
+        |    AS value,
+        |  r.wt AS w_total
+        |FROM r ORDER BY q_ppm""".stripMargin,
     // forced to DOUBLE (bare 0.9 parses as DECIMAL in DuckDB, and
     // decimal ceil(q*n) would diverge from the double path)
     "value_quantile_bins" ->

@@ -395,6 +395,70 @@ object Analytics {
     results.toDF("q_ppm", "value").withColumn("n", lit(n))
   }
 
+  /** EXACT distributed WEIGHTED order-statistic selection — the
+    * [[exactSelect]] range-refinement with per-value weights: find the
+    * smallest value whose cumulative weight reaches k = ceil(q·W),
+    * where W = Σ weights. This is the "weighted median of 100 TB"
+    * primitive a duplication-weighted corpus needs (e.g. quality-score
+    * medians under `dedup_weights` soft-dedup weights): selection
+    * semantics, a value FROM the data, ≤ 4 scans for 64-bit domains,
+    * never a value buffer. `weightCol` must be integral and >= 1
+    * (fail-closed — fractional or zero weights have no exact rank
+    * semantics).
+    */
+  def exactSelectWeighted(df: DataFrame, valueCol: String,
+                          weightCol: String,
+                          qsPpm: Seq[Long] = Seq(500000L, 900000L)): DataFrame = {
+    require(qsPpm.nonEmpty && qsPpm.forall(q => q >= 1L && q <= 1000000L),
+      "qsPpm must be in [1, 1000000]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(valueCol).cast("long").as("v"),
+      col(weightCol).cast("long").as("w"))
+    val bad = v.filter(col("w") < 1L).limit(1).count() // bounded: 0/1
+    require(bad == 0L, "exactSelectWeighted needs integer weights >= 1")
+    val bounds = v.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+      sum(col("w")).as("wt")).collect()(0) // bounded: one row
+    val wTotal = bounds.getAs[Long]("wt")
+    require(wTotal > 0, "exactSelectWeighted over an empty frame")
+    val results = qsPpm.map { q =>
+      var k = math.max(1L, (q * wTotal + 999999L) / 1000000L)
+      var lo = bounds.getAs[Long]("lo")
+      var hi = bounds.getAs[Long]("hi")
+      if (lo < 0L && hi >= 0L &&
+          (BigInt(hi) - BigInt(lo) + 1) > BigInt(Long.MaxValue)) {
+        val wNeg = v.filter(col("v") < 0L)
+          .agg(coalesce(sum(col("w")), lit(0L))).collect()(0)
+          .getLong(0) // bounded: one scalar
+        if (k <= wNeg) hi = -1L else { k -= wNeg; lo = 0L }
+      }
+      while (lo < hi) {
+        val span = BigInt(hi) - BigInt(lo) + 1
+        val width = ((span + 65535) / 65536).max(1).toLong
+        // bounded: <= 65536 bucket-weight rows per level
+        val hist = v.filter(col("v") >= lo && col("v") <= hi)
+          .groupBy(expr(s"(v - ${lo}L) div ${width}L").as("b"))
+          .agg(sum(col("w")).as("c"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1))
+          .sortBy(_._1)
+        var acc = 0L
+        var bucket = -1L
+        hist.iterator.takeWhile(_ => bucket < 0).foreach { case (b, c) =>
+          if (acc + c >= k) bucket = b else acc += c
+        }
+        assert(bucket >= 0L,
+          s"exactSelectWeighted: weighted rank $k not found in [$lo, $hi]")
+        k -= acc
+        val newLo = lo + bucket * width
+        hi = math.min(hi, if (newLo > hi - (width - 1)) hi
+                          else newLo + width - 1)
+        lo = newLo
+      }
+      (q, lo)
+    }
+    results.toDF("q_ppm", "value").withColumn("w_total", lit(wTotal))
+  }
+
   def binQuantiles(df: DataFrame, valueCol: String, bins: Int = 64,
                    qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
     require(bins >= 2 && qs.nonEmpty)

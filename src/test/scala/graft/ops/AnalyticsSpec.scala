@@ -123,6 +123,28 @@ class AnalyticsSpec extends SparkSpec {
       ("ALL", "ALL", 3L, 7.0, 3L)))
   }
 
+  test("exactSelectWeighted finds weighted order statistics; rejects w<1") {
+    import spark.implicits._
+    // W = 8: cumweights 10→1, 20→6, 30→8. q=.5 ⇒ k=4 ⇒ 20;
+    // q=.875 ⇒ k=7 ⇒ 30
+    val df = Seq((10L, 1L), (20L, 5L), (30L, 2L)).toDF("v", "w")
+    val r = Analytics
+      .exactSelectWeighted(df, "v", "w", Seq(500000L, 875000L))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(500000L -> 20L, 875000L -> 30L), s"got $r")
+    // unit weights reduce to the unweighted selection
+    val uw = Analytics.exactSelectWeighted(
+      df.withColumn("w", org.apache.spark.sql.functions.lit(1L)),
+      "v", "w", Seq(500000L)).collect()(0).getLong(1)
+    val plain = Analytics.exactSelect(df.select($"v"), "v", Seq(500000L))
+      .collect()(0).getLong(1)
+    assert(uw == plain)
+    intercept[IllegalArgumentException] {
+      Analytics.exactSelectWeighted(
+        Seq((1L, 0L)).toDF("v", "w"), "v", "w")
+    }
+  }
+
   test("exactSelect finds exact order statistics, wide ranges refine") {
     import spark.implicits._
     val vals = Seq(5L, 1L, 9L, 3L, 7L).toDF("v")
