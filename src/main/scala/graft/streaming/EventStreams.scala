@@ -729,6 +729,34 @@ object EventStreams {
         (col("click_us") - col("imp_us")).as("lag_us"))
   }
 
+  /** LEFT OUTER stream-stream interval join — [[streamingClickMatch]]'s
+    * missing half: the UNCLICKED impressions. Spark can only emit the
+    * null-padded side once the watermark proves no match can still
+    * arrive (imp_time + horizon has passed on the click stream), so
+    * unmatched rows appear with watermark delay — the correct streaming
+    * semantics for "impressions that never converted", and the state
+    * bound is identical to the inner form (both sides pruned by the
+    * interval + watermark).
+    *
+    * Output adds `clicked`; click columns are NULL on the outer rows
+    * (lag_us NULL — a subtraction against NULL, never a sentinel).
+    */
+  def streamingClickMatchOuter(impressions: DataFrame, clicks: DataFrame,
+                               horizon: String = "30 minutes",
+                               watermark: String = "10 minutes"): DataFrame = {
+    val imp = impressions.withWatermark("imp_time", watermark)
+    val clk = clicks.withColumnRenamed("user_id", "click_user")
+      .withWatermark("click_time", watermark)
+    imp.join(clk,
+        expr(s"""click_user = user_id AND
+                 click_time >= imp_time AND
+                 click_time <= imp_time + INTERVAL $horizon"""),
+        "left_outer")
+      .select(col("user_id"), col("imp_id"), col("click_id"),
+        (col("click_us") - col("imp_us")).as("lag_us"),
+        col("click_id").isNotNull.as("clicked"))
+  }
+
   final case class AttributionCredit(conv_id: Long, touch_type: String,
                                      n_pairs: Long, n_touches: Long,
                                      first_touch_wins: Long,

@@ -962,6 +962,44 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingClickMatchOuter emits unmatched impressions after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    def us(m: Int) = ts(m).getTime * 1000L
+    val imps = MemoryStream[(Long, Long, Long, Timestamp)]
+    val clks = MemoryStream[(Long, Long, Long, Timestamp)]
+    val out = EventStreams.streamingClickMatchOuter(
+      imps.toDF.toDF("imp_id", "user_id", "imp_us", "imp_time"),
+      clks.toDF.toDF("click_id", "user_id", "click_us", "click_time"))
+    val q = out.writeStream.format("memory").queryName("ssjoin_outer_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 7 clicks in-window; user 8 never clicks
+      imps.addData((1L, 7L, us(0), ts(0)), (2L, 8L, us(0), ts(0)))
+      clks.addData((10L, 7L, us(20), ts(20)))
+      q.processAllAvailable()
+      val matched = spark.table("ssjoin_outer_test").collect()
+      assert(matched.length == 1 && matched(0).getAs[Boolean]("clicked"),
+        s"expected only the matched row first: ${matched.toSeq}")
+      // push both watermarks past imp_time + horizon (10:00 + 30min)
+      // + the 10min delay: the unmatched impression must then emit
+      // null-padded
+      imps.addData((99L, 99L, us(55), ts(55)))
+      clks.addData((98L, 98L, us(55), ts(55)))
+      q.processAllAvailable()
+      imps.addData((97L, 97L, us(56), ts(56)))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin_outer_test").collect()
+        .filter(_.getLong(1) == 2L)
+      assert(rows.length == 1, s"unmatched impression not emitted: " +
+        s"${spark.table("ssjoin_outer_test").collect().toSeq}")
+      val r = rows.head
+      assert(!r.getAs[Boolean]("clicked") && r.isNullAt(2) && r.isNullAt(3),
+        s"outer row must be null-padded: $r")
+    } finally q.stop()
+  }
+
   test("streamingClickMatch pairs streams within the horizon only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
