@@ -1627,6 +1627,11 @@ object SparkEntry {
     // dashboard complement to the robust theilsen slope
     "events_ols" -> ((s, dir) =>
       Events.olsTrend(rdEvents(s, dir)).orderBy("event_type")),
+    // --- lead–lag cross-correlation of the click and purchase daily
+    // series: exact integer moments per lag, corrMatrix double close
+    "events_xcorr" -> ((s, dir) =>
+      Events.crossCorrelation(rdEvents(s, dir), "click", "purchase",
+        maxLag = 3)),
     "events_theilsen" -> ((s, dir) =>
       Events.theilSen(rdEvents(s, dir))),
     // --- Simpson user-concentration / effective-user card per type
@@ -5228,6 +5233,51 @@ object SparkEntry {
         |    ELSE CAST(1000000 * dxy * dxy // (dxx * dyy) AS BIGINT)
         |  END AS r2_ppm
         |FROM sl ORDER BY event_type""".stripMargin,
+    // crossCorrelation twin: joint zero-filled grid, per-lag shifted
+    // day join, moments cast to DOUBLE before any arithmetic (the
+    // value_corr close: IEEE ·,−,/,sqrt over exact integers)
+    "events_xcorr" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1, 2
+        |), span AS (
+        |  SELECT min(day) AS d0, max(day) AS d1 FROM daily
+        |), grid AS (
+        |  SELECT CAST(u.day AS BIGINT) AS day
+        |  FROM span s, UNNEST(generate_series(s.d0, s.d1)) AS u(day)
+        |), a AS (
+        |  SELECT g.day, COALESCE(d.x, 0) AS a FROM grid g
+        |  LEFT JOIN (SELECT day, x FROM daily
+        |             WHERE event_type = 'click') d ON d.day = g.day
+        |), b AS (
+        |  SELECT g.day, COALESCE(d.x, 0) AS b FROM grid g
+        |  LEFT JOIN (SELECT day, x FROM daily
+        |             WHERE event_type = 'purchase') d ON d.day = g.day
+        |), lg AS (
+        |  SELECT CAST(u.lag AS BIGINT) AS lag
+        |  FROM UNNEST(generate_series(-3, 3)) AS u(lag)
+        |), st AS (
+        |  SELECT lg.lag AS lag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(a.a) AS BIGINT) AS sa_b,
+        |    CAST(sum(b.b) AS BIGINT) AS sb_b,
+        |    CAST(count(*) AS DOUBLE) AS nd,
+        |    CAST(sum(a.a) AS DOUBLE) AS sa,
+        |    CAST(sum(b.b) AS DOUBLE) AS sb,
+        |    CAST(sum(a.a * b.b) AS DOUBLE) AS sab,
+        |    CAST(sum(a.a * a.a) AS DOUBLE) AS saa,
+        |    CAST(sum(b.b * b.b) AS DOUBLE) AS sbb
+        |  FROM a CROSS JOIN lg JOIN b ON b.day = a.day + lg.lag
+        |  GROUP BY 1
+        |)
+        |SELECT lag, n AS n_days, sa_b AS n_a_events, sb_b AS n_b_events,
+        |  CASE WHEN nd * saa - sa * sa = 0
+        |         OR nd * sbb - sb * sb = 0 THEN NULL
+        |    ELSE (nd * sab - sa * sb)
+        |      / (sqrt(nd * saa - sa * sa) * sqrt(nd * sbb - sb * sb))
+        |  END AS corr
+        |FROM st ORDER BY lag""".stripMargin,
     "events_theilsen" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,

@@ -1618,6 +1618,70 @@ object Events {
         col("slope_ppm"), col("intercept_ppm"), col("r2_ppm"))
   }
 
+  /** Lead–lag cross-correlation of two daily event-count series — the
+    * "does A drive B, and with how many days' delay" card (marketing
+    * touch → conversion, error burst → churn, deploy → incident). For
+    * each lag ℓ ∈ [−maxLag, maxLag] it reports the exact Pearson
+    * correlation of (a_t, b_{t+ℓ}) over the shared zero-filled
+    * calendar; the argmax lag is the estimated lead time of A over B.
+    *
+    * Engine-exactness: both series are integer counts on the JOINT
+    * [d0, d1] grid, every moment is an order-free integer sum in
+    * DECIMAL(28,0), and the Pearson close is the corrMatrix recipe —
+    * pure IEEE double arithmetic (·, −, /, sqrt, all correctly
+    * rounded) over exact integers, bit-identical in DuckDB. Zero
+    * variance on either side (constant series in the overlap) surfaces
+    * NULL portably.
+    *
+    * Scale shape: the corpus collapses to (type, day) cells in one
+    * partial-agg groupBy; everything after runs on ≤ #days rows — the
+    * lag explode is (2·maxLag+1)× the DAY frame, never the event
+    * frame, and the shifted join is day-keyed. Output = 2·maxLag+1
+    * rows. The daily frame feeds the span probe and both series →
+    * localCheckpoint once (the reuses-exchanges rule).
+    */
+  def crossCorrelation(events: DataFrame, typeA: String, typeB: String,
+                       maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 0 && typeA != typeB)
+    val daily = events
+      .filter(col("event_type").isin(typeA, typeB))
+      .withColumn("day", expr("ts div 86400000000000"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x"))
+      .localCheckpoint(true)
+    val grid = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .localCheckpoint(true)
+    def series(t: String, n: String) = grid
+      .join(daily.filter(col("event_type") === t)
+        .select(col("day"), col("x").as(n)), Seq("day"), "left")
+      .na.fill(0L, Seq(n))
+    val lagged = series(typeA, "a")
+      .select(col("day"), col("a"), explode(array(
+        (-maxLag to maxLag).map(l => lit(l.toLong)): _*)).as("lag"))
+    val st = lagged
+      .join(series(typeB, "b").select(col("day").as("bday"), col("b")),
+        col("bday") === col("day") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a").cast("decimal(28,0)")).as("sa"),
+        sum(col("b").cast("decimal(28,0)")).as("sb"),
+        sum((col("a") * col("b")).cast("decimal(28,0)")).as("sab"),
+        sum((col("a") * col("a")).cast("decimal(28,0)")).as("saa"),
+        sum((col("b") * col("b")).cast("decimal(28,0)")).as("sbb"))
+    def d(c: String): Column = col(c).cast("double")
+    st
+      .withColumn("corr", when(
+        d("n") * d("saa") - d("sa") * d("sa") === 0.0 ||
+          d("n") * d("sbb") - d("sb") * d("sb") === 0.0, lit(null))
+        .otherwise((d("n") * d("sab") - d("sa") * d("sb")) /
+          (sqrt(d("n") * d("saa") - d("sa") * d("sa")) *
+            sqrt(d("n") * d("sbb") - d("sb") * d("sb")))))
+      .select(col("lag"), col("n").as("n_days"),
+        col("sa").cast("long").as("n_a_events"),
+        col("sb").cast("long").as("n_b_events"), col("corr"))
+      .orderBy("lag")
+  }
+
   /** Simpson user-concentration card: per event type, the probability
     * two random events came from the SAME user (λ = Σ n_u² / N²) and
     * its inverse — the effective number of users. The bot/abuse audit

@@ -743,6 +743,32 @@ class EventsSpec extends SparkSpec {
       "one-day span surfaces NULLs, never a divide-by-zero")
   }
 
+  test("crossCorrelation finds the planted lead at the right lag") {
+    import spark.implicits._
+    val day = 86400000000000L
+    // A: counts 1,5,2,8,3 on days 0..4; B = A shifted +1 day (days 1..5)
+    // with both series 0-padded over the joint span [0, 5]:
+    //   A = 1,5,2,8,3,0 ; B = 0,1,5,2,8,3
+    // lag +1 aligns a_t with b_{t+1} over the 5-day overlap — the
+    // UNSHIFTED pairs — corr = +1 exactly; lag 0 pairs a_t with the
+    // padded mixture and must be strictly smaller
+    val counts = Seq(1, 5, 2, 8, 3)
+    val ev =
+      (for { (c, d) <- counts.zipWithIndex; i <- 0 until c }
+        yield (d * day + i, "click")) ++
+      (for { (c, d) <- counts.zipWithIndex; i <- 0 until c }
+        yield ((d + 1) * day + i, "purchase"))
+    val out = Events.crossCorrelation(ev.toDF("ts", "event_type"),
+        "click", "purchase", maxLag = 2)
+      .collect().map(r => r.getAs[Long]("lag") -> r).toMap
+    assert(out.keySet == (-2L to 2L).toSet)
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_days") == 5L, "overlap shrinks by |lag|")
+    assert(r1.getAs[Double]("corr") == 1.0, "shifted copy: exact +1")
+    assert(out(0L).getAs[Double]("corr") < 1.0)
+    assert(out(1L).getAs[Long]("n_a_events") == 19L)
+  }
+
   test("theilSen picks the lower-median pairwise slope, sign-exact") {
     val day = 86400000000000L
     // up: counts 1,2,4 on days 0,1,2 -> slopes 1, 1.5, 2 -> median 3/2
