@@ -1494,6 +1494,28 @@ object SparkEntry {
         (col("l_partkey") + 20000000L).as("dst"))
       Graph.louvainOneLevel(ed, rounds = 6).orderBy("id")
     }),
+    // --- landmark distance oracle over the order–part graph: exact BFS
+    // from 4 md5-bottom landmark parts, min(du+dv) estimates for 32
+    // md5-bottom consecutive order pairs; no-common-landmark pairs NULL
+    "graph_landmark_dist" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = rd(s, dir, "lineitem").select(col("l_orderkey").as("src"),
+        (col("l_partkey") + 20000000L).as("dst")).distinct()
+      val lm = e.select(col("dst").as("id")).distinct()
+        .withColumn("h", md5(col("id").cast("string")))
+        .orderBy("h", "id").limit(4).select("id")
+      // bounded: rank runs AFTER the top-64 take, never corpus-wide
+      val ords = e.select(col("src").as("id")).distinct()
+        .withColumn("h", md5(col("id").cast("string")))
+        .orderBy("h", "id").limit(64)
+        .withColumn("rn", row_number().over(Window.orderBy("h", "id")))
+      val pairs = ords.filter(col("rn") % 2 === 1)
+        .select((col("rn") + 1).as("rn2"), col("id").as("u"))
+        .join(ords.filter(col("rn") % 2 === 0)
+          .select(col("rn").as("rn2"), col("id").as("v")), "rn2")
+        .select(col("u"), col("v"))
+      Graph.landmarkDistances(e, lm, pairs, maxHops = 4).orderBy("u", "v")
+    }),
     // --- HyperANF ball-growth card over the mirrored order-part graph:
     // per-node HLL reachability estimates at hops 0..2, every register
     // and scaled sum an exact md5-derived BIGINT (the sketch_hll_users
@@ -3402,6 +3424,47 @@ object SparkEntry {
         |  CAST(CAST(sum(12 // dist) AS BIGINT) AS DOUBLE)
         |    / CAST('12' AS DOUBLE) AS harmonic
         |FROM dist WHERE dist > 0 GROUP BY id ORDER BY id""".stripMargin,
+    // landmarkDistances twin: same seed-keyed bounded walk from the 4
+    // md5-bottom landmark parts, min(du+dv) over common landmarks per
+    // md5-consecutive order pair, LEFT JOIN keeps uncovered pairs NULL
+    "graph_landmark_dist" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT l_orderkey AS src, l_partkey + 20000000 AS dst
+        |  FROM lineitem
+        |), u AS (
+        |  SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e
+        |), lm AS (
+        |  SELECT id FROM (SELECT DISTINCT dst AS id FROM e)
+        |  ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 4
+        |), ordk AS (
+        |  SELECT id, CAST(row_number() OVER (
+        |      ORDER BY md5(CAST(id AS VARCHAR)), id) AS BIGINT) AS rn
+        |  FROM (SELECT DISTINCT src AS id FROM e)
+        |), pairs AS (
+        |  SELECT a.id AS u, b.id AS v
+        |  FROM ordk a JOIN ordk b ON b.rn = a.rn + 1
+        |  WHERE a.rn % 2 = 1 AND b.rn <= 64
+        |), walk(seed, id, d) AS (
+        |  SELECT id, id, 0 FROM lm
+        |  UNION
+        |  SELECT w.seed, u.v, w.d + 1 FROM walk w JOIN u ON u.u = w.id
+        |  WHERE w.d < 4
+        |), dist AS (
+        |  SELECT seed, id, CAST(min(d) AS BIGINT) AS dist
+        |  FROM walk GROUP BY 1, 2
+        |), est AS (
+        |  SELECT p.u AS u, p.v AS v,
+        |    CAST(min(d1.dist + d2.dist) AS BIGINT) AS est_dist,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM pairs p
+        |  JOIN dist d1 ON d1.id = p.u
+        |  JOIN dist d2 ON d2.id = p.v AND d2.seed = d1.seed
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.u AS u, p.v AS v, est.est_dist,
+        |  COALESCE(est.n_common, 0) AS n_common
+        |FROM pairs p LEFT JOIN est ON est.u = p.u AND est.v = p.v
+        |ORDER BY u, v""".stripMargin,
     "events_gapfill" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, value FROM events

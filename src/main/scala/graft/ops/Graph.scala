@@ -1305,6 +1305,39 @@ object Graph {
     known
   }
 
+  /** Landmark (2-hop-cover-style) distance oracle: exact hop-bounded
+    * BFS distances from a SMALL landmark set, then
+    * `est(u, v) = min_l d(u, l) + d(l, v)` for query pairs — the
+    * standard web-scale answer to "distance between two nodes" when
+    * pairwise BFS is unaffordable (an upper bound on the true
+    * distance; exact whenever some shortest path crosses a landmark).
+    * Pairs with no landmark reaching both sides surface NULL honestly
+    * (n_common = 0), never a guess.
+    *
+    * Scale shape: state is |landmarks|·|reached| (the [[seedDistances]]
+    * contract — landmarks are a bounded pivot set); query answering is
+    * two hash joins keyed on the pair endpoints and (seed, v), one
+    * (u, v)-keyed min — no BFS per query, which is the whole point.
+    * The distance table is referenced from both sides of the pair join
+    * → localCheckpoint once.
+    */
+  def landmarkDistances(edges: DataFrame, landmarks: DataFrame,
+                        pairs: DataFrame, maxHops: Int = 4): DataFrame = {
+    val dist = seedDistances(edges, landmarks, maxHops)
+      .localCheckpoint(true)
+    val est = pairs
+      .join(dist.select(col("seed"), col("id").as("u"),
+        col("dist").as("du")), "u")
+      .join(dist.select(col("seed"), col("id").as("v"),
+        col("dist").as("dv")), Seq("seed", "v"))
+      .groupBy(col("u"), col("v"))
+      .agg(min(col("du") + col("dv")).as("est_dist"),
+        count(lit(1)).as("n_common"))
+    pairs.join(est, Seq("u", "v"), "left")
+      .select(col("u"), col("v"), col("est_dist"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+  }
+
   /** Hop-bounded harmonic-closeness centrality from a pivot seed set:
     * `harmonic(v) = Σ_seeds 1/d(seed, v)` over seeds within `maxHops`,
     * the standard sampled-pivot centrality estimate (exact all-pairs

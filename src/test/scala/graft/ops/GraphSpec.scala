@@ -713,6 +713,27 @@ class GraphSpec extends SparkSpec {
       s"louvain Q $qLv != two-triangle optimum $bestQ")
   }
 
+  test("landmarkDistances: min over common landmarks, NULL uncovered") {
+    // path 1-2-3-4-5 plus disjoint pair 6-7; landmark = {3}, radius 2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L))
+      .toDF("src", "dst")
+    val lm = Seq(3L).toDF("id")
+    val pairs = Seq((1L, 5L), (2L, 4L), (1L, 2L), (1L, 6L)).toDF("u", "v")
+    val out = Graph.landmarkDistances(edges, lm, pairs, maxHops = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(out.size == 4)
+    // shortest 1-5 path crosses the landmark: estimate is EXACT
+    assert(out((1L, 5L)).getAs[Long]("est_dist") == 4L)
+    assert(out((2L, 4L)).getAs[Long]("est_dist") == 2L)
+    // adjacent pair: honest UPPER BOUND (d(1,3)+d(3,2) = 3, true 1)
+    assert(out((1L, 2L)).getAs[Long]("est_dist") == 3L)
+    assert(out((1L, 2L)).getAs[Long]("n_common") == 1L)
+    // 6 is in the other component: no common landmark, NULL not a guess
+    val r16 = out((1L, 6L))
+    assert(r16.isNullAt(r16.fieldIndex("est_dist")))
+    assert(r16.getAs[Long]("n_common") == 0L)
+  }
+
   test("hyperAnf registers equal HLL over exact BFS balls") {
     import org.apache.spark.sql.functions.{count, expr, lit, sum}
     // path 1-2-3 feeding a triangle 4-5-6 through edge 3-4
