@@ -1598,6 +1598,12 @@ object SparkEntry {
     "search_phrase" -> ((s, dir) =>
       TextAnalysis.phraseSearch(rd(s, dir, "documents"),
         Seq("table", "hash"))),
+    // --- gazetteer multi-word phrase tagger: broadcast first-token
+    // index + codegen'd array-slice verify; zero-hit terms stay listed
+    "text_gazetteer" -> ((s, dir) =>
+      TextAnalysis.gazetteerMatch(rd(s, dir, "documents"),
+        Seq("hash join", "table scan", "sort merge join",
+          "spark window", "query plan"))),
     // --- train/eval vocabulary coverage card (even/odd doc split)
     "vocab_overlap" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
@@ -4507,6 +4513,39 @@ object SparkEntry {
         |  ON y.doc_id = x.doc_id AND y.pos = x.pos + 1
         |WHERE x.tok = 'table' AND y.tok = 'hash'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // gazetteerMatch twin: 1-based list-slice window equality per
+    // first-token hit (Spark posexplode is 0-based; slice starts align
+    // at pos+1 == p.pos), LEFT JOIN keeps zero-hit dictionary rows
+    "text_gazetteer" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents
+        |), dict AS (
+        |  SELECT * FROM (VALUES
+        |    ('hash join', ['hash', 'join'], 2),
+        |    ('table scan', ['table', 'scan'], 2),
+        |    ('sort merge join', ['sort', 'merge', 'join'], 3),
+        |    ('spark window', ['spark', 'window'], 2),
+        |    ('query plan', ['query', 'plan'], 2)
+        |  ) AS v(phrase, ptoks, plen)
+        |), pos AS (
+        |  SELECT doc_id, t, CAST(i AS BIGINT) AS pos
+        |  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+        |), hits AS (
+        |  SELECT d.phrase AS phrase, p.doc_id AS doc_id
+        |  FROM pos p JOIN dict d ON p.t[p.pos] = d.ptoks[1]
+        |  WHERE p.pos + d.plen - 1 <= len(p.t)
+        |    AND p.t[p.pos : p.pos + d.plen - 1] = d.ptoks
+        |), agg AS (
+        |  SELECT phrase, CAST(count(*) AS BIGINT) AS n_matches,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+        |  FROM hits GROUP BY 1
+        |)
+        |SELECT d.phrase AS phrase, CAST(d.plen AS BIGINT) AS plen,
+        |  COALESCE(a.n_matches, 0) AS n_matches,
+        |  COALESCE(a.nd, 0) AS n_docs
+        |FROM dict d LEFT JOIN agg a ON a.phrase = d.phrase
+        |ORDER BY phrase""".stripMargin,
     // q13 twin: same decorrelated form — per-customer counts first,
     // then the outer join and the distribution rollup
     "q13_custdist" ->

@@ -1791,4 +1791,49 @@ object TextAnalysis {
         col("precision_ppm"), col("recall_ppm"), col("mrr_ppm"))
       .orderBy("query_id")
   }
+
+  /** Gazetteer / dictionary phrase tagger — the multi-pattern matcher a
+    * curation pipeline runs for blocklist phrases, PII term lists, and
+    * taxonomy tagging (the Aho–Corasick job, done relationally): every
+    * occurrence of every dictionary phrase (multi-word, overlapping
+    * occurrences included) is counted per phrase, with per-phrase doc
+    * reach. Zero-hit phrases stay in the report (a blocklist audit that
+    * silently drops unmatched terms is how terms rot).
+    *
+    * Scale shape: the corpus tokenizes ONCE; the posting explode joins
+    * the BROADCAST first-token index (dictionary is bounded by
+    * construction), so only first-token hits survive; each candidate is
+    * then verified with one codegen'd array-slice compare against the
+    * doc's own token array carried alongside the explode — the
+    * jaccard_prefix rule: never re-join the posting stream per
+    * candidate. Aggregation is (phrase)-keyed, output = |dictionary|.
+    */
+  def gazetteerMatch(docs: DataFrame, phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_.trim.nonEmpty))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dict = phrases.map { p =>
+      val t = p.trim.toLowerCase.split("\\s+").toSeq
+      (p, t.head, t, t.size.toLong)
+    }.toDF("phrase", "first_tok", "ptoks", "plen")
+    val posting = docs
+      .select(col("doc_id"),
+        split(trim(lower(col("text"))), "\\s+").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+    val hits = posting
+      .join(broadcast(dict), col("tok") === col("first_tok"))
+      .filter(col("pos") + col("plen") <= size(col("toks")) &&
+        slice(col("toks"), col("pos") + lit(1), col("plen")) ===
+          col("ptoks"))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_matches"),
+        countDistinct(col("doc_id")).as("n_docs"))
+    dict.select(col("phrase"), col("plen"))
+      .join(hits, Seq("phrase"), "left")
+      .select(col("phrase"), col("plen"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("phrase")
+  }
 }

@@ -760,4 +760,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Long]("oov_type_ppm") == 333333L)
     assert(r.getAs[Long]("oov_token_ppm") == 200000L)
   }
+
+  test("gazetteerMatch counts overlapping occurrences, keeps zero-hit terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the hash join beats sort merge join on a a a"),
+      (2L, "hash join again and a table scan"),
+      (3L, "nothing relevant here")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gazetteerMatch(docs,
+        Seq("hash join", "sort merge join", "table scan", "a a", "query plan"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("plen"), r.getAs[Long]("n_matches"),
+          r.getAs[Long]("n_docs"))).toMap
+    assert(out("hash join") == ((2L, 2L, 2L)))
+    assert(out("sort merge join") == ((3L, 1L, 1L)))
+    assert(out("table scan") == ((2L, 1L, 1L)))
+    // "a a a" holds TWO overlapping "a a" occurrences
+    assert(out("a a") == ((2L, 2L, 1L)))
+    // zero-hit dictionary terms stay in the report
+    assert(out("query plan") == ((2L, 0L, 0L)))
+  }
 }
