@@ -445,6 +445,17 @@ object SparkEntry {
         (col("o_custkey") + 10000000L).as("dst"))
       Graph.pageRank(e, 5).orderBy("id")
     }),
+    // --- incremental PageRank: 3 rounds on yesterday's graph (10% of
+    // orders held out), then a 2-round warm-start resume on the FULL
+    // graph — the daily-maintenance path: new/changed mass settles in
+    // O(delta-diameter) rounds instead of a full cold rerun
+    "graph_pagerank_incremental" -> ((s, dir) => {
+      val full = rd(s, dir, "orders").select(col("o_orderkey").as("src"),
+        (col("o_custkey") + 10000000L).as("dst"))
+      val warm = Graph.pageRank(full.filter(col("src") % 10 =!= 0), 3)
+        .select(col("id"), col("rank_scaled").as("r"))
+      Graph.pageRank(full, 2, init = Some(warm)).orderBy("id")
+    }),
     // --- weighted PageRank over the order-part graph with lineitem
     // multiplicity as the edge weight: mass splits proportional to w via
     // the exact overflow-free floor(r*w/W) decomposition
@@ -4182,6 +4193,49 @@ object SparkEntry {
          |SELECT id, r AS rank_scaled,
          |  CAST(r AS DOUBLE) / 1000000000000.0 AS rank
          |FROM r5 ORDER BY id""".stripMargin
+    },
+    // incremental twin: phase-1 rounds over the held-out base graph
+    // (own node/degree frames), then the warm seed COALESCEs new nodes
+    // to Scale and phase-2 rounds run over the full frames — linear
+    // lineage per phase, no MATERIALIZED needed (one ref per round)
+    "graph_pagerank_incremental" -> {
+      val round = (prev: String, cur: String, nodes: String, ed: String) =>
+        s"""$cur AS (
+           |  SELECT n.id, 150000000000 + (85 * COALESCE(c.cin, 0)) // 100 AS r
+           |  FROM $nodes n LEFT JOIN (
+           |    SELECT $ed.dst, CAST(SUM(p.r // $ed.outdeg) AS BIGINT) AS cin
+           |    FROM $ed JOIN $prev p ON p.id = $ed.src GROUP BY $ed.dst
+           |  ) c ON n.id = c.dst
+           |)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT o_orderkey AS src, o_custkey + 10000000 AS dst FROM orders
+         |), eb AS (
+         |  SELECT src, dst FROM e WHERE src % 10 <> 0
+         |), nodesb AS (
+         |  SELECT src AS id FROM eb UNION SELECT dst FROM eb
+         |), degb AS (
+         |  SELECT src, count(*) AS outdeg FROM eb GROUP BY 1
+         |), edb AS (
+         |  SELECT eb.src, eb.dst, degb.outdeg FROM eb JOIN degb USING (src)
+         |), b0 AS (
+         |  SELECT id, CAST(1000000000000 AS BIGINT) AS r FROM nodesb
+         |), ${round("b0", "b1", "nodesb", "edb")},
+         |${round("b1", "b2", "nodesb", "edb")},
+         |${round("b2", "b3", "nodesb", "edb")},
+         |nodes AS (
+         |  SELECT src AS id FROM e UNION SELECT dst FROM e
+         |), deg AS (
+         |  SELECT src, count(*) AS outdeg FROM e GROUP BY 1
+         |), ed AS (
+         |  SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)
+         |), r0 AS (
+         |  SELECT n.id, COALESCE(w.r, CAST(1000000000000 AS BIGINT)) AS r
+         |  FROM nodes n LEFT JOIN b3 w ON w.id = n.id
+         |), ${round("r0", "r1", "nodes", "ed")},
+         |${round("r1", "r2", "nodes", "ed")}
+         |SELECT id, r AS rank_scaled,
+         |  CAST(r AS DOUBLE) / 1000000000000.0 AS rank
+         |FROM r2 ORDER BY id""".stripMargin
     },
     // weighted pagerank twin: same unrolled rounds with the exact
     // overflow-free contribution w*(r//W) + ((r%W)*w)//W — identical

@@ -56,8 +56,16 @@ object Graph {
     */
   val Scale: Long = 1000000000000L // 10^12
 
+  /** `init`: optional warm-start ranks `(id, r)` in `Scale` units — the
+    * incremental-maintenance form: resume from yesterday's fixed point
+    * after an edge delta instead of recomputing from uniform; nodes the
+    * init doesn't cover (new today) seed at `Scale`. Warm-starting is
+    * EXACT in the unrolled-recursion sense: resume(k rounds) from a
+    * j-round state == cold (j+k)-round run on an unchanged graph.
+    */
   def pageRank(edges: DataFrame, iters: Int = 5,
-               checkpointEvery: Int = 10): DataFrame = {
+               checkpointEvery: Int = 10,
+               init: Option[DataFrame] = None): DataFrame = {
     val base = 15L * Scale / 100L
     val e = edges.select(col("src"), col("dst"))
     val nodes = e.select(col("src").as("id"))
@@ -66,7 +74,13 @@ object Graph {
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // degree rides on the edge list once; rounds only join ranks
     val edgesDeg = e.join(outdeg, "src").localCheckpoint(true)
-    var ranks = nodes.withColumn("r", lit(Scale))
+    var ranks = init match {
+      case Some(w) => nodes
+        .join(w.select(col("id"), col("r")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("r"), lit(Scale)).as("r"))
+        .localCheckpoint(true)
+      case None => nodes.withColumn("r", lit(Scale))
+    }
     var i = 0
     while (i < iters) {
       val contribs = edgesDeg

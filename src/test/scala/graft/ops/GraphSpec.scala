@@ -713,6 +713,22 @@ class GraphSpec extends SparkSpec {
       s"louvain Q $qLv != two-triangle optimum $bestQ")
   }
 
+  test("pageRank warm-start: resume(2) from a 3-round state == cold(5)") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val warm = Graph.pageRank(e, 3)
+      .select(col("id"), col("rank_scaled").as("r"))
+    val resumed = Graph.pageRank(e, 2, init = Some(warm))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cold = Graph.pageRank(e, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed == cold, "warm resume must equal the unrolled cold run")
+    // a node absent from the init seeds at Scale: drop node 4's rank
+    val partial = warm.filter(col("id") =!= 4L)
+    val res2 = Graph.pageRank(e, 1, init = Some(partial))
+    assert(res2.count() == 4L, "new nodes join the frame seeded at Scale")
+  }
+
   test("landmarkDistances: min over common landmarks, NULL uncovered") {
     // path 1-2-3-4-5 plus disjoint pair 6-7; landmark = {3}, radius 2
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L))
