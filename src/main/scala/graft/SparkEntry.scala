@@ -605,6 +605,15 @@ object SparkEntry {
           md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
     }),
+    // --- binaryFile media ingestion: staged raw payload files read back
+    // as (id, length, content) rows; md5 over raw bytes == md5 of the
+    // UTF-8 string, so the integrity check has an exact DuckDB twin
+    "load_binary" -> ((s, dir) => {
+      val staged = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_bin").toString
+      Ingest.binaryRoundTrip(rd(s, dir, "documents"), staged)
+        .orderBy("doc_id")
+    }),
     "load_e2e" -> ((s, dir) => {
       import java.nio.file.Paths
       val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_load_e2e")
@@ -5167,6 +5176,12 @@ object SparkEntry {
     "load_orc" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // binaryRoundTrip twin: file length == strlen (UTF-8 bytes), md5 of
+    // the raw payload == md5 of the string
+    "load_binary" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS length,
+        |  md5(text) AS payload_md5
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
     // q12 twin: same date band, same conditional priority split
     "q12_shipmode" ->
       """SELECT l_linestatus,

@@ -74,4 +74,42 @@ object Ingest {
     df.write.mode("overwrite").orc(stagingDir)
     df.sparkSession.read.schema(df.schema).orc(stagingDir)
   }
+
+  /** Media-file ingestion seam: stage one raw payload file per document
+    * and read the directory back through Spark's `binaryFile` source —
+    * the front door a multimodal corpus (images, audio, arbitrary
+    * blobs) actually arrives through, landing each file as one row of
+    * (path, length, content BINARY) ready for the
+    * [[graft.ops.Multimodal]] signature/near-dup ops. The id is parsed
+    * from the file name (the path IS metadata — the lineage-stamp
+    * convention); the payload integrity check is an md5 over the raw
+    * bytes, which for UTF-8 text payloads equals md5 of the string in
+    * any engine.
+    *
+    * Scale: binaryFile reads files in parallel across executors with
+    * zero shuffles (one row per file; `pathGlobFilter` prunes at
+    * listing time). The STAGING side here is a driver loop because it
+    * fabricates the fixture; production payloads already sit in object
+    * storage and only the read path runs.
+    */
+  def binaryRoundTrip(docs: DataFrame, stagingDir: String,
+                      maxDocs: Int = 100): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = new java.io.File(stagingDir)
+    if (dir.exists()) dir.listFiles().foreach(_.delete())
+    dir.mkdirs()
+    // bounded: maxDocs fixture payloads staged from the driver
+    docs.filter(col("doc_id") < maxDocs).select("doc_id", "text")
+      .collect().foreach { r =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(stagingDir, f"${r.getLong(0)}%06d.bin"),
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    docs.sparkSession.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin").load(stagingDir)
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.bin$", 1).cast("long")
+          .as("doc_id"),
+        col("length"), md5(col("content")).as("payload_md5"))
+  }
 }

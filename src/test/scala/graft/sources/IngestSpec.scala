@@ -39,4 +39,24 @@ class IngestSpec extends SparkSpec {
       nasty.schema.fields.map(f => (f.name, f.dataType)).toSeq)
     assert(asMap(back) === asMap(nasty))
   }
+
+  test("binaryRoundTrip lands one row per file with exact byte fidelity") {
+    val dir = java.nio.file.Files.createTempDirectory("ingest_bin").toString
+    // non-empty payloads only (a 0-byte media file is a broken upload);
+    // unicode proves the length column is BYTES, not characters
+    val docs = nasty.filter("doc_id <> 8")
+    val back = Ingest.binaryRoundTrip(docs, dir, maxDocs = 100)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("length"), r.getString(2))).toMap
+    val want = docs.collect().map { r =>
+      val bytes = r.getString(1)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      r.getLong(0) -> (bytes.length.toLong,
+        java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          .map("%02x".format(_)).mkString)
+    }.toMap
+    assert(back === want)
+    assert(back(6L)._1 > "unicode: é中文 😀".length,
+      "length is UTF-8 bytes, not chars")
+  }
 }
