@@ -158,6 +158,37 @@ object SparkEntry {
         .withColumn("block", substring(col("name"), 1, 17))
       Linkage.blockedMatch(recs, maxDist = 1).orderBy("a_id", "b_id")
     }),
+    // --- Fellegi–Sunter EM: learn per-feature (m, u) and prevalence p
+    // from blocked customer pairs with NO labels — planted 1-edit
+    // variants (same phone/nation/segment/balance) are the latent match
+    // class the EM must separate; all-integer ppm E/M steps
+    "linkage_em" -> ((s, dir) => {
+      val base = rd(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("rec_id"), col("c_name").as("name"),
+        col("c_nationkey").as("nation"), col("c_mktsegment").as("seg"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+          .as("bal"))
+      val planted = base.filter(col("rec_id") < 50)
+        .select((col("rec_id") + 1000000L).as("rec_id"),
+          concat(substring(col("name"), 1, 17), lit("X")).as("name"),
+          col("nation"), col("seg"), col("bal"))
+      val recs = base.unionByName(planted)
+        .withColumn("block", substring(col("name"), 1, 17))
+      def side(p: String) = recs.select(col("block"),
+        col("rec_id").as(s"${p}_id"), col("name").as(s"${p}_name"),
+        col("nation").as(s"${p}_nation"),
+        col("seg").as(s"${p}_seg"), col("bal").as(s"${p}_bal"))
+      val pairs = side("a").join(side("b"), "block")
+        .filter(col("a_id") < col("b_id"))
+        .select(
+          (col("a_bal") === col("b_bal")).as("f_bal_exact"),
+          (col("a_nation") === col("b_nation")).as("f_nation"),
+          (col("a_seg") === col("b_seg")).as("f_seg"),
+          expr("((a_bal + 1000000L) div 10000L) =" +
+            " ((b_bal + 1000000L) div 10000L)").as("f_band"))
+      Linkage.emLinkage(pairs,
+        Seq("f_bal_exact", "f_nation", "f_seg", "f_band"), rounds = 2)
+    }),
     // --- golden-record survivorship: match pairs (blocked levenshtein
     // over full-name blocks, planted X/Y append-variants) -> star
     // components -> partial-aggregable merge rules (min id, most
@@ -2668,6 +2699,100 @@ object SparkEntry {
     * Spark stops at convergence, the extra SQL steps are no-ops (the
     * fixed-round recipe), and Spark's require(converged) bounds the cap.
     */
+  /** Fellegi–Sunter EM twin: replay the fixed EM rounds — the ppm
+    * E-step product fold `(acc·term) // 10^6` per feature, the guarded
+    * posterior, HUGEINT M-step sums, the [1000, 999000] clamps — as
+    * generated unrolled CTEs over the blocked customer candidate pairs
+    * (pairs MATERIALIZED: referenced once per round plus the final
+    * classification pass).
+    */
+  private def emLinkageOracleSql(rounds: Int, feats: Seq[String]): String = {
+    val M = "1000000"
+    def fold(start: String, pc: Int => String): String =
+      feats.zipWithIndex.foldLeft(start) { case (acc, (f, i)) =>
+        s"(($acc * (CASE WHEN $f THEN ${pc(i)}" +
+          s" ELSE ($M - ${pc(i)}) END)) // $M)"
+      }
+    def wSelect(paramsCte: String): String = {
+      val num = fold("p", i => s"m$i")
+      val den = fold(s"($M - p)", i => s"u$i")
+      s"""SELECT q.*, ($M * $num) // GREATEST(1, ($num) + ($den)) AS w
+         |  FROM (SELECT pp.*, pr.* FROM pairs pp
+         |        CROSS JOIN $paramsCte pr) q""".stripMargin
+    }
+    val params0 =
+      s"""params0 AS (
+         |  SELECT CAST(500000 AS HUGEINT) AS p,
+         |    ${feats.indices.map(i =>
+        s"CAST(900000 AS HUGEINT) AS m$i").mkString(", ")},
+         |    ${feats.indices.map(i =>
+        s"CAST(100000 AS HUGEINT) AS u$i").mkString(", ")},
+         |    CAST(0 AS HUGEINT) AS n
+         |)""".stripMargin
+    val roundSql = (0 until rounds).map { r =>
+      val swgs = feats.zipWithIndex.map { case (f, i) =>
+        s"CAST(SUM(CASE WHEN $f THEN w ELSE 0 END) AS HUGEINT) AS swg$i," +
+          s" CAST(SUM(CASE WHEN $f THEN $M - w ELSE 0 END) AS HUGEINT)" +
+          s" AS sug$i"
+      }.mkString(",\n      ")
+      val ms = feats.indices.map(i =>
+        s"LEAST(999000, GREATEST(1000, ($M * swg$i)" +
+          s" // GREATEST(1, sw))) AS m$i").mkString(",\n    ")
+      val us = feats.indices.map(i =>
+        s"LEAST(999000, GREATEST(1000, ($M * sug$i)" +
+          s" // GREATEST(1, $M * n - sw))) AS u$i").mkString(",\n    ")
+      s"""w$r AS MATERIALIZED (
+         |  ${wSelect(s"params$r")}
+         |), params${r + 1} AS (
+         |  SELECT LEAST(999000, GREATEST(1000, sw // GREATEST(1, n))) AS p,
+         |    $ms,
+         |    $us,
+         |    n
+         |  FROM (
+         |    SELECT CAST(count(*) AS HUGEINT) AS n,
+         |      CAST(SUM(w) AS HUGEINT) AS sw,
+         |      $swgs
+         |    FROM w$r)
+         |)""".stripMargin
+    }.mkString(",\n")
+    val featRows = feats.zipWithIndex.map { case (f, i) =>
+      s"""SELECT '$f' AS feature, CAST(pr.m$i AS BIGINT) AS m_ppm,
+         |    CAST(pr.u$i AS BIGINT) AS u_ppm,
+         |    CAST(pr.p AS BIGINT) AS p_ppm,
+         |    CAST(pr.n AS BIGINT) AS n_pairs, mt.n_matched
+         |  FROM params$rounds pr, mt""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH recs AS (
+       |  SELECT CAST(c_custkey AS BIGINT) AS rec_id, c_name AS name,
+       |    c_nationkey AS nation, c_mktsegment AS seg,
+       |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT c_custkey + 1000000, substring(c_name, 1, 17) || 'X',
+       |    c_nationkey, c_mktsegment,
+       |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |  FROM customer WHERE c_custkey < 50
+       |), pairs AS MATERIALIZED (
+       |  SELECT a.bal = b.bal AS f_bal_exact,
+       |    a.nation = b.nation AS f_nation,
+       |    a.seg = b.seg AS f_seg,
+       |    ((a.bal + $M) // 10000) = ((b.bal + $M) // 10000) AS f_band
+       |  FROM recs a JOIN recs b
+       |    ON substring(a.name, 1, 17) = substring(b.name, 1, 17)
+       |   AND a.rec_id < b.rec_id
+       |), $params0,
+       |$roundSql,
+       |wf AS (
+       |  ${wSelect(s"params$rounds")}
+       |), mt AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_matched
+       |  FROM wf WHERE w >= 500000
+       |)
+       |SELECT feature, m_ppm, u_ppm, p_ppm, n_pairs, n_matched FROM (
+       |  $featRows
+       |) ORDER BY feature""".stripMargin
+  }
+
   /** Louvain one-level twin: replay the deterministic local-move rounds
     * — per round, the community-mass agg, neighbor-community counts,
     * the integer gain score s(c) = 2m·e(i,c) − k·(tot_c − [c=own]·k)
@@ -6140,6 +6265,8 @@ object SparkEntry {
     "graph_anf_radius" -> anfRadiusOracleSql(maxHops = 2, b = 6),
     "graph_coreness" -> corenessOracleSql(rounds = 6),
     "graph_louvain" -> louvainOracleSql(rounds = 6),
+    "linkage_em" -> emLinkageOracleSql(rounds = 2,
+      feats = Seq("f_bal_exact", "f_nation", "f_seg", "f_band")),
     "graph_mst" -> boruvkaOracleSql(rounds = 3, mergeCap = 6),
     // temporalReachability twin: unrolled hops, each a usable-edge min
     // relax (e.ts >= p.ea residual on the src equi-join) + a FULL OUTER

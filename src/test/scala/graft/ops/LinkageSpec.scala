@@ -85,4 +85,29 @@ class LinkageSpec extends SparkSpec {
     assert(out(4L) === ((4L, "zenith", 99.0, 1L)))
   }
 
+
+  test("emLinkage separates planted matches without labels") {
+    import spark.implicits._
+    // 4 latent matches (all features agree) among 16 clear non-matches
+    // (all disagree) plus 4 ambiguous pairs (name only)
+    val pairs = (Seq.fill(4)((true, true, true)) ++
+      Seq.fill(16)((false, false, false)) ++
+      Seq.fill(4)((true, false, false)))
+      .toDF("f_name", "f_phone", "f_bal")
+    val out = Linkage.emLinkage(pairs, Seq("f_bal", "f_name", "f_phone"),
+        rounds = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.size == 3)
+    for ((f, r) <- out) {
+      assert(r.getAs[Long]("m_ppm") > r.getAs[Long]("u_ppm"),
+        s"$f: m must exceed u after EM")
+      assert(r.getAs[Long]("n_pairs") == 24L)
+    }
+    // full-agreement pairs classify as matches; all-disagree ones don't
+    val matched = out("f_name").getAs[Long]("n_matched")
+    assert(matched >= 4L && matched <= 8L,
+      s"posterior matches $matched outside the planted band")
+    val p = out("f_name").getAs[Long]("p_ppm")
+    assert(p > 100000L && p < 400000L, s"prevalence $p off the ~1/6-1/3 band")
+  }
 }
