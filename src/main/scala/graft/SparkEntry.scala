@@ -2508,6 +2508,10 @@ object SparkEntry {
     // positive-offset floors) over the daily grid; recursive-CTE twin
     "events_holt" -> ((s, dir) =>
       Events.holtForecast(rdEvents(s, dir))),
+    // --- Holt–Winters additive: the holt recursion plus 7 weekly
+    // seasonal cells, slot (i−1) mod 7, same bit-shift halvings
+    "events_holt_winters" -> ((s, dir) =>
+      Events.holtWintersForecast(rdEvents(s, dir), period = 7)),
     // --- sequential rules A-before-B per user: first(A) < last(B)
     // decides existence, exact ppm confidence
     "events_seqrules" -> ((s, dir) =>
@@ -2699,6 +2703,62 @@ object SparkEntry {
     * Spark stops at convergence, the extra SQL steps are no-ops (the
     * fixed-round recipe), and Spark's require(converged) bounds the cap.
     */
+  /** Holt–Winters twin: the holt LINEAR recursive CTE carrying the
+    * `period` seasonal cells as columns — same positive-offset
+    * bit-shift halvings, slot j = (i−1) mod period, one-step forecast
+    * from the next slot's cell.
+    */
+  private def holtWintersOracleSql(period: Int): String = {
+    val OFF = "2251799813685248"
+    val OF2 = "1125899906842624"
+    val sSel = (0 until period).map(k => s"WHEN $k THEN r.s$k")
+      .mkString(s"(CASE CAST((g.i - 1) % $period AS INT) ", " ", " END)")
+    val lp = s"(((g.x * 1000000 - $sSel) + r.l + r.t + $OFF) // 2 - $OF2)"
+    val tp = s"((r.t + $lp - r.l + $OFF) // 2 - $OF2)"
+    val sUpd = (0 until period).map(k =>
+      s"CASE WHEN (g.i - 1) % $period = $k THEN ((r.s$k +" +
+        s" (g.x * 1000000 - $lp) + $OFF) // 2 - $OF2)" +
+        s" ELSE r.s$k END AS s$k").mkString(",\n        |    ")
+      .replace("\n        |", "\n")
+    val sInit = (0 until period).map(k => s"CAST(0 AS BIGINT) AS s$k")
+      .mkString(", ")
+    val sOut = (0 until period).map(k => s"CAST(s$k AS BIGINT) AS s${k}_e6")
+      .mkString(", ")
+    val fcSel = (0 until period).map(k => s"WHEN $k THEN s$k")
+      .mkString(s"(CASE CAST(n % $period AS INT) ", " ", " END)")
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       |    CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2
+       |), span AS (
+       |  SELECT event_type, min(day) AS d0, max(day) AS d1
+       |  FROM daily GROUP BY 1
+       |), grid AS (
+       |  SELECT g.event_type, g.day, COALESCE(d.x, 0) AS x,
+       |    CAST(row_number() OVER (PARTITION BY g.event_type
+       |      ORDER BY g.day) AS BIGINT) AS i,
+       |    CAST(count(*) OVER (PARTITION BY g.event_type) AS BIGINT) AS n
+       |  FROM (SELECT s.event_type, CAST(u.day AS BIGINT) AS day
+       |        FROM span s,
+       |          UNNEST(generate_series(s.d0, s.d1)) AS u(day)) g
+       |  LEFT JOIN daily d
+       |    ON d.event_type = g.event_type AND d.day = g.day
+       |), rec AS (
+       |  SELECT event_type, i, n, x * 1000000 AS l,
+       |    CAST(0 AS BIGINT) AS t, $sInit
+       |  FROM grid WHERE i = 1
+       |  UNION ALL
+       |  SELECT g.event_type, g.i, g.n, $lp AS l, $tp AS t,
+       |    $sUpd
+       |  FROM rec r JOIN grid g
+       |    ON g.event_type = r.event_type AND g.i = r.i + 1
+       |)
+       |SELECT event_type, n AS n_days, CAST(l AS BIGINT) AS level_e6,
+       |  CAST(t AS BIGINT) AS trend_e6, $sOut,
+       |  CAST(l + t + $fcSel AS BIGINT) AS fc1_e6
+       |FROM rec WHERE i = n ORDER BY event_type""".stripMargin
+  }
+
   /** Fellegi–Sunter EM twin: replay the fixed EM rounds — the ppm
     * E-step product fold `(acc·term) // 10^6` per feature, the guarded
     * posterior, HUGEINT M-step sums, the [1000, 999000] clamps — as
@@ -6263,6 +6323,7 @@ object SparkEntry {
     "graph_coloring" -> coloringOracleSql(rounds = 6),
     "graph_anf" -> anfOracleSql(maxHops = 2, b = 6),
     "graph_anf_radius" -> anfRadiusOracleSql(maxHops = 2, b = 6),
+    "events_holt_winters" -> holtWintersOracleSql(period = 7),
     "graph_coreness" -> corenessOracleSql(rounds = 6),
     "graph_louvain" -> louvainOracleSql(rounds = 6),
     "linkage_em" -> emLinkageOracleSql(rounds = 2,

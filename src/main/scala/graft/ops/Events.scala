@@ -1751,6 +1751,65 @@ object Events {
           .as(s"fc${horizon}_e6"))
       .orderBy("event_type")
 
+  /** Holt–Winters additive smoothing (α=β=γ=½) of the zero-filled
+    * daily series — [[holtForecast]] plus a `period`-cell seasonal
+    * state, the weekly-shape-aware forecaster (a Monday dip the
+    * trend-only fit keeps mispredicting lands in the seasonal cells
+    * here). Per day with seasonal slot j = (i−1) mod period:
+    * deseasonalize (x·10⁶ − s_j), update level/trend by the same
+    * positive-offset bit-shift halvings as Holt, then fold the residual
+    * into s_j — every step exact BIGINT (offset 2^51 makes truncate ==
+    * floor on negatives; values bounded by |x·10⁶| < 2^50), so the
+    * DuckDB twin is the same LINEAR recursive CTE carrying the seasonal
+    * cells as columns. One-step-ahead forecast closes with the next
+    * slot's cell.
+    *
+    * Scale shape: the [[holtForecast]] contract — the corpus compresses
+    * to (type, day) cells in one partial agg; the sequential fold runs
+    * per type over its OWN day array (days-bounded, the one
+    * unavoidably-ordered recursion), never over events.
+    */
+  def holtWintersForecast(events: DataFrame, period: Int = 7): DataFrame = {
+    require(period >= 2 && period <= 31)
+    val OFF = "2251799813685248L"
+    val OF2 = "1125899906842624L"
+    val sSel = (0 until period).map(k =>
+      s"WHEN $k THEN acc.s$k").mkString(
+      "(CASE CAST(e.i % " + period + " AS INT) ", " ", " END)")
+    val lp = s"(((e.x * 1000000L - $sSel) + acc.l + acc.t + $OFF)" +
+      s" div 2 - $OF2)"
+    val tp = s"((acc.t + $lp - acc.l + $OFF) div 2 - $OF2)"
+    val sUpd = (0 until period).map(k =>
+      s"'s$k', (CASE WHEN e.i % $period = $k THEN" +
+        s" ((acc.s$k + (e.x * 1000000L - $lp) + $OFF) div 2 - $OF2)" +
+        s" ELSE acc.s$k END)").mkString(", ")
+    val sInit = (0 until period).map(k => s"'s$k', 0L").mkString(", ")
+    val fcSel = (0 until period).map(k =>
+      s"WHEN $k THEN fit.s$k").mkString(
+      "(CASE CAST(size(xs) % " + period + " AS INT) ", " ", " END)")
+    dailyGrid(events)
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("x"))))
+        .as("days"))
+      .withColumn("xs", expr("transform(days, d -> d.x)"))
+      // transform's 0-based index == (1-based day row − 1): slot j of
+      // SQL row i is (i−1) mod period on both sides
+      .withColumn("ix", expr(
+        "transform(xs, (x, i) -> named_struct('i', CAST(i AS BIGINT)," +
+          " 'x', x))"))
+      .withColumn("fit", expr(
+        s"""aggregate(
+             slice(ix, 2, size(ix) - 1),
+             named_struct('l', xs[0] * 1000000L, 't', 0L, $sInit),
+             (acc, e) -> named_struct('l', $lp, 't', $tp, $sUpd))"""))
+      .select(
+        Seq(col("event_type"), size(col("xs")).cast("long").as("n_days"),
+          col("fit.l").as("level_e6"), col("fit.t").as("trend_e6")) ++
+          (0 until period).map(k => col(s"fit.s$k").as(s"s${k}_e6")) :+
+          expr(s"fit.l + fit.t + $fcSel").as("fc1_e6"): _*)
+      .orderBy("event_type")
+  }
+
   /** Cohort LTV matrix: per signup cohort (first-event week) and
     * week-age, active users, period revenue, CUMULATIVE revenue, and
     * cumulative revenue per cohort member — the money sibling of

@@ -743,6 +743,25 @@ class EventsSpec extends SparkSpec {
       "one-day span surfaces NULLs, never a divide-by-zero")
   }
 
+  test("holtWintersForecast learns the weekly dip into its seasonal cell") {
+    import spark.implicits._
+    val day = 86400000000000L
+    // 28 days of 8 events, dipping to 1 on every day ≡ 0 (mod 7);
+    // grid row i (1-based) = d + 1, so slot (i−1) mod 7 == d mod 7
+    val ev = for (d <- 0 until 28; i <- 0 until (if (d % 7 == 0) 1 else 8))
+      yield (d * day + i, "a")
+    val r = Events.holtWintersForecast(ev.toDF("ts", "event_type"))
+      .collect().head
+    assert(r.getAs[Long]("n_days") == 28L)
+    val s = (0 until 7).map(k => r.getAs[Long](s"s${k}_e6"))
+    assert(s(0) == s.min && s(0) < -1000000L,
+      s"dip slot 0 must carry the most negative seasonal cell: $s")
+    assert(s.tail.forall(_ > s(0)))
+    // day 29 lands on the dip slot (28 % 7 == 0): the one-step forecast
+    // must predict BELOW the level — the thing trend-only Holt cannot do
+    assert(r.getAs[Long]("fc1_e6") < r.getAs[Long]("level_e6"))
+  }
+
   test("crossCorrelation finds the planted lead at the right lag") {
     import spark.implicits._
     val day = 86400000000000L
