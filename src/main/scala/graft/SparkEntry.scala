@@ -1223,6 +1223,18 @@ object SparkEntry {
       Events.joinAsOf(probe, state, "user_id", "ts", Seq("value"))
         .orderBy("event_id")
     }),
+    // --- forward as-of: each non-purchase event enriched with the NEXT
+    // purchase state at or after it (time-to-next-state / leakage audit)
+    "events_asof_forward" -> ((s, dir) => {
+      val ev = rdEvents(s, dir)
+        .withColumn("ts", expr("ts div 1000"))
+      val probe = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val state = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      Events.joinAsOfForward(probe, state, "user_id", "ts", Seq("value"))
+        .orderBy("event_id")
+    }),
     // --- feature-store point-in-time join: purchases enriched with the
     // latest prior view value AND the cumulative click count as-of the
     // purchase — two composed joinAsOf passes over (user,ts)-unique
@@ -7184,6 +7196,21 @@ object SparkEntry {
         |  s.ts AS asof_time, s.value AS asof_value
         |FROM probe p ASOF LEFT JOIN state s
         |  ON p.user_id = s.user_id AND s.ts <= p.ts
+        |ORDER BY event_id""".stripMargin,
+    // forward twin: DuckDB ASOF accepts the >= direction natively
+    // (nearest FOLLOWING state, inclusive at equal timestamps)
+    "events_asof_forward" ->
+      """WITH probe AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts FROM events
+        |  WHERE event_type <> 'purchase'
+        |), state AS (
+        |  SELECT user_id, epoch_us(ts) AS ts, value FROM events
+        |  WHERE event_type = 'purchase'
+        |)
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  s.ts AS next_time, s.value AS next_value
+        |FROM probe p ASOF LEFT JOIN state s
+        |  ON p.user_id = s.user_id AND s.ts >= p.ts
         |ORDER BY event_id""".stripMargin,
     // SCD2-PIT twin: identical change-log staging + collapse, ASOF LEFT
     // JOIN against version valid_from (intervals partition time, so

@@ -160,6 +160,49 @@ object Events {
         stateCols.map(c => col(s"asof_$c")): _*)
   }
 
+  /** Forward as-of join — each probe row enriched with the EARLIEST
+    * state at or after its time (the mirror of [[joinAsOf]]'s latest
+    * prior): the next-version lookup, the time-to-next-state feature,
+    * and the label-leakage audit ("which future row would this feature
+    * have leaked from"). Same union-tag single-window design — one
+    * (key)-partitioned sort shared by probe and state, state bounded by
+    * O(1) per row — with probes sorted BEFORE same-timestamp states so
+    * the match is inclusive (state.ts ≥ probe.ts), the exact twin of a
+    * forward ASOF join.
+    */
+  def joinAsOfForward(left: DataFrame, right: DataFrame, keyCol: String,
+                      timeCol: String, stateCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val leftCols = left.columns.toSeq
+    val probe = left.select(
+      leftCols.map(col) ++
+        Seq(lit(1).as("_tag"), lit(null).cast("long").as("_rt")) ++
+        stateCols.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(s"next_$c")): _*)
+    val state = right.select(
+      leftCols.map {
+        case k if k == keyCol  => col(keyCol)
+        case t if t == timeCol => col(timeCol)
+        case other => lit(null).cast(left.schema(other).dataType).as(other)
+      } ++
+        Seq(lit(2).as("_tag"), col(timeCol).cast("long").as("_rt")) ++
+        stateCols.map(c => col(c).as(s"next_$c")): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol), col("_tag"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = stateCols.foldLeft(
+      probe.unionByName(state)
+        .withColumn("next_time",
+          first(col("_rt"), ignoreNulls = true).over(w))
+    ) { (df, c) =>
+      df.withColumn(s"next_$c",
+        first(col(s"next_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("_tag") === 1)
+      .select(leftCols.map(col) ++ Seq(col("next_time")) ++
+        stateCols.map(c => col(s"next_$c")): _*)
+  }
+
   /** Ordered funnel conversion — how many users reached step 1, then step
     * 2 strictly after their step-1 time, and so on (the product-analytics
     * staple the reference's consumers run downstream of event loads).

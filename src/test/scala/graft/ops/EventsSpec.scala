@@ -743,6 +743,24 @@ class EventsSpec extends SparkSpec {
       "one-day span surfaces NULLs, never a divide-by-zero")
   }
 
+  test("joinAsOfForward picks the earliest state at or after the probe") {
+    import spark.implicits._
+    val probe = Seq((1L, 1L, 5L), (2L, 1L, 10L), (3L, 1L, 20L),
+      (4L, 2L, 1L)).toDF("event_id", "user_id", "ts")
+    val state = Seq((1L, 10L, 100.0), (1L, 15L, 150.0))
+      .toDF("user_id", "ts", "value")
+    val out = Events.joinAsOfForward(probe, state, "user_id", "ts",
+        Seq("value"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(1L) == ((Some(10L), Some(100.0))), "next state after t=5")
+    assert(out(2L) == ((Some(10L), Some(100.0))),
+      "equal-timestamp state matches (inclusive)")
+    assert(out(3L) == ((None, None)), "no future state -> NULLs")
+    assert(out(4L) == ((None, None)), "other user never leaks")
+  }
+
   test("holtWintersForecast learns the weekly dip into its seasonal cell") {
     import spark.implicits._
     val day = 86400000000000L
