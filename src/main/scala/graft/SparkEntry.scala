@@ -698,6 +698,11 @@ object SparkEntry {
         .orderBy("source")),
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(rd(s, dir, "documents")).orderBy("a_id", "b_id")),
+    // --- TF-weighted jaccard: Σmin/Σmax over 3-gram multiplicities,
+    // closed by the one posting join (Σmax = a+b−Σmin), integer ppm
+    "dedup_jaccard_weighted" -> ((s, dir) =>
+      Dedup.weightedJaccard(rd(s, dir, "documents"))
+        .orderBy("a_id", "b_id")),
     // --- exact duplicated-substring spans (relational ExactSubstr)
     "dedup_spans" -> ((s, dir) =>
       Dedup.duplicatedSpans(rd(s, dir, "documents"), 5)
@@ -5824,6 +5829,45 @@ object SparkEntry {
         |JOIN sizes sa ON pairs.a_id = sa.doc_id
         |JOIN sizes sb ON pairs.b_id = sb.doc_id
         |WHERE CAST(common AS DOUBLE) / CAST(sa.set_size + sb.set_size - common AS DOUBLE) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    // weightedJaccard twin: same grams WITHOUT list_distinct (tf keeps
+    // multiplicity), Σ least(tf, tf) per pair, integer ppm close
+    "dedup_jaccard_weighted" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(
+        |    list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS token
+        |  FROM toks WHERE len(t) >= 3
+        |), tf AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM sh GROUP BY 1, 2
+        |), pruned AS (
+        |  SELECT doc_id, token, tf FROM (
+        |    SELECT doc_id, token, tf,
+        |      count(*) OVER (PARTITION BY token) AS df
+        |    FROM tf) WHERE df <= 25
+        |), sizes AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS w_size
+        |  FROM pruned GROUP BY 1
+        |), pairs AS (
+        |  SELECT l.doc_id AS a_id, r.doc_id AS b_id,
+        |    CAST(sum(least(l.tf, r.tf)) AS BIGINT) AS common_w
+        |  FROM pruned l JOIN pruned r
+        |    ON l.token = r.token AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.a_id AS a_id, p.b_id AS b_id, p.common_w AS common_w,
+        |  sa.w_size AS a_w, sb.w_size AS b_w,
+        |  CAST(1000000 * p.common_w
+        |    // (sa.w_size + sb.w_size - p.common_w) AS BIGINT) AS jw_ppm
+        |FROM pairs p
+        |JOIN sizes sa ON sa.doc_id = p.a_id
+        |JOIN sizes sb ON sb.doc_id = p.b_id
+        |WHERE 1000000 * p.common_w
+        |    // (sa.w_size + sb.w_size - p.common_w) >= 300000
         |ORDER BY a_id, b_id""".stripMargin,
     // duplicated 5-gram positions → interval union per doc (same island
     // windows as the Spark side — all-integer, hash-exact)

@@ -237,6 +237,55 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** TF-WEIGHTED Jaccard near-dup — [[ngramJaccard]] with multiplicity:
+    * J_w(A,B) = Σ_t min(tf_A, tf_B) / Σ_t max(tf_A, tf_B) over 3-gram
+    * term frequencies (`graft_ngrams` — ALL grams, duplicates kept),
+    * the bag-of-n-grams similarity that set-Jaccard
+    * flattens (a doc that repeats one template line 50 times and one
+    * that says it once are "identical" to the set form; the weighted
+    * form sees the mass). Exact and division-free until the close:
+    * Σ max == size_A + size_B − Σ min (summing max over the union), so
+    * the ONE posting join computing Σ min(tf, tf) per pair closes the
+    * whole similarity — no second pass, no per-pair re-join (the
+    * jaccard_prefix rule), and the ppm emission is portable integer
+    * division.
+    *
+    * Scale shape: identical to [[ngramJaccard]] — tf profiles from one
+    * (doc, token) partial agg, df-pruning via the count-over-window
+    * form (df counts DOCS, not occurrences — tf profiles are already
+    * one row per (doc, token)), pair aggregation keyed on the token.
+    * The same duplication-quadratic pair-OUTPUT caveat applies at low
+    * τ on undeduped corpora — run after exact dedup (PLANS r10).
+    */
+  def weightedJaccard(docs: DataFrame, tauPpm: Long = 300000L,
+                      dfMax: Int = 25): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"),
+        explode(expr("graft_ngrams(text, 3)")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val pruned = tf
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("token")))
+      .filter(col("df") <= dfMax)
+      .drop("df")
+    val sizes = pruned.groupBy("doc_id").agg(sum(col("tf")).as("w_size"))
+    val pairs = pruned.as("l")
+      .join(pruned.as("r"), col("l.token") === col("r.token") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
+      .agg(sum(least(col("l.tf"), col("r.tf"))).as("common_w"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("w_size", "a_w"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("w_size", "b_w"), "b_id")
+      .withColumn("jw_ppm", expr(
+        "1000000L * common_w div (a_w + b_w - common_w)"))
+      .filter(col("jw_ppm") >= tauPpm)
+      .select(col("a_id"), col("b_id"), col("common_w"), col("a_w"),
+        col("b_w"), col("jw_ppm"))
+  }
+
   /** Incremental exact dedup: a new batch against an existing checksum
     * index — the rolling-ingestion shape (daily crawl vs everything
     * already in the corpus). Within-batch dedup first (keep lowest

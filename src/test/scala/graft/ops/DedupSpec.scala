@@ -22,6 +22,22 @@ class DedupSpec extends SparkSpec {
     assert(first.getAs[Long]("n_copies") == 2L)
   }
 
+  test("weightedJaccard counts gram multiplicity where set-jaccard can't") {
+    import spark.implicits._
+    // A's grams: "a b c"×2, "b c a", "c a b" (w=4); B: "a b c"×1 (w=1)
+    // Σmin = 1, Σmax = 4+1−1 = 4 → J_w = 250000 ppm; the SET form would
+    // say 1/3 — the weighted form sees A's repetition
+    val docs = Seq((1L, "a b c a b c"), (2L, "a b c"))
+      .toDF("doc_id", "text")
+    val out = Dedup.weightedJaccard(docs, tauPpm = 100000L).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getAs[Long]("common_w") == 1L)
+    assert(r.getAs[Long]("a_w") == 4L && r.getAs[Long]("b_w") == 1L)
+    assert(r.getAs[Long]("jw_ppm") == 250000L)
+  }
+
   test("ngramJaccard finds exact and near duplicates, skips unrelated") {
     val pairs = Dedup.ngramJaccard(docs, tau = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
