@@ -2015,6 +2015,27 @@ object SparkEntry {
         "sens", k = 5, l = 2)
         .orderBy("nation", "segment", "bal_band")
     }),
+    // --- k-anonymity ENFORCEMENT: minimal full-domain generalization
+    // over the fixed 5-level (nation, segment, balance-band) ladder;
+    // releases the class table at the first level with no class < k
+    "privacy_generalize" -> ((s, dir) => {
+      val base = rd(s, dir, "customer").select(
+        col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("seg"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+          .as("bal"))
+      val levels = Seq(
+        expr("concat(CAST(nation AS STRING), '|', seg, '|'," +
+          " CAST((bal + 1000000L) div 10000L AS STRING))"),
+        expr("concat(CAST(nation AS STRING), '|', seg, '|'," +
+          " CAST((bal + 1000000L) div 100000L AS STRING))"),
+        expr("concat(CAST(nation AS STRING), '|*|'," +
+          " CAST((bal + 1000000L) div 100000L AS STRING))"),
+        expr("concat(CAST(nation div 5L AS STRING), '|*|'," +
+          " CAST((bal + 1000000L) div 1000000L AS STRING))"),
+        lit("*|*|*"))
+      Privacy.generalizeKAnon(base, levels, k = 10L)
+    }),
     // --- salted md5-prefix pseudonymization; output keyed on the
     // pseudonym only (the point), counts + checksum prove the mapping
     "privacy_pseudo" -> ((s, dir) => {
@@ -9274,6 +9295,69 @@ object SparkEntry {
         |  count(DISTINCT sens) < 2 AS violates_l
         |FROM c GROUP BY nation, segment, bal_band
         |ORDER BY nation, segment, bal_band""".stripMargin,
+    // generalizeKAnon twin: same 5 serialized ladder levels, per-level
+    // violation mass, COALESCE(first clean level, coarsest), class
+    // rollup at the chosen level via the same CASE pick
+    "privacy_generalize" ->
+      """WITH base AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |    c_mktsegment AS seg,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal
+        |  FROM customer
+        |), keyed AS (
+        |  SELECT
+        |    CAST(nation AS VARCHAR) || '|' || seg || '|' ||
+        |      CAST((bal + 1000000) // 10000 AS VARCHAR) AS q0,
+        |    CAST(nation AS VARCHAR) || '|' || seg || '|' ||
+        |      CAST((bal + 1000000) // 100000 AS VARCHAR) AS q1,
+        |    CAST(nation AS VARCHAR) || '|*|' ||
+        |      CAST((bal + 1000000) // 100000 AS VARCHAR) AS q2,
+        |    CAST(nation // 5 AS VARCHAR) || '|*|' ||
+        |      CAST((bal + 1000000) // 1000000 AS VARCHAR) AS q3,
+        |    '*|*|*' AS q4
+        |  FROM base
+        |), s0 AS (
+        |  SELECT CAST(0 AS BIGINT) AS lvl,
+        |    CAST(COALESCE(SUM(CASE WHEN n < 10 THEN n END), 0) AS BIGINT)
+        |      AS viol
+        |  FROM (SELECT q0, CAST(count(*) AS BIGINT) AS n
+        |        FROM keyed GROUP BY 1)
+        |), s1 AS (
+        |  SELECT CAST(1 AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN n < 10 THEN n END), 0) AS BIGINT)
+        |  FROM (SELECT q1, CAST(count(*) AS BIGINT) AS n
+        |        FROM keyed GROUP BY 1)
+        |), s2 AS (
+        |  SELECT CAST(2 AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN n < 10 THEN n END), 0) AS BIGINT)
+        |  FROM (SELECT q2, CAST(count(*) AS BIGINT) AS n
+        |        FROM keyed GROUP BY 1)
+        |), s3 AS (
+        |  SELECT CAST(3 AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN n < 10 THEN n END), 0) AS BIGINT)
+        |  FROM (SELECT q3, CAST(count(*) AS BIGINT) AS n
+        |        FROM keyed GROUP BY 1)
+        |), s4 AS (
+        |  SELECT CAST(4 AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN n < 10 THEN n END), 0) AS BIGINT)
+        |  FROM (SELECT q4, CAST(count(*) AS BIGINT) AS n
+        |        FROM keyed GROUP BY 1)
+        |), stats AS (
+        |  SELECT * FROM s0 UNION ALL SELECT * FROM s1
+        |  UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+        |  UNION ALL SELECT * FROM s4
+        |), chosen AS (
+        |  SELECT COALESCE(min(CASE WHEN viol = 0 THEN lvl END), max(lvl))
+        |    AS lvl
+        |  FROM stats
+        |)
+        |SELECT c.lvl AS lvl,
+        |  CASE c.lvl WHEN 0 THEN q0 WHEN 1 THEN q1 WHEN 2 THEN q2
+        |    WHEN 3 THEN q3 WHEN 4 THEN q4 END AS qid,
+        |  CAST(count(*) AS BIGINT) AS class_size,
+        |  count(*) < 10 AS suppressed
+        |FROM keyed, chosen c
+        |GROUP BY 1, 2 ORDER BY qid""".stripMargin,
     "shard_manifest" ->
       """WITH a AS (
         |  SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Privacy operations a production training pipeline must run before
@@ -147,5 +147,49 @@ object Privacy {
           lit(32)).cast("long"))
       .withColumn("released", greatest(col("n_true") + col("noise"), lit(0L)))
       .select(groupCols.map(col) :+ col("released"): _*)
+  }
+
+  /** k-anonymity ENFORCEMENT by minimal full-domain generalization —
+    * the transform next to [[kAnonymityAudit]]'s check: given a FIXED
+    * generalization ladder (each `levels(l)` serializes the
+    * quasi-identifier tuple at coarseness l; level 0 finest, last level
+    * coarsest), release the equivalence classes at the SMALLEST level
+    * where no class falls below k. Deterministic by construction (no
+    * search heuristics — a fixed single-path ladder is the auditable
+    * form; a lattice search trades reproducibility for utility), so the
+    * published coarsening is stable across reruns and engines. If even
+    * the coarsest level violates (n < k total), its residual classes
+    * are flagged `suppressed` rather than silently released.
+    *
+    * Scale shape: the corpus projects once to the L serialized keys
+    * (checkpointed — referenced L+1 times), each level costs one
+    * partial-aggregated groupBy whose ROW count is the class space, the
+    * level election is an L-row union of one-row aggregates, and the
+    * final class rollup crosses the one-row choice back in (broadcast).
+    * L is a handful by construction.
+    */
+  def generalizeKAnon(df: DataFrame, levels: Seq[Column],
+                      k: Long): DataFrame = {
+    require(levels.nonEmpty && k >= 1)
+    val keyed = df.select(levels.zipWithIndex.map {
+      case (c, l) => c.as(s"q$l")
+    }: _*).localCheckpoint(true)
+    val stats = levels.indices.map { l =>
+      keyed.groupBy(col(s"q$l")).agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(when(col("n") < k, col("n"))), lit(0L))
+          .as("viol"))
+        .select(lit(l.toLong).as("lvl"), col("viol"))
+    }.reduce(_ unionByName _)
+    val chosen = stats.agg(
+        min(when(col("viol") === 0, col("lvl"))).as("l0"),
+        max(col("lvl")).as("lmax"))
+      .select(coalesce(col("l0"), col("lmax")).as("lvl"))
+    val pick = levels.indices.map(l => s"WHEN $l THEN q$l")
+      .mkString("CASE lvl ", " ", " END")
+    keyed.crossJoin(broadcast(chosen))
+      .select(col("lvl"), expr(pick).as("qid"))
+      .groupBy(col("lvl"), col("qid")).agg(count(lit(1)).as("class_size"))
+      .withColumn("suppressed", col("class_size") < k)
+      .orderBy("qid")
   }
 }

@@ -82,4 +82,35 @@ class PrivacySpec extends SparkSpec {
     assert(math.abs(noise("click")) <= 32L)
   }
 
+
+  test("generalizeKAnon picks the smallest level with no class under k") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, expr, lit}
+    // zip-like QID: 6 rows in '11x', 6 in '12x' — full zip classes of 3
+    // violate k=5; the 2-digit prefix level makes classes of 6; the
+    // 1-digit level would over-generalize and must NOT be chosen
+    val rows = Seq("111", "111", "111", "112", "112", "112",
+      "121", "121", "121", "122", "122", "122").toDF("zip")
+    val levels = Seq(col("zip"),
+      concat(expr("substring(zip, 1, 2)"), lit("*")),
+      concat(expr("substring(zip, 1, 1)"), lit("**")))
+    val out = Privacy.generalizeKAnon(rows, levels, k = 5L)
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(0), r.getAs[Long]("class_size"),
+          r.getAs[Boolean]("suppressed"))).toMap
+    assert(out.keySet == Set("11*", "12*"), s"wrong level: ${out.keySet}")
+    assert(out("11*") == ((1L, 6L, false)) && out("12*") == ((1L, 6L, false)))
+  }
+
+  test("generalizeKAnon falls back to the coarsest level, flags residuals") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // 3 rows total: even '*' can't reach k=5 -> coarsest level, suppressed
+    val rows = Seq("a", "b", "c").toDF("v")
+    val out = Privacy.generalizeKAnon(rows,
+        Seq(col("v"), lit("*")), k = 5L).collect()
+    assert(out.length == 1)
+    assert(out.head.getString(1) == "*" && out.head.getLong(0) == 1L)
+    assert(out.head.getAs[Boolean]("suppressed"))
+  }
 }
