@@ -2546,6 +2546,10 @@ object SparkEntry {
     // positive-offset floors) over the daily grid; recursive-CTE twin
     "events_holt" -> ((s, dir) =>
       Events.holtForecast(rdEvents(s, dir))),
+    // --- uplift-by-decile (Qini curve): pre-period-spend score deciles,
+    // treated/control conversion rates + running cumulative uplift
+    "events_uplift" -> ((s, dir) =>
+      Events.upliftDeciles(rdEvents(s, dir))),
     // --- Holt–Winters additive: the holt recursion plus 7 weekly
     // seasonal cells, slot (i−1) mod 7, same bit-shift halvings
     "events_holt_winters" -> ((s, dir) =>
@@ -6401,6 +6405,60 @@ object SparkEntry {
     "graph_anf" -> anfOracleSql(maxHops = 2, b = 6),
     "graph_anf_radius" -> anfRadiusOracleSql(maxHops = 2, b = 6),
     "events_holt_winters" -> holtWintersOracleSql(period = 7),
+    // upliftDeciles twin: same midpoint split, md5-nibble treatment,
+    // pinned-order ntile, ppm rate differences over the decile frame
+    "events_uplift" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), span AS (
+        |  SELECT min(day) AS d0, max(day) AS d1 FROM ev
+        |), pu AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN day < (d0 + d1 + 1) // 2
+        |      THEN cents ELSE 0 END) AS BIGINT) AS score,
+        |    CAST(MAX(CASE WHEN day >= (d0 + d1 + 1) // 2
+        |      AND event_type = 'purchase' AND cents > 18000
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS converted
+        |  FROM ev, span GROUP BY user_id
+        |), t AS (
+        |  SELECT *,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |      AS BIGINT) >= 8 AS treated,
+        |    CAST(ntile(10) OVER (ORDER BY score DESC, user_id)
+        |      AS BIGINT) AS decile
+        |  FROM pu
+        |), d AS (
+        |  SELECT decile,
+        |    CAST(COALESCE(SUM(CASE WHEN treated THEN 1 END), 0)
+        |      AS BIGINT) AS n_treated,
+        |    CAST(COALESCE(SUM(CASE WHEN NOT treated THEN 1 END), 0)
+        |      AS BIGINT) AS n_control,
+        |    CAST(COALESCE(SUM(CASE WHEN treated THEN converted END), 0)
+        |      AS BIGINT) AS conv_treated,
+        |    CAST(COALESCE(SUM(CASE WHEN NOT treated THEN converted END),
+        |      0) AS BIGINT) AS conv_control
+        |  FROM t GROUP BY 1
+        |), c AS (
+        |  SELECT *,
+        |    CAST(SUM(conv_treated) OVER w AS BIGINT) AS ct,
+        |    CAST(SUM(conv_control) OVER w AS BIGINT) AS cc,
+        |    CAST(SUM(n_treated) OVER w AS BIGINT) AS nt,
+        |    CAST(SUM(n_control) OVER w AS BIGINT) AS nc
+        |  FROM d WINDOW w AS (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT decile, n_treated, n_control, conv_treated, conv_control,
+        |  (CASE WHEN n_treated = 0 THEN NULL
+        |     ELSE 1000000 * conv_treated // n_treated END)
+        |  - (CASE WHEN n_control = 0 THEN NULL
+        |     ELSE 1000000 * conv_control // n_control END) AS uplift_ppm,
+        |  (CASE WHEN nt = 0 THEN NULL ELSE 1000000 * ct // nt END)
+        |  - (CASE WHEN nc = 0 THEN NULL ELSE 1000000 * cc // nc END)
+        |    AS cum_uplift_ppm
+        |FROM c ORDER BY decile""".stripMargin,
     "graph_coreness" -> corenessOracleSql(rounds = 6),
     "graph_louvain" -> louvainOracleSql(rounds = 6),
     "linkage_em" -> emLinkageOracleSql(rounds = 2,

@@ -1485,6 +1485,76 @@ object Events {
         col("mean_y_a_c"), col("mean_y_b_c"), col("raw_lift_c"))
   }
 
+  /** Uplift-by-decile (Qini-style) readout — does the targeting score
+    * actually find the users the TREATMENT moves, not just the users
+    * who convert anyway (the incrementality question a raw conversion
+    * model can't answer). Users are ranked by the score (here: the
+    * CUPED pre-period spend — any model score drops in), cut into
+    * ntile deciles with a PINNED total order (score DESC, user_id —
+    * the r6 rule: ntile agrees between engines given a total order),
+    * and each decile reports treated/control conversion rates, their
+    * difference, and the running cumulative uplift — the curve whose
+    * area is the Qini coefficient.
+    *
+    * Exactness: conversion is a 0/1 high-value (> $180, exact
+    * cents) post-midpoint purchase flag,
+    * variant the md5-nibble split, every rate a ppm integer division
+    * (all operands non-negative), empty cells surface NULL. Scale
+    * shape: one event scan → per-user partial agg; the ntile sort runs
+    * over the per-USER frame (already |users|, not events — the one
+    * total-order pass, same class as percentile-rank normalization);
+    * everything after lives on the 10-row decile frame.
+    */
+  def upliftDeciles(events: DataFrame, deciles: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(deciles >= 2)
+    val ev = events.select(col("user_id"), col("event_type"),
+      expr("(ts div 1000) div 86400000000").as("day"),
+      floor(col("value") * 100).cast("long").as("cents"))
+    // bounded: one-row day span for the midpoint split (cuped recipe)
+    val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val perUser = ev.crossJoin(broadcast(span))
+      .withColumn("mid", expr("(d0 + d1 + 1) div 2"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("day") < col("mid"), col("cents")).otherwise(0L))
+          .as("score"),
+        max(when(col("day") >= col("mid") &&
+          col("event_type") === "purchase" && col("cents") > 18000L, 1L)
+          .otherwise(0L)).as("converted"))
+      .withColumn("treated", expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 1), 16, 10)" +
+          " AS BIGINT) >= 8"))
+    val byDecile = perUser
+      .withColumn("decile", ntile(deciles).over(
+        Window.orderBy(col("score").desc, col("user_id"))).cast("long"))
+      .groupBy(col("decile"))
+      .agg(
+        coalesce(sum(when(col("treated"), 1L)), lit(0L)).as("n_treated"),
+        coalesce(sum(when(!col("treated"), 1L)), lit(0L)).as("n_control"),
+        coalesce(sum(when(col("treated"), col("converted"))), lit(0L))
+          .as("conv_treated"),
+        coalesce(sum(when(!col("treated"), col("converted"))), lit(0L))
+          .as("conv_control"))
+    val cum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def rate(c: String, n: String) = expr(
+      s"CASE WHEN $n = 0 THEN NULL ELSE 1000000L * $c div $n END")
+    byDecile
+      .withColumn("ct", sum(col("conv_treated")).over(cum))
+      .withColumn("cc", sum(col("conv_control")).over(cum))
+      .withColumn("nt", sum(col("n_treated")).over(cum))
+      .withColumn("nc", sum(col("n_control")).over(cum))
+      .withColumn("uplift_ppm",
+        rate("conv_treated", "n_treated") -
+          rate("conv_control", "n_control"))
+      .withColumn("cum_uplift_ppm", rate("ct", "nt") - rate("cc", "nc"))
+      .select(col("decile"), col("n_treated"), col("n_control"),
+        col("conv_treated"), col("conv_control"), col("uplift_ppm"),
+        col("cum_uplift_ppm"))
+      .orderBy("decile")
+  }
+
   def peakConcurrency(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val iv = events

@@ -743,6 +743,35 @@ class EventsSpec extends SparkSpec {
       "one-day span surfaces NULLs, never a divide-by-zero")
   }
 
+  test("upliftDeciles: planted treated-only conversions read 1e6 uplift") {
+    import spark.implicits._
+    val day = 86400000000000L
+    def treated(u: Long): Boolean = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      ((h(0) >> 4) & 0xf) >= 8
+    }
+    val users = (1L to 40L).toSeq
+    // pre-period activity = the score; post-period: ONLY treated users
+    // make a high-value purchase
+    val ev = users.map(u => (u, "view", 0L * day + u, u.toDouble)) ++
+      users.filter(treated).map(u =>
+        (u, "purchase", 10L * day + u, 500.0))
+    val out = Events.upliftDeciles(
+        ev.toDF("user_id", "event_type", "ts", "value"), deciles = 4)
+      .collect()
+    assert(out.length == 4)
+    for (r <- out) {
+      val up = Option(r.get(r.fieldIndex("uplift_ppm")))
+        .map(_.asInstanceOf[Long])
+      assert(up.forall(_ == 1000000L),
+        s"decile ${r.getLong(0)}: planted uplift must be exactly 1e6, " +
+          s"got $up")
+    }
+    val last = out.last
+    assert(last.getAs[Long]("cum_uplift_ppm") == 1000000L)
+  }
+
   test("joinAsOfForward picks the earliest state at or after the probe") {
     import spark.implicits._
     val probe = Seq((1L, 1L, 5L), (2L, 1L, 10L), (3L, 1L, 20L),
