@@ -1698,6 +1698,11 @@ object SparkEntry {
       Sampling.weightedSample(rd(s, dir, "documents")
         .withColumn("w", expr("1L + n_chars div 64")),
         "doc_id", "w", 64)),
+    // --- word2vec-style negative sampling: unigram^(3/4) smoothing via
+    // portable sqrt(f*sqrt(f)), cumulative-range categorical draws,
+    // cell-binned containment (never a BNLJ), collisions flagged
+    "sample_negatives" -> ((s, dir) =>
+      Sampling.negativeSamples(rd(s, dir, "documents"))),
     // --- leave-one-out target encoding of source against the EN label
     "docs_target_encode" -> ((s, dir) =>
       Sampling.targetEncodeLOO(rd(s, dir, "documents")
@@ -5488,6 +5493,56 @@ object SparkEntry {
         |    * CAST('1000000' AS DOUBLE)) AS BIGINT) AS cramer_ppm
         |FROM agg""".stripMargin,
     // A-ES twin: UNNEST(range(w)) replicas, same md5 minima, same top-k
+    // negativeSamples twin: same smoothed integer weights and md5 draw
+    // points; the oracle skips the cell routing (it only ROUTES — the
+    // matched range is identical) and joins the containment directly
+    "sample_negatives" ->
+      """WITH counts AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS f FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS token FROM documents)
+        |  WHERE length(token) > 0 GROUP BY 1
+        |), top AS (
+        |  SELECT token, f FROM counts ORDER BY f DESC, token LIMIT 20
+        |), mx AS (
+        |  SELECT max(sqrt(CAST(f AS DOUBLE) * sqrt(CAST(f AS DOUBLE))))
+        |    AS m FROM top
+        |), w AS (
+        |  SELECT token,
+        |    GREATEST(1, CAST(floor(CAST('1000' AS DOUBLE)
+        |      * sqrt(CAST(f AS DOUBLE) * sqrt(CAST(f AS DOUBLE))) / m)
+        |      AS BIGINT)) AS w
+        |  FROM top, mx
+        |), ranges AS (
+        |  SELECT token, w, CAST(SUM(w) OVER (ORDER BY token
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS hi
+        |  FROM w
+        |), r2 AS (
+        |  SELECT token, hi - w AS lo, hi FROM ranges
+        |), tot AS (
+        |  SELECT max(hi) AS wsum FROM r2
+        |), pairs AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS center,
+        |    t[i + 1] AS context
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(lower(text)), '\s+') AS t
+        |        FROM documents WHERE doc_id < 50),
+        |    UNNEST(range(1, len(t) + 1)) AS u(i)
+        |  WHERE i < len(t)
+        |), probes AS (
+        |  SELECT p.doc_id, p.pos, p.center, p.context,
+        |    CAST(u.j AS BIGINT) AS j,
+        |    CAST('0x' || substr(md5('neg:' || CAST(p.doc_id AS VARCHAR)
+        |      || ':' || CAST(p.pos AS VARCHAR) || ':'
+        |      || CAST(u.j AS VARCHAR)), 1, 12) AS BIGINT) % t.wsum AS uu
+        |  FROM pairs p, UNNEST(range(0, 3)) AS u(j), tot t
+        |)
+        |SELECT p.doc_id AS doc_id, p.pos AS pos, p.center AS center,
+        |  p.context AS context, p.j AS j, r.token AS neg_token,
+        |  r.token = p.context AS is_collision
+        |FROM probes p JOIN r2 r ON p.uu >= r.lo AND p.uu < r.hi
+        |ORDER BY doc_id, pos, j""".stripMargin,
     "sample_weighted" ->
       """WITH w AS (
         |  SELECT doc_id, 1 + n_chars // 64 AS w FROM documents

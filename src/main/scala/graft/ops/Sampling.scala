@@ -562,4 +562,80 @@ object Sampling {
         col("delta_mean_e2"))
       .orderBy("source")
   }
+
+  /** Deterministic negative sampling for contrastive / word2vec-style
+    * training pairs: for every positive (center, context) skip-gram,
+    * draw k negatives from the unigram^(3/4)-smoothed vocabulary
+    * distribution — the Mikolov smoothing that keeps rare words
+    * sampleable without letting stopwords dominate. f^(3/4) computes as
+    * `sqrt(f·sqrt(f))` — IEEE sqrt/·//floor are all correctly rounded,
+    * so the smoothed weights are bit-identical in any engine (the one
+    * libm-free spelling of a fractional power).
+    *
+    * Sampling is the alias-table idea done relationally: integer
+    * weights (bounded resolution `res`, so the table is vocab-sized no
+    * matter the corpus) lay out cumulative [lo, hi) ranges; each draw
+    * is a salted md5 point u ∈ [0, W) that lands in exactly ONE range.
+    * The containment probe routes through fixed cells (the rangeJoin
+    * trick): ranges explode into the ≤64 cells they cover, probes
+    * equi-join on their cell, a codegen'd residual BETWEEN closes it —
+    * no BNLJ, no per-probe scan of the vocabulary. Collisions with the
+    * positive context are FLAGGED, never silently resampled (the
+    * undecided-leftovers convention).
+    *
+    * Scale shape: one corpus scan for counts, a top-V take, bounded
+    * range/cell frames broadcast; the probe frame is pairs×k rows
+    * moving through one hash join. Deterministic given (doc, pos, j).
+    */
+  def negativeSamples(docs: DataFrame, topV: Int = 20, k: Int = 3,
+                      res: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topV >= 2 && k >= 1 && res >= 1)
+    def f34(c: Column): Column = sqrt(c.cast("double") * sqrt(c.cast("double")))
+    val top = docs
+      .select(explode(TextAnalysis.tokensCol(lower(col("text"))))
+        .as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("token")).limit(topV)
+    val mx = top.agg(max(f34(col("f"))).as("m"))
+    val w = top.crossJoin(broadcast(mx))
+      .withColumn("w", greatest(lit(1L),
+        floor(lit(res.toDouble) * f34(col("f")) / col("m")).cast("long")))
+    // bounded: topV rows; feeds the total, the cells, and the verify
+    val ranges = w
+      .withColumn("hi", sum(col("w")).over(Window.orderBy("token")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("lo", col("hi") - col("w"))
+      .select(col("token").as("neg_token"), col("lo"), col("hi"))
+      .localCheckpoint(true)
+    val tot = ranges.agg(max(col("hi")).as("wsum"))
+      .withColumn("cw", expr("greatest(1L, wsum div 64L)"))
+    val cells = ranges.crossJoin(broadcast(tot))
+      .select(col("neg_token"), col("lo"), col("hi"),
+        explode(expr("sequence(lo div cw, (hi - 1) div cw)")).as("cell"))
+    val pairs = docs.filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokensCol(lower(col("text"))))
+          .as(Seq("pos", "center")))
+      .withColumn("context", lead(col("center"), 1).over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(col("context").isNotNull)
+    val probes = pairs
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("center"), col("context"),
+        explode(array((0 until k).map(j => lit(j.toLong)): _*)).as("j"))
+      .crossJoin(broadcast(tot))
+      .withColumn("u", expr(
+        "CAST(conv(substring(md5(concat('neg:', CAST(doc_id AS STRING)," +
+          " ':', CAST(pos AS STRING), ':', CAST(j AS STRING)))," +
+          " 1, 12), 16, 10) AS BIGINT) % wsum"))
+      .withColumn("cell", expr("u div cw"))
+    probes.join(cells, Seq("cell"))
+      .filter(col("u") >= col("lo") && col("u") < col("hi"))
+      .select(col("doc_id"), col("pos"), col("center"), col("context"),
+        col("j"), col("neg_token"),
+        (col("neg_token") === col("context")).as("is_collision"))
+      .orderBy("doc_id", "pos", "j")
+  }
 }

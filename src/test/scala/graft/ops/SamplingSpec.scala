@@ -355,4 +355,26 @@ class SamplingSpec extends SparkSpec {
     assert(out("a") == (25000L, 35000L, 0L, 10000L))
     assert(out("b") == (25000L, 15000L, 1000000L, -10000L))
   }
+
+  test("negativeSamples follows the smoothed weights, deterministically") {
+    import spark.implicits._
+    // 'big' dominates the unigram table (f=60 -> w=1000); the four
+    // rare tokens get the floor weight (f=1 -> w=46 each)
+    val docs = Seq((0L, ("big " * 60 + "rare small tiny word").trim))
+      .toDF("doc_id", "text")
+    val out = Sampling.negativeSamples(docs, topV = 5, k = 4)
+    val rows = out.collect()
+    assert(rows.length == 63 * 4, "63 pairs x 4 draws")
+    val byTok = rows.groupBy(_.getAs[String]("neg_token"))
+      .view.mapValues(_.length).toMap
+    assert(byTok("big") > rows.length / 2,
+      s"dominant token must dominate the draws: $byTok")
+    assert(byTok.keySet.subsetOf(Set("big", "rare", "small", "tiny",
+      "word")))
+    // md5 draws: a second run is bit-identical
+    val again = Sampling.negativeSamples(docs, topV = 5, k = 4).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // collisions with the positive context are flagged, present, honest
+    assert(rows.exists(_.getAs[Boolean]("is_collision")))
+  }
 }
