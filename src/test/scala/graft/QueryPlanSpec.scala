@@ -66,6 +66,13 @@ class QueryPlanSpec extends SparkSpec {
                         // close; the BFS itself is keyed joins only
       "events_cuped", // one-row day-span and one-row θ broadcasts onto
                       // the stream / per-user frame
+      "events_uplift", // the cuped one-row day-span broadcast onto the
+                       // event stream (decile close is bounded)
+      "privacy_generalize", // one-row chosen-level election crossed
+                            // back onto the QID key projection
+      "sample_negatives", // one-row (W, cell-width) total crossed onto
+                          // the topV range frame and the probe stream;
+                          // the draw itself is a cell-keyed HASH join
       "part_skyline", // one-row x-range for the grid prune; the frontier
                       // join itself is a keyed broadcast HASH join
       "graph_hits", // L1 normalization divides by a ONE-ROW integer total
