@@ -621,6 +621,32 @@ object Stress {
         (col("l_partkey") + 20000000L).as("dst"))
       graft.ops.Graph.kCore(e, 4, 5).count()
     }
+    time("graph_coreness_disjoint") {
+      val e = liGraph10.select(col("l_orderkey").as("src"),
+        (col("l_partkey") + 20000000L).as("dst"))
+      graft.ops.Graph.coreness(e, rounds = 6).count()
+    }
+    // landmark BFS cost is |landmarks|·reach, independent of the query
+    // pair count — the disjoint curve isolates the build from the
+    // (structure-densified) shared-dim reading
+    time("graph_landmark_disjoint") {
+      import org.apache.spark.sql.expressions.Window
+      val e = liGraph10.select(col("l_orderkey").as("src"),
+        (col("l_partkey") + 20000000L).as("dst")).distinct()
+      val lm = e.select(col("dst").as("id")).distinct()
+        .withColumn("h", md5(col("id").cast("string")))
+        .orderBy("h", "id").limit(4).select("id")
+      val ords = e.select(col("src").as("id")).distinct()
+        .withColumn("h", md5(col("id").cast("string")))
+        .orderBy("h", "id").limit(64)
+        .withColumn("rn", row_number().over(Window.orderBy("h", "id")))
+      val pairs = ords.filter(col("rn") % 2 === 1)
+        .select((col("rn") + 1).as("rn2"), col("id").as("u"))
+        .join(ords.filter(col("rn") % 2 === 0)
+          .select(col("rn").as("rn2"), col("id").as("v")), "rn2")
+        .select(col("u"), col("v"))
+      graft.ops.Graph.landmarkDistances(e, lm, pairs, maxHops = 4).count()
+    }
     time("graph_ktruss") {
       val li = liGraph10.filter(col("l_partkey") % okSpan % 4 === 0)
       graft.ops.Graph.kTruss(
