@@ -292,6 +292,20 @@ object SparkEntry {
           .as("query_text"))
       TextAnalysis.bm25TopK(docs, qs, 5).orderBy("query_id", "rank")
     }),
+    // --- persisted-inverted-index retrieval: stage the index, then the
+    // query path reads ONLY the md5 buckets the terms hash to
+    "search_indexed" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val staged = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_searchidx").toString
+      TextAnalysis.writeSearchIndex(docs, staged)
+      val qs = docs.filter(col("doc_id") < 5).select(
+        col("doc_id").as("query_id"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 5), " ")
+          .as("query_text"))
+      TextAnalysis.bm25TopKIndexed(s, staged, qs, 5)
+        .orderBy("query_id", "rank")
+    }),
     // --- retrieval eval card: bm25 vs the all-terms-present gold set
     "eval_retrieval" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
@@ -2755,6 +2769,41 @@ object SparkEntry {
     * bit-shift halvings, slot j = (i−1) mod period, one-step forecast
     * from the next slot's cell.
     */
+  private val bm25OracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+      |), lens AS (
+      |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks
+      |), tot AS (
+      |  SELECT CAST(sum(dl) AS BIGINT) AS corpus_len, count(*) AS n_docs FROM lens
+      |), q AS (
+      |  SELECT DISTINCT query_id, token FROM (
+      |    SELECT doc_id AS query_id, unnest(t[1:5]) AS token
+      |    FROM toks WHERE doc_id < 5)
+      |), tfa AS (
+      |  SELECT doc_id, token, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(t) AS token FROM toks)
+      |  GROUP BY 1, 2
+      |), d AS (
+      |  SELECT *, count(*) OVER (PARTITION BY token) AS df FROM tfa
+      |), sc AS (
+      |  SELECT q.query_id, d.doc_id,
+      |    CAST(sum(((1000000 // df) * 2200 * corpus_len * tf)
+      |      // (10 * corpus_len * tf + 3 * corpus_len + 9 * dl * n_docs))
+      |      AS BIGINT) AS score,
+      |    count(*) AS n_terms
+      |  FROM d JOIN q ON d.token = q.token
+      |  JOIN lens ON d.doc_id = lens.doc_id
+      |  CROSS JOIN tot
+      |  GROUP BY 1, 2
+      |), rk AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id) AS "rank"
+      |  FROM sc
+      |)
+      |SELECT query_id, CAST("rank" AS BIGINT) AS "rank", doc_id, score, n_terms
+      |FROM rk WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+
   private def holtWintersOracleSql(period: Int): String = {
     val OFF = "2251799813685248"
     val OF2 = "1125899906842624"
@@ -3884,40 +3933,10 @@ object SparkEntry {
         |    ELSE 2 * precision_ppm * recall_ppm
         |      // (precision_ppm + recall_ppm) END AS BIGINT) AS f1_ppm
         |FROM pr""".stripMargin,
-    "text_bm25" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
-        |), lens AS (
-        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks
-        |), tot AS (
-        |  SELECT CAST(sum(dl) AS BIGINT) AS corpus_len, count(*) AS n_docs FROM lens
-        |), q AS (
-        |  SELECT DISTINCT query_id, token FROM (
-        |    SELECT doc_id AS query_id, unnest(t[1:5]) AS token
-        |    FROM toks WHERE doc_id < 5)
-        |), tfa AS (
-        |  SELECT doc_id, token, count(*) AS tf FROM (
-        |    SELECT doc_id, unnest(t) AS token FROM toks)
-        |  GROUP BY 1, 2
-        |), d AS (
-        |  SELECT *, count(*) OVER (PARTITION BY token) AS df FROM tfa
-        |), sc AS (
-        |  SELECT q.query_id, d.doc_id,
-        |    CAST(sum(((1000000 // df) * 2200 * corpus_len * tf)
-        |      // (10 * corpus_len * tf + 3 * corpus_len + 9 * dl * n_docs))
-        |      AS BIGINT) AS score,
-        |    count(*) AS n_terms
-        |  FROM d JOIN q ON d.token = q.token
-        |  JOIN lens ON d.doc_id = lens.doc_id
-        |  CROSS JOIN tot
-        |  GROUP BY 1, 2
-        |), rk AS (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY score DESC, doc_id) AS "rank"
-        |  FROM sc
-        |)
-        |SELECT query_id, CAST("rank" AS BIGINT) AS "rank", doc_id, score, n_terms
-        |FROM rk WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    "text_bm25" -> bm25OracleSql,
+    // the indexed path returns the SAME rows (index-time df == on-the-fly
+    // df: df is a property of the token, not the query filter)
+    "search_indexed" -> bm25OracleSql,
     // retrieval-eval twin: the bm25 scoring chain + the all-terms gold
     // set (HAVING count == per-query term count) + integer ppm metrics
     "eval_retrieval" ->

@@ -1792,6 +1792,72 @@ object TextAnalysis {
       .orderBy("query_id")
   }
 
+  /** Persisted inverted index — the [[Similarity]] IVF pattern applied
+    * to text retrieval: postings (token, doc_id, tf, df) written
+    * PARTITIONED BY an md5 token bucket, plus doc lengths and the
+    * one-row corpus totals. Build once (the df window is the one heavy
+    * pass — index time, not query time); every query after reads ONLY
+    * the partitions its terms hash to.
+    */
+  def writeSearchIndex(docs: DataFrame, dir: String,
+                       buckets: Int = 16): Unit = {
+    require(buckets >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+    val lens = docs.select(col("doc_id"),
+      size(tokensCol(col("text"))).cast("long").as("dl"))
+    docs.select(col("doc_id"), explode(tokensCol(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(w.partitionBy("token")))
+      .withColumn("bucket", expr(
+        s"CAST(conv(substring(md5(token), 1, 8), 16, 10) AS BIGINT)" +
+          s" % $buckets"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/postings")
+    lens.write.mode("overwrite").parquet(s"$dir/docs")
+    lens.agg(sum(col("dl")).as("corpus_len"), count(lit(1)).as("n_docs"))
+      .write.mode("overwrite").parquet(s"$dir/totals")
+  }
+
+  /** BM25 top-k over a [[writeSearchIndex]] index — identical scores to
+    * [[bm25TopK]] (df is a property of the token, not of the query
+    * filter, so the index-time df equals the on-the-fly one), but the
+    * corpus is NEVER re-read: the bounded query vocabulary collapses to
+    * literal bucket/token filters, so the postings scan is
+    * partition-pruned to the terms' buckets (PartitionFilters — the
+    * ann_ivf contract, spec-asserted) and row-filtered inside them.
+    * The close is [[topKDocs]]'s two-level top-k.
+    */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, queries: DataFrame, k: Int = 5,
+                      buckets: Int = 16): DataFrame = {
+    val qTerms = queries
+      .select(col("query_id"),
+        explode(tokensCol(col("query_text"))).as("token"))
+      .distinct().localCheckpoint()
+    // bounded: the query vocabulary — it becomes pruning literals
+    val toks = qTerms.select(col("token")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val bks = toks.map { t =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16) % buckets
+    }.distinct
+    val postings = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(bks: _*) && col("token").isin(toks: _*))
+    val lens = spark.read.parquet(s"$dir/docs")
+    val totals = spark.read.parquet(s"$dir/totals")
+    val scored = postings.join(broadcast(qTerms), Seq("token"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("term_score", expr(
+        """((1000000 div df) * 2200 * corpus_len * tf)
+           div (10 * corpus_len * tf + 3 * corpus_len + 9 * dl * n_docs)"""))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_score")).as("score"), count(lit(1)).as("n_terms"))
+    topKDocs(scored, k)
+  }
+
   /** Gazetteer / dictionary phrase tagger — the multi-pattern matcher a
     * curation pipeline runs for blocklist phrases, PII term lists, and
     * taxonomy tagging (the Aho–Corasick job, done relationally): every

@@ -51,6 +51,8 @@ class QueryPlanSpec extends SparkSpec {
       "eval_retrieval", // the same bm25-chain one-row (corpus_len,
                         // n_docs) total under the metric close
       "search_rerank", // contains the bm25 chain's one-row totals
+      "search_indexed", // same bm25 one-row totals over the pruned
+                        // postings read
       "search_hard_negatives", // same bm25 chain
       "events_rfm",    // one-row corpus-max instant onto |users| rows
       "events_covisit", // one-row session total onto type² pair rows

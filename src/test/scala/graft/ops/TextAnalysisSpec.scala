@@ -781,4 +781,31 @@ class TextAnalysisSpec extends SparkSpec {
     // zero-hit dictionary terms stay in the report
     assert(out("query plan") == ((2L, 0L, 0L)))
   }
+
+  test("bm25TopKIndexed equals the on-the-fly bm25 and prunes partitions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark shuffles data across the cluster"),
+      (2L, "spark caches hot data in memory"),
+      (3L, "ducks swim across the pond"),
+      (4L, "the pond holds cold data")).toDF("doc_id", "text")
+    val qs = Seq((10L, "spark data"), (11L, "pond"))
+      .toDF("query_id", "query_text")
+    val dir = java.nio.file.Files.createTempDirectory("searchidx").toString
+    try {
+      TextAnalysis.writeSearchIndex(docs, dir, buckets = 16)
+      val indexed = TextAnalysis.bm25TopKIndexed(spark, dir, qs, k = 3,
+        buckets = 16)
+      val direct = TextAnalysis.bm25TopK(docs, qs, k = 3)
+      assert(indexed.collect().map(_.toString).sorted.toSeq ==
+        direct.collect().map(_.toString).sorted.toSeq,
+        "index-time df must reproduce the on-the-fly scores exactly")
+      val plan = indexed.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+        s"expected bucket partition pruning:\n$plan")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }
