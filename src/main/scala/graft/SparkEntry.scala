@@ -1446,6 +1446,13 @@ object SparkEntry {
         expr("(ts div 1000) div 86400000000").as("day"))
       Events.hazardTable(ev, censorDays = 7L).orderBy("lifetime")
     }),
+    // --- Kaplan–Meier survival over the same lifetime table: exact
+    // integer cumulative-product recursion, recursive-CTE twin
+    "events_km" -> ((s, dir) => {
+      val ev = rdEvents(s, dir).select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"))
+      Events.kaplanMeier(ev, censorDays = 7L)
+    }),
     // --- session co-visitation with integer-ppm lift vs independence
     "events_covisit" -> ((s, dir) => {
       val ev = rdEvents(s, dir).select(col("user_id"),
@@ -7951,6 +7958,43 @@ object SparkEntry {
         |SELECT lifetime, n_risk, churned, censored,
         |  churned * 1000000 // n_risk AS hazard_ppm
         |FROM risk ORDER BY lifetime""".stripMargin,
+    // kaplanMeier twin: the hazard chain + a LINEAR recursive CTE
+    // folding s' = (s·(n_risk−churned)) // n_risk down the lifetimes
+    "events_km" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+        |), pu AS (
+        |  SELECT user_id, min(day) AS first_day, max(day) AS last_day
+        |  FROM ev GROUP BY 1
+        |), lt AS (
+        |  SELECT last_day - first_day AS lifetime,
+        |    CASE WHEN last_day >= (SELECT max(last_day) FROM pu) - 6
+        |      THEN 1 ELSE 0 END AS cens
+        |  FROM pu
+        |), tbl AS (
+        |  SELECT lifetime, CAST(sum(1 - cens) AS BIGINT) AS churned,
+        |    CAST(sum(cens) AS BIGINT) AS censored
+        |  FROM lt GROUP BY 1
+        |), risk AS (
+        |  SELECT CAST(lifetime AS BIGINT) AS lifetime, churned, censored,
+        |    CAST(sum(churned + censored) OVER (ORDER BY lifetime DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+        |  FROM tbl
+        |), tb AS (
+        |  SELECT lifetime, n_risk, churned, censored,
+        |    CAST(row_number() OVER (ORDER BY lifetime) AS BIGINT) AS rn
+        |  FROM risk
+        |), r AS (
+        |  SELECT rn, lifetime, n_risk, churned, censored,
+        |    CAST((1000000 * (n_risk - churned)) // n_risk AS BIGINT) AS s
+        |  FROM tb WHERE rn = 1
+        |  UNION ALL
+        |  SELECT tb.rn, tb.lifetime, tb.n_risk, tb.churned, tb.censored,
+        |    CAST((r.s * (tb.n_risk - tb.churned)) // tb.n_risk AS BIGINT)
+        |  FROM r JOIN tb ON tb.rn = r.rn + 1
+        |)
+        |SELECT lifetime, n_risk, churned, censored, s AS survival_ppm
+        |FROM r ORDER BY lifetime""".stripMargin,
     "events_rfm" ->
       """WITH pu AS (
         |  SELECT user_id, max(epoch_us(ts)) AS last_ts,

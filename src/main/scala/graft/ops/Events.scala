@@ -1282,6 +1282,45 @@ object Events {
         col("censored"), col("hazard_ppm"))
   }
 
+  /** Kaplan–Meier survival curve — the standard censoring-aware readout
+    * over [[hazardTable]]'s lifetime table: S(a) = Π_{l ≤ a}
+    * (n_risk − churned)/n_risk, the fraction of users still alive past
+    * age a when right-censored users (active near the horizon) only
+    * contribute risk time, never a death. The cumulative product folds
+    * as the exact integer recursion `s' = (s·(n_risk − churned)) div
+    * n_risk` from s = 10⁶ — deterministic truncation at each step
+    * (positive operands, truncate == floor), so the DuckDB twin is a
+    * LINEAR recursive CTE over the row rank. BIGINT-safe while
+    * 10⁶·n_risk < 2⁶³ (n ≲ 9·10¹² users).
+    *
+    * Scale shape: everything after the hazard table runs on the
+    * day-span-BOUNDED lifetime frame — the sequential fold is the holt
+    * pattern (sorted collect + aggregate over bounded rows), not a
+    * corpus pass.
+    */
+  def kaplanMeier(events: DataFrame, censorDays: Long = 7L): DataFrame = {
+    val tbl = hazardTable(events, censorDays)
+    tbl.groupBy()
+      .agg(sort_array(collect_list(struct(col("lifetime"), col("n_risk"),
+        col("churned"), col("censored")))).as("rows"))
+      .withColumn("surv", expr(
+        """aggregate(rows,
+             named_struct('s', 1000000L,
+               'out', CAST(array() AS ARRAY<BIGINT>)),
+             (acc, r) -> named_struct(
+               's', (acc.s * (r.n_risk - r.churned)) div r.n_risk,
+               'out', concat(acc.out,
+                 array((acc.s * (r.n_risk - r.churned)) div r.n_risk))),
+             acc -> acc.out)"""))
+      .select(explode(arrays_zip(col("rows"), col("surv"))).as("z"))
+      .select(col("z.rows.lifetime").as("lifetime"),
+        col("z.rows.n_risk").as("n_risk"),
+        col("z.rows.churned").as("churned"),
+        col("z.rows.censored").as("censored"),
+        col("z.surv").as("survival_ppm"))
+      .orderBy("lifetime")
+  }
+
   /** Half-life-decayed popularity per event type — the recency-weighted
     * ranking signal (trending items, freshness-aware retrieval priors)
     * where a plain count never forgets. Exponential decay is normally

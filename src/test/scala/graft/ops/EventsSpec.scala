@@ -743,6 +743,22 @@ class EventsSpec extends SparkSpec {
       "one-day span surfaces NULLs, never a divide-by-zero")
   }
 
+  test("kaplanMeier folds the exact survival product, censoring-aware") {
+    import spark.implicits._
+    // lifetimes: u1,u2 -> 0 (churned), u3 -> 1 (churned), u4 -> 2
+    // (active at horizon -> censored under censorDays=1)
+    val ev = Seq((1L, 0L), (2L, 0L), (3L, 0L), (3L, 1L),
+      (4L, 0L), (4L, 1L), (4L, 2L)).toDF("user_id", "day")
+    val out = Events.kaplanMeier(ev, censorDays = 1L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_risk"), r.getAs[Long]("churned"),
+          r.getAs[Long]("censored"), r.getAs[Long]("survival_ppm"))).toMap
+    assert(out(0L) == ((4L, 2L, 0L, 500000L)))
+    assert(out(1L) == ((2L, 1L, 0L, 250000L)))
+    // the censored user contributes risk time but no death: S stays flat
+    assert(out(2L) == ((1L, 0L, 1L, 250000L)))
+  }
+
   test("upliftDeciles: planted treated-only conversions read 1e6 uplift") {
     import spark.implicits._
     val day = 86400000000000L
