@@ -1661,6 +1661,12 @@ object SparkEntry {
       Eval.calibrationCard(rd(s, dir, "documents")
         .select(col("n_chars").as("score"),
           (col("lang") === "en").as("label")))),
+    // --- precision-recall curve over the same score bins: descending
+    // threshold sweep, cumulative TP / predicted-positive, exact ppm
+    "eval_pr" -> ((s, dir) =>
+      Eval.prCurve(rd(s, dir, "documents")
+        .select(col("n_chars").as("score"),
+          (col("lang") === "en").as("label")))),
     // --- 2-D skyline: cheapest-and-smallest Pareto front over parts
     "part_skyline" -> ((s, dir) =>
       Analytics.skyline2d(rd(s, dir, "part")
@@ -5177,6 +5183,36 @@ object SparkEntry {
         |  CAST(sum(s) // count(*) AS BIGINT) AS mean_score,
         |  CAST(min(s) AS BIGINT) AS s_lo, CAST(max(s) AS BIGINT) AS s_hi
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // prCurve twin: same bins, descending cumulative TP/pred-positive,
+    // one-row positive total, exact ppm divisions
+    "eval_pr" ->
+      """WITH src AS (
+        |  SELECT n_chars AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |), span AS (
+        |  SELECT CAST(min(s) AS BIGINT) AS s_min,
+        |    CAST(max(s) AS BIGINT) AS s_max
+        |  FROM src
+        |), b AS (
+        |  SELECT (s - s_min) * 10 // (s_max - s_min + 1) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+        |  FROM src CROSS JOIN span GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(n_pos) AS BIGINT) AS total_pos FROM b
+        |), c AS (
+        |  SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+        |    CAST(sum(n_pos) OVER (ORDER BY bin DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp_cum,
+        |    CAST(sum(n) OVER (ORDER BY bin DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pred_pos
+        |  FROM b
+        |)
+        |SELECT bin, n, n_pos, tp_cum, pred_pos,
+        |  1000000 * tp_cum // pred_pos AS precision_ppm,
+        |  CASE WHEN total_pos = 0 THEN NULL
+        |    ELSE 1000000 * tp_cum // total_pos END AS recall_ppm
+        |FROM c, tot ORDER BY bin DESC""".stripMargin,
     // skyline twin: the literal O(n²) NOT-EXISTS dominance definition —
     // the semantic ground truth the grid-pruned sweep must reproduce
     "part_skyline" ->

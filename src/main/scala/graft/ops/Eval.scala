@@ -152,6 +152,50 @@ object Eval {
       .orderBy("bin")
   }
 
+  /** Precision–recall curve over score-bin thresholds — the readout
+    * that matters where positives are RARE and ROC flatters (a 99.9%-
+    * negative corpus-quality classifier can have a great-looking AUC
+    * and useless precision). At each threshold "predict positive for
+    * bins ≥ b" (descending down the [[calibrationCard]] bins):
+    * cumulative TP and predicted-positive counts close precision and
+    * recall as exact ppm integer divisions. Degenerate zero-positive
+    * data surfaces NULL recall portably.
+    *
+    * Scale shape: the corpus collapses to ≤ nBins rows in one
+    * partial-agg groupBy (after the one-row span broadcast); the
+    * cumulative windows and the one-row positive total run over that
+    * bounded frame only.
+    */
+  def prCurve(df: DataFrame, nBins: Int = 10, scoreCol: String = "score",
+              labelCol: String = "label"): DataFrame = {
+    require(nBins >= 2)
+    val src = df.select(col(scoreCol).as("s"),
+      when(col(labelCol), 1L).otherwise(0L).as("y"))
+    // bounded: one-row global score range
+    val span = src.agg(min(col("s")).as("s_min"), max(col("s")).as("s_max"))
+    // bounded ≤ nBins rows; feeds the windows AND the positive total
+    val binned = src.crossJoin(broadcast(span))
+      .withColumn("bin", expr(
+        s"(s - s_min) * ${nBins}L div (s_max - s_min + 1)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+      .localCheckpoint()
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned
+      .withColumn("tp_cum", sum(col("n_pos")).over(w))
+      .withColumn("pred_pos", sum(col("n")).over(w))
+      .crossJoin(broadcast(binned.groupBy()
+        .agg(sum(col("n_pos")).as("total_pos"))))
+      .withColumn("precision_ppm", expr("1000000L * tp_cum div pred_pos"))
+      .withColumn("recall_ppm", expr(
+        "CASE WHEN total_pos = 0 THEN NULL" +
+          " ELSE 1000000L * tp_cum div total_pos END"))
+      .select(col("bin"), col("n"), col("n_pos"), col("tp_cum"),
+        col("pred_pos"), col("precision_ppm"), col("recall_ppm"))
+      .orderBy(col("bin").desc)
+  }
+
   /** Two-sample Kolmogorov–Smirnov distance between the value
     * distributions of two event types — the distribution-drift test
     * with an EXACT rational answer: D = max over thresholds of

@@ -62,6 +62,8 @@ class QueryPlanSpec extends SparkSpec {
       "zonemap_audit", // bounded probes × layout-sized zone map (the
                        // corpus itself is scanned once, joins never)
       "eval_calibration", // one-row (min, max) score span onto the stream
+      "eval_pr", // same one-row span + a one-row positive total onto
+                 // the bounded bin frame
       "embed_hubness", // the ann_brute probe BNLJ + a one-row-total cross
                        // for the zero-occurrence row
       "graph_diameter", // three ONE-ROW election frames crossed at the

@@ -263,4 +263,20 @@ class EvalSpec extends SparkSpec {
           matched.map(e => (e._5 * 100).toLong).sum / matched.size)
     }
   }
+
+  test("prCurve sweeps thresholds with exact cumulative precision/recall") {
+    import spark.implicits._
+    // scores 1..10, positive iff score >= 8; nBins=5 puts 8 in bin 3
+    // and 9,10 in bin 4
+    val df = (1L to 10L).map(s => (s, s >= 8L)).toDF("score", "label")
+    val out = Eval.prCurve(df, nBins = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("tp_cum"), r.getAs[Long]("pred_pos"),
+          r.getAs[Long]("precision_ppm"), r.getAs[Long]("recall_ppm")))
+      .toMap
+    assert(out(4L) == ((2L, 2L, 1000000L, 666666L)))
+    assert(out(3L) == ((3L, 4L, 750000L, 1000000L)))
+    assert(out(2L) == ((3L, 6L, 500000L, 1000000L)))
+    assert(out(0L) == ((3L, 10L, 300000L, 1000000L)))
+  }
 }
