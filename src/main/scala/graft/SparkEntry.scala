@@ -1928,6 +1928,13 @@ object SparkEntry {
         expr("ts div 1000").as("ts"), col("event_type"))
       Events.transitionMatrix(ev).orderBy("from_type", "to_type")
     }),
+    // --- flow symmetry: reciprocity of the transition graph (funnel vs
+    // back-and-forth), exact integer ppm over the bounded type² frame
+    "events_flow_symmetry" -> ((s, dir) => {
+      val ev = rdEvents(s, dir).select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts"), col("event_type"))
+      Events.flowSymmetry(ev)
+    }),
     // --- bigram LM: top-5 continuations per head token
     "text_bigram_lm" -> ((s, dir) =>
       TextAnalysis.bigramLm(rd(s, dir, "documents"), 5)
@@ -8730,6 +8737,39 @@ object SparkEntry {
         |  CAST(c.n_pairs AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
         |FROM c JOIN tot t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+    // flowSymmetry twin: same lag pairs folded to unordered type pairs,
+    // 2·Σmin over Σ both directions, integer ppm
+    "events_flow_symmetry" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts, event_type
+        |  FROM events
+        |), pr AS (
+        |  SELECT event_type AS to_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from_type
+        |  FROM ev
+        |), c AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM pr WHERE from_type IS NOT NULL AND from_type <> to_type
+        |  GROUP BY 1, 2
+        |), und AS (
+        |  SELECT least(from_type, to_type) AS type_a,
+        |    greatest(from_type, to_type) AS type_b,
+        |    CAST(SUM(CASE WHEN from_type < to_type
+        |      THEN n_pairs ELSE 0 END) AS BIGINT) AS n_ab,
+        |    CAST(SUM(CASE WHEN from_type > to_type
+        |      THEN n_pairs ELSE 0 END) AS BIGINT) AS n_ba
+        |  FROM c GROUP BY 1, 2
+        |), u2 AS (
+        |  SELECT *, least(n_ab, n_ba) AS reciprocated FROM und
+        |), gt AS (
+        |  SELECT CAST(2 * sum(reciprocated) AS BIGINT) AS recip_mass,
+        |    CAST(sum(n_ab + n_ba) AS BIGINT) AS total_mass
+        |  FROM u2
+        |)
+        |SELECT type_a, type_b, n_ab, n_ba, reciprocated,
+        |  1000000 * recip_mass // total_mass AS reciprocity_ppm
+        |FROM u2, gt ORDER BY type_a, type_b""".stripMargin,
     // BPE twin: 8 unrolled rounds. Greedy leftmost application via
     // gaps-and-islands parity (odd-indexed pairs within a flagged run
     // merge); each round's argmax is ORDER BY cnt DESC, pair LIMIT 1.

@@ -465,6 +465,46 @@ object Events {
           .as("p"))
   }
 
+  /** Flow symmetry (graph reciprocity) of the [[transitionMatrix]]
+    * edges — is the user journey a directed FUNNEL or a back-and-forth
+    * (browse ↔ search)? Per off-diagonal pair of types, the reciprocated
+    * mass min(n_ab, n_ba); globally, reciprocity
+    * r = Σ_{a≠b} min(n_ab, n_ba) / Σ_{a≠b} n_ab — exact integer ppm
+    * (r = 1 for a symmetric flow, 0 for a strict funnel). Output: one
+    * row per unordered type pair with both directed counts plus the
+    * global r repeated (the pair frame is |types|², bounded).
+    *
+    * Scale shape: the corpus collapses through transitionMatrix's
+    * per-user lag pass into the bounded type² frame; the mirror join,
+    * the one-row total, and the close all run on that frame.
+    */
+  def flowSymmetry(events: DataFrame): DataFrame = {
+    val und = transitionMatrix(events)
+      .select(col("from_type"), col("to_type"), col("n_pairs"))
+      .filter(col("from_type") =!= col("to_type"))
+      // fold both directions into the unordered pair — join-free, and
+      // a pair with only one direction present still surfaces
+      .select(least(col("from_type"), col("to_type")).as("type_a"),
+        greatest(col("from_type"), col("to_type")).as("type_b"),
+        when(col("from_type") < col("to_type"), col("n_pairs"))
+          .otherwise(0L).as("fwd"),
+        when(col("from_type") > col("to_type"), col("n_pairs"))
+          .otherwise(0L).as("rev"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(sum(col("fwd")).as("n_ab"), sum(col("rev")).as("n_ba"))
+      .withColumn("reciprocated", least(col("n_ab"), col("n_ba")))
+      .localCheckpoint() // bounded type² frame; feeds rows AND total
+    val glob = und.agg(
+      (lit(2L) * sum(col("reciprocated"))).as("recip_mass"),
+      sum(col("n_ab") + col("n_ba")).as("total_mass"))
+    und.crossJoin(broadcast(glob))
+      .withColumn("reciprocity_ppm",
+        expr("1000000L * recip_mass div total_mass"))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_ba"),
+        col("reciprocated"), col("reciprocity_ppm"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Rolling N-day distinct users (the 7-day-active metric): for each
     * active day, the count of users seen in the trailing `windowDays`
     * window. COUNT DISTINCT over a sliding range can't partial-aggregate

@@ -64,6 +64,8 @@ class QueryPlanSpec extends SparkSpec {
       "eval_calibration", // one-row (min, max) score span onto the stream
       "eval_pr", // same one-row span + a one-row positive total onto
                  // the bounded bin frame
+      "events_flow_symmetry", // one-row reciprocated-mass total onto
+                              // the bounded type-pair frame
       "embed_hubness", // the ann_brute probe BNLJ + a one-row-total cross
                        // for the zero-occurrence row
       "graph_diameter", // three ONE-ROW election frames crossed at the

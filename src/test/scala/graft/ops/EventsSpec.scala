@@ -743,6 +743,24 @@ class EventsSpec extends SparkSpec {
       "one-day span surfaces NULLs, never a divide-by-zero")
   }
 
+  test("flowSymmetry measures reciprocated transition mass exactly") {
+    import spark.implicits._
+    // user 1: A->B, B->A, A->B (reciprocated mass 1 on {A,B});
+    // user 2: A->C only (strict funnel edge)
+    val ev = Seq(
+      (1L, 1L, 10L, "A"), (2L, 1L, 20L, "B"), (3L, 1L, 30L, "A"),
+      (4L, 1L, 40L, "B"), (5L, 2L, 10L, "A"), (6L, 2L, 20L, "C"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = Events.flowSymmetry(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_ab"), r.getAs[Long]("n_ba"),
+          r.getAs[Long]("reciprocated"),
+          r.getAs[Long]("reciprocity_ppm"))).toMap
+    // 4 directed off-diagonal transitions, 2 reciprocated -> r = 1/2
+    assert(out(("A", "B")) == ((2L, 1L, 1L, 500000L)))
+    assert(out(("A", "C")) == ((1L, 0L, 0L, 500000L)))
+  }
+
   test("kaplanMeier folds the exact survival product, censoring-aware") {
     import spark.implicits._
     // lifetimes: u1,u2 -> 0 (churned), u3 -> 1 (churned), u4 -> 2
