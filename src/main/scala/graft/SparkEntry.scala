@@ -452,6 +452,12 @@ object SparkEntry {
       Similarity.kmeansClusterDistributed(
         rd(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
         k = 8, iters = 3).orderBy("vec_id")),
+    // --- cluster-quality card on the same fit: integer squared-distance
+    // tightness + worst k² centroid-separation ratio (DB-index shape)
+    "embed_cluster_eval" -> ((s, dir) =>
+      Similarity.clusterQualityCard(
+        rd(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        k = 8, iters = 3).orderBy("cluster")),
     // --- reference surface: graph source normalization (SURVEY §2 rows 1-4)
     "normalize_nodes" -> ((s, dir) => {
       val nodes = rd(s, dir, "customer").select(
@@ -1889,6 +1895,18 @@ object SparkEntry {
         .select(col("src").as("id")).distinct()
       Graph.shortestPaths(e, seeds, 4).orderBy("id")
     }),
+    // --- widest (max-min bottleneck) paths over the same graph:
+    // the (max, min) semiring twin of graph_sssp, seeds at Long.Max
+    "graph_widest" -> ((s, dir) => {
+      val e0 = rd(s, dir, "orders").select(col("o_orderkey").as("src"),
+        (col("o_custkey") + 10000000L).as("dst"),
+        (col("o_orderkey") % 7 + 1).as("w"))
+      val e = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      val seeds = e0.filter(col("src") < 100)
+        .select(col("src").as("id")).distinct()
+      Graph.widestPaths(e, seeds, 4).orderBy("id")
+    }),
     // --- CUBE subtotals (all four grouping sets in one Expand)
     "sales_cube" -> ((s, dir) =>
       Analytics.cubeAgg(rd(s, dir, "lineitem"), "l_returnflag",
@@ -2633,6 +2651,13 @@ object SparkEntry {
     // 12 fixed e6 absorption rounds, one scenario per channel
     "events_attrib_markov" -> ((s, dir) =>
       Events.markovAttribution(rdEvents(s, dir))),
+    // --- exact Shapley attribution: one (user, day) coalition-bitmask
+    // shuffle, <=2^c cell collect, factorial-scaled integer credits
+    "events_shapley" -> ((s, dir) => {
+      val ev = rdEvents(s, dir).select(col("user_id"),
+        expr("ts div 1000").as("ts"), col("event_type"))
+      Events.shapleyAttribution(ev)
+    }),
     // --- TPC-H Q11 shape: parts above 7 bp of total revenue, the
     // HAVING-vs-scalar-subquery probe (cross-multiplied, no division)
     "q11_important" -> ((s, dir) =>
@@ -3277,7 +3302,19 @@ object SparkEntry {
     * centroid literals are Double.toString round-trips, so both
     * engines assign against bit-identical centroids.
     */
-  private def kmeansDistOracleSql(k: Int, iters: Int, dim: Int): String = {
+  private def kmeansDistOracleSql(k: Int, iters: Int, dim: Int): String =
+    kmeansCtePrefix(k, iters, dim) + "\n" +
+      s"""SELECT a.vec_id, a.cluster, z.cluster_size
+         |FROM aF a JOIN (
+         |  SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM aF GROUP BY cluster) z USING (cluster)
+         |ORDER BY vec_id""".stripMargin
+
+  /** Shared CTE chain of the distributed-Lloyd oracles: init c0 →
+    * `iters` assignment+update rounds → final assignments `aF`
+    * (vec_id, cluster), with `emb` and the fitted `c{iters}` centroid
+    * frame still in scope for downstream readouts. */
+  private def kmeansCtePrefix(k: Int, iters: Int, dim: Int): String = {
     val off = "10000000"
     def round(r: Int): String =
       s"""d$r AS (
@@ -3326,13 +3363,48 @@ object SparkEntry {
        |    SELECT vec_id, cluster,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster)
        |        AS rn FROM dF) WHERE rn = 1
-       |)
-       |SELECT a.vec_id, a.cluster, z.cluster_size
-       |FROM aF a JOIN (
-       |  SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
-       |  FROM aF GROUP BY cluster) z USING (cluster)
-       |ORDER BY vec_id""".stripMargin
+       |)""".stripMargin
   }
+
+  /** Generated DuckDB twin of [[graft.ops.Similarity.clusterQualityCard]]:
+    * the Lloyd prefix, then per-cluster floored squared-distance cells
+    * (identical IEEE (x−c)² on the shared centroid frame), integer-div
+    * means, and the k² worst-separation ratio join. */
+  private def clusterEvalOracleSql(k: Int, iters: Int, dim: Int): String =
+    kmeansCtePrefix(k, iters, dim) +
+      s""", sz AS (
+         |  SELECT cluster, CAST(count(*) AS BIGINT) AS size
+         |  FROM aF GROUP BY 1
+         |), cells AS (
+         |  SELECT a.cluster,
+         |    CAST(sum(CAST(floor((e.emb[g.d] - c.cen[g.d])
+         |      * (e.emb[g.d] - c.cen[g.d])
+         |      * CAST('1e6' AS DOUBLE)) AS BIGINT)) AS BIGINT) AS ss
+         |  FROM aF a JOIN emb e USING (vec_id)
+         |  JOIN c$iters c ON c.cluster = a.cluster
+         |  CROSS JOIN generate_series(1, $dim) AS g(d)
+         |  GROUP BY 1
+         |), s2 AS MATERIALIZED (
+         |  SELECT z.cluster, z.size, c.ss // z.size AS s2_scaled
+         |  FROM sz z JOIN cells c USING (cluster)
+         |), cd AS (
+         |  SELECT i.cluster AS ci, j.cluster AS cj,
+         |    CAST(sum(CAST(floor((i.cen[g.d] - j.cen[g.d])
+         |      * (i.cen[g.d] - j.cen[g.d])
+         |      * CAST('1e6' AS DOUBLE)) AS BIGINT)) AS BIGINT) AS d2
+         |  FROM c$iters i JOIN c$iters j ON i.cluster <> j.cluster
+         |  CROSS JOIN generate_series(1, $dim) AS g(d)
+         |  GROUP BY 1, 2
+         |), ratio AS (
+         |  SELECT si.cluster,
+         |    CAST(max((si.s2_scaled + sj.s2_scaled) * 1000000
+         |      // greatest(cd.d2, 1)) AS BIGINT) AS worst_ratio_ppm
+         |  FROM s2 si JOIN cd ON cd.ci = si.cluster
+         |  JOIN s2 sj ON sj.cluster = cd.cj
+         |  GROUP BY 1
+         |)
+         |SELECT s2.cluster, s2.size, s2.s2_scaled, r.worst_ratio_ppm
+         |FROM s2 JOIN ratio r USING (cluster) ORDER BY cluster""".stripMargin
 
   /** DuckDB oracle SQL. Hash-seeded ops (minhash/simhash/LSH) are
     * intentionally absent → driver records a rows-only check; their
@@ -6525,6 +6597,7 @@ object SparkEntry {
     // planted-block k-means (see registration comment): the provably
     // exact assignment is the block id g = (vec_id·16 + 15) div n
     "embed_cluster_dist" -> kmeansDistOracleSql(k = 8, iters = 3, dim = 64),
+    "embed_cluster_eval" -> clusterEvalOracleSql(k = 8, iters = 3, dim = 64),
     "graph_coloring" -> coloringOracleSql(rounds = 6),
     "graph_anf" -> anfOracleSql(maxHops = 2, b = 6),
     "graph_anf_radius" -> anfRadiusOracleSql(maxHops = 2, b = 6),
@@ -8653,6 +8726,37 @@ object SparkEntry {
          |${round("d2", "d3")},
          |${round("d3", "d4")}
          |SELECT id, dist FROM d4 WHERE dist IS NOT NULL
+         |ORDER BY id""".stripMargin
+    },
+    "graph_widest" -> {
+      val round = (prev: String, cur: String) =>
+        s"""$cur AS (
+           |  SELECT d.id, greatest(d.cap, c.nc) AS cap
+           |  FROM $prev d LEFT JOIN (
+           |    SELECT e.dst AS id, CAST(max(least(p.cap, e.w)) AS BIGINT)
+           |      AS nc
+           |    FROM e JOIN $prev p ON p.id = e.src
+           |    WHERE p.cap IS NOT NULL GROUP BY e.dst
+           |  ) c ON d.id = c.id
+           |)""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT o_orderkey AS src, o_custkey + 10000000 AS dst,
+         |    (o_orderkey % 7) + 1 AS w
+         |  FROM orders
+         |), e AS (
+         |  SELECT src, dst, w FROM e0
+         |  UNION ALL SELECT dst, src, w FROM e0
+         |), nodes AS (
+         |  SELECT src AS id FROM e UNION SELECT dst FROM e
+         |), d0 AS (
+         |  SELECT id, CASE WHEN id < 100
+         |    THEN CAST(9223372036854775807 AS BIGINT)
+         |    ELSE NULL END AS cap FROM nodes
+         |), ${round("d0", "d1")},
+         |${round("d1", "d2")},
+         |${round("d2", "d3")},
+         |${round("d3", "d4")}
+         |SELECT id, cap FROM d4 WHERE cap IS NOT NULL
          |ORDER BY id""".stripMargin
     },
     "sales_cube" ->
@@ -10996,6 +11100,8 @@ object SparkEntry {
         |WHERE a.n_events >= 3
         |ORDER BY user_id""".stripMargin,
     "events_attrib_markov" -> markovOracle,
+    "events_shapley" ->
+      shapleyOracle(Seq("click", "signup", "view"), "purchase"),
     "graph_betweenness" -> betweennessOracle,
     "q20_dominant" ->
       """WITH sp AS (
@@ -11280,6 +11386,52 @@ object SparkEntry {
     * fixed-round recipe: extra rounds past convergence are no-ops, so
     * the unroll matches the Scala loop register for register).
     */
+  /** Generated Shapley oracle: per-(user, day) coalition bitmasks, the
+    * zeta transform v(T) = Σ_{mask ⊆ T} convs(mask) over all 2^c
+    * coalition masks (bitwise-AND subset join against UNNEST(range)),
+    * then the unrolled factorial-weighted marginal sums — every term
+    * an exact BIGINT, matching the driver-side arithmetic cell for
+    * cell. */
+  private def shapleyOracle(channels: Seq[String], conv: String): String = {
+    val c = channels.length
+    def fact(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+    val maskSum = channels.zipWithIndex.map { case (ch, i) =>
+      s"max(CASE WHEN event_type='$ch' THEN 1 ELSE 0 END) * ${1L << i}"
+    }.mkString("\n    + ")
+    val full = (1L << c) - 1
+    val phiRows = channels.zipWithIndex.map { case (ch, i) =>
+      val bit = 1L << i
+      val terms = (0L to full).filter(t => (t & bit) == 0L).map { t =>
+        val w = fact(java.lang.Long.bitCount(t)) *
+          fact(c - 1 - java.lang.Long.bitCount(t))
+        s"$w*((SELECT vv FROM v WHERE t=${t | bit})" +
+          s"-(SELECT vv FROM v WHERE t=$t))"
+      }.mkString("\n    + ")
+      s"  SELECT '$ch' AS channel, CAST(\n    $terms AS BIGINT)" +
+        " AS phi_scaled"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH u AS (
+       |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+       |    $maskSum AS mask,
+       |    max(CASE WHEN event_type='$conv' THEN 1 ELSE 0 END) AS conv
+       |  FROM events GROUP BY 1, 2
+       |), cells AS MATERIALIZED (
+       |  SELECT mask, CAST(sum(conv) AS BIGINT) AS convs FROM u GROUP BY 1
+       |), v AS MATERIALIZED (
+       |  SELECT t.m AS t, CAST(coalesce(sum(c.convs), 0) AS BIGINT) AS vv
+       |  FROM (SELECT UNNEST(range(0, ${full + 1})) AS m) t
+       |  LEFT JOIN cells c ON (c.mask & t.m) = c.mask
+       |  GROUP BY 1
+       |), phi AS (
+       |$phiRows
+       |)
+       |SELECT channel, phi_scaled,
+       |  phi_scaled * 1000000 // greatest(${fact(c)} *
+       |    ((SELECT vv FROM v WHERE t=$full) -
+       |     (SELECT vv FROM v WHERE t=0)), 1) AS phi_ppm
+       |FROM phi ORDER BY channel""".stripMargin
+  }
+
   private def markovOracle: String = {
     val head =
       """WITH ranked AS (

@@ -2301,4 +2301,75 @@ object Events {
         expr("1000000L * covered_us div span_us"))
       .orderBy("user_id")
   }
+
+  /** Exact Shapley channel attribution — the game-theoretic closer of
+    * the attribution family ([[attribution]] heuristics →
+    * [[markovAttribution]] removal effects → Shapley's axiomatic
+    * credit). The unit of observation is a (user, day) journey; its
+    * coalition is the SET of touch channels seen that day and its worth
+    * contribution is 1 if the journey converted. The characteristic
+    * function v(T) = conversions among journeys whose coalition ⊆ T is
+    * a monotone INTEGER count, so every Shapley term is exact:
+    * φ_i·c! = Σ_{T ∌ i} |T|!·(c−1−|T|)!·(v(T∪{i}) − v(T)), all-BIGINT,
+    * and efficiency (Σφ·c! = c!·(v(full) − v(∅)), where v(∅) counts the
+    * unattributable no-touch conversions) is asserted. Credit shares
+    * are emitted as ppm of v(full) − v(∅) under truncating division
+    * (operands non-negative by monotonicity, so Scala `/` == DuckDB
+    * `//`).
+    *
+    * Scale shape: ONE shuffle keyed on (user, day) builds per-journey
+    * bitmasks + conversion flags; one partial-agg groupBy reduces to
+    * ≤ 2^c cells; everything after is driver arithmetic on that
+    * bounded frame (the [[markovAttribution]] bounded-pull class —
+    * `require(c <= 12)` caps the cells at 4096). The journey stream
+    * itself never leaves the cluster.
+    */
+  def shapleyAttribution(events: DataFrame,
+                         convType: String = "purchase",
+                         channels: Seq[String] =
+                           Seq("click", "signup", "view")): DataFrame = {
+    val c = channels.length
+    require(c >= 1 && c <= 12, "channel set must be bounded (2^c cells)")
+    val chAggs = channels.zipWithIndex.map { case (ch, i) =>
+      max(when(col("event_type") === ch, lit(1L << i)).otherwise(0L))
+        .as(s"b$i")
+    }
+    val convAgg = max(when(col("event_type") === convType, 1L)
+      .otherwise(0L)).as("conv")
+    val units = events
+      .select(col("user_id"), expr("ts div 86400000000").as("day"),
+        col("event_type"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(chAggs.head, (chAggs.tail :+ convAgg): _*)
+      .select(channels.indices.map(i => col(s"b$i"))
+        .reduce(_ + _).as("mask"), col("conv"))
+    val cells = units.groupBy(col("mask"))
+      .agg(sum(col("conv")).as("convs"))
+      .collect()                        // bounded: <= 2^c <= 4096 cells
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val full = (1L << c) - 1L
+    // zeta transform: v(T) = Σ_{mask ⊆ T} convs(mask)
+    val v = (0L to full).map { t =>
+      t -> cells.collect { case (m, n) if (m & t) == m => n }.sum
+    }.toMap
+    def fact(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+    val cFact = fact(c)
+    val vFull = v(full)
+    val rows = channels.zipWithIndex.map { case (ch, i) =>
+      val bit = 1L << i
+      val phiScaled = (0L to full).filter(t => (t & bit) == 0L).map { t =>
+        val size = java.lang.Long.bitCount(t)
+        fact(size) * fact(c - 1 - size) * (v(t | bit) - v(t))
+      }.sum
+      // efficiency denominator: Σφ = v(full) − v(∅) — journeys that
+      // convert with NO channel touch are unattributable baseline
+      (ch, phiScaled,
+        1000000L * phiScaled / math.max(cFact * (vFull - v(0L)), 1L))
+    }
+    assert(rows.map(_._2).sum == cFact * (vFull - v(0L)),
+      "Shapley efficiency violated")
+    val spark = events.sparkSession
+    import spark.implicits._
+    rows.toDF("channel", "phi_scaled", "phi_ppm").orderBy("channel")
+  }
 }

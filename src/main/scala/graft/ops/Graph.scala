@@ -329,6 +329,47 @@ object Graph {
       .select(col("id"), col("dist"))
   }
 
+  /** Widest (max-capacity / bottleneck) paths, the max-min twin of
+    * [[shortestPaths]]: cap(v) = best over paths seed→v of the MINIMUM
+    * edge weight along the path — network-throughput / reliability
+    * routing, and the similarity-graph "strongest connection chain"
+    * readout. (max, min) is a semiring, so hop-bounded Bellman-Ford
+    * relaxation is sound at any round budget: after k rounds cap(v) is
+    * exact over paths of ≤ k edges (monotone — extra rounds only
+    * improve toward the fixed point, the [[shortestPaths]]
+    * convention). Seeds start at Long.MaxValue (min(∞, w) = w on the
+    * first relaxation); `greatest()` skips NULLs in both engines
+    * exactly like `least()`, so unreached nodes stay NULL until a
+    * candidate arrives. Integer weights keep every capacity exact;
+    * plan shape and per-round localCheckpoint discipline are
+    * [[shortestPaths]]'s (dist is referenced twice per round).
+    */
+  def widestPaths(edges: DataFrame, seeds: DataFrame,
+                  maxHops: Int = 4): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    var cap = nodes
+      .join(seeds.select(col("id"), lit(Long.MaxValue).as("cap")),
+        Seq("id"), "left")
+      .localCheckpoint(true)
+    var i = 0
+    while (i < maxHops) {
+      val relaxed = e
+        .join(cap.select(col("id").as("src"), col("cap").as("sc")), "src")
+        .filter(col("sc").isNotNull)
+        .select(col("dst").as("id"), least(col("sc"), col("w")).as("nc"))
+        .groupBy(col("id")).agg(max(col("nc")).as("nc"))
+      cap = cap.join(relaxed, Seq("id"), "left")
+        .select(col("id"), greatest(col("cap"), col("nc")).as("cap"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    cap.filter(col("cap").isNotNull)
+      .select(col("id"), col("cap"))
+  }
+
   /** Canonical undirected co-occurrence edges: two items are connected
     * when they share a group (parts in the same order, entities in the
     * same document, ...). The within-group self-join is the only fan-out,

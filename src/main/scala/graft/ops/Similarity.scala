@@ -1016,8 +1016,23 @@ object Similarity {
     */
   def kmeansClusterDistributed(corpus: DataFrame, k: Int = 16,
                                iters: Int = 5): DataFrame = {
-    require(k >= 2 && iters >= 1)
     val emb = corpus.select(col("vec_id"), col("embedding"))
+    val (cents, assignCol) = lloydFit(emb, k, iters)
+    val fin = emb.select(col("vec_id"),
+      assignCol(cents).cast("long").as("cluster"))
+    val sizes = fin.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+    fin.join(broadcast(sizes), Seq("cluster"))
+      .select(col("vec_id"), col("cluster"), col("cluster_size"))
+  }
+
+  // Shared Lloyd core for [[kmeansClusterDistributed]] and
+  // [[clusterQualityCard]]: evenly-spaced init over the vec_id order,
+  // `iters` integer-cell rounds, returns the fitted centroids and the
+  // zero-shuffle literal-argmin assignment column builder.
+  private def lloydFit(emb: DataFrame, k: Int, iters: Int)
+      : (Array[Array[Double]], Array[Array[Double]] => Column) = {
+    require(k >= 2 && iters >= 1)
     val n = emb.count()
     require(n >= k, s"need at least $k vectors")
     val positions = (0 until k).map(c => (c.toLong * n) / k)
@@ -1063,12 +1078,73 @@ object Similarity {
       }
       cents = next
     }
-    val fin = emb.select(col("vec_id"),
-      assignCol(cents).cast("long").as("cluster"))
-    val sizes = fin.groupBy(col("cluster"))
-      .agg(count(lit(1)).as("cluster_size"))
-    fin.join(broadcast(sizes), Seq("cluster"))
-      .select(col("vec_id"), col("cluster"), col("cluster_size"))
+    (cents, assignCol)
+  }
+
+  /** Cluster-quality evaluation card over the [[kmeansClusterDistributed]]
+    * fit — the Davies–Bouldin-shaped readout on SQUARED distances (no
+    * per-member sqrt, so every sum is an order-free integer): per
+    * cluster, size, mean squared member→centroid distance
+    * `s2 = (Σ_members Σ_d floor((x_d−c_d)²·10⁶)) div size`, and the
+    * worst separation ratio `max_{j≠i} (s2_i + s2_j)·10⁶ div d²(c_i,c_j)`
+    * — small means tight-and-separated, the k-picker's diagnostic.
+    * Exactness rides the gram recipe: (x−c) / its square are IEEE
+    * arithmetic on bit-identical inputs in both engines (the Lloyd
+    * centroids are the integer-cell fit the embed_cluster_dist oracle
+    * already reproduces), floored per cell BEFORE summation.
+    *
+    * Scale shape: the fit is [[lloydFit]] (iters corpus scans, k·dim
+    * cell pulls); the card adds ONE posexplode scan joined to the
+    * broadcast k·dim centroid table and a partial-agg to k rows; the
+    * k² pair separations are driver arithmetic on the fitted centroids
+    * (bounded), shipped back as a broadcast lookup. Nothing pair-level
+    * ever touches the corpus.
+    */
+  def clusterQualityCard(corpus: DataFrame, k: Int = 8,
+                         iters: Int = 3): DataFrame = {
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    val (cents, assignCol) = lloydFit(emb, k, iters)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(cents.zipWithIndex.flatMap { case (cen, c) =>
+      cen.zipWithIndex.map { case (v, d) => (c.toLong, d, v) }
+    }.toSeq.toDF("cluster", "d", "cen"))
+    val assigned = emb.withColumn("cluster", assignCol(cents).cast("long"))
+    val sizes = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("size"))
+    val cells = assigned
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .join(centDf, Seq("cluster", "d"))
+      .select(col("cluster"), expr(
+        "CAST(floor((CAST(x AS DOUBLE) - cen) * (CAST(x AS DOUBLE) - cen)" +
+          " * 1000000.0d) AS BIGINT)").as("cell"))
+      .groupBy(col("cluster")).agg(sum(col("cell")).as("ss"))
+    val s2 = sizes.join(cells, Seq("cluster"))
+      .select(col("cluster"), col("size"), expr("ss div size").as("s2_scaled"))
+    // bounded: k² centroid-pair separations from the driver-held fit
+    val cd = (for {
+      i <- cents.indices; j <- cents.indices if i != j
+    } yield {
+      var d2 = 0L
+      var d = 0
+      while (d < cents(i).length) {
+        val diff = cents(i)(d) - cents(j)(d)
+        d2 += math.floor(diff * diff * 1e6).toLong
+        d += 1
+      }
+      (i.toLong, j.toLong, d2)
+    }).toDF("ci", "cj", "d2")
+    val ratios = s2
+      .select(col("cluster").as("ci"), col("s2_scaled").as("s2_i"))
+      .join(broadcast(cd), Seq("ci"))
+      .join(s2.select(col("cluster").as("cj"),
+        col("s2_scaled").as("s2_j")), Seq("cj"))
+      .select(col("ci").as("cluster"),
+        expr("(s2_i + s2_j) * 1000000L div greatest(d2, 1L)").as("r"))
+      .groupBy(col("cluster")).agg(max(col("r")).as("worst_ratio_ppm"))
+    s2.join(ratios, Seq("cluster"))
+      .select(col("cluster"), col("size"), col("s2_scaled"),
+        col("worst_ratio_ppm"))
   }
 
   /** Truncated-dimension energy profile — the Matryoshka diagnostic:

@@ -1034,6 +1034,46 @@ class EventsSpec extends SparkSpec {
     assert(out("click") == 0L, "post-conversion click earns nothing")
   }
 
+  test("shapleyAttribution: exact credits, efficiency, symmetry") {
+    // journeys (user, day 0, us ts): u1 {click}→conv, u2 {view}→conv,
+    // u3 {click,view}→conv, u4 {click} no conv.
+    // v(0)=0 v({c})=1 v({v})=1 v({c,v})=3; c!=2:
+    // φ_click·2 = (1-0)+(3-1)=3, φ_view·2 = (1-0)+(3-1)=3 — symmetric,
+    // Σ = 2!·v(full) = 6, shares 500000 ppm each.
+    val ev = Seq(
+      (1L, "click", 10L), (1L, "purchase", 20L),
+      (2L, "view", 10L), (2L, "purchase", 20L),
+      (3L, "click", 10L), (3L, "view", 15L), (3L, "purchase", 20L),
+      (4L, "click", 10L)
+    ).toDF("user_id", "event_type", "ts")
+    val out = Events.shapleyAttribution(ev,
+      channels = Seq("click", "view")).collect()
+      .map(r => r.getAs[String]("channel") ->
+        (r.getAs[Long]("phi_scaled"), r.getAs[Long]("phi_ppm"))).toMap
+    assert(out("click") == ((3L, 500000L)))
+    assert(out("view") == ((3L, 500000L)))
+  }
+
+  test("shapleyAttribution: asymmetric worth and per-day journeys") {
+    // u1 day0 {click}→conv; u1 day1 {click,view}→conv (same user, two
+    // journeys); u2 day0 {view} no conv.
+    // v(0)=0 v({c})=1 v({v})=0 v({c,v})=2:
+    // φ_click·2 = 1+2 = 3 (750000 ppm), φ_view·2 = 0+1 = 1 (250000).
+    val day = 86400000000L
+    val ev = Seq(
+      (1L, "click", 10L), (1L, "purchase", 20L),
+      (1L, "click", day + 10L), (1L, "view", day + 15L),
+      (1L, "purchase", day + 20L),
+      (2L, "view", 10L)
+    ).toDF("user_id", "event_type", "ts")
+    val out = Events.shapleyAttribution(ev,
+      channels = Seq("click", "view")).collect()
+      .map(r => r.getAs[String]("channel") ->
+        (r.getAs[Long]("phi_scaled"), r.getAs[Long]("phi_ppm"))).toMap
+    assert(out("click") == ((3L, 750000L)))
+    assert(out("view") == ((1L, 250000L)))
+  }
+
   test("intervalCoverage merges overlaps and counts islands exactly") {
     // user 1 (ts ns, value s): [0,5s), [3s,8s) overlap → one island
     // [0,8s); [10s,11s) separate. covered 9s, span 11s.

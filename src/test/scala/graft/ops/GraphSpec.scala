@@ -158,6 +158,22 @@ class GraphSpec extends SparkSpec {
     assert(d1 == Map(1L -> 0L, 2L -> 1L, 3L -> 5L))
   }
 
+  test("widestPaths maximizes the bottleneck within the hop budget") {
+    // 1 -(10)-> 2 -(5)-> 3, and a thin direct edge 1 -(3)-> 3;
+    // node 4 hangs off 3 with capacity 7 (bottleneck stays 5)
+    val edges = Seq((1L, 2L, 10L), (2L, 3L, 5L), (1L, 3L, 3L), (3L, 4L, 7L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val c = Graph.widestPaths(edges, seeds, maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // two-hop path (min(10,5)=5) beats the thin direct edge (3)
+    assert(c == Map(1L -> Long.MaxValue, 2L -> 10L, 3L -> 5L, 4L -> 5L))
+    // one-hop budget: only direct edges resolve, 3 gets the thin edge
+    val c1 = Graph.widestPaths(edges, seeds, maxHops = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c1 == Map(1L -> Long.MaxValue, 2L -> 10L, 3L -> 3L))
+  }
+
   test("coOccurrence builds canonical pairs and caps hot groups") {
     val df = Seq(
       (1L, 10L), (1L, 20L), (1L, 30L),     // group 1: 3 pairs

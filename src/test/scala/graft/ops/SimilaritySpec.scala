@@ -245,6 +245,35 @@ class SimilaritySpec extends SparkSpec {
     assert(again == dist)
   }
 
+  test("clusterQualityCard: tight separated clusters score near zero") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat * 3f))
+    val vecs = for { c <- centers.indices; m <- 0 until 50 } yield
+      ((c * 50 + m).toLong,
+        centers(c).map(v => v + 0.1f * rnd.nextGaussian().toFloat).toSeq)
+    val tight = Similarity.clusterQualityCard(
+      vecs.toDF("vec_id", "embedding"), k = 4, iters = 5).collect()
+    assert(tight.length == 4)
+    assert(tight.map(_.getAs[Long]("size")).sum == 200L)
+    // noise sd 0.1 vs centers sd 3: per-member s2 ≈ dim·0.01 scaled by
+    // 1e6, separations ≈ dim·18e6 — worst ratio far under 10%
+    tight.foreach { r =>
+      assert(r.getAs[Long]("s2_scaled") > 0L)
+      assert(r.getAs[Long]("worst_ratio_ppm") < 100000L,
+        s"separated clusters must score tight: $r")
+    }
+    // 10x noisier corpus must score strictly worse on every cluster
+    val loose = (for { c <- centers.indices; m <- 0 until 50 } yield
+      ((c * 50 + m).toLong,
+        centers(c).map(v => v + 1.0f * rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val looseWorst = Similarity.clusterQualityCard(loose, k = 4, iters = 5)
+      .collect().map(_.getAs[Long]("worst_ratio_ppm")).min
+    assert(looseWorst > tight.map(_.getAs[Long]("worst_ratio_ppm")).max,
+      "noisier corpus must have worse separation ratios")
+  }
+
   test("labelCentroids averages per (label, dim) in order-free fixed point") {
     import spark.implicits._
     val e = Seq(
