@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.{Analytics, Cdc, Dedup, Eval, Events, Graph, Linkage, Multimodal, Privacy, Quality, Reco, Sampling, Similarity, Skew, Sketches, TextAnalysis, Web}
 import graft.orchestrate.{BlueGreen, Snapshots}
-import graft.sources.{GraphFrames, Ingest, ZOrder}
+import graft.sources.{BloomIndex, GraphFrames, Ingest, ZOrder}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the row each query
   * covers. Every oracle-able query aliases its columns identically on both
@@ -1338,6 +1338,14 @@ object SparkEntry {
       // pooled variance -> NULL z), so threshold on value
       Events.abTest(ev, col("event_type") === "purchase" && col("value") > 180)
     }),
+    // --- distribution-free permutation test on the same split: 200
+    // md5-relabeled nulls, cross-multiplied integer stat, add-one p
+    "events_permutation" -> ((s, dir) => {
+      val ev = rdEvents(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"))
+      Events.permutationTest(ev,
+        col("event_type") === "purchase" && col("value") > 180, reps = 200)
+    }),
     // --- per-type daily OLS trend: exact integer sufficient statistics,
     // slope/intercept each one double division
     "events_trend" -> ((s, dir) => {
@@ -2176,6 +2184,28 @@ object SparkEntry {
           .withColumn("layout", lit("range")))
         .orderBy("layout", "probe")
     }),
+    // --- file-level bloom skipping index over an orderkey-clustered
+    // layout: md5-salted per-part filters, 6 present + 2 absent probes,
+    // truth join shows pruning power and false-positive overhead
+    "bloom_index_audit" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem")
+        .select(col("l_orderkey"), expr("l_orderkey div 4096").as("part"))
+      val idx = BloomIndex.build(li, "part", "l_orderkey",
+        m = 16384, k = 3)
+      val present = li.select(col("l_orderkey").as("probe"))
+        .distinct().orderBy("probe").limit(6)
+      val absent = s.range(1).select(lit(999999999L).as("probe"))
+        .unionByName(s.range(1).select(lit(888888888L).as("probe")))
+      val truth = li.select(col("l_orderkey").as("probe"), col("part"))
+        .distinct()
+        .groupBy(col("probe")).agg(count(lit(1)).as("parts_true"))
+      BloomIndex.audit(idx, present.unionByName(absent),
+        m = 16384, k = 3)
+        .join(truth, Seq("probe"), "left")
+        .select(col("probe"), col("parts_scanned"), col("parts_total"),
+          coalesce(col("parts_true"), lit(0L)).as("parts_true"))
+        .orderBy("probe")
+    }),
     // --- training-shard manifest: stable md5 assignment + order-free
     // integer checksums per shard
     "shard_manifest" -> ((s, dir) =>
@@ -2564,6 +2594,19 @@ object SparkEntry {
           col("l_partkey").as("part"))
       Reco.itemCf(purch, "customer", "part", topK = 3, maxBasket = 100,
         minCo = 3L).orderBy("u", "rank")
+    }),
+    // --- leave-last-out recommender backtest: hold out each customer's
+    // most recent part, retrain, exact integer hit@10 / MRR ppm
+    "reco_eval" -> ((s, dir) => {
+      val inter = rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .join(rd(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_partkey").as("it"),
+          col("o_orderdate").as("t"))
+      Reco.leaveLastOutEval(inter, topK = 10, maxBasket = 100,
+        minCo = 3L)
     }),
     // --- seasonal-naive forecast backtest: day d predicted by day d-7,
     // exact integer MAE/bias per type, ancestor by keyed join (never a
@@ -7690,6 +7733,49 @@ object SparkEntry {
         |     * (CAST('1' AS DOUBLE) / CAST(n_a AS DOUBLE)
         |        + CAST('1' AS DOUBLE) / CAST(n_b AS DOUBLE))) AS z_score
         |FROM w""".stripMargin,
+    // permutation twin: identical md5 relabels over generate_series,
+    // identical integer stat and add-one p
+    "events_permutation" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 180
+        |      THEN 1 ELSE 0 END) AS converted
+        |  FROM events GROUP BY 1
+        |), w AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN va THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN va THEN converted ELSE 0 END) AS BIGINT)
+        |      AS conv_a,
+        |    CAST(sum(CASE WHEN va THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN va THEN 0 ELSE converted END) AS BIGINT)
+        |      AS conv_b
+        |  FROM (SELECT converted,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |      AS BIGINT) < 8 AS va FROM pu)
+        |), ob AS (
+        |  SELECT n_a, conv_a, n_b, conv_b,
+        |    conv_a * n_b - conv_b * n_a AS t_obs FROM w
+        |), pw AS (
+        |  SELECT r,
+        |    CAST(sum(CASE WHEN va THEN conv ELSE 0 END) AS BIGINT)
+        |      * CAST(sum(CASE WHEN va THEN 0 ELSE 1 END) AS BIGINT)
+        |    - CAST(sum(CASE WHEN va THEN 0 ELSE conv END) AS BIGINT)
+        |      * CAST(sum(CASE WHEN va THEN 1 ELSE 0 END) AS BIGINT) AS t_r
+        |  FROM (
+        |    SELECT g.r, u.converted AS conv,
+        |      CAST('0x' || substr(md5('perm' || CAST(g.r AS VARCHAR)
+        |        || ':' || CAST(u.user_id AS VARCHAR)), 1, 1)
+        |        AS BIGINT) < 8 AS va
+        |    FROM pu u CROSS JOIN generate_series(1, 200) AS g(r))
+        |  GROUP BY r
+        |)
+        |SELECT ob.n_a, ob.conv_a, ob.n_b, ob.conv_b, ob.t_obs,
+        |  CAST(sum(CASE WHEN abs(pw.t_r) >= abs(ob.t_obs)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+        |  1000000 * (sum(CASE WHEN abs(pw.t_r) >= abs(ob.t_obs)
+        |    THEN 1 ELSE 0 END) + 1) // 201 AS p_ppm
+        |FROM pw, ob
+        |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
     // Welch twin: identical cent moments (HUGEINT sums == the Spark
     // DECIMAL(28,0) sums), identical double expression tree
     "events_welch" ->
@@ -9556,6 +9642,51 @@ object SparkEntry {
         |FROM b GROUP BY event_type, late_bucket
         |ORDER BY event_type, late_bucket""".stripMargin,
     // zoneMapAudit twin: zone maps + probe membership counts per layout
+    // bloom-index twin: identical md5-salted bits on both the build and
+    // probe sides, all-bits conjunction via the per-probe distinct count
+    "bloom_index_audit" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_orderkey // 4096 AS part FROM lineitem
+        |), idx AS MATERIALIZED (
+        |  SELECT DISTINCT part,
+        |    CAST('0x' || substr(md5(CAST(g.h AS VARCHAR) || ':' ||
+        |      CAST(l_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 16384 AS bit
+        |  FROM li CROSS JOIN generate_series(1, 3) AS g(h)
+        |), probes AS (
+        |  SELECT probe FROM (
+        |    SELECT DISTINCT l_orderkey AS probe FROM li
+        |    ORDER BY probe LIMIT 6)
+        |  UNION ALL SELECT 999999999 UNION ALL SELECT 888888888
+        |), pb AS (
+        |  SELECT DISTINCT probe,
+        |    CAST('0x' || substr(md5(CAST(g.h AS VARCHAR) || ':' ||
+        |      CAST(probe AS VARCHAR)), 1, 8) AS BIGINT) % 16384 AS bit
+        |  FROM probes CROSS JOIN generate_series(1, 3) AS g(h)
+        |), nreq AS (
+        |  SELECT probe, CAST(count(*) AS BIGINT) AS nreq
+        |  FROM pb GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(count(DISTINCT part) AS BIGINT) AS parts_total
+        |  FROM idx
+        |), sc AS (
+        |  SELECT j.probe, CAST(count(*) AS BIGINT) AS parts_scanned
+        |  FROM (
+        |    SELECT pb.probe, idx.part, count(*) AS nbits
+        |    FROM pb JOIN idx USING (bit) GROUP BY 1, 2
+        |  ) j JOIN nreq ON nreq.probe = j.probe
+        |  WHERE j.nbits = nreq.nreq GROUP BY 1
+        |), truth AS (
+        |  SELECT l_orderkey AS probe,
+        |    CAST(count(DISTINCT part) AS BIGINT) AS parts_true
+        |  FROM li GROUP BY 1
+        |)
+        |SELECT p.probe, coalesce(sc.parts_scanned, 0) AS parts_scanned,
+        |  tot.parts_total, coalesce(t.parts_true, 0) AS parts_true
+        |FROM (SELECT DISTINCT probe FROM probes) p
+        |LEFT JOIN sc ON sc.probe = p.probe
+        |LEFT JOIN truth t ON t.probe = p.probe
+        |CROSS JOIN tot
+        |ORDER BY p.probe""".stripMargin,
     "zonemap_audit" ->
       """WITH probes AS (
         |  SELECT DISTINCT l_orderkey AS probe FROM lineitem
@@ -10697,6 +10828,74 @@ object SparkEntry {
         |      ORDER BY score DESC, n_via DESC, cand) AS BIGINT) AS rank
         |  FROM fresh)
         |WHERE rank <= 3 ORDER BY u, rank""".stripMargin,
+    // leaveLastOutEval twin: last-pair election via (t DESC, it DESC)
+    // rank, held-out pair removed from train, the itemcf chain at k=10,
+    // integer hit/MRR ppm close
+    "reco_eval" ->
+      """WITH inter AS (
+        |  SELECT o_custkey AS u, l_partkey AS it, o_orderdate AS t
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), test AS MATERIALIZED (
+        |  SELECT u, it AS test_it FROM (
+        |    SELECT u, it,
+        |      row_number() OVER (PARTITION BY u
+        |        ORDER BY t DESC, it DESC) AS rn,
+        |      count(DISTINCT it) OVER (PARTITION BY u) AS n_items
+        |    FROM inter)
+        |  WHERE rn = 1 AND n_items >= 2
+        |), purch AS MATERIALIZED (
+        |  SELECT DISTINCT i.u, i.it
+        |  FROM inter i LEFT JOIN test tt ON i.u = tt.u
+        |  WHERE tt.test_it IS NULL OR i.it <> tt.test_it
+        |), pruned AS (
+        |  SELECT u, it FROM (
+        |    SELECT u, it, count(*) OVER (PARTITION BY u) AS bsize
+        |    FROM purch)
+        |  WHERE bsize <= 100
+        |), sim AS (
+        |  SELECT l.it AS a, r.it AS b, CAST(count(*) AS BIGINT) AS n_co
+        |  FROM pruned l JOIN pruned r ON l.u = r.u AND l.it < r.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 3
+        |), simall AS (
+        |  SELECT a AS owned, b AS cand, n_co FROM sim
+        |  UNION ALL SELECT b AS owned, a AS cand, n_co FROM sim
+        |), simboth AS (
+        |  SELECT owned, cand, n_co FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY owned
+        |      ORDER BY n_co DESC, cand) AS nrank
+        |    FROM simall)
+        |  WHERE nrank <= 20
+        |), scored AS (
+        |  SELECT p.u AS u, s.cand AS cand,
+        |    CAST(sum(n_co) AS BIGINT) AS score,
+        |    CAST(count(*) AS BIGINT) AS n_via
+        |  FROM pruned p JOIN simboth s ON p.it = s.owned
+        |  GROUP BY 1, 2
+        |), fresh AS (
+        |  SELECT sc.u, sc.cand, sc.score, sc.n_via
+        |  FROM scored sc LEFT JOIN purch pu
+        |    ON sc.u = pu.u AND sc.cand = pu.it
+        |  WHERE pu.it IS NULL
+        |), recs AS (
+        |  SELECT u, cand, rank FROM (
+        |    SELECT u, cand,
+        |      CAST(row_number() OVER (PARTITION BY u
+        |        ORDER BY score DESC, n_via DESC, cand) AS BIGINT) AS rank
+        |    FROM fresh)
+        |  WHERE rank <= 10
+        |), hits AS (
+        |  SELECT t.u, r.rank
+        |  FROM test t LEFT JOIN recs r
+        |    ON r.u = t.u AND r.cand = t.test_it
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users_eval,
+        |  CAST(sum(CASE WHEN rank IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hits,
+        |  1000000 * sum(CASE WHEN rank IS NOT NULL THEN 1 ELSE 0 END)
+        |    // count(*) AS hit_ppm,
+        |  CAST(sum(CASE WHEN rank IS NOT NULL THEN 1000000 // rank
+        |    ELSE 0 END) AS BIGINT) // count(*) AS mrr_ppm
+        |FROM hits""".stripMargin,
     // seasonalNaiveBacktest twin: daily cells, (type, day - 7) ancestor
     // join, integer MAE/bias rollup
     "events_snaive" ->

@@ -2302,6 +2302,62 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Deterministic permutation test on the A/B conversion split — the
+    * distribution-free companion of [[abTest]]'s z-score: is the
+    * observed variant difference bigger than what `reps` md5-seeded
+    * relabelings of the SAME users produce? The test statistic is the
+    * cross-multiplied rate difference T = conv_a·n_b − conv_b·n_a (an
+    * exact BIGINT — no division, sign-symmetric under label swap), and
+    * the p-value is the standard add-one estimate
+    * (#{|T_r| ≥ |T_obs|} + 1)·10⁶ div (reps + 1) ppm. Every relabel is
+    * md5('perm' ‖ r ‖ ':' ‖ user) parity — derandomized, so both
+    * engines rebuild the identical null distribution (the bootstrap /
+    * value_bootstrap recipe at the user grain).
+    *
+    * Scale shape: users collapse to (user, converted) in one keyed
+    * partial agg; the replica explode is users×reps rows but
+    * partial-aggregates map-side to reps cells before the one shuffle
+    * keyed on r; the observed one-row stat broadcasts onto the
+    * reps-row null frame (bounded BNLJ, whitelisted). T products are
+    * conv·n ≤ |users|² — inside BIGINT until ~3·10⁹ users.
+    */
+  def permutationTest(events: DataFrame, converted: Column,
+                      reps: Int = 200): DataFrame = {
+    require(reps >= 1 && reps <= 100000, "bounded null-replica count")
+    val perUser = events
+      .select(col("user_id"),
+        when(converted, lit(1L)).otherwise(lit(0L)).as("hit"))
+      .groupBy(col("user_id"))
+      .agg(max(col("hit")).as("converted"))
+    def cells(va: Column) = Seq(
+      sum(when(va, 1L).otherwise(0L)).as("n_a"),
+      sum(when(va, col("converted")).otherwise(0L)).as("conv_a"),
+      sum(when(!va, 1L).otherwise(0L)).as("n_b"),
+      sum(when(!va, col("converted")).otherwise(0L)).as("conv_b"))
+    val obsVa = expr("CAST(conv(substring(md5(CAST(user_id AS STRING))," +
+      " 1, 1), 16, 10) AS BIGINT)") < 8
+    val obs = perUser.groupBy().agg(cells(obsVa).head, cells(obsVa).tail: _*)
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        expr("conv_a * n_b - conv_b * n_a").as("t_obs"))
+    val permVa = expr("CAST(conv(substring(md5(CONCAT('perm'," +
+      " CAST(r AS STRING), ':', CAST(user_id AS STRING))), 1, 1)," +
+      " 16, 10) AS BIGINT)") < 8
+    val nulls = perUser
+      .select(col("user_id"), col("converted"),
+        explode(expr(s"sequence(1, $reps)")).as("r"))
+      .groupBy(col("r")).agg(cells(permVa).head, cells(permVa).tail: _*)
+      .select(expr("conv_a * n_b - conv_b * n_a").as("t_r"))
+    nulls.crossJoin(broadcast(obs))
+      .groupBy()
+      .agg(max(col("n_a")).as("n_a"), max(col("conv_a")).as("conv_a"),
+        max(col("n_b")).as("n_b"), max(col("conv_b")).as("conv_b"),
+        max(col("t_obs")).as("t_obs"),
+        sum(when(abs(col("t_r")) >= abs(col("t_obs")), 1L).otherwise(0L))
+          .as("n_extreme"))
+      .withColumn("p_ppm",
+        expr(s"1000000L * (n_extreme + 1) div ${reps + 1}L"))
+  }
+
   /** Exact Shapley channel attribution — the game-theoretic closer of
     * the attribution family ([[attribution]] heuristics →
     * [[markovAttribution]] removal effects → Shapley's axiomatic

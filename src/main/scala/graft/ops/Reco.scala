@@ -84,4 +84,47 @@ object Reco {
       .select(col("u"), col("rank"), col("cand"), col("score"),
         col("n_via"))
   }
+
+  /** Leave-last-out backtest of [[itemCf]] — the recommender's offline
+    * report card: hold out each user's LAST interaction (deterministic
+    * `max(struct(t, it))` election — the partial-aggregable argmax),
+    * retrain on the remainder, and score whether the held-out item
+    * reappears in the user's top-k. Metrics are exact integers:
+    * hit@k ppm and MRR ppm (reciprocal ranks as `10⁶ div rank` —
+    * truncating division, identical in both engines). Users need ≥ 2
+    * distinct items (something to train on AND something to recover);
+    * the held-out PAIR is removed from training entirely, so the
+    * ownership anti-join inside [[itemCf]] cannot suppress the test
+    * item.
+    *
+    * Scale shape: the election and the train filter are one user-keyed
+    * agg + one user-keyed join on top of [[itemCf]]'s own cost; metrics
+    * collapse through a single partial agg to one row. Expects
+    * `(u, it, t)` columns.
+    */
+  def leaveLastOutEval(interactions: DataFrame, topK: Int = 10,
+      maxBasket: Int = 100, minCo: Long = 2L,
+      simTopM: Int = 20): DataFrame = {
+    val pairs = interactions.select(col("u"), col("it"), col("t"))
+    val test = pairs.groupBy(col("u"))
+      .agg(max(struct(col("t"), col("it"))).as("m"),
+        countDistinct(col("it")).as("n_items"))
+      .filter(col("n_items") >= 2)
+      .select(col("u"), col("m.it").as("test_it"))
+    val train = pairs.join(test, Seq("u"), "left")
+      .filter(col("test_it").isNull || col("it") =!= col("test_it"))
+      .select(col("u"), col("it"))
+    val recs = itemCf(train, "u", "it", topK, maxBasket, minCo, simTopM)
+    val perUser = test.join(
+      recs.select(col("u"), col("cand").as("test_it"), col("rank")),
+      Seq("u", "test_it"), "left")
+    perUser.groupBy()
+      .agg(count(lit(1)).as("n_users_eval"),
+        sum(when(col("rank").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+        sum(when(col("rank").isNotNull, expr("1000000L div rank"))
+          .otherwise(0L)).as("rr_sum"))
+      .select(col("n_users_eval"), col("n_hits"),
+        expr("1000000L * n_hits div n_users_eval").as("hit_ppm"),
+        expr("rr_sum div n_users_eval").as("mrr_ppm"))
+  }
 }

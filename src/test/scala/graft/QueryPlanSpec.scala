@@ -54,6 +54,8 @@ class QueryPlanSpec extends SparkSpec {
       "search_indexed", // same bm25 one-row totals over the pruned
                         // postings read
       "search_hard_negatives", // same bm25 chain
+      "events_permutation", // observed one-row stat broadcast onto the
+                            // bounded reps-row null frame
       "events_rfm",    // one-row corpus-max instant onto |users| rows
       "events_covisit", // one-row session total onto type² pair rows
       "embed_truncation", // one-row total energy onto |dims| rows
@@ -61,6 +63,8 @@ class QueryPlanSpec extends SparkSpec {
       "text_kneser_ney", // one-row bigram-type total onto the type table
       "zonemap_audit", // bounded probes × layout-sized zone map (the
                        // corpus itself is scanned once, joins never)
+      "bloom_index_audit", // one-row parts_total crossed onto the
+                           // bounded probe frame
       "eval_calibration", // one-row (min, max) score span onto the stream
       "eval_pr", // same one-row span + a one-row positive total onto
                  // the bounded bin frame

@@ -285,6 +285,33 @@ class EventsSpec extends SparkSpec {
     assert(na == aCount, "A-variant size must match the md5 recipe")
   }
 
+  test("permutationTest: perfect signal earns the minimal add-one p") {
+    // conversion == observed variant-A membership (computed with the
+    // same md5 recipe) -> |t_obs| is the maximum n_a*n_b; no random
+    // relabel of 40 users reproduces perfect correlation, so
+    // n_extreme stays ~0 and p sits at the add-one floor
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val varA = (1L to 40L).filter { u =>
+      ((md.digest(u.toString.getBytes("UTF-8"))(0) >> 4) & 0xf) < 8
+    }.toSet
+    val ev = (1L to 40L).map { u =>
+      (u, if (varA(u)) "purchase" else "view", 200.0)
+    }.toDF("user_id", "event_type", "value")
+    val r = Events.permutationTest(ev,
+      org.apache.spark.sql.functions.col("event_type") === "purchase" &&
+        org.apache.spark.sql.functions.col("value") > 180,
+      reps = 99).collect().head
+    assert(r.getAs[Long]("n_a") == varA.size.toLong)
+    assert(r.getAs[Long]("conv_a") == varA.size.toLong)
+    assert(r.getAs[Long]("conv_b") == 0L)
+    assert(r.getAs[Long]("t_obs") ==
+      varA.size.toLong * (40L - varA.size.toLong))
+    val p = r.getAs[Long]("p_ppm")
+    assert(p == 1000000L * (r.getAs[Long]("n_extreme") + 1L) / 100L,
+      "add-one identity")
+    assert(p <= 100000L, s"perfect signal must be extreme: p=$p")
+  }
+
   test("ewma folds the integer recurrence in timestamp order") {
     // user 1: values 1.00 then 9.00 -> x = 100e6 then 900e6;
     // s = 100e6 + (900e6 - 100e6)/8 = 200e6 -> ewma 2.0

@@ -35,6 +35,23 @@ class RecoSpec extends SparkSpec {
     assert(none.isEmpty)
   }
 
+  test("leaveLastOutEval recovers a co-occurrence-supported holdout") {
+    // u1 holds out 20; u2/u3 keep {10,20} in train, so sim(10,20)=2
+    // reaches minCo and u1's owned {10} recommends 20 at rank 1.
+    // u2/u3 hold out items nothing co-occurs with -> misses.
+    val inter = Seq(
+      (1L, 10L, 1L), (1L, 20L, 2L),
+      (2L, 10L, 1L), (2L, 20L, 2L), (2L, 30L, 3L),
+      (3L, 10L, 1L), (3L, 20L, 2L), (3L, 40L, 3L)
+    ).toDF("u", "it", "t")
+    val r = Reco.leaveLastOutEval(inter, topK = 3, minCo = 2L)
+      .collect().head
+    assert(r.getAs[Long]("n_users_eval") == 3L)
+    assert(r.getAs[Long]("n_hits") == 1L)
+    assert(r.getAs[Long]("hit_ppm") == 333333L)
+    assert(r.getAs[Long]("mrr_ppm") == 333333L)
+  }
+
   test("itemCf basket prune removes power users from similarity") {
     // user 9's giant basket links EVERYTHING; pruning it leaves only
     // the organic 10-11 signal
