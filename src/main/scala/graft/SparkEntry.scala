@@ -234,6 +234,14 @@ object SparkEntry {
             col("name").substr(col("pos") + 1, lit(1000000)))).as("name"))
       Linkage.symspellJoin(dirty, c).orderBy("a_id", "b_id")
     }),
+    // --- phonetic blocking: one portable soundex SQL text serves both
+    // engines; code-keyed equi-join + levenshtein<=2 verify
+    "linkage_phonetic" -> ((s, dir) => {
+      val toks = rd(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("t"))
+      Linkage.phoneticBlocking(toks, "t", maxLev = 2)
+        .orderBy("code", "tok_a", "tok_b")
+    }),
     // --- greedy maximal matching (Israeli–Itai local-minimum rule)
     // over the order–customer graph: fixed md5 edge priorities, 4
     // rounds, leftovers undecided — the one-to-one pairing primitive
@@ -1860,6 +1868,16 @@ object SparkEntry {
         .select(col("l_partkey").as("x"), col("l_suppkey").as("y")).distinct()
         .select(col("x"), col("y"), ZOrder.zValue(col("x"), col("y"), 20).as("z"))
         .orderBy("x", "y")),
+    // --- Hilbert layout index: native per-row state machine (a column
+    // form would 2^bits the expression tree through CollapseProject);
+    // perfect step locality where the z-curve jumps at pow2 seams
+    "hilbert_index" -> ((s, dir) =>
+      rd(s, dir, "lineitem")
+        .select(col("l_partkey").as("x"), col("l_suppkey").as("y")).distinct()
+        .select(col("x"), col("y"),
+          expr("graft_hilbert(CAST(x AS BIGINT), CAST(y AS BIGINT), 20)")
+            .as("h"))
+        .orderBy("x", "y")),
     // --- declarative data-quality gate: range rules catch real rows
     // (quantities over 40, discounts over 5%), unique/ref rules cover
     // the key checks — the clean ref rule proving zeros report as zeros
@@ -2459,6 +2477,13 @@ object SparkEntry {
           .stripMargin).as("rid"))
       Sketches.quantileSketch(li, "cents", "rid", k = 1024)
         .orderBy("q_ppm")
+    }),
+    // --- power-of-two DDSketch: relative-error quantiles from ~64
+    // mergeable bit_length bucket counts (the latency-histogram shape)
+    "value_ddsketch" -> ((s, dir) => {
+      val v = rd(s, dir, "lineitem").select(
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      Sketches.ddSketch(v, "cents").orderBy("q_ppm")
     }),
     "sketch_f2" -> ((s, dir) => {
       val ev = rdEvents(s, dir).select(col("user_id"))
@@ -3409,6 +3434,40 @@ object SparkEntry {
        |)""".stripMargin
   }
 
+  /** Generated DuckDB twin of [[graft.functions.HilbertIndex]]: the
+    * per-level flip/swap state machine unrolled as MATERIALIZED CTEs
+    * (row-wise materialization sidesteps the expression-tree blowup
+    * that forced the Spark side native). */
+  private def hilbertOracleSql(bits: Int): String = {
+    val mask = (1L << bits) - 1
+    val rounds = (0 until bits).map { r =>
+      val st = 1L << (bits - 1 - r)
+      s"""h${r + 1} AS MATERIALIZED (
+         |  SELECT ox, oy,
+         |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1
+         |      THEN $st - 1 - y ELSE y END ELSE x END AS x,
+         |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1
+         |      THEN $st - 1 - x ELSE x END ELSE y END AS y,
+         |    d + ${st * st} * xor(3 * rx, ry) AS d
+         |  FROM (
+         |    SELECT ox, oy, x, y, d,
+         |      CASE WHEN (x & $st) > 0 THEN 1 ELSE 0 END AS rx,
+         |      CASE WHEN (y & $st) > 0 THEN 1 ELSE 0 END AS ry
+         |    FROM h$r)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT DISTINCT l_partkey AS ox, l_suppkey AS oy FROM lineitem
+       |), h0 AS (
+       |  SELECT ox, oy, ox & $mask AS x, oy & $mask AS y,
+       |    CAST(0 AS BIGINT) AS d
+       |  FROM base
+       |),
+       |$rounds
+       |SELECT ox AS x, oy AS y, CAST(d AS BIGINT) AS h
+       |FROM h$bits ORDER BY x, y""".stripMargin
+  }
+
   /** Generated DuckDB twin of [[graft.ops.Similarity.clusterQualityCard]]:
     * the Lloyd prefix, then per-cluster floored squared-distance cells
     * (identical IEEE (x−c)² on the shared centroid frame), integer-div
@@ -3793,6 +3852,22 @@ object SparkEntry {
     },
     // SymSpell twin: same md5-planted typos, deletion variants via a
     // correlated range unnest, distinct candidates, levenshtein verify
+    // phonetic twin: the SAME generated soundex SQL text (portable by
+    // construction), DuckDB string_split for the token explode
+    "linkage_phonetic" -> {
+      s"""WITH tok AS (
+         |  SELECT DISTINCT unnest(string_split(p_name, ' ')) AS t
+         |  FROM part
+         |), c AS (
+         |  SELECT t, ${graft.ops.Linkage.soundexSql("t")} AS code
+         |  FROM tok
+         |)
+         |SELECT a.code AS code, a.t AS tok_a, b.t AS tok_b,
+         |  CAST(levenshtein(a.t, b.t) AS BIGINT) AS lev
+         |FROM c a JOIN c b ON a.code = b.code AND a.t < b.t
+         |WHERE levenshtein(a.t, b.t) <= 2
+         |ORDER BY code, tok_a, tok_b""".stripMargin
+    },
     "linkage_fuzzy" ->
       """WITH c AS (
         |  SELECT CAST(c_custkey AS BIGINT) AS rec_id, c_name AS name
@@ -8704,6 +8779,7 @@ object SparkEntry {
         |ORDER BY c.vec_id, c.dim""".stripMargin,
     // the five dilation rounds are unrolled textually: each level
     // substitutes the previous expression twice (shift-or) then masks
+    "hilbert_index" -> hilbertOracleSql(bits = 20),
     "zorder_index" -> {
       def dilate(e: String): String =
         Seq(0x0000FFFF0000FFFFL -> 16, 0x00FF00FF00FF00FFL -> 8,
@@ -10425,6 +10501,31 @@ object SparkEntry {
         |SELECT item, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
         |FROM probe LEFT JOIN sk USING (depth, cell)
         |GROUP BY item ORDER BY est DESC, item LIMIT 20""".stripMargin,
+    // ddSketch twin: identical bit_length buckets (the portable
+    // ltrim-bin form), ceil cumulative walk, midpoint via <<
+    "value_ddsketch" ->
+      """WITH v AS (
+        |  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem
+        |), b AS MATERIALIZED (
+        |  SELECT length(ltrim(bin(cents), '0')) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM v GROUP BY 1
+        |), w AS (
+        |  SELECT bucket, n,
+        |    CAST(sum(n) OVER (ORDER BY bucket
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(n) OVER () AS BIGINT) AS n_total
+        |  FROM b
+        |), q AS (SELECT unnest([500000, 900000, 990000]) AS q_ppm)
+        |SELECT q.q_ppm, CAST(min(w.bucket) AS BIGINT) AS bucket,
+        |  CASE WHEN min(w.bucket) >= 2
+        |    THEN 3 * (CAST(1 AS BIGINT) << (min(w.bucket) - 2))
+        |    ELSE CAST(min(w.bucket) AS BIGINT) END AS est_mid,
+        |  CAST(max(w.n_total) AS BIGINT) AS n_total
+        |FROM q JOIN w
+        |  ON w.cum >= (q.q_ppm * w.n_total + 999999) // 1000000
+        |GROUP BY 1 ORDER BY q_ppm""".stripMargin,
     // quantileSketch twin: identical md5 bottom-k membership, (value,
     // id) rank order, ceil(q·k') rank election; cents via floor(p*100)
     // on the DOUBLE column (integer 100 — never a bare decimal literal)

@@ -378,4 +378,49 @@ object Sketches {
       .join(ranked.select(col("r"), col("v").as("est")), Seq("r"))
       .select(col("q_ppm"), col("est"), col("n_sample"), col("n_total"))
   }
+
+  /** Power-of-two DDSketch — RELATIVE-error quantiles from a mergeable
+    * bucket-count table, the complement of [[quantileSketch]]'s
+    * rank-error bottom-k: bucket(v) = bit_length(v) (γ = 2, so any
+    * quantile answer is within 2× of the true value at ANY corpus size
+    * with ~64 buckets of state, exactly mergeable by count addition —
+    * the latency-histogram industry shape). bit_length is the portable
+    * `length(ltrim(bin(v), '0'))` (zero falls out to bucket 0, the HLL
+    * rho recipe); the quantile walk returns the bucket midpoint
+    * 3·2^(b−2) — all integers, no libm anywhere.
+    *
+    * Scale shape: one partial-agg shuffle to ≤ 64 bucket cells;
+    * quantile extraction is a window over that bounded frame. Strictly
+    * positive values expected (cents/micros); zeros land in bucket 0
+    * with midpoint 0.
+    */
+  def ddSketch(df: DataFrame, valueCol: String,
+               qsPpm: Seq[Long] = Seq(500000L, 900000L, 990000L))
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qsPpm.nonEmpty && qsPpm.forall(q => q >= 1 && q <= 1000000))
+    val spark = df.sparkSession
+    import spark.implicits._
+    // TRIM(LEADING ...) — Spark's two-arg ltrim is the legacy
+    // (trimStr, str) order (the r12 packed-HLL rho trap)
+    val buckets = df
+      .select(expr(s"length(TRIM(LEADING '0' FROM bin($valueCol)))")
+        .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val walked = buckets
+      .withColumn("cum", sum(col("n")).over(
+        Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(buckets.agg(sum(col("n")).as("n_total"))))
+    qsPpm.toDF("q_ppm")
+      .join(walked,
+        col("cum") >= expr("(q_ppm * n_total + 999999) div 1000000"))
+      .groupBy(col("q_ppm"))
+      .agg(min(col("bucket")).cast("long").as("bucket"),
+        max(col("n_total")).as("n_total"))
+      .select(col("q_ppm"), col("bucket"),
+        expr("CASE WHEN bucket >= 2 THEN 3L * shiftleft(1L, " +
+          "CAST(bucket AS INT) - 2) ELSE bucket END").as("est_mid"),
+        col("n_total"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{AdcDistance, BandBuckets, HllCard, HllInit, HllMaxAgg, SignedProjection, LongArrayAgreement, MatVecCenter, MinHashSignature, OuterProduct, RepetitionStats, SignBuckets, SimHash64, TokenStats, VectorDot, Winnow, WordNgrams, WordShingles}
+import graft.functions.{AdcDistance, BandBuckets, HilbertIndex, HllCard, HllInit, HllMaxAgg, SignedProjection, LongArrayAgreement, MatVecCenter, MinHashSignature, OuterProduct, RepetitionStats, SignBuckets, SimHash64, TokenStats, VectorDot, Winnow, WordNgrams, WordShingles}
 
 /** Session extensions registering graft's native expressions as SQL
   * functions. Enable with
@@ -67,6 +67,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BandBuckets].getName, "graft_bandbuckets"),
       (children: Seq[Expression]) =>
         BandBuckets(children.head, intLit(children(1), "bands"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hilbert"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "graft_hilbert"),
+      (children: Seq[Expression]) =>
+        HilbertIndex(children.head, children(1),
+          intLit(children(2), "bits"))))
     ext.injectFunction((
       new FunctionIdentifier("graft_eqfrac"),
       new ExpressionInfo(classOf[LongArrayAgreement].getName, "graft_eqfrac"),

@@ -1090,4 +1090,65 @@ object EventStreams {
       }
   }
 
+  /** Approximate streaming dedup with CONSTANT state — the 100 TB/day
+    * answer where [[streamingDedup]]'s exact per-fingerprint state is
+    * bounded only by the watermark horizon: each of `nShards` keyed
+    * groups holds ONE m-bit Bloom filter (mBits/8 bytes, forever), a
+    * new document is dropped iff all k of its md5-salted bits are
+    * already set, else it sets them and emits. Total executor state =
+    * nShards × mBits/8 bytes regardless of stream length or horizon;
+    * the price is a bounded false-positive rate (size mBits ≈ 17 bits
+    * per expected distinct doc per shard — the [[graft.sources.BloomIndex]]
+    * geometry) and no re-emission window at all (a duplicate is
+    * suppressed FOREVER, unlike the watermark variant's horizon).
+    * Sharding by a fingerprint prefix spreads both load and filter
+    * occupancy uniformly; within a batch rows fold in (doc_id, fp)
+    * order so replays are deterministic.
+    *
+    * Output: (doc_id, fp) of kept documents. Expects (doc_id, text).
+    */
+  def streamingBloomDedup(docs: DataFrame, nShards: Int = 64,
+                          mBits: Int = 1 << 16, k: Int = 3)(
+      implicit spark: SparkSession): Dataset[(Long, String)] = {
+    import spark.implicits._
+    require(nShards >= 1 && mBits >= 64 && mBits % 8 == 0 &&
+      k >= 1 && k <= 8)
+    val fps = docs
+      .withColumn("fp",
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+      .withColumn("shard",
+        expr(s"CAST(conv(substring(fp, 1, 4), 16, 10) AS BIGINT)") %
+          nShards)
+      .selectExpr("shard", "doc_id", "fp").as[(Long, Long, String)]
+    fps.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Byte], (Long, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, Long, String)],
+         state: GroupState[Array[Byte]]) =>
+          val bloom = state.getOption.getOrElse(new Array[Byte](mBits / 8))
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val kept = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, id, fp) =>
+            val bits = (1 to k).map { h =>
+              val d = md.digest(s"$h:$fp".getBytes("UTF-8"))
+              md.reset()
+              (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+                ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % mBits
+            }
+            val dup = bits.forall { b =>
+              (bloom(b.toInt / 8) & (1 << (b.toInt % 8))) != 0
+            }
+            if (!dup) {
+              bits.foreach { b =>
+                bloom(b.toInt / 8) =
+                  (bloom(b.toInt / 8) | (1 << (b.toInt % 8))).toByte
+              }
+              kept += ((id, fp))
+            }
+          }
+          state.update(bloom)
+          kept.iterator
+      }
+  }
+
 }

@@ -56,6 +56,8 @@ class QueryPlanSpec extends SparkSpec {
       "search_hard_negatives", // same bm25 chain
       "events_permutation", // observed one-row stat broadcast onto the
                             // bounded reps-row null frame
+      "value_ddsketch", // |qs|-row targets non-equi-joined onto the
+                        // <=64-row bucket walk
       "events_rfm",    // one-row corpus-max instant onto |users| rows
       "events_covisit", // one-row session total onto type² pair rows
       "embed_truncation", // one-row total energy onto |dims| rows

@@ -110,4 +110,17 @@ class LinkageSpec extends SparkSpec {
     val p = out("f_name").getAs[Long]("p_ppm")
     assert(p > 100000L && p < 400000L, s"prevalence $p off the ~1/6-1/3 band")
   }
+
+  test("phoneticBlocking: classic soundex pairs, verified by edit distance") {
+    import spark.implicits._
+    val toks = Seq("robert", "rupert", "red", "rod", "blue")
+      .map(Tuple1(_)).toDF("t")
+    val out = Linkage.phoneticBlocking(toks, "t", maxLev = 3).collect()
+      .map(r => (r.getAs[String]("code"), r.getAs[String]("tok_a"),
+        r.getAs[String]("tok_b"), r.getAs[Long]("lev"))).toSet
+    // robert/rupert share the textbook R163; red/rod share R300;
+    // blue (B400) blocks alone
+    assert(out == Set(("R163", "robert", "rupert", 2L),
+      ("R300", "red", "rod", 1L)))
+  }
 }

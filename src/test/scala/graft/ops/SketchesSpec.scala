@@ -200,4 +200,22 @@ class SketchesSpec extends SparkSpec {
       Sketches.bloomFilter((1 to 100).map(_.toLong).toDF("k"), "k", bits),
       "bloom")
   }
+
+  test("ddSketch: pow2 buckets, ceil walk, midpoint within 2x") {
+    // values {1,2,3,4,8,100} -> buckets 1,2,2,3,4,7; cum 1,3,4,5,6.
+    // q50: k=3 -> bucket 2, midpoint 3 (true median 3-4).
+    // q90: k=ceil(5.4)=6 -> bucket 7, midpoint 96 (true 100, <2x off).
+    val v = Seq(1L, 2L, 3L, 4L, 8L, 100L).toDF("x")
+    val out = Sketches.ddSketch(v, "x", Seq(500000L, 900000L))
+      .collect()
+      .map(r => r.getAs[Long]("q_ppm") ->
+        (r.getAs[Long]("bucket"), r.getAs[Long]("est_mid"),
+          r.getAs[Long]("n_total"))).toMap
+    assert(out(500000L) == ((2L, 3L, 6L)))
+    assert(out(900000L) == ((7L, 96L, 6L)))
+    // zero lands in bucket 0 with midpoint 0 (the ltrim-bin fallout)
+    val z = Sketches.ddSketch(Seq(0L, 0L, 5L).toDF("x"), "x",
+      Seq(500000L)).collect().head
+    assert(z.getAs[Long]("bucket") == 0L && z.getAs[Long]("est_mid") == 0L)
+  }
 }

@@ -69,6 +69,35 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingBloomDedup suppresses duplicates forever on constant state") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val deduped = EventStreams.streamingBloomDedup(
+      mem.toDF.toDF("doc_id", "text"), nShards = 4, mBits = 1 << 14)
+    val q = deduped.writeStream
+      .format("memory").queryName("bloomdedup_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      mem.addData((1L, "hello world"), (2L, "hello   WORLD"),
+        (3L, "something else"))
+      q.processAllAvailable()
+      // batch 2 replays doc 1's content LONG after any watermark
+      // horizon would have expired it, plus a fresh doc
+      mem.addData((4L, "hello world"), (5L, "third thing"))
+      q.processAllAvailable()
+      val kept = spark.table("bloomdedup_test").collect()
+        .map(_.getAs[Long]("_1")).toSet
+      assert(kept.contains(1L) && kept.contains(3L) && kept.contains(5L),
+        "firsts kept")
+      assert(!kept.contains(2L), "canonical-form duplicate dropped")
+      assert(!kept.contains(4L), "cross-batch duplicate dropped with " +
+        "no horizon — the constant-state win over streamingDedup")
+    } finally q.stop()
+  }
+
   test("streaming text pipeline dedups then quality-filters on the batch code path") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
