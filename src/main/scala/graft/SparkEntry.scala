@@ -1395,6 +1395,12 @@ object SparkEntry {
     "events_outliers_mad" -> ((s, dir) => {
       Events.madOutliers(rdEvents(s, dir)).orderBy("event_id")
     }),
+    // --- correlation-aware 2-D Mahalanobis outliers: exact integer
+    // adjugate form, one moment row broadcast, top-5 TakeOrdered
+    "events_mahalanobis" -> ((s, dir) => {
+      val ev = rdEvents(s, dir).select(col("user_id"), col("value"))
+      Events.mahalanobisOutliers(ev, topK = 5)
+    }),
     // --- referential integrity: staged orphan/NULL foreign keys on
     // the lineitem->orders relationship, one-row audit card
     "dq_orphans" -> ((s, dir) => {
@@ -8339,6 +8345,40 @@ object SparkEntry {
         |JOIN pt b ON b.event_type = type_b
         |CROSS JOIN tot
         |ORDER BY type_a, type_b""".stripMargin,
+    // mahalanobis twin: HUGEINT centered moments == the Spark
+    // DECIMAL(38,0) sums; same adjugate quadratic form and one final
+    // truncating division; DESC puts NULLs last in both engines
+    "events_mahalanobis" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(count(*) AS HUGEINT) AS f1,
+        |    CAST(sum(CAST(floor(value) AS BIGINT)) AS HUGEINT) AS f2
+        |  FROM events GROUP BY 1
+        |), m AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(f1) AS HUGEINT) AS s1,
+        |    CAST(sum(f2) AS HUGEINT) AS s2,
+        |    CAST(sum(f1 * f1) AS HUGEINT) AS s11,
+        |    CAST(sum(f1 * f2) AS HUGEINT) AS s12,
+        |    CAST(sum(f2 * f2) AS HUGEINT) AS s22
+        |  FROM f
+        |), sm AS (
+        |  SELECT n, s1, s2,
+        |    n * s11 - s1 * s1 AS sxx,
+        |    n * s12 - s1 * s2 AS sxy,
+        |    n * s22 - s2 * s2 AS syy
+        |  FROM m
+        |), smd AS (
+        |  SELECT *, sxx * syy - sxy * sxy AS det FROM sm
+        |)
+        |SELECT user_id, CAST(f1 AS BIGINT) AS f1,
+        |  CAST(f2 AS BIGINT) AS f2,
+        |  CASE WHEN det > 0 THEN CAST(
+        |    1000000 * (syy * (n * f1 - s1) * (n * f1 - s1)
+        |      - 2 * sxy * (n * f1 - s1) * (n * f2 - s2)
+        |      + sxx * (n * f2 - s2) * (n * f2 - s2)) // det AS BIGINT)
+        |  ELSE NULL END AS md2_ppm
+        |FROM f, smd
+        |ORDER BY md2_ppm DESC, user_id LIMIT 5""".stripMargin,
     // quantile_cont == Spark exact percentile (same p*(n-1) interpolation);
     // doubling before round() keeps every compared term an exact integer
     "events_outliers_mad" ->

@@ -2302,6 +2302,52 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Multivariate (2-D) Mahalanobis outlier card — the correlation-aware
+    * successor of the per-metric z/MAD flags: a user who is moderate on
+    * BOTH activity and spend can still be a strong outlier if the two
+    * disagree with the corpus correlation. Exact in integers end to
+    * end via the 2×2 adjugate: with centered integer moments
+    * Sxx = n·Σx²−(Σx)², Sxy = n·Σxy−ΣxΣy, Syy = n·Σy²−(Σy)² and
+    * dxn = n·x−Σx, md² = (Syy·dx1² − 2·Sxy·dx1·dx2 + Sxx·dx2²) /
+    * det(S) — no matrix inversion, one truncating division at the end
+    * (operands ≥ 0: the quadratic form is PSD, det > 0 guarded).
+    * Products are DECIMAL(38,0) BEFORE squaring (the r10 µs-gap rule:
+    * d² overflows BIGINT; ANSI catches any 38-digit breach loudly).
+    * Degenerate corpora (det ≤ 0: constant or perfectly collinear
+    * features) surface NULL scores, never a division error.
+    *
+    * Scale shape: one user-keyed partial agg builds the feature frame,
+    * one partial agg collapses it to a single moment row (broadcast
+    * back — whitelisted one-row BNLJ), top-k closes as a TakeOrdered.
+    */
+  def mahalanobisOutliers(events: DataFrame, topK: Int = 5): DataFrame = {
+    val f = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("f1"),
+        sum(expr("CAST(floor(value) AS BIGINT)")).as("f2"))
+    val m = f.groupBy().agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("f1")).cast("decimal(38,0)").as("s1"),
+      sum(col("f2")).cast("decimal(38,0)").as("s2"),
+      sum(expr("CAST(f1 AS DECIMAL(38,0)) * f1")).as("s11"),
+      sum(expr("CAST(f1 AS DECIMAL(38,0)) * f2")).as("s12"),
+      sum(expr("CAST(f2 AS DECIMAL(38,0)) * f2")).as("s22"))
+      .select(col("n"), col("s1"), col("s2"),
+        expr("n * s11 - s1 * s1").as("sxx"),
+        expr("n * s12 - s1 * s2").as("sxy"),
+        expr("n * s22 - s2 * s2").as("syy"))
+      .withColumn("det", expr("sxx * syy - sxy * sxy"))
+    f.crossJoin(broadcast(m))
+      .select(col("user_id"), col("f1"), col("f2"),
+        expr("n * f1 - s1").as("dx1"), expr("n * f2 - s2").as("dx2"),
+        col("sxx"), col("sxy"), col("syy"), col("det"))
+      .select(col("user_id"), col("f1"), col("f2"),
+        when(col("det") > 0, expr(
+          "1000000 * (syy * dx1 * dx1 - 2 * sxy * dx1 * dx2" +
+            " + sxx * dx2 * dx2) div det")).as("md2_ppm"))
+      .orderBy(desc("md2_ppm"), asc("user_id"))
+      .limit(topK)
+  }
+
   /** Deterministic permutation test on the A/B conversion split — the
     * distribution-free companion of [[abTest]]'s z-score: is the
     * observed variant difference bigger than what `reps` md5-seeded

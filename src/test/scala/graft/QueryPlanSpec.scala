@@ -58,6 +58,8 @@ class QueryPlanSpec extends SparkSpec {
                             // bounded reps-row null frame
       "value_ddsketch", // |qs|-row targets non-equi-joined onto the
                         // <=64-row bucket walk
+      "events_mahalanobis", // one-row moment frame broadcast onto the
+                            // per-user feature frame
       "events_rfm",    // one-row corpus-max instant onto |users| rows
       "events_covisit", // one-row session total onto type² pair rows
       "embed_truncation", // one-row total energy onto |dims| rows

@@ -285,6 +285,29 @@ class EventsSpec extends SparkSpec {
     assert(na == aCount, "A-variant size must match the md5 recipe")
   }
 
+  test("mahalanobisOutliers: exact adjugate scores and degenerate guard") {
+    // features (count, floor-value sum): u1 (1,1), u2 (2,2), u3 (3,3),
+    // u4 (2,1). n=4, S = [[8,8],[8,11]], det 24; hand scores:
+    // u4 72e6/24=3000000, u1=u3 56e6/24=2333333 (tie -> user asc),
+    // u2 8e6/24=333333 — u4 tops despite both features being moderate:
+    // it breaks the corpus correlation (the card's whole point)
+    val ev = Seq(
+      (1L, 1.0),
+      (2L, 1.0), (2L, 1.0),
+      (3L, 1.0), (3L, 1.0), (3L, 1.0),
+      (4L, 1.0), (4L, 0.3)
+    ).toDF("user_id", "value")
+    val out = Events.mahalanobisOutliers(ev, topK = 5).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("md2_ppm")))
+    assert(out.toSeq == Seq((4L, 3000000L), (1L, 2333333L),
+      (3L, 2333333L), (2L, 333333L)))
+    // perfectly collinear features -> det 0 -> NULL scores, no error
+    val lin = Seq((1L, 1.0), (2L, 1.0), (2L, 1.0),
+      (3L, 1.0), (3L, 1.0), (3L, 1.0)).toDF("user_id", "value")
+    val nulls = Events.mahalanobisOutliers(lin, topK = 5).collect()
+    assert(nulls.length == 3 && nulls.forall(_.isNullAt(3)))
+  }
+
   test("permutationTest: perfect signal earns the minimal add-one p") {
     // conversion == observed variant-A membership (computed with the
     // same md5 recipe) -> |t_obs| is the maximum n_a*n_b; no random
