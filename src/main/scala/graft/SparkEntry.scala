@@ -1695,6 +1695,19 @@ object SparkEntry {
       Eval.prCurve(rd(s, dir, "documents")
         .select(col("n_chars").as("score"),
           (col("lang") === "en").as("label")))),
+    // --- Murphy decomposition of the Brier score: exact ppm² REL /
+    // RES / UNC plus the exact unbinned Brier, one-row card
+    "eval_brier" -> ((s, dir) =>
+      Eval.brierDecomposition(rd(s, dir, "documents")
+        .select(col("n_chars").as("score"),
+          (col("lang") === "en").as("label")))),
+    // --- rich-club sweep over the order–part graph: does the
+    // high-degree core wire to itself; all thresholds in one pass
+    "graph_richclub" -> ((s, dir) => {
+      val e = rd(s, dir, "lineitem").select(col("l_orderkey").as("src"),
+        (col("l_partkey") + 10000000L).as("dst"))
+      Graph.richClub(e).orderBy("k")
+    }),
     // --- 2-D skyline: cheapest-and-smallest Pareto front over parts
     "part_skyline" -> ((s, dir) =>
       Analytics.skyline2d(rd(s, dir, "part")
@@ -5388,6 +5401,78 @@ object SparkEntry {
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     // prCurve twin: same bins, descending cumulative TP/pred-positive,
     // one-row positive total, exact ppm divisions
+    // brier twin: HUGEINT squares == the Spark DECIMAL(38,0) sums;
+    // identical min-max ppm map, bins, and truncating divisions
+    "eval_brier" ->
+      """WITH src AS (
+        |  SELECT n_chars AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |), span AS (
+        |  SELECT min(s) AS s_min, max(s) AS s_max FROM src
+        |), scored AS (
+        |  SELECT 1000000 * (s - s_min) // (s_max - s_min + 1) AS p_ppm, y
+        |  FROM src, span
+        |), bins AS MATERIALIZED (
+        |  SELECT p_ppm * 10 // 1000000 AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS n_pos,
+        |    CAST(sum(p_ppm) AS BIGINT) AS p_sum,
+        |    CAST(sum(CAST(p_ppm - 1000000 * y AS HUGEINT)
+        |      * (p_ppm - 1000000 * y)) AS HUGEINT) AS se
+        |  FROM scored GROUP BY 1
+        |), bm AS (
+        |  SELECT bin, n, n_pos, se, p_sum // n AS p_bar,
+        |    1000000 * n_pos // n AS o_bar
+        |  FROM bins
+        |), t2 AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_total,
+        |    CAST(sum(se) AS HUGEINT) AS se_total,
+        |    1000000 * CAST(sum(n_pos) AS BIGINT)
+        |      // CAST(sum(n) AS BIGINT) AS o_ppm
+        |  FROM bm
+        |)
+        |SELECT t2.n_total AS n, t2.o_ppm AS base_rate_ppm,
+        |  CAST(t2.se_total // t2.n_total AS BIGINT) AS brier_ppm2,
+        |  CAST(sum(CAST(bm.n AS HUGEINT) * (bm.p_bar - bm.o_bar)
+        |    * (bm.p_bar - bm.o_bar)) // t2.n_total AS BIGINT) AS rel_ppm2,
+        |  CAST(sum(CAST(bm.n AS HUGEINT) * (bm.o_bar - t2.o_ppm)
+        |    * (bm.o_bar - t2.o_ppm)) // t2.n_total AS BIGINT) AS res_ppm2,
+        |  t2.o_ppm * (1000000 - t2.o_ppm) AS unc_ppm2
+        |FROM bm, t2
+        |GROUP BY 1, 2, 3, 6""".stripMargin,
+    // richClub twin: identical canonical edges, FILTER threshold
+    // sweeps over the bounded ks frame
+    "graph_richclub" ->
+      """WITH und AS (
+        |  SELECT DISTINCT least(l_orderkey, l_partkey + 10000000) AS a,
+        |    greatest(l_orderkey, l_partkey + 10000000) AS b
+        |  FROM lineitem WHERE l_orderkey <> l_partkey + 10000000
+        |), deg AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+        |  GROUP BY 1
+        |), st AS (
+        |  SELECT least(da.deg, db.deg) AS dmin
+        |  FROM und JOIN deg da ON da.id = und.a
+        |  JOIN deg db ON db.id = und.b
+        |), ks AS (SELECT unnest([1, 2, 4, 8, 16, 32]) AS k)
+        |, nk AS (
+        |  SELECT ks.k,
+        |    CAST(count(*) FILTER (WHERE deg.deg > ks.k) AS BIGINT)
+        |      AS n_nodes
+        |  FROM ks CROSS JOIN deg GROUP BY 1
+        |), ek AS (
+        |  SELECT ks.k,
+        |    CAST(count(*) FILTER (WHERE st.dmin > ks.k) AS BIGINT)
+        |      AS n_edges
+        |  FROM ks CROSS JOIN st GROUP BY 1
+        |)
+        |SELECT CAST(nk.k AS BIGINT) AS k, nk.n_nodes, ek.n_edges,
+        |  CASE WHEN nk.n_nodes >= 2
+        |    THEN 2000000 * ek.n_edges // (nk.n_nodes * (nk.n_nodes - 1))
+        |    ELSE NULL END AS phi_ppm
+        |FROM nk JOIN ek ON nk.k = ek.k ORDER BY k""".stripMargin,
     "eval_pr" ->
       """WITH src AS (
         |  SELECT n_chars AS s,

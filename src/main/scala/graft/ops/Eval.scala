@@ -495,4 +495,57 @@ object Eval {
         col("base_mean_e2"))
       .orderBy("dow")
   }
+
+  /** Murphy decomposition of the Brier score — the one-row card that
+    * says WHERE a probabilistic scorer loses: reliability (calibration
+    * gap, lower better), resolution (how far bin outcomes move from
+    * the base rate, higher better), uncertainty (the data's own
+    * irreducible ō(1−ō)); binned Brier ≈ REL − RES + UNC. All terms
+    * are exact ppm² integers (1e12 = 1.0): the raw score min-max maps
+    * to a ppm probability (the [[calibrationCard]] span broadcast),
+    * per-bin means use truncating division shared by both engines,
+    * and every square is DECIMAL(38,0)-cast BEFORE the multiply. The
+    * card also closes the EXACT unbinned Brier Σ(p−10⁶y)² div N —
+    * the decomposition's binning error is visible as the difference.
+    *
+    * Scale shape: one corpus pass to ≤ nBins cells, then bounded-frame
+    * arithmetic (one-row span + one-row totals broadcasts).
+    */
+  def brierDecomposition(df: DataFrame, nBins: Int = 10,
+                         scoreCol: String = "score",
+                         labelCol: String = "label"): DataFrame = {
+    require(nBins >= 2)
+    val src = df.select(col(scoreCol).as("s"),
+      when(col(labelCol), 1L).otherwise(0L).as("y"))
+    // bounded: one-row global score range
+    val span = src.agg(min(col("s")).as("s_min"), max(col("s")).as("s_max"))
+    val scored = src.crossJoin(broadcast(span))
+      .withColumn("p_ppm", expr(
+        "1000000L * (s - s_min) div (s_max - s_min + 1)"))
+      .withColumn("bin", expr(s"p_ppm * ${nBins}L div 1000000"))
+    val bins = scored.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("p_ppm")).as("p_sum"),
+        sum(expr("CAST(p_ppm - 1000000 * y AS DECIMAL(38,0))" +
+          " * (p_ppm - 1000000 * y)")).as("se"))
+      .withColumn("p_bar", expr("p_sum div n"))
+      .withColumn("o_bar", expr("1000000L * n_pos div n"))
+    val tot = bins.groupBy().agg(sum(col("n")).as("n_total"),
+      sum(col("n_pos")).as("pos_total"), sum(col("se")).as("se_total"))
+      .withColumn("o_ppm", expr("1000000L * pos_total div n_total"))
+    bins.crossJoin(broadcast(tot))
+      .groupBy()
+      .agg(max(col("n_total")).as("n"),
+        max(col("o_ppm")).as("base_rate_ppm"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * (p_bar - o_bar)" +
+          " * (p_bar - o_bar)")).as("rel_num"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * (o_bar - o_ppm)" +
+          " * (o_bar - o_ppm)")).as("res_num"),
+        max(col("se_total")).as("se_num"))
+      .select(col("n"), col("base_rate_ppm"),
+        expr("CAST(se_num div n AS BIGINT)").as("brier_ppm2"),
+        expr("CAST(rel_num div n AS BIGINT)").as("rel_ppm2"),
+        expr("CAST(res_num div n AS BIGINT)").as("res_ppm2"),
+        expr("base_rate_ppm * (1000000 - base_rate_ppm)").as("unc_ppm2"))
+  }
 }

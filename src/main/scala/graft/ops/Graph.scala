@@ -370,6 +370,54 @@ object Graph {
       .select(col("id"), col("cap"))
   }
 
+  /** Rich-club coefficient sweep — does the network's high-degree core
+    * wire to ITSELF (hubs trading with hubs — the topology that makes
+    * hub failures catastrophic and hub-first sampling effective)? For
+    * each degree threshold k: φ(k) = 2·E_k / (N_k·(N_k−1)) over the
+    * subgraph of nodes with degree > k, as exact ppm (N_k < 2 → NULL).
+    * Undirected simple graph: edges canonicalize to (lo, hi) distinct
+    * before degrees, so multi-edges never inflate either count.
+    *
+    * Scale shape: degree agg + two keyed joins stamp (deg_a, deg_b)
+    * onto every edge; ALL thresholds then close in ONE pass each over
+    * edges and nodes as conditional partial aggs (one row per frame),
+    * crossed and re-exploded to |ks| rows — no per-k scan.
+    */
+  def richClub(edges: DataFrame,
+               ks: Seq[Int] = Seq(1, 2, 4, 8, 16, 32)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 0))
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint()                 // feeds degrees AND both joins
+    val deg = und.select(col("a").as("id"))
+      .unionByName(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val stamped = und
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .select(least(col("da"), col("db")).as("dmin"))
+    val eRow = stamped.groupBy().agg(
+      ks.map(k => sum(when(col("dmin") > k, 1L).otherwise(0L))
+        .as(s"e_$k")).head,
+      ks.map(k => sum(when(col("dmin") > k, 1L).otherwise(0L))
+        .as(s"e_$k")).tail: _*)
+    val nRow = deg.groupBy().agg(
+      ks.map(k => sum(when(col("deg") > k, 1L).otherwise(0L))
+        .as(s"n_$k")).head,
+      ks.map(k => sum(when(col("deg") > k, 1L).otherwise(0L))
+        .as(s"n_$k")).tail: _*)
+    val wide = eRow.crossJoin(broadcast(nRow))
+    ks.map { k =>
+      wide.select(lit(k.toLong).as("k"),
+        col(s"n_$k").as("n_nodes"), col(s"e_$k").as("n_edges"),
+        when(col(s"n_$k") >= 2,
+          expr(s"2000000L * e_$k div (n_$k * (n_$k - 1))"))
+          .as("phi_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Canonical undirected co-occurrence edges: two items are connected
     * when they share a group (parts in the same order, entities in the
     * same document, ...). The within-group self-join is the only fan-out,

@@ -279,4 +279,29 @@ class EvalSpec extends SparkSpec {
     assert(out(2L) == ((3L, 6L, 500000L, 1000000L)))
     assert(out(0L) == ((3L, 10L, 300000L, 1000000L)))
   }
+
+  test("brierDecomposition: hand-exact terms and the Murphy identity") {
+    import spark.implicits._
+    // scores {0, 100}, labels match: p_ppm 0 (bin 0) and 990099 (bin 9)
+    // se: bin9 2*(990099-1e6)^2 = 196059602; brier = that // 4 = 49014900
+    // rel = same (bin0 gap 0); res = (2*5e5^2 + 2*5e5^2) // 4 = 25e10
+    // unc = 5e5*(1e6-5e5) = 25e10 -> brier == rel - res + unc exactly
+    val df = Seq((0L, false), (0L, false), (100L, true), (100L, true))
+      .toDF("score", "label")
+    val r = Eval.brierDecomposition(df, nBins = 10).collect().head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("base_rate_ppm") == 500000L)
+    assert(r.getAs[Long]("brier_ppm2") == 49014900L)
+    assert(r.getAs[Long]("rel_ppm2") == 49014900L)
+    assert(r.getAs[Long]("res_ppm2") == 250000000000L)
+    assert(r.getAs[Long]("unc_ppm2") == 250000000000L)
+    assert(r.getAs[Long]("brier_ppm2") ==
+      r.getAs[Long]("rel_ppm2") - r.getAs[Long]("res_ppm2") +
+        r.getAs[Long]("unc_ppm2"))
+    // an anti-correlated scorer must score strictly worse
+    val bad = Seq((0L, true), (0L, true), (100L, false), (100L, false))
+      .toDF("score", "label")
+    val rb = Eval.brierDecomposition(bad, nBins = 10).collect().head
+    assert(rb.getAs[Long]("brier_ppm2") > r.getAs[Long]("brier_ppm2"))
+  }
 }

@@ -174,6 +174,21 @@ class GraphSpec extends SparkSpec {
     assert(c1 == Map(1L -> Long.MaxValue, 2L -> 10L, 3L -> 3L))
   }
 
+  test("richClub: a hub clique scores a perfect club, thin cores NULL") {
+    // K4 on nodes 1-4 (deg 3, node 1 also feeds 6 leaves -> deg 9)
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val leaves = (5L to 10L).map(l => (1L, l))
+    val edges = (k4 ++ leaves).toDF("src", "dst")
+    val out = Graph.richClub(edges, ks = Seq(1, 3)).collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    // deg>1 core = {1,2,3,4}, all 6 K4 edges qualify -> phi = 1.0
+    assert(out(1L) == ((4L, 6L, Some(1000000L))))
+    // deg>3 core = {1} alone -> phi undefined
+    assert(out(3L) == ((1L, 0L, None)))
+  }
+
   test("coOccurrence builds canonical pairs and caps hot groups") {
     val df = Seq(
       (1L, 10L), (1L, 20L), (1L, 30L),     // group 1: 3 pairs
