@@ -145,6 +145,41 @@ object SparkEntry {
           .select(col("grp"), lit("insert").as("op"), col("v")))
       Cdc.maintainAggregate(agg0, changes).orderBy("grp")
     }),
+    // --- incremental JOIN view maintenance: the bilinear delta rule;
+    // the oracle recomputes the full join, so the hash check IS the
+    // maintain == recompute identity
+    "cdc_ivm_join" -> ((s, dir) => {
+      val o = rd(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey"))
+      val l = rd(s, dir, "lineitem").select(col("l_orderkey").as("k"),
+        col("l_partkey"), col("l_linenumber").cast("long")
+          .as("l_linenumber"))
+      val a0 = o.filter(col("k") % 10 =!= 0)
+      val dA = o.filter(col("k") % 10 === 0)
+      val b0 = l.filter(col("l_linenumber") < 4)
+      val dB = l.filter(col("l_linenumber") >= 4)
+      Cdc.maintainJoin(a0.join(b0, "k"), a0, b0, dA, dB, "k")
+        .orderBy("k", "o_custkey", "l_partkey", "l_linenumber")
+    }),
+    // --- changed-partition work-list: order-free (n, sum, xor) md5
+    // digests per partition, full-outer diff names the recompute set
+    "cdc_partition_diff" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem").select(
+        expr("l_orderkey div 4096").as("p"), col("l_orderkey"),
+        col("l_linenumber"),
+        expr("CAST(floor(l_quantity * 100) AS BIGINT)").as("q_c"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("e_c"))
+      val oldSnap = li.filter(
+        !(col("l_linenumber") === 7 && col("l_orderkey") % 5 === 0))
+      val newSnap = li.withColumn("q_c",
+        when(col("l_orderkey") % 97 === 0, col("q_c") + 100L)
+          .otherwise(col("q_c")))
+      val cols = Seq("l_orderkey", "l_linenumber", "q_c", "e_c")
+      Cdc.changedPartitions(
+        Cdc.partitionChecksums(oldSnap, "p", cols),
+        Cdc.partitionChecksums(newSnap, "p", cols))
+        .orderBy("part")
+    }),
     // --- entity resolution: blocked fuzzy self-match over customer names
     // (planted single-typo variants of the first 50 names; blocks are the
     // 17-char name prefix, so natural last-digit neighbors match too)
@@ -3664,6 +3699,62 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
     // IVM twin: recompute the aggregate from the post-change snapshot
     // from scratch — the identity the maintained view must hash-match
+    // ivm-join twin: the oracle RECOMPUTES the full join — the hash
+    // check is the maintain(view, delta) == recompute identity
+    "cdc_ivm_join" ->
+      """SELECT o.o_orderkey AS k, o.o_custkey, l.l_partkey,
+        |  CAST(l.l_linenumber AS BIGINT) AS l_linenumber
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |ORDER BY k, o_custkey, l_partkey, l_linenumber""".stripMargin,
+    // partition-diff twin: identical md5-prefix row digests, (n, sum,
+    // xor) partition folds, full-outer status election
+    "cdc_partition_diff" ->
+      """WITH li AS (
+        |  SELECT l_orderkey // 4096 AS p, l_orderkey, l_linenumber,
+        |    CAST(floor(l_quantity * 100) AS BIGINT) AS q_c,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS e_c
+        |  FROM lineitem
+        |), olds AS (
+        |  SELECT * FROM li
+        |  WHERE NOT (l_linenumber = 7 AND l_orderkey % 5 = 0)
+        |), news AS (
+        |  SELECT p, l_orderkey, l_linenumber,
+        |    CASE WHEN l_orderkey % 97 = 0 THEN q_c + 100 ELSE q_c END
+        |      AS q_c, e_c
+        |  FROM li
+        |), ho AS (
+        |  SELECT p AS part,
+        |    CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|'
+        |      || CAST(l_linenumber AS VARCHAR) || '|'
+        |      || CAST(q_c AS VARCHAR) || '|' || CAST(e_c AS VARCHAR)),
+        |      1, 8) AS BIGINT) AS h
+        |  FROM olds
+        |), hn AS (
+        |  SELECT p AS part,
+        |    CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|'
+        |      || CAST(l_linenumber AS VARCHAR) || '|'
+        |      || CAST(q_c AS VARCHAR) || '|' || CAST(e_c AS VARCHAR)),
+        |      1, 8) AS BIGINT) AS h
+        |  FROM news
+        |), co AS (
+        |  SELECT part, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(h) AS BIGINT) AS sum_ck, bit_xor(h) AS xor_ck
+        |  FROM ho GROUP BY 1
+        |), cn AS (
+        |  SELECT part, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(h) AS BIGINT) AS sum_ck, bit_xor(h) AS xor_ck
+        |  FROM hn GROUP BY 1
+        |)
+        |SELECT coalesce(co.part, cn.part) AS part,
+        |  CASE WHEN co.part IS NULL THEN 'added'
+        |       WHEN cn.part IS NULL THEN 'removed'
+        |       WHEN co.n_rows <> cn.n_rows OR co.sum_ck <> cn.sum_ck
+        |         OR co.xor_ck <> cn.xor_ck THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  coalesce(co.n_rows, 0) AS old_rows,
+        |  coalesce(cn.n_rows, 0) AS new_rows
+        |FROM co FULL OUTER JOIN cn ON co.part = cn.part
+        |ORDER BY part""".stripMargin,
     "cdc_ivm" ->
       """WITH li AS (
         |  SELECT l_orderkey * 10 + l_linenumber AS pk,

@@ -80,6 +80,68 @@ object Cdc {
       .filter(col("n") > 0)
   }
 
+  /** Incremental JOIN view maintenance (insert-only deltas) — the join
+    * twin of [[maintainAggregate]]: a materialized A⋈B absorbs new
+    * rows at DELTA cost via the bilinear delta rule
+    * Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB — the base view is never
+    * recomputed and the base fact tables are only probed on the keyed
+    * join, so a 100 TB materialized join absorbs a daily changeset at
+    * changeset × match-rate cost. Deltas must be disjoint from their
+    * bases (the insert-only contract; updates arrive as
+    * [[applyChanges]]-style delete+insert pairs upstream). The
+    * correctness identity `maintain(A₀⋈B₀, Δ) == (A₀∪ΔA)⋈(B₀∪ΔB)` IS
+    * the oracle (the cdc_ivm convention).
+    */
+  def maintainJoin(view: DataFrame, a0: DataFrame, b0: DataFrame,
+                   dA: DataFrame, dB: DataFrame,
+                   key: String): DataFrame =
+    view
+      .unionByName(dA.join(b0, key))
+      .unionByName(a0.join(dB, key))
+      .unionByName(dA.join(dB, key))
+
+  /** Order-free per-partition content checksums — the planning step of
+    * incremental ETL: recompute ONLY partitions whose checksum moved.
+    * Each row contributes the first 8 hex digits of md5 over its
+    * compare columns (pre-normalized to integer units by the caller —
+    * float→string casts diverge between engines at the scientific-
+    * notation threshold); the partition digest is (n_rows, Σh₃₂,
+    * bit_xor h₃₂): the sum is reduction-order-free and stays inside
+    * BIGINT to ~4·10⁹ rows per partition, the xor is overflow-free
+    * forever and catches permutation-preserving edits the sum might
+    * alias. ONE partial-agg shuffle keyed on the partition.
+    */
+  def partitionChecksums(df: DataFrame, partCol: String,
+                         compare: Seq[String]): DataFrame =
+    df.select(col(partCol).as("part"),
+        expr("CAST(conv(substring(md5(concat_ws('|', " +
+          compare.mkString(", ") + ")), 1, 8), 16, 10) AS BIGINT)")
+          .as("h"))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("sum_ck"),
+        expr("bit_xor(h)").as("xor_ck"))
+
+  /** Diff two [[partitionChecksums]] frames: per partition
+    * added / removed / changed / unchanged — the recompute work-list.
+    * One keyed full-outer join over the partition-count-sized frames.
+    */
+  def changedPartitions(oldCk: DataFrame, newCk: DataFrame): DataFrame =
+    oldCk.select(col("part"), col("n_rows").as("old_rows"),
+        col("sum_ck").as("old_sum"), col("xor_ck").as("old_xor"))
+      .join(newCk.select(col("part"), col("n_rows").as("new_rows"),
+        col("sum_ck").as("new_sum"), col("xor_ck").as("new_xor")),
+        Seq("part"), "full_outer")
+      .withColumn("status",
+        when(col("old_rows").isNull, lit("added"))
+          .when(col("new_rows").isNull, lit("removed"))
+          .when(col("old_rows") =!= col("new_rows") ||
+            col("old_sum") =!= col("new_sum") ||
+            col("old_xor") =!= col("new_xor"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .select(col("part"), col("status"),
+        coalesce(col("old_rows"), lit(0L)).as("old_rows"),
+        coalesce(col("new_rows"), lit(0L)).as("new_rows"))
+
   /** Slowly-changing-dimension Type-2 history from an attribute change
     * log: `log` carries `(key, attr, seq)` observations ordered by the
     * monotonic `seq` within each key (ties broken by `tieCol`, a unique

@@ -87,4 +87,39 @@ class CdcSpec extends SparkSpec {
     assert(out === Map("a" -> ((2L, 27L)), "c" -> ((2L, 10L))))
   }
 
+  test("maintainJoin: delta rule equals the recomputed join exactly") {
+    import spark.implicits._
+    val a0 = Seq((1L, "a1"), (2L, "a2")).toDF("k", "av")
+    val dA = Seq((3L, "a3")).toDF("k", "av")
+    val b0 = Seq((1L, "b1"), (3L, "b3")).toDF("k", "bv")
+    val dB = Seq((2L, "b2"), (3L, "b3x")).toDF("k", "bv")
+    val maintained = Cdc.maintainJoin(a0.join(b0, "k"), a0, b0, dA, dB, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val recomputed = a0.unionByName(dA).join(b0.unionByName(dB), "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(maintained.sorted.toSeq == recomputed.sorted.toSeq)
+    // the delta touched every quadrant: dA⋈b0 (3,b3), a0⋈dB (2,b2),
+    // dA⋈dB (3,b3x) — all present exactly once
+    assert(maintained.count(_ == ((3L, "a3", "b3"))) == 1)
+    assert(maintained.count(_ == ((2L, "a2", "b2"))) == 1)
+    assert(maintained.count(_ == ((3L, "a3", "b3x"))) == 1)
+  }
+
+  test("changedPartitions names added/removed/changed/unchanged exactly") {
+    import spark.implicits._
+    // partitions: 0 unchanged, 1 value-changed, 2 removed, 3 added,
+    // 4 same (n, sum-aliasing swap caught by... here a real change)
+    val olds = Seq((0L, 1L, 10L), (0L, 2L, 20L),
+      (1L, 1L, 10L), (2L, 1L, 10L)).toDF("p", "id", "v")
+    val news = Seq((0L, 1L, 10L), (0L, 2L, 20L),
+      (1L, 1L, 11L), (3L, 1L, 10L)).toDF("p", "id", "v")
+    val cols = Seq("id", "v")
+    val out = Cdc.changedPartitions(
+      Cdc.partitionChecksums(olds, "p", cols),
+      Cdc.partitionChecksums(news, "p", cols)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(0L -> "unchanged", 1L -> "changed",
+      2L -> "removed", 3L -> "added"))
+  }
+
 }
