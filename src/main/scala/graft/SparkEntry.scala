@@ -161,6 +161,30 @@ object SparkEntry {
       Cdc.maintainJoin(a0.join(b0, "k"), a0, b0, dA, dB, "k")
         .orderBy("k", "o_custkey", "l_partkey", "l_linenumber")
     }),
+    // --- bitemporal as-of read: corrections log (valid_from, sys_from),
+    // "what did we believe at S about the state at V" — one keyed
+    // partial-agg struct election after the two range filters
+    "cdc_bitemporal" -> ((s, dir) => {
+      val log = rd(s, dir, "orders").select(
+        col("o_custkey").as("key"),
+        unix_timestamp(col("o_orderdate")).as("valid_from"),
+        (unix_timestamp(col("o_orderdate")) +
+          (col("o_orderkey") % 3) * 86400L).as("sys_from"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("value"))
+      Cdc.bitemporalAsOf(log, "key", validTime = 836179200L,
+        sysTime = 836179200L + 86400L).orderBy("key")
+    }),
+    // --- order-preserving compaction packing plan over a synthetic
+    // manifest: bin = cum-bytes-before div target (metadata-sized)
+    "compaction_plan" -> ((s, dir) => {
+      val manifest = rd(s, dir, "lineitem")
+        .groupBy(expr("l_orderkey div 1024").as("f"))
+        .agg((count(lit(1)) * 100L).as("bytes"))
+        .select(concat(lit("part-"), lpad(col("f").cast("string"), 5, "0"))
+          .as("file"), col("bytes"))
+      graft.sources.Compaction.packingPlan(manifest, "file", "bytes",
+        targetBytes = 500000L).orderBy("bin")
+    }),
     // --- changed-partition work-list: order-free (n, sum, xor) md5
     // digests per partition, full-outer diff names the recompute set
     "cdc_partition_diff" -> ((s, dir) => {
@@ -3699,6 +3723,45 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
     // IVM twin: recompute the aggregate from the post-change snapshot
     // from scratch — the identity the maintained view must hash-match
+    // bitemporal twin: same two range filters + (valid, sys, value)
+    // row_number election; epoch() floors to integer seconds
+    "cdc_bitemporal" ->
+      """WITH log AS (
+        |  SELECT o_custkey AS key,
+        |    CAST(epoch(o_orderdate) AS BIGINT) AS valid_from,
+        |    CAST(epoch(o_orderdate) AS BIGINT)
+        |      + (o_orderkey % 3) * 86400 AS sys_from,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS value
+        |  FROM orders
+        |), eligible AS (
+        |  SELECT * FROM log
+        |  WHERE sys_from <= 836179200 + 86400
+        |    AND valid_from <= 836179200
+        |)
+        |SELECT key, valid_from, sys_from, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |    ORDER BY valid_from DESC, sys_from DESC, value DESC) AS rn
+        |  FROM eligible)
+        |WHERE rn = 1 ORDER BY key""".stripMargin,
+    // packing-plan twin: identical cumulative window and integer bins
+    "compaction_plan" ->
+      """WITH manifest AS (
+        |  SELECT 'part-' || lpad(CAST(l_orderkey // 1024 AS VARCHAR),
+        |      5, '0') AS file,
+        |    CAST(count(*) * 100 AS BIGINT) AS bytes
+        |  FROM lineitem GROUP BY 1
+        |), cum AS (
+        |  SELECT file, bytes,
+        |    CAST(coalesce(sum(bytes) OVER (ORDER BY file
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM manifest
+        |)
+        |SELECT cum_before // 500000 AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+        |  min(file) AS first_file, max(file) AS last_file
+        |FROM cum GROUP BY 1 ORDER BY bin""".stripMargin,
     // ivm-join twin: the oracle RECOMPUTES the full join — the hash
     // check is the maintain(view, delta) == recompute identity
     "cdc_ivm_join" ->

@@ -142,6 +142,29 @@ object Cdc {
         coalesce(col("old_rows"), lit(0L)).as("old_rows"),
         coalesce(col("new_rows"), lit(0L)).as("new_rows"))
 
+  /** Bitemporal as-of lookup — the corrections-aware point read a
+    * warehouse needs when facts get RESTATED: each log row carries
+    * `valid_from` (when the value became true in the world) and
+    * `sys_from` (when the warehouse learned it). "What did we believe
+    * at system time S about the state at valid time V" = restrict to
+    * sys_from ≤ S, then elect max(valid_from) ≤ V with the LATEST
+    * correction (max sys_from) breaking ties — one partial-aggregable
+    * `max(struct(valid_from, sys_from, value))` per key after the two
+    * range filters, so the whole lookup is one keyed partial-agg
+    * shuffle (no window, no self-join). Reproducing yesterday's report
+    * is the same call with yesterday's S — restatements never destroy
+    * auditability.
+    */
+  def bitemporalAsOf(log: DataFrame, key: String, validTime: Long,
+                     sysTime: Long): DataFrame =
+    log.filter(col("sys_from") <= sysTime &&
+        col("valid_from") <= validTime)
+      .groupBy(col(key))
+      .agg(max(struct(col("valid_from"), col("sys_from"), col("value")))
+        .as("m"))
+      .select(col(key), col("m.valid_from").as("valid_from"),
+        col("m.sys_from").as("sys_from"), col("m.value").as("value"))
+
   /** Slowly-changing-dimension Type-2 history from an attribute change
     * log: `log` carries `(key, attr, seq)` observations ordered by the
     * monotonic `seq` within each key (ties broken by `tieCol`, a unique

@@ -62,4 +62,32 @@ object Compaction {
 
   private[graft] def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
+
+  /** File-level compaction PLAN as data — the OPTIMIZE planning step
+    * when the file list itself is a table (a lake manifest): pack
+    * files into target-size output groups with ORDER-PRESERVING
+    * cumulative packing, `bin = floor(cum_bytes_before / target)` —
+    * the deterministic SQL-able packing a rewrite that must preserve
+    * sort order uses (first-fit-decreasing would reorder the
+    * clustering); every bin lands in [target − max_file, target +
+    * max_file). The running sum is a single global-order window —
+    * correct here because the input is file METADATA (≤ millions of
+    * rows at 100 TB), never data.
+    */
+  def packingPlan(files: DataFrame, fileCol: String, bytesCol: String,
+                  targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.orderBy(fileCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files.select(col(fileCol).as("file"),
+        col(bytesCol).cast("long").as("bytes"))
+      .withColumn("cum_before", coalesce(sum(col("bytes")).over(w),
+        lit(0L)))
+      .withColumn("bin", expr(s"cum_before div ${targetBytes}L"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bin_bytes"),
+        min(col("file")).as("first_file"), max(col("file")).as("last_file"))
+  }
 }

@@ -105,6 +105,21 @@ class CdcSpec extends SparkSpec {
     assert(maintained.count(_ == ((3L, "a3", "b3x"))) == 1)
   }
 
+  test("bitemporalAsOf: corrections visible only after their sys time") {
+    import spark.implicits._
+    // key 1: fact (valid 10, learned 10, v 100), RESTATED at sys 20 to
+    // 110, and a later fact (valid 30, learned 30, v 200)
+    val log = Seq((1L, 10L, 10L, 100L), (1L, 10L, 20L, 110L),
+      (1L, 30L, 30L, 200L)).toDF("key", "valid_from", "sys_from", "value")
+    def at(v: Long, s: Long) =
+      Cdc.bitemporalAsOf(log, "key", v, s).collect().head.getAs[Long]("value")
+    assert(at(15L, 15L) == 100L, "before the restatement we believed 100")
+    assert(at(15L, 25L) == 110L, "after sys 20 the correction wins")
+    assert(at(40L, 40L) == 200L, "later valid time elects the later fact")
+    assert(at(15L, 40L) == 110L,
+      "valid-time filter keeps the v=30 fact out of a V=15 read")
+  }
+
   test("changedPartitions names added/removed/changed/unchanged exactly") {
     import spark.implicits._
     // partitions: 0 unchanged, 1 value-changed, 2 removed, 3 added,

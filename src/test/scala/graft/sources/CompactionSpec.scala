@@ -28,4 +28,17 @@ class CompactionSpec extends SparkSpec {
     assert(Compaction.compactIfWorthwhile(spark, out,
       out + "-again", targetBytes = 1L << 30).isEmpty)
   }
+
+  test("packingPlan packs order-preserving bins near the target size") {
+    import spark.implicits._
+    val files = Seq(("a", 60L), ("b", 60L), ("c", 60L), ("d", 60L),
+      ("e", 60L)).toDF("file", "bytes")
+    val out = Compaction.packingPlan(files, "file", "bytes", 100L)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4)))
+    // cum-before 0,60,120,180,240 -> bins 0,0,1,1,2; order preserved
+    assert(out.toSeq == Seq((0L, 2L, 120L, "a", "b"),
+      (1L, 2L, 120L, "c", "d"), (2L, 1L, 60L, "e", "e")))
+  }
 }
