@@ -2019,6 +2019,20 @@ object SparkEntry {
     // --- key-distribution profile: the decide-before-salting query
     "skew_profile" -> ((s, dir) =>
       Skew.keyProfile(rd(s, dir, "lineitem"), "l_partkey", 20)),
+    // --- cost-based join-order election: EXACT intermediate sizes from
+    // key-count frames (never the joins themselves), smaller-first pick
+    "join_plan_card" -> ((s, dir) =>
+      Analytics.joinOrderCard(
+        rd(s, dir, "customer"), "c_custkey",
+        rd(s, dir, "orders"), "o_custkey", "o_orderkey",
+        rd(s, dir, "lineitem"), "l_orderkey")),
+    // --- difference-in-differences: md5 treat split, day-19738 pivot,
+    // four exact ppm-cent cell means + the DiD contrast
+    "events_did" -> ((s, dir) => {
+      val ev = rdEvents(s, dir).select(col("user_id"),
+        expr("ts div 1000").as("ts"), col("value"))
+      Analytics.didCard(ev, pivotDay = 19738L)
+    }),
     // --- pre-flight exact join-output-size guard for the partkey
     // self-join (the nodesim/itemcf dry run): top contributors + bill
     "join_guard" -> ((s, dir) => {
@@ -5020,6 +5034,72 @@ object SparkEntry {
         |FROM deg d LEFT JOIN tc ON tc.id = d.id
         |ORDER BY d.id""".stripMargin,
     // join-guard twin: identical key-count join + deterministic top-k
+    // joinOrderCard twin: the same Σ cnt·cnt folds over key-count
+    // frames, smaller intermediate recommended
+    "join_plan_card" ->
+      """WITH ca AS (
+        |  SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY 1
+        |), ob1 AS (
+        |  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1
+        |), ob2 AS (
+        |  SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1
+        |), lc AS (
+        |  SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1
+        |), ab AS (
+        |  SELECT CAST(sum(CAST(ca.n AS HUGEINT) * ob1.n) AS BIGINT)
+        |    AS ab_rows
+        |  FROM ca JOIN ob1 ON ca.k = ob1.k
+        |), bc AS (
+        |  SELECT CAST(sum(CAST(ob2.n AS HUGEINT) * lc.n) AS BIGINT)
+        |    AS bc_rows
+        |  FROM ob2 JOIN lc ON ob2.k = lc.k
+        |)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_a,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_b,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_c,
+        |  ab.ab_rows, bc.bc_rows,
+        |  CASE WHEN ab.ab_rows <= bc.bc_rows THEN 'ab_first'
+        |    ELSE 'bc_first' END AS recommended
+        |FROM ab, bc""".stripMargin,
+    // didCard twin: identical md5 split, pivot-day period, four
+    // truncating ppm-cent means, integer contrast
+    "events_did" ->
+      """WITH cells AS (
+        |  SELECT
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+        |      1, 1) AS BIGINT) < 8 THEN 'T' ELSE 'C' END AS grp,
+        |    CASE WHEN epoch_us(ts) // 86400000000 >= 19738
+        |      THEN 'post' ELSE 'pre' END AS period,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), agg AS (
+        |  SELECT grp, period, CAST(count(*) AS BIGINT) AS n,
+        |    1000000 * CAST(sum(cents) AS BIGINT)
+        |      // CAST(count(*) AS BIGINT) AS mean_ppm
+        |  FROM cells GROUP BY 1, 2
+        |)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_obs,
+        |  CAST(sum(CASE WHEN grp = 'T' AND period = 'pre'
+        |    THEN mean_ppm ELSE 0 END) AS BIGINT) AS t_pre,
+        |  CAST(sum(CASE WHEN grp = 'T' AND period = 'post'
+        |    THEN mean_ppm ELSE 0 END) AS BIGINT) AS t_post,
+        |  CAST(sum(CASE WHEN grp = 'C' AND period = 'pre'
+        |    THEN mean_ppm ELSE 0 END) AS BIGINT) AS c_pre,
+        |  CAST(sum(CASE WHEN grp = 'C' AND period = 'post'
+        |    THEN mean_ppm ELSE 0 END) AS BIGINT) AS c_post,
+        |  CAST((sum(CASE WHEN grp = 'T' AND period = 'post'
+        |      THEN mean_ppm ELSE 0 END)
+        |    - sum(CASE WHEN grp = 'T' AND period = 'pre'
+        |      THEN mean_ppm ELSE 0 END))
+        |  - (sum(CASE WHEN grp = 'C' AND period = 'post'
+        |      THEN mean_ppm ELSE 0 END)
+        |    - sum(CASE WHEN grp = 'C' AND period = 'pre'
+        |      THEN mean_ppm ELSE 0 END)) AS BIGINT) AS did_ppm_cents
+        |FROM agg""".stripMargin,
     "join_guard" ->
       """WITH la AS (
         |  SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS n_left

@@ -1232,4 +1232,71 @@ object Analytics {
       .select(col("l_partkey"), col("rev_e4"))
       .orderBy(col("rev_e4").desc, col("l_partkey"))
   }
+
+  /** Cost-based join-order election from key histograms — the
+    * optimizer's first decision, surfaced as data: for the chain
+    * A ⋈_k1 B ⋈_k2 C, the EXACT intermediate cardinalities are
+    * |A⋈B| = Σ_k cntA(k)·cntB(k) and |B⋈C| = Σ_k cntB(k)·cntC(k) —
+    * computable from per-key COUNT frames without materializing either
+    * join (the exact twin of [[Sketches.amsJoinSize]]'s estimate; what
+    * Spark's CBO does from column statistics). The smaller intermediate
+    * goes first. Count frames are key-cardinality sized; the pairwise
+    * products ride keyed equi-joins, DECIMAL(38,0)-cast before the
+    * multiply (hot keys square).
+    */
+  def joinOrderCard(a: DataFrame, aKey: String, b: DataFrame,
+                    bKey1: String, bKey2: String, c: DataFrame,
+                    cKey: String): DataFrame = {
+    def counts(df: DataFrame, k: String) =
+      df.groupBy(col(k).as("k")).agg(count(lit(1)).as("n"))
+    def joinSize(x: DataFrame, y: DataFrame) =
+      x.select(col("k"), col("n").as("nx"))
+        .join(y.select(col("k"), col("n").as("ny")), Seq("k"))
+        .agg(sum(expr("CAST(nx AS DECIMAL(38,0)) * ny")).as("rows"))
+    val sizes = joinSize(counts(a, aKey), counts(b, bKey1))
+      .select(col("rows").cast("long").as("ab_rows"))
+      .crossJoin(broadcast(joinSize(counts(b, bKey2), counts(c, cKey))
+        .select(col("rows").cast("long").as("bc_rows"))))
+    val totals = a.agg(count(lit(1)).as("n_a"))
+      .crossJoin(broadcast(b.agg(count(lit(1)).as("n_b"))))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_c"))))
+    sizes.crossJoin(broadcast(totals))
+      .select(col("n_a"), col("n_b"), col("n_c"), col("ab_rows"),
+        col("bc_rows"),
+        when(col("ab_rows") <= col("bc_rows"), lit("ab_first"))
+          .otherwise(lit("bc_first")).as("recommended"))
+  }
+
+  /** Difference-in-differences card — the pre/post × treat/control
+    * estimate that separates a treatment effect from a level shift
+    * everyone experienced. Unit = (user, period) value sums in cents;
+    * the four cell means are exact ppm-cent integers (truncating
+    * division, shared), and
+    * DiD = (T_post − T_pre) − (C_post − C_pre) on those integers.
+    * Treatment is the md5-parity split (the [[Events.abTest]] recipe),
+    * period splits at `pivotDay`. One partial-agg shuffle to FOUR
+    * cells; everything after is bounded arithmetic.
+    */
+  def didCard(events: DataFrame, pivotDay: Long): DataFrame = {
+    val cells = events
+      .select(
+        when(expr("CAST(conv(substring(md5(CAST(user_id AS STRING))," +
+          " 1, 1), 16, 10) AS BIGINT)") < 8, lit("T")).otherwise(lit("C"))
+          .as("grp"),
+        when(expr(s"ts div 86400000000 >= ${pivotDay}L"), lit("post"))
+          .otherwise(lit("pre")).as("period"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("grp"), col("period"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c_sum"))
+      .withColumn("mean_ppm", expr("1000000L * c_sum div n"))
+    def cell(g: String, p: String) =
+      sum(when(col("grp") === g && col("period") === p,
+        col("mean_ppm")).otherwise(0L)).as(s"${g.toLowerCase}_$p")
+    cells.groupBy()
+      .agg(cell("T", "pre"), cell("T", "post"), cell("C", "pre"),
+        cell("C", "post"), sum(col("n")).as("n_obs"))
+      .select(col("n_obs"), col("t_pre"), col("t_post"), col("c_pre"),
+        col("c_post"),
+        expr("(t_post - t_pre) - (c_post - c_pre)").as("did_ppm_cents"))
+  }
 }

@@ -62,6 +62,7 @@ class QueryPlanSpec extends SparkSpec {
                             // per-user feature frame
       "eval_brier", // one-row span + one-row totals onto <=nBins cells
       "graph_richclub", // two one-row threshold-sweep aggregates crossed
+      "join_plan_card", // five one-row cardinality aggregates crossed
       "events_rfm",    // one-row corpus-max instant onto |users| rows
       "events_covisit", // one-row session total onto type² pair rows
       "embed_truncation", // one-row total energy onto |dims| rows

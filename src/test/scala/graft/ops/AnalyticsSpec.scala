@@ -390,4 +390,41 @@ class AnalyticsSpec extends SparkSpec {
       .toDF("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
     assert(Analytics.q20(liHalf, pt, su).isEmpty)
   }
+
+  test("joinOrderCard: exact intermediate sizes, smaller join first") {
+    import spark.implicits._
+    val a = Seq(Tuple1(1L), Tuple1(2L)).toDF("ak")
+    val b = Seq((1L, 10L), (1L, 11L), (2L, 12L)).toDF("bk1", "bk2")
+    val c = Seq(Tuple1(10L), Tuple1(10L), Tuple1(11L), Tuple1(10L))
+      .toDF("ck")
+    val r = Analytics.joinOrderCard(a, "ak", b, "bk1", "bk2", c, "ck")
+      .collect().head
+    // |A⋈B| = 1*2 + 1*1 = 3; |B⋈C| = 1*3 + 1*1 = 4
+    assert(r.getAs[Long]("ab_rows") == 3L)
+    assert(r.getAs[Long]("bc_rows") == 4L)
+    assert(r.getAs[String]("recommended") == "ab_first")
+    assert((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+      r.getAs[Long]("n_c")) == ((2L, 3L, 4L)))
+  }
+
+  test("didCard: a treatment-only lift survives the common level shift") {
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def isT(u: Long) =
+      ((md.digest(u.toString.getBytes("UTF-8"))(0) >> 4) & 0xf) < 8
+    val day = 86400000000L
+    // pre (day 0): everyone 1.00; post (day 1): T 3.00, C 2.00 —
+    // the +1.00 common shift cancels, DiD isolates T's extra +1.00
+    val ev = (1L to 20L).flatMap { u =>
+      Seq((u, 0L, 1.0),
+        (u, day, if (isT(u)) 3.0 else 2.0))
+    }.toDF("user_id", "ts", "value")
+    val r = Analytics.didCard(ev, pivotDay = 1L).collect().head
+    assert(r.getAs[Long]("n_obs") == 40L)
+    assert(r.getAs[Long]("t_pre") == 100000000L)
+    assert(r.getAs[Long]("t_post") == 300000000L)
+    assert(r.getAs[Long]("c_pre") == 100000000L)
+    assert(r.getAs[Long]("c_post") == 200000000L)
+    assert(r.getAs[Long]("did_ppm_cents") == 100000000L)
+  }
 }
