@@ -679,6 +679,27 @@ object SparkEntry {
       Graph.triangleCounts(
         Graph.coOccurrence(li, "l_orderkey", "l_partkey")).orderBy("id")
     }),
+    // --- community conductance over the same co-occurrence graph with
+    // brand communities: cut share of each community's edge volume
+    "graph_conductance" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem").filter(col("l_partkey") % 4 === 0)
+      val e = Graph.coOccurrence(li, "l_orderkey", "l_partkey")
+      val labels = rd(s, dir, "part")
+        .select(col("p_partkey").as("id"), col("p_brand").as("c"))
+      Graph.conductance(e, labels).orderBy("c")
+    }),
+    // --- length-3 sequential patterns: two lead() steps, bounded
+    // type³ frame, support filter, pinned top-20
+    "events_seq3" -> ((s, dir) => {
+      val ev = rdEvents(s, dir).select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts"), col("event_type"))
+      Events.seqTriples(ev, minSupport = 5L, topK = 20).orderBy("rank")
+    }),
+    // --- embedding drift between the two vec_id-parity generations:
+    // exact per-dim fixed-point means, L1 drift + worst dimension
+    "embed_drift" -> ((s, dir) =>
+      Similarity.embeddingDrift(rd(s, dir, "embeddings"),
+        col("vec_id") % 2 === 0)),
     // --- per-node clustering coefficient over the same graph
     "graph_clustering" -> ((s, dir) => {
       val li = rd(s, dir, "lineitem").filter(col("l_partkey") % 4 === 0)
@@ -4977,6 +4998,95 @@ object SparkEntry {
          |  FROM e3
          |) z ORDER BY lo, hi""".stripMargin
     },
+    // conductance twin: the triangles pairs CTE + label stamps,
+    // single-emit internal / both-endpoint cut folds, one-row volume
+    "graph_conductance" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+        |  WHERE l_partkey % 4 = 0
+        |), sized AS (
+        |  SELECT g, item FROM (
+        |    SELECT g, item, count(*) OVER (PARTITION BY g) AS gsz FROM pairs)
+        |  WHERE gsz <= 100
+        |), e AS (
+        |  SELECT DISTINCT l.item AS a, r.item AS b
+        |  FROM sized l JOIN sized r ON l.g = r.g AND l.item < r.item
+        |), lab AS (
+        |  SELECT p_partkey AS id, p_brand AS c FROM part
+        |), st AS MATERIALIZED (
+        |  SELECT la.c AS ca, lb.c AS cb
+        |  FROM e JOIN lab la ON la.id = e.a JOIN lab lb ON lb.id = e.b
+        |), perc AS (
+        |  SELECT c, CAST(sum(internal) AS BIGINT) AS internal,
+        |    CAST(sum(cut) AS BIGINT) AS cut
+        |  FROM (
+        |    SELECT ca AS c,
+        |      CASE WHEN ca = cb THEN 1 ELSE 0 END AS internal,
+        |      CASE WHEN ca <> cb THEN 1 ELSE 0 END AS cut
+        |    FROM st
+        |    UNION ALL
+        |    SELECT cb AS c, 0 AS internal, 1 AS cut FROM st
+        |    WHERE ca <> cb)
+        |  GROUP BY 1
+        |), nn AS (
+        |  SELECT lab.c, CAST(count(*) AS BIGINT) AS n_nodes
+        |  FROM (SELECT a AS id FROM e UNION SELECT b FROM e) nd
+        |  JOIN lab ON lab.id = nd.id GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(count(*) * 2 AS BIGINT) AS total_vol FROM st
+        |)
+        |SELECT nn.c AS c, nn.n_nodes, p.internal, p.cut,
+        |  2 * p.internal + p.cut AS vol,
+        |  1000000 * p.cut // greatest(least(2 * p.internal + p.cut,
+        |    tot.total_vol - (2 * p.internal + p.cut)), 1) AS phi_ppm
+        |FROM nn JOIN perc p ON p.c = nn.c CROSS JOIN tot
+        |ORDER BY c""".stripMargin,
+    // seq3 twin: identical double-lead window, HAVING support, pinned
+    // rank over the bounded triple frame
+    "events_seq3" ->
+      """WITH o AS (
+        |  SELECT event_type AS t1,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), tri AS (
+        |  SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+        |  FROM o WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= 5
+        |)
+        |SELECT rank, t1, t2, t3, n FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY n DESC, t1, t2, t3)
+        |    AS BIGINT) AS rank, t1, t2, t3, n
+        |  FROM tri)
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // drift twin: identical floored cells, positive-offset means,
+    // (adiff, d) DESC argmax
+    "embed_drift" ->
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings
+        |), cells AS (
+        |  SELECT g.d AS d, vec_id % 2 = 0 AS old,
+        |    CAST(floor(e[g.d] * CAST('1e6' AS DOUBLE)) AS BIGINT) AS cell
+        |  FROM emb CROSS JOIN generate_series(1, 64) AS g(d)
+        |), pd AS MATERIALIZED (
+        |  SELECT d, abs(
+        |    ((sum(CASE WHEN NOT old THEN cell ELSE 0 END)
+        |      + 10000000 * sum(CASE WHEN NOT old THEN 1 ELSE 0 END))
+        |      // sum(CASE WHEN NOT old THEN 1 ELSE 0 END) - 10000000)
+        |    - ((sum(CASE WHEN old THEN cell ELSE 0 END)
+        |      + 10000000 * sum(CASE WHEN old THEN 1 ELSE 0 END))
+        |      // sum(CASE WHEN old THEN 1 ELSE 0 END) - 10000000))
+        |    AS adiff
+        |  FROM cells GROUP BY 1
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_dims,
+        |  CAST(sum(adiff) AS BIGINT) AS l1_drift_scaled,
+        |  CAST(max(adiff) AS BIGINT) AS max_dim_drift,
+        |  CAST((SELECT d FROM pd ORDER BY adiff DESC, d DESC LIMIT 1)
+        |    AS BIGINT) AS worst_dim
+        |FROM pd""".stripMargin,
     "graph_triangles" ->
       """WITH pairs AS (
         |  SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem

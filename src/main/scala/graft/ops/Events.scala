@@ -2302,6 +2302,35 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Length-3 sequential-pattern mining — [[seqRules]]' A→B pairs
+    * extended to consecutive A→B→C journeys (the path-grammar
+    * signal funnels and next-action models train on): two lead()
+    * steps along the deterministic (ts, event_id) per-user order mint
+    * every consecutive triple, one partial-agg shuffle to the bounded
+    * ≤ |types|³ frame, support filter, top-k under the fully pinned
+    * (n DESC, t1, t2, t3) order. The rank window runs over the
+    * bounded type³ frame only.
+    */
+  def seqTriples(events: DataFrame, minSupport: Long = 5L,
+                 topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("t1"))
+      .withColumn("t2", lead(col("t1"), 1).over(w))
+      .withColumn("t3", lead(col("t1"), 2).over(w))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("n"), asc("t1"), asc("t2"), asc("t3")))
+        .cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("t1"), col("t2"), col("t3"), col("n"))
+  }
+
   /** Multivariate (2-D) Mahalanobis outlier card — the correlation-aware
     * successor of the per-metric z/MAD flags: a user who is moderate on
     * BOTH activity and spend can still be a strong outlier if the two

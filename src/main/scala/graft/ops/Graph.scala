@@ -418,6 +418,54 @@ object Graph {
     }.reduce(_ unionByName _)
   }
 
+  /** Community conductance card — the CUT-quality readout that
+    * complements modularity's density view: for each community c,
+    * φ(c) = cut / min(vol(c), vol(rest)) as exact ppm — how much of
+    * the community's edge volume leaks out (low = well-separated,
+    * ~1e6 = the labeling fights the topology). Works on ANY labeling
+    * (attribute communities, labelprop output, shard assignments —
+    * the partitioner-quality use case at 100 TB: φ IS the cross-shard
+    * traffic share).
+    *
+    * Scale shape: canonical distinct edges + two keyed label joins
+    * stamp (ca, cb); per-community internal/cut close in one
+    * partial-agg over an endpoint explode (internal edges emit once —
+    * no double count); vol = 2·internal + cut needs no degree pass;
+    * one-row total volume broadcasts (whitelisted).
+    */
+  def conductance(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint()                  // feeds stamping AND nodes
+    val lab = labels.select(col("id"), col("c"))
+    val st = und
+      .join(lab.select(col("id").as("a"), col("c").as("ca")), "a")
+      .join(lab.select(col("id").as("b"), col("c").as("cb")), "b")
+      .localCheckpoint()                  // feeds both endpoint emits
+    val perC = st.select(col("ca").as("c"),
+        when(col("ca") === col("cb"), 1L).otherwise(0L).as("internal"),
+        when(col("ca") =!= col("cb"), 1L).otherwise(0L).as("cut"))
+      .unionByName(st.filter(col("ca") =!= col("cb"))
+        .select(col("cb").as("c"), lit(0L).as("internal"),
+          lit(1L).as("cut")))
+      .groupBy(col("c"))
+      .agg(sum(col("internal")).as("internal"), sum(col("cut")).as("cut"))
+      .withColumn("vol", expr("2L * internal + cut"))
+    val nodes = und.select(col("a").as("id"))
+      .unionByName(und.select(col("b").as("id"))).distinct()
+      .join(lab, "id").groupBy(col("c"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val total = st.agg((count(lit(1)) * 2L).as("total_vol"))
+    nodes.join(perC, Seq("c"))
+      .crossJoin(broadcast(total))
+      .select(col("c"), col("n_nodes"), col("internal"), col("cut"),
+        col("vol"),
+        expr("1000000L * cut div greatest(least(vol, total_vol - vol)," +
+          " 1L)").as("phi_ppm"))
+  }
+
   /** Canonical undirected co-occurrence edges: two items are connected
     * when they share a group (parts in the same order, entities in the
     * same document, ...). The within-group self-join is the only fan-out,

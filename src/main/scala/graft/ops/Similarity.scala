@@ -1147,6 +1147,40 @@ object Similarity {
         col("worst_ratio_ppm"))
   }
 
+  /** Embedding-drift card between two corpus generations — the ML-ops
+    * check before swapping an index or re-using yesterday's centroids:
+    * per-dimension exact fixed-point means on each side (the
+    * positive-offset `(Σ + K·n) div n − K` floor mean over
+    * `floor(x·10⁶)` cells — order-free, engine-exact), then the L1
+    * drift Σ_d |m_new − m_old| and the worst dimension (deterministic
+    * max(struct) argmax, 1-based). Expects both sides non-empty.
+    *
+    * Scale shape: ONE posexplode pass with conditional partial aggs to
+    * the |dims|-row frame; everything after is bounded arithmetic.
+    */
+  def embeddingDrift(emb: DataFrame, oldSide: Column): DataFrame = {
+    val cell = "CAST(floor(CAST(x AS DOUBLE) * 1000000.0d) AS BIGINT)"
+    val perDim = emb.select(oldSide.as("old"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(
+        sum(when(col("old"), expr(cell)).otherwise(0L)).as("s_old"),
+        sum(when(col("old"), 1L).otherwise(0L)).as("n_old"),
+        sum(when(!col("old"), expr(cell)).otherwise(0L)).as("s_new"),
+        sum(when(!col("old"), 1L).otherwise(0L)).as("n_new"))
+      .select(col("d"),
+        expr("abs(((s_new + 10000000L * n_new) div n_new - 10000000L)" +
+          " - ((s_old + 10000000L * n_old) div n_old - 10000000L))")
+          .as("adiff"))
+    perDim.groupBy()
+      .agg(count(lit(1)).as("n_dims"),
+        sum(col("adiff")).as("l1_drift_scaled"),
+        max(struct(col("adiff"), col("d"))).as("m"))
+      .select(col("n_dims"), col("l1_drift_scaled"),
+        col("m.adiff").as("max_dim_drift"),
+        (col("m.d") + 1).cast("long").as("worst_dim"))
+  }
+
   /** Truncated-dimension energy profile — the Matryoshka diagnostic:
     * for each prefix length `d`, how much of the corpus's total squared
     * norm the first `d` coordinates carry. A front-loaded profile says

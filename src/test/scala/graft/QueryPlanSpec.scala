@@ -63,6 +63,8 @@ class QueryPlanSpec extends SparkSpec {
       "eval_brier", // one-row span + one-row totals onto <=nBins cells
       "graph_richclub", // two one-row threshold-sweep aggregates crossed
       "join_plan_card", // five one-row cardinality aggregates crossed
+      "graph_conductance", // one-row total volume onto the community
+                           // frame
       "events_rfm",    // one-row corpus-max instant onto |users| rows
       "events_covisit", // one-row session total onto type² pair rows
       "embed_truncation", // one-row total energy onto |dims| rows

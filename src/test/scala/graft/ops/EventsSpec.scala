@@ -285,6 +285,20 @@ class EventsSpec extends SparkSpec {
     assert(na == aCount, "A-variant size must match the md5 recipe")
   }
 
+  test("seqTriples mines consecutive length-3 patterns with support") {
+    // user 1: a b c a b c -> triples abc, bca, cab, abc; support 2
+    // keeps only a->b->c
+    val ev = Seq("a", "b", "c", "a", "b", "c").zipWithIndex.map {
+      case (t, i) => (1L, (i + 1).toLong, i.toLong * 1000L, t)
+    }.toDF("user_id", "event_id", "ts", "event_type")
+    val out = Events.seqTriples(ev, minSupport = 2L, topK = 5).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getAs[Long]("rank"), r.getAs[String]("t1"),
+      r.getAs[String]("t2"), r.getAs[String]("t3"),
+      r.getAs[Long]("n")) == ((1L, "a", "b", "c", 2L)))
+  }
+
   test("mahalanobisOutliers: exact adjugate scores and degenerate guard") {
     // features (count, floor-value sum): u1 (1,1), u2 (2,2), u3 (3,3),
     // u4 (2,1). n=4, S = [[8,8],[8,11]], det 24; hand scores:

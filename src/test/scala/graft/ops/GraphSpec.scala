@@ -174,6 +174,22 @@ class GraphSpec extends SparkSpec {
     assert(c1 == Map(1L -> Long.MaxValue, 2L -> 10L, 3L -> 3L))
   }
 
+  test("conductance: bridged triangles leak exactly one edge each") {
+    // triangles {1,2,3} and {4,5,6} with one bridge 3-4; labels x / y:
+    // each community: internal 3, cut 1, vol 7; total_vol 14 ->
+    // phi = 1e6 * 1 div min(7, 7) = 142857
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, "x"), (2L, "x"), (3L, "x"),
+      (4L, "y"), (5L, "y"), (6L, "y")).toDF("id", "c")
+    val out = Graph.conductance(edges, labels).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("internal"), r.getAs[Long]("cut"),
+        r.getAs[Long]("vol"), r.getAs[Long]("phi_ppm"))).toMap
+    assert(out("x") == ((3L, 3L, 1L, 7L, 142857L)))
+    assert(out("y") == ((3L, 3L, 1L, 7L, 142857L)))
+  }
+
   test("richClub: a hub clique scores a perfect club, thin cores NULL") {
     // K4 on nodes 1-4 (deg 3, node 1 also feeds 6 leaves -> deg 9)
     val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)

@@ -245,6 +245,21 @@ class SimilaritySpec extends SparkSpec {
     assert(again == dist)
   }
 
+  test("embeddingDrift: exact per-dim L1 drift and worst dimension") {
+    import spark.implicits._
+    // old (vec 0): [1.0, 2.0]; new (vec 1): [1.5, 2.0] ->
+    // dim-1 drift 500000 scaled, dim-2 zero
+    val emb = Seq((0L, Seq(1.0f, 2.0f)), (1L, Seq(1.5f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.embeddingDrift(emb,
+      org.apache.spark.sql.functions.col("vec_id") % 2 === 0)
+      .collect().head
+    assert(r.getAs[Long]("n_dims") == 2L)
+    assert(r.getAs[Long]("l1_drift_scaled") == 500000L)
+    assert(r.getAs[Long]("max_dim_drift") == 500000L)
+    assert(r.getAs[Long]("worst_dim") == 1L)
+  }
+
   test("clusterQualityCard: tight separated clusters score near zero") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
