@@ -2054,6 +2054,24 @@ object SparkEntry {
         expr("ts div 1000").as("ts"), col("value"))
       Analytics.didCard(ev, pivotDay = 19738L)
     }),
+    // --- stratified treatment effect: per-event-type treat-control
+    // gaps, size-weighted positive-offset combine
+    "events_ate_adjusted" -> ((s, dir) => {
+      val ev = rdEvents(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"))
+      Analytics.adjustedAteCard(ev)
+    }),
+    // --- t-closeness audit over (nation, segment) classes: ordered
+    // balance bins, closed-form EMD as exact ppm cumulative gaps
+    "privacy_tcloseness" -> ((s, dir) => {
+      val c = rd(s, dir, "customer").select(
+        col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        expr("greatest(0L, least(9L, CAST(floor((c_acctbal + 1000.0d)" +
+          " / 1100.0d) AS BIGINT)))").as("bal_bin"))
+      Privacy.tClosenessAudit(c, Seq("nation", "segment"), "bal_bin",
+        bins = 10, tPpm = 150000L).orderBy("qid")
+    }),
     // --- pre-flight exact join-output-size guard for the partkey
     // self-join (the nodesim/itemcf dry run): top contributors + bill
     "join_guard" -> ((s, dir) => {
@@ -5175,6 +5193,79 @@ object SparkEntry {
         |  CASE WHEN ab.ab_rows <= bc.bc_rows THEN 'ab_first'
         |    ELSE 'bc_first' END AS recommended
         |FROM ab, bc""".stripMargin,
+    // adjusted-ATE twin: identical stratum cells, both-arms filter,
+    // positive-offset weighted combine
+    "events_ate_adjusted" ->
+      """WITH cells AS (
+        |  SELECT event_type AS stratum,
+        |    CAST(count(*) AS BIGINT) AS n_s,
+        |    CAST(sum(CASE WHEN CAST('0x' ||
+        |      substr(md5(CAST(user_id AS VARCHAR)), 1, 1) AS BIGINT) < 8
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |    CAST(sum(CASE WHEN CAST('0x' ||
+        |      substr(md5(CAST(user_id AS VARCHAR)), 1, 1) AS BIGINT) < 8
+        |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS sum_t,
+        |    CAST(sum(CASE WHEN CAST('0x' ||
+        |      substr(md5(CAST(user_id AS VARCHAR)), 1, 1) AS BIGINT) >= 8
+        |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS sum_c
+        |  FROM events GROUP BY 1
+        |), used AS (
+        |  SELECT n_s,
+        |    1000000 * sum_t // n_t - 1000000 * sum_c // (n_s - n_t)
+        |      AS diff_ppm
+        |  FROM cells WHERE n_t > 0 AND n_s - n_t > 0
+        |)
+        |SELECT CAST(sum(n_s) AS BIGINT) AS n_used,
+        |  CAST(count(*) AS BIGINT) AS n_strata,
+        |  CAST((sum(n_s * diff_ppm) + 100000000000 * sum(n_s))
+        |    // sum(n_s) - 100000000000 AS BIGINT) AS ate_ppm_cents
+        |FROM used""".stripMargin,
+    // t-closeness twin: densified per-class cumulative shares vs the
+    // global distribution, closed-form ordered EMD
+    "privacy_tcloseness" ->
+      """WITH src AS (
+        |  SELECT CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment
+        |      AS qid,
+        |    greatest(0, least(9, CAST(floor((c_acctbal + 1000.0)
+        |      / 1100.0) AS BIGINT))) AS b
+        |  FROM customer
+        |), cells AS (
+        |  SELECT qid, b, CAST(count(*) AS BIGINT) AS n
+        |  FROM src GROUP BY 1, 2
+        |), dense AS (
+        |  SELECT q.qid, g.b, coalesce(c.n, 0) AS n
+        |  FROM (SELECT DISTINCT qid FROM cells) q
+        |  CROSS JOIN (SELECT unnest(range(0, 10)) AS b) g
+        |  LEFT JOIN cells c ON c.qid = q.qid AND c.b = g.b
+        |), bc AS (
+        |  SELECT qid, b,
+        |    CAST(sum(n) OVER (PARTITION BY qid) AS BIGINT) AS n_class,
+        |    CAST(sum(n) OVER (PARTITION BY qid ORDER BY b
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM dense
+        |), byc AS (
+        |  SELECT qid, b, n_class,
+        |    1000000 * cum // n_class AS cum_ppm
+        |  FROM bc
+        |), gt AS (SELECT CAST(count(*) AS BIGINT) AS gt FROM src),
+        |gcd AS (
+        |  SELECT g.b,
+        |    1000000 * CAST(sum(coalesce(gn.gn, 0)) OVER (ORDER BY g.b
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) // gt.gt AS gcum_ppm
+        |  FROM (SELECT unnest(range(0, 10)) AS b) g
+        |  LEFT JOIN (SELECT b, CAST(count(*) AS BIGINT) AS gn
+        |    FROM src GROUP BY 1) gn ON gn.b = g.b
+        |  CROSS JOIN gt
+        |)
+        |SELECT byc.qid, max(byc.n_class) AS class_size,
+        |  CAST(sum(abs(byc.cum_ppm - gcd.gcum_ppm)) // 9 AS BIGINT)
+        |    AS emd_ppm,
+        |  CAST(sum(abs(byc.cum_ppm - gcd.gcum_ppm)) // 9 AS BIGINT)
+        |    > 150000 AS breaches_t
+        |FROM byc JOIN gcd ON gcd.b = byc.b
+        |GROUP BY 1 ORDER BY qid""".stripMargin,
     // didCard twin: identical md5 split, pivot-day period, four
     // truncating ppm-cent means, integer contrast
     "events_did" ->

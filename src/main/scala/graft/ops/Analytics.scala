@@ -1267,6 +1267,40 @@ object Analytics {
           .otherwise(lit("bc_first")).as("recommended"))
   }
 
+  /** Stratified (directly standardized) treatment effect — the
+    * confounder-adjusted estimate when treatment correlates with a
+    * discrete covariate: per stratum s, the treat−control mean gap in
+    * exact ppm cents, combined as ATE = Σ n_s·Δ_s div n (stratum-size
+    * weights — direct standardization). Strata missing either arm drop
+    * out (reported via n_strata). The weighted combine uses the
+    * POSITIVE-OFFSET floor mean (Δ can be negative and Spark `div`
+    * truncates where DuckDB `//` floors — the Warner-RR negative-operand
+    * trap), with K = 10¹¹ » any ppm-cent gap.
+    *
+    * Scale shape: one partial-agg shuffle to the bounded stratum frame;
+    * everything after is bounded arithmetic.
+    */
+  def adjustedAteCard(events: DataFrame): DataFrame = {
+    val cells = events
+      .select(col("event_type").as("stratum"),
+        when(expr("CAST(conv(substring(md5(CAST(user_id AS STRING))," +
+          " 1, 1), 16, 10) AS BIGINT)") < 8, 1L).otherwise(0L).as("t"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_s"), sum(col("t")).as("n_t"),
+        sum(when(col("t") === 1L, col("cents")).otherwise(0L)).as("sum_t"),
+        sum(when(col("t") === 0L, col("cents")).otherwise(0L)).as("sum_c"))
+      .filter(col("n_t") > 0 && col("n_s") - col("n_t") > 0)
+      .withColumn("diff_ppm", expr(
+        "1000000L * sum_t div n_t - 1000000L * sum_c div (n_s - n_t)"))
+    cells.groupBy()
+      .agg(sum(col("n_s")).as("n_used"), count(lit(1)).as("n_strata"),
+        sum(expr("n_s * diff_ppm")).as("wsum"))
+      .select(col("n_used"), col("n_strata"),
+        expr("(wsum + 100000000000L * n_used) div n_used" +
+          " - 100000000000L").as("ate_ppm_cents"))
+  }
+
   /** Difference-in-differences card — the pre/post × treat/control
     * estimate that separates a treatment effect from a level shift
     * everyone experienced. Unit = (user, period) value sums in cents;

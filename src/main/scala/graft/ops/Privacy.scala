@@ -192,4 +192,60 @@ object Privacy {
       .withColumn("suppressed", col("class_size") < k)
       .orderBy("qid")
   }
+
+  /** t-closeness audit — the release gate k-anonymity and l-diversity
+    * miss: a class can be large AND diverse yet still leak because its
+    * SENSITIVE DISTRIBUTION differs from the corpus (everyone in the
+    * class is high-balance). For an ORDERED sensitive attribute binned
+    * to `bins`, the earth-mover distance has the closed form
+    * EMD = Σ_b |cum_class(b) − cum_global(b)| / (bins − 1) — exact in
+    * ppm integers (truncating per-class cumulative shares; both
+    * engines share the fold). Classes with emd_ppm > t·10⁶ breach.
+    *
+    * Scale shape: one (class, bin) partial agg; cumulative windows run
+    * per class over ≤ bins rows; the bins-row global distribution
+    * broadcasts (whitelisted one-frame cross).
+    */
+  def tClosenessAudit(df: DataFrame, qidCols: Seq[String],
+                      binCol: String, bins: Int,
+                      tPpm: Long): DataFrame = {
+    require(qidCols.nonEmpty && bins >= 2 && tPpm >= 0)
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qid = concat_ws("|", qidCols.map(c => col(c).cast("string")): _*)
+    val rows = df.select(qid.as("qid"), col(binCol).cast("long").as("b"))
+    val cells = rows.groupBy(col("qid"), col("b"))
+      .agg(count(lit(1)).as("n"))
+    // densify: the cumulative step function must cover EMPTY bins too
+    // (a class missing a bin still diverges from the corpus there)
+    val binsDf = (0L until bins.toLong).toDF("b")
+    val dense = cells.select(col("qid")).distinct()
+      .crossJoin(broadcast(binsDf))
+      .join(cells, Seq("qid", "b"), "left")
+      .select(col("qid"), col("b"), coalesce(col("n"), lit(0L)).as("n"))
+    val classCum = Window.partitionBy("qid").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byClass = dense
+      .withColumn("n_class", sum(col("n")).over(
+        Window.partitionBy("qid")))
+      .withColumn("cum", sum(col("n")).over(classCum))
+      .withColumn("cum_ppm", expr("1000000L * cum div n_class"))
+    val gtot = rows.agg(count(lit(1)).as("gt"))
+    val glob = binsDf
+      .join(rows.groupBy(col("b")).agg(count(lit(1)).as("gn")),
+        Seq("b"), "left")
+      .select(col("b"), coalesce(col("gn"), lit(0L)).as("gn"))
+      .withColumn("gcum", sum(col("gn")).over(Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(gtot))
+      .select(col("b"), expr("1000000L * gcum div gt").as("gcum_ppm"))
+    byClass.join(broadcast(glob), Seq("b"))
+      .groupBy(col("qid"))
+      .agg(max(col("n_class")).as("class_size"),
+        sum(expr("abs(cum_ppm - gcum_ppm)")).as("cum_gap"))
+      .select(col("qid"), col("class_size"),
+        expr(s"cum_gap div ${bins - 1}L").as("emd_ppm"))
+      .withColumn("breaches_t", col("emd_ppm") > tPpm)
+  }
 }

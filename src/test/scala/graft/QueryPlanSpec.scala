@@ -65,6 +65,8 @@ class QueryPlanSpec extends SparkSpec {
       "join_plan_card", // five one-row cardinality aggregates crossed
       "graph_conductance", // one-row total volume onto the community
                            // frame
+      "privacy_tcloseness", // 10-row bin ladder densified onto the
+                            // class frame + one-row global total
       "events_rfm",    // one-row corpus-max instant onto |users| rows
       "events_covisit", // one-row session total onto type² pair rows
       "embed_truncation", // one-row total energy onto |dims| rows

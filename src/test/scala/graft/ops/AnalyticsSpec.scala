@@ -407,6 +407,25 @@ class AnalyticsSpec extends SparkSpec {
       r.getAs[Long]("n_c")) == ((2L, 3L, 4L)))
   }
 
+  test("adjustedAteCard: stratum-weighted exact effect, empty arms drop") {
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def isT(u: Long) =
+      ((md.digest(u.toString.getBytes("UTF-8"))(0) >> 4) & 0xf) < 8
+    // stratum a: T 3.00 vs C 1.00 (gap 2e8 ppm-cents); stratum b: no
+    // gap; stratum z has only treated users -> drops out
+    val ev = (1L to 20L).flatMap { u =>
+      Seq((u, "a", if (isT(u)) 3.0 else 1.0),
+        (u, "b", 2.0)) ++
+        (if (isT(u)) Seq((u, "z", 9.0)) else Nil)
+    }.toDF("user_id", "event_type", "value")
+    val r = Analytics.adjustedAteCard(ev).collect().head
+    assert(r.getAs[Long]("n_strata") == 2L)
+    assert(r.getAs[Long]("n_used") == 40L)
+    // ATE = (20*2e8 + 20*0) div 40 = 1e8 ppm-cents = +1.00
+    assert(r.getAs[Long]("ate_ppm_cents") == 100000000L)
+  }
+
   test("didCard: a treatment-only lift survives the common level shift") {
     import spark.implicits._
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -113,4 +113,19 @@ class PrivacySpec extends SparkSpec {
     assert(out.head.getString(1) == "*" && out.head.getLong(0) == 1L)
     assert(out.head.getAs[Boolean]("suppressed"))
   }
+
+  test("tClosenessAudit: skewed classes breach, matched class scores 0") {
+    import spark.implicits._
+    // global over 2 bins is 50/50; g1 sits all in bin 0, g2 all in
+    // bin 1 (both EMD 1/2), g3 mirrors the corpus (EMD 0)
+    val df = Seq(("g1", 0L), ("g1", 0L), ("g2", 1L), ("g2", 1L),
+      ("g3", 0L), ("g3", 1L)).toDF("grp", "bin")
+    val out = Privacy.tClosenessAudit(df, Seq("grp"), "bin",
+      bins = 2, tPpm = 400000L).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("emd_ppm"), r.getAs[Boolean]("breaches_t"))).toMap
+    assert(out("g1") == ((500000L, true)))
+    assert(out("g2") == ((500000L, true)))
+    assert(out("g3") == ((0L, false)))
+  }
 }
