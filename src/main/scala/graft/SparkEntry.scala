@@ -2136,6 +2136,11 @@ object SparkEntry {
     // --- vocabulary construction: top-50 tokens with cumulative coverage
     "vocab_top" -> ((s, dir) =>
       TextAnalysis.buildVocab(rd(s, dir, "documents"), 50).orderBy("rank")),
+    // --- typeahead index: every <=4-char prefix -> pinned top-3
+    // completions; built once, queried as point lookups
+    "search_autocomplete" -> ((s, dir) =>
+      TextAnalysis.autocompleteIndex(rd(s, dir, "documents"))
+        .orderBy("prefix", "rank")),
     // --- canonicalization pass (lowercase/strip/collapse), zero shuffles
     "text_normalize" -> ((s, dir) =>
       TextAnalysis.normalize(rd(s, dir, "documents")).orderBy("doc_id")),
@@ -9727,6 +9732,28 @@ object SparkEntry {
         |FROM r WHERE rank <= 5 ORDER BY w1, rank""".stripMargin,
     // identical md5-prefix bucket + sign-digit arithmetic; DuckDB casts
     // '0x...' strings to integers natively
+    // autocomplete twin: same whitespace tokens, UNNEST(range) prefix
+    // explode, pinned per-prefix rank
+    "search_autocomplete" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents
+        |), f AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS freq
+        |  FROM tok GROUP BY 1
+        |), pre AS (
+        |  SELECT substr(token, 1, CAST(g.l AS INTEGER)) AS prefix,
+        |    token, freq
+        |  FROM f CROSS JOIN generate_series(1, 4) AS g(l)
+        |  WHERE g.l <= length(token)
+        |)
+        |SELECT prefix,
+        |  CAST(row_number() OVER (PARTITION BY prefix
+        |    ORDER BY freq DESC, token) AS BIGINT) AS "rank",
+        |  token, freq
+        |FROM pre
+        |QUALIFY "rank" <= 3
+        |ORDER BY prefix, "rank"""".stripMargin,
     "vocab_top" ->
       """WITH tok AS (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token

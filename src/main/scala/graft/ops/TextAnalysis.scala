@@ -1135,6 +1135,33 @@ object TextAnalysis {
           .as("coverage"))
   }
 
+  /** Prefix-autocomplete index — the typeahead table a search box
+    * reads: every 1..maxPrefix-char prefix of the vocabulary maps to
+    * its top-k completions under the fully pinned (freq DESC, token)
+    * order. Build = one vocab aggregation + a ≤ maxPrefix-way prefix
+    * explode + per-prefix rank windows (each prefix bucket is bounded
+    * by the vocab, and the index is built ONCE — queries are point
+    * lookups on the materialized table). Exact integers throughout.
+    */
+  def autocompleteIndex(docs: DataFrame, maxPrefix: Int = 4,
+                        topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxPrefix >= 1 && topK >= 1)
+    val vocab = docs.select(explode(tokensCol(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    vocab
+      .select(col("token"), col("freq"),
+        explode(expr(s"sequence(1, least($maxPrefix, length(token)))"))
+          .as("l"))
+      .select(expr("substring(token, 1, l)").as("prefix"),
+        col("token"), col("freq"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("prefix").orderBy(desc("freq"), asc("token")))
+        .cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("prefix"), col("rank"), col("token"), col("freq"))
+  }
+
   /** Text normalization — the canonicalization pass upstream of hashing /
     * dedup / tokenization: lowercase, strip characters outside
     * [a-z0-9 ], collapse whitespace runs, trim. Pure narrow projection of

@@ -1090,6 +1090,47 @@ object EventStreams {
       }
   }
 
+  /** Per-key token-bucket rate limiter — the ingest-protection
+    * primitive in front of any per-user quota (API abuse, runaway
+    * producers, crawl politeness): allow at most `maxPerWindow` events
+    * per user per tumbling `windowUs` window, suppress the rest AT THE
+    * STREAM, before they cost a shuffle downstream. State per user is
+    * TWO longs (current window index + its count) forever — bounded by
+    * |keys|, never stream length; a new window resets the budget.
+    * Within a micro-batch rows fold in (ts, event_id) order, so
+    * replays admit the same events deterministically.
+    *
+    * Output: the admitted (user_id, event_id, ts) rows. Expects
+    * microsecond-long `ts`.
+    */
+  def streamingRateLimit(events: DataFrame, maxPerWindow: Int,
+                         windowUs: Long)(
+      implicit spark: SparkSession): Dataset[(Long, Long, Long)] = {
+    import spark.implicits._
+    require(maxPerWindow >= 1 && windowUs >= 1)
+    events.selectExpr("user_id", "event_id", "ts")
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[(Long, Long)]) =>
+          var (win, used) = state.getOption.getOrElse((Long.MinValue, 0L))
+          val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach {
+            case (u, id, ts) =>
+              val w = ts / windowUs
+              if (w != win) { win = w; used = 0L }
+              if (used < maxPerWindow) {
+                used += 1L
+                out += ((u, id, ts))
+              }
+          }
+          state.update((win, used))
+          out.iterator
+      }
+  }
+
   /** Approximate streaming dedup with CONSTANT state — the 100 TB/day
     * answer where [[streamingDedup]]'s exact per-fingerprint state is
     * bounded only by the watermark horizon: each of `nShards` keyed

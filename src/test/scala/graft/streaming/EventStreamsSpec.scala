@@ -69,6 +69,36 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingRateLimit admits per-window budgets across batches") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sec = 1000000L
+    val mem = MemoryStream[(Long, Long, Long)]
+    val limited = EventStreams.streamingRateLimit(
+      mem.toDF.toDF("user_id", "event_id", "ts"),
+      maxPerWindow = 2, windowUs = 60L * sec)
+    val q = limited.writeStream
+      .format("memory").queryName("ratelimit_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // window 0: user 1 sends 3 (third suppressed); user 2 sends 1
+      mem.addData((1L, 10L, 1L * sec), (1L, 11L, 2L * sec),
+        (1L, 12L, 3L * sec), (2L, 20L, 1L * sec))
+      q.processAllAvailable()
+      // batch 2, still window 0: user 1's budget is SPENT (carried
+      // state); user 2 has one left; window 1 resets user 1
+      mem.addData((1L, 13L, 10L * sec), (2L, 21L, 11L * sec),
+        (2L, 22L, 12L * sec), (1L, 14L, 70L * sec))
+      q.processAllAvailable()
+      val kept = spark.table("ratelimit_test").collect()
+        .map(_.getAs[Long]("_2")).toSet
+      assert(kept == Set(10L, 11L, 20L, 21L, 14L),
+        s"unexpected admit set: $kept")
+    } finally q.stop()
+  }
+
   test("streamingBloomDedup suppresses duplicates forever on constant state") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
