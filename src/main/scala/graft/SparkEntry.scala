@@ -1481,6 +1481,16 @@ object SparkEntry {
       val ev = rdEvents(s, dir).select(col("user_id"), col("value"))
       Events.mahalanobisOutliers(ev, topK = 5)
     }),
+    // --- row-level quarantine split: reasons joined in rule order,
+    // pass/fail route counts (zero shuffles on the fact stream)
+    "dq_quarantine" -> ((s, dir) => {
+      Quality.quarantine(rd(s, dir, "lineitem"), Seq(
+        Quality.InRange("l_quantity", 1, 40),
+        Quality.InRange("l_discount", 0, 0.05)))
+        .groupBy(col("quarantined"), col("reasons"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("quarantined", "reasons")
+    }),
     // --- referential integrity: staged orphan/NULL foreign keys on
     // the lineitem->orders relationship, one-row audit card
     "dq_orphans" -> ((s, dir) => {
@@ -8556,6 +8566,23 @@ object SparkEntry {
         |    AS close_c,
         |  CAST(sum(v100) AS BIGINT) AS sum_c
         |FROM rk GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin,
+    // quarantine twin: concat_ws skips non-violated NULL slots in
+    // declaration order identically
+    "dq_quarantine" ->
+      """WITH tagged AS (
+        |  SELECT concat_ws(',',
+        |    CASE WHEN l_quantity IS NOT NULL
+        |      AND (l_quantity < 1 OR l_quantity > 40)
+        |      THEN 'in_range:l_quantity' END,
+        |    CASE WHEN l_discount IS NOT NULL
+        |      AND (l_discount < 0 OR l_discount > 0.05)
+        |      THEN 'in_range:l_discount' END) AS reasons
+        |  FROM lineitem
+        |)
+        |SELECT reasons <> '' AS quarantined, reasons,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM tagged GROUP BY 1, 2
+        |ORDER BY quarantined, reasons""".stripMargin,
     "dq_orphans" ->
       """WITH fact AS (
         |  SELECT CASE WHEN l_linenumber = 7 THEN l_orderkey + 100000000

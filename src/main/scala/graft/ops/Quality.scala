@@ -263,4 +263,30 @@ object Quality {
           (col("n_distinct") === col("n_rows") &&
             col("n_null_rows") === 0L).as("is_key"))
     }.reduce(_ unionByName _).orderBy("combo")
+
+  /** Row-level quarantine split — [[violations]] says HOW MANY rows
+    * break each rule; production pipelines also need the rows
+    * THEMSELVES routed: pass rows flow on, quarantined rows land in a
+    * side table WITH their reasons, so reprocessing after a fix is a
+    * filter, not a re-scan. Each row gets the comma-joined ids of the
+    * row-wise rules (NotNull / InRange) it violates, in declaration
+    * order — `concat_ws` skips the non-violated NULL slots identically
+    * in both engines. Pure narrow projection: zero shuffles on the
+    * fact stream; key rules (Unique/RefIntegrity) are aggregate-level
+    * and stay in [[violations]].
+    */
+  def quarantine(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val rowRules: Seq[(String, Column)] = rules.collect {
+      case r: NotNull => r.id -> col(r.column).isNull
+      case r: InRange => r.id -> (col(r.column).isNotNull &&
+        (col(r.column) < r.lo || col(r.column) > r.hi))
+    }
+    require(rowRules.nonEmpty,
+      "quarantine needs at least one NotNull/InRange rule")
+    val reasons = concat_ws(",", rowRules.map { case (id, c) =>
+      when(c, lit(id)).otherwise(lit(null))
+    }: _*)
+    df.withColumn("reasons", reasons)
+      .withColumn("quarantined", col("reasons") =!= "")
+  }
 }

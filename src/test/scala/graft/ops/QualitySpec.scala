@@ -120,4 +120,24 @@ class QualitySpec extends SparkSpec {
     assert(out("grp+tag") == ((3L, 1L, false)),
       "distinct but a NULL component disqualifies a key")
   }
+
+  test("quarantine routes rows with declaration-ordered reason strings") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(5.0), Some(0.01)),    // clean
+      (2L, Some(99.0), Some(0.01)),   // quantity breach
+      (3L, Some(99.0), Some(0.5)),    // both breaches, rule order
+      (4L, None, Some(0.5))           // null quantity passes NotNull-less
+    ).toDF("id", "q", "d")
+    val out = Quality.quarantine(df, Seq(
+      Quality.InRange("q", 1, 40), Quality.InRange("d", 0, 0.05)))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("reasons"), r.getAs[Boolean]("quarantined")))
+      .toMap
+    assert(out(1L) == (("", false)))
+    assert(out(2L) == (("in_range:q", true)))
+    assert(out(3L) == (("in_range:q,in_range:d", true)))
+    assert(out(4L) == (("in_range:d", true)),
+      "nulls don't violate InRange; only the real breach is tagged")
+  }
 }
