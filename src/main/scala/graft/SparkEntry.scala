@@ -2030,6 +2030,25 @@ object SparkEntry {
         .select(col("src").as("id")).distinct()
       Graph.shortestPaths(e, seeds, 4).orderBy("id")
     }),
+    // --- GraphSAGE-style 2-hop neighbor sampling: md5-ranked fanouts
+    // (3, 2) from the sub-100 seeds — derandomized minibatch subgraph
+    "graph_sample_neighbors" -> ((s, dir) => {
+      val e0 = rd(s, dir, "orders").select(col("o_orderkey").as("src"),
+        (col("o_custkey") + 10000000L).as("dst"))
+      val e = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = e0.filter(col("src") < 100)
+        .select(col("src").as("id")).distinct()
+      Graph.sampleNeighbors(e, seeds, Seq(3, 2))
+        .orderBy("hop", "src", "dst")
+    }),
+    // --- frequency-cap audit: the batch twin of streamingRateLimit —
+    // daily capped users + suppressed-event share
+    "events_freqcap" -> ((s, dir) => {
+      val ev = rdEvents(s, dir).select(col("user_id"),
+        expr("ts div 1000").as("ts"))
+      Events.frequencyCapAudit(ev, cap = 10L).orderBy("day")
+    }),
     // --- widest (max-min bottleneck) paths over the same graph:
     // the (max, min) semiring twin of graph_sssp, seeds at Long.Max
     "graph_widest" -> ((s, dir) => {
@@ -9482,6 +9501,53 @@ object SparkEntry {
          |SELECT id, dist FROM d4 WHERE dist IS NOT NULL
          |ORDER BY id""".stripMargin
     },
+    // sampleNeighbors twin: same md5 neighbor ranks per hop, frontier
+    // chained through MATERIALIZED CTEs
+    "graph_sample_neighbors" ->
+      """WITH e0 AS (
+        |  SELECT o_orderkey AS src, o_custkey + 10000000 AS dst
+        |  FROM orders
+        |), e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM e0
+        |    UNION ALL SELECT dst AS src, src AS dst FROM e0)
+        |), f0 AS (
+        |  SELECT DISTINCT src AS id FROM e0 WHERE src < 100
+        |), h0 AS MATERIALIZED (
+        |  SELECT 0 AS hop, src, dst FROM (
+        |    SELECT e.src, e.dst, row_number() OVER (PARTITION BY e.src
+        |      ORDER BY md5('nbr:0:' || CAST(e.src AS VARCHAR) || ':'
+        |        || CAST(e.dst AS VARCHAR)), e.dst) AS r
+        |    FROM e JOIN f0 ON f0.id = e.src)
+        |  WHERE r <= 3
+        |), f1 AS (
+        |  SELECT DISTINCT dst AS id FROM h0
+        |), h1 AS MATERIALIZED (
+        |  SELECT 1 AS hop, src, dst FROM (
+        |    SELECT e.src, e.dst, row_number() OVER (PARTITION BY e.src
+        |      ORDER BY md5('nbr:1:' || CAST(e.src AS VARCHAR) || ':'
+        |        || CAST(e.dst AS VARCHAR)), e.dst) AS r
+        |    FROM e JOIN f1 ON f1.id = e.src)
+        |  WHERE r <= 2
+        |)
+        |SELECT CAST(hop AS BIGINT) AS hop, src, dst FROM (
+        |  SELECT * FROM h0 UNION ALL SELECT * FROM h1)
+        |ORDER BY hop, src, dst""".stripMargin,
+    // freq-cap twin: identical (user, day) cells and greatest() excess
+    "events_freqcap" ->
+      """WITH ud AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT day, CAST(count(*) AS BIGINT) AS active_users,
+        |  CAST(sum(CASE WHEN n > 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS capped_users,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(sum(greatest(n - 10, 0)) AS BIGINT) AS suppressed_events,
+        |  1000000 * CAST(sum(greatest(n - 10, 0)) AS BIGINT)
+        |    // CAST(sum(n) AS BIGINT) AS suppressed_ppm
+        |FROM ud GROUP BY 1 ORDER BY day""".stripMargin,
     "graph_widest" -> {
       val round = (prev: String, cur: String) =>
         s"""$cur AS (

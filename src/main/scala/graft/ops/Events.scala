@@ -2302,6 +2302,28 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Frequency-cap audit — the batch twin of the streaming token-bucket
+    * limiter ([[graft.streaming.EventStreams.streamingRateLimit]]): per
+    * day, how many users exceeded `cap` events and how many events the
+    * cap would have suppressed — the report that sizes the limiter
+    * BEFORE it goes live, and the daily compliance check after. One
+    * (user, day) partial agg, then a day rollup; excess = Σ max(0,
+    * n − cap) — all integers.
+    */
+  def frequencyCapAudit(events: DataFrame, cap: Long = 10L): DataFrame = {
+    events
+      .select(col("user_id"), expr("ts div 86400000000").as("day"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("active_users"),
+        sum(when(col("n") > cap, 1L).otherwise(0L)).as("capped_users"),
+        sum(col("n")).as("n_events"),
+        sum(greatest(col("n") - cap, lit(0L))).as("suppressed_events"))
+      .withColumn("suppressed_ppm",
+        expr("1000000L * suppressed_events div n_events"))
+  }
+
   /** Length-3 sequential-pattern mining — [[seqRules]]' A→B pairs
     * extended to consecutive A→B→C journeys (the path-grammar
     * signal funnels and next-action models train on): two lead()

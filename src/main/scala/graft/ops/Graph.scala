@@ -418,6 +418,42 @@ object Graph {
     }.reduce(_ unionByName _)
   }
 
+  /** GraphSAGE-style k-hop neighborhood sampling — the GNN-minibatch
+    * primitive: from each seed, keep at most `fanouts(h)` neighbors per
+    * frontier node per hop, so a minibatch touches Π fanouts edges
+    * instead of the full exponential neighborhood (the only way GNN
+    * training survives a power-law graph). Sampling is DERANDOMIZED
+    * uniform-without-replacement: rank neighbors by
+    * md5("nbr:" ‖ hop ‖ ":" ‖ src ‖ ":" ‖ dst) and keep the smallest
+    * `fanout` — reproducible across runs/engines, and a re-run of the
+    * same epoch sees the same subgraph (the curriculum-stability
+    * requirement). Per hop: one frontier-keyed join + one per-src rank
+    * window bounded by the node's adjacency; the frontier never holds
+    * more than Π fanouts · |seeds| nodes.
+    */
+  def sampleNeighbors(edges: DataFrame, seeds: DataFrame,
+                      fanouts: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(fanouts.nonEmpty && fanouts.forall(_ >= 1))
+    val e = edges.select(col("src"), col("dst")).distinct()
+    var frontier = seeds.select(col("id")).distinct()
+    var out: Option[DataFrame] = None
+    fanouts.zipWithIndex.foreach { case (f, h) =>
+      val sampled = e
+        .join(frontier.select(col("id").as("src")), "src")
+        .withColumn("r", row_number().over(
+          Window.partitionBy("src").orderBy(
+            md5(concat(lit(s"nbr:$h:"), col("src").cast("string"),
+              lit(":"), col("dst").cast("string"))), col("dst"))))
+        .filter(col("r") <= f)
+        .select(lit(h.toLong).as("hop"), col("src"), col("dst"))
+        .localCheckpoint()            // feeds output AND next frontier
+      out = Some(out.fold(sampled)(_ unionByName sampled))
+      frontier = sampled.select(col("dst").as("id")).distinct()
+    }
+    out.get
+  }
+
   /** Community conductance card — the CUT-quality readout that
     * complements modularity's density view: for each community c,
     * φ(c) = cut / min(vol(c), vol(rest)) as exact ppm — how much of

@@ -285,6 +285,24 @@ class EventsSpec extends SparkSpec {
     assert(na == aCount, "A-variant size must match the md5 recipe")
   }
 
+  test("frequencyCapAudit counts capped users and suppressed excess") {
+    val day = 86400000000L
+    // day 0: u1 sends 3 (cap 2 -> 1 suppressed), u2 sends 2 (at cap);
+    // day 1: u1 sends 1
+    val ev = (Seq.fill(3)(1L) ++ Seq.fill(2)(2L)).zipWithIndex.map {
+      case (u, i) => (u, i.toLong)
+    } :+ ((1L, day))
+    val r = Events.frequencyCapAudit(
+      ev.toDF("user_id", "ts"), cap = 2L).orderBy("day").collect()
+    assert(r.length == 2)
+    assert((r(0).getAs[Long]("active_users"),
+      r(0).getAs[Long]("capped_users"),
+      r(0).getAs[Long]("suppressed_events"),
+      r(0).getAs[Long]("suppressed_ppm")) == ((2L, 1L, 1L, 200000L)))
+    assert((r(1).getAs[Long]("active_users"),
+      r(1).getAs[Long]("capped_users")) == ((1L, 0L)))
+  }
+
   test("seqTriples mines consecutive length-3 patterns with support") {
     // user 1: a b c a b c -> triples abc, bca, cab, abc; support 2
     // keeps only a->b->c

@@ -174,6 +174,28 @@ class GraphSpec extends SparkSpec {
     assert(c1 == Map(1L -> Long.MaxValue, 2L -> 10L, 3L -> 3L))
   }
 
+  test("sampleNeighbors bounds fanout per hop and chains the frontier") {
+    // star: node 1 -> 10..19 (10 out-neighbors); each 1x -> {100+x}
+    val e = (10L to 19L).map(d => (1L, d)) ++
+      (10L to 19L).map(d => (d, 100L + d))
+    val edges = e.toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val out = Graph.sampleNeighbors(edges, seeds, Seq(3, 2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val h0 = out.filter(_._1 == 0L)
+    val h1 = out.filter(_._1 == 1L)
+    assert(h0.length == 3, "hop-0 fanout capped at 3 of 10 neighbors")
+    assert(h0.forall(_._2 == 1L))
+    // hop-1 frontier is EXACTLY hop-0's sampled dsts; each has one
+    // out-neighbor so fanout 2 yields one edge per frontier node
+    assert(h1.map(_._2).sorted.toSeq == h0.map(_._3).sorted.toSeq)
+    assert(h1.forall(r => r._3 == 100L + r._2))
+    // derandomized: a second run returns the identical subgraph
+    val again = Graph.sampleNeighbors(edges, seeds, Seq(3, 2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sorted.toSeq == out.sorted.toSeq)
+  }
+
   test("conductance: bridged triangles leak exactly one edge each") {
     // triangles {1,2,3} and {4,5,6} with one bridge 3-4; labels x / y:
     // each community: internal 3, cut 1, vol 7; total_vol 14 ->
