@@ -519,6 +519,12 @@ object SparkEntry {
       Similarity.kmeansClusterDistributed(
         rd(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
         k = 8, iters = 3).orderBy("vec_id")),
+    // --- greedy k-center coreset: 4 farthest-point rounds, coverage
+    // radius emitted as floored integers only
+    "embed_coreset" -> ((s, dir) =>
+      Similarity.kCenterCoreset(
+        rd(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        k = 5).orderBy("rank")),
     // --- cluster-quality card on the same fit: integer squared-distance
     // tightness + worst k² centroid-separation ratio (DB-index shape)
     "embed_cluster_eval" -> ((s, dir) =>
@@ -3597,6 +3603,54 @@ object SparkEntry {
        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster)
        |        AS rn FROM dF) WHERE rn = 1
        |)""".stripMargin
+  }
+
+  /** Generated DuckDB twin of [[graft.ops.Similarity.kCenterCoreset]]:
+    * k−1 unrolled greedy rounds — (dmin DESC, vec_id DESC) election,
+    * center row join, least() dmin merge — with every dot product the
+    * sequential list_dot_product fold graft_dot shares; floats are
+    * ranked on, only floor(dmin·10⁶) integers are emitted. */
+  private def coresetOracleSql(k: Int): String = {
+    def dexpr(df: String, c: String) =
+      s"list_dot_product($c.e, $c.e) - 2 * list_dot_product($df.e, $c.e)" +
+        s" + $df.xx"
+    val rounds = (2 to k).map { r =>
+      val prev = s"d${r - 1}"
+      s"""p$r AS MATERIALIZED (
+         |  SELECT vec_id, dmin FROM $prev
+         |  ORDER BY dmin DESC, vec_id DESC LIMIT 1
+         |), c$r AS MATERIALIZED (
+         |  SELECT emb.vec_id, emb.e FROM emb
+         |  JOIN p$r ON p$r.vec_id = emb.vec_id
+         |), d$r AS MATERIALIZED (
+         |  SELECT p.vec_id, p.e, p.xx,
+         |    least(p.dmin, ${dexpr("p", "c")}) AS dmin
+         |  FROM $prev p, c$r c
+         |)""".stripMargin
+    }.mkString(",\n")
+    val finals = (2 to k).map { r =>
+      s"""SELECT $r AS "rank", vec_id,
+         |  CAST(floor(dmin * 1000000) AS BIGINT) AS dmin_scaled
+         |  FROM p$r""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH emb AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |    list_dot_product(CAST(embedding AS DOUBLE[]),
+       |      CAST(embedding AS DOUBLE[])) AS xx
+       |  FROM embeddings
+       |), c1 AS MATERIALIZED (
+       |  SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT 1
+       |), d1 AS MATERIALIZED (
+       |  SELECT emb.vec_id, emb.e, emb.xx,
+       |    ${dexpr("emb", "c")} AS dmin
+       |  FROM emb, c1 c
+       |),
+       |$rounds
+       |SELECT "rank", vec_id, dmin_scaled FROM (
+       |  SELECT 1 AS "rank", vec_id, CAST(NULL AS BIGINT) AS dmin_scaled
+       |  FROM c1
+       |  UNION ALL $finals)
+       |ORDER BY "rank"""".stripMargin
   }
 
   /** Generated DuckDB twin of [[graft.functions.HilbertIndex]]: the
@@ -7275,6 +7329,7 @@ object SparkEntry {
     // planted-block k-means (see registration comment): the provably
     // exact assignment is the block id g = (vec_id·16 + 15) div n
     "embed_cluster_dist" -> kmeansDistOracleSql(k = 8, iters = 3, dim = 64),
+    "embed_coreset" -> coresetOracleSql(k = 5),
     "embed_cluster_eval" -> clusterEvalOracleSql(k = 8, iters = 3, dim = 64),
     "graph_coloring" -> coloringOracleSql(rounds = 6),
     "graph_anf" -> anfOracleSql(maxHops = 2, b = 6),

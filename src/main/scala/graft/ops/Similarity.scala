@@ -1147,6 +1147,65 @@ object Similarity {
         col("worst_ratio_ppm"))
   }
 
+  /** Greedy k-center coreset selection — the data-pruning primitive
+    * (herding / k-center greedy): pick the point FARTHEST from the
+    * chosen set, k−1 times, starting from the min-id seed. The result
+    * 2-approximates the optimal k-center cover, so the selected rows
+    * are a geometry-preserving training subsample and `dmin` at each
+    * pick is the current COVERAGE RADIUS — the stop-when-small curve.
+    * Distances close in portable IEEE (`cc − 2·graft_dot + xx`, the
+    * ann_brute recipe); ranking/argmax runs ON doubles but only
+    * `floor(dmin·10⁶)` integers are EMITTED (the r7 never-emit-floats
+    * rule). Elections are `max(struct(dmin, vec_id))` — deterministic.
+    *
+    * Scale shape: k−1 rounds × (one corpus scan + a one-row argmax
+    * pull); the running dmin column chains lazily (each round
+    * references it once — the pageRank linear-lineage rule), and the
+    * elected center vector is a single-row bounded collect per round.
+    */
+  def kCenterCoreset(corpus: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 2)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("xx", expr("graft_dot(embedding, embedding)"))
+      .localCheckpoint()              // scanned k times, computed once
+    // bounded: one seed row (deterministic min-id start)
+    val seedRow = emb.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("embedding")).collect().head
+    def centerLit(v: Array[Double]): String =
+      v.map(d => s"CAST('$d' AS DOUBLE)").mkString("array(", ", ", ")")
+    def d2(cen: Array[Double]): Column = {
+      var cc = 0.0
+      var i = 0
+      while (i < cen.length) { cc += cen(i) * cen(i); i += 1 }
+      lit(cc) - lit(2.0) * expr(s"graft_dot(embedding, ${centerLit(cen)})") +
+        col("xx")
+    }
+    def vecOf(row: org.apache.spark.sql.Row): Array[Double] =
+      row.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble).toArray
+    var picked = List((1L, seedRow.getAs[Long]("vec_id"),
+      Option.empty[Long]))
+    var cen = vecOf(seedRow)
+    var dmin = emb.withColumn("dmin", d2(cen))
+    for (r <- 2 to k) {
+      // bounded: one-row argmax election
+      val m = dmin.agg(max(struct(col("dmin"), col("vec_id"))).as("m"))
+        .select(col("m.dmin").as("dmin"), col("m.vec_id").as("vec_id"))
+        .collect().head
+      val id = m.getAs[Long]("vec_id")
+      picked ::= ((r.toLong, id,
+        Some(math.floor(m.getAs[Double]("dmin") * 1e6).toLong)))
+      // bounded: the elected center's single row
+      cen = vecOf(emb.filter(col("vec_id") === id).collect().head)
+      dmin = dmin.withColumn("dmin", least(col("dmin"), d2(cen)))
+    }
+    picked.reverse
+      .map { case (r, id, d) => (r, id, d) }
+      .toDF("rank", "vec_id", "dmin_scaled")
+  }
+
   /** Embedding-drift card between two corpus generations — the ML-ops
     * check before swapping an index or re-using yesterday's centroids:
     * per-dimension exact fixed-point means on each side (the

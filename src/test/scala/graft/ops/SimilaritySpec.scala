@@ -245,6 +245,21 @@ class SimilaritySpec extends SparkSpec {
     assert(again == dist)
   }
 
+  test("kCenterCoreset picks farthest points greedily, ties by max id") {
+    import spark.implicits._
+    // 1:(0,0) seeds; 2:(10,0) and 3:(0,10) tie at d2=100 (max id 3
+    // wins round 2); round 3 takes 2 (dmin 100); 4:(1,1) never picked
+    val emb = Seq(
+      (1L, Seq(0f, 0f)), (2L, Seq(10f, 0f)),
+      (3L, Seq(0f, 10f)), (4L, Seq(1f, 1f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kCenterCoreset(emb, k = 3).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("vec_id"),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq == Seq((1L, 1L, None), (2L, 3L, Some(100000000L)),
+      (3L, 2L, Some(100000000L))))
+  }
+
   test("embeddingDrift: exact per-dim L1 drift and worst dimension") {
     import spark.implicits._
     // old (vec 0): [1.0, 2.0]; new (vec 1): [1.5, 2.0] ->
