@@ -1172,6 +1172,12 @@ object SparkEntry {
     "text_ngrams" -> ((s, dir) =>
       TextAnalysis.ngramFreq(rd(s, dir, "documents"))
         .orderBy(desc("doc_freq"), asc("ngram"))),
+    // --- n-gram novelty: share of the odd-id side's distinct bigrams
+    // unseen on the even-id side — the memorization complement of the
+    // contamination check
+    "text_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(rd(s, dir, "documents"),
+        col("doc_id") % 2 === 0)),
     "text_winnow" -> ((s, dir) =>
       TextAnalysis.winnowFingerprints(rd(s, dir, "documents"))
         .orderBy("doc_id", "fp")),
@@ -7926,6 +7932,31 @@ object SparkEntry {
         |FROM r b JOIN r w ON b.source = w.source AND b.rb = 1 AND w.rw = 1
         |WHERE b.score - w.score >= 1 AND b.doc_id <> w.doc_id
         |ORDER BY source""".stripMargin,
+    // novelty twin: the ng CTE's list_distinct bigrams split by parity,
+    // NULL-extended anti join, one-row counts
+    "text_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |), ng AS (
+        |  SELECT doc_id % 2 = 0 AS train, unnest(list_distinct(
+        |    list_transform(generate_series(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1]))) AS g
+        |  FROM toks WHERE len(t) >= 2
+        |), tr AS MATERIALIZED (
+        |  SELECT DISTINCT g FROM ng WHERE train
+        |), te AS MATERIALIZED (
+        |  SELECT DISTINCT g FROM ng WHERE NOT train
+        |), nov AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_novel
+        |  FROM te LEFT JOIN tr ON tr.g = te.g WHERE tr.g IS NULL
+        |)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_train_grams,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM te) AS n_test_grams,
+        |  nov.n_novel,
+        |  1000000 * nov.n_novel
+        |    // (SELECT CAST(count(*) AS BIGINT) FROM te) AS novelty_ppm
+        |FROM nov""".stripMargin,
     "text_ngrams" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents

@@ -212,6 +212,33 @@ object TextAnalysis {
       .orderBy(desc("doc_freq"), asc("ngram"))
       .limit(topK)
 
+  /** n-gram novelty card — the memorization/generalization readout: what
+    * share of the test side's distinct n-grams never appear in train?
+    * High novelty = the eval text is genuinely out-of-corpus; novelty
+    * ~0 = the "held-out" set is paraphrase-level contaminated even when
+    * exact-match decontamination passed (the complement of the
+    * contamination check: that one flags overlaps, this one quantifies
+    * the remaining novelty mass). Grams via the native
+    * `graft_shingles` single pass; one distinct per side, one keyed
+    * anti-join, three one-row counts crossed (whitelisted).
+    */
+  def ngramNovelty(docs: DataFrame, trainSide: Column,
+                   n: Int = 2): DataFrame = {
+    val grams = docs.select(trainSide.as("train"),
+      explode(expr(s"graft_shingles(text, $n)")).as("g"))
+    val train = grams.filter(col("train")).select(col("g")).distinct()
+      .localCheckpoint()               // feeds the count AND the anti-join
+    val test = grams.filter(!col("train")).select(col("g")).distinct()
+      .localCheckpoint()
+    val novel = test.join(train, Seq("g"), "left_anti")
+      .agg(count(lit(1)).as("n_novel"))
+    train.agg(count(lit(1)).as("n_train_grams"))
+      .crossJoin(broadcast(test.agg(count(lit(1)).as("n_test_grams"))))
+      .crossJoin(broadcast(novel))
+      .select(col("n_train_grams"), col("n_test_grams"), col("n_novel"),
+        expr("1000000L * n_novel div n_test_grams").as("novelty_ppm"))
+  }
+
   /** Repetition statistics (Gopher-style quality filter): fraction of all
     * word bigrams taken by the single most-repeated bigram, and the
     * distinct-bigram ratio. Highly repetitive documents (boilerplate,

@@ -67,6 +67,7 @@ class QueryPlanSpec extends SparkSpec {
                            // frame
       "privacy_tcloseness", // 10-row bin ladder densified onto the
                             // class frame + one-row global total
+      "text_novelty", // three one-row gram counts crossed
       "events_rfm",    // one-row corpus-max instant onto |users| rows
       "events_covisit", // one-row session total onto type² pair rows
       "embed_truncation", // one-row total energy onto |dims| rows

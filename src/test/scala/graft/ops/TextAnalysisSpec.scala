@@ -82,6 +82,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).toSeq == rows.map(_.getLong(1)).sorted.reverse.toSeq)
   }
 
+  test("ngramNovelty: unseen test bigrams counted exactly") {
+    import spark.implicits._
+    // train (even id): "a b c" -> {a b, b c}; test (odd id):
+    // "a b x y" -> {a b, b x, x y} -> 2 of 3 novel
+    val df = Seq((0L, "a b c"), (1L, "a b x y")).toDF("doc_id", "text")
+    val r = TextAnalysis.ngramNovelty(df,
+      org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+      .collect().head
+    assert(r.getAs[Long]("n_train_grams") == 2L)
+    assert(r.getAs[Long]("n_test_grams") == 3L)
+    assert(r.getAs[Long]("n_novel") == 2L)
+    assert(r.getAs[Long]("novelty_ppm") == 666666L)
+  }
+
   test("winnowFingerprints: identical docs share all, near docs share some") {
     val trio = Seq(
       (0L, "a b c d e f g h i j k l m n o p"),
