@@ -1713,6 +1713,15 @@ object SparkEntry {
         (col("l_partkey") + 20000000L).as("dst"))
       Graph.louvainOneLevel(ed, rounds = 6).orderBy("id")
     }),
+    // --- Louvain phase 2: coarsen phase-1 communities to super-nodes,
+    // re-run weighted exact-gain moves on the community graph — the
+    // whole-community move the one-level pass can never make, at
+    // community-graph (not node-graph) cost per round
+    "graph_louvain2" -> ((s, dir) => {
+      val ed = rd(s, dir, "lineitem").select(col("l_orderkey").as("src"),
+        (col("l_partkey") + 20000000L).as("dst"))
+      Graph.louvainTwoLevel(ed, rounds1 = 6, rounds2 = 4).orderBy("id")
+    }),
     // --- landmark distance oracle over the order–part graph: exact BFS
     // from 4 md5-bottom landmark parts, min(du+dv) estimates for 32
     // md5-bottom consecutive order pairs; no-common-landmark pairs NULL
@@ -3306,6 +3315,104 @@ object SparkEntry {
        |SELECT id, lbl FROM l$rounds ORDER BY id""".stripMargin
   }
 
+  /** One weighted Louvain round as CTE text — the [[louvainOracleSql]]
+    * template generalized to (a) sum edge weights instead of counting
+    * rows and (b) namespaced CTE/salt names so two levels coexist in
+    * one WITH chain. `lp` prefixes every CTE (labels are `${lp}$r` →
+    * `${lp}${r+1}`); `eCte`/`degCte` name the weighted symmetric edge
+    * frame (src, dst, w) and degree frame (id, k) of the level.
+    */
+  private def louvainRoundSql(lp: String, r: Int, eCte: String,
+                              degCte: String, salt: String): String =
+    s"""${lp}t$r AS (
+       |  SELECT l.lbl AS c, CAST(sum(d.k) AS BIGINT) AS tot
+       |  FROM ${lp}$r l JOIN $degCte d ON l.id = d.id GROUP BY l.lbl
+       |), ${lp}ei$r AS (
+       |  SELECT e.src AS id, l.lbl AS c, CAST(sum(e.w) AS BIGINT) AS eic
+       |  FROM $eCte e JOIN ${lp}$r l ON e.dst = l.id GROUP BY e.src, l.lbl
+       |), ${lp}cd$r AS (
+       |  SELECT id, c, CAST(max(eic) AS BIGINT) AS eic FROM (
+       |    SELECT id, c, eic FROM ${lp}ei$r
+       |    UNION ALL SELECT id, lbl AS c, 0 AS eic FROM ${lp}$r
+       |  ) GROUP BY id, c
+       |), ${lp}sc$r AS (
+       |  SELECT cd.id, cd.c,
+       |    mm.m2 * cd.eic - d.k *
+       |      (t.tot - CASE WHEN cd.c = o.lbl THEN d.k ELSE 0 END) AS s,
+       |    CASE WHEN cd.c = o.lbl THEN 0 ELSE 1 END AS stay
+       |  FROM ${lp}cd$r cd
+       |  JOIN ${lp}$r o ON cd.id = o.id
+       |  JOIN $degCte d ON cd.id = d.id
+       |  JOIN ${lp}t$r t ON cd.c = t.c
+       |  CROSS JOIN mm
+       |), ${lp}b$r AS (
+       |  SELECT id, c FROM (
+       |    SELECT id, c, row_number() OVER (PARTITION BY id
+       |      ORDER BY s DESC, stay, c) AS rn
+       |    FROM ${lp}sc$r) z
+       |  WHERE rn = 1
+       |), ${lp}p$r AS (
+       |  SELECT id, md5('$salt$r:' || CAST(id AS VARCHAR)) AS p
+       |  FROM $degCte
+       |), ${lp}nm$r AS (
+       |  SELECT e.src AS id, max(pd.p) AS pmax
+       |  FROM $eCte e JOIN ${lp}p$r pd ON e.dst = pd.id GROUP BY e.src
+       |), ${lp}mv$r AS (
+       |  SELECT p.id FROM ${lp}p$r p JOIN ${lp}nm$r n ON p.id = n.id
+       |  WHERE p.p > n.pmax
+       |), ${lp}${r + 1} AS MATERIALIZED (
+       |  SELECT l.id,
+       |    CASE WHEN m.id IS NOT NULL THEN coalesce(b.c, l.lbl)
+       |         ELSE l.lbl END AS lbl
+       |  FROM ${lp}$r l
+       |  LEFT JOIN ${lp}b$r b ON l.id = b.id
+       |  LEFT JOIN ${lp}mv$r m ON l.id = m.id
+       |)""".stripMargin
+
+  /** Two-level Louvain twin: phase-1 rounds on the unit-weight
+    * order-part graph, community coarsening (inter-community summed
+    * weights; intra mass into deg2 only — it cancels in every ΔQ),
+    * phase-2 weighted rounds, labels composed through the phase-1
+    * community. Mirrors [[graft.ops.Graph.louvainTwoLevel]] exactly.
+    */
+  private def louvainTwoLevelOracleSql(rounds1: Int, rounds2: Int): String = {
+    val p1 = (0 until rounds1)
+      .map(r => louvainRoundSql("l", r, "e", "deg", "lv")).mkString(",\n")
+    val p2 = (0 until rounds2)
+      .map(r => louvainRoundSql("g", r, "e2", "deg2", "lw")).mkString(",\n")
+    s"""WITH und AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS lo, l_partkey + 20000000 AS hi
+       |  FROM lineitem
+       |), e AS MATERIALIZED (
+       |  SELECT lo AS src, hi AS dst, CAST(1 AS BIGINT) AS w FROM und
+       |  UNION ALL SELECT hi, lo, CAST(1 AS BIGINT) FROM und
+       |), deg AS MATERIALIZED (
+       |  SELECT src AS id, CAST(sum(w) AS BIGINT) AS k FROM e GROUP BY src
+       |), mm AS (SELECT 2 * CAST(count(*) AS BIGINT) AS m2 FROM und),
+       |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM deg),
+       |$p1,
+       |ce AS MATERIALIZED (
+       |  SELECT least(a.lbl, b.lbl) AS lo, greatest(a.lbl, b.lbl) AS hi,
+       |    CAST(count(*) AS BIGINT) AS w
+       |  FROM und u
+       |  JOIN l$rounds1 a ON u.lo = a.id
+       |  JOIN l$rounds1 b ON u.hi = b.id
+       |  WHERE a.lbl <> b.lbl
+       |  GROUP BY 1, 2
+       |), e2 AS MATERIALIZED (
+       |  SELECT lo AS src, hi AS dst, w FROM ce
+       |  UNION ALL SELECT hi, lo, w FROM ce
+       |), deg2 AS MATERIALIZED (
+       |  SELECT l.lbl AS id, CAST(sum(d.k) AS BIGINT) AS k
+       |  FROM l$rounds1 l JOIN deg d ON l.id = d.id GROUP BY l.lbl
+       |),
+       |g0 AS MATERIALIZED (SELECT id, id AS lbl FROM deg2),
+       |$p2
+       |SELECT l.id, g.lbl
+       |FROM l$rounds1 l JOIN g$rounds2 g ON l.lbl = g.id
+       |ORDER BY l.id""".stripMargin
+  }
+
   /** HyperANF twin: rebuild the md5 HLL registers per node, propagate
     * them along the mirrored order-part edges for `maxHops` max-merge
     * rounds (MATERIALIZED — each round references the previous twice),
@@ -3635,7 +3742,7 @@ object SparkEntry {
          |)""".stripMargin
     }.mkString(",\n")
     val finals = (2 to k).map { r =>
-      s"""SELECT $r AS "rank", vec_id,
+      s"""SELECT CAST($r AS BIGINT) AS "rank", vec_id,
          |  CAST(floor(dmin * 1000000) AS BIGINT) AS dmin_scaled
          |  FROM p$r""".stripMargin
     }.mkString("\n  UNION ALL ")
@@ -3653,7 +3760,8 @@ object SparkEntry {
        |),
        |$rounds
        |SELECT "rank", vec_id, dmin_scaled FROM (
-       |  SELECT 1 AS "rank", vec_id, CAST(NULL AS BIGINT) AS dmin_scaled
+       |  SELECT CAST(1 AS BIGINT) AS "rank", vec_id,
+       |    CAST(NULL AS BIGINT) AS dmin_scaled
        |  FROM c1
        |  UNION ALL $finals)
        |ORDER BY "rank"""".stripMargin
@@ -6697,7 +6805,8 @@ object SparkEntry {
     // (new latest snapshot over two older dbs, alias on the middle one →
     // switch + drop the oldest)
     "load_e2e" ->
-      """SELECT 1 AS step, 'nodes' AS stage, 'acme-20240301' AS detail,
+      """SELECT CAST(1 AS BIGINT) AS step, 'nodes' AS stage,
+        |  'acme-20240301' AS detail,
         |  (SELECT count(*) FROM customer) AS n
         |UNION ALL SELECT 2, 'relationships', 'acme-20240301',
         |  (SELECT count(*) FROM orders)
@@ -7397,6 +7506,7 @@ object SparkEntry {
         |FROM c ORDER BY decile""".stripMargin,
     "graph_coreness" -> corenessOracleSql(rounds = 6),
     "graph_louvain" -> louvainOracleSql(rounds = 6),
+    "graph_louvain2" -> louvainTwoLevelOracleSql(rounds1 = 6, rounds2 = 4),
     "linkage_em" -> emLinkageOracleSql(rounds = 2,
       feats = Seq("f_bal_exact", "f_nation", "f_seg", "f_band")),
     "graph_mst" -> boruvkaOracleSql(rounds = 3, mergeCap = 6),
@@ -8493,8 +8603,8 @@ object SparkEntry {
         |SELECT ob.n_a, ob.conv_a, ob.n_b, ob.conv_b, ob.t_obs,
         |  CAST(sum(CASE WHEN abs(pw.t_r) >= abs(ob.t_obs)
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
-        |  1000000 * (sum(CASE WHEN abs(pw.t_r) >= abs(ob.t_obs)
-        |    THEN 1 ELSE 0 END) + 1) // 201 AS p_ppm
+        |  CAST(1000000 * (sum(CASE WHEN abs(pw.t_r) >= abs(ob.t_obs)
+        |    THEN 1 ELSE 0 END) + 1) // 201 AS BIGINT) AS p_ppm
         |FROM pw, ob
         |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
     // Welch twin: identical cent moments (HUGEINT sums == the Spark
@@ -11283,7 +11393,8 @@ object SparkEntry {
         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
         |    CAST(sum(n) OVER () AS BIGINT) AS n_total
         |  FROM b
-        |), q AS (SELECT unnest([500000, 900000, 990000]) AS q_ppm)
+        |), q AS (SELECT CAST(unnest([500000, 900000, 990000]) AS BIGINT)
+        |  AS q_ppm)
         |SELECT q.q_ppm, CAST(min(w.bucket) AS BIGINT) AS bucket,
         |  CASE WHEN min(w.bucket) >= 2
         |    THEN 3 * (CAST(1 AS BIGINT) << (min(w.bucket) - 2))
@@ -11758,8 +11869,8 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS n_users_eval,
         |  CAST(sum(CASE WHEN rank IS NOT NULL THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_hits,
-        |  1000000 * sum(CASE WHEN rank IS NOT NULL THEN 1 ELSE 0 END)
-        |    // count(*) AS hit_ppm,
+        |  CAST(1000000 * sum(CASE WHEN rank IS NOT NULL THEN 1 ELSE 0 END)
+        |    // count(*) AS BIGINT) AS hit_ppm,
         |  CAST(sum(CASE WHEN rank IS NOT NULL THEN 1000000 // rank
         |    ELSE 0 END) AS BIGINT) // count(*) AS mrr_ppm
         |FROM hits""".stripMargin,

@@ -879,7 +879,7 @@ object Events {
     * its extreme |S_t| marks the split with maximal evidence. The
     * argmax is the partial-aggregable deterministic
     * `min(struct(−|S|, day))` (largest deviation, earliest day on
-    * ties — the CLAUDE most-frequent recipe).
+    * ties — the build-notes most-frequent recipe).
     *
     * Scale shape: partial-agg to (type, day) cells, a per-type prefix
     * window over those bounded cells, one per-type rollup.

@@ -1363,10 +1363,27 @@ object Graph {
       .localCheckpoint(true)
     val e = und.select(col("lo").as("src"), col("hi").as("dst"))
       .union(und.select(col("hi").as("src"), col("lo").as("dst")))
+      .withColumn("w", lit(1L))
       .localCheckpoint(true)
-    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("k"))
+    val deg = e.groupBy(col("src").as("id")).agg(sum(col("w")).as("k"))
       .localCheckpoint(true)
     val m2 = 2L * und.count() // bounded: one scalar, 2m
+    louvainRounds(e, deg, m2, rounds, "lv")
+  }
+
+  /** Weighted Louvain local-move rounds — the shared core of
+    * [[louvainOneLevel]] (unit weights) and [[louvainTwoLevel]]'s
+    * coarsened phase. `e` is a SYMMETRIC weighted edge frame
+    * (src, dst, w) with NO self-loops (a self-loop moves with its node
+    * and cancels in every ΔQ comparison, so it belongs in `deg` mass
+    * only); `deg` is the per-node incident weight INCLUDING any
+    * self-loop mass; `m2` = 2·(total undirected edge weight). Gains,
+    * scheduling, and determinism are exactly the one-level contract —
+    * `saltPrefix` keeps the per-round md5 move schedule distinct
+    * between levels so the unrolled oracle replays each level verbatim.
+    */
+  private def louvainRounds(e: DataFrame, deg: DataFrame, m2: Long,
+                            rounds: Int, saltPrefix: String): DataFrame = {
     var labels = deg.select(col("id"), col("id").as("lbl"))
       .localCheckpoint(true)
     var r = 0
@@ -1376,7 +1393,7 @@ object Graph {
       val eic = e
         .join(labels.select(col("id").as("dst"), col("lbl").as("c")), "dst")
         .groupBy(col("src").as("id"), col("c"))
-        .agg(count(lit(1)).as("eic"))
+        .agg(sum(col("w")).as("eic"))
       val own = labels.select(col("id"), col("lbl").as("own"))
       // the own community is always a candidate, even with no
       // intra-community edge (e(i, own−i) = 0)
@@ -1397,7 +1414,7 @@ object Graph {
         .select(col("id"), col("c").as("new_lbl"))
       // strict local-max salted priority: adjacent nodes never co-move
       val pri = deg.select(col("id"),
-        md5(concat(lit(s"lv$r:"), col("id").cast("string"))).as("p"))
+        md5(concat(lit(s"$saltPrefix$r:"), col("id").cast("string"))).as("p"))
       val nbrMax = e
         .join(pri.select(col("id").as("dst"), col("p").as("pd")), "dst")
         .groupBy(col("src").as("id")).agg(max(col("pd")).as("pmax"))
@@ -1413,6 +1430,67 @@ object Graph {
       r += 1
     }
     labels
+  }
+
+  /** Two-level Louvain — the phase the one-level pass is named for:
+    * after `rounds1` local-move rounds, COLLAPSE each community into a
+    * super-node (inter-community edge weights summed; intra-community
+    * mass folds into super-node degree, where it cancels in every ΔQ
+    * and so never materializes as a self-loop edge) and run `rounds2`
+    * weighted local-move rounds on the community graph. A super-node
+    * move is exactly "move that whole community at once" in the
+    * original graph, the move the one-level pass can never make — and
+    * every executed move has strictly positive ΔQ (ties keep `own` by
+    * the stay-then-min-c order), so Q(two-level) ≥ Q(one-level) always.
+    *
+    * Scale shape: the coarsened graph is community-sized — |V₂| =
+    * #communities, |E₂| ≤ min(|E|, |V₂|²) — so phase 2 costs a small
+    * fraction of phase 1 (the r12 sf10 louvain ceiling was pure
+    * phase-1 round cost; the coarse rounds ride frames 100–1000×
+    * smaller). Both label frames are localCheckpoint-ed per round; the
+    * compose join is keyed on the phase-1 label.
+    *
+    * Output: (id, lbl) where lbl is the phase-2 community of the
+    * node's phase-1 community — directly comparable to
+    * [[louvainOneLevel]] under [[modularity]].
+    */
+  def louvainTwoLevel(edges: DataFrame, rounds1: Int = 6,
+                      rounds2: Int = 4): DataFrame = {
+    require(rounds1 >= 1 && rounds2 >= 1)
+    val und = edges.select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+      .localCheckpoint(true)
+    val e = und.select(col("lo").as("src"), col("hi").as("dst"))
+      .union(und.select(col("hi").as("src"), col("lo").as("dst")))
+      .withColumn("w", lit(1L))
+      .localCheckpoint(true)
+    val deg = e.groupBy(col("src").as("id")).agg(sum(col("w")).as("k"))
+      .localCheckpoint(true)
+    val m2 = 2L * und.count() // bounded: one scalar, 2m
+    val l1 = louvainRounds(e, deg, m2, rounds1, "lv")
+    // coarsen: label both endpoints, keep inter-community weight as
+    // canonical (lo, hi) super-edges; intra edges vanish into deg2
+    val ce = und
+      .join(l1.select(col("id").as("lo"), col("lbl").as("c1")), "lo")
+      .join(l1.select(col("id").as("hi"), col("lbl").as("c2")), "hi")
+      .filter(col("c1") =!= col("c2"))
+      .select(least(col("c1"), col("c2")).as("lo"),
+        greatest(col("c1"), col("c2")).as("hi"))
+      .groupBy("lo", "hi").agg(count(lit(1)).as("w"))
+    val e2 = ce.select(col("lo").as("src"), col("hi").as("dst"), col("w"))
+      .unionByName(
+        ce.select(col("hi").as("src"), col("lo").as("dst"), col("w")))
+      .localCheckpoint(true)
+    // super-node degree = member degree mass (intra edges included —
+    // that is exactly the self-loop weight the edge frame omits)
+    val deg2 = l1.join(deg, "id")
+      .groupBy(col("lbl").as("id")).agg(sum(col("k")).as("k"))
+      .localCheckpoint(true)
+    val l2 = louvainRounds(e2, deg2, m2, rounds2, "lw")
+    l1.select(col("id"), col("lbl").as("c"))
+      .join(l2.select(col("id").as("c"), col("lbl")), "c")
+      .select(col("id"), col("lbl"))
   }
 
   /** Modularity Q of a community labeling over an undirected graph —

@@ -1177,6 +1177,10 @@ object TextAnalysis {
     val vocab = docs.select(explode(tokensCol(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
     vocab
+      // empty/whitespace-only docs tokenize to [''] whose length-0
+      // token would make sequence(1, 0) infer step -1 and emit
+      // phantom [1, 0] prefix rows — gate the explode
+      .filter(length(col("token")) >= 1)
       .select(col("token"), col("freq"),
         explode(expr(s"sequence(1, least($maxPrefix, length(token)))"))
           .as("l"))

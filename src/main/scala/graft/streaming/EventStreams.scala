@@ -1096,9 +1096,14 @@ object EventStreams {
     * per user per tumbling `windowUs` window, suppress the rest AT THE
     * STREAM, before they cost a shuffle downstream. State per user is
     * TWO longs (current window index + its count) forever — bounded by
-    * |keys|, never stream length; a new window resets the budget.
-    * Within a micro-batch rows fold in (ts, event_id) order, so
-    * replays admit the same events deterministically.
+    * |keys|, never stream length; only a NEWER window resets the
+    * budget. A late event from an OLDER window than the stored one is
+    * dropped outright (its own window's budget already closed with the
+    * state advanced past it) — rewinding would grant the current
+    * window a fresh budget and break the at-most-maxPerWindow
+    * contract across micro-batches. Within a micro-batch rows fold in
+    * (ts, event_id) order, so replays admit the same events
+    * deterministically.
     *
     * Output: the admitted (user_id, event_id, ts) rows. Expects
     * microsecond-long `ts`.
@@ -1120,8 +1125,8 @@ object EventStreams {
           rows.toSeq.sortBy(r => (r._3, r._2)).foreach {
             case (u, id, ts) =>
               val w = ts / windowUs
-              if (w != win) { win = w; used = 0L }
-              if (used < maxPerWindow) {
+              if (w > win) { win = w; used = 0L }
+              if (w == win && used < maxPerWindow) {
                 used += 1L
                 out += ((u, id, ts))
               }

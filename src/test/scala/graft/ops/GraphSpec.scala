@@ -782,6 +782,33 @@ class GraphSpec extends SparkSpec {
       s"louvain Q $qLv != two-triangle optimum $bestQ")
   }
 
+  test("louvainTwoLevel merges communities the one-level pass cannot, Q never drops") {
+    // a 4-cycle of triangles: phase 1 finds the triangles; only a
+    // whole-community move can then test merging adjacent triangles
+    val tri = (c: Long) => Seq((3 * c + 1, 3 * c + 2), (3 * c + 2, 3 * c + 3),
+      (3 * c + 1, 3 * c + 3))
+    val bridges = Seq((3L, 4L), (6L, 7L), (9L, 10L), (12L, 1L))
+    val edges = ((0L to 3L).flatMap(tri) ++ bridges).toDF("src", "dst")
+    val l1 = Graph.louvainOneLevel(edges, rounds = 6)
+    val l2 = Graph.louvainTwoLevel(edges, rounds1 = 6, rounds2 = 4)
+    val q1 = Graph.modularity(edges, l1)
+      .collect()(0).getAs[Double]("modularity")
+    val q2 = Graph.modularity(edges, l2)
+      .collect()(0).getAs[Double]("modularity")
+    assert(q2 >= q1, s"phase 2 dropped Q: $q2 < $q1")
+    // phase-2 labels must be a coarsening of phase 1: every phase-1
+    // community maps to exactly one phase-2 label
+    val m1 = l1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m2 = l2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m2.keySet == m1.keySet)
+    val comp = m1.keySet.groupBy(m1).values
+    assert(comp.forall(ids => ids.map(m2).size == 1),
+      "phase 2 split a phase-1 community")
+    // triangles stay intact through both levels
+    val t0 = Seq(1L, 2L, 3L).map(m2)
+    assert(t0.toSet.size == 1, s"triangle split at level 2: $m2")
+  }
+
   test("pageRank warm-start: resume(2) from a 3-round state == cold(5)") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L))
       .toDF("src", "dst")

@@ -99,6 +99,40 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingRateLimit ignores cross-batch late events from older windows") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sec = 1000000L
+    val mem = MemoryStream[(Long, Long, Long)]
+    val limited = EventStreams.streamingRateLimit(
+      mem.toDF.toDF("user_id", "event_id", "ts"),
+      maxPerWindow = 2, windowUs = 60L * sec)
+    val q = limited.writeStream
+      .format("memory").queryName("ratelimit_late_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 1: user 1 spends the FULL window-1 budget
+      mem.addData((1L, 10L, 70L * sec), (1L, 11L, 71L * sec))
+      q.processAllAvailable()
+      // batch 2: a LATE window-0 straggler arrives out of order. It
+      // must NOT rewind the state to window 0 (which would hand the
+      // following window-1 events a fresh budget — the r12 advice
+      // bug); it is dropped, and window 1 stays spent.
+      mem.addData((1L, 5L, 10L * sec), (1L, 12L, 72L * sec),
+        (1L, 13L, 73L * sec))
+      q.processAllAvailable()
+      // batch 3: window 2 legitimately resets the budget
+      mem.addData((1L, 20L, 130L * sec))
+      q.processAllAvailable()
+      val kept = spark.table("ratelimit_late_test").collect()
+        .map(_.getAs[Long]("_2")).toSet
+      assert(kept == Set(10L, 11L, 20L),
+        s"late straggler must not reopen window-1 budget: $kept")
+    } finally q.stop()
+  }
+
   test("streamingBloomDedup suppresses duplicates forever on constant state") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext

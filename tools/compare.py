@@ -57,7 +57,26 @@ def main(sf_dir, out_dir):
             continue
         bad = None
         for ci, c in enumerate(spark_df.columns):
+            # Strict dtype gate first: the driver's hash is dtype-sensitive
+            # (int64 940298 vs float64 940298.0 hash differently even when
+            # every value compares equal) — r12 shipped two queries local-green
+            # that the driver hash failed on exactly this class.
+            st, dt = str(spark_df[c].dtype), str(duck_df[c].dtype)
+            if st != dt:
+                bad = f"DTYPE MISMATCH col={c}: spark={st} duck={dt}"
+                break
             sv, dv = spark_df[c].tolist(), duck_df[c].tolist()
+            if st == "object":
+                # object columns: cell python types must also agree (Decimal
+                # vs float compares == but stringifies/hashes differently)
+                for ri in range(len(sv)):
+                    a, b = sv[ri], dv[ri]
+                    if a is not None and b is not None and type(a) is not type(b) \
+                       and not (isinstance(a, (list, np.ndarray)) and isinstance(b, (list, np.ndarray))):
+                        bad = f"CELLTYPE MISMATCH col={c} row={ri}: spark={type(a).__name__} duck={type(b).__name__}"
+                        break
+                if bad:
+                    break
             for ri in range(len(sv)):
                 if not cell_eq(sv[ri], dv[ri]):
                     bad = f"VALUE MISMATCH col={c} row={ri}: spark={sv[ri]!r} duck={dv[ri]!r}"
