@@ -2986,7 +2986,69 @@ object SparkEntry {
         ("/tmp/", false), ("/private/share/", true))
         .toDF("prefix", "allow")
       Web.robotsFilter(urls, rules)
-    })
+    }),
+    // --- BPE decode round trip: train 8 merges, decode every vocab
+    // word back from its subwords — encode∘decode == identity audit
+    "text_bpe_decode" -> ((s, dir) =>
+      TextAnalysis.bpeTrainDecode(rd(s, dir, "documents"), 8)
+        .orderBy("word")),
+    // --- deterministic global-shuffle export manifest: md5 total order
+    // cut into 16 contiguous h-ranges; offsets give the batch plan
+    "shard_shuffled" -> ((s, dir) =>
+      graft.sources.Shards.shuffleManifest(rd(s, dir, "documents"),
+        "doc_id", "text", "r13", 16).orderBy("shard")),
+    // --- canonical-doc survivorship: prefix families (perturbed
+    // replicas share 40-char prefixes), richest doc wins, min-id ties
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val clusters = docs
+        .withColumn("fam", md5(substring(col("text"), 1, 40)))
+        .withColumn("cluster_id",
+          min(col("doc_id")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("fam")))
+        .select(col("doc_id"), col("cluster_id"))
+      Dedup.keepBest(docs, clusters, "n_chars")
+        .orderBy("cluster_id", "doc_id")
+    }),
+    // --- Cohen's kappa: chance-corrected agreement of the n-gram
+    // langid heuristic against the dataset lang label (multi-class)
+    "eval_kappa" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val pred = TextAnalysis.langId(docs)
+        .select(col("doc_id"), col("predicted_lang"))
+      Eval.kappaCard(docs.join(pred, "doc_id")
+        .select(col("predicted_lang").as("label_a"),
+          col("lang").as("label_b")))
+    }),
+    // --- McNemar paired test: length-gate vs token-count-gate quality
+    // classifiers judged on their disagreement cells only
+    "eval_mcnemar" -> ((s, dir) =>
+      Eval.mcnemarCard(rd(s, dir, "documents").select(
+        (col("lang") === "en").as("label"),
+        (col("n_chars") >= 300).as("pred_a"),
+        (size(split(trim(col("text")), "\\s+")) >= 50).as("pred_b")))),
+    // --- pairwise total-variation distance between per-source unigram
+    // distributions: the libm-free corpus-divergence card
+    "corpus_tvd" -> ((s, dir) =>
+      TextAnalysis.sourceTvd(rd(s, dir, "documents"))
+        .orderBy("source_a", "source_b")),
+    // --- DAU/MAU stickiness over fixed 28-day periods, exact ppm
+    "events_stickiness" -> ((s, dir) => {
+      val ev = rdEvents(s, dir).select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"))
+      Events.stickiness(ev, 28).orderBy("period")
+    }),
+    // --- bipartite butterfly census over the order–part graph (the
+    // bipartite triangle analogue; wedge fan from the bounded side)
+    "graph_butterflies" -> ((s, dir) =>
+      Graph.butterflyCensus(rd(s, dir, "lineitem")
+        .select(col("l_orderkey").as("src"), col("l_partkey").as("dst")))),
+    // --- frame-sampling plan: stub-decoder frame counts, every-10th
+    // stride, engine-portable frame fingerprints
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.framePlan(
+        Multimodal.asMediaMixed(rd(s, dir, "documents")), 10)
+        .orderBy("media_id", "frame_idx"))
   )
 
   /** Staged mojibake rows shared by the `text_mojibake` query and its
@@ -12496,7 +12558,231 @@ object SparkEntry {
         |FROM orders GROUP BY 1
         |HAVING max(CASE WHEN epoch(o_orderdate) <= 836179200
         |  THEN CAST(epoch(o_orderdate) AS BIGINT) END) IS NOT NULL
-        |ORDER BY customer_id""".stripMargin
+        |ORDER BY customer_id""".stripMargin,
+    // BPE decode twin: the SAME 8 unrolled rounds leave s8 as the
+    // merged vocabulary; concatenating subwords in position order must
+    // reproduce every word (merges only ever concatenate)
+    "text_bpe_decode" ->
+      s"""$bpePrefixSql,
+         |${(0 until 8).map(bpeRoundSql).mkString(",\n")}
+         |SELECT word, CAST(count(*) AS BIGINT) AS n_sub,
+         |  string_agg(sym, '' ORDER BY pos) AS decoded,
+         |  string_agg(sym, '' ORDER BY pos) = word AS roundtrip_ok
+         |FROM s8 GROUP BY word ORDER BY word""".stripMargin,
+    // shuffled-export twin: same md5 total order, 16 equi-width
+    // h-ranges (h // 2^28), running offsets over the 16-row manifest
+    "shard_shuffled" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':r13'),
+        |      1, 8) AS BIGINT) AS h,
+        |    CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS ph
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, h, ph, h // 268435456 AS shard FROM h
+        |), m AS (
+        |  SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+        |    min(h) AS min_h, max(h) AS max_h,
+        |    CAST(sum(ph) AS BIGINT) AS checksum
+        |  FROM s GROUP BY shard
+        |), fk AS (
+        |  SELECT shard, doc_id AS first_key FROM (
+        |    SELECT shard, doc_id, row_number()
+        |      OVER (PARTITION BY shard ORDER BY h, doc_id) AS rn FROM s)
+        |  WHERE rn = 1
+        |)
+        |SELECT m.shard, n_rows,
+        |  CAST(COALESCE(sum(n_rows) OVER (ORDER BY m.shard
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS global_offset,
+        |  min_h, max_h, first_key, checksum
+        |FROM m JOIN fk ON m.shard = fk.shard
+        |ORDER BY m.shard""".stripMargin,
+    // survivorship twin: prefix families, quality-desc/min-id election
+    "dedup_keep_best" ->
+      """WITH cl AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS quality,
+        |    min(doc_id) OVER (PARTITION BY md5(substr(text, 1, 40)))
+        |      AS cluster_id
+        |  FROM documents
+        |)
+        |SELECT cluster_id, doc_id, quality,
+        |  row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY quality DESC, doc_id) = 1 AS keep,
+        |  first_value(doc_id) OVER (PARTITION BY cluster_id
+        |    ORDER BY quality DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS canonical_id
+        |FROM cl ORDER BY cluster_id, doc_id""".stripMargin,
+    // kappa twin: the langid CTE (text_langid oracle) × the dataset
+    // label; po/pe/kappa in exact floored ppm via HUGEINT products
+    "eval_kappa" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(toks, x -> list_contains(['the','and','of','is','to'], x))) AS BIGINT) AS hits_en,
+        |    CAST(len(list_filter(toks, x -> list_contains(['der','und','die','das','ist'], x))) AS BIGINT) AS hits_de,
+        |    CAST(len(list_filter(toks, x -> list_contains(['el','los','que','es','una'], x))) AS BIGINT) AS hits_es,
+        |    CAST(len(list_filter(toks, x -> list_contains(['le','les','des','est','une'], x))) AS BIGINT) AS hits_fr,
+        |    CAST(len(list_filter(toks, x -> list_contains(['de5','shi4','le5','zai4','he2'], x))) AS BIGINT) AS hits_zh
+        |  FROM t
+        |), g AS (
+        |  SELECT *, greatest(hits_en, hits_de, hits_es, hits_fr, hits_zh) AS best FROM h
+        |), pred AS (
+        |  SELECT doc_id,
+        |    CASE WHEN hits_en = best AND best > 0 THEN 'en'
+        |         WHEN hits_de = best AND best > 0 THEN 'de'
+        |         WHEN hits_es = best AND best > 0 THEN 'es'
+        |         WHEN hits_fr = best AND best > 0 THEN 'fr'
+        |         WHEN hits_zh = best AND best > 0 THEN 'zh'
+        |         ELSE 'und' END AS la
+        |  FROM g
+        |), cells AS (
+        |  SELECT p.la, d.lang AS lb, CAST(count(*) AS BIGINT) AS c
+        |  FROM pred p JOIN documents d USING (doc_id) GROUP BY 1, 2
+        |), marg AS (
+        |  SELECT CAST(sum(CAST(r.row_n AS HUGEINT) * c.col_n) AS HUGEINT)
+        |    AS pe_num
+        |  FROM (SELECT la, sum(c) AS row_n FROM cells GROUP BY 1) r
+        |  JOIN (SELECT lb, sum(c) AS col_n FROM cells GROUP BY 1) c
+        |    ON r.la = c.lb
+        |), tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN la = lb THEN c ELSE 0 END) AS BIGINT)
+        |      AS n_agree
+        |  FROM cells
+        |)
+        |SELECT n, n_agree,
+        |  CAST(1000000 * n_agree // n AS BIGINT) AS po_ppm,
+        |  CAST(pe_num * 1000000 // (CAST(n AS HUGEINT) * n) AS BIGINT)
+        |    AS pe_ppm,
+        |  CAST((CAST(n AS HUGEINT) * n_agree - pe_num) * 1000000
+        |    // (CAST(n AS HUGEINT) * n - pe_num) AS BIGINT) AS kappa_ppm
+        |FROM tot, marg""".stripMargin,
+    // McNemar twin: one conditional aggregation over disagreement cells
+    "eval_mcnemar" ->
+      """WITH s AS (
+        |  SELECT (lang = 'en') AS label,
+        |    (n_chars >= 300) AS pred_a,
+        |    (len(string_split_regex(trim(text), '\s+')) >= 50) AS pred_b
+        |  FROM documents
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN pred_a = label THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS a_correct,
+        |  CAST(sum(CASE WHEN pred_b = label THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS b_correct,
+        |  CAST(sum(CASE WHEN pred_a = label AND pred_b <> label
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS b_cell,
+        |  CAST(sum(CASE WHEN pred_a <> label AND pred_b = label
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS c_cell,
+        |  CAST(CASE WHEN sum(CASE WHEN pred_a = label AND pred_b <> label
+        |      THEN 1 ELSE 0 END) + sum(CASE WHEN pred_a <> label
+        |      AND pred_b = label THEN 1 ELSE 0 END) = 0 THEN NULL
+        |    ELSE 1000000 * (sum(CASE WHEN pred_a = label AND pred_b <> label
+        |      THEN 1 ELSE 0 END) - sum(CASE WHEN pred_a <> label
+        |      AND pred_b = label THEN 1 ELSE 0 END))
+        |      * (sum(CASE WHEN pred_a = label AND pred_b <> label
+        |      THEN 1 ELSE 0 END) - sum(CASE WHEN pred_a <> label
+        |      AND pred_b = label THEN 1 ELSE 0 END))
+        |      // (sum(CASE WHEN pred_a = label AND pred_b <> label
+        |      THEN 1 ELSE 0 END) + sum(CASE WHEN pred_a <> label
+        |      AND pred_b = label THEN 1 ELSE 0 END)) END AS BIGINT)
+        |    AS chi2_ppm
+        |FROM s""".stripMargin,
+    // TVD twin: vocab inner join + one-sided tails folded in closed form
+    "corpus_tvd" ->
+      """WITH wc AS (
+        |  SELECT source, tok AS word, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source,
+        |          unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |        FROM documents)
+        |  WHERE length(tok) > 0 GROUP BY 1, 2
+        |), t AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM wc GROUP BY 1
+        |)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_common_words,
+        |  CAST((sum(abs(CAST(a.c AS HUGEINT) * tb.n
+        |          - CAST(b.c AS HUGEINT) * ta.n))
+        |        + (CAST(ta.n AS HUGEINT) - sum(a.c)) * tb.n
+        |        + (CAST(tb.n AS HUGEINT) - sum(b.c)) * ta.n) * 500000
+        |    // (CAST(ta.n AS HUGEINT) * tb.n) AS BIGINT) AS tvd_ppm
+        |FROM wc a JOIN wc b ON a.word = b.word AND a.source < b.source
+        |JOIN t ta ON ta.source = a.source
+        |JOIN t tb ON tb.source = b.source
+        |GROUP BY a.source, b.source, ta.n, tb.n
+        |ORDER BY source_a, source_b""".stripMargin,
+    // stickiness twin: dedupe → per-day distinct → 28-day period rollup
+    "events_stickiness" ->
+      """WITH du AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT)
+        |      AS day
+        |  FROM events
+        |), p AS (
+        |  SELECT user_id, day, day // 28 AS period FROM du
+        |), daily AS (
+        |  SELECT period, CAST(count(DISTINCT day) AS BIGINT)
+        |      AS active_days,
+        |    CAST(count(*) AS BIGINT) AS dau_sum
+        |  FROM p GROUP BY 1
+        |), mau AS (
+        |  SELECT period, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        |  FROM p GROUP BY 1
+        |)
+        |SELECT period, active_days, mau, dau_sum,
+        |  CAST(1000000 * dau_sum // (active_days * mau) AS BIGINT)
+        |    AS stickiness_ppm
+        |FROM daily JOIN mau USING (period) ORDER BY period""".stripMargin,
+    // butterfly twin: left-keyed wedge join, C(c,2) per right pair
+    "graph_butterflies" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_orderkey AS l, l_partkey AS r FROM lineitem
+        |), p AS (
+        |  SELECT x.r AS r1, y.r AS r2, CAST(count(*) AS BIGINT) AS c
+        |  FROM e x JOIN e y ON x.l = y.l AND x.r < y.r GROUP BY 1, 2
+        |), cen AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n_wedges,
+        |    CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_cosupported_pairs,
+        |    CAST(sum(CAST(c AS HUGEINT) * (c - 1) // 2) AS BIGINT)
+        |      AS n_butterflies
+        |  FROM p
+        |), sz AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |    CAST(count(DISTINCT l) AS BIGINT) AS n_left,
+        |    CAST(count(DISTINCT r) AS BIGINT) AS n_right
+        |  FROM e
+        |)
+        |SELECT n_edges, n_left, n_right, n_wedges, n_cosupported_pairs,
+        |  n_butterflies,
+        |  CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(CAST(n_butterflies AS HUGEINT) * 4000000
+        |      // n_wedges AS BIGINT) END AS coherence_ppm
+        |FROM sz, cen""".stripMargin,
+    // frame-plan twin: stub frame counts, every-10th stride via range()
+    "multimodal_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'video/mp4'
+        |      ELSE 'image/png' END AS mime,
+        |    text
+        |  FROM documents
+        |), f AS (
+        |  SELECT media_id, mime, text,
+        |    CAST(CASE WHEN mime = 'video/mp4'
+        |      THEN 1 + octet_length(encode(text)) % 30
+        |      ELSE 1 END AS BIGINT) AS n_frames
+        |  FROM m
+        |)
+        |SELECT media_id, mime, n_frames,
+        |  CAST(u.idx AS BIGINT) AS frame_idx,
+        |  md5(CAST(media_id AS VARCHAR) || ':' || CAST(u.idx AS VARCHAR)
+        |    || ':' || md5(text)) AS frame_hash
+        |FROM f, UNNEST(range(0, CAST(n_frames AS INTEGER), 10)) AS u(idx)
+        |ORDER BY media_id, frame_idx""".stripMargin
   )
 
   /** Unrolled-CTE twin of [[graft.ops.Graph.betweenness]] at maxHops=3:

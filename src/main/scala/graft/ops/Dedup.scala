@@ -1253,4 +1253,38 @@ object Dedup {
         col("f1_ppm"), col("is_best"))
       .orderBy("thr_e2")
   }
+
+  /** Canonical-document election (survivorship) over duplicate
+    * clusters: after ANY clustering step ([[resolveClusters]],
+    * [[resolveClustersStar]], or an exact-hash family), exactly one
+    * member per cluster survives — the highest-`quality` document, ties
+    * broken by minimum doc_id (fully deterministic, so a re-run keeps
+    * the SAME canonical copies and downstream incremental exports never
+    * churn). This is the "which copy do we keep" half that cluster
+    * resolution alone leaves open; [[duplicationWeights]] is the
+    * soft-dedup alternative when dropping is too blunt.
+    *
+    * Input: `docs` with (doc_id, `qualityCol`), `clusters` with
+    * (doc_id, cluster_id). Output: one row per CLUSTERED doc —
+    * (cluster_id, doc_id, quality, keep, canonical_id).
+    *
+    * Scale shape: one hash join on doc_id, then a single
+    * cluster-partitioned window (one shuffle on cluster_id) — the
+    * election never materializes pairs and runs at |clustered docs|,
+    * not corpus size.
+    */
+  def keepBest(docs: DataFrame, clusters: DataFrame,
+               qualityCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    docs.select(col("doc_id"), col(qualityCol).cast("long").as("quality"))
+      .join(clusters.select(col("doc_id"), col("cluster_id")), "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .withColumn("canonical_id",
+        first(col("doc_id")).over(w.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("cluster_id"), col("doc_id"), col("quality"),
+        col("keep"), col("canonical_id"))
+  }
 }

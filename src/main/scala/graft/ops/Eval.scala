@@ -548,4 +548,66 @@ object Eval {
         expr("CAST(res_num div n AS BIGINT)").as("res_ppm2"),
         expr("base_rate_ppm * (1000000 - base_rate_ppm)").as("unc_ppm2"))
   }
+
+  /** Cohen's kappa — chance-corrected agreement between two categorical
+    * labelings (a heuristic classifier vs the dataset label, or two
+    * annotators in a labeling pipeline). Multi-class, exact:
+    * κ = (n·Σdiag − Σₖ rowₖ·colₖ) / (n² − Σₖ rowₖ·colₖ), emitted as a
+    * floored ppm alongside the raw observed/expected agreement — raw
+    * accuracy (`eval_confusion` / `text_langid_eval`) overstates
+    * agreement whenever one class dominates; kappa is the release-gate
+    * number.
+    *
+    * Scale shape: ONE partial-aggregated groupBy compresses the corpus
+    * to its (a, b) label-pair cells; the marginal products run over
+    * that bounded frame (|classes|² rows). DECIMAL(38,0) before every
+    * product — n² overflows BIGINT past ~3e9 rows.
+    */
+  def kappaCard(df: DataFrame, aCol: String = "label_a",
+                bCol: String = "label_b"): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("la"), col(bCol).as("lb"))
+      .agg(count(lit(1)).as("c"))
+    val rows = cells.groupBy(col("la")).agg(sum(col("c")).as("row_n"))
+    val cols = cells.groupBy(col("lb")).agg(sum(col("c")).as("col_n"))
+    val chance = rows.join(cols, col("la") === col("lb"))
+      .agg(sum(expr("CAST(row_n AS DECIMAL(38,0)) * col_n")).as("pe_num"))
+    cells
+      .agg(sum(col("c")).as("n"),
+        sum(when(col("la") === col("lb"), col("c")).otherwise(0L))
+          .as("n_agree"))
+      .crossJoin(broadcast(chance)) // one row × one row
+      .select(col("n"), col("n_agree"),
+        expr("1000000L * n_agree div n").as("po_ppm"),
+        expr("""CAST(pe_num * 1000000 div (CAST(n AS DECIMAL(38,0)) * n)
+                AS BIGINT)""").as("pe_ppm"),
+        expr("""CAST((CAST(n AS DECIMAL(38,0)) * n_agree - pe_num) * 1000000
+                div (CAST(n AS DECIMAL(38,0)) * n - pe_num)
+                AS BIGINT)""").as("kappa_ppm"))
+  }
+
+  /** McNemar paired-classifier comparison: are model A and model B
+    * DIFFERENT, judged only on the rows where they disagree? b = A
+    * right & B wrong, c = A wrong & B right; the continuity-free
+    * statistic (b−c)²/(b+c) in exact ppm (χ²₁ > 3.84 ⇔ ppm >
+    * 3_840_000). The A/B test for swapping a quality filter: marginal
+    * accuracies can tie while one model dominates the disagreement
+    * cells. ONE conditional aggregation; b+c = 0 surfaces NULL, never a
+    * throw.
+    */
+  def mcnemarCard(df: DataFrame, labelCol: String = "label",
+                  predAcol: String = "pred_a",
+                  predBcol: String = "pred_b"): DataFrame = {
+    val aOk = col(predAcol) === col(labelCol)
+    val bOk = col(predBcol) === col(labelCol)
+    df.agg(
+        count(lit(1)).as("n"),
+        sum(when(aOk, 1L).otherwise(0L)).as("a_correct"),
+        sum(when(bOk, 1L).otherwise(0L)).as("b_correct"),
+        sum(when(aOk && !bOk, 1L).otherwise(0L)).as("b_cell"),
+        sum(when(!aOk && bOk, 1L).otherwise(0L)).as("c_cell"))
+      .withColumn("chi2_ppm", expr(
+        """CASE WHEN b_cell + c_cell = 0 THEN NULL
+           ELSE 1000000L * (b_cell - c_cell) * (b_cell - c_cell)
+                div (b_cell + c_cell) END"""))
+  }
 }

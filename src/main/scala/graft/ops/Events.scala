@@ -531,6 +531,37 @@ object Events {
       .select(col("day_w").as("day"), col("active_users"))
   }
 
+  /** DAU/MAU stickiness — the product-analytics engagement ratio, over
+    * fixed `periodDays` windows (28-day periods, the calendar-free
+    * industry convention): per period, MAU = distinct users in the
+    * period, ΣDAU = sum of per-day distinct users, and stickiness =
+    * avgDAU/MAU = ΣDAU/(active_days·MAU) in exact ppm. A user active
+    * every day scores 10⁶; a drive-by scores 10⁶/active_days.
+    *
+    * Scale shape: dedupe to (user, day) once (partial-aggregated), then
+    * two count-distinct rollups keyed on the period — per-day distincts
+    * partial-aggregate because the (user, day) frame is already
+    * distinct, and MAU is a period-keyed distinct over the same deduped
+    * frame. No window over raw events anywhere. Expects `(user_id,
+    * day)` with integer days.
+    */
+  def stickiness(events: DataFrame, periodDays: Int = 28): DataFrame = {
+    require(periodDays >= 1)
+    val du = events.select(col("user_id"), col("day")).distinct()
+      .withColumn("period", expr(s"day div $periodDays"))
+    val daily = du.groupBy(col("period"), col("day"))
+      .agg(count(lit(1)).as("dau"))
+      .groupBy(col("period"))
+      .agg(count(lit(1)).as("active_days"), sum(col("dau")).as("dau_sum"))
+    val mau = du.groupBy(col("period"))
+      .agg(countDistinct(col("user_id")).as("mau"))
+    daily.join(mau, "period")
+      .withColumn("stickiness_ppm",
+        expr("1000000L * dau_sum div (active_days * mau)"))
+      .select(col("period"), col("active_days"), col("mau"),
+        col("dau_sum"), col("stickiness_ppm"))
+  }
+
   /** Gaps-and-islands: collapse each user's consecutive same-type events
     * into runs — (user, run) rows carrying the type, first/last
     * timestamps, and length. The classic two-window idiom: a lag-change

@@ -823,6 +823,48 @@ object Graph {
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Bipartite butterfly (2×2 biclique / 4-cycle) census — the bipartite
+    * graph's analogue of the triangle count, THE cohesion statistic for
+    * user–item / order–part interaction graphs (triangles are
+    * structurally impossible there). A butterfly is two left nodes
+    * sharing two right nodes; counting goes through wedges: for every
+    * right-node pair with co-support c (shared left neighbors),
+    * butterflies += C(c, 2). Emits a one-row census card: edges, left/
+    * right node counts, wedges, co-supported pairs, butterflies, and
+    * the per-edge bipartite clustering signal (4·butterflies per wedge,
+    * ppm).
+    *
+    * Scale shape: edges are deduped once; wedge generation self-joins
+    * on the LEFT key, so its fan-out is Σ C(deg_left, 2) — callers put
+    * the BOUNDED-degree side on the left (orders hold ≤ 7 lineitems;
+    * user sessions are capped), exactly how production butterfly
+    * counters (ParButterfly) pick the low-degree side. The co-support
+    * aggregation is one partial-aggregated groupBy on right-pair keys;
+    * C(c,2) folds per pair before the final one-row rollup, so nothing
+    * corpus-sized ever sits in one reducer.
+    */
+  def butterflyCensus(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").as("l"), col("dst").as("r"))
+      .distinct().localCheckpoint(true) // feeds three branches below
+    val pairs = e.as("x").join(e.as("y"), col("x.l") === col("y.l") &&
+        col("x.r") < col("y.r"))
+      .groupBy(col("x.r").as("r1"), col("y.r").as("r2"))
+      .agg(count(lit(1)).as("c"))
+    val census = pairs.agg(
+      sum(col("c")).as("n_wedges"),
+      sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_cosupported_pairs"),
+      sum(expr("CAST(c AS DECIMAL(38,0)) * (c - 1) div 2"))
+        .cast("long").as("n_butterflies"))
+    val sizes = e.agg(count(lit(1)).as("n_edges"),
+      countDistinct(col("l")).as("n_left"),
+      countDistinct(col("r")).as("n_right"))
+    sizes.crossJoin(broadcast(census)) // one row × one row
+      .withColumn("coherence_ppm", expr(
+        """CASE WHEN n_wedges = 0 THEN 0L
+           ELSE CAST(CAST(n_butterflies AS DECIMAL(38,0)) * 4000000
+                div n_wedges AS BIGINT) END"""))
+  }
+
   /** k-truss peel: iteratively remove edges supported by fewer than
     * `k-2` triangles in the CURRENT graph. Removal is monotone-sound —
     * support only falls as edges leave, so a dropped edge is provably

@@ -186,4 +186,45 @@ object Multimodal {
       col("mime"),
       length(col("payload")).cast("long").as("n_bytes"),
       md5(col("payload")).as("checksum"))
+
+  /** Mixed-mime wrapper: every third document poses as a (multi-frame)
+    * video payload, the rest as stills — the fixture shape for the
+    * frame-sampling path.
+    */
+  def asMediaMixed(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, lit("video/mp4"))
+        .otherwise(lit("image/png")).as("mime"),
+      encode(col("text"), "utf-8").as("payload"))
+
+  /** Frame-sampling PLAN as pure column expressions — the
+    * oracle-checkable twin of [[sampleFrames]]: the same frame count
+    * the [[StubDecoder]] derives (videos carry `1 + n_bytes % 30`
+    * frames, stills one), the same every-`everyNth` stride, one row per
+    * sampled frame with an engine-portable frame fingerprint
+    * (md5 over media_id : frame_idx : payload-md5 — a real pipeline
+    * swaps the fingerprint for decoded-frame features; the row shape,
+    * stride, and partitioning are what downstream batch-embedding
+    * consumes either way).
+    *
+    * Scale shape: one narrow projection plus a bounded explode (≤ 30/
+    * everyNth rows per video, 1 per still) — no shuffle at all; the
+    * downstream embedding batcher repartitions as it likes.
+    */
+  def framePlan(media: DataFrame, everyNth: Int = 10): DataFrame = {
+    require(everyNth >= 1)
+    media
+      .withColumn("n_frames",
+        when(col("mime").startsWith("video/"),
+          lit(1L) + expr("octet_length(payload) % 30"))
+          .otherwise(lit(1L)).cast("long"))
+      .withColumn("frame_idx",
+        explode(expr(s"sequence(0L, n_frames - 1, ${everyNth}L)")))
+      .select(col("media_id"), col("mime"), col("n_frames"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        md5(concat(col("media_id").cast("string"), lit(":"),
+          col("frame_idx").cast("string"), lit(":"),
+          md5(col("payload")))).as("frame_hash"))
+  }
 }

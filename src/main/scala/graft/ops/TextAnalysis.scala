@@ -1074,6 +1074,79 @@ object TextAnalysis {
     bpeEncodeVocabJoin(toks, state)
   }
 
+  /** Train-then-DECODE round trip: run the same `merges` training rounds
+    * as [[bpeTrainEncode]], then decode every vocabulary word by
+    * concatenating its subwords back in position order — the
+    * encode∘decode == identity audit a tokenizer release gate runs.
+    * BPE merges only ever CONCATENATE adjacent symbols, so the decode is
+    * lossless by construction; `roundtrip_ok` makes the identity a
+    * checkable column (and the oracle re-derives it independently).
+    *
+    * Output per distinct corpus word: `(word, n_sub, decoded,
+    * roundtrip_ok)`. Scale shape: identical to training (vocabulary-
+    * sized state, never corpus-sized); the decode itself is one
+    * vocab-keyed aggregation.
+    */
+  def bpeTrainDecode(docs: DataFrame, merges: Int = 10): DataFrame = {
+    val (_, state) = bpeTrainLoop(docs, merges)
+    state.groupBy(col("word"))
+      .agg(count(lit(1)).as("n_sub"),
+        array_join(expr(
+          "transform(sort_array(collect_list(struct(pos, sym))), x -> x.sym)"),
+          "").as("decoded"))
+      .withColumn("roundtrip_ok", col("decoded") === col("word"))
+  }
+
+  /** Pairwise total-variation distance between per-source unigram
+    * distributions — the exact, libm-free corpus-divergence card
+    * (KL/JSD need logs, which are not engine-portable; TVD = ½·Σ|p−q|
+    * is pure count algebra and bounds every f-divergence-derived
+    * decision the mixture planner makes). For each source pair (a, b):
+    * tvd = ½(Σ_common |p_w − q_w| + mass_a_only + mass_b_only), and the
+    * one-sided tails fold in WITHOUT a full-outer join:
+    * Σ_a-only p_w = 1 − Σ_common p_w — so an INNER vocab join suffices.
+    * (Corollary: a pair sharing ZERO words emits no row — its TVD is
+    * trivially 1; callers wanting those rows cross-join the source list
+    * and coalesce.)
+    *
+    * Scale shape: the corpus collapses to (source, word) counts in one
+    * partial-aggregated groupBy (vocabulary-sized, never corpus-sized);
+    * the pair frame is a vocab self-join on word (source count is
+    * small, so fanout per word is |sources|²/2) and one groupBy to
+    * |source pairs| rows. All numerators are exact integers —
+    * DECIMAL(38,0) before the cross-products (cnt·N nears 10³⁸ only
+    * past yottascale).
+    */
+  def sourceTvd(docs: DataFrame): DataFrame = {
+    val wc = docs
+      .select(col("source"), explode(tokensCol(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    val totals = wc.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val a = wc.as("a").join(broadcast(totals.as("ta")),
+      col("a.source") === col("ta.source"))
+    val b = wc.as("b").join(broadcast(totals.as("tb")),
+      col("b.source") === col("tb.source"))
+    a.join(b, col("a.word") === col("b.word") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(
+        max(col("ta.n")).as("n_a"), max(col("tb.n")).as("n_b"),
+        sum(expr("abs(CAST(a.c AS DECIMAL(38,0)) * tb.n" +
+          " - CAST(b.c AS DECIMAL(38,0)) * ta.n)")).as("diff_common"),
+        sum(col("a.c")).as("common_a"), sum(col("b.c")).as("common_b"),
+        count(lit(1)).as("n_common_words"))
+      .withColumn("tvd_ppm", expr(
+        """CAST((diff_common
+                 + (CAST(n_a AS DECIMAL(38,0)) - common_a) * n_b
+                 + (CAST(n_b AS DECIMAL(38,0)) - common_b) * n_a) * 500000
+                div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"""))
+      .select(col("source_a"), col("source_b"), col("n_common_words"),
+        col("tvd_ppm"))
+  }
+
   /** Domain-affinity scoring against a trained [[bigramLm]]: the mean
     * in-model bigram probability of each document — the `ln`-free
     * selection signal for "keep documents that look like the target

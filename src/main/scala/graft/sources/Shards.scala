@@ -187,6 +187,80 @@ object Shards {
     m
   }
 
+  /** Deterministic GLOBAL-SHUFFLE shard assignment: a content-stable
+    * pseudorandom total order `h = int(md5(key || salt)[0:8 hex])`
+    * (uniform in [0, 2^32)), cut into `n` equi-width h-ranges
+    * (`shard = h div (2^32 / n)`). Because h is uniform, equi-width
+    * cuts are balanced without a quantile sketch, and because the cuts
+    * are CONTIGUOUS in h, reading shard directories in shard order —
+    * each sorted by (h, key) — replays one fixed global permutation of
+    * the corpus: the reproducible "shuffled once, stream in order"
+    * layout pretraining runs need (re-exports with the same salt yield
+    * byte-identical batch order; changing the salt is a fresh shuffle).
+    * Hash/range sharding ([[assign]]/[[rangeShardCol]]) can't give this:
+    * hash order is not a permutation a reader can stream, and range
+    * order preserves the ORIGINAL key order — correlated, not shuffled.
+    */
+  def shuffleHashCol(keyCol: String, salt: String): Column =
+    conv(substring(md5(concat(col(keyCol).cast("string"), lit(":" + salt))),
+      1, 8), 16, 10).cast("long")
+
+  def shuffleShardCol(keyCol: String, salt: String, n: Int): Column = {
+    require(n >= 1 && (n & (n - 1)) == 0,
+      "shard count must be a power of two for exact equi-width h-cuts")
+    val shift = 32 - Integer.numberOfTrailingZeros(n)
+    shiftright(shuffleHashCol(keyCol, salt), shift).cast("long")
+  }
+
+  /** Per-shard manifest of the shuffled export: `(shard, n_rows,
+    * global_offset, min_h, max_h, first_key, checksum)` — global_offset
+    * is the number of rows in earlier shards (so row r of shard s has
+    * global position offset+r: the batch plan `batch = pos div B` needs
+    * no global sort), first_key is the key that leads the shard's
+    * stream, checksum is the order-free md5-prefix payload sum of
+    * [[manifest]]. One partial-aggregated groupBy on ≤ n keys plus an
+    * n-row window for the running offset.
+    */
+  def shuffleManifest(df: DataFrame, keyCol: String, payloadCol: String,
+                      salt: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(keyCol).cast("long").as("k"),
+        shuffleHashCol(keyCol, salt).as("h"),
+        shuffleShardCol(keyCol, salt, n).as("shard"),
+        col(payloadCol).as("payload"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("h")).as("min_h"), max(col("h")).as("max_h"),
+        min(struct(col("h"), col("k"))).getField("k").as("first_key"),
+        sum(conv(substring(md5(col("payload")), 1, 8), 16, 10)
+          .cast("long")).as("checksum"))
+      .withColumn("global_offset",
+        coalesce(sum(col("n_rows")).over(
+          Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("shard"), col("n_rows"), col("global_offset"),
+        col("min_h"), col("max_h"), col("first_key"), col("checksum"))
+  }
+
+  /** Write the shuffled export (`path/shard=K/...`, each shard file
+    * sorted by (h, key)) plus its manifest at `path/_manifest`,
+    * returning the manifest. One shuffle on the shard key; the
+    * within-shard sort rides the same exchange (`repartition` →
+    * `sortWithinPartitions`), so the export costs exactly one pass —
+    * a global `orderBy` of the corpus is never executed.
+    */
+  def writeShuffled(df: DataFrame, path: String, keyCol: String,
+                    payloadCol: String, salt: String, n: Int): DataFrame = {
+    df.withColumn("h", shuffleHashCol(keyCol, salt))
+      .withColumn("shard", shuffleShardCol(keyCol, salt, n))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("h"), col(keyCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    val m = shuffleManifest(df, keyCol, payloadCol, salt, n)
+    m.coalesce(1).write.mode("overwrite").parquet(s"$path/_manifest")
+    m
+  }
+
   /** Rendezvous (highest-random-weight) shard id in [0, n): the shard
     * whose salted hash of the key is smallest. Unlike `md5 mod n`
     * ([[assign]]), growing n → n+1 moves ONLY the keys the new shard

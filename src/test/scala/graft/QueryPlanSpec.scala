@@ -106,6 +106,9 @@ class QueryPlanSpec extends SparkSpec {
                           // crossed onto the |qs|-row quantile frame;
                           // the corpus contributes only the TakeOrdered
                           // k-row sample
+      "eval_kappa", // one-row chance-agreement aggregate crossed onto
+                    // the one-row observed-agreement frame (1×1)
+      "graph_butterflies", // one-row census × one-row size frames (1×1)
       "web_robots") // the rule table is a bounded policy artifact
                     // broadcast against the URL stream (prefix theta)
 

@@ -509,4 +509,19 @@ class DedupSpec extends SparkSpec {
     assert(out(60L) == ((1L, 1L, 2L, 400000L, false)))
     assert(out(80L) == ((1L, 0L, 2L, 500000L, false)))
   }
+
+  test("keepBest elects the richest doc per cluster, min-id on ties") {
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L))
+      .toDF("doc_id", "q")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val r = Dedup.keepBest(docs, clusters, "q").collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Boolean]("keep"), x.getAs[Long]("canonical_id"))).toMap
+    // cluster 1: docs 2 and 3 tie at q=30 → min id 2 wins
+    assert(r(1L) == ((false, 2L)))
+    assert(r(2L) == ((true, 2L)))
+    assert(r(3L) == ((false, 2L)))
+    assert(r(4L) == ((true, 4L))) // singleton keeps itself
+  }
 }

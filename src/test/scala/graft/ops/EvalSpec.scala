@@ -304,4 +304,48 @@ class EvalSpec extends SparkSpec {
     val rb = Eval.brierDecomposition(bad, nBins = 10).collect().head
     assert(rb.getAs[Long]("brier_ppm2") > r.getAs[Long]("brier_ppm2"))
   }
+
+  test("kappaCard: perfect agreement is 1e6, independence is ~0") {
+    val perfect = Seq(("a", "a"), ("b", "b"), ("c", "c"), ("a", "a"))
+      .toDF("label_a", "label_b")
+    val p = Eval.kappaCard(perfect).collect().head
+    assert(p.getAs[Long]("po_ppm") == 1000000L)
+    assert(p.getAs[Long]("kappa_ppm") == 1000000L)
+    // a rater that always says "a" against a 50/50 truth: po == pe → κ=0
+    val indep = Seq(("a", "a"), ("a", "b"), ("a", "a"), ("a", "b"))
+      .toDF("label_a", "label_b")
+    val i = Eval.kappaCard(indep).collect().head
+    assert(i.getAs[Long]("po_ppm") == 500000L)
+    assert(i.getAs[Long]("pe_ppm") == 500000L)
+    assert(i.getAs[Long]("kappa_ppm") == 0L)
+  }
+
+  test("kappaCard: textbook 2x2 worked example") {
+    // 20 aa, 5 ab, 10 ba, 15 bb: po=.7, pe=.5·.6+.5·.4=.5, κ=.4
+    val rows = Seq.fill(20)(("a", "a")) ++ Seq.fill(5)(("a", "b")) ++
+      Seq.fill(10)(("b", "a")) ++ Seq.fill(15)(("b", "b"))
+    val r = Eval.kappaCard(rows.toDF("label_a", "label_b")).collect().head
+    assert(r.getAs[Long]("n") == 50L)
+    assert(r.getAs[Long]("po_ppm") == 700000L)
+    assert(r.getAs[Long]("pe_ppm") == 500000L)
+    assert(r.getAs[Long]("kappa_ppm") == 400000L)
+  }
+
+  test("mcnemarCard counts disagreement cells; equal cells → 0") {
+    // label true; A right on 1,2,3; B right on 3,4 → b=2 (A∧¬B), c=1
+    val df = Seq(
+      (true, true, false), (true, true, false), (true, true, true),
+      (true, false, true), (true, false, false))
+      .toDF("label", "pred_a", "pred_b")
+    val r = Eval.mcnemarCard(df).collect().head
+    assert(r.getAs[Long]("b_cell") == 2L)
+    assert(r.getAs[Long]("c_cell") == 1L)
+    // (2-1)²/3 in ppm = 333333
+    assert(r.getAs[Long]("chi2_ppm") == 333333L)
+    // all-agree case: b+c = 0 → NULL statistic, never a throw
+    val agree = Seq((true, true, true), (false, false, false))
+      .toDF("label", "pred_a", "pred_b")
+    assert(Eval.mcnemarCard(agree).collect().head.isNullAt(
+      Eval.mcnemarCard(agree).columns.indexOf("chi2_ppm")))
+  }
 }

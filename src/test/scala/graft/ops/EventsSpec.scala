@@ -1181,4 +1181,22 @@ class EventsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_islands") == 1L)
     assert(r.getAs[Long]("covered_us") == 6000000L)
   }
+
+  test("stickiness: daily user scores 1e6, drive-by scores 1e6/days") {
+    // period 0 (days 0..27): user 1 active days 0,1,2; user 2 only day 0
+    val du = Seq((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L), (1L, 1L))
+      .toDF("user_id", "day")
+    val r = Events.stickiness(du, 28).collect().head
+    assert(r.getAs[Long]("period") == 0L)
+    assert(r.getAs[Long]("active_days") == 3L)
+    assert(r.getAs[Long]("mau") == 2L)
+    assert(r.getAs[Long]("dau_sum") == 4L) // 2 + 1 + 1 (dup row deduped)
+    // avgDAU/MAU = (4/3)/2 = 2/3
+    assert(r.getAs[Long]("stickiness_ppm") == 666666L)
+    // everyone active every day → exactly 1e6
+    val full = Seq((1L, 0L), (1L, 1L), (2L, 0L), (2L, 1L))
+      .toDF("user_id", "day")
+    assert(Events.stickiness(full, 28).collect().head
+      .getAs[Long]("stickiness_ppm") == 1000000L)
+  }
 }

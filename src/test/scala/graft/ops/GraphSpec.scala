@@ -973,4 +973,27 @@ class GraphSpec extends SparkSpec {
     // are dropped by the positive filter; the middle carries both
     assert(r == Map(2L -> ((2000000L, 2L))))
   }
+
+  test("butterflyCensus: a 2×2 biclique is exactly one butterfly") {
+    import spark.implicits._
+    val e = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L))
+      .toDF("src", "dst")
+    val r = Graph.butterflyCensus(e).collect().head
+    assert(r.getAs[Long]("n_edges") == 4L)
+    assert(r.getAs[Long]("n_wedges") == 2L)         // (10,20) via 1 and 2
+    assert(r.getAs[Long]("n_cosupported_pairs") == 1L)
+    assert(r.getAs[Long]("n_butterflies") == 1L)    // C(2,2... C(2,2)=1
+    assert(r.getAs[Long]("coherence_ppm") == 2000000L) // 4·1/2 ppm
+  }
+
+  test("butterflyCensus: wedges without co-support yield zero") {
+    import spark.implicits._
+    // left 1 fans to three rights; no right pair shares TWO lefts
+    val e = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L))
+      .toDF("src", "dst")
+    val r = Graph.butterflyCensus(e).collect().head
+    assert(r.getAs[Long]("n_wedges") == 3L)
+    assert(r.getAs[Long]("n_butterflies") == 0L)
+    assert(r.getAs[Long]("coherence_ppm") == 0L)
+  }
 }

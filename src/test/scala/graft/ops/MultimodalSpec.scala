@@ -131,4 +131,25 @@ class MultimodalSpec extends SparkSpec {
     assert(clusters(10L) == 10L && clusters(11L) == 10L)
     assert(!clusters.contains(20L), "unrelated media must stay a singleton")
   }
+
+  test("framePlan matches the typed sampleFrames plumbing frame-for-frame") {
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val docs = Seq(
+      (3L, "a video-length payload body with some words in it"),
+      (6L, "x" * 95), // 95 bytes → 1 + 95 % 30 = 6 frames → idx 0 only
+      (7L, "a still image payload"),
+      (9L, "y" * 41)  // 41 bytes → 12 frames → idx 0, 10
+    ).toDF("doc_id", "text")
+    val media = Multimodal.asMediaMixed(docs)
+    val plan = Multimodal.framePlan(media, 10)
+      .select("media_id", "frame_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val typed = Multimodal.sampleFrames(media, 10).collect()
+      .map(f => (f.media_id, f.frame_idx.toLong)).toSet
+    assert(plan == typed, "pure plan and mapPartitions path must agree")
+    // stills emit exactly frame 0; the 41-byte video emits 0 and 10
+    assert(plan.filter(_._1 == 7L) == Set((7L, 0L)))
+    assert(plan.filter(_._1 == 9L) == Set((9L, 0L), (9L, 10L)))
+  }
 }

@@ -822,4 +822,41 @@ class TextAnalysisSpec extends SparkSpec {
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+
+  test("bpeTrainDecode: every vocab word round-trips through its subwords") {
+    val docs = Seq((1L, "low lower lowest low low"),
+      (2L, "new newer newest new"), (3L, "low new"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bpeTrainDecode(docs, 4).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Boolean]("roundtrip_ok"),
+        s"word ${row.getAs[String]("word")} decoded to " +
+          row.getAs[String]("decoded"))
+      assert(row.getAs[String]("decoded") == row.getAs[String]("word"))
+    }
+    // merges genuinely happened: some word must encode to < length chars
+    assert(r.exists(row => row.getAs[Long]("n_sub") <
+      row.getAs[String]("word").length))
+  }
+
+  test("sourceTvd: identical sources → 0, disjoint vocabularies → 1e6") {
+    val docs = Seq(
+      (1L, "aa bb cc", "s1"), (2L, "aa bb cc", "s2"), // identical dists
+      (3L, "xx yy", "s3"))                            // disjoint from both
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.sourceTvd(docs).collect()
+      .map(x => (x.getAs[String]("source_a"), x.getAs[String]("source_b")) ->
+        x.getAs[Long]("tvd_ppm")).toMap
+    assert(r(("s1", "s2")) == 0L)
+    // disjoint-vocab pairs never share a word → the INNER join drops
+    // them entirely; the operator contract covers pairs with overlap
+    assert(!r.contains(("s1", "s3")))
+    // partial overlap: s4 = {aa: 1/2, zz: 1/2} vs s1 = {aa,bb,cc: 1/3}
+    // TVD = ½(|1/2−1/3| + 1/3 + 1/3 + 1/2) = ½·(1/6+7/6... = 2/3
+    val docs2 = Seq((1L, "aa bb cc", "s1"), (4L, "aa zz", "s4"))
+      .toDF("doc_id", "text", "source")
+    val r2 = TextAnalysis.sourceTvd(docs2).collect().head
+    assert(r2.getAs[Long]("tvd_ppm") == 666666L)
+  }
 }
