@@ -3048,7 +3048,44 @@ object SparkEntry {
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.framePlan(
         Multimodal.asMediaMixed(rd(s, dir, "documents")), 10)
-        .orderBy("media_id", "frame_idx"))
+        .orderBy("media_id", "frame_idx")),
+    // --- ROUGE-1/2 card: clipped n-gram overlap of a perturbed
+    // candidate against its reference, exact ppm (the log-free BLEU)
+    "eval_rouge" -> ((s, dir) => {
+      val refs = rd(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id").as("pair_id"), col("text").as("ref"))
+      val both = refs.withColumn("cand", expr(
+        """concat(substring(ref, 1,
+          |greatest(length(ref) - (CAST(pair_id % 7 AS INT) * 20), 40)),
+          |' extra tail tokens')""".stripMargin))
+      TextAnalysis.rougeN(both, 1)
+        .unionByName(TextAnalysis.rougeN(both, 2))
+        .orderBy("n", "pair_id")
+    }),
+    // --- Croston intermittent-demand forecast per event type: z/p
+    // EWMAs on demand days only, bit-shift alpha=1/2, exact fixed-point
+    "events_croston" -> ((s, dir) => {
+      val ev = rdEvents(s, dir).select(col("event_type"),
+        expr("(ts div 1000) div 86400000000").as("day"), col("value"))
+      Events.croston(ev)
+    }),
+    // --- incremental (append-only segment) inverted index: two
+    // disjoint batches appended, BM25 read equals the baked index
+    "search_indexed_incremental" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val staged = java.nio.file.Files
+        .createTempDirectory("graft_sidx_inc").toString
+      TextAnalysis.appendSearchIndex(docs.filter(col("doc_id") >= 1000),
+        staged)
+      TextAnalysis.appendSearchIndex(docs.filter(col("doc_id") < 1000),
+        staged)
+      val qs = docs.filter(col("doc_id") < 5).select(
+        col("doc_id").as("query_id"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 5), " ")
+          .as("query_text"))
+      TextAnalysis.bm25TopKIndexedInc(s, staged, qs, 5)
+        .orderBy("query_id", "rank")
+    })
   )
 
   /** Staged mojibake rows shared by the `text_mojibake` query and its
@@ -12782,7 +12819,92 @@ object SparkEntry {
         |  md5(CAST(media_id AS VARCHAR) || ':' || CAST(u.idx AS VARCHAR)
         |    || ':' || md5(text)) AS frame_hash
         |FROM f, UNNEST(range(0, CAST(n_frames AS INTEGER), 10)) AS u(idx)
-        |ORDER BY media_id, frame_idx""".stripMargin
+        |ORDER BY media_id, frame_idx""".stripMargin,
+    // ROUGE twin: positional n-grams per side, clipped-min join per n
+    "eval_rouge" -> {
+      def leg(n: Int): String = {
+        val gramExpr =
+          if (n == 1) "t[i]"
+          else (0 until n).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+        s"""cg$n AS (
+           |  SELECT pair_id, $gramExpr AS g, CAST(count(*) AS BIGINT) AS cc
+           |  FROM (SELECT pair_id, t,
+           |          unnest(generate_series(1, len(t) - ${n - 1})) AS i
+           |        FROM (SELECT pair_id,
+           |                string_split_regex(trim(cand), '\\s+') AS t
+           |              FROM base) WHERE len(t) >= $n)
+           |  GROUP BY 1, 2
+           |), rg$n AS (
+           |  SELECT pair_id, $gramExpr AS g, CAST(count(*) AS BIGINT) AS cr
+           |  FROM (SELECT pair_id, t,
+           |          unnest(generate_series(1, len(t) - ${n - 1})) AS i
+           |        FROM (SELECT pair_id,
+           |                string_split_regex(trim(ref), '\\s+') AS t
+           |              FROM base) WHERE len(t) >= $n)
+           |  GROUP BY 1, 2
+           |), m$n AS (
+           |  SELECT pair_id, CAST(sum(least(cc, cr)) AS BIGINT) AS n_match
+           |  FROM cg$n JOIN rg$n USING (pair_id, g) GROUP BY 1
+           |), leg$n AS (
+           |  SELECT COALESCE(c.pair_id, r.pair_id) AS pair_id,
+           |    CAST($n AS BIGINT) AS n, c.n_cand, r.n_ref,
+           |    CASE WHEN c.n_cand IS NULL OR r.n_ref IS NULL THEN NULL
+           |      ELSE COALESCE(m.n_match, 0) END AS n_match
+           |  FROM (SELECT pair_id, CAST(sum(cc) AS BIGINT) AS n_cand
+           |        FROM cg$n GROUP BY 1) c
+           |  FULL JOIN (SELECT pair_id, CAST(sum(cr) AS BIGINT) AS n_ref
+           |        FROM rg$n GROUP BY 1) r ON c.pair_id = r.pair_id
+           |  LEFT JOIN m$n m ON COALESCE(c.pair_id, r.pair_id) = m.pair_id
+           |)""".stripMargin
+      }
+      s"""WITH base AS (
+         |  SELECT doc_id AS pair_id, text AS ref,
+         |    substr(text, 1,
+         |      greatest(length(text) - (CAST(doc_id % 7 AS INT) * 20), 40))
+         |      || ' extra tail tokens' AS cand
+         |  FROM documents WHERE doc_id < 200
+         |),
+         |${leg(1)},
+         |${leg(2)}
+         |SELECT pair_id, n, n_cand, n_ref, n_match,
+         |  CAST(1000000 * n_match // n_cand AS BIGINT) AS precision_ppm,
+         |  CAST(1000000 * n_match // n_ref AS BIGINT) AS recall_ppm,
+         |  CAST(2000000 * n_match // (n_cand + n_ref) AS BIGINT) AS f1_ppm
+         |FROM (SELECT * FROM leg1 UNION ALL SELECT * FROM leg2)
+         |ORDER BY n, pair_id""".stripMargin
+    },
+    // Croston twin: per-type LINEAR recursive CTE over demand-day index
+    "events_croston" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type,
+        |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS d_c
+        |  FROM events GROUP BY 1, 2
+        |  HAVING sum(CAST(floor(value * 100) AS BIGINT)) > 0
+        |), d AS (
+        |  SELECT event_type, day, d_c * 1000000 AS de6,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS idx,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM daily
+        |), rec AS (
+        |  SELECT event_type, idx, day, de6 AS z,
+        |    CAST(1000000 AS BIGINT) AS p, n
+        |  FROM d WHERE idx = 1
+        |  UNION ALL
+        |  SELECT d.event_type, d.idx, d.day, (r.z + d.de6) // 2,
+        |    (r.p + (d.day - r.day) * 1000000) // 2, r.n
+        |  FROM rec r JOIN d
+        |    ON d.event_type = r.event_type AND d.idx = r.idx + 1
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_demand_days,
+        |  CAST(z AS BIGINT) AS z_e6, CAST(p AS BIGINT) AS p_e6,
+        |  CAST(CAST(z AS HUGEINT) * 1000000 // p AS BIGINT)
+        |    AS forecast_ppm
+        |FROM rec WHERE idx = n ORDER BY event_type""".stripMargin,
+    // incremental index twin: scores are df/total-identical, so the
+    // baked-index BM25 oracle serves unchanged
+    "search_indexed_incremental" -> bm25OracleSql
   )
 
   /** Unrolled-CTE twin of [[graft.ops.Graph.betweenness]] at maxHops=3:

@@ -562,6 +562,50 @@ object Events {
         col("dau_sum"), col("stickiness_ppm"))
   }
 
+  /** Croston intermittent-demand forecast — the standard method for
+    * series that are MOSTLY ZERO (spare-parts demand, rare-event spend,
+    * long-tail SKU sales), where plain EWMA/Holt decays toward zero
+    * between demands and under-forecasts. Croston smooths two series on
+    * DEMAND events only: z = demand size, p = inter-demand interval
+    * (days), both EWMA'd at α = ½ (the engine-exact bit-shift
+    * recursion), forecast rate = z/p per day. All fixed-point BIGINT:
+    * demand in cents·10⁶, intervals in days·10⁶, per-step halving is
+    * `div 2` on non-negative operands (truncate == floor, `//` twin);
+    * the first demand initializes z, with p starting at one day.
+    *
+    * Scale shape: the stream collapses to (type, day) demand cells in
+    * one partial-aggregated groupBy; each type's demand-day sequence
+    * gathers into ONE sorted array and folds once (the [[ewma]]
+    * per-key-bounded pattern — embarrassingly parallel across types).
+    * Output per type: demand days, final z/p, forecast in cents-ppm/day.
+    */
+  def croston(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("d_c"))
+      .filter(col("d_c") > 0)
+    daily
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_list(
+        struct(col("day"), (col("d_c") * 1000000L).as("d")))).as("seq"))
+      .select(col("event_type"),
+        size(col("seq")).cast("long").as("n_demand_days"),
+        expr("""aggregate(slice(seq, 2, size(seq) - 1),
+                named_struct(
+                  'z', element_at(seq, 1).d,
+                  'p', 1000000L,
+                  'pd', element_at(seq, 1).day),
+                (s, e) -> named_struct(
+                  'z', (s.z + e.d) div 2L,
+                  'p', (s.p + (e.day - s.pd) * 1000000L) div 2L,
+                  'pd', e.day))""").as("st"))
+      .select(col("event_type"), col("n_demand_days"),
+        col("st.z").as("z_e6"), col("st.p").as("p_e6"),
+        expr("""CAST(CAST(st.z AS DECIMAL(38,0)) * 1000000
+                div st.p AS BIGINT)""").as("forecast_ppm"))
+      .orderBy("event_type")
+  }
+
   /** Gaps-and-islands: collapse each user's consecutive same-type events
     * into runs — (user, run) rows carrying the type, first/last
     * timestamps, and length. The classic two-window idiom: a lag-change

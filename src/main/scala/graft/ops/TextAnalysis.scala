@@ -1097,6 +1097,54 @@ object TextAnalysis {
       .withColumn("roundtrip_ok", col("decoded") === col("word"))
   }
 
+  /** ROUGE-N overlap card — the summarization/compression eval metric,
+    * exactly: clipped n-gram matches between a candidate and its
+    * reference, match = Σ_g min(count_cand(g), count_ref(g)), with
+    * precision/recall/F1 in floored ppm (F1 folds to the division-free
+    * identity 2·match/(n_cand + n_ref), so ONE div covers it). BLEU's
+    * geometric mean needs logs (not engine-portable); ROUGE is pure
+    * count algebra and serves the same regression-gate role.
+    *
+    * Input: `(pair_id, cand, ref)` — one row per candidate/reference
+    * pair. Output per pair: `(pair_id, n, n_cand, n_ref, n_match,
+    * precision_ppm, recall_ppm, f1_ppm)`; a side shorter than n grams
+    * surfaces NULL metrics, never a throw.
+    *
+    * Scale shape: each side explodes to multiset n-grams (the native
+    * `graft_ngrams` single pass), collapses to (pair, gram) counts in
+    * one partial-aggregated groupBy, and the clip is an equi-join on
+    * (pair, gram) — 1:1 pairing, never a pair-of-pairs blowup.
+    */
+  def rougeN(pairs: DataFrame, n: Int): DataFrame = {
+    require(n >= 1)
+    def grams(side: String) = pairs
+      .select(col("pair_id"),
+        explode(expr(s"graft_ngrams($side, $n)")).as("g"))
+      .groupBy(col("pair_id"), col("g"))
+      .agg(count(lit(1)).as(s"c_$side"))
+    val cg = grams("cand")
+    val rg = grams("ref")
+    val matched = cg.join(rg, Seq("pair_id", "g"))
+      .groupBy(col("pair_id"))
+      .agg(sum(least(col("c_cand"), col("c_ref"))).as("n_match"))
+    cg.groupBy(col("pair_id")).agg(sum(col("c_cand")).as("n_cand"))
+      .join(rg.groupBy(col("pair_id")).agg(sum(col("c_ref")).as("n_ref")),
+        Seq("pair_id"), "full")
+      .join(matched, Seq("pair_id"), "left")
+      .withColumn("n_match",
+        when(col("n_cand").isNull || col("n_ref").isNull, lit(null))
+          .otherwise(coalesce(col("n_match"), lit(0L))))
+      .withColumn("n", lit(n.toLong))
+      .withColumn("precision_ppm",
+        expr("1000000L * n_match div n_cand"))
+      .withColumn("recall_ppm", expr("1000000L * n_match div n_ref"))
+      .withColumn("f1_ppm",
+        expr("2000000L * n_match div (n_cand + n_ref)"))
+      .select(col("pair_id"), col("n"), col("n_cand"), col("n_ref"),
+        col("n_match"), col("precision_ppm"), col("recall_ppm"),
+        col("f1_ppm"))
+  }
+
   /** Pairwise total-variation distance between per-source unigram
     * distributions — the exact, libm-free corpus-divergence card
     * (KL/JSD need logs, which are not engine-portable; TVD = ½·Σ|p−q|
@@ -1979,6 +2027,85 @@ object TextAnalysis {
     val lens = spark.read.parquet(s"$dir/docs")
     val totals = spark.read.parquet(s"$dir/totals")
     val scored = postings.join(broadcast(qTerms), Seq("token"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("term_score", expr(
+        """((1000000 div df) * 2200 * corpus_len * tf)
+           div (10 * corpus_len * tf + 3 * corpus_len + 9 * dl * n_docs)"""))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_score")).as("score"), count(lit(1)).as("n_terms"))
+    topKDocs(scored, k)
+  }
+
+  /** Append a document batch to an INCREMENTAL inverted index — the
+    * LSM-segment answer to "the index bakes df into every posting row,
+    * so new docs invalidate the whole layout" ([[writeSearchIndex]]'s
+    * one weakness; the ivfAppend lesson applied to text). Everything is
+    * APPEND-ONLY because every statistic BM25 needs is additive over
+    * disjoint batches: postings carry only (token, doc_id, tf) in the
+    * same md5-bucket partitioning, per-batch token df segments sum to
+    * the true df, per-batch (corpus_len, n_docs) rows sum to the true
+    * totals. Daily ingest costs O(batch) at ANY index size — nothing
+    * already written is ever read, moved, or rewritten.
+    *
+    * Caller contract: batches are doc-disjoint (dedup/delta upstream —
+    * [[graft.sources.Shards.delta]] is the seam).
+    */
+  def appendSearchIndex(docs: DataFrame, dir: String,
+                        buckets: Int = 16): Unit = {
+    require(buckets >= 1)
+    val lens = docs.select(col("doc_id"),
+      size(tokensCol(col("text"))).cast("long").as("dl"))
+    val tf = docs
+      .select(col("doc_id"), explode(tokensCol(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds postings AND the df segment
+    tf.withColumn("bucket", expr(
+        s"CAST(conv(substring(md5(token), 1, 8), 16, 10) AS BIGINT)" +
+          s" % $buckets"))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$dir/postings")
+    tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .write.mode("append").parquet(s"$dir/tokenstats")
+    lens.write.mode("append").parquet(s"$dir/docs")
+    lens.agg(sum(col("dl")).as("corpus_len"), count(lit(1)).as("n_docs"))
+      .write.mode("append").parquet(s"$dir/totals")
+  }
+
+  /** BM25 top-k over an [[appendSearchIndex]] index — score-identical
+    * to [[bm25TopK]]/[[bm25TopKIndexed]]: df sums the query terms' rows
+    * across segment parts (query-vocabulary-sized, broadcast), totals
+    * sum the per-batch rows (one row per batch), and the postings scan
+    * is partition-pruned to the terms' buckets exactly like the baked
+    * layout — appending never degraded the read path.
+    */
+  def bm25TopKIndexedInc(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, queries: DataFrame, k: Int = 5,
+                         buckets: Int = 16): DataFrame = {
+    val qTerms = queries
+      .select(col("query_id"),
+        explode(tokensCol(col("query_text"))).as("token"))
+      .distinct().localCheckpoint()
+    // bounded: the query vocabulary — it becomes pruning literals
+    val toks = qTerms.select(col("token")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val bks = toks.map { t =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16) % buckets
+    }.distinct
+    val postings = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(bks: _*) && col("token").isin(toks: _*))
+    val stats = spark.read.parquet(s"$dir/tokenstats")
+      .filter(col("token").isin(toks: _*))
+      .groupBy(col("token")).agg(sum(col("df")).as("df"))
+    val lens = spark.read.parquet(s"$dir/docs")
+    val totals = spark.read.parquet(s"$dir/totals")
+      .agg(sum(col("corpus_len")).as("corpus_len"),
+        sum(col("n_docs")).as("n_docs"))
+    val scored = postings.join(broadcast(qTerms), Seq("token"))
+      .join(broadcast(stats), Seq("token"))
       .join(lens, Seq("doc_id"))
       .crossJoin(broadcast(totals))
       .withColumn("term_score", expr(

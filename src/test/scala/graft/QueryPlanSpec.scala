@@ -53,6 +53,9 @@ class QueryPlanSpec extends SparkSpec {
       "search_rerank", // contains the bm25 chain's one-row totals
       "search_indexed", // same bm25 one-row totals over the pruned
                         // postings read
+      "search_indexed_incremental", // same one-row totals (summed
+                                    // across segment rows) over the
+                                    // pruned postings read
       "search_hard_negatives", // same bm25 chain
       "events_permutation", // observed one-row stat broadcast onto the
                             // bounded reps-row null frame

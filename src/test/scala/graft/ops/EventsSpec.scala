@@ -1182,6 +1182,23 @@ class EventsSpec extends SparkSpec {
     assert(r.getAs[Long]("covered_us") == 6000000L)
   }
 
+  test("croston folds z/p on demand days only, zero days skipped") {
+    // type a: demands 2.00 on day 0, 4.00 on day 2, 1.00 on day 3;
+    // a zero-value day 1 must not perturb the interval EWMA
+    val ev = Seq(("a", 0L, 2.0), ("a", 1L, 0.0), ("a", 2L, 4.0),
+      ("a", 3L, 1.0), ("b", 5L, 3.0))
+      .toDF("event_type", "day", "value")
+    val r = Events.croston(ev).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        (x.getAs[Long]("n_demand_days"), x.getAs[Long]("z_e6"),
+          x.getAs[Long]("p_e6"), x.getAs[Long]("forecast_ppm"))).toMap
+    // a: z: 2e8 → (2e8+4e8)/2=3e8 → (3e8+1e8)/2=2e8
+    //    p: 1e6 → (1e6+2e6)/2=1.5e6 → (1.5e6+1e6)/2=1.25e6
+    assert(r("a") == ((3L, 200000000L, 1250000L, 160000000L)))
+    // b: single demand initializes z, p = one day
+    assert(r("b") == ((1L, 300000000L, 1000000L, 300000000L)))
+  }
+
   test("stickiness: daily user scores 1e6, drive-by scores 1e6/days") {
     // period 0 (days 0..27): user 1 active days 0,1,2; user 2 only day 0
     val du = Seq((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L), (1L, 1L))

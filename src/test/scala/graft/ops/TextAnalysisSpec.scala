@@ -823,6 +823,47 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("rougeN: identity pair scores 1e6, disjoint pair scores 0") {
+    val pairs = Seq(
+      (1L, "the cat sat on the mat", "the cat sat on the mat"),
+      (2L, "aa bb cc dd", "xx yy zz ww"),
+      (3L, "aa aa bb", "aa cc cc"))
+      .toDF("pair_id", "cand", "ref")
+    val r1 = TextAnalysis.rougeN(pairs, 1).collect()
+      .map(x => x.getAs[Long]("pair_id") ->
+        (x.getAs[Long]("n_match"), x.getAs[Long]("f1_ppm"))).toMap
+    assert(r1(1L) == ((6L, 1000000L)))
+    assert(r1(2L) == ((0L, 0L)))
+    // clipping: cand has aa×2, ref aa×1 → min 1 (never 2)
+    assert(r1(3L)._1 == 1L)
+    val r2 = TextAnalysis.rougeN(pairs, 2).collect()
+      .map(x => x.getAs[Long]("pair_id") -> x.getAs[Long]("n_match")).toMap
+    assert(r2(1L) == 5L) // 5 bigrams, all matched
+    assert(r2(3L) == 0L) // no shared bigram
+  }
+
+  test("appendSearchIndex batches reproduce the baked index exactly") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sidx_t").toString
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val qs = docs.filter(col("doc_id") < 3).select(
+      col("doc_id").as("query_id"),
+      array_join(slice(split(trim(col("text")), "\\s+"), 1, 5), " ")
+        .as("query_text"))
+    TextAnalysis.appendSearchIndex(docs.filter(col("doc_id") % 2 === 0), dir)
+    TextAnalysis.appendSearchIndex(docs.filter(col("doc_id") % 2 === 1), dir)
+    val inc = TextAnalysis.bm25TopKIndexedInc(spark, dir, qs, k = 3)
+    val direct = TextAnalysis.bm25TopK(docs, qs, k = 3)
+    assert(inc.collect().map(_.toString).sorted.toSeq ==
+      direct.collect().map(_.toString).sorted.toSeq,
+      "segment-summed df/totals must reproduce on-the-fly scores")
+    val plan = inc.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"expected bucket partition pruning on the postings read:\n$plan")
+  }
+
   test("bpeTrainDecode: every vocab word round-trips through its subwords") {
     val docs = Seq((1L, "low lower lowest low low"),
       (2L, "new newer newest new"), (3L, "low new"))
