@@ -3085,6 +3085,31 @@ object SparkEntry {
           .as("query_text"))
       TextAnalysis.bm25TopKIndexedInc(s, staged, qs, 5)
         .orderBy("query_id", "rank")
+    }),
+    // --- extractive summarization: top-2 sentences per doc by summed
+    // inverse-df token weight (log-free idf), earlier sentence on ties
+    "docs_summary" -> ((s, dir) => {
+      val toks = rd(s, dir, "documents").select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("t"))
+      val staged = toks.select(col("doc_id"), expr(
+        "concat(array_join(transform(sequence(1, " +
+          "cast(ceil(size(t)/8.0) as int)), " +
+          "i -> array_join(slice(t, (i-1)*8+1, 8), ' ')), '. '), '.')")
+        .as("text"))
+      TextAnalysis.extractiveSummary(staged, 2).orderBy("doc_id", "rank")
+    }),
+    // --- recommender catalog-coverage / popularity-bias card over the
+    // itemCF top-3 recs: head-collapse detector, exact ppm
+    "reco_coverage" -> ((s, dir) => {
+      val purch = rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(rd(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_partkey").as("it"))
+      val recs = Reco.itemCf(purch, "u", "it", topK = 3,
+        maxBasket = 100, minCo = 3L)
+      Reco.coverageCard(recs, purch)
     })
   )
 
@@ -12904,7 +12929,129 @@ object SparkEntry {
         |FROM rec WHERE idx = n ORDER BY event_type""".stripMargin,
     // incremental index twin: scores are df/total-identical, so the
     // baked-index BM25 oracle serves unchanged
-    "search_indexed_incremental" -> bm25OracleSql
+    "search_indexed_incremental" -> bm25OracleSql,
+    // extractive-summary twin: the docs_sentences staging chain, then
+    // distinct-token idf scoring and a per-doc rank election
+    "docs_summary" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |), blocks AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, CAST(ceil(len(t)/8.0) AS BIGINT)))
+        |      AS i, t
+        |  FROM toks
+        |), bp AS (
+        |  SELECT doc_id, i,
+        |    array_to_string(t[(i-1)*8+1:(i-1)*8+8], ' ') AS blk
+        |  FROM blocks
+        |), staged AS (
+        |  SELECT doc_id, string_agg(blk, '. ' ORDER BY i) || '.' AS text
+        |  FROM bp GROUP BY doc_id
+        |), sp AS (
+        |  SELECT doc_id, string_split(regexp_replace(text,
+        |    '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)) AS l
+        |  FROM staged
+        |), se AS (
+        |  SELECT doc_id, i - 1 AS sent_idx, l[i] AS s
+        |  FROM sp, UNNEST(range(1, len(l) + 1)) AS u(i)
+        |), sgood AS (
+        |  SELECT doc_id, sent_idx, s FROM se WHERE length(trim(s)) > 0
+        |), stok AS (
+        |  SELECT doc_id, sent_idx, tok FROM (
+        |    SELECT doc_id, sent_idx, unnest(list_distinct(
+        |      string_split_regex(trim(lower(s)), '\s+'))) AS tok
+        |    FROM sgood)
+        |  WHERE length(tok) > 0
+        |), dft AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM (
+        |    SELECT doc_id, unnest(list_distinct(
+        |      string_split_regex(trim(lower(text)), '\s+'))) AS tok
+        |    FROM staged)
+        |  WHERE length(tok) > 0 GROUP BY 1
+        |), nd AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n FROM staged
+        |), sc AS (
+        |  SELECT doc_id, sent_idx,
+        |    CAST(sum(1000000 * nd.n // df) AS BIGINT) AS score,
+        |    CAST(count(*) AS BIGINT) AS n_terms
+        |  FROM stok JOIN dft USING (tok), nd
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_id, rank, sent_idx, n_terms, score, n_chars FROM (
+        |  SELECT g.doc_id, g.sent_idx,
+        |    CAST(length(g.s) AS BIGINT) AS n_chars,
+        |    COALESCE(sc.score, 0) AS score,
+        |    COALESCE(sc.n_terms, 0) AS n_terms,
+        |    CAST(row_number() OVER (PARTITION BY g.doc_id
+        |      ORDER BY COALESCE(sc.score, 0) DESC, g.sent_idx)
+        |      AS BIGINT) AS rank
+        |  FROM sgood g LEFT JOIN sc
+        |    ON g.doc_id = sc.doc_id AND g.sent_idx = sc.sent_idx)
+        |WHERE rank <= 2 ORDER BY doc_id, rank""".stripMargin,
+    // coverage twin: the itemcf chain's top-3 recs closed with the
+    // popularity-mass / coverage card
+    "reco_coverage" ->
+      """WITH purch AS (
+        |  SELECT DISTINCT o_custkey AS u, l_partkey AS it
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), pruned AS (
+        |  SELECT u, it FROM (
+        |    SELECT u, it, count(*) OVER (PARTITION BY u) AS bsize
+        |    FROM purch)
+        |  WHERE bsize <= 100
+        |), sim AS (
+        |  SELECT l.it AS a, r.it AS b, CAST(count(*) AS BIGINT) AS n_co
+        |  FROM pruned l JOIN pruned r ON l.u = r.u AND l.it < r.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 3
+        |), simall AS (
+        |  SELECT a AS owned, b AS cand, n_co FROM sim
+        |  UNION ALL SELECT b AS owned, a AS cand, n_co FROM sim
+        |), simboth AS (
+        |  SELECT owned, cand, n_co FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY owned
+        |      ORDER BY n_co DESC, cand) AS nrank
+        |    FROM simall)
+        |  WHERE nrank <= 20
+        |), scored AS (
+        |  SELECT p.u AS u, s.cand AS cand,
+        |    CAST(sum(n_co) AS BIGINT) AS score,
+        |    CAST(count(*) AS BIGINT) AS n_via
+        |  FROM pruned p JOIN simboth s ON p.it = s.owned
+        |  GROUP BY 1, 2
+        |), fresh AS (
+        |  SELECT sc.u, sc.cand, sc.score, sc.n_via
+        |  FROM scored sc LEFT JOIN purch pu
+        |    ON sc.u = pu.u AND sc.cand = pu.it
+        |  WHERE pu.it IS NULL
+        |), recs AS (
+        |  SELECT u, cand FROM (
+        |    SELECT u, cand,
+        |      row_number() OVER (PARTITION BY u
+        |        ORDER BY score DESC, n_via DESC, cand) AS rank
+        |    FROM fresh)
+        |  WHERE rank <= 3
+        |), pop AS (
+        |  SELECT it, CAST(count(*) AS BIGINT) AS n_u
+        |  FROM purch GROUP BY 1
+        |), cat AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_catalog_items,
+        |    CAST(max(n_u) AS BIGINT) AS max_pop
+        |  FROM pop
+        |), ra AS (
+        |  SELECT CAST(count(DISTINCT r.u) AS BIGINT) AS n_users,
+        |    CAST(count(*) AS BIGINT) AS n_rec_rows,
+        |    CAST(count(DISTINCT r.cand) AS BIGINT) AS n_rec_items,
+        |    CAST(sum(p.n_u) AS BIGINT) AS pop_sum
+        |  FROM recs r JOIN pop p ON r.cand = p.it
+        |)
+        |SELECT n_users, n_rec_rows, n_rec_items, n_catalog_items,
+        |  CAST(1000000 * n_rec_items // n_catalog_items AS BIGINT)
+        |    AS coverage_ppm,
+        |  CAST(CAST(pop_sum AS HUGEINT) * 1000000
+        |    // (CAST(n_rec_rows AS HUGEINT) * max_pop) AS BIGINT)
+        |    AS mean_pop_ppm
+        |FROM ra, cat""".stripMargin
   )
 
   /** Unrolled-CTE twin of [[graft.ops.Graph.betweenness]] at maxHops=3:

@@ -127,4 +127,40 @@ object Reco {
         expr("1000000L * n_hits div n_users_eval").as("hit_ppm"),
         expr("rr_sum div n_users_eval").as("mrr_ppm"))
   }
+
+  /** Catalog-coverage / popularity-bias card over a recommendation
+    * frame — the health check that catches a recommender collapsing
+    * onto its head items (accuracy metrics like [[leaveLastOutEval]]
+    * stay green while the catalog dies): coverage = share of catalog
+    * items recommended to ANYONE, and mean popularity of recommended
+    * items relative to the most popular item (high = head-biased, low
+    * = long-tail). Log-free (classic novelty is −log₂ pop — the ppm
+    * mass ratio is its monotone exact twin, the PMI recipe).
+    *
+    * Scale shape: popularity is one item-keyed partial agg joined back
+    * item-keyed; coverage is one distinct + counts; the one-row
+    * max-pop/totals frames broadcast (whitelisted 1×1 closes).
+    * `recs` expects (u, cand) rows; `interactions` (u, it).
+    */
+  def coverageCard(recs: DataFrame, interactions: DataFrame): DataFrame = {
+    val purch = interactions.select(col("u"), col("it")).distinct()
+    val pop = purch.groupBy(col("it")).agg(count(lit(1)).as("n_u"))
+    val catalog = pop.agg(count(lit(1)).as("n_catalog_items"),
+      max(col("n_u")).as("max_pop"))
+    val recPop = recs.select(col("u"), col("cand").as("it"))
+      .join(pop, "it")
+    val recAgg = recPop.agg(
+      countDistinct(col("u")).as("n_users"),
+      count(lit(1)).as("n_rec_rows"),
+      countDistinct(col("it")).as("n_rec_items"),
+      sum(col("n_u")).as("pop_sum"))
+    recAgg.crossJoin(broadcast(catalog)) // one row × one row
+      .select(col("n_users"), col("n_rec_rows"), col("n_rec_items"),
+        col("n_catalog_items"),
+        expr("1000000L * n_rec_items div n_catalog_items")
+          .as("coverage_ppm"),
+        expr("""CAST(CAST(pop_sum AS DECIMAL(38,0)) * 1000000
+                div (CAST(n_rec_rows AS DECIMAL(38,0)) * max_pop)
+                AS BIGINT)""").as("mean_pop_ppm"))
+  }
 }

@@ -1721,6 +1721,51 @@ object TextAnalysis {
       .select(col("doc_id"), col("pos").cast("long").as("sent_idx"),
         col("sentence"), length(col("sentence")).cast("long").as("n_chars"))
 
+  /** Extractive summarization — the compression step an LLM-data
+    * pipeline runs to distill long documents (and the cheap baseline
+    * every learned summarizer is graded against): rank each document's
+    * sentences by the summed inverse-document-frequency weight of
+    * their DISTINCT tokens (`10⁶·N div df` — the log-free idf twin,
+    * the PMI-ratio recipe), keep the top `topK` with deterministic
+    * ties (score desc, earlier sentence wins). Rare-term-dense
+    * sentences carry the document's specific content; boilerplate
+    * scores low because its tokens are everywhere.
+    *
+    * Scale shape: sentences and tokens are narrow explodes; df is ONE
+    * vocabulary-sized partial agg joined back token-keyed (never
+    * broadcast — vocab grows with the corpus); the rank window
+    * partitions per doc over per-doc-bounded sentence counts. N is a
+    * one-scalar driver pull (the skipgramStats precedent).
+    */
+  def extractiveSummary(docs: DataFrame, topK: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1)
+    val sent = sentences(docs)
+    val tok = sent.select(col("doc_id"), col("sent_idx"),
+        explode(array_distinct(tokensCol(lower(col("sentence")))))
+          .as("token"))
+      .filter(length(col("token")) > 0)
+    val dfTab = docs.select(col("doc_id"),
+        explode(array_distinct(tokensCol(lower(col("text"))))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.count() // bounded: one scalar
+    val scored = tok.join(dfTab, "token")
+      .groupBy(col("doc_id"), col("sent_idx"))
+      .agg(sum(expr(s"1000000L * ${nDocs}L div df")).as("score"),
+        count(lit(1)).as("n_terms"))
+    sent
+      .join(scored, Seq("doc_id", "sent_idx"), "left")
+      .withColumn("score", coalesce(col("score"), lit(0L)))
+      .withColumn("n_terms", coalesce(col("n_terms"), lit(0L)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(desc("score"), asc("sent_idx"))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("sent_idx"),
+        col("n_terms"), col("score"), col("n_chars"))
+  }
+
   /** Skip-gram co-occurrence association (the word2vec/PMI statistic):
     * for ordered token pairs within `window` positions, the ratio
     * `n_pair·N·10⁶ div (n_a·n_b)` — a monotone exact-integer twin of

@@ -111,6 +111,8 @@ class QueryPlanSpec extends SparkSpec {
                           // k-row sample
       "eval_kappa", // one-row chance-agreement aggregate crossed onto
                     // the one-row observed-agreement frame (1×1)
+      "reco_coverage", // one-row catalog (count, max-pop) frame crossed
+                       // onto the one-row recommendation aggregate (1×1)
       "graph_butterflies", // one-row census × one-row size frames (1×1)
       "web_robots") // the rule table is a bounded policy artifact
                     // broadcast against the URL stream (prefix theta)

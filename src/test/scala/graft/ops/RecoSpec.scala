@@ -52,6 +52,22 @@ class RecoSpec extends SparkSpec {
     assert(r.getAs[Long]("mrr_ppm") == 333333L)
   }
 
+  test("coverageCard: coverage and popularity mass are exact") {
+    val inter = purchases
+      .select($"customer".as("u"), $"part".as("it"))
+    val recs = Reco.itemCf(purchases, "customer", "part",
+      topK = 3, maxBasket = 100, minCo = 2L)
+    val r = Reco.coverageCard(recs, inter).collect().head
+    // one rec row: item 11 to user 4
+    assert(r.getAs[Long]("n_users") == 1L)
+    assert(r.getAs[Long]("n_rec_rows") == 1L)
+    assert(r.getAs[Long]("n_rec_items") == 1L)
+    assert(r.getAs[Long]("n_catalog_items") == 3L) // items 10, 11, 12
+    assert(r.getAs[Long]("coverage_ppm") == 333333L)
+    // pop(11) = 3 users, max_pop = 4 (item 10) → 3/4
+    assert(r.getAs[Long]("mean_pop_ppm") == 750000L)
+  }
+
   test("itemCf basket prune removes power users from similarity") {
     // user 9's giant basket links EVERYTHING; pruning it leaves only
     // the organic 10-11 signal

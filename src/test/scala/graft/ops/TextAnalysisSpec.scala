@@ -823,6 +823,25 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("extractiveSummary ranks rare-term sentences first, ties to earlier") {
+    // 'zebra' appears in ONE doc (max idf); 'common' in all three
+    val docs = Seq(
+      (1L, "common words here. the zebra sentence! common words again."),
+      (2L, "common words here. common words again."),
+      (3L, "common filler text."))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.extractiveSummary(docs, 1).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("sent_idx")).toMap
+    assert(r(1L) == 1L, "the zebra sentence must win doc 1")
+    // doc 2's sentences tie exactly (same distinct common tokens except
+    // here/again) — earlier sentence wins on a true tie; just assert
+    // determinism and presence
+    assert(r.contains(2L) && r.contains(3L))
+    val again = TextAnalysis.extractiveSummary(docs, 1).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("sent_idx")).toMap
+    assert(again == r)
+  }
+
   test("rougeN: identity pair scores 1e6, disjoint pair scores 0") {
     val pairs = Seq(
       (1L, "the cat sat on the mat", "the cat sat on the mat"),
