@@ -3110,6 +3110,36 @@ object SparkEntry {
       val recs = Reco.itemCf(purch, "u", "it", topK = 3,
         maxBasket = 100, minCo = 3L)
       Reco.coverageCard(recs, purch)
+    }),
+    // --- SFT transcript quality gate: alternation / terminal-role /
+    // short-assistant lint over parsed turns; staged violations planted
+    "sft_quality" -> ((s, dir) => {
+      val base = rd(s, dir, "documents").filter(col("n_chars") >= 300)
+        .select(col("doc_id"), concat(
+          lit("system: be concise"), expr("chr(10)"),
+          lit("user: "), expr("substring(text, 1, 60)"), expr("chr(10)"),
+          lit("assistant: "), expr("substring(text, 61, 120)"),
+          expr("chr(10)"),
+          lit("user: continue"), expr("chr(10)"),
+          lit("assistant: "), expr("substring(text, 181, 80)")).as("conv"))
+      val convs = base.withColumn("conv",
+        when(col("doc_id") % 3 === 0, concat(col("conv"),
+          expr("chr(10)"), lit("user: trailing question")))
+          .when(col("doc_id") % 5 === 0, concat(col("conv"),
+            expr("chr(10)"), lit("assistant: ok")))
+          .otherwise(col("conv")))
+      TextAnalysis.sftQuality(TextAnalysis.parseChatTurns(convs))
+        .orderBy("doc_id")
+    }),
+    // --- crawl-frontier politeness schedule: per-domain budget rounds,
+    // sort-key order (never a global row_number), overflow visible
+    "web_frontier" -> ((s, dir) => {
+      val urls = rd(s, dir, "documents").select(
+        col("doc_id").as("url_id"),
+        concat(lit("host"), (col("doc_id") % 20).cast("string"))
+          .as("domain"),
+        col("n_chars").as("priority"))
+      Web.crawlFrontier(urls, 3, 5).orderBy("domain", "domain_rank")
     })
   )
 
@@ -13051,7 +13081,99 @@ object SparkEntry {
         |  CAST(CAST(pop_sum AS HUGEINT) * 1000000
         |    // (CAST(n_rec_rows AS HUGEINT) * max_pop) AS BIGINT)
         |    AS mean_pop_ppm
-        |FROM ra, cat""".stripMargin
+        |FROM ra, cat""".stripMargin,
+    // SFT-gate twin: the docs_sft_turns parse chain over the perturbed
+    // staging, closed with the per-transcript lint rollup
+    "sft_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, 'system: be concise' || chr(10) ||
+        |    'user: ' || substr(text, 1, 60) || chr(10) ||
+        |    'assistant: ' || substr(text, 61, 120) || chr(10) ||
+        |    'user: continue' || chr(10) ||
+        |    'assistant: ' || substr(text, 181, 80) AS conv
+        |  FROM documents WHERE n_chars >= 300
+        |), convs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |        THEN conv || chr(10) || 'user: trailing question'
+        |      WHEN doc_id % 5 = 0
+        |        THEN conv || chr(10) || 'assistant: ok'
+        |      ELSE conv END AS conv
+        |  FROM base
+        |), ls AS (
+        |  SELECT doc_id, string_split(conv, chr(10)) AS l FROM convs
+        |), lines AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(l))) - 1 AS pos, l
+        |  FROM ls
+        |), r AS (
+        |  SELECT doc_id, pos, l[pos + 1] AS line FROM lines
+        |), rr AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN starts_with(line, 'system: ') THEN 'system'
+        |         WHEN starts_with(line, 'user: ') THEN 'user'
+        |         WHEN starts_with(line, 'assistant: ') THEN 'assistant'
+        |    END AS role,
+        |    CASE WHEN starts_with(line, 'system: ') THEN substr(line, 9)
+        |         WHEN starts_with(line, 'user: ') THEN substr(line, 7)
+        |         WHEN starts_with(line, 'assistant: ')
+        |           THEN substr(line, 12)
+        |         ELSE line END AS piece
+        |  FROM r
+        |), t AS (
+        |  SELECT *, CAST(sum(CASE WHEN role IS NOT NULL THEN 1 ELSE 0
+        |    END) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS turn_idx
+        |  FROM rr
+        |), g AS (
+        |  SELECT doc_id, turn_idx, max(role) AS role,
+        |    CAST(length(string_agg(piece, chr(10) ORDER BY pos))
+        |      AS BIGINT) AS n_chars
+        |  FROM t WHERE turn_idx > 0 GROUP BY 1, 2
+        |), h AS (
+        |  SELECT *,
+        |    lag(role) OVER (PARTITION BY doc_id ORDER BY turn_idx)
+        |      AS prev_role,
+        |    max(turn_idx) OVER (PARTITION BY doc_id) AS max_ti
+        |  FROM g
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_turns,
+        |  CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_user,
+        |  CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_assistant,
+        |  CAST(sum(CASE WHEN role <> 'system' AND prev_role = role
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_alternation_violations,
+        |  CAST(sum(CASE WHEN role = 'system' AND turn_idx > 1
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_misplaced_system,
+        |  max(CASE WHEN turn_idx = max_ti THEN role END) AS last_role,
+        |  CAST(min(CASE WHEN role = 'assistant' THEN n_chars END)
+        |    AS BIGINT) AS min_assistant_chars,
+        |  (sum(CASE WHEN role <> 'system' AND prev_role = role
+        |      THEN 1 ELSE 0 END) = 0
+        |    AND sum(CASE WHEN role = 'system' AND turn_idx > 1
+        |      THEN 1 ELSE 0 END) = 0
+        |    AND max(CASE WHEN turn_idx = max_ti THEN role END)
+        |      = 'assistant'
+        |    AND sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) >= 1
+        |    AND COALESCE(min(CASE WHEN role = 'assistant' THEN n_chars
+        |      END), 0) >= 10) AS keep
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // frontier twin: per-domain rank window, integer round math
+    "web_frontier" ->
+      """WITH urls AS (
+        |  SELECT doc_id AS url_id,
+        |    'host' || CAST(doc_id % 20 AS VARCHAR) AS domain,
+        |    CAST(n_chars AS BIGINT) AS priority
+        |  FROM documents
+        |), r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY domain
+        |    ORDER BY priority DESC, url_id) AS BIGINT) AS domain_rank
+        |  FROM urls
+        |)
+        |SELECT url_id, domain, priority, domain_rank,
+        |  CAST((domain_rank - 1) // 3 AS BIGINT) AS round,
+        |  ((domain_rank - 1) // 3) < 5 AS scheduled
+        |FROM r ORDER BY domain, domain_rank""".stripMargin
   )
 
   /** Unrolled-CTE twin of [[graft.ops.Graph.betweenness]] at maxHops=3:

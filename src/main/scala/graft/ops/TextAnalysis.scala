@@ -1693,6 +1693,51 @@ object TextAnalysis {
           chr(10))""")).cast("long").as("n_chars"))
   }
 
+  /** SFT-transcript quality gate over [[parseChatTurns]] output — the
+    * structural lint an instruction-tuning pipeline runs before a
+    * transcript may enter training: strict user/assistant alternation
+    * (a leading system turn allowed), the dialogue must END on an
+    * assistant turn, and no assistant turn may be trivially short.
+    * Violations are COUNTED per transcript (not just flagged) so the
+    * report ranks fix-worthiness; `keep` is the conjunction gate.
+    *
+    * Scale shape: one doc-keyed window (lag over turn_idx) for
+    * adjacency + one doc-keyed rollup — both ride a single shuffle on
+    * doc_id. Input: `(doc_id, turn_idx, role, n_chars)`.
+    */
+  def sftQuality(turns: DataFrame, minAssistantChars: Long = 10L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("turn_idx")
+    turns
+      .withColumn("prev_role", lag(col("role"), 1).over(w))
+      .withColumn("is_last",
+        col("turn_idx") === max(col("turn_idx")).over(
+          Window.partitionBy("doc_id")))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(when(col("role") === "user", 1L).otherwise(0L)).as("n_user"),
+        sum(when(col("role") === "assistant", 1L).otherwise(0L))
+          .as("n_assistant"),
+        // same non-system role twice in a row = alternation violation;
+        // a system turn anywhere past turn 1 is also a violation
+        sum(when(col("role") =!= "system" &&
+          col("prev_role") === col("role"), 1L).otherwise(0L))
+          .as("n_alternation_violations"),
+        sum(when(col("role") === "system" && col("turn_idx") > 1L, 1L)
+          .otherwise(0L)).as("n_misplaced_system"),
+        max(when(col("is_last"), col("role"))).as("last_role"),
+        min(when(col("role") === "assistant", col("n_chars")))
+          .as("min_assistant_chars"))
+      .withColumn("keep",
+        col("n_alternation_violations") === 0L &&
+          col("n_misplaced_system") === 0L &&
+          col("last_role") === "assistant" &&
+          col("n_assistant") >= 1L &&
+          coalesce(col("min_assistant_chars"), lit(0L))
+            >= minAssistantChars)
+  }
+
   /** Heaps-law vocabulary growth: cumulative distinct token types vs
     * cumulative token count as the corpus is consumed in doc_id order,
     * one row per `bucketWidth`-doc checkpoint. The naive "count distinct

@@ -179,6 +179,35 @@ object Web {
     * semantics — no LIKE/regex metacharacter hazards in either
     * engine).
     */
+  /** Crawl-frontier scheduling — per-domain politeness batching: each
+    * domain may contribute at most `perDomainBudget` URLs per crawl
+    * round (the rate limit every polite crawler owes a host), and
+    * within a round URLs are ordered by priority. The schedule is a
+    * SORT KEY `(round, priority desc, url_id)`, never a materialized
+    * global sequence — a corpus-wide row_number would funnel the whole
+    * frontier through one reducer; readers ORDER BY the emitted
+    * columns instead. URLs past `maxRounds` are reported `scheduled =
+    * false` (frontier overflow is a visible number, not silent
+    * truncation).
+    *
+    * One domain-keyed window (rank by priority) + narrow math — a
+    * single shuffle on domain. Input: `(url_id, domain, priority)`.
+    */
+  def crawlFrontier(urls: DataFrame, perDomainBudget: Int = 3,
+                    maxRounds: Int = 10): DataFrame = {
+    require(perDomainBudget >= 1 && maxRounds >= 1)
+    import org.apache.spark.sql.expressions.Window
+    urls
+      .withColumn("domain_rank", row_number().over(
+        Window.partitionBy("domain")
+          .orderBy(desc("priority"), asc("url_id"))).cast("long"))
+      .withColumn("round",
+        expr(s"(domain_rank - 1) div ${perDomainBudget}L"))
+      .withColumn("scheduled", col("round") < maxRounds)
+      .select(col("url_id"), col("domain"), col("priority"),
+        col("domain_rank"), col("round"), col("scheduled"))
+  }
+
   def robotsFilter(urls: DataFrame, rules: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val matched = urls

@@ -823,6 +823,29 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("sftQuality gates alternation, terminal role, and short turns") {
+    val turns = Seq(
+      // doc 1: clean system/user/assistant — keep
+      (1L, 1L, "system", 20L), (1L, 2L, "user", 30L),
+      (1L, 3L, "assistant", 40L),
+      // doc 2: double user — alternation violation
+      (2L, 1L, "user", 30L), (2L, 2L, "user", 30L),
+      (2L, 3L, "assistant", 40L),
+      // doc 3: ends on user
+      (3L, 1L, "user", 30L), (3L, 2L, "assistant", 40L),
+      (3L, 3L, "user", 10L),
+      // doc 4: assistant turn too short
+      (4L, 1L, "user", 30L), (4L, 2L, "assistant", 3L),
+      // doc 5: system in the middle
+      (5L, 1L, "user", 30L), (5L, 2L, "system", 9L),
+      (5L, 3L, "assistant", 40L))
+      .toDF("doc_id", "turn_idx", "role", "n_chars")
+    val r = TextAnalysis.sftQuality(turns).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Boolean]("keep")).toMap
+    assert(r == Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> false, 5L -> false))
+  }
+
   test("extractiveSummary ranks rare-term sentences first, ties to earlier") {
     // 'zebra' appears in ONE doc (max idf); 'common' in all three
     val docs = Seq(

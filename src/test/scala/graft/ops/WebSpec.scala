@@ -98,4 +98,21 @@ class WebSpec extends SparkSpec {
     val out = Web.robotsFilter(urls, rules).collect().head
     assert(out.getAs[Boolean]("allowed"))
   }
+
+  test("crawlFrontier batches per-domain, priority first, overflow visible") {
+    // domain a: 5 urls, budget 2 → rounds 0,0,1,1,2; maxRounds 2 drops
+    // the last; domain b: 1 url
+    val urls = Seq(
+      (1L, "a", 50L), (2L, "a", 40L), (3L, "a", 30L), (4L, "a", 20L),
+      (5L, "a", 10L), (9L, "b", 99L))
+      .toDF("url_id", "domain", "priority")
+    val r = Web.crawlFrontier(urls, perDomainBudget = 2, maxRounds = 2)
+      .collect()
+      .map(x => x.getAs[Long]("url_id") ->
+        (x.getAs[Long]("round"), x.getAs[Boolean]("scheduled"))).toMap
+    assert(r(1L) == ((0L, true)) && r(2L) == ((0L, true)))
+    assert(r(3L) == ((1L, true)) && r(4L) == ((1L, true)))
+    assert(r(5L) == ((2L, false)), "overflow past maxRounds is visible")
+    assert(r(9L) == ((0L, true)))
+  }
 }
