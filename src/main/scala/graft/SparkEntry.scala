@@ -3140,7 +3140,58 @@ object SparkEntry {
           .as("domain"),
         col("n_chars").as("priority"))
       Web.crawlFrontier(urls, 3, 5).orderBy("domain", "domain_rank")
-    })
+    }),
+    // --- URL-canonical dedup: the web_domains staging normalized, then
+    // one canonical survivor per url_norm family (min url_id)
+    "dedup_urls" -> ((s, dir) => {
+      val urls = rd(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("h", expr(
+          """concat(CASE WHEN doc_id % 7 IN (1, 3, 5) THEN 'www.' ELSE '' END,
+            |source, '.',
+            |CASE CAST((doc_id div 4) % 4 AS INT) WHEN 0 THEN 'com'
+            |  WHEN 1 THEN 'org' WHEN 2 THEN 'net' ELSE 'io' END)""".stripMargin))
+        .withColumn("url", expr(
+          """concat(
+            |CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END, '://',
+            |CASE WHEN doc_id % 7 = 0 THEN upper(h) ELSE h END,
+            |CASE WHEN doc_id % 5 = 0 THEN
+            |  (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE ':80' END)
+            |  ELSE '' END,
+            |'/', lang, '/p', CAST(doc_id % 40 AS STRING),
+            |CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END,
+            |CASE WHEN doc_id % 3 = 0 THEN
+            |  concat('?utm_source=feed&utm_medium=rss&id=',
+            |         CAST(doc_id % 9 AS STRING))
+            |  WHEN doc_id % 3 = 1 THEN concat('?id=', CAST(doc_id % 9 AS STRING))
+            |  ELSE '' END,
+            |CASE WHEN doc_id % 5 = 0 THEN '#sec2' ELSE '' END)""".stripMargin))
+        .drop("h")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("url_norm")
+      Web.normalizeUrls(urls)
+        .select(col("doc_id").as("url_id"), col("url_norm"))
+        .withColumn("n_variants", count(lit(1)).over(w).cast("long"))
+        .withColumn("keep", row_number().over(
+          w.orderBy("url_id")) === 1)
+        .orderBy("url_id")
+    }),
+    // --- derandomized independent-cascade spread over the order–part
+    // graph: md5-threshold edge trials, hop-3 reach per trial
+    "graph_cascade" -> ((s, dir) => {
+      val e = rd(s, dir, "lineitem")
+        .select(col("l_orderkey").as("src"),
+          (col("l_partkey") + 20000000L).as("dst"))
+      val e2 = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = rd(s, dir, "orders").filter(col("o_orderkey") < 10)
+        .select(col("o_orderkey").as("id"))
+      Graph.independentCascade(e2, seeds, pPpm = 300000L, trials = 3,
+        maxHops = 3).orderBy("trial")
+    }),
+    // --- seasonality-aware anomaly flags: STL-style remainder gated by
+    // the doubled-order-statistic MAD, all integers
+    "events_anomaly_seasonal" -> ((s, dir) =>
+      Events.seasonalAnomalies(rdEvents(s, dir), 3).orderBy("day"))
   )
 
   /** Staged mojibake rows shared by the `text_mojibake` query and its
@@ -13173,7 +13224,150 @@ object SparkEntry {
         |SELECT url_id, domain, priority, domain_rank,
         |  CAST((domain_rank - 1) // 3 AS BIGINT) AS round,
         |  ((domain_rank - 1) // 3) < 5 AS scheduled
-        |FROM r ORDER BY domain, domain_rank""".stripMargin
+        |FROM r ORDER BY domain, domain_rank""".stripMargin,
+    // URL-dedup twin: the web_domains normalize chain carrying doc_id,
+    // closed with the per-url_norm canonical election
+    "dedup_urls" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END) ||
+        |    '://' ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN upper(h) ELSE h END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN
+        |       (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE ':80' END)
+        |     ELSE '' END) ||
+        |    '/' || lang || '/p' || CAST(doc_id % 40 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN
+        |       '?utm_source=feed&utm_medium=rss&id=' ||
+        |       CAST(doc_id % 9 AS VARCHAR)
+        |     WHEN doc_id % 3 = 1 THEN '?id=' || CAST(doc_id % 9 AS VARCHAR)
+        |     ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '#sec2' ELSE '' END) AS url
+        |  FROM (SELECT doc_id, lang,
+        |        (CASE WHEN doc_id % 7 IN (1, 3, 5) THEN 'www.' ELSE '' END)
+        |        || source || '.' ||
+        |        (CASE CAST((doc_id // 4) % 4 AS INT) WHEN 0 THEN 'com'
+        |          WHEN 1 THEN 'org' WHEN 2 THEN 'net' ELSE 'io' END) AS h
+        |        FROM documents)
+        |), step1 AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(url,
+        |    '#.*', '', 'g'),
+        |    '(utm_[a-zA-Z]+|gclid|fbclid)=[^&]*&?', '', 'g'),
+        |    '[?&]+$', '', 'g') AS u
+        |  FROM raw
+        |), parts AS (
+        |  SELECT doc_id, u,
+        |    regexp_replace(lower(regexp_extract(u,
+        |      '^[A-Za-z]+://([^/?#]+)', 1)), ':(80|443)$', '', 'g') AS host,
+        |    regexp_replace(replace(regexp_extract(u,
+        |      '^[A-Za-z]+://[^/?#]+(.*)', 1), '/?', '?'),
+        |      '/+$', '', 'g') AS path
+        |  FROM step1
+        |), norm AS (
+        |  SELECT doc_id AS url_id,
+        |    lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) || '://' ||
+        |      host || path AS url_norm
+        |  FROM parts
+        |)
+        |SELECT url_id, url_norm,
+        |  CAST(count(*) OVER (PARTITION BY url_norm) AS BIGINT)
+        |    AS n_variants,
+        |  row_number() OVER (PARTITION BY url_norm ORDER BY url_id) = 1
+        |    AS keep
+        |FROM norm ORDER BY url_id""".stripMargin,
+    // cascade twin: md5-threshold trial subgraphs, 3 unrolled
+    // MATERIALIZED reach hops (each r referenced twice)
+    "graph_cascade" ->
+      """WITH e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT l_orderkey AS src, l_partkey + 20000000 AS dst
+        |    FROM lineitem
+        |    UNION ALL
+        |    SELECT l_partkey + 20000000 AS src, l_orderkey AS dst
+        |    FROM lineitem)
+        |), act AS MATERIALIZED (
+        |  SELECT t.trial, e.src, e.dst
+        |  FROM e, UNNEST(range(0, 3)) AS t(trial)
+        |  WHERE CAST('0x' || substr(md5(CAST(src AS VARCHAR) || ':' ||
+        |    CAST(dst AS VARCHAR) || ':' || CAST(t.trial AS VARCHAR)),
+        |    1, 8) AS BIGINT) % 1000000 < 300000
+        |), r0 AS MATERIALIZED (
+        |  SELECT t.trial, o_orderkey AS id
+        |  FROM orders, UNNEST(range(0, 3)) AS t(trial)
+        |  WHERE o_orderkey < 10
+        |), r1 AS MATERIALIZED (
+        |  SELECT DISTINCT trial, id FROM (
+        |    SELECT trial, id FROM r0
+        |    UNION ALL
+        |    SELECT a.trial, a.dst AS id FROM r0 r
+        |    JOIN act a ON a.trial = r.trial AND a.src = r.id)
+        |), r2 AS MATERIALIZED (
+        |  SELECT DISTINCT trial, id FROM (
+        |    SELECT trial, id FROM r1
+        |    UNION ALL
+        |    SELECT a.trial, a.dst AS id FROM r1 r
+        |    JOIN act a ON a.trial = r.trial AND a.src = r.id)
+        |), r3 AS MATERIALIZED (
+        |  SELECT DISTINCT trial, id FROM (
+        |    SELECT trial, id FROM r2
+        |    UNION ALL
+        |    SELECT a.trial, a.dst AS id FROM r2 r
+        |    JOIN act a ON a.trial = r.trial AND a.src = r.id)
+        |)
+        |SELECT trial,
+        |  CAST(COALESCE(ae.n, 0) AS BIGINT) AS n_active_edges,
+        |  CAST(COALESCE(rr.n, 0) AS BIGINT) AS n_reached
+        |FROM (SELECT trial, count(*) AS n FROM act GROUP BY 1) ae
+        |FULL JOIN (SELECT trial, count(*) AS n FROM r3 GROUP BY 1) rr
+        |  USING (trial)
+        |ORDER BY trial""".stripMargin,
+    // seasonal-anomaly twin: the decompose chain + doubled-order-
+    // statistic median/MAD gate (quantile_cont is percentile's twin)
+    "events_anomaly_seasonal" ->
+      s"""WITH d AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1
+        |), t AS (
+        |  SELECT day, n,
+        |    count(*) OVER w AS n7,
+        |    CAST(sum(n) OVER w AS BIGINT) AS sum7
+        |  FROM d
+        |  WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |), t2 AS (
+        |  SELECT day, n,
+        |    CASE WHEN n7 = 7
+        |      THEN CAST(1000000 * sum7 // 7 AS BIGINT) END AS trend_ppm
+        |  FROM t
+        |), t3 AS (
+        |  SELECT day, n, trend_ppm,
+        |    1000000 * n - trend_ppm AS detr_ppm
+        |  FROM t2
+        |), seas AS (
+        |  SELECT day % 7 AS dow,
+        |    CAST(2 * quantile_cont(detr_ppm, 0.5) AS BIGINT) AS seas2
+        |  FROM t3 WHERE detr_ppm IS NOT NULL GROUP BY 1
+        |), rem AS (
+        |  SELECT t3.day, t3.n,
+        |    CAST(2 * t3.detr_ppm - seas.seas2 AS BIGINT) AS r2
+        |  FROM t3 JOIN seas ON t3.day % 7 = seas.dow
+        |  WHERE t3.detr_ppm IS NOT NULL
+        |), m AS (
+        |  SELECT CAST(2 * quantile_cont(r2, 0.5) AS BIGINT) AS med4
+        |  FROM rem
+        |), dev AS (
+        |  SELECT rem.*, m.med4, abs(2 * r2 - med4) AS dev4
+        |  FROM rem, m
+        |), md AS (
+        |  SELECT CAST(2 * quantile_cont(dev4, 0.5) AS BIGINT) AS mad8
+        |  FROM dev
+        |)
+        |SELECT day, n, r2 AS remainder2_ppm, med4,
+        |  CAST(mad8 AS BIGINT) AS mad8,
+        |  (2 * dev4 > 3 * mad8) AS is_anomaly
+        |FROM dev, md ORDER BY day""".stripMargin
   )
 
   /** Unrolled-CTE twin of [[graft.ops.Graph.betweenness]] at maxHops=3:

@@ -1536,6 +1536,56 @@ object Events {
         (col("detr_ppm") - col("seasonal_ppm")).as("remainder_ppm"))
   }
 
+  /** Seasonality-aware anomaly flags — the [[seasonalDecompose]] trend
+    * composed with a ROBUST (per-dow MEDIAN) seasonal and a robust-MAD
+    * gate: a day is anomalous when its remainder (actual − trend −
+    * dow-median seasonal) sits more than `k` MADs from the median
+    * remainder. A plain MAD gate false-positives every weekend on
+    * seasonal traffic, and a MEAN seasonal lets one spike contaminate
+    * its weekday's cell and flag every sibling day — median seasonal +
+    * median/MAD gate is the robust-STL shape, and every statistic
+    * stays an exact integer via doubled order statistics. Spike
+    * leakage into the ±3-day centered trend window remains (textbook
+    * moving-average behavior): flags localize to the spike's window.
+    *
+    * Scale shape: decomposition is day-keyed (bounded by the
+    * calendar); the seasonal election is a 7-row broadcast; median/MAD
+    * run over the same bounded daily frame (whitelisted one-row
+    * broadcasts); output one row per complete-window day.
+    */
+  def seasonalAnomalies(events: DataFrame, k: Int = 3): DataFrame = {
+    // a MEAN dow-seasonal (seasonalDecompose's form) lets one spike
+    // contaminate its weekday's cell and flag every sibling day — the
+    // anomaly gate needs the ROBUST seasonal: per-dow MEDIAN of the
+    // detrended series. Everything stays integer via doubled order
+    // statistics (2·median is exact at any parity, the r6 recipe):
+    // seas2 = 2·med(detr), r2 = 2·detr − seas2 (= 2×remainder),
+    // med4 = 2·med(r2), dev4 = |2·r2 − med4|, mad8 = 2·med(dev4), and
+    // |rem − med| > k·MAD ⇔ 2·dev4 > k·mad8.
+    val detr = seasonalDecompose(events)
+      .filter(col("trend_ppm").isNotNull)
+      .withColumn("detr_ppm",
+        lit(1000000L) * col("n") - col("trend_ppm"))
+      .select(col("day"), col("n"), col("detr_ppm"))
+      .localCheckpoint() // feeds the seasonal election AND the gate
+    val seas = detr.groupBy((col("day") % 7).as("dow"))
+      .agg(expr("CAST(2 * percentile(detr_ppm, 0.5) AS BIGINT)")
+        .as("seas2"))
+    val rem = detr.join(broadcast(seas), col("day") % 7 === col("dow"))
+      .withColumn("r2", expr("2 * detr_ppm - seas2"))
+      .localCheckpoint() // feeds the median election AND the gate
+    val m = rem.agg(
+      expr("CAST(2 * percentile(r2, 0.5) AS BIGINT)").as("med4"))
+    val dev = rem.crossJoin(broadcast(m))
+      .withColumn("dev4", expr("abs(2 * r2 - med4)"))
+    val mad = dev.agg(
+      expr("CAST(2 * percentile(dev4, 0.5) AS BIGINT)").as("mad8"))
+    dev.crossJoin(broadcast(mad))
+      .withColumn("is_anomaly", expr(s"2 * dev4 > ${k}L * mad8"))
+      .select(col("day"), col("n"), col("r2").as("remainder2_ppm"),
+        col("med4"), col("mad8"), col("is_anomaly"))
+  }
+
   /** Peak concurrency per day — the interval-stacking sweep behind
     * capacity planning and concurrent-session licensing: each user's
     * activity interval for a day is [first event, last event]; the peak

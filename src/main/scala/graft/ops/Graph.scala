@@ -823,6 +823,54 @@ object Graph {
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Derandomized independent-cascade influence spread — the
+    * Monte-Carlo estimator behind influence maximization (Kempe et
+    * al.), made engine-reproducible: edge (u, v) is ACTIVE in trial t
+    * iff `md5(u:v:t) % 10⁶ < pPpm` (the md5-threshold Bernoulli
+    * recipe), and the spread of the seed set in a trial is its
+    * hop-bounded reach over that trial's active subgraph. Fixed salts
+    * make every trial a deterministic subgraph, so the whole estimate
+    * is hash-oracled — no RNG, no approximate check.
+    *
+    * Scale shape: the trial fan is |E|·trials rows filtered to
+    * ~p·|E|·trials active edges ONCE (checkpointed — it feeds every
+    * hop); each hop is one (trial, node)-keyed equi-join + distinct;
+    * all trials advance together (the betweenness all-seeds pattern).
+    * Output per trial: active edges and nodes reached.
+    */
+  def independentCascade(edges: DataFrame, seeds: DataFrame,
+                         pPpm: Long = 300000L, trials: Int = 3,
+                         maxHops: Int = 3): DataFrame = {
+    require(trials >= 1 && maxHops >= 1 && pPpm >= 0 && pPpm <= 1000000L)
+    val tfan = explode(lit((0 until trials).map(_.toLong).toArray))
+    val act = edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).distinct()
+      .withColumn("trial", tfan)
+      .filter(expr(
+        """CAST(conv(substring(md5(concat(CAST(src AS STRING), ':',
+          |CAST(dst AS STRING), ':', CAST(trial AS STRING))), 1, 8),
+          |16, 10) AS BIGINT) % 1000000""".stripMargin) < pPpm)
+      .select(col("trial"), col("src"), col("dst"))
+      .localCheckpoint(true) // feeds every hop
+    var reach = seeds.select(col("id").cast("long").as("id")).distinct()
+      .withColumn("trial", tfan).select(col("trial"), col("id"))
+      .localCheckpoint(true)
+    (1 to maxHops).foreach { _ =>
+      val step = reach.join(act,
+          reach("trial") === act("trial") && reach("id") === act("src"))
+        .select(act("trial").as("trial"), col("dst").as("id"))
+      reach = reach.unionByName(step).distinct().localCheckpoint(true)
+    }
+    val spread = reach.groupBy(col("trial"))
+      .agg(count(lit(1)).as("n_reached"))
+    act.groupBy(col("trial")).agg(count(lit(1)).as("n_active_edges"))
+      .join(spread, Seq("trial"), "full")
+      .select(col("trial"),
+        coalesce(col("n_active_edges"), lit(0L)).as("n_active_edges"),
+        coalesce(col("n_reached"), lit(0L)).as("n_reached"))
+  }
+
   /** Bipartite butterfly (2×2 biclique / 4-cycle) census — the bipartite
     * graph's analogue of the triangle count, THE cohesion statistic for
     * user–item / order–part interaction graphs (triangles are

@@ -113,6 +113,8 @@ class QueryPlanSpec extends SparkSpec {
                     // the one-row observed-agreement frame (1×1)
       "reco_coverage", // one-row catalog (count, max-pop) frame crossed
                        // onto the one-row recommendation aggregate (1×1)
+      "events_anomaly_seasonal", // one-row median + one-row MAD frames
+                                 // crossed onto the bounded daily frame
       "graph_butterflies", // one-row census × one-row size frames (1×1)
       "web_robots") // the rule table is a bounded policy artifact
                     // broadcast against the URL stream (prefix theta)

@@ -1182,6 +1182,28 @@ class EventsSpec extends SparkSpec {
     assert(r.getAs[Long]("covered_us") == 6000000L)
   }
 
+  test("seasonalAnomalies flags a planted spike, not the weekly pattern") {
+    // 8 weeks of weekly traffic (dow 0 heavy) with mild deterministic
+    // daily noise (keeps MAD > 0) + one spike day
+    val day0 = 0L
+    val rows = (0L until 56L).flatMap { d =>
+      val base = (if (d % 7 == 0) 20 else 10) + ((d * 7919) % 3).toInt
+      val n = if (d == 30L) base + 200 else base // spike on day 30
+      (0 until n).map(i => (d * 1000 + i, 1L,
+        (day0 + d) * 86400000000000L + i * 1000000L, 1.0))
+    }.toDF("event_id", "user_id", "ts", "value")
+    val r = Events.seasonalAnomalies(rows, 3).collect()
+      .map(x => x.getAs[Long]("day") -> x.getAs[Boolean]("is_anomaly"))
+      .toMap
+    assert(r(30L), "the planted spike must be flagged")
+    // the recurring dow-0 heavy days OUTSIDE the spike's ±3-day trend
+    // window are SEASONAL, not anomalous (the spike leaks into the
+    // centered moving average for days 27..33 — textbook STL behavior)
+    assert(!r(14L) && !r(21L) && !r(35L) && !r(42L))
+    r.filter(_._2).keys.foreach(d =>
+      assert(d >= 27L && d <= 33L, s"flag outside the spike window: $d"))
+  }
+
   test("croston folds z/p on demand days only, zero days skipped") {
     // type a: demands 2.00 on day 0, 4.00 on day 2, 1.00 on day 3;
     // a zero-value day 1 must not perturb the interval EWMA

@@ -974,6 +974,30 @@ class GraphSpec extends SparkSpec {
     assert(r == Map(2L -> ((2000000L, 2L))))
   }
 
+  test("independentCascade: p=0 reaches seeds only, p=1e6 is plain BFS") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 10L))
+      .toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val closed = Graph.independentCascade(e, seeds, pPpm = 0L,
+      trials = 2, maxHops = 3).collect()
+    assert(closed.forall(_.getAs[Long]("n_reached") == 1L))
+    assert(closed.forall(_.getAs[Long]("n_active_edges") == 0L))
+    val full = Graph.independentCascade(e, seeds, pPpm = 1000000L,
+      trials = 2, maxHops = 3).collect()
+    // hop-3 from 1 over 1→2→3→4; the 9→10 component is unreachable
+    assert(full.forall(_.getAs[Long]("n_reached") == 4L))
+    assert(full.forall(_.getAs[Long]("n_active_edges") == 4L))
+    // intermediate p: trials are DIFFERENT deterministic subgraphs
+    val mid = Graph.independentCascade(e, seeds, pPpm = 500000L,
+      trials = 4, maxHops = 3).collect()
+    assert(mid.length == 4)
+    val again = Graph.independentCascade(e, seeds, pPpm = 500000L,
+      trials = 4, maxHops = 3).collect()
+    assert(mid.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "derandomized trials must replay exactly")
+  }
+
   test("butterflyCensus: a 2×2 biclique is exactly one butterfly") {
     import spark.implicits._
     val e = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L))
