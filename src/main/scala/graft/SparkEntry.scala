@@ -3191,7 +3191,26 @@ object SparkEntry {
     // --- seasonality-aware anomaly flags: STL-style remainder gated by
     // the doubled-order-statistic MAD, all integers
     "events_anomaly_seasonal" -> ((s, dir) =>
-      Events.seasonalAnomalies(rdEvents(s, dir), 3).orderBy("day"))
+      Events.seasonalAnomalies(rdEvents(s, dir), 3).orderBy("day")),
+    // --- exact Shapley data valuation of sources on vocabulary
+    // coverage: top-5 sources individually, long tail pooled
+    "docs_shapley_sources" -> ((s, dir) =>
+      Sampling.shapleyVocabValue(rd(s, dir, "documents"), 5)),
+    // --- duplicate-family census: component-size histogram over the
+    // jaccard pair graph, singletons included as size-1 families
+    "dedup_family_sizes" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val clusters = Dedup.resolveClustersStar(
+        Dedup.ngramJaccard(docs).select("a_id", "b_id"))
+      docs.select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("cid", coalesce(col("cluster_id"), col("doc_id")))
+        .groupBy(col("cid")).agg(count(lit(1)).as("family_size"))
+        .groupBy(col("family_size"))
+        .agg(count(lit(1)).as("n_families"))
+        .withColumn("n_docs", col("family_size") * col("n_families"))
+        .orderBy("family_size")
+    })
   )
 
   /** Staged mojibake rows shared by the `text_mojibake` query and its
@@ -13367,8 +13386,87 @@ object SparkEntry {
         |SELECT day, n, r2 AS remainder2_ppm, med4,
         |  CAST(mad8 AS BIGINT) AS mad8,
         |  (2 * dev4 > 3 * mad8) AS is_anomaly
-        |FROM dev, md ORDER BY day""".stripMargin
+        |FROM dev, md ORDER BY day""".stripMargin,
+    // vocabulary-coverage Shapley twin: generated coalition table over
+    // the 2^(topK+1) mask cells (the events_shapley machinery)
+    "docs_shapley_sources" -> shapleyVocabOracle(5),
+    // family-census twin: the clusters closure + size histogram with
+    // unclustered docs as their own size-1 families
+    "dedup_family_sizes" -> (clustersCteSql +
+      """
+        |, comp AS (
+        |  SELECT id, min(label) AS cluster_id FROM walk GROUP BY id
+        |), fam AS (
+        |  SELECT coalesce(comp.cluster_id, d.doc_id) AS cid,
+        |    CAST(count(*) AS BIGINT) AS family_size
+        |  FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
+        |  GROUP BY 1
+        |)
+        |SELECT family_size, CAST(count(*) AS BIGINT) AS n_families,
+        |  CAST(family_size * count(*) AS BIGINT) AS n_docs
+        |FROM fam GROUP BY 1 ORDER BY family_size""".stripMargin)
   )
+
+  /** Generated DuckDB twin of [[graft.ops.Sampling.shapleyVocabValue]]:
+    * the same top-`topK` source election (count desc, name asc), bit
+    * masks per token via distinct (group, token) bit sums, the 2^c
+    * coalition coverage table (v(T) = tokens whose mask intersects T),
+    * and factorial-weighted marginal sums unrolled per group.
+    */
+  private def shapleyVocabOracle(topK: Int): String = {
+    val c = topK + 1
+    def fact(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+    val full = (1L << c) - 1
+    val phiRows = (0 until c).map { i =>
+      val bit = 1L << i
+      val terms = (0L to full).filter(t => (t & bit) == 0L).map { t =>
+        val w = fact(java.lang.Long.bitCount(t)) *
+          fact(c - 1 - java.lang.Long.bitCount(t))
+        s"$w*((SELECT vv FROM v WHERE t=${t | bit})" +
+          s"-(SELECT vv FROM v WHERE t=$t))"
+      }.mkString("\n    + ")
+      val label =
+        if (i < topK) s"(SELECT source FROM top WHERE grp = $i)"
+        else "'other'"
+      s"  SELECT CAST($i AS BIGINT) AS grp, $label AS source,\n" +
+        s"    CAST(coalesce((SELECT n FROM cells WHERE mask = $bit), 0)" +
+        s" AS BIGINT) AS n_exclusive_tokens,\n" +
+        s"    CAST(\n    $terms AS BIGINT) AS phi_scaled"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH sc AS (
+       |  SELECT source, count(*) AS n FROM documents GROUP BY 1
+       |), top AS (
+       |  SELECT source,
+       |    row_number() OVER (ORDER BY n DESC, source) - 1 AS grp
+       |  FROM sc
+       |), g AS (
+       |  SELECT source, CASE WHEN grp < $topK THEN grp ELSE $topK END
+       |    AS grp
+       |  FROM top
+       |), dt AS (
+       |  SELECT DISTINCT g.grp, tok FROM (
+       |    SELECT source, unnest(list_distinct(
+       |      string_split_regex(trim(lower(text)), '\\s+'))) AS tok
+       |    FROM documents) d
+       |  JOIN g ON d.source = g.source WHERE length(tok) > 0
+       |), tm AS (
+       |  SELECT tok, CAST(sum(1 << CAST(grp AS INT)) AS BIGINT) AS mask
+       |  FROM dt GROUP BY 1
+       |), cells AS MATERIALIZED (
+       |  SELECT mask, CAST(count(*) AS BIGINT) AS n FROM tm GROUP BY 1
+       |), v AS MATERIALIZED (
+       |  SELECT t.m AS t, CAST(coalesce(sum(c.n), 0) AS BIGINT) AS vv
+       |  FROM (SELECT UNNEST(range(0, ${full + 1})) AS m) t
+       |  LEFT JOIN cells c ON (c.mask & t.m) <> 0
+       |  GROUP BY 1
+       |), phi AS (
+       |$phiRows
+       |)
+       |SELECT grp, source, n_exclusive_tokens, phi_scaled,
+       |  CAST(phi_scaled * 1000000 // greatest(${fact(c)} *
+       |    (SELECT vv FROM v WHERE t = $full), 1) AS BIGINT) AS phi_ppm
+       |FROM phi ORDER BY grp""".stripMargin
+  }
 
   /** Unrolled-CTE twin of [[graft.ops.Graph.betweenness]] at maxHops=3:
     * forward level-BFS hops f1..f3 (σ summed over depth-(h−1) parents,

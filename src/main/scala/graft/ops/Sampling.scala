@@ -638,4 +638,67 @@ object Sampling {
         (col("neg_token") === col("context")).as("is_collision"))
       .orderBy("doc_id", "pos", "j")
   }
+
+  /** Exact Shapley data valuation of SOURCES on vocabulary coverage —
+    * the axiomatic sibling of [[docs_ablation]]'s leave-one-out: the
+    * characteristic function v(T) = distinct token types covered by
+    * source coalition T is submodular (coverage), so marginal and
+    * Shapley views genuinely differ, and the bounded group count makes
+    * the 2^c coalition table exact (the `events_shapley` machinery).
+    * The top `topK` sources by doc count (ties by name) are valued
+    * individually; the long tail pools into `other` — the realistic
+    * shape when source counts are unbounded.
+    *
+    * Scale shape: one vocab-sized distinct + bit-OR groupBy compresses
+    * the corpus to ≤ 2^(topK+1) mask cells; the coalition zeta and the
+    * factorial-weighted marginals run on the driver over that bounded
+    * frame (the bounded-pull class). φ·c! stays integral; efficiency
+    * Σφ·c! = c!·v(full) is asserted.
+    */
+  def shapleyVocabValue(docs: DataFrame, topK: Int = 5): DataFrame = {
+    require(topK >= 1 && topK <= 11)
+    val top = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("source")).limit(topK)
+      .collect().map(_.getString(0)).toSeq // bounded: topK rows
+    val c = top.length + 1
+    val grpExpr = top.zipWithIndex.foldRight(lit(top.length.toLong)) {
+      case ((s, i), els) => when(col("source") === s, lit(i.toLong))
+        .otherwise(els)
+    }
+    val cells = docs
+      .select(grpExpr.as("grp"),
+        explode(array_distinct(
+          split(trim(lower(col("text"))), "\\s+"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+      .groupBy(col("tok"))
+      .agg(sum(expr("shiftleft(1L, CAST(grp AS INT))")).as("mask"))
+      .groupBy(col("mask")).agg(count(lit(1)).as("n"))
+      .collect()                        // bounded: <= 2^c cells
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val full = (1L << c) - 1L
+    // coverage: v(T) = # tokens whose source mask intersects T
+    val v = (0L to full).map { t =>
+      t -> cells.collect { case (m, n) if (m & t) != 0L => n }.sum
+    }.toMap
+    def fact(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+    val cFact = fact(c)
+    val labels = top.zipWithIndex.map { case (s, i) => (i.toLong, s) } :+
+      ((top.length.toLong, "other"))
+    val rows = labels.map { case (i, label) =>
+      val bit = 1L << i.toInt
+      val phiScaled = (0L to full).filter(t => (t & bit) == 0L).map { t =>
+        val size = java.lang.Long.bitCount(t)
+        fact(size) * fact(c - 1 - size) * (v(t | bit) - v(t))
+      }.sum
+      (i, label, cells.getOrElse(bit, 0L), phiScaled,
+        1000000L * phiScaled / math.max(cFact * v(full), 1L))
+    }
+    assert(rows.map(_._4).sum == cFact * v(full),
+      "Shapley efficiency violated (v(empty) = 0 for coverage)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    rows.toDF("grp", "source", "n_exclusive_tokens", "phi_scaled",
+      "phi_ppm").orderBy("grp")
+  }
 }

@@ -377,4 +377,22 @@ class SamplingSpec extends SparkSpec {
     // collisions with the positive context are flagged, present, honest
     assert(rows.exists(_.getAs[Boolean]("is_collision")))
   }
+
+  test("shapleyVocabValue: symmetry, efficiency, exclusive counts") {
+    // source a covers {x, y}, source b covers {y, z} — symmetric
+    // coverage, one exclusive token each; 'other' pool is empty
+    val docs = Seq(
+      (1L, "x y", "a"), (2L, "x", "a"), // a twice → elected grp 0
+      (3L, "y z", "b"))
+      .toDF("doc_id", "text", "source")
+    val r = Sampling.shapleyVocabValue(docs, topK = 2).collect()
+      .map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("n_exclusive_tokens"),
+          x.getAs[Long]("phi_scaled"))).toMap
+    assert(r("a")._1 == 1L && r("b")._1 == 1L) // x and z exclusive
+    assert(r("a")._2 == r("b")._2, "symmetric coverage → equal Shapley")
+    assert(r("other") == ((0L, 0L)), "empty pool earns nothing")
+    // efficiency: Σφ·c! == c!·v(full) = 6 · 3 distinct tokens
+    assert(r.values.map(_._2).sum == 18L)
+  }
 }
