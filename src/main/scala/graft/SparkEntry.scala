@@ -3196,6 +3196,47 @@ object SparkEntry {
     // coverage: top-5 sources individually, long tail pooled
     "docs_shapley_sources" -> ((s, dir) =>
       Sampling.shapleyVocabValue(rd(s, dir, "documents"), 5)),
+    // --- PII-detector eval: planted gold per class (real email/IP
+    // caught, obfuscated forms honestly missed), per-class recall
+    "pii_eval" -> ((s, dir) => {
+      val staged = rd(s, dir, "documents").select(col("doc_id"),
+        expr("""concat(text, ' ',
+          |CASE CAST(doc_id % 4 AS INT)
+          |  WHEN 0 THEN concat('user', CAST(doc_id AS STRING),
+          |    '@example.com')
+          |  WHEN 1 THEN concat('user', CAST(doc_id AS STRING),
+          |    ' at example dot com')
+          |  WHEN 2 THEN concat('10.1.0.', CAST(doc_id % 256 AS STRING))
+          |  ELSE 'five five five 0123' END)""".stripMargin).as("text"),
+        expr("""CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'email'
+          |  WHEN 1 THEN 'email_obfuscated' WHEN 2 THEN 'ip'
+          |  ELSE 'phone_obfuscated' END""".stripMargin).as("planted"))
+      staged.select(col("doc_id"), col("planted"))
+        .join(TextAnalysis.redactPii(staged), "doc_id")
+        .groupBy(col("planted"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_emails") + col("n_phones") + col("n_ips") > 0,
+            1L).otherwise(0L)).as("n_flagged"))
+        .withColumn("recall_ppm", expr("1000000L * n_flagged div n_docs"))
+        .orderBy("planted")
+    }),
+    // --- LWW conflict audit: planted concurrent writers (same key,
+    // same instant, different value) surface as conflict instants
+    "cdc_lww_audit" -> ((s, dir) => {
+      val base = rdEvents(s, dir).select(col("user_id").as("k"),
+        expr("ts div 1000").as("t"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("v"))
+      val planted = base.filter(col("k") < 50)
+        .groupBy("k").agg(min(col("t")).as("t"))
+        .withColumn("v", lit(-1L))
+      Cdc.lwwAudit(base.unionByName(planted), "k", "t", "v")
+        .orderBy("k")
+    }),
+    // --- class-balanced batch assembly over labeled embeddings:
+    // md5-shuffled slots, ragged trailing batches flagged
+    "pack_balanced" -> ((s, dir) =>
+      Sampling.balancedBatches(rd(s, dir, "embeddings"), "label",
+        "vec_id", 4).orderBy("id")),
     // --- duplicate-family census: component-size histogram over the
     // jaccard pair graph, singletons included as size-1 families
     "dedup_family_sizes" -> ((s, dir) => {
@@ -13387,6 +13428,92 @@ object SparkEntry {
         |  CAST(mad8 AS BIGINT) AS mad8,
         |  (2 * dev4 > 3 * mad8) AS is_anomaly
         |FROM dev, md ORDER BY day""".stripMargin,
+    // PII-eval twin: same planted staging, same regex counts, recall
+    // rollup per planted class
+    "pii_eval" ->
+      """WITH staged AS (
+        |  SELECT doc_id,
+        |    text || ' ' ||
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN 'user' || CAST(doc_id AS VARCHAR)
+        |        || '@example.com'
+        |      WHEN 1 THEN 'user' || CAST(doc_id AS VARCHAR)
+        |        || ' at example dot com'
+        |      WHEN 2 THEN '10.1.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |      ELSE 'five five five 0123' END AS text,
+        |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'email'
+        |      WHEN 1 THEN 'email_obfuscated' WHEN 2 THEN 'ip'
+        |      ELSE 'phone_obfuscated' END AS planted
+        |  FROM documents
+        |), det AS (
+        |  SELECT doc_id, planted,
+        |    len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(text, '\d{3}[-.]\d{4}'))
+        |    + len(regexp_extract_all(text,
+        |      '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS hits
+        |  FROM staged
+        |)
+        |SELECT planted, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged,
+        |  CAST(1000000 * sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END)
+        |    // count(*) AS BIGINT) AS recall_ppm
+        |FROM det GROUP BY 1 ORDER BY planted""".stripMargin,
+    // LWW-audit twin: per-instant max collapses ties, k-keyed rollup,
+    // LWW election via (t DESC, v DESC) rank over the instant frame
+    "cdc_lww_audit" ->
+      """WITH base AS (
+        |  SELECT user_id AS k, epoch_us(ts) AS t,
+        |    CAST(floor(value * 100) AS BIGINT) AS v
+        |  FROM events
+        |), planted AS (
+        |  SELECT k, min(t) AS t, CAST(-1 AS BIGINT) AS v
+        |  FROM base WHERE k < 50 GROUP BY k
+        |), log AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM planted
+        |), pi AS (
+        |  SELECT k, t, CAST(count(DISTINCT v) AS BIGINT) AS nv,
+        |    max(v) AS v
+        |  FROM log GROUP BY 1, 2
+        |), lww AS (
+        |  SELECT k, v AS lww_value FROM (
+        |    SELECT k, v, row_number() OVER (PARTITION BY k
+        |      ORDER BY t DESC, v DESC) AS rn FROM pi)
+        |  WHERE rn = 1
+        |)
+        |SELECT pi.k, CAST(count(*) AS BIGINT) AS n_instants,
+        |  CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_conflict_instants,
+        |  CAST(max(t) AS BIGINT) AS latest_ts,
+        |  CAST(max(lww_value) AS BIGINT) AS lww_value,
+        |  (sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) = 0) AS is_clean
+        |FROM pi JOIN lww ON pi.k = lww.k
+        |GROUP BY pi.k ORDER BY pi.k""".stripMargin,
+    // balanced-batch twin: per-class md5 rank, integer slot math,
+    // bounded (batch, class) completeness rollup
+    "pack_balanced" ->
+      """WITH r AS (
+        |  SELECT vec_id AS id, CAST(label AS BIGINT) AS cls,
+        |    CAST(row_number() OVER (PARTITION BY label
+        |      ORDER BY md5('bb:' || CAST(vec_id AS VARCHAR)), vec_id)
+        |      AS BIGINT) AS r
+        |  FROM embeddings
+        |), b AS (
+        |  SELECT id, cls, (r - 1) // 4 AS batch, (r - 1) % 4 AS slot
+        |  FROM r
+        |), pc AS (
+        |  SELECT batch, cls, CAST(count(*) AS BIGINT) AS n
+        |  FROM b GROUP BY 1, 2
+        |), f AS (
+        |  SELECT batch,
+        |    (count(*) = (SELECT count(DISTINCT cls) FROM b)
+        |      AND min(n) = 4) AS complete
+        |  FROM pc GROUP BY 1
+        |)
+        |SELECT b.id, b.cls, CAST(b.batch AS BIGINT) AS batch,
+        |  CAST(b.slot AS BIGINT) AS slot, f.complete
+        |FROM b JOIN f USING (batch) ORDER BY id""".stripMargin,
     // vocabulary-coverage Shapley twin: generated coalition table over
     // the 2^(topK+1) mask cells (the events_shapley machinery)
     "docs_shapley_sources" -> shapleyVocabOracle(5),

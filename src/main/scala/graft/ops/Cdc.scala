@@ -201,4 +201,34 @@ object Cdc {
       .withColumn("is_current", col("valid_to").isNull)
       .drop(seq, tieCol)
   }
+
+  /** Last-writer-wins conflict audit over a change log — the hygiene
+    * check before trusting LWW merge semantics ([[applyChanges]] and
+    * every upsert sink assume "latest timestamp wins" is
+    * well-defined): two writers landing DIFFERENT values on the same
+    * key at the SAME timestamp make LWW ambiguous, and most engines
+    * resolve it silently and differently. Per key: change count,
+    * conflicting instants (same ts, >1 distinct value), the resolved
+    * LWW value under the EXPLICIT deterministic total order
+    * (ts, value) — ties break to max value, stated rather than
+    * implementation-defined — and a clean flag.
+    *
+    * Scale shape: one (key, ts) partial agg then one key-keyed rollup
+    * — two keyed shuffles, nothing else; `max(struct)` keeps the LWW
+    * election partial-aggregable (never a window over the log).
+    */
+  def lwwAudit(log: DataFrame, keyCol: String, tsCol: String,
+               valCol: String): DataFrame = {
+    val perInstant = log
+      .groupBy(col(keyCol).as("k"), col(tsCol).as("t"))
+      .agg(countDistinct(col(valCol)).as("nv"),
+        max(col(valCol)).as("v"))
+    perInstant.groupBy(col("k"))
+      .agg(sum(lit(1L)).as("n_instants"),
+        sum(when(col("nv") > 1, 1L).otherwise(0L))
+          .as("n_conflict_instants"),
+        max(col("t")).as("latest_ts"),
+        max(struct(col("t"), col("v"))).getField("v").as("lww_value"))
+      .withColumn("is_clean", col("n_conflict_instants") === 0L)
+  }
 }

@@ -639,6 +639,45 @@ object Sampling {
       .orderBy("doc_id", "pos", "j")
   }
 
+  /** Class-balanced batch assembly — the batcher for contrastive /
+    * classification training where every batch must carry the SAME
+    * per-class composition: within each class, rows order by a salted
+    * md5 of the id (deterministic shuffle, the shard_shuffled recipe),
+    * slot r fills batch (r−1) div `perClass`. Trailing batches where
+    * some class ran dry are flagged `complete = false` (the trainer
+    * drops or pads them — visible, never silent). A global row_number
+    * would serialize the corpus; per-class windows shuffle once on the
+    * class key and the completeness check is a bounded
+    * (batch, class)-cell rollup.
+    *
+    * Input: (`idCol`, `classCol`); output one row per input row:
+    * (id, cls, batch, slot, complete).
+    */
+  def balancedBatches(df: DataFrame, classCol: String, idCol: String,
+                      perClass: Int = 4): DataFrame = {
+    require(perClass >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val nClasses = df.select(col(classCol)).distinct().count() // 1 scalar
+    val ranked = df
+      .select(col(idCol).as("id"), col(classCol).cast("long").as("cls"))
+      .withColumn("h",
+        md5(concat(lit("bb:"), col("id").cast("string"))))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("cls").orderBy("h", "id")).cast("long"))
+      .withColumn("batch", expr(s"(r - 1) div ${perClass}L"))
+      .withColumn("slot", expr(s"(r - 1) % ${perClass}L"))
+    val full = ranked.groupBy(col("batch"), col("cls"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_classes"), min(col("n")).as("min_n"))
+      .select(col("batch"),
+        (col("n_classes") === nClasses &&
+          col("min_n") === perClass.toLong).as("complete"))
+    ranked.join(full, "batch")
+      .select(col("id"), col("cls"), col("batch"), col("slot"),
+        col("complete"))
+  }
+
   /** Exact Shapley data valuation of SOURCES on vocabulary coverage —
     * the axiomatic sibling of [[docs_ablation]]'s leave-one-out: the
     * characteristic function v(T) = distinct token types covered by

@@ -137,4 +137,21 @@ class CdcSpec extends SparkSpec {
       2L -> "removed", 3L -> "added"))
   }
 
+  test("lwwAudit flags same-instant divergent writers, ties to max value") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 10L, 5L), (1L, 20L, 7L),            // clean key
+      (2L, 10L, 5L), (2L, 10L, 9L), (2L, 5L, 1L), // conflict AT t=10
+      (3L, 10L, 5L), (3L, 10L, 5L))             // same value twice: clean
+      .toDF("k", "t", "v")
+    val r = Cdc.lwwAudit(log, "k", "t", "v").collect()
+      .map(x => x.getAs[Long]("k") ->
+        (x.getAs[Long]("n_instants"), x.getAs[Long]("n_conflict_instants"),
+          x.getAs[Long]("lww_value"), x.getAs[Boolean]("is_clean"))).toMap
+    assert(r(1L) == ((2L, 0L, 7L, true)))
+    // conflict instant is the LATEST one: LWW resolves to max value 9
+    assert(r(2L) == ((2L, 1L, 9L, false)))
+    assert(r(3L) == ((1L, 0L, 5L, true)),
+      "identical duplicate writes are not a conflict")
+  }
 }

@@ -378,6 +378,30 @@ class SamplingSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Boolean]("is_collision")))
   }
 
+  test("balancedBatches: equal class composition, ragged tail flagged") {
+    // class 0: 9 rows, class 1: 8 rows, perClass 4 → batches 0,1 full
+    // for class 1; class 0 has a 9th row → batch 2 ragged
+    val df = ((0L until 9L).map(i => (i, 0L)) ++
+      (100L until 108L).map(i => (i, 1L))).toDF("vid", "lab")
+    val r = Sampling.balancedBatches(df, "lab", "vid", 4).collect()
+    val byBatch = r.groupBy(_.getAs[Long]("batch"))
+    // batches 0 and 1 carry exactly 4 of EACH class and are complete
+    Seq(0L, 1L).foreach { b =>
+      val rows = byBatch(b)
+      assert(rows.count(_.getAs[Long]("cls") == 0L) == 4)
+      assert(rows.count(_.getAs[Long]("cls") == 1L) == 4)
+      assert(rows.forall(_.getAs[Boolean]("complete")))
+    }
+    // batch 2: one leftover class-0 row, flagged incomplete
+    assert(byBatch(2L).length == 1 &&
+      !byBatch(2L).head.getAs[Boolean]("complete"))
+    // slots within (batch, class) are 0..3, and runs are deterministic
+    assert(r.map(_.getAs[Long]("slot")).forall(s => s >= 0 && s < 4))
+    val again = Sampling.balancedBatches(df, "lab", "vid", 4).collect()
+    assert(r.map(_.toSeq).toSeq.sortBy(_.toString) ==
+      again.map(_.toSeq).toSeq.sortBy(_.toString))
+  }
+
   test("shapleyVocabValue: symmetry, efficiency, exclusive counts") {
     // source a covers {x, y}, source b covers {y, z} — symmetric
     // coverage, one exclusive token each; 'other' pool is empty
