@@ -3196,6 +3196,23 @@ object SparkEntry {
     // coverage: top-5 sources individually, long tail pooled
     "docs_shapley_sources" -> ((s, dir) =>
       Sampling.shapleyVocabValue(rd(s, dir, "documents"), 5)),
+    // --- tokenizer fertility by language: subwords-per-token of the
+    // trained BPE per lang — the "which languages does this tokenizer
+    // tax" card (fertility drives real training cost per document)
+    "text_fertility" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val enc = TextAnalysis.bpeTrainEncode(docs, 8)
+        .select(col("doc_id"), col("n_tokens"), col("n_subwords"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(enc, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_subwords")).as("n_subwords"))
+        .withColumn("fertility_ppm",
+          expr("1000000L * n_subwords div n_tokens"))
+        .orderBy("lang")
+    }),
     // --- PII-detector eval: planted gold per class (real email/IP
     // caught, obfuscated forms honestly missed), per-class recall
     "pii_eval" -> ((s, dir) => {
@@ -13428,6 +13445,33 @@ object SparkEntry {
         |  CAST(mad8 AS BIGINT) AS mad8,
         |  (2 * dev4 > 3 * mad8) AS is_anomaly
         |FROM dev, md ORDER BY day""".stripMargin,
+    // fertility twin: the bpe encode chain's per-doc token/subword
+    // counts rolled up per language
+    "text_fertility" ->
+      s"""$bpePrefixSql,
+         |${(0 until 8).map(bpeRoundSql).mkString(",\n")},
+         |enc AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS n_sub
+         |  FROM s8 GROUP BY word
+         |), dtoks AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(t))) AS tpos, t
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+         |        FROM documents)
+         |), dt AS (
+         |  SELECT doc_id, t[tpos] AS word
+         |  FROM dtoks WHERE length(t[tpos]) > 0
+         |), perdoc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(e.n_sub) AS BIGINT) AS n_subwords
+         |  FROM dt JOIN enc e USING (word) GROUP BY doc_id
+         |)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(p.n_subwords) AS BIGINT) AS n_subwords,
+         |  CAST(1000000 * sum(p.n_subwords) // sum(p.n_tokens) AS BIGINT)
+         |    AS fertility_ppm
+         |FROM perdoc p JOIN documents d USING (doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     // PII-eval twin: same planted staging, same regex counts, recall
     // rollup per planted class
     "pii_eval" ->
