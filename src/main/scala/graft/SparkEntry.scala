@@ -12877,8 +12877,9 @@ object SparkEntry {
         |  CAST(1000000 * n_agree // n AS BIGINT) AS po_ppm,
         |  CAST(pe_num * 1000000 // (CAST(n AS HUGEINT) * n) AS BIGINT)
         |    AS pe_ppm,
-        |  CAST((CAST(n AS HUGEINT) * n_agree - pe_num) * 1000000
-        |    // (CAST(n AS HUGEINT) * n - pe_num) AS BIGINT) AS kappa_ppm
+        |  CAST(CASE WHEN CAST(n AS HUGEINT) * n = pe_num THEN NULL
+        |    ELSE (CAST(n AS HUGEINT) * n_agree - pe_num) * 1000000
+        |    // (CAST(n AS HUGEINT) * n - pe_num) END AS BIGINT) AS kappa_ppm
         |FROM tot, marg""".stripMargin,
     // McNemar twin: one conditional aggregation over disagreement cells
     "eval_mcnemar" ->
@@ -12900,9 +12901,9 @@ object SparkEntry {
         |  CAST(CASE WHEN sum(CASE WHEN pred_a = label AND pred_b <> label
         |      THEN 1 ELSE 0 END) + sum(CASE WHEN pred_a <> label
         |      AND pred_b = label THEN 1 ELSE 0 END) = 0 THEN NULL
-        |    ELSE 1000000 * (sum(CASE WHEN pred_a = label AND pred_b <> label
+        |    ELSE 1000000 * CAST(sum(CASE WHEN pred_a = label AND pred_b <> label
         |      THEN 1 ELSE 0 END) - sum(CASE WHEN pred_a <> label
-        |      AND pred_b = label THEN 1 ELSE 0 END))
+        |      AND pred_b = label THEN 1 ELSE 0 END) AS HUGEINT)
         |      * (sum(CASE WHEN pred_a = label AND pred_b <> label
         |      THEN 1 ELSE 0 END) - sum(CASE WHEN pred_a <> label
         |      AND pred_b = label THEN 1 ELSE 0 END))
@@ -12976,9 +12977,11 @@ object SparkEntry {
         |    CAST(count(DISTINCT r) AS BIGINT) AS n_right
         |  FROM e
         |)
-        |SELECT n_edges, n_left, n_right, n_wedges, n_cosupported_pairs,
-        |  n_butterflies,
-        |  CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT)
+        |SELECT n_edges, n_left, n_right,
+        |  coalesce(n_wedges, 0) AS n_wedges,
+        |  coalesce(n_cosupported_pairs, 0) AS n_cosupported_pairs,
+        |  coalesce(n_butterflies, 0) AS n_butterflies,
+        |  CASE WHEN coalesce(n_wedges, 0) = 0 THEN CAST(0 AS BIGINT)
         |    ELSE CAST(CAST(n_butterflies AS HUGEINT) * 4000000
         |      // n_wedges AS BIGINT) END AS coherence_ppm
         |FROM sz, cen""".stripMargin,

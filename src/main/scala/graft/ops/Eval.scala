@@ -580,9 +580,10 @@ object Eval {
         expr("1000000L * n_agree div n").as("po_ppm"),
         expr("""CAST(pe_num * 1000000 div (CAST(n AS DECIMAL(38,0)) * n)
                 AS BIGINT)""").as("pe_ppm"),
-        expr("""CAST((CAST(n AS DECIMAL(38,0)) * n_agree - pe_num) * 1000000
+        expr("""CASE WHEN CAST(n AS DECIMAL(38,0)) * n = pe_num THEN NULL
+                ELSE CAST((CAST(n AS DECIMAL(38,0)) * n_agree - pe_num) * 1000000
                 div (CAST(n AS DECIMAL(38,0)) * n - pe_num)
-                AS BIGINT)""").as("kappa_ppm"))
+                AS BIGINT) END""").as("kappa_ppm"))
   }
 
   /** McNemar paired-classifier comparison: are model A and model B
@@ -607,7 +608,8 @@ object Eval {
         sum(when(!aOk && bOk, 1L).otherwise(0L)).as("c_cell"))
       .withColumn("chi2_ppm", expr(
         """CASE WHEN b_cell + c_cell = 0 THEN NULL
-           ELSE 1000000L * (b_cell - c_cell) * (b_cell - c_cell)
-                div (b_cell + c_cell) END"""))
+           ELSE CAST(1000000 * CAST(b_cell - c_cell AS DECIMAL(38,0))
+                * (b_cell - c_cell)
+                div (b_cell + c_cell) AS BIGINT) END"""))
   }
 }

@@ -907,6 +907,12 @@ object Graph {
       countDistinct(col("l")).as("n_left"),
       countDistinct(col("r")).as("n_right"))
     sizes.crossJoin(broadcast(census)) // one row × one row
+      // a butterfly-free graph yields an EMPTY pair frame, whose
+      // ungrouped agg is NULL — coalesce so the zero branch is real
+      .withColumn("n_wedges", coalesce(col("n_wedges"), lit(0L)))
+      .withColumn("n_cosupported_pairs",
+        coalesce(col("n_cosupported_pairs"), lit(0L)))
+      .withColumn("n_butterflies", coalesce(col("n_butterflies"), lit(0L)))
       .withColumn("coherence_ppm", expr(
         """CASE WHEN n_wedges = 0 THEN 0L
            ELSE CAST(CAST(n_butterflies AS DECIMAL(38,0)) * 4000000
@@ -1351,9 +1357,10 @@ object Graph {
     * Engine-exact with NO tie-break: the h-index `max(least(rn, val))`
     * over the value-desc ranking depends only on the sorted multiset,
     * so equal-value orderings cannot change it. Per round: one
-    * |E|-keyed join + one window PARTITIONED on the node id + one
-    * nonincreasing merge; state is referenced twice per round →
-    * localCheckpoint each round.
+    * frontier-scoped |E|-keyed join (see the frontier note in the body
+    * — round 1 is the only full-|E| pass) + one window PARTITIONED on
+    * the node id + one nonincreasing merge; state is referenced twice
+    * per round → localCheckpoint each round.
     */
   def coreness(edges: DataFrame, rounds: Int = 6): DataFrame = {
     require(rounds >= 1)
@@ -1363,18 +1370,43 @@ object Graph {
       .localCheckpoint(true)
     var c = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("val"))
       .localCheckpoint(true)
+    // FRONTIER SHRINKING (the kCore drop-set lesson applied to value
+    // iteration — this was the 449s sf10 ceiling as a full-|E| rescan
+    // per round): h(v) depends only on v's neighbors' values, so v can
+    // change in round r+1 ONLY if a neighbor changed in round r — for
+    // everyone else val ≤ h holds from last round and the merge is a
+    // no-op. Each round recomputes h only over edges whose a-endpoint
+    // neighbors a changed node; `changed` converges to empty, at which
+    // point every remaining round is a no-op and the early exit equals
+    // the fixed SQL unroll (the kcore/k-truss precedent). Values,
+    // per-round results, and the final frame are IDENTICAL to the full
+    // rescan.
+    var changed = c.select(col("id"))
     var r = 0
-    while (r < rounds) {
-      val nb = und.join(c.select(col("id").as("b"), col("val")), "b")
+    var converged = false
+    while (r < rounds && !converged) {
+      val scoped =
+        if (r == 0) und // degree init: everyone recomputes once
+        else {
+          val front = und.join(changed.select(col("id").as("b")), "b")
+            .select(col("a")).distinct()
+          und.join(front, Seq("a"), "left_semi")
+        }
+      val nb = scoped.join(c.select(col("id").as("b"), col("val")), "b")
         .select(col("a").as("id"), col("val"))
       val h = nb.withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy("id").orderBy(desc("val"))))
         .groupBy(col("id"))
         .agg(max(least(col("rn").cast("long"), col("val"))).as("h"))
-      c = c.join(h, "id")
-        .select(col("id"), least(col("val"), col("h")).as("val"))
-        .localCheckpoint(true)
+      val cNew = c.join(h, Seq("id"), "left")
+        .select(col("id"),
+          least(col("val"), coalesce(col("h"), col("val"))).as("val"),
+          (col("h").isNotNull && col("h") < col("val")).as("chg"))
+        .localCheckpoint(true) // feeds c, changed, AND the empty probe
+      changed = cNew.filter(col("chg")).select(col("id"))
+      c = cNew.select(col("id"), col("val"))
+      converged = changed.isEmpty
       r += 1
     }
     c.select(col("id"), col("val").as("core_ub"))
@@ -1502,22 +1534,37 @@ object Graph {
             .orderBy(desc("s"), asc("stay"), asc("c"))))
         .filter(col("rn") === 1)
         .select(col("id"), col("c").as("new_lbl"))
-      // strict local-max salted priority: adjacent nodes never co-move
-      val pri = deg.select(col("id"),
-        md5(concat(lit(s"$saltPrefix$r:"), col("id").cast("string"))).as("p"))
-      val nbrMax = e
-        .join(pri.select(col("id").as("dst"), col("p").as("pd")), "dst")
-        .groupBy(col("src").as("id")).agg(max(col("pd")).as("pmax"))
-      val movers = pri.join(nbrMax, "id")
-        .filter(col("p") > col("pmax"))
-        .select(col("id")).withColumn("mv", lit(true))
-      labels = labels.join(best, Seq("id"), "left")
-        .join(movers, Seq("id"), "left")
-        .select(col("id"),
-          when(col("mv").isNotNull && col("new_lbl").isNotNull,
-            col("new_lbl")).otherwise(col("lbl")).as("lbl"))
-        .localCheckpoint(true)
-      r += 1
+        .localCheckpoint(true) // feeds the gain probe AND the update
+      // Early exit, SCHEDULE-INDEPENDENTLY: the md5 move schedule
+      // changes per round, so "this round moved nothing" does not bound
+      // future rounds — but "no node has a strictly-positive-gain
+      // candidate" is a label-only condition: labels then stay fixed
+      // under ANY schedule, every later round recomputes the same
+      // gain-free frame, and the unrolled oracle's remaining rounds are
+      // no-ops. Exact by the kcore post-convergence argument.
+      val nGain = best.join(own, "id")
+        .filter(col("new_lbl") =!= col("own")).count()
+      if (nGain == 0L) {
+        r = rounds
+      } else {
+        // strict local-max salted priority: adjacent nodes never co-move
+        val pri = deg.select(col("id"),
+          md5(concat(lit(s"$saltPrefix$r:"), col("id").cast("string")))
+            .as("p"))
+        val nbrMax = e
+          .join(pri.select(col("id").as("dst"), col("p").as("pd")), "dst")
+          .groupBy(col("src").as("id")).agg(max(col("pd")).as("pmax"))
+        val movers = pri.join(nbrMax, "id")
+          .filter(col("p") > col("pmax"))
+          .select(col("id")).withColumn("mv", lit(true))
+        labels = labels.join(best, Seq("id"), "left")
+          .join(movers, Seq("id"), "left")
+          .select(col("id"),
+            when(col("mv").isNotNull && col("new_lbl").isNotNull,
+              col("new_lbl")).otherwise(col("lbl")).as("lbl"))
+          .localCheckpoint(true)
+        r += 1
+      }
     }
     labels
   }

@@ -699,6 +699,12 @@ object Sampling {
     val top = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("source")).limit(topK)
       .collect().map(_.getString(0)).toSeq // bounded: topK rows
+    // The generated SQL twin sizes its coalition table to topK + 1 at
+    // registration time; a corpus with fewer sources would silently
+    // shrink c here and diverge — fail loudly instead.
+    require(top.length == topK,
+      s"shapleyVocabValue: corpus has only ${top.length} sources, " +
+        s"need >= $topK (lower topK to match)")
     val c = top.length + 1
     val grpExpr = top.zipWithIndex.foldRight(lit(top.length.toLong)) {
       case ((s, i), els) => when(col("source") === s, lit(i.toLong))

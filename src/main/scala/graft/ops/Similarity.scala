@@ -1322,9 +1322,20 @@ object Similarity {
     * pick = 1..k in selection order.
     */
   def mmrSelect(shortlist: DataFrame, k: Int = 5, lamNum: Long = 7L,
-                lamDen: Long = 3L): DataFrame = {
+                lamDen: Long = 3L,
+                maxShortlistRows: Long = 1000000L): DataFrame = {
     require(k >= 1)
     val sl = shortlist.localCheckpoint(true)
+    // EXPLICIT two-stage fence: this operator is a re-ranker over a
+    // retrieval-bounded shortlist (BM25/ANN top-n) — each of the k
+    // greedy rounds pulls one pick per query through the driver and
+    // the pair-sim frame is n² per query. Refuse corpus-sized input
+    // loudly rather than degrade into a driver-bound loop (the same
+    // whitelist discipline as the bounded-broadcast queries).
+    val slRows = sl.count() // cheap: frame is already materialized
+    require(slRows <= maxShortlistRows,
+      s"mmrSelect: shortlist has $slRows rows > maxShortlistRows=" +
+        s"$maxShortlistRows; run retrieval first (two-stage contract)")
     val sims = sl.as("a").join(sl.as("b"),
         col("a.query_id") === col("b.query_id") &&
           col("a.doc_id") =!= col("b.doc_id"))

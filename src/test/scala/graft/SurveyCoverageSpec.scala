@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 
 /** The coverage contract (SURVEY.md §2) must track the registered query
   * inventory — round 6's verdict found 11 shipped, passing queries with
@@ -82,5 +83,40 @@ class SurveyCoverageSpec extends AnyFunSuite {
     val dead = cited.diff(SparkEntry.queries.keySet).toSeq.sorted
     assert(dead.isEmpty,
       s"SURVEY §2 gates cite unregistered queries: ${dead.mkString(", ")}")
+  }
+
+  /** VERDICT r13 item #8: query citations are checked both directions,
+    * but a Gate cell citing `FooSpec` was not — renaming or deleting a
+    * suite would silently orphan every spec-gated row. Every `FooSpec`
+    * token in a §2 Gate cell must be a real suite file under src/test.
+    */
+  test("every spec name cited in a SURVEY §2 gate is a real test suite") {
+    val survey = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val start = survey.indexOf("## §2")
+    val end = survey.indexOf("## §3")
+    assert(start >= 0 && end > start, "SURVEY.md must contain §2 and §3")
+    val gateCells = survey.substring(start, end).linesIterator
+      .filter(l => l.startsWith("|") && !l.startsWith("| #") &&
+        !l.startsWith("|--") && !l.startsWith("|---"))
+      .map(_.split("\\|").map(_.trim).filter(_.nonEmpty))
+      .collect { case cells if cells.length >= 3 => cells.last }
+    val cited = gateCells.flatMap { cell =>
+      "\\b([A-Z][A-Za-z0-9]*Spec)\\b".r.findAllMatchIn(cell).map(_.group(1))
+    }.toSet
+    val suiteFiles = {
+      val root = java.nio.file.Paths.get("src/test")
+      val stream = java.nio.file.Files.walk(root)
+      try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith("Spec.scala"))
+        .map(_.stripSuffix(".scala"))
+        .toSet
+      finally stream.close()
+    }
+    val missing = cited.diff(suiteFiles).toSeq.sorted
+    assert(missing.isEmpty,
+      s"SURVEY §2 gates cite nonexistent test suites: ${missing.mkString(", ")}")
   }
 }

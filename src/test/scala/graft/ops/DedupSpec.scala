@@ -104,6 +104,36 @@ class DedupSpec extends SparkSpec {
     assert(comps(star) == comps(full), "star edges must preserve components")
   }
 
+  test("minHashLsh default fence caps a >64-copy family; uncapped is opt-in") {
+    // 80 exact copies — over the default hotBucket=64 fence — plus
+    // distinct docs; the r14 fence makes the DEFAULT call emit star
+    // edges for the hot family instead of the C(80,2) clique
+    val family = (200L until 280L).map(i => (i, base + " hot family tail"))
+    val big = (family ++ Seq(
+      (0L, base), (1L, base),
+      (3L, "completely different words about spark catalyst tungsten shuffles")))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minHashLsh(big, tau = 0.5)
+    val uncapped = Dedup.minHashLsh(big, tau = 0.5, hotBucket = Int.MaxValue)
+    val cappedPairs = capped.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncappedPairs = uncapped.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // C(80,2) = 3160 family pairs uncapped; the star keeps O(D) edges
+    assert(uncappedPairs.size >= 3160,
+      s"uncapped clique missing pairs: ${uncappedPairs.size}")
+    assert(cappedPairs.size <= 200L,
+      s"default fence did not cap the hot family: ${cappedPairs.size}")
+    assert(cappedPairs.subsetOf(uncappedPairs),
+      "capped pair set must be a subset of the exact pair set")
+    // identical connected components either way
+    def comps(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.resolveClusters(pairs.select("a_id", "b_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(comps(capped) == comps(uncapped),
+      "fence must preserve duplicate components")
+  }
+
   test("semanticDedup keeps one representative per duplicate group") {
     val e = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),

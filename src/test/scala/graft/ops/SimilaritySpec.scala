@@ -508,6 +508,20 @@ class SimilaritySpec extends SparkSpec {
     assert(rel === Map(1L -> 1L, 2L -> 2L))
   }
 
+  test("mmrSelect refuses a shortlist over the two-stage bound") {
+    import spark.implicits._
+    val sl = Seq(
+      (9L, 1L, 3L, Array(1.0f, 0.0f)),
+      (9L, 2L, 2L, Array(2.0f, 0.0f)),
+      (9L, 3L, 1L, Array(0.0f, 1.0f))
+    ).toDF("query_id", "doc_id", "rel", "d_emb")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.mmrSelect(sl, k = 2, maxShortlistRows = 2L)
+    }
+    assert(ex.getMessage.contains("two-stage"),
+      s"fence message should name the contract: ${ex.getMessage}")
+  }
+
 
   test("ivfPqTopK recall >= 0.8 vs brute force on clustered vectors") {
     import spark.implicits._
