@@ -3268,7 +3268,67 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_families"))
         .withColumn("n_docs", col("family_size") * col("n_families"))
         .orderBy("family_size")
-    })
+    }),
+    // --- multi-class F1 card: per-class precision/recall/F1 for the
+    // langid heuristic vs the dataset label, plus the __macro__ row
+    "eval_f1_macro" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val pred = TextAnalysis.langId(docs)
+        .select(col("doc_id"), col("predicted_lang"))
+      Eval.macroF1Card(docs.join(pred, "doc_id")
+          .select(col("lang").as("label"),
+            col("predicted_lang").as("pred")))
+        .orderBy("cls")
+    }),
+    // --- exact Spearman rho between doc length in chars and in
+    // whitespace tokens: doubled-midrank Pearson, IEEE-sqrt portable
+    "eval_spearman" -> ((s, dir) =>
+      Eval.spearmanCard(rd(s, dir, "documents")
+        .select(col("n_chars").cast("long").as("x"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("y")),
+        "x", "y")),
+    // --- rank-biased overlap between the chars-ranked and tokens-ranked
+    // per-source top-10: per-depth floored ppm terms, p = 9/10
+    "eval_rbo" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+        .withColumn("toks",
+          size(split(trim(col("text")), "\\s+")).cast("long"))
+      val wA = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(desc("n_chars"), asc("doc_id"))
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(desc("toks"), asc("doc_id"))
+      val rankA = docs.select(col("source").as("query_id"), col("doc_id"),
+        row_number().over(wA).cast("long").as("rnk"))
+      val rankB = docs.select(col("source").as("query_id"), col("doc_id"),
+        row_number().over(wB).cast("long").as("rnk"))
+      Eval.rboCard(rankA, rankB, 10).orderBy("query_id")
+    }),
+    // --- split-conformal coverage: |n_chars - 5·tokens| nonconformity,
+    // md5-parity calibration split, exact order-statistic threshold
+    "eval_conformal" -> ((s, dir) =>
+      Eval.conformalCard(rd(s, dir, "documents")
+          .withColumn("yhat",
+            lit(5L) * size(split(trim(col("text")), "\\s+")).cast("long")),
+        "n_chars", "yhat", "doc_id", 10)),
+    // --- decision-stump election: the n_chars threshold best splitting
+    // English from non-English, exact weighted-Gini cost in ppm
+    "eval_best_split" -> ((s, dir) =>
+      Eval.bestSplitCard(rd(s, dir, "documents")
+          .select(col("n_chars").cast("long").as("score"),
+            (col("lang") === "en").as("label")),
+        "score", "label")),
+    // --- group-fairness audit of the length-gate classifier across
+    // sources: selection/TPR/FPR gaps vs the overall rates, exact ppm
+    "eval_fairness" -> ((s, dir) =>
+      Eval.fairnessCard(rd(s, dir, "documents")
+          .select(col("source").as("grp"),
+            (col("lang") === "en").as("label"),
+            (col("n_chars") >= 300).as("pred")))
+        .orderBy("grp")),
+    // --- session-path edit distance to the modal journey: letter-coded
+    // event types, levenshtein DP identical in both engines
+    "events_path_distance" -> ((s, dir) =>
+      Events.pathEditDistance(rdEvents(s, dir)).orderBy("path"))
   )
 
   /** Staged mojibake rows shared by the `text_mojibake` query and its
@@ -13578,7 +13638,317 @@ object SparkEntry {
         |)
         |SELECT family_size, CAST(count(*) AS BIGINT) AS n_families,
         |  CAST(family_size * count(*) AS BIGINT) AS n_docs
-        |FROM fam GROUP BY 1 ORDER BY family_size""".stripMargin)
+        |FROM fam GROUP BY 1 ORDER BY family_size""".stripMargin),
+    // multi-class F1 twin: the eval_kappa langid prediction CTE, then
+    // bounded (label, pred) cells + the single-division F1 identity
+    "eval_f1_macro" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(toks, x -> list_contains(['the','and','of','is','to'], x))) AS BIGINT) AS hits_en,
+        |    CAST(len(list_filter(toks, x -> list_contains(['der','und','die','das','ist'], x))) AS BIGINT) AS hits_de,
+        |    CAST(len(list_filter(toks, x -> list_contains(['el','los','que','es','una'], x))) AS BIGINT) AS hits_es,
+        |    CAST(len(list_filter(toks, x -> list_contains(['le','les','des','est','une'], x))) AS BIGINT) AS hits_fr,
+        |    CAST(len(list_filter(toks, x -> list_contains(['de5','shi4','le5','zai4','he2'], x))) AS BIGINT) AS hits_zh
+        |  FROM t
+        |), g AS (
+        |  SELECT *, greatest(hits_en, hits_de, hits_es, hits_fr, hits_zh) AS best FROM h
+        |), pred AS (
+        |  SELECT doc_id,
+        |    CASE WHEN hits_en = best AND best > 0 THEN 'en'
+        |         WHEN hits_de = best AND best > 0 THEN 'de'
+        |         WHEN hits_es = best AND best > 0 THEN 'es'
+        |         WHEN hits_fr = best AND best > 0 THEN 'fr'
+        |         WHEN hits_zh = best AND best > 0 THEN 'zh'
+        |         ELSE 'und' END AS la
+        |  FROM g
+        |), cells AS (
+        |  SELECT d.lang AS lab, p.la AS prd, CAST(count(*) AS BIGINT) AS c
+        |  FROM pred p JOIN documents d USING (doc_id) GROUP BY 1, 2
+        |), cls AS (
+        |  SELECT lab AS cls FROM cells UNION SELECT prd FROM cells
+        |), tpc AS (
+        |  SELECT lab AS cls, c AS tp FROM cells WHERE lab = prd
+        |), nt AS (
+        |  SELECT lab AS cls, CAST(sum(c) AS BIGINT) AS n_true
+        |  FROM cells GROUP BY 1
+        |), np AS (
+        |  SELECT prd AS cls, CAST(sum(c) AS BIGINT) AS n_pred
+        |  FROM cells GROUP BY 1
+        |), pc AS (
+        |  SELECT cls, coalesce(n_true, 0) AS n_true,
+        |    coalesce(n_pred, 0) AS n_pred, coalesce(tp, 0) AS tp
+        |  FROM cls LEFT JOIN tpc USING (cls) LEFT JOIN nt USING (cls)
+        |    LEFT JOIN np USING (cls)
+        |), pcm AS (
+        |  SELECT cls, n_true, n_pred, tp,
+        |    CASE WHEN n_pred = 0 THEN NULL
+        |      ELSE CAST(1000000 * tp // n_pred AS BIGINT) END AS precision_ppm,
+        |    CASE WHEN n_true = 0 THEN NULL
+        |      ELSE CAST(1000000 * tp // n_true AS BIGINT) END AS recall_ppm,
+        |    CASE WHEN n_pred + n_true = 0 THEN NULL
+        |      ELSE CAST(1000000 * 2 * tp // (n_pred + n_true) AS BIGINT) END
+        |      AS f1_ppm
+        |  FROM pc
+        |)
+        |SELECT * FROM (
+        |  SELECT cls, n_true, n_pred, tp, precision_ppm, recall_ppm, f1_ppm
+        |  FROM pcm
+        |  UNION ALL
+        |  SELECT '__macro__', CAST(sum(n_true) AS BIGINT),
+        |    CAST(sum(n_pred) AS BIGINT), CAST(sum(tp) AS BIGINT),
+        |    CAST(1000000 * sum(tp) // sum(n_true) AS BIGINT),
+        |    CAST(1000000 * sum(tp) // sum(n_true) AS BIGINT),
+        |    CAST(sum(coalesce(f1_ppm, 0)) // count(*) AS BIGINT)
+        |  FROM pcm
+        |) ORDER BY cls""".stripMargin,
+    // Spearman twin: doubled midranks over grouped value counts, HUGEINT
+    // co-moments, two separate IEEE sqrts (never decimal -> double)
+    "eval_spearman" ->
+      """WITH t AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS x,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS y
+        |  FROM documents
+        |), rx AS (
+        |  SELECT x, 2 * coalesce(sum(cnt) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + cnt + 1 AS r2x
+        |  FROM (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1)
+        |), ry AS (
+        |  SELECT y, 2 * coalesce(sum(cnt) OVER (ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + cnt + 1 AS r2y
+        |  FROM (SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1)
+        |), a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(r2x) AS HUGEINT) AS sx, CAST(sum(r2y) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(r2x AS HUGEINT) * r2x) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(r2y AS HUGEINT) * r2y) AS HUGEINT) AS syy,
+        |    CAST(sum(CAST(r2x AS HUGEINT) * r2y) AS HUGEINT) AS sxy
+        |  FROM t JOIN rx USING (x) JOIN ry USING (y)
+        |), c AS (
+        |  SELECT n, CAST(n * sxy - sx * sy AS BIGINT) AS num,
+        |    CAST(n * sxx - sx * sx AS BIGINT) AS d1,
+        |    CAST(n * syy - sy * sy AS BIGINT) AS d2
+        |  FROM a
+        |)
+        |SELECT n, num, d1, d2,
+        |  CASE WHEN d1 = 0 OR d2 = 0 THEN NULL
+        |    ELSE CAST(floor(CAST('1000000' AS DOUBLE) * num /
+        |      (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE))))
+        |      AS BIGINT) END AS rho_ppm
+        |FROM c""".stripMargin,
+    // RBO twin: per-source top-10 rankings, greatest-rank cells, the
+    // depth grid via correlated UNNEST(range), per-term floored ppm
+    "eval_rbo" ->
+      """WITH d0 AS (
+        |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS nc,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS toks
+        |  FROM documents
+        |), ta AS (
+        |  SELECT source AS query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY nc DESC, doc_id) AS BIGINT) AS ra
+        |  FROM d0
+        |), tb AS (
+        |  SELECT source AS query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY toks DESC, doc_id) AS BIGINT) AS rb
+        |  FROM d0
+        |), j AS (
+        |  SELECT a.query_id AS query_id, greatest(a.ra, b.rb) AS m
+        |  FROM ta a JOIN tb b ON a.query_id = b.query_id
+        |    AND a.doc_id = b.doc_id
+        |  WHERE a.ra <= 10 AND b.rb <= 10
+        |), cm AS (
+        |  SELECT query_id, m, CAST(count(*) AS BIGINT) AS cm FROM j
+        |  GROUP BY 1, 2
+        |), xd AS (
+        |  SELECT query_id, d, CAST(sum(cm) AS BIGINT) AS x_d FROM (
+        |    SELECT query_id, UNNEST(range(m, 11)) AS d, cm FROM cm
+        |  ) GROUP BY 1, 2
+        |), co AS (
+        |  SELECT * FROM (VALUES
+        |    (1, 1000000, 10), (2, 9000000, 200), (3, 81000000, 3000),
+        |    (4, 729000000, 40000), (5, 6561000000, 500000),
+        |    (6, 59049000000, 6000000), (7, 531441000000, 70000000),
+        |    (8, 4782969000000, 800000000), (9, 43046721000000, 9000000000),
+        |    (10, 387420489000000, 100000000000)) AS t(d, w_num, w_den)
+        |), terms AS (
+        |  SELECT query_id,
+        |    CAST(CAST(x_d AS HUGEINT) * w_num // w_den AS BIGINT)
+        |      AS term_ppm,
+        |    x_d, d
+        |  FROM xd JOIN co USING (d)
+        |), per AS (
+        |  SELECT query_id, CAST(sum(term_ppm) AS BIGINT) AS rbo_ppm,
+        |    CAST(max(CASE WHEN d = 10 THEN x_d END) AS BIGINT) AS n_common
+        |  FROM terms GROUP BY 1
+        |)
+        |SELECT q.query_id AS query_id,
+        |  coalesce(n_common, 0) AS n_common,
+        |  coalesce(rbo_ppm, 0) AS rbo_ppm
+        |FROM (SELECT DISTINCT source AS query_id FROM documents) q
+        |LEFT JOIN per USING (query_id)
+        |ORDER BY query_id""".stripMargin,
+    // conformal twin: md5-parity split, exact ceil order statistic,
+    // one-row threshold cross join for the coverage count
+    "eval_conformal" ->
+      """WITH sc AS (
+        |  SELECT abs(CAST(n_chars AS BIGINT)
+        |      - 5 * CAST(len(string_split_regex(trim(text), '\s+'))
+        |        AS BIGINT)) AS s,
+        |    (CAST('0x' || substr(md5('conf:' || CAST(doc_id AS VARCHAR)),
+        |      1, 8) AS BIGINT) % 2 = 0) AS is_cal
+        |  FROM documents
+        |), nc AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_cal FROM sc WHERE is_cal
+        |), cum AS (
+        |  SELECT s, sum(cnt) OVER (ORDER BY s) AS cum FROM (
+        |    SELECT s, CAST(count(*) AS BIGINT) AS cnt FROM sc
+        |    WHERE is_cal GROUP BY 1)
+        |), qq AS (
+        |  SELECT CAST(min(s) AS BIGINT) AS q FROM cum, nc
+        |  WHERE cum >= (90 * (n_cal + 1) + 99) // 100
+        |), te AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(sum(CASE WHEN s <= q THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_covered,
+        |    max(q) AS q
+        |  FROM sc, qq WHERE NOT is_cal
+        |)
+        |SELECT n_cal, n_test, q,
+        |  CASE WHEN n_test = 0 THEN NULL
+        |    ELSE CAST(1000000 * n_covered // n_test AS BIGINT) END
+        |    AS coverage_ppm,
+        |  CAST(900000 AS BIGINT) AS target_ppm
+        |FROM te, nc""".stripMargin,
+    // stump twin: cumulative class counts over the distinct-score
+    // domain, cross-multiplied weighted-Gini cost, min-(cost, v) election
+    "eval_best_split" ->
+      """WITH ps AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS p,
+        |    CAST(count(*) AS BIGINT) AS m
+        |  FROM documents GROUP BY 1
+        |), cum AS (
+        |  SELECT v, CAST(sum(p) OVER w AS BIGINT) AS pl,
+        |    CAST(sum(m) OVER w AS BIGINT) AS nl
+        |  FROM ps WINDOW w AS (ORDER BY v)
+        |), tot AS (
+        |  SELECT CAST(sum(p) AS BIGINT) AS pt, CAST(sum(m) AS BIGINT) AS nt
+        |  FROM ps
+        |), sp AS (
+        |  SELECT v, pl, nl,
+        |    CAST(1000000 * 2 * (CAST(pl AS HUGEINT) * (nl - pl) * (nt - nl)
+        |        + CAST(pt - pl AS HUGEINT) * ((nt - nl) - (pt - pl)) * nl)
+        |      // (CAST(nl AS HUGEINT) * (nt - nl) * nt) AS BIGINT)
+        |      AS cost_ppm
+        |  FROM cum, tot WHERE nl < nt
+        |), best AS (
+        |  SELECT v, pl, nl, cost_ppm,
+        |    row_number() OVER (ORDER BY cost_ppm, v) AS rn
+        |  FROM sp
+        |)
+        |SELECT b.v AS split_value, b.nl AS n_left, t.nt - b.nl AS n_right,
+        |  b.pl AS pos_left, b.cost_ppm AS cost_ppm,
+        |  CAST(1000000 * 2 * CAST(t.pt AS HUGEINT) * (t.nt - t.pt)
+        |    // (CAST(t.nt AS HUGEINT) * t.nt) AS BIGINT) AS base_ppm,
+        |  CAST(1000000 * 2 * CAST(t.pt AS HUGEINT) * (t.nt - t.pt)
+        |    // (CAST(t.nt AS HUGEINT) * t.nt) AS BIGINT) - b.cost_ppm
+        |    AS gain_ppm
+        |FROM best b, tot t WHERE rn = 1""".stripMargin,
+    // fairness twin: per-group conditional aggregation + one-row overall
+    "eval_fairness" ->
+      """WITH s AS (
+        |  SELECT source AS grp, (lang = 'en') AS label,
+        |    (n_chars >= 300) AS pred
+        |  FROM documents
+        |), per AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN pred THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pos_pred,
+        |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pos_true,
+        |    CAST(sum(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tp,
+        |    CAST(sum(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fp
+        |  FROM s GROUP BY 1
+        |), pr AS (
+        |  SELECT grp, n,
+        |    CAST(1000000 * n_pos_pred // n AS BIGINT) AS sel_ppm,
+        |    CASE WHEN n_pos_true = 0 THEN NULL
+        |      ELSE CAST(1000000 * tp // n_pos_true AS BIGINT) END AS tpr_ppm,
+        |    CASE WHEN n - n_pos_true = 0 THEN NULL
+        |      ELSE CAST(1000000 * fp // (n - n_pos_true) AS BIGINT) END
+        |      AS fpr_ppm
+        |  FROM per
+        |), ov AS (
+        |  SELECT
+        |    CAST(1000000 * sum(CASE WHEN pred THEN 1 ELSE 0 END)
+        |      // count(*) AS BIGINT) AS o_sel,
+        |    CASE WHEN sum(CASE WHEN label THEN 1 ELSE 0 END) = 0 THEN NULL
+        |      ELSE CAST(1000000 * sum(CASE WHEN pred AND label
+        |        THEN 1 ELSE 0 END)
+        |        // sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) END
+        |      AS o_tpr,
+        |    CASE WHEN sum(CASE WHEN NOT label THEN 1 ELSE 0 END) = 0
+        |      THEN NULL
+        |      ELSE CAST(1000000 * sum(CASE WHEN pred AND NOT label
+        |        THEN 1 ELSE 0 END)
+        |        // sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS BIGINT) END
+        |      AS o_fpr
+        |  FROM s
+        |)
+        |SELECT grp, n, sel_ppm, tpr_ppm, fpr_ppm,
+        |  sel_ppm - o_sel AS dp_gap_ppm,
+        |  tpr_ppm - o_tpr AS tpr_gap_ppm,
+        |  fpr_ppm - o_fpr AS fpr_gap_ppm
+        |FROM pr, ov ORDER BY grp""".stripMargin,
+    // path-distance twin: the events_paths session CTE with letter
+    // coding, modal election by (n desc, path), levenshtein per path
+    "events_path_distance" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS secs FROM events
+        |), lt AS (
+        |  SELECT event_type,
+        |    chr(64 + CAST(dense_rank() OVER (ORDER BY event_type) AS INT))
+        |      AS letter
+        |  FROM (SELECT DISTINCT event_type FROM events)
+        |), l AS (
+        |  SELECT e.event_id, e.user_id, e.secs, lt.letter
+        |  FROM e JOIN lt USING (event_type)
+        |), lg AS (
+        |  SELECT *, lag(secs) OVER (PARTITION BY user_id
+        |    ORDER BY secs, event_id) AS prev FROM l
+        |), s AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR secs - prev > 1800
+        |    THEN 1 ELSE 0 END AS ns FROM lg
+        |), t AS (
+        |  SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id
+        |    ORDER BY secs, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS session_idx
+        |  FROM s
+        |), p AS (
+        |  SELECT user_id, session_idx,
+        |    array_to_string((list(letter ORDER BY secs, event_id))[1:8], '')
+        |      AS path
+        |  FROM t GROUP BY 1, 2
+        |), c AS (
+        |  SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p
+        |  GROUP BY 1
+        |), md AS (
+        |  SELECT path AS modal_path FROM c
+        |  ORDER BY n_sessions DESC, path LIMIT 1
+        |)
+        |SELECT path, n_sessions, modal_path,
+        |  CAST(levenshtein(path, modal_path) AS BIGINT) AS dist_to_modal
+        |FROM c, md ORDER BY path""".stripMargin
   )
 
   /** Generated DuckDB twin of [[graft.ops.Sampling.shapleyVocabValue]]:

@@ -612,4 +612,294 @@ object Eval {
                 * (b_cell - c_cell)
                 div (b_cell + c_cell) AS BIGINT) END"""))
   }
+
+  /** Per-class precision/recall/F1 card for a MULTI-CLASS classifier
+    * (langid, topic router, quality tier), plus a `__macro__` summary
+    * row — the release gate where binary [[confusionCard]] doesn't
+    * apply. F1 uses the single-division identity 2·tp/(n_pred +
+    * n_true) (= 2tp/(2tp+fp+fn)), so every ppm is one exact integer
+    * div, never a composition of two rounded ratios. The macro row
+    * carries micro accuracy (= Σtp/n, which is micro-P = micro-R =
+    * micro-F1 for single-label data) in the precision/recall columns
+    * and the unweighted mean of per-class f1_ppm in f1_ppm.
+    *
+    * Scale shape: ONE partial-aggregated groupBy compresses the corpus
+    * to its (label, pred) cells; everything after runs on that bounded
+    * |classes|² frame. Classes missing on one side surface with 0
+    * counts and NULL ratios, never dropped.
+    */
+  def macroF1Card(df: DataFrame, labelCol: String = "label",
+                  predCol: String = "pred"): DataFrame = {
+    val cells = df.groupBy(col(labelCol).as("lab"), col(predCol).as("prd"))
+      .agg(count(lit(1)).as("c"))
+    val classes = cells.select(col("lab").as("cls"))
+      .unionByName(cells.select(col("prd").as("cls"))).distinct()
+    val tp = cells.filter(col("lab") === col("prd"))
+      .select(col("lab").as("cls"), col("c").as("tp"))
+    val nTrue = cells.groupBy(col("lab").as("cls"))
+      .agg(sum(col("c")).as("n_true"))
+    val nPred = cells.groupBy(col("prd").as("cls"))
+      .agg(sum(col("c")).as("n_pred"))
+    val perClass = classes
+      .join(tp, Seq("cls"), "left")
+      .join(nTrue, Seq("cls"), "left")
+      .join(nPred, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision_ppm", expr(
+        "CASE WHEN n_pred = 0 THEN NULL ELSE 1000000L * tp div n_pred END"))
+      .withColumn("recall_ppm", expr(
+        "CASE WHEN n_true = 0 THEN NULL ELSE 1000000L * tp div n_true END"))
+      .withColumn("f1_ppm", expr(
+        """CASE WHEN n_pred + n_true = 0 THEN NULL
+           ELSE 1000000L * 2 * tp div (n_pred + n_true) END"""))
+    val summary = perClass.agg(
+        sum(col("n_true")).as("n_true"),
+        sum(col("n_pred")).as("n_pred"),
+        sum(col("tp")).as("tp"),
+        count(lit(1)).as("k"),
+        sum(coalesce(col("f1_ppm"), lit(0L))).as("f1sum"))
+      .select(lit("__macro__").as("cls"), col("n_true"), col("n_pred"),
+        col("tp"),
+        expr("1000000L * tp div n_true").as("precision_ppm"),
+        expr("1000000L * tp div n_true").as("recall_ppm"),
+        expr("f1sum div k").as("f1_ppm"))
+    perClass.unionByName(summary)
+  }
+
+  /** Exact Spearman rank correlation — Pearson over DOUBLED midranks
+    * (tie group of size t starting after b rows below has average rank
+    * b + (t+1)/2, i.e. doubled rank 2b + t + 1, an integer — no float
+    * ever enters the rank algebra). The co-moments num = n·Σxy − Σx·Σy
+    * and d1/d2 stay DECIMAL(38,0); rho = num/√(d1·d2) goes through TWO
+    * separate IEEE sqrts (√d1·√d2 — d1·d2 would need a decimal→double
+    * cast, the one conversion DuckDB double-rounds) and one floor to
+    * ppm. NULL when either margin is constant.
+    *
+    * Scale shape: each rank map is ONE partial-aggregated groupBy on
+    * the value plus a window over the bounded DISTINCT-value domain
+    * (the [[aucExact]] recipe — callers integerize/quantize values so
+    * the domain stays bounded), then two keyed joins back and one
+    * total aggregation. The final BIGINT casts of num/d1/d2 throw
+    * loudly past 2^63 (≈ n·Σr² at n ≈ 10⁶ rows with raw ranks) —
+    * quantize ranks to a coarser grid at that scale.
+    */
+  def spearmanCard(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val rows = df.select(col(xCol).as("x"), col(yCol).as("y"))
+    def ranks2(c: String): DataFrame = {
+      val w = Window.orderBy(col(c).asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      rows.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .withColumn("below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        .select(col(c),
+          (lit(2L) * col("below") + col("cnt") + lit(1L)).as(s"r2$c"))
+    }
+    rows.join(ranks2("x"), "x").join(ranks2("y"), "y")
+      .agg(count(lit(1)).as("n"),
+        sum(col("r2x")).as("sx"), sum(col("r2y")).as("sy"),
+        sum(col("r2x").cast("decimal(38,0)") * col("r2x")).as("sxx"),
+        sum(col("r2y").cast("decimal(38,0)") * col("r2y")).as("syy"),
+        sum(col("r2x").cast("decimal(38,0)") * col("r2y")).as("sxy"))
+      .select(col("n"),
+        expr("CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS BIGINT)")
+          .as("num"),
+        expr("CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS BIGINT)")
+          .as("d1"),
+        expr("CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS BIGINT)")
+          .as("d2"))
+      .withColumn("rho_ppm", expr(
+        """CASE WHEN d1 = 0 OR d2 = 0 THEN NULL
+           ELSE CAST(floor(CAST('1000000' AS DOUBLE) * num /
+                (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE))))
+             AS BIGINT) END"""))
+  }
+
+  /** Rank-biased overlap (RBO, Webber et al.) between two top-`k`
+    * rankings per query at persistence p = 9/10 — the ranking-drift
+    * number for comparing retrieval stacks (BM25 vs hybrid, index v1
+    * vs v2): RBO = (1−p)·Σ_d p^(d−1)·|A_1..d ∩ B_1..d|/d, top-weighted
+    * where plain overlap is not. Every term is floored to ppm
+    * INDIVIDUALLY — X_d·9^(d−1)·10⁶ div (10^d·d), pure integer — so
+    * the sum is engine-exact (the scaled-term recipe). `k ≤ 15` keeps
+    * 10^d·d in BIGINT; the 9/10-power constants join in as a k-row
+    * literal table.
+    *
+    * Scale shape: one equi-join of the two rank frames on (query, doc)
+    * — both sides are top-k projections, so the frame is ≤ k rows per
+    * query; the depth explode runs on the ≤ k aggregated (query, m)
+    * cells, never the corpus. Output: (query_id, n_common, rbo_ppm);
+    * disjoint rankings emit rbo_ppm = 0 via the left join against the
+    * query universe.
+    */
+  def rboCard(rankA: DataFrame, rankB: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 15, "k <= 15 keeps 10^d * d in BIGINT")
+    val sp = rankA.sparkSession
+    import sp.implicits._
+    val a = rankA.select(col("query_id"), col("doc_id"),
+      col("rnk").as("ra")).filter(col("ra") <= k)
+    val b = rankB.select(col("query_id"), col("doc_id"),
+      col("rnk").as("rb")).filter(col("rb") <= k)
+    val joined = a.join(b, Seq("query_id", "doc_id"))
+      .select(col("query_id"), greatest(col("ra"), col("rb")).as("m"))
+    val consts = (1 to k).map { d =>
+      (d.toLong, BigInt(9).pow(d - 1).toLong * 1000000L,
+        BigInt(10).pow(d).toLong * d)
+    }.toDF("d", "w_num", "w_den")
+    val terms = joined.groupBy(col("query_id"), col("m"))
+      .agg(count(lit(1)).as("cm"))
+      .select(col("query_id"), explode(expr(s"sequence(m, ${k}L)")).as("d"),
+        col("cm"))
+      .groupBy(col("query_id"), col("d")).agg(sum(col("cm")).as("x_d"))
+      .join(broadcast(consts), Seq("d"))
+      .select(col("query_id"),
+        expr("CAST(x_d AS DECIMAL(38,0)) * w_num div w_den").as("term_ppm"),
+        col("x_d"), col("d"))
+    val queries = a.select(col("query_id")).distinct()
+    queries.join(
+        terms.groupBy(col("query_id"))
+          .agg(sum(col("term_ppm")).as("rbo_ppm"),
+            max(when(col("d") === k, col("x_d"))).as("n_common")),
+        Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("rbo_ppm"), lit(0L)).as("rbo_ppm"))
+  }
+
+  /** Split-conformal calibration card — the distribution-free coverage
+    * gate: hold out a calibration split (md5-parity of the id —
+    * portable, deterministic), take q = the ⌈(1−α)(n_cal+1)⌉-th
+    * smallest nonconformity score, and report achieved coverage
+    * P(s ≤ q) on the OTHER split. Conformal's guarantee says coverage
+    * ≥ 1−α up to quantization regardless of the model — a card reading
+    * far from target_ppm means the split is not exchangeable (drifted
+    * or leaked), which is exactly what a pipeline wants to catch.
+    * All rank algebra: the quantile is an exact order statistic
+    * (ceil via (num + den − 1) div den), coverage an exact count
+    * ratio.
+    *
+    * Scale shape: one groupBy compresses the calibration split to its
+    * distinct score domain; the cumulative window runs over that
+    * bounded frame ([[aucExact]] recipe); coverage is one conditional
+    * aggregation against the broadcast one-row threshold.
+    */
+  def conformalCard(df: DataFrame, yCol: String, yhatCol: String,
+                    idCol: String = "doc_id",
+                    alphaPct: Int = 10): DataFrame = {
+    require(alphaPct >= 1 && alphaPct <= 50)
+    val scored = df.select(
+      abs(col(yCol).cast("long") - col(yhatCol).cast("long")).as("s"),
+      (conv(substring(md5(concat(lit("conf:"), col(idCol).cast("string"))),
+        1, 8), 16, 10).cast("long") % 2 === 0).as("is_cal"))
+    val cal = scored.filter(col("is_cal"))
+    val w = Window.orderBy(col("s").asc)
+    val cum = cal.groupBy(col("s")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    val q = cum.crossJoin(broadcast(nCal))
+      .filter(col("cum") >=
+        expr(s"(${100 - alphaPct} * (n_cal + 1) + 99) div 100"))
+      .agg(min(col("s")).as("q"))
+    scored.filter(!col("is_cal"))
+      .crossJoin(broadcast(q))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("s") <= col("q"), 1L).otherwise(0L)).as("n_covered"),
+        max(col("q")).as("q")) // constant within the broadcast row
+      .crossJoin(broadcast(nCal))
+      .select(col("n_cal"), col("n_test"), col("q"),
+        expr("CASE WHEN n_test = 0 THEN NULL" +
+          " ELSE 1000000L * n_covered div n_test END").as("coverage_ppm"),
+        lit((100L - alphaPct) * 10000L).as("target_ppm"))
+  }
+
+  /** Decision-stump split election — distributed training of the
+    * simplest model: the threshold on an integer score that minimizes
+    * weighted Gini impurity (left = score ≤ v), with deterministic
+    * min-value tie-breaks. cost_ppm = 10⁶·(2p_L q_L/n_L + 2p_R q_R/n_R)
+    * /n cross-multiplied into ONE exact integer division
+    * (2·(p_L·q_L·n_R + p_R·q_R·n_L) over n_L·n_R·n, DECIMAL(38,0)
+    * products); gain_ppm is the drop from the unsplit Gini. The
+    * feature-split primitive a tree trainer fans out per column.
+    *
+    * Scale shape: one partial-aggregated groupBy on the score value,
+    * two cumulative windows over the bounded distinct-score domain
+    * ([[aucExact]] recipe), a one-row total broadcast, and a
+    * partial-aggregable min(struct) argmin. Callers integerize scores.
+    */
+  def bestSplitCard(df: DataFrame, scoreCol: String = "score",
+                    labelCol: String = "label"): DataFrame = {
+    val perScore = df.groupBy(col(scoreCol).as("v"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("p"),
+        count(lit(1)).as("m"))
+    val w = Window.orderBy(col("v").asc)
+    val cum = perScore
+      .withColumn("pl", sum(col("p")).over(w))
+      .withColumn("nl", sum(col("m")).over(w))
+    val tot = perScore.agg(sum(col("p")).as("pt"), sum(col("m")).as("nt"))
+    val splits = cum.crossJoin(broadcast(tot))
+      .filter(col("nl") < col("nt"))
+      .withColumn("cost_ppm", expr(
+        """CAST(1000000 * 2 * (CAST(pl AS DECIMAL(38,0)) * (nl - pl)
+                  * (nt - nl)
+                + CAST(pt - pl AS DECIMAL(38,0)) * ((nt - nl) - (pt - pl))
+                  * nl)
+           div (CAST(nl AS DECIMAL(38,0)) * (nt - nl) * nt) AS BIGINT)"""))
+    splits
+      .agg(min(struct(col("cost_ppm"), col("v"), col("pl"), col("nl")))
+        .as("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("b.v").as("split_value"),
+        col("b.nl").as("n_left"),
+        (col("nt") - col("b.nl")).as("n_right"),
+        col("b.pl").as("pos_left"),
+        col("b.cost_ppm").as("cost_ppm"),
+        expr("""CAST(1000000 * 2 * CAST(pt AS DECIMAL(38,0)) * (nt - pt)
+                div (CAST(nt AS DECIMAL(38,0)) * nt) AS BIGINT)""")
+          .as("base_ppm"))
+      .withColumn("gain_ppm", col("base_ppm") - col("cost_ppm"))
+  }
+
+  /** Group-fairness card — demographic-parity and equalized-odds gaps
+    * per group in exact ppm: selection rate (P(pred)), TPR, FPR per
+    * group, each minus the corresponding OVERALL rate. The release
+    * audit for any classifier that gates content by source/language —
+    * a large dp_gap on one group means the filter fires
+    * disproportionately there. Gaps are differences of
+    * already-truncated ppm integers (deterministic, engine-exact);
+    * degenerate cells (no positives / no negatives in a group)
+    * surface NULL, never a throw.
+    *
+    * Scale shape: ONE conditional aggregation per group plus a one-row
+    * overall broadcast — nothing corpus-sized past the first groupBy.
+    */
+  def fairnessCard(df: DataFrame, groupCol: String = "grp",
+                   labelCol: String = "label",
+                   predCol: String = "pred"): DataFrame = {
+    def rates(g: DataFrame): DataFrame = g
+      .withColumn("sel_ppm", expr("1000000L * n_pos_pred div n"))
+      .withColumn("tpr_ppm", expr(
+        "CASE WHEN n_pos_true = 0 THEN NULL" +
+          " ELSE 1000000L * tp div n_pos_true END"))
+      .withColumn("fpr_ppm", expr(
+        "CASE WHEN n - n_pos_true = 0 THEN NULL" +
+          " ELSE 1000000L * fp div (n - n_pos_true) END"))
+    val agg = Seq(
+      count(lit(1)).as("n"),
+      sum(when(col(predCol), 1L).otherwise(0L)).as("n_pos_pred"),
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos_true"),
+      sum(when(col(predCol) && col(labelCol), 1L).otherwise(0L)).as("tp"),
+      sum(when(col(predCol) && !col(labelCol), 1L).otherwise(0L)).as("fp"))
+    val per = rates(df.groupBy(col(groupCol).as("grp"))
+      .agg(agg.head, agg.tail: _*))
+    val overall = rates(df.agg(agg.head, agg.tail: _*))
+      .select(col("sel_ppm").as("o_sel"), col("tpr_ppm").as("o_tpr"),
+        col("fpr_ppm").as("o_fpr"))
+    per.crossJoin(broadcast(overall))
+      .select(col("grp"), col("n"), col("sel_ppm"), col("tpr_ppm"),
+        col("fpr_ppm"),
+        (col("sel_ppm") - col("o_sel")).as("dp_gap_ppm"),
+        (col("tpr_ppm") - col("o_tpr")).as("tpr_gap_ppm"),
+        (col("fpr_ppm") - col("o_fpr")).as("fpr_gap_ppm"))
+  }
 }

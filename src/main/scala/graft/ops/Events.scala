@@ -1268,6 +1268,57 @@ object Events {
       .filter(col("rank") <= topK)
   }
 
+  /** Session-path edit distance to the MODAL path — "how far from the
+    * canonical journey is each observed journey?": sessions become
+    * single-letter-per-event strings (event types mapped to letters by
+    * alphabetical dense rank — a bounded-vocabulary broadcast, so
+    * Levenshtein weighs each STEP once, not each character of a type
+    * name), the most frequent path wins modal election
+    * (min-struct most-frequent-with-min-tiebreak), and every distinct
+    * path gets `levenshtein(path, modal)` — the classic DP both
+    * engines implement identically over ASCII. Funnels that "almost"
+    * follow the designed flow cluster at distance 1–2; bot traffic
+    * lands far.
+    *
+    * Scale shape: sessionization + per-session collect share the
+    * user-keyed exchange ([[sessionPaths]]); the path rollup is one
+    * bounded row per session; modal election is partial-aggregable;
+    * Levenshtein runs once per DISTINCT path (path-vocabulary bounded,
+    * ≤ maxSteps letters each — O(maxSteps²) per row, not corpus work).
+    */
+  def pathEditDistance(events: DataFrame, gapSeconds: Long = 1800L,
+                       maxSteps: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val letters = events.select(col("event_type")).distinct()
+      .withColumn("letter",
+        expr("chr(64 + dense_rank() OVER (ORDER BY event_type))"))
+    val w = Window.partitionBy("user_id").orderBy("secs", "event_id")
+    val paths = events
+      .withColumn("secs", epochSeconds(events).cast("long"))
+      .join(broadcast(letters), "event_type")
+      .withColumn("prev_secs", lag(col("secs"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_secs").isNull ||
+          col("secs") - col("prev_secs") > gapSeconds, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(expr(s"""array_join(transform(
+          slice(array_sort(collect_list(struct(secs, event_id, letter))),
+                1, $maxSteps),
+          e -> e.letter), '')""").as("path"))
+    val byPath = paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+    val modal = byPath
+      .agg(min(struct((lit(Long.MaxValue) - col("n_sessions")).as("neg"),
+        col("path").as("p"))).as("m"))
+      .select(col("m.p").as("modal_path"))
+    byPath.crossJoin(broadcast(modal))
+      .select(col("path"), col("n_sessions"), col("modal_path"),
+        levenshtein(col("path"), col("modal_path")).cast("long")
+          .as("dist_to_modal"))
+  }
+
   /** Seasonal-naive forecast backtest — the honesty baseline every
     * fancier forecaster must beat: predict each day's per-type event
     * count with the count from `period` days earlier, then score the

@@ -1381,12 +1381,22 @@ object Graph {
     // the fixed SQL unroll (the kcore/k-truss precedent). Values,
     // per-round results, and the final frame are IDENTICAL to the full
     // rescan.
+    val nNodes = c.count() // one scalar off the checkpointed init
     var changed = c.select(col("id"))
+    var nChanged = nNodes
     var r = 0
-    var converged = false
-    while (r < rounds && !converged) {
+    while (r < rounds && nChanged > 0) {
+      // Frontier scoping pays two extra |E|-keyed shuffles (distinct +
+      // semi-join); spend them only when (a) the change set is
+      // genuinely small AND (b) the graph is big enough that a full
+      // rescan dominates the extra stages' scheduler overhead —
+      // measured at sf0.1 (~25k nodes) the two added stages cost MORE
+      // than the rescan they save (+3s/run), while the sf10
+      // densification tail (449s r13 ceiling) is exactly where they
+      // pay. Small graphs keep the plain rescan + the convergence
+      // probe.
       val scoped =
-        if (r == 0) und // degree init: everyone recomputes once
+        if (8L * nChanged >= nNodes || nNodes < 200000L) und
         else {
           val front = und.join(changed.select(col("id").as("b")), "b")
             .select(col("a")).distinct()
@@ -1403,10 +1413,10 @@ object Graph {
         .select(col("id"),
           least(col("val"), coalesce(col("h"), col("val"))).as("val"),
           (col("h").isNotNull && col("h") < col("val")).as("chg"))
-        .localCheckpoint(true) // feeds c, changed, AND the empty probe
+        .localCheckpoint(true) // feeds c, changed, AND the count probe
       changed = cNew.filter(col("chg")).select(col("id"))
       c = cNew.select(col("id"), col("val"))
-      converged = changed.isEmpty
+      nChanged = changed.count() // cheap: materialized node-sized frame
       r += 1
     }
     c.select(col("id"), col("val").as("core_ub"))
@@ -1534,37 +1544,35 @@ object Graph {
             .orderBy(desc("s"), asc("stay"), asc("c"))))
         .filter(col("rn") === 1)
         .select(col("id"), col("c").as("new_lbl"))
-        .localCheckpoint(true) // feeds the gain probe AND the update
-      // Early exit, SCHEDULE-INDEPENDENTLY: the md5 move schedule
-      // changes per round, so "this round moved nothing" does not bound
-      // future rounds — but "no node has a strictly-positive-gain
-      // candidate" is a label-only condition: labels then stay fixed
-      // under ANY schedule, every later round recomputes the same
-      // gain-free frame, and the unrolled oracle's remaining rounds are
-      // no-ops. Exact by the kcore post-convergence argument.
-      val nGain = best.join(own, "id")
-        .filter(col("new_lbl") =!= col("own")).count()
-      if (nGain == 0L) {
-        r = rounds
-      } else {
-        // strict local-max salted priority: adjacent nodes never co-move
-        val pri = deg.select(col("id"),
-          md5(concat(lit(s"$saltPrefix$r:"), col("id").cast("string")))
-            .as("p"))
-        val nbrMax = e
-          .join(pri.select(col("id").as("dst"), col("p").as("pd")), "dst")
-          .groupBy(col("src").as("id")).agg(max(col("pd")).as("pmax"))
-        val movers = pri.join(nbrMax, "id")
-          .filter(col("p") > col("pmax"))
-          .select(col("id")).withColumn("mv", lit(true))
-        labels = labels.join(best, Seq("id"), "left")
-          .join(movers, Seq("id"), "left")
-          .select(col("id"),
-            when(col("mv").isNotNull && col("new_lbl").isNotNull,
-              col("new_lbl")).otherwise(col("lbl")).as("lbl"))
-          .localCheckpoint(true)
-        r += 1
-      }
+      // strict local-max salted priority: adjacent nodes never co-move
+      val pri = deg.select(col("id"),
+        md5(concat(lit(s"$saltPrefix$r:"), col("id").cast("string"))).as("p"))
+      val nbrMax = e
+        .join(pri.select(col("id").as("dst"), col("p").as("pd")), "dst")
+        .groupBy(col("src").as("id")).agg(max(col("pd")).as("pmax"))
+      val movers = pri.join(nbrMax, "id")
+        .filter(col("p") > col("pmax"))
+        .select(col("id")).withColumn("mv", lit(true))
+      // `gain` rides the round's single materialization: true iff the
+      // node HAS a strictly-positive-gain candidate (best != own),
+      // regardless of whether the salted schedule let it move — the
+      // only SCHEDULE-INDEPENDENT convergence signal (the md5 schedule
+      // changes per round, so "nothing moved" does not bound future
+      // rounds, but "no gain exists anywhere" fixes the labels under
+      // ANY schedule and every later round — here and in the unrolled
+      // oracle — is a no-op; the kcore post-convergence argument).
+      val updated = labels.join(best, Seq("id"), "left")
+        .join(movers, Seq("id"), "left")
+        .select(col("id"),
+          when(col("mv").isNotNull && col("new_lbl").isNotNull,
+            col("new_lbl")).otherwise(col("lbl")).as("lbl"),
+          (col("new_lbl").isNotNull && col("new_lbl") =!= col("lbl"))
+            .as("gain"))
+        .localCheckpoint(true)
+      labels = updated.select(col("id"), col("lbl"))
+      r += 1
+      // cheap scan of the materialized node-sized frame
+      if (updated.filter(col("gain")).isEmpty) r = rounds
     }
     labels
   }
