@@ -668,7 +668,11 @@ object SparkEntry {
         .groupBy(col("l.item").as("src"), col("r.item").as("dst"))
         .agg((lit(1000000L) - count(lit(1))).as("w"))
         .filter(col("w") <= 999998L) // pair count >= 2
-      Graph.boruvkaForest(ew, rounds = 3, mergeCap = 6)
+      // mergeCap 16 with pointer jumping reaches chains of ~2^16; the
+      // oracle keeps its 6 single-hop unrolled steps — both sides stop
+      // at the SAME converged min-label fixed point (extra steps are
+      // no-ops), so the twin is unchanged (the sf10 graph_mst lesson)
+      Graph.boruvkaForest(ew, rounds = 3, mergeCap = 16)
         .orderBy("round", "lo", "hi")
     }),
     // --- Jones–Plassmann greedy coloring over the same sampled part
@@ -3328,7 +3332,113 @@ object SparkEntry {
     // --- session-path edit distance to the modal journey: letter-coded
     // event types, levenshtein DP identical in both engines
     "events_path_distance" -> ((s, dir) =>
-      Events.pathEditDistance(rdEvents(s, dir)).orderBy("path"))
+      Events.pathEditDistance(rdEvents(s, dir)).orderBy("path")),
+    // --- ArticleRank: PageRank with hub damping via the mean out-degree
+    // in every divisor (the GDS variant) — unrolled-CTE exact oracle
+    "graph_articlerank" -> ((s, dir) => {
+      val e = rd(s, dir, "orders").select(col("o_orderkey").as("src"),
+        (col("o_custkey") + 10000000L).as("dst"))
+      Graph.articleRank(e, 5).orderBy("id")
+    }),
+    // --- eigenvector centrality: 5 power-iteration rounds with integer
+    // L-inf normalization over the MIRRORED order-customer graph
+    "graph_eigenvector" -> ((s, dir) => {
+      val d = rd(s, dir, "orders").select(col("o_orderkey").as("src"),
+        (col("o_custkey") + 10000000L).as("dst"))
+      val e = d.unionByName(
+        d.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.eigenvectorCentrality(e, 5).orderBy("id")
+    }),
+    // --- two-phase exact heavy hitters over document tokens: pigeonhole
+    // candidate pass (rows bucketed by md5 of doc:pos) + broadcast
+    // recount — items with count strictly > n/100
+    "sketch_heavy_hitters" -> ((s, dir) => {
+      val toks = rd(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")))
+        .select(col("col").as("item"),
+          concat(col("doc_id").cast("string"), lit(":"),
+            col("pos").cast("string")).as("row_key"))
+      Sketches.heavyHitters(toks, "item", "row_key", c = 100, buckets = 32)
+        .orderBy("item")
+    }),
+    // --- DoReMi-shaped domain reweighting: multiplicative weights over
+    // per-source excess mean length, 5 unrolled integer rounds
+    "mix_doremi" -> ((s, dir) =>
+      Sampling.doremiWeights(rd(s, dir, "documents"), 5)
+        .orderBy("source")),
+    // --- BLEU-2 card on the rouge fixture pairs: clipped ppm
+    // precisions, exp-free product transform, brevity operands
+    "eval_bleu" -> ((s, dir) => {
+      val refs = rd(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id").as("pair_id"), col("text").as("ref"))
+      val both = refs.withColumn("cand", expr(
+        """concat(substring(ref, 1,
+          |greatest(length(ref) - (CAST(pair_id % 7 AS INT) * 20), 40)),
+          |' extra tail tokens')""".stripMargin))
+      TextAnalysis.bleuCard(both).orderBy("pair_id")
+    }),
+    // --- trailing 7-day rolling MEDIAN (doubled-exact) of daily event
+    // counts per type — the robust alerting baseline
+    "events_rolling_median" -> ((s, dir) => {
+      val perDay = rdEvents(s, dir)
+        .groupBy(col("event_type").as("key"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("v"))
+      Events.rollingMedian(perDay, 7)
+        .select(col("key").as("event_type"), col("day"), col("n_days"),
+          col("med2"), col("mean_ppm"))
+        .orderBy("event_type", "day")
+    }),
+    // --- cross-modal alignment card: stub md5 media encoder x int8
+    // text embedding, exact BIGINT dot, keep-gate at 0
+    "multimodal_align" -> ((s, dir) => {
+      val media = Multimodal.asMedia(
+        rd(s, dir, "documents").select(col("doc_id"), col("text")))
+      Multimodal.alignScore(media, rd(s, dir, "embeddings"), 16)
+        .orderBy("media_id")
+    }),
+    // --- Wasserman-Faust closeness from the harmonic pivot seeds:
+    // 1e6*r^2 div (|seeds| * sum(d)), DECIMAL cross-multiply
+    "graph_closeness" -> ((s, dir) => {
+      val e = rd(s, dir, "orders").select(col("o_orderkey").as("src"),
+        (col("o_custkey") + 10000000L).as("dst"))
+      val seeds = rd(s, dir, "orders").filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey").as("id"))
+      Graph.closenessCentrality(e, seeds, 3).orderBy("id")
+    }),
+    // --- cross-batch novelty curve: batches by doc_id % 4 plus two
+    // planted re-ingestions (full copies at batch 4, doc_id < 60; and
+    // at batch 2, doc_id < 20) — prior-dup iff checksum seen earlier
+    "corpus_novelty" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val staged = docs.select((col("doc_id") % 4).as("batch"),
+          col("text"))
+        .unionByName(docs.filter(col("doc_id") < 60)
+          .select(lit(4L).as("batch"), col("text")))
+        .unionByName(docs.filter(col("doc_id") < 20)
+          .select(lit(2L).as("batch"), col("text")))
+      Dedup.noveltyCurve(staged).orderBy("batch")
+    }),
+    // --- Cohen's d / Hedges' g effect size on the welch arm split
+    "events_effect_size" -> ((s, dir) =>
+      Events.effectSizeCard(rdEvents(s, dir))),
+    // --- pseudo-relevance-feedback expansion terms for the bm25
+    // first-5-token queries: feedback tf x integer idf, top-5 per query
+    "search_prf" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 5).select(
+        col("doc_id").as("query_id"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 5), " ")
+          .as("query_text"))
+      TextAnalysis.prfExpandTerms(docs, qs, 5, 5)
+        .orderBy("query_id", "rank")
+    }),
+    // --- kNN label-noise audit over the labeled embeddings: sampled
+    // probes, majority-of-5 exact-cosine neighbors vs own label
+    "embed_label_noise" -> ((s, dir) =>
+      Similarity.labelNoiseAudit(rd(s, dir, "embeddings"), 5, 17)
+        .orderBy("query_id"))
   )
 
   /** Staged mojibake rows shared by the `text_mojibake` query and its
@@ -13948,7 +14058,457 @@ object SparkEntry {
         |)
         |SELECT path, n_sessions, modal_path,
         |  CAST(levenshtein(path, modal_path) AS BIGINT) AS dist_to_modal
-        |FROM c, md ORDER BY path""".stripMargin
+        |FROM c, md ORDER BY path""".stripMargin,
+    // ArticleRank twin: the pagerank unroll with (outdeg + avgdeg)
+    // divisors; avgdeg is one floored scalar CTE
+    "graph_articlerank" -> {
+      val round = (prev: String, cur: String) =>
+        s"""$cur AS (
+           |  SELECT n.id, 150000000000 + (85 * COALESCE(c.cin, 0)) // 100 AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT ed.dst, CAST(SUM(p.r // ed.den) AS BIGINT) AS cin
+           |    FROM ed JOIN $prev p ON p.id = ed.src GROUP BY ed.dst
+           |  ) c ON n.id = c.dst
+           |)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT o_orderkey AS src, o_custkey + 10000000 AS dst FROM orders
+         |), nodes AS (
+         |  SELECT src AS id FROM e UNION SELECT dst FROM e
+         |), deg AS (
+         |  SELECT src, count(*) AS outdeg FROM e GROUP BY 1
+         |), ad AS (
+         |  SELECT CAST(sum(outdeg) // count(*) AS BIGINT) AS avgdeg FROM deg
+         |), ed AS (
+         |  SELECT e.src, e.dst, deg.outdeg + ad.avgdeg AS den
+         |  FROM e JOIN deg USING (src) CROSS JOIN ad
+         |), r0 AS (
+         |  SELECT id, CAST(1000000000000 AS BIGINT) AS r FROM nodes
+         |), ${round("r0", "r1")},
+         |${round("r1", "r2")},
+         |${round("r2", "r3")},
+         |${round("r3", "r4")},
+         |${round("r4", "r5")}
+         |SELECT id, r AS rank_scaled,
+         |  CAST(r AS DOUBLE) / 1000000000000.0 AS rank
+         |FROM r5 ORDER BY id""".stripMargin
+    },
+    // Eigenvector twin: per unrolled round the raw-sum CTE is referenced
+    // twice (its own max + the rescale) -> MATERIALIZED (the r6 inlining
+    // rule); integer L-inf normalization, zero-max guard
+    "graph_eigenvector" -> {
+      val round = (i: Int) =>
+        s"""y$i AS MATERIALIZED (
+           |  SELECT n.id, COALESCE(s.y, 0) AS y
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS id, CAST(SUM(p.x) AS BIGINT) AS y
+           |    FROM e JOIN x${i - 1} p ON p.id = e.src GROUP BY e.dst
+           |  ) s ON n.id = s.id
+           |), x$i AS MATERIALIZED (
+           |  SELECT y$i.id,
+           |    CASE WHEN m.m <= 0 THEN CAST(0 AS BIGINT)
+           |      ELSE CAST((y * 1000000) // m.m AS BIGINT) END AS x
+           |  FROM y$i CROSS JOIN (SELECT max(y) AS m FROM y$i) m
+           |)""".stripMargin
+      s"""WITH d AS (
+         |  SELECT o_orderkey AS src, o_custkey + 10000000 AS dst FROM orders
+         |), e AS MATERIALIZED (
+         |  SELECT src, dst FROM d UNION ALL SELECT dst, src FROM d
+         |), nodes AS MATERIALIZED (
+         |  SELECT DISTINCT src AS id FROM e
+         |), x0 AS (
+         |  SELECT id, CAST(1000000 AS BIGINT) AS x FROM nodes
+         |), ${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |${round(4)},
+         |${round(5)}
+         |SELECT id, x AS x_scaled FROM x5 ORDER BY id""".stripMargin
+    },
+    // Heavy-hitters twin: identical two-phase count algebra — md5
+    // row-bucket cells, pigeonhole candidate cut, exact global recount
+    "sketch_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |), items AS (
+        |  SELECT t[i] AS item,
+        |    CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)
+        |      AS row_key
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, len(t))) AS i FROM toks)
+        |), b AS (
+        |  SELECT item,
+        |    CAST('0x' || substr(md5(row_key), 1, 8) AS BIGINT) % 32
+        |      AS bucket
+        |  FROM items
+        |), pb AS (
+        |  SELECT bucket, item, CAST(count(*) AS BIGINT) AS cnt_b
+        |  FROM b GROUP BY 1, 2
+        |), bt AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_b FROM b GROUP BY 1
+        |), cand AS (
+        |  SELECT DISTINCT item FROM pb JOIN bt USING (bucket)
+        |  WHERE cnt_b * 100 > n_b
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_total FROM items
+        |)
+        |SELECT i.item, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(count(*) * 1000000 // n_total AS BIGINT) AS share_ppm
+        |FROM items i JOIN cand USING (item) CROSS JOIN tot
+        |GROUP BY i.item, n_total
+        |HAVING count(*) * 100 > n_total
+        |ORDER BY item""".stripMargin,
+    // DoReMi twin: bounded per-source frame, 5 unrolled multiplicative
+    // rounds; raw{i} referenced twice (sum + rescale) -> MATERIALIZED
+    "mix_doremi" -> {
+      val round = (i: Int) =>
+        s"""raw$i AS MATERIALIZED (
+           |  SELECT source, n_docs, signal_e6, excess_e6,
+           |    CASE WHEN mx.max_e6 <= 0 THEN w
+           |      ELSE w + (w * excess_e6) // mx.max_e6 END AS w_raw
+           |  FROM w${i - 1} CROSS JOIN mx
+           |), w$i AS MATERIALIZED (
+           |  SELECT source, n_docs, signal_e6, excess_e6,
+           |    (w_raw * 1000000) // t.w_tot AS w
+           |  FROM raw$i CROSS JOIN (
+           |    SELECT CAST(sum(w_raw) AS BIGINT) AS w_tot FROM raw$i) t
+           |)""".stripMargin
+      s"""WITH per AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_chars) AS HUGEINT) AS chars
+         |  FROM documents GROUP BY 1
+         |), per2 AS (
+         |  SELECT source, n_docs,
+         |    CAST(chars * 1000000 // n_docs AS BIGINT) AS signal_e6
+         |  FROM per
+         |), ref AS (
+         |  SELECT CAST(sum(chars) * 1000000 // sum(n_docs) AS BIGINT)
+         |    AS ref_e6
+         |  FROM per
+         |), dom AS (
+         |  SELECT source, n_docs, signal_e6,
+         |    greatest(signal_e6 - ref_e6, 0) AS excess_e6
+         |  FROM per2 CROSS JOIN ref
+         |), mx AS (
+         |  SELECT max(excess_e6) AS max_e6 FROM dom
+         |), w0 AS (
+         |  SELECT source, n_docs, signal_e6, excess_e6,
+         |    CAST(1000000 AS BIGINT) AS w
+         |  FROM dom
+         |), ${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |${round(4)},
+         |${round(5)}
+         |SELECT source, n_docs, signal_e6, excess_e6, w AS weight_ppm
+         |FROM w5 ORDER BY source""".stripMargin
+    },
+    // BLEU twin: the rouge gram legs (n = 1, 2) reduced to clipped
+    // precision operands; p2 NULL-guarded exactly like the Spark side
+    "eval_bleu" -> {
+      def leg(n: Int): String = {
+        val gramExpr =
+          if (n == 1) "t[i]"
+          else (0 until n).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+        s"""cg$n AS (
+           |  SELECT pair_id, $gramExpr AS g, CAST(count(*) AS BIGINT) AS cc
+           |  FROM (SELECT pair_id, t,
+           |          unnest(generate_series(1, len(t) - ${n - 1})) AS i
+           |        FROM (SELECT pair_id,
+           |                string_split_regex(trim(cand), '\\s+') AS t
+           |              FROM base) WHERE len(t) >= $n)
+           |  GROUP BY 1, 2
+           |), rg$n AS (
+           |  SELECT pair_id, $gramExpr AS g, CAST(count(*) AS BIGINT) AS cr
+           |  FROM (SELECT pair_id, t,
+           |          unnest(generate_series(1, len(t) - ${n - 1})) AS i
+           |        FROM (SELECT pair_id,
+           |                string_split_regex(trim(ref), '\\s+') AS t
+           |              FROM base) WHERE len(t) >= $n)
+           |  GROUP BY 1, 2
+           |), mm$n AS (
+           |  SELECT pair_id, CAST(sum(least(cc, cr)) AS BIGINT) AS n_match
+           |  FROM cg$n JOIN rg$n USING (pair_id, g) GROUP BY 1
+           |)""".stripMargin
+      }
+      s"""WITH base AS (
+         |  SELECT doc_id AS pair_id, text AS ref,
+         |    substr(text, 1,
+         |      greatest(length(text) - (CAST(doc_id % 7 AS INT) * 20), 40))
+         |      || ' extra tail tokens' AS cand
+         |  FROM documents WHERE doc_id < 200
+         |),
+         |${leg(1)},
+         |${leg(2)},
+         |s1 AS (
+         |  SELECT pair_id, CAST(sum(cc) AS BIGINT) AS c1 FROM cg1 GROUP BY 1
+         |), s2 AS (
+         |  SELECT pair_id, CAST(sum(cc) AS BIGINT) AS c2 FROM cg2 GROUP BY 1
+         |), rl AS (
+         |  SELECT pair_id, CAST(sum(cr) AS BIGINT) AS n_ref FROM rg1
+         |  GROUP BY 1
+         |), j AS (
+         |  SELECT s1.pair_id, s1.c1, COALESCE(a.n_match, 0) AS m1,
+         |    s2.c2,
+         |    CASE WHEN s2.c2 IS NULL THEN NULL
+         |      ELSE COALESCE(b.n_match, 0) END AS m2,
+         |    rl.n_ref
+         |  FROM s1 JOIN rl USING (pair_id)
+         |  LEFT JOIN s2 ON s1.pair_id = s2.pair_id
+         |  LEFT JOIN mm1 a ON s1.pair_id = a.pair_id
+         |  LEFT JOIN mm2 b ON s1.pair_id = b.pair_id
+         |), k AS (
+         |  SELECT pair_id, c1 AS n_cand, n_ref, m1, m2,
+         |    CAST(1000000 * m1 // c1 AS BIGINT) AS p1_ppm,
+         |    CASE WHEN c2 IS NULL OR c2 = 0 THEN NULL
+         |      ELSE CAST(1000000 * m2 // c2 AS BIGINT) END AS p2_ppm,
+         |    CAST(1000000 * c1 // n_ref AS BIGINT) AS len_ratio_ppm,
+         |    c1 < n_ref AS bp_applied
+         |  FROM j
+         |)
+         |SELECT pair_id, n_cand, n_ref, m1, m2, p1_ppm, p2_ppm,
+         |  p1_ppm * p2_ppm AS bleu2_sq_e12, len_ratio_ppm, bp_applied
+         |FROM k ORDER BY pair_id""".stripMargin
+    },
+    // Rolling-median twin: forward-contribution window cells, doubled
+    // quantile_cont (exact integer), HUGEINT mean numerator
+    "events_rolling_median" ->
+      """WITH perday AS (
+        |  SELECT event_type AS key,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2
+        |), days AS (
+        |  SELECT DISTINCT day FROM perday
+        |), contrib AS (
+        |  SELECT key, v, day + t.g AS day_w
+        |  FROM perday, generate_series(0, 6) AS t(g)
+        |)
+        |SELECT c.key AS event_type, c.day_w AS day,
+        |  CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(2 * quantile_cont(v, 0.5) AS BIGINT) AS med2,
+        |  CAST(CAST(sum(v) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+        |    AS mean_ppm
+        |FROM contrib c JOIN days d ON c.day_w = d.day
+        |GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+    // Cross-modal alignment twin: embed_quantize's int8 CTE x the md5
+    // stub features recomputed from the text form of the payload
+    "multimodal_align" -> {
+      val terms = (0 until 16).map { j =>
+        s"(q[${j + 1}] * ((CAST('0x' || substr(md5(text || ':$j'), 1, 8)" +
+          s" AS BIGINT) % 255) - 127))"
+      }.mkString("\n         |    + ")
+      s"""WITH sc AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         |    list_max(list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> abs(x))) AS scale
+         |  FROM embeddings
+         |), qq AS (
+         |  SELECT vec_id,
+         |    list_transform(e, x -> CASE WHEN scale = 0
+         |      THEN CAST(0 AS BIGINT)
+         |      ELSE CAST(floor(x * 127.0 / scale) AS BIGINT) END) AS q
+         |  FROM sc
+         |), m AS (
+         |  SELECT doc_id AS media_id, text FROM documents
+         |), s AS (
+         |  SELECT m.media_id,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |    CAST($terms AS BIGINT) AS align_score
+         |  FROM m JOIN qq ON m.media_id = qq.vec_id
+         |)
+         |SELECT media_id, n_bytes, align_score, align_score >= 0 AS keep
+         |FROM s ORDER BY media_id""".stripMargin
+    },
+    // Closeness twin: the harmonic walk CTEs with the Wasserman-Faust
+    // readout — HUGEINT cross-multiply, one floored division
+    "graph_closeness" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT o_orderkey AS src, o_custkey + 10000000 AS dst FROM orders
+        |), u AS (
+        |  SELECT src AS u, dst AS v FROM e
+        |  UNION ALL SELECT dst, src FROM e
+        |), walk(seed, id, d) AS (
+        |  SELECT o_orderkey, o_orderkey, 0 FROM orders WHERE o_orderkey < 100
+        |  UNION
+        |  SELECT w.seed, u.v, w.d + 1 FROM walk w JOIN u ON u.u = w.id
+        |  WHERE w.d < 3
+        |), dist AS (
+        |  SELECT seed, id, min(d) AS dist FROM walk GROUP BY 1, 2
+        |), ns AS (
+        |  SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_seeds
+        |  FROM orders WHERE o_orderkey < 100
+        |)
+        |SELECT id, CAST(count(*) AS BIGINT) AS n_reached,
+        |  CAST(sum(dist) AS BIGINT) AS dist_sum,
+        |  CAST(CAST(count(*) AS HUGEINT) * count(*) * 1000000
+        |    // (CAST(n_seeds AS HUGEINT) * sum(dist)) AS BIGINT)
+        |    AS closeness_ppm
+        |FROM dist CROSS JOIN ns WHERE dist > 0
+        |GROUP BY id, n_seeds ORDER BY id""".stripMargin,
+    // Novelty-curve twin: identical staged batches, checksum ->
+    // min(batch), strictly-earlier dup rule
+    "corpus_novelty" ->
+      """WITH d AS (
+        |  SELECT doc_id % 4 AS batch, text FROM documents
+        |  UNION ALL
+        |  SELECT 4, text FROM documents WHERE doc_id < 60
+        |  UNION ALL
+        |  SELECT 2, text FROM documents WHERE doc_id < 20
+        |), b AS (
+        |  SELECT CAST(batch AS BIGINT) AS batch, md5(text) AS ck FROM d
+        |), fs AS (
+        |  SELECT ck, min(batch) AS first_batch FROM b GROUP BY 1
+        |)
+        |SELECT batch, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN batch > first_batch THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dup_prior,
+        |  CAST(1000000 * (count(*) -
+        |    sum(CASE WHEN batch > first_batch THEN 1 ELSE 0 END))
+        |    // count(*) AS BIGINT) AS novelty_ppm
+        |FROM b JOIN fs USING (ck) GROUP BY batch ORDER BY batch""".stripMargin,
+    // Effect-size twin: the welch staging with the pooled-variance
+    // fixed IEEE tree; degenerate arms NULL
+    "events_effect_size" ->
+      """WITH r0 AS (
+        |  SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |      AS BIGINT) < 8 THEN 'A' ELSE 'B' END AS variant,
+        |    CAST(floor(value * 100) AS BIGINT) AS x
+        |  FROM events
+        |), cells AS (
+        |  SELECT variant, CAST(count(*) AS BIGINT) AS n, sum(x) AS s,
+        |    sum(x * x) AS ss
+        |  FROM r0 GROUP BY 1
+        |), w AS (
+        |  SELECT
+        |    CAST(coalesce(sum(CASE WHEN variant = 'A' THEN n END), 0)
+        |      AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN variant = 'A' THEN s END) AS DOUBLE) AS sa,
+        |    CAST(sum(CASE WHEN variant = 'A' THEN ss END) AS DOUBLE) AS ssa,
+        |    CAST(coalesce(sum(CASE WHEN variant = 'B' THEN n END), 0)
+        |      AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN s END) AS DOUBLE) AS sb,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN ss END) AS DOUBLE) AS ssb
+        |  FROM cells
+        |), c1 AS (
+        |  SELECT n_a, n_b, sa, sb, ssa, ssb,
+        |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb
+        |  FROM w
+        |), c2 AS (
+        |  SELECT n_a, n_b, sa, sb, na, nb,
+        |    ((na * ssa - sa * sa) / na + (nb * ssb - sb * sb) / nb)
+        |      / (na + nb - 2) AS sp2
+        |  FROM c1
+        |), c3 AS (
+        |  SELECT n_a, n_b, sa, sb, na, nb,
+        |    CASE WHEN n_a > 1 AND n_b > 1 AND sp2 > 0
+        |      THEN (sa / na - sb / nb) / sqrt(sp2) END AS cohen_d
+        |  FROM c2
+        |)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a > 0 THEN sa / na END AS mean_a_cents,
+        |  CASE WHEN n_b > 0 THEN sb / nb END AS mean_b_cents,
+        |  cohen_d,
+        |  cohen_d * (1 - 3 / (4 * (na + nb) - 9)) AS hedges_g
+        |FROM c3 ORDER BY n_a""".stripMargin,
+    // PRF twin: the bm25 chain to a feedback set, then feedback tf x
+    // integer idf over the corpus-wide df of the feedback vocabulary
+    "search_prf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |), lens AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks
+        |), tot AS (
+        |  SELECT CAST(sum(dl) AS BIGINT) AS corpus_len, count(*) AS n_docs
+        |  FROM lens
+        |), q AS (
+        |  SELECT DISTINCT query_id, token FROM (
+        |    SELECT doc_id AS query_id, unnest(t[1:5]) AS token
+        |    FROM toks WHERE doc_id < 5)
+        |), tfa AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(t) AS token FROM toks)
+        |  GROUP BY 1, 2
+        |), d AS (
+        |  SELECT *, count(*) OVER (PARTITION BY token) AS df FROM tfa
+        |), sc AS (
+        |  SELECT q.query_id, d.doc_id,
+        |    CAST(sum(((1000000 // df) * 2200 * corpus_len * tf)
+        |      // (10 * corpus_len * tf + 3 * corpus_len + 9 * dl * n_docs))
+        |      AS BIGINT) AS score
+        |  FROM d JOIN q ON d.token = q.token
+        |  JOIN lens ON d.doc_id = lens.doc_id
+        |  CROSS JOIN tot
+        |  GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS r
+        |  FROM sc
+        |), fb AS (
+        |  SELECT query_id, doc_id FROM rk WHERE r <= 5
+        |), ftf AS (
+        |  SELECT fb.query_id, x.token, CAST(count(*) AS BIGINT) AS fb_tf
+        |  FROM fb JOIN (SELECT doc_id, unnest(t) AS token FROM toks) x
+        |    ON fb.doc_id = x.doc_id
+        |  GROUP BY 1, 2
+        |), dfv AS (
+        |  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+        |  WHERE token IN (SELECT DISTINCT token FROM ftf)
+        |  GROUP BY 1
+        |), ex AS (
+        |  SELECT f.query_id, f.token, f.fb_tf, dfv.df,
+        |    f.fb_tf * (1000000 // dfv.df) AS weight
+        |  FROM ftf f JOIN dfv USING (token)
+        |  WHERE NOT EXISTS (SELECT 1 FROM q
+        |    WHERE q.query_id = f.query_id AND q.token = f.token)
+        |), rk2 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY weight DESC, token) AS rnk
+        |  FROM ex
+        |)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS "rank", token, fb_tf,
+        |  df, weight
+        |FROM rk2 WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    // Label-noise twin: label_knn's scored/ranked/votes chain with
+    // self-exclusion and the (votes DESC, label ASC) majority election
+    "embed_label_noise" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(label AS BIGINT) AS own_label,
+        |    CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id % 17 = 0
+        |), c AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS n_label,
+        |    CAST(embedding AS DOUBLE[]) AS ce
+        |  FROM embeddings
+        |), scored AS (
+        |  SELECT q.query_id, c.vec_id, c.n_label,
+        |    list_dot_product(ce, qe) /
+        |      (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(qe, qe)))
+        |      AS cosine
+        |  FROM c, q WHERE c.vec_id <> q.query_id
+        |), ranked AS (
+        |  SELECT query_id, n_label,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id ASC) AS r
+        |  FROM scored
+        |), votes AS (
+        |  SELECT query_id, n_label, CAST(count(*) AS BIGINT) AS votes
+        |  FROM ranked WHERE r <= 5 GROUP BY 1, 2
+        |), best AS (
+        |  SELECT query_id, n_label AS knn_label,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY votes DESC, n_label ASC) AS vr
+        |  FROM votes
+        |)
+        |SELECT q.query_id, q.own_label, b.knn_label,
+        |  CAST(coalesce(v.votes, 0) AS BIGINT) AS n_agree,
+        |  b.knn_label <> q.own_label AS flagged
+        |FROM q JOIN best b ON b.query_id = q.query_id AND b.vr = 1
+        |LEFT JOIN votes v
+        |  ON v.query_id = q.query_id AND v.n_label = q.own_label
+        |ORDER BY q.query_id""".stripMargin
   )
 
   /** Generated DuckDB twin of [[graft.ops.Sampling.shapleyVocabValue]]:

@@ -786,7 +786,7 @@ object Stress {
         .groupBy(col("l.item").as("src"), col("r.item").as("dst"))
         .agg((lit(1000000L) - count(lit(1))).as("w"))
         .filter(col("w") <= 999998L)
-      graft.ops.Graph.boruvkaForest(ew, rounds = 3, mergeCap = 8).count()
+      graft.ops.Graph.boruvkaForest(ew, rounds = 3, mergeCap = 16).count()
     }
     // exact selection: <= 4 bucket-count scans whatever the row count —
     // the per-level driver pull is 2^16 cells, never values

@@ -1302,4 +1302,33 @@ object Dedup {
       .select(col("cluster_id"), col("doc_id"), col("quality"),
         col("keep"), col("canonical_id"))
   }
+
+  /** Cross-batch novelty curve — how much of each ingestion batch is
+    * already known from STRICTLY earlier batches (the data-value-decay
+    * readout that decides whether the next crawl is worth its compute:
+    * each re-crawl of the same sources yields less). Expects
+    * `(batch, text)` — batch is the crawl/ingestion label with a total
+    * order. A doc is a prior-dup iff its exact checksum appeared in any
+    * earlier batch — within-batch duplicates intentionally do NOT count
+    * (they belong to within-batch dedup, row 17).
+    *
+    * Scale shape: checksum → min(batch) is ONE partial-aggregated
+    * groupBy on the checksum (cardinality = distinct payloads); the
+    * verdict join is checksum-keyed; the curve rollup is |batches|
+    * rows. Output per batch: `(batch, n_docs, n_dup_prior,
+    * novelty_ppm)`.
+    */
+  def noveltyCurve(docs: DataFrame): DataFrame = {
+    val b = docs.select(col("batch").cast("long").as("batch"),
+      md5(col("text")).as("ck"))
+    val firstSeen = b.groupBy(col("ck"))
+      .agg(min(col("batch")).as("first_batch"))
+    b.join(firstSeen, "ck")
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("batch") > col("first_batch"), 1L).otherwise(0L))
+          .as("n_dup_prior"))
+      .withColumn("novelty_ppm",
+        expr("1000000L * (n_docs - n_dup_prior) div n_docs"))
+  }
 }

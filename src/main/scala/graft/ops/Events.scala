@@ -531,6 +531,37 @@ object Events {
       .select(col("day_w").as("day"), col("active_users"))
   }
 
+  /** Trailing-window rolling MEDIAN of a per-(key, day) series — the
+    * robust baseline that one traffic spike cannot drag the way a
+    * rolling mean moves (alerting/SLO smoothing over daily counts). The
+    * median is reported DOUBLED (`med2`): 2·quantile(0.5) is either
+    * 2·(a middle value) or (the sum of the two middle values) — an
+    * exact integer both engines compute identically, where the halved
+    * form would hang on float .5s (the percentile-halves recipe); the
+    * companion mean is exact ppm through a DECIMAL(38,0) numerator.
+    * Same forward-contribution shape as [[rollingActiveUsers]]: each
+    * (key, day) row contributes to the `windowDays` windows ending on
+    * or after it, restricted to days present in the data — one explode
+    * (bounded ×windowDays) and ONE partial-aggregated shuffle keyed
+    * (key, window day); no per-key sort, no window over raw events.
+    * Expects `(key, day, v)` with integer days and values.
+    */
+  def rollingMedian(perDay: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1)
+    val days = perDay.select(col("day")).distinct()
+    perDay.select(col("key"), col("v"),
+        explode(sequence(col("day"),
+          col("day") + (windowDays - 1))).as("day_w"))
+      .join(days.withColumnRenamed("day", "day_w"), Seq("day_w"))
+      .groupBy(col("key"), col("day_w"))
+      .agg(count(lit(1)).as("n_days"),
+        (expr("percentile(v, 0.5)") * 2).cast("long").as("med2"),
+        expr("cast(cast(sum(v) AS DECIMAL(38,0)) * 1000000" +
+          " div count(1) AS BIGINT)").as("mean_ppm"))
+      .select(col("key"), col("day_w").as("day"), col("n_days"),
+        col("med2"), col("mean_ppm"))
+  }
+
   /** DAU/MAU stickiness — the product-analytics engagement ratio, over
     * fixed `periodDays` windows (28-day periods, the calendar-free
     * industry convention): per period, MAU = distinct users in the
@@ -777,6 +808,54 @@ object Events {
         (sea + seb) * (sea + seb) /
           (sea * sea / (d("n_a") - lit(1.0)) +
             seb * seb / (d("n_b") - lit(1.0)))).as("df_welch"))
+  }
+
+  /** Cohen's d / Hedges' g effect-size card — the companion to
+    * [[welchTTest]]'s significance answer: HOW BIG is the arm
+    * difference in pooled-standard-deviation units (the number a ship
+    * decision actually reads; p-values shrink with n, d does not).
+    * Identical md5-parity arm split and integer-cents staging as welch;
+    * the co-moments are exact DECIMAL sums and the estimate is one
+    * fixed IEEE tree per column (the welch portability argument):
+    * `sp² = ((n_a·ss_a − s_a²)/n_a + (n_b·ss_b − s_b²)/n_b)/(n_a+n_b−2)`,
+    * `d = (m_a − m_b)/√sp²`, and the small-sample correction
+    * `g = d·(1 − 3/(4(n_a+n_b) − 9))`. Degenerate frames (an arm with
+    * < 2 rows, zero pooled variance) emit NULL, never a throw. One
+    * partial-aggregated pass; the card is a single row.
+    */
+  def effectSizeCard(events: DataFrame): DataFrame = {
+    val rows = events.select(
+      when(expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 1)" +
+        ", 16, 10) AS BIGINT)") < 8, lit("A")).otherwise(lit("B"))
+        .as("variant"),
+      expr("CAST(floor(value * 100) AS BIGINT)").as("x"))
+    val wide = rows.groupBy("variant")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(28,0)")).as("s"),
+        sum((col("x") * col("x")).cast("decimal(28,0)")).as("ss"))
+      .groupBy()
+      .agg(
+        coalesce(sum(when(col("variant") === "A", col("n"))), lit(0L))
+          .as("n_a"),
+        sum(when(col("variant") === "A", col("s"))).as("s_a"),
+        sum(when(col("variant") === "A", col("ss"))).as("ss_a"),
+        coalesce(sum(when(col("variant") === "B", col("n"))), lit(0L))
+          .as("n_b"),
+        sum(when(col("variant") === "B", col("s"))).as("s_b"),
+        sum(when(col("variant") === "B", col("ss"))).as("ss_b"))
+    def d(c: String): Column = col(c).cast("double")
+    val sp2 = ((d("n_a") * d("ss_a") - d("s_a") * d("s_a")) / d("n_a") +
+      (d("n_b") * d("ss_b") - d("s_b") * d("s_b")) / d("n_b")) /
+      (d("n_a") + d("n_b") - lit(2.0))
+    val defined = col("n_a") > 1 && col("n_b") > 1
+    val cohenD = when(defined && sp2 > 0,
+      (d("s_a") / d("n_a") - d("s_b") / d("n_b")) / sqrt(sp2))
+    wide.select(col("n_a"), col("n_b"),
+      when(col("n_a") > 0, d("s_a") / d("n_a")).as("mean_a_cents"),
+      when(col("n_b") > 0, d("s_b") / d("n_b")).as("mean_b_cents"),
+      cohenD.as("cohen_d"),
+      (cohenD * (lit(1.0) - lit(3.0) /
+        (lit(4.0) * (d("n_a") + d("n_b")) - lit(9.0)))).as("hedges_g"))
   }
 
   /** Top-k event types per day by volume — the "trending" rollup.

@@ -243,6 +243,93 @@ object Graph {
       (col("r").cast("double") / lit(Scale.toDouble)).as("rank"))
   }
 
+  /** ArticleRank — the GDS PageRank variant that damps hub influence by
+    * adding the MEAN out-degree to every per-node divisor:
+    *
+    *   r'(v) = 0.15·S + (85 · Σ_{(u,v)∈E} r(u) div (outdeg(u) + avgdeg)) div 100
+    *
+    * with `avgdeg = Σ outdeg div |src nodes|` (floored once, a one-row
+    * aggregate broadcast onto the edge frame — never a driver pull). A
+    * node pointing at thousands of targets contributes barely more per
+    * target than one pointing at few, so citation-farm hubs stop
+    * dominating. Same fixed-point BIGINT `div` arithmetic, linear
+    * lazy-chained lineage, and unrolled-CTE oracle shape as [[pageRank]];
+    * the registered query is engine-exact.
+    */
+  def articleRank(edges: DataFrame, iters: Int = 5,
+                  checkpointEvery: Int = 10): DataFrame = {
+    val base = 15L * Scale / 100L
+    val e = edges.select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true) // referenced twice per round: compute once
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val avg = outdeg.agg(
+      expr("sum(outdeg) div count(*)").as("avgdeg")) // one-row scalar
+    val edgesDeg = e.join(outdeg, "src").crossJoin(broadcast(avg))
+      .withColumn("den", col("outdeg") + col("avgdeg"))
+      .localCheckpoint(true)
+    var ranks = nodes.withColumn("r", lit(Scale))
+    var i = 0
+    while (i < iters) {
+      val contribs = edgesDeg
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), expr("r div den").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cin"))
+      ranks = nodes
+        .join(contribs, nodes("id") === contribs("dst"), "left")
+        .select(col("id"),
+          (lit(base) + expr("(85 * coalesce(cin, 0L)) div 100")).as("r"))
+      i += 1
+      if (i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint(true)
+    }
+    ranks.select(col("id"), col("r").as("rank_scaled"),
+      (col("r").cast("double") / lit(Scale.toDouble)).as("rank"))
+  }
+
+  /** Eigenvector centrality by fixed-round power iteration with
+    * max-normalization — the remaining GDS centrality this library
+    * lacked (PageRank's damping-free ancestor: a node is central when
+    * its IN-neighbors are central, with no teleport floor). Each round
+    * computes y(v) = Σ_{(u,v)∈E} x(u) and rescales to
+    * `x := y·10⁶ div max(y)` so the leader always reads 10⁶ — the
+    * integer twin of L∞ normalization, keeping every value bounded (no
+    * overflow at any degree) and the whole recursion BIGINT-exact. The
+    * max is a one-row aggregate broadcast back onto the frame — never a
+    * driver pull. Fixed `iters` rounds make the result deterministic
+    * and oracle-exact regardless of spectral-gap convergence (the
+    * fixed-round recipe); pass the MIRRORED edge list for the
+    * undirected GDS default. Each round's raw-sum frame is referenced
+    * twice (its own max + the rescale) → localCheckpoint per round (the
+    * clusters rule). An edgeless graph emits all-zero scores, never a
+    * division error. Output: `(id, x_scaled)` with x_scaled ∈ [0, 10⁶].
+    */
+  def eigenvectorCentrality(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val S6 = 1000000L
+    val e = edges.select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    var x = nodes.withColumn("x", lit(S6))
+    var i = 0
+    while (i < iters) {
+      val y = nodes
+        .join(e.join(x.withColumnRenamed("id", "src"), "src")
+            .groupBy(col("dst")).agg(sum(col("x")).as("y")),
+          nodes("id") === col("dst"), "left")
+        .select(col("id"), coalesce(col("y"), lit(0L)).as("y"))
+        .localCheckpoint(true) // referenced by its own max AND the rescale
+      val m = y.agg(max(col("y")).as("m"))
+      x = y.crossJoin(broadcast(m))
+        .select(col("id"),
+          when(col("m") <= 0L, lit(0L))
+            .otherwise(expr(s"(y * ${S6}L) div m")).as("x"))
+      i += 1
+    }
+    x.select(col("id"), col("x").as("x_scaled"))
+  }
+
   /** Personalized PageRank: the teleport mass returns to a SEED set
     * instead of spreading uniformly — "importance relative to these
     * entities", the graph-expansion score behind related-item and
@@ -602,12 +689,23 @@ object Graph {
       var converged = false
       var step = 0
       while (!converged && step < mergeCap) {
-        val next = m
+        val prop = m
           .join(mg.withColumnRenamed("a", "c"), Seq("c"), "left")
           .join(m.select(col("c").as("b"), col("root").as("nroot")),
             Seq("b"), "left")
           .groupBy(col("c"))
           .agg(least(min(col("root")), min(col("nroot"))).as("root"))
+          .localCheckpoint(true) // referenced twice by the jump self-join
+        // pointer jump (root := root(root)): doubles the reach per step
+        // so `mergeCap` bounds chains of length ~2^mergeCap, not
+        // mergeCap — the sf10 densified chosen-edge chains exceeded a
+        // hop-per-step cap (BENCH_sf10_r14 graph_mst failure). The
+        // merge still runs to the SAME converged min-label fixed point,
+        // so the single-hop unrolled oracle is unchanged.
+        val next = prop
+          .join(prop.select(col("c").as("root"), col("root").as("rroot")),
+            Seq("root"), "left")
+          .select(col("c"), coalesce(col("rroot"), col("root")).as("root"))
           .localCheckpoint(true)
         converged = next.alias("n")
           .join(m.alias("p"), col("n.c") === col("p.c"))
@@ -1775,6 +1873,34 @@ object Graph {
         count(lit(1)).as("n_reached"))
       .withColumn("harmonic",
         col("h_scaled").cast("double") / lit(scale.toDouble))
+  }
+
+  /** Wasserman–Faust closeness centrality from a pivot seed set — the
+    * GDS CLOSENESS companion to [[harmonicCloseness]], component-size
+    * corrected so a node central in a small component cannot outscore a
+    * genuinely central node: over the seeds reaching v within `maxHops`,
+    * `closeness_ppm = 10⁶ · r² div (|seeds| · Σd)` (r = reached seed
+    * count) — the sampled-pivot form of ((r−1)/(n−1))·((r−1)/Σd).
+    * All-integer: the cross-multiplied numerator rides DECIMAL(38,0),
+    * ONE floored division, no reciprocal table needed (unlike harmonic,
+    * the distance sum is used directly). Same [[seedDistances]] BFS
+    * rounds + one node-keyed partial agg + a one-row seed-count
+    * broadcast; unreached nodes simply emit no row.
+    */
+  def closenessCentrality(edges: DataFrame, seeds: DataFrame,
+                          maxHops: Int = 4): DataFrame = {
+    val nSeeds = seeds.select(col("id")).distinct()
+      .agg(count(lit(1)).as("n_seeds"))
+    seedDistances(edges, seeds, maxHops)
+      .filter(col("dist") > 0)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_reached"), sum(col("dist")).as("dist_sum"))
+      .crossJoin(broadcast(nSeeds))
+      .withColumn("closeness_ppm",
+        expr("CAST(CAST(n_reached AS DECIMAL(38,0)) * n_reached * 1000000" +
+          " div (CAST(n_seeds AS DECIMAL(38,0)) * dist_sum) AS BIGINT)"))
+      .select(col("id"), col("n_reached"), col("dist_sum"),
+        col("closeness_ppm"))
   }
 
   /** HITS hubs-and-authorities in fixed-point integer arithmetic — the

@@ -227,4 +227,36 @@ object Multimodal {
           col("frame_idx").cast("string"), lit(":"),
           md5(col("payload")))).as("frame_hash"))
   }
+
+  /** Cross-modal alignment-score card — the CLIP-score filtering shape
+    * (keep image/text pairs whose embeddings agree) with the media
+    * ENCODER stubbed and every downstream step real. The stub projects
+    * the payload to `dims` int8 features via md5-prefix hashes
+    * (`(h_j % 255) − 127` per salted digest — deterministic and
+    * engine-portable; a production build swaps exactly this projection
+    * for the vision tower's output). The text side rides
+    * [[Similarity.quantizeInt8]]'s int8 embedding, so the alignment
+    * score is a pure BIGINT dot product — order-free exact — and the
+    * keep/drop gate (`score >= 0`) is the decision a real CLIP-filter
+    * makes against a tuned threshold. Plumbing is one 1:1 equi-join
+    * (media_id = vec_id — bucketable on the shared key at scale) plus a
+    * narrow projection: no shuffle beyond the join, no UDF, the
+    * per-row md5 chain stays in codegen like the phash path.
+    */
+  def alignScore(media: DataFrame, embeddings: DataFrame,
+                 dims: Int = 16): DataFrame = {
+    require(dims >= 1 && dims <= 64)
+    val q = graft.ops.Similarity.quantizeInt8(embeddings)
+      .select(col("vec_id"), col("q"))
+    val score = (0 until dims).map { j =>
+      val f = conv(substring(md5(concat(col("payload").cast("string"),
+        lit(s":$j"))), 1, 8), 16, 10).cast("long") % 255 - 127
+      element_at(col("q"), j + 1) * f
+    }.reduce(_ + _)
+    media.join(q, media("media_id") === q("vec_id"))
+      .select(col("media_id"),
+        expr("octet_length(payload)").cast("long").as("n_bytes"),
+        score.as("align_score"))
+      .withColumn("keep", col("align_score") >= 0L)
+  }
 }

@@ -746,4 +746,64 @@ object Sampling {
     rows.toDF("grp", "source", "n_exclusive_tokens", "phi_scaled",
       "phi_ppm").orderBy("grp")
   }
+
+  /** DoReMi-shaped domain reweighting — the multiplicative-weights
+    * update that tilts the training mixture toward domains with the
+    * largest EXCESS loss, run here with a deterministic loss proxy so
+    * the update arithmetic (the part a real run reuses verbatim) is
+    * engine-exact. Per domain: `signal_e6 = (Σ n_chars · 10⁶) div n`
+    * (mean doc length, the proxy a production run replaces with
+    * per-domain model loss), `excess_e6 = max(signal − ref, 0)` against
+    * the corpus-wide mean — the clamp is the Warner rule (a negative
+    * operand is where Spark div and DuckDB // disagree). Then `rounds`
+    * multiplicative steps, all BIGINT:
+    *
+    *   w ← w + (w · excess) div max_excess   (multiplier ∈ [1, 2])
+    *   w ← w·10⁶ div Σw                      (re-normalize to ppm)
+    *
+    * A zero-excess corpus (all domains at the mean) keeps the uniform
+    * mix — the max_excess guard makes the degenerate branch real. The
+    * domain frame is |sources|-sized: every join is a one-row or
+    * bounded broadcast, and the corpus is touched by exactly ONE
+    * partial-aggregated groupBy. Fixed `rounds` keeps the unrolled
+    * DuckDB oracle exact. Output: `(source, n_docs, signal_e6,
+    * excess_e6, weight_ppm)`.
+    */
+  def doremiWeights(docs: DataFrame, rounds: Int = 5,
+                    srcCol: String = "source"): DataFrame = {
+    require(rounds >= 1 && rounds <= 20)
+    val per = docs.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("chars"))
+      .withColumn("signal_e6",
+        expr("cast(cast(chars AS DECIMAL(38,0)) * 1000000 div n_docs" +
+          " AS BIGINT)"))
+    val ref = per.agg(
+      expr("cast(cast(sum(chars) AS DECIMAL(38,0)) * 1000000" +
+        " div sum(n_docs) AS BIGINT)").as("ref_e6"))
+    val dom = per.crossJoin(broadcast(ref))
+      .withColumn("excess_e6",
+        greatest(col("signal_e6") - col("ref_e6"), lit(0L)))
+      .localCheckpoint(true) // tiny; referenced every round
+    val maxE = dom.agg(max(col("excess_e6")).as("max_e6"))
+    var w = dom.select(col(srcCol), col("n_docs"), col("signal_e6"),
+      col("excess_e6"), lit(1000000L).as("w"))
+    var i = 0
+    while (i < rounds) {
+      val raw = w.crossJoin(broadcast(maxE))
+        .withColumn("w_raw",
+          when(col("max_e6") <= 0L, col("w"))
+            .otherwise(col("w") +
+              expr("(w * excess_e6) div max_e6")))
+      val tot = raw.agg(sum(col("w_raw")).as("w_tot"))
+      w = raw.crossJoin(broadcast(tot))
+        .select(col(srcCol), col("n_docs"), col("signal_e6"),
+          col("excess_e6"),
+          expr("(w_raw * 1000000L) div w_tot").as("w"))
+        .localCheckpoint(true) // raw referenced by its sum AND the rescale
+      i += 1
+    }
+    w.select(col(srcCol), col("n_docs"), col("signal_e6"),
+      col("excess_e6"), col("w").as("weight_ppm"))
+  }
 }

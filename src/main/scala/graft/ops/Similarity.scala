@@ -1408,4 +1408,48 @@ object Similarity {
         (col("n_corpus") - col("n_hit")).as("n_vectors"))
     zero.unionByName(hist).orderBy("k_occ")
   }
+
+  /** Label-noise audit (the confident-learning/Cleanlab shape, kNN
+    * form): flag labeled vectors whose own label disagrees with the
+    * majority label of their k nearest neighbors — the pre-training
+    * pass that catches mislabeled rows before they poison a classifier.
+    * Probes are a deterministic id-sample (`vec_id % sampleMod == 0`,
+    * the [[hubnessCard]] convention), each scored by exact cosine
+    * against the full corpus via [[bruteTopK]] (which already excludes
+    * self); the majority vote is the partial-aggregable
+    * most-frequent-with-min-tiebreak `min(struct(MaxValue − n, label))`
+    * election, so the verdict is deterministic and engine-exact.
+    * Output per probe: `(query_id, own_label, knn_label, n_agree,
+    * flagged)` — n_agree = neighbors sharing the probe's own label.
+    *
+    * Scale shape: probe cost is (|V|/sampleMod)·|V| exact scores
+    * through the single-scan partial-top-k path (never corpus²);
+    * everything after the top-k lives on k·|probes| rows.
+    */
+  def labelNoiseAudit(corpus: DataFrame, k: Int = 5,
+                      sampleMod: Int = 17): DataFrame = {
+    require(k >= 1)
+    val probes = corpus.filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id").as("query_id"),
+        col("label").cast("long").as("own_label"),
+        col("embedding").as("q_emb"))
+    val knn = bruteTopK(corpus,
+      probes.select(col("query_id"), col("q_emb")), k)
+    val votes = knn.join(
+        corpus.select(col("vec_id").as("neighbor_id"),
+          col("label").cast("long").as("n_label")), "neighbor_id")
+      .groupBy(col("query_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+    val majority = votes.groupBy(col("query_id"))
+      .agg(min(struct((lit(Long.MaxValue) - col("votes")).as("neg"),
+        col("n_label").as("lbl"))).as("m"))
+      .select(col("query_id"), col("m.lbl").as("knn_label"))
+    probes.select(col("query_id"), col("own_label"))
+      .join(majority, "query_id")
+      .join(votes.select(col("query_id"),
+          col("n_label").as("own_label"), col("votes").as("n_agree")),
+        Seq("query_id", "own_label"), "left")
+      .withColumn("n_agree", coalesce(col("n_agree"), lit(0L)))
+      .withColumn("flagged", col("knn_label") =!= col("own_label"))
+  }
 }

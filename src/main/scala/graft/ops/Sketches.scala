@@ -423,4 +423,50 @@ object Sketches {
           "CAST(bucket AS INT) - 2) ELSE bucket END").as("est_mid"),
         col("n_total"))
   }
+
+  /** Two-phase distributed heavy hitters — every item whose global
+    * count strictly exceeds `n/c`, EXACTLY, without ever shuffling or
+    * collecting the full vocabulary (the Misra-Gries/SpaceSaving role,
+    * derandomized). Rows are spread across `buckets` cells by an
+    * md5-prefix hash of `rowKeyCol` (a unique-per-row key — fold the
+    * VALUE in when ids repeat, the r11 sample-id rule); phase 1 keeps,
+    * per bucket, only items with `cnt_b·c > n_b` — by pigeonhole any
+    * global heavy hitter (G > n/c = Σ n_b/c) must exceed the local
+    * threshold in at least one bucket, so the candidate set is a
+    * SUPERSET of the answer and is bounded by buckets·c rows regardless
+    * of vocabulary size. Phase 2 recounts ONLY the candidates (broadcast
+    * semi-join — the item stream never reshuffles on the full key space)
+    * and applies the exact global cut. Both phases are plain count
+    * algebra → the DuckDB twin is the identical SQL and the registered
+    * query is hash-exact.
+    *
+    * Scale shape: phase 1 is one partial-aggregated groupBy keyed
+    * (bucket, item) — at 100 TB the combine collapses each partition to
+    * its local distinct items before the exchange; phase 2's candidate
+    * side is ≤ buckets·c rows (broadcast), so the recount is a
+    * map-side filter + one bounded-key shuffle. Output:
+    * `(item, n_occurrences, share_ppm)` for items with cnt·c > n.
+    */
+  def heavyHitters(items: DataFrame, itemCol: String, rowKeyCol: String,
+                   c: Int = 200, buckets: Int = 32): DataFrame = {
+    require(c >= 2 && buckets >= 1)
+    val bucketed = items.select(col(itemCol).as("item"),
+      (conv(substring(md5(col(rowKeyCol).cast("string")), 1, 8), 16, 10)
+        .cast("long") % buckets).as("bucket"))
+    val perBucket = bucketed.groupBy(col("bucket"), col("item"))
+      .agg(count(lit(1)).as("cnt_b"))
+    val bucketTotals = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_b"))
+    val candidates = perBucket.join(bucketTotals, "bucket")
+      .filter(col("cnt_b") * c > col("n_b"))
+      .select(col("item")).distinct() // <= buckets*c rows by construction
+    val total = items.agg(count(lit(1)).as("n_total"))
+    items.select(col(itemCol).as("item"))
+      .join(broadcast(candidates), Seq("item"), "left_semi")
+      .groupBy(col("item")).agg(count(lit(1)).as("n_occurrences"))
+      .crossJoin(broadcast(total))
+      .filter(col("n_occurrences") * c > col("n_total"))
+      .select(col("item"), col("n_occurrences"),
+        expr("n_occurrences * 1000000L div n_total").as("share_ppm"))
+  }
 }

@@ -640,6 +640,52 @@ object TextAnalysis {
     topKDocs(scored, k)
   }
 
+  /** Pseudo-relevance-feedback query expansion (RM1/Rocchio lexical
+    * form) — the classic recall-recovery stage: take each query's
+    * [[bm25TopK]] feedback docs, rank THEIR terms by exact tf·idf
+    * (`fb_tf · (10⁶ div df)`, the library's rank-preserving integer
+    * idf), drop the original query terms, and emit the top `mTerms`
+    * expansion terms per query with a deterministic (weight desc, term
+    * asc) order.
+    *
+    * Scale shape: the feedback set is |Q|·kDocs doc ids (broadcast);
+    * its term frame is feedback-sized, so the global-df pass filters
+    * the full posting stream through a broadcast vocabulary semi-join
+    * (only feedback-vocab postings ever aggregate — the bm25 qTokens
+    * pattern one level up), and the rank window partitions per query
+    * over feedback-bounded frames, never the corpus.
+    */
+  def prfExpandTerms(docs: DataFrame, queries: DataFrame,
+                     kDocs: Int = 5, mTerms: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(kDocs >= 1 && mTerms >= 1)
+    val fb = bm25TopK(docs, queries, kDocs)
+      .select(col("query_id"), col("doc_id"))
+    val ftf = docs.join(broadcast(fb), "doc_id")
+      .select(col("query_id"), explode(tokensCol(col("text"))).as("token"))
+      .groupBy(col("query_id"), col("token"))
+      .agg(count(lit(1)).as("fb_tf"))
+    val vocab = ftf.select(col("token")).distinct()
+    val df = docs
+      .select(col("doc_id"), explode(tokensCol(col("text"))).as("token"))
+      .join(broadcast(vocab), Seq("token"))
+      .groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val qTerms = queries
+      .select(col("query_id"),
+        explode(tokensCol(col("query_text"))).as("token"))
+      .distinct()
+    ftf.join(qTerms, Seq("query_id", "token"), "left_anti")
+      .join(df, "token")
+      .withColumn("weight", expr("fb_tf * (1000000L div df)"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(desc("weight"), col("token"))).cast("long"))
+      .filter(col("rank") <= mTerms)
+      .select(col("query_id"), col("rank"), col("token"), col("fb_tf"),
+        col("df"), col("weight"))
+  }
+
   /** Late-interaction passage retrieval (the BERT-MaxP / ColBERT
     * max-pooling shape, lexical form): each query term matches the BEST
     * fixed-size passage of each document — `max` over chunk-level tf —
@@ -1143,6 +1189,54 @@ object TextAnalysis {
       .select(col("pair_id"), col("n"), col("n_cand"), col("n_ref"),
         col("n_match"), col("precision_ppm"), col("recall_ppm"),
         col("f1_ppm"))
+  }
+
+  /** BLEU-2 card — the precision side of the generation-eval pair
+    * ([[rougeN]] is the recall side): per candidate/reference pair,
+    * CLIPPED unigram and bigram precisions in floored ppm, their
+    * product `bleu2_sq_e12 = p1_ppm·p2_ppm` (the exp-free monotone
+    * transform of BLEU-2's geometric mean — (10⁶·BLEU₂)², same ranking,
+    * pure integers; logs are not engine-portable, the ROUGE lesson),
+    * and the brevity-penalty OPERANDS (`len_ratio_ppm = 10⁶·c div r`,
+    * `bp_applied = c < r`) rather than exp(1−r/c). Clipped-count
+    * algebra is the rougeN machinery verbatim: multiset n-grams via the
+    * native `graft_ngrams` pass, (pair, gram) partial-agg counts,
+    * min-clip on the 1:1 gram equi-join — never a pair-of-pairs
+    * blowup. A single-token candidate has no bigrams: p2 reports NULL
+    * (guarded div), never an ANSI throw. Candidates/references are
+    * expected non-empty (the summarization contract upstream).
+    */
+  def bleuCard(pairs: DataFrame): DataFrame = {
+    def grams(side: String, n: Int) = pairs
+      .select(col("pair_id"),
+        explode(expr(s"graft_ngrams($side, $n)")).as("g"))
+      .groupBy(col("pair_id"), col("g"))
+      .agg(count(lit(1)).as("c_side"))
+    def stats(n: Int) = {
+      val cg = grams("cand", n)
+      val rg = grams("ref", n).withColumnRenamed("c_side", "c_ref")
+      val m = cg.join(rg, Seq("pair_id", "g"))
+        .groupBy(col("pair_id"))
+        .agg(sum(least(col("c_side"), col("c_ref"))).as(s"m$n"))
+      cg.groupBy(col("pair_id")).agg(sum(col("c_side")).as(s"c$n"))
+        .join(m, Seq("pair_id"), "left")
+        .withColumn(s"m$n", coalesce(col(s"m$n"), lit(0L)))
+    }
+    val refLen = grams("ref", 1).groupBy(col("pair_id"))
+      .agg(sum(col("c_side")).as("n_ref"))
+    stats(1)
+      .join(stats(2), Seq("pair_id"), "left")
+      .join(refLen, Seq("pair_id"))
+      .withColumn("p1_ppm", expr("1000000L * m1 div c1"))
+      .withColumn("p2_ppm",
+        when(col("c2").isNotNull && col("c2") > 0L,
+          expr("1000000L * m2 div c2")))
+      .withColumn("bleu2_sq_e12", col("p1_ppm") * col("p2_ppm"))
+      .withColumn("len_ratio_ppm", expr("1000000L * c1 div n_ref"))
+      .withColumn("bp_applied", col("c1") < col("n_ref"))
+      .select(col("pair_id"), col("c1").as("n_cand"), col("n_ref"),
+        col("m1"), col("m2"), col("p1_ppm"), col("p2_ppm"),
+        col("bleu2_sq_e12"), col("len_ratio_ppm"), col("bp_applied"))
   }
 
   /** Pairwise total-variation distance between per-source unigram

@@ -57,6 +57,24 @@ class QueryPlanSpec extends SparkSpec {
                                     // across segment rows) over the
                                     // pruned postings read
       "search_hard_negatives", // same bm25 chain
+      "search_prf", // same bm25-chain one-row totals under the
+                    // feedback-term expansion close
+      "embed_label_noise", // the ann_brute probe BNLJ (bruteTopK) for
+                           // the sampled kNN majority vote
+      "sketch_heavy_hitters", // one-row n_total crossed onto the
+                              // bounded candidate recount frame
+      "graph_closeness", // one-row seed-count broadcast onto the
+                         // node-keyed distance rollup
+      "graph_eigenvector", // one-row L-inf max broadcast for the final
+                           // round's integer rescale
+      "events_path_distance", // one-row modal-path election broadcast
+                              // onto the bounded distinct-path frame
+      "eval_fairness", // one-row overall-rates frame crossed onto the
+                       // bounded per-group cells
+      "eval_conformal", // one-row order-statistic threshold broadcast
+                        // onto the held-out split
+      "eval_best_split", // one-row class-total broadcast under the
+                         // cumulative Gini windows
       "events_permutation", // observed one-row stat broadcast onto the
                             // bounded reps-row null frame
       "value_ddsketch", // |qs|-row targets non-equi-joined onto the

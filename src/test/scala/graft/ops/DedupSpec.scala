@@ -554,4 +554,18 @@ class DedupSpec extends SparkSpec {
     assert(r(3L) == ((false, 2L)))
     assert(r(4L) == ((true, 4L))) // singleton keeps itself
   }
+
+  test("noveltyCurve: only strictly-earlier batches make a doc a dup") {
+    val staged = Seq(
+      (0L, "a"), (0L, "b"), (0L, "b"), // within-batch dup does NOT count
+      (1L, "a"), (1L, "c"),            // 'a' seen in batch 0 → dup
+      (2L, "a"), (2L, "c"), (2L, "d")  // 'a', 'c' dups; 'd' novel
+    ).toDF("batch", "text")
+    val out = Dedup.noveltyCurve(staged).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(out(0L) == ((3L, 0L, 1000000L)))
+    assert(out(1L) == ((2L, 1L, 500000L)))
+    assert(out(2L) == ((3L, 2L, 333333L)), "the curve decays as re-crawls repeat")
+  }
 }

@@ -1238,4 +1238,44 @@ class EventsSpec extends SparkSpec {
     assert(Events.stickiness(full, 28).collect().head
       .getAs[Long]("stickiness_ppm") == 1000000L)
   }
+
+  test("rollingMedian: doubled median is exact for odd and even windows") {
+    // one key, days 1..4 with a day-2 spike the median must shrug off
+    val perDay = Seq(("k", 1L, 1L), ("k", 2L, 100L), ("k", 3L, 3L),
+      ("k", 4L, 5L)).toDF("key", "day", "v")
+    val out = Events.rollingMedian(perDay, 7).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3),
+        r.getAs[Long]("mean_ppm"))).toMap
+    assert(out(1L) == ((1L, 2L, 1000000L)))          // [1]
+    assert(out(2L) == ((2L, 101L, 50500000L)))       // [1,100] → 1+100
+    assert(out(3L) == ((3L, 6L, 34666666L)))         // [1,100,3] → 2·3
+    assert(out(4L) == ((4L, 8L, 27250000L)),         // [1,100,3,5] → 3+5
+      "the spike drags the mean but not the doubled median")
+  }
+
+  test("rollingMedian only emits window days present in the data") {
+    val perDay = Seq(("k", 10L, 7L)).toDF("key", "day", "v")
+    val out = Events.rollingMedian(perDay, 7).collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(10L),
+      "forward contribution must be cut to the active-day grid")
+  }
+
+  test("effectSizeCard agrees with welch in sign and applies the g shrink") {
+    // deterministic many-user fixture; values differ by user parity so
+    // the md5 arm split sees two non-degenerate distributions
+    val ev = (1 to 200).map(u => (u.toLong, (u % 7 + u % 3).toDouble))
+      .toDF("user_id", "value")
+    val es = Events.effectSizeCard(ev).collect().head
+    val w = Events.welchTTest(ev).collect().head
+    assert(es.getLong(0) == w.getLong(0) && es.getLong(1) == w.getLong(1),
+      "same arm split as welch")
+    val d = es.getAs[Double]("cohen_d")
+    val t = w.getAs[Double]("t_welch")
+    assert(math.signum(d) == math.signum(t),
+      "effect direction matches the t statistic")
+    val n = es.getLong(0) + es.getLong(1)
+    val g = es.getAs[Double]("hedges_g")
+    assert(g == d * (1.0 - 3.0 / (4.0 * n - 9.0)))
+    assert(math.abs(g) < math.abs(d), "the small-sample correction shrinks")
+  }
 }

@@ -1020,4 +1020,54 @@ class GraphSpec extends SparkSpec {
     assert(r.getAs[Long]("n_butterflies") == 0L)
     assert(r.getAs[Long]("coherence_ppm") == 0L)
   }
+
+  test("articleRank damps the hub's per-target influence via avgdeg") {
+    // hub 1 fans to 2..5 (outdeg 4); 6 -> 7 is a chain (outdeg 1);
+    // avgdeg = (4 + 1) div 2 = 2, so divisors are 6 and 3
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (6L, 7L))
+      .toDF("src", "dst")
+    val ar = Graph.articleRank(edges, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // fixed point from round 2 on (sources hold base rank 0.15S):
+    // r(2..5) = 0.15S + 85*(0.15S div 6) div 100, r(7) uses div 3
+    assert(ar(1L) == 150000000000L && ar(6L) == 150000000000L)
+    assert(ar(2L) == 171250000000L && ar(5L) == 171250000000L)
+    assert(ar(7L) == 192500000000L,
+      "chain target must out-rank the hub's fanned targets")
+    assert(ar(7L) > ar(2L))
+  }
+
+  test("eigenvectorCentrality normalizes the leader to 1e6 each round") {
+    // undirected star 1-{2,3} (mirrored): odd rounds read (1e6, 5e5, 5e5)
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val x = Graph.eigenvectorCentrality(e, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(x(1L) == 1000000L)
+    assert(x(2L) == 500000L && x(3L) == 500000L)
+  }
+
+  test("closenessCentrality applies the Wasserman-Faust component correction") {
+    // path 1-2-3 plus isolated pair 4-5; seeds = all five nodes
+    val e = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val c = Graph.closenessCentrality(e, seeds, 4).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // node 2: reaches seeds 1,3 at d=1 → r=2, Σd=2 → 1e6·4 div (5·2)
+    assert(c(2L) == ((2L, 2L, 400000L)))
+    // node 1: seeds 2 (d1), 3 (d2) → r=2, Σd=3 → 1e6·4 div 15
+    assert(c(1L) == ((2L, 3L, 266666L)))
+    // node 4: only seed 5 reaches it → r=1, Σd=1 → 1e6 div 5: the
+    // small component cannot outscore the path's center
+    assert(c(4L) == ((1L, 1L, 200000L)))
+    assert(c(4L)._3 < c(2L)._3)
+  }
+
+  test("eigenvectorCentrality: a drained directed chain hits the zero-max guard") {
+    // 1 -> 2 un-mirrored: round 1 leaves x(1)=0; round 2 max(y)=0
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val x = Graph.eigenvectorCentrality(e, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(x(1L) == 0L && x(2L) == 0L)
+  }
 }

@@ -152,4 +152,26 @@ class MultimodalSpec extends SparkSpec {
     assert(plan.filter(_._1 == 7L) == Set((7L, 0L)))
     assert(plan.filter(_._1 == 9L) == Set((9L, 0L), (9L, 10L)))
   }
+
+  test("alignScore: deterministic BIGINT dot, 1:1 join, keep gate at zero") {
+    val docs = Seq((0L, "hello world"), (1L, "another doc"),
+      (5L, "no embedding for this one")).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs)
+    val emb = Seq(
+      (0L, (1 to 16).map(i => i.toFloat / 16f).toArray),
+      (1L, (1 to 16).map(i => -i.toFloat / 16f).toArray))
+      .toDF("vec_id", "embedding")
+    val out = Multimodal.alignScore(media, emb, 16)
+      .orderBy("media_id").collect()
+    assert(out.length == 2, "docs without an embedding drop (inner join)")
+    val r0 = out(0)
+    assert(r0.getAs[Long]("n_bytes") == 11L)
+    assert(r0.getAs[Boolean]("keep") ==
+      (r0.getAs[Long]("align_score") >= 0L))
+    val again = Multimodal.alignScore(media, emb, 16)
+      .orderBy("media_id").collect()
+    assert(out.map(_.getAs[Long]("align_score")).toSeq ==
+      again.map(_.getAs[Long]("align_score")).toSeq,
+      "md5 stub features are run-stable")
+  }
 }

@@ -419,4 +419,25 @@ class SamplingSpec extends SparkSpec {
     // efficiency: Σφ·c! == c!·v(full) = 6 · 3 distinct tokens
     assert(r.values.map(_._2).sum == 18L)
   }
+
+  test("doremiWeights: a zero-excess corpus keeps the uniform mix") {
+    val docs = (0 until 20).map(i => (i.toLong, s"s${i % 4}", 100L))
+      .toDF("doc_id", "source", "n_chars")
+    val w = Sampling.doremiWeights(docs, 3).collect()
+    assert(w.forall(_.getAs[Long]("excess_e6") == 0L))
+    assert(w.forall(_.getAs[Long]("weight_ppm") == 250000L))
+  }
+
+  test("doremiWeights tilts toward the excess domain, staying normalized") {
+    val docs = ((0 until 10).map(i => (i.toLong, "long", 900L)) ++
+      (10 until 20).map(i => (i.toLong, "short", 100L)))
+      .toDF("doc_id", "source", "n_chars")
+    val rows = Sampling.doremiWeights(docs, 5).collect()
+    val w = rows.map(r => r.getString(0) -> r.getAs[Long]("weight_ppm")).toMap
+    assert(w("long") > 600000L && w("short") < 400000L)
+    // floor slack: each round's renormalize floors once per domain
+    assert(math.abs(w.values.sum - 1000000L) <= w.size)
+    val ex = rows.map(r => r.getString(0) -> r.getAs[Long]("excess_e6")).toMap
+    assert(ex("long") == 400000000L && ex("short") == 0L)
+  }
 }

@@ -597,4 +597,24 @@ class SimilaritySpec extends SparkSpec {
     val s = Similarity.isotropyCard(same).collect().head
     assert(s.getAs[Double]("anisotropy") == 1.0)
   }
+
+  test("labelNoiseAudit flags the planted mislabel, not the clean probe") {
+    import spark.implicits._
+    // two tight clusters in 2-D; vec 0 sits in cluster A but wears
+    // label 9 (the plant); vec 17 sits in cluster B with B's label
+    val rows =
+      Seq((0L, Seq(1.0f, 0.01f), 9)) ++                    // planted probe
+        (1 to 6).map(i => (i.toLong, Seq(1.0f, i * 0.001f), 1)) ++
+        Seq((17L, Seq(-1.0f, 0.02f), 2)) ++                // clean probe
+        (18 to 23).map(i => (i.toLong, Seq(-1.0f, i * 0.001f), 2))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelNoiseAudit(emb, k = 5, sampleMod = 17)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getAs[Boolean]("flagged"))).toMap
+    assert(out.keySet == Set(0L, 17L), "probes are the id-sample only")
+    assert(out(0L) == ((9L, 1L, 0L, true)), "majority label 1 beats the plant")
+    assert(out(17L)._1 == 2L && out(17L)._2 == 2L && !out(17L)._4)
+    assert(out(17L)._3 >= 5L, "clean probe's neighbors all agree")
+  }
 }

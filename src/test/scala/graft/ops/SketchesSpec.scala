@@ -218,4 +218,25 @@ class SketchesSpec extends SparkSpec {
       Seq(500000L)).collect().head
     assert(z.getAs[Long]("bucket") == 0L && z.getAs[Long]("est_mid") == 0L)
   }
+
+  test("heavyHitters returns exactly the items above n/c with exact counts") {
+    // n = 100 rows, c = 10 → strict threshold 10: A(40) and B(11) pass
+    val rows = (Seq.fill(40)("A") ++ Seq.fill(11)("B") ++
+      (1 to 49).map(i => s"u$i")).zipWithIndex
+      .map { case (it, i) => (it, s"row$i") }
+    val hh = Sketches.heavyHitters(rows.toDF("item", "row_key"),
+      "item", "row_key", c = 10, buckets = 8).collect()
+    assert(hh.map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("A", 40L), ("B", 11L)),
+      "pigeonhole recall is a theorem — B(11) must survive any bucketing")
+    assert(hh.find(_.getString(0) == "A").get.getLong(2) == 400000L)
+  }
+
+  test("heavyHitters: an item exactly AT n/c is excluded (strict cut)") {
+    val rows = (Seq.fill(10)("X") ++ (1 to 90).map(i => s"u$i")).zipWithIndex
+      .map { case (it, i) => (it, s"r$i") }
+    val hh = Sketches.heavyHitters(rows.toDF("item", "row_key"),
+      "item", "row_key", c = 10, buckets = 4).collect()
+    assert(hh.isEmpty)
+  }
 }

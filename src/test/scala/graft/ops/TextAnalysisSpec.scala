@@ -942,4 +942,47 @@ class TextAnalysisSpec extends SparkSpec {
     val r2 = TextAnalysis.sourceTvd(docs2).collect().head
     assert(r2.getAs[Long]("tvd_ppm") == 666666L)
   }
+
+  test("bleuCard: an identical pair scores full precision, no brevity") {
+    val pairs = Seq((1L, "a b c d", "a b c d")).toDF("pair_id", "cand", "ref")
+    val r = TextAnalysis.bleuCard(pairs).collect().head
+    assert(r.getAs[Long]("p1_ppm") == 1000000L)
+    assert(r.getAs[Long]("p2_ppm") == 1000000L)
+    assert(r.getAs[Long]("bleu2_sq_e12") == 1000000000000L)
+    assert(!r.getAs[Boolean]("bp_applied"))
+    assert(r.getAs[Long]("len_ratio_ppm") == 1000000L)
+  }
+
+  test("bleuCard clips repeated grams and guards single-token candidates") {
+    val pairs = Seq((1L, "a a a", "a b"), (2L, "a", "a b c"))
+      .toDF("pair_id", "cand", "ref")
+    val rows = TextAnalysis.bleuCard(pairs).orderBy("pair_id").collect()
+    val r1 = rows(0)
+    assert(r1.getAs[Long]("m1") == 1L, "cand 'a'x3 clips to ref's one 'a'")
+    assert(r1.getAs[Long]("p1_ppm") == 333333L)
+    assert(r1.getAs[Long]("m2") == 0L, "'a a' never appears in the ref")
+    assert(r1.getAs[Long]("p2_ppm") == 0L)
+    val r2 = rows(1)
+    assert(r2.isNullAt(r2.fieldIndex("p2_ppm")), "no bigrams → NULL, not a throw")
+    assert(r2.isNullAt(r2.fieldIndex("bleu2_sq_e12")))
+    assert(r2.getAs[Boolean]("bp_applied"), "1 cand token < 3 ref tokens")
+  }
+
+  test("prfExpandTerms ranks feedback terms by tf-idf, query terms excluded") {
+    // query 'alpha' retrieves docs 1 and 2; 'rare' (df=1) must outrank
+    // 'common' (df=3) despite equal feedback tf; 'alpha' never expands
+    val corpus = Seq(
+      (1L, "alpha rare common"),
+      (2L, "alpha common zz"),
+      (3L, "common other words here")).toDF("doc_id", "text")
+    val qs = Seq((100L, "alpha")).toDF("query_id", "query_text")
+    val out = TextAnalysis.prfExpandTerms(corpus, qs, kDocs = 2, mTerms = 3)
+      .orderBy("rank").collect()
+    assert(!out.exists(_.getString(2) == "alpha"), "query term anti-joined")
+    assert(out.head.getString(2) == "rare")
+    assert(out.head.getLong(5) == 1000000L)       // 1 * (1e6 div 1)
+    val common = out.find(_.getString(2) == "common").get
+    assert(common.getLong(3) == 2L && common.getLong(4) == 3L)
+    assert(common.getLong(5) == 2L * (1000000L / 3L))
+  }
 }
