@@ -3438,7 +3438,22 @@ object SparkEntry {
     // probes, majority-of-5 exact-cosine neighbors vs own label
     "embed_label_noise" -> ((s, dir) =>
       Similarity.labelNoiseAudit(rd(s, dir, "embeddings"), 5, 17)
-        .orderBy("query_id"))
+        .orderBy("query_id")),
+    // --- Kahn topological layers over the decimal-digit part tree
+    // (p -> p div 10): layer = longest path from a leaf, NULL leftovers
+    "graph_toposort" -> ((s, dir) => {
+      val e = rd(s, dir, "part").filter(col("p_partkey") >= 10)
+        .select(col("p_partkey").as("src"),
+          expr("p_partkey div 10").as("dst"))
+      Graph.kahnLayers(e, 8).orderBy("id")
+    }),
+    // --- DP noisy top-k token release: binomial md5 noise, suppression
+    // threshold, TakeOrdered top-20 by noisy count
+    "privacy_dp_topk" -> ((s, dir) => {
+      val toks = rd(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      Privacy.dpTopK(toks, "token", 20, 10L).orderBy("rank")
+    })
   )
 
   /** Staged mojibake rows shared by the `text_mojibake` query and its
@@ -14508,7 +14523,63 @@ object SparkEntry {
         |FROM q JOIN best b ON b.query_id = q.query_id AND b.vr = 1
         |LEFT JOIN votes v
         |  ON v.query_id = q.query_id AND v.n_label = q.own_label
-        |ORDER BY q.query_id""".stripMargin
+        |ORDER BY q.query_id""".stripMargin,
+    // Kahn-layers twin: unrolled peel rounds (extra rounds are no-ops
+    // past exhaustion); f/u/rem MATERIALIZED (each referenced 2-3x)
+    "graph_toposort" -> {
+      val round = (r: Int) =>
+        s"""f$r AS MATERIALIZED (
+           |  SELECT u.id, CAST(${r - 1} AS BIGINT) AS layer FROM u${r - 1} u
+           |  WHERE NOT EXISTS (SELECT 1 FROM rem${r - 1} e WHERE e.dst = u.id)
+           |), u$r AS MATERIALIZED (
+           |  SELECT id FROM u${r - 1}
+           |  WHERE id NOT IN (SELECT id FROM f$r)
+           |), rem$r AS MATERIALIZED (
+           |  SELECT e.src, e.dst FROM rem${r - 1} e
+           |  WHERE e.src NOT IN (SELECT id FROM f$r)
+           |)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT p_partkey AS src, p_partkey // 10 AS dst FROM part
+         |  WHERE p_partkey >= 10
+         |), nodes AS (
+         |  SELECT src AS id FROM e UNION SELECT dst FROM e
+         |), u0 AS MATERIALIZED (
+         |  SELECT id FROM nodes
+         |), rem0 AS MATERIALIZED (
+         |  SELECT src, dst FROM e
+         |), ${(1 to 8).map(round).mkString(",\n")},
+         |layers AS (
+         |  ${(1 to 8).map(r => s"SELECT id, layer FROM f$r")
+              .mkString("\n  UNION ALL ")}
+         |)
+         |SELECT n.id, l.layer FROM nodes n LEFT JOIN layers l
+         |  ON n.id = l.id
+         |ORDER BY n.id""".stripMargin
+    },
+    // DP top-k twin: identical binomial bit-count noise, suppression,
+    // and (released DESC, token) total order over the survivors
+    "privacy_dp_topk" ->
+      """WITH items AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents
+        |), c AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS n_true
+        |  FROM items GROUP BY 1
+        |), n AS (
+        |  SELECT token, CAST(greatest(n_true +
+        |    (bit_count(CAST('0x' || substr(md5('dptopk:' || token), 1, 8)
+        |       AS BIGINT))
+        |     + bit_count(CAST('0x' || substr(md5('dptopk:' || token), 9, 8)
+        |       AS BIGINT)) - 32), 0) AS BIGINT) AS released
+        |  FROM c
+        |), t AS (
+        |  SELECT token, released FROM n WHERE released >= 10
+        |  ORDER BY released DESC, token LIMIT 20
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY released DESC, token)
+        |    AS BIGINT) AS "rank",
+        |  token, released
+        |FROM t ORDER BY "rank"""".stripMargin
   )
 
   /** Generated DuckDB twin of [[graft.ops.Sampling.shapleyVocabValue]]:

@@ -723,6 +723,62 @@ object Graph {
     forest.select(col("round"), col("lo"), col("hi"), col("w"))
   }
 
+  /** Kahn layer decomposition (topological levels) over a DAG — the
+    * dependency-scheduling primitive: layer(v) = length of the longest
+    * path from a source into v, computed by repeatedly peeling
+    * zero-in-degree nodes (layer r = nodes whose every in-edge comes
+    * from layers < r). Nodes still unassigned after `maxRounds` peels —
+    * members of a cycle, or deeper than the budget — surface a NULL
+    * layer honestly (the coloring/MIS leftovers rule), never a wrong
+    * level; a DAG whose depth fits the budget is fully assigned, and
+    * extra rounds past exhaustion are no-ops so the fixed-round
+    * unrolled oracle is exact.
+    *
+    * Scale shape: each peel is two anti-joins keyed on the node id
+    * (frontier election against remaining in-edge targets; edge
+    * retirement by source) — the kcore drop-set lesson applies: the
+    * frontier and remaining frames shrink monotonically and are
+    * checkpointed per round, and the loop exits early on an empty
+    * frontier.
+    */
+  def kahnLayers(edges: DataFrame, maxRounds: Int = 8): DataFrame = {
+    require(maxRounds >= 1)
+    val e = edges.select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    var remaining = e.localCheckpoint(true)
+    var unassigned = nodes
+    var assigned: DataFrame = null
+    var r = 0
+    var done = false
+    while (r < maxRounds && !done) {
+      val frontier = unassigned
+        .join(remaining.select(col("dst").as("id")).distinct(),
+          Seq("id"), "left_anti")
+        .withColumn("layer", lit(r.toLong))
+        .localCheckpoint(true)
+      if (frontier.isEmpty) done = true
+      else {
+        assigned =
+          if (assigned == null) frontier else assigned.unionByName(frontier)
+        unassigned = unassigned
+          .join(frontier.select(col("id")), Seq("id"), "left_anti")
+          .localCheckpoint(true)
+        remaining = remaining
+          .join(frontier.select(col("id").as("src")), Seq("src"),
+            "left_anti")
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    val got = if (assigned == null) {
+      nodes.withColumn("layer", lit(null).cast("long")).limit(0)
+    } else assigned
+    nodes.join(got, Seq("id"), "left")
+      .select(col("id"), col("layer"))
+  }
+
   /** Time-respecting earliest-arrival reachability over a TEMPORAL edge
     * list (src, dst, ts): a path is valid only if its edge timestamps
     * never decrease past each node's arrival time — the

@@ -149,6 +149,35 @@ object Privacy {
       .select(groupCols.map(col) :+ col("released"): _*)
   }
 
+  /** DP noisy top-k release — the private "most frequent values"
+    * publication: every candidate's count gets the [[dpCounts]]
+    * binomial(64, ½)−32 noise (md5-bit derandomized, so the release is
+    * reproducible and oracle-exact), values whose NOISY count falls
+    * below `threshold` are suppressed (the protection for rare values —
+    * a value seen once can never clear a threshold ≫ noise spread), and
+    * the top `k` survivors are released by noisy count with a
+    * deterministic tie-break. True counts never leave the frame — only
+    * `released` is emitted, so the output is post-processing of the
+    * noisy counts alone. Sensitivity bounding (one contribution per
+    * user) is the caller's dedupe step upstream, as with dpCounts.
+    *
+    * Scale shape: one partial-aggregated vocabulary groupBy, then
+    * `orderBy(...).limit(k)` — a TakeOrdered (per-partition heads +
+    * k-row merge, the textrank rule), never a vocabulary-wide rank
+    * window; the rank numbers are minted over the k survivors only.
+    */
+  def dpTopK(items: DataFrame, itemCol: String, k: Int = 20,
+             threshold: Long = 10L, salt: String = "dptopk"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && threshold >= 0)
+    val noisy = dpCounts(items, Seq(itemCol), salt)
+    val top = noisy.filter(col("released") >= threshold)
+      .orderBy(desc("released"), col(itemCol)).limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(desc("released"), col(itemCol))).cast("long"))
+      .select(col("rank"), col(itemCol), col("released"))
+  }
+
   /** k-anonymity ENFORCEMENT by minimal full-domain generalization —
     * the transform next to [[kAnonymityAudit]]'s check: given a FIXED
     * generalization ladder (each `levels(l)` serializes the

@@ -1046,6 +1046,20 @@ class GraphSpec extends SparkSpec {
     assert(x(2L) == 500000L && x(3L) == 500000L)
   }
 
+  test("kahnLayers assigns longest-path levels and leaves cycles NULL") {
+    // diamond DAG 1->3, 2->3, 3->4, plus direct 1->4 (longest path wins)
+    // and a 2-cycle 10<->11 that must stay unassigned
+    val e = Seq((1L, 3L), (2L, 3L), (3L, 4L), (1L, 4L),
+      (10L, 11L), (11L, 10L)).toDF("src", "dst")
+    val out = Graph.kahnLayers(e, 8).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(1L) == Some(0L) && out(2L) == Some(0L))
+    assert(out(3L) == Some(1L))
+    assert(out(4L) == Some(2L), "layer is the LONGEST path, not the direct edge")
+    assert(out(10L).isEmpty && out(11L).isEmpty, "cycle members stay NULL")
+  }
+
   test("closenessCentrality applies the Wasserman-Faust component correction") {
     // path 1-2-3 plus isolated pair 4-5; seeds = all five nodes
     val e = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")

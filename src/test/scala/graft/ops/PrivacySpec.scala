@@ -128,4 +128,23 @@ class PrivacySpec extends SparkSpec {
     assert(out("g2") == ((500000L, true)))
     assert(out("g3") == ((0L, false)))
   }
+
+  test("dpTopK suppresses below-threshold values and never emits true counts") {
+    // 'hot' appears 100x (clears any +-32 noise at threshold 50);
+    // 'rare' appears once (noise tops out at +32 < 50 -> suppressed)
+    val items = (Seq.fill(100)("hot") ++ Seq.fill(60)("warm") ++
+      Seq("rare")).toDF("token")
+    val out = Privacy.dpTopK(items, "token", k = 5, threshold = 50L)
+      .collect()
+    assert(out.map(_.getString(1)).toSet == Set("hot", "warm"))
+    assert(!out.exists(_.getString(1) == "rare"), "a singleton can never clear 50")
+    val hot = out.find(_.getString(1) == "hot").get
+    assert(hot.getLong(0) == 1L, "hot leads the noisy ranking")
+    assert(math.abs(hot.getLong(2) - 100L) <= 32L, "binomial noise is bounded")
+    val again = Privacy.dpTopK(items, "token", k = 5, threshold = 50L)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      again.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq,
+      "md5-derandomized noise replays exactly")
+  }
 }
