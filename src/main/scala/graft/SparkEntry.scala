@@ -37,6 +37,49 @@ object SparkEntry {
     }
   }
 
+  /** Canonical (u, it) = (customer, part) purchase frame behind the
+    * reco family — orders ⋈ lineitem projected to the two keys.
+    */
+  private def recoPurch(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(rd(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("u"), col("l_partkey").as("it"))
+
+  /** Stage the item-item neighbor index ONCE per (session, dir) as a
+    * bucketed table and hand every reco query its name — the
+    * writeChecksumIndex pattern applied to the suite's heaviest shared
+    * chain (VERDICT r14 #4: reco_itemcf + reco_coverage each re-ran
+    * the full co-occurrence self-join). The index is a deterministic
+    * function of the interactions, so composing over the staged table
+    * is output-identical to the fused chain; reco_eval keeps its own
+    * retrain (leave-last-out semantics REQUIRE refitting on the held-
+    * out-free train set). Keyed per session+dir: a fresh JVM rebuilds,
+    * so regenerated testdata can never serve a stale index.
+    */
+  private val recoIdxStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def recoIndexTable(s: SparkSession, dir: String): String =
+    recoIdxStaged.computeIfAbsent(
+      System.identityHashCode(s) + "|" + dir, _ => {
+        val tbl = "graft_reco_idx_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        // a previous JVM may have left the managed-table directory
+        // behind without a catalog entry — saveAsTable(Overwrite) then
+        // fails LOCATION_ALREADY_EXISTS; drop both catalog row and dir
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), tbl)
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(loc, true)
+        Reco.writeItemIndex(
+          recoPurch(s, dir).distinct(), tbl,
+          maxBasket = 100, minCo = 3L, simTopM = 20)
+        tbl
+      })
+
   /** Flagship: the end-to-end training-data assembly pipeline over
     * sf0.001 documents — exact dedup (keep one copy per checksum) →
     * deterministic mixture resampling → fixed-length sequence packing.
@@ -2799,17 +2842,12 @@ object SparkEntry {
         "n_chars", 4).orderBy("stage", "pos")),
     // --- item-based collaborative filtering over customer->part
     // purchases: integer path-count scores, owned items anti-joined out
-    "reco_itemcf" -> ((s, dir) => {
-      val purch = rd(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"))
-        .join(rd(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("customer"),
-          col("l_partkey").as("part"))
-      Reco.itemCf(purch, "customer", "part", topK = 3, maxBasket = 100,
-        minCo = 3L).orderBy("u", "rank")
-    }),
+    "reco_itemcf" -> ((s, dir) =>
+      // served from the staged bucketed index (built once per
+      // session+dir, shared with reco_coverage) — output-identical to
+      // the fused Reco.itemCf chain with the same params
+      Reco.itemCfIndexed(s, recoIndexTable(s, dir), recoPurch(s, dir),
+        topK = 3, maxBasket = 100).orderBy("u", "rank")),
     // --- leave-last-out recommender backtest: hold out each customer's
     // most recent part, retrain, exact integer hit@10 / MRR ppm
     "reco_eval" -> ((s, dir) => {
@@ -3105,14 +3143,11 @@ object SparkEntry {
     // --- recommender catalog-coverage / popularity-bias card over the
     // itemCF top-3 recs: head-collapse detector, exact ppm
     "reco_coverage" -> ((s, dir) => {
-      val purch = rd(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"))
-        .join(rd(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("u"), col("l_partkey").as("it"))
-      val recs = Reco.itemCf(purch, "u", "it", topK = 3,
-        maxBasket = 100, minCo = 3L)
+      val purch = recoPurch(s, dir)
+      // same staged index as reco_itemcf: the co-occurrence self-join
+      // is paid once per suite run, not once per reco query
+      val recs = Reco.itemCfIndexed(s, recoIndexTable(s, dir), purch,
+        topK = 3, maxBasket = 100)
       Reco.coverageCard(recs, purch)
     }),
     // --- SFT transcript quality gate: alternation / terminal-role /
@@ -3997,13 +4032,22 @@ object SparkEntry {
        |FROM eff GROUP BY eff_hops ORDER BY eff_hops""".stripMargin
 
   private def boruvkaOracleSql(rounds: Int, mergeCap: Int): String = {
+    // each step = one neighbor-min hop + one pointer jump
+    // (root := root(root)), matching the Spark side's doubling reach:
+    // mergeCap steps cover chains of ~2^mergeCap, not mergeCap (ADVICE
+    // r14 — a regenerated fixture with deeper chosen-edge chains would
+    // otherwise flip the oracle, not Spark). Post-convergence steps are
+    // no-ops, so the converged output is unchanged.
     def mergeStep(r: Int, t: Int): String =
-      s"""m${r}_${t + 1} AS MATERIALIZED (
+      s"""p${r}_$t AS MATERIALIZED (
          |  SELECT m.c, least(min(m.root), min(n.root)) AS root
          |  FROM m${r}_$t m
          |  LEFT JOIN mg$r g ON g.a = m.c
          |  LEFT JOIN m${r}_$t n ON n.c = g.b
          |  GROUP BY m.c
+         |), m${r}_${t + 1} AS MATERIALIZED (
+         |  SELECT p.c, coalesce(r2.root, p.root) AS root
+         |  FROM p${r}_$t p LEFT JOIN p${r}_$t r2 ON r2.c = p.root
          |)""".stripMargin
     def round(r: Int): String =
       s"""st$r AS (
@@ -9084,7 +9128,7 @@ object SparkEntry {
         |  FROM events
         |), cells AS (
         |  SELECT variant, CAST(count(*) AS BIGINT) AS n, sum(x) AS s,
-        |    sum(x * x) AS ss
+        |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS ss
         |  FROM r0 GROUP BY 1
         |), w AS (
         |  SELECT
@@ -14121,7 +14165,8 @@ object SparkEntry {
            |), x$i AS MATERIALIZED (
            |  SELECT y$i.id,
            |    CASE WHEN m.m <= 0 THEN CAST(0 AS BIGINT)
-           |      ELSE CAST((y * 1000000) // m.m AS BIGINT) END AS x
+           |      ELSE CAST((CAST(y AS HUGEINT) * 1000000) // m.m AS BIGINT)
+           |      END AS x
            |  FROM y$i CROSS JOIN (SELECT max(y) AS m FROM y$i) m
            |)""".stripMargin
       s"""WITH d AS (
@@ -14392,7 +14437,7 @@ object SparkEntry {
         |  FROM events
         |), cells AS (
         |  SELECT variant, CAST(count(*) AS BIGINT) AS n, sum(x) AS s,
-        |    sum(x * x) AS ss
+        |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS ss
         |  FROM r0 GROUP BY 1
         |), w AS (
         |  SELECT

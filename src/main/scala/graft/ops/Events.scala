@@ -779,7 +779,10 @@ object Events {
     val wide = rows.groupBy("variant")
       .agg(count(lit(1)).as("n"),
         sum(col("x").cast("decimal(28,0)")).as("s"),
-        sum((col("x") * col("x")).cast("decimal(28,0)")).as("ss"))
+        // cast BEFORE squaring (r10 rule): LONG x*x wraps silently at
+        // |x| ≳ 3e7 where the HUGEINT twin stays exact
+        sum(col("x").cast("decimal(28,0)") *
+          col("x").cast("decimal(28,0)")).as("ss"))
       .groupBy()
       .agg(
         coalesce(sum(when(col("variant") === "A", col("n"))), lit(0L))
@@ -832,7 +835,9 @@ object Events {
     val wide = rows.groupBy("variant")
       .agg(count(lit(1)).as("n"),
         sum(col("x").cast("decimal(28,0)")).as("s"),
-        sum((col("x") * col("x")).cast("decimal(28,0)")).as("ss"))
+        // cast BEFORE squaring (r10 rule) — see welchTTest
+        sum(col("x").cast("decimal(28,0)") *
+          col("x").cast("decimal(28,0)")).as("ss"))
       .groupBy()
       .agg(
         coalesce(sum(when(col("variant") === "A", col("n"))), lit(0L))

@@ -321,10 +321,15 @@ object Graph {
         .select(col("id"), coalesce(col("y"), lit(0L)).as("y"))
         .localCheckpoint(true) // referenced by its own max AND the rescale
       val m = y.agg(max(col("y")).as("m"))
+      // rescale numerator through DECIMAL(38,0): y ≤ 10⁶·indeg, so the
+      // LONG product y·10⁶ would wrap once indeg exceeds ~9.2e6 (hub
+      // nodes at the 100 TB target); `div` on decimals returns BIGINT
+      // and the quotient is bounded by 10⁶ by construction
       x = y.crossJoin(broadcast(m))
         .select(col("id"),
           when(col("m") <= 0L, lit(0L))
-            .otherwise(expr(s"(y * ${S6}L) div m")).as("x"))
+            .otherwise(
+              expr(s"CAST(y AS DECIMAL(38,0)) * ${S6}L div m")).as("x"))
       i += 1
     }
     x.select(col("id"), col("x").as("x_scaled"))
@@ -1693,11 +1698,16 @@ object Graph {
             .otherwise(lit(0L))))
         .withColumn("stay",
           when(col("c") === col("own"), lit(0)).otherwise(lit(1)))
-      val best = cands.withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-            .orderBy(desc("s"), asc("stay"), asc("c"))))
-        .filter(col("rn") === 1)
-        .select(col("id"), col("c").as("new_lbl"))
+      // partial-aggregable k=1 argmax (the house deterministic-argmax
+      // recipe): min(struct(-s, stay, c)) == the (s desc, stay asc,
+      // c asc) row_number election, but map-side-combinable — no
+      // per-id sort over the |E|-sized candidate frame. -s is safe:
+      // |s| ≤ m2·k_i < 2^63 by the BIGINT contract above.
+      val best = cands
+        .groupBy(col("id"))
+        .agg(min(struct((-col("s")).as("ns"), col("stay"), col("c")))
+          .as("b"))
+        .select(col("id"), col("b.c").as("new_lbl"))
       // strict local-max salted priority: adjacent nodes never co-move
       val pri = deg.select(col("id"),
         md5(concat(lit(s"$saltPrefix$r:"), col("id").cast("string"))).as("p"))

@@ -40,29 +40,52 @@ object Reco {
   def itemCf(interactions: DataFrame, userCol: String, itemCol: String,
       topK: Int = 3, maxBasket: Int = 100, minCo: Long = 2L,
       simTopM: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // pruned feeds BOTH self-join sides AND candidate generation; Spark
-    // reuses exchanges, not common subplans, so without the checkpoint
-    // the basket window re-derives per branch (x7 sf0.1: median 7.7s →
-    // 5.1s, warm floor 4.9 → 3.7s). Checkpointing purch TOO measured
-    // WORSE (median 10.0s) — its single extra consumer (the ownership
-    // anti-join) rides the distinct's reusable exchange, and the extra
-    // eager materialization only adds a barrier.
-    val purch = interactions
+    val purch = normalize(interactions, userCol, itemCol)
+    // one checkpointed pruned frame feeds BOTH the index self-join and
+    // candidate generation (see the itemIndex checkpoint note)
+    val pruned = basketPruned(purch, maxBasket).localCheckpoint()
+    recommendScored(indexFromPruned(pruned, minCo, simTopM),
+      pruned, purch, topK)
+  }
+
+  /** Canonical `(u, it)` distinct interaction frame. */
+  private def normalize(interactions: DataFrame, userCol: String,
+      itemCol: String): DataFrame =
+    interactions
       .select(col(userCol).cast("long").as("u"),
         col(itemCol).cast("long").as("it")).distinct()
-    val pruned = purch
-      .withColumn("bsize", count(lit(1)).over(Window.partitionBy("u")))
-      .filter(col("bsize") <= maxBasket)
-      .drop("bsize")
-      .localCheckpoint()
+
+  /** The item-item neighbor INDEX under [[itemCf]] — steps 1–2 of the
+    * chain (co-occurrence self-join + per-item `simTopM` truncation),
+    * split out so a suite of recommender queries builds it ONCE and
+    * every serving/eval query composes over it (the
+    * `writeChecksumIndex`/`writeIvfIndex` pattern: the heavy corpus
+    * artifact is paid at build time, not per query). Expects the
+    * canonical `(u, it)` distinct frame; emits `(owned, cand, n_co)`
+    * with ≤ `simTopM` rows per `owned`.
+    */
+  def itemIndex(purch: DataFrame, maxBasket: Int = 100,
+      minCo: Long = 2L, simTopM: Int = 20): DataFrame =
+    // pruned feeds BOTH self-join sides; Spark reuses exchanges, not
+    // common subplans, so without the checkpoint the basket window
+    // re-derives per branch (x7 sf0.1: median 7.7s → 5.1s, warm floor
+    // 4.9 → 3.7s). Checkpointing purch TOO measured WORSE (median
+    // 10.0s) — its single extra consumer (the ownership anti-join)
+    // rides the distinct's reusable exchange, and the extra eager
+    // materialization only adds a barrier.
+    indexFromPruned(basketPruned(purch, maxBasket).localCheckpoint(),
+      minCo, simTopM)
+
+  private def indexFromPruned(pruned: DataFrame, minCo: Long,
+      simTopM: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sim = pruned.as("l")
       .join(pruned.as("r"),
         col("l.u") === col("r.u") && col("l.it") < col("r.it"))
       .groupBy(col("l.it").as("a"), col("r.it").as("b"))
       .agg(count(lit(1)).as("n_co"))
       .filter(col("n_co") >= minCo)
-    val simBoth = sim.select(col("a").as("owned"), col("b").as("cand"),
+    sim.select(col("a").as("owned"), col("b").as("cand"),
         col("n_co"))
       .unionByName(sim.select(col("b").as("owned"), col("a").as("cand"),
         col("n_co")))
@@ -70,7 +93,46 @@ object Reco {
         Window.partitionBy("owned").orderBy(desc("n_co"), asc("cand"))))
       .filter(col("nrank") <= simTopM)
       .drop("nrank")
-    val scored = pruned.join(simBoth, col("it") === col("owned"))
+  }
+
+  private def basketPruned(purch: DataFrame, maxBasket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    purch
+      .withColumn("bsize", count(lit(1)).over(Window.partitionBy("u")))
+      .filter(col("bsize") <= maxBasket)
+      .drop("bsize")
+  }
+
+  /** Persist an [[itemIndex]] as a managed parquet table bucketed +
+    * sorted on `owned` — at 100 TB the index is rebuilt on a schedule
+    * while serving queries join it EVERY run, so it should never
+    * shuffle again after the write: the candidate-generation equi-join
+    * reads it as a co-located bucketed scan with zero Exchange
+    * (RecoSpec asserts this, the BucketingSpec pattern).
+    */
+  def writeItemIndex(purch: DataFrame, table: String,
+      maxBasket: Int = 100, minCo: Long = 2L, simTopM: Int = 20,
+      buckets: Int = 32): Unit =
+    graft.sources.Bucketing.writeBucketed(
+      itemIndex(purch, maxBasket, minCo, simTopM), table, "owned",
+      buckets)
+
+  /** Steps 3–5 of [[itemCf]] over a prebuilt [[itemIndex]] frame:
+    * candidate generation (owned items ⋈ their surviving neighbors),
+    * path-count scoring, ownership anti-join, pinned per-user top-k.
+    * Composing over the SAME index is output-identical to the fused
+    * [[itemCf]] — the index is a deterministic function of the
+    * interactions.
+    */
+  def recommendFromIndex(index: DataFrame, purch: DataFrame,
+      topK: Int = 3, maxBasket: Int = 100): DataFrame =
+    recommendScored(index, basketPruned(purch, maxBasket), purch, topK)
+
+  private def recommendScored(index: DataFrame, pruned: DataFrame,
+      purch: DataFrame, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = pruned
+      .join(index, col("it") === col("owned"))
       .groupBy(col("u"), col("cand"))
       .agg(sum(col("n_co")).as("score"), count(lit(1)).as("n_via"))
     val fresh = scored.join(
@@ -84,6 +146,17 @@ object Reco {
       .select(col("u"), col("rank"), col("cand"), col("score"),
         col("n_via"))
   }
+
+  /** [[itemCf]] served from a [[writeItemIndex]] table: the index side
+    * of the candidate join is a bucketed scan (zero Exchange); only the
+    * user interactions shuffle. `interactions` must use canonical
+    * `(u, it)` column names.
+    */
+  def itemCfIndexed(spark: org.apache.spark.sql.SparkSession,
+      table: String, interactions: DataFrame, topK: Int = 3,
+      maxBasket: Int = 100): DataFrame =
+    recommendFromIndex(spark.table(table),
+      normalize(interactions, "u", "it"), topK, maxBasket)
 
   /** Leave-last-out backtest of [[itemCf]] — the recommender's offline
     * report card: hold out each user's LAST interaction (deterministic

@@ -68,6 +68,60 @@ class RecoSpec extends SparkSpec {
     assert(r.getAs[Long]("mean_pop_ppm") == 750000L)
   }
 
+  test("itemCfIndexed == fused itemCf and never re-shuffles the index") {
+    val inter = purchases.select($"customer".as("u"), $"part".as("it"))
+    Reco.writeItemIndex(inter.distinct(), "graft_reco_idx_spec",
+      maxBasket = 100, minCo = 2L, simTopM = 20, buckets = 4)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val indexed = Reco.itemCfIndexed(spark, "graft_reco_idx_spec",
+        inter, topK = 3, maxBasket = 100)
+      val fused = Reco.itemCf(purchases, "customer", "part",
+        topK = 3, maxBasket = 100, minCo = 2L)
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getAs[Long]("u"), r.getAs[Long]("rank"), r.getAs[Long]("cand"),
+          r.getAs[Long]("score"), r.getAs[Long]("n_via"))
+      assert(indexed.collect().map(key).toSet ==
+        fused.collect().map(key).toSet)
+      // the index side of the candidate-generation join must be a
+      // co-located bucketed scan: no ShuffleExchange between the scan
+      // and the join (the BucketingSpec walk-the-join-side pattern)
+      val plan = indexed.queryExecution.executedPlan
+      // only the join side whose subtree IS the index scan (no nested
+      // join): upstream anti-join/agg sides also contain the scan's
+      // string and carry legitimate exchanges (the r8 walk-the-join-
+      // side rule)
+      val joinSides = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          Seq(j.left, j.right)
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+          Seq(j.left, j.right)
+      }.flatten.filter(s => s.toString.contains("graft_reco_idx_spec") &&
+        s.collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+          case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+            j
+        }.isEmpty)
+      assert(joinSides.nonEmpty,
+        s"some join must read the bucketed index:\n$plan")
+      joinSides.foreach { side =>
+        val shuffles = side.collect {
+          case e: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeLike => e
+        }
+        assert(shuffles.isEmpty,
+          s"index side of the join must not re-shuffle:\n$side")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.sql("DROP TABLE IF EXISTS graft_reco_idx_spec")
+    }
+  }
+
   test("itemCf basket prune removes power users from similarity") {
     // user 9's giant basket links EVERYTHING; pruning it leaves only
     // the organic 10-11 signal
