@@ -3488,6 +3488,108 @@ object SparkEntry {
       val toks = rd(s, dir, "documents")
         .select(explode(split(trim(col("text")), "\\s+")).as("token"))
       Privacy.dpTopK(toks, "token", 20, 10L).orderBy("rank")
+    }),
+    // --- Katz-attenuated centrality on the order-customer bipartite
+    // graph: unit base mass + beta=1/2 bit-shift damping per round,
+    // integer L-inf rescale (the eigenvector recipe, better-conditioned)
+    "graph_katz" -> ((s, dir) => {
+      val d = rd(s, dir, "orders").select(col("o_orderkey").as("src"),
+        (col("o_custkey") + 10000000L).as("dst"))
+      val e = d.unionByName(d.select(col("dst").as("src"),
+        col("src").as("dst")))
+      Graph.katzCentrality(e, 5).orderBy("id")
+    }),
+    // --- global transitivity census over the sampled part
+    // co-occurrence graph: 3*triangles/wedges, one-row card
+    "graph_transitivity" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem").filter(col("l_partkey") % 4 === 0)
+      Graph.transitivityCard(
+        Graph.coOccurrence(li, "l_orderkey", "l_partkey"))
+        .orderBy("n_nodes")
+    }),
+    // --- per-edge embeddedness (common-neighbor count) over the same
+    // graph: zero-support rows are the local bridges
+    "graph_embeddedness" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem").filter(col("l_partkey") % 4 === 0)
+      Graph.edgeEmbeddedness(
+        Graph.coOccurrence(li, "l_orderkey", "l_partkey"))
+        .orderBy("a", "b")
+    }),
+    // --- Matthews correlation over the eval_confusion staging:
+    // DECIMAL(38,0) numerator, factored-sqrt portable double close
+    "eval_mcc" -> ((s, dir) =>
+      Eval.mccCard(rd(s, dir, "documents")
+        .select(col("n_chars").as("score"),
+          (col("lang") === "en").as("label")), 300L)),
+    // --- NDCG@5 over the eval_retrieval framing: build-time integer
+    // log2-discount table shared verbatim with the oracle
+    "eval_ndcg" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 5).select(
+        col("doc_id").as("query_id"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 5), " ")
+          .as("query_text"))
+      TextAnalysis.ndcgCard(docs, qs, 5)
+    }),
+    // --- Kendall tau-a between click and view daily counts: exact
+    // concordant/discordant pair census on the shared gap-filled grid
+    "events_kendall" -> ((s, dir) =>
+      Events.kendallDaily(rdEvents(s, dir), "click", "view")),
+    // --- Mann-Kendall trend test per type: exact S, integer variance
+    // numerator, continuity-corrected portable-double z
+    "events_mannkendall" -> ((s, dir) =>
+      Events.mannKendall(rdEvents(s, dir)).orderBy("event_type")),
+    // --- trailing 14-day rolling Pearson r between click and view
+    // daily counts: integer window moments, fixed IEEE close
+    "events_rolling_corr" -> ((s, dir) =>
+      Events.rollingCorrelation(rdEvents(s, dir), "click", "view", 14)
+        .orderBy("day")),
+    // --- SAX symbolic discretization: 7-day integer PAA, exact x4
+    // quartile cut-points, a-d alphabet
+    "events_sax" -> ((s, dir) =>
+      Events.saxSymbols(rdEvents(s, dir), 7)
+        .orderBy("event_type", "win")),
+    // --- cross-doc sentence duplication census over the 8-token block
+    // sentence staging (the docs_sentences fixture): top repeated
+    // sentences with doc counts + earliest carrier
+    "dedup_sentences" -> ((s, dir) => {
+      val toks = rd(s, dir, "documents").select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("t"))
+      val sents = toks.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, cast(ceil(size(t)/8.0) as int)), " +
+          "i -> array_join(slice(t, (i-1)*8+1, 8), ' '))")).as("sentence"))
+      Dedup.sentenceDuplication(sents, 2L, 100).orderBy("rank")
+    }),
+    // --- salted skew join vs its plain twin: identical rows by
+    // construction, only the partitioning changes (SURVEY row 35's
+    // spec gate upgraded to a value-level oracle)
+    "skew_join_salted" -> ((s, dir) => {
+      val large = rd(s, dir, "lineitem").select(col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("price_c"))
+      val small = rd(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      Skew.saltedJoin(large, small, "l_suppkey")
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("price_c")).as("revenue_c"))
+        .orderBy("s_nationkey")
+    }),
+    // --- hot-bucket star fallback on planted 8-copy families with
+    // SYNTHESIZED per-family vocabularies (zero cross-family shingle
+    // overlap, so tau kills any bucket-collision edge): with
+    // hotBucket=1 every bucket stars and the output collapses to the
+    // O(D) (family min, member) set — derivable from the construction
+    // alone (SURVEY row 18a's spec gate upgraded to a value oracle)
+    "dedup_minhash_star" -> ((s, dir) => {
+      val fam = rd(s, dir, "documents").filter(col("doc_id") < 30)
+        .select(col("doc_id"), explode(sequence(lit(0L), lit(7L))).as("r"))
+        .select((col("doc_id") * 1000L + col("r")).as("doc_id"),
+          expr("""concat_ws(' ', transform(sequence(1, 10),
+                  i -> concat('w', CAST(doc_id AS STRING), '_',
+                    CAST(i AS STRING))))""").as("text"))
+      Dedup.minHashLshStar(fam, hotBucket = 1)
+        .select(col("a_id"), col("b_id"))
+        .orderBy("a_id", "b_id")
     })
   )
 
@@ -14624,7 +14726,342 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY released DESC, token)
         |    AS BIGINT) AS "rank",
         |  token, released
-        |FROM t ORDER BY "rank"""".stripMargin
+        |FROM t ORDER BY "rank"""".stripMargin,
+    // Katz twin: the eigenvector unroll with the damped-offset round
+    // y = 1e6 + (sum-in // 2); HUGEINT rescale numerator
+    "graph_katz" -> {
+      val round = (i: Int) =>
+        s"""y$i AS MATERIALIZED (
+           |  SELECT n.id, CAST(1000000 + COALESCE(s.y, 0) // 2 AS BIGINT)
+           |    AS y
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS id, sum(p.x) AS y
+           |    FROM e JOIN x${i - 1} p ON p.id = e.src GROUP BY e.dst
+           |  ) s ON n.id = s.id
+           |), x$i AS MATERIALIZED (
+           |  SELECT y$i.id,
+           |    CASE WHEN m.m <= 0 THEN CAST(0 AS BIGINT)
+           |      ELSE CAST((CAST(y AS HUGEINT) * 1000000) // m.m AS BIGINT)
+           |      END AS x
+           |  FROM y$i CROSS JOIN (SELECT max(y) AS m FROM y$i) m
+           |)""".stripMargin
+      s"""WITH d AS (
+         |  SELECT o_orderkey AS src, o_custkey + 10000000 AS dst FROM orders
+         |), e AS MATERIALIZED (
+         |  SELECT src, dst FROM d UNION ALL SELECT dst, src FROM d
+         |), nodes AS MATERIALIZED (
+         |  SELECT DISTINCT src AS id FROM e
+         |), x0 AS (
+         |  SELECT id, CAST(1000000 AS BIGINT) AS x FROM nodes
+         |), ${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |${round(4)},
+         |${round(5)}
+         |SELECT id, x AS x_scaled FROM x5 ORDER BY id""".stripMargin
+    },
+    // transitivity twin: same co-occurrence graph CTEs as
+    // graph_clustering; wedges fold per node through HUGEINT
+    "graph_transitivity" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+        |  WHERE l_partkey % 4 = 0
+        |), sized AS (
+        |  SELECT g, item FROM (
+        |    SELECT g, item, count(*) OVER (PARTITION BY g) AS gsz FROM pairs)
+        |  WHERE gsz <= 100
+        |), e AS MATERIALIZED (
+        |  SELECT DISTINCT l.item AS a, r.item AS b
+        |  FROM sized l JOIN sized r ON l.g = r.g AND l.item < r.item
+        |), deg AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1
+        |), base AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |    sum(CAST(deg AS HUGEINT) * (deg - 1) // 2) AS wedges
+        |  FROM deg
+        |), tri AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        |    SELECT e1.a, e1.b, e2.b AS c
+        |    FROM e e1
+        |    JOIN e e2 ON e1.b = e2.a
+        |    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |), en AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e
+        |)
+        |SELECT n_nodes, n_edges, CAST(wedges AS BIGINT) AS n_wedges,
+        |  n_triangles,
+        |  CASE WHEN wedges = 0 THEN NULL
+        |    ELSE CAST(CAST(n_triangles AS HUGEINT) * 3000000 // wedges
+        |      AS BIGINT) END AS transitivity_ppm
+        |FROM base, tri, en ORDER BY n_nodes""".stripMargin,
+    // embeddedness twin: id-ordered triangles (x<y<z) vote for their
+    // three canonical edges; left join keeps zero-support bridges
+    "graph_embeddedness" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+        |  WHERE l_partkey % 4 = 0
+        |), sized AS (
+        |  SELECT g, item FROM (
+        |    SELECT g, item, count(*) OVER (PARTITION BY g) AS gsz FROM pairs)
+        |  WHERE gsz <= 100
+        |), e AS MATERIALIZED (
+        |  SELECT DISTINCT l.item AS a, r.item AS b
+        |  FROM sized l JOIN sized r ON l.g = r.g AND l.item < r.item
+        |), tri AS MATERIALIZED (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |), sup AS (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS n_common FROM (
+        |    SELECT x AS a, y AS b FROM tri
+        |    UNION ALL SELECT x, z FROM tri
+        |    UNION ALL SELECT y, z FROM tri) GROUP BY 1, 2
+        |)
+        |SELECT e.a, e.b, COALESCE(s.n_common, 0) AS n_common
+        |FROM e LEFT JOIN sup s ON s.a = e.a AND s.b = e.b
+        |ORDER BY e.a, e.b""".stripMargin,
+    // MCC twin: same conditional-agg cells, HUGEINT products, the
+    // identical factored-sqrt double tree
+    "eval_mcc" ->
+      """WITH c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN lang = 'en' AND n_chars >= 300
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN lang <> 'en' AND n_chars >= 300
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN lang = 'en' AND n_chars < 300
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN lang <> 'en' AND n_chars < 300
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM documents
+        |)
+        |SELECT tp, fp, fn, tn,
+        |  CASE WHEN tp + fp = 0 OR tp + fn = 0
+        |         OR tn + fp = 0 OR tn + fn = 0 THEN NULL
+        |  ELSE CAST(CAST(tp AS HUGEINT) * tn
+        |          - CAST(fp AS HUGEINT) * fn AS DOUBLE)
+        |    / (sqrt(CAST(CAST(tp + fp AS HUGEINT) * (tp + fn) AS DOUBLE))
+        |     * sqrt(CAST(CAST(tn + fp AS HUGEINT) * (tn + fn) AS DOUBLE)))
+        |  END AS mcc
+        |FROM c ORDER BY tp""".stripMargin,
+    "eval_ndcg" -> ndcgOracleSql(5),
+    // Kendall twin: per-type gap-filled grids, shared-day wide frame,
+    // exact C(n,2) sign census, positive-offset tau floor
+    "events_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1, 2
+        |), span AS (
+        |  SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY 1
+        |), grid AS (
+        |  SELECT g.event_type, g.day, COALESCE(d.x, 0) AS x
+        |  FROM (SELECT s.event_type, CAST(u.day AS BIGINT) AS day
+        |        FROM span s,
+        |          UNNEST(generate_series(s.d0, s.d1)) AS u(day)) g
+        |  LEFT JOIN daily d
+        |    ON d.event_type = g.event_type AND d.day = g.day
+        |), wide AS (
+        |  SELECT day,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN x ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN x ELSE 0 END)
+        |      AS BIGINT) AS b
+        |  FROM grid GROUP BY 1
+        |), p AS (
+        |  SELECT r.a - l.a AS da, r.b - l.b AS db
+        |  FROM wide l JOIN wide r ON l.day < r.day
+        |), agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN (da > 0 AND db > 0) OR (da < 0 AND db < 0)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_concordant,
+        |    CAST(sum(CASE WHEN (da > 0 AND db < 0) OR (da < 0 AND db > 0)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_discordant
+        |  FROM p
+        |)
+        |SELECT n_pairs, n_concordant, n_discordant,
+        |  n_pairs - n_concordant - n_discordant AS n_ties,
+        |  CASE WHEN n_pairs = 0 THEN NULL
+        |    ELSE CAST(((n_concordant - n_discordant) * 1000000
+        |      + n_pairs * 1000000) // n_pairs - 1000000 AS BIGINT)
+        |  END AS tau_a_ppm
+        |FROM agg ORDER BY n_pairs""".stripMargin,
+    // Mann-Kendall twin: identical pair sign sums, integer variance
+    // numerator, the same continuity-corrected double tree
+    "events_mannkendall" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), span AS (
+        |  SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY 1
+        |), grid AS (
+        |  SELECT g.event_type, g.day, COALESCE(d.x, 0) AS x
+        |  FROM (SELECT s.event_type, CAST(u.day AS BIGINT) AS day
+        |        FROM span s,
+        |          UNNEST(generate_series(s.d0, s.d1)) AS u(day)) g
+        |  LEFT JOIN daily d
+        |    ON d.event_type = g.event_type AND d.day = g.day
+        |), p AS (
+        |  SELECT l.event_type,
+        |    CAST(sum(sign(r.x - l.x)) AS BIGINT) AS s_stat,
+        |    CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM grid l JOIN grid r
+        |    ON r.event_type = l.event_type AND l.day < r.day
+        |  GROUP BY 1
+        |), n AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        |  FROM grid GROUP BY 1
+        |), j AS (
+        |  SELECT p.event_type, n.n_days, p.n_pairs, p.s_stat,
+        |    n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) AS var_s_x18
+        |  FROM p JOIN n ON n.event_type = p.event_type
+        |)
+        |SELECT event_type, n_days, n_pairs, s_stat, var_s_x18,
+        |  CASE WHEN n_days < 2 OR var_s_x18 = 0 THEN NULL
+        |    WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)
+        |      / sqrt(CAST(var_s_x18 AS DOUBLE) / 18.0)
+        |    WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)
+        |      / sqrt(CAST(var_s_x18 AS DOUBLE) / 18.0)
+        |    ELSE 0.0 END AS z_mk
+        |FROM j ORDER BY event_type""".stripMargin,
+    // rolling-corr twin: identical trailing window moments (BIGINT
+    // products, HUGEINT sums) and the same fixed IEEE r tree
+    "events_rolling_corr" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1, 2
+        |), span AS (
+        |  SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY 1
+        |), grid AS (
+        |  SELECT g.event_type, g.day, COALESCE(d.x, 0) AS x
+        |  FROM (SELECT s.event_type, CAST(u.day AS BIGINT) AS day
+        |        FROM span s,
+        |          UNNEST(generate_series(s.d0, s.d1)) AS u(day)) g
+        |  LEFT JOIN daily d
+        |    ON d.event_type = g.event_type AND d.day = g.day
+        |), wide AS (
+        |  SELECT day,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN x ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN x ELSE 0 END)
+        |      AS BIGINT) AS b
+        |  FROM grid GROUP BY 1
+        |), win AS (
+        |  SELECT day,
+        |    row_number() OVER (ORDER BY day) AS pos,
+        |    sum(a) OVER w AS sa, sum(b) OVER w AS sb,
+        |    sum(a * b) OVER w AS sab,
+        |    sum(a * a) OVER w AS saa,
+        |    sum(b * b) OVER w AS sbb
+        |  FROM wide
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING
+        |    AND CURRENT ROW)
+        |)
+        |SELECT day, CAST(sa AS BIGINT) AS sa, CAST(sb AS BIGINT) AS sb,
+        |  CASE WHEN 14 * saa - CAST(sa AS HUGEINT) * sa = 0
+        |         OR 14 * sbb - CAST(sb AS HUGEINT) * sb = 0 THEN NULL
+        |  ELSE CAST(14 * sab - CAST(sa AS HUGEINT) * sb AS DOUBLE)
+        |    / (sqrt(CAST(14 * saa - CAST(sa AS HUGEINT) * sa AS DOUBLE))
+        |     * sqrt(CAST(14 * sbb - CAST(sb AS HUGEINT) * sb AS DOUBLE)))
+        |  END AS r_trailing
+        |FROM win WHERE pos >= 14 ORDER BY day""".stripMargin,
+    // SAX twin: per-type grids, integer PAA means, x4 quartile
+    // cut-points (quarter-fraction interpolation is exact in binary)
+    "events_sax" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), span AS (
+        |  SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY 1
+        |), grid AS (
+        |  SELECT g.event_type, g.day, g.d0, COALESCE(d.x, 0) AS x
+        |  FROM (SELECT s.event_type, s.d0, CAST(u.day AS BIGINT) AS day
+        |        FROM span s,
+        |          UNNEST(generate_series(s.d0, s.d1)) AS u(day)) g
+        |  LEFT JOIN daily d
+        |    ON d.event_type = g.event_type AND d.day = g.day
+        |), paa AS MATERIALIZED (
+        |  SELECT event_type, (day - d0) // 7 AS win,
+        |    CAST(sum(x) // count(*) AS BIGINT) AS paa
+        |  FROM grid GROUP BY 1, 2
+        |), cuts AS (
+        |  SELECT
+        |    CAST(quantile_cont(paa, CAST('0.25' AS DOUBLE)) * 4 AS BIGINT)
+        |      AS q1x4,
+        |    CAST(quantile_cont(paa, CAST('0.5' AS DOUBLE)) * 4 AS BIGINT)
+        |      AS q2x4,
+        |    CAST(quantile_cont(paa, CAST('0.75' AS DOUBLE)) * 4 AS BIGINT)
+        |      AS q3x4
+        |  FROM paa
+        |)
+        |SELECT event_type, CAST(win AS BIGINT) AS win, paa,
+        |  CASE WHEN 4 * paa <= q1x4 THEN 'a'
+        |       WHEN 4 * paa <= q2x4 THEN 'b'
+        |       WHEN 4 * paa <= q3x4 THEN 'c'
+        |       ELSE 'd' END AS symbol
+        |FROM paa CROSS JOIN cuts
+        |ORDER BY event_type, win""".stripMargin,
+    // sentence-dup twin: the docs_sentences 8-token block staging,
+    // cross-doc census, deterministic top-100
+    "dedup_sentences" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |), blocks AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, CAST(ceil(len(t)/8.0) AS BIGINT)))
+        |      AS i, t
+        |  FROM toks
+        |), bp AS (
+        |  SELECT doc_id,
+        |    array_to_string(t[(i-1)*8+1:(i-1)*8+8], ' ') AS sentence
+        |  FROM blocks
+        |), d AS (
+        |  SELECT sentence,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_occurrences,
+        |    CAST(min(doc_id) AS BIGINT) AS first_doc
+        |  FROM bp GROUP BY 1
+        |  HAVING count(DISTINCT doc_id) >= 2
+        |), t AS (
+        |  SELECT * FROM d
+        |  ORDER BY n_occurrences DESC, n_docs DESC, sentence LIMIT 100
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC,
+        |    n_docs DESC, sentence) AS BIGINT) AS "rank",
+        |  sentence, n_docs, n_occurrences, first_doc
+        |FROM t ORDER BY "rank"""".stripMargin,
+    // salted-join twin: the PLAIN join — salted output rows are
+    // identical by construction, only partitioning differs
+    "skew_join_salted" ->
+      """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // star-fence twin: planted 8-copy exact families (synthesized
+    // disjoint vocabularies) share every band bucket, so star edges
+    // collapse to (family min, member) — the O(D) edge set is
+    // derivable from the construction alone
+    "dedup_minhash_star" ->
+      """WITH base AS (
+        |  SELECT DISTINCT doc_id FROM documents WHERE doc_id < 30
+        |), fam AS (
+        |  SELECT doc_id * 1000 AS a_id, doc_id * 1000 + r AS b_id
+        |  FROM base, UNNEST(range(1, 8)) AS u(r)
+        |)
+        |SELECT a_id, b_id FROM fam ORDER BY a_id, b_id""".stripMargin
   )
 
   /** Generated DuckDB twin of [[graft.ops.Sampling.shapleyVocabValue]]:
@@ -14873,5 +15310,83 @@ object SparkEntry {
         |  AND c.s = 'start' AND c.sc <> 'full'
         |ORDER BY channel""".stripMargin
     s"$head, $rounds\n$tail"
+  }
+
+  /** Generated DuckDB twin of [[graft.ops.TextAnalysis.ndcgCard]] over
+    * the eval_retrieval staging: the SAME Scala-computed integer
+    * discount table (`floor(10⁶/log2(i+1))`) is embedded as literals
+    * on both sides, so DCG/IDCG are order-free BIGINT sums — the
+    * runtime log never executes in either engine.
+    */
+  private def ndcgOracleSql(k: Int): String = {
+    val wPpm: Seq[Long] = (1 to k).map(i =>
+      math.floor(1e6 / (math.log(i + 1) / math.log(2))).toLong)
+    val cumW: Seq[Long] = wPpm.scanLeft(0L)(_ + _).tail
+    val wCase = wPpm.zipWithIndex.map { case (w, i) =>
+      s"WHEN p.r = ${i + 1} THEN $w" }.mkString(" ")
+    val cCase = cumW.zipWithIndex.map { case (c, i) =>
+      s"WHEN least(ng.n_gold, $k) = ${i + 1} THEN $c" }.mkString(" ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |  FROM documents
+       |), lens AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks
+       |), tot AS (
+       |  SELECT CAST(sum(dl) AS BIGINT) AS corpus_len, count(*) AS n_docs
+       |  FROM lens
+       |), q AS (
+       |  SELECT DISTINCT query_id, token FROM (
+       |    SELECT doc_id AS query_id, unnest(t[1:$k]) AS token
+       |    FROM toks WHERE doc_id < 5)
+       |), nq AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_q_terms
+       |  FROM q GROUP BY 1
+       |), tfa AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(t) AS token FROM toks)
+       |  GROUP BY 1, 2
+       |), d AS (
+       |  SELECT *, count(*) OVER (PARTITION BY token) AS df FROM tfa
+       |), sc AS (
+       |  SELECT q.query_id, d.doc_id,
+       |    CAST(sum(((1000000 // df) * 2200 * corpus_len * tf)
+       |      // (10 * corpus_len * tf + 3 * corpus_len + 9 * dl * n_docs))
+       |      AS BIGINT) AS score
+       |  FROM d JOIN q ON d.token = q.token
+       |  JOIN lens ON d.doc_id = lens.doc_id
+       |  CROSS JOIN tot
+       |  GROUP BY 1, 2
+       |), pred AS (
+       |  SELECT query_id, doc_id, CAST(r AS BIGINT) AS r FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS r
+       |    FROM sc) WHERE r <= $k
+       |), post AS (
+       |  SELECT DISTINCT doc_id, token FROM (
+       |    SELECT doc_id, unnest(t) AS token FROM toks)
+       |), gold AS (
+       |  SELECT q.query_id, p.doc_id
+       |  FROM post p
+       |  JOIN q ON q.token = p.token
+       |  JOIN nq ON nq.query_id = q.query_id
+       |  GROUP BY 1, 2
+       |  HAVING CAST(count(*) AS BIGINT) = min(nq.n_q_terms)
+       |), ng AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_gold
+       |  FROM gold GROUP BY 1
+       |), dcg AS (
+       |  SELECT p.query_id,
+       |    CAST(sum(CASE $wCase END) AS BIGINT) AS dcg_ppm
+       |  FROM pred p JOIN gold g
+       |    ON g.query_id = p.query_id AND g.doc_id = p.doc_id
+       |  GROUP BY 1
+       |)
+       |SELECT ng.query_id, ng.n_gold,
+       |  CAST(COALESCE(dcg.dcg_ppm, 0) AS BIGINT) AS dcg_ppm,
+       |  CAST(CASE $cCase END AS BIGINT) AS idcg_ppm,
+       |  CAST(1000000 * COALESCE(dcg.dcg_ppm, 0)
+       |    // (CASE $cCase END) AS BIGINT) AS ndcg_ppm
+       |FROM ng LEFT JOIN dcg ON dcg.query_id = ng.query_id
+       |ORDER BY ng.query_id""".stripMargin
   }
 }

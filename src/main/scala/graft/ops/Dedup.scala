@@ -328,6 +328,39 @@ object Dedup {
                               newDocs: DataFrame, table: String): DataFrame =
     incrementalExact(newDocs, spark.table(table))
 
+  /** Cross-document sentence-level duplication census — C4's
+    * sentence-granular dedup signal one level below
+    * [[paragraphDedup]]: a sentence repeated across documents marks
+    * boilerplate, quotation chains, or template text that
+    * paragraph/document dedup both miss (the repeated unit is smaller
+    * than a paragraph and embedded in otherwise-unique text). Expects
+    * a pre-segmented `(doc_id, sentence)` frame; emits the `topK`
+    * most-repeated cross-doc sentences with occurrence and distinct-doc
+    * counts plus the earliest carrier (the survivorship hook).
+    *
+    * Scale shape: ONE partial-aggregated groupBy on the sentence text
+    * (shuffle cardinality = distinct sentences), a df filter, and a
+    * TakeOrdered top-k — the rank window runs over ≤ topK rows, never
+    * the sentence vocabulary.
+    */
+  def sentenceDuplication(sentences: DataFrame, minDocs: Long = 2L,
+                          topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dups = sentences
+      .groupBy(col("sentence"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(desc("n_occurrences"), desc("n_docs"), asc("sentence"))
+      .limit(topK)
+    dups.withColumn("rank", row_number().over(
+        Window.orderBy(desc("n_occurrences"), desc("n_docs"),
+          asc("sentence"))).cast("long"))
+      .select(col("rank"), col("sentence"), col("n_docs"),
+        col("n_occurrences"), col("first_doc"))
+  }
+
   // --- MinHash + LSH ------------------------------------------------------
 
   /** Fixed affine-permutation parameters for minhash signatures. Seeds are

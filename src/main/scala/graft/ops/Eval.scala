@@ -85,6 +85,39 @@ object Eval {
         "1000000L * (tp + tn) div (tp + fp + fn + tn)"))
   }
 
+  /** Matthews correlation coefficient card — the single-number
+    * confusion summary that stays honest under class imbalance (F1
+    * ignores TN entirely; accuracy saturates at the base rate). Same
+    * threshold framing as [[confusionCard]]. The numerator TP·TN −
+    * FP·FN routes through DECIMAL(38,0) (each product nears N²/4, past
+    * BIGINT at ~6e9 rows) and the denominator factors as
+    * `sqrt((TP+FP)(TP+FN))·sqrt((TN+FP)(TN+FN))` — two exact-integer
+    * products cast to double under IEEE-correct sqrt, one fixed
+    * expression tree, so the double is engine-portable (the welch
+    * argument). Any zero margin → NULL, never ÷0.
+    */
+  def mccCard(df: DataFrame, threshold: Long,
+              scoreCol: String = "score",
+              labelCol: String = "label"): DataFrame = {
+    val pred = col(scoreCol) >= threshold
+    val lab = col(labelCol)
+    def n(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    df.agg(
+      n(lab && pred).as("tp"), n(!lab && pred).as("fp"),
+      n(lab && !pred).as("fn"), n(!lab && !pred).as("tn"))
+      .withColumn("mcc", expr(
+        """CASE WHEN tp + fp = 0 OR tp + fn = 0
+                  OR tn + fp = 0 OR tn + fn = 0 THEN NULL
+           ELSE CAST(CAST(tp AS DECIMAL(38,0)) * tn
+                   - CAST(fp AS DECIMAL(38,0)) * fn AS DOUBLE)
+             / (sqrt(CAST(CAST(tp + fp AS DECIMAL(38,0))
+                   * (tp + fn) AS DOUBLE))
+              * sqrt(CAST(CAST(tn + fp AS DECIMAL(38,0))
+                   * (tn + fn) AS DOUBLE)))
+           END"""))
+  }
+
   /** Per-group exact AUC — the per-domain/per-source quality audit, and
     * the form that actually scales: every window PARTITIONS on the
     * group, so no global ordering exists anywhere in the plan (the

@@ -2785,4 +2785,162 @@ object Events {
     import spark.implicits._
     rows.toDF("channel", "phi_scaled", "phi_ppm").orderBy("channel")
   }
+
+  /** Kendall tau-a association between two event types' daily count
+    * series — the rank twin of [[crossCorrelation]]'s linear lead-lag
+    * (tau survives monotone distortion and outlier days that wreck a
+    * Pearson r). Pairs every day i < j on the SHARED gap-filled grid
+    * and counts concordant / discordant / tied sign pairs exactly;
+    * `tau_a_ppm = 10⁶·(C−D)/P` floors portably through the
+    * positive-offset recipe (C−D can be negative). The day self-join
+    * is C(n,2) over the bounded day span — a statistics-table frame,
+    * never corpus-sized.
+    */
+  def kendallDaily(events: DataFrame, typeA: String,
+                   typeB: String): DataFrame = {
+    val g = dailyGrid(events.filter(col("event_type").isin(typeA, typeB)))
+    val wide = g.groupBy(col("day"))
+      .agg(sum(when(col("event_type") === typeA, col("x")).otherwise(0L))
+        .as("a"),
+        sum(when(col("event_type") === typeB, col("x")).otherwise(0L))
+          .as("b"))
+      .localCheckpoint() // both pair-join sides
+    val pairs = wide.as("l").join(wide.as("r"),
+        col("l.day") < col("r.day"))
+      .select((col("r.a") - col("l.a")).as("da"),
+        (col("r.b") - col("l.b")).as("db"))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("da") > 0 && col("db") > 0, 1L)
+          .when(col("da") < 0 && col("db") < 0, 1L)
+          .otherwise(0L)).as("n_concordant"),
+        sum(when(col("da") > 0 && col("db") < 0, 1L)
+          .when(col("da") < 0 && col("db") > 0, 1L)
+          .otherwise(0L)).as("n_discordant"))
+      .withColumn("n_ties",
+        col("n_pairs") - col("n_concordant") - col("n_discordant"))
+      .withColumn("tau_a_ppm", expr(
+        """CASE WHEN n_pairs = 0 THEN NULL
+           ELSE ((n_concordant - n_discordant) * 1000000
+             + n_pairs * 1000000) div n_pairs - 1000000 END"""))
+  }
+
+  /** Mann–Kendall trend test per event type — the distribution-free
+    * "is this series trending" gate (the test form of
+    * [[theilSen]]'s estimator; the two ship together in every
+    * monitoring stack). S = Σ_{i<j} sign(x_j − x_i) over the
+    * gap-filled daily counts, exact; the variance numerator
+    * n(n−1)(2n+5) stays integer (the /18 moves into the one double
+    * close), and the continuity-corrected z runs a fixed IEEE tree:
+    * `z = (S ∓ 1)/sqrt(num/18.0)` — sqrt is correctly rounded in both
+    * engines, so the double is portable. Day pairs are C(n,2) per
+    * type over the bounded day span.
+    */
+  def mannKendall(events: DataFrame): DataFrame = {
+    val g = dailyGrid(events).localCheckpoint() // pair self-join + count
+    val pairs = g.as("l").join(g.as("r"),
+        col("l.event_type") === col("r.event_type") &&
+          col("l.day") < col("r.day"))
+      .select(col("l.event_type").as("event_type"),
+        signum(col("r.x") - col("l.x")).cast("long").as("sg"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("sg")).as("s_stat"), count(lit(1)).as("n_pairs"))
+    val n = g.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+    pairs.join(n, Seq("event_type"))
+      .withColumn("var_s_x18",
+        col("n_days") * (col("n_days") - 1) * (col("n_days") * 2 + 5))
+      .withColumn("z_mk", expr(
+        """CASE WHEN n_days < 2 OR var_s_x18 = 0 THEN NULL
+           WHEN s_stat > 0 THEN
+             (CAST(s_stat AS DOUBLE) - 1.0)
+               / sqrt(CAST(var_s_x18 AS DOUBLE) / 18.0)
+           WHEN s_stat < 0 THEN
+             (CAST(s_stat AS DOUBLE) + 1.0)
+               / sqrt(CAST(var_s_x18 AS DOUBLE) / 18.0)
+           ELSE 0.0 END"""))
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("s_stat"), col("var_s_x18"), col("z_mk"))
+  }
+
+  /** Trailing rolling Pearson correlation between two event types'
+    * daily counts — the co-movement monitor ("did clicks decouple from
+    * views this week") next to the whole-series [[crossCorrelation]].
+    * All five window moments (Σa, Σb, Σab, Σa², Σb², over `window`
+    * trailing days) are exact integer sums; r is one fixed IEEE tree
+    * per row — `(n·Σab − ΣaΣb)/(sqrt(n·Σa²−(Σa)²)·sqrt(n·Σb²−(Σb)²))`
+    * — so the double is engine-portable (the welch argument). Products
+    * route through DECIMAL(38,0) before the subtractions (daily counts
+    * ×window can pass 3e9). Emits only full windows. The window runs
+    * over the bounded day-span frame, never corpus rows.
+    */
+  def rollingCorrelation(events: DataFrame, typeA: String, typeB: String,
+                         window: Int = 14): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = dailyGrid(events.filter(col("event_type").isin(typeA, typeB)))
+    val wide = g.groupBy(col("day"))
+      .agg(sum(when(col("event_type") === typeA, col("x")).otherwise(0L))
+        .as("a"),
+        sum(when(col("event_type") === typeB, col("x")).otherwise(0L))
+          .as("b"))
+    val w = Window.orderBy(col("day").asc)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    wide
+      .withColumn("pos", row_number().over(Window.orderBy(col("day").asc)))
+      .withColumn("sa", sum(col("a")).over(w))
+      .withColumn("sb", sum(col("b")).over(w))
+      .withColumn("sab", sum(col("a").cast("decimal(38,0)") * col("b"))
+        .over(w))
+      .withColumn("saa", sum(col("a").cast("decimal(38,0)") * col("a"))
+        .over(w))
+      .withColumn("sbb", sum(col("b").cast("decimal(38,0)") * col("b"))
+        .over(w))
+      .filter(col("pos") >= window)
+      .select(col("day"), col("sa"), col("sb"),
+        expr(s"""CASE WHEN $window * saa - CAST(sa AS DECIMAL(38,0)) * sa = 0
+                   OR $window * sbb - CAST(sb AS DECIMAL(38,0)) * sb = 0
+                 THEN NULL
+                 ELSE CAST($window * sab
+                     - CAST(sa AS DECIMAL(38,0)) * sb AS DOUBLE)
+                   / (sqrt(CAST($window * saa
+                       - CAST(sa AS DECIMAL(38,0)) * sa AS DOUBLE))
+                    * sqrt(CAST($window * sbb
+                       - CAST(sb AS DECIMAL(38,0)) * sb AS DOUBLE)))
+                 END""").as("r_trailing"))
+  }
+
+  /** SAX symbolic discretization of each type's daily count series —
+    * the time-series-to-string transform behind motif mining and
+    * whole-series indexing (a symbolic series joins, groups, and
+    * LSHes like text). PAA first: the gap-filled series folds into
+    * `w`-day windows by integer mean (`div` — floor in both engines);
+    * the alphabet cut-points are the EXACT QUARTILES of the PAA
+    * distribution (×4 — quarter-fraction interpolation is exact in
+    * binary floating point, the doubled-median rule extended), so
+    * every symbol assignment is a portable integer comparison and the
+    * card needs no Gaussian breakpoint table. Output: one row per
+    * (type, window) with the PAA mean and its a–d symbol.
+    */
+  def saxSymbols(events: DataFrame, w: Int = 7): DataFrame = {
+    val g = dailyGrid(events).localCheckpoint() // feeds d0 agg AND PAA
+    val d0 = g.groupBy(col("event_type")).agg(min(col("day")).as("d0"))
+    val paa = g.join(broadcast(d0), Seq("event_type"))
+      .withColumn("win", expr(s"(day - d0) div $w"))
+      .groupBy(col("event_type"), col("win"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .select(col("event_type"), col("win"),
+        expr("s div n").as("paa"))
+      .localCheckpoint() // feeds the quartile agg AND the close
+    val cuts = paa.agg(
+      expr("CAST(percentile(paa, CAST('0.25' AS DOUBLE)) * 4 AS BIGINT)")
+        .as("q1x4"),
+      expr("CAST(percentile(paa, CAST('0.5' AS DOUBLE)) * 4 AS BIGINT)")
+        .as("q2x4"),
+      expr("CAST(percentile(paa, CAST('0.75' AS DOUBLE)) * 4 AS BIGINT)")
+        .as("q3x4"))
+    paa.crossJoin(broadcast(cuts))
+      .select(col("event_type"), col("win"), col("paa"),
+        expr("""CASE WHEN 4 * paa <= q1x4 THEN 'a'
+                WHEN 4 * paa <= q2x4 THEN 'b'
+                WHEN 4 * paa <= q3x4 THEN 'c'
+                ELSE 'd' END""").as("symbol"))
+  }
 }

@@ -982,6 +982,123 @@ object Graph {
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Global transitivity census — 3·triangles / wedges, the one-number
+    * cohesion statistic next to the per-node
+    * [[clusteringCoefficient]] (global transitivity weights hubs by
+    * their wedge count where the mean local coefficient weights every
+    * node equally — the two disagree on skewed graphs, which is why a
+    * graph report carries both). One-row card: nodes, edges, wedges,
+    * triangles, transitivity ppm.
+    *
+    * Scale shape: wedges fold per node from the degree table
+    * (C(deg,2) through DECIMAL(38,0) — a 1e9-degree hub alone holds
+    * 5e17 wedges, and the SUM can pass BIGINT); triangles ride the
+    * degree-ordered orientation of [[triangleRows]] (wedge fan-out
+    * bounded by the smaller endpoint). Two one-row frames cross-joined
+    * at the close.
+    */
+  def transitivityCard(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true) // feeds degrees AND the triangle join
+    val deg = canon.select(col("a").as("id"))
+      .union(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val base = deg.agg(count(lit(1)).as("n_nodes"),
+      // per-node C(deg,2): product through DECIMAL(38,0) (a 1e9-degree
+      // hub's deg² wraps LONG), integral div 2 back to LONG, decimal sum
+      sum(expr("CAST(deg AS DECIMAL(38,0)) * (deg - 1) div 2")
+        .cast("decimal(38,0)")).as("wedges_d"))
+    val tri = triangleRows(canon).agg(count(lit(1)).as("n_triangles"))
+    val edgesN = canon.agg(count(lit(1)).as("n_edges"))
+    base.crossJoin(broadcast(tri)).crossJoin(broadcast(edgesN))
+      .select(col("n_nodes"), col("n_edges"),
+        col("wedges_d").cast("long").as("n_wedges"), col("n_triangles"),
+        expr("""CASE WHEN wedges_d = 0 THEN NULL
+                ELSE CAST(CAST(n_triangles AS DECIMAL(38,0)) * 3000000
+                  div wedges_d AS BIGINT) END""").as("transitivity_ppm"))
+  }
+
+  /** Per-edge embeddedness — |N(a) ∩ N(b)| for every edge (a, b), the
+    * tie-strength signal from Granovetter-style network analysis (an
+    * edge with zero common neighbors is a local bridge; high
+    * embeddedness marks intra-community ties). Exactly the triangle
+    * support of the edge, so it reuses [[triangleRows]]'s degree-
+    * ordered enumeration: each triangle votes +1 for its three edges,
+    * one partial-aggregated groupBy on the canonical pair collects the
+    * votes, and a left join back to the edge list keeps the
+    * zero-support bridges visible.
+    */
+  def edgeEmbeddedness(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true) // feeds the triangle join AND the close
+    val support = triangleRows(canon)
+      .select(explode(array(
+        struct(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b")),
+        struct(least(col("x"), col("z")).as("a"),
+          greatest(col("x"), col("z")).as("b")),
+        struct(least(col("y"), col("z")).as("a"),
+          greatest(col("y"), col("z")).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
+    canon.join(support, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+  }
+
+  /** Katz-attenuated centrality by fixed-round damped power iteration
+    * with integer L∞ normalization — [[eigenvectorCentrality]]'s
+    * better-conditioned sibling (GDS's other spectral centrality):
+    * every node gets a unit base mass each round and in-neighbor mass
+    * arrives attenuated by β = ½, so peripheral nodes keep nonzero
+    * scores and the recursion never degenerates onto the dominant
+    * eigenvector alone. Round: `y(v) = 10⁶ + (Σ_{(u,v)∈E} x(u)) div 2`
+    * (the bit-shift attenuation recipe — no libm), then the eigenvector
+    * rescale `x := y·10⁶ div max(y)` with the numerator through
+    * DECIMAL(38,0). All-integer, fixed `iters` rounds → unrolled-CTE
+    * exact oracle. Same per-round shape as eigenvector: one keyed
+    * contribution join + partial agg, one-row max broadcast,
+    * localCheckpoint per round (y feeds its own max AND the rescale).
+    */
+  def katzCentrality(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val S6 = 1000000L
+    val e = edges.select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    var x = nodes.withColumn("x", lit(S6))
+    var i = 0
+    while (i < iters) {
+      // LONG sum is safe: x ≤ 10⁶ after the rescale, so the in-sum
+      // wraps only past ~9.2e12 incident edges per node — and ANSI
+      // throws loudly there rather than wrapping
+      val y = nodes
+        .join(e.join(x.withColumnRenamed("id", "src"), "src")
+            .groupBy(col("dst"))
+            .agg(sum(col("x")).as("yin")),
+          nodes("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(S6) + expr("coalesce(yin, 0L) div 2")).as("y"))
+        .localCheckpoint(true) // referenced by its own max AND the rescale
+      val m = y.agg(max(col("y")).as("m"))
+      x = y.crossJoin(broadcast(m))
+        .select(col("id"),
+          when(col("m") <= 0L, lit(0L))
+            .otherwise(
+              expr(s"CAST(y AS DECIMAL(38,0)) * ${S6}L div m")).as("x"))
+      i += 1
+    }
+    x.select(col("id"), col("x").as("x_scaled"))
+  }
+
   /** Derandomized independent-cascade influence spread — the
     * Monte-Carlo estimator behind influence maximization (Kempe et
     * al.), made engine-reproducible: edge (u, v) is ACTIVE in trial t

@@ -2155,6 +2155,57 @@ object TextAnalysis {
       .orderBy("query_id")
   }
 
+  /** NDCG@k over the same BM25-vs-gold framing as [[retrievalEval]] —
+    * the position-weighted retrieval metric (precision@k treats rank 1
+    * and rank k alike; NDCG pays log-discounted credit per position).
+    * The log2 discount table is folded at BUILD time into ppm integer
+    * literals (`w_i = floor(10⁶/log2(i+1))`, i = 1..k) shared verbatim
+    * with the DuckDB twin, so both the DCG sum (Σ over hit ranks of
+    * w_i) and the ideal DCG (prefix sums of the same table, cut at
+    * min(n_gold, k)) are order-free BIGINT sums — no runtime log
+    * anywhere. `ndcg_ppm = 10⁶·DCG div IDCG` exact.
+    */
+  def ndcgCard(docs: DataFrame, queries: DataFrame,
+               k: Int = 5): DataFrame = {
+    val wPpm: Seq[Long] = (1 to k).map(i =>
+      math.floor(1e6 / (math.log(i + 1) / math.log(2))).toLong)
+    val cumW: Seq[Long] = wPpm.scanLeft(0L)(_ + _).tail
+    val qTerms = queries
+      .select(col("query_id"), explode(tokensCol(col("query_text")))
+        .as("token"))
+      .distinct()
+    val nTerms = qTerms.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_q_terms"))
+    val gold = docs
+      .select(col("doc_id"), explode(tokensCol(col("text"))).as("token"))
+      .distinct()
+      .join(broadcast(qTerms), Seq("token"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"))
+      .join(broadcast(nTerms), Seq("query_id"))
+      .filter(col("n_matched") === col("n_q_terms"))
+      .select(col("query_id"), col("doc_id"))
+      .localCheckpoint() // feeds the per-query total AND the hit join
+    val pred = bm25TopK(docs, queries, k)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val dcg = pred.join(gold, Seq("query_id", "doc_id"))
+      .groupBy(col("query_id"))
+      .agg(sum(element_at(
+        array(wPpm.map(lit): _*), col("rank").cast("int")))
+        .as("dcg_ppm"))
+    gold.groupBy(col("query_id")).agg(count(lit(1)).as("n_gold"))
+      .join(dcg, Seq("query_id"), "left")
+      .withColumn("dcg_ppm", coalesce(col("dcg_ppm"), lit(0L)))
+      .withColumn("idcg_ppm", element_at(
+        array(cumW.map(lit): _*),
+        least(col("n_gold"), lit(k.toLong)).cast("int")))
+      .withColumn("ndcg_ppm",
+        expr("1000000L * dcg_ppm div idcg_ppm"))
+      .select(col("query_id"), col("n_gold"), col("dcg_ppm"),
+        col("idcg_ppm"), col("ndcg_ppm"))
+      .orderBy("query_id")
+  }
+
   /** Persisted inverted index — the [[Similarity]] IVF pattern applied
     * to text retrieval: postings (token, doc_id, tf, df) written
     * PARTITIONED BY an md5 token bucket, plus doc lengths and the

@@ -30,6 +30,8 @@ class QueryPlanSpec extends SparkSpec {
       "corpus_zipf", // one-row slope aggregate onto ~log2(vocab) rows
       "graph_degree_dist", // one-row slope onto ~log2(maxdeg) bucket rows
       "embed_isotropy", // three one-row aggregates crossed (1x1x1)
+      "graph_transitivity", // three one-row census aggregates crossed
+                            // (1x1x1) at the card close
       "vocab_overlap",  // five one-row aggregates crossed at the close
       "graph_modularity", // one-row edge total onto the community frame
       "embed_align", // exact pair mining broadcasts the bounded tgt set
@@ -50,6 +52,8 @@ class QueryPlanSpec extends SparkSpec {
                        // the ann_brute broadcast query set
       "eval_retrieval", // the same bm25-chain one-row (corpus_len,
                         // n_docs) total under the metric close
+      "eval_ndcg", // the same bm25-chain one-row totals under the
+                   // literal-discount DCG close
       "search_rerank", // contains the bm25 chain's one-row totals
       "search_indexed", // same bm25 one-row totals over the pruned
                         // postings read
@@ -67,6 +71,9 @@ class QueryPlanSpec extends SparkSpec {
                          // node-keyed distance rollup
       "graph_eigenvector", // one-row L-inf max broadcast for the final
                            // round's integer rescale
+      "graph_katz", // the same one-row L-inf max broadcast per round
+      "events_sax", // one-row quartile-cuts frame crossed onto the
+                    // bounded (type, window) PAA frame
       "events_path_distance", // one-row modal-path election broadcast
                               // onto the bounded distinct-path frame
       "eval_fairness", // one-row overall-rates frame crossed onto the
@@ -134,6 +141,9 @@ class QueryPlanSpec extends SparkSpec {
       "events_anomaly_seasonal", // one-row median + one-row MAD frames
                                  // crossed onto the bounded daily frame
       "graph_butterflies", // one-row census × one-row size frames (1×1)
+      "events_kendall", // day-pair theta self-join over the BOUNDED
+                        // day-span frame (C(n,2) on ~90 rows — the
+                        // eval_isotonic bounded-domain class)
       "web_robots") // the rule table is a bounded policy artifact
                     // broadcast against the URL stream (prefix theta)
 
