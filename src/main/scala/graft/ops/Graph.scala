@@ -307,7 +307,10 @@ object Graph {
     */
   def eigenvectorCentrality(edges: DataFrame, iters: Int = 5): DataFrame = {
     val S6 = 1000000L
-    val e = edges.select(col("src"), col("dst"))
+    // static frame referenced once per PER-ITER JOB (y checkpoints each
+    // iter, so exchange reuse cannot cross rounds): checkpoint once
+    // instead of re-scanning the source every iteration (r15)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint(true)
@@ -396,7 +399,10 @@ object Graph {
     */
   def shortestPaths(edges: DataFrame, seeds: DataFrame,
                     maxHops: Int = 4): DataFrame = {
+    // dist checkpoints per round, so each relaxation is its own job:
+    // checkpoint the static weighted edge frame once (r15)
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint(true)
@@ -438,7 +444,10 @@ object Graph {
     */
   def widestPaths(edges: DataFrame, seeds: DataFrame,
                   maxHops: Int = 4): DataFrame = {
+    // cap checkpoints per round, so each relaxation is its own job:
+    // checkpoint the static weighted edge frame once (r15)
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint(true)
@@ -933,12 +942,16 @@ object Graph {
           col("b")).otherwise(col("a")).as("v"),
         when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
           col("db")).otherwise(col("da")).as("dv"))
-    oriented.as("e1")
-      .join(oriented.as("e2"),
+    // referenced THREE times (both wedge sides + the closing join):
+    // materialize once instead of re-running the canon→deg→orient chain
+    // per reference (r15: graph_triangles read its source 30×)
+    val o = oriented.localCheckpoint(true)
+    o.as("e1")
+      .join(o.as("e2"),
         col("e1.u") === col("e2.u") &&
           struct(col("e1.dv"), col("e1.v")) < struct(col("e2.dv"), col("e2.v")))
       .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
-      .join(oriented.select(col("u").as("y"), col("v").as("z")), Seq("y", "z"))
+      .join(o.select(col("u").as("y"), col("v").as("z")), Seq("y", "z"))
   }
 
   /** Local clustering coefficient per node: `2·T(v) / (deg·(deg−1))`
@@ -956,6 +969,7 @@ object Graph {
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint(true) // feeds deg + the triangle orientation (r15)
     val deg = canon.select(col("a").as("id"))
       .union(canon.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
@@ -977,6 +991,7 @@ object Graph {
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint(true) // referenced 3x inside the orientation (r15)
     triangleRows(canon)
       .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
@@ -1070,7 +1085,9 @@ object Graph {
     */
   def katzCentrality(edges: DataFrame, iters: Int = 5): DataFrame = {
     val S6 = 1000000L
-    val e = edges.select(col("src"), col("dst"))
+    // checkpoint the static edge frame once — each iter is its own job
+    // (y checkpoints), so lazy e re-scans the source per round (r15)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint(true)
@@ -1268,13 +1285,20 @@ object Graph {
   def nodeSimilarity(edges: DataFrame, topK: Int = 10,
                      minScore: Double = 0.0, dfMax: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // adj feeds deg AND the pruned postings; pruned feeds both sides of
+    // the self-join; deg is joined twice in the scoring step — all are
+    // re-executed per reference in the final plan (16 source scans
+    // measured), so materialize each once (r15)
     val adj = edges.select(col("src").cast("long").as("id"),
       col("dst").cast("long").as("nbr")).distinct()
+      .localCheckpoint(true)
     val deg = adj.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     val pruned = adj
       .withColumn("ndeg", count(lit(1)).over(Window.partitionBy("nbr")))
       .filter(col("ndeg") <= dfMax)
       .drop("ndeg")
+      .localCheckpoint(true)
     // posting self-join, NOT the sorted-array pair explode that won in
     // coOccurrence: measured 2x slower here (3.2s -> 5.5-6.3s at sf0.1).
     // The interpreted nested-transform lambda builds ~C(df,2) structs per
@@ -1347,19 +1371,28 @@ object Graph {
     */
   def linkPredict(edges: DataFrame, topK: Int = 5,
                   maxDeg: Int = 100): DataFrame = {
+    // adj is referenced three times (both mirror branches + the final
+    // anti-join) and the input chain may itself be expensive (the
+    // linkpred query feeds a coOccurrence pair-generation chain in):
+    // materialize once (r15: the final plan re-ran the whole upstream
+    // chain per reference — 10 parquet scans)
     val adj = edges
       .select(least(col("src"), col("dst")).as("lo"),
         greatest(col("src"), col("dst")).as("hi"))
       .filter(col("lo") =!= col("hi")).distinct()
+      .localCheckpoint(true)
     val und = adj.select(col("lo").as("z"), col("hi").as("n"))
       .unionByName(adj.select(col("hi").as("z"), col("lo").as("n")))
     // center-keyed adjacency with degree; ONE z-keyed shuffle feeds the
-    // count window, the hub cap, and both sides of the wedge self-join
+    // count window, the hub cap, and both sides of the wedge self-join —
+    // materialized so the self-join reads it instead of re-running the
+    // window per side (r15)
     val centered = und
       .withColumn("deg", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("z")))
       .filter(col("deg") <= maxDeg)
       .withColumn("w", expr("1000000L div deg"))
+      .localCheckpoint(true)
     val scored = centered.as("l")
       .join(centered.as("r"),
         col("l.z") === col("r.z") && col("l.n") < col("r.n"))
@@ -1410,8 +1443,11 @@ object Graph {
   }
 
   def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int = 4): DataFrame = {
+    // referenced every hop from per-hop checkpointed jobs: checkpoint
+    // once instead of re-building the mirrored view per round (r15)
     val undirected = edges.select(col("src").as("u"), col("dst").as("v"))
       .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+      .localCheckpoint(true)
     var known = seeds.select(col("id")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint(true)
     var frontier = known
@@ -1757,11 +1793,12 @@ object Graph {
     * both engines). Fixed rounds keep the unrolled-CTE oracle finite;
     * leftovers simply keep their label — the honest Luby/JP contract.
     *
-    * Scale shape per round: one community-mass agg, one |E|-keyed
-    * neighbor-community count, one priority join, one per-node window
-    * partitioned on id (never global). Labels are referenced several
-    * times per round → localCheckpoint every round (the kCore lesson).
-    * BIGINT-safe while 2m·k_i < 2^63.
+    * Scale shape: ONE |E| pass per round (the neighbor-community count;
+    * the move schedule is label-independent, so all rounds' mover sets
+    * are hoisted into a single up-front |E| pass) plus node-sized
+    * community-mass/candidate-merge stages — never all-pairs. Labels
+    * are referenced several times per round → localCheckpoint every
+    * round (the kCore lesson). BIGINT-safe while 2m·k_i < 2^63.
     */
   def louvainOneLevel(edges: DataFrame, rounds: Int = 10): DataFrame = {
     require(rounds >= 1)
@@ -1792,48 +1829,63 @@ object Graph {
     */
   private def louvainRounds(e: DataFrame, deg: DataFrame, m2: Long,
                             rounds: Int, saltPrefix: String): DataFrame = {
-    var labels = deg.select(col("id"), col("id").as("lbl"))
+    // r15 optimization, same election round for round (probe-verified
+    // label-identical at sf0.1; hash-exact vs the unrolled oracle):
+    // (a) the salted md5 move schedule is LABEL-INDEPENDENT, so every
+    //     round's strict-local-max mover set is computable in ONE |E|
+    //     pass up front instead of an e⋈pri join + |E| agg per round;
+    // (b) the own-community candidate no longer rides a |E|-sized
+    //     union + regroup: the neighbor argmax aggregates directly off
+    //     the eic frame and the own candidate merges node-sized via
+    //     least() — a DUPLICATE own row can never win the election
+    //     because s_real − s_own0 = m2·e(i,own) > 0 whenever the real
+    //     (i, own) row exists, and when it does not the 0-row IS the
+    //     original union row;
+    // (c) the static degree mass k rides inside the labels frame, so
+    //     per-round scoring joins labels once instead of labels+deg+own.
+    val priAll = deg.select(col("id") +: (0 until rounds).map(r =>
+      md5(concat(lit(s"$saltPrefix$r:"), col("id").cast("string")))
+        .as(s"p$r")): _*)
+    val nbrMaxAll = e
+      .join(priAll.withColumnRenamed("id", "dst"), "dst")
+      .groupBy(col("src").as("id"))
+      .agg(max(col("p0")).as("pm0"),
+        (1 until rounds).map(r => max(col(s"p$r")).as(s"pm$r")): _*)
+    val movers = priAll.join(nbrMaxAll, "id")
+      .select(col("id") +: (0 until rounds).map(r =>
+        (col(s"p$r") > col(s"pm$r")).as(s"mv$r")): _*)
+      .localCheckpoint(true)
+    var labels = deg.select(col("id"), col("id").as("lbl"), col("k"))
       .localCheckpoint(true)
     var r = 0
     while (r < rounds) {
-      val tot = labels.join(deg, "id")
-        .groupBy(col("lbl").as("c")).agg(sum(col("k")).as("tot"))
+      val tot = labels.groupBy(col("lbl").as("c")).agg(sum(col("k")).as("tot"))
       val eic = e
         .join(labels.select(col("id").as("dst"), col("lbl").as("c")), "dst")
         .groupBy(col("src").as("id"), col("c"))
         .agg(sum(col("w")).as("eic"))
-      val own = labels.select(col("id"), col("lbl").as("own"))
-      // the own community is always a candidate, even with no
-      // intra-community edge (e(i, own−i) = 0)
-      val cands = eic
-        .unionByName(own.select(col("id"), col("own").as("c"))
-          .withColumn("eic", lit(0L)))
-        .groupBy(col("id"), col("c")).agg(max(col("eic")).as("eic"))
-        .join(own, "id").join(deg, "id").join(tot, "c")
-        .withColumn("s", lit(m2) * col("eic") - col("k") *
-          (col("tot") - when(col("c") === col("own"), col("k"))
-            .otherwise(lit(0L))))
-        .withColumn("stay",
-          when(col("c") === col("own"), lit(0)).otherwise(lit(1)))
       // partial-aggregable k=1 argmax (the house deterministic-argmax
       // recipe): min(struct(-s, stay, c)) == the (s desc, stay asc,
       // c asc) row_number election, but map-side-combinable — no
       // per-id sort over the |E|-sized candidate frame. -s is safe:
       // |s| ≤ m2·k_i < 2^63 by the BIGINT contract above.
-      val best = cands
+      val nbrBest = eic
+        .join(labels.select(col("id"), col("lbl").as("own"), col("k")), "id")
+        .join(tot, "c")
+        .withColumn("s", lit(m2) * col("eic") - col("k") *
+          (col("tot") - when(col("c") === col("own"), col("k"))
+            .otherwise(lit(0L))))
+        .withColumn("stay",
+          when(col("c") === col("own"), lit(0)).otherwise(lit(1)))
         .groupBy(col("id"))
         .agg(min(struct((-col("s")).as("ns"), col("stay"), col("c")))
-          .as("b"))
-        .select(col("id"), col("b.c").as("new_lbl"))
-      // strict local-max salted priority: adjacent nodes never co-move
-      val pri = deg.select(col("id"),
-        md5(concat(lit(s"$saltPrefix$r:"), col("id").cast("string"))).as("p"))
-      val nbrMax = e
-        .join(pri.select(col("id").as("dst"), col("p").as("pd")), "dst")
-        .groupBy(col("src").as("id")).agg(max(col("pd")).as("pmax"))
-      val movers = pri.join(nbrMax, "id")
-        .filter(col("p") > col("pmax"))
-        .select(col("id")).withColumn("mv", lit(true))
+          .as("nb"))
+      // the own community is always a candidate, even with no
+      // intra-community edge: eic=0, stay=0 ⇒ ns = k·(tot−k)
+      val ownCand = labels.join(tot, col("lbl") === col("c"))
+        .select(col("id"), col("lbl").as("own"), col("k"),
+          struct((col("k") * (col("tot") - col("k"))).as("ns"),
+            lit(0).as("stay"), col("lbl").as("c")).as("ob"))
       // `gain` rides the round's single materialization: true iff the
       // node HAS a strictly-positive-gain candidate (best != own),
       // regardless of whether the salted schedule let it move — the
@@ -1842,20 +1894,20 @@ object Graph {
       // rounds, but "no gain exists anywhere" fixes the labels under
       // ANY schedule and every later round — here and in the unrolled
       // oracle — is a no-op; the kcore post-convergence argument).
-      val updated = labels.join(best, Seq("id"), "left")
-        .join(movers, Seq("id"), "left")
+      val updated = ownCand.join(nbrBest, Seq("id"), "left")
+        .join(movers.select(col("id"), col(s"mv$r").as("mv")), "id")
+        .withColumn("b", least(col("ob"), coalesce(col("nb"), col("ob"))))
         .select(col("id"),
-          when(col("mv").isNotNull && col("new_lbl").isNotNull,
-            col("new_lbl")).otherwise(col("lbl")).as("lbl"),
-          (col("new_lbl").isNotNull && col("new_lbl") =!= col("lbl"))
-            .as("gain"))
+          when(col("mv"), col("b.c")).otherwise(col("own")).as("lbl"),
+          (col("b.c") =!= col("own")).as("gain"),
+          col("k"))
         .localCheckpoint(true)
-      labels = updated.select(col("id"), col("lbl"))
+      labels = updated.select(col("id"), col("lbl"), col("k"))
       r += 1
       // cheap scan of the materialized node-sized frame
       if (updated.filter(col("gain")).isEmpty) r = rounds
     }
-    labels
+    labels.select(col("id"), col("lbl"))
   }
 
   /** Two-level Louvain — the phase the one-level pass is named for:
@@ -1935,6 +1987,13 @@ object Graph {
     * `labels` needs (id, lbl) — [[labelPropagation]]'s contract.
     */
   def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    // labels is referenced three times (both intra-edge endpoint joins
+    // + the degree-mass rollup); when the caller passes a LAZY labeling
+    // chain (graph_modularity feeds 3-round labelPropagation straight
+    // in) every reference re-executed the whole chain — 32 source scans
+    // and 56 exchanges measured in the composed plan. Materialize the
+    // node-sized labeling once (r15).
+    val lbl = labels.localCheckpoint(true)
     val adj = edges
       .select(least(col("src"), col("dst")).as("lo"),
         greatest(col("src"), col("dst")).as("hi"))
@@ -1942,14 +2001,14 @@ object Graph {
       .localCheckpoint(true)
     val mRow = adj.agg(count(lit(1)).as("m"))
     val intra = adj
-      .join(labels.select(col("id").as("lo"), col("lbl").as("la")), "lo")
-      .join(labels.select(col("id").as("hi"), col("lbl").as("lb")), "hi")
+      .join(lbl.select(col("id").as("lo"), col("lbl").as("la")), "lo")
+      .join(lbl.select(col("id").as("hi"), col("lbl").as("lb")), "hi")
       .filter(col("la") === col("lb"))
       .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("e_in"))
     val deg = adj.select(col("lo").as("id"))
       .unionByName(adj.select(col("hi").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
-    val dc = labels.join(deg, "id")
+    val dc = lbl.join(deg, "id")
       .groupBy(col("lbl")).agg(sum(col("deg")).as("d_c"))
     dc.join(intra, Seq("lbl"), "left").na.fill(0L, Seq("e_in"))
       .crossJoin(broadcast(mRow))
@@ -1977,8 +2036,11 @@ object Graph {
     */
   def seedDistances(edges: DataFrame, seeds: DataFrame,
                     maxHops: Int = 4): DataFrame = {
+    // referenced every hop from per-hop checkpointed jobs: checkpoint
+    // once instead of re-building the mirrored view per round (r15)
     val undirected = edges.select(col("src").as("u"), col("dst").as("v"))
       .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+      .localCheckpoint(true)
     var known = seeds.select(col("id")).distinct()
       .select(col("id").as("seed"), col("id"))
       .withColumn("dist", lit(0L)).localCheckpoint(true)
@@ -2261,7 +2323,10 @@ object Graph {
   def randomWalks(edges: DataFrame, seeds: DataFrame,
                   steps: Int = 4): DataFrame = {
     require(steps >= 1, "steps must be positive")
-    val e = edges.select(col("src"), col("dst"))
+    // one adjacency reference per step, but the caller's upstream chain
+    // (distinct + mirror) re-executed per step in the composed plan —
+    // materialize the static frame once (r15)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     var st = seeds.select(col("id").as("walk_id"), col("id").as("cur"),
       col("id").cast("string").as("path"))
     var t = 1
@@ -2320,7 +2385,13 @@ object Graph {
     require(steps >= 1, "steps must be positive")
     require(wReturn >= 1 && wNear >= 1 && wFar >= 1,
       "weights must be positive integers")
+    // the edge frame is referenced TWICE per step (adjacency + the
+    // distance-1 flag) across all steps of one lazily-chained job, and
+    // exchange reuse does NOT fire across the per-step aliases — the
+    // composed plan re-ran the upstream distinct 30 times. Materialize
+    // once; `near` is a rename riding the same checkpoint (r15).
     val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
     val near = e.select(col("src").as("p_src"), col("dst").as("p_dst"))
     var st = seeds.select(col("id").as("walk_id"),
       lit(null).cast("long").as("prev"), col("id").as("cur"),

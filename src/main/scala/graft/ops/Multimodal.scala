@@ -133,7 +133,12 @@ object Multimodal {
   def mediaNearDup(media: DataFrame, maxHamming: Int = 4,
                    blocks: Int = 14, chunks: Int = 7): DataFrame = {
     require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
-    val sigs = blockHashSignature(media, blocks)
+    // the signature projection runs 14 md5 digests over payload slices;
+    // the chunk self-join references it from BOTH sides, so materialize
+    // the (media_id, sig) frame once — payloads are digested exactly
+    // once and the join reads the tiny long-pair RDD (r15: the plan
+    // re-decoded every payload twice, 6 parquet scans → 1 digest pass)
+    val sigs = blockHashSignature(media, blocks).localCheckpoint(true)
     val chunked = sigs.select(col("media_id"), col("sig"),
       explode(array((0 until chunks).map(c =>
         struct(lit(c).as("c"),
