@@ -2760,12 +2760,18 @@ object SparkEntry {
     // probe the distinct lineitem keys through broadcast semi-joins
     // (probe side never shuffles); summary counts incl. false positives.
     "bloom_prune" -> ((s, dir) => {
+      // urgent feeds the bit build AND the truth tag; bits feeds all 3
+      // broadcast semi-joins; probeKeys feeds the probe AND the n_keys
+      // card — materialize each once (r15: 12 source scans composed)
       val urgent = rd(s, dir, "orders")
         .filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey"))
+        .localCheckpoint(true)
       val bits = Sketches.bloomBits(urgent, "o_orderkey", 3, 65536)
+        .localCheckpoint(true)
       val probeKeys = rd(s, dir, "lineitem")
         .select(col("l_orderkey")).distinct()
+        .localCheckpoint(true)
       val pass = Sketches.bloomFilter(probeKeys, "l_orderkey", bits, 3, 65536)
       val tagged = pass.join(
         urgent.withColumnRenamed("o_orderkey", "l_orderkey")

@@ -120,11 +120,15 @@ object Analytics {
                   minPairCount: Long = 3L,
                   maxGroupSize: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // referenced three times (item counts / both pair self-join sides /
+    // the triple legs): materialize so the distinct + size window run
+    // once (r15)
     val b = baskets.select(col(groupCol).as("g"), col(itemCol).as("item"))
       .distinct()
       .withColumn("gsz", count(lit(1)).over(Window.partitionBy("g")))
       .filter(col("gsz") <= maxGroupSize)
       .drop("gsz")
+      .localCheckpoint(true)
     val itemCounts = b.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
     val pairCounts = b.as("l")
       .join(b.as("r"),
@@ -256,11 +260,15 @@ object Analytics {
                     minCount: Long = 3L,
                     maxGroupSize: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // referenced three times (item counts / both pair self-join sides /
+    // the triple legs): materialize so the distinct + size window run
+    // once (r15)
     val b = baskets.select(col(groupCol).as("g"), col(itemCol).as("item"))
       .distinct()
       .withColumn("gsz", count(lit(1)).over(Window.partitionBy("g")))
       .filter(col("gsz") <= maxGroupSize)
       .drop("gsz")
+      .localCheckpoint(true)
     val pairs = b.as("l")
       .join(b.as("r"),
         col("l.g") === col("r.g") && col("l.item") < col("r.item"))

@@ -866,13 +866,18 @@ object Dedup {
     */
   def semanticDedup(embeddings: DataFrame, k: Int = 16,
                     tau: Double = 0.95): DataFrame = {
+    // assigned re-runs the whole k-means fit per reference (scoped join
+    // + the final anti-join) and banded is self-joined — materialize
+    // each once (r15: 8 source scans, 4 duplicated fit subtrees)
     val assigned = Similarity.kmeansCluster(embeddings, k)
       .select(col("vec_id"), col("cluster"))
+      .localCheckpoint(true)
     val scoped = embeddings.select(col("vec_id"), col("embedding"))
       .join(assigned, "vec_id")
       .withColumn("nrm",
         sqrt(Similarity.dotCol(col("embedding"), col("embedding"))))
     val banded = Similarity.explodeBuckets(scoped, "vec_id", "embedding")
+      .localCheckpoint(true)
     val pairs = banded.as("l")
       .join(banded.as("r"),
         col("l.cluster") === col("r.cluster") &&
@@ -1116,8 +1121,14 @@ object Dedup {
     // fanned every candidate pair out to |x| rows and shuffled ~50M rows
     // at Stress 10x — 263s; the array-intersect verify is one codegen'd
     // set intersection per pair — 45s, identical 250,600 rows).
+    // docSets feeds the posting explode AND both verification sides,
+    // prefix feeds both self-join sides — materialize each once so the
+    // shingle producer and the two ranking windows run a single time
+    // (r15: the composed plan re-ran them per reference — 8 scans,
+    // 8 window passes)
     val docSets = docs.select(col("doc_id"), elems.as("el"))
       .select(col("doc_id"), col("el"), size(col("el")).cast("long").as("sz"))
+      .localCheckpoint(true)
     val toks = docSets
       .select(col("doc_id"), col("sz"), explode(col("el")).as("tok"))
     val ranked = toks
@@ -1127,6 +1138,7 @@ object Dedup {
     val prefix = ranked
       .filter(col("rk") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
       .select(col("doc_id"), col("tok"), col("sz"))
+      .localCheckpoint(true)
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
           // length filter: J >= tau forces tau·|x| <= |y| and vice versa
@@ -1184,11 +1196,16 @@ object Dedup {
     val elems =
       if (ngram <= 1) array_distinct(split(trim(col("text")), "\\s+"))
       else expr(s"graft_shingles(text, $ngram)")
+    // docSets feeds the explode + both verification sides; toks feeds
+    // the ranked window AND the candidate b-side — materialize each
+    // once so the shingle producer runs a single time (r15)
     val docSets = docs.select(col("doc_id"), elems.as("el"))
       .select(col("doc_id"), col("el"), size(col("el")).cast("long").as("sz"))
       .filter(col("sz") > 0)
+      .localCheckpoint(true)
     val toks = docSets
       .select(col("doc_id"), col("sz"), explode(col("el")).as("tok"))
+      .localCheckpoint(true)
     val ranked = toks
       .withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
       .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
