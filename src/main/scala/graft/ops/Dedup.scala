@@ -1121,11 +1121,12 @@ object Dedup {
     // fanned every candidate pair out to |x| rows and shuffled ~50M rows
     // at Stress 10x — 263s; the array-intersect verify is one codegen'd
     // set intersection per pair — 45s, identical 250,600 rows).
-    // docSets feeds the posting explode AND both verification sides,
-    // prefix feeds both self-join sides — materialize each once so the
-    // shingle producer and the two ranking windows run a single time
-    // (r15: the composed plan re-ran them per reference — 8 scans,
-    // 8 window passes)
+    // docSets feeds the posting explode AND both verification sides —
+    // materialize once so the shingle producer runs a single time (r15:
+    // the composed plan re-ran it per reference). prefix stays LAZY:
+    // checkpointing it measured 1.5x SLOWER on the tau=0.3 sweep — the
+    // self-join's sides share the ranking window's exchange via
+    // ReusedExchange, which a checkpoint destroys (the nodesim lesson).
     val docSets = docs.select(col("doc_id"), elems.as("el"))
       .select(col("doc_id"), col("el"), size(col("el")).cast("long").as("sz"))
       .localCheckpoint(true)
@@ -1138,7 +1139,6 @@ object Dedup {
     val prefix = ranked
       .filter(col("rk") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
       .select(col("doc_id"), col("tok"), col("sz"))
-      .localCheckpoint(true)
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
           // length filter: J >= tau forces tau·|x| <= |y| and vice versa
@@ -1196,16 +1196,17 @@ object Dedup {
     val elems =
       if (ngram <= 1) array_distinct(split(trim(col("text")), "\\s+"))
       else expr(s"graft_shingles(text, $ngram)")
-    // docSets feeds the explode + both verification sides; toks feeds
-    // the ranked window AND the candidate b-side — materialize each
-    // once so the shingle producer runs a single time (r15)
+    // docSets feeds the explode + both verification sides — materialize
+    // once so the shingle producer runs a single time (r15). toks stays
+    // LAZY: its tok-keyed exchange is shared between the df window and
+    // the candidate b-side via ReusedExchange, which a checkpoint would
+    // destroy (the nodesim lesson).
     val docSets = docs.select(col("doc_id"), elems.as("el"))
       .select(col("doc_id"), col("el"), size(col("el")).cast("long").as("sz"))
       .filter(col("sz") > 0)
       .localCheckpoint(true)
     val toks = docSets
       .select(col("doc_id"), col("sz"), explode(col("el")).as("tok"))
-      .localCheckpoint(true)
     val ranked = toks
       .withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
       .withColumn("rk", row_number().over(Window.partitionBy("doc_id")

@@ -1285,20 +1285,22 @@ object Graph {
   def nodeSimilarity(edges: DataFrame, topK: Int = 10,
                      minScore: Double = 0.0, dfMax: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // adj feeds deg AND the pruned postings; pruned feeds both sides of
-    // the self-join; deg is joined twice in the scoring step — all are
-    // re-executed per reference in the final plan (16 source scans
-    // measured), so materialize each once (r15)
+    // r15 measured NEGATIVE, left alone on purpose: checkpointing
+    // adj/deg/pruned here read as a win in the static plan audit (16
+    // duplicate scans) but ran 1.5-1.6x SLOWER x5 at sf0.1 — the
+    // self-join's two sides share the nbr-window's exchange via
+    // ReusedExchange at runtime, so the "duplicated" subtree is already
+    // free, and a checkpoint DESTROYS the window partitioning (LogicalRDD
+    // reports unknown), forcing two fresh |postings| exchanges for the
+    // join. The window-feeds-self-join form shuffles postings exactly
+    // once; keep it lazy (the r2 jaccard lesson, rediscovered).
     val adj = edges.select(col("src").cast("long").as("id"),
       col("dst").cast("long").as("nbr")).distinct()
-      .localCheckpoint(true)
     val deg = adj.groupBy(col("id")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
     val pruned = adj
       .withColumn("ndeg", count(lit(1)).over(Window.partitionBy("nbr")))
       .filter(col("ndeg") <= dfMax)
       .drop("ndeg")
-      .localCheckpoint(true)
     // posting self-join, NOT the sorted-array pair explode that won in
     // coOccurrence: measured 2x slower here (3.2s -> 5.5-6.3s at sf0.1).
     // The interpreted nested-transform lambda builds ~C(df,2) structs per
