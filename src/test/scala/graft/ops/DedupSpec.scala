@@ -343,6 +343,21 @@ class DedupSpec extends SparkSpec {
     assert(got == brute, "prefix filter must be lossless")
   }
 
+  test("tokenJaccardPrefix computes shingles once: none in the pair plan") {
+    // r15: docSets is materialized before the posting explode and the
+    // two verification joins, so the shingle-producer expression must
+    // be absent from the composed pair plan (it ran once at checkpoint
+    // time); a regression re-attaching the lazy chain would re-shingle
+    // the corpus per reference
+    val corpus = (0 until 20).map { i =>
+      (i.toLong, (0 until 10).map(j => s"t${i / 2}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val plan = Dedup.tokenJaccardPrefix(corpus, 0.5, ngram = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("graft_shingles"),
+      s"pair plan re-computes shingles:\n${plan.take(4000)}")
+  }
+
   test("tokenJaccardPrefix in shingle mode equals uncapped ngramJaccard") {
     val base = "the quick brown fox jumps over the lazy dog near the river bank today"
     val corpus = Seq(

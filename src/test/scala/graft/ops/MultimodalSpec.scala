@@ -174,4 +174,21 @@ class MultimodalSpec extends SparkSpec {
       again.map(_.getAs[Long]("align_score")).toSeq,
       "md5 stub features are run-stable")
   }
+
+  test("mediaNearDup digests each payload once: no md5 in the pair plan") {
+    import spark.implicits._
+    val media = (0 until 8).map(i => (i.toLong, s"payload body $i" * 10))
+      .toDF("media_id", "text")
+      .select(col("media_id"), lit("text/plain").as("mime"),
+        encode(col("text"), "utf-8").as("payload"))
+    // r15: the (media_id, sig) frame is materialized before the chunk
+    // self-join, so the 14-per-row md5 signature expressions must be
+    // absent from the composed pair plan (they ran once at checkpoint
+    // time); a regression re-attaching the lazy signature chain to both
+    // join sides would re-digest every payload twice
+    val plan = Multimodal.mediaNearDup(media)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("md5("),
+      s"pair plan re-computes payload digests:\n$plan")
+  }
 }
